@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table access for the graft engine.
+  *
+  * Design targets a multi-executor cluster (the reference stack is a
+  * single-node Trino/Postgres compose, see /root/reference
+  * trino/conf/trino/config.properties:1-2); every knob here is chosen so the
+  * same code runs unchanged on local[32] and on a 1000-executor cluster:
+  * AQE owns runtime partition coalescing / skew splitting, shuffle
+  * partitions are a starting hint only, and broadcast joins are left to
+  * Catalyst with an explicit threshold.
+  */
+object Graft {
+
+  /** Build a tuned SparkSession. `master` is only set if the caller asks —
+    * under spark-submit the cluster manager decides.
+    */
+  def session(master: Option[String] = None, appName: String = "graft"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      // AQE: runtime coalescing, skew-join splitting, runtime join demotion.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Starting hint; AQE coalesces down, scales up with cluster size.
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // The synthetic events table carries TIMESTAMP(NANOS) parquet, which
+      // Spark rejects by default; read as long and normalize in Tables.load.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+    master.foreach(b.master)
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Local test/bench session. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    session(Some(s"local[$cores]"))
+}
+
+/** Readers over the driver-generated synthetic corpus (TESTDATA.md): one
+  * parquet file per table under a scale-factor dir.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) (sub-microsecond parts are zero
+    // in the corpus); with nanosAsLong it arrives as LongType nanos.
+    // Integer `div` (not `/`) — double division loses precision above 2^53.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
