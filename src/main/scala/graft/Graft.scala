@@ -16,11 +16,28 @@ object Graft {
 
   /** Build a tuned SparkSession. `master` is only set if the caller asks —
     * under spark-submit the cluster manager decides.
+    *
+    * `warehouse` switches on a PERSISTENT catalog (Hive metastore on Derby,
+    * colocated with the warehouse dir): table metadata then survives process
+    * restarts, matching the reference where Postgres holds both data and
+    * catalog (assets.py:393-425). Without it the default in-memory catalog
+    * applies — fine for read-only analytics over parquet paths.
     */
-  def session(master: Option[String] = None, appName: String = "graft"): SparkSession = {
+  def session(
+      master: Option[String] = None,
+      appName: String = "graft",
+      warehouse: Option[String] = None): SparkSession = {
     val b = SparkSession
       .builder()
       .appName(appName)
+    warehouse.foreach { w =>
+      b.config("spark.sql.warehouse.dir", w)
+        .config("spark.sql.catalogImplementation", "hive")
+        .config("javax.jdo.option.ConnectionURL",
+          s"jdbc:derby:;databaseName=$w/../graft_metastore_db;create=true")
+        .enableHiveSupport()
+    }
+    b
       // AQE: runtime coalescing, skew-join splitting, runtime join demotion.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Namespace + catalog bookkeeping ≡ the reference's Postgres DDL helpers.
+  *
+  *  - bucket → schema: `create schema if not exists {bucket}` (assets.py:35)
+  *    → Spark database;
+  *  - `info.files (table_name varchar, creation TIMESTAMP)` catalog table
+  *    (assets.py:418-425), one row per table creation (assets.py:411-416,
+  *    166-168);
+  *  - schema-existence predicate (assets.py:393-401) →
+  *    `spark.catalog.databaseExists`.
+  */
+object CatalogOps {
+
+  /** ≡ check_if_schema_exists (assets.py:393-401). */
+  def schemaExists(spark: SparkSession, db: String): Boolean =
+    spark.catalog.databaseExists(db)
+
+  /** ≡ create schema if not exists (assets.py:35) — idempotent. */
+  def ensureSchema(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+
+  /** ≡ create_info_table (assets.py:418-425) — idempotent. */
+  def ensureInfoTable(spark: SparkSession): Unit = {
+    ensureSchema(spark, "info")
+    spark.sql(
+      "CREATE TABLE IF NOT EXISTS info.files (table_name STRING, creation TIMESTAMP) USING parquet")
+  }
+
+  /** ≡ the info.files INSERT (assets.py:411-416). Second-precision
+    * timestamp parity with `str(datetime.now()).split(".")[0]`
+    * (assets.py:404).
+    */
+  def registerTable(spark: SparkSession, qualifiedName: String): Unit = {
+    ensureInfoTable(spark)
+    val now = new Timestamp(System.currentTimeMillis() / 1000 * 1000)
+    import spark.implicits._
+    Seq((qualifiedName, now)).toDF("table_name", "creation")
+      .write.mode(SaveMode.Append).insertInto("info.files")
+  }
+
+  /** Idempotent table write ≡ `create table if not exists` + per-row INSERT
+    * (assets.py:403-410 + 105-114), as one batch append.
+    */
+  def appendTable(spark: SparkSession, df: DataFrame, db: String, table: String): Unit = {
+    ensureSchema(spark, db)
+    df.write.mode(SaveMode.Append).saveAsTable(s"`$db`.`$table`")
+    registerTable(spark, s"$db.$table")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StringType
+import graft.functions.Sanitize
+
+/** The reference's scheduled ELT pipeline (E1 in SURVEY.md §3), Spark-first:
+  * landing-zone discovery → tabular parse → stringify → infer → sanitize →
+  * coerce → batch append to a managed table → catalog + audit log →
+  * consume the source file.
+  *
+  * Layout mapping: one landing-root subdirectory ≡ one MinIO bucket ≡ one
+  * Spark database (assets.py:33-36); one data file ≡ one table
+  * (assets.py:48-64, 155-158). The `configuration` directory is skipped as
+  * a bucket (assets.py:31) and receives the audit log (assets.py:70-74).
+  *
+  * File discovery is driver-side (same as `list_buckets`/`list_objects`,
+  * assets.py:24-41) — cheap metadata ops; all row processing is
+  * distributed. The scheduled variant is [[graft.streaming.FileStreamIngest]].
+  */
+object IngestPipeline {
+
+  final case class IngestedTable(db: String, table: String, rows: Long)
+
+  /** Discover bucket dirs ≡ list_buckets minus `configuration`
+    * (assets.py:24-31, 141-145).
+    */
+  def listBuckets(landingRoot: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(landingRoot)
+    if (!Files.isDirectory(root)) Seq.empty
+    else Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(_.contains("configuration")) // assets.py:31
+      .toSeq.sorted
+  }
+
+  /** Objects of one extension in one bucket ≡ list_objects + endswith filter
+    * (assets.py:39-41, 146-149).
+    */
+  def listObjects(landingRoot: String, bucket: String, ext: String): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(landingRoot, bucket)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(ext))
+      .toSeq.sortBy(_.toString)
+  }
+
+  /** Parse one header-ful CSV with every cell stringified — ≡ the Excel
+    * sheet parse where `rows.append([str(value) for value in row])`
+    * (assets.py:231). Excel itself is out of scope for the zero-egress
+    * build (SURVEY.md §7: no spark-excel/POI jar; semantics are
+    * source-format-independent).
+    */
+  def readStringly(spark: SparkSession, file: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .csv(file)
+    raw.select(raw.columns.map(c => raw(c).cast(StringType).as(c)): _*)
+  }
+
+  /** Full E1 pipeline over one landing root. `consume` ≡ remove_object
+    * (assets.py:66) when "delete", ≡ minio_mv archival (assets.py:289-291)
+    * when "archive", no-op when "keep".
+    */
+  def ingest(
+      spark: SparkSession,
+      landingRoot: String,
+      configRoot: String,
+      consume: String = "archive",
+      extended: Boolean = false): Seq[IngestedTable] = {
+    CatalogOps.ensureInfoTable(spark)
+    for {
+      bucket <- listBuckets(landingRoot)
+      db = Sanitize.fixString(bucket)
+      file <- listObjects(landingRoot, bucket, ".csv")
+    } yield {
+      val base = file.getFileName.toString.stripSuffix(".csv")
+      val table = Sanitize.sanitizeDbName(Sanitize.unidecode(base).replace(" ", "_"))
+      val raw = readStringly(spark, file.toString)
+      val schema = SchemaInference.infer(raw, extended)
+      val coerced = SchemaInference.coerce(raw, schema)
+      CatalogOps.appendTable(spark, coerced, db, table)
+      val n = spark.table(s"`$db`.`$table`").count()
+      AuditLog.append(configRoot, db, table, "ingest",
+        Map("source" -> file.toString, "schema" -> schema.toDDL, "rows" -> n.toString))
+      consume match {
+        case "delete" => Files.deleteIfExists(file)
+        case "archive" =>
+          val dst = Paths.get(configRoot, bucket, file.getFileName.toString)
+          Files.createDirectories(dst.getParent)
+          Files.move(file, dst, StandardCopyOption.REPLACE_EXISTING)
+        case _ => ()
+      }
+      IngestedTable(db, table, n)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import graft.SparkTestBase
+
+/** E1 pipeline end-to-end over a tmp landing root (SURVEY.md §3 E1). */
+class IngestPipelineSpec extends SparkTestBase {
+
+  private def writeCsv(dir: java.nio.file.Path, name: String, body: String): Unit = {
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("ingest: bucket→db, file→table, inference, catalog, audit, archive") {
+    val landing = Files.createTempDirectory("landing")
+    val config = Files.createTempDirectory("config")
+    writeCsv(landing.resolve("ventas"), "ventas 2023.csv",
+      "fecha registro,cantidad,% desc\n" +
+        "2023-01-05 10:30:00,12,nan\n" +
+        "2023-01-06 11:00:00,7,x\n" +
+        "nan,NULL,\n")
+
+    val out = IngestPipeline.ingest(spark, landing.toString, config.toString, consume = "archive")
+    assert(out == Seq(IngestPipeline.IngestedTable("ventas", "ventas_2023", 3L)))
+
+    // table exists under bucket-db with inferred schema
+    val t = spark.table("ventas.ventas_2023")
+    assert(t.schema("fecharegistro").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(t.schema.fieldNames.toSeq == Seq("fecharegistro", "cantidad", "desc"))
+    assert(t.count() == 3L)
+    // bad words became NULLs
+    assert(t.filter(t("fecharegistro").isNull).count() == 1L)
+
+    // catalog row (assets.py:411-416)
+    val cat = spark.table("info.files").filter("table_name = 'ventas.ventas_2023'")
+    assert(cat.count() == 1L)
+
+    // audit entry + consumed (archived) source (assets.py:66,70-74)
+    assert(AuditLog.entries(config.toString, "ventas").exists(_.contains("\"op\":\"ingest\"")))
+    assert(!Files.exists(landing.resolve("ventas").resolve("ventas 2023.csv")))
+    assert(Files.exists(config.resolve("ventas").resolve("ventas 2023.csv")))
+  }
+
+  test("ingest skips the configuration dir as a bucket (assets.py:31)") {
+    val landing = Files.createTempDirectory("landing2")
+    writeCsv(landing.resolve("configuration"), "x.csv", "a\n1\n")
+    assert(IngestPipeline.ingest(spark, landing.toString, landing.resolve("configuration").toString) == Seq.empty)
+  }
+
+  test("idempotent re-ingest appends (create table if not exists semantics)") {
+    val landing = Files.createTempDirectory("landing3")
+    val config = Files.createTempDirectory("config3")
+    writeCsv(landing.resolve("b1"), "t.csv", "a,b\n1,x\n")
+    IngestPipeline.ingest(spark, landing.toString, config.toString, consume = "keep")
+    IngestPipeline.ingest(spark, landing.toString, config.toString, consume = "keep")
+    assert(spark.table("b1.t").count() == 2L)
+    assert(spark.table("info.files").filter("table_name = 'b1.t'").count() == 2L)
+  }
+}
