@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNPREFIXED — the bench/verify
+// drivers parse JSON lines from stdout, and sbt's default logger wraps
+// them in "[info] " which breaks json parsing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Non-ASCII filenames (latin-1 ingest fixtures) need a UTF-8 JVM locale;
 // sun.jnu.encoding is locale-derived and not -D-overridable on JDK 17.
 Test / envVars += "LC_ALL" -> "C.UTF-8"

@@ -7,7 +7,7 @@ import graft.functions.Sanitize
 /** The reference's "farm" CSV path: raw latin-1 lines → regex extraction →
   * fixed 6-column schema (assets.py:136-218; FIXTURES.md §1).
   *
-  * Semantics (assets.py:172-211), reproduced exactly:
+  * Semantics (assets.py:172-211):
   *  - a line containing the sentinel `RECRIASIN` terminates the FILE —
   *    everything after is ignored (assets.py:177-178);
   *  - gate: `\b\d{1,2}/\d{1,2}(?:/\d{4})?\b\s+Venta\b` must match
@@ -16,6 +16,14 @@ import graft.functions.Sanitize
   *  - `Key: 123` pairs via `[A-Z][a-z]*(?: [a-z]*)*(?: *: *)\d+`; a row is
   *    kept only if both `Animales` and `Documento salida` are present
   *    (assets.py:187-206); matched pairs are removed, leftover → `Extra`.
+  *
+  * DELIBERATE DIVERGENCE (SURVEY.md §7 quirk register): the reference
+  * appends matched values to the INSERT *positionally* — first match →
+  * n_animales, second → Documento_salida, regardless of which key matched
+  * (assets.py:195-205) — so `4/11 Venta Documento salida: 12 Animales: 7`
+  * stores n_animales=12, Documento_salida=7 there. We assign BY KEY
+  * (`Animales:` → n_animales, `Documento salida:` → Documento_salida),
+  * which is the evident intent; FarmCsvSpec pins the by-key values.
   *
   * Spark shape: per-file tasks (`binaryFiles`), sequential line scan inside
   * the task — file order is the semantic (sentinel cutoff), so per-file

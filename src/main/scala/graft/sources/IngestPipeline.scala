@@ -85,9 +85,15 @@ object IngestPipeline {
       val schema = SchemaInference.infer(raw, extended)
       val coerced = SchemaInference.coerce(raw, schema)
       CatalogOps.appendTable(spark, coerced, db, table)
-      val n = spark.table(s"`$db`.`$table`").count()
-      AuditLog.append(configRoot, db, table, "ingest",
-        Map("source" -> file.toString, "schema" -> schema.toDDL, "rows" -> n.toString))
+      // Rows ingested from THIS file (not the cumulative table count — no
+      // full-table scan, and re-ingest/append stays truthful in the audit).
+      val n = coerced.count()
+      // Audit entries and archived source files share one directory key: the
+      // RAW bucket name, matching the reference's configuration-bucket layout
+      // (assets.py:119-124, 214-218).
+      AuditLog.append(configRoot, bucket, table, "ingest",
+        Map("source" -> file.toString, "schema" -> schema.toDDL,
+          "db" -> db, "rows" -> n.toString))
       consume match {
         case "delete" => Files.deleteIfExists(file)
         case "archive" =>

@@ -24,7 +24,17 @@ import graft.functions.Sanitize
   */
 object SchemaInference {
 
-  val badWords: Seq[String] = Seq("nan", "NaT", "NULL", "")
+  /** Inference bad-word list ≡ the reference's `bad_words`
+    * (assets.py:227-240): exactly `["nan","NULL",""]`. A column whose first
+    * value is "NaT" therefore samples as varchar, same as the reference.
+    */
+  val badWords: Seq[String] = Seq("nan", "NULL", "")
+
+  /** Coercion null list: inference bad words plus "NaT", which the reference
+    * drops per-row at insert time (`reformat_rows`, assets.py:373-380) — it
+    * participates in inference but becomes NULL in stored rows.
+    */
+  val coerceNulls: Seq[String] = badWords :+ "NaT"
 
   private val tsPattern = """^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d{1,6})?$""".r
   private val intPattern = """^-?\d{1,18}$""".r
@@ -79,7 +89,7 @@ object SchemaInference {
   def coerce(df: DataFrame, schema: StructType): DataFrame = {
     val cols = df.columns.toSeq.zip(schema.fields.toSeq).map { case (orig, f) =>
       val v = col(orig).cast(StringType)
-      val cleaned = when(v.isin(badWords: _*), lit(null)).otherwise(v)
+      val cleaned = when(v.isin(coerceNulls: _*), lit(null)).otherwise(v)
       (f.dataType match {
         case TimestampType => to_timestamp(cleaned)
         case DateType      => to_date(cleaned)
