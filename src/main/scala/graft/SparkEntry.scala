@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Exact._
+import graft.operators.{QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +25,10 @@ object SparkEntry {
     queries("q01_monthly_rollup")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryDef.queriesOf(Relational.queries) ++ base
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2b aggregations + grouping dimensions (cube measure set:
     // count/sum/avg/min/max over a time dimension at month granularity).
     "q01_monthly_rollup" -> { (s, dir) =>
@@ -60,7 +64,10 @@ object SparkEntry {
     * parquet tables. Omit for non-SQL-expressible ops (driver then records a
     * weaker rows-only check).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    QueryDef.oraclesOf(Relational.queries) ++ baseOracle
+
+  private def baseOracle: Map[String, String] = Map(
     "q01_monthly_rollup" ->
       s"""SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
          |  count(*) AS n,

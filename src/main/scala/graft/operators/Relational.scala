@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** The Trino/Postgres-delegated relational surface (SURVEY.md §2b): joins
+  * (composite-key left outer, star broadcast, semi/anti), window functions,
+  * set operations, ROLLUP, sort/limit, and regex/date scalar functions —
+  * each as an oracle-verified query over the synthetic corpus.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension sides of star joins are `broadcast()`-hinted — no shuffle of
+  *    the fact table for the join itself;
+  *  - every aggregate is partial+final (map-side combine) by construction;
+  *  - windows partition by bounded keys (brand, user) so no single-partition
+  *    global sort appears anywhere except the explicit top-k, which Spark
+  *    executes as TakeOrderedAndProject (per-partition heap + driver merge),
+  *    not a full sort.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  val queries: Map[String, QueryDef] = Map(
+
+    // Composite-key LEFT OUTER join ≡ the StockMarketsPrediction cube join
+    // (conf/cube/schema/StockMarketsPrediction.js:10-11: ON p.dt = m.dt AND
+    // p.symbol = m.symbol) with its avg(price_predicted) measure: the
+    // "prediction" side is a first-half-of-month estimate, left-joined onto
+    // the full monthly rollup.
+    "q03_prediction_join" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = t(s, dir, "events")
+        val monthly = ev
+          .groupBy(col("event_type"), to_date(date_trunc("month", col("ts"))).as("month"))
+          .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        val firstHalf = ev
+          .filter(dayofmonth(col("ts")) <= 15)
+          .groupBy(col("event_type"), to_date(date_trunc("month", col("ts"))).as("month"))
+          .agg(davg(col("value")).as("avg_predicted"))
+        monthly.join(firstHalf, Seq("event_type", "month"), "left")
+          .select("event_type", "month", "n", "avg_value", "avg_predicted")
+          .orderBy("event_type", "month")
+      },
+      oracle = Some(
+        s"""WITH monthly AS (
+           |  SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
+           |         count(*) AS n, ${sqlAvg("value")} AS avg_value
+           |  FROM events GROUP BY 1, 2),
+           |first_half AS (
+           |  SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
+           |         ${sqlAvg("value")} AS avg_predicted
+           |  FROM events WHERE EXTRACT(day FROM ts) <= 15 GROUP BY 1, 2)
+           |SELECT m.event_type, m.month, m.n, m.avg_value, f.avg_predicted
+           |FROM monthly m LEFT JOIN first_half f
+           |  ON f.event_type = m.event_type AND f.month = m.month
+           |ORDER BY 1, 2""".stripMargin)),
+
+    // Star join with broadcast dimensions (TPC-H Q5 shape): revenue per
+    // nation for one region and a date window. customer/nation/region are
+    // broadcast — the lineitem⋈orders core is the only shuffled join.
+    "q04_star_join" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                      col("o_orderdate") <  lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("n_name"))
+      },
+      oracle = Some(
+        s"""SELECT n_name,
+           |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           |  count(DISTINCT o_orderkey) AS n_orders
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation   ON c_nationkey = n_nationkey
+           |JOIN region   ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Window function: per-brand top-3 parts by revenue. rank() over a
+    // deterministic (revenue DESC, p_partkey) order; the part dimension is
+    // broadcast so the only shuffle is the groupBy and the window's
+    // partition-by-brand exchange (bounded cardinality — no skew).
+    "q05_top_parts_window" -> QueryDef(
+      fn = { (s, dir) =>
+        val rev = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_partkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("revenue").desc, col("p_partkey"))
+        rev.withColumn("rnk", rank().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("p_brand", "p_partkey", "revenue", "rnk")
+          .orderBy("p_brand", "rnk", "p_partkey")
+      },
+      oracle = Some(
+        s"""WITH rev AS (
+           |  SELECT p_brand, p_partkey,
+           |    ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  GROUP BY 1, 2)
+           |SELECT p_brand, p_partkey, revenue, rnk FROM (
+           |  SELECT *, CAST(rank() OVER (PARTITION BY p_brand
+           |           ORDER BY revenue DESC, p_partkey) AS BIGINT) AS rnk
+           |  FROM rev) WHERE rnk <= 3
+           |ORDER BY p_brand, rnk, p_partkey""".stripMargin)),
+
+    // Sessionization via lag + running sum: a new session starts after a
+    // >30-minute gap per user. All time math in integer MICROSECONDS
+    // (unix_micros ≡ DuckDB epoch_us) — exact in both engines; second-level
+    // epoch() would round vs floor differently across engines.
+    "q06_sessionize" -> QueryDef(
+      fn = { (s, dir) =>
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ev.groupBy(col("user_id"), col("session_idx"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            max(col("us")).as("end_us"))
+          .orderBy("user_id", "session_idx")
+      },
+      oracle = Some(
+        """WITH flagged AS (
+          |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |sessions AS (
+          |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          |  FROM flagged)
+          |SELECT user_id, session_idx, count(*) AS n_events,
+          |  min(us) AS start_us, max(us) AS end_us
+          |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Set operations: INTERSECT / EXCEPT / UNION over customer-key sets.
+    "q07_setops" -> QueryDef(
+      fn = { (s, dir) =>
+        val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("k"))
+        val active = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+        val mk = (tag: String, df: DataFrame) =>
+          df.agg(count(lit(1)).as("n")).select(lit(tag).as("tag"), col("n"))
+        mk("both", rich.intersect(active))
+          .unionAll(mk("only_rich", rich.except(active)))
+          .unionAll(mk("either", rich.union(active).distinct()))
+          .orderBy("tag")
+      },
+      oracle = Some(
+        """WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+          |active AS (SELECT DISTINCT o_custkey AS k FROM orders)
+          |SELECT 'both' AS tag, count(*) AS n FROM (SELECT * FROM rich INTERSECT SELECT * FROM active)
+          |UNION ALL
+          |SELECT 'only_rich', count(*) FROM (SELECT * FROM rich EXCEPT SELECT * FROM active)
+          |UNION ALL
+          |SELECT 'either', count(*) FROM (SELECT * FROM rich UNION SELECT * FROM active)
+          |ORDER BY tag""".stripMargin)),
+
+    // ROLLUP with grouping indicators (cube/grouping-sets family).
+    "q08_rollup" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+      },
+      oracle = Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           |  ${sqlSum("l_quantity")} AS sum_qty, count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
+
+    // Global top-k: Spark plans this as TakeOrderedAndProject (per-partition
+    // heaps merged on the driver), not a full global sort — the right plan at
+    // any scale. Total order via (o_totalprice DESC, o_orderkey).
+    "q09_top_orders" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Regex scalar functions over semi-structured props (≡ the reference's
+    // regex extraction surface, assets.py:175-205, applied to a JSON-ish
+    // column): regexp_extract group capture + cast + aggregation.
+    "q10_regex_extract" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", regexp_extract(col("props"), """"k": *([0-9]+)""", 1).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), davg(col("k")).as("avg_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""SELECT event_type, count(*) AS n,
+           |  ${sqlAvg("k")} AS avg_k, min(k) AS min_k, max(k) AS max_k
+           |FROM (SELECT event_type,
+           |        CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k
+           |      FROM events)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Semi + anti joins: customers with vs without orders, counted per
+    // market segment. Spark left_semi/left_anti ≡ EXISTS / NOT EXISTS.
+    "q11_semi_anti" -> QueryDef(
+      fn = { (s, dir) =>
+        val cust = t(s, dir, "customer")
+        val okeys = t(s, dir, "orders").select(col("o_custkey"))
+        val semi = cust.join(okeys, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("with_orders"))
+        val anti = cust.join(okeys, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("no_orders"))
+        semi.unionAll(anti).select("tag", "c_mktsegment", "n").orderBy("tag", "c_mktsegment")
+      },
+      oracle = Some(
+        """SELECT 'with_orders' AS tag, c_mktsegment, count(*) AS n FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |GROUP BY 2
+          |UNION ALL
+          |SELECT 'no_orders', c_mktsegment, count(*) FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |GROUP BY 2
+          |ORDER BY tag, c_mktsegment""".stripMargin)),
+  )
+}
