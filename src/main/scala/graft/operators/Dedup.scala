@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — the training-data
+  * pipeline surface: exact content-hash dedup, MinHash+LSH near-dup,
+  * SimHash hamming near-dup, and DF-capped n-gram Jaccard similarity.
+  *
+  * Cross-engine determinism strategy: every hash is MD5 (identical bytes in
+  * Spark and DuckDB); minhash order statistics compare the hex STRINGS
+  * (lexicographic min ≡ a uniform permutation for ranking purposes), so no
+  * engine-specific integer hashing is involved anywhere.
+  *
+  * Scale design (100 TB):
+  *  - tokenize + shingle + dedupe INSIDE the row (`array_distinct` before
+  *    `explode`) — per-doc set semantics with zero extra shuffle;
+  *  - MinHash signatures reduce each doc to k strings in ONE partial+final
+  *    aggregate; LSH banding turns all-pairs O(n²) into an equi-join on
+  *    band keys (shuffle on key, broadcast-free, skew-safe since a band
+  *    bucket is at most a near-dup cluster);
+  *  - SimHash bands-by-nibble is lossless for hamming ≤ 3 by pigeonhole
+  *    (4 bands, ≤3 differing bits ⇒ ≥1 intact band) — the equi-join
+  *    provably returns the same pairs as the O(n²) cross join;
+  *  - n-gram Jaccard caps shingle document-frequency (stop-shingle removal)
+  *    so the inverted-index self-join is bounded per key.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Distinct 3-word shingles, one row per (doc_id, sh). Unigram tokens are
+    * useless on a small shared vocabulary (every doc carries nearly the full
+    * token set ⇒ all-pairs explosion); 3-shingles discriminate. The shingle
+    * set is built and deduplicated INSIDE the row — no shuffle.
+    */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks)-3)," +
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .otherwise(expr("array()")))).as("sh"))
+
+  /** DuckDB mirror of [[shingles]] as a CTE body named `sh0`. */
+  private val shinglesSql: String =
+    """sh0 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 1, 1)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents))""".stripMargin
+
+  private val K = 12 // minhash signature length
+  private val BANDS = 4 // rows-per-band r = 3 → LSH threshold ≈ (1/4)^(1/3) ≈ 0.63
+
+  private def minhashAggs: Seq[Column] =
+    (0 until K).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+
+  val queries: Map[String, QueryDef] = Map(
+
+    // Exact dedup: canonical representative (min doc_id) per normalized
+    // content hash. Hash-groupBy — the one shuffle is on the 128-bit key,
+    // uniformly distributed by construction.
+    "q12_exact_dedup" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("content_key"))
+          .groupBy(col("content_key"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("content_key", "keep_id", "n_copies")
+          .orderBy("content_key")
+      },
+      oracle = Some(
+        """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
+          |  min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MinHash + LSH near-dup: K=12 md5-string minhashes over the shingle
+    // set, banded 4×3; candidate pairs share ≥1 band; est_sim = matching
+    // minhash fraction (the unbiased Jaccard estimator).
+    "q13_minhash_lsh" -> QueryDef(
+      fn = { (s, dir) =>
+        val sig = shingles(docs(s, dir)).groupBy(col("doc_id"))
+          .agg(minhashAggs.head, minhashAggs.tail: _*)
+        val bandStructs = (0 until BANDS).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("|", (0 until 3).map(r => col(s"m${3 * b + r}")): _*).as("key"))
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") c else s"a_$c"): _*)
+        val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") c else s"b_$c"): _*)
+        val matches = (0 until K)
+          .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand
+          .join(sa, cand("doc_a") === sa("doc_id")).drop("doc_id")
+          .join(sb, cand("doc_b") === sb("doc_id")).drop("doc_id")
+          .select(col("doc_a"), col("doc_b"),
+            (matches.cast("double") / lit(K.toDouble)).as("est_sim"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some {
+        val minCols = (0 until K)
+          .map(i => s"min(md5(concat('$i:', sh))) AS m$i").mkString(",\n    ")
+        val bandSelects = (0 until BANDS).map { b =>
+          val key = (0 until 3).map(r => s"m${3 * b + r}").mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws('|', $key) AS key FROM sig"
+        }.mkString("\n  UNION ALL\n  ")
+        val matchSum = (0 until K)
+          .map(i => s"CASE WHEN fa.m$i = fb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $shinglesSql,
+           |sig AS (
+           |  SELECT doc_id,
+           |    $minCols
+           |  FROM sh0 GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT c.doc_a, c.doc_b,
+           |  CAST($matchSum AS DOUBLE) / ${K}.0 AS est_sim
+           |FROM cand c
+           |JOIN sig fa ON fa.doc_id = c.doc_a
+           |JOIN sig fb ON fb.doc_id = c.doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // SimHash: 32-bit fingerprint (bit i set iff the +1/−1 vote of md5 hex
+    // digit i — md5 has exactly 32 hex digits — over the doc's shingle set
+    // is positive); near-dups = hamming ≤ 3 found via the lossless 4-byte
+    // band join (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bytes intact).
+    "q14_simhash" -> QueryDef(
+      fn = { (s, dir) =>
+        val votes = (0 until 32).map { i =>
+          sum(when(substring(md5(col("sh")), i + 1, 1) >= "8", 1).otherwise(-1))
+            .as(s"s$i")
+        }
+        val sums = shingles(docs(s, dir)).groupBy(col("doc_id"))
+          .agg(votes.head, votes.tail: _*)
+        val fpCol = (0 until 32)
+          .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _)
+        val fp = sums.select(col("doc_id"), fpCol.as("fp"))
+        val nibbles = (0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("nib"))
+        }
+        val bands = fp.select(col("doc_id"), explode(array(nibbles: _*)).as("bn"))
+          .select(col("doc_id"), col("bn.band").as("band"), col("bn.nib").as("nib"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val fa = fp.toDF("doc_id", "fp_a")
+        val fb = fp.toDF("doc_id", "fp_b")
+        cand
+          .join(fa, cand("doc_a") === fa("doc_id")).drop("doc_id")
+          .join(fb, cand("doc_b") === fb("doc_id")).drop("doc_id")
+          .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some {
+        val voteCols = (0 until 32)
+          .map(i => s"sum(CASE WHEN substr(md5(sh), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
+          .mkString(",\n    ")
+        val fpExpr = (0 until 32)
+          .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $shinglesSql,
+           |sums AS (
+           |  SELECT doc_id,
+           |    $voteCols
+           |  FROM sh0 GROUP BY doc_id),
+           |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums),
+           |bands AS (
+           |  SELECT doc_id, b AS band, (fp >> (8*b)) & 255 AS nib
+           |  FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+           |SELECT c.doc_a, c.doc_b,
+           |  CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+           |FROM cand c
+           |JOIN fp fa ON fa.doc_id = c.doc_a
+           |JOIN fp fb ON fb.doc_id = c.doc_b
+           |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // Exact n-gram (3-word shingle) Jaccard over the DF-capped shingle
+    // universe: shingles appearing in > 100 docs are dropped (stop-shingle
+    // removal) before the inverted-index self-join, bounding work per key.
+    "q15_ngram_jaccard" -> QueryDef(
+      fn = { (s, dir) =>
+        val sh = shingles(docs(s, dir))
+        val kept = sh.join(
+          sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+            .select("sh"),
+          Seq("sh"))
+        val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = kept.toDF("sh", "doc_a").join(kept.toDF("sh", "doc_b"), Seq("sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
+          .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b", "inter", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""WITH $shinglesSql,
+          |kept AS (
+          |  SELECT doc_id, sh FROM sh0
+          |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)),
+          |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, inter,
+          |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = doc_a
+          |JOIN sizes sb ON sb.doc_id = doc_b
+          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+  )
+}
