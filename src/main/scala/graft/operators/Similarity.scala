@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim):
+  * brute-force cosine top-k (the exact baseline), threshold near-dup, and an
+  * IVF-style two-probe approximate variant (coarse quantizer → inverted
+  * cells → probe the 2 nearest cells).
+  *
+  * Cross-engine determinism: each elementwise product is quantized with
+  * `floor(x*y*1e9)` into an exact BIGINT, and sums run in integer space —
+  * order-independent and bit-identical in Spark and DuckDB (double→DECIMAL
+  * casts round DIFFERENTLY across the two engines, ~1e-12 per term, so
+  * decimal sums are not enough; floor of a double is exact in both). The
+  * final cosine divides the integer sums in double — the 1e9 scale cancels.
+  * Plain double sums would additionally be order-dependent run to run on a
+  * real cluster.
+  *
+  * Scale design (100 TB):
+  *  - the dot product is `aggregate(zip_with(...))` — whole-stage-codegen
+  *    array math inside the row, never an explode-shuffle;
+  *  - the query set is `broadcast()` against the candidate corpus — the
+  *    corpus is scanned once, never shuffled;
+  *  - IVF: centroid assignment is a broadcast nested-loop against a small
+  *    centroid set (|cells| grows with corpus, vec_id % 50), probing caps
+  *    scanned candidates at ~2/|cells| of the corpus — the standard ANN
+  *    scale path when brute force stops fitting.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Exact order-independent 1e9-quantized dot product (BIGINT) of two
+    * float-array columns; whole-stage-codegen array math, no explode.
+    */
+  private def dotDec(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b,
+       |    (x, y) -> floor((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) * 1000000000.0)),
+       |  CAST(0 AS BIGINT), (acc, p) -> acc + p)""".stripMargin)
+
+  private def cosim(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
+
+  /** (vec_id, n2): exact squared norms. */
+  private def norms(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), dotDec("embedding", "embedding").as("n2"))
+
+  /** DuckDB: CTE `norms(vec_id, n2)` + per-pair decimal dot as a template.
+    * Lists are 1-indexed; generate_subscripts unrolls the 64 dims.
+    */
+  private val normsSql: String =
+    """norms AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CAST(floor((CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS n2
+      |  FROM (SELECT vec_id, embedding AS e,
+      |          generate_subscripts(embedding, 1) AS i FROM embeddings)
+      |  GROUP BY 1)""".stripMargin
+
+  private val dotSqlExpr =
+    """CAST(sum(CAST(floor((CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))
+      | * 1000000000.0) AS BIGINT)) AS BIGINT)""".stripMargin.replace("\n", "")
+
+  val queries: Map[String, QueryDef] = Map(
+
+    // Exact ANN baseline: brute-force cosine top-5 for each query vector
+    // (vec_id < 10). The query set broadcasts; one corpus scan.
+    "q16_ann_topk" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val n = norms(e)
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cs = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cosim").desc, col("c_id"))
+        cs.join(broadcast(qs), col("c_id") =!= col("q_id"))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("q_id", "n2q"), Seq("q_id"))
+          .join(n.toDF("c_id", "n2c"), Seq("c_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2c")))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "c_id", "cosim", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      oracle = Some(
+        s"""WITH $normsSql,
+           |dots AS (
+           |  SELECT q_id, c_id, $dotSqlExpr AS dot
+           |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |          q.embedding AS qe, c.embedding AS ce,
+           |          generate_subscripts(q.embedding, 1) AS i
+           |        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |        WHERE q.vec_id < 10)
+           |  GROUP BY 1, 2),
+           |cosv AS (
+           |  SELECT q_id, c_id,
+           |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+           |  FROM dots
+           |  JOIN norms nq ON nq.vec_id = q_id
+           |  JOIN norms nc ON nc.vec_id = c_id)
+           |SELECT q_id, c_id, cosim, rnk FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM cosv)
+           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
+    // Embedding near-dup: all pairs with cosine ≥ 0.4 (this corpus is
+    // near-orthogonal; real dedup corpora use ≥ 0.95 — the threshold is a
+    // parameter, the plan is identical).
+    "q17_embed_neardup" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val n = norms(e)
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("qe"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("ce"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("a_id", "n2a"), Seq("a_id"))
+          .join(n.toDF("b_id", "n2b"), Seq("b_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2a"), col("n2b")))
+          .filter(col("cosim") >= 0.4)
+          .select("a_id", "b_id", "cosim")
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some(
+        s"""WITH $normsSql,
+           |dots AS (
+           |  SELECT a_id, b_id, $dotSqlExpr AS dot
+           |  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |          a.embedding AS qe, b.embedding AS ce,
+           |          generate_subscripts(a.embedding, 1) AS i
+           |        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+           |  GROUP BY 1, 2),
+           |cosv AS (
+           |  SELECT a_id, b_id,
+           |    CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosim
+           |  FROM dots
+           |  JOIN norms na ON na.vec_id = a_id
+           |  JOIN norms nb ON nb.vec_id = b_id)
+           |SELECT a_id, b_id, cosim FROM cosv WHERE cosim >= 0.4
+           |ORDER BY a_id, b_id""".stripMargin)),
+
+    // IVF-style ANN: coarse cells = vectors with vec_id % 50 == 0 (cell
+    // count scales with the corpus); every vector is assigned to its
+    // nearest cell; each query probes its 2 nearest cells and ranks only
+    // those cells' members. Returns top-3 per query with the cell probed.
+    "q18_ann_ivf" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val n = norms(e)
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val centN = norms(e.filter(col("vec_id") % 50 === 0))
+          .toDF("cent_id", "n2cent")
+        // nearest cell per vector (broadcast the centroid set)
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosim").desc, col("cent_id"))
+        val assign = e.select(col("vec_id"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("vec_id", "n2v"), Seq("vec_id"))
+          .join(broadcast(centN), Seq("cent_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2v"), col("n2cent")))
+          .withColumn("rnk", row_number().over(wAssign))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id").as("member_id"), col("cent_id"))
+        // 2 probe cells per query
+        val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cosim").desc, col("cent_id"))
+        val queryProbes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("q_id", "n2q"), Seq("q_id"))
+          .join(broadcast(centN), Seq("cent_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2cent")))
+          .withColumn("rnk", row_number().over(wProbe))
+          .filter(col("rnk") <= 2)
+          .select(col("q_id"), col("cent_id"))
+        // rank candidates inside the probed cells
+        val wTop = Window.partitionBy(col("q_id")).orderBy(col("cosim").desc, col("c_id"))
+        queryProbes
+          .join(assign, Seq("cent_id"))
+          .withColumnRenamed("member_id", "c_id")
+          .filter(col("c_id") =!= col("q_id"))
+          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+          .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce")), Seq("c_id"))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("q_id", "n2q"), Seq("q_id"))
+          .join(n.toDF("c_id", "n2c"), Seq("c_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2c")))
+          .withColumn("rnk", row_number().over(wTop).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "c_id", "cent_id", "cosim", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      oracle = Some(
+        s"""WITH $normsSql,
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+           |          WHERE vec_id % 50 = 0),
+           |assign0 AS (
+           |  SELECT vec_id, cent_id, $dotSqlExpr AS dot
+           |  FROM (SELECT v.vec_id, c.cent_id, v.embedding AS qe, c.ce,
+           |          generate_subscripts(v.embedding, 1) AS i
+           |        FROM embeddings v CROSS JOIN cents c)
+           |  GROUP BY 1, 2),
+           |assign1 AS (
+           |  SELECT assign0.vec_id, assign0.cent_id,
+           |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+           |  FROM assign0
+           |  JOIN norms nv ON nv.vec_id = assign0.vec_id
+           |  JOIN norms nc ON nc.vec_id = assign0.cent_id),
+           |assign AS (
+           |  SELECT vec_id AS member_id, cent_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosim DESC, cent_id) AS rnk FROM assign1)
+           |  WHERE rnk = 1),
+           |probes AS (
+           |  SELECT vec_id AS q_id, cent_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosim DESC, cent_id) AS rnk FROM assign1 WHERE vec_id < 10)
+           |  WHERE rnk <= 2),
+           |cand AS (
+           |  SELECT p.q_id, a.member_id AS c_id, p.cent_id
+           |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+           |  WHERE a.member_id <> p.q_id),
+           |cdots AS (
+           |  SELECT q_id, c_id, cent_id, $dotSqlExpr AS dot
+           |  FROM (SELECT cand.q_id, cand.c_id, cand.cent_id,
+           |          q.embedding AS qe, c.embedding AS ce,
+           |          generate_subscripts(q.embedding, 1) AS i
+           |        FROM cand
+           |        JOIN embeddings q ON q.vec_id = cand.q_id
+           |        JOIN embeddings c ON c.vec_id = cand.c_id)
+           |  GROUP BY 1, 2, 3),
+           |ccos AS (
+           |  SELECT q_id, c_id, cent_id,
+           |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+           |  FROM cdots
+           |  JOIN norms nq ON nq.vec_id = q_id
+           |  JOIN norms nc ON nc.vec_id = c_id)
+           |SELECT q_id, c_id, cent_id, cosim, rnk FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM ccos)
+           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)),
+  )
+}
