@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Exact._
-import graft.operators.{Dedup, QueryDef, Relational, Similarity}
+import graft.operators.{Dedup, QueryDef, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryDef.queriesOf(Relational.queries, Dedup.queries, Similarity.queries) ++ base
+    QueryDef.queriesOf(Relational.queries, Dedup.queries, Similarity.queries,
+      TextAnalysis.queries) ++ base
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2b aggregations + grouping dimensions (cube measure set:
@@ -65,7 +66,8 @@ object SparkEntry {
     * weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    QueryDef.oraclesOf(Relational.queries, Dedup.queries, Similarity.queries) ++ baseOracle
+    QueryDef.oraclesOf(Relational.queries, Dedup.queries, Similarity.queries,
+      TextAnalysis.queries) ++ baseOracle
 
   private def baseOracle: Map[String, String] = Map(
     "q01_monthly_rollup" ->

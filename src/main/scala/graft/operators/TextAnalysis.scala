@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over `documents`: stopword-profile language ID,
+  * quality scoring, token counting (whitespace + BPE-ish regex), and a
+  * position-weighted rolling-hash fingerprint.
+  *
+  * Everything is per-row columnar expression work (whole-stage codegen, no
+  * UDFs, no shuffle except the final aggregations), so it scales linearly
+  * with the corpus and pushes the `text` column read down to the parquet
+  * scan.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Tiny per-language stopword profiles — a deterministic n-gram-free
+    * language-ID heuristic (count profile hits over the token bag, pick the
+    * max with a fixed tie order).
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "ein"),
+    "fr" -> Seq("le", "la", "et", "est", "les", "des"))
+
+  private def toksCol: Column = split(lower(trim(col("text"))), "\\s+")
+
+  private def hitCount(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(toks, t -> t IN ($set)))"
+  }
+
+  private def hitCountSql(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($set)))"
+  }
+
+  val queries: Map[String, QueryDef] = Map(
+
+    // Language ID: stopword-profile scores, argmax with fixed tie order
+    // (profile order above, then 'und' = undetermined when all scores 0);
+    // rolled up to counts per predicted language.
+    "q19_langid" -> QueryDef(
+      fn = { (s, dir) =>
+        val scored = docs(s, dir)
+          .withColumn("toks", toksCol)
+        val withScores = profiles.foldLeft(scored) { case (d, (lang, words)) =>
+          d.withColumn(s"sc_$lang", expr(hitCount(words)).cast("long"))
+        }
+        // Cascading argmax, first-profile-wins-ties: lang_i is predicted iff
+        // sc_i > 0 and sc_i >= every LATER profile (earlier branches having
+        // already failed implies no earlier profile strictly beats it).
+        val langs = profiles.map(_._1)
+        val best = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), els) =>
+          val c = col(s"sc_$lang")
+          val beatsLater = langs.drop(i + 1).map(o => c >= col(s"sc_$o"))
+          when(((c > 0) +: beatsLater).reduce(_ && _), lit(lang)).otherwise(els)
+        }
+        withScores.withColumn("predicted", best)
+          .groupBy("predicted").agg(count(lit(1)).as("n"))
+          .orderBy("predicted")
+      },
+      oracle = Some {
+        val scoreCols = profiles
+          .map { case (l, ws) => s"${hitCountSql(ws)} AS sc_$l" }.mkString(",\n    ")
+        // argmax with first-profile-wins-ties, matching the Spark cascade
+        val caseExpr = profiles.map(_._1).zipWithIndex.map { case (l, i) =>
+          val geLater = profiles.map(_._1).drop(i + 1).map(o => s"sc_$l >= sc_$o")
+          val conds = Seq(s"sc_$l > 0") ++ geLater
+          s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+        }.mkString("\n    ")
+        s"""WITH scored AS (
+           |  SELECT doc_id,
+           |    $scoreCols
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |        FROM documents))
+           |SELECT predicted, count(*) AS n FROM (
+           |  SELECT CASE
+           |    $caseExpr
+           |    ELSE 'und' END AS predicted
+           |  FROM scored)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Quality scoring: length, token count, mean token length, punctuation
+    // ratio, stopword ratio — composed into a 0-1 score. All ratios are
+    // int/int divisions (exact operands → deterministic doubles).
+    "q20_quality_score" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .withColumn("toks", toksCol)
+          .withColumn("n_chars_c", length(col("text")).cast("long"))
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+          .withColumn("n_punct",
+            size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).cast("long"))
+          .withColumn("n_stop", expr(hitCount(profiles.head._2)).cast("long"))
+          .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_c"))
+          .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_toks"))
+          .withColumn("mean_tok_len",
+            expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+              .cast("double") / col("n_toks"))
+          .withColumn("quality",
+            when(col("n_toks") >= 10 && col("punct_ratio") < 0.1 &&
+              col("mean_tok_len") >= 3 && col("mean_tok_len") <= 12, 1.0)
+              .otherwise(0.0))
+          .select("doc_id", "n_chars_c", "n_toks", "punct_ratio", "stop_ratio",
+            "mean_tok_len", "quality")
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val stop = profiles.head._2.map(w => s"'$w'").mkString(", ")
+        s"""SELECT doc_id, n_chars_c, n_toks,
+           |  CAST(n_punct AS DOUBLE) / n_chars_c AS punct_ratio,
+           |  CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+           |  CAST(sum_tok_len AS DOUBLE) / n_toks AS mean_tok_len,
+           |  CASE WHEN n_toks >= 10 AND CAST(n_punct AS DOUBLE) / n_chars_c < 0.1
+           |        AND CAST(sum_tok_len AS DOUBLE) / n_toks >= 3
+           |        AND CAST(sum_tok_len AS DOUBLE) / n_toks <= 12
+           |       THEN 1.0 ELSE 0.0 END AS quality
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS BIGINT) AS n_chars_c,
+           |    CAST(len(toks) AS BIGINT) AS n_toks,
+           |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+           |    CAST(${hitCountSql(profiles.head._2)} AS BIGINT) AS n_stop,
+           |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_tok_len
+           |  FROM (SELECT doc_id, text,
+           |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |        FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Token counting: whitespace tokens and a BPE-ish regex segmentation
+    // (letter runs | digit runs | single non-alnum), per source.
+    "q21_token_count" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .withColumn("ws_toks", size(toksCol).cast("long"))
+          .withColumn("bpe_toks",
+            size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+              .cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_toks")).as("ws_total"),
+            sum(col("bpe_toks")).as("bpe_total"),
+            max(col("bpe_toks")).as("bpe_max"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(ws_toks) AS BIGINT) AS ws_total,
+          |  CAST(sum(bpe_toks) AS BIGINT) AS bpe_total,
+          |  max(bpe_toks) AS bpe_max
+          |FROM (SELECT source,
+          |        CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS ws_toks,
+          |        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_toks
+          |      FROM documents)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Document fingerprint: position-weighted modular hash over the token
+    // stream (order-sensitive, unlike a bag hash) — md5-derived per-token
+    // integers, exact BIGINT arithmetic in both engines.
+    "q22_fingerprint" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .withColumn("toks", toksCol)
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+          .withColumn("h",
+            (conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long") % 1000003L) *
+              ((col("pos") % 97) + 1))
+          .groupBy("doc_id")
+          .agg((sum(col("h")) % 1000000007L).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  CAST(sum(h) % 1000000007 AS BIGINT) AS fingerprint
+          |FROM (
+          |  SELECT doc_id,
+          |    (CAST(concat('0x', substr(md5(toks[i]), 1, 14)) AS BIGINT) % 1000003)
+          |      * (((i - 1) % 97) + 1) AS h
+          |  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i
+          |        FROM (SELECT doc_id,
+          |                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |              FROM documents)))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}
