@@ -27,7 +27,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryDef.queriesOf(Relational.queries, Dedup.queries, Similarity.queries,
-      TextAnalysis.queries) ++ base
+      TextAnalysis.queries, graft.semantic.ReferenceCubes.queries,
+      graft.multimodal.Multimodal.queries) ++ base
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2b aggregations + grouping dimensions (cube measure set:
@@ -67,7 +68,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     QueryDef.oraclesOf(Relational.queries, Dedup.queries, Similarity.queries,
-      TextAnalysis.queries) ++ baseOracle
+      TextAnalysis.queries, graft.semantic.ReferenceCubes.queries,
+      graft.multimodal.Multimodal.queries) ++ baseOracle
 
   private def baseOracle: Map[String, String] = Map(
     "q01_monthly_rollup" ->

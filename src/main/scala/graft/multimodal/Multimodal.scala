@@ -1,0 +1,134 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.QueryDef
+
+/** Multimodal column handling: media (image/audio/video) ride through the
+  * engine as opaque `binary` payload columns plus typed metadata, and
+  * decode / feature-extraction runs as a PARTITION-BATCHED transform over a
+  * typed Dataset — the Scala analog of `mapInPandas` (one iterator per
+  * partition, rows processed in streaming batches, no driver collect).
+  *
+  * The actual codec is STUBBED ([[StubDecoder]] — this container has no
+  * image/audio libraries): it derives deterministic pseudo-features from the
+  * payload bytes. Everything AROUND the stub is real and load-bearing:
+  * the schema contract, the partition-batched execution shape, the
+  * `binary`-column plumbing, and the downstream columnar feature handling.
+  * Swapping in a real JNI/Java codec touches only [[Decoder.decode]].
+  *
+  * Scale notes: payloads never shuffle unless a downstream op needs them —
+  * feature extraction projects payload→small feature vector EARLY, so
+  * shuffles move features (KBs), not media (MBs). Partition sizing for
+  * binary tables should target `maxPartitionBytes` at the media size, not
+  * row count.
+  */
+object Multimodal {
+
+  /** One media item: opaque payload + typed metadata. */
+  final case class MediaItem(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int, // source-declared; 0 when unknown
+      height: Int,
+      duration_ms: Long)
+
+  /** Extracted features: small, shuffle-friendly. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: String,
+      // decode stub outputs (deterministic pseudo-features):
+      decoded_w: Int,
+      decoded_h: Int,
+      n_frames: Int,
+      feature: Array[Float])
+
+  trait Decoder extends Serializable {
+    /** Decode one payload into (w, h, frames, feature vector). A real
+      * implementation calls the codec here; signature and batch shape stay.
+      */
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float])
+  }
+
+  /** Deterministic stand-in for the absent codec libraries: pseudo-features
+    * from byte statistics (stable across runs/JVMs — pure byte math).
+    */
+  object StubDecoder extends Decoder {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val n = payload.length
+      val w = 16 + (math.abs(payloadHash(payload, 1)) % 64).toInt
+      val h = 16 + (math.abs(payloadHash(payload, 2)) % 64).toInt
+      val frames = if (kind == "video") 1 + (n % 30) else 1
+      val feat = Array.tabulate(8) { i =>
+        var acc = 0L
+        var j = i
+        while (j < n) { acc += (payload(j) & 0xff); j += 8 }
+        acc.toFloat / math.max(n, 1)
+      }
+      (w, h, frames, feat)
+    }
+    private def payloadHash(p: Array[Byte], seed: Long): Long = {
+      var h = seed
+      var i = 0
+      while (i < p.length) { h = h * 31 + (p(i) & 0xff); i += 1 }
+      h
+    }
+  }
+
+  /** Partition-batched decode + feature extraction (the mapInPandas shape:
+    * executor-side iterator, constant memory per partition, no shuffle).
+    */
+  def extractFeatures(items: Dataset[MediaItem], decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val (w, h, frames, feat) = decoder.decode(m.kind, m.payload)
+        md.reset()
+        val sum = md.digest(m.payload).map("%02x".format(_)).mkString
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, sum, w, h, frames, feat)
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th decoded frame.
+    * Decode is stubbed; the explode/flatMap shape (1 row in → n frame rows
+    * out, each a small feature record) is the real pattern.
+    */
+  def sampleFrames(items: Dataset[MediaItem], stride: Int, decoder: Decoder = StubDecoder): DataFrame = {
+    import items.sparkSession.implicits._
+    items.filter(_.kind == "video").flatMap { m =>
+      val (w, h, frames, feat) = decoder.decode(m.kind, m.payload)
+      (0 until frames by stride).map(f => (m.media_id, f, w, h, feat))
+    }.toDF("media_id", "frame_idx", "width", "height", "feature")
+  }
+
+  /** Oracle-verified binary-column metadata query: documents' text bytes
+    * stand in for media payloads (no binary test corpus exists); byte
+    * length, content checksum and header bytes are computed ON the binary
+    * column in both engines.
+    */
+  val queries: Map[String, QueryDef] = Map(
+    "q24_binary_meta" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("payload", col("text").cast("binary"))
+          .select(
+            col("doc_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            md5(col("payload")).as("checksum"),
+            lower(hex(substring(col("payload"), 1, 8))).as("header_hex"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  md5(text) AS checksum,
+          |  lower(hex(encode(substr(text, 1, 8)))) AS header_hex
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,73 @@
+package graft.semantic
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.operators.QueryDef
+
+/** The three cube schemas the reference ships, re-expressed over the
+  * synthetic corpus (events ≙ gold.stock_markets with event_type ≙ symbol,
+  * ts ≙ dt, value ≙ volume):
+  *
+  *  - `events_cube` ≡ StockMarkets.js:2-129 — count + sum/avg/min/max
+  *    measures over string (symbol) and time (dt) dimensions;
+  *  - `events_monthly` ≡ StockMarketsMonthly.js:2-133 — the same measure
+  *    set over the materialized monthly rollup table (RollupJob);
+  *  - `events_prediction` ≡ StockMarketsPrediction.js:2-76 — a composite-key
+  *    LEFT JOIN (dt, symbol) onto a prediction table with an avg measure.
+  */
+object ReferenceCubes {
+
+  val eventsCube: CubeDef = CubeDef(
+    name = "events_cube",
+    table = "events",
+    measures = Seq(
+      Measure("n", "count"),
+      Measure("sum_value", "sum", "value"),
+      Measure("avg_value", "avg", "value"),
+      Measure("min_value", "min", "value"),
+      Measure("max_value", "max", "value")),
+    dimensions = Seq(
+      Dimension("event_type", "event_type", "string"),
+      Dimension("ts", "ts", "time")))
+
+  val eventsMonthly: CubeDef = eventsCube.copy(
+    name = "events_monthly",
+    table = "events_monthly")
+
+  val eventsPrediction: CubeDef = CubeDef(
+    name = "events_prediction",
+    table = "events_actual",
+    measures = Seq(
+      Measure("n", "count"),
+      Measure("avg_actual", "avg", "avg_value"),
+      Measure("avg_predicted", "avg", "avg_predicted")),
+    dimensions = Seq(
+      Dimension("event_type", "event_type", "string"),
+      Dimension("month", "month", "string")),
+    joins = Seq(CubeJoin("events_prediction_tbl", Seq("event_type", "month"), "left")))
+
+  /** Oracle-verified exposure of the semantic layer: rendering
+    * [all 5 measures] × [event_type, month(ts)] through `eventsCube` must
+    * equal the hand-written monthly-rollup SQL — proves the layer generates
+    * the correct aggregation, not just a plausible one.
+    */
+  val queries: Map[String, QueryDef] = Map(
+    "q23_cube_render" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        val resolve: String => DataFrame = name => Tables.load(s, dir, name)
+        eventsCube.query(resolve,
+          Seq("n", "sum_value", "avg_value", "min_value", "max_value"),
+          Seq("event_type" -> None, "ts" -> Some("month")))
+      },
+      oracle = Some {
+        import graft.operators.Exact._
+        s"""SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS ts_month,
+           |  count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value,
+           |  ${sqlAvg("value")} AS avg_value,
+           |  min(value) AS min_value,
+           |  max(value) AS max_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+  )
+}
