@@ -211,17 +211,23 @@ object Dedup {
     "q15_ngram_jaccard" -> QueryDef(
       fn = { (s, dir) =>
         val sh = shingles(docs(s, dir))
-        val kept = sh.join(
-          sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
-            .select("sh"),
-          Seq("sh"))
-        val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = kept.toDF("sh", "doc_a").join(kept.toDF("sh", "doc_b"), Seq("sh"))
+        // DF cap and per-doc set size both ride as WINDOW counts on the
+        // same row stream — no side joins, no persist; the one remaining
+        // self-join (on sh) reuses a single shuffle exchange for both sides
+        // instead of recomputing the tokenize/explode pipeline per branch.
+        val kept = sh
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+          .filter(col("df") <= 100)
+          .select("doc_id", "sh")
+          .withColumn("sz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+          .select("doc_id", "sh", "sz")
+        val a = kept.toDF("doc_a", "sh", "sz_a")
+        val b = kept.toDF("doc_b", "sh", "sz_b")
+        a.join(b, Seq("sh"))
           .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
-          .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+          .groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
           .withColumn("jaccard",
             col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .filter(col("jaccard") >= 0.2)

@@ -31,16 +31,18 @@ import graft.Tables
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
+  }
 
   /** Exact order-independent 1e9-quantized dot product (BIGINT) of two
-    * float-array columns; whole-stage-codegen array math, no explode.
+    * float-array columns — the native codegen expression
+    * [[graft.functions.FloatDotQ]] (a higher-order aggregate/zip_with
+    * formulation is semantically equal but interpreted, ~100× slower on
+    * all-pairs workloads).
     */
-  private def dotDec(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b,
-       |    (x, y) -> floor((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) * 1000000000.0)),
-       |  CAST(0 AS BIGINT), (acc, p) -> acc + p)""".stripMargin)
+  private def dotDec(a: String, b: String): Column = expr(s"float_dot_q($a, $b)")
 
   private def cosim(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
@@ -115,7 +117,13 @@ object Similarity {
       fn = { (s, dir) =>
         val e = emb(s, dir)
         val n = norms(e)
+        // Repartition the streamed side: the corpus arrives as one small
+        // parquet split, and a nested-loop pair join inherits that single
+        // partition — all O(n²) dot products would land on ONE task. After
+        // repartition every core gets a slice (same fix a 1000-executor
+        // cluster needs).
         val a = e.select(col("vec_id").as("a_id"), col("embedding").as("qe"))
+          .repartition(col("a_id"))
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("ce"))
         a.join(b, col("a_id") < col("b_id"))
           .withColumn("dot", dotDec("qe", "ce"))
@@ -160,6 +168,7 @@ object Similarity {
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("cosim").desc, col("cent_id"))
         val assign = e.select(col("vec_id"), col("embedding").as("qe"))
+          .repartition(col("vec_id")) // parallelize the single-split scan
           .crossJoin(broadcast(cents))
           .withColumn("dot", dotDec("qe", "ce"))
           .join(n.toDF("vec_id", "n2v"), Seq("vec_id"))
