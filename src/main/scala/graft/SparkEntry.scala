@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Exact._
-import graft.operators.{Dedup, QueryDef, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytic, Dedup, QueryDef, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,8 +26,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryDef.queriesOf(Relational.queries, Dedup.queries, Similarity.queries,
-      TextAnalysis.queries, graft.semantic.ReferenceCubes.queries,
+    QueryDef.queriesOf(Relational.queries, Analytic.queries, Dedup.queries,
+      Similarity.queries, TextAnalysis.queries,
+      graft.semantic.ReferenceCubes.queries,
       graft.multimodal.Multimodal.queries) ++ base
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -67,8 +68,9 @@ object SparkEntry {
     * weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    QueryDef.oraclesOf(Relational.queries, Dedup.queries, Similarity.queries,
-      TextAnalysis.queries, graft.semantic.ReferenceCubes.queries,
+    QueryDef.oraclesOf(Relational.queries, Analytic.queries, Dedup.queries,
+      Similarity.queries, TextAnalysis.queries,
+      graft.semantic.ReferenceCubes.queries,
       graft.multimodal.Multimodal.queries) ++ baseOracle
 
   private def baseOracle: Map[String, String] = Map(

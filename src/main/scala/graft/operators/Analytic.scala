@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import Exact._
+
+/** Analytical operator surface beyond the core relational set (SURVEY.md
+  * §2b "window functions / grouping sets" row — capability the reference
+  * delegates to Trino, here first-class): CUBE grouping sets, frame-bounded
+  * moving aggregates, multi-column DISTINCT aggregation, an AS-OF temporal
+  * join, batch tumbling time-windows (the batch twin of
+  * [[graft.streaming.StreamingAnalytics.windowedCounts]]), exact quantiles,
+  * and deterministic two-variable statistics (corr via exact moment sums).
+  *
+  * Scale notes (100 TB):
+  *  - the AS-OF join is the union+window formulation — one shuffle on the
+  *    join key, no range cross-join, no per-row probe; state per key is one
+  *    running "last order" value, so it survives arbitrarily long histories;
+  *  - CUBE/ROLLUP expand rows 4× BEFORE the partial aggregate, which Spark
+  *    combines map-side — no extra shuffle vs a plain groupBy;
+  *  - moving averages partition by bounded keys (event_type) and the frame
+  *    is row-bounded (7), so window state is O(1) per partition stream;
+  *  - quantiles use Spark's exact `percentile` (single agg over the group;
+  *    at true 100 TB scale swap for `percentile_approx` — same plan shape,
+  *    bounded memory — the exact form is chosen here because the oracle
+  *    hash-compares bit-exact values).
+  *
+  * Determinism: every double SUM rides through exact DECIMAL (see [[Exact]]);
+  * moving sums/moments do the same inside window frames, so Spark and the
+  * DuckDB oracle agree bit-for-bit regardless of aggregation order.
+  */
+object Analytic {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+  private val dec = DecimalType(18, 6)
+
+  val queries: Map[String, QueryDef] = Map(
+
+    // Full CUBE over (returnflag, linestatus) with grouping indicators —
+    // the grouping-sets family member q08_rollup doesn't cover.
+    "q25_cube" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+      },
+      oracle = Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           |  ${sqlSum("l_extendedprice")} AS sum_price, count(*) AS n
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
+
+    // Frame-bounded moving aggregate: 7-day (7-row over daily grain) moving
+    // average of event value per type. The moving SUM stays in exact decimal
+    // inside the frame; the divide happens once in double.
+    "q26_moving_avg" -> QueryDef(
+      fn = { (s, dir) =>
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(dec)).as("d_dec"), count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-6, Window.currentRow)
+        daily
+          .withColumn("mov_avg",
+            sum(col("d_dec")).over(w).cast("double") / count(lit(1)).over(w))
+          .select(col("event_type"), col("day"),
+            col("d_dec").cast("double").as("day_total"), col("n"), col("mov_avg"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |    SUM(CAST(value AS DECIMAL(18,6))) AS d_dec, count(*) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, day, CAST(d_dec AS DOUBLE) AS day_total, n,
+          |  CAST(SUM(d_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS mov_avg
+          |FROM daily
+          |WINDOW w AS (PARTITION BY event_type ORDER BY day
+          |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_type, day""".stripMargin)),
+
+    // Multi-column DISTINCT aggregation: Spark plans this as a single
+    // grouping-sets expand + two-phase aggregate — no per-column re-scan.
+    "q27_distinct_agg" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_parts"),
+            countDistinct(col("l_suppkey")).as("nd_supps"),
+            countDistinct(col("l_orderkey")).as("nd_orders"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some(
+        """SELECT l_returnflag,
+          |  count(DISTINCT l_partkey) AS nd_parts,
+          |  count(DISTINCT l_suppkey) AS nd_supps,
+          |  count(DISTINCT l_orderkey) AS nd_orders,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // AS-OF join: each event picks up the most recent order (by
+    // o_orderdate <= ts) of the same user. Implementation is the scalable
+    // union+window form: tag both sides, one shuffle on the key, running
+    // `last(_, ignoreNulls)` ordered by (time, side, orderkey) — never a
+    // range cross-join. Orders are deduped per (custkey, date) to the max
+    // orderkey first so the as-of pick is total-order deterministic.
+    "q28_asof_join" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = t(s, dir, "events")
+          .select(col("user_id").as("k"), col("ts").as("t"),
+            lit(0).as("side"), lit(null).cast("long").as("okey"),
+            lit(null).cast("double").as("oprice"), col("event_type"))
+        val orct = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+          .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")), col("o_orderkey")).as("o"))
+          .select(col("k"), col("t"), lit(1).as("side"),
+            col("o.o_orderkey").as("okey"), col("o.o_totalprice").as("oprice"),
+            lit(null).cast("string").as("event_type"))
+        // Order within a key: time asc, orders before events at equal time
+        // (inclusive as-of), so `last(okey, ignoreNulls)` at an event row is
+        // exactly the latest order with t_order <= t_event.
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("side").desc, col("okey").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.unionAll(orct)
+          .withColumn("asof_okey", last(col("okey"), ignoreNulls = true).over(w))
+          .withColumn("asof_price", last(col("oprice"), ignoreNulls = true).over(w))
+          .filter(col("side") === 0)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            count(col("asof_okey")).as("n_matched"),
+            dsum(col("asof_price")).as("sum_price"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""WITH orct AS (
+           |  SELECT o_custkey AS k, o_orderdate AS t,
+           |    max(o_orderkey) AS okey,
+           |    max_by(o_totalprice, o_orderkey) AS oprice
+           |  FROM orders GROUP BY 1, 2)
+           |SELECT e.event_type,
+           |  count(*) AS n_events,
+           |  count(o.okey) AS n_matched,
+           |  ${sqlSum("o.oprice")} AS sum_price
+           |FROM events e ASOF LEFT JOIN orct o
+           |  ON e.user_id = o.k AND e.ts >= o.t
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Batch tumbling time-window aggregation (the batch twin of the
+    // streaming windowedCounts): UTC-aligned 1-day buckets via window().
+    "q29_tumbling_window" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("win_start", "event_type")
+      },
+      oracle = Some(
+        s"""SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_type,
+           |  count(*) AS n, ${sqlSum("value")} AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Exact quantiles (linear interpolation — identical definition in Spark
+    // `percentile` and DuckDB `quantile_cont`).
+    "q30_quantiles" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("q25"),
+            expr("percentile(l_quantity, 0.5)").as("median"),
+            expr("percentile(l_quantity, 0.75)").as("q75"),
+            expr("percentile(l_extendedprice, 0.5)").as("price_median"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some(
+        """SELECT l_returnflag,
+          |  quantile_cont(l_quantity, 0.25) AS q25,
+          |  quantile_cont(l_quantity, 0.5) AS median,
+          |  quantile_cont(l_quantity, 0.75) AS q75,
+          |  quantile_cont(l_extendedprice, 0.5) AS price_median
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic two-variable statistics: Pearson corr + stddev over
+    // integer-QUANTIZED variables (xq = floor(1000·qty), yq = floor(10·price))
+    // with exact BIGINT moment sums — built-in corr/stddev sum doubles in
+    // engine-specific order (not reproducible), and even exact-decimal
+    // moments fail at the decimal→double cast (DuckDB double-rounds int128
+    // decimals, Spark single-rounds BigDecimal — observed 1-ulp corr drift).
+    // BIGINT→double casts and the fixed closing formula are IEEE-identical
+    // in both engines — the same scheme the embedding dot products use.
+    // Bounds: syy ≤ n·1e12 — safe in int64 through ~sf1 (6M rows → 6e18).
+    "q31_stats" -> QueryDef(
+      fn = { (s, dir) =>
+        val xq = floor(col("l_quantity") * 1000).cast("long")
+        val yq = floor(col("l_extendedprice") * 10).cast("long")
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(xq).as("sx"), sum(yq).as("sy"),
+            sum(xq * yq).as("sxy"), sum(xq * xq).as("sxx"), sum(yq * yq).as("syy"))
+          .select(
+            col("l_returnflag"), col("n"),
+            ((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+              sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) *
+                   (col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / col("n"))))
+              .as("corr_qty_price"),
+            (sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+                 (col("n") - 1)) / 1000.0).as("stddev_qty"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some(
+        """WITH q AS (
+          |  SELECT l_returnflag,
+          |    CAST(floor(l_quantity * 1000) AS BIGINT) AS xq,
+          |    CAST(floor(l_extendedprice * 10) AS BIGINT) AS yq
+          |  FROM lineitem),
+          |m AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |    CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+          |    CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+          |    CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+          |    CAST(SUM(yq * yq) AS BIGINT) AS syy
+          |  FROM q GROUP BY 1)
+          |SELECT l_returnflag, n,
+          |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+          |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+          |         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+          |    AS corr_qty_price,
+          |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) / 1000.0
+          |    AS stddev_qty
+          |FROM m ORDER BY 1""".stripMargin)),
+  )
+}

@@ -14,6 +14,11 @@ object SparkTestBase {
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1's checkpoint-file checksum writer deadlocks stateful
+      // streaming tasks on small local pools (tasks park forever in
+      // ChecksumCheckpointFileManager.awaitResult); checksums guard against
+      // checkpoint corruption on real DFS — irrelevant for tmp-dir tests.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTestBase
+import StreamingAnalytics._
+
+class StreamingAnalyticsSpec extends SparkTestBase {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("watermarked windowed counts aggregate per minute and drop late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = windowedCounts(df).writeStream
+      .format("memory").queryName("win_counts").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0, 10), "click", 1.0), (ts(0, 40), "click", 2.0), (ts(1, 5), "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far beyond watermark so earlier windows finalize
+      mem.addData((ts(30), "click", 1.0))
+      q.processAllAvailable()
+      // a very late row (before the watermark) must be dropped
+      mem.addData((ts(0, 50), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0))) // late row NOT counted
+      assert(rows.contains((ts(1), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMs = 5L * 60 * 1000, watermarkDelay = "0 seconds")
+      .writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two bursts 40 min apart -> first burst closes when the second
+      // arrives (gap exceeded in-stream). user 2: one burst, then silence ->
+      // closes via event-time timeout once the watermark (driven by user 1's
+      // later event) passes last + gap.
+      mem.addData(Event(1L, ts(0), "click"), Event(1L, ts(2), "view"), Event(2L, ts(1), "click"))
+      q.processAllAvailable()
+      mem.addData(Event(1L, ts(42), "click"))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[SessionUpdate].collect().filter(_.closed)
+      assert(closed.length == 2)
+      val byUser = closed.map(c => c.user_id -> c).toMap
+      assert(byUser(1L).n_events == 2L)
+      assert(byUser(1L).session_start == ts(0) && byUser(1L).session_end == ts(2))
+      assert(byUser(2L).n_events == 1L)
+      assert(byUser(2L).session_start == ts(1) && byUser(2L).session_end == ts(1))
+      // user 1's second session is still open -> not emitted in Append mode
+      assert(spark.table("sessions").as[SessionUpdate].collect().count(!_.closed) == 0)
+    } finally q.stop()
+  }
+}
