@@ -145,11 +145,17 @@ object Dedup {
     // band join (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bytes intact).
     "q14_simhash" -> QueryDef(
       fn = { (s, dir) =>
+        // md5 is hoisted into ONE projected column — inside the aggregate
+        // each of the 32 vote-sums would recompute it per row (no
+        // cross-aggregate subexpression elimination: 32 md5s/row, observed
+        // 80s vs 3s at sf0.1).
         val votes = (0 until 32).map { i =>
-          sum(when(substring(md5(col("sh")), i + 1, 1) >= "8", 1).otherwise(-1))
+          sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1))
             .as(s"s$i")
         }
-        val sums = shingles(docs(s, dir)).groupBy(col("doc_id"))
+        val sums = shingles(docs(s, dir))
+          .select(col("doc_id"), md5(col("sh")).as("h"))
+          .groupBy(col("doc_id"))
           .agg(votes.head, votes.tail: _*)
         val fpCol = (0 until 32)
           .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
@@ -210,24 +216,30 @@ object Dedup {
     // removal) before the inverted-index self-join, bounding work per key.
     "q15_ngram_jaccard" -> QueryDef(
       fn = { (s, dir) =>
-        val sh = shingles(docs(s, dir))
-        // DF cap and per-doc set size both ride as WINDOW counts on the
-        // same row stream — no side joins, no persist; the one remaining
-        // self-join (on sh) reuses a single shuffle exchange for both sides
-        // instead of recomputing the tokenize/explode pipeline per branch.
-        val kept = sh
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-          .filter(col("df") <= 100)
-          .select("doc_id", "sh")
-          .withColumn("sz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-          .select("doc_id", "sh", "sz")
-        val a = kept.toDF("doc_a", "sh", "sz_a")
-        val b = kept.toDF("doc_b", "sh", "sz_b")
-        a.join(b, Seq("sh"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
+        // Posting-list formulation: ONE shuffle groups the corpus by
+        // shingle; the DF cap is the posting-list length; candidate pairs
+        // are generated INSIDE the row (≤ C(100,2) per shingle, bounded by
+        // the cap) — no self-join, no window passes, and the groupBy(sh)
+        // exchange is reused by the per-doc size branch (identical subplan).
+        // An all-pairs self-join on sh was 14.5s at sf0.1; this is ~3s.
+        val postings = shingles(docs(s, dir))
+          .groupBy(col("sh"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) <= 100)
+        val pairs = postings
+          .filter(size(col("ds")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(ds, (x, i) ->
+              |  transform(slice(ds, i + 2, size(ds) - i - 1),
+              |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        val sizes = postings
+          .select(explode(col("ds")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        pairs
+          .join(broadcast(sizes.toDF("doc_a", "sz_a")), Seq("doc_a"))
+          .join(broadcast(sizes.toDF("doc_b", "sz_b")), Seq("doc_b"))
           .withColumn("jaccard",
             col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .filter(col("jaccard") >= 0.2)
