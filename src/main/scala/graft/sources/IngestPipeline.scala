@@ -66,6 +66,11 @@ object IngestPipeline {
   /** Full E1 pipeline over one landing root. `consume` ≡ remove_object
     * (assets.py:66) when "delete", ≡ minio_mv archival (assets.py:289-291)
     * when "archive", no-op when "keep".
+    *
+    * CSV: one file → one table (assets.py:155-158). XLSX: one SHEET → one
+    * table named `{file}_{sheet}` (assets.py:48-64), sheets parsed by the
+    * zero-dependency [[Xlsx]] reader. Both land as stringified columns and
+    * flow through the same infer → coerce → append path.
     */
   def ingest(
       spark: SparkSession,
@@ -74,26 +79,43 @@ object IngestPipeline {
       consume: String = "archive",
       extended: Boolean = false): Seq[IngestedTable] = {
     CatalogOps.ensureInfoTable(spark)
-    for {
-      bucket <- listBuckets(landingRoot)
-      db = Sanitize.fixString(bucket)
+    val buckets = listBuckets(landingRoot)
+    val csv = for {
+      bucket <- buckets
       file <- listObjects(landingRoot, bucket, ".csv")
     } yield {
       val base = file.getFileName.toString.stripSuffix(".csv")
       val table = Sanitize.sanitizeDbName(Sanitize.unidecode(base).replace(" ", "_"))
-      val raw = readStringly(spark, file.toString)
-      val schema = SchemaInference.infer(raw, extended)
-      val coerced = SchemaInference.coerce(raw, schema)
-      CatalogOps.appendTable(spark, coerced, db, table)
-      // Rows ingested from THIS file (not the cumulative table count — no
-      // full-table scan, and re-ingest/append stays truthful in the audit).
-      val n = coerced.count()
-      // Audit entries and archived source files share one directory key: the
-      // RAW bucket name, matching the reference's configuration-bucket layout
-      // (assets.py:119-124, 214-218).
-      AuditLog.append(configRoot, bucket, table, "ingest",
-        Map("source" -> file.toString, "schema" -> schema.toDDL,
-          "db" -> db, "rows" -> n.toString))
+      (bucket, file, Seq(table -> readStringly(spark, file.toString)))
+    }
+    val xlsx = for {
+      bucket <- buckets
+      file <- listObjects(landingRoot, bucket, ".xlsx")
+    } yield {
+      val base = file.getFileName.toString.stripSuffix(".xlsx")
+      val staged = Xlsx.readSheets(file.toString).map { sheet =>
+        // ≡ assets.py:53-56 table naming via Sanitize.tableName
+        Sanitize.tableName(base, sheet.name) -> Xlsx.sheetDf(spark, sheet)
+      }
+      (bucket, file, staged)
+    }
+    (csv ++ xlsx).flatMap { case (bucket, file, staged) =>
+      val db = Sanitize.fixString(bucket)
+      val out = staged.map { case (table, raw) =>
+        val schema = SchemaInference.infer(raw, extended)
+        val coerced = SchemaInference.coerce(raw, schema)
+        CatalogOps.appendTable(spark, coerced, db, table)
+        // Rows ingested from THIS file (not the cumulative table count — no
+        // full-table scan, and re-ingest/append stays truthful in the audit).
+        val n = coerced.count()
+        // Audit entries and archived source files share one directory key:
+        // the RAW bucket name, matching the reference's configuration-bucket
+        // layout (assets.py:119-124, 214-218).
+        AuditLog.append(configRoot, bucket, table, "ingest",
+          Map("source" -> file.toString, "schema" -> schema.toDDL,
+            "db" -> db, "rows" -> n.toString))
+        IngestedTable(db, table, n)
+      }
       consume match {
         case "delete" => Files.deleteIfExists(file)
         case "archive" =>
@@ -102,7 +124,7 @@ object IngestPipeline {
           Files.move(file, dst, StandardCopyOption.REPLACE_EXISTING)
         case _ => ()
       }
-      IngestedTable(db, table, n)
+      out
     }
   }
 }

@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import scala.util.Try
+import scala.xml.{Elem, XML}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Minimal XLSX reader — the one genuinely new I/O component of the build
+  * (SURVEY.md §7 hard-part 1: zero-egress, so no spark-excel/POI jar; an
+  * .xlsx is just a zip of small XML parts).
+  *
+  * Reproduces the semantics of the reference's Excel ingestion
+  * (assets.py:43-64, 220-250 via pandas/openpyxl): every sheet of a workbook
+  * is one candidate table, the first row is the header, and every cell is
+  * STRINGIFIED — downstream schema inference re-types the strings
+  * ([[SchemaInference]]).
+  *
+  * Supported parts:
+  *  - `xl/workbook.xml` + `xl/_rels/workbook.xml.rels`: sheet names in
+  *    workbook order resolved to their worksheet parts;
+  *  - `xl/sharedStrings.xml`: shared-string cells (rich-text runs are
+  *    concatenated, like openpyxl/pandas);
+  *  - `xl/styles.xml`: cells styled with a DATE/TIME number format (builtin
+  *    ids 14-22 and 45-47, or a custom format containing y/m/d/h/s codes)
+  *    render their Excel serial as `yyyy-MM-dd HH:mm:ss` — the shape the
+  *    reference's timestamp regex classifies (assets.py:296-298), matching
+  *    pandas' datetime stringification;
+  *  - cell types `s` (shared), `inlineStr`, `str` (formula result), `b`
+  *    (boolean → "True"/"False", the pandas rendering), `e` (error), and
+  *    numeric (rendered with a trailing `.0` for integral floats — pandas
+  *    `str(float)` parity — unless the cell is a plain untyped integer).
+  *
+  * Scale note: one workbook parses on one executor core (a zip is not
+  * splittable and landing xlsx files are human-authored, i.e. small);
+  * corpus-level parallelism comes from MANY files, exactly like the
+  * reference's file-at-a-time loop. Bulk machine-generated data arrives via
+  * the CSV/JSON/Parquet paths instead.
+  */
+object Xlsx {
+
+  final case class Sheet(name: String, header: Seq[String], rows: Seq[Seq[String]])
+
+  private val excelEpoch = LocalDateTime.of(1899, 12, 30, 0, 0, 0)
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Builtin date/time numFmtIds per ECMA-376 §18.8.30. */
+  private val builtinDateFmts: Set[Int] = ((14 to 22) ++ (45 to 47)).toSet
+
+  private def isDateFormatCode(code: String): Boolean = {
+    // strip quoted literals and color/locale brackets, then look for
+    // date/time tokens; formats like "0.00" or "#,##0" must NOT match.
+    val stripped = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+    stripped.exists(c => "ymdhs".contains(c.toLower)) &&
+      !stripped.exists(c => "#?0".contains(c))
+  }
+
+  private def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((a, c) => a * 26 + (c.toUpper - 'A' + 1)) - 1
+  }
+
+  /** Excel serial day → "yyyy-MM-dd HH:mm:ss" (rounded to the second —
+    * Timestamp(0) parity with the inferred type, assets.py:299).
+    */
+  private[sources] def serialToTimestamp(serial: Double): String = {
+    val seconds = math.round(serial * 86400.0)
+    excelEpoch.plusSeconds(seconds).format(tsFmt)
+  }
+
+  /** Numeric cell text → pandas-style stringification: integral floats get
+    * a trailing ".0" only when the raw text is float-shaped; plain integer
+    * text stays integral.
+    */
+  private def renderNumber(raw: String): String =
+    if (raw.contains('.') || raw.toLowerCase.contains('e'))
+      Try(raw.toDouble).map(_.toString).getOrElse(raw)
+    else raw
+
+  /** Parse every sheet of a workbook. Pure JVM (driver or executor). */
+  def readSheets(path: String): Seq[Sheet] = {
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      def part(name: String): Option[Elem] =
+        Option(zip.getEntry(name)).map(e => XML.load(zip.getInputStream(e)))
+
+      val shared: IndexedSeq[String] = part("xl/sharedStrings.xml")
+        .map(sst => (sst \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
+        .getOrElse(IndexedSeq.empty)
+
+      // style index → is-date? via cellXfs numFmtId + custom numFmts
+      val dateStyles: Set[Int] = part("xl/styles.xml").map { styles =>
+        val customDateIds = (styles \ "numFmts" \ "numFmt")
+          .filter(n => isDateFormatCode((n \@ "formatCode")))
+          .map(n => (n \@ "numFmtId").toInt).toSet
+        (styles \ "cellXfs" \ "xf").zipWithIndex.collect {
+          case (xf, i) if {
+            val id = Try((xf \@ "numFmtId").toInt).getOrElse(0)
+            builtinDateFmts(id) || customDateIds(id)
+          } => i
+        }.toSet
+      }.getOrElse(Set.empty)
+
+      val wb = part("xl/workbook.xml")
+        .getOrElse(throw new IllegalArgumentException(s"$path: no xl/workbook.xml"))
+      val rels = part("xl/_rels/workbook.xml.rels")
+        .map(r => (r \ "Relationship").map(n => (n \@ "Id") -> (n \@ "Target")).toMap)
+        .getOrElse(Map.empty)
+
+      (wb \ "sheets" \ "sheet").toSeq.flatMap { sh =>
+        val name = sh \@ "name"
+        val rid = sh.attributes.collectFirst {
+          case a if a.key == "id" && a.prefixedKey.startsWith("r:") => a.value.text
+        }.getOrElse(sh \@ "id")
+        val target = rels.getOrElse(rid, s"worksheets/sheet${sh \@ "sheetId"}.xml")
+        val full = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+        part(full).map { ws =>
+          val cellRows: Seq[Map[Int, String]] = (ws \ "sheetData" \ "row").toSeq.map { row =>
+            var next = 0
+            (row \ "c").flatMap { c =>
+              val ref = c \@ "r"
+              val i = if (ref.nonEmpty) colIndex(ref) else next
+              next = i + 1
+              val t = c \@ "t"
+              val v = (c \ "v").text
+              val text = t match {
+                case "s"         => Try(shared(v.toInt)).getOrElse("")
+                case "inlineStr" => (c \ "is" \\ "t").map(_.text).mkString
+                case "str" | "e" => v
+                case "b"         => if (v.trim == "1") "True" else "False"
+                case _ => // numeric (or untyped)
+                  val style = Try((c \@ "s").toInt).getOrElse(-1)
+                  if (v.isEmpty) ""
+                  else if (dateStyles(style))
+                    Try(serialToTimestamp(v.toDouble)).getOrElse(renderNumber(v))
+                  else renderNumber(v)
+              }
+              if (text.isEmpty) None else Some(i -> text)
+            }.toMap
+          }
+          val width = (cellRows.map(r => if (r.isEmpty) 0 else r.keys.max + 1) :+ 0).max
+          val dense = cellRows.map(r => (0 until width).map(i => r.get(i).orNull))
+          val header = dense.headOption.getOrElse(Seq.empty).zipWithIndex
+            .map { case (h, i) => Option(h).filter(_.nonEmpty).getOrElse(s"unnamed_$i") }
+          Sheet(name, header, dense.drop(1))
+        }
+      }
+    } finally zip.close()
+  }
+
+  /** One sheet → an all-string DataFrame (header row = column names), the
+    * exact input shape [[SchemaInference.infer]]/`coerce` expect.
+    */
+  def sheetDf(spark: SparkSession, sheet: Sheet): DataFrame = {
+    val schema = StructType(sheet.header.map(StructField(_, StringType, nullable = true)))
+    val rows = sheet.rows.map { r =>
+      Row.fromSeq((0 until sheet.header.size).map(i => if (i < r.size) r(i) else null))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+}
