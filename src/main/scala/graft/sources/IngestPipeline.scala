@@ -63,14 +63,25 @@ object IngestPipeline {
     raw.select(raw.columns.map(c => raw(c).cast(StringType).as(c)): _*)
   }
 
+  /** Parse one JSON-lines file with every leaf stringified — the
+    * `obtain_data_from_json`/`tranform_json_data` assets the reference's
+    * README documents but never implemented (README.md:123-127; SURVEY.md
+    * §2a dead-code note) — implemented here since Spark gives it natively.
+    */
+  def readStringlyJson(spark: SparkSession, file: String): DataFrame = {
+    val raw = spark.read.option("primitivesAsString", "true").json(file)
+    raw.select(raw.columns.map(c => raw(c).cast(StringType).as(c)): _*)
+  }
+
   /** Full E1 pipeline over one landing root. `consume` ≡ remove_object
     * (assets.py:66) when "delete", ≡ minio_mv archival (assets.py:289-291)
     * when "archive", no-op when "keep".
     *
     * CSV: one file → one table (assets.py:155-158). XLSX: one SHEET → one
     * table named `{file}_{sheet}` (assets.py:48-64), sheets parsed by the
-    * zero-dependency [[Xlsx]] reader. Both land as stringified columns and
-    * flow through the same infer → coerce → append path.
+    * zero-dependency [[Xlsx]] reader. JSON-lines: one file → one table
+    * ([[readStringlyJson]]). All land as stringified columns and flow
+    * through the same infer → coerce → append path.
     */
   def ingest(
       spark: SparkSession,
@@ -88,6 +99,14 @@ object IngestPipeline {
       val table = Sanitize.sanitizeDbName(Sanitize.unidecode(base).replace(" ", "_"))
       (bucket, file, Seq(table -> readStringly(spark, file.toString)))
     }
+    val json = for {
+      bucket <- buckets
+      file <- listObjects(landingRoot, bucket, ".json")
+    } yield {
+      val base = file.getFileName.toString.stripSuffix(".json")
+      val table = Sanitize.sanitizeDbName(Sanitize.unidecode(base).replace(" ", "_"))
+      (bucket, file, Seq(table -> readStringlyJson(spark, file.toString)))
+    }
     val xlsx = for {
       bucket <- buckets
       file <- listObjects(landingRoot, bucket, ".xlsx")
@@ -99,7 +118,7 @@ object IngestPipeline {
       }
       (bucket, file, staged)
     }
-    (csv ++ xlsx).flatMap { case (bucket, file, staged) =>
+    (csv ++ json ++ xlsx).flatMap { case (bucket, file, staged) =>
       val db = Sanitize.fixString(bucket)
       val out = staged.map { case (table, raw) =>
         val schema = SchemaInference.infer(raw, extended)

@@ -42,6 +42,22 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(Files.exists(config.resolve("ventas").resolve("ventas 2023.csv")))
   }
 
+  test("ingest json-lines: one file → one table through the same infer path") {
+    val landing = Files.createTempDirectory("landingj")
+    val config = Files.createTempDirectory("configj")
+    writeCsv(landing.resolve("logs"), "app events.json",
+      """{"when": "2023-02-01 08:00:00", "what": "login", "n": 3}
+        |{"when": "2023-02-01 09:15:00", "what": "logout", "n": 5}
+        |""".stripMargin)
+    val out = IngestPipeline.ingest(spark, landing.toString, config.toString, consume = "keep")
+    assert(out == Seq(IngestPipeline.IngestedTable("logs", "app_events", 2L)))
+    val t = spark.table("logs.app_events")
+    assert(t.schema("when").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(t.schema("what").dataType == org.apache.spark.sql.types.StringType)
+    assert(t.count() == 2L)
+    spark.sql("DROP TABLE logs.app_events")
+  }
+
   test("ingest skips the configuration dir as a bucket (assets.py:31)") {
     val landing = Files.createTempDirectory("landing2")
     writeCsv(landing.resolve("configuration"), "x.csv", "a\n1\n")
