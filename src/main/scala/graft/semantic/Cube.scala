@@ -53,12 +53,27 @@ final case class Dimension(name: String, sql: String, typ: String) {
   */
 final case class CubeJoin(other: String, on: Seq[String], how: String = "left")
 
+/** A materialized rollup this cube can serve coarse selections from —
+  * the live version of cube.dev's `preAggregations` stub
+  * (StockMarkets.js:4-7, empty in the reference; the reference instead
+  * ships a manually-maintained separate monthly table+cube). The table
+  * (built by [[RollupJob.materializeMonthly]]) holds every string
+  * dimension × the time dimension truncated to `grain`, all measures, and
+  * additive components (`__sum`/`__cnt`) for avg measures.
+  */
+final case class PreAggregation(
+    table: String,
+    timeDim: String,
+    grain: String = "month",
+    stringDims: Seq[String])
+
 final case class CubeDef(
     name: String,
     table: String,
     measures: Seq[Measure],
     dimensions: Seq[Dimension],
-    joins: Seq[CubeJoin] = Nil) {
+    joins: Seq[CubeJoin] = Nil,
+    preAggregations: Seq[PreAggregation] = Nil) {
 
   private def measure(n: String): Measure =
     measures.find(_.name == n)
@@ -67,7 +82,12 @@ final case class CubeDef(
     dimensions.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"$name: no dimension $n"))
 
-  /** Render a selection into a DataFrame aggregation.
+  /** Render a selection into a DataFrame aggregation. Selections at a
+    * granularity a registered [[PreAggregation]] can serve (its grain or
+    * coarser, over a subset of its dimensions, with composable measures)
+    * are rewritten onto the rollup table — the scan drops from every raw
+    * row to one row per (dims × grain), the decisive 100 TB win for
+    * dashboard-grain queries.
     *
     * @param resolve  table name → DataFrame (catalog table, parquet path, …)
     * @param dims     (dimension name, optional granularity for time dims)
@@ -76,19 +96,95 @@ final case class CubeDef(
       resolve: String => DataFrame,
       measureNames: Seq[String],
       dims: Seq[(String, Option[String])]): DataFrame = {
-    val base = joins.foldLeft(resolve(table)) { (df, j) =>
-      df.join(resolve(j.other), j.on, j.how)
+    val base = preAggregations.find(servableBy(_, measureNames, dims)) match {
+      case Some(p) => return finish(rollupAgg(resolve(p.table), p, measureNames, dims), dims)
+      case None => joins.foldLeft(resolve(table)) { (df, j) =>
+        df.join(resolve(j.other), j.on, j.how)
+      }
     }
     val dimCols = dims.map { case (n, g) => dimension(n).toCol(g) }
     val aggCols = measureNames.map(measure(_).toCol)
     val grouped =
       if (dimCols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
       else base.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
-    // deterministic output order over the dimension columns
+    finish(grouped, dims)
+  }
+
+  /** deterministic output order over the dimension columns */
+  private def finish(grouped: DataFrame, dims: Seq[(String, Option[String])]): DataFrame = {
     val outDims = dims.map { case (n, g) =>
       if (g.isDefined) s"${n}_${g.get}" else n
     }
     if (outDims.isEmpty) grouped else grouped.orderBy(outDims.map(col): _*)
+  }
+
+  /** Grains a materialized grain can roll further up to (weeks do not align
+    * with month boundaries, so month serves only month/year).
+    */
+  private val coarserOf: Map[String, Set[String]] =
+    Map("month" -> Set("month", "year"), "day" -> Set("day", "month", "year"))
+
+  private[semantic] def servableBy(
+      p: PreAggregation,
+      measureNames: Seq[String],
+      dims: Seq[(String, Option[String])]): Boolean =
+    dims.forall {
+      case (n, None)    => p.stringDims.contains(n) && dimension(n).typ == "string"
+      case (n, Some(g)) => n == p.timeDim && coarserOf.getOrElse(p.grain, Set.empty)(g)
+    } && measureNames.forall(m =>
+      Set("count", "sum", "avg", "min", "max")(measure(m).typ))
+
+  /** Measure composition over the rollup rows: counts/sums re-sum, min/max
+    * re-extremize, avg = re-summed additive components. Double re-sums ride
+    * the [[Exact]] decimal path (order-independent), though a composed
+    * double sum can differ from the raw-grain sum in the final ulps (the
+    * rollup stores doubles) — callers comparing across routes should use
+    * tolerance, not hashes.
+    */
+  private def rollupAgg(
+      rollup: DataFrame,
+      p: PreAggregation,
+      measureNames: Seq[String],
+      dims: Seq[(String, Option[String])]): DataFrame = {
+    val dimCols = dims.map {
+      case (n, None)                     => col(n)
+      case (n, Some(g)) if g == p.grain  => col(s"${p.timeDim}_${p.grain}").as(s"${n}_$g")
+      case (n, Some(g)) =>
+        to_date(date_trunc(g, col(s"${p.timeDim}_${p.grain}"))).as(s"${n}_$g")
+    }
+    val aggCols = measureNames.map { m =>
+      measure(m).typ match {
+        case "count" => sum(col(m)).as(m)
+        case "sum"   => Exact.dsum(col(m)).as(m)
+        case "min"   => min(col(m)).as(m)
+        case "max"   => max(col(m)).as(m)
+        case "avg"   =>
+          (Exact.dsum(col(s"${m}__sum")) / sum(col(s"${m}__cnt"))).as(m)
+      }
+    }
+    if (dimCols.isEmpty) rollup.agg(aggCols.head, aggCols.tail: _*)
+    else rollup.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Rollup materialization frame: all string dims × `grain(timeDim)`,
+    * every measure, plus additive `__sum`/`__cnt` components for avg
+    * measures (avg is not additive; its components are).
+    */
+  private[semantic] def rollupFrame(
+      resolve: String => DataFrame,
+      timeDim: String,
+      grain: String): DataFrame = {
+    val base = joins.foldLeft(resolve(table)) { (df, j) =>
+      df.join(resolve(j.other), j.on, j.how)
+    }
+    val stringDims = dimensions.filter(_.typ == "string").map(_.name)
+    val dimCols = stringDims.map(col) :+ dimension(timeDim).toCol(Some(grain))
+    val aggCols = measures.map(_.toCol) ++ measures.collect {
+      case m if m.typ == "avg" => Seq(
+        Exact.dsum(expr(m.sql)).as(s"${m.name}__sum"),
+        count(expr(m.sql)).as(s"${m.name}__cnt"))
+    }.flatten
+    base.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 }
 
@@ -105,9 +201,7 @@ object RollupJob {
       resolve: String => DataFrame,
       timeDim: String,
       targetTable: String): Unit = {
-    val all = cube.measures.map(_.name)
-    val stringDims = cube.dimensions.filter(_.typ == "string").map(d => (d.name, None))
-    val df = cube.query(resolve, all, stringDims :+ (timeDim -> Some("month")))
-    df.write.mode("overwrite").saveAsTable(targetTable)
+    cube.rollupFrame(resolve, timeDim, grain = "month")
+      .write.mode("overwrite").saveAsTable(targetTable)
   }
 }

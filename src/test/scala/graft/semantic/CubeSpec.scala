@@ -59,7 +59,8 @@ class CubeSpec extends SparkTestBase {
       timeDim = "ts", targetTable = "events_monthly_t")
     val rolled = spark.table("events_monthly_t")
     assert(rolled.columns.toSeq ==
-      Seq("event_type", "ts_month", "n", "sum_value", "avg_value", "min_value", "max_value"))
+      Seq("event_type", "ts_month", "n", "sum_value", "avg_value", "min_value", "max_value",
+        "avg_value__sum", "avg_value__cnt")) // additive components for avg
     // serving month-grain queries from the rollup matches the base cube
     val base = ReferenceCubes.eventsCube.query(resolver,
       Seq("n", "sum_value"), Seq("event_type" -> None, "ts" -> Some("month")))
@@ -68,5 +69,43 @@ class CubeSpec extends SparkTestBase {
       .orderBy("event_type", "ts_month").collect().toSeq
     assert(base.map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
       == served.map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3))))
+  }
+
+  test("preAggregation routing: coarse selections read the rollup, fine ones the base") {
+    val resolver = Tables.load(spark, sf0001, _: String)
+    RollupJob.materializeMonthly(spark, ReferenceCubes.eventsCube, resolver,
+      timeDim = "ts", targetTable = "events_monthly_pa")
+    val cube = ReferenceCubes.eventsCube.copy(preAggregations = Seq(
+      PreAggregation("events_monthly_pa", timeDim = "ts", grain = "month",
+        stringDims = Seq("event_type"))))
+
+    // resolver that records which tables a query actually asked for
+    var asked = List.empty[String]
+    val tracking: String => DataFrame = { n =>
+      asked ::= n
+      if (n == "events_monthly_pa") spark.table(n) else resolver(n)
+    }
+
+    // YEAR granularity (coarser than the month grain) with an avg measure:
+    // served from the rollup, composed from additive components
+    val served = cube.query(tracking, Seq("n", "sum_value", "avg_value"),
+      Seq("event_type" -> None, "ts" -> Some("year"))).collect()
+    assert(asked == List("events_monthly_pa"))
+    val direct = ReferenceCubes.eventsCube.query(resolver,
+      Seq("n", "sum_value", "avg_value"),
+      Seq("event_type" -> None, "ts" -> Some("year"))).collect()
+    assert(served.length == direct.length)
+    served.zip(direct).foreach { case (s, d) =>
+      assert(s.getString(0) == d.getString(0))
+      assert(s.getDate(1) == d.getDate(1))
+      assert(s.getLong(2) == d.getLong(2))
+      assert(math.abs(s.getDouble(3) - d.getDouble(3)) <= 1e-9 * math.abs(d.getDouble(3)))
+      assert(math.abs(s.getDouble(4) - d.getDouble(4)) <= 1e-9 * math.abs(d.getDouble(4)))
+    }
+
+    // WEEK granularity does not align with month boundaries → base route
+    asked = Nil
+    cube.query(tracking, Seq("n"), Seq("ts" -> Some("week"))).collect()
+    assert(asked == List("events"))
   }
 }
