@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.FloatDotQ
+
+/** Optimizer rule: rewrite the declarative higher-order quantized
+  * dot-product pattern
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> floor((x * y) * 1e9)),
+  *               0L, (acc, p) -> acc + p) }}}
+  *
+  * onto the native codegen expression [[FloatDotQ]] — same semantics
+  * (proven by the q16–q18 oracles), ~100× faster (tight primitive loop vs
+  * an intermediate array plus two interpreted lambdas per element).
+  *
+  * This is the custom-operator preference order of SURVEY.md §4 in action:
+  * users write the composable built-in form; the session extension makes it
+  * execute as the specialized expression. Matching is associativity/
+  * commutativity/cast tolerant on the product, and strict on everything
+  * else (the zero literal, the additive merge, the identity finish) so no
+  * semantically different aggregate can be captured.
+  */
+object RewriteFloatDotProduct extends Rule[LogicalPlan] {
+
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCast(c)
+    case other            => other
+  }
+
+  /** Multiplication operand multiset, flattening nested Multiply and casts. */
+  private def multiplyOperands(e: Expression): Seq[Expression] = stripCast(e) match {
+    case Multiply(l, r, _) => multiplyOperands(l) ++ multiplyOperands(r)
+    case other             => Seq(other)
+  }
+
+  private def isQuantizedProduct(body: Expression, x: NamedLambdaVariable,
+      y: NamedLambdaVariable): Boolean = stripCast(body) match {
+    case Floor(m) =>
+      val ops = multiplyOperands(m)
+      ops.size == 3 &&
+        ops.exists { case v: NamedLambdaVariable => v.exprId == x.exprId; case _ => false } &&
+        ops.exists { case v: NamedLambdaVariable => v.exprId == y.exprId; case _ => false } &&
+        ops.exists { case Literal(d: Double, DoubleType) => d == 1.0e9; case _ => false }
+    case _ => false
+  }
+
+  private def isAdditiveMerge(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(add, Seq(acc: NamedLambdaVariable, p: NamedLambdaVariable), _) =>
+      stripCast(add) match {
+        case Add(l, r, _) =>
+          Set(stripCast(l), stripCast(r)).collect {
+            case v: NamedLambdaVariable => v.exprId
+          } == Set(acc.exprId, p.exprId)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def isIdentityFinish(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>
+      v.exprId == a.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(body, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0L, LongType),
+          merge: LambdaFunction,
+          finish: LambdaFunction)
+        if isQuantizedProduct(body, x, y) && isAdditiveMerge(merge) &&
+          isIdentityFinish(finish) =>
+      FloatDotQ(a, b)
+  }
+}
+
+/** Session extension wiring for cluster deploys:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` registers the
+  * `float_dot_q` function and the rewrite rule at session build. For an
+  * already-built session use [[GraftExtensions.install]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteFloatDotProduct)
+    e.injectFunction((
+      new FunctionIdentifier("float_dot_q"),
+      new ExpressionInfo(classOf[FloatDotQ].getName, "float_dot_q"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "float_dot_q takes exactly 2 arguments")
+        FloatDotQ(args.head, args(1))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Attach the rewrite to an existing session (experimental optimizer
+    * hook) and register the function — idempotent.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(RewriteFloatDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteFloatDotProduct
+  }
+}

@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.FloatDotQ
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  private val naive =
+    """aggregate(zip_with(a, b,
+      |  (x, y) -> CAST(FLOOR((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) * 1000000000.0) AS BIGINT)),
+      |  0L, (acc, p) -> acc + p)""".stripMargin
+
+  private lazy val df = {
+    import spark.implicits._
+    // parquet round-trip: a LocalRelation of literals would be folded away
+    // by ConvertToLocalRelation before the rewrite could be observed
+    val p = java.nio.file.Files.createTempDirectory("fdq").resolve("t").toString
+    Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, 0.25f, -1.0f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.4f)))
+      .toDF("a", "b").write.parquet(p)
+    spark.read.parquet(p)
+  }
+
+  test("rewrite rule turns the higher-order dot product into FloatDotQ") {
+    GraftExtensions.install(spark)
+    val q = df.select(expr(naive).as("dot"))
+    val optimized = q.queryExecution.optimizedPlan
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[FloatDotQ])),
+      s"FloatDotQ not found in:\n$optimized")
+    // and the rewrite preserves values (vs the direct expression)
+    val direct = df.select(expr("float_dot_q(a, b)").as("dot"))
+    assert(q.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("rule does NOT capture semantically different aggregates") {
+    GraftExtensions.install(spark)
+    // different zero → not our pattern
+    val other = df.select(expr(
+      """aggregate(zip_with(a, b,
+        |  (x, y) -> CAST(FLOOR((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) * 1000000000.0) AS BIGINT)),
+        |  1L, (acc, p) -> acc + p)""".stripMargin).as("dot"))
+    assert(!other.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[FloatDotQ])))
+    // different scale → not our pattern
+    val scaled = df.select(expr(
+      """aggregate(zip_with(a, b,
+        |  (x, y) -> CAST(FLOOR((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) * 1000.0) AS BIGINT)),
+        |  0L, (acc, p) -> acc + p)""".stripMargin).as("dot"))
+    assert(!scaled.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[FloatDotQ])))
+  }
+
+  test("extensions class wires the function and rule without error") {
+    val e = new SparkSessionExtensions
+    new GraftExtensions().apply(e) // builder-time injection path
+  }
+}
