@@ -246,5 +246,24 @@ object Analytic {
           |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) / 1000.0
           |    AS stddev_qty
           |FROM m ORDER BY 1""".stripMargin)),
+
+    // Sketch-based distinct counting — THE 100 TB cardinality path: HLL++
+    // partial sketches merge map-side, so the shuffle carries one sketch per
+    // partition instead of the distinct-key stream (contrast q27, whose
+    // exact counts shuffle every distinct key). No oracle: sketch estimates
+    // are engine-specific (driver records the weaker rows-only check); the
+    // exact column in the same row bounds the observed error instead.
+    "q32_approx_distinct" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("nd_exact"),
+            approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("nd_approx"))
+          .withColumn("rel_err",
+            abs(col("nd_approx") - col("nd_exact")).cast("double") / col("nd_exact"))
+          .orderBy("l_returnflag")
+      },
+      oracle = None),
   )
 }

@@ -261,5 +261,32 @@ object Relational {
           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
           |GROUP BY 2
           |ORDER BY tag, c_mktsegment""".stripMargin)),
+
+    // Salted join — the manual skew-mitigation pattern (for when AQE's
+    // runtime skew split can't apply, e.g. aggregations after the join):
+    // the probe side salts its key into SALT buckets, the build side
+    // replicates each row SALT× via an in-row explode, and the equi-join
+    // runs on (key, salt) — a hot key's rows now spread over SALT tasks.
+    // The oracle proves the decomposition is exactly the plain join.
+    "q33_salted_join" -> QueryDef(
+      fn = { (s, dir) =>
+        val SALT = 8
+        val fact = t(s, dir, "lineitem")
+          .withColumn("salt", pmod(hash(col("l_linenumber"), col("l_partkey")), lit(SALT)))
+        val dim = t(s, dir, "orders")
+          .withColumn("salt", explode(lit((0 until SALT).toArray)))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
