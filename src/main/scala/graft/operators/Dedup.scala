@@ -9,8 +9,8 @@ import graft.Tables
   * SimHash hamming near-dup, and DF-capped n-gram Jaccard similarity.
   *
   * Cross-engine determinism strategy: every hash is MD5 (identical bytes in
-  * Spark and DuckDB); minhash order statistics compare the hex STRINGS
-  * (lexicographic min ≡ a uniform permutation for ranking purposes), so no
+  * Spark and DuckDB); minhash order statistics run over exact BIGINTs
+  * derived from md5 hex slices (Carter–Wegman family), so no
   * engine-specific integer hashing is involved anywhere.
   *
   * Scale design (100 TB):
@@ -57,8 +57,24 @@ object Dedup {
   private val K = 12 // minhash signature length
   private val BANDS = 4 // rows-per-band r = 3 → LSH threshold ≈ (1/4)^(1/3) ≈ 0.63
 
-  private def minhashAggs: Seq[Column] =
-    (0 until K).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+  /** Carter–Wegman minhash family: ONE md5 per shingle yields two 56-bit
+    * integers (h1, h2); permutation i is `(h1 + i·h2) mod p` (p prime
+    * > 2^56, universal-hash family). One hash + integer math replaces K
+    * independent md5s per row (the K-md5 form was the q13 bench hotspot);
+    * exact BIGINT arithmetic keeps Spark ≡ DuckDB bit-for-bit.
+    * i·h2 ≤ 11·2^56 < 2^60 and h1 + i·h2 < 2^61 — no int64 overflow.
+    */
+  private val MINHASH_P = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+
+  private def minhashAggs: Seq[Column] = {
+    val h1 = conv(substring(col("h"), 1, 14), 16, 10).cast("long")
+    val h2 = conv(substring(col("h"), 15, 14), 16, 10).cast("long")
+    (0 until K).map(i => min((h1 + lit(i.toLong) * h2) % MINHASH_P).as(s"m$i"))
+  }
+
+  /** md5-hoisting projection feeding [[minhashAggs]]. */
+  private def withShingleHash(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), md5(col("sh")).as("h"))
 
   val queries: Map[String, QueryDef] = Map(
 
@@ -80,12 +96,12 @@ object Dedup {
           |  min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // MinHash + LSH near-dup: K=12 md5-string minhashes over the shingle
+    // MinHash + LSH near-dup: K=12 Carter–Wegman minhashes over the shingle
     // set, banded 4×3; candidate pairs share ≥1 band; est_sim = matching
     // minhash fraction (the unbiased Jaccard estimator).
     "q13_minhash_lsh" -> QueryDef(
       fn = { (s, dir) =>
-        val sig = shingles(docs(s, dir)).groupBy(col("doc_id"))
+        val sig = withShingleHash(shingles(docs(s, dir))).groupBy(col("doc_id"))
           .agg(minhashAggs.head, minhashAggs.tail: _*)
         val bandStructs = (0 until BANDS).map { b =>
           struct(lit(b).as("band"),
@@ -112,7 +128,7 @@ object Dedup {
       },
       oracle = Some {
         val minCols = (0 until K)
-          .map(i => s"min(md5(concat('$i:', sh))) AS m$i").mkString(",\n    ")
+          .map(i => s"min((h1 + $i * h2) % $MINHASH_P) AS m$i").mkString(",\n    ")
         val bandSelects = (0 until BANDS).map { b =>
           val key = (0 until 3).map(r => s"m${3 * b + r}").mkString(", ")
           s"SELECT doc_id, $b AS band, concat_ws('|', $key) AS key FROM sig"
@@ -121,10 +137,15 @@ object Dedup {
           .map(i => s"CASE WHEN fa.m$i = fb.m$i THEN 1 ELSE 0 END")
           .mkString(" + ")
         s"""WITH $shinglesSql,
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h1,
+           |    CAST(concat('0x', substr(md5(sh), 15, 14)) AS BIGINT) AS h2
+           |  FROM sh0),
            |sig AS (
            |  SELECT doc_id,
            |    $minCols
-           |  FROM sh0 GROUP BY doc_id),
+           |  FROM hashed GROUP BY doc_id),
            |bands AS (
            |  $bandSelects),
            |cand AS (
