@@ -44,10 +44,24 @@ object CatalogOps {
 
   /** Idempotent table write ≡ `create table if not exists` + per-row INSERT
     * (assets.py:403-410 + 105-114), as one batch append.
+    *
+    * `partitionBy` is the 100 TB layout lever the reference (Postgres heap
+    * tables) lacks: partition ingested facts by a low-cardinality column —
+    * typically `to_date(ts)` or a month derivation — so time-ranged queries
+    * prune partitions at the source listing instead of scanning history.
+    * Only applied on first creation; appends to an existing table follow
+    * its layout (Spark validates the spec matches).
     */
-  def appendTable(spark: SparkSession, df: DataFrame, db: String, table: String): Unit = {
+  def appendTable(
+      spark: SparkSession,
+      df: DataFrame,
+      db: String,
+      table: String,
+      partitionBy: Seq[String] = Nil): Unit = {
     ensureSchema(spark, db)
-    df.write.mode(SaveMode.Append).saveAsTable(s"`$db`.`$table`")
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(s"`$db`.`$table`")
     registerTable(spark, s"$db.$table")
   }
 }
