@@ -30,6 +30,16 @@ object TextAnalysis {
 
   private def toksCol: Column = split(lower(trim(col("text"))), "\\s+")
 
+  /** Character-trigram profiles (high-frequency trigrams per language,
+    * space-padded word boundaries included) for the n-gram language-ID
+    * variant — same argmax cascade as the stopword profiles.
+    */
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", "ing", " an", "and"),
+    "es" -> Seq(" de", "de ", " la", "la ", " el", "que"),
+    "de" -> Seq("sch", "ich", "der", "ein", "und", "die"),
+    "fr" -> Seq(" le", "les", "ent", " et", "est", "une"))
+
   private def hitCount(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
     s"size(filter(toks, t -> t IN ($set)))"
@@ -162,6 +172,61 @@ object TextAnalysis {
           |        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_toks
           |      FROM documents)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Language ID, character-n-gram variant: score = distinct character
+    // trigrams of the document that appear in each language's trigram
+    // profile; argmax with the same first-profile-wins cascade as q19.
+    // Trigram extraction is an in-row transform over the char sequence —
+    // zero shuffle before the final rollup, same 100 TB shape as q19.
+    "q34_langid_ngram" -> QueryDef(
+      fn = { (s, dir) =>
+        // guard: Spark's sequence(1, n) DESCENDS for n < 1, so short texts
+        // need the explicit empty-array branch
+        val grams: Column = array_distinct(expr(
+          "CASE WHEN length(lower(trim(text))) >= 3 THEN " +
+            "transform(sequence(1, length(lower(trim(text))) - 2)," +
+            " i -> substring(lower(trim(text)), i, 3)) " +
+            "ELSE array() END"))
+        val scored = docs(s, dir).withColumn("gs", grams)
+        val withScores = trigramProfiles.foldLeft(scored) { case (d, (lang, gs)) =>
+          val set = gs.map(g => s"'$g'").mkString(", ")
+          d.withColumn(s"sc_$lang",
+            expr(s"size(filter(gs, g -> g IN ($set)))").cast("long"))
+        }
+        val langs = trigramProfiles.map(_._1)
+        val best = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), els) =>
+          val c = col(s"sc_$lang")
+          val beatsLater = langs.drop(i + 1).map(o => c >= col(s"sc_$o"))
+          when(((c > 0) +: beatsLater).reduce(_ && _), lit(lang)).otherwise(els)
+        }
+        withScores.withColumn("predicted", best)
+          .groupBy("predicted").agg(count(lit(1)).as("n"))
+          .orderBy("predicted")
+      },
+      oracle = Some {
+        val scoreCols = trigramProfiles.map { case (l, gs) =>
+          val set = gs.map(g => s"'$g'").mkString(", ")
+          s"len(list_filter(gs, g -> g IN ($set))) AS sc_$l"
+        }.mkString(",\n    ")
+        val caseExpr = trigramProfiles.map(_._1).zipWithIndex.map { case (l, i) =>
+          val geLater = trigramProfiles.map(_._1).drop(i + 1).map(o => s"sc_$l >= sc_$o")
+          val conds = Seq(s"sc_$l > 0") ++ geLater
+          s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+        }.mkString("\n    ")
+        s"""WITH scored AS (
+           |  SELECT doc_id,
+           |    $scoreCols
+           |  FROM (SELECT doc_id, list_distinct(list_transform(
+           |          range(1, greatest(length(lower(trim(text))) - 1, 1)),
+           |          i -> substr(lower(trim(text)), i, 3))) AS gs
+           |        FROM documents))
+           |SELECT predicted, count(*) AS n FROM (
+           |  SELECT CASE
+           |    $caseExpr
+           |    ELSE 'und' END AS predicted
+           |  FROM scored)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // Document fingerprint: position-weighted modular hash over the token
     // stream (order-sensitive, unlike a bag hash) — md5-derived per-token
