@@ -33,6 +33,21 @@ object StreamingAnalytics {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming dedup: drop re-deliveries of the same `idCols` arriving
+    * within the watermark window. `dropDuplicatesWithinWatermark` keeps
+    * per-key state only until the watermark passes it — bounded state at
+    * any scale (a plain streaming dropDuplicates would retain every key
+    * forever), which makes at-least-once sources effectively exactly-once
+    * for downstream aggregation.
+    */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionUpdate(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -35,6 +35,24 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = dedupStream(df, Seq("event_id"), watermarkDelay = "5 minutes").writeStream
+      .format("memory").queryName("deduped").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(0), "click"), (2L, ts(1), "view"))
+      q.processAllAvailable()
+      // re-delivery of id 1 (same batch-later), plus a fresh id
+      mem.addData((1L, ts(0, 30), "click"), (3L, ts(2), "click"))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // id 1 exactly once
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
