@@ -95,6 +95,29 @@ object Multimodal {
     }
   }
 
+  /** Resize: re-encode each image payload to `(w, h)`. The codec is
+    * stubbed (deterministic payload transform + updated metadata); the
+    * real pattern is the shape — payload-in/payload-out per row, batched
+    * per partition, output metadata trusted downstream. A real codec
+    * replaces only the byte transform.
+    */
+  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "image") m
+        else {
+          // stub re-encode: deterministic sample of the source bytes sized
+          // ∝ the target area (a real codec decodes + scales + re-encodes)
+          val target = math.max(1, math.min(m.payload.length, w * h / 8))
+          val step = math.max(1, m.payload.length / target)
+          val out = Array.tabulate(target)(i => m.payload((i * step) % m.payload.length))
+          m.copy(payload = out, width = w, height = h)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: every `stride`-th decoded frame.
     * Decode is stubbed; the explode/flatMap shape (1 row in → n frame rows
     * out, each a small feature record) is the real pattern.

@@ -34,6 +34,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(idx == idx.distinct && idx.forall(_ % 7 == 0))
   }
 
+  test("resize: images re-encoded to target dims, other kinds untouched") {
+    val out = resize(corpus, 64, 64).collect().sortBy(_.media_id)
+    val img = out(0)
+    assert(img.width == 64 && img.height == 64)
+    assert(img.payload.length == 64 * 64 / 8 || img.payload.length == 20) // capped at source size
+    // deterministic: same input → same bytes
+    val again = resize(corpus, 64, 64).collect().sortBy(_.media_id).head
+    assert(again.payload.toSeq == img.payload.toSeq)
+    // audio/video pass through unchanged
+    val orig = corpus.collect().sortBy(_.media_id)
+    assert(out(1).payload.toSeq == orig(1).payload.toSeq)
+    assert(out(2).width == 1920 && out(2).height == 1080)
+  }
+
   test("payloads project to features before any wide op (plan shape)") {
     val feats = extractFeatures(corpus).toDF()
     // features are small fixed-size records — grouping them shuffles KBs,
