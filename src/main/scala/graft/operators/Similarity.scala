@@ -67,7 +67,112 @@ object Similarity {
     """CAST(sum(CAST(floor((CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))
       | * 1000000000.0) AS BIGINT)) AS BIGINT)""".stripMargin.replace("\n", "")
 
+  /** Deterministic random-hyperplane family for sign-LSH: 16 hyperplanes ×
+    * 64 dims, components = md5-derived integers in [-500000, 500000]
+    * (exactly representable as float AND double, so Spark's float path and
+    * DuckDB's double path compute identical products). Generated once here
+    * and embedded as literals in BOTH the Spark plan and the oracle SQL.
+    */
+  private val LSH_R = 16
+  private val DIMS = 64
+  private def hplane(r: Int): Array[Float] = Array.tabulate(DIMS) { d =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$r:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    ((java.lang.Long.parseLong(hex, 16) % 1000001L) - 500000L).toFloat
+  }
+  private val hplanes: IndexedSeq[Array[Float]] = (0 until LSH_R).map(hplane)
+
   val queries: Map[String, QueryDef] = Map(
+
+    // Sign-LSH ANN (random hyperplane): signature bit r = [dot(v, g_r) ≥ 0];
+    // 16 bits banded 4×4; candidates share ≥1 band with the query, then
+    // rank by exact quantized cosine — the LSH-bucketed scale path (the
+    // bucket join replaces the all-pairs cross join; recall is tuned by
+    // bands × rows like any LSH). Hyperplanes are compile-time literals —
+    // no randomness at run time, identical in both engines.
+    "q35_ann_lsh" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val n = norms(e)
+        val bitCols = (0 until LSH_R).map { r =>
+          when(call_function("float_dot_q",
+              col("embedding"), typedlit(hplanes(r))) >= 0L, lit(1L << r))
+            .otherwise(lit(0L))
+        }
+        val sig = e.select(col("vec_id"), col("embedding"),
+          bitCols.reduce(_ + _).as("sig"))
+        val bands = sig.select(col("vec_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L)).as("key"))): _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band"), col("bk.key"))
+        val qBands = bands.filter(col("vec_id") < 10)
+          .toDF("q_id", "band", "key")
+        val cand = bands.toDF("c_id", "band", "key")
+          .join(broadcast(qBands), Seq("band", "key"))
+          .filter(col("c_id") =!= col("q_id"))
+          .select("q_id", "c_id").distinct()
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cosim").desc, col("c_id"))
+        cand
+          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+          .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce")), Seq("c_id"))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("q_id", "n2q"), Seq("q_id"))
+          .join(n.toDF("c_id", "n2c"), Seq("c_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2c")))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "c_id", "cosim", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      oracle = Some {
+        val hpValues = (for {
+          r <- 0 until LSH_R
+          d <- 0 until DIMS
+        } yield s"($r, ${d + 1}, ${hplanes(r)(d).toLong})").mkString(", ")
+        s"""WITH $normsSql,
+           |hp(r, i, g) AS (VALUES $hpValues),
+           |unnested AS (
+           |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           |  FROM (SELECT vec_id, embedding,
+           |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+           |bitsums AS (
+           |  SELECT u.vec_id, h.r,
+           |    CAST(sum(CAST(floor(u.x * CAST(h.g AS DOUBLE) * 1000000000.0)
+           |      AS BIGINT)) AS BIGINT) AS s
+           |  FROM unnested u JOIN hp h ON h.i = u.i
+           |  GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT vec_id,
+           |    CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << r) ELSE 0 END)
+           |      AS BIGINT) AS sig
+           |  FROM bitsums GROUP BY 1),
+           |bands AS (
+           |  SELECT vec_id, b AS band, (sig >> (4*b)) & 15 AS key
+           |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+           |  FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key
+           |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |dots AS (
+           |  SELECT q_id, c_id, $dotSqlExpr AS dot
+           |  FROM (SELECT cand.q_id, cand.c_id, q.embedding AS qe, c.embedding AS ce,
+           |          generate_subscripts(q.embedding, 1) AS i
+           |        FROM cand
+           |        JOIN embeddings q ON q.vec_id = cand.q_id
+           |        JOIN embeddings c ON c.vec_id = cand.c_id)
+           |  GROUP BY 1, 2),
+           |cosv AS (
+           |  SELECT q_id, c_id,
+           |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+           |  FROM dots
+           |  JOIN norms nq ON nq.vec_id = q_id
+           |  JOIN norms nc ON nc.vec_id = c_id)
+           |SELECT q_id, c_id, cosim, rnk FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM cosv)
+           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+      }),
 
     // Exact ANN baseline: brute-force cosine top-5 for each query vector
     // (vec_id < 10). The query set broadcasts; one corpus scan.
