@@ -247,6 +247,45 @@ object Analytic {
           |    AS stddev_qty
           |FROM m ORDER BY 1""".stripMargin)),
 
+    // PIVOT: wide-format aggregation (one column per pivot value). Spark
+    // plans this as a single aggregate with conditional branches — one
+    // pass, no per-value re-scan; values are enumerated explicitly, which
+    // is the only scalable form (an unenumerated pivot needs a distinct
+    // pre-pass over 100 TB).
+    "q36_pivot" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))
+          .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some(
+        s"""SELECT l_returnflag,
+           |  ${sqlSum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+           |  ${sqlSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Generator / lateral view: explode the tokenized text stream and
+    // aggregate the flattened rows (1 row in → n rows out inside the task —
+    // no shuffle until the final count).
+    "q37_explode_tokens" -> QueryDef(
+      fn = { (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) >= 6)
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20)
+      },
+      oracle = Some(
+        """SELECT tok, count(*) AS n
+          |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |      FROM documents)
+          |WHERE length(tok) >= 6
+          |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
+
     // Sketch-based distinct counting — THE 100 TB cardinality path: HLL++
     // partial sketches merge map-side, so the shuffle carries one sketch per
     // partition instead of the distinct-key stream (contrast q27, whose
