@@ -286,6 +286,62 @@ object Analytic {
           |WHERE length(tok) >= 6
           |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
 
+    // Correlated scalar subquery through the spark.sql front end (M3): the
+    // same ANSI text runs in both engines; Catalyst decorrelates the
+    // subquery into a join + aggregate (no per-row re-execution) — check
+    // the plan for the rewritten Aggregate⋈Join, not a Subquery node.
+    "q38_correlated_subquery" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql(
+          """SELECT c_mktsegment, count(*) AS n_above
+            |FROM customer_v c
+            |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v i
+            |                   WHERE i.c_mktsegment = c.c_mktsegment)
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT c_mktsegment, count(*) AS n_above
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+          |                   WHERE i.c_mktsegment = c.c_mktsegment)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Range (point-in-interval) join, binned: for each purchase event,
+    // count view/click activity of the SAME user in the preceding hour. A
+    // naive theta-join is a cross product; binning by hour buckets turns it
+    // into an equi-join on (user, bucket) — each activity row lands in its
+    // bucket, each purchase probes its two covering buckets — with the
+    // exact range predicate as a residual filter. Work scales with
+    // rows-per-bucket, not corpus².
+    "q39_range_join" -> QueryDef(
+      fn = { (s, dir) =>
+        val hourUs = 3600L * 1000000L
+        val ev = t(s, dir, "events")
+          .select(col("user_id").as("k"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("t"))
+        val activity = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("k"), col("t").as("t_act"))
+          .withColumn("bucket", expr(s"t_act div $hourUs"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("k"), col("event_id"), col("t").as("t_p"))
+          .withColumn("bucket", explode(array_distinct(
+            expr(s"array(t_p div $hourUs, (t_p - $hourUs) div $hourUs)"))))
+        purchases.join(activity, Seq("k", "bucket"))
+          .filter(col("t_act") >= col("t_p") - lit(hourUs) && col("t_act") < col("t_p"))
+          .groupBy(col("event_id")).agg(count(lit(1)).as("n_prior"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        """SELECT p.event_id, count(*) AS n_prior
+          |FROM events p JOIN events a
+          |  ON a.user_id = p.user_id
+          | AND a.event_type IN ('view', 'click')
+          | AND epoch_us(a.ts) >= epoch_us(p.ts) - 3600000000
+          | AND epoch_us(a.ts) <  epoch_us(p.ts)
+          |WHERE p.event_type = 'purchase'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Sketch-based distinct counting — THE 100 TB cardinality path: HLL++
     // partial sketches merge map-side, so the shuffle carries one sketch per
     // partition instead of the distinct-key stream (contrast q27, whose
