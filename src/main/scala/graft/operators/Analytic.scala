@@ -161,19 +161,62 @@ object Analytic {
 
     // Batch tumbling time-window aggregation (the batch twin of the
     // streaming windowedCounts): UTC-aligned 1-day buckets via window().
+    // win_start rides as DATE — timestamp outputs carry ns-vs-us parquet
+    // dtype skew between the engines (SKILL gotcha).
     "q29_tumbling_window" -> QueryDef(
       fn = { (s, dir) =>
         t(s, dir, "events")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-          .select(col("window.start").as("win_start"), col("event_type"),
+          .select(to_date(col("window.start")).as("win_start"), col("event_type"),
             col("n"), col("sum_value"))
           .orderBy("win_start", "event_type")
       },
       oracle = Some(
-        s"""SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_type,
+        s"""SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS win_start, event_type,
            |  count(*) AS n, ${sqlSum("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Time-series gap fill: a generated minute-grain date spine per series,
+    // left-joined to observed sums, forward-filled with the running last
+    // non-null (`last(_, ignoreNulls)` frame). The spine generates INSIDE
+    // the row (sequence + explode) from per-series bounds — no driver-side
+    // range materialization; forward fill is one ordered window per series.
+    // Minute grain over the signup series guarantees real gaps to fill.
+    "q40_gap_fill" -> QueryDef(
+      fn = { (s, dir) =>
+        val sign = t(s, dir, "events")
+          .filter(col("event_type") === "signup")
+          .groupBy(date_trunc("minute", col("ts")).as("m"))
+          .agg(count(lit(1)).as("n_obs"), dsum(col("value")).as("v_obs"))
+        val spine = sign
+          .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+          .select(explode(expr("sequence(m0, m1, interval 1 minute)")).as("m"))
+        val w = Window.orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(sign, Seq("m"), "left")
+          .withColumn("is_gap", col("n_obs").isNull)
+          .withColumn("v_filled", last(col("v_obs"), ignoreNulls = true).over(w))
+          .select(unix_micros(col("m")).as("m_us"), col("is_gap"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("v_filled"))
+          .orderBy("m_us")
+      },
+      oracle = Some(
+        s"""WITH sign AS (
+           |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m,
+           |         count(*) AS n_obs, ${sqlSum("value")} AS v_obs
+           |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+           |spine AS (
+           |  SELECT unnest(generate_series((SELECT min(m) FROM sign),
+           |                                (SELECT max(m) FROM sign),
+           |                                INTERVAL 1 minute)) AS m)
+           |SELECT epoch_us(spine.m) AS m_us,
+           |  sign.n_obs IS NULL AS is_gap,
+           |  coalesce(sign.n_obs, 0) AS n_obs,
+           |  last_value(sign.v_obs IGNORE NULLS) OVER (ORDER BY spine.m
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+           |FROM spine LEFT JOIN sign ON sign.m = spine.m
+           |ORDER BY m_us""".stripMargin)),
 
     // Exact quantiles (linear interpolation — identical definition in Spark
     // `percentile` and DuckDB `quantile_cont`).

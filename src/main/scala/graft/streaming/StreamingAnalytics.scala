@@ -33,6 +33,18 @@ object StreamingAnalytics {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * against a static dimension (re-read per batch, so slowly-changing
+    * dims pick up updates). The static side broadcasts when small — the
+    * stream is never shuffled for the join, which is the only sane shape
+    * when the stream side is unbounded.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      on: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), on, "left")
+
   /** Streaming dedup: drop re-deliveries of the same `idCols` arriving
     * within the watermark window. `dropDuplicatesWithinWatermark` keeps
     * per-key state only until the watermark passes it — bounded state at

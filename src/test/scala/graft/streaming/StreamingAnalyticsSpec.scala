@@ -35,6 +35,23 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each batch against the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+    val q = enrich(stream, dim, Seq("user_id")).writeStream
+      .format("memory").queryName("enriched").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(0), 5.0), (3L, ts(1), 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)))).toSet
+      assert(rows == Set((1L, Some("pro")), (3L, None))) // left join keeps unmatched
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
