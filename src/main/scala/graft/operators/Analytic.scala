@@ -385,6 +385,30 @@ object Analytic {
           |WHERE p.event_type = 'purchase'
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // RANGE-framed sliding window (value-based frame, not row-based): each
+    // event sees the count of same-type events in the PRECEDING 10 minutes
+    // of event time; rolled up to the per-type peak ("max 10-min burst").
+    // The frame bound is in exact integer microseconds on both engines.
+    "q41_range_frame" -> QueryDef(
+      fn = { (s, dir) =>
+        val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+          .rangeBetween(-600L * 1000000L, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+          .withColumn("burst", count(lit(1)).over(w))
+          .groupBy(col("event_type"))
+          .agg(max(col("burst")).as("peak_10min"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """SELECT event_type, max(burst) AS peak_10min, count(*) AS n
+          |FROM (
+          |  SELECT event_type,
+          |    count(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+          |      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS burst
+          |  FROM events)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Sketch-based distinct counting — THE 100 TB cardinality path: HLL++
     // partial sketches merge map-side, so the shuffle carries one sketch per
     // partition instead of the distinct-key stream (contrast q27, whose
