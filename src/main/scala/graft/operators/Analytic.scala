@@ -409,6 +409,32 @@ object Analytic {
           |  FROM events)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // JSON functions: schema-on-read over the semi-structured props column
+    // via from_json (codegen'd Jackson parse, SURVEY.md §2b array/map/json
+    // row) — the structured counterpart of q10's regex extraction.
+    "q42_json_extract" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("j", from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))))
+          .groupBy(col("event_type"))
+          .agg(
+            count(col("j.k")).as("n_parsed"),
+            davg(col("j.k")).as("avg_k"),
+            min(col("j.k")).as("min_k"),
+            max(col("j.k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""SELECT event_type, count(k) AS n_parsed,
+           |  ${sqlAvg("k")} AS avg_k, min(k) AS min_k, max(k) AS max_k
+           |FROM (SELECT event_type,
+           |        CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+           |      FROM events)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Sketch-based distinct counting — THE 100 TB cardinality path: HLL++
     // partial sketches merge map-side, so the shuffle carries one sketch per
     // partition instead of the distinct-key stream (contrast q27, whose
