@@ -204,4 +204,59 @@ object RollupJob {
     cube.rollupFrame(resolve, timeDim, grain = "month")
       .write.mode("overwrite").saveAsTable(targetTable)
   }
+
+  /** Materialize PARTITIONED by the month column — required for
+    * [[refreshMonths]] and the right layout for month-pruned serving.
+    */
+  def materializeMonthlyPartitioned(
+      spark: SparkSession,
+      cube: CubeDef,
+      resolve: String => DataFrame,
+      timeDim: String,
+      targetTable: String): Unit = {
+    cube.rollupFrame(resolve, timeDim, grain = "month")
+      .write.mode("overwrite")
+      .partitionBy(s"${timeDim}_month")
+      .saveAsTable(targetTable)
+  }
+
+  /** Incremental maintenance: recompute ONLY the given months and swap
+    * exactly those partitions (dynamic partition overwrite). At 100 TB the
+    * nightly job recomputes the current month — source rows outside it are
+    * never read (the month filter prunes the fact scan) and history
+    * partitions are untouched. Full recompute stays available for backfill.
+    */
+  def refreshMonths(
+      spark: SparkSession,
+      cube: CubeDef,
+      resolve: String => DataFrame,
+      timeDim: String,
+      targetTable: String,
+      months: Seq[String]): Unit = {
+    val monthCol = s"${timeDim}_month"
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // month filter FIRST so the fact scan prunes to the refreshed window
+      val timeSql = cube.dimensions.find(_.name == timeDim).get.sql
+      val filtered: String => DataFrame = { name =>
+        val df = resolve(name)
+        if (name == cube.table)
+          df.filter(to_date(date_trunc("month", expr(timeSql))).isin(months: _*))
+        else df
+      }
+      val frame = cube.rollupFrame(filtered, timeDim, grain = "month")
+      // insertInto maps POSITIONALLY and partitioned tables store the
+      // partition column last — reorder to (data..., month)
+      val ordered = frame.columns.filterNot(_ == monthCol) :+ monthCol
+      frame.select(ordered.map(col): _*)
+        .write.mode("overwrite")
+        .insertInto(targetTable) // dynamic mode: only touched partitions swap
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 }

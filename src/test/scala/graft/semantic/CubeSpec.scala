@@ -108,4 +108,50 @@ class CubeSpec extends SparkTestBase {
     cube.query(tracking, Seq("n"), Seq("ts" -> Some("week"))).collect()
     assert(asked == List("events"))
   }
+
+  test("incremental rollup refresh swaps only the requested month partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two-month synthetic source (the shipped corpus spans a single month)
+    val twoMonths = Seq(
+      ("click", "2024-01-05 10:00:00", 1.0), ("click", "2024-01-20 11:00:00", 2.0),
+      ("view", "2024-01-07 09:00:00", 3.0),
+      ("click", "2024-02-03 08:00:00", 4.0), ("view", "2024-02-11 17:00:00", 5.0))
+      .toDF("event_type", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val resolver: String => DataFrame = {
+      case "events" => twoMonths
+      case other    => Tables.load(spark, sf0001, other)
+    }
+    RollupJob.materializeMonthlyPartitioned(spark, ReferenceCubes.eventsCube,
+      resolver, timeDim = "ts", targetTable = "events_monthly_inc")
+    val before = spark.table("events_monthly_inc")
+      .select("event_type", "ts_month", "n").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val months = before.keys.map(_._2).toSeq.distinct.sorted
+    assert(months.nonEmpty)
+
+    // refresh the FIRST month from a doctored source (one event type's rows
+    // for that month are dropped) — other months must keep their old values
+    val target = months.head
+    val doctored: String => DataFrame = {
+      case "events" => twoMonths.filter(!(col("event_type") === "click" &&
+        to_date(date_trunc("month", col("ts"))) === target))
+      case other => resolver(other)
+    }
+    RollupJob.refreshMonths(spark, ReferenceCubes.eventsCube, doctored,
+      timeDim = "ts", targetTable = "events_monthly_inc", months = Seq(target))
+
+    val after = spark.table("events_monthly_inc")
+      .select("event_type", "ts_month", "n").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    // refreshed month: click row disappeared
+    assert(before.contains(("click", target)))
+    assert(!after.contains(("click", target)))
+    // untouched months identical
+    val untouched = before.keys.filter(_._2 != target)
+    assert(untouched.nonEmpty)
+    untouched.foreach(k => assert(after(k) == before(k)))
+    spark.sql("DROP TABLE events_monthly_inc")
+  }
 }
