@@ -409,6 +409,34 @@ object Analytic {
           |  FROM events)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // UNPIVOT (melt): wide → long normalization, the inverse of q36 —
+    // narrow transformation (n columns → n rows inside the task, no
+    // shuffle until the downstream aggregate).
+    "q43_unpivot" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            dsum(col("l_quantity")).as("qty"),
+            dsum(col("l_extendedprice")).as("price"),
+            dsum(col("l_discount")).as("disc"))
+          .unpivot(
+            ids = Array(col("l_returnflag")),
+            values = Array(col("qty"), col("price"), col("disc")),
+            variableColumnName = "measure",
+            valueColumnName = "v")
+          .orderBy("l_returnflag", "measure")
+      },
+      oracle = Some(
+        s"""SELECT l_returnflag, measure, v FROM (
+           |  SELECT l_returnflag,
+           |    ${sqlSum("l_quantity")} AS qty,
+           |    ${sqlSum("l_extendedprice")} AS price,
+           |    ${sqlSum("l_discount")} AS disc
+           |  FROM lineitem GROUP BY 1)
+           |UNPIVOT (v FOR measure IN (qty, price, disc))
+           |ORDER BY l_returnflag, measure""".stripMargin)),
+
     // JSON functions: schema-on-read over the semi-structured props column
     // via from_json (codegen'd Jackson parse, SURVEY.md §2b array/map/json
     // row) — the structured counterpart of q10's regex extraction.
