@@ -409,6 +409,40 @@ object Analytic {
           |  FROM events)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Argmin/argmax + boolean aggregate family: max_by/min_by (which row
+    // holds the extreme) and bool_or-style predicates — single partial+final
+    // aggregate pass, no window needed for "row of the max".
+    "q44_argmax" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+              .as("top_order"),
+            min_by(col("o_orderkey"), struct(col("o_totalprice"), -col("o_orderkey")))
+              .as("cheapest_order"),
+            max(col("o_totalprice")).as("top_price"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(
+        // DuckDB's arg_max can't take a composite ordering value; the
+        // window-rank formulation expresses the identical tie-broken pick
+        // (Spark struct comparison ≡ lexicographic ORDER BY)
+        """WITH ranked AS (
+          |  SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderstatus,
+          |    row_number() OVER (PARTITION BY o_orderpriority
+          |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+          |    row_number() OVER (PARTITION BY o_orderpriority
+          |      ORDER BY o_totalprice ASC, o_orderkey DESC) AS rmin
+          |  FROM orders)
+          |SELECT o_orderpriority,
+          |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+          |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+          |  max(o_totalprice) AS top_price,
+          |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+          |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // UNPIVOT (melt): wide → long normalization, the inverse of q36 —
     // narrow transformation (n columns → n rows inside the task, no
     // shuffle until the downstream aggregate).
