@@ -33,6 +33,27 @@ object StreamingAnalytics {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream event-time join: match each impression with clicks on
+    * the same key arriving within `windowMinutes` after it. Watermarks on
+    * BOTH sides plus the time-range join condition let the engine evict
+    * buffered rows once they can no longer match — state is bounded by
+    * (watermark delay + window), not by stream length, which is what makes
+    * an unbounded⋈unbounded join feasible at all.
+    *
+    * Expects `impressions(key, imp_ts, …)` and `clicks(key_c, click_ts, …)`.
+    */
+  def joinWithinWindow(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      windowMinutes: Int = 10,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    impressions.withWatermark("imp_ts", watermarkDelay)
+      .join(
+        clicks.withWatermark("click_ts", watermarkDelay),
+        expr(s"""key = key_c AND
+                |click_ts >= imp_ts AND
+                |click_ts <= imp_ts + interval $windowMinutes minutes""".stripMargin))
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * against a static dimension (re-read per batch, so slowly-changing
     * dims pick up updates). The static side broadcasts when small — the

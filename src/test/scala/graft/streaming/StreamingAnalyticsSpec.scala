@@ -52,6 +52,29 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join matches clicks within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = joinWithinWindow(
+      imps.toDF().toDF("key", "imp_ts"),
+      clicks.toDF().toDF("key_c", "click_ts"),
+      windowMinutes = 10, watermarkDelay = "0 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("attributed").outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(5)))   // within 10 min of imp 1 → match
+      clicks.addData((2L, ts(40)))  // 40 min after imp 2 → no match
+      clicks.addData((3L, ts(2)))   // no impression → no match
+      q.processAllAvailable()
+      val rows = spark.table("attributed").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(3))).toSet
+      assert(rows == Set((1L, ts(5))))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
