@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** 1e9-quantized dot product of two float arrays as a native Catalyst
   * expression: `sum_i floor((a[i]*b[i]) * 1e9)` as BIGINT.
@@ -25,11 +26,25 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class FloatDotQ(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float>; call sites are library-controlled
-  // (AbstractDataType / ExpectsInputTypes are private[sql], so declared
-  // input types are not expressible from an external package)
   override def dataType: DataType = LongType
   override def prettyName: String = "float_dot_q"
+
+  // `getFloat` on a double-backed ArrayData reads 4 of 8 bytes (unsafe) or
+  // throws (generic) — non-float arrays must fail at ANALYSIS, not produce
+  // garbage. ExpectsInputTypes is private[sql], so enforce via
+  // checkInputDataTypes directly.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -177,46 +177,52 @@ object Analytic {
            |  count(*) AS n, ${sqlSum("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // Time-series gap fill: a generated minute-grain date spine per series,
+    // Time-series gap fill: a generated minute-grain date spine PER SERIES,
     // left-joined to observed sums, forward-filled with the running last
     // non-null (`last(_, ignoreNulls)` frame). The spine generates INSIDE
     // the row (sequence + explode) from per-series bounds — no driver-side
-    // range materialization; forward fill is one ordered window per series.
-    // Minute grain over the signup series guarantees real gaps to fill.
+    // range materialization — and the forward-fill window is PARTITIONED by
+    // the series key, so no single task ever sorts the whole spine: at
+    // 100 TB each series' fill runs in its own task, the one shape a global
+    // `Window.orderBy` (a single-partition sort) cannot survive.
     "q40_gap_fill" -> QueryDef(
       fn = { (s, dir) =>
-        val sign = t(s, dir, "events")
-          .filter(col("event_type") === "signup")
-          .groupBy(date_trunc("minute", col("ts")).as("m"))
+        val obs = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
           .agg(count(lit(1)).as("n_obs"), dsum(col("value")).as("v_obs"))
-        val spine = sign
+        val spine = obs
+          .groupBy(col("event_type"))
           .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
-          .select(explode(expr("sequence(m0, m1, interval 1 minute)")).as("m"))
-        val w = Window.orderBy(col("m"))
+          .select(col("event_type"),
+            explode(expr("sequence(m0, m1, interval 1 minute)")).as("m"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        spine.join(sign, Seq("m"), "left")
+        spine.join(obs, Seq("event_type", "m"), "left")
           .withColumn("is_gap", col("n_obs").isNull)
           .withColumn("v_filled", last(col("v_obs"), ignoreNulls = true).over(w))
-          .select(unix_micros(col("m")).as("m_us"), col("is_gap"),
+          .select(col("event_type"), unix_micros(col("m")).as("m_us"), col("is_gap"),
             coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("v_filled"))
-          .orderBy("m_us")
+          .orderBy("event_type", "m_us")
       },
       oracle = Some(
-        s"""WITH sign AS (
-           |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m,
+        s"""WITH obs AS (
+           |  SELECT event_type, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m,
            |         count(*) AS n_obs, ${sqlSum("value")} AS v_obs
-           |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+           |  FROM events GROUP BY 1, 2),
+           |bounds AS (
+           |  SELECT event_type, min(m) AS m0, max(m) AS m1 FROM obs GROUP BY 1),
            |spine AS (
-           |  SELECT unnest(generate_series((SELECT min(m) FROM sign),
-           |                                (SELECT max(m) FROM sign),
-           |                                INTERVAL 1 minute)) AS m)
-           |SELECT epoch_us(spine.m) AS m_us,
-           |  sign.n_obs IS NULL AS is_gap,
-           |  coalesce(sign.n_obs, 0) AS n_obs,
-           |  last_value(sign.v_obs IGNORE NULLS) OVER (ORDER BY spine.m
+           |  SELECT event_type, unnest(generate_series(m0, m1, INTERVAL 1 minute)) AS m
+           |  FROM bounds)
+           |SELECT spine.event_type, epoch_us(spine.m) AS m_us,
+           |  obs.n_obs IS NULL AS is_gap,
+           |  coalesce(obs.n_obs, 0) AS n_obs,
+           |  last_value(obs.v_obs IGNORE NULLS) OVER (PARTITION BY spine.event_type
+           |    ORDER BY spine.m
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
-           |FROM spine LEFT JOIN sign ON sign.m = spine.m
-           |ORDER BY m_us""".stripMargin)),
+           |FROM spine LEFT JOIN obs
+           |  ON obs.event_type = spine.event_type AND obs.m = spine.m
+           |ORDER BY 1, 2""".stripMargin)),
 
     // Exact quantiles (linear interpolation — identical definition in Spark
     // `percentile` and DuckDB `quantile_cont`).
@@ -500,9 +506,13 @@ object Analytic {
     // Sketch-based distinct counting — THE 100 TB cardinality path: HLL++
     // partial sketches merge map-side, so the shuffle carries one sketch per
     // partition instead of the distinct-key stream (contrast q27, whose
-    // exact counts shuffle every distinct key). No oracle: sketch estimates
-    // are engine-specific (driver records the weaker rows-only check); the
-    // exact column in the same row bounds the observed error instead.
+    // exact counts shuffle every distinct key). The sketch estimate itself
+    // is engine-specific, so the query emits only deterministic columns:
+    // the exact count plus `within_bound` = (|approx−exact|/exact ≤ 3·rsd).
+    // Spark's HLL++ is deterministic for a fixed input, so the boolean is
+    // stable; the DuckDB oracle emits exact distinct + literal TRUE, and the
+    // hash matches iff the sketch is in bound — an oracle-checkable accuracy
+    // contract rather than an uncheckable estimate.
     "q32_approx_distinct" -> QueryDef(
       fn = { (s, dir) =>
         t(s, dir, "lineitem")
@@ -510,10 +520,15 @@ object Analytic {
           .agg(
             countDistinct(col("l_orderkey")).as("nd_exact"),
             approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("nd_approx"))
-          .withColumn("rel_err",
-            abs(col("nd_approx") - col("nd_exact")).cast("double") / col("nd_exact"))
+          .select(
+            col("l_returnflag"), col("nd_exact"),
+            (abs(col("nd_approx") - col("nd_exact")).cast("double") / col("nd_exact")
+              <= lit(3 * 0.02)).as("within_bound"))
           .orderBy("l_returnflag")
       },
-      oracle = None),
+      oracle = Some(
+        """SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd_exact,
+          |  TRUE AS within_bound
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

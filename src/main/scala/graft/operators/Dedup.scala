@@ -237,16 +237,25 @@ object Dedup {
     // removal) before the inverted-index self-join, bounding work per key.
     "q15_ngram_jaccard" -> QueryDef(
       fn = { (s, dir) =>
-        // Posting-list formulation: ONE shuffle groups the corpus by
-        // shingle; the DF cap is the posting-list length; candidate pairs
-        // are generated INSIDE the row (≤ C(100,2) per shingle, bounded by
-        // the cap) — no self-join, no window passes, and the groupBy(sh)
-        // exchange is reused by the per-doc size branch (identical subplan).
+        // Posting-list formulation with a TWO-PASS DF cap: pass 1 counts
+        // docs per shingle (tiny fixed-size aggregation buffer) and keeps
+        // shingles with ≤ 100 docs; a semi-join drops heavy shingles BEFORE
+        // any posting list materializes, so the collect_set buffer is
+        // provably ≤ 100 elements — a stop-shingle in 10⁹ docs costs one
+        // int64 counter, never a 10⁹-element buffer. Candidate pairs are
+        // generated INSIDE the row (≤ C(100,2) per shingle); the final
+        // groupBy(sh) reuses the semi-join's hash partitioning on sh, and
+        // per-doc sizes come straight off the kept rows (no explode).
         // An all-pairs self-join on sh was 14.5s at sf0.1; this is ~3s.
-        val postings = shingles(docs(s, dir))
+        val sh = shingles(docs(s, dir))
+        val lightShingles = sh.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 100)
+          .select("sh")
+        val kept = sh.join(lightShingles, Seq("sh"), "left_semi")
+        val postings = kept
           .groupBy(col("sh"))
           .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) <= 100)
         val pairs = postings
           .filter(size(col("ds")) >= 2)
           .select(explode(expr(
@@ -255,8 +264,7 @@ object Dedup {
               |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
           .select(col("p.doc_a"), col("p.doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        val sizes = postings
-          .select(explode(col("ds")).as("doc_id"))
+        val sizes = kept
           .groupBy("doc_id").agg(count(lit(1)).as("sz"))
         pairs
           .join(broadcast(sizes.toDF("doc_a", "sz_a")), Seq("doc_a"))

@@ -80,7 +80,157 @@ object Similarity {
       .digest(s"$r:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     ((java.lang.Long.parseLong(hex, 16) % 1000001L) - 500000L).toFloat
   }
-  private val hplanes: IndexedSeq[Array[Float]] = (0 until LSH_R).map(hplane)
+  /** q35 uses the first 16 planes; q45's recall-heavy banding uses all 48. */
+  private val NDUP_R = 48
+  private val NDUP_BANDS = 24 // 2 bits per band
+  private val hplanes: IndexedSeq[Array[Float]] = (0 until NDUP_R).map(hplane)
+
+  /** Brute-force threshold near-dup SQL — the oracle for BOTH q17 (the
+    * all-pairs baseline) and q45 (LSH-candidate + verify): a shared oracle
+    * is the equivalence proof the pruned path claims.
+    */
+  private def bruteNeardupSql: String =
+    s"""WITH $normsSql,
+       |dots AS (
+       |  SELECT a_id, b_id, $dotSqlExpr AS dot
+       |  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |          a.embedding AS qe, b.embedding AS ce,
+       |          generate_subscripts(a.embedding, 1) AS i
+       |        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT a_id, b_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosim
+       |  FROM dots
+       |  JOIN norms na ON na.vec_id = a_id
+       |  JOIN norms nb ON nb.vec_id = b_id)
+       |SELECT a_id, b_id, cosim FROM cosv WHERE cosim >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q16's oracle (exact brute-force top-5) — also nested by q46's recall
+    * report as ground truth.
+    */
+  private def q16Sql: String =
+    s"""WITH $normsSql,
+       |dots AS (
+       |  SELECT q_id, c_id, $dotSqlExpr AS dot
+       |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |          q.embedding AS qe, c.embedding AS ce,
+       |          generate_subscripts(q.embedding, 1) AS i
+       |        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |        WHERE q.vec_id < 10)
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT q_id, c_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+       |  FROM dots
+       |  JOIN norms nq ON nq.vec_id = q_id
+       |  JOIN norms nc ON nc.vec_id = c_id)
+       |SELECT q_id, c_id, cosim, rnk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM cosv)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** q18's oracle (IVF two-probe top-3) — nested by q46. */
+  private def q18Sql: String =
+    s"""WITH $normsSql,
+       |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |          WHERE vec_id % 50 = 0),
+       |assign0 AS (
+       |  SELECT vec_id, cent_id, $dotSqlExpr AS dot
+       |  FROM (SELECT v.vec_id, c.cent_id, v.embedding AS qe, c.ce,
+       |          generate_subscripts(v.embedding, 1) AS i
+       |        FROM embeddings v CROSS JOIN cents c)
+       |  GROUP BY 1, 2),
+       |assign1 AS (
+       |  SELECT assign0.vec_id, assign0.cent_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+       |  FROM assign0
+       |  JOIN norms nv ON nv.vec_id = assign0.vec_id
+       |  JOIN norms nc ON nc.vec_id = assign0.cent_id),
+       |assign AS (
+       |  SELECT vec_id AS member_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosim DESC, cent_id) AS rnk FROM assign1)
+       |  WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosim DESC, cent_id) AS rnk FROM assign1 WHERE vec_id < 10)
+       |  WHERE rnk <= 2),
+       |cand AS (
+       |  SELECT p.q_id, a.member_id AS c_id, p.cent_id
+       |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+       |  WHERE a.member_id <> p.q_id),
+       |cdots AS (
+       |  SELECT q_id, c_id, cent_id, $dotSqlExpr AS dot
+       |  FROM (SELECT cand.q_id, cand.c_id, cand.cent_id,
+       |          q.embedding AS qe, c.embedding AS ce,
+       |          generate_subscripts(q.embedding, 1) AS i
+       |        FROM cand
+       |        JOIN embeddings q ON q.vec_id = cand.q_id
+       |        JOIN embeddings c ON c.vec_id = cand.c_id)
+       |  GROUP BY 1, 2, 3),
+       |ccos AS (
+       |  SELECT q_id, c_id, cent_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+       |  FROM cdots
+       |  JOIN norms nq ON nq.vec_id = q_id
+       |  JOIN norms nc ON nc.vec_id = c_id)
+       |SELECT q_id, c_id, cent_id, cosim, rnk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM ccos)
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** q35's oracle (sign-LSH banded top-3) — nested by q46. */
+  private def q35Sql: String = {
+    val hpValues = (for {
+      r <- 0 until LSH_R
+      d <- 0 until DIMS
+    } yield s"($r, ${d + 1}, ${hplanes(r)(d).toLong})").mkString(", ")
+    s"""WITH $normsSql,
+       |hp(r, i, g) AS (VALUES $hpValues),
+       |unnested AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |bitsums AS (
+       |  SELECT u.vec_id, h.r,
+       |    CAST(sum(CAST(floor(u.x * CAST(h.g AS DOUBLE) * 1000000000.0)
+       |      AS BIGINT)) AS BIGINT) AS s
+       |  FROM unnested u JOIN hp h ON h.i = u.i
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << r) ELSE 0 END)
+       |      AS BIGINT) AS sig
+       |  FROM bitsums GROUP BY 1),
+       |bands AS (
+       |  SELECT vec_id, b AS band, (sig >> (4*b)) & 15 AS key
+       |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+       |  FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |dots AS (
+       |  SELECT q_id, c_id, $dotSqlExpr AS dot
+       |  FROM (SELECT cand.q_id, cand.c_id, q.embedding AS qe, c.embedding AS ce,
+       |          generate_subscripts(q.embedding, 1) AS i
+       |        FROM cand
+       |        JOIN embeddings q ON q.vec_id = cand.q_id
+       |        JOIN embeddings c ON c.vec_id = cand.c_id)
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT q_id, c_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+       |  FROM dots
+       |  JOIN norms nq ON nq.vec_id = q_id
+       |  JOIN norms nc ON nc.vec_id = c_id)
+       |SELECT q_id, c_id, cosim, rnk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM cosv)
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
 
   val queries: Map[String, QueryDef] = Map(
 
@@ -125,54 +275,7 @@ object Similarity {
           .select("q_id", "c_id", "cosim", "rnk")
           .orderBy("q_id", "rnk")
       },
-      oracle = Some {
-        val hpValues = (for {
-          r <- 0 until LSH_R
-          d <- 0 until DIMS
-        } yield s"($r, ${d + 1}, ${hplanes(r)(d).toLong})").mkString(", ")
-        s"""WITH $normsSql,
-           |hp(r, i, g) AS (VALUES $hpValues),
-           |unnested AS (
-           |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-           |  FROM (SELECT vec_id, embedding,
-           |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
-           |bitsums AS (
-           |  SELECT u.vec_id, h.r,
-           |    CAST(sum(CAST(floor(u.x * CAST(h.g AS DOUBLE) * 1000000000.0)
-           |      AS BIGINT)) AS BIGINT) AS s
-           |  FROM unnested u JOIN hp h ON h.i = u.i
-           |  GROUP BY 1, 2),
-           |sig AS (
-           |  SELECT vec_id,
-           |    CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << r) ELSE 0 END)
-           |      AS BIGINT) AS sig
-           |  FROM bitsums GROUP BY 1),
-           |bands AS (
-           |  SELECT vec_id, b AS band, (sig >> (4*b)) & 15 AS key
-           |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
-           |cand AS (
-           |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
-           |  FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key
-           |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-           |dots AS (
-           |  SELECT q_id, c_id, $dotSqlExpr AS dot
-           |  FROM (SELECT cand.q_id, cand.c_id, q.embedding AS qe, c.embedding AS ce,
-           |          generate_subscripts(q.embedding, 1) AS i
-           |        FROM cand
-           |        JOIN embeddings q ON q.vec_id = cand.q_id
-           |        JOIN embeddings c ON c.vec_id = cand.c_id)
-           |  GROUP BY 1, 2),
-           |cosv AS (
-           |  SELECT q_id, c_id,
-           |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
-           |  FROM dots
-           |  JOIN norms nq ON nq.vec_id = q_id
-           |  JOIN norms nc ON nc.vec_id = c_id)
-           |SELECT q_id, c_id, cosim, rnk FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM cosv)
-           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-      }),
+      oracle = Some(q35Sql)),
 
     // Exact ANN baseline: brute-force cosine top-5 for each query vector
     // (vec_id < 10). The query set broadcasts; one corpus scan.
@@ -194,26 +297,7 @@ object Similarity {
           .select("q_id", "c_id", "cosim", "rnk")
           .orderBy("q_id", "rnk")
       },
-      oracle = Some(
-        s"""WITH $normsSql,
-           |dots AS (
-           |  SELECT q_id, c_id, $dotSqlExpr AS dot
-           |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-           |          q.embedding AS qe, c.embedding AS ce,
-           |          generate_subscripts(q.embedding, 1) AS i
-           |        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-           |        WHERE q.vec_id < 10)
-           |  GROUP BY 1, 2),
-           |cosv AS (
-           |  SELECT q_id, c_id,
-           |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
-           |  FROM dots
-           |  JOIN norms nq ON nq.vec_id = q_id
-           |  JOIN norms nc ON nc.vec_id = c_id)
-           |SELECT q_id, c_id, cosim, rnk FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM cosv)
-           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+      oracle = Some(q16Sql)),
 
     // Embedding near-dup: all pairs with cosine ≥ 0.4 (this corpus is
     // near-orthogonal; real dedup corpora use ≥ 0.95 — the threshold is a
@@ -239,23 +323,54 @@ object Similarity {
           .select("a_id", "b_id", "cosim")
           .orderBy("a_id", "b_id")
       },
-      oracle = Some(
-        s"""WITH $normsSql,
-           |dots AS (
-           |  SELECT a_id, b_id, $dotSqlExpr AS dot
-           |  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           |          a.embedding AS qe, b.embedding AS ce,
-           |          generate_subscripts(a.embedding, 1) AS i
-           |        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-           |  GROUP BY 1, 2),
-           |cosv AS (
-           |  SELECT a_id, b_id,
-           |    CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosim
-           |  FROM dots
-           |  JOIN norms na ON na.vec_id = a_id
-           |  JOIN norms nb ON nb.vec_id = b_id)
-           |SELECT a_id, b_id, cosim FROM cosv WHERE cosim >= 0.4
-           |ORDER BY a_id, b_id""".stripMargin)),
+      oracle = Some(bruteNeardupSql)),
+
+    // Scale-safe threshold near-dup (q17's 100 TB path): sign-LSH candidate
+    // generation + exact quantized-cosine verification, sharing q17's
+    // brute-force ORACLE — a green row here literally proves
+    // candidate-prune + verify ≡ all-pairs on this corpus. The plan has NO
+    // O(n²) join: candidates come from an equi-join on (band, key).
+    //
+    // Banding is tuned for the corpus's worst case: threshold 0.4 (66°) on
+    // near-orthogonal vectors is where LSH separation is weakest, so recall
+    // needs 24 bands × 2 bits over 48 hyperplanes (miss prob per true pair
+    // = (1 − p²)^24 ≈ 5e-6 at cos 0.4, p = 1 − θ/π = 0.631 — zero expected
+    // misses over this corpus's 59 pairs, deterministic hyperplanes make
+    // the outcome reproducible). On a REAL dedup corpus (threshold ≥ 0.95,
+    // p = 0.9) the SAME plan runs 8-bit bands and prunes ~100×: selectivity
+    // is a parameter; the shuffle-equi-join shape is what survives 100 TB.
+    "q45_neardup_lsh_verify" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val n = norms(e)
+        val bitCols = (0 until NDUP_R).map { r =>
+          when(call_function("float_dot_q",
+              col("embedding"), typedlit(hplanes(r))) >= 0L, lit(1L << r))
+            .otherwise(lit(0L))
+        }
+        val sig = e.select(col("vec_id"), bitCols.reduce(_ + _).as("sig"))
+          .repartition(col("vec_id")) // parallelize the single-split scan
+        val bands = sig.select(col("vec_id"),
+          explode(array((0 until NDUP_BANDS).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), 2 * b).bitwiseAND(lit(3L)).as("key"))): _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band"), col("bk.key"))
+        val cand = bands.toDF("a_id", "band", "key")
+          .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        cand
+          .join(e.select(col("vec_id").as("a_id"), col("embedding").as("qe")), Seq("a_id"))
+          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("ce")), Seq("b_id"))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("a_id", "n2a"), Seq("a_id"))
+          .join(n.toDF("b_id", "n2b"), Seq("b_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2a"), col("n2b")))
+          .filter(col("cosim") >= 0.4)
+          .select("a_id", "b_id", "cosim")
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some(bruteNeardupSql)),
 
     // IVF-style ANN: coarse cells = vectors with vec_id % 50 == 0 (cell
     // count scales with the corpus); every vector is assigned to its
@@ -311,54 +426,61 @@ object Similarity {
           .select("q_id", "c_id", "cent_id", "cosim", "rnk")
           .orderBy("q_id", "rnk")
       },
+      oracle = Some(q18Sql)),
+
+    // ANN recall report — the missing quality axis of the ANN suite: for
+    // each query vector, recall@3 of the IVF path (q18) and the sign-LSH
+    // path (q35) against the exact brute-force top-3 (q16 restricted to
+    // rnk ≤ 3). Everything is deterministic (literal hyperplanes, quantized
+    // dots, row_number tie-breaks), so recall itself is oracle-checkable —
+    // n_hit/3 in IEEE double is identical in both engines. At 100 TB this
+    // is the nightly ANN-quality job: exact truth on a sampled query set,
+    // approximate paths over the full corpus, one small join + ratio.
+    "q46_ann_recall" -> QueryDef(
+      fn = { (s, dir) =>
+        import s.implicits._
+        val exact3 = queries("q16_ann_topk").fn(s, dir)
+          .filter(col("rnk") <= 3).select("q_id", "c_id")
+        val approx =
+          queries("q18_ann_ivf").fn(s, dir).select("q_id", "c_id")
+            .withColumn("method", lit("ivf"))
+            .unionByName(
+              queries("q35_ann_lsh").fn(s, dir).select("q_id", "c_id")
+                .withColumn("method", lit("lsh")))
+        val hits = approx.join(exact3, Seq("q_id", "c_id"))
+          .groupBy("method", "q_id").agg(count(lit(1)).as("n_hit"))
+        // left join from the full (method × query) grid so a 0-hit query
+        // still reports recall 0 instead of vanishing
+        val universe = exact3.select("q_id").distinct()
+          .crossJoin(broadcast(Seq("ivf", "lsh").toDF("method")))
+        universe.join(hits, Seq("method", "q_id"), "left")
+          .select(col("method"), col("q_id"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 3.0).as("recall3"))
+          .orderBy("method", "q_id")
+      },
       oracle = Some(
-        s"""WITH $normsSql,
-           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-           |          WHERE vec_id % 50 = 0),
-           |assign0 AS (
-           |  SELECT vec_id, cent_id, $dotSqlExpr AS dot
-           |  FROM (SELECT v.vec_id, c.cent_id, v.embedding AS qe, c.ce,
-           |          generate_subscripts(v.embedding, 1) AS i
-           |        FROM embeddings v CROSS JOIN cents c)
+        s"""WITH exact3 AS (
+           |  SELECT q_id, c_id FROM ($q16Sql) x WHERE rnk <= 3),
+           |ivf AS (SELECT q_id, c_id FROM ($q18Sql) x),
+           |lshq AS (SELECT q_id, c_id FROM ($q35Sql) x),
+           |approx AS (
+           |  SELECT 'ivf' AS method, q_id, c_id FROM ivf
+           |  UNION ALL
+           |  SELECT 'lsh' AS method, q_id, c_id FROM lshq),
+           |hits AS (
+           |  SELECT a.method, a.q_id, count(*) AS n_hit
+           |  FROM approx a JOIN exact3 e ON e.q_id = a.q_id AND e.c_id = a.c_id
            |  GROUP BY 1, 2),
-           |assign1 AS (
-           |  SELECT assign0.vec_id, assign0.cent_id,
-           |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
-           |  FROM assign0
-           |  JOIN norms nv ON nv.vec_id = assign0.vec_id
-           |  JOIN norms nc ON nc.vec_id = assign0.cent_id),
-           |assign AS (
-           |  SELECT vec_id AS member_id, cent_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY cosim DESC, cent_id) AS rnk FROM assign1)
-           |  WHERE rnk = 1),
-           |probes AS (
-           |  SELECT vec_id AS q_id, cent_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY cosim DESC, cent_id) AS rnk FROM assign1 WHERE vec_id < 10)
-           |  WHERE rnk <= 2),
-           |cand AS (
-           |  SELECT p.q_id, a.member_id AS c_id, p.cent_id
-           |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
-           |  WHERE a.member_id <> p.q_id),
-           |cdots AS (
-           |  SELECT q_id, c_id, cent_id, $dotSqlExpr AS dot
-           |  FROM (SELECT cand.q_id, cand.c_id, cand.cent_id,
-           |          q.embedding AS qe, c.embedding AS ce,
-           |          generate_subscripts(q.embedding, 1) AS i
-           |        FROM cand
-           |        JOIN embeddings q ON q.vec_id = cand.q_id
-           |        JOIN embeddings c ON c.vec_id = cand.c_id)
-           |  GROUP BY 1, 2, 3),
-           |ccos AS (
-           |  SELECT q_id, c_id, cent_id,
-           |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
-           |  FROM cdots
-           |  JOIN norms nq ON nq.vec_id = q_id
-           |  JOIN norms nc ON nc.vec_id = c_id)
-           |SELECT q_id, c_id, cent_id, cosim, rnk FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM ccos)
-           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)),
+           |universe AS (
+           |  SELECT m.method, q.q_id
+           |  FROM (SELECT DISTINCT q_id FROM exact3) q
+           |  CROSS JOIN (VALUES ('ivf'), ('lsh')) m(method))
+           |SELECT u.method, u.q_id,
+           |  coalesce(h.n_hit, 0) AS n_hit,
+           |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall3
+           |FROM universe u
+           |LEFT JOIN hits h ON h.method = u.method AND h.q_id = u.q_id
+           |ORDER BY 1, 2""".stripMargin)),
   )
 }

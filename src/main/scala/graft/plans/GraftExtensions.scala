@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 import graft.functions.FloatDotQ
 
@@ -68,6 +68,15 @@ object RewriteFloatDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** FloatDotQ reads elements with `getFloat` — rewriting an array<double>
+    * pattern (also semantically valid in the higher-order form) would
+    * silently corrupt results, so the rule only fires on array<float>.
+    */
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
           ZipWith(a, b,
@@ -75,7 +84,9 @@ object RewriteFloatDotProduct extends Rule[LogicalPlan] {
           Literal(0L, LongType),
           merge: LambdaFunction,
           finish: LambdaFunction)
-        if isQuantizedProduct(body, x, y) && isAdditiveMerge(merge) &&
+        if a.resolved && b.resolved &&
+          isFloatArray(a.dataType) && isFloatArray(b.dataType) &&
+          isQuantizedProduct(body, x, y) && isAdditiveMerge(merge) &&
           isIdentityFinish(finish) =>
       FloatDotQ(a, b)
   }

@@ -177,8 +177,10 @@ final case class CubeDef(
     val base = joins.foldLeft(resolve(table)) { (df, j) =>
       df.join(resolve(j.other), j.on, j.how)
     }
-    val stringDims = dimensions.filter(_.typ == "string").map(_.name)
-    val dimCols = stringDims.map(col) :+ dimension(timeDim).toCol(Some(grain))
+    // string dims group by their SQL expression (toCol), not col(name) —
+    // the API allows sql != name, where col(name) would miss or mis-bind
+    val dimCols = dimensions.filter(_.typ == "string").map(_.toCol(None)) :+
+      dimension(timeDim).toCol(Some(grain))
     val aggCols = measures.map(_.toCol) ++ measures.collect {
       case m if m.typ == "avg" => Seq(
         Exact.dsum(expr(m.sql)).as(s"${m.name}__sum"),
@@ -246,6 +248,14 @@ object RollupJob {
         else df
       }
       val frame = cube.rollupFrame(filtered, timeDim, grain = "month")
+      // Dynamic partition overwrite only swaps partitions PRESENT in the
+      // recomputed frame — a refreshed month whose source rows all vanished
+      // would keep its stale rollup partition. Drop the requested months
+      // explicitly first so zero-row months end up empty, not stale.
+      months.foreach { m =>
+        spark.sql(
+          s"ALTER TABLE $targetTable DROP IF EXISTS PARTITION ($monthCol = '$m')")
+      }
       // insertInto maps POSITIONALLY and partitioned tables store the
       // partition column last — reorder to (data..., month)
       val ordered = frame.columns.filterNot(_ == monthCol) :+ monthCol

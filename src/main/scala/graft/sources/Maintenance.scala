@@ -2,7 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Table maintenance: small-file compaction.
   *
@@ -16,6 +17,13 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * an overwrite that reads its own input would truncate-before-read.
   * (With a transactional table format the swap is a metadata commit; on
   * plain parquet tables run compaction in the ingest job's quiet window.)
+  *
+  * Partitioned and bucketed tables keep their layout: the catalog's
+  * partition columns and bucket spec are read back and reapplied on both
+  * rewrites, so compacting a monthly rollup does not break
+  * `RollupJob.refreshMonths` (which needs the partition column) and
+  * compacting a bucketed table does not silently drop its shuffle-free
+  * join property.
   */
 object Maintenance {
 
@@ -38,20 +46,45 @@ object Maintenance {
   def fileCount(spark: SparkSession, table: String): Int =
     spark.table(table).inputFiles.length
 
-  /** Rewrite `table` into ~targetFileBytes-sized files. Returns the new
-    * file count.
+  /** Rewrite `table` into ~targetFileBytes-sized files, preserving the
+    * catalog's partitioning and bucketing specs. Returns the new file count.
     */
   def compact(
       spark: SparkSession,
       table: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val meta = session.sessionState.catalog.getTableMetadata(
+      session.sessionState.sqlParser.parseTableIdentifier(table))
+    val partCols = meta.partitionColumnNames
+    val bucketSpec = meta.bucketSpec
+
     val bytes = math.max(tableBytes(spark, table), 1L)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = table.replace('.', '_') + "__compact_tmp"
-    spark.table(table).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).saveAsTable(tmp)
-    spark.table(tmp)
-      .write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+    // Co-locate rows with their output file: bucketed tables repartition on
+    // the bucket hash (repartition's HashPartitioning matches bucket-id
+    // assignment → one file per bucket); partitioned tables repartition on
+    // the partition columns so each directory gets contiguous writers.
+    def shaped(df: DataFrame): DataFrame = bucketSpec match {
+      case Some(b) => df.repartition(b.numBuckets, b.bucketColumnNames.map(col): _*)
+      case None if partCols.nonEmpty => df.repartition(nFiles, partCols.map(col): _*)
+      case None => df.repartition(nFiles)
+    }
+    def write(df: DataFrame, target: String): Unit = {
+      var w = df.write.mode(SaveMode.Overwrite)
+      if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+      bucketSpec.foreach { b =>
+        w = w.bucketBy(b.numBuckets, b.bucketColumnNames.head, b.bucketColumnNames.tail: _*)
+        if (b.sortColumnNames.nonEmpty)
+          w = w.sortBy(b.sortColumnNames.head, b.sortColumnNames.tail: _*)
+      }
+      w.saveAsTable(target)
+    }
+
+    write(shaped(spark.table(table)), tmp)
+    write(shaped(spark.table(tmp)), table)
     spark.sql(s"DROP TABLE $tmp")
     fileCount(spark, table)
   }
