@@ -1,10 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times each headline query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. A warmup pass at sf0.001 runs every query untimed
-  * first so JVM JIT / codegen / parquet-footer costs don't land on the first
-  * timed query (round 1: q01 "took" 29s of which ~28 were session warmup).
+/** Benchmark main: times each headline query at SPARK_GRAFT_SF_DIR plus the
+  * ingest write path, and prints ONE JSON line. A warmup pass at sf0.001
+  * runs every query untimed first so JVM JIT / codegen / parquet-footer
+  * costs don't land on the first timed query (round 1: q01 "took" 29s of
+  * which ~28 were session warmup).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,6 +18,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // the ingest bench writes managed tables — keep them out of the CWD
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,7 +39,70 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ingest = ingestBench(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest":$ingest,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Write-path throughput — the reference's only measurable workload is its
+    * per-row INSERT ingest loop (assets.py:105-114, ~1 ms/row). Synthesizes
+    * landing files FROM the benchmark tables (untimed), then times the full
+    * E1 pipeline (parse → stringify → infer → coerce → saveAsTable append →
+    * audit) per source format and reports rows/second.
+    */
+  private def ingestBench(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{IngestPipeline, Xlsx}
+    val work = Files.createTempDirectory("graft-ingest-bench")
+    val conf = Files.createDirectories(work.resolve("configuration")).toString
+
+    // --- setup (untimed): landing files derived from the sf tables ---
+    def stageSingle(df: org.apache.spark.sql.DataFrame, dir: String, name: String): Unit = {
+      val tmp = s"$work/stage_$name"
+      val isJson = name.endsWith(".json")
+      val w = df.coalesce(1).write
+      if (isJson) w.json(tmp) else w.option("header", "true").csv(tmp)
+      import scala.jdk.CollectionConverters._
+      val found = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(dir, name)
+      Files.createDirectories(dst.getParent)
+      Files.move(found, dst)
+    }
+    val csvRoot = Files.createDirectories(work.resolve("land_csv/sales")).getParent.toString
+    val jsonRoot = Files.createDirectories(work.resolve("land_json/sales")).getParent.toString
+    val xlsxRoot = Files.createDirectories(work.resolve("land_xlsx/sales")).getParent.toString
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "CAST(l_shipdate AS STRING) AS l_shipdate", "l_returnflag")
+      .limit(200000)
+    stageSingle(li, s"$csvRoot/sales", "lineitem_bench.csv")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(o_orderdate AS STRING) AS o_orderdate", "o_orderstatus")
+      .limit(200000)
+    stageSingle(ord, s"$jsonRoot/sales", "orders_bench.json")
+    val partRows = Tables.load(spark, sfDir, "part")
+      .selectExpr("p_partkey", "p_name", "p_brand", "p_retailprice")
+      .limit(10000).collect()
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+    Xlsx.write(s"$xlsxRoot/sales/parts_bench.xlsx",
+      Seq(Xlsx.Sheet("parts", Seq("p_partkey", "p_name", "p_brand", "p_retailprice"),
+        partRows.toIndexedSeq)))
+
+    // --- timed: one full pipeline run per format ---
+    def timed(root: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val rows = IngestPipeline.ingest(spark, root, conf, consume = "keep").map(_.rows).sum
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    val (csvRows, csvSec) = timed(csvRoot)
+    val (jsonRows, jsonSec) = timed(jsonRoot)
+    val (xlsxRows, xlsxSec) = timed(xlsxRoot)
+    def rate(rows: Long, sec: Double): Long = math.round(rows / math.max(sec, 1e-9))
+    s"""{"csv_rows_per_s":${rate(csvRows, csvSec)},"csv_rows":$csvRows,""" +
+      s""""json_rows_per_s":${rate(jsonRows, jsonSec)},"json_rows":$jsonRows,""" +
+      s""""xlsx_rows_per_s":${rate(xlsxRows, xlsxSec)},"xlsx_rows":$xlsxRows}"""
   }
 }

@@ -31,6 +31,9 @@ object Graft {
       .builder()
       .appName(appName)
     warehouse.foreach { w =>
+      // keep Derby's log beside the metastore, not in the process CWD
+      if (System.getProperty("derby.stream.error.file") == null)
+        System.setProperty("derby.stream.error.file", s"$w/../derby.log")
       b.config("spark.sql.warehouse.dir", w)
         .config("spark.sql.catalogImplementation", "hive")
         .config("javax.jdo.option.ConnectionURL",

@@ -153,6 +153,51 @@ object Xlsx {
     } finally zip.close()
   }
 
+  /** Minimal XLSX writer — the reader's export twin (inline-string cells
+    * only; schema re-typing happens on read via [[SchemaInference]], so
+    * strings are the faithful landing format). Used by the ingest benchmark
+    * to synthesize realistic workbook sources, and by tests.
+    */
+  def write(path: String, sheets: Seq[Sheet]): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def sheetXml(sh: Sheet): String = {
+      val rows = (sh.header +: sh.rows).zipWithIndex.map { case (cells, i) =>
+        cells.map(c =>
+          s"""<c t="inlineStr"><is><t>${esc(Option(c).getOrElse(""))}</t></is></c>""")
+          .mkString(s"""<row r="${i + 1}">""", "", "</row>")
+      }.mkString
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        s"<sheetData>$rows</sheetData></worksheet>"
+    }
+    val wb = sheets.zipWithIndex.map { case (sh, i) =>
+      s"""<sheet name="${esc(sh.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString(
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"""" +
+        """ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        "<sheets>", "", "</sheets></workbook>")
+    val rels = sheets.indices.map(i =>
+      s"""<Relationship Id="rId${i + 1}" Target="worksheets/sheet${i + 1}.xml"/>""")
+      .mkString(
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""",
+        "", "</Relationships>")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(path)))
+    try {
+      def put(name: String, content: String): Unit = {
+        zos.putNextEntry(new ZipEntry(name))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      put("xl/workbook.xml", wb)
+      put("xl/_rels/workbook.xml.rels", rels)
+      sheets.zipWithIndex.foreach { case (sh, i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(sh))
+      }
+    } finally zos.close()
+  }
+
   /** One sheet → an all-string DataFrame (header row = column names), the
     * exact input shape [[SchemaInference.infer]]/`coerce` expect.
     */

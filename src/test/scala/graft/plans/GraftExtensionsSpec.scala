@@ -57,4 +57,33 @@ class GraftExtensionsSpec extends SparkTestBase {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // builder-time injection path
   }
+
+  private lazy val dblDf = {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("fdqd").resolve("t").toString
+    Seq((Array(1.0, 2.0, 3.0), Array(0.5, 0.25, -1.0)))
+      .toDF("a", "b").write.parquet(p)
+    spark.read.parquet(p)
+  }
+
+  test("rewrite skips array<double> — getFloat on double arrays reads garbage") {
+    GraftExtensions.install(spark)
+    // the SAME higher-order pattern over array<double> is a legitimate user
+    // query; the rule must leave it alone and Spark must evaluate it honestly
+    val q = dblDf.select(expr(naive).as("dot"))
+    assert(!q.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[FloatDotQ])))
+    assert(q.collect()(0).getLong(0) == // floor(.5e9)+floor(.5e9)+floor(-3e9)
+      500000000L + 500000000L - 3000000000L)
+  }
+
+  test("float_dot_q on non-float arrays fails at analysis, not with garbage") {
+    GraftExtensions.install(spark)
+    val ex = intercept[Exception] {
+      dblDf.select(expr("float_dot_q(a, b)")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<float>") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"),
+      s"expected an analysis-time type error, got: ${ex.getMessage}")
+  }
 }

@@ -113,6 +113,17 @@ class XlsxSpec extends SparkTestBase {
     assert(s2.rows == Seq(Seq("1", "True"), Seq(null, "False")))
   }
 
+  test("writer round-trips through the reader, escaping XML and unicode") {
+    val dir = Files.createTempDirectory("xlsxw")
+    val sheets = Seq(
+      Xlsx.Sheet("datos & más", Seq("k", "texto"),
+        Seq(Seq("1", "a&b<c>"), Seq("2", "ñé"))),
+      Xlsx.Sheet("otra", Seq("x"), Seq(Seq("solo"))))
+    val p = dir.resolve("out.xlsx").toString
+    Xlsx.write(p, sheets)
+    assert(Xlsx.readSheets(p) == sheets)
+  }
+
   test("excel serial conversion: epoch, leap-bug era skipped, fractions") {
     assert(Xlsx.serialToTimestamp(43831.0) == "2020-01-01 00:00:00")
     assert(Xlsx.serialToTimestamp(43832.5) == "2020-01-02 12:00:00")
