@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Minimal versioned-manifest table format: the ACID layer the plain
   * managed-parquet path lacks (BASELINE names "Spark + Delta/Iceberg table
@@ -47,11 +48,30 @@ object CommitLog {
 
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** Per-file column statistics for scan pruning: min/max rendered as
+    * strings via `CAST(x AS STRING)` (re-cast to the column type at prune
+    * time, so comparisons are typed, never lexicographic), plus null counts.
+    * Only atomic comparable types are tracked; other columns simply never
+    * prune. This is the manifest-level stats design of the published
+    * Delta/Iceberg protocols — KBs of metadata per commit that let a reader
+    * skip whole files without opening a footer.
+    */
+  final case class FileStat(
+      path: String, // relative to root
+      rows: Long,
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      nullCounts: Map[String, Long])
+
   final case class Manifest(
       version: Long,
       op: String,
       schemaJson: String,
-      files: Seq[String]) // relative to root
+      files: Seq[String], // relative to root
+      fileStats: Seq[FileStat] = Nil) {
+    /** Jackson leaves `fileStats` null when reading a pre-stats manifest. */
+    def statsOrNil: Seq[FileStat] = Option(fileStats).getOrElse(Nil)
+  }
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
@@ -110,20 +130,68 @@ object CommitLog {
       .toSeq.sorted
   }
 
+  private def statTracked(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType |
+        TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  /** One columnar metadata pass over freshly-staged files: per-file
+    * row count + min/max/null-count for every stat-tracked column. Reads
+    * only the tracked columns, groups by `input_file_name()` — cost is a
+    * footer-and-stat-column scan of data just written, paid once per commit.
+    */
+  private def statsFor(
+      spark: SparkSession,
+      root: String,
+      files: Seq[String],
+      schema: StructType): Seq[FileStat] = {
+    if (files.isEmpty) return Nil
+    val tracked = schema.fields.filter(f => statTracked(f.dataType)).map(_.name).toSeq
+    val df = spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+    val aggs = tracked.flatMap { c =>
+      Seq(
+        min(col(c)).cast("string").as(s"min__$c"),
+        max(col(c)).cast("string").as(s"max__$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"))
+    } :+ count(lit(1)).as("rows__")
+    val rows = df.groupBy(input_file_name().as("file__"))
+      .agg(aggs.head, aggs.tail: _*).collect() // one row per staged file
+    rows.toSeq.map { r =>
+      val abs = r.getAs[String]("file__")
+      val rel = files.find(f => abs.endsWith(f))
+        .getOrElse(sys.error(s"staged file $abs not in manifest set"))
+      def s(prefix: String): Map[String, String] = tracked.flatMap { c =>
+        Option(r.getAs[String](s"${prefix}__$c")).map(c -> _)
+      }.toMap
+      FileStat(rel, r.getAs[Long]("rows__"), s("min"), s("max"),
+        tracked.map(c => c -> r.getAs[Long](s"nulls__$c")).toMap)
+    }
+  }
+
+  private def stageWithStats(df: DataFrame, root: String): (Seq[String], Seq[FileStat]) = {
+    val files = stage(df, root)
+    (files, statsFor(df.sparkSession, root, files, df.schema))
+  }
+
   /** Append `df` as one atomic commit; returns the new version. */
   def append(df: DataFrame, root: String): Long = {
     val base = currentVersion(root)
-    val prior = base.map(readManifest(root, _).files).getOrElse(Nil)
+    val prior = base.map(readManifest(root, _))
     val v = base.getOrElse(0L) + 1
-    publish(root, Manifest(v, "append", df.schema.json, prior ++ stage(df, root)))
+    val (files, stats) = stageWithStats(df, root)
+    publish(root, Manifest(v, "append", df.schema.json,
+      prior.map(_.files).getOrElse(Nil) ++ files,
+      prior.map(_.statsOrNil).getOrElse(Nil) ++ stats))
     v
   }
 
   /** Replace the table contents with `df` (zero rows allowed) atomically. */
   def overwrite(df: DataFrame, root: String): Long = {
     val v = currentVersion(root).getOrElse(0L) + 1
-    val files = if (df.isEmpty) Nil else stage(df, root)
-    publish(root, Manifest(v, "overwrite", df.schema.json, files))
+    val (files, stats) =
+      if (df.isEmpty) (Nil, Nil) else stageWithStats(df, root)
+    publish(root, Manifest(v, "overwrite", df.schema.json, files, stats))
     v
   }
 
@@ -149,10 +217,214 @@ object CommitLog {
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val df = read(spark, root, Some(base)).repartition(nFiles)
-    val files = stage(df, root)
+    val (files, stats) = stageWithStats(df, root)
     val v = base + 1
-    publish(root, Manifest(v, "compact", df.schema.json, files))
+    publish(root, Manifest(v, "compact", df.schema.json, files, stats))
     v
+  }
+
+  // --------------------------------------------------------------------
+  // DML: copy-on-write MERGE / DELETE
+  // --------------------------------------------------------------------
+
+  private def schemaOf(m: Manifest): StructType =
+    DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+
+  private def readFiles(spark: SparkSession, root: String, m: Manifest,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(m))
+    else spark.read.schema(schemaOf(m)).parquet(files.map(f => s"$root/$f"): _*)
+
+  /** Root-relative paths of files containing ≥1 row matching `cond` —
+    * the copy-on-write touch set. One pass over the snapshot projecting only
+    * the columns `cond` needs; the collect is file-path metadata, not data.
+    */
+  private def touchedFiles(spark: SparkSession, root: String, m: Manifest)(
+      mark: DataFrame => DataFrame): Seq[String] = {
+    val withFile = readFiles(spark, root, m, m.files)
+      .withColumn("_graft_file", input_file_name())
+    val abs = mark(withFile).select("_graft_file").distinct()
+      .collect().map(_.getString(0))
+    m.files.filter(f => abs.exists(_.endsWith(f)))
+  }
+
+  /** Delta-style MERGE, file-granular copy-on-write:
+    *  - target rows whose key matches a `source` row are replaced by that
+    *    source row (full-row UPDATE), or dropped when the source row
+    *    satisfies `deleteWhen` (MERGE … WHEN MATCHED DELETE);
+    *  - source rows matching no target key are appended (INSERT);
+    *  - only files containing a matched key are rewritten — every other
+    *    file moves into the new manifest by reference, stats intact.
+    *
+    * `source` must carry exactly the table schema and unique keys (checked:
+    * two source rows for one key would make the merge nondeterministic).
+    * At 100 TB the rewrite cost is proportional to the touched files, not
+    * the table, and the key-match probe reads only the key columns.
+    */
+  def merge(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keys: Seq[String],
+      deleteWhen: Option[Column] = None): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val schema = schemaOf(m)
+    require(source.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
+      s"merge source columns ${source.columns.mkString(",")} != table schema")
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    require(src.groupBy(keys.map(col).toIndexedSeq: _*)
+      .count().filter(col("count") > 1).isEmpty,
+      "merge source has duplicate keys — ambiguous MATCHED action")
+
+    val srcKeys = src.select(keys.map(col).toIndexedSeq: _*)
+    val touched = touchedFiles(spark, root, m)(
+      _.join(srcKeys, keys, "left_semi"))
+    val untouched = m.files.filterNot(touched.contains)
+    val tTouched = readFiles(spark, root, m, touched)
+
+    // Full-row replace collapses the merged touch-set to one anti-join and
+    // a union: (touched target rows with no source key) ∪ (every surviving
+    // source row). A surviving source row that matched is the UPDATE; one
+    // that matched nothing anywhere is the INSERT (any matching key would
+    // have made its file touched); a source row failing `deleteWhen` simply
+    // never reappears — MERGE … WHEN MATCHED DELETE.
+    val keep = deleteWhen.map(c => src.filter(!coalesce(c, lit(false))))
+      .getOrElse(src)
+    val merged = tTouched.join(srcKeys, keys, "left_anti")
+      .unionByName(keep)
+
+    val (files, stats) = stageWithStats(merged, root)
+    val priorStats = m.statsOrNil.filter(s => untouched.contains(s.path))
+    publish(root, Manifest(base + 1, "merge", schema.json,
+      untouched ++ files, priorStats ++ stats))
+    base + 1
+  }
+
+  /** Copy-on-write DELETE: rewrite only files containing a matching row. */
+  def delete(spark: SparkSession, root: String, cond: Column): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val touched = touchedFiles(spark, root, m)(_.filter(cond))
+    val untouched = m.files.filterNot(touched.contains)
+    val kept = readFiles(spark, root, m, touched)
+      .filter(!coalesce(cond, lit(false)))
+    val (files, stats) =
+      if (touched.isEmpty) (Nil, Nil) else stageWithStats(kept, root)
+    val priorStats = m.statsOrNil.filter(s => untouched.contains(s.path))
+    publish(root, Manifest(base + 1, "delete", m.schemaJson,
+      untouched ++ files, priorStats ++ stats))
+    base + 1
+  }
+
+  // --------------------------------------------------------------------
+  // Stats-pruned scan (data skipping)
+  // --------------------------------------------------------------------
+
+  /** Conservative file-survival condition for a predicate over per-file
+    * min/max stats: true means "this file MIGHT contain a matching row".
+    * Unsupported predicate shapes map to `true` (never wrong, just
+    * unpruned) — the standard data-skipping contract. Supported:
+    * comparisons and IN against literals, IS [NOT] NULL, AND/OR.
+    */
+  private def surviveCond(p: GraftBridge.Pred, tracked: Set[String]): Column = {
+    import GraftBridge.{Attr, Fn, Lit}
+    // Wrap a min/max comparison so files with no stats for the column
+    // (or an untracked column) always survive.
+    def guarded(c: String)(cond: (Column, Column) => Column): Column =
+      if (!tracked.contains(c)) lit(true)
+      else {
+        val mn = col(s"min__$c"); val mx = col(s"max__$c")
+        when(mn.isNull || mx.isNull, lit(true)).otherwise(cond(mn, mx))
+      }
+    p match {
+      case Fn("and", Seq(l, r)) => surviveCond(l, tracked) && surviveCond(r, tracked)
+      case Fn("or", Seq(l, r)) => surviveCond(l, tracked) || surviveCond(r, tracked)
+      case Fn("=" | "==", Seq(Attr(a), Lit(v))) =>
+        guarded(a)((mn, mx) => mn <= v && mx >= v)
+      case Fn("=" | "==", Seq(Lit(v), Attr(a))) =>
+        guarded(a)((mn, mx) => mn <= v && mx >= v)
+      case Fn(">", Seq(Attr(a), Lit(v))) => guarded(a)((_, mx) => mx > v)
+      case Fn(">", Seq(Lit(v), Attr(a))) => guarded(a)((mn, _) => mn < v)
+      case Fn(">=", Seq(Attr(a), Lit(v))) => guarded(a)((_, mx) => mx >= v)
+      case Fn(">=", Seq(Lit(v), Attr(a))) => guarded(a)((mn, _) => mn <= v)
+      case Fn("<", Seq(Attr(a), Lit(v))) => guarded(a)((mn, _) => mn < v)
+      case Fn("<", Seq(Lit(v), Attr(a))) => guarded(a)((_, mx) => mx > v)
+      case Fn("<=", Seq(Attr(a), Lit(v))) => guarded(a)((mn, _) => mn <= v)
+      case Fn("<=", Seq(Lit(v), Attr(a))) => guarded(a)((_, mx) => mx >= v)
+      case Fn("in", Attr(a) +: vs) if vs.forall(_.isInstanceOf[Lit]) =>
+        vs.collect { case Lit(v) => guarded(a)((mn, mx) => mn <= v && mx >= v) }
+          .reduceOption(_ || _).getOrElse(lit(true))
+      case Fn("isnull", Seq(Attr(a))) =>
+        if (!tracked.contains(a)) lit(true)
+        else coalesce(col(s"nulls__$a") > 0L, lit(true))
+      case Fn("isnotnull", Seq(Attr(a))) =>
+        if (!tracked.contains(a)) lit(true)
+        else coalesce(col(s"nulls__$a") < col("rows__"), lit(true))
+      case _ => lit(true)
+    }
+  }
+
+  /** Snapshot read with manifest-stats file skipping: resolves the version,
+    * evaluates [[surviveCond]] over the per-file stats (typed — min/max
+    * strings are cast back to the column's type) with Catalyst on a
+    * metadata-sized local DataFrame, reads only surviving files, and applies
+    * `predicate` as the residual filter. Semantically identical to
+    * `read(...).filter(predicate)`; at 100 TB it reads the manifest instead
+    * of the data to decide what to open.
+    */
+  def readPruned(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, v)
+    val surviving = prunedFiles(spark, m, predicate)
+    readFiles(spark, root, m, surviving).filter(predicate)
+  }
+
+  /** The file subset [[readPruned]] would open (exposed for tests/EXPLAIN). */
+  def prunedFiles(spark: SparkSession, m: Manifest, predicate: Column): Seq[String] = {
+    val schema = schemaOf(m)
+    val stats = m.statsOrNil
+    val withStats = stats.map(_.path).toSet
+    val statless = m.files.filterNot(withStats) // always survive
+    if (stats.isEmpty) return m.files
+    val tracked = schema.fields.filter(f => statTracked(f.dataType)).map(_.name)
+    val statRows = stats.map { s =>
+      org.apache.spark.sql.Row.fromSeq(
+        s.path +: s.rows +: tracked.toIndexedSeq.flatMap(c =>
+          Seq(s.mins.get(c).orNull, s.maxs.get(c).orNull,
+            // Map[String, Long] values arrive from Jackson as boxed Integers
+            // (erasure): widen via Any → Number — a Long-typed lambda would
+            // insert an unbox and throw.
+            s.nullCounts.asInstanceOf[Map[String, Any]].get(c)
+              .map(v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue))
+              .orNull)))
+    }
+    val statSchema = StructType(
+      StructField("path__", StringType) +: StructField("rows__", LongType) +:
+        tracked.toIndexedSeq.flatMap(c => Seq(
+          StructField(s"mins__$c", StringType),
+          StructField(s"maxs__$c", StringType),
+          StructField(s"nulls__$c", LongType))))
+    val typed = spark.createDataFrame(statRows.asJava, statSchema)
+      .select(col("path__") +: col("rows__") +:
+        tracked.toIndexedSeq.flatMap { c =>
+          val dt = schema(c).dataType
+          Seq(col(s"mins__$c").cast(dt).as(s"min__$c"),
+            col(s"maxs__$c").cast(dt).as(s"max__$c"),
+            col(s"nulls__$c"))
+        }: _*)
+    val survive = surviveCond(GraftBridge.pred(predicate), tracked.toSet)
+    val kept = typed.filter(survive).select("path__").collect().map(_.getString(0))
+    m.files.filter(f => statless.contains(f) || kept.contains(f))
   }
 
   /** Drop manifests older than the last `keepVersions` and delete data files

@@ -1,0 +1,32 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.internal.{ColumnNode, Literal => LitNode, UnresolvedAttribute => AttrNode, UnresolvedFunction => FnNode}
+
+/** Column-introspection bridge for Spark 4's node-based Column API.
+  *
+  * A `Column` no longer wraps a Catalyst `Expression`; its tree is
+  * `internal.ColumnNode`s whose accessors are `private[sql]`. Extension
+  * libraries that must inspect a user-supplied predicate (here: CommitLog's
+  * manifest-stats file pruning) conventionally expose a package-local
+  * shim — the same technique Delta Lake and Sedona use for their Catalyst
+  * integrations. The ADT below carries exactly what a data-skipping
+  * translator needs: function applications over attributes and literals;
+  * anything else degrades to [[GraftBridge.Opaque]] (pruned conservatively).
+  */
+object GraftBridge {
+
+  sealed trait Pred
+  final case class Fn(name: String, args: Seq[Pred]) extends Pred
+  final case class Attr(name: String) extends Pred
+  final case class Lit(value: Column) extends Pred
+  case object Opaque extends Pred
+
+  private def toPred(n: ColumnNode): Pred = n match {
+    case f: FnNode => Fn(f.functionName.toLowerCase, f.arguments.map(toPred))
+    case a: AttrNode => Attr(a.nameParts.mkString("."))
+    case l: LitNode => Lit(Column(l))
+    case _ => Opaque
+  }
+
+  def pred(c: Column): Pred = toPred(c.node)
+}

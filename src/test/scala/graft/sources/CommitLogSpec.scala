@@ -94,4 +94,105 @@ class CommitLogSpec extends SparkTestBase {
     // time travel to a vacuumed version now fails cleanly
     intercept[IllegalArgumentException](read(spark, root, Some(1L)))
   }
+
+  test("merge: upsert + delete rewrites only touched files") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    // 4 commits of 10 rows each = 4 disjoint key ranges in separate files
+    (0 until 4).foreach(i => append(
+      spark.range(i * 10, i * 10 + 10)
+        .selectExpr("id", "CAST(id * 100 AS LONG) AS v"), root))
+    val before = readManifest(root, 4L)
+    // source: update ids 5..7, delete id 12, insert ids 100..101 —
+    // touches the files of commits 1 and 2 only
+    val source = spark.range(5, 8)
+      .selectExpr("id", "CAST(-1 AS LONG) AS v")
+      .unionByName(spark.sql("SELECT 12L AS id, 0L AS v"))
+      .unionByName(spark.range(100, 102).selectExpr("id", "CAST(7 AS LONG) AS v"))
+    val v = merge(spark, root, source, Seq("id"),
+      deleteWhen = Some(col("v") === 0L))
+    val after = readManifest(root, v)
+    // commits 3 and 4's files survive by reference (no rewrite)
+    val untouchedBefore = before.files.filter { f =>
+      val s = before.statsOrNil.find(_.path == f).get
+      s.mins("id").toLong >= 20
+    }.toSet
+    assert(untouchedBefore.subsetOf(after.files.toSet))
+    val got = read(spark, root).orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = ((0L until 40L).filterNot(_ == 12L).map(i =>
+      if (i >= 5 && i <= 7) (i, -1L) else (i, i * 100)) ++
+      Seq((100L, 7L), (101L, 7L))).sortBy(_._1)
+    assert(got.toSeq == expect)
+    // snapshot isolation: pre-merge version still has id=12, old values
+    assert(read(spark, root, Some(4L)).filter("id = 12").count() == 1)
+    // duplicate source keys are rejected
+    intercept[IllegalArgumentException](
+      merge(spark, root, source.unionByName(source), Seq("id")))
+  }
+
+  test("delete rewrites only files containing matches") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    (0 until 3).foreach(i => append(
+      spark.range(i * 10, i * 10 + 10).toDF("id"), root))
+    val before = readManifest(root, 3L)
+    val v = delete(spark, root, col("id") === 25L)
+    val after = readManifest(root, v)
+    // files for ranges [0,10) and [10,20) carried over untouched
+    val untouched = before.statsOrNil.filter(_.maxs("id").toLong < 20).map(_.path)
+    assert(untouched.nonEmpty && untouched.forall(after.files.contains))
+    assert(read(spark, root).count() == 29)
+    assert(read(spark, root).filter("id = 25").count() == 0)
+  }
+
+  test("manifest stats prune files; pruned read equals full-scan filter") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    // 4 commits with disjoint id ranges and distinct tags
+    (0 until 4).foreach { i =>
+      append(spark.range(i * 100, i * 100 + 100)
+        .selectExpr("id", s"'tag$i' AS tag",
+          "IF(id % 10 = 0, CAST(NULL AS LONG), id) AS maybe"), root)
+    }
+    val m = readManifest(root, 4L)
+    assert(m.statsOrNil.size == m.files.size)
+
+    val p1 = col("id") >= 150 && col("id") < 250 // spans commits 2 and 3
+    val files1 = prunedFiles(spark, m, p1)
+    assert(files1.size < m.files.size)
+    assert(readPruned(spark, root, p1).count() ==
+      read(spark, root).filter(p1).count())
+
+    val p2 = col("tag") === "tag0" // string equality → one commit's files
+    val keptRows = readPruned(spark, root, p2)
+    assert(prunedFiles(spark, m, p2).forall(f =>
+      m.statsOrNil.find(_.path == f).get.mins("tag") == "tag0"))
+    assert(keptRows.count() == 100)
+
+    val p3 = col("maybe").isNull || col("id") === 399L
+    assert(readPruned(spark, root, p3).count() ==
+      read(spark, root).filter(p3).count())
+
+    // unsupported shape (arithmetic) must not prune or change results
+    val p4 = (col("id") % 7) === 3
+    assert(prunedFiles(spark, m, p4).size == m.files.size)
+    assert(readPruned(spark, root, p4).count() ==
+      read(spark, root).filter(p4).count())
+  }
+
+  test("pre-stats manifests (fileStats null) read and never prune") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    append(spark.range(10).toDF("id"), root)
+    // simulate a round-2 manifest: strip the stats field from the JSON
+    val p = Paths.get(root, "_graft_log", f"v${1L}%020d.json")
+    val json = new String(Files.readAllBytes(p))
+    val stripped = json.replaceAll(""","fileStats":\[.*?\]""", "")
+    assert(stripped != json)
+    Files.write(p, stripped.getBytes)
+    val m = readManifest(root, 1L)
+    assert(m.statsOrNil.isEmpty)
+    assert(prunedFiles(spark, m, col("id") === -1L).size == m.files.size)
+    assert(read(spark, root).count() == 10)
+  }
 }
