@@ -76,6 +76,76 @@ object Dedup {
   private def withShingleHash(d: DataFrame): DataFrame =
     d.select(col("doc_id"), md5(col("sh")).as("h"))
 
+  /** SimHash hamming ≤ 3 candidate pairs (doc_a < doc_b) with the lossless
+    * nibble-band equi-join — shared by q14 (pair list) and q47 (clusters).
+    * md5 is hoisted into ONE projected column — inside the aggregate each
+    * of the 32 vote-sums would recompute it per row (no cross-aggregate
+    * subexpression elimination: 32 md5s/row, observed 80s vs 3s at sf0.1).
+    */
+  private def simhashPairs(d: DataFrame): DataFrame = {
+    val votes = (0 until 32).map { i =>
+      sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1))
+        .as(s"s$i")
+    }
+    val sums = shingles(d)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+    val fpCol = (0 until 32)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    val fp = sums.select(col("doc_id"), fpCol.as("fp"))
+    val nibbles = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("nib"))
+    }
+    val bands = fp.select(col("doc_id"), explode(array(nibbles: _*)).as("bn"))
+      .select(col("doc_id"), col("bn.band").as("band"), col("bn.nib").as("nib"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val fa = fp.toDF("doc_id", "fp_a")
+    val fb = fp.toDF("doc_id", "fp_b")
+    cand
+      .join(fa, cand("doc_a") === fa("doc_id")).drop("doc_id")
+      .join(fb, cand("doc_b") === fb("doc_id")).drop("doc_id")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** DuckDB mirror of [[simhashPairs]]: CTE chain ending in `pairs`. */
+  private val simhashPairsSql: String = {
+    val voteCols = (0 until 32)
+      .map(i => s"sum(CASE WHEN substr(md5(sh), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val fpExpr = (0 until 32)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""$shinglesSql,
+       |sums AS (
+       |  SELECT doc_id,
+       |    $voteCols
+       |  FROM sh0 GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums),
+       |bands AS (
+       |  SELECT doc_id, b AS band, (fp >> (8*b)) & 255 AS nib
+       |  FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+       |  FROM cand c
+       |  JOIN fp fa ON fa.doc_id = c.doc_a
+       |  JOIN fp fb ON fb.doc_id = c.doc_b
+       |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 3)""".stripMargin
+  }
+
   val queries: Map[String, QueryDef] = Map(
 
     // Exact dedup: canonical representative (min doc_id) per normalized
@@ -166,71 +236,67 @@ object Dedup {
     // band join (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bytes intact).
     "q14_simhash" -> QueryDef(
       fn = { (s, dir) =>
-        // md5 is hoisted into ONE projected column — inside the aggregate
-        // each of the 32 vote-sums would recompute it per row (no
-        // cross-aggregate subexpression elimination: 32 md5s/row, observed
-        // 80s vs 3s at sf0.1).
-        val votes = (0 until 32).map { i =>
-          sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1))
-            .as(s"s$i")
-        }
-        val sums = shingles(docs(s, dir))
-          .select(col("doc_id"), md5(col("sh")).as("h"))
-          .groupBy(col("doc_id"))
-          .agg(votes.head, votes.tail: _*)
-        val fpCol = (0 until 32)
-          .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _)
-        val fp = sums.select(col("doc_id"), fpCol.as("fp"))
-        val nibbles = (0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("nib"))
-        }
-        val bands = fp.select(col("doc_id"), explode(array(nibbles: _*)).as("bn"))
-          .select(col("doc_id"), col("bn.band").as("band"), col("bn.nib").as("nib"))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val fa = fp.toDF("doc_id", "fp_a")
-        val fb = fp.toDF("doc_id", "fp_b")
-        cand
-          .join(fa, cand("doc_a") === fa("doc_id")).drop("doc_id")
-          .join(fb, cand("doc_b") === fb("doc_id")).drop("doc_id")
-          .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
-          .filter(col("hamming") <= 3)
-          .select("doc_a", "doc_b", "hamming")
-          .orderBy("doc_a", "doc_b")
+        simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
       },
-      oracle = Some {
-        val voteCols = (0 until 32)
-          .map(i => s"sum(CASE WHEN substr(md5(sh), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
-          .mkString(",\n    ")
-        val fpExpr = (0 until 32)
-          .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH $shinglesSql,
-           |sums AS (
-           |  SELECT doc_id,
-           |    $voteCols
-           |  FROM sh0 GROUP BY doc_id),
-           |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums),
-           |bands AS (
-           |  SELECT doc_id, b AS band, (fp >> (8*b)) & 255 AS nib
-           |  FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
-           |SELECT c.doc_a, c.doc_b,
-           |  CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
-           |FROM cand c
-           |JOIN fp fa ON fa.doc_id = c.doc_a
-           |JOIN fp fb ON fb.doc_id = c.doc_b
-           |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      oracle = Some(
+        s"""WITH $simhashPairsSql
+           |SELECT doc_a, doc_b, hamming FROM pairs
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Near-dup CLUSTERS: connected components over the simhash pair graph —
+    // the completion step every web-scale dedup pipeline needs (pairs alone
+    // over-delete: a~b, b~c must collapse to ONE canonical doc, min id).
+    // Min-label propagation: labels start as doc_id; each round every
+    // vertex takes the min label among itself and its neighbours; converged
+    // when a round changes nothing. Rounds = component diameter — near-dup
+    // clusters are tiny-diameter, so a handful of shuffles; each round is
+    // one equi-join + partial/final min-aggregate (never all-pairs), and
+    // `localCheckpoint` truncates the plan so analysis cost stays flat
+    // (on a cluster this would be a reliable checkpoint instead). Oracle:
+    // DuckDB recursive transitive closure, min reachable id per doc.
+    "q47_dedup_components" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = simhashPairs(d).select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(
+            pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint()
+        var labels = d.select(col("doc_id").as("id"), col("doc_id").as("label"))
+          .localCheckpoint()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 25) {
+          val nbrMin = edges
+            .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(min(col("label")).as("nbl"))
+          val next = labels.join(nbrMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+            .localCheckpoint()
+          converged = next
+            .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+            .filter(col("label") =!= col("old")).isEmpty
+          labels = next
+          iter += 1
+        }
+        require(converged, s"component propagation did not converge in $iter rounds")
+        labels.select(col("id").as("doc_id"), col("label").as("component"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $simhashPairsSql,
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+           |SELECT id AS doc_id, min(r) AS component
+           |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Exact n-gram (3-word shingle) Jaccard over the DF-capped shingle
     // universe: shingles appearing in > 100 docs are dropped (stop-shingle

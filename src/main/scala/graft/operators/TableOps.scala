@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Exact._
+import graft.sources.CommitLog
+
+/** Table-format DML exposed as oracle-checkable queries: Delta-style MERGE
+  * and a manifest-stats pruned scan over [[graft.sources.CommitLog]] tables.
+  *
+  * Both queries materialize a CommitLog table in a fresh temp dir from the
+  * benchmark parquet, run the DML/scan under test, and return the resulting
+  * rows; the DuckDB oracle states the same semantics in pure SQL over the
+  * original table — so the whole write→commit→(merge|prune)→read path is
+  * value-checked end to end, not just spec-asserted.
+  *
+  * Scale notes (100 TB):
+  *  - MERGE rewrites only files containing a matched key (file-granular
+  *    copy-on-write); the probe that finds those files reads key columns
+  *    only. Cost is O(touched data), never O(table).
+  *  - The pruned scan decides which files to open from manifest min/max
+  *    stats — a metadata read — and the residual filter still reaches the
+  *    parquet scan for row-group pruning inside surviving files.
+  */
+object TableOps {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, QueryDef] = Map(
+
+    // MERGE (upsert + delete) on a CommitLog table built from `orders`:
+    // keys ≡ o_orderkey; source = doubled-price updates (key % 7 = 3,
+    // excluding deletes), tombstones (key % 13 = 5, WHEN MATCHED DELETE),
+    // and negative-key inserts (key % 11 = 2). The oracle restates the
+    // merged table in set algebra over the original parquet.
+    "q48_merge_upsert" -> QueryDef(
+      fn = { (s, dir) =>
+        val k = col("o_orderkey")
+        val ord = Tables.load(s, dir, "orders")
+          .select(k, col("o_totalprice"), col("o_orderstatus"))
+        val root = tmp("graft-q48")
+        CommitLog.append(ord, root)
+        val upd = ord.filter(k % 7 === 3 && k % 13 =!= 5)
+          .select(k, (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus"))
+        val del = ord.filter(k % 13 === 5)
+          .select(k, col("o_totalprice"), lit("D").as("o_orderstatus"))
+        val ins = ord.filter(k % 11 === 2)
+          .select((-k).as("o_orderkey"), lit(1.0).as("o_totalprice"),
+            lit("I").as("o_orderstatus"))
+        CommitLog.merge(s, root, upd.unionByName(del).unionByName(ins),
+          Seq("o_orderkey"), deleteWhen = Some(col("o_orderstatus") === "D"))
+        CommitLog.read(s, root)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(
+        """WITH upd AS (
+          |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+          |         'U' AS o_orderstatus
+          |  FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 13 <> 5),
+          |ins AS (
+          |  SELECT -o_orderkey AS o_orderkey, 1.0 AS o_totalprice,
+          |         'I' AS o_orderstatus
+          |  FROM orders WHERE o_orderkey % 11 = 2),
+          |kept AS (
+          |  SELECT o_orderkey, o_totalprice, o_orderstatus
+          |  FROM orders WHERE o_orderkey % 13 <> 5 AND o_orderkey % 7 <> 3)
+          |SELECT o_orderkey, o_totalprice, o_orderstatus FROM kept
+          |UNION ALL SELECT * FROM upd
+          |UNION ALL SELECT * FROM ins
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // Manifest-stats data skipping: `events` committed as four disjoint
+    // event_id quartiles (four file sets with tight min/max), then a range
+    // scan over [n/4, n/2) — readPruned opens only the one matching file
+    // set (spec-asserted) and must return exactly the full-scan answer.
+    "q53_pruned_scan" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val n = ev.count()
+        val root = tmp("graft-q53")
+        (0L until 4L).foreach { i =>
+          val lo = i * n / 4; val hi = (i + 1) * n / 4
+          CommitLog.append(
+            ev.filter(col("event_id") >= lo && col("event_id") < hi), root)
+        }
+        val pred = col("event_id") >= (n / 4) && col("event_id") < (n / 2)
+        CommitLog.readPruned(s, root, pred)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""SELECT event_type, count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events
+           |WHERE event_id >= (SELECT count(*) // 4 FROM events)
+           |  AND event_id < (SELECT count(*) // 2 FROM events)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}
