@@ -259,5 +259,182 @@ object TextAnalysis {
           |                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
           |              FROM documents)))
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BM25-structured relevance for a fixed query-term set. One corpus pass
+    // computes the global stats (N, Σdl, per-term df) as a single broadcast
+    // row; scoring is then per-row expression work — the textbook "scalar
+    // aggregate + map" shape that runs unchanged at 100 TB. Determinism:
+    // the classic ln() idf is replaced by its rational core
+    // (N − df + 0.5)/(df + 0.5) so every operation is IEEE +,−,×,÷ over
+    // values derived from exact int64s — bit-identical in Spark and DuckDB
+    // (ln implementations are not; this is the documented divergence).
+    "q49_bm25" -> QueryDef(
+      fn = { (s, dir) =>
+        val terms = Seq("spark", "table", "query")
+        val d = docs(s, dir).select(col("doc_id"), toksCol.as("toks"))
+        val dfAggs = terms.map(t =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$t"))
+        val stats = d.agg(
+          count(lit(1)).as("n_docs"),
+          (Seq(sum(size(col("toks")).cast("long")).as("sum_dl")) ++ dfAggs): _*)
+        val withTf = terms.foldLeft(
+          d.crossJoin(broadcast(stats))
+            .withColumn("dl", size(col("toks")).cast("long"))
+            .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))) {
+          case (acc, t) => acc.withColumn(s"tf_$t",
+            expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)"))
+        }
+        val score = terms.map { t =>
+          val tf = col(s"tf_$t")
+          val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+            (col(s"df_$t") + lit(0.5))
+          idf * (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+        }.reduce(_ + _)
+        withTf.select(col("doc_id"), col("dl"), score.as("bm25"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val terms = Seq("spark", "table", "query")
+        val dfCols = terms.map(t =>
+          s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+          .mkString(",\n    ")
+        val termExprs = terms.map { t =>
+          s"""((n_docs - df_$t + 0.5) / (df_$t + 0.5))
+             | * (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * 2.2)
+             | / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+             |    + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE)
+             |                            / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
+            .stripMargin.replace("\n", " ")
+        }.mkString("\n  + ")
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents),
+           |st AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(len(toks)) AS BIGINT) AS sum_dl,
+           |    $dfCols
+           |  FROM d)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |  $termExprs AS bm25
+           |FROM d CROSS JOIN st
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Deterministic stratified sampling: per-language keep rates applied by
+    // hashing the row key (first 8 md5 hex chars → uniform 32-bit integer,
+    // keep iff u < rate·2³²). No RNG state, no sampleBy: the SAME rows are
+    // kept on any cluster, any partitioning, any run — the property a
+    // reproducible training-data pipeline needs. Pure per-row expression
+    // work; the per-stratum thresholds are literals (en 10%, es/de 50%,
+    // fr 30%, zh 15%).
+    "q50_stratified_sample" -> QueryDef(
+      fn = { (s, dir) =>
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long")
+        val threshold = when(col("lang") === "en", 429496729L) // 0.10·2^32
+          .when(col("lang") === "es", 2147483648L) // 0.50·2^32
+          .when(col("lang") === "de", 2147483648L) // 0.50·2^32
+          .when(col("lang") === "fr", 1288490188L) // 0.30·2^32
+          .otherwise(644245094L) // zh 0.15·2^32
+        docs(s, dir)
+          .filter(u < threshold)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, lang
+          |FROM documents
+          |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |  < CASE lang WHEN 'en' THEN 429496729
+          |              WHEN 'es' THEN 2147483648
+          |              WHEN 'de' THEN 2147483648
+          |              WHEN 'fr' THEN 1288490188
+          |              ELSE 644245094 END
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget shard packing: within each (lang, source) series, docs
+    // fill shards of 2000 whitespace tokens in doc_id order — shard id =
+    // exclusive running token total div budget (the streaming shard-writer
+    // semantics). The window is partitioned by (lang, source), so at 100 TB
+    // no single task sorts the corpus — each series sorts independently
+    // (the q40 lesson applied from the start; a date bucket would join the
+    // partition key if series grew unbounded).
+    "q51_token_pack" -> QueryDef(
+      fn = { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, dir)
+          .withColumn("toks", size(toksCol).cast("long"))
+          .withColumn("cum", coalesce(sum(col("toks")).over(w), lit(0L)))
+          .withColumn("shard", expr("cum div 2000"))
+          .select("doc_id", "lang", "source", "toks", "shard")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, lang, source, toks, cum // 2000 AS shard
+          |FROM (
+          |  SELECT doc_id, lang, source,
+          |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS toks,
+          |    CAST(coalesce(sum(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT))
+          |      OVER (PARTITION BY lang, source ORDER BY doc_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction: regex scrub of emails and IPv4s with per-doc match
+    // counts and an md5 over the redacted text as the value witness. The
+    // corpus is synthetic and PII-free, so deterministic PII is appended
+    // per row first (an email always; an IP only when doc_id % 3 != 0 —
+    // the % 3 = 0 branch plants a malformed 3-octet decoy the regex must
+    // NOT match). Patterns stay in the Java∩RE2 common subset so Spark and
+    // DuckDB agree. Per-row codegen expression work, no shuffle.
+    "q52_pii_redact" -> QueryDef(
+      fn = { (s, dir) =>
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        val aug = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com host "),
+          when(col("doc_id") % 3 === 0, lit("10.0.256"))
+            .otherwise(concat(lit("10.0."),
+              (col("doc_id") % 256).cast("string"), lit(".7"))))
+        docs(s, dir)
+          .withColumn("aug", aug)
+          .withColumn("n_emails",
+            size(regexp_extract_all(col("aug"), lit(email), lit(0))).cast("long"))
+          .withColumn("n_ips",
+            size(regexp_extract_all(col("aug"), lit(ip), lit(0))).cast("long"))
+          .withColumn("redacted",
+            regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+              ip, "<IP>"))
+          .select(col("doc_id"), col("n_emails"), col("n_ips"),
+            md5(col("redacted")).as("red_hash"),
+            length(col("redacted")).cast("long").as("red_len"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(aug, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+          |  md5(regexp_replace(regexp_replace(aug,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS red_hash,
+          |  CAST(length(regexp_replace(regexp_replace(aug,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS BIGINT) AS red_len
+          |FROM (
+          |  SELECT doc_id,
+          |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+          |      '@example.com host ',
+          |      CASE WHEN doc_id % 3 = 0 THEN '10.0.256'
+          |           ELSE concat('10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')
+          |      END) AS aug
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
   )
 }
