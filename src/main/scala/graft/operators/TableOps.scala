@@ -103,5 +103,57 @@ object TableOps {
            |WHERE event_id >= (SELECT count(*) // 4 FROM events)
            |  AND event_id < (SELECT count(*) // 2 FROM events)
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Time travel: two append commits (first/second half of events by
+    // event_id), then BOTH snapshots are queried — version 1 must still
+    // show only the first half after version 2 lands. The oracle restates
+    // each snapshot as a filtered aggregate; matching hashes prove pinned
+    // reads see immutable history.
+    "q54_time_travel" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("value"))
+        val n = ev.count()
+        val root = tmp("graft-q54")
+        val v1 = CommitLog.append(ev.filter(col("event_id") < n / 2), root)
+        val v2 = CommitLog.append(ev.filter(col("event_id") >= n / 2), root)
+        def snap(v: Long): DataFrame = CommitLog.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(lit(v).cast("long").as("version"), col("n"), col("sum_value"))
+        snap(v1).unionByName(snap(v2)).orderBy("version")
+      },
+      oracle = Some(
+        s"""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events WHERE event_id < (SELECT count(*) // 2 FROM events)
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT) AS version, count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events
+           |ORDER BY version""".stripMargin)),
+
+    // Incremental (CDC-lite) read: a consumer that processed version 1
+    // reads exactly the files version 2 added — no rescan of the table.
+    // The oracle is the second half of events: matching hashes prove
+    // changes() returns precisely the new rows, nothing else.
+    "q55_incremental_read" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val n = ev.count()
+        val root = tmp("graft-q55")
+        val v1 = CommitLog.append(ev.filter(col("event_id") < n / 2), root)
+        val v2 = CommitLog.append(ev.filter(col("event_id") >= n / 2), root)
+        CommitLog.changes(s, root, v1, v2)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""SELECT event_type, count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events
+           |WHERE event_id >= (SELECT count(*) // 2 FROM events)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

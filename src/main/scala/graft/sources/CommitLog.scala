@@ -174,16 +174,52 @@ object CommitLog {
     (files, statsFor(df.sparkSession, root, files, df.schema))
   }
 
-  /** Append `df` as one atomic commit; returns the new version. */
+  /** Additive schema union: every field of `old` plus fields only in `nw`
+    * (appended, nullable). A field present in both must keep its type —
+    * widening/retyping is rejected, matching the Delta/Iceberg default.
+    */
+  private def unionSchema(old: StructType, nw: StructType): StructType = {
+    val byName = old.fields.map(f => f.name -> f).toMap
+    nw.fields.foreach { f =>
+      byName.get(f.name).foreach { o =>
+        require(o.dataType == f.dataType,
+          s"schema evolution cannot retype ${f.name}: ${o.dataType} -> ${f.dataType}")
+      }
+    }
+    StructType(old.fields ++
+      nw.fields.filterNot(f => byName.contains(f.name)).map(_.copy(nullable = true)))
+  }
+
+  /** Append `df` as one atomic commit; returns the new version. Additive
+    * schema evolution: `df` may carry new columns (old files read them as
+    * null) or omit existing ones (new files read them as null) — the
+    * manifest records the union schema, so every snapshot reads with one
+    * consistent shape and time travel keeps each version's own schema.
+    */
   def append(df: DataFrame, root: String): Long = {
     val base = currentVersion(root)
     val prior = base.map(readManifest(root, _))
     val v = base.getOrElse(0L) + 1
+    val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
+      .getOrElse(df.schema)
     val (files, stats) = stageWithStats(df, root)
-    publish(root, Manifest(v, "append", df.schema.json,
+    publish(root, Manifest(v, "append", schema.json,
       prior.map(_.files).getOrElse(Nil) ++ files,
       prior.map(_.statsOrNil).getOrElse(Nil) ++ stats))
     v
+  }
+
+  /** Files added between two versions, read as a DataFrame — the
+    * incremental-consumption surface (CDC-lite): a downstream job that
+    * processed version `fromV` reads exactly the new data in `toV` without
+    * rescanning the table. Append-only history between the two versions is
+    * required (a rewrite op in between means "added files" ≠ "new rows").
+    */
+  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes($fromV, $toV): versions out of order")
+    val before = readManifest(root, fromV).files.toSet
+    val after = readManifest(root, toV)
+    readFiles(spark, root, after, after.files.filterNot(before))
   }
 
   /** Replace the table contents with `df` (zero rows allowed) atomically. */
@@ -195,17 +231,16 @@ object CommitLog {
     v
   }
 
-  /** Read a snapshot: latest by default, or a pinned historical version. */
+  /** Read a snapshot: latest by default, or a pinned historical version.
+    * Always reads with the MANIFEST schema, never parquet footer inference —
+    * footer sampling picks an arbitrary file (wrong under schema evolution,
+    * and nondeterministic), and skipping it avoids a footer-listing pass.
+    */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(root))
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, v)
-    if (m.files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-          .asInstanceOf[StructType])
-    else spark.read.parquet(m.files.map(f => s"$root/$f"): _*)
+    readFiles(spark, root, m, m.files)
   }
 
   /** Small-file compaction as ONE metadata commit: rewrite the current
@@ -425,6 +460,55 @@ object CommitLog {
     val survive = surviveCond(GraftBridge.pred(predicate), tracked.toSet)
     val kept = typed.filter(survive).select("path__").collect().map(_.getString(0))
     m.files.filter(f => statless.contains(f) || kept.contains(f))
+  }
+
+  /** Z-order clustering rewrite (OPTIMIZE … ZORDER BY): sort the snapshot
+    * by the interleaved-bit order of the given numeric columns and split it
+    * into `nFiles` range partitions, so every file covers a small
+    * hyper-rectangle of the clustering space — manifest min/max stats then
+    * prune effectively on ANY of the clustered columns, not just the first
+    * sort key (lexicographic sort only tightens the leading column).
+    *
+    * Each column is min/max-normalized to 16 bits (one metadata-sized
+    * aggregate), bits are interleaved into one BIGINT z-value, and the
+    * write is `repartitionByRange(z)` — a single shuffle of the snapshot,
+    * the same cost as any compaction rewrite. One new manifest; pinned
+    * readers keep their snapshot.
+    */
+  def cluster(spark: SparkSession, root: String, cols: Seq[String],
+      nFiles: Int = 16): Long = {
+    require(cols.nonEmpty && cols.size <= 4, "cluster on 1-4 numeric columns")
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val df = read(spark, root, Some(base))
+    val aggCols = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"mn$i"),
+        max(col(c)).cast("double").as(s"mx$i"))
+    }
+    val ranges = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    // 16-bit normalized coordinate per column, bit-interleaved into z
+    val coords = cols.zipWithIndex.map { case (c, i) =>
+      val mn = ranges.getAs[Double](s"mn$i")
+      val span = math.max(ranges.getAs[Double](s"mx$i") - mn, java.lang.Double.MIN_VALUE)
+      least(floor((col(c).cast("double") - lit(mn)) / lit(span) * 65536.0), lit(65535.0))
+        .cast("long").as(s"u$i")
+    }
+    val k = cols.size
+    val zExpr = (0 until 16).flatMap { b =>
+      (0 until k).map { i =>
+        shiftleft(shiftright(col(s"u$i"), b).bitwiseAND(lit(1L)), b * k + i)
+      }
+    }.reduce[Column](_.bitwiseOR(_))
+    val out = df
+      .select(df.columns.map(col) ++ coords: _*)
+      .withColumn("_graft_z", zExpr)
+      .repartitionByRange(nFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop((cols.indices.map(i => s"u$i") :+ "_graft_z"): _*)
+    val (files, stats) = stageWithStats(out, root)
+    val v = base + 1
+    publish(root, Manifest(v, "cluster", df.schema.json, files, stats))
+    v
   }
 
   /** Drop manifests older than the last `keepVersions` and delete data files

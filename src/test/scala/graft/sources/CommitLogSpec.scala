@@ -180,6 +180,64 @@ class CommitLogSpec extends SparkTestBase {
       read(spark, root).filter(p4).count())
   }
 
+  test("additive schema evolution: new columns appear, old files read null") {
+    val root = tmpTable()
+    append(spark.range(3).selectExpr("id", "id * 2 AS v"), root)
+    append(spark.range(3, 5).selectExpr("id", "id * 2 AS v", "'x' AS tag"), root)
+    val snap = read(spark, root)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    assert(snap.filter("tag IS NULL").count() == 3) // old files fill null
+    assert(snap.filter("tag = 'x'").count() == 2)
+    // a later append may omit the evolved column too
+    append(spark.range(5, 6).selectExpr("id", "id * 2 AS v"), root)
+    assert(read(spark, root).filter("tag IS NULL").count() == 4)
+    // time travel keeps version 1's own two-column schema
+    assert(read(spark, root, Some(1L)).schema.fieldNames.toSeq == Seq("id", "v"))
+    // retyping an existing column is rejected
+    intercept[IllegalArgumentException](
+      append(spark.range(1).selectExpr("CAST(id AS STRING) AS id"), root))
+  }
+
+  test("changes() reads exactly the files added between two versions") {
+    val v1Data = spark.range(10).toDF("id")
+    val root = tmpTable()
+    val v1 = append(v1Data, root)
+    val v2 = append(spark.range(10, 14).toDF("id"), root)
+    val v3 = append(spark.range(14, 15).toDF("id"), root)
+    assert(changes(spark, root, v1, v2).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (10L until 14L))
+    assert(changes(spark, root, v1, v3).count() == 5)
+    assert(changes(spark, root, v2, v2).count() == 0)
+    intercept[IllegalArgumentException](changes(spark, root, v3, v1))
+  }
+
+  test("z-order clustering tightens pruning on every clustered column") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    // two independent uniform dimensions; 4 unsorted commits
+    (0 until 4).foreach { i =>
+      append(spark.range(i * 1000, i * 1000 + 1000)
+        .selectExpr("id", "id % 997 AS x", "(id * 7919) % 997 AS y"), root)
+    }
+    val before = readManifest(root, 4L)
+    val pred = col("y") >= 100 && col("y") < 150 // narrow slice of y
+    // before clustering every file spans ~all of y → nothing prunes
+    assert(prunedFiles(spark, before, pred).size == before.files.size)
+    val v = cluster(spark, root, Seq("x", "y"), nFiles = 16)
+    val after = readManifest(root, v)
+    assert(after.files.size == 16)
+    val prunedY = prunedFiles(spark, after, pred)
+    val prunedX = prunedFiles(spark, after, col("x") >= 100 && col("x") < 150)
+    assert(prunedY.size < after.files.size / 2,
+      s"y-pruning kept ${prunedY.size}/${after.files.size}")
+    assert(prunedX.size < after.files.size / 2,
+      s"x-pruning kept ${prunedX.size}/${after.files.size}")
+    // rewrite preserved content exactly
+    assert(readPruned(spark, root, pred).agg(sum("id")).collect()(0).getLong(0) ==
+      read(spark, root, Some(4L)).filter(pred).agg(sum("id")).collect()(0).getLong(0))
+    assert(read(spark, root).count() == 4000)
+  }
+
   test("pre-stats manifests (fileStats null) read and never prune") {
     import org.apache.spark.sql.functions._
     val root = tmpTable()
