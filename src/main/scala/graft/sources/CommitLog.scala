@@ -68,9 +68,15 @@ object CommitLog {
       op: String,
       schemaJson: String,
       files: Seq[String], // relative to root
-      fileStats: Seq[FileStat] = Nil) {
+      fileStats: Seq[FileStat] = Nil,
+      txn: Map[String, Long] = Map.empty) { // appId → last committed batchId
     /** Jackson leaves `fileStats` null when reading a pre-stats manifest. */
     def statsOrNil: Seq[FileStat] = Option(fileStats).getOrElse(Nil)
+    /** Same guard for pre-txn manifests; values widen via Number (erasure). */
+    def txnOrEmpty: Map[String, Long] =
+      Option(txn).getOrElse(Map.empty[String, Long])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
   }
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
@@ -205,9 +211,42 @@ object CommitLog {
     val (files, stats) = stageWithStats(df, root)
     publish(root, Manifest(v, "append", schema.json,
       prior.map(_.files).getOrElse(Nil) ++ files,
-      prior.map(_.statsOrNil).getOrElse(Nil) ++ stats))
+      prior.map(_.statsOrNil).getOrElse(Nil) ++ stats,
+      prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
     v
   }
+
+  /** Idempotent transactional append for streaming sinks: the manifest
+    * records, per writer id, the last batch it committed; a replayed batch
+    * (same `appId`, `batchId` ≤ recorded) is a no-op. This is the published
+    * Delta `txnAppId`/`txnVersion` idempotence protocol — combined with
+    * Structured Streaming's `foreachBatch` (which replays a batch after a
+    * failure with the SAME batchId) it yields exactly-once table commits on
+    * top of at-least-once batch delivery. See [[streamingSink]].
+    */
+  def appendTxn(df: DataFrame, root: String, appId: String, batchId: Long): Long = {
+    val base = currentVersion(root)
+    val prior = base.map(readManifest(root, _))
+    val last = prior.map(_.txnOrEmpty.getOrElse(appId, Long.MinValue))
+      .getOrElse(Long.MinValue)
+    if (batchId <= last) return base.get // replay — already committed
+    val v = base.getOrElse(0L) + 1
+    val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
+      .getOrElse(df.schema)
+    val (files, stats) = stageWithStats(df, root)
+    publish(root, Manifest(v, "append", schema.json,
+      prior.map(_.files).getOrElse(Nil) ++ files,
+      prior.map(_.statsOrNil).getOrElse(Nil) ++ stats,
+      prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId)))
+    v
+  }
+
+  /** `foreachBatch` body writing a stream into a CommitLog table with
+    * exactly-once semantics: `df.writeStream.foreachBatch(
+    * CommitLog.streamingSink(root, "my-app")).start()`.
+    */
+  def streamingSink(root: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => { appendTxn(batch, root, appId, batchId); () }
 
   /** Files added between two versions, read as a DataFrame — the
     * incremental-consumption surface (CDC-lite): a downstream job that
@@ -227,7 +266,8 @@ object CommitLog {
     val v = currentVersion(root).getOrElse(0L) + 1
     val (files, stats) =
       if (df.isEmpty) (Nil, Nil) else stageWithStats(df, root)
-    publish(root, Manifest(v, "overwrite", df.schema.json, files, stats))
+    publish(root, Manifest(v, "overwrite", df.schema.json, files, stats,
+      currentVersion(root).map(readManifest(root, _).txnOrEmpty).getOrElse(Map.empty)))
     v
   }
 
@@ -254,7 +294,8 @@ object CommitLog {
     val df = read(spark, root, Some(base)).repartition(nFiles)
     val (files, stats) = stageWithStats(df, root)
     val v = base + 1
-    publish(root, Manifest(v, "compact", df.schema.json, files, stats))
+    publish(root, Manifest(v, "compact", df.schema.json, files, stats,
+      readManifest(root, base).txnOrEmpty))
     v
   }
 
@@ -335,7 +376,7 @@ object CommitLog {
     val (files, stats) = stageWithStats(merged, root)
     val priorStats = m.statsOrNil.filter(s => untouched.contains(s.path))
     publish(root, Manifest(base + 1, "merge", schema.json,
-      untouched ++ files, priorStats ++ stats))
+      untouched ++ files, priorStats ++ stats, m.txnOrEmpty))
     base + 1
   }
 
@@ -352,7 +393,7 @@ object CommitLog {
       if (touched.isEmpty) (Nil, Nil) else stageWithStats(kept, root)
     val priorStats = m.statsOrNil.filter(s => untouched.contains(s.path))
     publish(root, Manifest(base + 1, "delete", m.schemaJson,
-      untouched ++ files, priorStats ++ stats))
+      untouched ++ files, priorStats ++ stats, m.txnOrEmpty))
     base + 1
   }
 
@@ -507,7 +548,8 @@ object CommitLog {
       .drop((cols.indices.map(i => s"u$i") :+ "_graft_z"): _*)
     val (files, stats) = stageWithStats(out, root)
     val v = base + 1
-    publish(root, Manifest(v, "cluster", df.schema.json, files, stats))
+    publish(root, Manifest(v, "cluster", df.schema.json, files, stats,
+      readManifest(root, base).txnOrEmpty))
     v
   }
 

@@ -238,6 +238,51 @@ class CommitLogSpec extends SparkTestBase {
     assert(read(spark, root).count() == 4000)
   }
 
+  test("appendTxn is idempotent per (appId, batchId); independent writers interleave") {
+    val root = tmpTable()
+    val b0 = spark.range(3).toDF("id")
+    appendTxn(b0, root, "app1", 0L)
+    appendTxn(spark.range(3, 5).toDF("id"), root, "app1", 1L)
+    // replayed batch 1 (failure recovery) must be a no-op
+    val vBefore = currentVersion(root).get
+    assert(appendTxn(spark.range(100, 200).toDF("id"), root, "app1", 1L) == vBefore)
+    assert(read(spark, root).count() == 5)
+    // a DIFFERENT writer with the same batchId still commits
+    appendTxn(spark.range(5, 6).toDF("id"), root, "app2", 1L)
+    assert(read(spark, root).count() == 6)
+    // plain appends leave txn state intact for later streaming batches
+    append(spark.range(6, 7).toDF("id"), root)
+    assert(appendTxn(spark.range(300, 400).toDF("id"), root, "app1", 1L) ==
+      currentVersion(root).get) // still deduped
+    assert(read(spark, root).count() == 7)
+  }
+
+  test("streamingSink commits micro-batches exactly once via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpTable()
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("id").writeStream
+      .foreachBatch(streamingSink(root, "stream-spec"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(4L, 5L)
+      q.processAllAvailable()
+      assert(read(spark, root).count() == 5)
+      // txn watermark recorded → re-delivering the last batch is a no-op
+      val m = readManifest(root, currentVersion(root).get)
+      val last = m.txnOrEmpty("stream-spec")
+      assert(appendTxn(spark.range(9).toDF("id"), root, "stream-spec", last) ==
+        currentVersion(root).get)
+      assert(read(spark, root).count() == 5)
+    } finally q.stop()
+  }
+
   test("pre-stats manifests (fileStats null) read and never prune") {
     import org.apache.spark.sql.functions._
     val root = tmpTable()
