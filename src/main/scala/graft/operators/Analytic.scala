@@ -530,5 +530,31 @@ object Analytic {
         """SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd_exact,
           |  TRUE AS within_bound
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Approximate quantiles with an oracle-checked ACCURACY CONTRACT (the
+    // q32 pattern applied to percentile sketches): the GK sketch value
+    // itself is engine-specific, but its rank-error guarantee is not.
+    // With accuracy=10000 the rank error is ≤ n/10000; the query emits the
+    // deterministic witness `count(x ≤ approx)/n ∈ [0.499, 0.501]` — true
+    // whenever the sketch honors its bound for the 0.5 quantile — plus the
+    // exact group sizes. Sketches merge map-side (two-phase aggregate):
+    // the 100 TB path exact `percentile` (q30) cannot take.
+    "q58_approx_quantile" -> QueryDef(
+      fn = { (s, dir) =>
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+        val ap = li.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap"))
+        li.join(broadcast(ap), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L)).as("le"))
+          .select(col("l_returnflag"), col("n"),
+            (col("le").cast("double") / col("n") >= 0.499 &&
+              col("le").cast("double") / col("n") <= 0.501).as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some(
+        """SELECT l_returnflag, count(*) AS n, TRUE AS within_bound
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

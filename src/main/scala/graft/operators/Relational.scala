@@ -288,5 +288,33 @@ object Relational {
            |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Distribution window functions — ntile/percent_rank/cume_dist (the
+    // rank/lag/frame families are covered by q05/q06/q26/q41). The window
+    // order carries a unique (orderkey, linenumber) tie-break so quartile
+    // boundaries are engine-independent; partitioned by bounded-cardinality
+    // l_returnflag — same scale shape as q05.
+    "q56_distribution_windows" -> QueryDef(
+      fn = { (s, dir) =>
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .filter(col("l_partkey") < 30)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      },
+      oracle = Some(
+        """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |  percent_rank() OVER w AS pr,
+          |  cume_dist() OVER w AS cd
+          |FROM lineitem WHERE l_partkey < 30
+          |WINDOW w AS (PARTITION BY l_returnflag
+          |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+          |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber""".stripMargin)),
   )
 }

@@ -436,5 +436,50 @@ object TextAnalysis {
           |      END) AS aug
           |  FROM documents)
           |ORDER BY doc_id""".stripMargin)),
+
+    // Blocked fuzzy join (entity resolution): corrupted part names (2nd
+    // character deleted — a deterministic "typo") matched back to the
+    // catalog by Levenshtein ≤ 2, best match = (min distance, min name).
+    // The join is an EQUI-join on a blocking key (first character, which
+    // the corruption preserves) — never all-pairs: at 100 TB each probe
+    // meets only its block, and the edit-distance filter runs inside the
+    // block. Real pipelines widen the key (length band, phonetic code);
+    // the shape is the point.
+    "q57_fuzzy_join" -> QueryDef(
+      fn = { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val names = Tables.load(s, dir, "part").select(col("p_name")).distinct()
+        val probes = names.select(
+          concat(substring(col("p_name"), 1, 1), substring(col("p_name"), 3, 1000))
+            .as("probe"))
+          .distinct()
+          .withColumn("bk", substring(col("probe"), 1, 1))
+        val catalog = names.withColumn("bk", substring(col("p_name"), 1, 1))
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("dist"), col("p_name"))
+        probes.join(catalog, Seq("bk"))
+          .withColumn("dist", levenshtein(col("probe"), col("p_name")).cast("long"))
+          .filter(col("dist") <= 2)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("probe"), col("p_name").as("matched"), col("dist"))
+          .orderBy("probe")
+      },
+      oracle = Some(
+        """WITH names AS (SELECT DISTINCT p_name FROM part),
+          |probes AS (
+          |  SELECT DISTINCT concat(substr(p_name, 1, 1), substr(p_name, 3)) AS probe
+          |  FROM names),
+          |cand AS (
+          |  SELECT p.probe, n.p_name,
+          |    CAST(levenshtein(p.probe, n.p_name) AS BIGINT) AS dist
+          |  FROM probes p JOIN names n
+          |    ON substr(p.probe, 1, 1) = substr(n.p_name, 1, 1)
+          |  WHERE levenshtein(p.probe, n.p_name) <= 2)
+          |SELECT probe, p_name AS matched, dist FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY probe
+          |             ORDER BY dist, p_name) AS rn
+          |  FROM cand) WHERE rn = 1
+          |ORDER BY probe""".stripMargin)),
   )
 }
