@@ -248,6 +248,20 @@ object CommitLog {
   def streamingSink(root: String, appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => { appendTxn(batch, root, appId, batchId); () }
 
+  /** Metadata-only COUNT(*): the sum of per-file row counts when every
+    * file in the snapshot carries stats (None otherwise — e.g. pre-stats
+    * manifests). At 100 TB this answers the most common query of all
+    * without touching a single data file.
+    */
+  def rowCount(root: String, version: Option[Long] = None): Option[Long] = {
+    val v = version.orElse(currentVersion(root)).getOrElse(return None)
+    val m = readManifest(root, v)
+    val stats = m.statsOrNil
+    if (m.files.isEmpty) Some(0L)
+    else if (stats.map(_.path).toSet == m.files.toSet) Some(stats.map(_.rows).sum)
+    else None
+  }
+
   /** Files added between two versions, read as a DataFrame — the
     * incremental-consumption surface (CDC-lite): a downstream job that
     * processed version `fromV` reads exactly the new data in `toV` without

@@ -198,6 +198,17 @@ class CommitLogSpec extends SparkTestBase {
       append(spark.range(1).selectExpr("CAST(id AS STRING) AS id"), root))
   }
 
+  test("rowCount answers from manifest stats without reading data") {
+    val root = tmpTable()
+    append(spark.range(7).toDF("id"), root)
+    append(spark.range(7, 12).toDF("id"), root)
+    assert(rowCount(root).contains(12L))
+    assert(rowCount(root, Some(1L)).contains(7L))
+    overwrite(spark.range(0).toDF("id"), root)
+    assert(rowCount(root).contains(0L))
+    assert(rowCount(java.nio.file.Files.createTempDirectory("empty").toString).isEmpty)
+  }
+
   test("changes() reads exactly the files added between two versions") {
     val v1Data = spark.range(10).toDF("id")
     val root = tmpTable()
