@@ -155,5 +155,31 @@ object TableOps {
            |FROM events
            |WHERE event_id >= (SELECT count(*) // 2 FROM events)
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental materialized-view maintenance: the view is refreshed
+    // TWICE, each time folding in only the newly committed half via
+    // changes() — the oracle is the full-table aggregate, so a matching
+    // hash proves delta-folding ≡ full recompute (exact DECIMAL sums make
+    // the fold order irrelevant bit-for-bit).
+    "q59_incremental_view" -> QueryDef(
+      fn = { (s, dir) =>
+        import graft.sources.IncrementalView
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val n = ev.count()
+        val src = tmp("graft-q59-src"); val view = tmp("graft-q59-view")
+        CommitLog.append(ev.filter(col("event_id") < n / 2), src)
+        val v1 = IncrementalView.refresh(s, src, view,
+          Seq("event_type"), "value", fromV = 0L)
+        CommitLog.append(ev.filter(col("event_id") >= n / 2), src)
+        IncrementalView.refresh(s, src, view, Seq("event_type"), "value", fromV = v1)
+        IncrementalView.serve(s, view)
+          .select(col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""SELECT event_type, count(*) AS cnt,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

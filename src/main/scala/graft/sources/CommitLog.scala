@@ -270,7 +270,10 @@ object CommitLog {
     */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes($fromV, $toV): versions out of order")
-    val before = readManifest(root, fromV).files.toSet
+    // fromV = 0 is the empty pre-table baseline: everything in toV is new
+    val before =
+      if (fromV == 0L) Set.empty[String]
+      else readManifest(root, fromV).files.toSet
     val after = readManifest(root, toV)
     readFiles(spark, root, after, after.files.filterNot(before))
   }

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental materialized-view maintenance over a CommitLog source:
+  * an additive aggregate view (COUNT + exact DECIMAL SUM per group) kept
+  * up to date by folding in ONLY the rows committed since the last refresh
+  * — `CommitLog.changes(lastV, currentV)` — never rescanning the table.
+  *
+  * The view itself is a CommitLog table, so refreshes are atomic commits
+  * and readers keep snapshot isolation while a refresh lands. Sums are
+  * stored as DECIMAL(18,6): exact and associative, so folding deltas in
+  * any order equals the full recompute bit-for-bit (a double sum would
+  * drift per refresh order); cast to double only at serving time.
+  *
+  * At 100 TB the refresh cost is O(new data) + O(view); for a view keyed
+  * by bounded-cardinality dimensions (the normal case) the view side is
+  * tiny. Deletes/updates in the source between refreshes are out of scope
+  * (append-only ranges — the same contract as `changes()`).
+  */
+object IncrementalView {
+
+  private val dec = DecimalType(18, 6)
+
+  /** Fold source commits (fromV, toV] into the view; returns the source
+    * version now reflected (pass it back as `fromV` next time; `fromV = 0`
+    * bootstraps from the full table). No new commits → no-op.
+    */
+  def refresh(
+      spark: SparkSession,
+      srcRoot: String,
+      viewRoot: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      fromV: Long): Long = {
+    val toV = CommitLog.currentVersion(srcRoot)
+      .getOrElse(throw new IllegalStateException(s"no commits at $srcRoot"))
+    if (toV == fromV) return toV
+    val delta = CommitLog.changes(spark, srcRoot, fromV, toV)
+      .groupBy(groupCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"),
+        // sum(DECIMAL(18,6)) widens to (28,6); pin the stored type so every
+        // view version carries the same schema
+        sum(col(valueCol).cast(dec)).cast(dec).as("sum_val"))
+    val combined = CommitLog.currentVersion(viewRoot) match {
+      case None => delta
+      case Some(_) =>
+        val prior = CommitLog.read(spark, viewRoot)
+          .withColumnRenamed("cnt", "p_cnt").withColumnRenamed("sum_val", "p_sum")
+        prior.join(delta, groupCols, "full_outer")
+          .select(groupCols.map(col) ++ Seq(
+            (coalesce(col("p_cnt"), lit(0L)) + coalesce(col("cnt"), lit(0L))).as("cnt"),
+            (coalesce(col("p_sum"), lit(0).cast(dec)) +
+              coalesce(col("sum_val"), lit(0).cast(dec))).cast(dec).as("sum_val")): _*)
+    }
+    CommitLog.overwrite(combined, viewRoot)
+    toV
+  }
+
+  /** Serving projection: exact decimals cast to double for consumers. */
+  def serve(spark: SparkSession, viewRoot: String): DataFrame = {
+    val v = CommitLog.read(spark, viewRoot)
+    v.select(v.columns.filterNot(Set("cnt", "sum_val")).map(col) ++
+      Seq(col("cnt"), col("sum_val").cast("double").as("sum_value")): _*)
+  }
+}

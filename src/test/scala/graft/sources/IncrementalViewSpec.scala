@@ -1,0 +1,50 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class IncrementalViewSpec extends SparkTestBase {
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  test("delta refreshes equal a full recompute; no-op when nothing changed") {
+    val src = tmp("iv-src"); val view = tmp("iv-view")
+    def wave(lo: Int, hi: Int) = CommitLog.append(
+      spark.range(lo, hi).selectExpr("id", "CAST(id % 3 AS STRING) AS g",
+        "CAST(id AS DOUBLE) / 7 AS x"), src)
+
+    wave(0, 100)
+    val v1 = IncrementalView.refresh(spark, src, view, Seq("g"), "x", 0L)
+    wave(100, 250)
+    val v2 = IncrementalView.refresh(spark, src, view, Seq("g"), "x", v1)
+    // no new commits → same version back, view untouched
+    assert(IncrementalView.refresh(spark, src, view, Seq("g"), "x", v2) == v2)
+
+    val got = IncrementalView.serve(spark, view)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = CommitLog.read(spark, src)
+      .groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    // the view is itself a CommitLog table: refreshes were atomic commits
+    assert(CommitLog.currentVersion(view).contains(2L))
+  }
+
+  test("a delta introducing a brand-new group joins the view") {
+    val src = tmp("iv-src2"); val view = tmp("iv-view2")
+    CommitLog.append(spark.range(10).selectExpr("id", "'a' AS g", "1.5 AS x"), src)
+    val v1 = IncrementalView.refresh(spark, src, view, Seq("g"), "x", 0L)
+    CommitLog.append(spark.range(5).selectExpr("id", "'b' AS g", "2.5 AS x"), src)
+    IncrementalView.refresh(spark, src, view, Seq("g"), "x", v1)
+    val rows = IncrementalView.serve(spark, view).orderBy("g").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 5L))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(15.0, 12.5))
+  }
+}
