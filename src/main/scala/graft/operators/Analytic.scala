@@ -556,5 +556,62 @@ object Analytic {
       oracle = Some(
         """SELECT l_returnflag, count(*) AS n, TRUE AS within_bound
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Fixed-width histogram (width_bucket analytics): value binned at
+    // width 50, counts + bounds per (event_type, bin). One two-phase
+    // aggregate over a single scan — bin assignment is per-row IEEE
+    // division, identical in both engines.
+    "q60_histogram" -> QueryDef(
+      fn = { (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("bin", floor(col("value") / 50.0).cast("long"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("lo"), max(col("value")).as("hi"))
+          .orderBy("event_type", "bin")
+      },
+      oracle = Some(
+        """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+          |  count(*) AS n, min(value) AS lo, max(value) AS hi
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Funnel analysis: strictly-ordered view → click → purchase per user.
+    // Stage k's entry time is the user's earliest qualifying event AFTER
+    // stage k-1 — computed as a chain of filtered min-aggregates joined on
+    // user_id (each stage: one shuffle on the user key; the per-user state
+    // is one timestamp, never an event list). All time math in exact
+    // integer microseconds (unix_micros ≡ epoch_us).
+    "q61_funnel" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+          .groupBy("user_id").agg(min(col("us")).as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("us") > col("t2"))
+          .groupBy("user_id").agg(min(col("us")).as("t3"))
+        v.agg(count(lit(1)).as("users")).select(lit("stage1_view").as("stage"), col("users"))
+          .unionByName(c.agg(count(lit(1)).as("users"))
+            .select(lit("stage2_click").as("stage"), col("users")))
+          .unionByName(p.agg(count(lit(1)).as("users"))
+            .select(lit("stage3_purchase").as("stage"), col("users")))
+          .orderBy("stage")
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+          |v AS (SELECT user_id, min(us) AS t1 FROM e
+          |      WHERE event_type = 'view' GROUP BY 1),
+          |c AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)
+          |      WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+          |p AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN c USING (user_id)
+          |      WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+          |SELECT 'stage1_view' AS stage, count(*) AS users FROM v
+          |UNION ALL SELECT 'stage2_click', count(*) FROM c
+          |UNION ALL SELECT 'stage3_purchase', count(*) FROM p
+          |ORDER BY stage""".stripMargin)),
   )
 }

@@ -80,9 +80,22 @@ object Similarity {
       .digest(s"$r:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     ((java.lang.Long.parseLong(hex, 16) % 1000001L) - 500000L).toFloat
   }
-  /** q35 uses the first 16 planes; q45's recall-heavy banding uses all 48. */
+  /** q35 uses the first 16 planes; q45's recall-heavy banding uses all 48.
+    *
+    * Bits-per-band is DERIVED from the similarity threshold, not free: at
+    * q45's cos ≥ 0.4 a plane agrees with p = 1 − θ/π ≈ 0.63, so a 2-bit
+    * band matches with p² ≈ 0.40 and 24 bands miss a threshold pair with
+    * (1−0.40)²⁴ ≈ 5·10⁻⁶ — effectively total recall, which the shared
+    * brute-force oracle then certifies exactly on this corpus. The price
+    * of so low a threshold is coarse bands (4 buckets each): candidate
+    * volume shrinks only ~4× per band vs all-pairs. That is the
+    * Indyk–Motwani tradeoff, not an implementation artifact — production
+    * near-dup thresholds (cos ≥ 0.8, p ≈ 0.80) support 8-bit bands
+    * (p_band ≈ 0.17, 256-bucket selectivity) where the same code prunes
+    * aggressively.
+    */
   private val NDUP_R = 48
-  private val NDUP_BANDS = 24 // 2 bits per band
+  private val NDUP_BANDS = 24 // 2 bits per band (see threshold note above)
   private val hplanes: IndexedSeq[Array[Float]] = (0 until NDUP_R).map(hplane)
 
   /** Brute-force threshold near-dup SQL — the oracle for BOTH q17 (the

@@ -248,6 +248,16 @@ object CommitLog {
   def streamingSink(root: String, appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => { appendTxn(batch, root, appId, batchId); () }
 
+  /** Expose a snapshot to the SQL surface (SqlMagic `%sql`, the JDBC
+    * thrift endpoint, `spark.sql`): registers a temp view over the current
+    * (or pinned) version. Re-register after new commits to advance the
+    * snapshot — the view itself stays immutable, which is exactly snapshot
+    * isolation as seen from SQL.
+    */
+  def createView(spark: SparkSession, root: String, name: String,
+      version: Option[Long] = None): Unit =
+    read(spark, root, version).createOrReplaceTempView(name)
+
   /** Metadata-only COUNT(*): the sum of per-file row counts when every
     * file in the snapshot carries stats (None otherwise — e.g. pre-stats
     * manifests). At 100 TB this answers the most common query of all

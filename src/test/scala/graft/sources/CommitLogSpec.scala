@@ -198,6 +198,19 @@ class CommitLogSpec extends SparkTestBase {
       append(spark.range(1).selectExpr("CAST(id AS STRING) AS id"), root))
   }
 
+  test("createView exposes pinned snapshots to the SQL surface") {
+    val root = tmpTable()
+    append(spark.range(4).toDF("id"), root)
+    createView(spark, root, "clv_latest")
+    createView(spark, root, "clv_v1", Some(1L))
+    append(spark.range(4, 10).toDF("id"), root)
+    // views are snapshots: both still read version 1 until re-registered
+    assert(spark.sql("SELECT count(*) FROM clv_v1").collect()(0).getLong(0) == 4)
+    createView(spark, root, "clv_latest")
+    assert(spark.sql("SELECT count(*) FROM clv_latest").collect()(0).getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM clv_v1").collect()(0).getLong(0) == 4)
+  }
+
   test("rowCount answers from manifest stats without reading data") {
     val root = tmpTable()
     append(spark.range(7).toDF("id"), root)
