@@ -613,5 +613,32 @@ object Analytic {
           |UNION ALL SELECT 'stage2_click', count(*) FROM c
           |UNION ALL SELECT 'stage3_purchase', count(*) FROM p
           |ORDER BY stage""".stripMargin)),
+
+    // Cohort retention: users grouped by the ISO week of their first event
+    // (cohort), counted in every week they were active. Shape: one
+    // min-aggregate for cohorts + one distinct for activity + one join on
+    // the user key — each a single shuffle; the output is bounded by
+    // weeks², not users. DATE output dodges ns-vs-us dtype skew.
+    "q63_cohort_retention" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = t(s, dir, "events")
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"))
+        val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+        val active = e.distinct()
+        active.join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort"), col("wk").as("active_week"))
+          .agg(count(lit(1)).as("users"))
+          .orderBy("cohort", "active_week")
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+          |  FROM events),
+          |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+          |a AS (SELECT DISTINCT user_id, wk FROM e)
+          |SELECT cohort, wk AS active_week, count(*) AS users
+          |FROM a JOIN f USING (user_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -481,5 +481,32 @@ object TextAnalysis {
           |             ORDER BY dist, p_name) AS rn
           |  FROM cand) WHERE rn = 1
           |ORDER BY probe""".stripMargin)),
+
+    // Fixed-size per-stratum sample (eval-set construction): exactly
+    // min(k, |stratum|) docs per language, selected by md5-hash rank —
+    // deterministic under any partitioning, no RNG, and the hash order is
+    // uncorrelated with doc content. The window partitions by language
+    // (bounded cardinality); at 100 TB a rank-k-of-stratum would instead
+    // use an approximate threshold + exact top-k refinement, but the
+    // per-stratum window IS the correct exact shape.
+    "q62_fixed_k_sample" -> QueryDef(
+      fn = { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs(s, dir)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select("doc_id", "lang", "rk")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, lang, rk FROM (
+          |  SELECT doc_id, lang,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          |  FROM documents)
+          |WHERE rk <= 10
+          |ORDER BY doc_id""".stripMargin)),
   )
 }
