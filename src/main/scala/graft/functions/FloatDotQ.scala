@@ -94,5 +94,11 @@ object GraftFunctions {
         FloatDotQ(args.head, args(1))
       },
       "built-in")
+    reg.createOrReplaceTempFunction("simhash32",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash32 takes exactly 1 argument")
+        SimHash32(args.head).toAggregateExpression()
+      },
+      "built-in")
   }
 }

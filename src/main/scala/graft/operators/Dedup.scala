@@ -78,23 +78,18 @@ object Dedup {
 
   /** SimHash hamming ≤ 3 candidate pairs (doc_a < doc_b) with the lossless
     * nibble-band equi-join — shared by q14 (pair list) and q47 (clusters).
-    * md5 is hoisted into ONE projected column — inside the aggregate each
-    * of the 32 vote-sums would recompute it per row (no cross-aggregate
-    * subexpression elimination: 32 md5s/row, observed 80s vs 3s at sf0.1).
+    * md5 is hoisted into ONE projected column, and the 32 per-digit vote
+    * sums + bit fold collapse into the native [[graft.functions.SimHash32]]
+    * aggregate: one int[32] buffer and one byte pass per row instead of 32
+    * substring expressions and 32 sum buffers (same semantics, proven by
+    * the unchanged q14/q47 oracles).
     */
   private def simhashPairs(d: DataFrame): DataFrame = {
-    val votes = (0 until 32).map { i =>
-      sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1))
-        .as(s"s$i")
-    }
-    val sums = shingles(d)
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    val fp = shingles(d)
       .select(col("doc_id"), md5(col("sh")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-    val fpCol = (0 until 32)
-      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
-    val fp = sums.select(col("doc_id"), fpCol.as("fp"))
+      .agg(call_function("simhash32", col("h")).as("fp"))
     val nibbles = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("nib"))

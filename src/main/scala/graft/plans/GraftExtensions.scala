@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "float_dot_q takes exactly 2 arguments")
         FloatDotQ(args.head, args(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[graft.functions.SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash32 takes exactly 1 argument")
+        graft.functions.SimHash32(args.head).toAggregateExpression()
+      }))
   }
 }
 
