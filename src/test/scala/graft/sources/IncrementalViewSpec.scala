@@ -36,6 +36,29 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(CommitLog.currentVersion(view).contains(2L))
   }
 
+  test("streaming ingest + incremental view: exactly-once commits feed delta refreshes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = tmp("iv-stream-src"); val view = tmp("iv-stream-view")
+    var last = 0L
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDF().toDF("g", "x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        CommitLog.appendTxn(batch, src, "iv-stream", id)
+        last = IncrementalView.refresh(spark, src, view, Seq("g"), "x", last)
+      }
+      .option("checkpointLocation", tmp("iv-ckpt"))
+      .start()
+    try {
+      mem.addData(("a", 1.0), ("b", 2.0)); q.processAllAvailable()
+      mem.addData(("a", 3.0)); q.processAllAvailable()
+      val rows = IncrementalView.serve(spark, view).orderBy("g").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq(("a", 2L, 4.0), ("b", 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("a delta introducing a brand-new group joins the view") {
     val src = tmp("iv-src2"); val view = tmp("iv-view2")
     CommitLog.append(spark.range(10).selectExpr("id", "'a' AS g", "1.5 AS x"), src)
