@@ -248,6 +248,26 @@ object CommitLog {
   def streamingSink(root: String, appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => { appendTxn(batch, root, appId, batchId); () }
 
+  /** Optimistic-concurrency retry loop: re-run `commit` (which must
+    * re-read the current version itself, as every DML here does) until it
+    * publishes without a [[CommitConflictException]]. Appends always
+    * logically succeed on retry; rewriting ops re-derive their touch set
+    * from the fresh snapshot — the documented Delta/Iceberg loser-retries
+    * protocol.
+    */
+  def withRetry[A](maxRetries: Int = 5)(commit: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return commit
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Expose a snapshot to the SQL surface (SqlMagic `%sql`, the JDBC
     * thrift endpoint, `spark.sql`): registers a temp view over the current
     * (or pinned) version. Re-register after new commits to advance the

@@ -198,6 +198,34 @@ class CommitLogSpec extends SparkTestBase {
       append(spark.range(1).selectExpr("CAST(id AS STRING) AS id"), root))
   }
 
+  test("withRetry: losing writer retries against the fresh snapshot and lands") {
+    val root = tmpTable()
+    append(spark.range(3).toDF("id"), root)
+    // Simulate losing the race once: the first attempt is preempted by a
+    // competing commit published between its read and its publish.
+    var raced = false
+    val v = withRetry() {
+      val base = currentVersion(root).get
+      if (!raced) {
+        raced = true
+        // competitor lands version base+1 first
+        val m = readManifest(root, base)
+        publish(root, m.copy(version = base + 1, op = "append"))
+        // our attempt now conflicts on base+1
+        publish(root, m.copy(version = base + 1, op = "overwrite"))
+        sys.error("unreachable — publish above must conflict")
+      }
+      append(spark.range(3, 5).toDF("id"), root)
+    }
+    assert(v == 3L) // competitor took 2, retry landed 3
+    assert(read(spark, root).count() == 5)
+    // exhausted retries propagate the conflict
+    intercept[CommitConflictException](withRetry(maxRetries = 0) {
+      val m = readManifest(root, 1L)
+      publish(root, m.copy(version = currentVersion(root).get, op = "append"))
+    })
+  }
+
   test("createView exposes pinned snapshots to the SQL surface") {
     val root = tmpTable()
     append(spark.range(4).toDF("id"), root)
