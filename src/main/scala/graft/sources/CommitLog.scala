@@ -513,7 +513,47 @@ object CommitLog {
   }
 
   /** The file subset [[readPruned]] would open (exposed for tests/EXPLAIN). */
-  def prunedFiles(spark: SparkSession, m: Manifest, predicate: Column): Seq[String] = {
+  def prunedFiles(spark: SparkSession, m: Manifest, predicate: Column): Seq[String] =
+    prunedByPred(spark, m, GraftBridge.pred(predicate))
+
+  /** Manifest schema / file reading / V1-filter pruning, exposed for the
+    * `graft-commitlog` data source ([[graft.sources.commitlog.DefaultSource]]).
+    */
+  def manifestSchema(m: Manifest): StructType = schemaOf(m)
+
+  def readManifestFiles(spark: SparkSession, root: String, m: Manifest,
+      files: Seq[String]): DataFrame = readFiles(spark, root, m, files)
+
+  /** Translate Catalyst-pushed V1 `sources.Filter`s to the pruning ADT and
+    * return the surviving file set. Unsupported filter shapes degrade to
+    * "keep" (the V1 contract re-applies all filters above the scan, so
+    * pruning only ever skips I/O).
+    */
+  def pruneForSourceFilters(spark: SparkSession, m: Manifest,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    import org.apache.spark.sql.{sources => sf}
+    import GraftBridge.{Attr, Fn, Lit, Opaque, Pred}
+    def l(v: Any): Pred = Lit(lit(v))
+    def conv(f: sf.Filter): Pred = f match {
+      case sf.EqualTo(a, v) => Fn("=", Seq(Attr(a), l(v)))
+      case sf.GreaterThan(a, v) => Fn(">", Seq(Attr(a), l(v)))
+      case sf.GreaterThanOrEqual(a, v) => Fn(">=", Seq(Attr(a), l(v)))
+      case sf.LessThan(a, v) => Fn("<", Seq(Attr(a), l(v)))
+      case sf.LessThanOrEqual(a, v) => Fn("<=", Seq(Attr(a), l(v)))
+      case sf.In(a, vs) => Fn("in", Attr(a) +: vs.toIndexedSeq.map(l))
+      case sf.IsNull(a) => Fn("isnull", Seq(Attr(a)))
+      case sf.IsNotNull(a) => Fn("isnotnull", Seq(Attr(a)))
+      case sf.And(x, y) => Fn("and", Seq(conv(x), conv(y)))
+      case sf.Or(x, y) => Fn("or", Seq(conv(x), conv(y)))
+      case _ => Opaque
+    }
+    val pred = filters.map(conv)
+      .reduceOption((a, b) => Fn("and", Seq(a, b))).getOrElse(Opaque)
+    prunedByPred(spark, m, pred)
+  }
+
+  private def prunedByPred(spark: SparkSession, m: Manifest,
+      pred: GraftBridge.Pred): Seq[String] = {
     val schema = schemaOf(m)
     val stats = m.statsOrNil
     val withStats = stats.map(_.path).toSet
@@ -545,7 +585,7 @@ object CommitLog {
             col(s"maxs__$c").cast(dt).as(s"max__$c"),
             col(s"nulls__$c"))
         }: _*)
-    val survive = surviveCond(GraftBridge.pred(predicate), tracked.toSet)
+    val survive = surviveCond(pred, tracked.toSet)
     val kept = typed.filter(survive).select("path__").collect().map(_.getString(0))
     m.files.filter(f => statless.contains(f) || kept.contains(f))
   }
