@@ -46,15 +46,17 @@ case class SimHash32(
   override def createAggregationBuffer(): Array[Int] = new Array[Int](32)
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    // Exactly the declarative semantics for the FULL input domain:
+    // `when(substring(h, i+1, 1) >= "8", 1).otherwise(-1)` votes −1 when
+    // the comparison is null (null input) or false ("" for positions past
+    // the end) — so a null row and every missing position vote −1, never
+    // abstain.
     val v = child.eval(input).asInstanceOf[UTF8String]
-    if (v != null) {
-      val bytes = v.getBytes
-      val n = math.min(32, bytes.length)
-      var i = 0
-      while (i < n) {
-        if (bytes(i) >= '8') buf(i) += 1 else buf(i) -= 1
-        i += 1
-      }
+    val bytes = if (v == null) Array.emptyByteArray else v.getBytes
+    var i = 0
+    while (i < 32) {
+      if (i < bytes.length && bytes(i) >= '8') buf(i) += 1 else buf(i) -= 1
+      i += 1
     }
     buf
   }

@@ -544,13 +544,19 @@ object Analytic {
         val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
         val ap = li.groupBy(col("l_returnflag"))
           .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap"))
+        // The returned value's rank is any r in (count(x < ap), count(x ≤ ap)]
+        // — with duplicated values that interval is wide, so the witness
+        // checks INTERVAL overlap with [0.499n, 0.501n], not a point:
+        // lt/n ≤ 0.501 ∧ le/n ≥ 0.499. Robust to ties; still falsified
+        // whenever the sketch's ±1e-4·n rank guarantee is violated.
         li.join(broadcast(ap), Seq("l_returnflag"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("ap"), 1L).otherwise(0L)).as("lt"),
             sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L)).as("le"))
           .select(col("l_returnflag"), col("n"),
-            (col("le").cast("double") / col("n") >= 0.499 &&
-              col("le").cast("double") / col("n") <= 0.501).as("within_bound"))
+            (col("lt").cast("double") / col("n") <= 0.501 &&
+              col("le").cast("double") / col("n") >= 0.499).as("within_bound"))
           .orderBy("l_returnflag")
       },
       oracle = Some(

@@ -27,8 +27,25 @@ import graft.sources.CommitLog
   */
 object TableOps {
 
+  /** All per-invocation scratch tables live under ONE JVM-scoped root that
+    * a shutdown hook removes — repeated bench/verify runs (warmup + timed)
+    * would otherwise leak a full table copy per invocation into /tmp.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft-tableops")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach(rm)
+        Files.deleteIfExists(p)
+      }
+      try rm(root) catch { case _: Throwable => () }
+    }))
+    root
+  }
+
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    Files.createTempDirectory(scratchRoot, prefix).toString
 
   val queries: Map[String, QueryDef] = Map(
 

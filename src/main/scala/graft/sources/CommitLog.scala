@@ -300,6 +300,16 @@ object CommitLog {
     */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes($fromV, $toV): versions out of order")
+    // Enforce the append-only contract instead of trusting the caller: a
+    // rewrite op (compact/merge/delete/overwrite/cluster) in the range
+    // re-stages EXISTING rows into new files, which this file-diff would
+    // silently return as "new" — e.g. IncrementalView would double-count.
+    ((fromV + 1) to toV).foreach { v =>
+      val op = readManifest(root, v).op
+      require(op == "append",
+        s"changes($fromV, $toV): version $v is '$op' — the range must be " +
+          "append-only (rewrites re-stage existing rows as new files)")
+    }
     // fromV = 0 is the empty pre-table baseline: everything in toV is new
     val before =
       if (fromV == 0L) Set.empty[String]
@@ -310,11 +320,12 @@ object CommitLog {
 
   /** Replace the table contents with `df` (zero rows allowed) atomically. */
   def overwrite(df: DataFrame, root: String): Long = {
-    val v = currentVersion(root).getOrElse(0L) + 1
+    val prior = currentVersion(root).map(readManifest(root, _))
+    val v = prior.map(_.version).getOrElse(0L) + 1
     val (files, stats) =
       if (df.isEmpty) (Nil, Nil) else stageWithStats(df, root)
     publish(root, Manifest(v, "overwrite", df.schema.json, files, stats,
-      currentVersion(root).map(readManifest(root, _).txnOrEmpty).getOrElse(Map.empty)))
+      prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
     v
   }
 
@@ -398,33 +409,45 @@ object CommitLog {
     val schema = schemaOf(m)
     require(source.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
       s"merge source columns ${source.columns.mkString(",")} != table schema")
-    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    require(src.groupBy(keys.map(col).toIndexedSeq: _*)
-      .count().filter(col("count") > 1).isEmpty,
-      "merge source has duplicate keys — ambiguous MATCHED action")
+    // Names AND types must match: a widened source (e.g. long → double)
+    // would otherwise stage parquet files whose physical types contradict
+    // the published manifest schema, making the table unreadable.
+    schema.fields.foreach { f =>
+      val st = source.schema(f.name).dataType
+      require(st == f.dataType,
+        s"merge source retypes ${f.name}: ${f.dataType.simpleString} -> ${st.simpleString}")
+    }
+    // The source is evaluated three times (dup-key check, touch probe,
+    // staging) — persist it so an expensive upstream pipeline runs once.
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*).persist()
+    try {
+      require(src.groupBy(keys.map(col).toIndexedSeq: _*)
+        .count().filter(col("count") > 1).isEmpty,
+        "merge source has duplicate keys — ambiguous MATCHED action")
 
-    val srcKeys = src.select(keys.map(col).toIndexedSeq: _*)
-    val touched = touchedFiles(spark, root, m)(
-      _.join(srcKeys, keys, "left_semi"))
-    val untouched = m.files.filterNot(touched.contains)
-    val tTouched = readFiles(spark, root, m, touched)
+      val srcKeys = src.select(keys.map(col).toIndexedSeq: _*)
+      val touched = touchedFiles(spark, root, m)(
+        _.join(srcKeys, keys, "left_semi"))
+      val untouched = m.files.filterNot(touched.contains)
+      val tTouched = readFiles(spark, root, m, touched)
 
-    // Full-row replace collapses the merged touch-set to one anti-join and
-    // a union: (touched target rows with no source key) ∪ (every surviving
-    // source row). A surviving source row that matched is the UPDATE; one
-    // that matched nothing anywhere is the INSERT (any matching key would
-    // have made its file touched); a source row failing `deleteWhen` simply
-    // never reappears — MERGE … WHEN MATCHED DELETE.
-    val keep = deleteWhen.map(c => src.filter(!coalesce(c, lit(false))))
-      .getOrElse(src)
-    val merged = tTouched.join(srcKeys, keys, "left_anti")
-      .unionByName(keep)
+      // Full-row replace collapses the merged touch-set to one anti-join and
+      // a union: (touched target rows with no source key) ∪ (every surviving
+      // source row). A surviving source row that matched is the UPDATE; one
+      // that matched nothing anywhere is the INSERT (any matching key would
+      // have made its file touched); a source row failing `deleteWhen` simply
+      // never reappears — MERGE … WHEN MATCHED DELETE.
+      val keep = deleteWhen.map(c => src.filter(!coalesce(c, lit(false))))
+        .getOrElse(src)
+      val merged = tTouched.join(srcKeys, keys, "left_anti")
+        .unionByName(keep)
 
-    val (files, stats) = stageWithStats(merged, root)
-    val priorStats = m.statsOrNil.filter(s => untouched.contains(s.path))
-    publish(root, Manifest(base + 1, "merge", schema.json,
-      untouched ++ files, priorStats ++ stats, m.txnOrEmpty))
-    base + 1
+      val (files, stats) = stageWithStats(merged, root)
+      val priorStats = m.statsOrNil.filter(s => untouched.contains(s.path))
+      publish(root, Manifest(base + 1, "merge", schema.json,
+        untouched ++ files, priorStats ++ stats, m.txnOrEmpty))
+      base + 1
+    } finally src.unpersist()
   }
 
   /** Copy-on-write DELETE: rewrite only files containing a matching row. */

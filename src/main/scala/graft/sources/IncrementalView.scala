@@ -47,10 +47,14 @@ object IncrementalView {
     val combined = CommitLog.currentVersion(viewRoot) match {
       case None => delta
       case Some(_) =>
-        val prior = CommitLog.read(spark, viewRoot)
-          .withColumnRenamed("cnt", "p_cnt").withColumnRenamed("sum_val", "p_sum")
-        prior.join(delta, groupCols, "full_outer")
-          .select(groupCols.map(col) ++ Seq(
+        val prior = CommitLog.read(spark, viewRoot).toDF(
+          groupCols.map(c => s"p_$c") ++ Seq("p_cnt", "p_sum"): _*)
+        // Null-safe (<=>) join keys: a plain USING join never matches a
+        // NULL group to itself, which would duplicate the null group's row
+        // on every refresh instead of folding it.
+        val cond = groupCols.map(c => prior(s"p_$c") <=> delta(c)).reduce(_ && _)
+        prior.join(delta, cond, "full_outer")
+          .select(groupCols.map(c => coalesce(delta(c), prior(s"p_$c")).as(c)) ++ Seq(
             (coalesce(col("p_cnt"), lit(0L)) + coalesce(col("cnt"), lit(0L))).as("cnt"),
             (coalesce(col("p_sum"), lit(0).cast(dec)) +
               coalesce(col("sum_val"), lit(0).cast(dec))).cast(dec).as("sum_val")): _*)

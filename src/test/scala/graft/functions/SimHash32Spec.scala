@@ -26,16 +26,32 @@ class SimHash32Spec extends SparkTestBase {
     assert(native.count() == 37)
   }
 
-  test("null inputs are skipped; non-string input fails analysis") {
+  test("null and short inputs vote −1 like the declarative form; bad type fails analysis") {
     GraftFunctions.register(spark)
     import spark.implicits._
-    val withNulls = Seq(Some("0" * 32), None, Some("f" * 32)).toDF("h")
+    def declarative(d: org.apache.spark.sql.DataFrame) = {
+      val votes = (0 until 32).map(i =>
+        sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$i"))
+      val fpCol = (0 until 32)
+        .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+      d.groupBy("g").agg(votes.head, votes.tail: _*)
+        .select(fpCol.as("fp")).collect()(0).getLong(0)
+    }
+    def native(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(call_function("simhash32", col("h")).as("fp"))
+        .collect()(0).getLong(1)
+    // a null must vote −1 everywhere (when().otherwise(-1) semantics), so
+    // {null, all-high} cancels to no bits set — not the skip-null 0xFFFFFFFF
+    val withNull = Seq(Option.empty[String], Some("f" * 32)).toDF("h")
       .select(lit(1).as("g"), col("h"))
-    val fp = withNulls.groupBy("g")
-      .agg(call_function("simhash32", col("h")).as("fp"))
-      .collect()(0).getLong(1)
-    // "0"*32 votes −1 everywhere, "f"*32 votes +1 → all sums 0 → no bit set
-    assert(fp == 0L)
+    assert(native(withNull) == declarative(withNull))
+    assert(native(withNull) == 0L)
+    // positions past a short string's end vote −1 ("" >= "8" is false)
+    val short = Seq(Some("ffff"), Some("ff")).toDF("h")
+      .select(lit(1).as("g"), col("h"))
+    assert(native(short) == declarative(short))
+    assert(native(short) == 0x3L) // only the first two high chars agree
     intercept[Exception](
       spark.range(1).select(call_function("simhash32", col("id"))).collect())
   }

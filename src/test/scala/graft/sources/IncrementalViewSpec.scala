@@ -59,6 +59,34 @@ class IncrementalViewSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a NULL group key folds across refreshes instead of duplicating") {
+    val src = tmp("iv-null-src"); val view = tmp("iv-null-view")
+    def wave(lo: Int, hi: Int) = CommitLog.append(
+      spark.range(lo, hi).selectExpr("id",
+        "IF(id % 2 = 0, CAST(NULL AS STRING), 'a') AS g", "1.0 AS x"), src)
+    wave(0, 10)
+    val v1 = IncrementalView.refresh(spark, src, view, Seq("g"), "x", 0L)
+    wave(10, 20)
+    IncrementalView.refresh(spark, src, view, Seq("g"), "x", v1)
+    val rows = IncrementalView.serve(spark, view)
+      .orderBy(asc_nulls_first("g")).collect()
+    assert(rows.length == 2) // ONE folded null-group row, not one per refresh
+    assert(rows(0).isNullAt(0) && rows(0).getLong(1) == 10L)
+    assert(rows(1).getString(0) == "a" && rows(1).getLong(1) == 10L)
+  }
+
+  test("refresh refuses a range containing a rewrite commit") {
+    val src = tmp("iv-rw-src"); val view = tmp("iv-rw-view")
+    CommitLog.append(spark.range(10).selectExpr("id", "'a' AS g", "1.0 AS x"), src)
+    val v1 = IncrementalView.refresh(spark, src, view, Seq("g"), "x", 0L)
+    CommitLog.compact(spark, src) // re-stages existing rows into new files
+    CommitLog.append(spark.range(10, 12).selectExpr("id", "'a' AS g", "1.0 AS x"), src)
+    // silently double-counting the compacted rows would be corruption —
+    // the append-only contract is enforced, not just documented
+    intercept[IllegalArgumentException](
+      IncrementalView.refresh(spark, src, view, Seq("g"), "x", v1))
+  }
+
   test("a delta introducing a brand-new group joins the view") {
     val src = tmp("iv-src2"); val view = tmp("iv-view2")
     CommitLog.append(spark.range(10).selectExpr("id", "'a' AS g", "1.5 AS x"), src)
