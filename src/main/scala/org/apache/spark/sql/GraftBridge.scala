@@ -29,4 +29,15 @@ object GraftBridge {
   }
 
   def pred(c: Column): Pred = toPred(c.node)
+
+  /** Re-brand a batch DataFrame's rows as a STREAMING DataFrame — what a V1
+    * streaming `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`). `internalCreateDataFrame` is `private[sql]`; every
+    * published V1 source wrapper reaches it the same way.
+    */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

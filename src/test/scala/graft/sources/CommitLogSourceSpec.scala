@@ -47,6 +47,27 @@ class CommitLogSourceSpec extends SparkTestBase {
     assert(odd.count() == 200)
   }
 
+  test("streaming source tails commits: versions are offsets, batches are changes()") {
+    val root = Files.createTempDirectory("graft-dsv1-stream").toString
+    CommitLog.append(spark.range(3).toDF("id"), root)
+    val q = spark.readStream.format("graft-commitlog").load(root)
+      .writeStream.format("memory").queryName("cl_tail")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dsv1-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cl_tail").collect()(0).getLong(0) == 3)
+      // new commits stream through as fresh micro-batches
+      CommitLog.append(spark.range(3, 7).toDF("id"), root)
+      CommitLog.append(spark.range(7, 8).toDF("id"), root)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cl_tail").collect()(0).getLong(0) == 8)
+      assert(spark.sql("SELECT sum(id) FROM cl_tail").collect()(0).getLong(0) ==
+        (0L until 8L).sum)
+    } finally q.stop()
+  }
+
   test("SQL DDL: CREATE TEMPORARY VIEW ... USING graft-commitlog") {
     val root = table()
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW commitlog_sql
