@@ -313,6 +313,11 @@ object Dedup {
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= 100)
           .select("sh")
+        // `kept` feeds BOTH the posting lists and the per-doc sizes. The
+        // recompute is deliberate: persisting it was measured 3× SLOWER at
+        // sf0.1 (13s vs 3.8s — MEMORY_AND_DISK serialization of the full
+        // shingle expansion costs more than re-running the codegen'd
+        // pipeline, and the cache barrier defeats AQE pipelining).
         val kept = sh.join(lightShingles, Seq("sh"), "left_semi")
         val postings = kept
           .groupBy(col("sh"))
