@@ -1,145 +1,341 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Minimal versioned-manifest table format: the ACID layer the plain
+/** Minimal versioned-log table format: the ACID layer the plain
   * managed-parquet path lacks (BASELINE names "Spark + Delta/Iceberg table
   * ops"; zero egress rules those jars out, so this implements the core of
-  * the published commit-protocol design — a log of immutable manifests with
-  * atomic publication — directly).
+  * the published commit-protocol design — an incremental action log with
+  * periodic checkpoints and atomic publication — directly).
   *
   * Layout:
   * {{{
-  *   <root>/_graft_log/v00000000000000000001.json   // one manifest per commit
-  *   <root>/data/<commit-uuid>/part-*.parquet        // immutable data files
+  *   <root>/_graft_log/v00000000000000000001.json            // one COMMIT (delta) per version
+  *   <root>/_graft_log/v00000000000000000010.checkpoint.json // full snapshot every K commits
+  *   <root>/_graft_log/_last_checkpoint                      // pointer {"version": N}
+  *   <root>/data/<commit-uuid>/part-*.parquet                // immutable data files
+  *   <root>/data/<commit-uuid>/__gp_<col>=<v>/part-*.parquet // partitioned append layout
   * }}}
   *
   * Guarantees:
   *  - **Atomic commit**: data files are fully written into a fresh
   *    `data/<uuid>/` dir FIRST; the commit is a single hard-link creation of
-  *    the next manifest (`Files.createLink` fails atomically if the version
-  *    exists). A crash mid-write leaves unreferenced garbage, never a
-  *    half-visible table.
+  *    the next commit file (`Files.createLink` fails atomically if the
+  *    version exists). A crash mid-write leaves unreferenced garbage, never
+  *    a half-visible table.
   *  - **Optimistic concurrency**: two writers racing to version N+1 — one
   *    wins the link creation, the other gets [[CommitConflictException]]
   *    and must re-read and retry (the documented Delta/Iceberg protocol).
-  *  - **Snapshot isolation / time travel**: a reader resolves ONE manifest
+  *  - **Snapshot isolation / time travel**: a reader resolves ONE snapshot
   *    and reads only files it references; compaction and overwrite publish
-  *    new manifests and never mutate old files, so `read(version = Some(n))`
+  *    new commits and never mutate old files, so `read(version = Some(n))`
   *    keeps returning the historical snapshot until [[vacuum]].
-  *  - **Schema on empty**: each manifest carries the Spark schema JSON, so a
-  *    zero-file snapshot still reads as an empty, correctly-typed DataFrame
-  *    (the dynamic-partition-overwrite zero-row hole does not exist here).
-  *
-  * At 100 TB the log is metadata-only (KBs per commit, data moves never),
-  * and reads list one manifest instead of walking the directory tree —
-  * exactly why table formats beat directory-scan tables at scale.
+  *  - **O(N) metadata**: each commit records only its own adds/removes
+  *    (KBs, independent of table size); every [[CheckpointInterval]] commits
+  *    a full checkpoint manifest is written and `_last_checkpoint` advanced,
+  *    so snapshot resolution reads one checkpoint plus at most K deltas and
+  *    [[currentVersion]] probes forward from the pointer instead of listing
+  *    the log directory. This is the published Delta checkpoint design; the
+  *    naive alternative (each commit rewrites the full file list) costs
+  *    O(N²) cumulative log bytes and a directory listing per read — fatal at
+  *    10⁵–10⁶ files.
   */
 object CommitLog {
 
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
-  /** Per-file column statistics for scan pruning: min/max rendered as
-    * strings via `CAST(x AS STRING)` (re-cast to the column type at prune
-    * time, so comparisons are typed, never lexicographic), plus null counts.
-    * Only atomic comparable types are tracked; other columns simply never
-    * prune. This is the manifest-level stats design of the published
-    * Delta/Iceberg protocols — KBs of metadata per commit that let a reader
-    * skip whole files without opening a footer.
+  /** Full checkpoint every this many commits. Delta's default is 10. */
+  private[sources] val CheckpointInterval = 10L
+
+  /** Unreferenced files younger than this survive [[vacuum]] by default: a
+    * concurrent writer's freshly staged (not yet published) files are
+    * unreferenced at vacuum time, and deleting them would corrupt the commit
+    * it is about to publish. Delta ships the same mtime-based guard
+    * (`deletedFileRetentionDuration`, default 7 days).
+    */
+  private[sources] val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Per-file column statistics for scan pruning: min/max rendered
+    * zone-independently as strings (timestamps as unix micros — a session-
+    * timezone-dependent rendering would shift pruning bounds between writer
+    * and reader sessions and silently skip matching files), plus null
+    * counts, byte size, and — for partitioned appends — the partition tuple
+    * (on partition columns min = max, so stats pruning is exact partition
+    * pruning). Only atomic comparable types are tracked; other columns
+    * simply never prune.
     */
   final case class FileStat(
       path: String, // relative to root
       rows: Long,
-      mins: Map[String, String],
-      maxs: Map[String, String],
-      nullCounts: Map[String, Long])
+      bytes: Long = 0L,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      nullCounts: Map[String, Long] = Map.empty,
+      partitions: Map[String, String] = Map.empty) {
+    def minsOrEmpty: Map[String, String] = Option(mins).getOrElse(Map.empty)
+    def maxsOrEmpty: Map[String, String] = Option(maxs).getOrElse(Map.empty)
+    def partitionsOrEmpty: Map[String, String] =
+      Option(partitions).getOrElse(Map.empty)
+  }
 
+  /** On-disk per-version record: the DELTA of one transaction (Delta's
+    * add/remove actions). `schemaJson`, `partitionBy` and `txn` carry the
+    * full post-commit value — they are metadata-sized regardless of table
+    * size, so folding them incrementally would buy nothing.
+    */
+  final case class Commit(
+      version: Long,
+      op: String,
+      schemaJson: String,
+      add: Seq[FileStat] = Nil,
+      remove: Seq[String] = Nil, // root-relative paths dropped from the snapshot
+      partitionBy: Seq[String] = Nil,
+      txn: Map[String, Long] = Map.empty) { // appId → last committed batchId
+    def addOrNil: Seq[FileStat] = Option(add).getOrElse(Nil)
+    def removeOrNil: Seq[String] = Option(remove).getOrElse(Nil)
+    def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
+    def txnOrEmpty: Map[String, Long] = widenTxn(txn)
+  }
+
+  /** Materialized snapshot at one version — what readers resolve, and the
+    * checkpoint file format. `fileStats` IS the file list (stats are
+    * computed at stage time for every file).
+    */
   final case class Manifest(
       version: Long,
       op: String,
       schemaJson: String,
-      files: Seq[String], // relative to root
       fileStats: Seq[FileStat] = Nil,
-      txn: Map[String, Long] = Map.empty) { // appId → last committed batchId
-    /** Jackson leaves `fileStats` null when reading a pre-stats manifest. */
+      partitionBy: Seq[String] = Nil,
+      txn: Map[String, Long] = Map.empty) {
     def statsOrNil: Seq[FileStat] = Option(fileStats).getOrElse(Nil)
-    /** Same guard for pre-txn manifests; values widen via Number (erasure). */
-    def txnOrEmpty: Map[String, Long] =
-      Option(txn).getOrElse(Map.empty[String, Long])
-        .asInstanceOf[Map[String, Any]]
-        .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
+    def files: Seq[String] = statsOrNil.map(_.path)
+    def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
+    def txnOrEmpty: Map[String, Long] = widenTxn(txn)
   }
 
+  /** Jackson + erasure leaves Map[String, Long] values as boxed Integers. */
+  private def widenTxn(m: Map[String, Long]): Map[String, Long] =
+    Option(m).getOrElse(Map.empty[String, Long])
+      .asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
+
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
 
   private def logDir(root: String): Path = Paths.get(root, "_graft_log")
-  private def manifestPath(root: String, v: Long): Path =
+  private def commitPath(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%020d.json")
+  private def checkpointPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"v$v%020d.checkpoint.json")
+  private def lastCheckpointPath(root: String): Path =
+    logDir(root).resolve("_last_checkpoint")
 
-  /** Largest committed version, if any. */
+  /** Java NIO directory streams hold an open FD until closed — every
+    * listing in this class goes through these two, never a bare
+    * `Files.list`/`Files.walk` (a leak per commit adds up in a long-lived
+    * driver).
+    */
+  private def withList[A](dir: Path)(f: Iterator[Path] => A): A =
+    Using.resource(Files.list(dir))(s => f(s.iterator().asScala))
+  private def withWalk[A](dir: Path)(f: Iterator[Path] => A): A =
+    Using.resource(Files.walk(dir))(s => f(s.iterator().asScala))
+
+  // --------------------------------------------------------------------
+  // Log access: commits, checkpoints, snapshot resolution
+  // --------------------------------------------------------------------
+
+  private final case class CheckpointHint(version: Long)
+
+  private def lastCheckpointVersion(root: String): Option[Long] = {
+    val p = lastCheckpointPath(root)
+    if (!Files.exists(p)) None
+    else
+      // A torn/concurrent pointer write is survivable: the pointer is a
+      // performance hint, never the source of truth.
+      try Some(mapper.readValue(Files.readAllBytes(p), classOf[CheckpointHint]).version)
+      catch { case _: Exception => None }
+  }
+
+  /** Advance `_last_checkpoint` to `v` if it is newer (monotone hint). */
+  private def advanceLastCheckpoint(root: String, v: Long): Unit = {
+    if (lastCheckpointVersion(root).exists(_ >= v)) return
+    val tmp = logDir(root).resolve(s".ckpt-${UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(CheckpointHint(v)))
+    Files.move(tmp, lastCheckpointPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def writeCheckpoint(root: String, m: Manifest): Unit = {
+    val target = checkpointPath(root, m.version)
+    if (Files.exists(target)) return // idempotent — same fold, same content
+    val tmp = logDir(root).resolve(s".tmp-ckpt-${UUID.randomUUID()}.json")
+    Files.write(tmp, mapper.writeValueAsBytes(m))
+    try Files.createLink(target, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won; identical content
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Largest committed version, if any — O(commits since last checkpoint):
+    * probe forward from the `_last_checkpoint` hint instead of listing the
+    * whole log directory (which is O(total commits) per call — on every
+    * read AND every commit).
+    */
   def currentVersion(root: String): Option[Long] = {
-    val dir = logDir(root)
-    if (!Files.isDirectory(dir)) None
-    else {
-      val vs = Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toLong
+    if (!Files.isDirectory(logDir(root))) return None
+    val start = lastCheckpointVersion(root) match {
+      case Some(v) => v
+      case None =>
+        // No pointer yet: young table (< K commits) — probe from v1 — or a
+        // log written by hand; fall back to one listing for the latter.
+        if (Files.exists(commitPath(root, 1L))) 1L
+        else {
+          val vs = withList(logDir(root))(_.map(_.getFileName.toString)
+            .filter(s => s.startsWith("v") && s.endsWith(".json") &&
+              !s.contains("checkpoint"))
+            .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq)
+          return if (vs.isEmpty) None else Some(vs.max)
         }
-        .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
+    }
+    var v = start
+    while (Files.exists(commitPath(root, v + 1))) v += 1
+    Some(v)
+  }
+
+  private def readCommit(root: String, v: Long): Commit = {
+    val p = commitPath(root, v)
+    require(Files.exists(p), s"no commit for version $v under $root")
+    mapper.readValue(Files.readAllBytes(p), classOf[Commit])
+  }
+
+  private def foldCommit(prior: Option[Manifest], c: Commit): Manifest = {
+    val removed = c.removeOrNil.toSet
+    Manifest(c.version, c.op, c.schemaJson,
+      prior.map(_.statsOrNil).getOrElse(Nil).filterNot(s => removed(s.path)) ++
+        c.addOrNil,
+      c.partitionByOrNil, c.txnOrEmpty)
+  }
+
+  /** Materialize the snapshot at version `v`: nearest checkpoint at or
+    * below `v` plus the commit deltas after it. Checkpoints are written
+    * every [[CheckpointInterval]] commits (and by [[vacuum]] at its keep
+    * boundary), so the probe window of K+1 versions always finds one once
+    * the table is older than K commits; younger tables fold from v1.
+    */
+  def readManifest(root: String, v: Long): Manifest = {
+    require(v >= 1, s"versions start at 1, got $v")
+    val lo = math.max(1L, v - CheckpointInterval)
+    val ckpt = (v to lo by -1).find(cv => Files.exists(checkpointPath(root, cv)))
+    ckpt match {
+      case Some(cv) =>
+        val base = mapper.readValue(
+          Files.readAllBytes(checkpointPath(root, cv)), classOf[Manifest])
+        ((cv + 1) to v).foldLeft(base)((m, i) => foldCommit(Some(m), readCommit(root, i)))
+      case None =>
+        require(Files.exists(commitPath(root, v)),
+          s"no manifest for version $v under $root")
+        (1L to v).foldLeft(Option.empty[Manifest])(
+          (m, i) => Some(foldCommit(m, readCommit(root, i)))).get
     }
   }
 
-  def readManifest(root: String, v: Long): Manifest = {
-    val p = manifestPath(root, v)
-    require(Files.exists(p), s"no manifest for version $v under $root")
-    mapper.readValue(Files.readAllBytes(p), classOf[Manifest])
-  }
-
-  /** Atomically publish `m` as version `m.version`. The manifest is staged
-    * to a temp file and hard-linked into place — link creation is the
+  /** Atomically publish commit `c` as version `c.version`. The record is
+    * staged to a temp file and hard-linked into place — link creation is the
     * atomic, fail-if-exists commit point.
     */
-  private[sources] def publish(root: String, m: Manifest): Unit = {
+  private[sources] def publish(root: String, c: Commit): Unit = {
     Files.createDirectories(logDir(root))
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}.json")
-    Files.write(tmp, mapper.writeValueAsBytes(m))
-    try Files.createLink(manifestPath(root, m.version), tmp)
+    Files.write(tmp, mapper.writeValueAsBytes(c))
+    try Files.createLink(commitPath(root, c.version), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(
-          s"version ${m.version} was committed concurrently at $root")
+          s"version ${c.version} was committed concurrently at $root")
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Write `df`'s rows as a new immutable file set under `data/<uuid>/` and
-    * return their root-relative paths. Nothing is visible until a manifest
-    * referencing them is published.
+  /** Publish + maintain checkpoints: every K-th version also writes the
+    * full materialized snapshot and advances the pointer. `prior` is the
+    * snapshot the commit was built against (version - 1), which the caller
+    * already holds — no re-read.
     */
-  private def stage(df: DataFrame, root: String): Seq[String] = {
+  private[sources] def commitDelta(
+      root: String, prior: Option[Manifest], c: Commit): Unit = {
+    publish(root, c)
+    if (c.version % CheckpointInterval == 0L) {
+      writeCheckpoint(root, foldCommit(prior, c))
+      advanceLastCheckpoint(root, c.version)
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // Staging: immutable data files + zone-independent stats
+  // --------------------------------------------------------------------
+
+  /** Write `df`'s rows as a new immutable file set under `data/<uuid>/` and
+    * return their root-relative paths. Nothing is visible until a commit
+    * referencing them is published.
+    *
+    * With `partitionBy` set, rows are hash-repartitioned on the partition
+    * columns and written `partitionBy` DUPLICATE columns (`__gp_<col>`), so
+    * every data file keeps the full table schema yet is single-valued on
+    * each partition column — min = max in its stats, making stats pruning
+    * exact partition pruning with zero new read-path machinery. (Writing
+    * `partitionBy` on the columns themselves would strip them from the data
+    * files — the standard hive layout — and force partition-value recovery
+    * from paths on every read.)
+    */
+  private def stage(df: DataFrame, root: String, partitionBy: Seq[String]): Seq[String] = {
     val sub = s"data/${UUID.randomUUID()}"
-    df.write.parquet(s"$root/$sub")
-    Files.list(Paths.get(root, sub)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-      .map(n => s"$sub/$n")
-      .toSeq.sorted
+    if (partitionBy.isEmpty) df.write.parquet(s"$root/$sub")
+    else {
+      val copies = partitionBy.map(c => s"__gp_$c")
+      val staged = partitionBy.zip(copies).foldLeft(df) {
+        case (d, (c, cp)) => d.withColumn(cp, col(c))
+      }.repartition(partitionBy.map(col).toIndexedSeq: _*)
+      staged.write.partitionBy(copies: _*).parquet(s"$root/$sub")
+    }
+    val rootPath = Paths.get(root)
+    withWalk(Paths.get(root, sub))(_.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }.map(p => rootPath.relativize(p).toString).toSeq.sorted)
   }
 
   private def statTracked(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | DateType | TimestampType |
         TimestampNTZType | BooleanType => true
     case _ => false
+  }
+
+  /** Zone-independent string rendering of a stat value. TimestampType is an
+    * instant: `CAST(ts AS STRING)` depends on `spark.sql.session.timeZone`,
+    * so a reader session in another zone would mis-parse the bounds and
+    * prune files that contain matching rows — render as unix micros
+    * instead. Date, TimestampNTZ and the rest cast zone-independently.
+    */
+  private def statRender(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** Inverse of [[statRender]]: typed value for pruning comparisons. */
+  private def statParse(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => timestamp_micros(c.cast("long"))
+    case _ => c.cast(dt)
   }
 
   /** One columnar metadata pass over freshly-staged files: per-file
@@ -153,31 +349,40 @@ object CommitLog {
       files: Seq[String],
       schema: StructType): Seq[FileStat] = {
     if (files.isEmpty) return Nil
-    val tracked = schema.fields.filter(f => statTracked(f.dataType)).map(_.name).toSeq
+    val tracked = schema.fields.filter(f => statTracked(f.dataType)).toSeq
     val df = spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
-    val aggs = tracked.flatMap { c =>
+    val aggs = tracked.flatMap { f =>
       Seq(
-        min(col(c)).cast("string").as(s"min__$c"),
-        max(col(c)).cast("string").as(s"max__$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"))
+        statRender(min(col(f.name)), f.dataType).as(s"min__${f.name}"),
+        statRender(max(col(f.name)), f.dataType).as(s"max__${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}"))
     } :+ count(lit(1)).as("rows__")
     val rows = df.groupBy(input_file_name().as("file__"))
       .agg(aggs.head, aggs.tail: _*).collect() // one row per staged file
     rows.toSeq.map { r =>
       val abs = r.getAs[String]("file__")
       val rel = files.find(f => abs.endsWith(f))
-        .getOrElse(sys.error(s"staged file $abs not in manifest set"))
-      def s(prefix: String): Map[String, String] = tracked.flatMap { c =>
-        Option(r.getAs[String](s"${prefix}__$c")).map(c -> _)
+        .getOrElse(sys.error(s"staged file $abs not in commit set"))
+      def s(prefix: String): Map[String, String] = tracked.flatMap { f =>
+        Option(r.getAs[String](s"${prefix}__${f.name}")).map(f.name -> _)
       }.toMap
-      FileStat(rel, r.getAs[Long]("rows__"), s("min"), s("max"),
-        tracked.map(c => c -> r.getAs[Long](s"nulls__$c")).toMap)
+      FileStat(rel, r.getAs[Long]("rows__"), Files.size(Paths.get(root, rel)),
+        s("min"), s("max"),
+        tracked.map(f => f.name -> r.getAs[Long](s"nulls__${f.name}")).toMap)
     }
   }
 
-  private def stageWithStats(df: DataFrame, root: String): (Seq[String], Seq[FileStat]) = {
-    val files = stage(df, root)
-    (files, statsFor(df.sparkSession, root, files, df.schema))
+  /** Stage + stats + (for partitioned tables) the partition tuple, read off
+    * the stats themselves: staging guarantees min = max on every partition
+    * column, so the minimum IS the file's partition value.
+    */
+  private def stageWithStats(
+      df: DataFrame, root: String, partitionBy: Seq[String]): Seq[FileStat] = {
+    val files = stage(df, root, partitionBy)
+    statsFor(df.sparkSession, root, files, df.schema).map { st =>
+      st.copy(partitions =
+        partitionBy.flatMap(c => st.minsOrEmpty.get(c).map(c -> _)).toMap)
+    }
   }
 
   /** Additive schema union: every field of `old` plus fields only in `nw`
@@ -196,27 +401,52 @@ object CommitLog {
       nw.fields.filterNot(f => byName.contains(f.name)).map(_.copy(nullable = true)))
   }
 
+  /** The partition spec a new commit should carry: an explicit request must
+    * match the table's existing spec (or be its first commit); no request
+    * inherits the spec, so plain `append(df, root)` keeps a partitioned
+    * table partitioned.
+    */
+  private def effectiveSpec(
+      prior: Option[Manifest], requested: Seq[String]): Seq[String] = {
+    val existing = prior.map(_.partitionByOrNil).getOrElse(Nil)
+    if (requested.isEmpty) existing
+    else {
+      require(existing.isEmpty || existing == requested,
+        s"table is partitioned by ${existing.mkString(",")}; cannot append with ${requested.mkString(",")}")
+      requested
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // Transactions
+  // --------------------------------------------------------------------
+
   /** Append `df` as one atomic commit; returns the new version. Additive
     * schema evolution: `df` may carry new columns (old files read them as
     * null) or omit existing ones (new files read them as null) — the
-    * manifest records the union schema, so every snapshot reads with one
+    * commit records the union schema, so every snapshot reads with one
     * consistent shape and time travel keeps each version's own schema.
+    *
+    * `partitionBy` (first commit, or matching the table's spec) stages one
+    * single-valued file per partition value — see [[stage]] — making
+    * stats pruning on those columns exact. The spec persists in the log:
+    * later plain appends, [[merge]], [[delete]], [[compact]] and
+    * [[cluster]] all preserve it.
     */
-  def append(df: DataFrame, root: String): Long = {
+  def append(df: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
     val base = currentVersion(root)
     val prior = base.map(readManifest(root, _))
     val v = base.getOrElse(0L) + 1
     val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
       .getOrElse(df.schema)
-    val (files, stats) = stageWithStats(df, root)
-    publish(root, Manifest(v, "append", schema.json,
-      prior.map(_.files).getOrElse(Nil) ++ files,
-      prior.map(_.statsOrNil).getOrElse(Nil) ++ stats,
+    val spec = effectiveSpec(prior, partitionBy)
+    val add = stageWithStats(df, root, spec)
+    commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
     v
   }
 
-  /** Idempotent transactional append for streaming sinks: the manifest
+  /** Idempotent transactional append for streaming sinks: the log
     * records, per writer id, the last batch it committed; a replayed batch
     * (same `appId`, `batchId` ≤ recorded) is a no-op. This is the published
     * Delta `txnAppId`/`txnVersion` idempotence protocol — combined with
@@ -233,10 +463,9 @@ object CommitLog {
     val v = base.getOrElse(0L) + 1
     val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
       .getOrElse(df.schema)
-    val (files, stats) = stageWithStats(df, root)
-    publish(root, Manifest(v, "append", schema.json,
-      prior.map(_.files).getOrElse(Nil) ++ files,
-      prior.map(_.statsOrNil).getOrElse(Nil) ++ stats,
+    val spec = effectiveSpec(prior, Nil)
+    val add = stageWithStats(df, root, spec)
+    commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId)))
     v
   }
@@ -272,65 +501,73 @@ object CommitLog {
     * thrift endpoint, `spark.sql`): registers a temp view over the current
     * (or pinned) version. Re-register after new commits to advance the
     * snapshot — the view itself stays immutable, which is exactly snapshot
-    * isolation as seen from SQL.
+    * isolation as seen from SQL. (For a view that tracks the latest
+    * version per query, use the `graft-commitlog` data source instead.)
     */
   def createView(spark: SparkSession, root: String, name: String,
       version: Option[Long] = None): Unit =
     read(spark, root, version).createOrReplaceTempView(name)
 
   /** Metadata-only COUNT(*): the sum of per-file row counts when every
-    * file in the snapshot carries stats (None otherwise — e.g. pre-stats
-    * manifests). At 100 TB this answers the most common query of all
+    * file in the snapshot carries stats (None otherwise — e.g. hand-built
+    * commits). At 100 TB this answers the most common query of all
     * without touching a single data file.
     */
   def rowCount(root: String, version: Option[Long] = None): Option[Long] = {
     val v = version.orElse(currentVersion(root)).getOrElse(return None)
     val m = readManifest(root, v)
-    val stats = m.statsOrNil
-    if (m.files.isEmpty) Some(0L)
-    else if (stats.map(_.path).toSet == m.files.toSet) Some(stats.map(_.rows).sum)
-    else None
+    if (m.statsOrNil.isEmpty && m.files.nonEmpty) None
+    else Some(m.statsOrNil.map(_.rows).sum)
   }
 
   /** Files added between two versions, read as a DataFrame — the
     * incremental-consumption surface (CDC-lite): a downstream job that
     * processed version `fromV` reads exactly the new data in `toV` without
-    * rescanning the table. Append-only history between the two versions is
-    * required (a rewrite op in between means "added files" ≠ "new rows").
+    * rescanning the table. With incremental commits this is a pure
+    * metadata read of the per-version add lists — no snapshot diffing.
+    * Append-only history between the two versions is required (a rewrite
+    * op in between means "added files" ≠ "new rows").
     */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes($fromV, $toV): versions out of order")
-    // Enforce the append-only contract instead of trusting the caller: a
-    // rewrite op (compact/merge/delete/overwrite/cluster) in the range
-    // re-stages EXISTING rows into new files, which this file-diff would
-    // silently return as "new" — e.g. IncrementalView would double-count.
-    ((fromV + 1) to toV).foreach { v =>
-      val op = readManifest(root, v).op
-      require(op == "append",
-        s"changes($fromV, $toV): version $v is '$op' — the range must be " +
+    val commits = ((fromV + 1) to toV).map { v =>
+      val c = readCommit(root, v)
+      // Enforce the append-only contract instead of trusting the caller: a
+      // rewrite op (compact/merge/delete/overwrite/cluster) re-stages
+      // EXISTING rows into new files, which would silently surface as
+      // "new" — e.g. IncrementalView would double-count.
+      require(c.op == "append",
+        s"changes($fromV, $toV): version $v is '${c.op}' — the range must be " +
           "append-only (rewrites re-stage existing rows as new files)")
+      c
     }
-    // fromV = 0 is the empty pre-table baseline: everything in toV is new
-    val before =
-      if (fromV == 0L) Set.empty[String]
-      else readManifest(root, fromV).files.toSet
-    val after = readManifest(root, toV)
-    readFiles(spark, root, after, after.files.filterNot(before))
+    val schemaJson =
+      if (commits.nonEmpty) commits.last.schemaJson
+      else readManifest(root, toV).schemaJson
+    readFiles(spark, root,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      commits.flatMap(_.addOrNil.map(_.path)))
   }
 
   /** Replace the table contents with `df` (zero rows allowed) atomically. */
-  def overwrite(df: DataFrame, root: String): Long = {
-    val prior = currentVersion(root).map(readManifest(root, _))
-    val v = prior.map(_.version).getOrElse(0L) + 1
-    val (files, stats) =
-      if (df.isEmpty) (Nil, Nil) else stageWithStats(df, root)
-    publish(root, Manifest(v, "overwrite", df.schema.json, files, stats,
+  def overwrite(df: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
+    val base = currentVersion(root)
+    val prior = base.map(readManifest(root, _))
+    val v = base.getOrElse(0L) + 1
+    // overwrite replaces contents, so an explicit spec may differ from the
+    // table's previous one; no spec inherits it.
+    val spec =
+      if (partitionBy.nonEmpty) partitionBy
+      else prior.map(_.partitionByOrNil).getOrElse(Nil)
+    val add = if (df.isEmpty) Nil else stageWithStats(df, root, spec)
+    commitDelta(root, prior, Commit(v, "overwrite", df.schema.json, add,
+      prior.map(_.files).getOrElse(Nil), spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
     v
   }
 
   /** Read a snapshot: latest by default, or a pinned historical version.
-    * Always reads with the MANIFEST schema, never parquet footer inference —
+    * Always reads with the LOG schema, never parquet footer inference —
     * footer sampling picks an arbitrary file (wrong under schema evolution,
     * and nondeterministic), and skipping it avoids a footer-listing pass.
     */
@@ -345,16 +582,20 @@ object CommitLog {
     * snapshot into `nFiles` files and publish a manifest swap. Readers
     * pinned to older versions keep their exact snapshot — the property
     * `Maintenance.compact`'s stage-and-swap on plain tables cannot give.
+    * On a partitioned table the layout wins: one file per partition value
+    * (`nFiles` is ignored — the partition spec is the compaction target).
     */
   def compact(spark: SparkSession, root: String, nFiles: Int = 1): Long = {
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
-    val df = read(spark, root, Some(base)).repartition(nFiles)
-    val (files, stats) = stageWithStats(df, root)
-    val v = base + 1
-    publish(root, Manifest(v, "compact", df.schema.json, files, stats,
-      readManifest(root, base).txnOrEmpty))
-    v
+    val prior = readManifest(root, base)
+    val spec = prior.partitionByOrNil
+    val df0 = read(spark, root, Some(base))
+    val df = if (spec.isEmpty) df0.repartition(nFiles) else df0
+    val add = stageWithStats(df, root, spec)
+    commitDelta(root, Some(prior), Commit(base + 1, "compact", df.schema.json,
+      add, prior.files, spec, prior.txnOrEmpty))
+    base + 1
   }
 
   // --------------------------------------------------------------------
@@ -364,12 +605,15 @@ object CommitLog {
   private def schemaOf(m: Manifest): StructType =
     DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
 
-  private def readFiles(spark: SparkSession, root: String, m: Manifest,
+  private def readFiles(spark: SparkSession, root: String, schema: StructType,
       files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(m))
-    else spark.read.schema(schemaOf(m)).parquet(files.map(f => s"$root/$f"): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+
+  private def readFiles(spark: SparkSession, root: String, m: Manifest,
+      files: Seq[String]): DataFrame = readFiles(spark, root, schemaOf(m), files)
 
   /** Root-relative paths of files containing ≥1 row matching `cond` —
     * the copy-on-write touch set. One pass over the snapshot projecting only
@@ -390,7 +634,7 @@ object CommitLog {
     *    satisfies `deleteWhen` (MERGE … WHEN MATCHED DELETE);
     *  - source rows matching no target key are appended (INSERT);
     *  - only files containing a matched key are rewritten — every other
-    *    file moves into the new manifest by reference, stats intact.
+    *    file moves into the new commit by reference, stats intact.
     *
     * `source` must carry exactly the table schema and unique keys (checked:
     * two source rows for one key would make the merge nondeterministic).
@@ -411,7 +655,7 @@ object CommitLog {
       s"merge source columns ${source.columns.mkString(",")} != table schema")
     // Names AND types must match: a widened source (e.g. long → double)
     // would otherwise stage parquet files whose physical types contradict
-    // the published manifest schema, making the table unreadable.
+    // the published log schema, making the table unreadable.
     schema.fields.foreach { f =>
       val st = source.schema(f.name).dataType
       require(st == f.dataType,
@@ -428,7 +672,6 @@ object CommitLog {
       val srcKeys = src.select(keys.map(col).toIndexedSeq: _*)
       val touched = touchedFiles(spark, root, m)(
         _.join(srcKeys, keys, "left_semi"))
-      val untouched = m.files.filterNot(touched.contains)
       val tTouched = readFiles(spark, root, m, touched)
 
       // Full-row replace collapses the merged touch-set to one anti-join and
@@ -442,10 +685,9 @@ object CommitLog {
       val merged = tTouched.join(srcKeys, keys, "left_anti")
         .unionByName(keep)
 
-      val (files, stats) = stageWithStats(merged, root)
-      val priorStats = m.statsOrNil.filter(s => untouched.contains(s.path))
-      publish(root, Manifest(base + 1, "merge", schema.json,
-        untouched ++ files, priorStats ++ stats, m.txnOrEmpty))
+      val add = stageWithStats(merged, root, m.partitionByOrNil)
+      commitDelta(root, Some(m), Commit(base + 1, "merge", schema.json,
+        add, touched, m.partitionByOrNil, m.txnOrEmpty))
       base + 1
     } finally src.unpersist()
   }
@@ -456,14 +698,13 @@ object CommitLog {
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, base)
     val touched = touchedFiles(spark, root, m)(_.filter(cond))
-    val untouched = m.files.filterNot(touched.contains)
     val kept = readFiles(spark, root, m, touched)
       .filter(!coalesce(cond, lit(false)))
-    val (files, stats) =
-      if (touched.isEmpty) (Nil, Nil) else stageWithStats(kept, root)
-    val priorStats = m.statsOrNil.filter(s => untouched.contains(s.path))
-    publish(root, Manifest(base + 1, "delete", m.schemaJson,
-      untouched ++ files, priorStats ++ stats, m.txnOrEmpty))
+    val add =
+      if (touched.isEmpty) Nil
+      else stageWithStats(kept, root, m.partitionByOrNil)
+    commitDelta(root, Some(m), Commit(base + 1, "delete", m.schemaJson,
+      add, touched, m.partitionByOrNil, m.txnOrEmpty))
     base + 1
   }
 
@@ -517,11 +758,11 @@ object CommitLog {
 
   /** Snapshot read with manifest-stats file skipping: resolves the version,
     * evaluates [[surviveCond]] over the per-file stats (typed — min/max
-    * strings are cast back to the column's type) with Catalyst on a
-    * metadata-sized local DataFrame, reads only surviving files, and applies
-    * `predicate` as the residual filter. Semantically identical to
-    * `read(...).filter(predicate)`; at 100 TB it reads the manifest instead
-    * of the data to decide what to open.
+    * strings are parsed back to the column's type, timestamps via unix
+    * micros) with Catalyst on a metadata-sized local DataFrame, reads only
+    * surviving files, and applies `predicate` as the residual filter.
+    * Semantically identical to `read(...).filter(predicate)`; at 100 TB it
+    * reads the log instead of the data to decide what to open.
     */
   def readPruned(
       spark: SparkSession,
@@ -539,7 +780,7 @@ object CommitLog {
   def prunedFiles(spark: SparkSession, m: Manifest, predicate: Column): Seq[String] =
     prunedByPred(spark, m, GraftBridge.pred(predicate))
 
-  /** Manifest schema / file reading / V1-filter pruning, exposed for the
+  /** Log schema / file reading / V1-filter pruning, exposed for the
     * `graft-commitlog` data source ([[graft.sources.commitlog.DefaultSource]]).
     */
   def manifestSchema(m: Manifest): StructType = schemaOf(m)
@@ -579,18 +820,17 @@ object CommitLog {
       pred: GraftBridge.Pred): Seq[String] = {
     val schema = schemaOf(m)
     val stats = m.statsOrNil
-    val withStats = stats.map(_.path).toSet
-    val statless = m.files.filterNot(withStats) // always survive
     if (stats.isEmpty) return m.files
     val tracked = schema.fields.filter(f => statTracked(f.dataType)).map(_.name)
     val statRows = stats.map { s =>
       org.apache.spark.sql.Row.fromSeq(
         s.path +: s.rows +: tracked.toIndexedSeq.flatMap(c =>
-          Seq(s.mins.get(c).orNull, s.maxs.get(c).orNull,
+          Seq(s.minsOrEmpty.get(c).orNull, s.maxsOrEmpty.get(c).orNull,
             // Map[String, Long] values arrive from Jackson as boxed Integers
             // (erasure): widen via Any → Number — a Long-typed lambda would
             // insert an unbox and throw.
-            s.nullCounts.asInstanceOf[Map[String, Any]].get(c)
+            Option(s.nullCounts).getOrElse(Map.empty[String, Long])
+              .asInstanceOf[Map[String, Any]].get(c)
               .map(v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue))
               .orNull)))
     }
@@ -604,13 +844,13 @@ object CommitLog {
       .select(col("path__") +: col("rows__") +:
         tracked.toIndexedSeq.flatMap { c =>
           val dt = schema(c).dataType
-          Seq(col(s"mins__$c").cast(dt).as(s"min__$c"),
-            col(s"maxs__$c").cast(dt).as(s"max__$c"),
+          Seq(statParse(col(s"mins__$c"), dt).as(s"min__$c"),
+            statParse(col(s"maxs__$c"), dt).as(s"max__$c"),
             col(s"nulls__$c"))
         }: _*)
     val survive = surviveCond(pred, tracked.toSet)
     val kept = typed.filter(survive).select("path__").collect().map(_.getString(0))
-    m.files.filter(f => statless.contains(f) || kept.contains(f))
+    m.files.filter(kept.contains)
   }
 
   /** Z-order clustering rewrite (OPTIMIZE … ZORDER BY): sort the snapshot
@@ -623,14 +863,16 @@ object CommitLog {
     * Each column is min/max-normalized to 16 bits (one metadata-sized
     * aggregate), bits are interleaved into one BIGINT z-value, and the
     * write is `repartitionByRange(z)` — a single shuffle of the snapshot,
-    * the same cost as any compaction rewrite. One new manifest; pinned
-    * readers keep their snapshot.
+    * the same cost as any compaction rewrite. One new commit; pinned
+    * readers keep their snapshot. On a partitioned table the z-ranged
+    * tasks still split per partition value, so the layout contract holds.
     */
   def cluster(spark: SparkSession, root: String, cols: Seq[String],
       nFiles: Int = 16): Long = {
     require(cols.nonEmpty && cols.size <= 4, "cluster on 1-4 numeric columns")
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val prior = readManifest(root, base)
     val df = read(spark, root, Some(base))
     val aggCols = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).cast("double").as(s"mn$i"),
@@ -656,32 +898,48 @@ object CommitLog {
       .repartitionByRange(nFiles, col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop((cols.indices.map(i => s"u$i") :+ "_graft_z"): _*)
-    val (files, stats) = stageWithStats(out, root)
-    val v = base + 1
-    publish(root, Manifest(v, "cluster", df.schema.json, files, stats,
-      readManifest(root, base).txnOrEmpty))
-    v
+    val add = stageWithStats(out, root, prior.partitionByOrNil)
+    commitDelta(root, Some(prior), Commit(base + 1, "cluster", df.schema.json,
+      add, prior.files, prior.partitionByOrNil, prior.txnOrEmpty))
+    base + 1
   }
 
-  /** Drop manifests older than the last `keepVersions` and delete data files
-    * referenced by NO surviving manifest. Bounds time-travel history.
+  /** Drop history older than the last `keepVersions` versions and delete
+    * data files referenced by NO surviving version. Bounds time-travel
+    * history. Before anything is deleted, a checkpoint is written at the
+    * keep boundary so every surviving version stays resolvable without the
+    * dropped commits.
+    *
+    * `retentionMs`: unreferenced files YOUNGER than this are kept — they
+    * may be a concurrent writer's staged-but-unpublished commit, and
+    * deleting them would make its published commit reference missing files
+    * (silent data loss). Pass 0 only when no other writer can be active.
     */
-  def vacuum(root: String, keepVersions: Int = 1): Unit = {
+  def vacuum(root: String, keepVersions: Int = 1,
+      retentionMs: Long = DefaultVacuumRetentionMs): Unit = {
     val cur = currentVersion(root).getOrElse(return)
     val keepFrom = math.max(1L, cur - keepVersions + 1)
-    val live = (keepFrom to cur)
-      .filter(v => Files.exists(manifestPath(root, v)))
-      .flatMap(v => readManifest(root, v).files).toSet
-    // remove expired manifests
-    (1L until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
-    // remove unreferenced data files (and then empty commit dirs)
+    // Materialize surviving snapshots BEFORE deleting anything, then pin
+    // the keep boundary with a checkpoint so resolution never needs the
+    // commits about to be dropped.
+    val keepSnaps = (keepFrom to cur).map(readManifest(root, _))
+    writeCheckpoint(root, keepSnaps.head)
+    advanceLastCheckpoint(root, keepFrom)
+    val live = keepSnaps.flatMap(_.files).toSet
+    (1L until keepFrom).foreach { v =>
+      Files.deleteIfExists(commitPath(root, v))
+      Files.deleteIfExists(checkpointPath(root, v))
+    }
+    // remove unreferenced, out-of-retention data files (then empty dirs)
+    val cutoff = System.currentTimeMillis() - retentionMs
     val dataRoot = Paths.get(root, "data")
     if (Files.isDirectory(dataRoot)) {
-      Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
+      withWalk(dataRoot)(_.toSeq).reverse.foreach { p =>
         val rel = Paths.get(root).relativize(p).toString
-        if (Files.isRegularFile(p) && !live.contains(rel)) Files.delete(p)
-        else if (Files.isDirectory(p) && !Files.list(p).iterator().hasNext &&
-          p != dataRoot) Files.delete(p)
+        if (Files.isRegularFile(p) && !live.contains(rel) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff) Files.delete(p)
+        else if (Files.isDirectory(p) && p != dataRoot &&
+          withList(p)(!_.hasNext)) Files.delete(p)
       }
     }
   }

@@ -213,8 +213,11 @@ object Xlsx {
     */
   def write(path: String, sheets: Seq[Sheet]): Unit = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
+    // Escapes for BOTH text and attribute contexts (sheet names land inside
+    // name="..." — an unescaped quote there is malformed XML).
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;").replace("'", "&apos;")
     def sheetXml(sh: Sheet): String = {
       val rows = (sh.header +: sh.rows).zipWithIndex.map { case (cells, i) =>
         cells.map(c =>
@@ -230,11 +233,28 @@ object Xlsx {
       """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"""" +
         """ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
         "<sheets>", "", "</sheets></workbook>")
+    val relType = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
     val rels = sheets.indices.map(i =>
-      s"""<Relationship Id="rId${i + 1}" Target="worksheets/sheet${i + 1}.xml"/>""")
+      s"""<Relationship Id="rId${i + 1}" Type="$relType/worksheet"""" +
+        s""" Target="worksheets/sheet${i + 1}.xml"/>""")
       .mkString(
         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""",
         "", "</Relationships>")
+    // The OPC package parts generic OOXML readers (openpyxl, Excel) require
+    // before they will even look at xl/workbook.xml.
+    val contentTypes =
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        sheets.indices.map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml"""" +
+            """ ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
+        "</Types>"
+    val rootRels =
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        s"""<Relationship Id="rId1" Type="$relType/officeDocument" Target="xl/workbook.xml"/>""" +
+        "</Relationships>"
     val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
       java.nio.file.Paths.get(path)))
     try {
@@ -243,6 +263,8 @@ object Xlsx {
         zos.write(content.getBytes("UTF-8"))
         zos.closeEntry()
       }
+      put("[Content_Types].xml", contentTypes)
+      put("_rels/.rels", rootRels)
       put("xl/workbook.xml", wb)
       put("xl/_rels/workbook.xml.rels", rels)
       sheets.zipWithIndex.foreach { case (sh, i) =>

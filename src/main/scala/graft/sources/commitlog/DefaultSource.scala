@@ -91,9 +91,18 @@ class CommitLogStreamSource(sqlContext: SQLContext, root: String)
     CommitLog.currentVersion(root).map(v => LongOffset(v))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val fromV = start.map(v => v.asInstanceOf[LongOffset].offset).getOrElse(0L)
     val toV = end.asInstanceOf[LongOffset].offset
-    GraftBridge.asStreamingFrame(CommitLog.changes(spark, root, fromV, toV))
+    start match {
+      // First batch of a new stream: serve the full snapshot at toV. Using
+      // changes(0, toV) here would demand an all-append history, so a
+      // stream could never START on a table ever compacted/merged — the
+      // append-only contract belongs to the incremental ranges only.
+      case None =>
+        GraftBridge.asStreamingFrame(CommitLog.read(spark, root, Some(toV)))
+      case Some(s) =>
+        val fromV = s.asInstanceOf[LongOffset].offset
+        GraftBridge.asStreamingFrame(CommitLog.changes(spark, root, fromV, toV))
+    }
   }
 
   override def stop(): Unit = ()

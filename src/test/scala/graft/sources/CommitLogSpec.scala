@@ -37,8 +37,8 @@ class CommitLogSpec extends SparkTestBase {
     // Simulate a race: both writers observed version 1, both stage data,
     // both try to publish version 2. The log must admit exactly one.
     val m = readManifest(root, 1L)
-    val winner = m.copy(version = 2L, op = "append")
-    val loser = m.copy(version = 2L, op = "overwrite")
+    val winner = Commit(2L, "append", m.schemaJson)
+    val loser = Commit(2L, "overwrite", m.schemaJson)
     publish(root, winner)
     intercept[CommitConflictException](publish(root, loser))
     // the table is the winner's commit, not a torn mix
@@ -78,7 +78,7 @@ class CommitLogSpec extends SparkTestBase {
     append(spark.range(5).toDF("id"), root)
     overwrite(spark.range(7).toDF("id"), root)
     compact(spark, root, nFiles = 1)
-    vacuum(root, keepVersions = 1)
+    vacuum(root, keepVersions = 1, retentionMs = 0L)
     // only v3 survives; its data is intact
     assert(currentVersion(root).contains(3L))
     assert(!Files.exists(Paths.get(root, "_graft_log", f"v${1L}%020d.json")))
@@ -210,9 +210,9 @@ class CommitLogSpec extends SparkTestBase {
         raced = true
         // competitor lands version base+1 first
         val m = readManifest(root, base)
-        publish(root, m.copy(version = base + 1, op = "append"))
+        publish(root, Commit(base + 1, "append", m.schemaJson))
         // our attempt now conflicts on base+1
-        publish(root, m.copy(version = base + 1, op = "overwrite"))
+        publish(root, Commit(base + 1, "overwrite", m.schemaJson))
         sys.error("unreachable — publish above must conflict")
       }
       append(spark.range(3, 5).toDF("id"), root)
@@ -222,7 +222,7 @@ class CommitLogSpec extends SparkTestBase {
     // exhausted retries propagate the conflict
     intercept[CommitConflictException](withRetry(maxRetries = 0) {
       val m = readManifest(root, 1L)
-      publish(root, m.copy(version = currentVersion(root).get, op = "append"))
+      publish(root, Commit(currentVersion(root).get, "append", m.schemaJson))
     })
   }
 
@@ -335,19 +335,130 @@ class CommitLogSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("pre-stats manifests (fileStats null) read and never prune") {
+  test("incremental log: commit bytes are O(1) per commit, not O(files-so-far)") {
+    // 1,000 synthetic single-file commits (the data files never exist — this
+    // exercises ONLY the log machinery, which is the point). Under the old
+    // full-rewrite manifest design commit N carried all N file entries, so
+    // the log grew O(N²); here every commit carries exactly its own add.
+    val root = tmpTable()
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    var prior: Option[Manifest] = None
+    (1L to 1000L).foreach { v =>
+      val c = Commit(v, "append", schemaJson,
+        add = Seq(FileStat(s"data/f$v.parquet", 1L, 100L,
+          Map("id" -> v.toString), Map("id" -> v.toString), Map("id" -> 0L))))
+      commitDelta(root, prior, c)
+      prior = Some(foldForTest(prior, c))
+    }
+    val logFiles = Files.list(Paths.get(root, "_graft_log")).iterator()
+    val sizes = scala.jdk.CollectionConverters.IteratorHasAsScala(logFiles).asScala
+      .map(p => p.getFileName.toString -> Files.size(p)).toMap
+    val commitSizes = sizes.filter(e => e._1.endsWith(".json") && !e._1.contains("checkpoint"))
+    assert(commitSizes.size == 1000)
+    // O(1) commit records: the last commit is no bigger than the first
+    // (±ε for the longer version number)
+    assert(commitSizes(f"v${1000L}%020d.json") <= commitSizes(f"v${1L}%020d.json") + 64,
+      s"commit 1000 is ${commitSizes(f"v${1000L}%020d.json")}B vs commit 1 ${commitSizes(f"v${1L}%020d.json")}B — log is not incremental")
+    // checkpoints every K commits; pointer at the last one
+    assert(sizes.contains(f"v${1000L}%020d.checkpoint.json"))
+    assert(currentVersion(root).contains(1000L))
+    // snapshot resolution needs only checkpoint + tail: drop ALL commits at
+    // or below the last checkpoint and the snapshot still materializes
+    (1L to 990L).foreach(v => Files.delete(Paths.get(root, "_graft_log", f"v$v%020d.json")))
+    val m = readManifest(root, 1000L)
+    assert(m.files.size == 1000)
+    assert(m.statsOrNil.map(_.rows).sum == 1000L)
+    // historical resolution from an interior checkpoint still works too
+    assert(readManifest(root, 995L).files.size == 995)
+  }
+
+  test("partitioned appends: files are single-valued, stats-pruning is partition pruning") {
     import org.apache.spark.sql.functions._
     val root = tmpTable()
-    append(spark.range(10).toDF("id"), root)
-    // simulate a round-2 manifest: strip the stats field from the JSON
-    val p = Paths.get(root, "_graft_log", f"v${1L}%020d.json")
-    val json = new String(Files.readAllBytes(p))
-    val stripped = json.replaceAll(""","fileStats":\[.*?\]""", "")
-    assert(stripped != json)
-    Files.write(p, stripped.getBytes)
+    val df = spark.range(300).selectExpr(
+      "id", "CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view' ELSE 'buy' END AS etype")
+    append(df, root, partitionBy = Seq("etype"))
     val m = readManifest(root, 1L)
-    assert(m.statsOrNil.isEmpty)
-    assert(prunedFiles(spark, m, col("id") === -1L).size == m.files.size)
-    assert(read(spark, root).count() == 10)
+    assert(m.partitionByOrNil == Seq("etype"))
+    // one file per partition value; each single-valued (min = max) with the
+    // partition tuple recorded
+    assert(m.statsOrNil.size == 3)
+    m.statsOrNil.foreach { s =>
+      assert(s.mins("etype") == s.maxs("etype"))
+      assert(s.partitionsOrEmpty == Map("etype" -> s.mins("etype")))
+      assert(s.bytes > 0L)
+    }
+    // pruning on the partition column opens exactly the matching file
+    assert(prunedFiles(spark, m, col("etype") === "view").size == 1)
+    assert(readPruned(spark, root, col("etype") === "view").count() == 100)
+    // the spec persists: a PLAIN append stays partitioned...
+    append(spark.range(300, 330).selectExpr("id", "'click' AS etype"), root)
+    val m2 = readManifest(root, 2L)
+    assert(m2.partitionByOrNil == Seq("etype"))
+    assert(prunedFiles(spark, m2, col("etype") === "view").size == 1)
+    // ...a conflicting spec is rejected...
+    intercept[IllegalArgumentException](
+      append(spark.range(5).selectExpr("id", "'x' AS etype"), root,
+        partitionBy = Seq("id")))
+    // ...and merge preserves single-valued files
+    val src = spark.range(10, 13).selectExpr("id", "'buy' AS etype")
+    merge(spark, root, src, Seq("id"))
+    val m3 = readManifest(root, currentVersion(root).get)
+    assert(m3.partitionByOrNil == Seq("etype"))
+    m3.statsOrNil.foreach(s => assert(s.mins("etype") == s.maxs("etype")))
+    assert(read(spark, root).count() == 330)
+    assert(read(spark, root).filter("id IN (10, 11, 12) AND etype = 'buy'").count() == 3)
+  }
+
+  test("vacuum retention: young unreferenced files survive (in-flight writer safety)") {
+    val root = tmpTable()
+    append(spark.range(5).toDF("id"), root)
+    compact(spark, root)
+    // a concurrent writer's freshly staged, not-yet-published file
+    val staged = Paths.get(root, "data", "in-flight")
+    Files.createDirectories(staged)
+    val f = staged.resolve("part-0.parquet")
+    Files.write(f, Array[Byte](1, 2, 3))
+    vacuum(root, keepVersions = 1) // default retention: must NOT delete it
+    assert(Files.exists(f))
+    // out of retention → reclaimed
+    vacuum(root, keepVersions = 1, retentionMs = 0L)
+    assert(!Files.exists(f))
+    assert(read(spark, root).count() == 5)
+  }
+
+  test("timestamp stats prune correctly across session timezones") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    // two files with disjoint timestamp ranges, written under UTC
+    append(spark.range(2).coalesce(1).selectExpr(
+      "id", "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS LONG)) AS ts"), root)
+    append(spark.range(2).coalesce(1).selectExpr(
+      "id", "timestamp_micros(CAST(1800000000000000 + id * 1000000 AS LONG)) AS ts"), root)
+    val m = readManifest(root, 2L)
+    val cut = new java.sql.Timestamp(1750000000000L) // between the two ranges
+    def check(): Unit = {
+      val pred = col("ts") > lit(cut)
+      assert(prunedFiles(spark, m, pred).size == 1, "late file only")
+      assert(readPruned(spark, root, pred).count() == 2)
+    }
+    check()
+    // a reader session in another zone must prune the same files — the
+    // stats are unix micros, not zone-rendered strings
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Pacific/Kiritimati") // UTC+14
+      check()
+    } finally spark.conf.set(tzKey, saved)
+  }
+
+  private def foldForTest(prior: Option[Manifest], c: Commit): Manifest = {
+    val removed = c.removeOrNil.toSet
+    Manifest(c.version, c.op, c.schemaJson,
+      prior.map(_.statsOrNil).getOrElse(Nil).filterNot(s => removed(s.path)) ++ c.addOrNil,
+      c.partitionByOrNil, c.txnOrEmpty)
   }
 }

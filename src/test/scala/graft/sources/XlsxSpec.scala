@@ -124,6 +124,28 @@ class XlsxSpec extends SparkTestBase {
     assert(Xlsx.readSheets(p) == sheets)
   }
 
+  test("writer emits a valid OPC package: content types, root rels, quoted names") {
+    val dir = Files.createTempDirectory("xlsxw2")
+    // a sheet name with quotes lands inside name="..." — attribute escaping
+    val sheets = Seq(Xlsx.Sheet("""the "q" sheet""", Seq("a"), Seq(Seq("it's"))))
+    val p = dir.resolve("opc.xlsx").toString
+    Xlsx.write(p, sheets)
+    assert(Xlsx.readSheets(p) == sheets)
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSet
+      // the parts generic OOXML readers demand before xl/workbook.xml
+      assert(names.contains("[Content_Types].xml"))
+      assert(names.contains("_rels/.rels"))
+      // the workbook XML stayed well-formed under the hostile name (a
+      // javax parser rejects a raw quote inside the attribute)
+      val wb = zf.getInputStream(zf.getEntry("xl/workbook.xml"))
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.newDocumentBuilder().parse(wb) // throws on malformed XML
+    } finally zf.close()
+  }
+
   test("excel serial conversion: epoch, leap-bug era skipped, fractions") {
     assert(Xlsx.serialToTimestamp(43831.0) == "2020-01-01 00:00:00")
     assert(Xlsx.serialToTimestamp(43832.5) == "2020-01-02 12:00:00")
