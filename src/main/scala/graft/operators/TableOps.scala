@@ -198,5 +198,58 @@ object TableOps {
         s"""SELECT event_type, count(*) AS cnt,
            |  ${sqlSum("value")} AS sum_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Partitioned table layout end to end THROUGH THE DATA SOURCE API:
+    // `df.write.format("graft-commitlog").partitionBy(...)` stages one
+    // single-valued file per event_type (manifest min=max ⇒ stats pruning
+    // is exact partition pruning), and the filtered read goes through the
+    // FileIndex scan, which skips non-matching files at planning time.
+    // The oracle proves the round trip loses and invents nothing.
+    "q64_partitioned_prune" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val root = tmp("graft-q64")
+        ev.write.format("graft-commitlog")
+          .partitionBy("event_type").mode("append").save(root)
+        val et = ev.agg(min(col("event_type"))).collect()(0).getString(0)
+        s.read.format("graft-commitlog").load(root)
+          .filter(col("event_type") === et)
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(lit(et).as("event_type"), col("n"), col("sum_value"))
+      },
+      oracle = Some(
+        s"""SELECT (SELECT min(event_type) FROM events) AS event_type,
+           |  count(*) AS n, ${sqlSum("value")} AS sum_value
+           |FROM events
+           |WHERE event_type = (SELECT min(event_type) FROM events)""".stripMargin)),
+
+    // SQL DML surface: the table is CREATED by df.write, exposed as a view
+    // via CREATE TEMPORARY VIEW ... USING, grown by INSERT INTO ... SELECT
+    // (one atomic commit through the log), and read back through the same
+    // view — which tracks the new commit because the FileIndex resolves
+    // the current version per scan. Oracle = the full orders table.
+    "q65_sql_dml" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val root = tmp("graft-q65")
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .write.format("graft-commitlog").mode("append").save(root)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q65_dml
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+        s.sql(s"""INSERT INTO q65_dml
+                 |SELECT o_orderkey, o_orderstatus, o_totalprice
+                 |FROM parquet.`$dir/orders.parquet`
+                 |WHERE o_orderkey % 2 <> 0""".stripMargin)
+        s.table("q65_dml")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

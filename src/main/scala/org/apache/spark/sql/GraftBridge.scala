@@ -30,6 +30,16 @@ object GraftBridge {
 
   def pred(c: Column): Pred = toPred(c.node)
 
+  /** Catalyst predicate → V1 `sources.Filter`, for the CommitLog
+    * FileIndex's stats pruning (`translateFilter` is `protected[sql]`).
+    * Nested-field pushdown is off: manifest stats track top-level atomic
+    * columns only.
+    */
+  def toSourceFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
+
   /** Re-brand a batch DataFrame's rows as a STREAMING DataFrame — what a V1
     * streaming `Source.getBatch` must return (MicroBatchExecution asserts
     * `isStreaming`). `internalCreateDataFrame` is `private[sql]`; every

@@ -77,4 +77,121 @@ class CommitLogSourceSpec extends SparkTestBase {
       .collect()(0).getLong(0)
     assert(n == 100)
   }
+
+  test("reads execute as vectorized FileScan with pushed filters skipping files") {
+    val root = table()
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = spark.read.format("graft-commitlog").load(root)
+        .filter(col("id") >= 150 && col("id") < 250)
+      // the plan is Spark's own columnar parquet scan (codegen above it),
+      // not a row-producing V1 relation scan
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.size == 1, s"expected FileSourceScanExec in:\n$plan")
+      assert(scans.head.metadata("PushedFilters").contains("GreaterThanOrEqual(id,150)"))
+      // execute THIS plan (count() would build a fresh QueryExecution and
+      // leave the inspected scan's metrics untouched)
+      assert(df.collect().length == 100)
+      // manifest-stats skipping: the scan opened only files whose id range
+      // intersects [150, 250) — strictly fewer than the table's file count
+      val total = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+        .files.size
+      val opened = scans.head.metrics("numFiles").value
+      assert(opened < total, s"opened $opened of $total files — no skipping")
+      assert(opened >= 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("an unpinned view tracks the table; a version-pinned read stays pinned") {
+    val root = table()
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW commitlog_live
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+    val pinned = spark.read.format("graft-commitlog").option("version", 4).load(root)
+    assert(spark.table("commitlog_live").count() == 400)
+    CommitLog.append(spark.range(400, 500).selectExpr("id", "'tag4' AS tag"), root)
+    // the view resolves the CURRENT snapshot per scan (no DDL-time freeze)
+    assert(spark.table("commitlog_live").count() == 500)
+    // time travel still pins
+    assert(pinned.count() == 400)
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE land atomic commits through the log") {
+    val root = table()
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW commitlog_dml
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+    val v0 = CommitLog.currentVersion(root).get
+    spark.sql("INSERT INTO commitlog_dml SELECT id, 'sql' AS tag FROM range(400, 450)")
+    val v1 = CommitLog.currentVersion(root).get
+    assert(v1 == v0 + 1, "INSERT must be exactly one atomic commit")
+    assert(CommitLog.readManifest(root, v1).op == "append")
+    assert(spark.table("commitlog_dml").count() == 450)
+    assert(spark.table("commitlog_dml").filter("tag = 'sql'").count() == 50)
+    // INSERT only ever writes through the log — no stray files at the root
+    import scala.jdk.CollectionConverters._
+    val strays = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(strays == Set("_graft_log", "data"))
+    spark.sql("INSERT OVERWRITE commitlog_dml SELECT id, 'ow' AS tag FROM range(7)")
+    val v2 = CommitLog.currentVersion(root).get
+    assert(CommitLog.readManifest(root, v2).op == "overwrite")
+    assert(spark.table("commitlog_dml").count() == 7)
+    // history intact: the pre-overwrite snapshot still reads
+    assert(CommitLog.read(spark, root, Some(v1)).count() == 450)
+  }
+
+  test("df.write.format(graft-commitlog): append, overwrite, create-on-first-write") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsv2-w").toString
+    // first write creates the table
+    spark.range(5).selectExpr("id", "'a' AS tag")
+      .write.format("graft-commitlog").mode("append").save(root)
+    assert(CommitLog.currentVersion(root).contains(1L))
+    assert(CommitLog.read(spark, root).count() == 5)
+    spark.range(5, 8).selectExpr("id", "'b' AS tag")
+      .write.format("graft-commitlog").mode("append").save(root)
+    assert(CommitLog.read(spark, root).count() == 8)
+    spark.range(3).selectExpr("id", "'c' AS tag")
+      .write.format("graft-commitlog").mode("overwrite").save(root)
+    assert(CommitLog.read(spark, root).count() == 3)
+    assert(CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+      .op == "overwrite")
+    // the whole history is commits — nothing wrote around the log
+    assert(CommitLog.read(spark, root, Some(2L)).count() == 8)
+  }
+
+  test("df.write.partitionBy lands partitioned commits (exact pruning layout)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsv2-p").toString
+    spark.range(90).selectExpr("id",
+      "CASE WHEN id % 3 = 0 THEN 'x' WHEN id % 3 = 1 THEN 'y' ELSE 'z' END AS k")
+      .write.format("graft-commitlog").partitionBy("k").mode("append").save(root)
+    val m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+    assert(m.partitionByOrNil == Seq("k"))
+    assert(m.statsOrNil.size == 3)
+    m.statsOrNil.foreach(s => assert(s.partitionsOrEmpty == Map("k" -> s.mins("k"))))
+    assert(CommitLog.prunedFiles(spark, m, col("k") === "y").size == 1)
+    // and the read path actually skips: data column intact through the scan
+    assert(spark.read.format("graft-commitlog").load(root)
+      .filter(col("k") === "y").count() == 30)
+  }
+
+  test("a new stream can start on a table with rewrite history (snapshot first batch)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsv1-s2").toString
+    CommitLog.append(spark.range(4).toDF("id"), root)
+    CommitLog.append(spark.range(4, 6).toDF("id"), root)
+    CommitLog.compact(spark, root) // rewrite PRE-DATING the stream
+    val q = spark.readStream.format("graft-commitlog").load(root)
+      .writeStream.format("memory").queryName("cl_tail2")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dsv1-ckpt2").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cl_tail2").collect()(0).getLong(0) == 6)
+      CommitLog.append(spark.range(6, 9).toDF("id"), root)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cl_tail2").collect()(0).getLong(0) == 9)
+    } finally q.stop()
+  }
 }
