@@ -28,19 +28,39 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ")
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // a query that persists must not tax its successors' GC
-      spark.catalog.clearCache()
-      name -> dt
+      // (seconds, rows, error): rows = -1 marks a failed run, so a broken
+      // query can never masquerade as a fast one in the timings alone.
+      def once(): (Double, Long, Option[String]) = {
+        val t0 = System.nanoTime()
+        try {
+          val n = fn(spark, sfDir).count()
+          ((System.nanoTime() - t0) / 1e9, n, None)
+        } catch {
+          case e: Throwable =>
+            ((System.nanoTime() - t0) / 1e9, -1L,
+              Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
+        } finally spark.catalog.clearCache() // persists must not tax successors
+      }
+      // best-of-2: this host's contention windows have multiplied adjacent
+      // queries' times 30-50x before; the min of two runs sheds one bad draw
+      val r1 = once()
+      val best = if (r1._3.isEmpty) { val r2 = once(); if (r2._1 < r1._1) r2 else r1 }
+        else r1
+      r1._3.foreach(m => errors += s""""${esc(s"$name $m")}"""")
+      (name, best._1, best._2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, t, _) => s"\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
+    val rows = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ingest = ingestBench(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""rows":$rows,"errors":[${errors.mkString(",")}],""" +
       s""""ingest":$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -84,8 +84,18 @@ case class FloatDotQ(left: Expression, right: Expression)
 
 /** Session-scoped registration of graft's native expressions. */
 object GraftFunctions {
+  // once per session: every operator entry point calls register() (so each
+  // works standalone), but re-registering emits a SimpleFunctionRegistry
+  // WARN per call — hundreds of them across a bench run, enough to push
+  // the result JSON out of a log tail. Weak keys: don't pin stopped
+  // sessions.
+  private val registered = java.util.Collections.newSetFromMap(
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
   /** Idempotent; call before using `float_dot_q(...)` in expr()/SQL. */
   def register(s: SparkSession): Unit = {
+    if (!registered.add(s)) return
     val reg = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction("float_dot_q",
