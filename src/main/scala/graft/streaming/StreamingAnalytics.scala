@@ -88,6 +88,142 @@ object StreamingAnalytics {
   final case class SessionState(
       start: Long, last: Long, n: Long)
 
+  // --------------------------------------------------------------------
+  // Streaming funnel: the q61 ordered-stage semantics, continuously
+  // --------------------------------------------------------------------
+
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+  /** One change record per user whose funnel position advanced in a
+    * micro-batch: `reached` stages entered so far, `times` their entry
+    * micros (size == reached). `closed = true` marks the final record
+    * emitted when the watermark evicts the user's state.
+    */
+  final case class FunnelUpdate(
+      user_id: Long, reached: Int, times: Seq[Long], closed: Boolean)
+
+  final case class FunnelState(times: Array[Long])
+
+  /** Streaming twin of the q61 batch funnel: per-user ordered stages
+    * (stage k's entry is the first qualifying event strictly AFTER stage
+    * k-1's entry), maintained in `flatMapGroupsWithState` keyed by user.
+    * State is one timestamp per ENTERED stage — O(stages) per active user,
+    * never an event list; event-time timeout evicts users `ttlMs` of
+    * event time after their last funnel movement (the q06 sessionization
+    * pattern), so state tracks active users, not history.
+    *
+    * Ordering: events are sorted within each micro-batch, so any
+    * intra-batch disorder is exact. Across batches, a late event that
+    * IMPROVES an already-entered stage updates it and invalidates deeper
+    * stages (they re-fill from later events) — the conservative repair;
+    * with in-order delivery (or disorder bounded by one batch) the stream
+    * result is exactly the batch result, which is what the spec asserts.
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      ttlMs: Long = 60L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelUpdate(userId, s.times.length, s.times.toSeq, closed = true))
+          } else {
+            val before = state.getOption.map(_.times).getOrElse(Array.empty[Long])
+            var times = before
+            val sorted = rows.toSeq
+              .filter(e => stages.contains(e.event_type)).sortBy(_.ts.getTime)
+            sorted.foreach { e =>
+              val k = stages.indexOf(e.event_type)
+              val us = e.ts.getTime * 1000L
+              if (k == times.size && (k == 0 || us > times(k - 1))) {
+                times = times :+ us // entered the next stage
+              } else if (k < times.size && us < times(k) &&
+                (k == 0 || us > times(k - 1))) {
+                // late improvement: earlier entry invalidates deeper stages
+                times = times.take(k) :+ us
+              }
+            }
+            if (times.sameElements(before) && state.getOption.isEmpty) Iterator.empty
+            else {
+              state.update(FunnelState(times))
+              state.setTimeoutTimestamp(math.max(
+                sorted.lastOption.map(_.ts.getTime + ttlMs).getOrElse(0L),
+                state.getCurrentWatermarkMs() + 1))
+              if (times.sameElements(before)) Iterator.empty
+              else Iterator.single(FunnelUpdate(userId, times.length, times.toSeq, closed = false))
+            }
+          }
+      }
+  }
+
+  // --------------------------------------------------------------------
+  // Streaming cohort retention: the q63 semantics as a changelog
+  // --------------------------------------------------------------------
+
+  final case class CohortEvent(user_id: Long, ts: Timestamp)
+
+  /** Changelog record: `delta` of +1/-1 to the (cohort_week, active_week)
+    * user count, weeks as epoch days of their Monday start. Summing deltas
+    * per (cohort, week) — e.g. through [[graft.sources.IncrementalView]] —
+    * yields exactly the q63 batch retention matrix.
+    */
+  final case class CohortDelta(cohort_day: Long, week_day: Long, delta: Int)
+
+  final case class CohortState(cohort: Long, weeks: Array[Long])
+
+  /** Streaming twin of q63 cohort retention. Per-user state is (cohort
+    * week, set of active weeks already reported) — bounded by the analysis
+    * horizon in weeks, not by event volume. Each micro-batch emits deltas
+    * for newly seen weeks; a LATE event that moves a user's cohort
+    * earlier retracts every previously reported (cohort, week) pair and
+    * re-emits it under the new cohort — the streaming answer to "cohort =
+    * min over all history" under out-of-order arrival. Downstream sums
+    * deltas (update-mode agg or an incremental view), so corrections
+    * compose instead of double-counting.
+    */
+  def cohortRetentionStream(
+      events: Dataset[CohortEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[CohortDelta] = {
+    import events.sparkSession.implicits._
+    // Monday-aligned UTC week of an instant, as the epoch day of its start:
+    // epoch day 0 was a Thursday, so shifting by +3 makes weeks Monday-
+    // based — zone-free integer math, ≡ date_trunc('week') in a UTC session.
+    def weekOf(ts: Timestamp): Long = {
+      val day = Math.floorDiv(ts.getTime, 86400000L)
+      Math.floorDiv(day + 3, 7L) * 7L - 3L
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[CohortEvent], state: GroupState[CohortState]) =>
+          val weeks = rows.map(e => weekOf(e.ts)).toSet
+          if (weeks.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption
+            val newCohort = math.min(weeks.min, prior.map(_.cohort).getOrElse(Long.MaxValue))
+            val known = prior.map(_.weeks).getOrElse(Array.empty[Long])
+            val moved = prior.exists(_.cohort > newCohort)
+            val retract = if (moved)
+              known.toSeq.flatMap(w => Seq(
+                CohortDelta(prior.get.cohort, w, -1), CohortDelta(newCohort, w, +1)))
+            else Seq.empty[CohortDelta]
+            val fresh = (weeks -- known).toSeq.sorted
+            state.update(CohortState(newCohort, known ++ fresh))
+            (retract ++ fresh.map(w => CohortDelta(newCohort, w, +1))).iterator
+          }
+      }
+  }
+
   /** Custom stateful sessionization (flatMapGroupsWithState): a session
     * closes after `gapMs` of EVENT-TIME silence per user — either a later
     * event of the same user arrives past the gap, or the watermark passes

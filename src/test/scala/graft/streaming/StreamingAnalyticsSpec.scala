@@ -120,4 +120,93 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       assert(spark.table("sessions").as[SessionUpdate].collect().count(!_.closed) == 0)
     } finally q.stop()
   }
+
+  test("streaming funnel equals the batch funnel on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // u1 completes all stages; u2 skips click (purchase ignored);
+    // u3's first click precedes any view (ignored), second counts;
+    // u4 purchases before viewing (ignored); u99 is the watermark driver
+    val wave1 = Seq(
+      FunnelEvent(1L, ts(0), "view"), FunnelEvent(2L, ts(1), "view"),
+      FunnelEvent(3L, ts(0), "click"), FunnelEvent(3L, ts(1), "view"),
+      FunnelEvent(4L, ts(0), "purchase"), FunnelEvent(1L, ts(2), "click"),
+      FunnelEvent(2L, ts(2), "purchase"))
+    val wave2 = Seq(
+      FunnelEvent(3L, ts(3), "click"), FunnelEvent(4L, ts(4), "view"),
+      FunnelEvent(1L, ts(5), "purchase"))
+    val wave3 = Seq(FunnelEvent(99L, Timestamp.valueOf("2024-01-01 15:00:00"), "view"))
+    val mem = MemoryStream[FunnelEvent]
+    val q = funnelStream(mem.toDS(), ttlMs = 60L * 60 * 1000,
+      watermarkDelay = "0 seconds").writeStream
+      .format("memory").queryName("funnel_stream").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(wave1: _*); q.processAllAvailable()
+      mem.addData(wave2: _*); q.processAllAvailable()
+      mem.addData(wave3: _*); q.processAllAvailable()
+      val updates = spark.table("funnel_stream").as[FunnelUpdate].collect()
+      def reachedAtLeast(k: Int): Set[Long] =
+        updates.filter(_.reached >= k).map(_.user_id).toSet
+      // batch reference: the q61 chain over the SAME events
+      val all = (wave1 ++ wave2 ++ wave3).toDS()
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = all.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val c = all.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val p = all.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      assert(reachedAtLeast(1) == v.collect().map(_.getLong(0)).toSet)
+      assert(reachedAtLeast(2) == c.collect().map(_.getLong(0)).toSet)
+      assert(reachedAtLeast(3) == p.collect().map(_.getLong(0)).toSet)
+      // the watermark evicted settled users with their final stage times
+      val closed = updates.filter(_.closed).map(u => u.user_id -> u).toMap
+      assert(Set(1L, 2L, 3L, 4L).subsetOf(closed.keySet))
+      assert(closed(1L).times ==
+        Seq(ts(0), ts(2), ts(5)).map(_.getTime * 1000L))
+      assert(closed(3L).times == Seq(ts(1), ts(3)).map(_.getTime * 1000L))
+    } finally q.stop()
+  }
+
+  test("streaming cohort deltas sum to the batch retention matrix, with late-cohort repair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def d(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    val wave1 = Seq(
+      CohortEvent(1L, d("2024-01-02")), CohortEvent(1L, d("2024-01-09")),
+      CohortEvent(2L, d("2024-01-10")))
+    // u2's EARLIER event arrives late -> cohort moves W1 -> W0 (retraction);
+    // u3 is a fresh later cohort
+    val wave2 = Seq(
+      CohortEvent(2L, d("2024-01-03")), CohortEvent(3L, d("2024-01-16")))
+    val mem = MemoryStream[CohortEvent]
+    val q = cohortRetentionStream(mem.toDS(), watermarkDelay = "30 days")
+      .writeStream
+      .format("memory").queryName("cohort_stream").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(wave1: _*); q.processAllAvailable()
+      mem.addData(wave2: _*); q.processAllAvailable()
+      val got = spark.table("cohort_stream").as[CohortDelta].collect()
+        .groupBy(cd => (cd.cohort_day, cd.week_day))
+        .view.mapValues(_.map(_.delta).sum).toMap
+        .filter(_._2 != 0)
+      // batch reference: the q63 shape over the SAME events, weeks as epoch days
+      val e = (wave1 ++ wave2).toDS()
+        .select(col("user_id"),
+          datediff(to_date(date_trunc("week", col("ts"))), lit("1970-01-01")).as("wk"))
+      val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      val want = e.distinct().join(cohorts, Seq("user_id"))
+        .groupBy("cohort", "wk").agg(count(lit(1)).as("users"))
+        .collect()
+        .map(r => (r.getAs[Int]("cohort").toLong, r.getAs[Int]("wk").toLong) ->
+          r.getAs[Long]("users").toInt).toMap
+      assert(got == want)
+      // the retraction actually happened: a negative delta was emitted
+      assert(spark.table("cohort_stream").as[CohortDelta].collect().exists(_.delta < 0))
+    } finally q.stop()
+  }
 }
