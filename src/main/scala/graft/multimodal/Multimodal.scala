@@ -11,12 +11,15 @@ import graft.operators.QueryDef
   * typed Dataset — the Scala analog of `mapInPandas` (one iterator per
   * partition, rows processed in streaming batches, no driver collect).
   *
-  * The actual codec is STUBBED ([[StubDecoder]] — this container has no
-  * image/audio libraries): it derives deterministic pseudo-features from the
-  * payload bytes. Everything AROUND the stub is real and load-bearing:
-  * the schema contract, the partition-batched execution shape, the
-  * `binary`-column plumbing, and the downstream columnar feature handling.
-  * Swapping in a real JNI/Java codec touches only [[Decoder.decode]].
+  * Images decode for REAL through [[ImageIoDecoder]] (`javax.imageio`,
+  * in the JDK): true dimensions, pixel-derived features, decode→scale→
+  * re-encode resize. Audio/video remain on [[StubDecoder]] (deterministic
+  * pseudo-features from payload bytes — the JDK ships no codec for them
+  * and this container has no media libraries); everything around that
+  * stub is real and load-bearing: the schema contract, the
+  * partition-batched execution shape, the `binary`-column plumbing, and
+  * the downstream columnar feature handling. Swapping in a JNI codec
+  * touches only [[Decoder.decode]]/[[Decoder.resizePayload]].
   *
   * Scale notes: payloads never shuffle unless a downstream op needs them —
   * feature extraction projects payload→small feature vector EARLY, so
@@ -52,6 +55,75 @@ object Multimodal {
       * implementation calls the codec here; signature and batch shape stay.
       */
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float])
+
+    /** Re-encode `payload` at (w, h); None = no codec for this kind (the
+      * caller falls back to the deterministic stub transform).
+      */
+    def resizePayload(kind: String, payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = None
+  }
+
+  /** REAL image codec via `javax.imageio` (in the JDK — zero egress):
+    * decodes PNG/JPEG/GIF/BMP payloads to true dimensions and an 8-dim
+    * color/luminance feature, and resizes by decode → scale → re-encode.
+    * Audio/video stay on [[StubDecoder]] semantics — the JDK ships no
+    * codec for them, and pretending otherwise would fake the metadata.
+    *
+    * Feature layout (each in [0,1]): mean R, mean G, mean B, mean
+    * luminance, then mean luminance of the four image quadrants — small,
+    * deterministic, and actually derived from pixels, so downstream
+    * similarity/dedup over the feature column is meaningful.
+    */
+  object ImageIoDecoder extends Decoder {
+    private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      if (kind != "image") return StubDecoder.decode(kind, payload)
+      readImage(payload) match {
+        case None => StubDecoder.decode(kind, payload) // undecodable bytes
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Double](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              val lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
+              sums(0) += r; sums(1) += g; sums(2) += b; sums(3) += lum
+              val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+              sums(4 + q) += lum
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          val qn = n / 4.0
+          val feat = Array.tabulate(8)(i =>
+            (sums(i) / (if (i < 4) n else qn) / 255.0).toFloat)
+          (w, h, 1, feat)
+      }
+    }
+
+    override def resizePayload(
+        kind: String, payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      if (kind != "image") return None
+      readImage(payload).map { img =>
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
   }
 
   /** Deterministic stand-in for the absent codec libraries: pseudo-features
@@ -95,24 +167,29 @@ object Multimodal {
     }
   }
 
-  /** Resize: re-encode each image payload to `(w, h)`. The codec is
-    * stubbed (deterministic payload transform + updated metadata); the
-    * real pattern is the shape — payload-in/payload-out per row, batched
-    * per partition, output metadata trusted downstream. A real codec
-    * replaces only the byte transform.
+  /** Resize: re-encode each image payload to `(w, h)`. With
+    * [[ImageIoDecoder]] this is a REAL decode → bilinear scale → PNG
+    * re-encode; a decoder without a codec for the kind (the stub, or
+    * audio/video) falls back to a deterministic payload transform so the
+    * pipeline shape — payload-in/payload-out per row, batched per
+    * partition, output metadata trusted downstream — stays testable
+    * end to end either way.
     */
-  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+  def resize(items: Dataset[MediaItem], w: Int, h: Int,
+      decoder: Decoder = ImageIoDecoder): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
         if (m.kind != "image") m
-        else {
-          // stub re-encode: deterministic sample of the source bytes sized
-          // ∝ the target area (a real codec decodes + scales + re-encodes)
-          val target = math.max(1, math.min(m.payload.length, w * h / 8))
-          val step = math.max(1, m.payload.length / target)
-          val out = Array.tabulate(target)(i => m.payload((i * step) % m.payload.length))
-          m.copy(payload = out, width = w, height = h)
+        else decoder.resizePayload(m.kind, m.payload, w, h) match {
+          case Some(out) => m.copy(payload = out, width = w, height = h)
+          case None =>
+            // stub re-encode: deterministic sample of the source bytes sized
+            // ∝ the target area (a real codec decodes + scales + re-encodes)
+            val target = math.max(1, math.min(m.payload.length, w * h / 8))
+            val step = math.max(1, m.payload.length / target)
+            val out = Array.tabulate(target)(i => m.payload((i * step) % m.payload.length))
+            m.copy(payload = out, width = w, height = h)
         }
       }
     }

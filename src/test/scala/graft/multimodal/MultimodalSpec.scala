@@ -48,6 +48,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(2).width == 1920 && out(2).height == 1080)
   }
 
+  test("real image codec: decode, pixel features, and true resize via javax.imageio") {
+    import spark.implicits._
+    // a REAL PNG generated in-test: 40x20, left half pure red, right pure blue
+    val img = new java.awt.image.BufferedImage(40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val items = Seq(
+      MediaItem(1L, "image", png, 0, 0, 0L), // dims unknown at ingest
+      MediaItem(2L, "audio", "RIFF".getBytes("UTF-8"), 0, 0, 99L)).toDS()
+
+    val feats = extractFeatures(items, ImageIoDecoder).collect().sortBy(_.media_id)
+    val f = feats(0)
+    // true decoded dimensions, not source-declared, not stub-derived
+    assert(f.decoded_w == 40 && f.decoded_h == 20)
+    // features are pixel truth: half red + half blue, no green
+    assert(f.feature(0) > 0.45f && f.feature(0) < 0.55f) // mean R
+    assert(f.feature(1) < 0.01f) // mean G
+    assert(f.feature(2) > 0.45f && f.feature(2) < 0.55f) // mean B
+    // audio stays on the honest stub
+    assert(feats(1).decoded_w >= 16 && feats(1).feature.length == 8)
+
+    // resize really re-encodes: the output payload is a valid 8x8 PNG
+    val resized = resize(items, 8, 8).collect().sortBy(_.media_id).head
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.payload))
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    // scaled pixels keep the halves' colors
+    assert(((back.getRGB(1, 4) >> 16) & 0xff) > 200) // left: red
+    assert((back.getRGB(6, 4) & 0xff) > 200) // right: blue
+  }
+
   test("payloads project to features before any wide op (plan shape)") {
     val feats = extractFeatures(corpus).toDF()
     // features are small fixed-size records — grouping them shuffles KBs,
