@@ -42,6 +42,23 @@ object CatalogOps {
       .write.mode(SaveMode.Append).insertInto("info.files")
   }
 
+  /** Register a CommitLog table in the persistent catalog
+    * (`CREATE TABLE … USING graft-commitlog`): after this, `spark.table
+    * ("db.t")`, SQL by name, and `INSERT INTO db.t` all resolve through
+    * the format's data source — reads are the FileIndex-driven vectorized
+    * scan (current snapshot per query), writes land atomic commits. The
+    * catalog stores only the pointer (provider + path); the log stays the
+    * single source of truth, so external writers' commits are visible
+    * with no re-registration.
+    */
+  def createCommitLogTable(
+      spark: SparkSession, db: String, table: String, root: String): Unit = {
+    ensureSchema(spark, db)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$table` " +
+      s"USING `graft-commitlog` OPTIONS (path '$root')")
+    registerTable(spark, s"$db.$table")
+  }
+
   /** Idempotent table write ≡ `create table if not exists` + per-row INSERT
     * (assets.py:403-410 + 105-114), as one batch append.
     *

@@ -7,16 +7,12 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, GraftBridge, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{DataSourceUtils, FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source => V1Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.CommitLog
 
@@ -49,26 +45,38 @@ import graft.sources.CommitLog
   *    freezing at DDL time.
   *  - **Writes** commit through the log, never around it: the relation
   *    mixes in [[InsertableRelation]] (SQL `INSERT INTO`/`INSERT
-  *    OVERWRITE` plan `InsertIntoDataSourceCommand` against it), the
-  *    provider implements [[CreatableRelationProvider]] (`df.write…save`),
-  *    and [[CommitLogTable]] exposes the DataSourceV2 write surface
-  *    (`TableProvider` + `SupportsWrite`) through the connector-API
-  *    [[V1Write]] bridge, whose `InsertableRelation` lands the same
-  *    atomic [[CommitLog.append]]/[[CommitLog.overwrite]] commits.
+  *    OVERWRITE` plan `InsertIntoDataSourceCommand` against it) and the
+  *    provider implements [[CreatableRelationProvider]] (`df.write…save`
+  *    with append/overwrite/error/ignore modes, first-write-creates-table
+  *    and `partitionBy`), landing the same atomic
+  *    [[CommitLog.append]]/[[CommitLog.overwrite]] commits.
   *
-  * The V2 table deliberately does NOT implement `SupportsRead`:
-  * `DataFrameReader` then falls back to this V1 relation, whose
-  * FileIndex-driven `FileSourceScanExec` already IS the optimized read
-  * path (Delta ships the same read-through-V1 split for the same reason).
+  * Deliberately a PURE V1-relation provider, not a DataSourceV2
+  * `TableProvider`: the V1 relation API is the one integration point a
+  * stock Spark session routes EVERY surface through — path loads, temp
+  * views, `df.write`, and persistent catalog tables (`CREATE TABLE …
+  * USING graft-commitlog`, then DML by name). A `TableProvider` without
+  * `SupportsRead` makes the session catalog resolve named tables to a V2
+  * relation that cannot scan (V2SessionCatalog has no per-table V1
+  * fallback — Delta solves this by shipping its own `DeltaCatalog`, a
+  * session-config burden this format avoids), and a hand-rolled V2
+  * `Batch` scan would REGRESS reads to row-by-row processing: this V1
+  * relation already executes as Spark's vectorized, codegen'd
+  * `FileSourceScanExec`, which is the entire point.
   */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister with TableProvider {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-commitlog"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
+  private def rootOf(parameters: Map[String, String]): String = {
+    val p = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-commitlog requires a path"))
+    // the session catalog normalizes table locations to file: URIs; the
+    // log walks the local filesystem via NIO, so fold them back to a path
+    if (p.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(p)).toString
+    else p
+  }
 
   /** Partition columns arrive from `DataFrameWriter.partitionBy` encoded
     * under `__partition_columns` (the V1-source convention), or explicitly
@@ -118,23 +126,6 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     }
     createRelation(sqlContext, parameters - DataSourceUtils.PARTITIONING_COLUMNS_KEY)
   }
-
-  // ---- DataSourceV2: the connector-catalog write surface ----------------
-
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val root = options.get("path")
-    require(root != null, "graft-commitlog requires a path")
-    CommitLog.currentVersion(root) match {
-      case Some(v) => CommitLog.manifestSchema(CommitLog.readManifest(root, v))
-      case None => new StructType() // first write creates the table
-    }
-  }
-
-  override def getTable(
-      schema: StructType,
-      partitioning: Array[Transform],
-      properties: ju.Map[String, String]): Table =
-    new CommitLogTable(properties.get("path"), schema)
 
   // ---- streaming source: commit versions ARE the offsets ----------------
 
@@ -220,47 +211,6 @@ class CommitLogFileIndex(
     }
     Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
   }
-}
-
-/** The DataSourceV2 face of a CommitLog table: write-only by design (reads
-  * fall back to the FileIndex relation — see [[DefaultSource]]'s scaladoc).
-  * `ACCEPT_ANY_SCHEMA` defers schema checks to the commit protocol itself,
-  * which is what enables first-write-creates-table and additive schema
-  * evolution through `df.write`; [[CommitLog.append]] still rejects
-  * retyping.
-  */
-class CommitLogTable(root: String, declaredSchema: StructType)
-    extends Table with SupportsWrite {
-  require(root != null, "graft-commitlog requires a path")
-
-  override def name(): String = s"graft-commitlog.`$root`"
-
-  override def schema(): StructType =
-    CommitLog.currentVersion(root) match {
-      case Some(v) => CommitLog.manifestSchema(CommitLog.readManifest(root, v))
-      case None => declaredSchema
-    }
-
-  override def capabilities(): ju.Set[TableCapability] =
-    ju.EnumSet.of(
-      TableCapability.ACCEPT_ANY_SCHEMA,
-      TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
-
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwriteAll = false
-      override def truncate(): WriteBuilder = { overwriteAll = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwriteAll || overwrite) CommitLog.overwrite(data, root)
-              else CommitLog.append(data, root)
-            }
-          }
-      }
-    }
 }
 
 /** Tail a CommitLog table as a micro-batch stream: each commit version is

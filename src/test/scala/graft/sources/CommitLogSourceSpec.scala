@@ -176,6 +176,24 @@ class CommitLogSourceSpec extends SparkTestBase {
       .filter(col("k") === "y").count() == 30)
   }
 
+  test("persistent catalog: CREATE TABLE USING graft-commitlog, DML by name, live reads") {
+    val root = table()
+    CatalogOps.createCommitLogTable(spark, "lake", "events_cl", root)
+    try {
+      assert(spark.table("lake.events_cl").count() == 400)
+      spark.sql("INSERT INTO lake.events_cl SELECT id, 'cat' AS tag FROM range(400, 420)")
+      assert(CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+        .op == "append")
+      assert(spark.table("lake.events_cl").count() == 420)
+      // an EXTERNAL writer's commit is visible with no re-registration:
+      // the catalog stores a pointer, the log is the source of truth
+      CommitLog.append(spark.range(420, 430).selectExpr("id", "'x' AS tag"), root)
+      assert(spark.table("lake.events_cl").count() == 430)
+      assert(spark.sql("SELECT sum(id) FROM lake.events_cl").collect()(0).getLong(0) ==
+        (0L until 430L).sum)
+    } finally spark.sql("DROP TABLE lake.events_cl")
+  }
+
   test("a new stream can start on a table with rewrite history (snapshot first batch)") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsv1-s2").toString
     CommitLog.append(spark.range(4).toDF("id"), root)
