@@ -251,5 +251,32 @@ object TableOps {
         s"""SELECT o_orderstatus, count(*) AS n,
            |  ${sqlSum("o_totalprice")} AS sum_price
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental OPTIMIZE (bin-packing compaction): six small commits,
+    // then a size-targeted rewrite that merges only under-sized files —
+    // the oracle over the original parquet proves the rewrite is lossless
+    // (and the timed query includes the small-file tail a streaming sink
+    // actually produces, so the bench measures the maintenance path).
+    "q66_optimize" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val n = ev.count()
+        val root = tmp("graft-q66")
+        (0L until 6L).foreach { i =>
+          val lo = i * n / 6; val hi = (i + 1) * n / 6
+          CommitLog.append(
+            ev.filter(col("event_id") >= lo && col("event_id") < hi), root)
+        }
+        CommitLog.optimize(s, root) // default target: everything merges
+        CommitLog.read(s, root)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""SELECT event_type, count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

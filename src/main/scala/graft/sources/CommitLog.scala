@@ -904,6 +904,56 @@ object CommitLog {
     base + 1
   }
 
+  /** Table history as a DataFrame (DESCRIBE HISTORY): one row per commit
+    * still present in the log — version, op, files/rows/bytes added and
+    * files removed. Pure metadata: reads the per-version commit records,
+    * never a data file; with incremental commits each record already IS
+    * the audit row, no snapshot diffing.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    // earliest commit still on disk (vacuum may have dropped a prefix)
+    var lo = cur
+    while (lo > 1 && Files.exists(commitPath(root, lo - 1))) lo -= 1
+    (lo to cur).map { v =>
+      val c = readCommit(root, v)
+      (v, c.op, c.addOrNil.size, c.removeOrNil.size,
+        c.addOrNil.map(_.rows).sum, c.addOrNil.map(_.bytes).sum,
+        c.partitionByOrNil.mkString(","))
+    }.toDF("version", "op", "added_files", "removed_files",
+      "added_rows", "added_bytes", "partition_by")
+  }
+
+  /** Incremental OPTIMIZE (Delta's bin-packing compaction): rewrite ONLY
+    * files smaller than `targetBytes` into ~target-sized files; every
+    * already-right-sized file moves into the new commit by reference,
+    * stats intact. Cost is O(small files), never O(table) — on a 100 TB
+    * table fed by streaming micro-batches this runs continuously against
+    * the fresh small-file tail while the compacted bulk is untouched.
+    * Partitioned tables re-stage under their spec (the layout contract
+    * holds). Returns the new version, or the current one if there was
+    * nothing to do.
+    */
+  def optimize(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val small = m.statsOrNil.filter(_.bytes < targetBytes)
+    if (small.size <= 1) return base // nothing worth rewriting
+    val df = readFiles(spark, root, m, small.map(_.path))
+    val spec = m.partitionByOrNil
+    val n = math.max(1, math.ceil(
+      small.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    val out = if (spec.isEmpty) df.repartition(n) else df
+    val add = stageWithStats(out, root, spec)
+    commitDelta(root, Some(m), Commit(base + 1, "optimize", m.schemaJson,
+      add, small.map(_.path), spec, m.txnOrEmpty))
+    base + 1
+  }
+
   /** Drop history older than the last `keepVersions` versions and delete
     * data files referenced by NO surviving version. Bounds time-travel
     * history. Before anything is deleted, a checkpoint is written at the

@@ -455,6 +455,80 @@ class CommitLogSpec extends SparkTestBase {
     } finally spark.conf.set(tzKey, saved)
   }
 
+  test("optimize rewrites only under-sized files; right-sized files carry by reference") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    // one "big" file (5k rows) + five tiny single-row commits
+    append(spark.range(5000).coalesce(1).selectExpr("id", "id * 3 AS v"), root)
+    (0 until 5).foreach(i =>
+      append(spark.range(10000 + i, 10001 + i).coalesce(1)
+        .selectExpr("id", "id * 3 AS v"), root))
+    val before = readManifest(root, currentVersion(root).get)
+    assert(before.files.size == 6)
+    val bigBytes = before.statsOrNil.map(_.bytes).max
+    val v = optimize(spark, root, targetBytes = bigBytes) // big file is "right-sized"
+    val after = readManifest(root, v)
+    assert(after.op == "optimize")
+    // the big file survived BY REFERENCE; the 5 tinies became 1
+    val bigPath = before.statsOrNil.maxBy(_.bytes).path
+    assert(after.files.contains(bigPath))
+    assert(after.files.size == 2)
+    // content identical, history intact
+    assert(read(spark, root).count() == 5005)
+    assert(read(spark, root).agg(sum("v")).collect()(0).getLong(0) ==
+      read(spark, root, Some(before.version)).agg(sum("v")).collect()(0).getLong(0))
+    // nothing left to do → no-op commit-free return
+    assert(optimize(spark, root, targetBytes = 10L) == v)
+  }
+
+  test("history lists per-commit audit rows from metadata alone") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    append(spark.range(10).coalesce(1).toDF("id"), root)
+    append(spark.range(10, 14).coalesce(1).toDF("id"), root)
+    delete(spark, root, col("id") === 11L)
+    val h = history(spark, root).orderBy("version").collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "append"), (2L, "append"), (3L, "delete")))
+    assert(h(0).getAs[Long]("added_rows") == 10L)
+    assert(h(1).getAs[Long]("added_rows") == 4L)
+    assert(h(2).getAs[Int]("removed_files") == 1)
+    assert(h.forall(_.getAs[Long]("added_bytes") > 0L))
+    // vacuumed prefixes disappear from history but the rest still lists
+    append(spark.range(20, 22).toDF("id"), root)
+    vacuum(root, keepVersions = 2, retentionMs = 0L)
+    val h2 = history(spark, root).collect()
+    assert(h2.map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("optimistic concurrency: racing threads all land via withRetry") {
+    val root = tmpTable()
+    val errors = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 3).foreach { i =>
+            withRetry(maxRetries = 100) {
+              append(spark.range(t * 1000 + i * 10, t * 1000 + i * 10 + 1)
+                .toDF("id"), root)
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer failed: ${errors}")
+    // every commit landed exactly once: 4 writers x 3 appends
+    assert(currentVersion(root).contains(12L))
+    assert(read(spark, root).count() == 12)
+    // the log is a dense, uncorrupted chain; every version resolves
+    (1L to 12L).foreach(v => assert(readManifest(root, v).version == v))
+    // checkpoint machinery behaved under the race (v10 crossed the interval)
+    assert(Files.exists(Paths.get(root, "_graft_log", f"v${10L}%020d.checkpoint.json")))
+  }
+
   private def foldForTest(prior: Option[Manifest], c: Commit): Manifest = {
     val removed = c.removeOrNil.toSet
     Manifest(c.version, c.op, c.schemaJson,
