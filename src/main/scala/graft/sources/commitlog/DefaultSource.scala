@@ -1,7 +1,7 @@
 package graft.sources.commitlog
 
 import java.nio.file.{Files, Paths}
-import java.{util => ju}
+
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, GraftBridge, SaveMode, SparkSession, SQLContext}

@@ -410,6 +410,18 @@ class CommitLogSpec extends SparkTestBase {
     m3.statsOrNil.foreach(s => assert(s.mins("etype") == s.maxs("etype")))
     assert(read(spark, root).count() == 330)
     assert(read(spark, root).filter("id IN (10, 11, 12) AND etype = 'buy'").count() == 3)
+    // z-order and optimize rewrites ALSO preserve the layout contract
+    cluster(spark, root, Seq("id"), nFiles = 4)
+    val m4 = readManifest(root, currentVersion(root).get)
+    assert(m4.partitionByOrNil == Seq("etype"))
+    m4.statsOrNil.foreach(s => assert(s.mins("etype") == s.maxs("etype")))
+    assert(read(spark, root).count() == 330)
+    optimize(spark, root)
+    val m5 = readManifest(root, currentVersion(root).get)
+    assert(m5.partitionByOrNil == Seq("etype"))
+    m5.statsOrNil.foreach(s => assert(s.mins("etype") == s.maxs("etype")))
+    assert(prunedFiles(spark, m5, col("etype") === "view").size < m5.files.size)
+    assert(read(spark, root).count() == 330)
   }
 
   test("vacuum retention: young unreferenced files survive (in-flight writer safety)") {

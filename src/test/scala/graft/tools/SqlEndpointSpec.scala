@@ -35,6 +35,26 @@ class SqlEndpointSpec extends SparkTestBase {
         assert(rs.getLong(1) == 3L)
         assert(rs.getLong(2) == 30L) // 0 + 10 + 20
         assert(!rs.next())
+
+        // Same server, CommitLog catalog table: the external client both
+        // QUERIES the snapshot and ISSUES DML that must land as an atomic
+        // commit in the log — the reference persona's Trino-issued INSERT
+        // (assets.py:105-114), end to end over a real socket. (One server
+        // per JVM: HiveThriftServer2 doesn't rebind after stop.)
+        import graft.sources.{CatalogOps, CommitLog}
+        val root = java.nio.file.Files.createTempDirectory("graft-ep-cl").toString
+        CommitLog.append(spark.range(4).selectExpr("id", "id * 2 AS v"), root)
+        CatalogOps.createCommitLogTable(spark, "lake", "ep_cl", root)
+        try {
+          val st = conn.createStatement()
+          val rs2 = st.executeQuery("SELECT count(*) AS n, sum(v) AS s FROM lake.ep_cl")
+          assert(rs2.next() && rs2.getLong(1) == 4L && rs2.getLong(2) == 12L)
+          st.execute("INSERT INTO lake.ep_cl SELECT id, id * 2 AS v FROM range(4, 6)")
+          assert(CommitLog.currentVersion(root).contains(2L))
+          assert(CommitLog.readManifest(root, 2L).op == "append")
+          val rs3 = st.executeQuery("SELECT count(*) AS n FROM lake.ep_cl")
+          assert(rs3.next() && rs3.getLong(1) == 6L)
+        } finally spark.sql("DROP TABLE IF EXISTS lake.ep_cl")
       } finally conn.close()
     } finally {
       server.stop()
