@@ -216,7 +216,14 @@ object CommitLog {
   private def readCommit(root: String, v: Long): Commit = {
     val p = commitPath(root, v)
     require(Files.exists(p), s"no commit for version $v under $root")
-    mapper.readValue(Files.readAllBytes(p), classOf[Commit])
+    val node = mapper.readTree(Files.readAllBytes(p))
+    // A pre-incremental-format record (full file list per version) would
+    // deserialize into Commit with add=Nil and silently read as an EMPTY
+    // table — fail loudly instead of losing data quietly.
+    require(!node.has("files"),
+      s"version $v at $root is a legacy full-manifest record; this build " +
+        "reads only incremental commit logs — rewrite the table")
+    mapper.treeToValue(node, classOf[Commit])
   }
 
   private def foldCommit(prior: Option[Manifest], c: Commit): Manifest = {
@@ -297,14 +304,22 @@ object CommitLog {
     * files — the standard hive layout — and force partition-value recovery
     * from paths on every read.)
     */
-  private def stage(df: DataFrame, root: String, partitionBy: Seq[String]): Seq[String] = {
+  private def stage(df: DataFrame, root: String, partitionBy: Seq[String],
+      preArranged: Boolean = false): Seq[String] = {
     val sub = s"data/${UUID.randomUUID()}"
     if (partitionBy.isEmpty) df.write.parquet(s"$root/$sub")
     else {
       val copies = partitionBy.map(c => s"__gp_$c")
-      val staged = partitionBy.zip(copies).foldLeft(df) {
+      val withCopies = partitionBy.zip(copies).foldLeft(df) {
         case (d, (c, cp)) => d.withColumn(cp, col(c))
-      }.repartition(partitionBy.map(col).toIndexedSeq: _*)
+      }
+      // preArranged: the caller already laid rows out (e.g. cluster()'s
+      // z-range sort) — a hash repartition here would destroy that layout;
+      // the partitionBy writer still splits each task's rows per value, so
+      // the single-valued-file contract holds either way.
+      val staged =
+        if (preArranged) withCopies
+        else withCopies.repartition(partitionBy.map(col).toIndexedSeq: _*)
       staged.write.partitionBy(copies: _*).parquet(s"$root/$sub")
     }
     val rootPath = Paths.get(root)
@@ -314,6 +329,15 @@ object CommitLog {
         !n.startsWith("_") && !n.startsWith(".")
     }.map(p => rootPath.relativize(p).toString).toSeq.sorted)
   }
+
+  /** `input_file_name()` reports URI-encoded paths; partition values land
+    * in directory names (e.g. `__gp_etype=big sale/`), so the encoded form
+    * (`big%20sale`) would never `endsWith` the literal on-disk relative
+    * path. Decode before matching; a non-URI string passes through.
+    */
+  private def decodeFileName(abs: String): String =
+    try new java.net.URI(abs).getPath
+    catch { case _: Exception => abs }
 
   private def statTracked(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | DateType | TimestampType |
@@ -360,7 +384,7 @@ object CommitLog {
     val rows = df.groupBy(input_file_name().as("file__"))
       .agg(aggs.head, aggs.tail: _*).collect() // one row per staged file
     rows.toSeq.map { r =>
-      val abs = r.getAs[String]("file__")
+      val abs = decodeFileName(r.getAs[String]("file__"))
       val rel = files.find(f => abs.endsWith(f))
         .getOrElse(sys.error(s"staged file $abs not in commit set"))
       def s(prefix: String): Map[String, String] = tracked.flatMap { f =>
@@ -377,8 +401,9 @@ object CommitLog {
     * column, so the minimum IS the file's partition value.
     */
   private def stageWithStats(
-      df: DataFrame, root: String, partitionBy: Seq[String]): Seq[FileStat] = {
-    val files = stage(df, root, partitionBy)
+      df: DataFrame, root: String, partitionBy: Seq[String],
+      preArranged: Boolean = false): Seq[FileStat] = {
+    val files = stage(df, root, partitionBy, preArranged)
     statsFor(df.sparkSession, root, files, df.schema).map { st =>
       st.copy(partitions =
         partitionBy.flatMap(c => st.minsOrEmpty.get(c).map(c -> _)).toMap)
@@ -508,16 +533,15 @@ object CommitLog {
       version: Option[Long] = None): Unit =
     read(spark, root, version).createOrReplaceTempView(name)
 
-  /** Metadata-only COUNT(*): the sum of per-file row counts when every
-    * file in the snapshot carries stats (None otherwise — e.g. hand-built
-    * commits). At 100 TB this answers the most common query of all
+  /** Metadata-only COUNT(*): the sum of per-file row counts (stats are
+    * recorded for every staged file, and the file list IS the stats list,
+    * so the sum is always complete). None only when the table has no
+    * commits. At 100 TB this answers the most common query of all
     * without touching a single data file.
     */
   def rowCount(root: String, version: Option[Long] = None): Option[Long] = {
     val v = version.orElse(currentVersion(root)).getOrElse(return None)
-    val m = readManifest(root, v)
-    if (m.statsOrNil.isEmpty && m.files.nonEmpty) None
-    else Some(m.statsOrNil.map(_.rows).sum)
+    Some(readManifest(root, v).statsOrNil.map(_.rows).sum)
   }
 
   /** Files added between two versions, read as a DataFrame — the
@@ -624,7 +648,7 @@ object CommitLog {
     val withFile = readFiles(spark, root, m, m.files)
       .withColumn("_graft_file", input_file_name())
     val abs = mark(withFile).select("_graft_file").distinct()
-      .collect().map(_.getString(0))
+      .collect().map(r => decodeFileName(r.getString(0)))
     m.files.filter(f => abs.exists(_.endsWith(f)))
   }
 
@@ -898,7 +922,10 @@ object CommitLog {
       .repartitionByRange(nFiles, col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop((cols.indices.map(i => s"u$i") :+ "_graft_z"): _*)
-    val add = stageWithStats(out, root, prior.partitionByOrNil)
+    // preArranged: the z-range layout IS the point — staging must not
+    // re-shuffle it (the partitionBy writer still splits per value, so a
+    // partitioned table gets z-clustered files within each partition).
+    val add = stageWithStats(out, root, prior.partitionByOrNil, preArranged = true)
     commitDelta(root, Some(prior), Commit(base + 1, "cluster", df.schema.json,
       add, prior.files, prior.partitionByOrNil, prior.txnOrEmpty))
     base + 1
@@ -941,10 +968,19 @@ object CommitLog {
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, base)
-    val small = m.statsOrNil.filter(_.bytes < targetBytes)
-    if (small.size <= 1) return base // nothing worth rewriting
-    val df = readFiles(spark, root, m, small.map(_.path))
     val spec = m.partitionByOrNil
+    val smallAll = m.statsOrNil.filter(_.bytes < targetBytes)
+    // Convergence guard: a lone under-target file can't be improved, so
+    // it must not be rewritten — per PARTITION on partitioned tables
+    // (each partition compacts to one file per pass; re-selecting a
+    // partition whose single file is still under target would rewrite the
+    // same bytes forever).
+    val small =
+      if (spec.isEmpty) { if (smallAll.size <= 1) Nil else smallAll }
+      else smallAll.groupBy(_.partitionsOrEmpty).valuesIterator
+        .filter(_.size >= 2).flatten.toSeq
+    if (small.isEmpty) return base // nothing worth rewriting
+    val df = readFiles(spark, root, m, small.map(_.path))
     val n = math.max(1, math.ceil(
       small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val out = if (spec.isEmpty) df.repartition(n) else df
@@ -968,7 +1004,12 @@ object CommitLog {
   def vacuum(root: String, keepVersions: Int = 1,
       retentionMs: Long = DefaultVacuumRetentionMs): Unit = {
     val cur = currentVersion(root).getOrElse(return)
-    val keepFrom = math.max(1L, cur - keepVersions + 1)
+    // Clamp to the earliest commit still on disk: a prior, narrower vacuum
+    // already dropped older history, so a wider window now must not try to
+    // materialize versions whose records are gone.
+    var earliest = cur
+    while (earliest > 1 && Files.exists(commitPath(root, earliest - 1))) earliest -= 1
+    val keepFrom = math.max(earliest, math.max(1L, cur - keepVersions + 1))
     // Materialize surviving snapshots BEFORE deleting anything, then pin
     // the keep boundary with a checkpoint so resolution never needs the
     // commits about to be dropped.

@@ -184,8 +184,14 @@ class CommitLogFileIndex(
   override def refresh(): Unit = () // resolution is per-listFiles already
 
   override def sizeInBytes: Long = {
+    // bytes=0 means a record without sizes (hand-built/external commit):
+    // fall back to a stat rather than report ~0, which would make Spark
+    // auto-broadcast a table of unknown — possibly huge — size.
     val m = manifest()
-    m.statsOrNil.map(s => math.max(s.bytes, 0L)).sum
+    m.statsOrNil.map { s =>
+      if (s.bytes > 0L) s.bytes
+      else try Files.size(Paths.get(root, s.path)) catch { case _: Exception => 0L }
+    }.sum
   }
 
   override def inputFiles: Array[String] =

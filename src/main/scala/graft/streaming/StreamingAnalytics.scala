@@ -140,6 +140,12 @@ object StreamingAnalytics {
             var times = before
             val sorted = rows.toSeq
               .filter(e => stages.contains(e.event_type)).sortBy(_.ts.getTime)
+            // No funnel-relevant events in this batch: leave state AND the
+            // existing timeout alone — re-arming it to watermark+1 here
+            // would evict the user as soon as the watermark moves, dropping
+            // stages that arrive minutes later.
+            if (sorted.isEmpty) Iterator.empty
+            else {
             sorted.foreach { e =>
               val k = stages.indexOf(e.event_type)
               val us = e.ts.getTime * 1000L
@@ -159,6 +165,7 @@ object StreamingAnalytics {
                 state.getCurrentWatermarkMs() + 1))
               if (times.sameElements(before)) Iterator.empty
               else Iterator.single(FunnelUpdate(userId, times.length, times.toSeq, closed = false))
+            }
             }
           }
       }

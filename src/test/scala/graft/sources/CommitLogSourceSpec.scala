@@ -45,6 +45,9 @@ class CommitLogSourceSpec extends SparkTestBase {
     // unsupported shapes prune nothing and stay correct
     val odd = df.filter((col("id") % 2) === 1)
     assert(odd.count() == 200)
+    // a predicate pruning EVERY file yields an empty scan, not an error
+    assert(df.filter(col("id") > 100000L).count() == 0)
+    assert(df.filter(col("tag") === "absent").count() == 0)
   }
 
   test("streaming source tails commits: versions are offsets, batches are changes()") {

@@ -416,6 +416,9 @@ class CommitLogSpec extends SparkTestBase {
     assert(m4.partitionByOrNil == Seq("etype"))
     m4.statsOrNil.foreach(s => assert(s.mins("etype") == s.maxs("etype")))
     assert(read(spark, root).count() == 330)
+    // ...and the z-layout itself survived partitioned staging (staging
+    // must not re-shuffle the range-sorted rows): id pruning now works
+    assert(prunedFiles(spark, m4, col("id") < 50).size < m4.files.size)
     optimize(spark, root)
     val m5 = readManifest(root, currentVersion(root).get)
     assert(m5.partitionByOrNil == Seq("etype"))
@@ -539,6 +542,70 @@ class CommitLogSpec extends SparkTestBase {
     (1L to 12L).foreach(v => assert(readManifest(root, v).version == v))
     // checkpoint machinery behaved under the race (v10 crossed the interval)
     assert(Files.exists(Paths.get(root, "_graft_log", f"v${10L}%020d.checkpoint.json")))
+  }
+
+  test("partition values with URI-special characters round-trip through stats and merge") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    // spaces and percent signs land in directory names URL-encoded;
+    // stats matching and the merge touch-probe must decode before compare
+    val df = spark.range(20).selectExpr(
+      "id", "CASE WHEN id % 2 = 0 THEN 'big sale' ELSE '100% off' END AS tag")
+    append(df, root, partitionBy = Seq("tag"))
+    val m = readManifest(root, 1L)
+    assert(m.statsOrNil.size == 2)
+    m.statsOrNil.foreach(s => assert(s.mins("tag") == s.maxs("tag")))
+    assert(read(spark, root).count() == 20)
+    assert(readPruned(spark, root, col("tag") === "big sale").count() == 10)
+    // merge must find the touched files despite the encoded dir names
+    val src = spark.range(2, 4).selectExpr("id", "'big sale' AS tag")
+    merge(spark, root, src, Seq("id"))
+    assert(read(spark, root).count() == 20) // updates, not duplicate inserts
+    assert(read(spark, root).filter("id IN (2, 3) AND tag = 'big sale'").count() == 2)
+  }
+
+  test("vacuum with a wider window after a narrower one clamps to available history") {
+    val root = tmpTable()
+    (0 until 6).foreach(i => append(spark.range(i, i + 1).toDF("id"), root))
+    vacuum(root, keepVersions = 1, retentionMs = 0L)
+    assert(currentVersion(root).contains(6L))
+    // a wider window than what survives must clamp, not crash
+    vacuum(root, keepVersions = 5, retentionMs = 0L)
+    assert(read(spark, root).count() == 6)
+    assert(readManifest(root, 6L).files.nonEmpty)
+  }
+
+  test("optimize converges on partitioned tables: lone small files per partition are left alone") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    append(spark.range(30).selectExpr(
+      "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p"), root,
+      partitionBy = Seq("p"))
+    // one file per partition, both tiny: nothing mergeable → no-op forever
+    val v1 = currentVersion(root).get
+    assert(optimize(spark, root) == v1)
+    assert(optimize(spark, root) == v1) // idempotent, no new commits
+    // a second small commit makes partitions 2-filed → one real rewrite
+    append(spark.range(30, 40).selectExpr(
+      "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p"), root)
+    val v2 = optimize(spark, root)
+    assert(v2 == currentVersion(root).get && v2 > v1 + 1 - 1)
+    val m = readManifest(root, v2)
+    assert(m.statsOrNil.size == 2) // one file per partition again
+    assert(optimize(spark, root) == v2) // and converged again
+    assert(read(spark, root).count() == 40)
+  }
+
+  test("legacy full-manifest records fail loudly instead of reading as empty") {
+    val root = tmpTable()
+    append(spark.range(3).toDF("id"), root)
+    // forge a round-3-style record: full `files` list instead of add/remove
+    val legacy = """{"version":2,"op":"append","schemaJson":"{}","files":["data/x.parquet"],"fileStats":[]}"""
+    Files.write(Paths.get(root, "_graft_log", f"v${2L}%020d.json"), legacy.getBytes)
+    val e = intercept[IllegalArgumentException](readManifest(root, 2L))
+    assert(e.getMessage.contains("legacy"))
+    // version 1 (real format) still reads
+    assert(readManifest(root, 1L).files.nonEmpty)
   }
 
   private def foldForTest(prior: Option[Manifest], c: Commit): Manifest = {

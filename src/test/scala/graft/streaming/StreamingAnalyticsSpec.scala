@@ -171,6 +171,33 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnel state survives batches of non-stage traffic (timeout not re-armed to the watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tm(minute: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+    val mem = MemoryStream[FunnelEvent]
+    val q = funnelStream(mem.toDS(), ttlMs = 60L * 60 * 1000,
+      watermarkDelay = "0 seconds").writeStream
+      .format("memory").queryName("funnel_idle").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(FunnelEvent(1L, tm(0), "view")); q.processAllAvailable()
+      // a batch with ONLY a non-stage event for u1 (plus a watermark driver)
+      mem.addData(FunnelEvent(1L, tm(1), "scroll"), FunnelEvent(99L, tm(10), "view"))
+      q.processAllAvailable()
+      // watermark advances well past the (buggy) watermark+1 re-arm but
+      // stays inside u1's real 60-minute TTL — u1 must NOT be evicted
+      mem.addData(FunnelEvent(99L, tm(30), "view")); q.processAllAvailable()
+      val early = spark.table("funnel_idle").as[FunnelUpdate].collect()
+      assert(!early.exists(u => u.user_id == 1L && u.closed),
+        "idle-traffic batch re-armed the timeout and evicted live funnel state")
+      // the funnel then completes normally
+      mem.addData(FunnelEvent(1L, tm(31), "click"), FunnelEvent(1L, tm(32), "purchase"))
+      q.processAllAvailable()
+      val updates = spark.table("funnel_idle").as[FunnelUpdate].collect()
+      assert(updates.filter(_.user_id == 1L).map(_.reached).max == 3)
+    } finally q.stop()
+  }
+
   test("streaming cohort deltas sum to the batch retention matrix, with late-cohort repair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
