@@ -31,6 +31,43 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Connected components of the simhash near-dup graph by min-label
+    * propagation (the q47 machinery): one (doc_id, component) row per doc,
+    * component = the cluster's minimum doc_id. Each round is one equi-join
+    * + min-aggregate with localCheckpoint lineage truncation; rounds =
+    * component diameter — the all-pairs transitive closure is never
+    * materialized.
+    */
+  private def components(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = simhashPairs(d).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = d.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"component propagation did not converge in $iter rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
   /** Distinct 3-word shingles, one row per (doc_id, sh). Unigram tokens are
     * useless on a small shared vocabulary (every doc carries nearly the full
     * token set ⇒ all-pairs explosion); 3-shingles discriminate. The shingle
@@ -250,36 +287,7 @@ object Dedup {
     // (on a cluster this would be a reliable checkpoint instead). Oracle:
     // DuckDB recursive transitive closure, min reachable id per doc.
     "q47_dedup_components" -> QueryDef(
-      fn = { (s, dir) =>
-        val d = docs(s, dir)
-        val pairs = simhashPairs(d).select("doc_a", "doc_b")
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(
-            pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint()
-        var labels = d.select(col("doc_id").as("id"), col("doc_id").as("label"))
-          .localCheckpoint()
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 25) {
-          val nbrMin = edges
-            .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-            .groupBy(col("dst").as("id"))
-            .agg(min(col("label")).as("nbl"))
-          val next = labels.join(nbrMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
-            .localCheckpoint()
-          converged = next
-            .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-            .filter(col("label") =!= col("old")).isEmpty
-          labels = next
-          iter += 1
-        }
-        require(converged, s"component propagation did not converge in $iter rounds")
-        labels.select(col("id").as("doc_id"), col("label").as("component"))
-          .orderBy("doc_id")
-      },
+      fn = { (s, dir) => components(s, dir).orderBy("doc_id") },
       oracle = Some(
         s"""WITH RECURSIVE $simhashPairsSql,
            |edges AS (
@@ -358,5 +366,65 @@ object Dedup {
           |JOIN sizes sb ON sb.doc_id = doc_b
           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Benchmark-contamination screen: flag TRAIN documents sharing ≥ 3
+    // distinct 3-word shingles with any EVAL document (eval set = the
+    // deterministic doc_id % 11 slice, standing in for a held-out
+    // benchmark). Scale shape: the eval shingle set is distinct-deduped
+    // and equi-joined (semi) against the train shingle stream — the eval
+    // side is benchmark-sized (small) so AQE broadcasts it in practice,
+    // and the count per train doc rides the semi-join's partitioning.
+    // The decontamination step every training pipeline runs before eval.
+    "q67_contamination" -> QueryDef(
+      fn = { (s, dir) =>
+        val sh = shingles(docs(s, dir))
+        val evalSh = sh.filter(col("doc_id") % 11 === 0)
+          .select(col("sh")).distinct()
+        val train = sh.filter(col("doc_id") % 11 =!= 0)
+        // shingles() emits distinct (doc_id, sh), so the post-semi-join
+        // count IS the number of distinct shared shingles
+        train.join(evalSh, Seq("sh"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH $shinglesSql,
+           |ev AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 11 = 0),
+           |tr AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 11 <> 0)
+           |SELECT doc_id, count(*) AS n_shared
+           |FROM tr WHERE sh IN (SELECT sh FROM ev)
+           |GROUP BY 1 HAVING count(*) >= 3
+           |ORDER BY 1""".stripMargin)),
+
+    // Keep-one-canonical dedup output: the corpus a near-dup pass actually
+    // SHIPS — one surviving representative per connected component (the
+    // member with the minimum doc_id, which IS the component label) plus
+    // its cluster size. Composes the q47 component machinery; the oracle
+    // re-derives components via a recursive transitive closure, so a
+    // matching hash proves the propagate-then-keep-min pipeline selects
+    // exactly the canonical set.
+    "q68_dedup_canonical" -> QueryDef(
+      fn = { (s, dir) =>
+        components(s, dir)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .select(col("component").as("doc_id"), col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $simhashPairsSql,
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+           |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+           |SELECT component AS doc_id, count(*) AS cluster_size
+           |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
