@@ -305,9 +305,11 @@ object CommitLog {
     * from paths on every read.)
     */
   private def stage(df: DataFrame, root: String, partitionBy: Seq[String],
-      preArranged: Boolean = false): Seq[String] = {
+      preArranged: Boolean = false, maxRecordsPerFile: Long = 0L): Seq[String] = {
     val sub = s"data/${UUID.randomUUID()}"
-    if (partitionBy.isEmpty) df.write.parquet(s"$root/$sub")
+    def withCap[A](w: org.apache.spark.sql.DataFrameWriter[A]) =
+      if (maxRecordsPerFile > 0L) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    if (partitionBy.isEmpty) withCap(df.write).parquet(s"$root/$sub")
     else {
       val copies = partitionBy.map(c => s"__gp_$c")
       val withCopies = partitionBy.zip(copies).foldLeft(df) {
@@ -320,7 +322,7 @@ object CommitLog {
       val staged =
         if (preArranged) withCopies
         else withCopies.repartition(partitionBy.map(col).toIndexedSeq: _*)
-      staged.write.partitionBy(copies: _*).parquet(s"$root/$sub")
+      withCap(staged.write).partitionBy(copies: _*).parquet(s"$root/$sub")
     }
     val rootPath = Paths.get(root)
     withWalk(Paths.get(root, sub))(_.filter { p =>
@@ -402,8 +404,8 @@ object CommitLog {
     */
   private def stageWithStats(
       df: DataFrame, root: String, partitionBy: Seq[String],
-      preArranged: Boolean = false): Seq[FileStat] = {
-    val files = stage(df, root, partitionBy, preArranged)
+      preArranged: Boolean = false, maxRecordsPerFile: Long = 0L): Seq[FileStat] = {
+    val files = stage(df, root, partitionBy, preArranged, maxRecordsPerFile)
     statsFor(df.sparkSession, root, files, df.schema).map { st =>
       st.copy(partitions =
         partitionBy.flatMap(c => st.minsOrEmpty.get(c).map(c -> _)).toMap)
@@ -931,6 +933,17 @@ object CommitLog {
     base + 1
   }
 
+  /** First version of the contiguous commit-file run ending at `cur` —
+    * the oldest history still materializable after vacuums dropped a
+    * prefix. Shared by [[history]] (display range) and [[vacuum]] (keep
+    * clamp) so the two can never disagree about what survives.
+    */
+  private def earliestCommitOnDisk(root: String, cur: Long): Long = {
+    var lo = cur
+    while (lo > 1 && Files.exists(commitPath(root, lo - 1))) lo -= 1
+    lo
+  }
+
   /** Table history as a DataFrame (DESCRIBE HISTORY): one row per commit
     * still present in the log — version, op, files/rows/bytes added and
     * files removed. Pure metadata: reads the per-version commit records,
@@ -941,9 +954,7 @@ object CommitLog {
     import spark.implicits._
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
-    // earliest commit still on disk (vacuum may have dropped a prefix)
-    var lo = cur
-    while (lo > 1 && Files.exists(commitPath(root, lo - 1))) lo -= 1
+    val lo = earliestCommitOnDisk(root, cur)
     (lo to cur).map { v =>
       val c = readCommit(root, v)
       (v, c.op, c.addOrNil.size, c.removeOrNil.size,
@@ -969,22 +980,31 @@ object CommitLog {
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, base)
     val spec = m.partitionByOrNil
-    val smallAll = m.statsOrNil.filter(_.bytes < targetBytes)
-    // Convergence guard: a lone under-target file can't be improved, so
-    // it must not be rewritten — per PARTITION on partitioned tables
-    // (each partition compacts to one file per pass; re-selecting a
-    // partition whose single file is still under target would rewrite the
-    // same bytes forever).
+    // Convergence: candidates are files under HALF the target (Delta's
+    // minFileSize-below-maxFileSize split). Outputs land in
+    // [target/2, target] — sum/ceil(sum/target) ≥ target/2 whenever more
+    // than one file merges — so a produced file is never re-selected; the
+    // one sub-half-target straggler a merge can leave is excluded by the
+    // ≤1-candidate guards below. Selecting up to the full target instead
+    // re-selects its own output forever (e.g. two 0.75·target files merge
+    // into two 0.75·target files, every pass).
+    val smallAll = m.statsOrNil.filter(_.bytes < targetBytes / 2)
     val small =
       if (spec.isEmpty) { if (smallAll.size <= 1) Nil else smallAll }
       else smallAll.groupBy(_.partitionsOrEmpty).valuesIterator
         .filter(_.size >= 2).flatten.toSeq
     if (small.isEmpty) return base // nothing worth rewriting
+    val smallBytes = small.map(_.bytes).sum
+    val smallRows = math.max(1L, small.map(_.rows).sum)
     val df = readFiles(spark, root, m, small.map(_.path))
-    val n = math.max(1, math.ceil(
-      small.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val out = if (spec.isEmpty) df.repartition(n) else df
-    val add = stageWithStats(out, root, spec)
+    // Cap rows per output file from the candidates' observed bytes/row, so
+    // a partition whose small files sum far past the target still splits
+    // into ~target-sized files instead of one oversized single-task write.
+    val rowsPerFile = math.max(1L,
+      (targetBytes.toDouble / (smallBytes.toDouble / smallRows)).toLong)
+    val add = stageWithStats(out, root, spec, maxRecordsPerFile = rowsPerFile)
     commitDelta(root, Some(m), Commit(base + 1, "optimize", m.schemaJson,
       add, small.map(_.path), spec, m.txnOrEmpty))
     base + 1
@@ -1007,9 +1027,8 @@ object CommitLog {
     // Clamp to the earliest commit still on disk: a prior, narrower vacuum
     // already dropped older history, so a wider window now must not try to
     // materialize versions whose records are gone.
-    var earliest = cur
-    while (earliest > 1 && Files.exists(commitPath(root, earliest - 1))) earliest -= 1
-    val keepFrom = math.max(earliest, math.max(1L, cur - keepVersions + 1))
+    val keepFrom = math.max(earliestCommitOnDisk(root, cur),
+      math.max(1L, cur - keepVersions + 1))
     // Materialize surviving snapshots BEFORE deleting anything, then pin
     // the keep boundary with a checkpoint so resolution never needs the
     // commits about to be dropped.

@@ -494,6 +494,11 @@ class CommitLogSpec extends SparkTestBase {
       read(spark, root, Some(before.version)).agg(sum("v")).collect()(0).getLong(0))
     // nothing left to do → no-op commit-free return
     assert(optimize(spark, root, targetBytes = 10L) == v)
+    // a file in [target/2, target) is a PRODUCT of optimization, never a
+    // candidate: selecting up to the full target would re-merge its own
+    // output forever (two 0.75·target files → two 0.75·target files)
+    val mergedBytes = after.statsOrNil.filterNot(_.path == bigPath).head.bytes
+    assert(optimize(spark, root, targetBytes = mergedBytes * 4 / 3) == v)
   }
 
   test("history lists per-commit audit rows from metadata alone") {
