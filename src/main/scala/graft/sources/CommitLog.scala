@@ -933,6 +933,33 @@ object CommitLog {
     base + 1
   }
 
+  /** RESTORE: make the table's CURRENT contents equal an earlier
+    * snapshot's, as one new commit (Delta's RESTORE TABLE ... TO VERSION).
+    * Pure metadata — the commit adds back the files of `toVersion` that
+    * the current snapshot dropped and removes the ones it added since; no
+    * data moves, history stays intact (the mistake being undone remains
+    * time-travelable), and vacuum retention still governs when any file
+    * is physically reclaimed. Fails cleanly if `toVersion`'s record chain
+    * was vacuumed away.
+    */
+  def restore(root: String, toVersion: Long): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    require(toVersion <= base, s"cannot restore to future version $toVersion")
+    val cur = readManifest(root, base)
+    val target = readManifest(root, toVersion)
+    val curPaths = cur.files.toSet
+    val targetPaths = target.files.toSet
+    commitDelta(root, Some(cur), Commit(base + 1, "restore", target.schemaJson,
+      add = target.statsOrNil.filterNot(s => curPaths(s.path)),
+      remove = cur.files.filterNot(targetPaths),
+      partitionBy = target.partitionByOrNil,
+      txn = cur.txnOrEmpty)) // writer watermarks are NOT rolled back:
+    // a replayed streaming batch id stays consumed (restore undoes data,
+    // not idempotence history)
+    base + 1
+  }
+
   /** First version of the contiguous commit-file run ending at `cur` —
     * the oldest history still materializable after vacuums dropped a
     * prefix. Shared by [[history]] (display range) and [[vacuum]] (keep

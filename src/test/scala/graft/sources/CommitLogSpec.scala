@@ -549,6 +549,29 @@ class CommitLogSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(root, "_graft_log", f"v${10L}%020d.checkpoint.json")))
   }
 
+  test("restore rolls current contents back to a snapshot without moving data") {
+    import org.apache.spark.sql.functions._
+    val root = tmpTable()
+    append(spark.range(5).toDF("id"), root) // v1
+    append(spark.range(5, 8).toDF("id"), root) // v2
+    delete(spark, root, col("id") === 6L) // v3: the "mistake"
+    val v = restore(root, 2L)
+    assert(v == 4L)
+    val m = readManifest(root, v)
+    assert(m.op == "restore")
+    // current contents == v2 exactly
+    assert(read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 8L))
+    // the restore re-references v2's ORIGINAL files (metadata-only undo)
+    assert(m.files.toSet == readManifest(root, 2L).files.toSet)
+    // history intact: the undone delete still time-travels
+    assert(read(spark, root, Some(3L)).filter("id = 6").count() == 0)
+    // and a restore is itself just a commit — further appends proceed
+    append(spark.range(8, 9).toDF("id"), root)
+    assert(read(spark, root).count() == 9)
+    intercept[IllegalArgumentException](restore(root, 99L))
+  }
+
   test("partition values with URI-special characters round-trip through stats and merge") {
     import org.apache.spark.sql.functions._
     val root = tmpTable()
