@@ -426,5 +426,61 @@ object Dedup {
            |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
            |SELECT component AS doc_id, count(*) AS cluster_size
            |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The SHIPPED corpus, end to end: what an actual training-data run
+    // publishes after the cleaning pipeline — the train split (eval slice
+    // held out), keeping only each near-dup cluster's canonical
+    // representative, minus benchmark-contaminated docs — summarized as
+    // per-language doc and whitespace-token counts. One query composing
+    // the q47 components, q67 contamination, and q21 token machinery;
+    // the oracle re-derives the entire pipeline in SQL, so the green row
+    // proves the composed semi/anti-join pipeline ships exactly the
+    // right documents. All joins are equi-joins on doc_id/shingle keys —
+    // nothing here degrades at corpus scale.
+    "q69_clean_corpus" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = docs(s, dir)
+        val canon = components(s, dir)
+          .filter(col("doc_id") === col("component")).select("doc_id")
+        val sh = shingles(d)
+        val evalSh = sh.filter(col("doc_id") % 11 === 0).select("sh").distinct()
+        val contaminated = sh.filter(col("doc_id") % 11 =!= 0)
+          .join(evalSh, Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+          .filter(col("ns") >= 3).select("doc_id")
+        d.filter(col("doc_id") % 11 =!= 0)
+          .join(canon, Seq("doc_id"), "left_semi")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("ws_toks",
+            size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ws_toks")).as("total_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $simhashPairsSql,
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+           |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+           |canon AS (SELECT id AS doc_id FROM comp WHERE id = component),
+           |ev AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 11 = 0),
+           |contaminated AS (
+           |  SELECT doc_id FROM sh0
+           |  WHERE doc_id % 11 <> 0 AND sh IN (SELECT sh FROM ev)
+           |  GROUP BY 1 HAVING count(*) >= 3)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT)
+           |    AS total_tokens
+           |FROM documents
+           |WHERE doc_id % 11 <> 0
+           |  AND doc_id IN (SELECT doc_id FROM canon)
+           |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
