@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Exact._
-import graft.operators.{Analytic, Dedup, QueryDef, Relational, Similarity, TableOps, TextAnalysis}
+import graft.operators.{Analytic, Corpus, Dedup, QueryDef, Relational, Similarity, TableOps, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryDef.queriesOf(Relational.queries, Analytic.queries, Dedup.queries,
-      Similarity.queries, TextAnalysis.queries, TableOps.queries,
+      Similarity.queries, TextAnalysis.queries, TableOps.queries, Corpus.queries,
       graft.semantic.ReferenceCubes.queries,
       graft.multimodal.Multimodal.queries) ++ base
 
@@ -69,7 +69,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     QueryDef.oraclesOf(Relational.queries, Analytic.queries, Dedup.queries,
-      Similarity.queries, TextAnalysis.queries, TableOps.queries,
+      Similarity.queries, TextAnalysis.queries, TableOps.queries, Corpus.queries,
       graft.semantic.ReferenceCubes.queries,
       graft.multimodal.Multimodal.queries) ++ baseOracle
 

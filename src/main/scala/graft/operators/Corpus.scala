@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Exact._
+
+/** Corpus-level analytics a training-data pipeline runs between ingestion
+  * and shipping: TF-IDF term salience, repetition-based quality filtering,
+  * behavioral transition matrices, statistical anomaly screens, sliding
+  * (hopping) time windows, and per-label embedding centroids.
+  *
+  * Determinism contract (matches the rest of the repo): every aggregate
+  * rides exact INT64/DECIMAL renditions; the only floating-point ops are
+  * single IEEE +,−,×,÷,sqrt over values derived from exact integers, so
+  * Spark and the DuckDB oracle produce bit-identical doubles and the
+  * driver's value hash matches. No UDFs — all per-row work is codegen
+  * expression work.
+  */
+object Corpus {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private def toksCol: Column = split(lower(trim(col("text"))), "\\s+")
+
+  val queries: Map[String, QueryDef] = Map(
+
+    // TF-IDF top terms per document. One explode → (doc, term) tf counts;
+    // document frequency is a second aggregate OVER THE POSTING LIST (one
+    // row per doc-term, never per occurrence — the heavy-token skew is
+    // absorbed by the map-side-combined tf aggregation before any join);
+    // idf uses the rational BM25 core (N − df + 0.5)/(df + 0.5) instead of
+    // ln() so the score is a product/quotient of exact int64-derived
+    // doubles — bit-identical cross-engine (same divergence note as q49).
+    // Top-3 per doc via a row_number window keyed (score DESC, term ASC):
+    // ties are impossible to mis-order because terms are distinct per doc.
+    // At 100 TB: tf agg shuffles on (doc_id, term), df agg on term, the
+    // df join is a broadcast (vocabulary ≪ corpus after tf collapse).
+    "q70_tfidf_topterms" -> QueryDef(
+      fn = { (s, dir) =>
+        val tf = docs(s, dir)
+          .select(col("doc_id"), explode(toksCol).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        val score = col("tf").cast("double") *
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(score.desc, col("tok"))
+        tf.join(broadcast(df), Seq("tok"))
+          .crossJoin(broadcast(n))
+          .withColumn("score", score)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "tok", "score", "rk")
+          .orderBy("doc_id", "rk")
+      },
+      oracle = Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents),
+          |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+          |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+          |SELECT doc_id, tok, score, rk FROM (
+          |  SELECT tf.doc_id, tf.tok,
+          |    CAST(tf.tf AS DOUBLE) * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score,
+          |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+          |      ORDER BY CAST(tf.tf AS DOUBLE) * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) DESC,
+          |               tf.tok) AS BIGINT) AS rk
+          |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // Repetition-based quality filter (the Gopher/C4 duplicate-fraction
+    // signals): per-doc duplicate-token and duplicate-bigram ratios, plus
+    // the keep/drop verdict. Pure per-row array expression work — zero
+    // shuffle, text column pruned straight off the scan; the bigram list is
+    // built in-row over a hoisted token array (`sequence(1, n)` descends
+    // for n < 1, hence the explicit short-doc branch — the q34 lesson).
+    "q71_repetition_filter" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .withColumn("toks", toksCol)
+          .withColumn("bgs", expr(
+            "CASE WHEN size(toks) >= 2 THEN " +
+              "transform(sequence(1, size(toks) - 1), " +
+              "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+              "ELSE array() END"))
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+          .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+          .withColumn("n_bigrams", size(col("bgs")).cast("long"))
+          .withColumn("n_distinct_bigrams", size(array_distinct(col("bgs"))).cast("long"))
+          .withColumn("dup_tok_ratio",
+            lit(1.0) - col("n_distinct").cast("double") / col("n_toks"))
+          .withColumn("dup_bigram_ratio",
+            when(col("n_bigrams") > 0,
+              lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+              .otherwise(lit(0.0)))
+          .withColumn("keep",
+            when(col("dup_tok_ratio") <= 0.5 &&
+              (col("n_bigrams") === 0 || col("dup_bigram_ratio") <= 0.2), 1L)
+              .otherwise(0L))
+          .select("doc_id", "n_toks", "n_distinct", "dup_tok_ratio",
+            "n_bigrams", "n_distinct_bigrams", "dup_bigram_ratio", "keep")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, n_toks, n_distinct,
+          |  1.0 - CAST(n_distinct AS DOUBLE) / n_toks AS dup_tok_ratio,
+          |  n_bigrams, n_distinct_bigrams,
+          |  CASE WHEN n_bigrams > 0
+          |       THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+          |       ELSE 0.0 END AS dup_bigram_ratio,
+          |  CAST(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_toks <= 0.5
+          |        AND (n_bigrams = 0 OR 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams <= 0.2)
+          |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM (
+          |  SELECT doc_id,
+          |    CAST(len(toks) AS BIGINT) AS n_toks,
+          |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+          |    CAST(len(bgs) AS BIGINT) AS n_bigrams,
+          |    CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct_bigrams
+          |  FROM (
+          |    SELECT doc_id, toks,
+          |      list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1])) AS bgs
+          |    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |          FROM documents)))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Behavioral transition matrix: next-event prediction counts from
+    // per-user event sequences — lead() over a window partitioned by
+    // user_id, ordered (ts, event_id) so timestamp ties are broken by the
+    // unique key (determinism on ANY partitioning). At 100 TB the window
+    // state is one user's events per task — bounded — and the final rollup
+    // is a tiny (|types|²) aggregate.
+    "q72_transitions" -> QueryDef(
+      fn = { (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "next_type")
+      },
+      oracle = Some(
+        """SELECT event_type, next_type, count(*) AS n FROM (
+          |  SELECT event_type,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          |  FROM events)
+          |WHERE next_type IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Statistical anomaly screen: per-type z-scores with mean/std derived
+    // from exact decimal sums (s1 = Σv, s2 = Σv² — each v² is one IEEE
+    // multiply, then an exact decimal truncation, so both engines sum
+    // identical values in any order); variance = s2/n − mean², std = sqrt
+    // (IEEE correctly-rounded) → every z is bit-identical cross-engine and
+    // the |z| > 2.5 cut is deterministic. Plan shape: one tiny stats
+    // aggregate broadcast back onto the fact scan — the q49 "scalar agg +
+    // map" shape that runs unchanged at 100 TB.
+    "q73_anomaly_zscore" -> QueryDef(
+      fn = { (s, dir) =>
+        val st = events(s, dir).groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("s1"),
+          dsum(col("value") * col("value")).as("s2"))
+        val mean = col("s1") / col("n")
+        val std = sqrt(col("s2") / col("n") - mean * mean)
+        events(s, dir)
+          .join(broadcast(st), Seq("event_type"))
+          .filter(abs((col("value") - mean) / std) > 2.5)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_anomalies"),
+            min(col("value")).as("min_val"),
+            max(col("value")).as("max_val"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""WITH st AS (
+           |  SELECT event_type,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    ${sqlSum("value")} AS s1,
+           |    ${sqlSum("value * value")} AS s2
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type,
+           |  count(*) AS n_anomalies,
+           |  min(e.value) AS min_val, max(e.value) AS max_val
+           |FROM events e JOIN st ON e.event_type = st.event_type
+           |WHERE abs((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2.5
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sliding (hopping) window aggregation: 10-minute windows every 5
+    // minutes — Spark's native sliding `window()` generator (each event
+    // lands in exactly windowDuration/slide = 2 windows; both engines
+    // align bucket origins on epoch-multiple boundaries so the window
+    // starts agree). The batch twin of the streaming hop-window shape;
+    // grouped on (window start, type) — an ordinary shuffled agg whose
+    // cardinality is time-bounded, not corpus-bounded.
+    "q74_sliding_window" -> QueryDef(
+      fn = { (s, dir) =>
+        events(s, dir)
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("wstart"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("wstart", "event_type")
+      },
+      oracle = Some(
+        s"""SELECT wstart, event_type, count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM (
+           |  SELECT unnest([
+           |      time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+           |      time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes'
+           |    ]) AS wstart,
+           |    event_type, value
+           |  FROM events)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-label embedding centroids: posexplode over the vector column,
+    // elementwise 1e6-quantized exact BIGINT sums per (label, dim) — the
+    // FloatDotQ quantization discipline applied to centroid computation,
+    // so the mean vector is order-independent (reproducible on a cluster)
+    // and bit-identical to the oracle. Output cardinality = |labels| ×
+    // dims, independent of corpus size; the explode shuffles (label, pos)
+    // keys with map-side combine. This is the k-means/update step and the
+    // class-prototype builder of an embedding-curation pipeline.
+    "q75_label_centroids" -> QueryDef(
+      fn = { (s, dir) =>
+        Tables.load(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+          .withColumn("q", floor(col("e").cast("double") * 1000000.0).cast("long"))
+          .groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+          .withColumn("centroid",
+            col("sum_q").cast("double") / col("n") / lit(1000000.0))
+          .select("label", "pos", "n", "sum_q", "centroid")
+          .orderBy("label", "pos")
+      },
+      oracle = Some(
+        """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q,
+          |  CAST(sum(CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+          |    / count(*) / 1000000.0 AS centroid
+          |FROM (SELECT label, embedding AS e, generate_subscripts(embedding, 1) AS i
+          |      FROM embeddings)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+  )
+}
