@@ -224,6 +224,113 @@ object Corpus {
            |  FROM events)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // GROUPING SETS — the explicit multi-grouping SQL surface (ROLLUP/CUBE
+    // are q08/q25's special cases; arbitrary set lists are the general
+    // form). NULL group keys are sentinel'd to 'ALL' in both engines (the
+    // grouped columns are non-null in this corpus, so the sentinel is
+    // unambiguous). One pass, Spark expands to an internal Expand node —
+    // rows × |sets|, each aggregated map-side.
+    "q76_grouping_sets" -> QueryDef(
+      fn = { (s, dir) =>
+        Tables.load(s, dir, "orders").createOrReplaceTempView("q76_orders")
+        s.sql(
+          s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n,
+             |  ${sqlSum("o_totalprice")} AS sum_price
+             |FROM q76_orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |                        (o_orderstatus), (o_orderpriority), ())
+             |ORDER BY 1, 2""".stripMargin)
+      },
+      oracle = Some(
+        s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           |  coalesce(o_orderpriority, 'ALL') AS priority,
+           |  count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           |                        (o_orderstatus), (o_orderpriority), ())
+           |ORDER BY 1, 2""".stripMargin)),
+
+    // Winsorized statistics: per-type p05/p95 exact percentiles (linear
+    // interpolation — identical definition in Spark `percentile` and DuckDB
+    // `quantile_cont`, the q30 equivalence), values clamped into the band,
+    // then the exact-decimal mean of the clamped series + clamp counts.
+    // The outlier-robust mean every metrics pipeline ships. Same broadcast
+    // stats-join shape as q73; the percentile agg is the only sort-bearing
+    // step and it is per-group.
+    "q77_winsorized" -> QueryDef(
+      fn = { (s, dir) =>
+        val st = events(s, dir).groupBy(col("event_type")).agg(
+          expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+        events(s, dir)
+          .join(broadcast(st), Seq("event_type"))
+          .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("w")).as("sum_w"),
+            davg(col("w")).as("winsorized_mean"),
+            sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+            sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_high"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""WITH st AS (
+           |  SELECT event_type,
+           |    quantile_cont(value, 0.05) AS p05,
+           |    quantile_cont(value, 0.95) AS p95
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type, count(*) AS n,
+           |  ${sqlSum("least(greatest(e.value, p05), p95)")} AS sum_w,
+           |  ${sqlAvg("least(greatest(e.value, p05), p95)")} AS winsorized_mean,
+           |  CAST(sum(CASE WHEN e.value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           |  CAST(sum(CASE WHEN e.value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+           |FROM events e JOIN st ON e.event_type = st.event_type
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Heavy hitters with a count-min-sketch ACCURACY CONTRACT (the q32/q58
+    // pattern applied to frequency sketches): exact top-10 tokens by count
+    // (the ground truth) + the CMS estimate's guarantee — est ≥ exact
+    // always, est ≤ exact + ε·N with confidence 1−δ (ε=1e-4, δ=1e-3,
+    // fixed seed ⇒ the realized estimate is deterministic). The oracle
+    // emits exact counts + literal TRUE, so the green row certifies the
+    // sketch honored its bound. Plan: the sketch is ONE mergeable scalar
+    // aggregate (map-side combine — the 100 TB path an exact global
+    // count-by-key can't always take); the driver reads back one sketch
+    // blob + 10 candidate tokens (bounded, metadata-sized — same budget
+    // as the manifest-stats collects).
+    "q78_heavy_hitters" -> QueryDef(
+      fn = { (s, dir) =>
+        val eps = 1e-4
+        val toks = docs(s, dir).select(explode(toksCol).as("tok"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok")).limit(10)
+        val skRow = toks.agg(
+          expr(s"count_min_sketch(tok, CAST($eps AS DOUBLE), CAST(0.999 AS DOUBLE), 42)").as("sk"),
+          count(lit(1)).as("n_total")).head()
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(skRow.getAs[Array[Byte]]("sk"))
+        val nTotal = skRow.getAs[Long]("n_total")
+        val cands = exact.collect().map(_.getAs[String]("tok"))
+        val est = cands.map(t => (t, cms.estimateCount(t)))
+        val estDf = s.createDataFrame(est.toSeq).toDF("tok", "est")
+        exact.join(broadcast(estDf), Seq("tok"))
+          .select(col("tok"), col("exact_n"),
+            (col("est") >= col("exact_n") &&
+              col("est").cast("double") <= col("exact_n") + lit(eps) * nTotal)
+              .as("within_bound"))
+          .orderBy(col("exact_n").desc, col("tok"))
+      },
+      oracle = Some(
+        """SELECT tok, CAST(count(*) AS BIGINT) AS exact_n, TRUE AS within_bound
+          |FROM (
+          |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents)
+          |GROUP BY tok
+          |ORDER BY exact_n DESC, tok LIMIT 10""".stripMargin)),
+
     // Per-label embedding centroids: posexplode over the vector column,
     // elementwise 1e6-quantized exact BIGINT sums per (label, dim) — the
     // FloatDotQ quantization discipline applied to centroid computation,
