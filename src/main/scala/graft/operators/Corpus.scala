@@ -360,5 +360,77 @@ object Corpus {
           |FROM (SELECT label, embedding AS e, generate_subscripts(embedding, 1) AS i
           |      FROM embeddings)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // K-means (Lloyd) clustering, two deterministic iterations, EXACT: the
+    // IVF coarse-quantizer builder (q18 consumes such centroids) and the
+    // embedding-curation clusterer, with every step in integer arithmetic —
+    // vectors quantized to the 1e6 grid (q75's discipline), assignment =
+    // argmin of exact BIGINT squared distances with (dist, cid) tie-break,
+    // centroid update = truncating integer mean (Spark `div` ≡ DuckDB `//`,
+    // both toward zero) — so cluster sizes AND the SSE are bit-identical
+    // cross-engine, run-to-run, any partitioning. Two iterations keep the
+    // oracle SQL-expressible (CTE unroll); the production loop iterates
+    // the same two joins under localCheckpoint like q47. Scale shape: the
+    // centroid side is k×dims (broadcast — never shuffles the corpus),
+    // assignment aggregates (vec, cid) partials map-side, the update is a
+    // (cid, pos) agg with map-side combine. Overflow audit: |vq| ≤ 2²⁰,
+    // diff² ≤ 2⁴², ×64 dims ≤ 2⁴⁸, summed over 10⁶-vector clusters ≤ 2⁶⁸…
+    // so SSE uses per-pair dists (≤2⁴⁸) summed into one BIGINT per cluster
+    // — exact to ~10¹⁸ corpus vectors per cluster.
+    "q79_kmeans" -> QueryDef(
+      fn = { (s, dir) =>
+        val vq = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+        val seeds = vq.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
+        def assign(cents: DataFrame): DataFrame =
+          vq.join(broadcast(cents), Seq("pos"))
+            .withColumn("d2", (col("vq") - col("cq")) * (col("vq") - col("cq")))
+            .groupBy(col("vec_id"), col("cid"))
+            .agg(sum(col("d2")).as("dist"))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("dist"), col("cid"))).as("m"))
+            .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+        def recompute(assigned: DataFrame): DataFrame =
+          vq.join(assigned.select("vec_id", "cid"), Seq("vec_id"))
+            .groupBy(col("cid"), col("pos"))
+            .agg(expr("sum(vq) div count(vq)").as("cq"))
+        val a2 = assign(recompute(assign(seeds)))
+        a2.groupBy(col("cid"))
+          .agg(count(lit(1)).as("cluster_size"), sum(col("dist")).as("sse_q"))
+          .orderBy("cid")
+      },
+      oracle = Some(
+        """WITH vq AS (
+          |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+          |    CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+          |  FROM (SELECT vec_id, embedding AS e, generate_subscripts(embedding, 1) AS i
+          |        FROM embeddings)),
+          |seeds AS (SELECT vec_id AS cid, pos, vq AS cq FROM vq WHERE vec_id < 10),
+          |d1 AS (
+          |  SELECT v.vec_id, s.cid,
+          |    CAST(sum((v.vq - s.cq) * (v.vq - s.cq)) AS BIGINT) AS dist
+          |  FROM vq v JOIN seeds s USING (pos) GROUP BY 1, 2),
+          |a1 AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM d1) WHERE rn = 1),
+          |c1 AS (
+          |  SELECT a1.cid, v.pos, CAST(sum(v.vq) AS BIGINT) // count(*) AS cq
+          |  FROM vq v JOIN a1 USING (vec_id) GROUP BY 1, 2),
+          |d2 AS (
+          |  SELECT v.vec_id, c.cid,
+          |    CAST(sum((v.vq - c.cq) * (v.vq - c.cq)) AS BIGINT) AS dist
+          |  FROM vq v JOIN c1 c USING (pos) GROUP BY 1, 2),
+          |a2 AS (
+          |  SELECT vec_id, cid, dist FROM (
+          |    SELECT vec_id, cid, dist,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM d2) WHERE rn = 1)
+          |SELECT cid, count(*) AS cluster_size, CAST(sum(dist) AS BIGINT) AS sse_q
+          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
