@@ -1,0 +1,77 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties the query comments
+  * claim (broadcasts instead of shuffled joins, zero-shuffle per-row
+  * pipelines, top-k pushdown, parquet predicate/column pushdown, no
+  * single-partition windows, no cartesian products outside the one
+  * documented baseline) asserted against the actual physical plans, so a
+  * future edit that silently degrades a plan fails the suite rather than
+  * the 100 TB deployment.
+  *
+  * Checks read `sparkPlan` (the selected physical plan, pre-AQE): AQE can
+  * only improve on what is asserted here (demote to broadcast, split skew),
+  * never introduce a shuffle the static plan lacks.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.sparkPlan.toString
+  }
+
+  test("q09 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q09_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("per-row pipelines shuffle nothing but the presentation sort") {
+    // groupBy-free per-row queries: the ONLY exchange allowed is the final
+    // range-partitioned ORDER BY; a hashpartitioning exchange means a
+    // shuffle crept into what must stay map-only work.
+    for (q <- Seq("q71_repetition_filter", "q50_stratified_sample",
+        "q52_pii_redact", "q20_quality_score", "q22_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("broadcast-stats joins never sort-merge") {
+    // scalar/stats aggregates joined back onto the fact scan must ride a
+    // broadcast: a SortMergeJoin here shuffles the whole fact table.
+    for (q <- Seq("q73_anomaly_zscore", "q77_winsorized", "q79_kmeans")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q sort-merges:\n$p")
+    }
+    // q49's 1-row stats ride a broadcast nested-loop cross join
+    assert(plan("q49_bm25").contains("Broadcast"))
+    // q70's vocabulary join broadcasts the df side
+    assert(plan("q70_tfidf_topterms").contains("BroadcastHashJoin"))
+    // the star join broadcasts every dimension
+    val star = plan("q04_star_join")
+    assert(star.contains("BroadcastHashJoin") && !star.contains("SortMergeJoin"))
+  }
+
+  test("windowed pipelines never collapse to a single partition") {
+    // per-series windows must keep their partition keys; an Exchange
+    // SinglePartition means one task sorts the whole corpus.
+    for (q <- Seq("q51_token_pack", "q40_gap_fill", "q62_fixed_k_sample",
+        "q72_transitions")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q single-partitions:\n$p")
+    }
+  }
+
+  test("no cartesian product outside the documented q17 baseline") {
+    for (q <- Seq("q45_neardup_lsh_verify", "q13_minhash_lsh", "q14_simhash",
+        "q57_fuzzy_join", "q15_ngram_jaccard")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q went all-pairs")
+    }
+  }
+
+  test("parquet scans receive pushed filters and pruned columns") {
+    // predicate pushdown reaches the scan
+    assert(plan("q02_pricing_summary").contains("LessThanOrEqual(l_shipdate"))
+    // column pruning: q50 touches only (doc_id, lang) of the 5-column table
+    assert(plan("q50_stratified_sample").contains("struct<doc_id:bigint,lang:string>"))
+  }
+}
