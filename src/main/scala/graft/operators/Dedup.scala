@@ -121,18 +121,30 @@ object Dedup {
     * substring expressions and 32 sum buffers (same semantics, proven by
     * the unchanged q14/q47 oracles).
     */
-  private def simhashPairs(d: DataFrame): DataFrame = {
+  /** (doc_id, fp): 32-bit simhash fingerprints — the maintained index an
+    * incremental pipeline keeps alongside the corpus (q80 probes it).
+    */
+  private def simhashFps(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
-    val fp = shingles(d)
+    shingles(d)
       .select(col("doc_id"), md5(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(call_function("simhash32", col("h")).as("fp"))
+  }
+
+  /** (doc_id, band, nib): the 4 lossless nibble bands per fingerprint. */
+  private def simhashBands(fp: DataFrame): DataFrame = {
     val nibbles = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("nib"))
     }
-    val bands = fp.select(col("doc_id"), explode(array(nibbles: _*)).as("bn"))
+    fp.select(col("doc_id"), explode(array(nibbles: _*)).as("bn"))
       .select(col("doc_id"), col("bn.band").as("band"), col("bn.nib").as("nib"))
+  }
+
+  private def simhashPairs(d: DataFrame): DataFrame = {
+    val fp = simhashFps(d)
+    val bands = simhashBands(fp)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -482,5 +494,50 @@ object Dedup {
            |  AND doc_id IN (SELECT doc_id FROM canon)
            |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INCREMENTAL near-dup: dedup an incoming batch (doc_id % 3 = 0, the
+    // CDC slice an exactly-once ingest would hand over) against the WHOLE
+    // corpus without re-pairing the corpus with itself — the batch's bands
+    // equi-join the maintained band index (asymmetric: the probe side is
+    // batch-sized, so at 100 TB this is a broadcast probe into the index,
+    // never an index self-join), hamming-verified, then per new doc the
+    // best (min hamming, min id) duplicate is kept. The oracle re-derives
+    // from the full all-pairs graph restricted to pairs touching the
+    // batch — a matching hash proves the incremental probe finds exactly
+    // what a full recompute would.
+    "q80_incremental_dedup" -> QueryDef(
+      fn = { (s, dir) =>
+        val fp = simhashFps(docs(s, dir))
+        val bands = simhashBands(fp)
+        val newBands = bands.filter(col("doc_id") % 3 === 0)
+        val cand = newBands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("other_id"))
+          .distinct()
+        val fa = fp.toDF("new_id", "fp_a")
+        val fb = fp.toDF("other_id", "fp_b")
+        cand.join(fa, Seq("new_id")).join(fb, Seq("other_id"))
+          .withColumn("hamming",
+            bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+          .filter(col("hamming") <= 3)
+          .groupBy(col("new_id"))
+          .agg(min(struct(col("hamming"), col("other_id"))).as("m"))
+          .select(col("new_id"), col("m.other_id").as("dup_of"),
+            col("m.hamming").as("hamming"))
+          .orderBy("new_id")
+      },
+      oracle = Some(
+        s"""WITH $simhashPairsSql,
+           |inc AS (
+           |  SELECT doc_a AS new_id, doc_b AS other_id, hamming
+           |  FROM pairs WHERE doc_a % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_b, doc_a, hamming FROM pairs WHERE doc_b % 3 = 0)
+           |SELECT new_id, other_id AS dup_of, hamming FROM (
+           |  SELECT new_id, other_id, hamming,
+           |    row_number() OVER (PARTITION BY new_id ORDER BY hamming, other_id) AS rn
+           |  FROM inc) WHERE rn = 1
+           |ORDER BY new_id""".stripMargin)),
   )
 }

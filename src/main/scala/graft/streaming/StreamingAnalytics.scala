@@ -33,6 +33,25 @@ object StreamingAnalytics {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding (hopping) windows — the streaming twin of batch q74: each
+    * event lands in windowDuration/slide overlapping windows; watermark
+    * eviction works per window end exactly as for tumbling windows, so
+    * state is (watermark delay / slide + duration/slide) windows per key —
+    * still time-bounded, never corpus-bounded.
+    */
+  def hoppingCounts(
+      events: DataFrame,
+      duration: String = "10 minutes",
+      slide: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Stream-stream event-time join: match each impression with clicks on
     * the same key arriving within `windowMinutes` after it. Watermarks on
     * BOTH sides plus the time-range join condition let the engine evict

@@ -35,6 +35,41 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hopping windows: stream result equals the batch q74 shape on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (ts(2), "click", 1.0), (ts(4), "click", 2.0),
+      (ts(7), "view", 3.0), (ts(12), "click", 4.0))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val q = hoppingCounts(stream).writeStream
+      .format("memory").queryName("hop_counts").outputMode(OutputMode.Append()).start()
+    try {
+      data.foreach(mem.addData(_))
+      q.processAllAvailable()
+      mem.addData((ts(59), "click", 0.5)) // advance watermark: finalize all
+      q.processAllAvailable()
+      val streamed = spark.table("hop_counts").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._1.before(ts(50))).toSet
+      // batch twin: the q74 groupBy over the same rows (no watermark cut)
+      val batch = data.toDF("ts", "event_type", "value")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "10 minutes", "5 minutes"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("value")).as("sum_value"))
+        .select("window.start", "event_type", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      // each event contributed to exactly 2 windows
+      assert(streamed.toSeq.map(_._3).sum == data.size * 2)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each batch against the dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
