@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Isolated per-query timing: `dev/run.sh graft.tools.BenchOne [sfDir] q…`
+  * runs ONLY the named queries (sf0.001 warmup, then N timed runs each)
+  * so a single query's cost can be read without the full-suite noise the
+  * shared-host bench is exposed to.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val (dir, names) = args.toList match {
+      case d :: rest if d.startsWith("/") => (d, rest)
+      case rest => ("/root/testdata/sf0.1", rest)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- names) {
+      val fn = graft.SparkEntry.queries(q)
+      fn(spark, "/root/testdata/sf0.001").count() // JIT/codegen warmup
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        println(f"$q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}
