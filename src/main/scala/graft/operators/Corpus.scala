@@ -361,6 +361,45 @@ object Corpus {
           |      FROM embeddings)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Conversion latency: per user, first 'view' → first subsequent
+    // 'purchase', rolled up per first-view day as converter counts +
+    // median/p90 latency (exact interpolated percentiles over exact
+    // epoch-micro BIGINT diffs — the q30 cross-engine equivalence).
+    // Two equi-joins/aggs on user_id (shuffle by user, no windows, no
+    // sort); the funnel-latency metric every growth dashboard ships.
+    "q81_conversion_latency" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = events(s, dir)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") >= col("t_view"))
+          .groupBy(col("user_id"))
+          .agg(min(col("t_view")).as("t_view"), min(col("ts")).as("t_purchase"))
+        val lat = unix_micros(col("t_purchase")) - unix_micros(col("t_view"))
+        p.withColumn("lat_us", lat)
+          .groupBy(to_date(col("t_view")).as("cohort_day"))
+          .agg(count(lit(1)).as("n_converters"),
+            expr("percentile(lat_us, 0.5)").as("median_latency_us"),
+            expr("percentile(lat_us, 0.9)").as("p90_latency_us"))
+          .orderBy("cohort_day")
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT user_id, min(ts) AS t_view FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |p AS (
+          |  SELECT e.user_id, min(v.t_view) AS t_view, min(e.ts) AS t_purchase
+          |  FROM events e JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+          |  GROUP BY 1)
+          |SELECT CAST(t_view AS DATE) AS cohort_day,
+          |  count(*) AS n_converters,
+          |  quantile_cont(epoch_us(t_purchase) - epoch_us(t_view), 0.5) AS median_latency_us,
+          |  quantile_cont(epoch_us(t_purchase) - epoch_us(t_view), 0.9) AS p90_latency_us
+          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // K-means (Lloyd) clustering, two deterministic iterations, EXACT: the
     // IVF coarse-quantizer builder (q18 consumes such centroids) and the
     // embedding-curation clusterer, with every step in integer arithmetic —
