@@ -412,20 +412,42 @@ object CommitLog {
     }
   }
 
+  /** Lossless type widening within a numeric family — the published
+    * Delta ("type widening") / Iceberg ("schema evolution: promote")
+    * behavior: byte → short → int → long and float → double. The manifest
+    * records the WIDER type; Spark's parquet readers upcast narrower
+    * physical files to it at scan time, so old files never rewrite.
+    * Anything lossy (long → int, double → float, cross-family) is still
+    * rejected.
+    */
+  private val intRank = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+  private def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case _ if a == b => Some(a)
+    case _ if intRank.contains(a) && intRank.contains(b) =>
+      Some(intRank(math.max(intRank.indexOf(a), intRank.indexOf(b))))
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    case _ => None
+  }
+
   /** Additive schema union: every field of `old` plus fields only in `nw`
-    * (appended, nullable). A field present in both must keep its type —
-    * widening/retyping is rejected, matching the Delta/Iceberg default.
+    * (appended, nullable). A field present in both may widen losslessly
+    * (see [[widen]]); any other retyping is rejected.
     */
   private def unionSchema(old: StructType, nw: StructType): StructType = {
-    val byName = old.fields.map(f => f.name -> f).toMap
-    nw.fields.foreach { f =>
-      byName.get(f.name).foreach { o =>
-        require(o.dataType == f.dataType,
-          s"schema evolution cannot retype ${f.name}: ${o.dataType} -> ${f.dataType}")
+    val byName = nw.fields.map(f => f.name -> f).toMap
+    val evolved = old.fields.map { o =>
+      byName.get(o.name) match {
+        case Some(f) =>
+          val w = widen(o.dataType, f.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution cannot retype ${o.name}: ${o.dataType} -> ${f.dataType}"))
+          o.copy(dataType = w)
+        case None => o
       }
     }
-    StructType(old.fields ++
-      nw.fields.filterNot(f => byName.contains(f.name)).map(_.copy(nullable = true)))
+    val oldNames = old.fields.map(_.name).toSet
+    StructType(evolved ++
+      nw.fields.filterNot(f => oldNames.contains(f.name)).map(_.copy(nullable = true)))
   }
 
   /** The partition spec a new commit should carry: an explicit request must

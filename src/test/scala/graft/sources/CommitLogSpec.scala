@@ -198,6 +198,35 @@ class CommitLogSpec extends SparkTestBase {
       append(spark.range(1).selectExpr("CAST(id AS STRING) AS id"), root))
   }
 
+  test("type widening: int->long and float->double evolve; lossy retyping rejected") {
+    val root = tmpTable()
+    append(spark.range(3).selectExpr(
+      "CAST(id AS INT) AS id", "CAST(id AS FLOAT) AS x"), root)
+    // wider append: manifest takes the wider type, old files upcast on read
+    append(spark.range(3, 5).selectExpr(
+      "id", "CAST(id AS DOUBLE) AS x"), root)
+    val snap = read(spark, root)
+    assert(snap.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(snap.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(snap.count() == 5)
+    assert(snap.selectExpr("sum(id)").head.getLong(0) == 10L)
+    assert(snap.selectExpr("sum(x)").head.getDouble(0) == 10.0)
+    // a later NARROW append still lands (manifest stays wide)
+    append(spark.range(5, 6).selectExpr(
+      "CAST(id AS INT) AS id", "CAST(id AS FLOAT) AS x"), root)
+    assert(read(spark, root).selectExpr("sum(id)").head.getLong(0) == 15L)
+    // time travel keeps version 1's own narrow schema
+    assert(read(spark, root, Some(1L)).schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // stats pruning still works across mixed-width files
+    val pruned = readPruned(spark, root,
+      org.apache.spark.sql.functions.col("id") >= 5L)
+    assert(pruned.count() == 1)
+    // lossy retyping is still rejected
+    intercept[IllegalArgumentException](
+      append(spark.range(1).selectExpr("id", "CAST(id AS STRING) AS x"), root))
+  }
+
   test("withRetry: losing writer retries against the fresh snapshot and lands") {
     val root = tmpTable()
     append(spark.range(3).toDF("id"), root)
