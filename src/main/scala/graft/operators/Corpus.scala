@@ -361,6 +361,39 @@ object Corpus {
           |      FROM embeddings)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Corpus data card: the per-(lang, source) datasheet a shipped dataset
+    // publishes — doc counts, exact-dedup uniqueness, token volume, and
+    // quality-pass rate in one grouped pass (content hash and token count
+    // are per-row expression work; the rollup is one shuffle on the
+    // bounded (lang, source) key space).
+    "q82_data_card" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .withColumn("content_key",
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          .withColumn("n_toks", size(toksCol).cast("long"))
+          .withColumn("q_pass",
+            when(col("n_toks") >= 10 && col("n_chars") >= 50, 1L).otherwise(0L))
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("content_key")).as("n_unique"),
+            sum(col("n_toks")).as("total_tokens"),
+            sum(col("q_pass")).as("n_quality"),
+            (sum(col("q_pass")).cast("double") / count(lit(1))).as("quality_rate"))
+          .orderBy("lang", "source")
+      },
+      oracle = Some(
+        """SELECT lang, source, count(*) AS n_docs,
+          |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique,
+          |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
+          |  CAST(sum(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 10
+          |                 AND n_chars >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+          |  CAST(sum(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 10
+          |                 AND n_chars >= 50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS quality_rate
+          |FROM documents
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Conversion latency: per user, first 'view' → first subsequent
     // 'purchase', rolled up per first-view day as converter counts +
     // median/p90 latency (exact interpolated percentiles over exact
@@ -435,7 +468,8 @@ object Corpus {
         def recompute(assigned: DataFrame): DataFrame =
           vq.join(assigned.select("vec_id", "cid"), Seq("vec_id"))
             .groupBy(col("cid"), col("pos"))
-            .agg(expr("sum(vq) div count(vq)").as("cq"))
+            // count(1), not count(vq): the oracle divides by count(*)
+            .agg(expr("sum(vq) div count(1)").as("cq"))
         val a2 = assign(recompute(assign(seeds)))
         a2.groupBy(col("cid"))
           .agg(count(lit(1)).as("cluster_size"), sum(col("dist")).as("sse_q"))
