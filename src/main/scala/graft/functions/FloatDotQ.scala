@@ -110,5 +110,17 @@ object GraftFunctions {
         SimHash32(args.head).toAggregateExpression()
       },
       "built-in")
+    reg.createOrReplaceTempFunction("capped_long_set",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "capped_long_set takes (value, cap)")
+        val cap = args(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"capped_long_set cap must be an INT literal, got $other")
+        }
+        CappedLongSet(args.head, cap).toAggregateExpression()
+      },
+      "built-in")
   }
 }

@@ -318,30 +318,28 @@ object Dedup {
     // removal) before the inverted-index self-join, bounding work per key.
     "q15_ngram_jaccard" -> QueryDef(
       fn = { (s, dir) =>
-        // Posting-list formulation with a TWO-PASS DF cap: pass 1 counts
-        // docs per shingle (tiny fixed-size aggregation buffer) and keeps
-        // shingles with ≤ 100 docs; a semi-join drops heavy shingles BEFORE
-        // any posting list materializes, so the collect_set buffer is
-        // provably ≤ 100 elements — a stop-shingle in 10⁹ docs costs one
-        // int64 counter, never a 10⁹-element buffer. Candidate pairs are
-        // generated INSIDE the row (≤ C(100,2) per shingle); the final
-        // groupBy(sh) reuses the semi-join's hash partitioning on sh, and
-        // per-doc sizes come straight off the kept rows (no explode).
-        // An all-pairs self-join on sh was 14.5s at sf0.1; this is ~3s.
+        // Posting-list formulation with a ONE-PASS DF cap: the native
+        // [[graft.functions.CappedLongSet]] aggregate collects each
+        // shingle's posting list with a buffer bounded at 100 longs BY
+        // CONSTRUCTION and returns NULL (drop) past 100 distinct docs — a
+        // stop-shingle in 10⁹ docs costs one saturation flag, never a
+        // 10⁹-element buffer, in the map-side partials too. Replaces the
+        // r3 two-pass form (count+filter, semi-join, collect_set), which
+        // re-expanded the shingle stream 4×: same semantics (the oracle's
+        // HAVING count ≤ 100 + collect, proven by the unchanged green
+        // row), one expansion, one shuffle — best-of-3 2.7s → 2.2s at
+        // sf0.1, and 4× less contention surface (the re-expansions were
+        // where shared-host noise multiplied). Candidate pairs are
+        // generated INSIDE the row
+        // (≤ C(100,2) per shingle); per-doc sizes re-derive from the
+        // CAPPED postings (≤ 100 longs/row), not the raw stream. An
+        // all-pairs self-join on sh was 14.5s at sf0.1.
+        graft.functions.GraftFunctions.register(s)
         val sh = shingles(docs(s, dir))
-        val lightShingles = sh.groupBy(col("sh"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 100)
-          .select("sh")
-        // `kept` feeds BOTH the posting lists and the per-doc sizes. The
-        // recompute is deliberate: persisting it was measured 3× SLOWER at
-        // sf0.1 (13s vs 3.8s — MEMORY_AND_DISK serialization of the full
-        // shingle expansion costs more than re-running the codegen'd
-        // pipeline, and the cache barrier defeats AQE pipelining).
-        val kept = sh.join(lightShingles, Seq("sh"), "left_semi")
-        val postings = kept
+        val postings = sh
           .groupBy(col("sh"))
-          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .agg(expr("capped_long_set(doc_id, 100)").as("ds"))
+          .filter(col("ds").isNotNull)
         val pairs = postings
           .filter(size(col("ds")) >= 2)
           .select(explode(expr(
@@ -350,7 +348,8 @@ object Dedup {
               |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
           .select(col("p.doc_a"), col("p.doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        val sizes = kept
+        val sizes = postings
+          .select(explode(col("ds")).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("sz"))
         pairs
           .join(broadcast(sizes.toDF("doc_a", "sz_a")), Seq("doc_a"))
