@@ -25,7 +25,7 @@ object Corpus {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
-  private def toksCol: Column = split(lower(trim(col("text"))), "\\s+")
+  private def toksCol: Column = Text.toksCol
 
   val queries: Map[String, QueryDef] = Map(
 
@@ -172,10 +172,15 @@ object Corpus {
           dsum(col("value")).as("s1"),
           dsum(col("value") * col("value")).as("s2"))
         val mean = col("s1") / col("n")
-        val std = sqrt(col("s2") / col("n") - mean * mean)
+        val variance = col("s2") / col("n") - mean * mean
+        val std = sqrt(variance)
+        // variance > 0 guard: a constant-valued type has std = 0, where the
+        // engines' x/0 semantics DIVERGE (Spark IEEE ±Inf/NaN, DuckDB NULL).
+        // The guard is computed identically on both sides, so the cut is
+        // deterministic; zero-variance groups by definition have no outliers.
         events(s, dir)
           .join(broadcast(st), Seq("event_type"))
-          .filter(abs((col("value") - mean) / std) > 2.5)
+          .filter(variance > 0 && abs((col("value") - mean) / std) > 2.5)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_anomalies"),
             min(col("value")).as("min_val"),
@@ -193,7 +198,8 @@ object Corpus {
            |  count(*) AS n_anomalies,
            |  min(e.value) AS min_val, max(e.value) AS max_val
            |FROM events e JOIN st ON e.event_type = st.event_type
-           |WHERE abs((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2.5
+           |WHERE s2 / n - (s1 / n) * (s1 / n) > 0
+           |  AND abs((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2.5
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Sliding (hopping) window aggregation: 10-minute windows every 5
@@ -303,6 +309,9 @@ object Corpus {
     // as the manifest-stats collects).
     "q78_heavy_hitters" -> QueryDef(
       fn = { (s, dir) =>
+        // NOTE: fn runs the sketch + candidate jobs eagerly (driver
+        // readback before the returned plan exists) — same contract as the
+        // TableOps DML queries, which also do their work at fn time.
         val eps = 1e-4
         val toks = docs(s, dir).select(explode(toksCol).as("tok"))
         val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
@@ -369,8 +378,7 @@ object Corpus {
     "q82_data_card" -> QueryDef(
       fn = { (s, dir) =>
         docs(s, dir)
-          .withColumn("content_key",
-            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          .withColumn("content_key", Text.contentKey)
           .withColumn("n_toks", size(toksCol).cast("long"))
           .withColumn("q_pass",
             when(col("n_toks") >= 10 && col("n_chars") >= 50, 1L).otherwise(0L))

@@ -198,8 +198,7 @@ object Dedup {
     "q12_exact_dedup" -> QueryDef(
       fn = { (s, dir) =>
         docs(s, dir)
-          .select(col("doc_id"),
-            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("content_key"))
+          .select(col("doc_id"), Text.contentKey.as("content_key"))
           .groupBy(col("content_key"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
           .select("content_key", "keep_id", "n_copies")

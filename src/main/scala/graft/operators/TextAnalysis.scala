@@ -28,7 +28,7 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "ist", "das", "ein"),
     "fr" -> Seq("le", "la", "et", "est", "les", "des"))
 
-  private def toksCol: Column = split(lower(trim(col("text"))), "\\s+")
+  private def toksCol: Column = Text.toksCol
 
   /** Character-trigram profiles (high-frequency trigrams per language,
     * space-padded word boundaries included) for the n-gram language-ID

@@ -47,7 +47,10 @@ object StreamingAnalytics {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), duration, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // exact-decimal sum (q74's dsum): the streamed total is
+      // order-independent, hence bit-equal to the batch twin
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Exact.dsum(col("value")).as("sum_value"))
       .select(
         col("window.start").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))

@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val (dir, names) = args.toList match {
-      case d :: rest if d.startsWith("/") => (d, rest)
+      case d :: rest if java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)) =>
+        (d, rest)
       case rest => ("/root/testdata/sf0.1", rest)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

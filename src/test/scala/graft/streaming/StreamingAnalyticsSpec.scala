@@ -60,7 +60,7 @@ class StreamingAnalyticsSpec extends SparkTestBase {
           org.apache.spark.sql.functions.col("event_type"))
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"),
-          org.apache.spark.sql.functions.sum(
+          graft.operators.Exact.dsum(
             org.apache.spark.sql.functions.col("value")).as("sum_value"))
         .select("window.start", "event_type", "n", "sum_value").collect()
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
