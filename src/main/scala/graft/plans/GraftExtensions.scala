@@ -114,6 +114,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "simhash32 takes exactly 1 argument")
         graft.functions.SimHash32(args.head).toAggregateExpression()
       }))
+    e.injectFunction((
+      new FunctionIdentifier("capped_long_set"),
+      new ExpressionInfo(
+        classOf[graft.functions.CappedLongSet].getName, "capped_long_set"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "capped_long_set takes (value, cap)")
+        val cap = args(1) match {
+          case c if c.foldable &&
+            c.dataType == org.apache.spark.sql.types.IntegerType =>
+            c.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"capped_long_set cap must be an INT literal, got $other")
+        }
+        graft.functions.CappedLongSet(args.head, cap).toAggregateExpression()
+      }))
   }
 }
 

@@ -53,9 +53,20 @@ class GraftExtensionsSpec extends SparkTestBase {
       .exists(_.exists(_.isInstanceOf[FloatDotQ])))
   }
 
-  test("extensions class wires the function and rule without error") {
+  test("extensions class wires the functions and rule without error") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // builder-time injection path
+  }
+
+  test("all three native functions resolve after install()") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val r = Seq((1L, 2L), (1L, 3L)).toDF("g", "v").groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr("capped_long_set(v, 5)").as("ds"))
+      .head.getSeq[Long](1)
+    assert(r == Seq(2L, 3L))
+    assert(spark.sql("SELECT float_dot_q(array(CAST(1 AS FLOAT)), array(CAST(2 AS FLOAT)))")
+      .head.getLong(0) == 2000000000L)
   }
 
   private lazy val dblDf = {
