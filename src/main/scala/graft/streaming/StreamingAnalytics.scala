@@ -194,6 +194,62 @@ object StreamingAnalytics {
   }
 
   // --------------------------------------------------------------------
+  // Streaming transition matrix: the q72 semantics as a changelog
+  // --------------------------------------------------------------------
+
+  final case class TransEvent(
+      user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+
+  /** Changelog record: +1 to the (event_type → next_type) transition count.
+    * Summing deltas reproduces the q72 batch matrix.
+    */
+  final case class TransDelta(event_type: String, next_type: String, delta: Int)
+
+  final case class TransState(lastMs: Long, lastId: Long, lastType: String)
+
+  /** Streaming twin of q72's behavioral transition matrix: per-user state
+    * is ONE event (the last seen) — O(1) per active user, evicted by
+    * event-time timeout. Each micro-batch sorts its rows per user by
+    * (ts, event_id) — the batch window's exact order — chains them onto
+    * the stored last event, and emits one +1 delta per adjacent pair.
+    * Intra-batch disorder is exact; with delivery disorder bounded by one
+    * batch the summed deltas equal the batch matrix (the funnelStream
+    * caveat, asserted by the spec).
+    */
+  def transitionsStream(
+      events: Dataset[TransEvent],
+      ttlMs: Long = 60L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[TransDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransDelta](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val types = state.getOption.map(_.lastType).toSeq ++
+                sorted.map(_.event_type)
+              val out = types.sliding(2).collect {
+                case Seq(a, b) => TransDelta(a, b, 1)
+              }.toSeq
+              val last = sorted.last
+              state.update(TransState(last.ts.getTime, last.event_id, last.event_type))
+              state.setTimeoutTimestamp(math.max(
+                last.ts.getTime + ttlMs, state.getCurrentWatermarkMs() + 1))
+              out.iterator
+            }
+          }
+      }
+  }
+
+  // --------------------------------------------------------------------
   // Streaming cohort retention: the q63 semantics as a changelog
   // --------------------------------------------------------------------
 

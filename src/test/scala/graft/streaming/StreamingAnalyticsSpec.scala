@@ -70,6 +70,45 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming transition deltas sum to the batch q72 matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two users, interleaved and OUT OF ORDER within the batch
+    val data = Seq(
+      StreamingAnalytics.TransEvent(1L, ts(5), 3L, "view"),
+      StreamingAnalytics.TransEvent(1L, ts(2), 1L, "view"),
+      StreamingAnalytics.TransEvent(2L, ts(3), 2L, "click"),
+      StreamingAnalytics.TransEvent(1L, ts(9), 4L, "purchase"),
+      StreamingAnalytics.TransEvent(2L, ts(7), 5L, "view"))
+    val late = StreamingAnalytics.TransEvent(2L, ts(12), 6L, "purchase")
+    val mem = MemoryStream[StreamingAnalytics.TransEvent]
+    val q = StreamingAnalytics.transitionsStream(mem.toDS()).writeStream
+      .format("memory").queryName("trans_deltas")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(late) // later batch chains onto the stored last event
+      q.processAllAvailable()
+      val streamed = spark.table("trans_deltas")
+        .groupBy("event_type", "next_type")
+        .agg(org.apache.spark.sql.functions.sum("delta").as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy("ts", "event_id")
+      val batch = (data :+ late).toDF()
+        .withColumn("next_type",
+          org.apache.spark.sql.functions.lead("event_type", 1).over(w))
+        .filter(org.apache.spark.sql.functions.col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each batch against the dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
