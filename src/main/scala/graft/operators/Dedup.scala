@@ -537,5 +537,72 @@ object Dedup {
            |    row_number() OVER (PARTITION BY new_id ORDER BY hamming, other_id) AS rn
            |  FROM inc) WHERE rn = 1
            |ORDER BY new_id""".stripMargin)),
+
+    // Graph centrality: PageRank over the near-dup graph, two iterations
+    // ENTIRELY in exact BIGINT arithmetic (the q79 discipline applied to
+    // graph analytics): ranks start at 1e9 per node, each step is
+    // r' = 0.15·1e9 + (85 · Σ_{u→v} r(u) div outdeg(u)) div 100 — every
+    // operation a truncating integer op identical in both engines, so the
+    // top-20 ranking is bit-deterministic. The shape is q47's propagation
+    // loop (equi-join + agg per round, centroid-free); production iterates
+    // to convergence under localCheckpoint, two rounds keep the oracle a
+    // CTE unroll. Dangling docs (no near-dups) hold the damping base —
+    // they never join the inflow. Overflow audit: total mass ≤ N·1e9,
+    // ×85 ≤ 8.5e12·N — safe in int64 past 10⁵ docs per component…
+    // globally ranks only shrink from 1e9, so the true bound is per-node
+    // inflow ≤ N·1e9 — fine through sf1.
+    "q83_pagerank" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = simhashPairs(d).select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+          .localCheckpoint()
+        val outdeg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        val nodes = d.select(col("doc_id").as("id"))
+        def step(r: DataFrame): DataFrame = {
+          val inflow = edges
+            .join(r.withColumnRenamed("id", "a"), Seq("a"))
+            .join(outdeg, Seq("a"))
+            .select(col("b").as("id"), expr("r div deg").as("c"))
+            .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+          nodes.join(inflow, Seq("id"), "left")
+            .select(col("id"),
+              (lit(150000000L) + expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+                .as("r"))
+        }
+        val r0 = nodes.withColumn("r", lit(1000000000L))
+        step(step(r0))
+          .orderBy(col("r").desc, col("id"))
+          .limit(20)
+          .select(col("id").as("doc_id"), col("r").as("rank_q"))
+      },
+      oracle = Some(
+        s"""WITH $simhashPairsSql,
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs),
+           |outdeg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+           |nodes AS (SELECT doc_id AS id FROM documents),
+           |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+           |in1 AS (
+           |  SELECT e.b AS id, CAST(sum(r0.r // o.deg) AS BIGINT) AS inflow
+           |  FROM edges e JOIN r0 ON r0.id = e.a JOIN outdeg o ON o.a = e.a
+           |  GROUP BY 1),
+           |r1 AS (
+           |  SELECT n.id,
+           |    CAST(150000000 + (85 * coalesce(in1.inflow, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN in1 ON in1.id = n.id),
+           |in2 AS (
+           |  SELECT e.b AS id, CAST(sum(r1.r // o.deg) AS BIGINT) AS inflow
+           |  FROM edges e JOIN r1 ON r1.id = e.a JOIN outdeg o ON o.a = e.a
+           |  GROUP BY 1),
+           |r2 AS (
+           |  SELECT n.id,
+           |    CAST(150000000 + (85 * coalesce(in2.inflow, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN in2 ON in2.id = n.id)
+           |SELECT id AS doc_id, r AS rank_q FROM r2
+           |ORDER BY r DESC, id LIMIT 20""".stripMargin)),
   )
 }
