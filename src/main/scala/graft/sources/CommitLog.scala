@@ -1059,11 +1059,67 @@ object CommitLog {
     base + 1
   }
 
+  // --------------------------------------------------------------------
+  // Named refs (tags)
+  // --------------------------------------------------------------------
+
+  private def refsDir(root: String): Path = Paths.get(root, "_graft_log", "refs")
+  private def refPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"), s"invalid tag name: $name")
+    refsDir(root).resolve(s"$name.json")
+  }
+  private final case class RefHint(version: Long)
+
+  /** Immutably tag a version (default: current) under `name` — the
+    * published Iceberg tag concept: a named, vacuum-pinned snapshot
+    * ("the v2.3 training corpus"). Creation is the same create-if-absent
+    * primitive as a commit (atomic hard link), so racing taggers get one
+    * winner; re-tagging a name requires [[untag]] first.
+    */
+  def tag(root: String, name: String, version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    readManifest(root, v) // validate resolvable before publishing the ref
+    Files.createDirectories(refsDir(root))
+    val tmp = Files.createTempFile(refsDir(root), s".$name", ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(RefHint(v)))
+    try Files.createLink(refPath(root, name), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(s"tag '$name' already exists at $root")
+    } finally Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** All tags as name → version. */
+  def tags(root: String): Map[String, Long] =
+    if (!Files.isDirectory(refsDir(root))) Map.empty
+    else withList(refsDir(root)) {
+      _.filter(_.getFileName.toString.endsWith(".json")).map { p =>
+        p.getFileName.toString.stripSuffix(".json") ->
+          mapper.readValue(Files.readAllBytes(p), classOf[RefHint]).version
+      }.toMap
+    }
+
+  /** Snapshot read by tag name. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, Some(tags(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $root"))))
+
+  /** Drop a tag; its version becomes vacuumable like any other. */
+  def untag(root: String, name: String): Boolean =
+    Files.deleteIfExists(refPath(root, name))
+
   /** Drop history older than the last `keepVersions` versions and delete
     * data files referenced by NO surviving version. Bounds time-travel
     * history. Before anything is deleted, a checkpoint is written at the
     * keep boundary so every surviving version stays resolvable without the
     * dropped commits.
+    *
+    * TAGGED versions are pinned: each tagged version below the keep
+    * boundary gets its own full checkpoint (so it resolves without its
+    * dropped delta chain), its checkpoint survives, and its files stay
+    * live — vacuum never invalidates a named snapshot.
     *
     * `retentionMs`: unreferenced files YOUNGER than this are kept — they
     * may be a concurrent writer's staged-but-unpublished commit, and
@@ -1082,12 +1138,17 @@ object CommitLog {
     // the keep boundary with a checkpoint so resolution never needs the
     // commits about to be dropped.
     val keepSnaps = (keepFrom to cur).map(readManifest(root, _))
+    // Pinned: tagged versions below the boundary — checkpoint each NOW so
+    // it resolves standalone after its delta chain is dropped.
+    val pinned = tags(root).values.filter(_ < keepFrom).toSet
+    val pinnedSnaps = pinned.toSeq.sorted.map(readManifest(root, _))
+    pinnedSnaps.foreach(writeCheckpoint(root, _))
     writeCheckpoint(root, keepSnaps.head)
     advanceLastCheckpoint(root, keepFrom)
-    val live = keepSnaps.flatMap(_.files).toSet
+    val live = (keepSnaps ++ pinnedSnaps).flatMap(_.files).toSet
     (1L until keepFrom).foreach { v =>
       Files.deleteIfExists(commitPath(root, v))
-      Files.deleteIfExists(checkpointPath(root, v))
+      if (!pinned.contains(v)) Files.deleteIfExists(checkpointPath(root, v))
     }
     // remove unreferenced, out-of-retention data files (then empty dirs)
     val cutoff = System.currentTimeMillis() - retentionMs

@@ -227,6 +227,30 @@ class CommitLogSpec extends SparkTestBase {
       append(spark.range(1).selectExpr("id", "CAST(id AS STRING) AS x"), root))
   }
 
+  test("tags: named snapshots survive vacuum; names are immutable until untag") {
+    val root = tmpTable()
+    (1L to 5L).foreach(i => append(spark.range(i * 10, i * 10 + 3).toDF("id"), root))
+    val tagged = tag(root, "corpus-v1", Some(2L))
+    assert(tagged == 2L)
+    assert(tag(root, "latest") == 5L) // default: current version
+    // NB: qualified — AnyFunSuite has its own `tags` member that shadows
+    assert(CommitLog.tags(root) == Map("corpus-v1" -> 2L, "latest" -> 5L))
+    // tag names are immutable until untag
+    intercept[IllegalStateException](tag(root, "corpus-v1", Some(3L)))
+    // vacuum keeps only the newest version... but the tagged v2 is pinned
+    vacuum(root, keepVersions = 1, retentionMs = 0L)
+    val v2 = readTag(spark, root, "corpus-v1")
+    assert(v2.count() == 6) // versions 1-2's rows
+    assert(read(spark, root).count() == 15)
+    // untagged history is actually gone
+    intercept[Exception](read(spark, root, Some(3L)).count())
+    // untag releases the pin: the next vacuum reclaims v2's standalone state
+    assert(untag(root, "corpus-v1"))
+    vacuum(root, keepVersions = 1, retentionMs = 0L)
+    intercept[Exception](read(spark, root, Some(2L)).count())
+    assert(read(spark, root).count() == 15) // current unaffected
+  }
+
   test("withRetry: losing writer retries against the fresh snapshot and lands") {
     val root = tmpTable()
     append(spark.range(3).toDF("id"), root)
