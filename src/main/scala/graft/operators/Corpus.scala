@@ -441,6 +441,34 @@ object Corpus {
           |  quantile_cont(epoch_us(t_purchase) - epoch_us(t_view), 0.9) AS p90_latency_us
           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Quality-WEIGHTED deterministic sampling: keep probability is a
+    // per-row function of the data (here length-derived, w = min(1,
+    // n_chars/2000)) instead of q50's per-stratum literals — the "sample
+    // good documents more" primitive of curriculum/quality-weighted corpus
+    // construction. Same reproducibility contract as q50: keep iff the
+    // md5-derived uniform u < w·2³², no RNG state, identical rows kept on
+    // any cluster, any partitioning, any run. The weight arithmetic is
+    // int-derived doubles and one IEEE multiply — bit-identical
+    // cross-engine. Pure per-row expression work, zero shuffle.
+    "q84_weighted_sample" -> QueryDef(
+      fn = { (s, dir) =>
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double")
+        val w = least(lit(1.0), col("n_chars").cast("double") / lit(2000.0))
+        docs(s, dir)
+          .withColumn("w", w)
+          .filter(u < col("w") * lit(4294967296.0))
+          .select("doc_id", "lang", "n_chars", "w")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, lang, n_chars,
+          |  least(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS w
+          |FROM documents
+          |WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+          |  < least(1.0, CAST(n_chars AS DOUBLE) / 2000.0) * 4294967296.0
+          |ORDER BY doc_id""".stripMargin)),
+
     // K-means (Lloyd) clustering, two deterministic iterations, EXACT: the
     // IVF coarse-quantizer builder (q18 consumes such centroids) and the
     // embedding-curation clusterer, with every step in integer arithmetic —

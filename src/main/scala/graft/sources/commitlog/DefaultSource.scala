@@ -94,7 +94,14 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
+    // `version` pins a numeric snapshot; `tag` resolves a named one (the
+    // tagged version is resolved at relation creation — a retag later does
+    // not move an open relation, matching `version`'s pinning semantics).
     val version = parameters.get("version").map(_.toLong)
+      .orElse(parameters.get("tag").map { t =>
+        CommitLog.tags(root).getOrElse(t,
+          throw new IllegalArgumentException(s"no tag '$t' at $root"))
+      })
     val index = new CommitLogFileIndex(spark, root, version)
     new HadoopFsRelation(index, new StructType(), index.initialSchema, None,
       new ParquetFileFormat, parameters)(spark) with InsertableRelation {

@@ -27,6 +27,16 @@ class CommitLogSourceSpec extends SparkTestBase {
     assert(v1.agg(max("id")).collect()(0).getLong(0) == 99L)
   }
 
+  test("option('tag', name) reads the tagged snapshot by name") {
+    val root = table()
+    CommitLog.tag(root, "release", Some(2L))
+    val df = spark.read.format("graft-commitlog")
+      .option("tag", "release").load(root)
+    assert(df.count() == 200)
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-commitlog").option("tag", "nope").load(root))
+  }
+
   test("WHERE clauses push down and skip files; results stay exact") {
     val root = table()
     val df = spark.read.format("graft-commitlog").load(root)
