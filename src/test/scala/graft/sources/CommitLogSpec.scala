@@ -251,6 +251,34 @@ class CommitLogSpec extends SparkTestBase {
     assert(read(spark, root).count() == 15) // current unaffected
   }
 
+  test("write-audit-publish: a failing batch never reaches the published table") {
+    // The WAP pattern composed from existing primitives: land each batch
+    // on a STAGING table (atomic commit), audit the staged snapshot, and
+    // only a passing batch is appended to the published table — whose
+    // readers therefore never observe unaudited rows. A failing batch is
+    // restored away on staging and the published table is untouched.
+    val staging = tmpTable()
+    val prod = tmpTable()
+    def audit(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.filter("v < 0").isEmpty // the quality gate: no negative values
+    def wap(batch: org.apache.spark.sql.DataFrame): Boolean = {
+      val v = append(batch, staging)
+      val staged = changes(spark, staging, v - 1, v) // exactly this batch
+      if (audit(staged)) { append(staged, prod); true }
+      else { restore(staging, v - 1); false } // metadata-only reject
+    }
+    append(spark.range(1).selectExpr("id", "id AS v").limit(0), staging)
+    val good = spark.range(5).selectExpr("id", "id AS v")
+    val bad = spark.range(5, 8).selectExpr("id", "-id AS v")
+    assert(wap(good))
+    assert(!wap(bad))
+    assert(read(spark, prod).count() == 5) // bad rows never published
+    assert(read(spark, staging).count() == 5) // staging restored
+    val good2 = spark.range(8, 10).selectExpr("id", "id AS v")
+    assert(wap(good2))
+    assert(read(spark, prod).count() == 7)
+  }
+
   test("withRetry: losing writer retries against the fresh snapshot and lands") {
     val root = tmpTable()
     append(spark.range(3).toDF("id"), root)
