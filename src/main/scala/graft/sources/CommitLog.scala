@@ -1119,7 +1119,10 @@ object CommitLog {
     * TAGGED versions are pinned: each tagged version below the keep
     * boundary gets its own full checkpoint (so it resolves without its
     * dropped delta chain), its checkpoint survives, and its files stay
-    * live — vacuum never invalidates a named snapshot.
+    * live — vacuum never invalidates a named snapshot. (Tags are read at
+    * vacuum start: tagging an about-to-be-dropped version CONCURRENTLY
+    * with a running vacuum races it, the same caveat the retention window
+    * documents for concurrent writers — tag before you vacuum.)
     *
     * `retentionMs`: unreferenced files YOUNGER than this are kept — they
     * may be a concurrent writer's staged-but-unpublished commit, and
