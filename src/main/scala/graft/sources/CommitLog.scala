@@ -100,7 +100,8 @@ object CommitLog {
       add: Seq[FileStat] = Nil,
       remove: Seq[String] = Nil, // root-relative paths dropped from the snapshot
       partitionBy: Seq[String] = Nil,
-      txn: Map[String, Long] = Map.empty) { // appId → last committed batchId
+      txn: Map[String, Long] = Map.empty, // appId → last committed batchId
+      ts: Long = 0L) { // publish wall-clock (epoch ms); 0 on pre-ts commits
     def addOrNil: Seq[FileStat] = Option(add).getOrElse(Nil)
     def removeOrNil: Seq[String] = Option(remove).getOrElse(Nil)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
@@ -261,7 +262,10 @@ object CommitLog {
     * staged to a temp file and hard-linked into place — link creation is the
     * atomic, fail-if-exists commit point.
     */
-  private[sources] def publish(root: String, c: Commit): Unit = {
+  private[sources] def publish(root: String, c0: Commit): Unit = {
+    // stamp the publish instant ONCE here (every commit path funnels
+    // through publish) — the basis for timestampAsOf resolution
+    val c = if (c0.ts == 0L) c0.copy(ts = System.currentTimeMillis()) else c0
     Files.createDirectories(logDir(root))
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp, mapper.writeValueAsBytes(c))
@@ -1006,11 +1010,32 @@ object CommitLog {
     val lo = earliestCommitOnDisk(root, cur)
     (lo to cur).map { v =>
       val c = readCommit(root, v)
-      (v, c.op, c.addOrNil.size, c.removeOrNil.size,
+      (v, c.op, new java.sql.Timestamp(c.ts), c.addOrNil.size, c.removeOrNil.size,
         c.addOrNil.map(_.rows).sum, c.addOrNil.map(_.bytes).sum,
         c.partitionByOrNil.mkString(","))
-    }.toDF("version", "op", "added_files", "removed_files",
+    }.toDF("version", "op", "commit_ts", "added_files", "removed_files",
       "added_rows", "added_bytes", "partition_by")
+  }
+
+  /** Time-based time travel (Delta's `timestampAsOf`): the snapshot that
+    * was current at instant `tsMs` — the LAST version whose publish
+    * timestamp is ≤ tsMs. Resolution reads commit records still on disk
+    * (vacuumed history is not time-resolvable); pre-timestamp commits
+    * (ts = 0) are treated as older than any queried instant.
+    */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(root, tsMs)))
+
+  /** The version that was current at `tsMs` (see [[readAsOf]]). */
+  def versionAsOf(root: String, tsMs: Long): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val lo = earliestCommitOnDisk(root, cur)
+    (lo to cur).reverse
+      .find(readCommit(root, _).ts <= tsMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version at or before timestamp $tsMs at $root " +
+          s"(earliest on disk: ${readCommit(root, lo).ts})"))
   }
 
   /** Incremental OPTIMIZE (Delta's bin-packing compaction): rewrite ONLY

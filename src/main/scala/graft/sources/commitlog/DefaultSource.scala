@@ -102,6 +102,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         CommitLog.tags(root).getOrElse(t,
           throw new IllegalArgumentException(s"no tag '$t' at $root"))
       })
+      .orElse(parameters.get("timestampAsOf").map(t =>
+        CommitLog.versionAsOf(root, t.toLong)))
     val index = new CommitLogFileIndex(spark, root, version)
     new HadoopFsRelation(index, new StructType(), index.initialSchema, None,
       new ParquetFileFormat, parameters)(spark) with InsertableRelation {

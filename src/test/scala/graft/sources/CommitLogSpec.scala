@@ -251,6 +251,27 @@ class CommitLogSpec extends SparkTestBase {
     assert(read(spark, root).count() == 15) // current unaffected
   }
 
+  test("timestampAsOf: time-based time travel resolves the snapshot current at an instant") {
+    val root = tmpTable()
+    append(spark.range(3).toDF("id"), root)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    append(spark.range(3, 8).toDF("id"), root)
+    assert(readAsOf(spark, root, between).count() == 3)
+    assert(versionAsOf(root, System.currentTimeMillis()) == 2L)
+    // before the first commit: no resolvable version
+    intercept[IllegalArgumentException](versionAsOf(root, 1L))
+    // history carries the publish instant
+    val ts = history(spark, root).orderBy("version")
+      .collect().map(_.getAs[java.sql.Timestamp]("commit_ts").getTime)
+    assert(ts(0) > 0 && ts(0) <= between && between <= ts(1))
+    // and through the data source option
+    val v1 = spark.read.format("graft-commitlog")
+      .option("timestampAsOf", between).load(root)
+    assert(v1.count() == 3)
+  }
+
   test("write-audit-publish: a failing batch never reaches the published table") {
     // The WAP pattern composed from existing primitives: land each batch
     // on a STAGING table (atomic commit), audit the staged snapshot, and
