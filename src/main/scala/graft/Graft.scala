@@ -41,6 +41,9 @@ object Graft {
         .enableHiveSupport()
     }
     b
+      // Full extension surface: custom expressions/aggregates, the SQL DML
+      // rewrite for commitlog tables, and time-travel syntax.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // AQE: runtime coalescing, skew-join splitting, runtime join demotion.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -252,6 +252,117 @@ object TableOps {
            |  ${sqlSum("o_totalprice")} AS sum_price
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SQL-level MERGE (the reference persona's JDBC DML, assets.py:105-114):
+    // the SAME set algebra as q48, but issued as a MERGE INTO statement
+    // against a registered commitlog view — parsed by Spark, intercepted by
+    // the injected ResolveDml rule, executed by the format's copy-on-write
+    // merge. Sharing q48's oracle proves statement-level DML ≡ the Scala
+    // API bit for bit.
+    "q85_sql_merge" -> QueryDef(
+      fn = { (s, dir) =>
+        val k = col("o_orderkey")
+        val ord = Tables.load(s, dir, "orders")
+          .select(k, col("o_totalprice"), col("o_orderstatus"))
+        val root = tmp("graft-q85")
+        CommitLog.append(ord, root)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q85_t
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+        val upd = ord.filter(k % 7 === 3 && k % 13 =!= 5)
+          .select(k, (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus"))
+        val del = ord.filter(k % 13 === 5)
+          .select(k, col("o_totalprice"), lit("D").as("o_orderstatus"))
+        val ins = ord.filter(k % 11 === 2)
+          .select((-k).as("o_orderkey"), lit(1.0).as("o_totalprice"),
+            lit("I").as("o_orderstatus"))
+        upd.unionByName(del).unionByName(ins).createOrReplaceTempView("q85_src")
+        s.sql("""MERGE INTO q85_t t USING q85_src src
+                |ON t.o_orderkey = src.o_orderkey
+                |WHEN MATCHED AND src.o_orderstatus = 'D' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.table("q85_t")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(
+        """WITH upd AS (
+          |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+          |         'U' AS o_orderstatus
+          |  FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 13 <> 5),
+          |ins AS (
+          |  SELECT -o_orderkey AS o_orderkey, 1.0 AS o_totalprice,
+          |         'I' AS o_orderstatus
+          |  FROM orders WHERE o_orderkey % 11 = 2),
+          |kept AS (
+          |  SELECT o_orderkey, o_totalprice, o_orderstatus
+          |  FROM orders WHERE o_orderkey % 13 <> 5 AND o_orderkey % 7 <> 3)
+          |SELECT o_orderkey, o_totalprice, o_orderstatus FROM kept
+          |UNION ALL SELECT * FROM upd
+          |UNION ALL SELECT * FROM ins
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // SQL UPDATE + DELETE statements (copy-on-write, one commit each): the
+    // oracle restates both statements declaratively over the original
+    // parquet — filter out the deleted keys, apply the SET arithmetic to
+    // the updated ones.
+    "q86_sql_update_delete" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val root = tmp("graft-q86")
+        CommitLog.append(ord, root)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q86_t
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+        s.sql("UPDATE q86_t SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderkey % 7 = 3")
+        s.sql("DELETE FROM q86_t WHERE o_orderkey % 13 = 5")
+        s.table("q86_t")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice * 2 " +
+            "ELSE o_totalprice END")} AS sum_price
+           |FROM orders WHERE o_orderkey % 13 <> 5
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Time travel through plain SQL (VERSION AS OF): q54's two-commit
+    // history, but both snapshots are read with the SQL syntax the
+    // injected hint rule resolves — proving a JDBC client can pin
+    // versions with no Scala/option() access.
+    "q87_sql_time_travel" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("value"))
+        val n = ev.count()
+        val root = tmp("graft-q87")
+        CommitLog.append(ev.filter(col("event_id") < n / 2), root)
+        CommitLog.append(ev.filter(col("event_id") >= n / 2), root)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q87_t
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+        s.sql(
+          s"""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+             |  ${sqlSum("value")} AS sum_value
+             |FROM q87_t VERSION AS OF 1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT) AS version, count(*) AS n,
+             |  ${sqlSum("value")} AS sum_value
+             |FROM q87_t VERSION AS OF 2
+             |ORDER BY version""".stripMargin)
+      },
+      oracle = Some(
+        s"""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events WHERE event_id < (SELECT count(*) // 2 FROM events)
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT) AS version, count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events
+           |ORDER BY version""".stripMargin)),
+
     // Incremental OPTIMIZE (bin-packing compaction): six small commits,
     // then a size-targeted rewrite that merges only under-sized files —
     // the oracle over the original parquet proves the rewrite is lossless

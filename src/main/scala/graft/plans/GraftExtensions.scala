@@ -100,6 +100,14 @@ object RewriteFloatDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteFloatDotProduct)
+    // SQL row-level DML (MERGE/UPDATE/DELETE) and time travel (VERSION AS
+    // OF / TIMESTAMP AS OF) on commitlog tables. Resolution-batch rules
+    // cannot be attached to an already-built session, so these two are only
+    // active in sessions constructed with this extensions class
+    // (spark.sql.extensions=graft.plans.GraftExtensions — Graft.session
+    // sets it).
+    e.injectResolutionRule(s => new CommitLogSqlDml.ResolveDml(s))
+    e.injectHintResolutionRule(s => new CommitLogSqlDml.ResolveTimeTravel(s))
     e.injectFunction((
       new FunctionIdentifier("float_dot_q"),
       new ExpressionInfo(classOf[FloatDotQ].getName, "float_dot_q"),

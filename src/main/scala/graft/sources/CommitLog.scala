@@ -263,9 +263,20 @@ object CommitLog {
     * atomic, fail-if-exists commit point.
     */
   private[sources] def publish(root: String, c0: Commit): Unit = {
-    // stamp the publish instant ONCE here (every commit path funnels
-    // through publish) — the basis for timestampAsOf resolution
-    val c = if (c0.ts == 0L) c0.copy(ts = System.currentTimeMillis()) else c0
+    // Stamp the publish instant ONCE here (every commit path funnels
+    // through publish) — the basis for timestampAsOf resolution. The stamp
+    // is clamped to strictly after the prior commit's (Delta's non-monotonic
+    // timestamp adjustment): a clock step backwards or multi-writer skew
+    // would otherwise let versionAsOf resolve an instant to a version that
+    // was never current at that time.
+    val c = if (c0.ts != 0L) c0 else {
+      val now = System.currentTimeMillis()
+      val prev =
+        if (c0.version <= 1L) None
+        else try Some(readCommit(root, c0.version - 1).ts)
+        catch { case _: Exception => None } // prior record vacuumed
+      c0.copy(ts = math.max(now, prev.map(_ + 1L).getOrElse(now)))
+    }
     Files.createDirectories(logDir(root))
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp, mapper.writeValueAsBytes(c))
@@ -698,13 +709,37 @@ object CommitLog {
       root: String,
       source: DataFrame,
       keys: Seq[String],
-      deleteWhen: Option[Column] = None): Long = {
+      deleteWhen: Option[Column] = None): Long = deleteWhen match {
+    case None => mergeRows(spark, root, source, keys, None, insertUnmatched = true)
+    case Some(c) => mergeRows(spark, root,
+      source.withColumn(MergeDeleteFlag, c), keys, Some(MergeDeleteFlag),
+      insertUnmatched = true)
+  }
+
+  private val MergeDeleteFlag = "__graft_merge_delete"
+
+  /** The general MERGE engine (SQL `MERGE INTO` semantics): full-row
+    * replace of matched target rows by their source row, with
+    *  - `deleteFlag`: boolean source column naming MATCHED rows to delete
+    *    instead of replace (an UNMATCHED row with the flag set still
+    *    inserts — `WHEN MATCHED … DELETE` never touches insert candidates);
+    *  - `insertUnmatched = false`: update-only merge (no `WHEN NOT MATCHED`
+    *    clause) — source rows matching nothing are dropped.
+    */
+  private[graft] def mergeRows(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keys: Seq[String],
+      deleteFlag: Option[String],
+      insertUnmatched: Boolean): Long = {
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, base)
     val schema = schemaOf(m)
-    require(source.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
-      s"merge source columns ${source.columns.mkString(",")} != table schema")
+    val dataCols = source.schema.fieldNames.filterNot(deleteFlag.contains)
+    require(dataCols.sorted.sameElements(schema.fieldNames.sorted),
+      s"merge source columns ${dataCols.mkString(",")} != table schema")
     // Names AND types must match: a widened source (e.g. long → double)
     // would otherwise stage parquet files whose physical types contradict
     // the published log schema, making the table unreadable.
@@ -713,9 +748,11 @@ object CommitLog {
       require(st == f.dataType,
         s"merge source retypes ${f.name}: ${f.dataType.simpleString} -> ${st.simpleString}")
     }
-    // The source is evaluated three times (dup-key check, touch probe,
-    // staging) — persist it so an expensive upstream pipeline runs once.
-    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*).persist()
+    // The source is evaluated several times (dup-key check, touch probe,
+    // match split, staging) — persist it so an expensive upstream pipeline
+    // runs once.
+    val src = source.select(
+      (schema.fieldNames ++ deleteFlag).map(col).toIndexedSeq: _*).persist()
     try {
       require(src.groupBy(keys.map(col).toIndexedSeq: _*)
         .count().filter(col("count") > 1).isEmpty,
@@ -730,10 +767,22 @@ object CommitLog {
       // a union: (touched target rows with no source key) ∪ (every surviving
       // source row). A surviving source row that matched is the UPDATE; one
       // that matched nothing anywhere is the INSERT (any matching key would
-      // have made its file touched); a source row failing `deleteWhen` simply
-      // never reappears — MERGE … WHEN MATCHED DELETE.
-      val keep = deleteWhen.map(c => src.filter(!coalesce(c, lit(false))))
-        .getOrElse(src)
+      // have made its file touched). "Matched" is decidable against the
+      // touched files alone — a source key present anywhere in the table
+      // makes its file touched — so the split below never rescans the table.
+      val keep0 = deleteFlag match {
+        case None => src
+        case Some(f) =>
+          val tKeys = tTouched.select(keys.map(col).toIndexedSeq: _*)
+          src.join(tKeys, keys, "left_semi")
+            .filter(!coalesce(col(f), lit(false)))
+            .unionByName(src.join(tKeys, keys, "left_anti"))
+      }
+      val keep1 =
+        if (insertUnmatched) keep0
+        else keep0.join(
+          tTouched.select(keys.map(col).toIndexedSeq: _*), keys, "left_semi")
+      val keep = keep1.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       val merged = tTouched.join(srcKeys, keys, "left_anti")
         .unionByName(keep)
 
@@ -742,6 +791,37 @@ object CommitLog {
         add, touched, m.partitionByOrNil, m.txnOrEmpty))
       base + 1
     } finally src.unpersist()
+  }
+
+  /** Copy-on-write UPDATE (SQL `UPDATE … SET … WHERE …`): rewrite only
+    * files containing a matching row; within them, each matching row gets
+    * the assignments applied and every other row is carried unchanged.
+    * Assigned values are cast back to the column's declared type so the
+    * staged parquet can never contradict the log schema.
+    */
+  def update(spark: SparkSession, root: String,
+      set: Seq[(String, Column)], cond: Column): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val schema = schemaOf(m)
+    val bad = set.map(_._1).filterNot(n => schema.fieldNames.contains(n))
+    require(bad.isEmpty, s"UPDATE of unknown column(s): ${bad.mkString(",")}")
+    val touched = touchedFiles(spark, root, m)(_.filter(cond))
+    if (touched.isEmpty) return base // nothing matches: no-op, no commit
+    val guard = coalesce(cond, lit(false))
+    val assign = set.toMap
+    val updated = readFiles(spark, root, m, touched).select(
+      schema.fields.toIndexedSeq.map { f =>
+        assign.get(f.name) match {
+          case Some(v) => when(guard, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val add = stageWithStats(updated, root, m.partitionByOrNil)
+    commitDelta(root, Some(m), Commit(base + 1, "update", m.schemaJson,
+      add, touched, m.partitionByOrNil, m.txnOrEmpty))
+    base + 1
   }
 
   /** Copy-on-write DELETE: rewrite only files containing a matching row. */
@@ -1105,6 +1185,7 @@ object CommitLog {
     val v = version.orElse(currentVersion(root))
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     readManifest(root, v) // validate resolvable before publishing the ref
+    requireNoVacuumBelow(root, v)
     Files.createDirectories(refsDir(root))
     val tmp = Files.createTempFile(refsDir(root), s".$name", ".tmp")
     Files.write(tmp, mapper.writeValueAsBytes(RefHint(v)))
@@ -1113,7 +1194,65 @@ object CommitLog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(s"tag '$name' already exists at $root")
     } finally Files.deleteIfExists(tmp)
+    // Double-check AFTER the ref is visible — this closes the
+    // tag-during-vacuum race. A vacuum reads the refs dir once, right
+    // after publishing its barrier; interleavings resolve as:
+    //  - our link landed before that read  → the vacuum pins us;
+    //  - it landed after                   → either the barrier is still
+    //    up here (back out cleanly), or the vacuum already finished and
+    //    the re-validation below proves the version still resolves (it
+    //    does iff it was ≥ the keep boundary or pinned by another tag).
+    // Either way a surviving tag always names live files.
+    try {
+      requireNoVacuumBelow(root, v)
+      readManifest(root, v)
+    } catch {
+      case e: Throwable =>
+        Files.deleteIfExists(refPath(root, name))
+        throw new IllegalStateException(
+          s"tag '$name' lost a race with a concurrent vacuum — retry after " +
+            s"it completes (${e.getMessage})")
+    }
     v
+  }
+
+  // --------------------------------------------------------------------
+  // Vacuum barrier: tag/vacuum coordination
+  // --------------------------------------------------------------------
+
+  private final case class VacuumHint(keepFrom: Long, ts: Long)
+  private def vacuumBarrierPath(root: String): Path =
+    logDir(root).resolve("_vacuum_in_progress")
+
+  /** A crashed vacuum must not block tagging forever: barriers older than
+    * this are ignored (a healthy vacuum's tag-sensitive window — metadata
+    * writes plus file deletion — is seconds; a day is paranoid-safe).
+    */
+  private val VacuumBarrierStaleMs: Long = 24L * 3600 * 1000
+
+  private def activeVacuumBoundary(root: String): Option[Long] = {
+    val p = vacuumBarrierPath(root)
+    if (!Files.exists(p)) None
+    else
+      try {
+        val h = mapper.readValue(Files.readAllBytes(p), classOf[VacuumHint])
+        if (System.currentTimeMillis() - h.ts > VacuumBarrierStaleMs) None
+        else Some(h.keepFrom)
+      } catch { case _: Exception => None } // torn write: barrier ignored
+  }
+
+  private def requireNoVacuumBelow(root: String, v: Long): Unit =
+    activeVacuumBoundary(root).filter(_ > v).foreach { b =>
+      throw new IllegalStateException(
+        s"a concurrent vacuum (keep boundary $b) may reclaim version $v " +
+          "— tag after it completes")
+    }
+
+  private def withVacuumBarrier[A](root: String, keepFrom: Long)(body: => A): A = {
+    Files.createDirectories(logDir(root))
+    Files.write(vacuumBarrierPath(root),
+      mapper.writeValueAsBytes(VacuumHint(keepFrom, System.currentTimeMillis())))
+    try body finally Files.deleteIfExists(vacuumBarrierPath(root))
   }
 
   /** All tags as name → version. */
@@ -1144,51 +1283,116 @@ object CommitLog {
     * TAGGED versions are pinned: each tagged version below the keep
     * boundary gets its own full checkpoint (so it resolves without its
     * dropped delta chain), its checkpoint survives, and its files stay
-    * live — vacuum never invalidates a named snapshot. (Tags are read at
-    * vacuum start: tagging an about-to-be-dropped version CONCURRENTLY
-    * with a running vacuum races it, the same caveat the retention window
-    * documents for concurrent writers — tag before you vacuum.)
+    * live — vacuum never invalidates a named snapshot. Tags racing a
+    * running vacuum are coordinated through the vacuum barrier: the
+    * barrier is published BEFORE the refs dir is read, and [[tag]]
+    * re-checks the barrier after publishing its ref — so a tag either
+    * lands before the read (pinned), backs out cleanly, or re-validates
+    * against the post-vacuum log. A surviving tag always names live files.
     *
     * `retentionMs`: unreferenced files YOUNGER than this are kept — they
     * may be a concurrent writer's staged-but-unpublished commit, and
     * deleting them would make its published commit reference missing files
     * (silent data loss). Pass 0 only when no other writer can be active.
+    *
+    * `barrierHook` is a test seam: invoked with the barrier up, before the
+    * tag snapshot and deletions (spec-injected races land exactly in the
+    * window the barrier protects). Production callers leave the default.
     */
   def vacuum(root: String, keepVersions: Int = 1,
-      retentionMs: Long = DefaultVacuumRetentionMs): Unit = {
+      retentionMs: Long = DefaultVacuumRetentionMs,
+      barrierHook: () => Unit = () => ()): Unit = {
     val cur = currentVersion(root).getOrElse(return)
     // Clamp to the earliest commit still on disk: a prior, narrower vacuum
     // already dropped older history, so a wider window now must not try to
     // materialize versions whose records are gone.
     val keepFrom = math.max(earliestCommitOnDisk(root, cur),
       math.max(1L, cur - keepVersions + 1))
-    // Materialize surviving snapshots BEFORE deleting anything, then pin
-    // the keep boundary with a checkpoint so resolution never needs the
-    // commits about to be dropped.
-    val keepSnaps = (keepFrom to cur).map(readManifest(root, _))
-    // Pinned: tagged versions below the boundary — checkpoint each NOW so
-    // it resolves standalone after its delta chain is dropped.
-    val pinned = tags(root).values.filter(_ < keepFrom).toSet
-    val pinnedSnaps = pinned.toSeq.sorted.map(readManifest(root, _))
-    pinnedSnaps.foreach(writeCheckpoint(root, _))
-    writeCheckpoint(root, keepSnaps.head)
-    advanceLastCheckpoint(root, keepFrom)
-    val live = (keepSnaps ++ pinnedSnaps).flatMap(_.files).toSet
-    (1L until keepFrom).foreach { v =>
-      Files.deleteIfExists(commitPath(root, v))
-      if (!pinned.contains(v)) Files.deleteIfExists(checkpointPath(root, v))
-    }
-    // remove unreferenced, out-of-retention data files (then empty dirs)
-    val cutoff = System.currentTimeMillis() - retentionMs
-    val dataRoot = Paths.get(root, "data")
-    if (Files.isDirectory(dataRoot)) {
-      withWalk(dataRoot)(_.toSeq).reverse.foreach { p =>
-        val rel = Paths.get(root).relativize(p).toString
-        if (Files.isRegularFile(p) && !live.contains(rel) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff) Files.delete(p)
-        else if (Files.isDirectory(p) && p != dataRoot &&
-          withList(p)(!_.hasNext)) Files.delete(p)
+    withVacuumBarrier(root, keepFrom) {
+      barrierHook()
+      // Materialize surviving snapshots BEFORE deleting anything, then pin
+      // the keep boundary with a checkpoint so resolution never needs the
+      // commits about to be dropped.
+      val keepSnaps = (keepFrom to cur).map(readManifest(root, _))
+      // Pinned: tagged versions below the boundary — checkpoint each NOW so
+      // it resolves standalone after its delta chain is dropped. This read
+      // happens under the barrier (see the race note above).
+      val pinned = tags(root).values.filter(_ < keepFrom).toSet
+      val pinnedSnaps = pinned.toSeq.sorted.map(readManifest(root, _))
+      pinnedSnaps.foreach(writeCheckpoint(root, _))
+      writeCheckpoint(root, keepSnaps.head)
+      advanceLastCheckpoint(root, keepFrom)
+      val live = (keepSnaps ++ pinnedSnaps).flatMap(_.files).toSet
+      (1L until keepFrom).foreach { v =>
+        Files.deleteIfExists(commitPath(root, v))
+        if (!pinned.contains(v)) Files.deleteIfExists(checkpointPath(root, v))
       }
+      // remove unreferenced, out-of-retention data files (then empty dirs)
+      val cutoff = System.currentTimeMillis() - retentionMs
+      val dataRoot = Paths.get(root, "data")
+      if (Files.isDirectory(dataRoot)) {
+        withWalk(dataRoot)(_.toSeq).reverse.foreach { p =>
+          val rel = Paths.get(root).relativize(p).toString
+          if (Files.isRegularFile(p) && !live.contains(rel) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) Files.delete(p)
+          else if (Files.isDirectory(p) && p != dataRoot &&
+            withList(p)(!_.hasNext)) Files.delete(p)
+        }
+      }
+    }
+  }
+
+  /** Log retention (the published `logRetentionDuration` concept): bound
+    * the `_graft_log` delta+checkpoint chain WITHOUT touching data files.
+    * A streaming sink lands one commit per micro-batch — 10⁵ log records a
+    * week — and [[vacuum]] only trims the log as a side effect of dropping
+    * versions; this trims metadata on its own schedule.
+    *
+    * Versions whose commit record is older than `retentionMs` (by publish
+    * timestamp, monotonic per [[publish]]) lose their records and
+    * superseded checkpoints; the oldest retained version is checkpointed
+    * first so every version inside the window still resolves. Tagged
+    * versions below the window keep their own checkpoint — a tag outlives
+    * log retention. Older untagged versions stop being time-travelable
+    * with a clean error, the documented lakehouse behavior.
+    */
+  def vacuumLog(root: String, retentionMs: Long,
+      barrierHook: () => Unit = () => ()): Unit = {
+    val cur = currentVersion(root).getOrElse(return)
+    val lo = earliestCommitOnDisk(root, cur)
+    // Oldest version still inside the retention window (commit stamps are
+    // monotonic, so the scan finds the unique boundary); the CURRENT
+    // version is always retained even when out-of-window. A negative
+    // retention trims unconditionally (commit stamps can run slightly
+    // ahead of the wall clock under the monotonic clamp, so "0" is not a
+    // guaranteed full trim on a hot table).
+    val boundary =
+      if (retentionMs < 0) cur
+      else {
+        val cutoff = System.currentTimeMillis() - retentionMs
+        (lo to cur).find(readCommit(root, _).ts >= cutoff).getOrElse(cur)
+      }
+    if (boundary <= lo) return // nothing to trim
+    withVacuumBarrier(root, boundary) {
+      barrierHook()
+      // same pinning rule as vacuum, same barrier coordination
+      val pinned = tags(root).values.filter(_ < boundary).toSet
+      pinned.toSeq.sorted.foreach(v => writeCheckpoint(root, readManifest(root, v)))
+      writeCheckpoint(root, readManifest(root, boundary))
+      advanceLastCheckpoint(root, boundary)
+      // One listing sweeps commit records AND superseded checkpoints below
+      // the boundary (including interior checkpoints a prior partial trim
+      // left behind); pinned checkpoints survive.
+      val doomed = withList(logDir(root))(_.filter { p =>
+        val n = p.getFileName.toString
+        val isCkpt = n.endsWith(".checkpoint.json")
+        val v =
+          if (!n.startsWith("v") || !n.endsWith(".json")) None
+          else n.stripPrefix("v")
+            .stripSuffix(if (isCkpt) ".checkpoint.json" else ".json").toLongOption
+        v.exists(ver => ver < boundary && !(isCkpt && pinned.contains(ver)))
+      }.toList)
+      doomed.foreach(Files.deleteIfExists(_))
     }
   }
 }

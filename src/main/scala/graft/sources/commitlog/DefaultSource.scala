@@ -102,8 +102,26 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         CommitLog.tags(root).getOrElse(t,
           throw new IllegalArgumentException(s"no tag '$t' at $root"))
       })
-      .orElse(parameters.get("timestampAsOf").map(t =>
-        CommitLog.versionAsOf(root, t.toLong)))
+      .orElse(parameters.get("timestampAsOf").map { t =>
+        // epoch millis or a SQL timestamp string ('2026-08-13 00:00:00'),
+        // interpreted in the session time zone like Delta's timestampAsOf
+        val ms = t.toLongOption.getOrElse {
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          try {
+            val ldt =
+              if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+              else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+            ldt.atZone(zone).toInstant.toEpochMilli
+          } catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"timestampAsOf expects epoch milliseconds or " +
+                  s"'yyyy-MM-dd[ HH:mm:ss[.S]]', got '$t'")
+          }
+        }
+        CommitLog.versionAsOf(root, ms)
+      })
     val index = new CommitLogFileIndex(spark, root, version)
     new HadoopFsRelation(index, new StructType(), index.initialSchema, None,
       new ParquetFileFormat, parameters)(spark) with InsertableRelation {
@@ -171,8 +189,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   */
 class CommitLogFileIndex(
     spark: SparkSession,
-    root: String,
-    pinned: Option[Long]) extends FileIndex {
+    val root: String,
+    val pinned: Option[Long]) extends FileIndex {
 
   private def manifest(): CommitLog.Manifest = {
     val v = pinned.orElse(CommitLog.currentVersion(root))

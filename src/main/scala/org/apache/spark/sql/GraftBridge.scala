@@ -40,6 +40,26 @@ object GraftBridge {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
 
+  /** Wrap a resolved Catalyst expression as a user-facing [[Column]] (the
+    * inverse bridge to [[pred]]): Spark 4 Columns carry `ColumnNode`s, and
+    * `ExpressionColumnNode` is the sanctioned classic-module adapter for
+    * extension code that produces expressions (analyzer rules, DML
+    * rewrites). Unresolved attributes inside re-resolve by name against
+    * whatever DataFrame the column is applied to.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Column(org.apache.spark.sql.classic.ExpressionColumnNode(e))
+
+  /** A DataFrame over an already-analyzed logical plan (classic
+    * `Dataset.ofRows` is `private[sql]`) — how a RunnableCommand re-enters
+    * the DataFrame API with the exact resolved child plan the analyzer
+    * handed it (same expression ids, no re-resolution drift).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Re-brand a batch DataFrame's rows as a STREAMING DataFrame — what a V1
     * streaming `Source.getBatch` must return (MicroBatchExecution asserts
     * `isStreaming`). `internalCreateDataFrame` is `private[sql]`; every

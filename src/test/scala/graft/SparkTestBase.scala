@@ -10,6 +10,7 @@ object SparkTestBase {
     SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.sql.session.timeZone", "UTC")

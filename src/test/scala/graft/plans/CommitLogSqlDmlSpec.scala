@@ -1,0 +1,169 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.sources.CommitLog
+
+/** SQL-level row DML + time travel on commitlog tables, through the
+  * injected analyzer rules (GraftExtensions is active in the shared test
+  * session via spark.sql.extensions).
+  */
+class CommitLogSqlDmlSpec extends SparkTestBase {
+
+  private def freshTable(rows: Seq[(Long, String, Double)]): (String, String) = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sqldml").toString
+    CommitLog.append(rows.toDF("k", "s", "v"), root)
+    val view = s"sqldml_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view " +
+      s"USING `graft-commitlog` OPTIONS (path '$root')")
+    (root, view)
+  }
+
+  private def snapshot(view: String): Seq[(Long, String, Double)] =
+    spark.table(view).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+  test("SQL DELETE commits copy-on-write and leaves other rows intact") {
+    val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    spark.sql(s"DELETE FROM $view WHERE k = 2")
+    assert(snapshot(view) == Seq((1L, "a", 10.0), (3L, "c", 30.0)))
+    assert(CommitLog.readManifest(root, 2L).op == "delete")
+    // pre-delete snapshot still readable
+    assert(CommitLog.read(spark, root, Some(1L)).count() == 3)
+  }
+
+  test("SQL UPDATE applies assignments to matching rows only") {
+    val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    spark.sql(s"UPDATE $view SET v = v * 2, s = concat(s, '!') WHERE k = 1")
+    assert(snapshot(view) == Seq((1L, "a!", 20.0), (2L, "b", 20.0)))
+    assert(CommitLog.readManifest(root, 2L).op == "update")
+    // no matching rows → no-op, no new commit
+    spark.sql(s"UPDATE $view SET v = 0 WHERE k = 999")
+    assert(CommitLog.currentVersion(root).contains(2L))
+  }
+
+  test("SQL UPDATE rewrites only files containing matches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sqldml").toString
+    // two files with disjoint key ranges
+    CommitLog.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v"), root)
+    CommitLog.append(Seq((10L, "x", 1.0), (11L, "y", 2.0)).toDF("k", "s", "v"), root)
+    val before = CommitLog.readManifest(root, 2L)
+    val untouched = before.statsOrNil.filter(_.mins("k").toLong >= 10L).map(_.path)
+    assert(untouched.nonEmpty)
+    val view = s"sqldml_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view " +
+      s"USING `graft-commitlog` OPTIONS (path '$root')")
+    spark.sql(s"UPDATE $view SET v = -1 WHERE k <= 2")
+    val after = CommitLog.readManifest(root, 3L)
+    assert(untouched.toSet.subsetOf(after.files.toSet)) // survived by reference
+    assert(snapshot(view) ==
+      Seq((1L, "a", -1.0), (2L, "b", -1.0), (10L, "x", 1.0), (11L, "y", 2.0)))
+  }
+
+  test("SQL MERGE: conditional delete, star update, star insert") {
+    val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    spark.sql(
+      s"""MERGE INTO $view t USING (
+         |  SELECT 1L AS k, 'DEL' AS s, 0.0 AS v UNION ALL
+         |  SELECT 3L, 'up', 33.0 UNION ALL
+         |  SELECT 9L, 'new', 90.0) src
+         |ON t.k = src.k
+         |WHEN MATCHED AND src.s = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(snapshot(view) == Seq((2L, "b", 20.0), (3L, "up", 33.0), (9L, "new", 90.0)))
+    assert(CommitLog.readManifest(root, 2L).op == "merge")
+  }
+
+  test("SQL MERGE: an UNMATCHED source row flagged for delete still inserts") {
+    val (_, view) = freshTable(Seq((1L, "a", 10.0)))
+    // key 7 does not match; its s='DEL' must NOT suppress the insert —
+    // WHEN MATCHED DELETE only ever applies to matched rows.
+    spark.sql(
+      s"""MERGE INTO $view t USING (SELECT 7L AS k, 'DEL' AS s, 70.0 AS v) src
+         |ON t.k = src.k
+         |WHEN MATCHED AND src.s = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(snapshot(view) == Seq((1L, "a", 10.0), (7L, "DEL", 70.0)))
+  }
+
+  test("SQL MERGE: update-only (no WHEN NOT MATCHED) drops unmatched source rows") {
+    val (_, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    spark.sql(
+      s"""MERGE INTO $view t USING (
+         |  SELECT 2L AS k, 'upd' AS s, 22.0 AS v UNION ALL
+         |  SELECT 9L, 'ghost', 0.0) src
+         |ON t.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(snapshot(view) == Seq((1L, "a", 10.0), (2L, "upd", 22.0)))
+  }
+
+  test("SQL MERGE: insert-only leaves matched target files untouched") {
+    val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    val before = CommitLog.readManifest(root, 1L).files.toSet
+    spark.sql(
+      s"""MERGE INTO $view t USING (
+         |  SELECT 2L AS k, 'nope' AS s, 0.0 AS v UNION ALL
+         |  SELECT 5L, 'io', 50.0) src
+         |ON t.k = src.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(snapshot(view) == Seq((1L, "a", 10.0), (2L, "b", 20.0), (5L, "io", 50.0)))
+    // no target file rewritten: pure append commit
+    val after = CommitLog.readManifest(root, 2L)
+    assert(before.subsetOf(after.files.toSet))
+  }
+
+  test("SQL MERGE: unsupported shapes fail with a clear message") {
+    val (_, view) = freshTable(Seq((1L, "a", 10.0)))
+    def bad(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[UnsupportedOperationException]),
+        s"expected UnsupportedOperationException, got $e")
+    }
+    // partial SET list (not a full-row star)
+    bad(s"""MERGE INTO $view t USING (SELECT 1L AS k, 'x' AS s, 1.0 AS v) src
+           |ON t.k = src.k WHEN MATCHED THEN UPDATE SET v = src.v""".stripMargin)
+    // non-equi ON
+    bad(s"""MERGE INTO $view t USING (SELECT 1L AS k, 'x' AS s, 1.0 AS v) src
+           |ON t.k < src.k WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    // conditional insert
+    bad(s"""MERGE INTO $view t USING (SELECT 1L AS k, 'x' AS s, 1.0 AS v) src
+           |ON t.k = src.k WHEN NOT MATCHED AND src.v > 0 THEN INSERT *""".stripMargin)
+  }
+
+  test("SQL time travel: VERSION AS OF number and tag, TIMESTAMP AS OF") {
+    val (root, view) = freshTable(Seq((1L, "a", 10.0)))
+    spark.sql(s"DELETE FROM $view WHERE k = 1")
+    CommitLog.tag(root, "before-del", Some(1L))
+    assert(spark.sql(s"SELECT * FROM $view").count() == 0)
+    assert(spark.sql(s"SELECT * FROM $view VERSION AS OF 1").count() == 1)
+    assert(spark.sql(s"SELECT * FROM $view VERSION AS OF 'before-del'").count() == 1)
+    // session tz is UTC → format the v1 commit instant as a UTC SQL string
+    val ms1 = CommitLog.history(spark, root).orderBy("version")
+      .collect()(0).getTimestamp(2).getTime
+    val ts1 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms1))
+    assert(spark.sql(s"SELECT * FROM $view TIMESTAMP AS OF '$ts1'").count() == 1)
+    // the reader option accepts the same SQL timestamp string (and millis)
+    assert(spark.read.format("graft-commitlog")
+      .option("timestampAsOf", ts1).load(root).count() == 1)
+    assert(spark.read.format("graft-commitlog")
+      .option("timestampAsOf", ms1.toString).load(root).count() == 1)
+  }
+
+  test("DML on non-commitlog relations is untouched (default error surfaces)") {
+    import spark.implicits._
+    val pq = Files.createTempDirectory("graft-sqldml-pq").toString + "/t"
+    Seq((1L, "a")).toDF("k", "s").write.parquet(pq)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW plain_pq USING parquet OPTIONS (path '$pq')")
+    intercept[Exception](spark.sql("DELETE FROM plain_pq WHERE k = 1"))
+  }
+}

@@ -474,6 +474,20 @@ class CommitLogSpec extends SparkTestBase {
     assert(m.statsOrNil.map(_.rows).sum == 1000L)
     // historical resolution from an interior checkpoint still works too
     assert(readManifest(root, 995L).files.size == 995)
+    // log retention bounds the chain: after an unconditional trim exactly
+    // one commit record remains and the snapshot still resolves from the
+    // boundary checkpoint alone — the streaming-sink "10⁵ commits/week"
+    // growth path is capped by a metadata-only maintenance call
+    vacuumLog(root, retentionMs = -1L)
+    val afterTrim = Files.list(Paths.get(root, "_graft_log")).iterator()
+    val commitRecords = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(afterTrim).asScala
+      .map(_.getFileName.toString)
+      .count(n => n.startsWith("v") && n.endsWith(".json") &&
+        !n.contains("checkpoint"))
+    assert(commitRecords == 1, s"expected 1 commit record, got $commitRecords")
+    assert(readManifest(root, 1000L).files.size == 1000)
+    assert(currentVersion(root).contains(1000L))
   }
 
   test("partitioned appends: files are single-valued, stats-pruning is partition pruning") {
@@ -703,6 +717,69 @@ class CommitLogSpec extends SparkTestBase {
     vacuum(root, keepVersions = 5, retentionMs = 0L)
     assert(read(spark, root).count() == 6)
     assert(readManifest(root, 6L).files.nonEmpty)
+  }
+
+  test("tag-during-vacuum race: a racing tag never ends up naming reclaimed files") {
+    val root = tmpTable()
+    (1 to 4).foreach(i => append(spark.range(i * 10L, i * 10L + 3).toDF("id"), root))
+    // Race a below-boundary tag into the exact window the barrier guards:
+    // the contract is "survives with live files OR fails cleanly" — with
+    // the barrier the tag backs out, leaving no ref behind.
+    var raced: Option[Throwable] = None
+    vacuum(root, keepVersions = 1, retentionMs = 0L, barrierHook = () => {
+      raced = (try { tag(root, "racer", Some(1L)); None }
+      catch { case e: Throwable => Some(e) })
+    })
+    raced match {
+      case Some(e) =>
+        assert(e.isInstanceOf[IllegalStateException])
+        assert(!CommitLog.tags(root).contains("racer")) // no dangling ref
+      case None =>
+        // pinned by the vacuum's under-barrier tag snapshot: fully readable
+        assert(readTag(spark, root, "racer").count() == 3)
+    }
+    // the barrier never outlives the vacuum
+    assert(!Files.exists(Paths.get(root, "_graft_log", "_vacuum_in_progress")))
+    // an AT-boundary tag racing the same window is allowed and survives
+    vacuum(root, keepVersions = 1, retentionMs = 0L, barrierHook = () => {
+      assert(tag(root, "current-ok", Some(4L)) == 4L)
+    })
+    assert(readTag(spark, root, "current-ok").count() == 12)
+    // after the vacuum, tagging a reclaimed version fails cleanly too
+    intercept[Exception](tag(root, "too-late", Some(2L)))
+    assert(!CommitLog.tags(root).contains("too-late"))
+  }
+
+  test("vacuumLog bounds the metadata chain; tagged and in-window reads survive") {
+    val root = tmpTable()
+    (1 to 6).foreach(i => append(spark.range(i * 10L, i * 10L + 2).toDF("id"), root))
+    tag(root, "pin3", Some(3L))
+    vacuumLog(root, retentionMs = -1L) // unconditional: metadata-only trim
+    // current snapshot unaffected — DATA files were never touched
+    assert(read(spark, root).count() == 12)
+    // the tagged below-boundary version still resolves (own checkpoint)
+    // and still READS: log retention never invalidates a named snapshot
+    assert(readTag(spark, root, "pin3").count() == 6)
+    // untagged old versions error cleanly
+    intercept[Exception](read(spark, root, Some(2L)).count())
+    intercept[Exception](readManifest(root, 5L))
+    // the chain is bounded: exactly one commit record (current) remains
+    val names = Files.list(Paths.get(root, "_graft_log")).iterator()
+    val byKind = scala.jdk.CollectionConverters.IteratorHasAsScala(names).asScala
+      .map(_.getFileName.toString).toSeq
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .partition(_.endsWith(".checkpoint.json"))
+    assert(byKind._2.size == 1, s"expected 1 commit record, got ${byKind._2}")
+    // checkpoints: the boundary's and the pinned tag's
+    assert(byKind._1.map(_.take(21)).toSet ==
+      Set(f"v${6L}%020d", f"v${3L}%020d"))
+    // the table keeps working: appends land on top of the trimmed log
+    append(spark.range(100L, 103L).toDF("id"), root)
+    assert(currentVersion(root).contains(7L))
+    assert(read(spark, root).count() == 15)
+    // a second trim converges (nothing below the boundary anymore)
+    vacuumLog(root, retentionMs = -1L)
+    assert(read(spark, root).count() == 15)
   }
 
   test("optimize converges on partitioned tables: lone small files per partition are left alone") {

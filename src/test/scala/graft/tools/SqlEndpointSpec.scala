@@ -54,6 +54,37 @@ class SqlEndpointSpec extends SparkTestBase {
           assert(CommitLog.readManifest(root, 2L).op == "append")
           val rs3 = st.executeQuery("SELECT count(*) AS n FROM lake.ep_cl")
           assert(rs3.next() && rs3.getLong(1) == 6L)
+
+          // Row-level DML as SQL over the same socket — the capability the
+          // reference persona exercises through its JDBC endpoints
+          // (assets.py:105-114 issues DML text): MERGE upserts one row,
+          // deletes one, inserts one, all in one atomic commit.
+          st.execute(
+            """MERGE INTO lake.ep_cl t USING (
+              |  SELECT 0L AS id, -1L AS v UNION ALL
+              |  SELECT 1L, 0L UNION ALL
+              |  SELECT 100L, 100L) src
+              |ON t.id = src.id
+              |WHEN MATCHED AND src.v = 0 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          assert(CommitLog.currentVersion(root).contains(3L))
+          assert(CommitLog.readManifest(root, 3L).op == "merge")
+          val rs4 = st.executeQuery(
+            "SELECT count(*) AS n, sum(v) AS s FROM lake.ep_cl")
+          // rows: {0→-1, 2..5 unchanged (4,6,8,10), 100}; id=1 deleted
+          assert(rs4.next() && rs4.getLong(1) == 6L &&
+            rs4.getLong(2) == (-1L + 4L + 6L + 8L + 10L + 100L))
+          st.execute("UPDATE lake.ep_cl SET v = 999 WHERE id = 100")
+          st.execute("DELETE FROM lake.ep_cl WHERE id = 0")
+          val rs5 = st.executeQuery(
+            "SELECT count(*) AS n, max(v) AS m FROM lake.ep_cl")
+          assert(rs5.next() && rs5.getLong(1) == 5L && rs5.getLong(2) == 999L)
+
+          // time travel through plain SQL, same connection
+          val rs6 = st.executeQuery(
+            "SELECT count(*) AS n FROM lake.ep_cl VERSION AS OF 1")
+          assert(rs6.next() && rs6.getLong(1) == 4L)
         } finally spark.sql("DROP TABLE IF EXISTS lake.ep_cl")
       } finally conn.close()
     } finally {
