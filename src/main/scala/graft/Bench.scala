@@ -63,9 +63,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ingest = ingestBench(spark, sfDir)
+    // Full detail first (per-query rows + error texts), then a COMPACT
+    // summary as the LAST line: the driver tail-captures process output,
+    // and round 4's single long line pushed its own head (the totals) past
+    // the capture window — the final line alone must parse standalone.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""rows":$rows,"errors":[${errors.mkString(",")}],""" +
       s""""ingest":$ingest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_errors":${errors.size},""" +
+      s""""queries":$qs,"ingest":$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -13,13 +13,17 @@ import graft.operators.QueryDef
   *
   * Images decode for REAL through [[ImageIoDecoder]] (`javax.imageio`,
   * in the JDK): true dimensions, pixel-derived features, decode→scale→
-  * re-encode resize. Audio/video remain on [[StubDecoder]] (deterministic
-  * pseudo-features from payload bytes — the JDK ships no codec for them
-  * and this container has no media libraries); everything around that
-  * stub is real and load-bearing: the schema contract, the
-  * partition-batched execution shape, the `binary`-column plumbing, and
-  * the downstream columnar feature handling. Swapping in a JNI codec
-  * touches only [[Decoder.decode]]/[[Decoder.resizePayload]].
+  * re-encode resize. Audio decodes for REAL through [[WavDecoder]]
+  * (`javax.sound.sampled`, in the JDK): WAV/AIFF/AU payloads yield the
+  * true sample rate, channel count and frame count, PCM-derived signal
+  * features, and linear-interpolation resampling as the resize analog.
+  * Video remains on [[StubDecoder]] (deterministic pseudo-features from
+  * payload bytes — the JDK ships no video codec and this container has no
+  * media libraries); everything around that stub is real and load-bearing:
+  * the schema contract, the partition-batched execution shape, the
+  * `binary`-column plumbing, and the downstream columnar feature handling.
+  * Swapping in a JNI codec touches only
+  * [[Decoder.decode]]/[[Decoder.resizePayload]].
   *
   * Scale notes: payloads never shuffle unless a downstream op needs them —
   * feature extraction projects payload→small feature vector EARLY, so
@@ -126,6 +130,139 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec via `javax.sound.sampled` (in the JDK — zero
+    * egress): WAV/AIFF/AU payloads decode to 16-bit signed PCM. The
+    * [[MediaFeatures]] columns are reinterpreted for audio the way the
+    * schema contract documents: `decoded_w` = sample rate (Hz),
+    * `decoded_h` = channel count, `n_frames` = PCM frame count (so
+    * duration = n_frames / decoded_w). Undecodable payloads (or compressed
+    * formats the JDK lacks) fall back to [[StubDecoder]].
+    *
+    * Feature layout: RMS, mean |s|, zero-crossing rate, peak |s|, then RMS
+    * of the four time quarters — all on the channel-mixed signal in
+    * [-1, 1], deterministic pure math, so downstream similarity/silence
+    * screens over the feature column are meaningful.
+    */
+  object WavDecoder extends Decoder {
+    import javax.sound.sampled._
+
+    /** Payload → (format, interleaved 16-bit little-endian PCM bytes). */
+    private def pcm(payload: Array[Byte]): Option[(AudioFormat, Array[Byte])] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val base = in.getFormat
+        val want = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val cvt =
+          if (base.matches(want)) in
+          else AudioSystem.getAudioInputStream(want, in)
+        val bytes = cvt.readAllBytes()
+        Some((cvt.getFormat, bytes))
+      } catch { case _: Exception => None }
+
+    private def sampleAt(bytes: Array[Byte], frame: Int, ch: Int, c: Int): Double = {
+      val off = (frame * ch + c) * 2
+      (((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort) / 32768.0
+    }
+
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      if (kind != "audio") return StubDecoder.decode(kind, payload)
+      pcm(payload) match {
+        case None => StubDecoder.decode(kind, payload) // undecodable bytes
+        case Some((fmt, bytes)) =>
+          val ch = fmt.getChannels
+          val n = bytes.length / (2 * ch)
+          if (n == 0) return StubDecoder.decode(kind, payload)
+          var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
+          var crossings = 0L; var prevSign = 0
+          val quarterSq = new Array[Double](4)
+          var i = 0
+          while (i < n) {
+            var mix = 0.0
+            var c = 0
+            while (c < ch) { mix += sampleAt(bytes, i, ch, c); c += 1 }
+            mix /= ch
+            sumSq += mix * mix; sumAbs += math.abs(mix)
+            if (math.abs(mix) > peak) peak = math.abs(mix)
+            val sign = if (mix > 0) 1 else if (mix < 0) -1 else prevSign
+            if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+            if (sign != 0) prevSign = sign
+            quarterSq(math.min(3, i * 4 / n)) += mix * mix
+            i += 1
+          }
+          val qn = math.max(1.0, n / 4.0)
+          val feat = Array(
+            math.sqrt(sumSq / n).toFloat,
+            (sumAbs / n).toFloat,
+            (crossings.toDouble / math.max(1, n - 1)).toFloat,
+            peak.toFloat,
+            math.sqrt(quarterSq(0) / qn).toFloat,
+            math.sqrt(quarterSq(1) / qn).toFloat,
+            math.sqrt(quarterSq(2) / qn).toFloat,
+            math.sqrt(quarterSq(3) / qn).toFloat)
+          (math.round(fmt.getSampleRate), ch, n, feat)
+      }
+    }
+
+    /** The resize analog for audio: decode → per-channel linear
+      * interpolation to `targetHz` → WAV re-encode. None when the payload
+      * has no decodable audio.
+      */
+    def resample(payload: Array[Byte], targetHz: Int): Option[Array[Byte]] =
+      pcm(payload).flatMap { case (fmt, bytes) =>
+        val ch = fmt.getChannels
+        val srcRate = fmt.getSampleRate.toDouble
+        val nSrc = bytes.length / (2 * ch)
+        if (nSrc == 0 || targetHz <= 0) return None
+        val nDst = math.max(1, math.round(nSrc * targetHz / srcRate).toInt)
+        val out = new Array[Byte](nDst * 2 * ch)
+        var i = 0
+        while (i < nDst) {
+          val t = i * srcRate / targetHz
+          val i0 = math.min(nSrc - 1, t.toInt)
+          val i1 = math.min(nSrc - 1, i0 + 1)
+          val frac = t - i0
+          var c = 0
+          while (c < ch) {
+            val s0 = sampleAt(bytes, i0, ch, c)
+            val s1 = sampleAt(bytes, i1, ch, c)
+            val v = math.max(-32768, math.min(32767,
+              math.round((s0 + (s1 - s0) * frac) * 32767.0))).toInt
+            val off = (i * ch + c) * 2
+            out(off) = (v & 0xff).toByte
+            out(off + 1) = ((v >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val outFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          targetHz.toFloat, 16, ch, ch * 2, targetHz.toFloat, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(out), outFmt, nDst.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        Some(bos.toByteArray)
+      }
+  }
+
+  /** The default decoder: every kind the JDK can decode for real, routed to
+    * its real codec; the rest on the honest stub.
+    */
+  object JdkDecoder extends Decoder {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
+      kind match {
+        case "image" => ImageIoDecoder.decode(kind, payload)
+        case "audio" => WavDecoder.decode(kind, payload)
+        case _ => StubDecoder.decode(kind, payload)
+      }
+    override def resizePayload(
+        kind: String, payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      if (kind == "image") ImageIoDecoder.resizePayload(kind, payload, w, h)
+      else None
+  }
+
   /** Deterministic stand-in for the absent codec libraries: pseudo-features
     * from byte statistics (stable across runs/JVMs — pure byte math).
     */
@@ -154,7 +291,7 @@ object Multimodal {
   /** Partition-batched decode + feature extraction (the mapInPandas shape:
     * executor-side iterator, constant memory per partition, no shuffle).
     */
-  def extractFeatures(items: Dataset[MediaItem], decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+  def extractFeatures(items: Dataset[MediaItem], decoder: Decoder = JdkDecoder): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -176,7 +313,7 @@ object Multimodal {
     * end to end either way.
     */
   def resize(items: Dataset[MediaItem], w: Int, h: Int,
-      decoder: Decoder = ImageIoDecoder): Dataset[MediaItem] = {
+      decoder: Decoder = JdkDecoder): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
@@ -193,6 +330,19 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Resample audio payloads to `targetHz` — the audio resize analog:
+    * decode → interpolate → WAV re-encode per row, batched per partition,
+    * non-audio rows and undecodable payloads pass through unchanged.
+    */
+  def resampleAudio(items: Dataset[MediaItem], targetHz: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { m =>
+      if (m.kind != "audio") m
+      else WavDecoder.resample(m.payload, targetHz)
+        .map(out => m.copy(payload = out)).getOrElse(m)
+    })
   }
 
   /** Frame sampling for video payloads: every `stride`-th decoded frame.

@@ -82,6 +82,49 @@ class MultimodalSpec extends SparkTestBase {
     assert((back.getRGB(6, 4) & 0xff) > 200) // right: blue
   }
 
+  test("real audio codec: WAV decode, PCM-truth features, resample via javax.sound.sampled") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // a REAL WAV generated in-test: 8000 Hz mono 16-bit, 4000 frames
+    // (0.5 s) of a 440 Hz sine at amplitude 0.5
+    val rate = 8000; val n = 4000; val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val items = Seq(MediaItem(1L, "audio", wav, 0, 0, 500L)).toDS()
+
+    // the DEFAULT decoder routes audio to the real codec: true sample
+    // rate / channels / frame count, not stub-derived
+    val f = extractFeatures(items).collect().head
+    assert(f.decoded_w == 8000 && f.decoded_h == 1 && f.n_frames == 4000)
+    // PCM truth: RMS of a sine is A/√2; peak is A; ZCR is 2f/rate
+    assert(math.abs(f.feature(0) - amp / math.sqrt(2)) < 0.01, s"rms=${f.feature(0)}")
+    assert(math.abs(f.feature(3) - amp) < 0.01, s"peak=${f.feature(3)}")
+    assert(math.abs(f.feature(2) - 880.0 / rate) < 0.01, s"zcr=${f.feature(2)}")
+    // steady tone: all four time-quarter RMS values agree
+    assert((4 to 7).forall(i => math.abs(f.feature(i) - f.feature(4)) < 0.01))
+
+    // resample to half the rate: a VALID WAV with ~half the frames and
+    // the same signal energy (the tone is far below the new Nyquist)
+    val rs = resampleAudio(items, 4000).collect().head
+    val f2 = extractFeatures(Seq(rs).toDS()).collect().head
+    assert(f2.decoded_w == 4000 && f2.decoded_h == 1)
+    assert(math.abs(f2.n_frames - 2000) <= 1, s"frames=${f2.n_frames}")
+    assert(math.abs(f2.feature(0) - amp / math.sqrt(2)) < 0.02)
+    // undecodable "audio" bytes fall back to the honest stub, not a crash
+    val junk = Seq(MediaItem(2L, "audio", "RIFFnope".getBytes("UTF-8"), 0, 0, 0L)).toDS()
+    assert(extractFeatures(junk).collect().head.feature.length == 8)
+  }
+
   test("payloads project to features before any wide op (plan shape)") {
     val feats = extractFeatures(corpus).toDF()
     // features are small fixed-size records — grouping them shuffles KBs,
