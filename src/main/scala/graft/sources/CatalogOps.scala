@@ -23,12 +23,23 @@ object CatalogOps {
   def ensureSchema(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
 
-  /** ≡ create_info_table (assets.py:418-425) — idempotent. */
+  /** ≡ create_info_table (assets.py:418-425) — idempotent. Memoized per
+    * session: the CREATE-IF-NOT-EXISTS pair costs two metastore round
+    * trips, and registerTable invoked it once per ingested table —
+    * measurable against small human-authored workbooks where per-table
+    * constants, not row throughput, dominate.
+    */
   def ensureInfoTable(spark: SparkSession): Unit = {
+    if (infoTableEnsured.containsKey(spark)) return
     ensureSchema(spark, "info")
     spark.sql(
       "CREATE TABLE IF NOT EXISTS info.files (table_name STRING, creation TIMESTAMP) USING parquet")
+    infoTableEnsured.put(spark, java.lang.Boolean.TRUE)
   }
+
+  private val infoTableEnsured =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** ≡ the info.files INSERT (assets.py:411-416). Second-precision
     * timestamp parity with `str(datetime.now()).split(".")[0]`

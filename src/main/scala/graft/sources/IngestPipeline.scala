@@ -91,13 +91,15 @@ object IngestPipeline {
       extended: Boolean = false): Seq[IngestedTable] = {
     CatalogOps.ensureInfoTable(spark)
     val buckets = listBuckets(landingRoot)
+    // Staged source: table name, all-string DataFrame, and (when the
+    // staging scan already established it) the file's own row count.
     val csv = for {
       bucket <- buckets
       file <- listObjects(landingRoot, bucket, ".csv")
     } yield {
       val base = file.getFileName.toString.stripSuffix(".csv")
       val table = Sanitize.sanitizeDbName(Sanitize.unidecode(base).replace(" ", "_"))
-      (bucket, file, Seq(table -> readStringly(spark, file.toString)))
+      (bucket, file, Seq((table, readStringly(spark, file.toString), None: Option[Long])))
     }
     val json = for {
       bucket <- buckets
@@ -105,28 +107,53 @@ object IngestPipeline {
     } yield {
       val base = file.getFileName.toString.stripSuffix(".json")
       val table = Sanitize.sanitizeDbName(Sanitize.unidecode(base).replace(" ", "_"))
-      (bucket, file, Seq(table -> readStringlyJson(spark, file.toString)))
+      (bucket, file, Seq((table, readStringlyJson(spark, file.toString), None: Option[Long])))
     }
+    // Workbooks under the threshold stage as driver-local relations (schema
+    // inference and row counts then cost no Spark jobs — right for the
+    // human-authored files the reference ingests). Larger ones switch to
+    // the distributed streaming parse: rows flow from the StAX cursor on an
+    // executor straight into the append, never materialized on the driver,
+    // so a machine-generated workbook is bounded by executor memory, not
+    // driver heap.
+    val streamBytes = spark.conf
+      .getOption("graft.xlsx.streamBytes").map(_.toLong).getOrElse(4L << 20)
     val xlsx = for {
       bucket <- buckets
       file <- listObjects(landingRoot, bucket, ".xlsx")
     } yield {
       val base = file.getFileName.toString.stripSuffix(".xlsx")
-      val staged = Xlsx.readSheets(file.toString).map { sheet =>
-        // ≡ assets.py:53-56 table naming via Sanitize.tableName
-        Sanitize.tableName(base, sheet.name) -> Xlsx.sheetDf(spark, sheet)
-      }
+      val staged =
+        if (Files.size(file) < streamBytes)
+          Xlsx.readSheets(file.toString).map { sheet =>
+            // ≡ assets.py:53-56 table naming via Sanitize.tableName
+            (Sanitize.tableName(base, sheet.name), Xlsx.sheetDf(spark, sheet),
+              None: Option[Long])
+          }
+        else
+          Xlsx.sheetInfos(file.toString).map { info =>
+            (Sanitize.tableName(base, info.name),
+              Xlsx.streamSheet(spark, file.toString, info.name, info.header),
+              Some(info.dataRows): Option[Long])
+          }
       (bucket, file, staged)
     }
     (csv ++ json ++ xlsx).flatMap { case (bucket, file, staged) =>
       val db = Sanitize.fixString(bucket)
-      val out = staged.map { case (table, raw) =>
+      val out = staged.map { case (table, raw, knownRows) =>
         val schema = SchemaInference.infer(raw, extended)
         val coerced = SchemaInference.coerce(raw, schema)
         CatalogOps.appendTable(spark, coerced, db, table)
         // Rows ingested from THIS file (not the cumulative table count — no
         // full-table scan, and re-ingest/append stays truthful in the audit).
-        val n = coerced.count()
+        // A sheet staged as a local relation knows its row count without a
+        // job (the optimizer folds the coercion projection into the local
+        // relation); file-backed sources count distributed as before.
+        val n = knownRows.getOrElse(coerced.queryExecution.optimizedPlan match {
+          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            lr.data.size.toLong
+          case _ => coerced.count()
+        })
         // Audit entries and archived source files share one directory key:
         // the RAW bucket name, matching the reference's configuration-bucket
         // layout (assets.py:119-124, 214-218).

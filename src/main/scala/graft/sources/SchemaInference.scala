@@ -51,19 +51,41 @@ object SchemaInference {
     else if (intPattern.findFirstIn(s).isDefined) LongType
     else StringType
 
-  /** First non-bad-word value per column, in row order. One distributed agg. */
+  /** First non-bad-word value per column, in row order.
+    *
+    * Fast path: probe the first `SampleRows` rows (an early-stopping
+    * `limit` — for a local relation no job at all, for a file source a
+    * single-split scan). When every column finds its sample there, or the
+    * probe exhausted the data, the full pass is skipped — profiling showed
+    * the full-scan aggregate's job + codegen cost dominating small-table
+    * ingest. Columns still unsampled after the probe (good values only
+    * beyond row 1024) fall back to the exact distributed agg, so the
+    * result is identical in all cases.
+    */
   def firstGoodValues(df: DataFrame): Map[String, Option[String]] = {
-    val idx = monotonically_increasing_id()
-    val withIdx = df.withColumn("__graft_idx", idx)
-    val aggs: Seq[Column] = df.columns.toSeq.map { c =>
-      val v = col(c).cast(StringType)
-      val good = v.isNotNull && !v.isin(badWords: _*)
-      min_by(v, when(good, col("__graft_idx"))).as(c)
-    }
-    val row = withIdx.agg(aggs.head, aggs.tail: _*).collect()(0)
-    df.columns.zipWithIndex.map { case (c, i) =>
-      c -> Option(row.get(i)).map(_.toString)
+    val SampleRows = 1024
+    def goodOf(v: String): Boolean = v != null && !badWords.contains(v)
+    val head = df.limit(SampleRows).collect()
+    val probed: Map[String, Option[String]] = df.columns.zipWithIndex.map {
+      case (c, i) =>
+        c -> head.iterator
+          .map(r => Option(r.get(i)).map(_.toString).orNull)
+          .find(goodOf)
     }.toMap
+    if (head.length < SampleRows || probed.values.forall(_.isDefined)) probed
+    else {
+      val idx = monotonically_increasing_id()
+      val withIdx = df.withColumn("__graft_idx", idx)
+      val aggs: Seq[Column] = df.columns.toSeq.map { c =>
+        val v = col(c).cast(StringType)
+        val good = v.isNotNull && !v.isin(badWords: _*)
+        min_by(v, when(good, col("__graft_idx"))).as(c)
+      }
+      val row = withIdx.agg(aggs.head, aggs.tail: _*).collect()(0)
+      df.columns.zipWithIndex.map { case (c, i) =>
+        c -> Option(row.get(i)).map(_.toString)
+      }.toMap
+    }
   }
 
   /** Infer a schema over a stringly-typed DataFrame. Column names are

@@ -82,49 +82,63 @@ object Xlsx {
       Try(raw.toDouble).map(_.toString).getOrElse(raw)
     else raw
 
+  /** The small zip parts of one workbook, parsed once per open. */
+  private final case class WorkbookParts(
+      shared: IndexedSeq[String],
+      dateStyles: Set[Int],
+      targets: Seq[(String, String)]) // sheet name → zip entry name
+
+  private def loadParts(zip: java.util.zip.ZipFile, path: String): WorkbookParts = {
+    def part(name: String): Option[Elem] =
+      Option(zip.getEntry(name)).map(e => XML.load(zip.getInputStream(e)))
+
+    val shared: IndexedSeq[String] = part("xl/sharedStrings.xml")
+      .map(sst => (sst \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
+      .getOrElse(IndexedSeq.empty)
+
+    // style index → is-date? via cellXfs numFmtId + custom numFmts
+    val dateStyles: Set[Int] = part("xl/styles.xml").map { styles =>
+      val customDateIds = (styles \ "numFmts" \ "numFmt")
+        .filter(n => isDateFormatCode((n \@ "formatCode")))
+        .map(n => (n \@ "numFmtId").toInt).toSet
+      (styles \ "cellXfs" \ "xf").zipWithIndex.collect {
+        case (xf, i) if {
+          val id = Try((xf \@ "numFmtId").toInt).getOrElse(0)
+          builtinDateFmts(id) || customDateIds(id)
+        } => i
+      }.toSet
+    }.getOrElse(Set.empty)
+
+    val wb = part("xl/workbook.xml")
+      .getOrElse(throw new IllegalArgumentException(s"$path: no xl/workbook.xml"))
+    val rels = part("xl/_rels/workbook.xml.rels")
+      .map(r => (r \ "Relationship").map(n => (n \@ "Id") -> (n \@ "Target")).toMap)
+      .getOrElse(Map.empty)
+
+    val targets = (wb \ "sheets" \ "sheet").toSeq.map { sh =>
+      val name = sh \@ "name"
+      val rid = sh.attributes.collectFirst {
+        case a if a.key == "id" && a.prefixedKey.startsWith("r:") => a.value.text
+      }.getOrElse(sh \@ "id")
+      val target = rels.getOrElse(rid, s"worksheets/sheet${sh \@ "sheetId"}.xml")
+      name -> (if (target.startsWith("/")) target.drop(1) else s"xl/$target")
+    }
+    WorkbookParts(shared, dateStyles, targets)
+  }
+
   /** Parse every sheet of a workbook. Pure JVM (driver or executor). */
   def readSheets(path: String): Seq[Sheet] = {
     val zip = new java.util.zip.ZipFile(path)
     try {
-      def part(name: String): Option[Elem] =
-        Option(zip.getEntry(name)).map(e => XML.load(zip.getInputStream(e)))
-
-      val shared: IndexedSeq[String] = part("xl/sharedStrings.xml")
-        .map(sst => (sst \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
-        .getOrElse(IndexedSeq.empty)
-
-      // style index → is-date? via cellXfs numFmtId + custom numFmts
-      val dateStyles: Set[Int] = part("xl/styles.xml").map { styles =>
-        val customDateIds = (styles \ "numFmts" \ "numFmt")
-          .filter(n => isDateFormatCode((n \@ "formatCode")))
-          .map(n => (n \@ "numFmtId").toInt).toSet
-        (styles \ "cellXfs" \ "xf").zipWithIndex.collect {
-          case (xf, i) if {
-            val id = Try((xf \@ "numFmtId").toInt).getOrElse(0)
-            builtinDateFmts(id) || customDateIds(id)
-          } => i
-        }.toSet
-      }.getOrElse(Set.empty)
-
-      val wb = part("xl/workbook.xml")
-        .getOrElse(throw new IllegalArgumentException(s"$path: no xl/workbook.xml"))
-      val rels = part("xl/_rels/workbook.xml.rels")
-        .map(r => (r \ "Relationship").map(n => (n \@ "Id") -> (n \@ "Target")).toMap)
-        .getOrElse(Map.empty)
-
-      (wb \ "sheets" \ "sheet").toSeq.flatMap { sh =>
-        val name = sh \@ "name"
-        val rid = sh.attributes.collectFirst {
-          case a if a.key == "id" && a.prefixedKey.startsWith("r:") => a.value.text
-        }.getOrElse(sh \@ "id")
-        val target = rels.getOrElse(rid, s"worksheets/sheet${sh \@ "sheetId"}.xml")
-        val full = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+      val parts = loadParts(zip, path)
+      parts.targets.flatMap { case (name, full) =>
         Option(zip.getEntry(full)).map { entry =>
           // Worksheets are the one potentially-large part — parse them with
           // streaming StAX instead of a scala-xml DOM (~10× less time and
           // garbage on a 10k-row sheet; semantics identical to the DOM
           // traversal this replaces). The small parts above stay DOM.
-          val cellRows = parseSheetData(zip.getInputStream(entry), shared, dateStyles)
+          val cellRows = parseSheetData(zip.getInputStream(entry),
+            parts.shared, parts.dateStyles)
           val width = (cellRows.map(r => if (r.isEmpty) 0 else r.keys.max + 1) :+ 0).max
           val dense = cellRows.map(r => (0 until width).map(i => r.get(i).orNull))
           val header = dense.headOption.getOrElse(Seq.empty).zipWithIndex
@@ -133,6 +147,74 @@ object Xlsx {
         }
       }
     } finally zip.close()
+  }
+
+  /** Per-sheet metadata discovered WITHOUT materializing rows: the header
+    * (padded to the sheet's max row width with `unnamed_i` — exactly
+    * [[readSheets]]' rule) and the data-row count.
+    */
+  final case class SheetInfo(name: String, header: Seq[String], dataRows: Long)
+
+  /** Metadata for every sheet via one streaming width-scan per sheet — the
+    * driver-side schema discovery for [[streamSheet]]. Rows are parsed but
+    * never retained, so memory stays O(header) on arbitrarily tall sheets;
+    * the row count rides along for free and spares the ingest audit a
+    * second full parse.
+    */
+  def sheetInfos(path: String): Seq[SheetInfo] = {
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      val parts = loadParts(zip, path)
+      parts.targets.flatMap { case (name, full) =>
+        Option(zip.getEntry(full)).map { entry =>
+          val it = new RowIterator(zip.getInputStream(entry),
+            parts.shared, parts.dateStyles)
+          try {
+            val first = if (it.hasNext) it.next() else Map.empty[Int, String]
+            var width = if (first.isEmpty) 0 else first.keys.max + 1
+            var dataRows = 0L
+            while (it.hasNext) {
+              val r = it.next()
+              dataRows += 1
+              if (r.nonEmpty) width = math.max(width, r.keys.max + 1)
+            }
+            val header = (0 until width).map(i =>
+              first.get(i).filter(_.nonEmpty).getOrElse(s"unnamed_$i"))
+            SheetInfo(name, header, dataRows)
+          } finally it.close()
+        }
+      }
+    } finally zip.close()
+  }
+
+  /** One sheet as a DISTRIBUTED all-string DataFrame: the workbook opens on
+    * an EXECUTOR (one task per sheet — the binaryFiles-shaped path) and rows
+    * stream from the StAX cursor straight into the scan, never materializing
+    * a per-sheet list anywhere. This is the scale path for machine-generated
+    * workbooks: a landing zone of many (file, sheet) pairs parses with
+    * cluster-wide parallelism, memory stays O(1) per task, and an
+    * early-stopping consumer (schema inference's first-rows probe) stops the
+    * parse mid-sheet. `header` comes from [[sheetInfos]].
+    */
+  def streamSheet(spark: SparkSession, path: String, sheetName: String,
+      header: Seq[String]): DataFrame = {
+    val w = header.size
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val rdd = spark.sparkContext.parallelize(Seq(sheetName), 1).flatMap { name =>
+      val zip = new java.util.zip.ZipFile(path)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ =>
+          try zip.close() catch { case _: Exception => () }))
+      val parts = loadParts(zip, path)
+      val full = parts.targets.collectFirst { case (n, t) if n == name => t }
+        .getOrElse(throw new IllegalArgumentException(s"no sheet '$name' in $path"))
+      val entry = Option(zip.getEntry(full))
+        .getOrElse(throw new IllegalArgumentException(s"no part '$full' in $path"))
+      val it = new RowIterator(zip.getInputStream(entry), parts.shared, parts.dateStyles)
+      it.drop(1) // header row
+        .map(m => Row.fromSeq((0 until w).map(i => m.get(i).orNull)))
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Streaming parse of one worksheet's `sheetData`: one `Map[col → text]`
@@ -145,21 +227,47 @@ object Xlsx {
       in: java.io.InputStream,
       shared: IndexedSeq[String],
       dateStyles: Set[Int]): Seq[Map[Int, String]] = {
+    val it = new RowIterator(in, shared, dateStyles)
+    try it.toVector finally it.close()
+  }
+
+  /** Lazy StAX cursor over one worksheet's `sheetData`: yields one
+    * `Map[col → text]` per `<row>` as the XML is read, so consumers decide
+    * how much to materialize — [[parseSheetData]] takes everything,
+    * [[sheetInfos]] keeps only the first row, and [[streamSheet]] pipes
+    * rows straight into a Spark scan without ever holding a sheet in memory.
+    * Cell rendering is the openpyxl-parity rule set documented on
+    * [[parseSheetData]]. Closes the underlying reader on exhaustion;
+    * `close()` is for early abandonment.
+    */
+  private final class RowIterator(
+      in: java.io.InputStream,
+      shared: IndexedSeq[String],
+      dateStyles: Set[Int]) extends Iterator[Map[Int, String]] {
     import javax.xml.stream.XMLStreamConstants._
-    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    private val f = javax.xml.stream.XMLInputFactory.newInstance()
     f.setProperty(javax.xml.stream.XMLInputFactory.IS_COALESCING, true)
     // entity/DTD hardening for untrusted zip parts
     f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    val r = f.createXMLStreamReader(in)
-    val rows = Seq.newBuilder[Map[Int, String]]
-    var cur = Map.newBuilder[Int, String]
-    var next = 0
-    var ref = ""; var typ = ""; var style = -1
-    val vBuf = new StringBuilder; val isBuf = new StringBuilder
-    var inV = false; var inIs = false; var inIsT = false
-    try {
-      while (r.hasNext) {
+    private val r = f.createXMLStreamReader(in)
+    private var pending: Map[Int, String] = null
+    private var closed = false
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      try r.close() finally in.close()
+    }
+
+    // Parse forward until the next </row> completes. A row's cell state is
+    // fully contained between <row> and </row>, so it lives in locals here.
+    private def advance(): Unit = {
+      var cur = Map.newBuilder[Int, String]
+      var next = 0
+      var ref = ""; var typ = ""; var style = -1
+      val vBuf = new StringBuilder; val isBuf = new StringBuilder
+      var inV = false; var inIs = false; var inIsT = false
+      while (pending == null && !closed && r.hasNext) {
         r.next() match {
           case START_ELEMENT => r.getLocalName match {
             case "row" => cur = Map.newBuilder; next = 0
@@ -196,14 +304,26 @@ object Xlsx {
                   else renderNumber(v)
               }
               if (text.nonEmpty) cur += i -> text
-            case "row" => rows += cur.result()
+            case "row" => pending = cur.result()
             case _ => ()
           }
           case _ => ()
         }
       }
-    } finally r.close()
-    rows.result()
+      if (pending == null) close()
+    }
+
+    def hasNext: Boolean = {
+      if (pending == null && !closed) advance()
+      pending != null
+    }
+
+    def next(): Map[Int, String] = {
+      if (!hasNext) throw new NoSuchElementException("end of sheetData")
+      val row = pending
+      pending = null
+      row
+    }
   }
 
   /** Minimal XLSX writer — the reader's export twin (inline-string cells

@@ -146,6 +146,57 @@ class XlsxSpec extends SparkTestBase {
     } finally zf.close()
   }
 
+  test("sheetInfos: headers, widths, and row counts without materializing rows") {
+    val dir = Files.createTempDirectory("xlsxh")
+    val p = makeBook(dir).toString
+    val infos = Xlsx.sheetInfos(p)
+    val sheets = Xlsx.readSheets(p)
+    assert(infos.map(_.name) == sheets.map(_.name))
+    assert(infos.map(_.header) == sheets.map(_.header))
+    assert(infos.map(_.dataRows) == sheets.map(_.rows.size.toLong))
+  }
+
+  test("streamSheet: distributed parse ≡ the local-relation parse, row for row") {
+    val dir = Files.createTempDirectory("xlsxs")
+    val p = makeBook(dir).toString
+    val sheets = Xlsx.readSheets(p)
+    Xlsx.sheetInfos(p).zip(sheets).foreach { case (info, sheet) =>
+      val streamed = Xlsx.streamSheet(spark, p, info.name, info.header)
+      val local = Xlsx.sheetDf(spark, sheet)
+      assert(streamed.schema == local.schema)
+      assert(streamed.collect().toSeq.sortBy(_.toString) ==
+        local.collect().toSeq.sortBy(_.toString))
+    }
+  }
+
+  test("ingest via the distributed streaming path matches the local path") {
+    val landing = Files.createTempDirectory("landing-str")
+    val config = Files.createTempDirectory("config-str")
+    Files.createDirectories(landing.resolve("ventastream"))
+    makeBook(landing.resolve("ventastream"))
+    spark.conf.set("graft.xlsx.streamBytes", "1") // force every workbook to stream
+    try {
+      val out = IngestPipeline.ingest(spark, landing.toString, config.toString,
+        consume = "keep")
+      // audit row counts come from the sheetInfos width-scan, not a re-parse
+      assert(out.map(t => t.table -> t.rows).toMap ==
+        Map("book_Ventas_2020" -> 2L, "book_Hoja2" -> 2L))
+      val t1 = spark.table("ventastream.book_Ventas_2020")
+      assert(t1.schema("fechaalta").dataType == TimestampType)
+      assert(t1.count() == 2)
+      assert(t1.filter(t1("nombre") === "Ana").count() == 1)
+      // strict mode keeps numeric/boolean-looking strings as varchar
+      // (the reference's dead to_sql — SchemaInferenceSpec)
+      val t2 = spark.table("ventastream.book_Hoja2")
+      assert(t2.orderBy("k").collect().map(_.toSeq).toSeq ==
+        Seq(Seq(null, "False"), Seq("1", "True")))
+    } finally {
+      spark.conf.unset("graft.xlsx.streamBytes")
+      spark.sql("DROP TABLE IF EXISTS ventastream.book_Ventas_2020")
+      spark.sql("DROP TABLE IF EXISTS ventastream.book_Hoja2")
+    }
+  }
+
   test("excel serial conversion: epoch, leap-bug era skipped, fractions") {
     assert(Xlsx.serialToTimestamp(43831.0) == "2020-01-01 00:00:00")
     assert(Xlsx.serialToTimestamp(43832.5) == "2020-01-02 12:00:00")
