@@ -541,5 +541,125 @@ object Corpus {
           |    FROM d2) WHERE rn = 1)
           |SELECT cid, count(*) AS cluster_size, CAST(sum(dist) AS BIGINT) AS sse_q
           |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Temperature-weighted domain mixture sampling — the pretraining
+    // data-mixing step (the published Pile/LLaMA recipe shape): domain
+    // (lang, source) token masses t_d are re-weighted by τ=2 temperature
+    // (w_d ∝ √t_d, flattening head domains, lifting tail ones), a global
+    // token budget B = T/4 allocates per-domain keep budgets B·w_d, and
+    // docs are kept by the q50 hash-threshold rule at rate B·w_d/t_d —
+    // reproducible under any partitioning. ALL boundary arithmetic is
+    // integer: √t_d is quantized to BIGINT (IEEE sqrt of an exact int is
+    // correctly rounded, so the quantization is cross-engine-exact) and
+    // the keep test u·S·t_d < B·s_d·2²⁰ is a DECIMAL(38,0)/HUGEINT
+    // product comparison — no division, no rounding, no boundary drift.
+    // At 100 TB: one map-side-combined domain agg, then a second corpus
+    // scan against ~|domains| broadcast rows — the corpus never shuffles.
+    "q89_mixture_sample" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+          size(toksCol).cast("long").as("toks"))
+        val dom = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("docs_total"), sum(col("toks")).as("t_d"))
+          .withColumn("s_d",
+            floor(sqrt(col("t_d").cast("double")) * lit(1000000.0)).cast("long"))
+        val g = dom.agg(sum(col("s_d")).as("s_all"),
+          expr("sum(t_d) div 4").as("budget"))
+        def dec(c: Column) = c.cast("decimal(38,0)")
+        val kept = d
+          .join(broadcast(dom.select("lang", "source", "t_d", "s_d")),
+            Seq("lang", "source"))
+          .crossJoin(broadcast(g))
+          .withColumn("u",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+              .cast("long"))
+          .filter(dec(col("u")) * dec(col("s_all")) * dec(col("t_d"))
+            < dec(col("budget")) * dec(col("s_d")) * dec(lit(1048576L)))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_toks"))
+        dom.crossJoin(broadcast(g))
+          .join(kept, Seq("lang", "source"), "left")
+          .select(col("lang"), col("source"), col("docs_total"),
+            col("t_d").as("toks_total"),
+            least(lit(1000000L), expr(
+              "(CAST(budget AS DECIMAL(38,0)) * CAST(s_d AS DECIMAL(38,0)) * " +
+                "CAST(1000000 AS DECIMAL(38,0))) div " +
+                "(CAST(s_all AS DECIMAL(38,0)) * CAST(t_d AS DECIMAL(38,0)))"))
+              .as("rate_ppm"),
+            coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+            coalesce(col("kept_toks"), lit(0L)).as("kept_toks"))
+          .orderBy("lang", "source")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id, lang, source,
+          |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS toks
+          |  FROM documents),
+          |dom AS (
+          |  SELECT lang, source, count(*) AS docs_total,
+          |    CAST(sum(toks) AS BIGINT) AS t_d
+          |  FROM d GROUP BY 1, 2),
+          |dom2 AS (
+          |  SELECT *, CAST(floor(sqrt(CAST(t_d AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_d
+          |  FROM dom),
+          |g AS (
+          |  SELECT CAST(sum(s_d) AS BIGINT) AS s_all,
+          |    CAST(sum(t_d) AS BIGINT) // 4 AS budget
+          |  FROM dom2),
+          |kept AS (
+          |  SELECT d.lang, d.source, count(*) AS kept_docs,
+          |    CAST(sum(d.toks) AS BIGINT) AS kept_toks
+          |  FROM d JOIN dom2 USING (lang, source) CROSS JOIN g
+          |  WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)) AS BIGINT) AS HUGEINT)
+          |      * CAST(g.s_all AS HUGEINT) * CAST(dom2.t_d AS HUGEINT)
+          |    < CAST(g.budget AS HUGEINT) * CAST(dom2.s_d AS HUGEINT) * CAST(1048576 AS HUGEINT)
+          |  GROUP BY 1, 2)
+          |SELECT dom2.lang, dom2.source, dom2.docs_total, dom2.t_d AS toks_total,
+          |  least(1000000, CAST(CAST(g.budget AS HUGEINT) * CAST(dom2.s_d AS HUGEINT) * CAST(1000000 AS HUGEINT)
+          |    // (CAST(g.s_all AS HUGEINT) * CAST(dom2.t_d AS HUGEINT)) AS BIGINT)) AS rate_ppm,
+          |  coalesce(kept.kept_docs, 0) AS kept_docs,
+          |  coalesce(kept.kept_toks, 0) AS kept_toks
+          |FROM dom2 CROSS JOIN g LEFT JOIN kept USING (lang, source)
+          |ORDER BY lang, source""".stripMargin)),
+
+    // Rare-token quality screen — the LM-free perplexity proxy (CCNet
+    // filters on LM perplexity; without a model, a document whose tokens
+    // are mostly corpus-rare is the same signal): per doc, over its
+    // DISTINCT tokens, count how many have corpus document-frequency ≤ 2
+    // and keep docs whose rare fraction stays under 30%. All integer
+    // arithmetic (counts and an integer cross-multiplied fraction test) —
+    // no logs, no doubles, bit-exact cross-engine. Plan shape = q70's:
+    // the posting list is collapsed to (doc, token) BEFORE the df join,
+    // so occurrence skew is absorbed map-side; the df side is
+    // vocabulary-sized (≪ corpus after collapse) and broadcast.
+    "q90_rare_token_screen" -> QueryDef(
+      fn = { (s, dir) =>
+        val posting = docs(s, dir)
+          .select(col("doc_id"), explode(array_distinct(toksCol)).as("tok"))
+        val dfreq = posting.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        posting.join(broadcast(dfreq), "tok")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("df") <= 2, 1L).otherwise(0L)).as("rare_n"),
+            sum(col("df")).as("sum_df"))
+          .withColumn("keep", col("rare_n") * 10 <= col("n_distinct") * 3)
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT DISTINCT doc_id, tok FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |    FROM documents)),
+          |df AS (SELECT tok, count(*) AS df FROM p GROUP BY 1),
+          |sc AS (
+          |  SELECT p.doc_id, count(*) AS n_distinct,
+          |    CAST(sum(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_n,
+          |    CAST(sum(df.df) AS BIGINT) AS sum_df
+          |  FROM p JOIN df USING (tok) GROUP BY 1)
+          |SELECT doc_id, n_distinct, rare_n, sum_df,
+          |  rare_n * 10 <= n_distinct * 3 AS keep
+          |FROM sc ORDER BY doc_id""".stripMargin)),
   )
 }

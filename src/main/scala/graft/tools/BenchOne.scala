@@ -25,10 +25,11 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     for (q <- names) {
       val fn = graft.SparkEntry.queries(q)
       fn(spark, "/root/testdata/sf0.001").count() // JIT/codegen warmup
-      for (i <- 1 to 3) {
+      for (i <- 1 to nRuns) {
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         println(f"$q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
