@@ -104,10 +104,10 @@ object GraftFunctions {
         FloatDotQ(args.head, args(1))
       },
       "built-in")
-    reg.createOrReplaceTempFunction("simhash32",
+    reg.createOrReplaceTempFunction("simhash60",
       (args: Seq[Expression]) => {
-        require(args.length == 1, "simhash32 takes exactly 1 argument")
-        SimHash32(args.head).toAggregateExpression()
+        require(args.length == 1, "simhash60 takes exactly 1 argument")
+        SimHash60(args.head).toAggregateExpression()
       },
       "built-in")
     reg.createOrReplaceTempFunction("capped_long_set",

@@ -20,7 +20,7 @@ import graft.Tables
   *    aggregate; LSH banding turns all-pairs O(n²) into an equi-join on
   *    band keys (shuffle on key, broadcast-free, skew-safe since a band
   *    bucket is at most a near-dup cluster);
-  *  - SimHash bands-by-nibble is lossless for hamming ≤ 3 by pigeonhole
+  *  - SimHash 15-bit banding is lossless for hamming ≤ 3 by pigeonhole
   *    (4 bands, ≤3 differing bits ⇒ ≥1 intact band) — the equi-join
   *    provably returns the same pairs as the O(n²) cross join;
   *  - n-gram Jaccard caps shingle document-frequency (stop-shingle removal)
@@ -114,29 +114,34 @@ object Dedup {
     d.select(col("doc_id"), md5(col("sh")).as("h"))
 
   /** SimHash hamming ≤ 3 candidate pairs (doc_a < doc_b) with the lossless
-    * nibble-band equi-join — shared by q14 (pair list) and q47 (clusters).
-    * md5 is hoisted into ONE projected column, and the 32 per-digit vote
-    * sums + bit fold collapse into the native [[graft.functions.SimHash32]]
-    * aggregate: one int[32] buffer and one byte pass per row instead of 32
-    * substring expressions and 32 sum buffers (same semantics, proven by
-    * the unchanged q14/q47 oracles).
+    * 15-bit-band equi-join — shared by q14 (pair list) and q47 (clusters).
+    * md5 is hoisted into ONE projected column, and the 60 per-bit vote
+    * sums + bit fold collapse into the native [[graft.functions.SimHash60]]
+    * aggregate: one int[60] buffer and one byte pass per row instead of 60
+    * bit-test expressions and 60 sum buffers (same semantics, proven by
+    * SimHash60Spec and the q14/q47 oracles).
     */
-  /** (doc_id, fp): 32-bit simhash fingerprints — the maintained index an
+  /** (doc_id, fp): 60-bit simhash fingerprints — the maintained index an
     * incremental pipeline keeps alongside the corpus (q80 probes it).
+    * Width is the scale knob (see [[graft.functions.SimHash60]]): the
+    * band join's candidate volume is 4·n²/2^15 — the r4 32-bit/8-bit-band
+    * form was 4·n²/2^8 and went quadratic at the sf1 sweep.
     */
   private def simhashFps(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
     shingles(d)
       .select(col("doc_id"), md5(col("sh")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(call_function("simhash32", col("h")).as("fp"))
+      .agg(call_function("simhash60", col("h")).as("fp"))
   }
 
-  /** (doc_id, band, nib): the 4 lossless nibble bands per fingerprint. */
+  /** (doc_id, band, nib): the 4 lossless 15-bit bands per fingerprint
+    * (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bands intact).
+    */
   private def simhashBands(fp: DataFrame): DataFrame = {
     val nibbles = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("nib"))
+        shiftright(col("fp"), 15 * b).bitwiseAND(lit(0x7fffL)).as("nib"))
     }
     fp.select(col("doc_id"), explode(array(nibbles: _*)).as("bn"))
       .select(col("doc_id"), col("bn.band").as("band"), col("bn.nib").as("nib"))
@@ -160,22 +165,29 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** DuckDB mirror of [[simhashPairs]]: CTE chain ending in `pairs`. */
+  /** DuckDB mirror of [[simhashPairs]]: CTE chain ending in `pairs`.
+    * H = the first 15 hex digits of md5 as a 60-bit integer; vote i is
+    * the sign vote of bit i of H — exactly [[graft.functions.SimHash60]].
+    */
   private val simhashPairsSql: String = {
-    val voteCols = (0 until 32)
-      .map(i => s"sum(CASE WHEN substr(md5(sh), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
+    val voteCols = (0 until 60)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
       .mkString(",\n    ")
-    val fpExpr = (0 until 32)
+    val fpExpr = (0 until 60)
       .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
     s"""$shinglesSql,
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+       |  FROM sh0),
        |sums AS (
        |  SELECT doc_id,
        |    $voteCols
-       |  FROM sh0 GROUP BY doc_id),
+       |  FROM hashed GROUP BY doc_id),
        |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums),
        |bands AS (
-       |  SELECT doc_id, b AS band, (fp >> (8*b)) & 255 AS nib
+       |  SELECT doc_id, b AS band, (fp >> (15*b)) & 32767 AS nib
        |  FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -273,10 +285,11 @@ object Dedup {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
-    // SimHash: 32-bit fingerprint (bit i set iff the +1/−1 vote of md5 hex
-    // digit i — md5 has exactly 32 hex digits — over the doc's shingle set
-    // is positive); near-dups = hamming ≤ 3 found via the lossless 4-byte
-    // band join (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bytes intact).
+    // SimHash: 60-bit fingerprint (bit i set iff the +1/−1 vote of bit i
+    // of the shingle hash's leading 60 bits, over the doc's shingle set,
+    // is positive — Manku et al. WWW'07 wide-fingerprint design);
+    // near-dups = hamming ≤ 3 found via the lossless 4×15-bit band join
+    // (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bands intact).
     "q14_simhash" -> QueryDef(
       fn = { (s, dir) =>
         simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")

@@ -80,22 +80,23 @@ object Similarity {
       .digest(s"$r:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     ((java.lang.Long.parseLong(hex, 16) % 1000001L) - 500000L).toFloat
   }
-  /** q35 uses the first 16 planes; q45's recall-heavy banding uses all 48.
+  /** q35 uses the first 16 planes; q45's banding uses all 48.
     *
-    * Bits-per-band is DERIVED from the similarity threshold, not free: at
-    * q45's cos ≥ 0.4 a plane agrees with p = 1 − θ/π ≈ 0.63, so a 2-bit
-    * band matches with p² ≈ 0.40 and 24 bands miss a threshold pair with
-    * (1−0.40)²⁴ ≈ 5·10⁻⁶ — effectively total recall, which the shared
-    * brute-force oracle then certifies exactly on this corpus. The price
-    * of so low a threshold is coarse bands (4 buckets each): candidate
-    * volume shrinks only ~4× per band vs all-pairs. That is the
-    * Indyk–Motwani tradeoff, not an implementation artifact — production
-    * near-dup thresholds (cos ≥ 0.8, p ≈ 0.80) support 8-bit bands
-    * (p_band ≈ 0.17, 256-bucket selectivity) where the same code prunes
-    * aggressively.
+    * Bits-per-band is DERIVED from the similarity threshold, not free
+    * (the Indyk–Motwani tradeoff): at cos ≥ θ a plane agrees with
+    * p = 1 − arccos(θ)/π, a w-bit band matches with p^w, and B bands miss
+    * a true pair with (1−p^w)^B. q45 runs the production dedup regime
+    * (cos ≥ 0.95, p ≈ 0.90): 6 bands × 8 bits give 256-bucket selectivity
+    * per band — candidates ≈ 6·n²/512 vs n²/2 all-pairs, and the prune
+    * RATIO grows with corpus size, which is what survives 100 TB. An
+    * earlier revision ran threshold 0.4 (p ≈ 0.63) with 24×2-bit bands
+    * for exact recall; the r5 sf1 sweep showed that regime generating
+    * MORE join volume than q17's brute force (4-bucket bands ≈ no prune)
+    * — at thresholds that low, all-pairs IS the right plan, and q17
+    * remains exactly that documented baseline.
     */
   private val NDUP_R = 48
-  private val NDUP_BANDS = 24 // 2 bits per band (see threshold note above)
+  private val NDUP_BANDS = 6 // 8 bits per band (see threshold note above)
   private val hplanes: IndexedSeq[Array[Float]] = (0 until NDUP_R).map(hplane)
 
   /** Brute-force threshold near-dup SQL — the oracle for BOTH q17 (the
@@ -118,6 +119,39 @@ object Similarity {
        |  JOIN norms na ON na.vec_id = a_id
        |  JOIN norms nb ON nb.vec_id = b_id)
        |SELECT a_id, b_id, cosim FROM cosv WHERE cosim >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q45's oracle: brute-force threshold 0.95 over the SAME derived corpus
+    * (embeddings + exact copies of vec_id < 50 under ids -(v+1)) — the
+    * all-pairs recomputation the pruned path must match bit for bit.
+    */
+  private def plantedNeardupSql: String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT -(vec_id + 1) AS vec_id, embedding
+       |  FROM embeddings WHERE vec_id < 50),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(floor((CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))
+       |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS n2
+       |  FROM (SELECT vec_id, embedding AS e,
+       |          generate_subscripts(embedding, 1) AS i FROM aug)
+       |  GROUP BY 1),
+       |dots AS (
+       |  SELECT a_id, b_id, $dotSqlExpr AS dot
+       |  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |          a.embedding AS qe, b.embedding AS ce,
+       |          generate_subscripts(a.embedding, 1) AS i
+       |        FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT a_id, b_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosim
+       |  FROM dots
+       |  JOIN norms na ON na.vec_id = a_id
+       |  JOIN norms nb ON nb.vec_id = b_id)
+       |SELECT a_id, b_id, cosim FROM cosv WHERE cosim >= 0.95
        |ORDER BY a_id, b_id""".stripMargin
 
   /** q16's oracle (exact brute-force top-5) — also nested by q46's recall
@@ -401,52 +435,59 @@ object Similarity {
       },
       oracle = Some(bruteNeardupSql)),
 
-    // Scale-safe threshold near-dup (q17's 100 TB path): sign-LSH candidate
-    // generation + exact quantized-cosine verification, sharing q17's
-    // brute-force ORACLE — a green row here literally proves
-    // candidate-prune + verify ≡ all-pairs on this corpus. The plan has NO
-    // O(n²) join: candidates come from an equi-join on (band, key).
-    //
-    // Banding is tuned for the corpus's worst case: threshold 0.4 (66°) on
-    // near-orthogonal vectors is where LSH separation is weakest, so recall
-    // needs 24 bands × 2 bits over 48 hyperplanes (miss prob per true pair
-    // = (1 − p²)^24 ≈ 5e-6 at cos 0.4, p = 1 − θ/π = 0.631 — zero expected
-    // misses over this corpus's 59 pairs, deterministic hyperplanes make
-    // the outcome reproducible). On a REAL dedup corpus (threshold ≥ 0.95,
-    // p = 0.9) the SAME plan runs 8-bit bands and prunes ~100×: selectivity
-    // is a parameter; the shuffle-equi-join shape is what survives 100 TB.
+    // Scale-safe threshold near-dup (the 100 TB dedup path): sign-LSH
+    // candidate generation + exact quantized-cosine verification at the
+    // PRODUCTION near-dup threshold (cos ≥ 0.95), against a corpus
+    // carrying planted duplicates — the base embeddings plus exact copies
+    // of the first 50 vectors under fresh ids (-(v+1): deterministic, no
+    // max-id job, integer-exact in both engines). The oracle brute-forces
+    // the SAME derived corpus, so a green row literally proves
+    // candidate-prune + verify ≡ all-pairs. For the planted pairs the
+    // recall argument is not even probabilistic: an exact copy computes
+    // the identical 48-bit signature, so every band collides by
+    // construction; probabilistic recall ((1−p⁸)⁶ ≈ 3e-6 miss at cos
+    // 0.95) applies only to generic near-dups. The plan has NO O(n²)
+    // join: candidates come from an equi-join on (band, key) with
+    // 256-bucket bands — ~6·n²/512 candidate rows vs n²/2 all-pairs, a
+    // prune ratio that GROWS with n (the r5 sf1 sweep killed the previous
+    // 0.4-threshold/2-bit-band revision for inverting exactly this:
+    // 4-bucket bands generated more join volume than brute force).
     "q45_neardup_lsh_verify" -> QueryDef(
       fn = { (s, dir) =>
-        val e = emb(s, dir)
-        val n = norms(e)
+        val e0 = emb(s, dir)
+        val aug = e0.select(col("vec_id"), col("embedding"))
+          .unionByName(e0.filter(col("vec_id") < 50)
+            .select((-(col("vec_id") + 1)).cast("long").as("vec_id"),
+              col("embedding")))
+        val n = norms(aug)
         val bitCols = (0 until NDUP_R).map { r =>
           when(call_function("float_dot_q",
               col("embedding"), typedlit(hplanes(r))) >= 0L, lit(1L << r))
             .otherwise(lit(0L))
         }
-        val sig = e.select(col("vec_id"), bitCols.reduce(_ + _).as("sig"))
+        val sig = aug.select(col("vec_id"), bitCols.reduce(_ + _).as("sig"))
           .repartition(col("vec_id")) // parallelize the single-split scan
         val bands = sig.select(col("vec_id"),
           explode(array((0 until NDUP_BANDS).map(b =>
             struct(lit(b).as("band"),
-              shiftright(col("sig"), 2 * b).bitwiseAND(lit(3L)).as("key"))): _*)).as("bk"))
+              shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
           .select(col("vec_id"), col("bk.band"), col("bk.key"))
         val cand = bands.toDF("a_id", "band", "key")
           .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
         cand
-          .join(e.select(col("vec_id").as("a_id"), col("embedding").as("qe")), Seq("a_id"))
-          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("ce")), Seq("b_id"))
+          .join(aug.select(col("vec_id").as("a_id"), col("embedding").as("qe")), Seq("a_id"))
+          .join(aug.select(col("vec_id").as("b_id"), col("embedding").as("ce")), Seq("b_id"))
           .withColumn("dot", dotDec("qe", "ce"))
           .join(n.toDF("a_id", "n2a"), Seq("a_id"))
           .join(n.toDF("b_id", "n2b"), Seq("b_id"))
           .withColumn("cosim", cosim(col("dot"), col("n2a"), col("n2b")))
-          .filter(col("cosim") >= 0.4)
+          .filter(col("cosim") >= 0.95)
           .select("a_id", "b_id", "cosim")
           .orderBy("a_id", "b_id")
       },
-      oracle = Some(bruteNeardupSql)),
+      oracle = Some(plantedNeardupSql)),
 
     // IVF-style ANN: coarse cells = vectors with vec_id % 50 == 0 (cell
     // count scales with the corpus); every vector is assigned to its

@@ -389,5 +389,55 @@ object TableOps {
         s"""SELECT event_type, count(*) AS n,
            |  ${sqlSum("value")} AS sum_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The DSv2 TableCatalog face (graft.sources.commitlog.GraftCatalog):
+    // the ENTIRE table lifecycle — CREATE NAMESPACE, CREATE TABLE,
+    // INSERT INTO, ALTER TABLE ADD COLUMNS (metadata-only evolve commit),
+    // UPDATE, DELETE — issued against catalog-managed identifiers
+    // (`graftcat.gold.t`), no path options anywhere. Reads are the V1
+    // vectorized scan via the fallback rule; DML flows through the same
+    // copy-on-write commands as q85/q86. The oracle restates the final
+    // state declaratively over the original parquet. Idempotent per
+    // session (drop + recreate) so bench re-runs measure the same work.
+    "q91_catalog_sql" -> QueryDef(
+      fn = { (s, dir) =>
+        if (!s.conf.getOption("spark.sql.catalog.graftcat").isDefined) {
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.commitlog.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.graftcat.root", tmp("graft-q91"))
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.gold")
+        s.sql("DROP TABLE IF EXISTS graftcat.gold.orders91")
+        s.sql("""CREATE TABLE graftcat.gold.orders91
+                |(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)""".stripMargin)
+        s.sql(s"""INSERT INTO graftcat.gold.orders91
+                 |SELECT o_orderkey, o_totalprice, o_orderstatus
+                 |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+        s.sql("ALTER TABLE graftcat.gold.orders91 ADD COLUMNS (priority_flag BIGINT)")
+        s.sql(s"""INSERT INTO graftcat.gold.orders91
+                 |SELECT -o_orderkey, o_totalprice, o_orderstatus, o_orderkey % 3
+                 |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 11 = 2""".stripMargin)
+        s.sql("""UPDATE graftcat.gold.orders91 SET priority_flag = 9
+                |WHERE o_orderkey > 0 AND o_orderkey % 7 = 3""".stripMargin)
+        s.sql("DELETE FROM graftcat.gold.orders91 WHERE o_orderkey > 0 AND o_orderkey % 13 = 5")
+        s.table("graftcat.gold.orders91")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            sum(coalesce(col("priority_flag"), lit(-1L))).as("flag_sum"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""WITH final AS (
+           |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+           |    CASE WHEN o_orderkey % 7 = 3 THEN 9 ELSE NULL END AS priority_flag
+           |  FROM orders WHERE o_orderkey % 13 <> 5
+           |  UNION ALL
+           |  SELECT -o_orderkey, o_totalprice, o_orderstatus, o_orderkey % 3
+           |  FROM orders WHERE o_orderkey % 11 = 2)
+           |SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price,
+           |  CAST(sum(coalesce(priority_flag, -1)) AS BIGINT) AS flag_sum
+           |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

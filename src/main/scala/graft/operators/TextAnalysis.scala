@@ -445,6 +445,16 @@ object TextAnalysis {
     // meets only its block, and the edit-distance filter runs inside the
     // block. Real pipelines widen the key (length band, phonetic code);
     // the shape is the point.
+    // Blocking = (first char, length): edit distance ≤ 2 BOUNDS the length
+    // difference at 2, so restricting candidates to a ±2 length window is
+    // LOSSLESS for the declared block-join semantics — the probe side
+    // explodes into its 5 admissible catalog lengths (equi-join keys; the
+    // oracle states the same window as abs(len diff) ≤ 2). The r5 sf1
+    // sweep caught the first-char-only revision: ~26 blocks means block
+    // size grows WITH the corpus (N²/26 Levenshtein calls — 10× data,
+    // 100× work); length blocking multiplies selectivity by the length
+    // spread, and at 100 TB the block key is the unit of shuffle
+    // parallelism, so finer keys are also better-distributed work.
     "q57_fuzzy_join" -> QueryDef(
       fn = { (s, dir) =>
         import org.apache.spark.sql.expressions.Window
@@ -454,10 +464,14 @@ object TextAnalysis {
             .as("probe"))
           .distinct()
           .withColumn("bk", substring(col("probe"), 1, 1))
-        val catalog = names.withColumn("bk", substring(col("p_name"), 1, 1))
+          .withColumn("blen",
+            explode(sequence(length(col("probe")) - 2, length(col("probe")) + 2)))
+        val catalog = names
+          .withColumn("bk", substring(col("p_name"), 1, 1))
+          .withColumn("blen", length(col("p_name")))
         val w = Window.partitionBy(col("probe"))
           .orderBy(col("dist"), col("p_name"))
-        probes.join(catalog, Seq("bk"))
+        probes.join(catalog, Seq("bk", "blen"))
           .withColumn("dist", levenshtein(col("probe"), col("p_name")).cast("long"))
           .filter(col("dist") <= 2)
           .withColumn("rn", row_number().over(w))
@@ -475,6 +489,7 @@ object TextAnalysis {
           |    CAST(levenshtein(p.probe, n.p_name) AS BIGINT) AS dist
           |  FROM probes p JOIN names n
           |    ON substr(p.probe, 1, 1) = substr(n.p_name, 1, 1)
+          |   AND abs(len(p.probe) - len(n.p_name)) <= 2
           |  WHERE levenshtein(p.probe, n.p_name) <= 2)
           |SELECT probe, p_name AS matched, dist FROM (
           |  SELECT *, row_number() OVER (PARTITION BY probe

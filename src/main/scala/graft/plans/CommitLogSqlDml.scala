@@ -134,13 +134,26 @@ object CommitLogSqlDml {
           conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
+      // An analyzer-inserted widening cast on the SOURCE side is fine: the
+      // command projects the source to the table schema before joining, so
+      // the key comparison runs in the target's type either way. A cast on
+      // the TARGET side is not (the ON would compare in the source's wider
+      // type while the projection narrows — different match set).
+      def sourceKey(e: Expression, targetType: org.apache.spark.sql.types.DataType)
+          : Option[AttributeReference] = stripCast(e) match {
+        case b: AttributeReference
+            if sOut.contains(b) && (e.eq(b) || e.dataType == targetType) => Some(b)
+        case _ => None
+      }
       val keys = conjuncts(cond).map {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if tOut.contains(a) && sOut.contains(b) && resolver(a.name, b.name) =>
+        case EqualTo(a: AttributeReference, se)
+            if tOut.contains(a) && sourceKey(se, a.dataType)
+              .exists(b => resolver(a.name, b.name)) =>
           a.name
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if tOut.contains(b) && sOut.contains(a) && resolver(a.name, b.name) =>
-          b.name
+        case EqualTo(se, a: AttributeReference)
+            if tOut.contains(a) && sourceKey(se, a.dataType)
+              .exists(b => resolver(a.name, b.name)) =>
+          a.name
         case other => unsupported(s"ON clause term ${other.sql}")
       }
 

@@ -107,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (spark.sql.extensions=graft.plans.GraftExtensions — Graft.session
     // sets it).
     e.injectResolutionRule(s => new CommitLogSqlDml.ResolveDml(s))
+    // Catalog-managed commitlog tables (spark.sql.catalog.<name> =
+    // graft.sources.commitlog.GraftCatalog): reads fall back to the V1
+    // vectorized relation; row-level DML then flows through ResolveDml.
+    e.injectResolutionRule(s => new GraftCatalogFallback(s))
     e.injectHintResolutionRule(s => new CommitLogSqlDml.ResolveTimeTravel(s))
     e.injectFunction((
       new FunctionIdentifier("float_dot_q"),
@@ -116,11 +120,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatDotQ(args.head, args(1))
       }))
     e.injectFunction((
-      new FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[graft.functions.SimHash32].getName, "simhash32"),
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[graft.functions.SimHash60].getName, "simhash60"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "simhash32 takes exactly 1 argument")
-        graft.functions.SimHash32(args.head).toAggregateExpression()
+        require(args.length == 1, "simhash60 takes exactly 1 argument")
+        graft.functions.SimHash60(args.head).toAggregateExpression()
       }))
     e.injectFunction((
       new FunctionIdentifier("capped_long_set"),

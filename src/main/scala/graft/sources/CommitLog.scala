@@ -510,6 +510,39 @@ object CommitLog {
     v
   }
 
+  /** Create an EMPTY table: version 1 records the schema and partition
+    * spec with no files — the DDL-first workflow a catalog needs
+    * (`CREATE TABLE` then `INSERT`), vs the write-creates-table path of
+    * [[append]]. Fails if the table already has commits.
+    */
+  def create(root: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(currentVersion(root).isEmpty, s"table already exists at $root")
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    commitDelta(root, None, Commit(1L, "create", schema.json, Nil, Nil,
+      partitionBy))
+    1L
+  }
+
+  /** Metadata-only schema evolution: commit the union of the current
+    * schema and `newSchema` (added columns append as nullable; shared
+    * columns may widen losslessly; anything else rejects — exactly the
+    * rule every append applies, made available to `ALTER TABLE ADD
+    * COLUMNS` without writing data). Old files read the added columns as
+    * null; time travel keeps each version's own schema.
+    */
+  def evolveSchema(root: String, newSchema: StructType): Long =
+    withRetry() {
+      val base = currentVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no CommitLog table at $root"))
+      val prior = readManifest(root, base)
+      val evolved = unionSchema(schemaOf(prior), newSchema)
+      commitDelta(root, Some(prior), Commit(base + 1, "evolve-schema",
+        evolved.json, Nil, Nil, prior.partitionByOrNil, prior.txnOrEmpty))
+      base + 1
+    }
+
   /** Idempotent transactional append for streaming sinks: the log
     * records, per writer id, the last batch it committed; a replayed batch
     * (same `appId`, `batchId` ≤ recorded) is a no-op. This is the published
@@ -598,8 +631,11 @@ object CommitLog {
       // Enforce the append-only contract instead of trusting the caller: a
       // rewrite op (compact/merge/delete/overwrite/cluster) re-stages
       // EXISTING rows into new files, which would silently surface as
-      // "new" — e.g. IncrementalView would double-count.
-      require(c.op == "append",
+      // "new" — e.g. IncrementalView would double-count. Metadata-only
+      // commits (create/evolve-schema: no files added or dropped) are
+      // harmless in the range and pass.
+      require(c.op == "append" ||
+          (c.addOrNil.isEmpty && c.removeOrNil.isEmpty),
         s"changes($fromV, $toV): version $v is '${c.op}' — the range must be " +
           "append-only (rewrites re-stage existing rows as new files)")
       c

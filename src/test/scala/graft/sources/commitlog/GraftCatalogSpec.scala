@@ -1,0 +1,147 @@
+package graft.sources.commitlog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.sources.CommitLog
+
+/** The DSv2 catalog face of the table format: identifier-addressed DDL,
+  * DML, reads and time travel, all landing on the same commit log as the
+  * path-addressed route. The read plan must be the V1 vectorized scan
+  * (the fallback rule), never a V2 row-at-a-time batch.
+  */
+class GraftCatalogSpec extends SparkTestBase {
+
+  // Strict val: registers the catalog BEFORE any test issues SQL.
+  private val root = {
+    val d = Files.createTempDirectory("graft-catalog").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", d)
+    d
+  }
+
+  test("CREATE TABLE / INSERT / SELECT round trip through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+    spark.sql("CREATE TABLE graft.gold.t1 (k BIGINT, v STRING)")
+    assert(Files.isDirectory(java.nio.file.Paths.get(root, "gold", "t1", "_graft_log")))
+    // empty table reads as zero rows with the declared schema
+    assert(spark.table("graft.gold.t1").count() == 0)
+    assert(spark.table("graft.gold.t1").schema.fieldNames.toSeq == Seq("k", "v"))
+
+    spark.sql("INSERT INTO graft.gold.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.gold.t1 SELECT 3, 'c'")
+    assert(spark.sql("SELECT sum(k) FROM graft.gold.t1").collect()(0).getLong(0) == 6L)
+
+    // the read is the V1 vectorized parquet scan, not a V2 batch
+    val plan = spark.table("graft.gold.t1").queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"expected V1 file scan:\n$plan")
+
+    // catalog listing sees it
+    val tables = spark.sql("SHOW TABLES IN graft.gold").collect().map(_.getString(1))
+    assert(tables.contains("t1"))
+  }
+
+  test("INSERT OVERWRITE and df.writeTo land as atomic log commits") {
+    spark.sql("CREATE TABLE graft.t2 (k BIGINT, v STRING)")
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").writeTo("graft.t2").append()
+    assert(spark.table("graft.t2").count() == 2)
+    spark.sql("INSERT OVERWRITE graft.t2 VALUES (9, 'z')")
+    assert(spark.table("graft.t2").as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    // every write above is one commit in the table's own log
+    val dir = s"$root/t2"
+    assert(CommitLog.currentVersion(dir).contains(3L)) // create + 2 writes
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a metadata-only schema-evolution commit") {
+    spark.sql("CREATE TABLE graft.t3 (k BIGINT)")
+    spark.sql("INSERT INTO graft.t3 VALUES (1)")
+    spark.sql("ALTER TABLE graft.t3 ADD COLUMNS (score DOUBLE)")
+    val df = spark.table("graft.t3")
+    assert(df.schema.fieldNames.toSeq == Seq("k", "score"))
+    // pre-evolution rows read the new column as null
+    assert(df.filter(col("score").isNull).count() == 1)
+    spark.sql("INSERT INTO graft.t3 VALUES (2, 0.5)")
+    assert(spark.sql("SELECT sum(score) FROM graft.t3").collect()(0).getDouble(0) == 0.5)
+    // dropping a column violates the additive contract and fails cleanly
+    intercept[Exception](spark.sql("ALTER TABLE graft.t3 DROP COLUMN score"))
+  }
+
+  test("DELETE / UPDATE / MERGE SQL on catalog tables via the DML rewrite") {
+    spark.sql("CREATE TABLE graft.t4 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.t4 VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    spark.sql("DELETE FROM graft.t4 WHERE k % 2 = 0")
+    assert(spark.table("graft.t4").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    spark.sql("UPDATE graft.t4 SET v = 'up' WHERE k = 3")
+    assert(spark.sql("SELECT v FROM graft.t4 WHERE k = 3").collect()(0).getString(0) == "up")
+    spark.sql(
+      """MERGE INTO graft.t4 t USING (SELECT 1 AS k, 'm' AS v UNION ALL SELECT 5, 'n') s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.table("graft.t4").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "m"), (3L, "up"), (5L, "n")))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF / tag through native SQL syntax") {
+    spark.sql("CREATE TABLE graft.t5 (k BIGINT)")
+    spark.sql("INSERT INTO graft.t5 VALUES (1)") // v2
+    val tsAfterV2 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.t5 VALUES (2)") // v3
+    CommitLog.tag(s"$root/t5", "first-load", Some(2L))
+
+    assert(spark.sql("SELECT count(*) FROM graft.t5 VERSION AS OF 2")
+      .collect()(0).getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.t5 VERSION AS OF 'first-load'")
+      .collect()(0).getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.t5").collect()(0).getLong(0) == 2L)
+    val ts = new java.sql.Timestamp(tsAfterV2).toString
+    assert(spark.sql(s"SELECT count(*) FROM graft.t5 TIMESTAMP AS OF '$ts'")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("partitioned create: spec persists and later appends keep it") {
+    spark.sql(
+      "CREATE TABLE graft.t6 (k BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft.t6 VALUES (1, 'a'), (2, 'b')")
+    val dir = s"$root/t6"
+    val m = CommitLog.readManifest(dir, CommitLog.currentVersion(dir).get)
+    assert(m.partitionByOrNil == Seq("part"))
+    // partition pruning: only the matching partition's file is read
+    val pruned = spark.sql("SELECT k FROM graft.t6 WHERE part = 'a'")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("DROP TABLE, RENAME, and namespace listing") {
+    spark.sql("CREATE TABLE graft.t7 (k BIGINT)")
+    spark.sql("INSERT INTO graft.t7 VALUES (1)")
+    spark.sql("ALTER TABLE graft.t7 RENAME TO t7renamed")
+    assert(spark.table("graft.t7renamed").count() == 1)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t7")))
+    spark.sql("DROP TABLE graft.t7renamed")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t7renamed")))
+    intercept[Exception](spark.table("graft.t7renamed").count())
+  }
+
+  test("CTAS and INSERT with a catalog-table source (read under write)") {
+    spark.sql("CREATE TABLE graft.src1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.src1 VALUES (1,'a'), (2,'b')")
+    // CTAS through the catalog
+    spark.sql("CREATE TABLE graft.ctas1 AS SELECT k, upper(v) AS v FROM graft.src1")
+    assert(spark.table("graft.ctas1").collect().map(_.getString(1)).sorted.toSeq
+      == Seq("A", "B"))
+    // a graft read feeding a graft write in one statement
+    spark.sql("INSERT INTO graft.ctas1 SELECT k + 10, v FROM graft.src1")
+    assert(spark.table("graft.ctas1").count() == 4)
+  }
+
+  test("identifier segments are path-checked") {
+    intercept[Exception](spark.sql("CREATE TABLE graft.`..`.`evil` (k BIGINT)"))
+  }
+}
