@@ -18,6 +18,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Long single-JVM runs: reclaim dead shuffle/broadcast/checkpoint
+      // blocks promptly (the default 30min periodic GC lets them pile up
+      // across dozens of sequential queries — the r5 sf1 sweep measured
+      // up to 9x degradation from exactly that).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       // the ingest bench writes managed tables — keep them out of the CWD
       .config("spark.sql.warehouse.dir",

@@ -38,6 +38,21 @@ object Dedup {
     * component diameter — the all-pairs transitive closure is never
     * materialized.
     */
+  /** Release a `localCheckpoint`'s materialized blocks. The checkpoint
+    * persists its RDD in the block manager OUTSIDE the cache manager, so
+    * `Dataset.unpersist` never reclaims it — without this, every
+    * propagation round leaks a labels-sized block for the life of the JVM
+    * (found by the r5 sf1 sweep: queries running after the iterative
+    * family degraded up to 9× from accumulated storage pressure; the same
+    * leak starves executor storage memory on a long-lived cluster app).
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private def components(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val pairs = simhashPairs(d).select("doc_a", "doc_b")
@@ -61,10 +76,14 @@ object Dedup {
       converged = next
         .join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).isEmpty
+      dropCheckpoint(labels) // superseded round — release its blocks now
       labels = next
       iter += 1
     }
     require(converged, s"component propagation did not converge in $iter rounds")
+    // The final labels checkpoint is materialized, so the edge list is no
+    // longer needed by the returned plan — release it too.
+    dropCheckpoint(edges)
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
