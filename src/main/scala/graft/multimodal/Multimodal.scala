@@ -17,13 +17,17 @@ import graft.operators.QueryDef
   * (`javax.sound.sampled`, in the JDK): WAV/AIFF/AU payloads yield the
   * true sample rate, channel count and frame count, PCM-derived signal
   * features, and linear-interpolation resampling as the resize analog.
-  * Video remains on [[StubDecoder]] (deterministic pseudo-features from
-  * payload bytes — the JDK ships no video codec and this container has no
-  * media libraries); everything around that stub is real and load-bearing:
-  * the schema contract, the partition-batched execution shape, the
-  * `binary`-column plumbing, and the downstream columnar feature handling.
-  * Swapping in a JNI codec touches only
-  * [[Decoder.decode]]/[[Decoder.resizePayload]].
+  * Video decodes for REAL through [[GifVideoDecoder]] for the one
+  * container the JDK ships a codec for — animated GIF (`javax.imageio`
+  * sequence reader): true logical-screen dimensions, true frame count,
+  * composited per-frame pixel features, and a temporal luminance profile
+  * as the whole-payload feature. MP4/WebM payloads fall back to
+  * [[StubDecoder]] (deterministic pseudo-features — this container has no
+  * external media libraries); everything around that fallback is real and
+  * load-bearing: the schema contract, the partition-batched execution
+  * shape, the `binary`-column plumbing, and the downstream columnar
+  * feature handling. Swapping in a JNI codec touches only
+  * [[Decoder.decode]]/[[Decoder.resizePayload]]/[[Decoder.decodeFrames]].
   *
   * Scale notes: payloads never shuffle unless a downstream op needs them —
   * feature extraction projects payload→small feature vector EARLY, so
@@ -64,18 +68,47 @@ object Multimodal {
       * caller falls back to the deterministic stub transform).
       */
     def resizePayload(kind: String, payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = None
+
+    /** Per-frame (w, h, feature) sequence for multi-frame payloads; None =
+      * the decoder has no frame-level codec for this kind (the caller falls
+      * back to [[decode]]'s whole-payload feature for every sampled frame).
+      */
+    def decodeFrames(kind: String, payload: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Float])]] = None
+  }
+
+  /** 8-dim pixel-truth feature shared by the image and video codecs, each
+    * value in [0,1]: mean R, mean G, mean B, mean luminance, then mean
+    * luminance of the four quadrants — small, deterministic, derived from
+    * pixels, so downstream similarity/dedup over it is meaningful.
+    */
+  private[multimodal] def pixelFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        val lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
+        sums(0) += r; sums(1) += g; sums(2) += b; sums(3) += lum
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        sums(4 + q) += lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val qn = n / 4.0
+    Array.tabulate(8)(i => (sums(i) / (if (i < 4) n else qn) / 255.0).toFloat)
   }
 
   /** REAL image codec via `javax.imageio` (in the JDK — zero egress):
-    * decodes PNG/JPEG/GIF/BMP payloads to true dimensions and an 8-dim
-    * color/luminance feature, and resizes by decode → scale → re-encode.
-    * Audio/video stay on [[StubDecoder]] semantics — the JDK ships no
-    * codec for them, and pretending otherwise would fake the metadata.
-    *
-    * Feature layout (each in [0,1]): mean R, mean G, mean B, mean
-    * luminance, then mean luminance of the four image quadrants — small,
-    * deterministic, and actually derived from pixels, so downstream
-    * similarity/dedup over the feature column is meaningful.
+    * decodes PNG/JPEG/GIF/BMP payloads to true dimensions and the
+    * [[pixelFeature]] 8-dim color/luminance feature, and resizes by
+    * decode → scale → re-encode. Audio routes to [[WavDecoder]], video to
+    * [[GifVideoDecoder]]; anything neither can decode falls back to the
+    * honest stub rather than faking metadata.
     */
   object ImageIoDecoder extends Decoder {
     private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
@@ -86,28 +119,7 @@ object Multimodal {
       if (kind != "image") return StubDecoder.decode(kind, payload)
       readImage(payload) match {
         case None => StubDecoder.decode(kind, payload) // undecodable bytes
-        case Some(img) =>
-          val w = img.getWidth; val h = img.getHeight
-          val sums = new Array[Double](8)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-              val lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
-              sums(0) += r; sums(1) += g; sums(2) += b; sums(3) += lum
-              val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
-              sums(4 + q) += lum
-              x += 1
-            }
-            y += 1
-          }
-          val n = (w.toLong * h).toDouble
-          val qn = n / 4.0
-          val feat = Array.tabulate(8)(i =>
-            (sums(i) / (if (i < 4) n else qn) / 255.0).toFloat)
-          (w, h, 1, feat)
+        case Some(img) => (img.getWidth, img.getHeight, 1, pixelFeature(img))
       }
     }
 
@@ -247,6 +259,115 @@ object Multimodal {
       }
   }
 
+  /** REAL video codec for the one container the JDK decodes natively:
+    * animated GIF via `javax.imageio`'s sequence reader (zero egress).
+    * Decodes every frame, composites partial frames at their logical-screen
+    * offset over the running canvas (the common "do not dispose" GIF
+    * semantics; restore-to-background/previous disposal is approximated by
+    * the same overdraw — documented simplification, exact for the
+    * full-frame GIFs an ingest pipeline normalizes to), and reports true
+    * logical-screen dimensions and frame count.
+    *
+    * Whole-payload feature: the 8-dim TEMPORAL luminance profile — mean
+    * frame luminance over 8 equal time segments — so scene-change and
+    * near-dup screens over the feature column respond to actual content.
+    * [[decodeFrames]] exposes the per-frame [[pixelFeature]] for real
+    * frame sampling. MP4/WebM need codecs the JDK lacks; those payloads
+    * fall back to [[StubDecoder]].
+    */
+  object GifVideoDecoder extends Decoder {
+    import javax.imageio.ImageIO
+    import javax.imageio.metadata.IIOMetadataNode
+    import java.awt.image.BufferedImage
+
+    /** Payload → composited per-frame canvases, or None when the bytes are
+      * not a decodable GIF stream.
+      */
+    private def frames(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        // logical screen size from stream metadata (frame 0 may be a
+        // sub-rectangle); fall back to frame 0's own dims
+        val screen: Option[(Int, Int)] =
+          try {
+            val tree = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream")
+              .asInstanceOf[IIOMetadataNode]
+            val d = tree.getElementsByTagName("LogicalScreenDescriptor")
+            if (d.getLength == 0) None
+            else {
+              val sd = d.item(0).asInstanceOf[IIOMetadataNode]
+              Some((sd.getAttribute("logicalScreenWidth").toInt,
+                sd.getAttribute("logicalScreenHeight").toInt))
+            }
+          } catch { case _: Exception => None }
+        var canvas: BufferedImage = null
+        val out = Vector.newBuilder[BufferedImage]
+        for (i <- 0 until n) {
+          val frame = reader.read(i)
+          val (ox, oy) =
+            try {
+              val tree = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image")
+                .asInstanceOf[IIOMetadataNode]
+              val d = tree.getElementsByTagName("ImageDescriptor").item(0)
+                .asInstanceOf[IIOMetadataNode]
+              (d.getAttribute("imageLeftPosition").toInt,
+                d.getAttribute("imageTopPosition").toInt)
+            } catch { case _: Exception => (0, 0) }
+          if (canvas == null) {
+            val (w, h) = screen.getOrElse((ox + frame.getWidth, oy + frame.getHeight))
+            canvas = new BufferedImage(math.max(w, ox + frame.getWidth),
+              math.max(h, oy + frame.getHeight), BufferedImage.TYPE_INT_RGB)
+          }
+          val g = canvas.createGraphics()
+          try g.drawImage(frame, ox, oy, null) finally g.dispose()
+          // snapshot the running canvas — later frames overdraw it
+          val snap = new BufferedImage(canvas.getWidth, canvas.getHeight,
+            BufferedImage.TYPE_INT_RGB)
+          val sg = snap.createGraphics()
+          try sg.drawImage(canvas, 0, 0, null) finally sg.dispose()
+          out += snap
+        }
+        Some(out.result())
+      } catch { case _: Exception => None }
+      finally { reader.dispose(); if (iis != null) iis.close() }
+    }
+
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      if (kind != "video") return StubDecoder.decode(kind, payload)
+      frames(payload) match {
+        case None => StubDecoder.decode(kind, payload) // undecodable bytes
+        case Some(fs) =>
+          val lum = fs.map(f => pixelFeature(f)(3)) // mean luminance per frame
+          val segSum = new Array[Double](8)
+          val segN = new Array[Int](8)
+          for (i <- lum.indices) {
+            val s = math.min(7, i * 8 / lum.length)
+            segSum(s) += lum(i); segN(s) += 1
+          }
+          // empty tail segments (fewer than 8 frames) hold the last seen
+          // mean, so the profile is a step function, not zero-padded
+          val feat = new Array[Float](8)
+          var last = 0.0f
+          for (s <- 0 until 8) {
+            if (segN(s) > 0) last = (segSum(s) / segN(s)).toFloat
+            feat(s) = last
+          }
+          (fs.head.getWidth, fs.head.getHeight, fs.length, feat)
+      }
+    }
+
+    override def decodeFrames(
+        kind: String, payload: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Float])]] =
+      if (kind != "video") None
+      else frames(payload).map(_.map(f => (f.getWidth, f.getHeight, pixelFeature(f))))
+  }
+
   /** The default decoder: every kind the JDK can decode for real, routed to
     * its real codec; the rest on the honest stub.
     */
@@ -255,12 +376,16 @@ object Multimodal {
       kind match {
         case "image" => ImageIoDecoder.decode(kind, payload)
         case "audio" => WavDecoder.decode(kind, payload)
+        case "video" => GifVideoDecoder.decode(kind, payload)
         case _ => StubDecoder.decode(kind, payload)
       }
     override def resizePayload(
         kind: String, payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
       if (kind == "image") ImageIoDecoder.resizePayload(kind, payload, w, h)
       else None
+    override def decodeFrames(
+        kind: String, payload: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Float])]] =
+      if (kind == "video") GifVideoDecoder.decodeFrames(kind, payload) else None
   }
 
   /** Deterministic stand-in for the absent codec libraries: pseudo-features
@@ -345,15 +470,25 @@ object Multimodal {
     })
   }
 
-  /** Frame sampling for video payloads: every `stride`-th decoded frame.
-    * Decode is stubbed; the explode/flatMap shape (1 row in → n frame rows
-    * out, each a small feature record) is the real pattern.
+  /** Frame sampling for video payloads: every `stride`-th decoded frame,
+    * 1 row in → n small feature rows out (the explode/flatMap shape —
+    * payloads never fan out, only fixed-size frame records do). With the
+    * default decoder, GIF payloads yield REAL per-frame pixel features via
+    * [[GifVideoDecoder.decodeFrames]]; kinds without a frame-level codec
+    * fall back to the whole-payload decode repeated per sampled frame.
     */
-  def sampleFrames(items: Dataset[MediaItem], stride: Int, decoder: Decoder = StubDecoder): DataFrame = {
+  def sampleFrames(items: Dataset[MediaItem], stride: Int, decoder: Decoder = JdkDecoder): DataFrame = {
     import items.sparkSession.implicits._
     items.filter(_.kind == "video").flatMap { m =>
-      val (w, h, frames, feat) = decoder.decode(m.kind, m.payload)
-      (0 until frames by stride).map(f => (m.media_id, f, w, h, feat))
+      decoder.decodeFrames(m.kind, m.payload) match {
+        case Some(fs) =>
+          (0 until fs.length by stride).map { f =>
+            val (w, h, feat) = fs(f); (m.media_id, f, w, h, feat)
+          }
+        case None =>
+          val (w, h, frames, feat) = decoder.decode(m.kind, m.payload)
+          (0 until frames by stride).map(f => (m.media_id, f, w, h, feat))
+      }
     }.toDF("media_id", "frame_idx", "width", "height", "feature")
   }
 

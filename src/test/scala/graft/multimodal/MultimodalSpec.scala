@@ -125,6 +125,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(extractFeatures(junk).collect().head.feature.length == 8)
   }
 
+  test("real video codec: animated GIF frame decode, temporal profile, frame sampling") {
+    import spark.implicits._
+    import javax.imageio._
+    // a REAL animated GIF generated in-test: 24x12, 6 frames alternating
+    // solid black / solid white (GIF is 256-color palettized, so pure
+    // black/white survive quantization exactly)
+    val frames = (0 until 6).map { i =>
+      val img = new java.awt.image.BufferedImage(24, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(if (i % 2 == 0) java.awt.Color.BLACK else java.awt.Color.WHITE)
+      g.fillRect(0, 0, 24, 12)
+      g.dispose()
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    val items = Seq(
+      MediaItem(1L, "video", gif, 0, 0, 0L),
+      MediaItem(2L, "video", ("MP4" * 40).getBytes("UTF-8"), 1920, 1080, 0L)).toDS()
+
+    // the DEFAULT decoder routes video to the real codec: true
+    // logical-screen dims and true frame count, not stub-derived
+    val f = extractFeatures(items).collect().sortBy(_.media_id).head
+    assert(f.decoded_w == 24 && f.decoded_h == 12 && f.n_frames == 6)
+    // temporal luminance profile alternates with the frames: 8 segments
+    // over 6 frames → segment luminances follow the black/white pattern
+    assert(f.feature(0) < 0.05f, s"seg0=${f.feature(0)}") // frame 0: black
+    assert(f.feature(7) > 0.95f, s"seg7=${f.feature(7)}") // frame 5: white
+    assert(f.feature.max > 0.95f && f.feature.min < 0.05f)
+
+    // frame sampling decodes REAL per-frame features: stride 2 keeps
+    // frames 0/2/4 (all black) for the GIF; the MP4 bytes fall back to the
+    // stub's whole-payload decode (1 pseudo-frame)
+    val sampled = sampleFrames(items, stride = 2).collect()
+    val gifRows = sampled.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(gifRows.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(gifRows.forall(r => r.getInt(2) == 24 && r.getInt(3) == 12))
+    assert(gifRows.forall(_.getSeq[Float](4)(3) < 0.05f)) // mean luminance: black
+    val stubRows = sampled.filter(_.getLong(0) == 2L)
+    assert(stubRows.length == 1 && stubRows.head.getInt(1) == 0)
+    // stride 1 sees the alternation in per-frame luminance
+    val all = sampleFrames(items.filter(_.media_id == 1L), stride = 1).collect().sortBy(_.getInt(1))
+    assert(all.length == 6)
+    assert(all.map(r => if (r.getSeq[Float](4)(3) > 0.5f) 1 else 0).toSeq == Seq(0, 1, 0, 1, 0, 1))
+  }
+
   test("payloads project to features before any wide op (plan shape)") {
     val feats = extractFeatures(corpus).toDF()
     // features are small fixed-size records — grouping them shuffles KBs,
