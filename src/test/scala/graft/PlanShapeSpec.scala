@@ -63,9 +63,18 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("no cartesian product outside the documented q17 baseline") {
     for (q <- Seq("q45_neardup_lsh_verify", "q13_minhash_lsh", "q14_simhash",
-        "q57_fuzzy_join", "q15_ngram_jaccard")) {
+        "q57_fuzzy_join", "q15_ngram_jaccard", "q92_ann_pq")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q went all-pairs")
     }
+  }
+
+  test("q92 PQ: codebook and ADC tables broadcast, corpus never sort-merges") {
+    // the codebook joins (train + encode) and the per-query distance-table
+    // join must all ride broadcasts — a SortMergeJoin would reshuffle the
+    // exploded corpus against KB-scale state
+    val p = plan("q92_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), s"q92 lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q92 sort-merges the corpus:\n$p")
   }
 
   test("parquet scans receive pushed filters and pruned columns") {
