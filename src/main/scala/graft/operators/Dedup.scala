@@ -166,6 +166,41 @@ object Dedup {
       .select(col("doc_id"), col("bn.band").as("band"), col("bn.nib").as("nib"))
   }
 
+  /** Public fingerprint/index/probe API — the maintained-index near-dup
+    * pipeline as reusable pieces: `fingerprints` + `bandIndex` build the
+    * persistent side once; `probeIndex` dedups any newly arrived
+    * fingerprint set against it WITHOUT an index self-join (asymmetric —
+    * at 100 TB the batch side broadcasts into the index). q80 composes
+    * exactly these on its CDC slice; the streaming twin
+    * ([[graft.streaming.StreamingAnalytics.neardupProbeSink]]) runs the
+    * same probe per micro-batch.
+    */
+  def fingerprints(d: DataFrame): DataFrame = simhashFps(d)
+
+  /** (doc_id, band, nib) rows for a fingerprint set — the band index. */
+  def bandIndex(fp: DataFrame): DataFrame = simhashBands(fp)
+
+  /** Best duplicate per new doc: (new_id, dup_of, hamming ≤ 3), ties to
+    * the smallest id. `newFp` rows also present in the index never match
+    * themselves (the id-inequality guard).
+    */
+  def probeIndex(newFp: DataFrame, indexFp: DataFrame, indexBands: DataFrame): DataFrame = {
+    val cand = simhashBands(newFp).as("a").join(indexBands.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("other_id"))
+      .distinct()
+    cand.join(newFp.toDF("new_id", "fp_a"), Seq("new_id"))
+      .join(indexFp.toDF("other_id", "fp_b"), Seq("other_id"))
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("new_id"))
+      .agg(min(struct(col("hamming"), col("other_id"))).as("m"))
+      .select(col("new_id"), col("m.other_id").as("dup_of"),
+        col("m.hamming").as("hamming"))
+  }
+
   private def simhashPairs(d: DataFrame): DataFrame = {
     val fp = simhashFps(d)
     val bands = simhashBands(fp)
@@ -538,23 +573,7 @@ object Dedup {
     "q80_incremental_dedup" -> QueryDef(
       fn = { (s, dir) =>
         val fp = simhashFps(docs(s, dir))
-        val bands = simhashBands(fp)
-        val newBands = bands.filter(col("doc_id") % 3 === 0)
-        val cand = newBands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
-              col("a.doc_id") =!= col("b.doc_id"))
-          .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("other_id"))
-          .distinct()
-        val fa = fp.toDF("new_id", "fp_a")
-        val fb = fp.toDF("other_id", "fp_b")
-        cand.join(fa, Seq("new_id")).join(fb, Seq("other_id"))
-          .withColumn("hamming",
-            bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
-          .filter(col("hamming") <= 3)
-          .groupBy(col("new_id"))
-          .agg(min(struct(col("hamming"), col("other_id"))).as("m"))
-          .select(col("new_id"), col("m.other_id").as("dup_of"),
-            col("m.hamming").as("hamming"))
+        probeIndex(fp.filter(col("doc_id") % 3 === 0), fp, simhashBands(fp))
           .orderBy("new_id")
       },
       oracle = Some(

@@ -20,6 +20,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAnalytics {
 
+  /** Streaming twin of q80's incremental near-dup: each micro-batch of
+    * newly ingested documents (doc_id, text) is fingerprinted and probed
+    * against the STATIC corpus band index — the exact
+    * [[graft.operators.Dedup.probeIndex]] the batch path runs — and the
+    * dedup decisions append to a CommitLog table EXACTLY ONCE (the
+    * appendTxn watermark makes micro-batch replays after a restart
+    * no-ops). This is the production CDC-dedup pattern: the index is
+    * built once and persisted/broadcast (KBs per million docs), the
+    * probe cost is O(batch × collisions) per trigger, and state lives in
+    * the table's txn map, not the state store — nothing grows with
+    * stream history. Usage:
+    * `docsStream.writeStream.foreachBatch(neardupProbeSink(fp, bands,
+    * root, "dedup-app")).start()`.
+    */
+  def neardupProbeSink(
+      indexFp: DataFrame, indexBands: DataFrame,
+      root: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val decisions = graft.operators.Dedup.probeIndex(
+        graft.operators.Dedup.fingerprints(batch), indexFp, indexBands)
+      graft.sources.CommitLog.appendTxn(decisions, root, appId, batchId)
+      ()
+    }
+
   /** Tumbling 1-minute per-type counts with a 10-minute watermark (late
     * rows older than the watermark are dropped; window state is evicted
     * once the watermark passes — bounded state at any scale).

@@ -35,6 +35,48 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup probe equals batch q80 and appends exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    // the static index, built once (persisted in production)
+    val fp = graft.operators.Dedup.fingerprints(corpus).cache()
+    val bands = graft.operators.Dedup.bandIndex(fp).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup-stream").toString
+    val sink = neardupProbeSink(fp, bands, root, "neardup-spec")
+
+    // the q80 CDC slice arrives as a stream, split across two micro-batches
+    val slice = corpus.filter($"doc_id" % 3 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b0, b1) = slice.splitAt(slice.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def tableRows = graft.sources.CommitLog.read(spark, root)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Int]("hamming"))).toSet
+    val streamed = tableRows
+    // batch twin: the registered q80 on the same sf directory
+    val batch = graft.SparkEntry.queries("q80_incremental_dedup")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(streamed == batch, "per-batch probes must union to the full CDC probe")
+    assert(streamed.nonEmpty) // the sf0.001 corpus carries near-dups
+
+    // restart replay of the last micro-batch is a no-op (exactly-once)
+    val vBefore = graft.sources.CommitLog.currentVersion(root)
+    sink(b1.toSeq.toDF("doc_id", "text"), 1L)
+    assert(graft.sources.CommitLog.currentVersion(root) == vBefore)
+    assert(tableRows == streamed)
+    fp.unpersist(); bands.unpersist()
+  }
+
   test("hopping windows: stream result equals the batch q74 shape on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
