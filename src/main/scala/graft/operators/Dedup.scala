@@ -655,5 +655,52 @@ object Dedup {
            |  FROM nodes n LEFT JOIN in2 ON in2.id = n.id)
            |SELECT id AS doc_id, r AS rank_q FROM r2
            |ORDER BY r DESC, id LIMIT 20""".stripMargin)),
+
+    // Triangle counting on the near-dup graph — the node-iterator
+    // algorithm as pure relational algebra (the MapReduce formulation of
+    // Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of
+    // the Last Reducer"): edges arrive ORIENTED (doc_a < doc_b from the
+    // band join), so a wedge join e1(a,b)⋈e2(b,c) enumerates each
+    // candidate path exactly once with a < b < c, and the closing-edge
+    // equi-join (a,c) certifies the triangle — each triangle is counted
+    // EXACTLY once, no ÷6 correction, no cartesian anywhere. Output: the
+    // top-10 docs by triangle participation (how clique-ish each doc's
+    // duplicate neighborhood is — near-clique members rank above chain
+    // members, a signal component size alone cannot give; components
+    // (q47) say WHO clusters, triangles say HOW DENSELY).
+    //
+    // 100 TB shape: two equi-joins + one count aggregation, all on the
+    // oriented edge list. Orientation is also the published skew fix: a
+    // degree-d hub fans out d² unordered wedges, but ordered wedges split
+    // by id, and partial counts combine map-side. The same plan serves
+    // clustering-coefficient jobs (wedges = Σ C(deg,2) needs one more
+    // aggregate over the degree table).
+    "q93_triangles" -> QueryDef(
+      fn = { (s, dir) =>
+        // materialize the edge list ONCE (q83's discipline): the three-way
+        // self-join would otherwise recompute the whole fingerprint+band
+        // subtree per join arm; at cluster scale this is the edges table
+        // a graph job reads, not a plan fragment
+        val e = simhashPairs(docs(s, dir))
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .localCheckpoint()
+        val wedges = e.join(e.toDF("b", "c"), Seq("b"))
+        val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("doc_id"))
+          .limit(10)
+      },
+      oracle = Some(
+        s"""WITH $simhashPairsSql,
+           |tri AS (
+           |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+           |  FROM pairs e1
+           |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+           |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+           |roles AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+           |SELECT doc_id, count(*) AS n_tri FROM roles
+           |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin)),
   )
 }
