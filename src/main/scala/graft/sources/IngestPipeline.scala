@@ -73,6 +73,19 @@ object IngestPipeline {
     raw.select(raw.columns.map(c => raw(c).cast(StringType).as(c)): _*)
   }
 
+  /** Parse one columnar landing file (ORC or parquet — third-party data
+    * handoffs arrive in both; Spark decodes either natively) with every
+    * column stringified, so typed handoffs flow through the SAME
+    * infer → coerce → append path as csv/json/xlsx: one code path owns
+    * type decisions, and a file whose embedded types are wrong (strings
+    * holding timestamps, ints holding booleans) gets the same repair the
+    * text formats get.
+    */
+  def readStringlyColumnar(spark: SparkSession, file: String, fmt: String): DataFrame = {
+    val raw = spark.read.format(fmt).load(file)
+    raw.select(raw.columns.map(c => raw(c).cast(StringType).as(c)): _*)
+  }
+
   /** Full E1 pipeline over one landing root. `consume` ≡ remove_object
     * (assets.py:66) when "delete", ≡ minio_mv archival (assets.py:289-291)
     * when "archive", no-op when "keep".
@@ -80,7 +93,8 @@ object IngestPipeline {
     * CSV: one file → one table (assets.py:155-158). XLSX: one SHEET → one
     * table named `{file}_{sheet}` (assets.py:48-64), sheets parsed by the
     * zero-dependency [[Xlsx]] reader. JSON-lines: one file → one table
-    * ([[readStringlyJson]]). All land as stringified columns and flow
+    * ([[readStringlyJson]]). ORC/parquet handoffs: one file → one table
+    * ([[readStringlyColumnar]]). All land as stringified columns and flow
     * through the same infer → coerce → append path.
     */
   def ingest(
@@ -138,7 +152,18 @@ object IngestPipeline {
           }
       (bucket, file, staged)
     }
-    (csv ++ json ++ xlsx).flatMap { case (bucket, file, staged) =>
+    val columnar = for {
+      bucket <- buckets
+      (ext, fmt) <- Seq((".orc", "orc"), (".parquet", "parquet"))
+      file <- listObjects(landingRoot, bucket, ext)
+    } yield {
+      val base = file.getFileName.toString.stripSuffix(ext)
+      val table = Sanitize.sanitizeDbName(Sanitize.unidecode(base).replace(" ", "_"))
+      (bucket, file,
+        Seq((table, readStringlyColumnar(spark, file.toString, fmt),
+          None: Option[Long])))
+    }
+    (csv ++ json ++ xlsx ++ columnar).flatMap { case (bucket, file, staged) =>
       val db = Sanitize.fixString(bucket)
       val out = staged.map { case (table, raw, knownRows) =>
         val schema = SchemaInference.infer(raw, extended)

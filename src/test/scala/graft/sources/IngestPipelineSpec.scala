@@ -58,6 +58,42 @@ class IngestPipelineSpec extends SparkTestBase {
     spark.sql("DROP TABLE logs.app_events")
   }
 
+  test("ingest columnar handoffs: orc and parquet through the same infer path") {
+    import scala.jdk.CollectionConverters._
+    val landing = Files.createTempDirectory("landingc")
+    val config = Files.createTempDirectory("configc")
+    import spark.implicits._
+    // typed source data, but timestamps deliberately carried as STRINGS —
+    // the stringify→infer path must repair them like any text format
+    val df = Seq(("2023-03-01 10:00:00", "a", 7L), ("2023-03-02 11:30:00", "b", 9L))
+      .toDF("when", "tag", "n")
+    def stage(fmt: String, target: String): Unit = {
+      val tmp = Files.createTempDirectory(s"stage-$fmt")
+      df.coalesce(1).write.mode("overwrite").format(fmt).save(tmp.toString)
+      val part = Files.walk(tmp).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(s".$fmt"))
+        .toSeq.head
+      Files.createDirectories(landing.resolve("handoff"))
+      Files.copy(part, landing.resolve("handoff").resolve(target))
+    }
+    stage("orc", "metrics feed.orc")
+    stage("parquet", "events feed.parquet")
+    val out = IngestPipeline.ingest(spark, landing.toString, config.toString,
+      consume = "keep", extended = true)
+    assert(out.toSet == Set(
+      IngestPipeline.IngestedTable("handoff", "metrics_feed", 2L),
+      IngestPipeline.IngestedTable("handoff", "events_feed", 2L)))
+    for (t <- Seq("handoff.metrics_feed", "handoff.events_feed")) {
+      val d = spark.table(t)
+      assert(d.schema("when").dataType == org.apache.spark.sql.types.TimestampType)
+      assert(d.schema("tag").dataType == org.apache.spark.sql.types.StringType)
+      // the extended mapper recovers the numeric column from the handoff
+      assert(d.schema("n").dataType == org.apache.spark.sql.types.LongType)
+      assert(d.count() == 2L)
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("ingest skips the configuration dir as a bucket (assets.py:31)") {
     val landing = Files.createTempDirectory("landing2")
     writeCsv(landing.resolve("configuration"), "x.csv", "a\n1\n")
