@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+import graft.sources.CommitLog
+
+/** SQL-level table MAINTENANCE for commitlog tables — `OPTIMIZE` and
+  * `VACUUM` as statements, completing the JDBC persona's lake-management
+  * surface: with DML (q85/q86), time travel (q87) and DDL (GraftCatalog)
+  * already SQL-reachable, compaction and file reclamation were the last
+  * operations that still required Scala API access.
+  *
+  * Neither verb exists in Spark's grammar, so interception happens at the
+  * PARSER (the injected-parser pattern Delta uses for the same two
+  * statements): [[MaintenanceParser]] recognizes exactly these statement
+  * shapes and hands everything else to the delegate untouched —
+  *
+  *   OPTIMIZE <table> [ZORDER BY (col [, col …])]   → [[CommitLog.optimize]]
+  *                                                   / [[CommitLog.cluster]]
+  *   VACUUM <table> [RETAIN <n> HOURS]              → [[CommitLog.vacuum]]
+  *
+  * The table name resolves through the session catalog at RUN time
+  * (`spark.table` → analyzed plan → [[CommitLogSqlDml.CommitLogTarget]]),
+  * so both persistent-catalog tables and GraftCatalog identifiers work,
+  * and a non-commitlog table fails with a clear message instead of a
+  * parse error. `RETAIN n HOURS` maps onto the vacuum retention guard
+  * (young orphans within the window survive — the same
+  * accidental-data-loss fence the Scala API enforces); omitted, the
+  * default retention applies.
+  *
+  * Scale note: the statements are metadata-priced on the driver; the
+  * rewrite work they trigger is the same distributed bin-packing /
+  * range-partitioned cluster write the Scala API runs — O(small files),
+  * never O(table).
+  */
+object CommitLogSqlMaintenance {
+
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+((?:`[^`]+`|[\w.])+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+
+  /** Delegating parser: the two maintenance statements short-circuit into
+    * runnable commands; every other string parses exactly as before.
+    */
+  class MaintenanceParser(delegate: ParserInterface) extends ParserInterface {
+    override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+      case OptimizeRe(ident, zorder) =>
+        val cols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident), cols)
+      case VacuumRe(ident, hours) =>
+        GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
+          Option(hours).map(_.toLong))
+      case _ => delegate.parsePlan(sqlText)
+    }
+    override def parseExpression(sqlText: String): Expression =
+      delegate.parseExpression(sqlText)
+    override def parseTableIdentifier(sqlText: String): TableIdentifier =
+      delegate.parseTableIdentifier(sqlText)
+    override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+      delegate.parseFunctionIdentifier(sqlText)
+    override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+      delegate.parseMultipartIdentifier(sqlText)
+    override def parseQuery(sqlText: String): LogicalPlan =
+      delegate.parseQuery(sqlText)
+    override def parseRoutineParam(sqlText: String): StructType =
+      delegate.parseRoutineParam(sqlText)
+    override def parseDataType(sqlText: String): DataType =
+      delegate.parseDataType(sqlText)
+    override def parseTableSchema(sqlText: String): StructType =
+      delegate.parseTableSchema(sqlText)
+  }
+
+  /** Resolve a multipart identifier to its commitlog root via the session
+    * catalog — quoting parts that need it, unwrapping whatever relation
+    * the analyzer produces.
+    */
+  private def rootOf(spark: SparkSession, parts: Seq[String]): String = {
+    val name = parts
+      .map(p => if (p.matches("[A-Za-z0-9_]+")) p else s"`${p.replace("`", "``")}`")
+      .mkString(".")
+    spark.table(name).queryExecution.analyzed match {
+      case CommitLogSqlDml.CommitLogTarget(root) => root
+      case _ => throw new UnsupportedOperationException(
+        s"$name is not a commitlog table — OPTIMIZE/VACUUM apply to " +
+          "graft-commitlog tables only")
+    }
+  }
+
+  /** `OPTIMIZE t` → bin-packing compaction; `OPTIMIZE t ZORDER BY (…)` →
+    * interleaved-bits clustering rewrite. Returns the committed version.
+    */
+  case class GraftOptimizeCommand(parts: Seq[String], zorder: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val root = rootOf(spark, parts)
+      val v =
+        if (zorder.nonEmpty) CommitLog.cluster(spark, root, zorder)
+        else CommitLog.optimize(spark, root)
+      Seq(Row(v))
+    }
+  }
+
+  /** `VACUUM t [RETAIN n HOURS]` → reclaim unreferenced files outside the
+    * retention window (tagged snapshots stay pinned, young orphans stay).
+    */
+  case class GraftVacuumCommand(parts: Seq[String], retainHours: Option[Long])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val root = rootOf(spark, parts)
+      retainHours match {
+        case Some(h) => CommitLog.vacuum(root, retentionMs = h * 3600L * 1000L)
+        case None    => CommitLog.vacuum(root)
+      }
+      Nil
+    }
+  }
+}

@@ -107,6 +107,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (spark.sql.extensions=graft.plans.GraftExtensions — Graft.session
     // sets it).
     e.injectResolutionRule(s => new CommitLogSqlDml.ResolveDml(s))
+    // SQL maintenance statements (OPTIMIZE / VACUUM) — not in Spark's
+    // grammar, so they are recognized at the parser and handed to the
+    // table format's native compaction/retention primitives.
+    e.injectParser((_, parser) =>
+      new CommitLogSqlMaintenance.MaintenanceParser(parser))
     // Catalog-managed commitlog tables (spark.sql.catalog.<name> =
     // graft.sources.commitlog.GraftCatalog): reads fall back to the V1
     // vectorized relation; row-level DML then flows through ResolveDml.

@@ -159,6 +159,39 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
       .option("timestampAsOf", ms1.toString).load(root).count() == 1)
   }
 
+  test("SQL OPTIMIZE and VACUUM: compaction, zorder, retention-guarded reclaim") {
+    import spark.implicits._
+    val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    CommitLog.append(Seq((3L, "c", 30.0)).toDF("k", "s", "v"), root)
+    CommitLog.append(Seq((4L, "d", 40.0)).toDF("k", "s", "v"), root)
+
+    // OPTIMIZE compacts the small files into one and returns the version
+    val v = spark.sql(s"OPTIMIZE $view").collect().head.getLong(0)
+    assert(CommitLog.readManifest(root, v).op == "optimize")
+    assert(snapshot(view).map(_._1) == Seq(1L, 2L, 3L, 4L))
+
+    // ZORDER BY rewrites as a cluster commit, content unchanged
+    val v2 = spark.sql(s"OPTIMIZE $view ZORDER BY (k, v)").collect().head.getLong(0)
+    assert(CommitLog.readManifest(root, v2).op == "cluster")
+    assert(snapshot(view).map(_._1) == Seq(1L, 2L, 3L, 4L))
+
+    // VACUUM RETAIN 0 HOURS reclaims the superseded pre-optimize files:
+    // the current snapshot still reads, the pre-optimize version is gone
+    spark.sql(s"VACUUM $view RETAIN 0 HOURS")
+    assert(snapshot(view).map(_._1) == Seq(1L, 2L, 3L, 4L))
+    intercept[Exception] { CommitLog.read(spark, root, Some(1L)).collect() }
+
+    // a non-commitlog target fails with the clear message, not a parse error
+    val plain = s"plain_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView(plain)
+    val err = intercept[UnsupportedOperationException] {
+      spark.sql(s"OPTIMIZE $plain").collect()
+    }
+    assert(err.getMessage.contains("not a commitlog table"))
+    // everything else still parses through the delegate untouched
+    assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+  }
+
   test("DML on non-commitlog relations is untouched (default error surfaces)") {
     import spark.implicits._
     val pq = Files.createTempDirectory("graft-sqldml-pq").toString + "/t"

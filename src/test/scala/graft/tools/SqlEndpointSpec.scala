@@ -85,6 +85,14 @@ class SqlEndpointSpec extends SparkTestBase {
           val rs6 = st.executeQuery(
             "SELECT count(*) AS n FROM lake.ep_cl VERSION AS OF 1")
           assert(rs6.next() && rs6.getLong(1) == 4L)
+
+          // table maintenance through plain SQL: OPTIMIZE returns the new
+          // version, VACUUM runs, the table still reads
+          val rs7 = st.executeQuery("OPTIMIZE lake.ep_cl")
+          assert(rs7.next() && rs7.getLong(1) > 1L)
+          st.execute("VACUUM lake.ep_cl RETAIN 168 HOURS")
+          val rs8 = st.executeQuery("SELECT count(*) AS n FROM lake.ep_cl")
+          assert(rs8.next() && rs8.getLong(1) == 5L)
         } finally spark.sql("DROP TABLE IF EXISTS lake.ep_cl")
       } finally conn.close()
     } finally {
