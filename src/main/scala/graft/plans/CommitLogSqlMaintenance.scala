@@ -24,6 +24,8 @@ import graft.sources.CommitLog
   *   OPTIMIZE <table> [ZORDER BY (col [, col …])]   → [[CommitLog.optimize]]
   *                                                   / [[CommitLog.cluster]]
   *   VACUUM <table> [RETAIN <n> HOURS]              → [[CommitLog.vacuum]]
+  *   DESCRIBE HISTORY <table>                       → [[CommitLog.history]]
+  *   RESTORE [TABLE] <table> TO VERSION AS OF <n>   → [[CommitLog.restore]]
   *
   * The table name resolves through the session catalog at RUN time
   * (`spark.table` → analyzed plan → [[CommitLogSqlDml.CommitLogTarget]]),
@@ -45,6 +47,10 @@ object CommitLogSqlMaintenance {
     """(?is)^\s*OPTIMIZE\s+((?:`[^`]+`|[\w.])+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   /** Delegating parser: the two maintenance statements short-circuit into
     * runnable commands; every other string parses exactly as before.
@@ -58,6 +64,10 @@ object CommitLogSqlMaintenance {
       case VacuumRe(ident, hours) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
           Option(hours).map(_.toLong))
+      case HistoryRe(ident) =>
+        GraftHistoryCommand(delegate.parseMultipartIdentifier(ident))
+      case RestoreRe(ident, version) =>
+        GraftRestoreCommand(delegate.parseMultipartIdentifier(ident), version.toLong)
       case _ => delegate.parsePlan(sqlText)
     }
     override def parseExpression(sqlText: String): Expression =
@@ -123,5 +133,27 @@ object CommitLogSqlMaintenance {
       }
       Nil
     }
+  }
+
+  /** `DESCRIBE HISTORY t` → the commit log as rows (version, op, stamp,
+    * file/row/byte deltas) — the audit view BI clients expect.
+    */
+  case class GraftHistoryCommand(parts: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      CommitLog.historySchema.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)())
+    override def run(spark: SparkSession): Seq[Row] =
+      CommitLog.history(spark, rootOf(spark, parts)).collect().toSeq
+  }
+
+  /** `RESTORE [TABLE] t TO VERSION AS OF n` → metadata-only rollback (a
+    * new commit re-pointing at the old version's files; history intact).
+    */
+  case class GraftRestoreCommand(parts: Seq[String], toVersion: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(CommitLog.restore(rootOf(spark, parts), toVersion)))
   }
 }

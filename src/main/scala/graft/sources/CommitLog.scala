@@ -1119,6 +1119,22 @@ object CommitLog {
     * never a data file; with incremental commits each record already IS
     * the audit row, no snapshot diffing.
     */
+  /** Static schema of [[history]]'s DataFrame — the SQL `DESCRIBE HISTORY`
+    * command needs output attributes before execution.
+    */
+  val historySchema: Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("op", StringType, nullable = true),
+      StructField("commit_ts", TimestampType, nullable = true),
+      StructField("added_files", IntegerType, nullable = false),
+      StructField("removed_files", IntegerType, nullable = false),
+      StructField("added_rows", LongType, nullable = false),
+      StructField("added_bytes", LongType, nullable = false),
+      StructField("partition_by", StringType, nullable = true))
+  }
+
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val cur = currentVersion(root).getOrElse(

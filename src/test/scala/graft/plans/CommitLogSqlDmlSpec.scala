@@ -192,6 +192,19 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
   }
 
+  test("SQL DESCRIBE HISTORY and RESTORE round-trip the table lifecycle") {
+    val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    spark.sql(s"DELETE FROM $view WHERE k = 2")
+    val hist = spark.sql(s"DESCRIBE HISTORY $view").collect()
+    assert(hist.map(r => (r.getAs[Long]("version"), r.getAs[String]("op"))).toSeq ==
+      Seq((1L, "append"), (2L, "delete")))
+    // rollback through SQL: a NEW commit re-pointing at version 1's files
+    val v = spark.sql(s"RESTORE $view TO VERSION AS OF 1").collect().head.getLong(0)
+    assert(v == 3L)
+    assert(snapshot(view) == Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    assert(CommitLog.readManifest(root, 3L).op == "restore")
+  }
+
   test("DML on non-commitlog relations is untouched (default error surfaces)") {
     import spark.implicits._
     val pq = Files.createTempDirectory("graft-sqldml-pq").toString + "/t"
