@@ -343,6 +343,100 @@ object Similarity {
        |  FROM adist) WHERE rnk <= 3
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** q94's oracle: the full IVFADC chain — learned coarse cells, residual
+    * PQ codebooks, per-probed-cell query residual distance tables, ADC
+    * ranking over probed-cell members. All BIGINT.
+    */
+  private def q94Sql: String =
+    s"""WITH vq AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+       |  FROM (SELECT vec_id, embedding AS e, generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)),
+       |cseeds AS (SELECT vec_id AS cid, pos, vq AS cq FROM vq WHERE vec_id < 10),
+       |cd1 AS (
+       |  SELECT v.vec_id, s.cid,
+       |    CAST(sum((v.vq - s.cq) * (v.vq - s.cq)) AS BIGINT) AS dist
+       |  FROM vq v JOIN cseeds s USING (pos) GROUP BY 1, 2),
+       |ca1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM cd1) WHERE rn = 1),
+       |cc1 AS (
+       |  SELECT a.cid, v.pos, CAST(sum(v.vq) AS BIGINT) // count(*) AS cq
+       |  FROM vq v JOIN ca1 a USING (vec_id) GROUP BY 1, 2),
+       |cd2 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(sum((v.vq - c.cq) * (v.vq - c.cq)) AS BIGINT) AS dist
+       |  FROM vq v JOIN cc1 c USING (pos) GROUP BY 1, 2),
+       |cassign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM cd2) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM cd2 WHERE vec_id < 10) WHERE rn <= 2),
+       |rvq AS (
+       |  SELECT v.vec_id, v.pos // 8 AS sub, v.pos, v.vq - c.cq AS rq
+       |  FROM vq v
+       |  JOIN cassign a USING (vec_id)
+       |  JOIN cc1 c ON c.cid = a.cid AND c.pos = v.pos),
+       |pseeds AS (SELECT sub, vec_id AS pcid, pos, rq AS pcq FROM rvq WHERE vec_id < 16),
+       |pd1 AS (
+       |  SELECT r.vec_id, r.sub, s.pcid,
+       |    CAST(sum((r.rq - s.pcq) * (r.rq - s.pcq)) AS BIGINT) AS dist
+       |  FROM rvq r JOIN pseeds s ON s.sub = r.sub AND s.pos = r.pos
+       |  GROUP BY 1, 2, 3),
+       |pa1 AS (
+       |  SELECT vec_id, sub, pcid FROM (
+       |    SELECT vec_id, sub, pcid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, pcid) AS rn
+       |    FROM pd1) WHERE rn = 1),
+       |pc1 AS (
+       |  SELECT r.sub, a.pcid, r.pos, CAST(sum(r.rq) AS BIGINT) // count(*) AS pcq
+       |  FROM rvq r JOIN pa1 a ON a.vec_id = r.vec_id AND a.sub = r.sub
+       |  GROUP BY 1, 2, 3),
+       |pd2 AS (
+       |  SELECT r.vec_id, r.sub, c.pcid,
+       |    CAST(sum((r.rq - c.pcq) * (r.rq - c.pcq)) AS BIGINT) AS dist
+       |  FROM rvq r JOIN pc1 c ON c.sub = r.sub AND c.pos = r.pos
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, pcid FROM (
+       |    SELECT vec_id, sub, pcid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, pcid) AS rn
+       |    FROM pd2) WHERE rn = 1),
+       |qrv AS (
+       |  SELECT p.q_id, p.cid, v.pos // 8 AS sub, v.pos, v.vq - c.cq AS qr
+       |  FROM vq v
+       |  JOIN probes p ON p.q_id = v.vec_id
+       |  JOIN cc1 c ON c.cid = p.cid AND c.pos = v.pos),
+       |dtab AS (
+       |  SELECT q.q_id, q.cid, q.sub, c.pcid,
+       |    CAST(sum((q.qr - c.pcq) * (q.qr - c.pcq)) AS BIGINT) AS dist
+       |  FROM qrv q JOIN pc1 c ON c.sub = q.sub AND c.pos = q.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |adist AS (
+       |  SELECT t.q_id, k.vec_id AS c_id, a.cid,
+       |    CAST(sum(t.dist) AS BIGINT) AS adist_q
+       |  FROM codes k
+       |  JOIN cassign a ON a.vec_id = k.vec_id
+       |  JOIN probes p ON p.cid = a.cid
+       |  JOIN dtab t ON t.q_id = p.q_id AND t.cid = a.cid
+       |    AND t.sub = k.sub AND t.pcid = k.pcid
+       |  WHERE k.vec_id <> p.q_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT q_id, c_id, cid, adist_q, rnk FROM (
+       |  SELECT q_id, c_id, cid, adist_q,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist_q, c_id) AS BIGINT) AS rnk
+       |  FROM adist) WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin
+
   /** q35's oracle (sign-LSH banded top-3) — nested by q46. */
   private def q35Sql: String = {
     val hpValues = (for {
@@ -709,12 +803,12 @@ object Similarity {
           .groupBy(col("vec_id"), col("sub"))
           .agg(min(struct(col("dist"), col("cid"))).as("m"))
           .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
-        // one exact Lloyd update per subspace → the 4×8 codebook
+        // one exact Lloyd update per subspace → the 8×16 codebook
         val c1 = vq.join(argmin(distances(seeds)), Seq("vec_id", "sub"))
           .groupBy(col("sub"), col("cid"), col("pos"))
           .agg(expr("sum(vq) div count(1)").as("cq"))
         val d2 = distances(c1)
-        // the PQ index: 4 codes per vector
+        // the PQ index: 8 codes per vector
         val codes = argmin(d2)
         // ADC distance tables for the query set = d2 restricted to queries
         val dtab = d2.filter(col("vec_id") < 10)
@@ -731,6 +825,109 @@ object Similarity {
           .orderBy("q_id", "rnk")
       },
       oracle = Some(q92Sql)),
+
+    // IVFADC — the complete billion-scale ANN architecture (Jégou et al.
+    // TPAMI'11 §IV, the FAISS `IVFPQ` index): q88's LEARNED coarse cells
+    // route each vector to its inverted list; the PQ codebooks then train
+    // on RESIDUALS (vector − its cell centroid), which carry far less
+    // variance than raw vectors, so the same 8×16 code budget quantizes
+    // much finer; queries probe 2 cells and rank ONLY those cells'
+    // members by ADC — the distance table is built per probed cell from
+    // the QUERY's residual against that cell's centroid (the candidate's
+    // own reference frame). Multiplies the two scale levers: IVF cuts the
+    // scanned fraction to ~probes/cells, PQ cuts bytes-per-scanned-vector
+    // 64× — at 100 TB of embeddings the probe touches ~1/5 of a 4 B/vec
+    // code index and no raw vectors at all.
+    //
+    // All arithmetic is BIGINT on the 1e6 grid (residuals ≤ 2²¹ per dim,
+    // per-sub dist ≤ 8·2⁴² = 2⁴⁵, ×8 subs ≤ 2⁴⁸): coarse training,
+    // residual codebooks, codes, distance tables and the final ranking
+    // are bit-identical cross-engine, so the oracle proves the ENTIRE
+    // route→residual→train→encode→probe→ADC chain. Plan shape: every
+    // centroid/codebook/table side broadcasts; the corpus reshuffles only
+    // for its own (vec_id)-keyed aggregations.
+    //
+    // Recall honesty (q46): ≈ 0.23 here, at PQ's level — on this
+    // near-orthogonal corpus the learned cells carry no structure, so
+    // residual quantization can't refine what raw PQ misses (see q92's
+    // geometry note). On clustered real embeddings residual PQ is
+    // PRECISELY where IVFADC beats flat PQ — residual variance shrinks
+    // with cell tightness — which is why it's the production index.
+    "q94_ann_ivfadc" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val vq = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+          .repartition(col("vec_id")) // parallelize the single-split scan
+        // coarse quantizer: 10 seeds, one exact Lloyd update (q88's cells)
+        val cseeds = vq.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
+        def cdist(cents: DataFrame): DataFrame =
+          vq.join(broadcast(cents), Seq("pos"))
+            .withColumn("d2", (col("vq") - col("cq")) * (col("vq") - col("cq")))
+            .groupBy(col("vec_id"), col("cid")).agg(sum(col("d2")).as("dist"))
+        def cargmin(d: DataFrame): DataFrame = d
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+        val cc1 = vq.join(cargmin(cdist(cseeds)), Seq("vec_id"))
+          .groupBy(col("cid"), col("pos"))
+          .agg(expr("sum(vq) div count(1)").as("cq"))
+        val cd2 = cdist(cc1)
+        val cassign = cargmin(cd2) // each vector's inverted list
+        val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+        val probes = cd2.filter(col("vec_id") < 10)
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id").as("q_id"), col("cid"))
+        // residuals w.r.t. each vector's own cell centroid
+        val rvq = vq.join(cassign, Seq("vec_id"))
+          .join(broadcast(cc1), Seq("cid", "pos"))
+          .select(col("vec_id"), expr("pos div 8").as("sub"), col("pos"),
+            (col("vq") - col("cq")).as("rq"))
+        // residual PQ codebooks: 16 seeds, one exact Lloyd update per sub
+        val pseeds = rvq.filter(col("vec_id") < 16)
+          .select(col("sub"), col("vec_id").as("pcid"), col("pos"), col("rq").as("pcq"))
+        def pdist(cents: DataFrame): DataFrame =
+          rvq.join(broadcast(cents), Seq("sub", "pos"))
+            .withColumn("d2", (col("rq") - col("pcq")) * (col("rq") - col("pcq")))
+            .groupBy(col("vec_id"), col("sub"), col("pcid"))
+            .agg(sum(col("d2")).as("dist"))
+        def pargmin(d: DataFrame): DataFrame = d
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("dist"), col("pcid"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.pcid").as("pcid"))
+        val pc1 = rvq.join(pargmin(pdist(pseeds)), Seq("vec_id", "sub"))
+          .groupBy(col("sub"), col("pcid"), col("pos"))
+          .agg(expr("sum(rq) div count(1)").as("pcq"))
+        val codes = pargmin(pdist(pc1)) // the inverted-list PQ index
+        // per-probed-cell query residuals → ADC distance tables
+        val qrv = vq.filter(col("vec_id") < 10)
+          .withColumnRenamed("vec_id", "q_id")
+          .join(probes, Seq("q_id"))
+          .join(broadcast(cc1), Seq("cid", "pos"))
+          .select(col("q_id"), col("cid"), expr("pos div 8").as("sub"), col("pos"),
+            (col("vq") - col("cq")).as("qr"))
+        val dtab = qrv.join(broadcast(pc1), Seq("sub", "pos"))
+          .withColumn("d2", (col("qr") - col("pcq")) * (col("qr") - col("pcq")))
+          .groupBy(col("q_id"), col("cid"), col("sub"), col("pcid"))
+          .agg(sum(col("d2")).as("dist"))
+        // ADC over probed-cell members only
+        val wTop = Window.partitionBy(col("q_id")).orderBy(col("adist_q"), col("c_id"))
+        codes.join(cassign, Seq("vec_id"))
+          .join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .join(broadcast(dtab), Seq("q_id", "cid", "sub", "pcid"))
+          .groupBy(col("q_id"), col("vec_id"), col("cid"))
+          .agg(sum(col("dist")).as("adist_q"))
+          .select(col("q_id"), col("vec_id").as("c_id"), col("cid"), col("adist_q"))
+          .withColumn("rnk", row_number().over(wTop).cast("long"))
+          .filter(col("rnk") <= 3)
+          .orderBy("q_id", "rnk")
+      },
+      oracle = Some(q94Sql)),
 
     // ANN recall report — the missing quality axis of the ANN suite: for
     // each query vector, recall@3 of the IVF path (q18), the sign-LSH
@@ -760,12 +957,16 @@ object Similarity {
             .unionByName(
               queries("q92_ann_pq").fn(s, dir).select("q_id", "c_id")
                 .withColumn("method", lit("pq")))
+            .unionByName(
+              queries("q94_ann_ivfadc").fn(s, dir).select("q_id", "c_id")
+                .withColumn("method", lit("ivfadc")))
         val hits = approx.join(exact3, Seq("q_id", "c_id"))
           .groupBy("method", "q_id").agg(count(lit(1)).as("n_hit"))
         // left join from the full (method × query) grid so a 0-hit query
         // still reports recall 0 instead of vanishing
         val universe = exact3.select("q_id").distinct()
-          .crossJoin(broadcast(Seq("ivf", "lsh", "ivf_kmeans", "pq").toDF("method")))
+          .crossJoin(broadcast(
+            Seq("ivf", "lsh", "ivf_kmeans", "pq", "ivfadc").toDF("method")))
         universe.join(hits, Seq("method", "q_id"), "left")
           .select(col("method"), col("q_id"),
             coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -779,6 +980,7 @@ object Similarity {
            |lshq AS (SELECT q_id, c_id FROM ($q35Sql) x),
            |ivfk AS (SELECT q_id, c_id FROM ($q88Sql) x),
            |pq AS (SELECT q_id, c_id FROM ($q92Sql) x),
+           |ivfadc AS (SELECT q_id, c_id FROM ($q94Sql) x),
            |approx AS (
            |  SELECT 'ivf' AS method, q_id, c_id FROM ivf
            |  UNION ALL
@@ -786,7 +988,9 @@ object Similarity {
            |  UNION ALL
            |  SELECT 'ivf_kmeans' AS method, q_id, c_id FROM ivfk
            |  UNION ALL
-           |  SELECT 'pq' AS method, q_id, c_id FROM pq),
+           |  SELECT 'pq' AS method, q_id, c_id FROM pq
+           |  UNION ALL
+           |  SELECT 'ivfadc' AS method, q_id, c_id FROM ivfadc),
            |hits AS (
            |  SELECT a.method, a.q_id, count(*) AS n_hit
            |  FROM approx a JOIN exact3 e ON e.q_id = a.q_id AND e.c_id = a.c_id
@@ -794,7 +998,7 @@ object Similarity {
            |universe AS (
            |  SELECT m.method, q.q_id
            |  FROM (SELECT DISTINCT q_id FROM exact3) q
-           |  CROSS JOIN (VALUES ('ivf'), ('lsh'), ('ivf_kmeans'), ('pq')) m(method))
+           |  CROSS JOIN (VALUES ('ivf'), ('lsh'), ('ivf_kmeans'), ('pq'), ('ivfadc')) m(method))
            |SELECT u.method, u.q_id,
            |  coalesce(h.n_hit, 0) AS n_hit,
            |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall3

@@ -63,7 +63,8 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("no cartesian product outside the documented q17 baseline") {
     for (q <- Seq("q45_neardup_lsh_verify", "q13_minhash_lsh", "q14_simhash",
-        "q57_fuzzy_join", "q15_ngram_jaccard", "q92_ann_pq", "q93_triangles")) {
+        "q57_fuzzy_join", "q15_ngram_jaccard", "q92_ann_pq", "q93_triangles",
+        "q94_ann_ivfadc")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q went all-pairs")
     }
   }
