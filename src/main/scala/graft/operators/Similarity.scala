@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-dim):
-  * brute-force cosine top-k (the exact baseline), threshold near-dup, and an
-  * IVF-style two-probe approximate variant (coarse quantizer → inverted
-  * cells → probe the 2 nearest cells).
+  * brute-force cosine top-k (the exact baseline), threshold near-dup, and
+  * the approximate-index ladder — sign-LSH bands (q35), IVF two-probe with
+  * heuristic (q18) and learned (q88) cells, product quantization with ADC
+  * (q92), and IVFADC with residual codebooks (q94) — each rung trading
+  * recall for scan fraction / bytes scanned, all five measured against
+  * exact truth by the q46 recall report.
   *
   * Cross-engine determinism: each elementwise product is quantized with
   * `floor(x*y*1e9)` into an exact BIGINT, and sums run in integer space —
