@@ -33,6 +33,13 @@ object StreamingAnalytics {
     * stream history. Usage:
     * `docsStream.writeStream.foreachBatch(neardupProbeSink(fp, bands,
     * root, "dedup-app")).start()`.
+    *
+    * Semantics contract (inherited from q80): the index is the corpus
+    * INCLUDING the streamed documents (the CDC slice of an already-landed
+    * table). Duplicates WITHIN a micro-batch are caught through the index,
+    * not by a batch self-join — if the stream carries documents the index
+    * has never seen, refresh the index between triggers (rebuild or the
+    * q80 incremental append) or intra-batch duplicate pairs go undetected.
     */
   def neardupProbeSink(
       indexFp: DataFrame, indexBands: DataFrame,
