@@ -56,6 +56,12 @@ object Graft {
       // The synthetic events table carries TIMESTAMP(NANOS) parquet, which
       // Spark rejects by default; read as long and normalize in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 2026-08 testdata regen switched events.ts from TIMESTAMP(NANOS)
+      // to TIMESTAMP(MICROS, isAdjustedToUTC=false); without this, Spark
+      // infers TIMESTAMP_NTZ and unix_micros()-based operators stop
+      // resolving. Reading it as LTZ epoch-micros matches the DuckDB
+      // oracle's naive-micros view under the UTC session tz.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
     master.foreach(b.master)

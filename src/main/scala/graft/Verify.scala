@@ -13,6 +13,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 2026-08 testdata regen switched events.ts from TIMESTAMP(NANOS)
+      // to TIMESTAMP(MICROS, isAdjustedToUTC=false); without this, Spark
+      // infers TIMESTAMP_NTZ and unix_micros()-based operators stop
+      // resolving. Reading it as LTZ epoch-micros matches the DuckDB
+      // oracle's naive-micros view under the UTC session tz.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

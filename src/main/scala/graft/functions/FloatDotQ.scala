@@ -122,5 +122,40 @@ object GraftFunctions {
         CappedLongSet(args.head, cap).toAggregateExpression()
       },
       "built-in")
+    // Spark's own runtime-filter machinery (InjectRuntimeFilter's
+    // BloomFilterAggregate / BloomFilterMightContain), exposed as callable
+    // functions so an operator can build a semi-join prescreen explicitly:
+    // aggregate the small side's xxhash64 keys into one mergeable bloom
+    // sketch, then filter the big side with the codegen'd membership
+    // probe before the exact join. Not a reimplementation — the engine's
+    // own sketch classes, so the bit layout matches what AQE's injected
+    // runtime filters use.
+    reg.createOrReplaceTempFunction("bloom_agg",
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "bloom_agg takes (xxhash64 value, estimatedItems, numBits)")
+        def asLongLit(e: Expression, what: String): Expression = e match {
+          case l if l.foldable &&
+              (l.dataType == org.apache.spark.sql.types.IntegerType ||
+                l.dataType == org.apache.spark.sql.types.LongType) =>
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              l.eval().toString.toLong)
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg $what must be an integral literal, got $other")
+        }
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args.head,
+            asLongLit(args(1), "estimatedItems"), asLongLit(args(2), "numBits"))
+          .toAggregateExpression()
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain takes (bloom binary, xxhash64 value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head, args(1))
+      },
+      "built-in")
   }
 }

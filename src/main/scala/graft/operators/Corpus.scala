@@ -661,5 +661,48 @@ object Corpus {
           |SELECT doc_id, n_distinct, rare_n, sum_df,
           |  rare_n * 10 <= n_distinct * 3 AS keep
           |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Zipf rank-frequency head per language — the lexical-distribution
+    // panel of a corpus data card (is this text natural-language-shaped,
+    // or template spam?). Token frequencies per (lang, token); rank by
+    // frequency with a total deterministic tie-break (freq DESC, token
+    // ASC — distinct tokens, so the order is unique); emit the top-20
+    // rows per language with rank × freq, the product Zipf's law predicts
+    // near-constant. All-integer output — bit-exact cross-engine.
+    //
+    // 100 TB shape: the ONLY pass over the corpus is the token-count
+    // aggregate (map-side combined, shuffled on (lang, token)); the
+    // window ranks the AGGREGATED frequency table, which is
+    // vocabulary-sized (≪ corpus), partitioned by lang — never the token
+    // stream. The same two-phase discipline as q70/q90: collapse before
+    // anything per-key.
+    "q97_zipf_head" -> QueryDef(
+      fn = { (s, dir) =>
+        val freq = docs(s, dir)
+          .select(col("lang"), explode(toksCol).as("tok"))
+          .groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("freq"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("freq").desc, col("tok"))
+        freq.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .withColumn("rank_x_freq", col("rank") * col("freq"))
+          .select("lang", "rank", "tok", "freq", "rank_x_freq")
+          .orderBy("lang", "rank")
+      },
+      oracle = Some(
+        """WITH f AS (
+          |  SELECT lang, tok, count(*) AS freq FROM (
+          |    SELECT lang,
+          |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |    FROM documents)
+          |  GROUP BY 1, 2),
+          |r AS (
+          |  SELECT lang, tok, freq,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY freq DESC, tok) AS INT) AS rank
+          |  FROM f)
+          |SELECT lang, rank, tok, freq, rank * freq AS rank_x_freq
+          |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin)),
   )
 }

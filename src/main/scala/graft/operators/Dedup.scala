@@ -110,6 +110,19 @@ object Dedup {
       |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
       |        FROM documents))""".stripMargin
 
+  /** Shared by q67 and q95: the exact contamination screen. q95's green
+    * row against this SAME SQL is the proof its bloom prescreen is
+    * lossless.
+    */
+  private val contaminationOracle: String =
+    s"""WITH $shinglesSql,
+       |ev AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 11 = 0),
+       |tr AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 11 <> 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM tr WHERE sh IN (SELECT sh FROM ev)
+       |GROUP BY 1 HAVING count(*) >= 3
+       |ORDER BY 1""".stripMargin
+
   private val K = 12 // minhash signature length
   private val BANDS = 4 // rows-per-band r = 3 → LSH threshold ≈ (1/4)^(1/3) ≈ 0.63
 
@@ -466,14 +479,101 @@ object Dedup {
           .filter(col("n_shared") >= 3)
           .orderBy("doc_id")
       },
+      oracle = Some(contaminationOracle)),
+
+    // The q67 screen again, but with the engine's own RUNTIME-FILTER
+    // machinery made explicit: the eval side's distinct shingles collapse
+    // into ONE mergeable bloom sketch (Spark's BloomFilterAggregate — the
+    // class AQE's InjectRuntimeFilter builds), the sketch ships to every
+    // task as a plan literal (the same broadcast a runtime filter gets),
+    // and the train shingle stream is prescreened by the codegen'd
+    // membership probe BEFORE the exact semi-join removes the bloom's
+    // false positives. Result ≡ q67 exactly — the shared oracle row is
+    // the proof that prescreen + verify loses nothing.
+    //
+    // Why this matters at 100 TB: the exact semi-join shuffles the FULL
+    // train shingle stream on `sh`; with the bloom probe pushed below the
+    // exchange, only shingles that might match ever enter the shuffle —
+    // for a benchmark-sized eval set that is a ~100× exchange-bytes cut
+    // on the dominant stream. The one driver collect is the 1-row bloom
+    // binary (1 MiB here, capped by numBits/8) — the bounded-collect
+    // pattern every broadcast runtime filter is made of.
+    "q95_bloom_screen" -> QueryDef(
+      fn = { (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val sh = shingles(docs(s, dir))
+        val evalSh = sh.filter(col("doc_id") % 11 === 0)
+          .select(col("sh")).distinct()
+        // 2^17 estimated items / 2^20 bits ≈ 8 bits/key → ~2% FP rate;
+        // FPs only cost verify work, never correctness
+        val bloom: Array[Byte] = evalSh
+          .agg(call_function("bloom_agg", expr("xxhash64(sh)"),
+            lit(1 << 17), lit(1 << 20)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val train = sh.filter(col("doc_id") % 11 =!= 0)
+        val prescreened = train.filter(
+          call_function("bloom_might_contain", lit(bloom), expr("xxhash64(sh)")))
+        prescreened.join(evalSh, Seq("sh"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("doc_id")
+      },
+      oracle = Some(contaminationOracle)),
+
+    // Chunk-grained duplicated-span detection — the scalable stand-in for
+    // suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): cut each doc into
+    // NON-OVERLAPPING 10-token passages (built inside the row, no
+    // shuffle), find passages verbatim-shared by ≥ 2 distinct docs, and
+    // report each doc's duplicated-span count plus a keep decision
+    // (≤ 5 % duplicated passages, as an exact integer cross-multiply —
+    // no division, no rounding boundary). Differs from q12 (whole-doc
+    // exact) and q13/q15 (whole-doc near-dup): this finds COPY-PASTED
+    // SPANS inside otherwise-distinct documents — boilerplate, license
+    // headers, templated intros — which whole-doc methods cannot see.
+    //
+    // 100 TB shape: one explode → (doc, passage) rows; the dup set is a
+    // groupBy on the passage key with map-side combine; the flag join is
+    // an equi-join on that key. Production would join on xxhash64/md5 of
+    // the passage (8–16 bytes instead of ~60-char strings in the
+    // exchange); kept as the string here so the oracle mirrors exactly.
+    "q96_passage_dedup" -> QueryDef(
+      fn = { (s, dir) =>
+        val W = 10
+        val p = docs(s, dir)
+          .select(col("doc_id"), Text.toksCol.as("toks"))
+          .select(col("doc_id"), explode(
+            when(size(col("toks")) >= W, expr(
+              s"""transform(sequence(0, size(toks) div $W - 1),
+                 |  i -> concat_ws(' ', slice(toks, i * $W + 1, $W)))""".stripMargin))
+              .otherwise(expr("array()"))).as("passage"))
+        val dup = p.groupBy(col("passage"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("passage"), lit(1).as("is_dup"))
+        p.join(dup, Seq("passage"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pass"),
+            count(col("is_dup")).as("n_dup"))
+          .withColumn("keep",
+            when(col("n_dup") * 20 <= col("n_pass"), 1).otherwise(0))
+          .orderBy("doc_id")
+      },
       oracle = Some(
-        s"""WITH $shinglesSql,
-           |ev AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 11 = 0),
-           |tr AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 11 <> 0)
-           |SELECT doc_id, count(*) AS n_shared
-           |FROM tr WHERE sh IN (SELECT sh FROM ev)
-           |GROUP BY 1 HAVING count(*) >= 3
-           |ORDER BY 1""".stripMargin)),
+        """WITH p AS (
+          |  SELECT doc_id, unnest(list_transform(range(0, len(toks) // 10),
+          |    i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS passage
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |        FROM documents)),
+          |dup AS (
+          |  SELECT passage FROM p GROUP BY 1
+          |  HAVING count(DISTINCT doc_id) >= 2)
+          |SELECT p.doc_id, count(*) AS n_pass, count(d.passage) AS n_dup,
+          |  CAST(count(d.passage) * 20 <= count(*) AS INT) AS keep
+          |FROM p LEFT JOIN dup d ON d.passage = p.passage
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Keep-one-canonical dedup output: the corpus a near-dup pass actually
     // SHIPS — one surviving representative per connected component (the

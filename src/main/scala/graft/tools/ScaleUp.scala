@@ -34,6 +34,12 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 2026-08 testdata regen switched events.ts from TIMESTAMP(NANOS)
+      // to TIMESTAMP(MICROS, isAdjustedToUTC=false); without this, Spark
+      // infers TIMESTAMP_NTZ and unix_micros()-based operators stop
+      // resolving. Reading it as LTZ epoch-micros matches the DuckDB
+      // oracle's naive-micros view under the UTC session tz.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

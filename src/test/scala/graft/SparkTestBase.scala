@@ -15,6 +15,12 @@ object SparkTestBase {
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 2026-08 testdata regen switched events.ts from TIMESTAMP(NANOS)
+      // to TIMESTAMP(MICROS, isAdjustedToUTC=false); without this, Spark
+      // infers TIMESTAMP_NTZ and unix_micros()-based operators stop
+      // resolving. Reading it as LTZ epoch-micros matches the DuckDB
+      // oracle's naive-micros view under the UTC session tz.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Spark 4.1's checkpoint-file checksum writer deadlocks stateful
       // streaming tasks on small local pools (tasks park forever in
       // ChecksumCheckpointFileManager.awaitResult); checksums guard against
