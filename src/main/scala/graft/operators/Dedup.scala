@@ -802,5 +802,65 @@ object Dedup {
            |roles AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
            |SELECT doc_id, count(*) AS n_tri FROM roles
            |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin)),
+
+    // Lexical top-k retrieval: for each query doc (the doc_id % 97 slice
+    // standing in for a lookup batch), the 3 nearest corpus docs by
+    // shingle Jaccard, ranked. The RETRIEVAL counterpart of the dedup
+    // family: q13/q15 answer "which pairs exceed a threshold", q80
+    // answers "is this new doc a dup", this answers "what are this doc's
+    // closest neighbors, in order" — near-dup forensics, attribution,
+    // retrieval-augmented filtering.
+    //
+    // 100 TB shape: the asymmetric probe discipline (q80) — the query
+    // side is batch-sized, so the shingle equi-join fans each corpus
+    // shingle to at most |batch| partners, never corpus×corpus;
+    // query-side sizes broadcast (|batch| rows), candidate-side sizes
+    // ride a key-partitioned join on the POST-aggregation candidate set
+    // (deliberately not broadcast — corpus-sized). The top-k window
+    // partitions by q_id over candidates only.
+    "q98_lexical_topk" -> QueryDef(
+      fn = { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val sh = shingles(docs(s, dir))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = sh.filter(col("doc_id") % 97 === 0).toDF("q_id", "sh")
+          .join(sh.toDF("c_id", "sh"), Seq("sh"))
+          .filter(col("c_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(count(lit(1)).as("inter"))
+        val scored = inter
+          .join(broadcast(sizes.filter(col("doc_id") % 97 === 0)
+            .toDF("q_id", "sz_q")), Seq("q_id"))
+          .join(sizes.toDF("c_id", "sz_c"), Seq("c_id"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("sz_q") + col("sz_c") - col("inter")))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("jaccard").desc, col("c_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("q_id", "rank", "c_id", "inter", "jaccard")
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(
+        s"""WITH $shinglesSql,
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+           |inter AS (
+           |  SELECT q.doc_id AS q_id, c.doc_id AS c_id, count(*) AS inter
+           |  FROM sh0 q JOIN sh0 c ON c.sh = q.sh AND c.doc_id <> q.doc_id
+           |  WHERE q.doc_id % 97 = 0
+           |  GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT q_id, c_id, inter,
+           |    CAST(inter AS DOUBLE) / (sq.sz + sc2.sz - inter) AS jaccard
+           |  FROM inter
+           |  JOIN sz sq ON sq.doc_id = q_id
+           |  JOIN sz sc2 ON sc2.doc_id = c_id),
+           |r AS (
+           |  SELECT q_id, c_id, inter, jaccard,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY jaccard DESC, c_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT q_id, rank, c_id, inter, jaccard
+           |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
   )
 }

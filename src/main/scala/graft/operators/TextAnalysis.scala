@@ -523,5 +523,99 @@ object TextAnalysis {
           |  FROM documents)
           |WHERE rk <= 10
           |ORDER BY doc_id""".stripMargin)),
+
+    // Stride-overlap context-window chunking — the retrieval/embedding
+    // prep step (max-length windows with 50 % overlap so no span is cut
+    // at a boundary in every chunk): 30-token windows at stride 15; docs
+    // shorter than one window ship whole as chunk 0. Emits the chunk
+    // MANIFEST (offsets, lengths, content md5) rather than chunk text —
+    // what an embedding job actually keys its work and dedup on.
+    //
+    // 100 TB shape: pure per-row expression work (one in-row transform +
+    // explode), ZERO shuffles before the presentation sort — chunking
+    // rides the ingest scan. All chunk fields are BIGINT/md5 — bit-exact
+    // cross-engine.
+    "q99_chunk_windows" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), Text.toksCol.as("toks"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) < 30 THEN
+              |  array(struct(CAST(0 AS BIGINT) AS chunk_id,
+              |               CAST(0 AS BIGINT) AS start_tok,
+              |               CAST(size(toks) AS BIGINT) AS n_toks,
+              |               md5(concat_ws(' ', toks)) AS chunk_md5))
+              |ELSE
+              |  transform(sequence(CAST(0 AS BIGINT), (size(toks) - 30) div 15),
+              |    i -> struct(i AS chunk_id, i * 15 AS start_tok,
+              |      CAST(30 AS BIGINT) AS n_toks,
+              |      md5(concat_ws(' ',
+              |        slice(toks, CAST(i * 15 + 1 AS INT), 30))) AS chunk_md5))
+              |END""".stripMargin)).as("c"))
+          .select(col("doc_id"), col("c.chunk_id"), col("c.start_tok"),
+            col("c.n_toks"), col("c.chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(toks) < 30 THEN
+          |      [struct_pack(chunk_id := CAST(0 AS BIGINT),
+          |                   start_tok := CAST(0 AS BIGINT),
+          |                   n_toks := CAST(len(toks) AS BIGINT),
+          |                   chunk_md5 := md5(array_to_string(toks, ' ')))]
+          |    ELSE list_transform(range(0, (len(toks) - 30) // 15 + 1),
+          |      i -> struct_pack(chunk_id := i, start_tok := i * 15,
+          |             n_toks := CAST(30 AS BIGINT),
+          |             chunk_md5 := md5(array_to_string(
+          |               toks[i*15+1 : i*15+30], ' '))))
+          |    END) AS c
+          |  FROM d)
+          |SELECT doc_id, c.chunk_id AS chunk_id, c.start_tok AS start_tok,
+          |  c.n_toks AS n_toks, c.chunk_md5 AS chunk_md5
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Reproducible stratified train/val/test split — the dataset-freeze
+    // step: every doc lands in exactly one split by a pure content-free
+    // hash rule (md5(doc_id) head mod 100 → 80/10/10), so the assignment
+    // is identical on any cluster, any partitioning, any engine — the
+    // q50 hash-threshold idiom promoted from sampling to partitioning.
+    // Output is the split MANIFEST per (lang, source, split): doc and
+    // char counts — what a data card publishes and a re-run must
+    // reproduce byte-for-byte. Disjoint and exhaustive by construction
+    // (the three CASE arms partition 0..99).
+    //
+    // 100 TB shape: one scan, per-row hash + CASE, one map-side-combined
+    // aggregate on (lang, source, split) — ~|strata|×3 rows out, zero
+    // joins.
+    "q100_split_assign" -> QueryDef(
+      fn = { (s, dir) =>
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long")
+        docs(s, dir)
+          .withColumn("split",
+            when(u % 100 < 80, "train").when(u % 100 < 90, "val")
+              .otherwise("test"))
+          .groupBy(col("lang"), col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang", "source", "split")
+      },
+      oracle = Some(
+        """WITH a AS (
+          |  SELECT lang, source, n_chars,
+          |    CASE WHEN u % 100 < 80 THEN 'train'
+          |         WHEN u % 100 < 90 THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM (
+          |    SELECT lang, source, n_chars,
+          |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |        AS BIGINT) AS u
+          |    FROM documents))
+          |SELECT lang, source, split, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
   )
 }
