@@ -110,6 +110,44 @@ object Dedup {
       |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
       |        FROM documents))""".stripMargin
 
+  /** Distinct shingles of an eval/benchmark document set — the static
+    * side the contamination screens (q67, q95, and the streaming twin)
+    * verify against.
+    */
+  def evalShingles(d: DataFrame): DataFrame =
+    shingles(d).select(col("sh")).distinct()
+
+  /** Build the eval-side bloom sketch: one mergeable BloomFilterAggregate
+    * over the distinct eval shingles, read back as a single bounded row
+    * (bits/8 bytes — the runtime-filter broadcast every batch/stream
+    * prescreen re-uses as a plan literal).
+    */
+  def contaminationBloom(s: SparkSession, evalSh: DataFrame,
+      items: Int, bits: Int): Array[Byte] = {
+    graft.functions.GraftFunctions.register(s)
+    evalSh.agg(call_function("bloom_agg", expr("xxhash64(sh)"),
+      lit(items), lit(bits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Bloom-prescreened exact contamination screen over (doc_id, text)
+    * rows: q67's semantics (flag docs sharing ≥ 3 distinct shingles with
+    * the eval set), with the sketch probe pruning the shingle stream
+    * BELOW the exchange and the exact semi-join removing the bloom's
+    * false positives. Shared by batch q95 and the streaming sink.
+    */
+  def bloomScreen(s: SparkSession, d: DataFrame, evalSh: DataFrame,
+      bloom: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    shingles(d)
+      .filter(call_function("bloom_might_contain", lit(bloom),
+        expr("xxhash64(sh)")))
+      .join(evalSh, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
   /** Shared by q67 and q95: the exact contamination screen. q95's green
     * row against this SAME SQL is the proof its bloom prescreen is
     * lossless.
@@ -500,23 +538,12 @@ object Dedup {
     // pattern every broadcast runtime filter is made of.
     "q95_bloom_screen" -> QueryDef(
       fn = { (s, dir) =>
-        graft.functions.GraftFunctions.register(s)
-        val sh = shingles(docs(s, dir))
-        val evalSh = sh.filter(col("doc_id") % 11 === 0)
-          .select(col("sh")).distinct()
+        val d = docs(s, dir)
+        val evalSh = evalShingles(d.filter(col("doc_id") % 11 === 0))
         // 2^17 estimated items / 2^20 bits ≈ 8 bits/key → ~2% FP rate;
         // FPs only cost verify work, never correctness
-        val bloom: Array[Byte] = evalSh
-          .agg(call_function("bloom_agg", expr("xxhash64(sh)"),
-            lit(1 << 17), lit(1 << 20)).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-        val train = sh.filter(col("doc_id") % 11 =!= 0)
-        val prescreened = train.filter(
-          call_function("bloom_might_contain", lit(bloom), expr("xxhash64(sh)")))
-        prescreened.join(evalSh, Seq("sh"), "left_semi")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 3)
+        val bloom = contaminationBloom(s, evalSh, 1 << 17, 1 << 20)
+        bloomScreen(s, d.filter(col("doc_id") % 11 =!= 0), evalSh, bloom)
           .orderBy("doc_id")
       },
       oracle = Some(contaminationOracle)),

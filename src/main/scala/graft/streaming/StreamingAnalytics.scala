@@ -51,6 +51,29 @@ object StreamingAnalytics {
       ()
     }
 
+  /** Streaming twin of q95/q67's benchmark-contamination screen: each
+    * micro-batch of newly landed documents (doc_id, text) is shingled,
+    * prescreened by the DRIVER-HELD eval bloom sketch (re-inserted as a
+    * plan literal per batch — the same runtime-filter shape batch q95
+    * plans), exact-verified against the static eval shingle set, and the
+    * contaminated-doc flags append to a CommitLog table exactly once.
+    * The decontamination gate run AT INGEST instead of as a pre-eval
+    * batch sweep. No state-store state at all: the sketch is bits/8
+    * driver bytes built once per eval-set release
+    * ([[graft.operators.Dedup.contaminationBloom]]), the eval shingles
+    * are a static side (benchmark-sized → broadcast), and restart
+    * replays are no-ops via the table's txn watermark. Per-trigger cost
+    * is O(batch shingles), corpus history never re-scans.
+    */
+  def contaminationScreenSink(evalSh: DataFrame, bloom: Array[Byte],
+      root: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val flags = graft.operators.Dedup.bloomScreen(
+        batch.sparkSession, batch, evalSh, bloom)
+      graft.sources.CommitLog.appendTxn(flags, root, appId, batchId)
+      ()
+    }
+
   /** Tumbling 1-minute per-type counts with a 10-minute watermark (late
     * rows older than the watermark are dropped; window state is evicted
     * once the watermark passes — bounded state at any scale).

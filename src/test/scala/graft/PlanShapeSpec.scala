@@ -64,8 +64,29 @@ class PlanShapeSpec extends SparkTestBase {
   test("no cartesian product outside the documented q17 baseline") {
     for (q <- Seq("q45_neardup_lsh_verify", "q13_minhash_lsh", "q14_simhash",
         "q57_fuzzy_join", "q15_ngram_jaccard", "q92_ann_pq", "q93_triangles",
-        "q94_ann_ivfadc")) {
+        "q94_ann_ivfadc", "q96_passage_dedup", "q98_lexical_topk")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q went all-pairs")
+    }
+  }
+
+  test("q95 bloom prescreen probes below the exchange, as a plan literal") {
+    // the might_contain filter must sit on the scan side — BEFORE any
+    // shuffle — with the sketch embedded as a literal (the runtime-filter
+    // broadcast contract); if it drifts above the exchange the ~100×
+    // exchange-bytes cut is silently lost
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val sp = SparkEntry.queries("q95_bloom_screen")(spark, sf0001)
+      .queryExecution.sparkPlan
+    val probes = sp.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probes.nonEmpty, s"q95 lost its bloom probe:\n$sp")
+    for (f <- probes) {
+      assert(f.condition.toString.contains("0x"),
+        s"q95 sketch is not a plan literal: ${f.condition}")
+      assert(f.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"q95 bloom probe sits above a shuffle:\n$sp")
     }
   }
 

@@ -77,6 +77,52 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     fp.unpersist(); bands.unpersist()
   }
 
+  test("streaming contamination screen equals batch q67 and appends exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    // eval-set release artifacts, built once: shingle set + bloom sketch
+    val evalSh = graft.operators.Dedup
+      .evalShingles(corpus.filter($"doc_id" % 11 === 0)).cache()
+    val bloom = graft.operators.Dedup
+      .contaminationBloom(spark, evalSh, 1 << 14, 1 << 17)
+    val root = java.nio.file.Files.createTempDirectory("graft-contam-stream").toString
+    val sink = contaminationScreenSink(evalSh, bloom, root, "contam-spec")
+
+    // train docs land as a stream across two micro-batches
+    val train = corpus.filter($"doc_id" % 11 =!= 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b0, b1) = train.splitAt(train.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def tableRows = graft.sources.CommitLog.read(spark, root)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared")))
+      .toSet
+    val streamed = tableRows
+    // batch twin: the registered q67 on the same sf directory (each doc
+    // lives wholly inside one micro-batch, so per-doc shingle counts are
+    // batch-split-invariant and the union must equal the batch sweep)
+    val batch = graft.SparkEntry.queries("q67_contamination")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared")))
+      .toSet
+    assert(streamed == batch, "per-batch screens must union to the batch sweep")
+    assert(streamed.nonEmpty) // the sf0.001 corpus shares shingles with its eval slice
+
+    // restart replay of the last micro-batch is a no-op (exactly-once)
+    val vBefore = graft.sources.CommitLog.currentVersion(root)
+    sink(b1.toSeq.toDF("doc_id", "text"), 1L)
+    assert(graft.sources.CommitLog.currentVersion(root) == vBefore)
+    assert(tableRows == streamed)
+    evalSh.unpersist()
+  }
+
   test("hopping windows: stream result equals the batch q74 shape on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
