@@ -344,8 +344,8 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") c else s"a_$c"): _*)
-        val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") c else s"b_$c"): _*)
+        val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == "doc_id") c else s"a_$c"): _*)
+        val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == "doc_id") c else s"b_$c"): _*)
         val matches = (0 until K)
           .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
           .reduce(_ + _)

@@ -259,7 +259,7 @@ object RollupJob {
       // insertInto maps POSITIONALLY and partitioned tables store the
       // partition column last — reorder to (data..., month)
       val ordered = frame.columns.filterNot(_ == monthCol) :+ monthCol
-      frame.select(ordered.map(col): _*)
+      frame.select(ordered.toIndexedSeq.map(col): _*)
         .write.mode("overwrite")
         .insertInto(targetTable) // dynamic mode: only touched partitions swap
     } finally {

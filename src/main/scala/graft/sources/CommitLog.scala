@@ -1061,7 +1061,7 @@ object CommitLog {
       }
     }.reduce[Column](_.bitwiseOR(_))
     val out = df
-      .select(df.columns.map(col) ++ coords: _*)
+      .select((df.columns.map(col) ++ coords).toIndexedSeq: _*)
       .withColumn("_graft_z", zExpr)
       .repartitionByRange(nFiles, col("_graft_z"))
       .sortWithinPartitions("_graft_z")

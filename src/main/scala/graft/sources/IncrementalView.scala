@@ -66,7 +66,8 @@ object IncrementalView {
   /** Serving projection: exact decimals cast to double for consumers. */
   def serve(spark: SparkSession, viewRoot: String): DataFrame = {
     val v = CommitLog.read(spark, viewRoot)
-    v.select(v.columns.filterNot(Set("cnt", "sum_val")).map(col) ++
-      Seq(col("cnt"), col("sum_val").cast("double").as("sum_value")): _*)
+    v.select((v.columns.filterNot(Set("cnt", "sum_val")).map(col) ++
+      Seq(col("cnt"), col("sum_val").cast("double").as("sum_value")))
+      .toIndexedSeq: _*)
   }
 }

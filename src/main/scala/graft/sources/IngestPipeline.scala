@@ -60,7 +60,7 @@ object IngestPipeline {
       .option("header", "true")
       .option("encoding", "UTF-8")
       .csv(file)
-    raw.select(raw.columns.map(c => raw(c).cast(StringType).as(c)): _*)
+    raw.select(raw.columns.toIndexedSeq.map(c => raw(c).cast(StringType).as(c)): _*)
   }
 
   /** Parse one JSON-lines file with every leaf stringified — the
@@ -70,7 +70,7 @@ object IngestPipeline {
     */
   def readStringlyJson(spark: SparkSession, file: String): DataFrame = {
     val raw = spark.read.option("primitivesAsString", "true").json(file)
-    raw.select(raw.columns.map(c => raw(c).cast(StringType).as(c)): _*)
+    raw.select(raw.columns.toIndexedSeq.map(c => raw(c).cast(StringType).as(c)): _*)
   }
 
   /** Parse one columnar landing file (ORC or parquet — third-party data
@@ -83,7 +83,7 @@ object IngestPipeline {
     */
   def readStringlyColumnar(spark: SparkSession, file: String, fmt: String): DataFrame = {
     val raw = spark.read.format(fmt).load(file)
-    raw.select(raw.columns.map(c => raw(c).cast(StringType).as(c)): _*)
+    raw.select(raw.columns.toIndexedSeq.map(c => raw(c).cast(StringType).as(c)): _*)
   }
 
   /** Full E1 pipeline over one landing root. `consume` ≡ remove_object

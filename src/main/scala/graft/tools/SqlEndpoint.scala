@@ -44,8 +44,7 @@ object SqlEndpoint {
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home",
         Files.createTempDirectory("graft-derby").toString)
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val server = HiveThriftServer2.startWithContext(classic.sqlContext)
+    val server = HiveThriftServer2.startWithSparkSession(spark, exitOnError = false)
     (p, server)
   }
 }
