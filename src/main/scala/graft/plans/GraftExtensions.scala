@@ -146,6 +146,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.CappedLongSet(args.head, cap).toAggregateExpression()
       }))
+    // Spark's own runtime-filter sketch classes as SQL-callable functions
+    // (same wiring as GraftFunctions.register) — a JDBC client can build
+    // and probe a semi-join prescreen in plain SQL.
+    e.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "bloom_agg takes (xxhash64 value, estimatedItems, numBits)")
+        def asLongLit(x: Expression, what: String): Expression = x match {
+          case l if l.foldable &&
+              (l.dataType == org.apache.spark.sql.types.IntegerType ||
+                l.dataType == org.apache.spark.sql.types.LongType) =>
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              l.eval().toString.toLong)
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg $what must be an integral literal, got $other")
+        }
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args.head,
+            asLongLit(args(1), "estimatedItems"), asLongLit(args(2), "numBits"))
+          .toAggregateExpression()
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain takes (bloom binary, xxhash64 value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head, args(1))
+      }))
   }
 }
 

@@ -58,7 +58,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     new GraftExtensions().apply(e) // builder-time injection path
   }
 
-  test("all three native functions resolve after install()") {
+  test("all native functions resolve after install()") {
     GraftExtensions.install(spark)
     import spark.implicits._
     val r = Seq((1L, 2L), (1L, 3L)).toDF("g", "v").groupBy("g")
@@ -67,6 +67,12 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r == Seq(2L, 3L))
     assert(spark.sql("SELECT float_dot_q(array(CAST(1 AS FLOAT)), array(CAST(2 AS FLOAT)))")
       .head.getLong(0) == 2000000000L)
+    // the bloom pair composes end-to-end in ONE SQL statement: the sketch
+    // arrives via scalar subquery — the exact InjectRuntimeFilter shape
+    assert(spark.sql(
+      """SELECT bloom_might_contain(
+        |  (SELECT bloom_agg(xxhash64(id), 64, 1024) FROM range(10)),
+        |  xxhash64(5L))""".stripMargin).head.getBoolean(0))
   }
 
   private lazy val dblDf = {
