@@ -316,5 +316,67 @@ object Relational {
           |WINDOW w AS (PARTITION BY l_returnflag
           |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
           |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Data-quality expectations report — the validation step a pipeline
+    // runs before publishing a dataset (the batch-report complement of
+    // CommitLog's write-time CHECK constraints): one row per rule with
+    // checked/violation counts. Rules cover the four standard families —
+    // range (qty within declared bounds), business rule (qty ≤ 45 — fires
+    // on this corpus, proving detection), null check, key uniqueness
+    // (violations = rows minus distinct (orderkey, linenumber) — fires),
+    // and referential integrity (orders → customer — clean).
+    //
+    // 100 TB shape: all lineitem rules ride ONE map-side-combined scan
+    // (the distinct-key count shares the pass via Spark's expand);
+    // referential is one equi-join on the key, counted map-side. No rule
+    // materializes violating rows — counts only; a drill-down query
+    // filters for one rule on demand.
+    "q101_quality_report" -> QueryDef(
+      fn = { (s, dir) =>
+        val li = t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("v_range"),
+          sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("v_tight"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_null"),
+          countDistinct(struct(col("l_orderkey"), col("l_linenumber")))
+            .as("n_keys"))
+        val liRules = li.select(expr(
+          """stack(4,
+            |  'lineitem_pk_unique', n, n - n_keys,
+            |  'lineitem_qty_le_45', n, v_tight,
+            |  'lineitem_qty_range', n, v_range,
+            |  'lineitem_shipdate_notnull', n, v_null)
+            |AS (rule, n_checked, n_violations)""".stripMargin))
+        val oRules = t(s, dir, "orders")
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"), lit(1).as("ok")),
+            Seq("o_custkey"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("ok").isNull, 1L).otherwise(0L)).as("v_ref"))
+          .select(lit("orders_custkey_ref").as("rule"),
+            col("n").as("n_checked"), col("v_ref").as("n_violations"))
+        liRules.unionByName(oRules).orderBy("rule")
+      },
+      oracle = Some(
+        """WITH li AS (
+          |  SELECT count(*) AS n,
+          |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_range,
+          |    sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS v_tight,
+          |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_null,
+          |    count(DISTINCT (l_orderkey, l_linenumber)) AS n_keys
+          |  FROM lineitem),
+          |o AS (
+          |  SELECT count(*) AS n,
+          |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v_ref
+          |  FROM orders LEFT JOIN customer c ON c.c_custkey = o_custkey)
+          |SELECT * FROM (
+          |  SELECT 'lineitem_pk_unique' AS rule, n AS n_checked,
+          |    CAST(n - n_keys AS BIGINT) AS n_violations FROM li
+          |  UNION ALL SELECT 'lineitem_qty_le_45', n, CAST(v_tight AS BIGINT) FROM li
+          |  UNION ALL SELECT 'lineitem_qty_range', n, CAST(v_range AS BIGINT) FROM li
+          |  UNION ALL SELECT 'lineitem_shipdate_notnull', n, CAST(v_null AS BIGINT) FROM li
+          |  UNION ALL SELECT 'orders_custkey_ref', n, CAST(v_ref AS BIGINT) FROM o)
+          |ORDER BY rule""".stripMargin)),
   )
 }

@@ -101,11 +101,17 @@ object CommitLog {
       remove: Seq[String] = Nil, // root-relative paths dropped from the snapshot
       partitionBy: Seq[String] = Nil,
       txn: Map[String, Long] = Map.empty, // appId → last committed batchId
-      ts: Long = 0L) { // publish wall-clock (epoch ms); 0 on pre-ts commits
+      ts: Long = 0L, // publish wall-clock (epoch ms); 0 on pre-ts commits
+      // full post-commit CHECK set; read ONLY on add/drop-constraint
+      // commits — every other op inherits the prior manifest's set in
+      // foldCommit, so pre-constraint logs and writers stay valid
+      constraints: Map[String, String] = Map.empty) {
     def addOrNil: Seq[FileStat] = Option(add).getOrElse(Nil)
     def removeOrNil: Seq[String] = Option(remove).getOrElse(Nil)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
     def txnOrEmpty: Map[String, Long] = widenTxn(txn)
+    def constraintsOrEmpty: Map[String, String] =
+      Option(constraints).getOrElse(Map.empty)
   }
 
   /** Materialized snapshot at one version — what readers resolve, and the
@@ -118,11 +124,14 @@ object CommitLog {
       schemaJson: String,
       fileStats: Seq[FileStat] = Nil,
       partitionBy: Seq[String] = Nil,
-      txn: Map[String, Long] = Map.empty) {
+      txn: Map[String, Long] = Map.empty,
+      constraints: Map[String, String] = Map.empty) { // name → CHECK expr
     def statsOrNil: Seq[FileStat] = Option(fileStats).getOrElse(Nil)
     def files: Seq[String] = statsOrNil.map(_.path)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
     def txnOrEmpty: Map[String, Long] = widenTxn(txn)
+    def constraintsOrEmpty: Map[String, String] =
+      Option(constraints).getOrElse(Map.empty)
   }
 
   /** Jackson + erasure leaves Map[String, Long] values as boxed Integers. */
@@ -229,10 +238,14 @@ object CommitLog {
 
   private def foldCommit(prior: Option[Manifest], c: Commit): Manifest = {
     val removed = c.removeOrNil.toSet
+    val cs =
+      if (c.op == "add-constraint" || c.op == "drop-constraint")
+        c.constraintsOrEmpty
+      else prior.map(_.constraintsOrEmpty).getOrElse(Map.empty)
     Manifest(c.version, c.op, c.schemaJson,
       prior.map(_.statsOrNil).getOrElse(Nil).filterNot(s => removed(s.path)) ++
         c.addOrNil,
-      c.partitionByOrNil, c.txnOrEmpty)
+      c.partitionByOrNil, c.txnOrEmpty, cs)
   }
 
   /** Materialize the snapshot at version `v`: nearest checkpoint at or
@@ -505,6 +518,7 @@ object CommitLog {
       .getOrElse(df.schema)
     val spec = effectiveSpec(prior, partitionBy)
     val add = stageWithStats(df, root, spec)
+    enforceConstraints(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
     v
@@ -543,6 +557,74 @@ object CommitLog {
       base + 1
     }
 
+  /** Register a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`
+    * semantics): `check` is any boolean SQL expression over the table's
+    * columns; a row violates it only when it evaluates to exactly FALSE
+    * (NULL passes — SQL CHECK semantics). Existing rows are validated
+    * first — one scan — and the registration is a metadata-only commit,
+    * enforced by every subsequent [[append]]/[[appendTxn]]/[[overwrite]]/
+    * [[merge]]/[[update]] against the rows they stage (compact/cluster
+    * rewrite already-validated rows and skip the check). Known race,
+    * shared with the published Delta behavior: a write concurrent with
+    * the registration scan can land violating rows in the same window.
+    */
+  def addConstraint(spark: SparkSession, root: String,
+      name: String, check: String): Long = withRetry() {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no CommitLog table at $root"))
+    val prior = readManifest(root, base)
+    require(!prior.constraintsOrEmpty.contains(name),
+      s"constraint '$name' already exists at $root")
+    val bad = read(spark, root)
+      .filter(coalesce(expr(check).cast("boolean"), lit(true)) === false)
+    require(bad.isEmpty,
+      s"existing rows violate CHECK '$name' ($check) — constraint not added")
+    commitDelta(root, Some(prior), Commit(base + 1, "add-constraint",
+      prior.schemaJson, Nil, Nil, prior.partitionByOrNil, prior.txnOrEmpty,
+      constraints = prior.constraintsOrEmpty + (name -> check)))
+    base + 1
+  }
+
+  /** Metadata-only removal of a CHECK constraint. */
+  def dropConstraint(root: String, name: String): Long = withRetry() {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no CommitLog table at $root"))
+    val prior = readManifest(root, base)
+    require(prior.constraintsOrEmpty.contains(name),
+      s"no constraint '$name' at $root")
+    commitDelta(root, Some(prior), Commit(base + 1, "drop-constraint",
+      prior.schemaJson, Nil, Nil, prior.partitionByOrNil, prior.txnOrEmpty,
+      constraints = prior.constraintsOrEmpty - name))
+    base + 1
+  }
+
+  /** The CHECK set enforced on writes at the current version. */
+  def constraintsOf(root: String): Map[String, String] =
+    currentVersion(root)
+      .map(v => readManifest(root, v).constraintsOrEmpty)
+      .getOrElse(Map.empty)
+
+  /** Validate freshly-staged files against the table's CHECK set before
+    * their commit publishes — one columnar pass over the staged bytes
+    * (the same read-back discipline as stats collection), never a
+    * recompute of the writer's input plan. On violation the commit is
+    * never published; the staged files are invisible orphans that
+    * [[vacuum]] reclaims past its retention window.
+    */
+  private def enforceConstraints(spark: SparkSession, root: String,
+      prior: Option[Manifest], add: Seq[FileStat], schema: StructType): Unit = {
+    val cs = prior.map(_.constraintsOrEmpty).getOrElse(Map.empty)
+    if (cs.isEmpty || add.isEmpty) return
+    val staged = readFiles(spark, root, schema, add.map(_.path))
+    cs.foreach { case (name, check) =>
+      val bad = staged
+        .filter(coalesce(expr(check).cast("boolean"), lit(true)) === false)
+      if (!bad.isEmpty) throw new IllegalStateException(
+        s"CHECK constraint '$name' ($check) violated by write to $root — " +
+          "commit aborted, no version published")
+    }
+  }
+
   /** Idempotent transactional append for streaming sinks: the log
     * records, per writer id, the last batch it committed; a replayed batch
     * (same `appId`, `batchId` ≤ recorded) is a no-op. This is the published
@@ -562,6 +644,7 @@ object CommitLog {
       .getOrElse(df.schema)
     val spec = effectiveSpec(prior, Nil)
     val add = stageWithStats(df, root, spec)
+    enforceConstraints(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId)))
     v
@@ -659,6 +742,7 @@ object CommitLog {
       if (partitionBy.nonEmpty) partitionBy
       else prior.map(_.partitionByOrNil).getOrElse(Nil)
     val add = if (df.isEmpty) Nil else stageWithStats(df, root, spec)
+    enforceConstraints(df.sparkSession, root, prior, add, df.schema)
     commitDelta(root, prior, Commit(v, "overwrite", df.schema.json, add,
       prior.map(_.files).getOrElse(Nil), spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
@@ -823,6 +907,7 @@ object CommitLog {
         .unionByName(keep)
 
       val add = stageWithStats(merged, root, m.partitionByOrNil)
+      enforceConstraints(spark, root, Some(m), add, schema)
       commitDelta(root, Some(m), Commit(base + 1, "merge", schema.json,
         add, touched, m.partitionByOrNil, m.txnOrEmpty))
       base + 1
@@ -855,6 +940,7 @@ object CommitLog {
         }
       }: _*)
     val add = stageWithStats(updated, root, m.partitionByOrNil)
+    enforceConstraints(spark, root, Some(m), add, schema)
     commitDelta(root, Some(m), Commit(base + 1, "update", m.schemaJson,
       add, touched, m.partitionByOrNil, m.txnOrEmpty))
     base + 1

@@ -821,4 +821,65 @@ class CommitLogSpec extends SparkTestBase {
       prior.map(_.statsOrNil).getOrElse(Nil).filterNot(s => removed(s.path)) ++ c.addOrNil,
       c.partitionByOrNil, c.txnOrEmpty)
   }
+
+  test("CHECK constraints: violating writes abort atomically on every path") {
+    val root = tmpTable()
+    append(spark.range(10).selectExpr("id", "id * 2 AS v"), root)
+    val vC = addConstraint(spark, root, "v_nonneg", "v >= 0")
+    assert(constraintsOf(root) == Map("v_nonneg" -> "v >= 0"))
+
+    // good writes land on every path
+    append(spark.range(10, 12).selectExpr("id", "id * 2 AS v"), root)
+    merge(spark, root, spark.range(2).selectExpr("id", "id * 3 AS v"), Seq("id"))
+    update(spark, root,
+      Seq("v" -> org.apache.spark.sql.functions.lit(7L)),
+      org.apache.spark.sql.functions.col("id") === 1L)
+    val vGood = currentVersion(root).get
+
+    // each violating write throws and publishes NOTHING
+    def violates(f: => Any): Unit = {
+      val e = intercept[IllegalStateException](f)
+      assert(e.getMessage.contains("v_nonneg"))
+      assert(currentVersion(root).contains(vGood), "a version leaked")
+      assert(read(spark, root).filter("v < 0").isEmpty, "violating rows visible")
+    }
+    violates(append(spark.range(1).selectExpr("id + 100 AS id", "-1L AS v"), root))
+    violates(appendTxn(
+      spark.range(1).selectExpr("id + 200 AS id", "-5L AS v"), root, "app", 99L))
+    violates(overwrite(spark.range(1).selectExpr("id", "-2L AS v"), root))
+    violates(merge(spark, root,
+      spark.range(1).selectExpr("id", "-3L AS v"), Seq("id")))
+    violates(update(spark, root,
+      Seq("v" -> org.apache.spark.sql.functions.lit(-9L)),
+      org.apache.spark.sql.functions.col("id") === 0L))
+
+    // NULL passes — SQL CHECK semantics (violation = exactly FALSE)
+    append(spark.range(1).selectExpr("id + 300 AS id", "CAST(NULL AS LONG) AS v"), root)
+
+    // drop → the formerly-violating append lands
+    dropConstraint(root, "v_nonneg")
+    assert(constraintsOf(root).isEmpty)
+    append(spark.range(1).selectExpr("id + 400 AS id", "-1L AS v"), root)
+    assert(read(spark, root).filter("v < 0").count() == 1)
+  }
+
+  test("CHECK constraints: existing violations reject registration; set survives checkpoints") {
+    val root = tmpTable()
+    append(spark.range(5).selectExpr("id", "id - 3 AS v"), root) // has v < 0
+    val e = intercept[IllegalArgumentException](
+      addConstraint(spark, root, "v_nonneg", "v >= 0"))
+    assert(e.getMessage.contains("existing rows violate"))
+    assert(constraintsOf(root).isEmpty)
+
+    addConstraint(spark, root, "v_lo", "v >= -3")
+    // push the log well past a checkpoint boundary: the constraint must
+    // survive manifold folds from a checkpointed Manifest, not just the
+    // registration commit
+    (0 until 12).foreach(i =>
+      append(spark.range(1).selectExpr(s"id + ${100 + i} AS id", "1L AS v"), root))
+    assert(constraintsOf(root) == Map("v_lo" -> "v >= -3"))
+    val e2 = intercept[IllegalStateException](
+      append(spark.range(1).selectExpr("id", "-4L AS v"), root))
+    assert(e2.getMessage.contains("v_lo"))
+  }
 }
