@@ -26,6 +26,8 @@ import graft.sources.CommitLog
   *   VACUUM <table> [RETAIN <n> HOURS]              → [[CommitLog.vacuum]]
   *   DESCRIBE HISTORY <table>                       → [[CommitLog.history]]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <n>   → [[CommitLog.restore]]
+  *   ALTER TABLE <t> ADD CONSTRAINT <n> CHECK (<e>) → [[CommitLog.addConstraint]]
+  *   ALTER TABLE <t> DROP CONSTRAINT <n>            → [[CommitLog.dropConstraint]]
   *
   * The table name resolves through the session catalog at RUN time
   * (`spark.table` → analyzed plan → [[CommitLogSqlDml.CommitLogTarget]]),
@@ -51,6 +53,12 @@ object CommitLogSqlMaintenance {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  // greedy body capture: the CHECK expression may itself contain parens;
+  // anchoring on the FINAL ')' keeps nested expressions whole
+  private val AddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val DropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
 
   /** Delegating parser: the two maintenance statements short-circuit into
     * runnable commands; every other string parses exactly as before.
@@ -68,6 +76,11 @@ object CommitLogSqlMaintenance {
         GraftHistoryCommand(delegate.parseMultipartIdentifier(ident))
       case RestoreRe(ident, version) =>
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident), version.toLong)
+      case AddConstraintRe(ident, name, check) =>
+        GraftAddConstraintCommand(
+          delegate.parseMultipartIdentifier(ident), name, check.trim)
+      case DropConstraintRe(ident, name) =>
+        GraftDropConstraintCommand(delegate.parseMultipartIdentifier(ident), name)
       case _ => delegate.parsePlan(sqlText)
     }
     override def parseExpression(sqlText: String): Expression =
@@ -155,5 +168,26 @@ object CommitLogSqlMaintenance {
       Seq(AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(CommitLog.restore(rootOf(spark, parts), toVersion)))
+  }
+
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` → validate existing
+    * rows, then a metadata-only commit; subsequent writes (SQL or Scala)
+    * enforce it (see [[CommitLog.addConstraint]]).
+    */
+  case class GraftAddConstraintCommand(parts: Seq[String],
+      name: String, check: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(CommitLog.addConstraint(spark, rootOf(spark, parts), name, check)))
+  }
+
+  /** `ALTER TABLE t DROP CONSTRAINT name` → metadata-only removal. */
+  case class GraftDropConstraintCommand(parts: Seq[String], name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(CommitLog.dropConstraint(rootOf(spark, parts), name)))
   }
 }

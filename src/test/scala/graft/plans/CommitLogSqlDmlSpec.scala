@@ -212,4 +212,36 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW plain_pq USING parquet OPTIONS (path '$pq')")
     intercept[Exception](spark.sql("DELETE FROM plain_pq WHERE k = 1"))
   }
+
+  test("SQL ADD/DROP CONSTRAINT: CHECKs register, gate SQL DML, and drop") {
+    val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    // nested parens in the CHECK body must survive the statement parse
+    val v = spark.sql(
+      s"ALTER TABLE $view ADD CONSTRAINT v_pos CHECK ((v > 0.0) AND (k < 100))")
+      .collect().head.getLong(0)
+    assert(CommitLog.constraintsOf(root) ==
+      Map("v_pos" -> "(v > 0.0) AND (k < 100)"))
+    assert(CommitLog.readManifest(root, v).op == "add-constraint")
+    // SQL DML paths enforce it: the violating UPDATE aborts, table intact
+    val e = intercept[IllegalStateException](
+      spark.sql(s"UPDATE $view SET v = -1.0 WHERE k = 1"))
+    assert(e.getMessage.contains("v_pos"))
+    assert(snapshot(view).map(_._3) == Seq(10.0, 20.0))
+    // a valid SQL MERGE still lands
+    spark.sql(s"""MERGE INTO $view t USING
+      |(SELECT 3L AS k, 'c' AS s, 30.0 AS v) s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(snapshot(view).map(_._1) == Seq(1L, 2L, 3L))
+    // dirty-data registration rejects with the table unchanged
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE $view ADD CONSTRAINT small CHECK (v < 25.0)"))
+    assert(e2.getMessage.contains("existing rows violate"))
+    assert(CommitLog.constraintsOf(root).keySet == Set("v_pos"))
+    // drop re-admits the formerly violating write
+    spark.sql(s"ALTER TABLE $view DROP CONSTRAINT v_pos")
+    assert(CommitLog.constraintsOf(root).isEmpty)
+    spark.sql(s"UPDATE $view SET v = -1.0 WHERE k = 1")
+    assert(snapshot(view).map(_._3).min == -1.0)
+  }
 }
