@@ -81,9 +81,13 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""rows":$rows,"errors":[${errors.mkString(",")}],""" +
       s""""ingest":$ingest,"sf":"$sfDir"}""")
+    // The final line must stay SHORT: the driver's tail capture keeps only
+    // the last few KB, and any embedded per-query map (101 entries, ~4 KB)
+    // pushes this line's own head out of the window. No `queries` key here —
+    // the detail line above carries it.
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_queries":${results.size},"n_errors":${errors.size},""" +
-      s""""queries":$qs,"ingest":$ingest,"sf":"$sfDir"}""")
+      s""""ingest":$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -17,11 +17,14 @@ import graft.operators.QueryDef
   * (`javax.sound.sampled`, in the JDK): WAV/AIFF/AU payloads yield the
   * true sample rate, channel count and frame count, PCM-derived signal
   * features, and linear-interpolation resampling as the resize analog.
-  * Video decodes for REAL through [[GifVideoDecoder]] for the one
-  * container the JDK ships a codec for — animated GIF (`javax.imageio`
-  * sequence reader): true logical-screen dimensions, true frame count,
-  * composited per-frame pixel features, and a temporal luminance profile
-  * as the whole-payload feature. MP4/WebM payloads fall back to
+  * Video decodes for REAL through [[GifVideoDecoder]] — animated GIF via
+  * the `javax.imageio` sequence reader: true logical-screen dimensions,
+  * true frame count, composited per-frame pixel features, and a temporal
+  * luminance profile as the whole-payload feature — and through
+  * [[AviMjpegDecoder]] — MJPEG in a RIFF/AVI container, walked by a
+  * ~60-line chunk parser with each frame decoded by the JDK's JPEG codec;
+  * the two containers share [[temporalProfile]] so features are
+  * codec-independent. MP4/WebM payloads fall back to
   * [[StubDecoder]] (deterministic pseudo-features — this container has no
   * external media libraries); everything around that fallback is real and
   * load-bearing: the schema contract, the partition-batched execution
@@ -343,22 +346,107 @@ object Multimodal {
       frames(payload) match {
         case None => StubDecoder.decode(kind, payload) // undecodable bytes
         case Some(fs) =>
-          val lum = fs.map(f => pixelFeature(f)(3)) // mean luminance per frame
-          val segSum = new Array[Double](8)
-          val segN = new Array[Int](8)
-          for (i <- lum.indices) {
-            val s = math.min(7, i * 8 / lum.length)
-            segSum(s) += lum(i); segN(s) += 1
+          (fs.head.getWidth, fs.head.getHeight, fs.length, temporalProfile(fs))
+      }
+    }
+
+    override def decodeFrames(
+        kind: String, payload: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Float])]] =
+      if (kind != "video") None
+      else frames(payload).map(_.map(f => (f.getWidth, f.getHeight, pixelFeature(f))))
+  }
+
+  /** Whole-video 8-dim TEMPORAL luminance profile — mean frame luminance
+    * over 8 equal time segments; empty tail segments (fewer than 8 frames)
+    * hold the last seen mean, so the profile is a step function, not
+    * zero-padded. Shared by every real video codec so scene-change and
+    * near-dup screens behave identically across containers.
+    */
+  private[multimodal] def temporalProfile(
+      fs: IndexedSeq[java.awt.image.BufferedImage]): Array[Float] = {
+    val lum = fs.map(f => pixelFeature(f)(3)) // mean luminance per frame
+    val segSum = new Array[Double](8)
+    val segN = new Array[Int](8)
+    for (i <- lum.indices) {
+      val s = math.min(7, i * 8 / lum.length)
+      segSum(s) += lum(i); segN(s) += 1
+    }
+    val feat = new Array[Float](8)
+    var last = 0.0f
+    for (s <- 0 until 8) {
+      if (segN(s) > 0) last = (segSum(s) / segN(s)).toFloat
+      feat(s) = last
+    }
+    feat
+  }
+
+  /** REAL video codec #2, also fully in-JDK: MJPEG inside an AVI (RIFF)
+    * container — the classic capture-pipeline format where every frame is
+    * an independent JPEG. A ~60-line RIFF walker finds the video chunks
+    * (`NNdb`/`NNdc` ids, nested arbitrarily deep in LIST structures — the
+    * `movi` list in practice) and `javax.imageio`'s JPEG codec decodes
+    * each; dimensions and frame count are therefore TRUE decoded values,
+    * and the whole-payload feature is the same [[temporalProfile]] the GIF
+    * path reports. Chunks that fail JPEG decode are skipped (MJPEG streams
+    * may interleave non-JPEG data chunks); a payload yielding zero frames
+    * falls back to the stub. MP4/WebM stay on the documented stub — the
+    * JDK ships no H.264/VP8 codec and zero egress forbids jars.
+    */
+  object AviMjpegDecoder extends Decoder {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    private val Iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, Iso)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private[multimodal] def isAvi(payload: Array[Byte]): Boolean =
+      payload.length >= 12 && fourcc(payload, 0) == "RIFF" &&
+        fourcc(payload, 8) == "AVI "
+
+    private val VideoChunk = """\d\d(dc|db)""".r
+
+    /** Payload → decoded JPEG frames, or None when not an AVI or no video
+      * chunk decodes.
+      */
+    private def frames(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
+      if (!isAvi(payload)) return None
+      val out = Vector.newBuilder[BufferedImage]
+      // iterative RIFF walk: (start, end) spans of chunk sequences
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fourcc(payload, p)
+          val sz = u32(payload, p + 4)
+          if (sz < 0 || p + 8 + sz > end) return // corrupt length: stop
+          val bodyEnd = p + 8 + sz.toInt
+          id match {
+            case "LIST" | "RIFF" if sz >= 4 => walk(p + 12, bodyEnd)
+            case VideoChunk(_) if sz > 0 =>
+              try {
+                val img = ImageIO.read(
+                  new java.io.ByteArrayInputStream(payload, p + 8, sz.toInt))
+                if (img != null) out += img
+              } catch { case _: Exception => () } // non-JPEG data chunk
+            case _ => () // avih/strh/strf/idx1/…: structure we don't need
           }
-          // empty tail segments (fewer than 8 frames) hold the last seen
-          // mean, so the profile is a step function, not zero-padded
-          val feat = new Array[Float](8)
-          var last = 0.0f
-          for (s <- 0 until 8) {
-            if (segN(s) > 0) last = (segSum(s) / segN(s)).toFloat
-            feat(s) = last
-          }
-          (fs.head.getWidth, fs.head.getHeight, fs.length, feat)
+          p = bodyEnd + (sz.toInt & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, payload.length)
+      val v = out.result()
+      if (v.isEmpty) None else Some(v)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      if (kind != "video") return StubDecoder.decode(kind, payload)
+      frames(payload) match {
+        case None => StubDecoder.decode(kind, payload)
+        case Some(fs) =>
+          (fs.head.getWidth, fs.head.getHeight, fs.length, temporalProfile(fs))
       }
     }
 
@@ -372,11 +460,15 @@ object Multimodal {
     * its real codec; the rest on the honest stub.
     */
   object JdkDecoder extends Decoder {
+    // container sniff: RIFF/AVI → MJPEG path, anything else → GIF path
+    // (which itself stubs out undecodable bytes)
+    private def videoCodec(payload: Array[Byte]): Decoder =
+      if (AviMjpegDecoder.isAvi(payload)) AviMjpegDecoder else GifVideoDecoder
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
       kind match {
         case "image" => ImageIoDecoder.decode(kind, payload)
         case "audio" => WavDecoder.decode(kind, payload)
-        case "video" => GifVideoDecoder.decode(kind, payload)
+        case "video" => videoCodec(payload).decode(kind, payload)
         case _ => StubDecoder.decode(kind, payload)
       }
     override def resizePayload(
@@ -385,7 +477,7 @@ object Multimodal {
       else None
     override def decodeFrames(
         kind: String, payload: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Float])]] =
-      if (kind == "video") GifVideoDecoder.decodeFrames(kind, payload) else None
+      if (kind == "video") videoCodec(payload).decodeFrames(kind, payload) else None
   }
 
   /** Deterministic stand-in for the absent codec libraries: pseudo-features

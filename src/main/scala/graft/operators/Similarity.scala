@@ -946,8 +946,15 @@ object Similarity {
     "q46_ann_recall" -> QueryDef(
       fn = { (s, dir) =>
         import s.implicits._
+        // exact3 feeds BOTH `hits` and `universe`, so without pinning, the
+        // q16 brute-force pipeline would execute twice per action. An eager
+        // localCheckpoint of its ≤ 50×3-row output runs it once. The five
+        // approximate pipelines each appear once in the plan and stay LAZY
+        // deliberately: as branches of one union they run as a single job
+        // whose independent stages overlap across cores — checkpointing
+        // each would serialize them (measured 10.7 s vs 1.6 s at sf0.1).
         val exact3 = queries("q16_ann_topk").fn(s, dir)
-          .filter(col("rnk") <= 3).select("q_id", "c_id")
+          .filter(col("rnk") <= 3).select("q_id", "c_id").localCheckpoint()
         val approx =
           queries("q18_ann_ivf").fn(s, dir).select("q_id", "c_id")
             .withColumn("method", lit("ivf"))

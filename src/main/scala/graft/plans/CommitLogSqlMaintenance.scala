@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{GraftBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
@@ -53,8 +53,15 @@ object CommitLogSqlMaintenance {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
-  // greedy body capture: the CHECK expression may itself contain parens;
-  // anchoring on the FINAL ')' keeps nested expressions whole
+  // Greedy body capture: the CHECK expression may itself contain parens;
+  // anchoring on the FINAL ')' keeps nested expressions whole. Known
+  // limitation of the regex parse: nothing may follow the closing paren —
+  // a trailing SQL comment containing ')' would be captured into the
+  // expression text (and then rejected by the expression parser at
+  // validation time). Spark 4.1's own grammar ALSO parses these two
+  // statements (AddCheckConstraint/DropConstraint for DSv2 catalogs), so
+  // the commands below fall back to the DELEGATE-parsed plan at run time
+  // whenever the resolved target is not a commitlog table.
   private val AddConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropConstraintRe =
@@ -78,9 +85,11 @@ object CommitLogSqlMaintenance {
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident), version.toLong)
       case AddConstraintRe(ident, name, check) =>
         GraftAddConstraintCommand(
-          delegate.parseMultipartIdentifier(ident), name, check.trim)
+          delegate.parseMultipartIdentifier(ident), name, check.trim,
+          sqlText, delegate)
       case DropConstraintRe(ident, name) =>
-        GraftDropConstraintCommand(delegate.parseMultipartIdentifier(ident), name)
+        GraftDropConstraintCommand(delegate.parseMultipartIdentifier(ident),
+          name, sqlText, delegate)
       case _ => delegate.parsePlan(sqlText)
     }
     override def parseExpression(sqlText: String): Expression =
@@ -170,24 +179,56 @@ object CommitLogSqlMaintenance {
       Seq(Row(CommitLog.restore(rootOf(spark, parts), toVersion)))
   }
 
-  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` → validate existing
-    * rows, then a metadata-only commit; subsequent writes (SQL or Scala)
-    * enforce it (see [[CommitLog.addConstraint]]).
+  /** Resolve to a commitlog root only if the identifier names a live
+    * commitlog table; None (no throw) otherwise — the constraint commands
+    * use this to decide between our path and the delegate's.
     */
-  case class GraftAddConstraintCommand(parts: Seq[String],
-      name: String, check: String) extends LeafRunnableCommand {
-    override val output: Seq[Attribute] =
-      Seq(AttributeReference("version", LongType, nullable = false)())
-    override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(CommitLog.addConstraint(spark, rootOf(spark, parts), name, check)))
+  private def rootOpt(spark: SparkSession, parts: Seq[String]): Option[String] = {
+    val name = parts
+      .map(p => if (p.matches("[A-Za-z0-9_]+")) p else s"`${p.replace("`", "``")}`")
+      .mkString(".")
+    scala.util.Try(spark.table(name).queryExecution.analyzed).toOption.flatMap {
+      case CommitLogSqlDml.CommitLogTarget(root) => Some(root)
+      case _ => None
+    }
   }
 
-  /** `ALTER TABLE t DROP CONSTRAINT name` → metadata-only removal. */
-  case class GraftDropConstraintCommand(parts: Seq[String], name: String)
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` → validate existing
+    * rows, then a metadata-only commit; subsequent writes (SQL or Scala)
+    * enforce it (see [[CommitLog.addConstraint]]). When `t` is NOT a
+    * commitlog table (or doesn't resolve), the ORIGINAL statement re-parses
+    * through the delegate and executes as Spark's native AddCheckConstraint
+    * — so a DSv2 catalog with its own CHECK DDL still works, and a
+    * missing table surfaces Spark's standard error, not ours.
+    */
+  case class GraftAddConstraintCommand(parts: Seq[String],
+      name: String, check: String, original: String,
+      @transient delegate: ParserInterface) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = rootOpt(spark, parts) match {
+      case Some(root) =>
+        Seq(Row(CommitLog.addConstraint(spark, root, name, check)))
+      case None =>
+        GraftBridge.ofRows(spark, delegate.parsePlan(original)).collect()
+        Nil // native constraint DDL returns no rows
+    }
+  }
+
+  /** `ALTER TABLE t DROP CONSTRAINT name` → metadata-only removal; same
+    * delegate fallback as [[GraftAddConstraintCommand]] for non-commitlog
+    * targets.
+    */
+  case class GraftDropConstraintCommand(parts: Seq[String], name: String,
+      original: String, @transient delegate: ParserInterface)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AttributeReference("version", LongType, nullable = false)())
-    override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(CommitLog.dropConstraint(rootOf(spark, parts), name)))
+    override def run(spark: SparkSession): Seq[Row] = rootOpt(spark, parts) match {
+      case Some(root) => Seq(Row(CommitLog.dropConstraint(root, name)))
+      case None =>
+        GraftBridge.ofRows(spark, delegate.parsePlan(original)).collect()
+        Nil
+    }
   }
 }

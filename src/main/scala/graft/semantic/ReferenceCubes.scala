@@ -69,5 +69,32 @@ object ReferenceCubes {
            |  max(value) AS max_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
+
+    // The cube through its SQL-SURFACE persona: CubeViews registers the
+    // cube as a global_temp view (what a thrift/JDBC client sees —
+    // cube.dev's SQL port, conf/cube/.env:9-11) and the query is PLAIN SQL
+    // against that view. Same oracle as q23 — proving the view rendering
+    // is the Scala rendering, with the view machinery (global-temp
+    // registration, cross-session resolution, column order) on the
+    // oracle-checked path, not just spec-checked.
+    "q102_cube_view_sql" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        val resolve: String => DataFrame = name => Tables.load(s, dir, name)
+        CubeViews.register(s, Seq(eventsCube), Some(resolve), grain = "month")
+        s.sql("""SELECT event_type, ts_month, n, sum_value, avg_value,
+                |  min_value, max_value
+                |FROM global_temp.events_cube
+                |ORDER BY event_type, ts_month""".stripMargin)
+      },
+      oracle = Some {
+        import graft.operators.Exact._
+        s"""SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS ts_month,
+           |  count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value,
+           |  ${sqlAvg("value")} AS avg_value,
+           |  min(value) AS min_value,
+           |  max(value) AS max_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
   )
 }

@@ -238,8 +238,14 @@ object CommitLog {
 
   private def foldCommit(prior: Option[Manifest], c: Commit): Manifest = {
     val removed = c.removeOrNil.toSet
+    // Constraint-carrying ops REPLACE the active CHECK set; everything else
+    // inherits. "restore" is in the first group because RESTORE reverts
+    // metadata along with data (Delta semantics): the restored snapshot was
+    // validated against ITS constraint set, not against constraints added
+    // later, so keeping the newer set would publish unvalidated rows.
     val cs =
-      if (c.op == "add-constraint" || c.op == "drop-constraint")
+      if (c.op == "add-constraint" || c.op == "drop-constraint" ||
+          c.op == "restore")
         c.constraintsOrEmpty
       else prior.map(_.constraintsOrEmpty).getOrElse(Map.empty)
     Manifest(c.version, c.op, c.schemaJson,
@@ -616,11 +622,23 @@ object CommitLog {
     val cs = prior.map(_.constraintsOrEmpty).getOrElse(Map.empty)
     if (cs.isEmpty || add.isEmpty) return
     val staged = readFiles(spark, root, schema, add.map(_.path))
-    cs.foreach { case (name, check) =>
-      val bad = staged
-        .filter(coalesce(expr(check).cast("boolean"), lit(true)) === false)
-      if (!bad.isEmpty) throw new IllegalStateException(
-        s"CHECK constraint '$name' ($check) violated by write to $root — " +
+    // Genuinely ONE columnar pass regardless of how many constraints are
+    // registered: all violation predicates are OR'd into a single filter,
+    // and the surviving row's CASE chain names the first failing
+    // constraint. limit(1) stops the scan at the first violation.
+    val ordered = cs.toSeq.sortBy(_._1)
+    val violated = ordered.map { case (_, check) =>
+      coalesce(expr(check).cast("boolean"), lit(true)) === false
+    }
+    val firstBad = ordered.zip(violated)
+      .map { case ((name, _), v) => when(v, lit(name)) }
+      .reduce(coalesce(_, _))
+    val hit = staged.filter(violated.reduce(_ || _))
+      .select(firstBad.as("name")).limit(1).collect()
+    hit.headOption.foreach { r =>
+      val name = r.getString(0)
+      throw new IllegalStateException(
+        s"CHECK constraint '$name' (${cs(name)}) violated by write to $root — " +
           "commit aborted, no version published")
     }
   }
@@ -1182,9 +1200,13 @@ object CommitLog {
       add = target.statsOrNil.filterNot(s => curPaths(s.path)),
       remove = cur.files.filterNot(targetPaths),
       partitionBy = target.partitionByOrNil,
-      txn = cur.txnOrEmpty)) // writer watermarks are NOT rolled back:
-    // a replayed streaming batch id stays consumed (restore undoes data,
-    // not idempotence history)
+      txn = cur.txnOrEmpty, // writer watermarks are NOT rolled back:
+      // a replayed streaming batch id stays consumed (restore undoes data,
+      // not idempotence history)
+      constraints = target.constraintsOrEmpty)) // metadata reverts WITH the
+    // data: the target snapshot was validated against its own CHECK set;
+    // constraints added afterward never saw these rows (foldCommit applies
+    // this set for op == "restore")
     base + 1
   }
 

@@ -64,6 +64,16 @@ object StreamingAnalytics {
     * are a static side (benchmark-sized → broadcast), and restart
     * replays are no-ops via the table's txn watermark. Per-trigger cost
     * is O(batch shingles), corpus history never re-scans.
+    *
+    * DELIVERY CONTRACT: the source must deliver each document WHOLE
+    * within one micro-batch, exactly one row per doc_id across the
+    * stream's lifetime (the file-per-batch ingest shape upstream of this
+    * sink). `n_shared` is computed per batch and rows are blind-appended:
+    * a document whose rows span two batches, or one re-delivered under a
+    * DIFFERENT batchId, produces duplicate/under-counted doc_id flag
+    * rows. Wire row-level or at-least-once-WITHOUT-same-batchId sources
+    * through a doc-grained dedup (e.g. [[dedupStream]]) first, or merge
+    * on doc_id into the flags table instead of appending.
     */
   def contaminationScreenSink(evalSh: DataFrame, bloom: Array[Byte],
       root: String, appId: String): (DataFrame, Long) => Unit =

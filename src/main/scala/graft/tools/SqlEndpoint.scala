@@ -32,13 +32,30 @@ object SqlEndpoint {
     * (boundPort, server); `server.stop()` shuts it down. (The concrete
     * HiveThriftServer2 type is private[hive] — callers get the public
     * HiveServer2 supertype, which carries stop().)
+    *
+    * `passwdFile`: when set, the endpoint requires SASL PLAIN credentials
+    * checked against that file (see [[PasswdAuth]]) ≡ the reference's
+    * password-protected Trino endpoint
+    * (trino/conf/trino/config.properties:15,
+    * password-authenticator.properties:1-2). When None the server stays
+    * open-auth, matching the reference's unauthenticated Postgres port.
     */
-  def start(spark: SparkSession, port: Int = 0): (Int, HiveServer2) = {
+  def start(spark: SparkSession, port: Int = 0,
+            passwdFile: Option[java.nio.file.Path] = None): (Int, HiveServer2) = {
     val p = if (port == 0) freePort() else port
     // HiveConf applies "hive.*" system properties on construction — the
     // reliable way to reach the server conf from outside spark-submit.
     System.setProperty("hive.server2.thrift.port", p.toString)
     System.setProperty("hive.server2.thrift.bind.host", "localhost")
+    passwdFile match {
+      case Some(f) =>
+        System.setProperty("hive.server2.authentication", "CUSTOM")
+        System.setProperty("hive.server2.custom.authentication.class",
+          classOf[PasswdAuth].getName)
+        System.setProperty(PasswdAuth.PASSWD_FILE_PROP, f.toString)
+      case None =>
+        System.setProperty("hive.server2.authentication", "NONE")
+    }
     // Embedded Derby workspace for HiveServer2's session state: keep
     // metastore_db/derby.log out of the process CWD.
     if (System.getProperty("derby.system.home") == null)

@@ -178,6 +178,69 @@ class MultimodalSpec extends SparkTestBase {
     assert(all.map(r => if (r.getSeq[Float](4)(3) > 0.5f) 1 else 0).toSeq == Seq(0, 1, 0, 1, 0, 1))
   }
 
+  test("real video codec #2: MJPEG-in-AVI decode via RIFF walker + JDK JPEG") {
+    import spark.implicits._
+    import javax.imageio.ImageIO
+    // frame-truth fixture: an MJPEG AVI generated in-test — 3 solid-color
+    // JPEG frames (32x16, black/white/black) wrapped in a real RIFF
+    // structure (hdrl with avih/strh/strf, then the movi list). Solid
+    // colors survive JPEG's lossy DCT essentially exactly.
+    def jpegBytes(c: java.awt.Color): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics(); g.setColor(c); g.fillRect(0, 0, 32, 16); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+    def lst(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+    val jf = Seq(java.awt.Color.BLACK, java.awt.Color.WHITE, java.awt.Color.BLACK)
+      .map(jpegBytes)
+    val hdrl = lst("hdrl", chunk("avih", Array.fill(56)(0.toByte)) ++
+      lst("strl", chunk("strh", Array.fill(56)(0.toByte)) ++
+        chunk("strf", Array.fill(40)(0.toByte))))
+    val movi = lst("movi", jf.map(b => chunk("00dc", b)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+
+    // the DEFAULT decoder sniffs RIFF/AVI and routes to the MJPEG codec:
+    // true dims and true frame count from actual JPEG decode
+    val items = Seq(MediaItem(1L, "video", avi, 0, 0, 0L)).toDS()
+    val f = extractFeatures(items).collect().head
+    assert(f.decoded_w == 32 && f.decoded_h == 16 && f.n_frames == 3)
+    // temporal profile: starts black, peaks white mid-stream, ends black
+    assert(f.feature(0) < 0.05f, s"seg0=${f.feature(0)}")
+    assert(f.feature(7) < 0.05f, s"seg7=${f.feature(7)}")
+    assert(f.feature.max > 0.95f)
+
+    // frame sampling yields REAL per-frame features in stream order
+    val all = sampleFrames(items, stride = 1).collect().sortBy(_.getInt(1))
+    assert(all.length == 3)
+    assert(all.map(r => if (r.getSeq[Float](4)(3) > 0.5f) 1 else 0).toSeq == Seq(0, 1, 0))
+
+    // frame truth: the AVI path's per-frame features are IDENTICAL to the
+    // JDK image codec decoding the same JPEG bytes directly — same codec,
+    // same pixels, bit-equal features
+    val viaAvi = Multimodal.AviMjpegDecoder.decodeFrames("video", avi).get
+    val direct = jf.map(b => Multimodal.ImageIoDecoder.decode("image", b))
+    assert(viaAvi.map(_._1) == direct.map(_._1) && viaAvi.map(_._2) == direct.map(_._2))
+    viaAvi.zip(direct).foreach { case ((_, _, fa), (_, _, _, fd)) =>
+      assert(fa.toSeq == fd.toSeq)
+    }
+
+    // a truncated/corrupt AVI never crashes the pipeline: stub fallback
+    val bad = avi.take(40) ++ Array.fill(8)(0.toByte)
+    val fb = extractFeatures(Seq(MediaItem(9L, "video", bad, 0, 0, 0L)).toDS())
+      .collect().head
+    assert(fb.n_frames >= 1) // stub-shaped, no exception
+  }
+
   test("payloads project to features before any wide op (plan shape)") {
     val feats = extractFeatures(corpus).toDF()
     // features are small fixed-size records — grouping them shuffles KBs,

@@ -244,4 +244,27 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     spark.sql(s"UPDATE $view SET v = -1.0 WHERE k = 1")
     assert(snapshot(view).map(_._3).min == -1.0)
   }
+
+  test("constraint DDL on non-commitlog targets reaches Spark's native path") {
+    // Spark 4.1's own grammar parses ADD/DROP CONSTRAINT (DSv2 CHECK
+    // DDL), so our parser intercept must not swallow statements aimed at
+    // other tables: when the target is not a commitlog table the ORIGINAL
+    // statement re-parses through the delegate and Spark's native
+    // analysis produces the error (or succeeds, on a catalog that
+    // supports constraint DDL) — never our "not a commitlog table" text.
+    import spark.implicits._
+    val pq = Files.createTempDirectory("graft-sqldml-pq2").toString + "/t"
+    Seq((1L, "a")).toDF("k", "s").write.parquet(pq)
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW plain_pq2 USING parquet OPTIONS (path '$pq')")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE plain_pq2 ADD CONSTRAINT c CHECK (k > 0)"))
+    assert(!e.getMessage.toLowerCase.contains("commitlog"),
+      s"intercepted instead of delegated: ${e.getMessage}")
+    // unresolvable table → Spark's standard missing-table error, not ours
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE no_such_table_xyz DROP CONSTRAINT c"))
+    assert(!e2.getMessage.toLowerCase.contains("commitlog"),
+      s"intercepted instead of delegated: ${e2.getMessage}")
+  }
 }

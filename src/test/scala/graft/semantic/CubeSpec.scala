@@ -19,6 +19,33 @@ class CubeSpec extends SparkTestBase {
     assert(viaCube.collect().toSeq == byHand.collect().toSeq)
   }
 
+  test("cube views: registered view ≡ direct rendering; unresolvable cubes skip") {
+    // only `events` resolves in this session — the monthly rollup and the
+    // prediction tables don't exist, so those cubes must skip, not fail
+    Tables.load(spark, sf0001, "events").createOrReplaceTempView("events")
+    try {
+      val registered = CubeViews.register(spark, grain = "month")
+      assert(registered == Seq("global_temp.events_cube"))
+      val direct = ReferenceCubes.eventsCube.query(
+        spark.table(_),
+        ReferenceCubes.eventsCube.measures.map(_.name),
+        Seq("event_type" -> None, "ts" -> Some("month")))
+      val viaView = spark.table("global_temp.events_cube")
+      assert(viaView.columns.toSeq == direct.columns.toSeq)
+      assert(viaView.collect().toSeq == direct.collect().toSeq)
+      // the view is plain SQL surface: a client can roll it up further —
+      // and it resolves from a FORKED session too (the thrift-server
+      // per-connection shape; session temp views would not)
+      val n = spark.newSession().sql(
+        "SELECT sum(n) AS total FROM global_temp.events_cube")
+        .collect().head.getLong(0)
+      assert(n == Tables.load(spark, sf0001, "events").count())
+    } finally {
+      spark.catalog.dropTempView("events")
+      spark.catalog.dropGlobalTempView("events_cube")
+    }
+  }
+
   test("granularity bucketing: year collapses months") {
     val byYear = ReferenceCubes.eventsCube.query(
       Tables.load(spark, sf0001, _), Seq("n"), Seq("ts" -> Some("year")))

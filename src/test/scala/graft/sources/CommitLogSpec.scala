@@ -882,4 +882,50 @@ class CommitLogSpec extends SparkTestBase {
       append(spark.range(1).selectExpr("id", "-4L AS v"), root))
     assert(e2.getMessage.contains("v_lo"))
   }
+
+  test("multiple CHECKs enforce in one scan and name the violated constraint") {
+    val root = tmpTable()
+    append(spark.range(5).selectExpr("id", "id + 1 AS v"), root)
+    addConstraint(spark, root, "a_pos", "v > 0")
+    addConstraint(spark, root, "b_small", "v < 100")
+    // a row violating ONLY the second constraint must name it, not the first
+    val e = intercept[IllegalStateException](
+      append(spark.range(1).selectExpr("id + 50 AS id", "500L AS v"), root))
+    assert(e.getMessage.contains("b_small") && !e.getMessage.contains("a_pos"))
+    val e2 = intercept[IllegalStateException](
+      append(spark.range(1).selectExpr("id + 60 AS id", "-1L AS v"), root))
+    assert(e2.getMessage.contains("a_pos"))
+    // both still enforced; a clean row lands
+    append(spark.range(1).selectExpr("id + 70 AS id", "5L AS v"), root)
+    assert(read(spark, root).filter("id = 70 AND v = 5").count() == 1)
+  }
+
+  test("RESTORE reverts the CHECK set along with the data (Delta semantics)") {
+    val root = tmpTable()
+    // v1: rows with v < 0 — valid because no constraint exists yet
+    append(spark.range(5).selectExpr("id", "id - 3 AS v"), root)
+    // v2: replace with non-negative rows; v3: constrain
+    overwrite(spark.range(5).selectExpr("id", "id + 1 AS v"), root)
+    val vConstrained = addConstraint(spark, root, "v_nonneg", "v >= 0")
+
+    // Restoring v1 revives rows that were NEVER validated against
+    // v_nonneg; carrying the newer constraint forward would publish a
+    // snapshot that silently violates it. The restore commit must carry
+    // v1's (empty) constraint set instead.
+    restore(root, 1L)
+    assert(read(spark, root).filter("v < 0").count() == 3)
+    assert(constraintsOf(root).isEmpty,
+      "restore must revert constraints with the data")
+    // and the reverted set is LIVE: a formerly-violating append lands
+    append(spark.range(1).selectExpr("id + 100 AS id", "-7L AS v"), root)
+
+    // Restoring forward to the constrained version reinstates both its
+    // data (non-negative) and its CHECK set atomically.
+    restore(root, vConstrained)
+    assert(constraintsOf(root) == Map("v_nonneg" -> "v >= 0"))
+    assert(read(spark, root).filter("v < 0").isEmpty)
+    val e = intercept[IllegalStateException](
+      append(spark.range(1).selectExpr("id", "-1L AS v"), root))
+    assert(e.getMessage.contains("v_nonneg"))
+  }
 }

@@ -15,7 +15,14 @@ class SqlEndpointSpec extends SparkTestBase {
     spark.range(3).selectExpr("id", "id * 10 AS v")
       .write.mode("overwrite").saveAsTable("endpoint_rt")
 
-    val (port, server) = SqlEndpoint.start(spark)
+    // The endpoint requires credentials ≡ the reference's password-protected
+    // Trino port (trino/conf/trino/config.properties:15 PASSWORD auth +
+    // password-authenticator.properties file). One server per JVM
+    // (HiveThriftServer2 doesn't rebind after stop), so auth and the query
+    // battery share this single instance.
+    val pwFile = java.nio.file.Files.createTempFile("graft-ep-passwd", "")
+    PasswdAuth.writePasswordFile(pwFile, Map("analyst" -> "s3cret"))
+    val (port, server) = SqlEndpoint.start(spark, passwdFile = Some(pwFile))
     try {
       // server binds asynchronously; poll the socket until it accepts
       Class.forName("org.apache.hive.jdbc.HiveDriver")
@@ -23,18 +30,41 @@ class SqlEndpointSpec extends SparkTestBase {
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       var conn: java.sql.Connection = null
       while (conn == null) {
-        try conn = DriverManager.getConnection(url, "anonymous", "")
+        try conn = DriverManager.getConnection(url, "analyst", "s3cret")
         catch {
           case e: Exception if System.nanoTime() < deadline => Thread.sleep(500)
         }
       }
       try {
+        // Wrong password and unknown user must be REJECTED by the live
+        // server (not just by the file check): the SASL PLAIN handshake
+        // surfaces PasswdAuth's AuthenticationException as a SQLException.
+        intercept[java.sql.SQLException] {
+          DriverManager.getConnection(url, "analyst", "wrong")
+        }
+        intercept[java.sql.SQLException] {
+          DriverManager.getConnection(url, "nobody", "s3cret")
+        }
         val rs = conn.createStatement().executeQuery(
           "SELECT count(*) AS n, sum(v) AS s FROM endpoint_rt")
         assert(rs.next())
         assert(rs.getLong(1) == 3L)
         assert(rs.getLong(2) == 30L) // 0 + 10 + 20
         assert(!rs.next())
+
+        // Semantic layer over the socket ≡ cube.dev's SQL port persona
+        // (conf/cube/.env:9-11): register the events cube as a session
+        // view; the external JDBC client SELECTs and further rolls it up.
+        graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+          .createOrReplaceTempView("events")
+        val cubeViews = graft.semantic.CubeViews.register(spark, grain = "month")
+        assert(cubeViews.contains("global_temp.events_cube"))
+        val inProc = spark.table("global_temp.events_cube").count()
+        val rsCube = conn.createStatement().executeQuery(
+          "SELECT count(*) AS n, sum(n) AS rows_total FROM global_temp.events_cube")
+        assert(rsCube.next())
+        assert(rsCube.getLong(1) == inProc && inProc > 0)
+        assert(rsCube.getLong(2) == spark.table("events").count())
 
         // Same server, CommitLog catalog table: the external client both
         // QUERIES the snapshot and ISSUES DML that must land as an atomic
