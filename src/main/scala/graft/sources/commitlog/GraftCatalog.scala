@@ -148,32 +148,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(d.toString, fullName(ident), pinned = None)
   }
 
+  /** The catalog speaks Spark 4.1's NATIVE constraint DDL (the grammar
+    * parses `ALTER TABLE … ADD CONSTRAINT … CHECK (…)` into a DSv2
+    * AddConstraint table change when the catalog advertises this
+    * capability) — so constraint management works even in sessions that
+    * did not install the graft parser extensions.
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** ALTER TABLE: ADD COLUMNS and lossless type widening land as one
-    * metadata-only `evolve-schema` commit; anything else (drop, rename,
-    * reposition) is rejected — the log's additive-evolution contract.
+    * metadata-only `evolve-schema` commit; ADD/DROP CONSTRAINT (CHECK
+    * only) land as the same validate-then-metadata-commit the Scala and
+    * parser-intercept paths use; anything else (drop, rename,
+    * reposition, non-CHECK constraints) is rejected — the log's
+    * additive-evolution contract.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = dirOf(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
-    val current = CommitLog.manifestSchema(CommitLog.readManifest(d.toString,
-      CommitLog.currentVersion(d.toString).get))
-    val evolved = changes.foldLeft(current) { (sch, ch) => ch match {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          "graft catalog supports only top-level ADD COLUMNS")
-        StructType(sch.fields :+ org.apache.spark.sql.types.StructField(
-          add.fieldNames()(0), add.dataType(), nullable = true))
-      case upd: TableChange.UpdateColumnType =>
-        require(upd.fieldNames().length == 1,
-          "graft catalog supports only top-level column retyping")
-        StructType(sch.fields.map(f =>
-          if (f.name == upd.fieldNames()(0)) f.copy(dataType = upd.newDataType())
-          else f))
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog cannot apply $other — the commit log evolves " +
-          "additively (ADD COLUMNS, lossless widening)")
-    }}
-    CommitLog.evolveSchema(d.toString, evolved)
+    val (constraintOps, schemaOps) = changes.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    constraintOps.foreach {
+      case add: TableChange.AddConstraint => add.constraint() match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          CommitLog.addConstraint(spark, d.toString, chk.name(), chk.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog supports only CHECK constraints, got ${other.toDDL}")
+      }
+      case drop: TableChange.DropConstraint =>
+        if (!drop.ifExists() ||
+            CommitLog.constraintsOf(d.toString).contains(drop.name()))
+          CommitLog.dropConstraint(d.toString, drop.name())
+      case _ => () // unreachable by the partition above
+    }
+    if (schemaOps.nonEmpty) {
+      val current = CommitLog.manifestSchema(CommitLog.readManifest(d.toString,
+        CommitLog.currentVersion(d.toString).get))
+      val evolved = schemaOps.foldLeft(current) { (sch, ch) => ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "graft catalog supports only top-level ADD COLUMNS")
+          StructType(sch.fields :+ org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true))
+        case upd: TableChange.UpdateColumnType =>
+          require(upd.fieldNames().length == 1,
+            "graft catalog supports only top-level column retyping")
+          StructType(sch.fields.map(f =>
+            if (f.name == upd.fieldNames()(0)) f.copy(dataType = upd.newDataType())
+            else f))
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog cannot apply $other — the commit log evolves " +
+            "additively (ADD COLUMNS, lossless widening)")
+      }}
+      CommitLog.evolveSchema(d.toString, evolved)
+    }
     GraftTable(d.toString, fullName(ident), pinned = None)
   }
 
@@ -280,6 +311,22 @@ case class GraftTable(rootDir: String, tableName: String, pinned: Option[Long])
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft-commitlog", "location" -> rootDir).asJava
+
+  /** The table's live CHECK set surfaced through the DSv2 constraints API
+    * (DESCRIBE, catalog tooling). Registration validated existing rows, so
+    * each reports VALID + enforced — every write path (Scala, SQL DML, V2
+    * write) re-validates its staged files before publishing.
+    */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    CommitLog.constraintsOf(rootDir).toSeq.sortBy(_._1).map { case (n, sql) =>
+      Constraint.check(n).predicateSql(sql)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .enforced(true)
+        .build(): Constraint
+    }.toArray
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(

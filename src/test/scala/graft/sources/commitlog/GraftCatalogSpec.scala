@@ -144,4 +144,46 @@ class GraftCatalogSpec extends SparkTestBase {
   test("identifier segments are path-checked") {
     intercept[Exception](spark.sql("CREATE TABLE graft.`..`.`evil` (k BIGINT)"))
   }
+
+  test("DSv2 native constraint DDL: capability, table changes, constraints()") {
+    // Spark 4.1 parses ADD/DROP CONSTRAINT into DSv2 table changes when
+    // the catalog advertises SUPPORT_TABLE_CONSTRAINT — this path works
+    // with NO graft parser extensions installed. Exercise the catalog API
+    // directly (the extension-installed session routes SQL through the
+    // statement intercept, which lands on the same log).
+    import org.apache.spark.sql.connector.catalog._
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    spark.sql("CREATE TABLE graft.t10 (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.t10 VALUES (1, 1.5), (2, 2.5)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    assert(cat.capabilities().contains(
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT))
+
+    val ident = Identifier.of(Array.empty[String], "t10")
+    val chk = Constraint.check("v_pos").predicateSql("v > 0").build()
+    cat.alterTable(ident, TableChange.addConstraint(chk, null))
+    assert(CommitLog.constraintsOf(s"$root/t10") == Map("v_pos" -> "v > 0"))
+    // surfaced back through the DSv2 Table.constraints() API
+    val cs = cat.loadTable(ident).constraints()
+    assert(cs.length == 1 && cs.head.name() == "v_pos" && cs.head.enforced())
+
+    // LIVE enforcement: a violating INSERT through the catalog aborts and
+    // publishes nothing
+    intercept[Exception](spark.sql("INSERT INTO graft.t10 VALUES (3, -1.0)"))
+    assert(spark.table("graft.t10").count() == 2)
+
+    // non-CHECK constraints are rejected with a clear message
+    val pk = Constraint.primaryKey("pk",
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("k")))
+      .build()
+    intercept[UnsupportedOperationException](
+      cat.alterTable(ident, TableChange.addConstraint(pk, null)))
+
+    // drop via the native change; IF EXISTS on a missing name is a no-op
+    cat.alterTable(ident, TableChange.dropConstraint("v_pos", false, false))
+    assert(CommitLog.constraintsOf(s"$root/t10").isEmpty)
+    cat.alterTable(ident, TableChange.dropConstraint("nope", true, false))
+    assert(spark.table("graft.t10").count() == 2)
+  }
 }
