@@ -222,6 +222,70 @@ object RollupJob {
       .saveAsTable(targetTable)
   }
 
+  /** CDC-DRIVEN incremental maintenance: derive the months touched by the
+    * fact table's commits since `fromVersion` from COMMIT METADATA alone
+    * ([[graft.sources.CommitLog.changedFileStats]] — the min/max stats of
+    * every file added OR removed span the months whose rollup rows could
+    * have changed; removed-file stats make deletes and rewrites visible,
+    * which row-level CDC cannot), then [[refreshMonths]] exactly those
+    * partitions from the CURRENT snapshot. Returns (newVersion, months
+    * refreshed) — the caller persists newVersion as its next watermark.
+    *
+    * The time dimension must be a plain fact-table column with collected
+    * stats (timestamps are stored zone-independently as unix micros;
+    * DATE/ISO strings pass through). Files without usable stats for it
+    * (e.g. zero-row files) are skipped. Conservative by construction: a
+    * removed file spanning three months refreshes all three even if one
+    * row changed — over-refresh is correct, under-refresh is not.
+    *
+    * 100 TB shape: the month derivation is a driver-side fold over ≤
+    * (commits × files/commit) FileStats — no data file opens, no scan;
+    * the refresh then reads only the touched months' fact rows (the month
+    * filter prunes the scan) and swaps only those rollup partitions.
+    */
+  def refreshFromChanges(
+      spark: SparkSession,
+      cube: CubeDef,
+      resolve: String => DataFrame,
+      factRoot: String,
+      timeDim: String,
+      targetTable: String,
+      fromVersion: Long): (Long, Seq[String]) = {
+    import graft.sources.CommitLog
+    val toV = CommitLog.currentVersion(factRoot).getOrElse(
+      throw new IllegalStateException(s"no commits at $factRoot"))
+    if (toV <= fromVersion) return (toV, Nil)
+    val tsCol = cube.dimensions.find(_.name == timeDim).getOrElse(
+      throw new IllegalArgumentException(s"${cube.name}: no dimension $timeDim")
+    ).sql // plain column contract (see scaladoc)
+    val isTs = {
+      val m = CommitLog.readManifest(factRoot, toV)
+      CommitLog.manifestSchema(m).fields.find(_.name == tsCol)
+        .exists(_.dataType == org.apache.spark.sql.types.TimestampType)
+    }
+    def monthOf(stat: String): Option[java.time.LocalDate] = {
+      val d =
+        if (isTs) // unix-micros string (zone-independent stat encoding)
+          stat.toLongOption.map(us => java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L)).atZone(java.time.ZoneOffset.UTC).toLocalDate)
+        else scala.util.Try(java.time.LocalDate.parse(stat.take(10))).toOption
+      d.map(_.withDayOfMonth(1))
+    }
+    val months = scala.collection.mutable.SortedSet[String]()
+    for {
+      (_, _, added, removed) <- CommitLog.changedFileStats(factRoot, fromVersion, toV)
+      f <- added ++ removed if f.rows > 0
+      lo <- f.minsOrEmpty.get(tsCol).flatMap(monthOf)
+      hi <- f.maxsOrEmpty.get(tsCol).flatMap(monthOf)
+    } {
+      var m = lo
+      while (!m.isAfter(hi)) { months += m.toString; m = m.plusMonths(1) }
+    }
+    if (months.nonEmpty)
+      refreshMonths(spark, cube, resolve, timeDim, targetTable, months.toSeq)
+    (toV, months.toSeq)
+  }
+
   /** Incremental maintenance: recompute ONLY the given months and swap
     * exactly those partitions (dynamic partition overwrite). At 100 TB the
     * nightly job recomputes the current month — source rows outside it are

@@ -749,6 +749,31 @@ object CommitLog {
       commits.flatMap(_.addOrNil.map(_.path)))
   }
 
+  /** Per-commit file-level change summary between two versions — PURE
+    * METADATA (no data files open): for each version in `(fromV, toV]`,
+    * its op, the FileStats it added, and the FileStats of the files it
+    * removed. Removed files' stats are resolved against the running
+    * pre-commit snapshot (commit records store remove as bare paths), so
+    * consumers can reason about the VALUE RANGES a rewrite touched — the
+    * basis for incremental-maintenance jobs that must react to deletes
+    * and rewrites, which row-level [[changes]] (append-only by contract)
+    * cannot represent. Unlike [[changes]], any op is allowed here.
+    */
+  def changedFileStats(root: String, fromV: Long, toV: Long)
+      : Seq[(Long, String, Seq[FileStat], Seq[FileStat])] = {
+    require(fromV <= toV, s"changedFileStats($fromV, $toV): out of order")
+    if (fromV == toV) return Nil
+    var live: Map[String, FileStat] =
+      if (fromV == 0) Map.empty
+      else readManifest(root, fromV).statsOrNil.map(s => s.path -> s).toMap
+    ((fromV + 1) to toV).map { v =>
+      val c = readCommit(root, v)
+      val removed = c.removeOrNil.flatMap(live.get)
+      live = live -- c.removeOrNil ++ c.addOrNil.map(s => s.path -> s)
+      (v, c.op, c.addOrNil, removed)
+    }
+  }
+
   /** Replace the table contents with `df` (zero rows allowed) atomically. */
   def overwrite(df: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
     val base = currentVersion(root)

@@ -181,4 +181,62 @@ class CubeSpec extends SparkTestBase {
     untouched.foreach(k => assert(after(k) == before(k)))
     spark.sql("DROP TABLE events_monthly_inc")
   }
+
+  test("CDC-driven rollup refresh: commit metadata → exactly the touched months") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.CommitLog
+    val factRoot = java.nio.file.Files.createTempDirectory("cube-cdc-fact").toString
+    val target = "events_monthly_cdc"
+    def monthRows(month: String, typ: String, n: Int, base: Double) =
+      spark.range(n).selectExpr(
+        s"'$typ' AS event_type",
+        s"timestamp'$month-15 12:00:00' + make_interval(0, 0, 0, 0, 0, CAST(id AS INT), 0) AS ts",
+        s"CAST(id AS DOUBLE) + $base AS value")
+    // three appends, one per month → each data file spans exactly one month
+    CommitLog.append(monthRows("2024-01", "click", 4, 1.0), factRoot)
+    CommitLog.append(monthRows("2024-02", "view", 3, 2.0), factRoot)
+    CommitLog.append(monthRows("2024-03", "click", 5, 3.0), factRoot)
+    val resolver: String => org.apache.spark.sql.DataFrame = {
+      case "events" => CommitLog.read(spark, factRoot)
+      case other    => Tables.load(spark, sf0001, other)
+    }
+    RollupJob.materializeMonthlyPartitioned(spark, ReferenceCubes.eventsCube,
+      resolver, timeDim = "ts", targetTable = target)
+    val watermark = CommitLog.currentVersion(factRoot).get // = 3
+
+    def rollupEqualsFullRecompute(): Unit = {
+      val cols = spark.table(target).columns.sorted.toSeq
+      val got = spark.table(target).select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+      val want = ReferenceCubes.eventsCube
+        .rollupFrame(resolver, "ts", "month").select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want)
+    }
+
+    // APPEND touching only February → metadata derives exactly that month
+    CommitLog.append(monthRows("2024-02", "click", 2, 9.0), factRoot)
+    val (v4, m1) = RollupJob.refreshFromChanges(spark, ReferenceCubes.eventsCube,
+      resolver, factRoot, timeDim = "ts", targetTable = target,
+      fromVersion = watermark)
+    assert(v4 == watermark + 1 && m1 == Seq("2024-02-01"))
+    rollupEqualsFullRecompute()
+
+    // DELETE all of March — a copy-on-write rewrite; the REMOVED file's
+    // stats make the month visible (row-level CDC could not), and the
+    // refresh leaves the vanished month EMPTY, not stale
+    CommitLog.delete(spark, factRoot,
+      to_date(date_trunc("month", col("ts"))) === "2024-03-01")
+    val (v5, m2) = RollupJob.refreshFromChanges(spark, ReferenceCubes.eventsCube,
+      resolver, factRoot, timeDim = "ts", targetTable = target, fromVersion = v4)
+    assert(v5 == v4 + 1 && m2 == Seq("2024-03-01"))
+    assert(spark.table(target).filter(col("ts_month") === "2024-03-01").isEmpty)
+    rollupEqualsFullRecompute()
+
+    // caught-up watermark → no-op, no months touched
+    val (v6, m3) = RollupJob.refreshFromChanges(spark, ReferenceCubes.eventsCube,
+      resolver, factRoot, timeDim = "ts", targetTable = target, fromVersion = v5)
+    assert(v6 == v5 && m3.isEmpty)
+    spark.sql(s"DROP TABLE $target")
+  }
 }
