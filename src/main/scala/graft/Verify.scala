@@ -21,6 +21,12 @@ object Verify {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Managed tables some queries create (q103's rollup) must land in a
+      // FRESH warehouse: a CWD spark-warehouse left by another JVM makes
+      // saveAsTable fail with "managed table location already exists"
+      // (this JVM's in-memory catalog doesn't know the stale directory).
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-verify-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

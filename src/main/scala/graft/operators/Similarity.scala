@@ -54,6 +54,73 @@ object Similarity {
   private def norms(e: DataFrame): DataFrame =
     e.select(col("vec_id"), dotDec("embedding", "embedding").as("n2"))
 
+  /** IVF index BUILD (q18's heuristic cells): returns the two relations
+    * that ARE the index — `(centroids(cent_id, ce), members(member_id,
+    * cent_id))` — both plain DataFrames, so they persist as tables
+    * (q104) or stay inline (q18) unchanged. Centroid norms are derived
+    * from the centroid vectors at probe time, so nothing else needs
+    * shipping.
+    */
+  private def ivfBuild(e: DataFrame, n: DataFrame): (DataFrame, DataFrame) = {
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val centN = norms(e.filter(col("vec_id") % 50 === 0))
+      .toDF("cent_id", "n2cent")
+    // nearest cell per vector (broadcast the centroid set)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosim").desc, col("cent_id"))
+    val assign = e.select(col("vec_id"), col("embedding").as("qe"))
+      .repartition(col("vec_id")) // parallelize the single-split scan
+      .crossJoin(broadcast(cents))
+      .withColumn("dot", dotDec("qe", "ce"))
+      .join(n.toDF("vec_id", "n2v"), Seq("vec_id"))
+      .join(broadcast(centN), Seq("cent_id"))
+      .withColumn("cosim", cosim(col("dot"), col("n2v"), col("n2cent")))
+      .withColumn("rnk", row_number().over(wAssign))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id").as("member_id"), col("cent_id"))
+    (cents, assign)
+  }
+
+  /** IVF PROBE against an index in relation form (inline or read back
+    * from persisted tables): 2 probe cells per query vector, exact
+    * quantized-cosine ranking of only the probed cells' members, top-3.
+    */
+  private def ivfProbe(e: DataFrame, n: DataFrame,
+      cents: DataFrame, assign: DataFrame): DataFrame = {
+    val centN = norms(cents.select(col("cent_id").as("vec_id"),
+        col("ce").as("embedding")))
+      .toDF("cent_id", "n2cent")
+    // 2 probe cells per query
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cosim").desc, col("cent_id"))
+    val queryProbes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dot", dotDec("qe", "ce"))
+      .join(n.toDF("q_id", "n2q"), Seq("q_id"))
+      .join(broadcast(centN), Seq("cent_id"))
+      .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2cent")))
+      .withColumn("rnk", row_number().over(wProbe))
+      .filter(col("rnk") <= 2)
+      .select(col("q_id"), col("cent_id"))
+    // rank candidates inside the probed cells
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cosim").desc, col("c_id"))
+    queryProbes
+      .join(assign, Seq("cent_id"))
+      .withColumnRenamed("member_id", "c_id")
+      .filter(col("c_id") =!= col("q_id"))
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce")), Seq("c_id"))
+      .withColumn("dot", dotDec("qe", "ce"))
+      .join(n.toDF("q_id", "n2q"), Seq("q_id"))
+      .join(n.toDF("c_id", "n2c"), Seq("c_id"))
+      .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2c")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "c_id", "cent_id", "cosim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   /** DuckDB: CTE `norms(vec_id, n2)` + per-pair decimal dot as a template.
     * Lists are 1-indexed; generate_subscripts unrolls the 64 dims.
     */
@@ -645,51 +712,35 @@ object Similarity {
       fn = { (s, dir) =>
         val e = emb(s, dir)
         val n = norms(e)
-        val cents = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        val centN = norms(e.filter(col("vec_id") % 50 === 0))
-          .toDF("cent_id", "n2cent")
-        // nearest cell per vector (broadcast the centroid set)
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cosim").desc, col("cent_id"))
-        val assign = e.select(col("vec_id"), col("embedding").as("qe"))
-          .repartition(col("vec_id")) // parallelize the single-split scan
-          .crossJoin(broadcast(cents))
-          .withColumn("dot", dotDec("qe", "ce"))
-          .join(n.toDF("vec_id", "n2v"), Seq("vec_id"))
-          .join(broadcast(centN), Seq("cent_id"))
-          .withColumn("cosim", cosim(col("dot"), col("n2v"), col("n2cent")))
-          .withColumn("rnk", row_number().over(wAssign))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id").as("member_id"), col("cent_id"))
-        // 2 probe cells per query
-        val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cosim").desc, col("cent_id"))
-        val queryProbes = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-          .crossJoin(broadcast(cents))
-          .withColumn("dot", dotDec("qe", "ce"))
-          .join(n.toDF("q_id", "n2q"), Seq("q_id"))
-          .join(broadcast(centN), Seq("cent_id"))
-          .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2cent")))
-          .withColumn("rnk", row_number().over(wProbe))
-          .filter(col("rnk") <= 2)
-          .select(col("q_id"), col("cent_id"))
-        // rank candidates inside the probed cells
-        val wTop = Window.partitionBy(col("q_id")).orderBy(col("cosim").desc, col("c_id"))
-        queryProbes
-          .join(assign, Seq("cent_id"))
-          .withColumnRenamed("member_id", "c_id")
-          .filter(col("c_id") =!= col("q_id"))
-          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
-          .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce")), Seq("c_id"))
-          .withColumn("dot", dotDec("qe", "ce"))
-          .join(n.toDF("q_id", "n2q"), Seq("q_id"))
-          .join(n.toDF("c_id", "n2c"), Seq("c_id"))
-          .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2c")))
-          .withColumn("rnk", row_number().over(wTop).cast("long"))
-          .filter(col("rnk") <= 3)
-          .select("q_id", "c_id", "cent_id", "cosim", "rnk")
-          .orderBy("q_id", "rnk")
+        val (cents, assign) = ivfBuild(e, n)
+        ivfProbe(e, n, cents, assign)
+      },
+      oracle = Some(q18Sql)),
+
+    // The SAME IVF split as build-once / probe-many: the index (centroid
+    // vectors + member assignments — exactly what ivfBuild computes) is
+    // PERSISTED as two CommitLog tables and the probe runs against the
+    // read-back tables, never the build plan. This is the production
+    // amortization shape at 100 TB: the O(corpus × |cells|) assignment
+    // runs once per index release; every query batch afterwards opens two
+    // table scans (centroids broadcast-sized, assignments key-joined) and
+    // pays only probe cost. Same oracle as q18 — the persistence round
+    // trip (array<float> columns included) must be lossless, and index
+    // updates inherit CommitLog's ACID/time-travel for free (an index
+    // version ≡ a table version).
+    "q104_ann_ivf_persisted" -> QueryDef(
+      fn = { (s, dir) =>
+        import graft.sources.CommitLog
+        val e = emb(s, dir)
+        val n = norms(e)
+        val (cents, assign) = ivfBuild(e, n)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q104-ivf").toString
+        CommitLog.append(cents, s"$root/centroids")
+        CommitLog.append(assign, s"$root/members")
+        ivfProbe(e, n,
+          CommitLog.read(s, s"$root/centroids"),
+          CommitLog.read(s, s"$root/members"))
       },
       oracle = Some(q18Sql)),
 

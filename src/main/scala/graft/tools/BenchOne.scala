@@ -29,6 +29,10 @@ object BenchOne {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // fresh warehouse per JVM — a stale CWD spark-warehouse breaks the
+      // managed-table queries (same guard as Bench/Verify)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-benchone-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -28,6 +28,10 @@ object Explain {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // fresh warehouse per JVM — queries that build managed tables while
+      // constructing their frame (q103) must not pollute the CWD
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-explain-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
