@@ -64,12 +64,23 @@ object Similarity {
   private def ivfBuild(e: DataFrame, n: DataFrame): (DataFrame, DataFrame) = {
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val centN = norms(e.filter(col("vec_id") % 50 === 0))
+    (cents, ivfAssign(e, n, cents))
+  }
+
+  /** Nearest-cell assignment of `e`'s vectors against a centroid relation
+    * (inline or read back from a persisted index): per-vector independent,
+    * so an index UPDATE assigns only the delta batch against the SAME
+    * centroids and appends — bitwise the rows a full rebuild would emit
+    * for those vectors (q105's contract).
+    */
+  private def ivfAssign(e: DataFrame, n: DataFrame, cents: DataFrame): DataFrame = {
+    val centN = norms(cents.select(col("cent_id").as("vec_id"),
+        col("ce").as("embedding")))
       .toDF("cent_id", "n2cent")
     // nearest cell per vector (broadcast the centroid set)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosim").desc, col("cent_id"))
-    val assign = e.select(col("vec_id"), col("embedding").as("qe"))
+    e.select(col("vec_id"), col("embedding").as("qe"))
       .repartition(col("vec_id")) // parallelize the single-split scan
       .crossJoin(broadcast(cents))
       .withColumn("dot", dotDec("qe", "ce"))
@@ -79,7 +90,6 @@ object Similarity {
       .withColumn("rnk", row_number().over(wAssign))
       .filter(col("rnk") === 1)
       .select(col("vec_id").as("member_id"), col("cent_id"))
-    (cents, assign)
   }
 
   /** IVF PROBE against an index in relation form (inline or read back
@@ -738,6 +748,45 @@ object Similarity {
           .createTempDirectory("graft-q104-ivf").toString
         CommitLog.append(cents, s"$root/centroids")
         CommitLog.append(assign, s"$root/members")
+        ivfProbe(e, n,
+          CommitLog.read(s, s"$root/centroids"),
+          CommitLog.read(s, s"$root/members"))
+      },
+      oracle = Some(q18Sql)),
+
+    // INCREMENTAL index maintenance on the persisted IVF (the q80 pattern
+    // lifted to ANN): the corpus splits into an initial release (contains
+    // every centroid id) and a later delta batch; the update assigns ONLY
+    // the delta against the PERSISTED centroid table and APPENDS to the
+    // members table — one commit, never a rebuild, cost O(|delta| ×
+    // |cells|) instead of O(corpus × |cells|). Because assignment is
+    // per-vector independent and the centroid set is identical, the
+    // updated index is row-for-row the full rebuild's; the probe over it
+    // must therefore reproduce q18's oracle EXACTLY — under-assignment,
+    // double-assignment, or centroid drift all hash-mismatch. At 100 TB
+    // this is the nightly embedding-ingest job: new vectors join a
+    // broadcast centroid set, one append commit, probes see them
+    // atomically (index version ≡ table version).
+    "q105_ann_index_update" -> QueryDef(
+      fn = { (s, dir) =>
+        import graft.sources.CommitLog
+        val e = emb(s, dir)
+        val n = norms(e)
+        // delta = a later-arriving batch; keeps centroid ids (vec_id % 50
+        // == 0) in the INITIAL release so the cell set never changes
+        val deltaCond = col("vec_id") % 7 === 3 && col("vec_id") % 50 =!= 0
+        val initial = e.filter(!deltaCond)
+        val delta = e.filter(deltaCond)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q105-ivf").toString
+        val (cents, assignInit) = ivfBuild(initial, norms(initial))
+        CommitLog.append(cents, s"$root/centroids")
+        CommitLog.append(assignInit, s"$root/members")
+        // the UPDATE: delta-only assignment against the persisted
+        // centroids, one append commit
+        CommitLog.append(
+          ivfAssign(delta, norms(delta), CommitLog.read(s, s"$root/centroids")),
+          s"$root/members")
         ivfProbe(e, n,
           CommitLog.read(s, s"$root/centroids"),
           CommitLog.read(s, s"$root/members"))
