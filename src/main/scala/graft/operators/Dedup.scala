@@ -309,6 +309,38 @@ object Dedup {
 
   val queries: Map[String, QueryDef] = Map(
 
+    // Cross-corpus novelty score: per document, how many of its distinct
+    // 3-shingles appear in NO other document (global shingle document-
+    // frequency 1), as counts plus an integer-division ppm ratio — the
+    // boilerplate/templating signal (C4/RefinedWeb-style): near-zero
+    // novelty means the doc is assembled from shingles the rest of the
+    // corpus already carries. Complements q71 (repetition WITHIN a doc)
+    // and q96 (passage dedup at chunk grain). 100 TB shape: two shuffles
+    // on the shingle key, both with map-side partial aggregation; the
+    // ratio is integer arithmetic (no float drift between engines).
+    "q108_novelty" -> QueryDef(
+      fn = { (s, dir) =>
+        val sh = shingles(docs(s, dir))
+        val dfRel = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        sh.join(dfRel, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty_ppm", expr("n_unique * 1000000 div n_sh"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH $shinglesSql,
+           |sdf AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1),
+           |per AS (
+           |  SELECT doc_id, count(*) AS n_sh,
+           |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+           |  FROM sh0 JOIN sdf USING (sh) GROUP BY 1)
+           |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+           |  CAST(n_unique AS BIGINT) AS n_unique,
+           |  CAST(n_unique * 1000000 // n_sh AS BIGINT) AS novelty_ppm
+           |FROM per ORDER BY doc_id""".stripMargin)),
+
     // Exact dedup: canonical representative (min doc_id) per normalized
     // content hash. Hash-groupBy — the one shuffle is on the 128-bit key,
     // uniformly distributed by construction.

@@ -309,6 +309,64 @@ object Similarity {
        |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM ccos)
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** q107's oracle: SemDeDup restated declaratively — nearest-cell
+    * assignment over the planted-dup corpus, pairwise cosine WITHIN cells
+    * only, drop-if-lower-id-mate-above-threshold.
+    */
+  private def semdedupSql: String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT -(vec_id + 1) AS vec_id, embedding
+       |  FROM embeddings WHERE vec_id < 50),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(floor((CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))
+       |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS n2
+       |  FROM (SELECT vec_id, embedding AS e,
+       |          generate_subscripts(embedding, 1) AS i FROM aug)
+       |  GROUP BY 1),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM aug
+       |          WHERE vec_id % 50 = 0 AND vec_id >= 0),
+       |assign0 AS (
+       |  SELECT vec_id, cent_id, $dotSqlExpr AS dot
+       |  FROM (SELECT v.vec_id, c.cent_id, v.embedding AS qe, c.ce,
+       |          generate_subscripts(v.embedding, 1) AS i
+       |        FROM aug v CROSS JOIN cents c)
+       |  GROUP BY 1, 2),
+       |assign1 AS (
+       |  SELECT assign0.vec_id, assign0.cent_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+       |  FROM assign0
+       |  JOIN norms nv ON nv.vec_id = assign0.vec_id
+       |  JOIN norms nc ON nc.vec_id = assign0.cent_id),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosim DESC, cent_id) AS rnk FROM assign1)
+       |  WHERE rnk = 1),
+       |pdots AS (
+       |  SELECT a_id, b_id, $dotSqlExpr AS dot
+       |  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |          av.embedding AS qe, bv.embedding AS ce,
+       |          generate_subscripts(av.embedding, 1) AS i
+       |        FROM assign a
+       |        JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |        JOIN aug av ON av.vec_id = a.vec_id
+       |        JOIN aug bv ON bv.vec_id = b.vec_id)
+       |  GROUP BY 1, 2),
+       |pcos AS (
+       |  SELECT a_id, b_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosim
+       |  FROM pdots
+       |  JOIN norms na ON na.vec_id = a_id
+       |  JOIN norms nb ON nb.vec_id = b_id),
+       |dropped AS (SELECT DISTINCT b_id AS vec_id FROM pcos WHERE cosim >= 0.95)
+       |SELECT a.vec_id, a.cid,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped
+       |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   /** q88's oracle: IVF two-probe with LEARNED centroids — q79's one-Lloyd-
     * update k-means (10 seeds, 1e6-quantized grid, exact BIGINT distances,
     * truncating integer-mean update) as the coarse quantizer, then the same
@@ -792,6 +850,54 @@ object Similarity {
           CommitLog.read(s, s"$root/members"))
       },
       oracle = Some(q18Sql)),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup as
+    // cluster-then-prune — embeddings are coarsely clustered (the q18
+    // nearest-centroid cells), then pairwise cosine runs ONLY within each
+    // cluster and a vector is dropped when a lower-id cluster-mate sits
+    // above the dedup threshold (deterministic keep-lowest-id, the
+    // paper's keep-one-representative rule made order-free). The corpus
+    // carries planted exact dups (q45's -(v+1) copies), which land in
+    // their original's cell by construction (identical vector ⇒ identical
+    // cell ranking) — so the planted rows are provably pruned, not
+    // probabilistically. 100 TB shape: the quadratic is bounded PER CELL
+    // (Σ n_c² with n_c ≈ corpus/cells, vs n² all-pairs); the plan is an
+    // equi-join on the cell id — no cartesian anywhere — and cell count
+    // grows with the corpus, so cell size (and the per-cell quadratic)
+    // stays constant as data scales.
+    "q107_semdedup" -> QueryDef(
+      fn = { (s, dir) =>
+        val e0 = emb(s, dir)
+        val aug = e0.select(col("vec_id"), col("embedding"))
+          .unionByName(e0.filter(col("vec_id") < 50)
+            .select((-(col("vec_id") + 1)).cast("long").as("vec_id"),
+              col("embedding")))
+        val n = norms(aug)
+        // negative copy ids can satisfy % 50 = 0 (e.g. -50): keep the
+        // centroid set identical to the base corpus's
+        val cents = aug.filter(col("vec_id") % 50 === 0 && col("vec_id") >= 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val assign = ivfAssign(aug, n, cents).toDF("vec_id", "cid")
+        val av = assign.join(aug, Seq("vec_id"))
+          .select(col("vec_id").as("a_id"), col("cid"), col("embedding").as("qe"))
+          .repartition(col("cid")) // cell-keyed: the quadratic stays per-cell
+        val bv = assign.join(aug, Seq("vec_id"))
+          .select(col("vec_id").as("b_id"), col("cid"), col("embedding").as("ce"))
+        val pairs = av.join(bv, Seq("cid")).filter(col("a_id") < col("b_id"))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("a_id", "n2a"), Seq("a_id"))
+          .join(n.toDF("b_id", "n2b"), Seq("b_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2a"), col("n2b")))
+          .filter(col("cosim") >= 0.95)
+        val dropped = pairs.select(col("b_id").as("vec_id")).distinct()
+          .withColumn("hit", lit(1L))
+        assign
+          .join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"),
+            coalesce(col("hit"), lit(0L)).as("dropped"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(semdedupSql)),
 
     // IVF with LEARNED centroids: q18's probe shape, but the coarse
     // quantizer is q79's k-means (10 seeds, one exact Lloyd update on the

@@ -363,6 +363,39 @@ object TableOps {
            |FROM events
            |ORDER BY version""".stripMargin)),
 
+    // Merge-on-read DELETE via deletion vectors: two overlapping deletes
+    // mark positions dead WITHOUT rewriting data files (the second unions
+    // into the first's DV), then the SQL-flagged DELETE FROM adds a third
+    // through the statement surface. The oracle restates the surviving
+    // set over the original parquet — proving the scan-time anti-join
+    // ([[CommitLog.readTaggedLive]]) returns exactly copy-on-write
+    // semantics while the write path stays O(deleted rows). At 100 TB
+    // this is the GDPR path: thousands of rows scattered over thousands
+    // of 128 MB files cost KBs of DV, not TBs of parquet rewrite.
+    "q106_dv_delete" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val root = tmp("graft-q106")
+        CommitLog.append(ord, root)
+        CommitLog.deleteDV(s, root, col("o_orderkey") % 7 === 0)
+        CommitLog.deleteDV(s, root,
+          col("o_orderkey") % 5 === 3 || col("o_orderkey") % 7 === 0)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q106_t
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+        s.conf.set("spark.graft.commitlog.deletionVectors", "true")
+        try s.sql("DELETE FROM q106_t WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 1")
+        finally s.conf.unset("spark.graft.commitlog.deletionVectors")
+        CommitLog.read(s, root)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 3
+          |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 1)
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // Incremental OPTIMIZE (bin-packing compaction): six small commits,
     // then a size-targeted rewrite that merges only under-sized files —
     // the oracle over the original parquet proves the rewrite is lossless

@@ -62,6 +62,12 @@ object CommitLogSqlDml {
             Some(idx.root)
           case _ => None
         }
+        // a snapshot carrying deletion vectors resolves to the
+        // merge-on-read relation — DML targets it the same way
+        case mor: graft.sources.commitlog.MergeOnReadRelation =>
+          if (mor.pinned.isDefined) throw new IllegalArgumentException(
+            "cannot run DML through a version-pinned (time travel) relation")
+          Some(mor.root)
         case _ => None
       }
       case _ => None
@@ -213,11 +219,14 @@ object CommitLogSqlDml {
     }
   }
 
-  /** `DELETE FROM t WHERE …` → copy-on-write [[CommitLog.delete]]. */
+  /** `DELETE FROM t WHERE …` → copy-on-write [[CommitLog.delete]], or
+    * merge-on-read [[CommitLog.deleteDV]] when the session sets
+    * `spark.graft.commitlog.deletionVectors=true`.
+    */
   case class GraftDeleteCommand(root: String, cond: Expression)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      CommitLog.delete(spark, root, GraftBridge.column(byName(cond)))
+      CommitLog.deleteConfigured(spark, root, GraftBridge.column(byName(cond)))
       Nil
     }
   }
@@ -228,7 +237,7 @@ object CommitLogSqlDml {
       set: Seq[(String, Expression)],
       cond: Option[Expression]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      CommitLog.update(spark, root,
+      CommitLog.updateConfigured(spark, root,
         set.map { case (n, e) => n -> GraftBridge.column(byName(e)) },
         cond.map(e => GraftBridge.column(byName(e))).getOrElse(lit(true)))
       Nil

@@ -26,6 +26,7 @@ import graft.sources.CommitLog
   *   VACUUM <table> [RETAIN <n> HOURS]              → [[CommitLog.vacuum]]
   *   DESCRIBE HISTORY <table>                       → [[CommitLog.history]]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <n>   → [[CommitLog.restore]]
+  *   REORG TABLE <table> APPLY (PURGE)              → [[CommitLog.purgeDeletionVectors]]
   *   ALTER TABLE <t> ADD CONSTRAINT <n> CHECK (<e>) → [[CommitLog.addConstraint]]
   *   ALTER TABLE <t> DROP CONSTRAINT <n>            → [[CommitLog.dropConstraint]]
   *
@@ -51,6 +52,9 @@ object CommitLogSqlMaintenance {
     """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
+  // Delta's published syntax for materializing deletion vectors away
+  private val ReorgPurgeRe =
+    """(?is)^\s*REORG\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   // Greedy body capture: the CHECK expression may itself contain parens;
@@ -81,6 +85,8 @@ object CommitLogSqlMaintenance {
           Option(hours).map(_.toLong))
       case HistoryRe(ident) =>
         GraftHistoryCommand(delegate.parseMultipartIdentifier(ident))
+      case ReorgPurgeRe(ident) =>
+        GraftPurgeDvCommand(delegate.parseMultipartIdentifier(ident))
       case RestoreRe(ident, version) =>
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident), version.toLong)
       case AddConstraintRe(ident, name, check) =>
@@ -140,6 +146,18 @@ object CommitLogSqlMaintenance {
         else CommitLog.optimize(spark, root)
       Seq(Row(v))
     }
+  }
+
+  /** `REORG TABLE t APPLY (PURGE)` → rewrite the deletion-vector-carrying
+    * files with dead rows materialized away (Delta's published REORG
+    * PURGE). Returns the committed version.
+    */
+  case class GraftPurgeDvCommand(parts: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(CommitLog.purgeDeletionVectors(spark, rootOf(spark, parts))))
   }
 
   /** `VACUUM t [RETAIN n HOURS]` → reclaim unreferenced files outside the

@@ -105,13 +105,19 @@ object CommitLog {
       // full post-commit CHECK set; read ONLY on add/drop-constraint
       // commits — every other op inherits the prior manifest's set in
       // foldCommit, so pre-constraint logs and writers stay valid
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      // deletion vectors attached by this commit: data-file path → DV file
+      // path (both root-relative). Folding merges per data file (a new DV
+      // REPLACES the file's prior one — DV content is cumulative by
+      // construction); "restore" replaces the whole map like constraints.
+      dvs: Map[String, String] = Map.empty) {
     def addOrNil: Seq[FileStat] = Option(add).getOrElse(Nil)
     def removeOrNil: Seq[String] = Option(remove).getOrElse(Nil)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
     def txnOrEmpty: Map[String, Long] = widenTxn(txn)
     def constraintsOrEmpty: Map[String, String] =
       Option(constraints).getOrElse(Map.empty)
+    def dvsOrEmpty: Map[String, String] = Option(dvs).getOrElse(Map.empty)
   }
 
   /** Materialized snapshot at one version — what readers resolve, and the
@@ -125,13 +131,15 @@ object CommitLog {
       fileStats: Seq[FileStat] = Nil,
       partitionBy: Seq[String] = Nil,
       txn: Map[String, Long] = Map.empty,
-      constraints: Map[String, String] = Map.empty) { // name → CHECK expr
+      constraints: Map[String, String] = Map.empty, // name → CHECK expr
+      dvs: Map[String, String] = Map.empty) { // data file → live DV file
     def statsOrNil: Seq[FileStat] = Option(fileStats).getOrElse(Nil)
     def files: Seq[String] = statsOrNil.map(_.path)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
     def txnOrEmpty: Map[String, Long] = widenTxn(txn)
     def constraintsOrEmpty: Map[String, String] =
       Option(constraints).getOrElse(Map.empty)
+    def dvsOrEmpty: Map[String, String] = Option(dvs).getOrElse(Map.empty)
   }
 
   /** Jackson + erasure leaves Map[String, Long] values as boxed Integers. */
@@ -248,10 +256,18 @@ object CommitLog {
           c.op == "restore")
         c.constraintsOrEmpty
       else prior.map(_.constraintsOrEmpty).getOrElse(Map.empty)
+    // Deletion vectors: a removed data file takes its DV with it (rewrites
+    // materialize deletes); a commit's own dvs entries replace per data
+    // file. "restore" replaces the whole map, like constraints — the
+    // restored snapshot's DV state comes back with its data.
+    val dvs =
+      if (c.op == "restore") c.dvsOrEmpty
+      else (prior.map(_.dvsOrEmpty).getOrElse(Map.empty) -- removed) ++
+        c.dvsOrEmpty
     Manifest(c.version, c.op, c.schemaJson,
       prior.map(_.statsOrNil).getOrElse(Nil).filterNot(s => removed(s.path)) ++
         c.addOrNil,
-      c.partitionByOrNil, c.txnOrEmpty, cs)
+      c.partitionByOrNil, c.txnOrEmpty, cs, dvs)
   }
 
   /** Materialize the snapshot at version `v`: nearest checkpoint at or
@@ -736,9 +752,10 @@ object CommitLog {
       // commits (create/evolve-schema: no files added or dropped) are
       // harmless in the range and pass.
       require(c.op == "append" ||
-          (c.addOrNil.isEmpty && c.removeOrNil.isEmpty),
+          (c.addOrNil.isEmpty && c.removeOrNil.isEmpty && c.dvsOrEmpty.isEmpty),
         s"changes($fromV, $toV): version $v is '${c.op}' — the range must be " +
-          "append-only (rewrites re-stage existing rows as new files)")
+          "append-only (rewrites re-stage existing rows as new files; a " +
+          "deletion-vector commit removes rows without touching any file)")
       c
     }
     val schemaJson =
@@ -768,7 +785,13 @@ object CommitLog {
       else readManifest(root, fromV).statsOrNil.map(s => s.path -> s).toMap
     ((fromV + 1) to toV).map { v =>
       val c = readCommit(root, v)
-      val removed = c.removeOrNil.flatMap(live.get)
+      // A deletion-vector commit removes rows IN PLACE: surface the
+      // affected files' stats as "removed" so range-driven consumers (the
+      // cube CDC rollup) refresh the value ranges those files span —
+      // without this a delete-dv commit would look metadata-only and
+      // silently under-refresh.
+      val removed = c.removeOrNil.flatMap(live.get) ++
+        c.dvsOrEmpty.keysIterator.flatMap(live.get)
       live = live -- c.removeOrNil ++ c.addOrNil.map(s => s.path -> s)
       (v, c.op, c.addOrNil, removed)
     }
@@ -838,19 +861,102 @@ object CommitLog {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
 
+  /** Manifest-resolved read: the snapshot's LIVE rows — files with a
+    * deletion vector anti-join their dead positions away
+    * ([[readTaggedLive]]); files without one stream through the plain
+    * vectorized scan untouched.
+    */
   private def readFiles(spark: SparkSession, root: String, m: Manifest,
-      files: Seq[String]): DataFrame = readFiles(spark, root, schemaOf(m), files)
+      files: Seq[String]): DataFrame = {
+    val schema = schemaOf(m)
+    if (m.dvsOrEmpty.isEmpty || !files.exists(m.dvsOrEmpty.contains))
+      readFiles(spark, root, schema, files)
+    else readTaggedLive(spark, root, m, files)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
 
-  /** Root-relative paths of files containing ≥1 row matching `cond` —
-    * the copy-on-write touch set. One pass over the snapshot projecting only
+  private val TagFile = "_graft_file"
+  private val TagPos = "_graft_pos"
+
+  /** Canonical raw filesystem path of `_metadata.file_path` (Spark reports
+    * it percent-encoded in `file:/…` URI form): scheme stripped, %XX
+    * decoded — with '+' pre-escaped so `url_decode` cannot turn a literal
+    * plus into a space (URI paths never encode space as '+'). The result
+    * matches driver-side java.nio path strings byte for byte.
+    */
+  private def canonicalFileCol: Column =
+    url_decode(regexp_replace(
+      regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+      "\\+", "%2B"))
+
+  private def absPath(root: String, rel: String): String =
+    Paths.get(root).toAbsolutePath.normalize.resolve(rel).toString
+
+  /** Raw per-file scan of `files`, tagged with the canonical absolute file
+    * path and physical row index — the coordinates deletion vectors
+    * address. Tags are computed INSIDE the scan: metadata columns resolve
+    * only on file relations, and `input_file_name()` is unreliable above
+    * joins.
+    */
+  private def readTagged(spark: SparkSession, root: String, schema: StructType,
+      files: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields ++ Seq(
+          StructField(TagFile, StringType), StructField(TagPos, LongType))))
+    spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+      .withColumn(TagFile, canonicalFileCol)
+      .withColumn(TagPos, col("_metadata.row_index"))
+  }
+
+  /** Deletion-vector rows for the given data files as (`__dv_rel` data
+    * file, `__dv_pos` dead position). One scan over every referenced DV
+    * parquet; which DATA file a row addresses is recovered by joining the
+    * scan's own file path against a driver-built broadcast lookup (the
+    * dv→data mapping is manifest metadata).
+    */
+  private def dvPositionsRel(spark: SparkSession, root: String,
+      dvMap: Map[String, String]): DataFrame = {
+    val lookup = dvMap.toSeq.map { case (data, dv) => (absPath(root, dv), data) }
+    spark.read.schema(StructType(Seq(StructField("pos", LongType))))
+      .parquet(dvMap.values.toSeq.sorted.map(f => s"$root/$f"): _*)
+      .withColumn("__dv_src", canonicalFileCol)
+      .join(broadcast(spark.createDataFrame(lookup).toDF("__dv_src", "__dv_rel")),
+        "__dv_src")
+      .select(col("__dv_rel"), col("pos").as("__dv_pos"))
+  }
+
+  /** Tagged read with deletion vectors applied: raw rows minus the
+    * positions their DVs mark dead. The dead side is O(deleted rows) —
+    * usually KBs that AQE broadcasts; a table whose DVs have grown to
+    * shuffle scale should [[purgeDeletionVectors]].
+    */
+  private def readTaggedLive(spark: SparkSession, root: String, m: Manifest,
+      files: Seq[String]): DataFrame = {
+    val inSet = files.toSet
+    val dvMap = m.dvsOrEmpty.filter { case (f, _) => inSet(f) }
+    val tagged = readTagged(spark, root, schemaOf(m), files)
+    if (dvMap.isEmpty) return tagged
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize.toString
+    val dead = dvPositionsRel(spark, root, dvMap)
+      .select(concat(lit(rootAbs + "/"), col("__dv_rel")).as("__dv_file"),
+        col("__dv_pos"))
+    tagged.join(dead,
+      tagged(TagFile) === dead("__dv_file") && tagged(TagPos) === dead("__dv_pos"),
+      "left_anti")
+  }
+
+  /** Root-relative paths of files containing ≥1 LIVE row matching `cond` —
+    * the copy-on-write touch set (rows a deletion vector already killed
+    * can't re-touch their file). One pass over the snapshot projecting only
     * the columns `cond` needs; the collect is file-path metadata, not data.
     */
   private def touchedFiles(spark: SparkSession, root: String, m: Manifest)(
       mark: DataFrame => DataFrame): Seq[String] = {
-    val withFile = readFiles(spark, root, m, m.files)
-      .withColumn("_graft_file", input_file_name())
-    val abs = mark(withFile).select("_graft_file").distinct()
-      .collect().map(r => decodeFileName(r.getString(0)))
+    val withFile = readTaggedLive(spark, root, m, m.files)
+    val abs = mark(withFile).select(TagFile).distinct()
+      .collect().map(_.getString(0))
     m.files.filter(f => abs.exists(_.endsWith(f)))
   }
 
@@ -1002,6 +1108,191 @@ object CommitLog {
       else stageWithStats(kept, root, m.partitionByOrNil)
     commitDelta(root, Some(m), Commit(base + 1, "delete", m.schemaJson,
       add, touched, m.partitionByOrNil, m.txnOrEmpty))
+    base + 1
+  }
+
+  // --------------------------------------------------------------------
+  // Merge-on-read DELETE: deletion vectors
+  // --------------------------------------------------------------------
+
+  /** Hex key naming a data file's DV partition directory — must equal
+    * Spark's `sha2(rel, 256).substr(1, 16)` (lowercase hex) so the
+    * executor-side write layout and this driver-side mapping agree.
+    */
+  private def dvKey(rel: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(rel.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** Write one DV parquet (schema: `pos BIGINT`, ascending) per data file
+    * in `files` from `dead` (`__dv_rel`, `__dv_pos`); returns data file →
+    * DV file, both root-relative. Partitioning by a hex digest of the data
+    * file path keeps directory names path-safe (no Hive escaping of '/'),
+    * and `repartition` on the key bounds the layout at one parquet per DV.
+    */
+  private def stageDV(dead: DataFrame, root: String,
+      files: Seq[String]): Map[String, String] = {
+    val sub = s"data/${UUID.randomUUID()}"
+    dead
+      .withColumn("__dv_k", sha2(col("__dv_rel"), 256).substr(1, 16))
+      .select(col("__dv_k"), col("__dv_pos").as("pos"))
+      .repartition(col("__dv_k"))
+      .sortWithinPartitions("pos")
+      .write.partitionBy("__dv_k").parquet(s"$root/$sub")
+    val byKey = files.map(f => dvKey(f) -> f).toMap
+    val rootPath = Paths.get(root)
+    withWalk(Paths.get(root, sub))(_.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }.map { p =>
+      val key = p.getParent.getFileName.toString.stripPrefix("__dv_k=")
+      byKey.getOrElse(key, sys.error(s"unexpected DV partition '$key'")) ->
+        rootPath.relativize(p).toString
+    }.toMap)
+  }
+
+  /** Merge-on-read DELETE (the published Delta deletion-vector concept):
+    * instead of rewriting every file containing a matching row
+    * (copy-on-write [[delete]]), record the matching POSITIONS in per-file
+    * deletion vectors and publish a metadata+DV commit. Write cost is
+    * O(matching rows), not O(touched files' rows) — at 100 TB, a
+    * GDPR-scale delete of a few thousand rows scattered over ten thousand
+    * 128 MB files writes KBs of DV instead of re-staging TBs of parquet.
+    *
+    * Readers apply DVs transparently ([[readTaggedLive]]'s anti-join, used
+    * by every manifest-resolved read, DML rewrite, and the registered data
+    * source). A file whose every row dies is dropped from the snapshot
+    * outright — no empty husks, no DV read amplification for it. A repeat
+    * delete REPLACES a file's DV with the union of old and new dead
+    * positions, so exactly one DV per file is ever live. When accumulated
+    * DVs make the scan-time anti-join noticeable, [[purgeDeletionVectors]]
+    * (or any rewrite: compact/optimize/merge touching the file)
+    * materializes them away.
+    */
+  def deleteDV(spark: SparkSession, root: String, cond: Column): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val touched = touchedFiles(spark, root, m)(_.filter(cond))
+    if (touched.isEmpty) return base // nothing matches: no-op, no commit
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize.toString
+    // Newly dead coordinates — from the LIVE read, so previously-DV'd
+    // positions cannot reappear here (the union below stays disjoint).
+    val newDead = readTaggedLive(spark, root, m, touched)
+      .filter(coalesce(cond, lit(false)))
+      .select(col(TagFile).substr(lit(rootAbs.length + 2), lit(Int.MaxValue))
+        .as("__dv_rel"), col(TagPos).as("__dv_pos"))
+    val priorDv = m.dvsOrEmpty.filter { case (f, _) => touched.contains(f) }
+    val dead = (if (priorDv.isEmpty) newDead
+      else newDead.unionByName(dvPositionsRel(spark, root, priorDv))).persist()
+    try {
+      val counts = dead.groupBy("__dv_rel").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rowsOf = m.statsOrNil.map(s => s.path -> s.rows).toMap
+      val (fullGone, partial) = touched.partition(f =>
+        rowsOf.get(f).contains(counts.getOrElse(f, 0L)))
+      val dvEntries =
+        if (partial.isEmpty) Map.empty[String, String]
+        else stageDV(dead.filter(col("__dv_rel").isin(partial: _*)), root, partial)
+      commitDelta(root, Some(m), Commit(base + 1, "delete-dv", m.schemaJson,
+        Nil, fullGone, m.partitionByOrNil, m.txnOrEmpty, dvs = dvEntries))
+      base + 1
+    } finally dead.unpersist()
+  }
+
+  /** Merge-on-read UPDATE: ONE commit in which the matched rows' positions
+    * die via deletion vectors and their updated images append as new
+    * files. Write cost is O(matched rows) — copy-on-write [[update]]
+    * re-stages every row of every touched file, which at 100 TB turns a
+    * ten-row correction scattered across ten files into a 1.2 GB rewrite;
+    * this writes ten rows and a few KB of DV. The read path already
+    * reassembles the snapshot (anti-join + the appended images), and any
+    * later rewrite of a DV'd file materializes its deletes away.
+    */
+  def updateDV(spark: SparkSession, root: String,
+      set: Seq[(String, Column)], cond: Column): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val schema = schemaOf(m)
+    val bad = set.map(_._1).filterNot(n => schema.fieldNames.contains(n))
+    require(bad.isEmpty, s"UPDATE of unknown column(s): ${bad.mkString(",")}")
+    val touched = touchedFiles(spark, root, m)(_.filter(cond))
+    if (touched.isEmpty) return base // nothing matches: no-op, no commit
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize.toString
+    val matched = readTaggedLive(spark, root, m, touched)
+      .filter(coalesce(cond, lit(false))).persist()
+    try {
+      val newDead = matched
+        .select(col(TagFile).substr(lit(rootAbs.length + 2), lit(Int.MaxValue))
+          .as("__dv_rel"), col(TagPos).as("__dv_pos"))
+      val priorDv = m.dvsOrEmpty.filter { case (f, _) => touched.contains(f) }
+      val dead = (if (priorDv.isEmpty) newDead
+        else newDead.unionByName(dvPositionsRel(spark, root, priorDv))).persist()
+      try {
+        val counts = dead.groupBy("__dv_rel").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rowsOf = m.statsOrNil.map(s => s.path -> s.rows).toMap
+        val (fullGone, partial) = touched.partition(f =>
+          rowsOf.get(f).contains(counts.getOrElse(f, 0L)))
+        val dvEntries =
+          if (partial.isEmpty) Map.empty[String, String]
+          else stageDV(dead.filter(col("__dv_rel").isin(partial: _*)), root, partial)
+        // every matched row's updated image (cond holds on all of them, so
+        // the assignment applies unconditionally), typed back to the
+        // declared schema like copy-on-write update
+        val assign = set.toMap
+        val updated = matched.select(schema.fields.toIndexedSeq.map { f =>
+          assign.get(f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        val add = stageWithStats(updated, root, m.partitionByOrNil)
+        enforceConstraints(spark, root, Some(m), add, schema)
+        commitDelta(root, Some(m), Commit(base + 1, "update-dv", m.schemaJson,
+          add, fullGone, m.partitionByOrNil, m.txnOrEmpty, dvs = dvEntries))
+        base + 1
+      } finally dead.unpersist()
+    } finally matched.unpersist()
+  }
+
+  /** The session-configurable UPDATE twin of [[deleteConfigured]]. */
+  def updateConfigured(spark: SparkSession, root: String,
+      set: Seq[(String, Column)], cond: Column): Long =
+    if (spark.conf.getOption("spark.graft.commitlog.deletionVectors")
+        .exists(_.equalsIgnoreCase("true")))
+      updateDV(spark, root, set, cond)
+    else update(spark, root, set, cond)
+
+  /** The session-configurable DELETE entry point SQL DML and the catalog
+    * route through: `SET spark.graft.commitlog.deletionVectors=true`
+    * switches `DELETE FROM` to merge-on-read [[deleteDV]]; the default
+    * stays copy-on-write [[delete]] (no DV read overhead for tables that
+    * never need fine-grained deletes).
+    */
+  def deleteConfigured(spark: SparkSession, root: String, cond: Column): Long =
+    if (spark.conf.getOption("spark.graft.commitlog.deletionVectors")
+        .exists(_.equalsIgnoreCase("true")))
+      deleteDV(spark, root, cond)
+    else delete(spark, root, cond)
+
+  /** Rewrite exactly the DV-carrying files with their dead rows
+    * materialized away and drop the DVs — one commit; every other file
+    * moves into the new version by reference, stats intact. The
+    * merge-on-read counterpart of OPTIMIZE: run it when accumulated DVs
+    * make the scan-time anti-join cost noticeable.
+    */
+  def purgeDeletionVectors(spark: SparkSession, root: String): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val dvFiles = m.dvsOrEmpty.keys.toSeq.sorted
+    if (dvFiles.isEmpty) return base
+    val df = readFiles(spark, root, m, dvFiles) // DV-applied live rows
+    val add = stageWithStats(df, root, m.partitionByOrNil)
+    commitDelta(root, Some(m), Commit(base + 1, "purge-dv", m.schemaJson,
+      add, dvFiles, m.partitionByOrNil, m.txnOrEmpty))
     base + 1
   }
 
@@ -1228,10 +1519,11 @@ object CommitLog {
       txn = cur.txnOrEmpty, // writer watermarks are NOT rolled back:
       // a replayed streaming batch id stays consumed (restore undoes data,
       // not idempotence history)
-      constraints = target.constraintsOrEmpty)) // metadata reverts WITH the
-    // data: the target snapshot was validated against its own CHECK set;
-    // constraints added afterward never saw these rows (foldCommit applies
-    // this set for op == "restore")
+      constraints = target.constraintsOrEmpty, // metadata reverts WITH the
+      // data: the target snapshot was validated against its own CHECK set;
+      // constraints added afterward never saw these rows (foldCommit applies
+      // this set for op == "restore")
+      dvs = target.dvsOrEmpty)) // deletion vectors likewise revert wholesale
     base + 1
   }
 
@@ -1507,7 +1799,8 @@ object CommitLog {
       pinnedSnaps.foreach(writeCheckpoint(root, _))
       writeCheckpoint(root, keepSnaps.head)
       advanceLastCheckpoint(root, keepFrom)
-      val live = (keepSnaps ++ pinnedSnaps).flatMap(_.files).toSet
+      val live = (keepSnaps ++ pinnedSnaps)
+        .flatMap(s => s.files ++ s.dvsOrEmpty.values).toSet
       (1L until keepFrom).foreach { v =>
         Files.deleteIfExists(commitPath(root, v))
         if (!pinned.contains(v)) Files.deleteIfExists(checkpointPath(root, v))

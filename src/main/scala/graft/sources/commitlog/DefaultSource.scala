@@ -122,6 +122,17 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         }
         CommitLog.versionAsOf(root, ms)
       })
+    // A snapshot carrying deletion vectors cannot be served by a plain
+    // file scan (the FileIndex can only choose FILES; dead positions need
+    // the anti-join read). Route it through the merge-on-read relation —
+    // filters still prune via manifest stats inside readPruned, and
+    // needConversion=false hands Spark the inner plan's InternalRows, so
+    // codegen below the boundary is preserved. DV-free snapshots keep the
+    // vectorized HadoopFsRelation path unchanged.
+    val resolved = version.orElse(CommitLog.currentVersion(root))
+    val hasDv = resolved.exists(v =>
+      CommitLog.readManifest(root, v).dvsOrEmpty.nonEmpty)
+    if (hasDv) return new MergeOnReadRelation(spark, root, version)
     val index = new CommitLogFileIndex(spark, root, version)
     new HadoopFsRelation(index, new StructType(), index.initialSchema, None,
       new ParquetFileFormat, parameters)(spark) with InsertableRelation {
@@ -228,6 +239,15 @@ class CommitLogFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val m = manifest()
+    // This relation was created against a DV-free snapshot (createRelation
+    // routes DV snapshots to the merge-on-read relation). An unpinned
+    // index re-resolves per scan, so a deletion-vector commit landing
+    // AFTER relation creation would make this file-level listing serve
+    // dead rows — fail loudly instead; a fresh read/query plans correctly.
+    if (m.dvsOrEmpty.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot v${m.version} at $root now carries deletion vectors; " +
+          "re-create the read (each new query resolves the right scan)")
     // Catalyst expressions → V1 filters → the manifest pruner. A filter
     // that doesn't translate simply doesn't prune (it still runs above
     // the scan), the standard conservative data-skipping contract.
@@ -243,6 +263,54 @@ class CommitLogFileIndex(
       new FileStatus(len, false, 1, len.max(1L), 0L, new HPath(p.toUri))
     }
     Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
+  }
+}
+
+/** V1 relation for snapshots that carry deletion vectors: delegates to the
+  * DV-aware [[CommitLog.readPruned]] (manifest-stats file skipping plus
+  * the dead-position anti-join) and surfaces the inner plan's InternalRows
+  * directly (`needConversion = false`) — the parquet scan under the
+  * anti-join is still Spark's vectorized, codegen'd one; only the relation
+  * boundary is an RDD hand-off. Translatable pushed filters prune files
+  * via the manifest; Spark re-applies every filter above the scan (the V1
+  * contract), so partial translation is always safe.
+  */
+class MergeOnReadRelation(
+    spark: SparkSession,
+    val root: String,
+    val pinned: Option[Long]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = {
+    val v = pinned.orElse(CommitLog.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    CommitLog.manifestSchema(CommitLog.readManifest(root, v))
+  }
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val cond = filters.flatMap(GraftTable.toColumnOpt)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val df = CommitLog.readPruned(spark, root, cond, pinned)
+    val projected = df.select(requiredColumns.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col): _*)
+    // needConversion=false: Spark accepts InternalRows from a V1 scan —
+    // the documented fast path file sources themselves use.
+    projected.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(pinned.isEmpty,
+      "cannot INSERT through a version-pinned (time travel) relation")
+    if (overwrite) CommitLog.overwrite(data, root)
+    else CommitLog.append(data, root)
   }
 }
 

@@ -375,7 +375,7 @@ case class GraftTable(rootDir: String, tableName: String, pinned: Option[Long])
     val cond = GraftTable.filtersToColumn(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"cannot translate delete condition: ${filters.mkString(", ")}"))
-    CommitLog.delete(spark, rootDir, cond)
+    CommitLog.deleteConfigured(spark, rootDir, cond)
   }
 }
 
@@ -389,6 +389,11 @@ object GraftTable {
     filters.toSeq.foldLeft(Option(lit(true))) { (acc, f) =>
       for { a <- acc; c <- toColumn(f) } yield a && c
     }
+
+  /** Best-effort single-filter translation, for callers where partial
+    * translation is safe (V1 scans re-apply every filter above the scan).
+    */
+  def toColumnOpt(f: Filter): Option[Column] = toColumn(f)
 
   private def toColumn(f: Filter): Option[Column] = f match {
     case _: sources.AlwaysTrue => Some(lit(true))
