@@ -309,11 +309,74 @@ object Similarity {
        |    ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk FROM ccos)
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** SemDeDup drop flags for a batch of cell-assigned vectors
+    * (`vec_id, cid, embedding`): a vector is dropped when ANY lower-id
+    * cell-mate — prior index member or same-batch — sits at cosine ≥
+    * 0.95. The drop rule never consults the MATE's own flag, which is
+    * what makes it incremental-exact: later batches (higher ids) can
+    * never retro-drop earlier members. Returns
+    * (vec_id, cid, dropped, embedding) — embeddings kept so the result
+    * persists as a probe-able index. `n` must cover every id on either
+    * side.
+    */
+  private def semDropFlags(s: SparkSession, assigned: DataFrame,
+      prior: Option[DataFrame], n: DataFrame): DataFrame = {
+    val mates = prior.map(p => assigned.select("vec_id", "cid", "embedding")
+        .unionByName(p))
+      .getOrElse(assigned.select("vec_id", "cid", "embedding"))
+    val bSide = assigned
+      .select(col("vec_id").as("b_id"), col("cid"), col("embedding").as("ce"))
+      .repartition(col("cid")) // cell-keyed: the quadratic stays per-cell
+    val aSide = mates
+      .select(col("vec_id").as("a_id"), col("cid"), col("embedding").as("qe"))
+    val pairs = aSide.join(bSide, Seq("cid")).filter(col("a_id") < col("b_id"))
+      .withColumn("dot", dotDec("qe", "ce"))
+      .join(n.toDF("a_id", "n2a"), Seq("a_id"))
+      .join(n.toDF("b_id", "n2b"), Seq("b_id"))
+      .withColumn("cosim", cosim(col("dot"), col("n2a"), col("n2b")))
+      .filter(col("cosim") >= 0.95)
+    val dropped = pairs.select(col("b_id").as("vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("hit"), lit(0L)).as("dropped"), col("embedding"))
+  }
+
+  /** One incremental SemDeDup round against a persisted index — q109's
+    * update step as a reusable unit, shared with the streaming sink
+    * ([[graft.streaming.StreamingAnalytics.semdedupProbeSink]]): assign
+    * `delta` (vec_id, embedding) against the index's cell table, flag
+    * each vector dropped when a member or a lower-id delta cell-mate
+    * sits at cosine ≥ 0.95, and return the rows to append to the member
+    * table. CONTRACT: delta ids must exceed every member id (monotone
+    * ingest ids) — that is what makes the incremental answer equal the
+    * batch one.
+    */
+  def semdedupDelta(s: SparkSession, delta: DataFrame,
+      cells: DataFrame, members: DataFrame): DataFrame = {
+    val priors = members.select("vec_id", "cid", "embedding")
+    val n = norms(delta.select(col("vec_id"), col("embedding"))
+      .unionByName(priors.select(col("vec_id"), col("embedding"))))
+    val assigned = ivfAssign(delta, norms(delta), cells)
+      .toDF("vec_id", "cid").join(delta, Seq("vec_id"))
+    semDropFlags(s, assigned, Some(priors), n)
+  }
+
   /** q107's oracle: SemDeDup restated declaratively — nearest-cell
     * assignment over the planted-dup corpus, pairwise cosine WITHIN cells
-    * only, drop-if-lower-id-mate-above-threshold.
+    * only, drop-if-lower-id-mate-above-threshold. `centCond` narrows the
+    * centroid set (q109 freezes it at the initial release).
     */
-  private def semdedupSql: String =
+  private def semdedupSql: String = semdedupSqlWith("")
+
+  /** q109's oracle: the SAME batch SemDeDup over the full corpus, with
+    * the centroid set frozen at the initial release (vec_id < 300) — the
+    * incremental index-update path must reproduce it row for row.
+    */
+  private def semdedupIncrementalSql: String =
+    semdedupSqlWith(" AND vec_id < 300")
+
+  private def semdedupSqlWith(centCond: String): String =
     s"""WITH aug AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
@@ -327,7 +390,7 @@ object Similarity {
        |          generate_subscripts(embedding, 1) AS i FROM aug)
        |  GROUP BY 1),
        |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM aug
-       |          WHERE vec_id % 50 = 0 AND vec_id >= 0),
+       |          WHERE vec_id % 50 = 0 AND vec_id >= 0$centCond),
        |assign0 AS (
        |  SELECT vec_id, cent_id, $dotSqlExpr AS dot
        |  FROM (SELECT v.vec_id, c.cent_id, v.embedding AS qe, c.ce,
@@ -878,26 +941,62 @@ object Similarity {
         val cents = aug.filter(col("vec_id") % 50 === 0 && col("vec_id") >= 0)
           .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
         val assign = ivfAssign(aug, n, cents).toDF("vec_id", "cid")
-        val av = assign.join(aug, Seq("vec_id"))
-          .select(col("vec_id").as("a_id"), col("cid"), col("embedding").as("qe"))
-          .repartition(col("cid")) // cell-keyed: the quadratic stays per-cell
-        val bv = assign.join(aug, Seq("vec_id"))
-          .select(col("vec_id").as("b_id"), col("cid"), col("embedding").as("ce"))
-        val pairs = av.join(bv, Seq("cid")).filter(col("a_id") < col("b_id"))
-          .withColumn("dot", dotDec("qe", "ce"))
-          .join(n.toDF("a_id", "n2a"), Seq("a_id"))
-          .join(n.toDF("b_id", "n2b"), Seq("b_id"))
-          .withColumn("cosim", cosim(col("dot"), col("n2a"), col("n2b")))
-          .filter(col("cosim") >= 0.95)
-        val dropped = pairs.select(col("b_id").as("vec_id")).distinct()
-          .withColumn("hit", lit(1L))
-        assign
-          .join(dropped, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cid"),
-            coalesce(col("hit"), lit(0L)).as("dropped"))
+          .join(aug, Seq("vec_id"))
+        semDropFlags(s, assign, None, n)
+          .select("vec_id", "cid", "dropped")
           .orderBy("vec_id")
       },
       oracle = Some(semdedupSql)),
+
+    // INCREMENTAL SemDeDup against a PERSISTED index (q105's pattern
+    // lifted to semantic dedup): the corpus splits at vec_id 300 into an
+    // initial release and a later delta batch. The initial release runs
+    // q107's cluster-then-prune once and persists the index — centroids
+    // plus ALL members with their drop flags and embeddings — as
+    // CommitLog tables. The delta then (a) assigns ONLY against the
+    // READ-BACK centroid table, (b) compares each new vector within its
+    // cell against read-back members and lower-id delta cell-mates, and
+    // (c) APPENDS its rows in one commit. Because the drop rule is
+    // "∃ lower-id cell-mate ≥ τ" and every delta id exceeds every initial
+    // id, the incremental result is IDENTICAL to batch SemDeDup over the
+    // full corpus — which is exactly what the oracle states, so a green
+    // row proves the incremental path loses nothing. At 100 TB this is
+    // the nightly embedding-ingest dedup: O(|delta| × cell) work against
+    // a static index instead of O(corpus²) recompute, with index updates
+    // inheriting CommitLog's ACID (an index version ≡ a table version).
+    "q109_semdedup_incremental" -> QueryDef(
+      fn = { (s, dir) =>
+        import graft.sources.CommitLog
+        val e0 = emb(s, dir)
+        val aug = e0.select(col("vec_id"), col("embedding"))
+          .unionByName(e0.filter(col("vec_id") < 50)
+            .select((-(col("vec_id") + 1)).cast("long").as("vec_id"),
+              col("embedding")))
+        val n = norms(aug)
+        val init = aug.filter(col("vec_id") < 300)
+        val delta = aug.filter(col("vec_id") >= 300)
+        // centroid set frozen at the initial release (all < 300)
+        val cents = init.filter(col("vec_id") % 50 === 0 && col("vec_id") >= 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q109-semdedup").toString
+        // initial release: q107's batch prune, persisted WITH embeddings
+        val assignInit = ivfAssign(init, norms(init), cents)
+          .toDF("vec_id", "cid").join(init, Seq("vec_id"))
+        val initFlagged = semDropFlags(s, assignInit, None, n)
+        CommitLog.append(cents, s"$root/cells")
+        CommitLog.append(initFlagged, s"$root/members")
+        // the UPDATE: delta assigned against the PERSISTED index only
+        CommitLog.append(
+          semdedupDelta(s, delta,
+            CommitLog.read(s, s"$root/cells"),
+            CommitLog.read(s, s"$root/members")),
+          s"$root/members")
+        CommitLog.read(s, s"$root/members")
+          .select("vec_id", "cid", "dropped")
+          .orderBy("vec_id")
+      },
+      oracle = Some(semdedupIncrementalSql)),
 
     // IVF with LEARNED centroids: q18's probe shape, but the coarse
     // quantizer is q79's k-means (10 seeds, one exact Lloyd update on the

@@ -27,6 +27,7 @@ import graft.sources.CommitLog
   *   DESCRIBE HISTORY <table>                       → [[CommitLog.history]]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <n>   → [[CommitLog.restore]]
   *   REORG TABLE <table> APPLY (PURGE)              → [[CommitLog.purgeDeletionVectors]]
+  *   CREATE TABLE <t> SHALLOW CLONE <s> [VERSION AS OF <n>] → [[CommitLog.shallowClone]]
   *   ALTER TABLE <t> ADD CONSTRAINT <n> CHECK (<e>) → [[CommitLog.addConstraint]]
   *   ALTER TABLE <t> DROP CONSTRAINT <n>            → [[CommitLog.dropConstraint]]
   *
@@ -55,6 +56,11 @@ object CommitLogSqlMaintenance {
   // Delta's published syntax for materializing deletion vectors away
   private val ReorgPurgeRe =
     """(?is)^\s*REORG\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
+  // Delta's CREATE TABLE ... SHALLOW CLONE (target must be a graft
+  // catalog identifier — the catalog supplies the new table's location)
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+SHALLOW\s+CLONE\s+""" +
+      """((?:`[^`]+`|[\w.])+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   // Greedy body capture: the CHECK expression may itself contain parens;
@@ -87,6 +93,10 @@ object CommitLogSqlMaintenance {
         GraftHistoryCommand(delegate.parseMultipartIdentifier(ident))
       case ReorgPurgeRe(ident) =>
         GraftPurgeDvCommand(delegate.parseMultipartIdentifier(ident))
+      case CloneRe(dst, src, version) =>
+        GraftCloneCommand(delegate.parseMultipartIdentifier(dst),
+          delegate.parseMultipartIdentifier(src),
+          Option(version).map(_.toLong))
       case RestoreRe(ident, version) =>
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident), version.toLong)
       case AddConstraintRe(ident, name, check) =>
@@ -158,6 +168,41 @@ object CommitLogSqlMaintenance {
       Seq(AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(CommitLog.purgeDeletionVectors(spark, rootOf(spark, parts))))
+  }
+
+  /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` →
+    * [[CommitLog.shallowClone]]. The DESTINATION must be an identifier in
+    * a [[graft.sources.commitlog.GraftCatalog]] (the catalog maps it to a
+    * location under its root); the source is any resolvable commitlog
+    * table — catalog-addressed or a temp view over a path.
+    */
+  case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
+      version: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val srcRoot = rootOf(spark, src)
+      require(dst.size >= 2,
+        "SHALLOW CLONE target must be a catalog identifier (catalog.[ns.]table)")
+      val cat = try spark.sessionState.catalogManager.catalog(dst.head) catch {
+        case _: Exception => throw new UnsupportedOperationException(
+          s"'${dst.head}' is not a registered catalog — SHALLOW CLONE " +
+            "targets live in a graft catalog, which supplies the location")
+      }
+      val gcat = cat match {
+        case g: graft.sources.commitlog.GraftCatalog => g
+        case other => throw new UnsupportedOperationException(
+          s"catalog '${dst.head}' (${other.getClass.getSimpleName}) is not " +
+            "a GraftCatalog — SHALLOW CLONE needs one to place the new table")
+      }
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        dst.tail.init.toArray, dst.last)
+      require(!gcat.tableExists(ident),
+        s"table ${dst.mkString(".")} already exists")
+      val dir = gcat.locationFor(ident)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Seq(Row(CommitLog.shallowClone(srcRoot, dir, version)))
+    }
   }
 
   /** `VACUUM t [RETAIN n HOURS]` → reclaim unreferenced files outside the

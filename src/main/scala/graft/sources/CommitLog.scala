@@ -253,7 +253,7 @@ object CommitLog {
     // later, so keeping the newer set would publish unvalidated rows.
     val cs =
       if (c.op == "add-constraint" || c.op == "drop-constraint" ||
-          c.op == "restore")
+          c.op == "restore" || c.op == "clone")
         c.constraintsOrEmpty
       else prior.map(_.constraintsOrEmpty).getOrElse(Map.empty)
     // Deletion vectors: a removed data file takes its DV with it (rewrites
@@ -815,6 +815,44 @@ object CommitLog {
     v
   }
 
+  /** SHALLOW CLONE (the published Delta CLONE): create `dst` as a
+    * zero-copy snapshot of `src` at `version` (default: current). The
+    * clone's first commit references the source's data files AND deletion
+    * vectors by ABSOLUTE path — no data moves, the clone is a metadata
+    * write regardless of table size. From then on the tables diverge
+    * freely: writes to the clone stage into the clone's own `data/`,
+    * rewrites (compact/optimize/merge/purge) progressively LOCALIZE it,
+    * and the source never sees any of it. CHECK constraints carry over;
+    * streaming txn watermarks deliberately do not (the clone is a new
+    * sink identity).
+    *
+    * The published hazard applies unchanged: vacuuming the SOURCE can
+    * reclaim files the clone still references. Tag the cloned version in
+    * the source (vacuum pins tags), or localize the clone (compact /
+    * REORG) before source retention expires. The clone's own vacuum only
+    * ever walks the clone's `data/`, so it can never delete source files.
+    *
+    * At 100 TB this is the instant dev/test copy and the
+    * experiment-branch primitive: O(files) metadata instead of a
+    * table-sized copy job.
+    */
+  def shallowClone(src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(src))
+      .getOrElse(throw new IllegalStateException(s"no commits at $src"))
+    require(currentVersion(dst).isEmpty,
+      s"clone target $dst already has commits")
+    val m = readManifest(src, v)
+    val stats = m.statsOrNil.map(s => s.copy(path = absPath(src, s.path)))
+    val dvs = m.dvsOrEmpty.map { case (d, dv) =>
+      absPath(src, d) -> absPath(src, dv)
+    }
+    commitDelta(dst, None, Commit(1L, "clone", m.schemaJson, stats, Nil,
+      m.partitionByOrNil, Map.empty, constraints = m.constraintsOrEmpty,
+      dvs = dvs))
+    1L
+  }
+
   /** Read a snapshot: latest by default, or a pinned historical version.
     * Always reads with the LOG schema, never parquet footer inference —
     * footer sampling picks an arbitrary file (wrong under schema evolution,
@@ -854,12 +892,20 @@ object CommitLog {
   private def schemaOf(m: Manifest): StructType =
     DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
 
+  /** Manifest path → openable path. Paths are root-relative for files the
+    * table staged itself; a SHALLOW CLONE's first commit references the
+    * source's files by ABSOLUTE path (leading '/'), which every read/DML
+    * path resolves through here.
+    */
+  private[sources] def dataPath(root: String, f: String): String =
+    if (f.startsWith("/")) f else s"$root/$f"
+
   private def readFiles(spark: SparkSession, root: String, schema: StructType,
       files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+    else spark.read.schema(schema).parquet(files.map(dataPath(root, _)): _*)
 
   /** Manifest-resolved read: the snapshot's LIVE rows — files with a
     * deletion vector anti-join their dead positions away
@@ -905,7 +951,7 @@ object CommitLog {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(schema.fields ++ Seq(
           StructField(TagFile, StringType), StructField(TagPos, LongType))))
-    spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+    spark.read.schema(schema).parquet(files.map(dataPath(root, _)): _*)
       .withColumn(TagFile, canonicalFileCol)
       .withColumn(TagPos, col("_metadata.row_index"))
   }
@@ -920,7 +966,7 @@ object CommitLog {
       dvMap: Map[String, String]): DataFrame = {
     val lookup = dvMap.toSeq.map { case (data, dv) => (absPath(root, dv), data) }
     spark.read.schema(StructType(Seq(StructField("pos", LongType))))
-      .parquet(dvMap.values.toSeq.sorted.map(f => s"$root/$f"): _*)
+      .parquet(dvMap.values.toSeq.sorted.map(dataPath(root, _)): _*)
       .withColumn("__dv_src", canonicalFileCol)
       .join(broadcast(spark.createDataFrame(lookup).toDF("__dv_src", "__dv_rel")),
         "__dv_src")
@@ -938,10 +984,13 @@ object CommitLog {
     val dvMap = m.dvsOrEmpty.filter { case (f, _) => inSet(f) }
     val tagged = readTagged(spark, root, schemaOf(m), files)
     if (dvMap.isEmpty) return tagged
-    val rootAbs = Paths.get(root).toAbsolutePath.normalize.toString
+    // manifest path → absolute scan path, resolved on the driver (handles
+    // both root-relative files and a shallow clone's absolute references)
+    val relToAbs = dvMap.keysIterator.map(f => (f, absPath(root, f))).toSeq
     val dead = dvPositionsRel(spark, root, dvMap)
-      .select(concat(lit(rootAbs + "/"), col("__dv_rel")).as("__dv_file"),
-        col("__dv_pos"))
+      .join(broadcast(spark.createDataFrame(relToAbs)
+        .toDF("__dv_rel", "__dv_file")), "__dv_rel")
+      .select(col("__dv_file"), col("__dv_pos"))
     tagged.join(dead,
       tagged(TagFile) === dead("__dv_file") && tagged(TagPos) === dead("__dv_pos"),
       "left_anti")
@@ -1175,13 +1224,16 @@ object CommitLog {
     val m = readManifest(root, base)
     val touched = touchedFiles(spark, root, m)(_.filter(cond))
     if (touched.isEmpty) return base // nothing matches: no-op, no commit
-    val rootAbs = Paths.get(root).toAbsolutePath.normalize.toString
     // Newly dead coordinates — from the LIVE read, so previously-DV'd
     // positions cannot reappear here (the union below stays disjoint).
+    // Scan paths map back to MANIFEST path strings via a driver lookup
+    // (correct for relative and clone-absolute references alike).
+    val absToRel = touched.map(f => (absPath(root, f), f))
     val newDead = readTaggedLive(spark, root, m, touched)
       .filter(coalesce(cond, lit(false)))
-      .select(col(TagFile).substr(lit(rootAbs.length + 2), lit(Int.MaxValue))
-        .as("__dv_rel"), col(TagPos).as("__dv_pos"))
+      .join(broadcast(spark.createDataFrame(absToRel).toDF(TagFile, "__dv_rel")),
+        TagFile)
+      .select(col("__dv_rel"), col(TagPos).as("__dv_pos"))
     val priorDv = m.dvsOrEmpty.filter { case (f, _) => touched.contains(f) }
     val dead = (if (priorDv.isEmpty) newDead
       else newDead.unionByName(dvPositionsRel(spark, root, priorDv))).persist()
@@ -1219,13 +1271,14 @@ object CommitLog {
     require(bad.isEmpty, s"UPDATE of unknown column(s): ${bad.mkString(",")}")
     val touched = touchedFiles(spark, root, m)(_.filter(cond))
     if (touched.isEmpty) return base // nothing matches: no-op, no commit
-    val rootAbs = Paths.get(root).toAbsolutePath.normalize.toString
+    val absToRel = touched.map(f => (absPath(root, f), f))
     val matched = readTaggedLive(spark, root, m, touched)
       .filter(coalesce(cond, lit(false))).persist()
     try {
       val newDead = matched
-        .select(col(TagFile).substr(lit(rootAbs.length + 2), lit(Int.MaxValue))
-          .as("__dv_rel"), col(TagPos).as("__dv_pos"))
+        .join(broadcast(spark.createDataFrame(absToRel).toDF(TagFile, "__dv_rel")),
+          TagFile)
+        .select(col("__dv_rel"), col(TagPos).as("__dv_pos"))
       val priorDv = m.dvsOrEmpty.filter { case (f, _) => touched.contains(f) }
       val dead = (if (priorDv.isEmpty) newDead
         else newDead.unionByName(dvPositionsRel(spark, root, priorDv))).persist()

@@ -228,12 +228,14 @@ class CommitLogFileIndex(
     val m = manifest()
     m.statsOrNil.map { s =>
       if (s.bytes > 0L) s.bytes
-      else try Files.size(Paths.get(root, s.path)) catch { case _: Exception => 0L }
+      else try Files.size(Paths.get(CommitLog.dataPath(root, s.path)))
+      catch { case _: Exception => 0L }
     }.sum
   }
 
   override def inputFiles: Array[String] =
-    manifest().files.map(f => Paths.get(root, f).toUri.toString).toArray
+    manifest().files
+      .map(f => Paths.get(CommitLog.dataPath(root, f)).toUri.toString).toArray
 
   override def listFiles(
       partitionFilters: Seq[Expression],
@@ -257,7 +259,7 @@ class CommitLogFileIndex(
       else CommitLog.pruneForSourceFilters(spark, m, v1Filters.toArray)
     val byPath = m.statsOrNil.map(s => s.path -> s).toMap
     val statuses = surviving.map { rel =>
-      val p = Paths.get(root, rel)
+      val p = Paths.get(CommitLog.dataPath(root, rel))
       val len = byPath.get(rel).map(_.bytes).filter(_ > 0L)
         .getOrElse(Files.size(p)) // pre-bytes manifests only
       new FileStatus(len, false, 1, len.max(1L), 0L, new HPath(p.toUri))

@@ -131,6 +131,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
 
+  /** Filesystem location an identifier maps to (whether or not a table
+    * exists there yet) — the hook SQL `SHALLOW CLONE` uses to place a new
+    * table inside this catalog's root.
+    */
+  def locationFor(ident: Identifier): String = dirOf(ident).toString
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -51,6 +51,32 @@ object StreamingAnalytics {
       ()
     }
 
+  /** Streaming twin of q109's incremental SemDeDup: each micro-batch of
+    * newly ingested embeddings (vec_id, embedding) is assigned against
+    * the persisted cell table, flagged against the CURRENT member table
+    * (plus lower-id batch mates), and appended to the member table
+    * exactly once — so the stream MAINTAINS the semantic-dedup index,
+    * and every batch is deduped against everything that landed before
+    * it. Per-trigger cost is O(batch × cell size); no state-store state
+    * (the index tables ARE the state, versioned and time-travelable).
+    *
+    * CONTRACT (inherited from [[graft.operators.Similarity.semdedupDelta]]):
+    * batch ids must be monotone above all landed member ids, and the
+    * cell set is frozen at index build. Usage:
+    * `embStream.writeStream.foreachBatch(semdedupProbeSink(root,
+    * "semdedup-app")).start()` with `root/cells` and `root/members`
+    * CommitLog tables built by the q109 initial release.
+    */
+  def semdedupProbeSink(root: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val s = batch.sparkSession
+      val out = graft.operators.Similarity.semdedupDelta(s, batch,
+        graft.sources.CommitLog.read(s, s"$root/cells"),
+        graft.sources.CommitLog.read(s, s"$root/members"))
+      graft.sources.CommitLog.appendTxn(out, s"$root/members", appId, batchId)
+      ()
+    }
+
   /** Streaming twin of q95/q67's benchmark-contamination screen: each
     * micro-batch of newly landed documents (doc_id, text) is shingled,
     * prescreened by the DRIVER-HELD eval bloom sketch (re-inserted as a

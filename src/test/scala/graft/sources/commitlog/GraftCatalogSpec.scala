@@ -186,4 +186,28 @@ class GraftCatalogSpec extends SparkTestBase {
     cat.alterTable(ident, TableChange.dropConstraint("nope", true, false))
     assert(spark.table("graft.t10").count() == 2)
   }
+
+  test("CREATE TABLE ... SHALLOW CLONE branches a catalog table instantly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.clones")
+    spark.sql("CREATE TABLE graft.clones.base (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.clones.base SELECT id, id * 0.5 FROM range(100)")
+    spark.sql("INSERT INTO graft.clones.base SELECT id, id * 0.5 FROM range(100, 120)")
+    val v = spark.sql("CREATE TABLE graft.clones.branch SHALLOW CLONE graft.clones.base")
+      .collect()(0).getLong(0)
+    assert(v == 1L)
+    // zero-copy: the clone dir holds only a log, no data files
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "clones", "branch", "data")))
+    assert(spark.table("graft.clones.branch").count() == 120)
+    // divergence: DML on the branch leaves the base alone
+    spark.sql("DELETE FROM graft.clones.branch WHERE k >= 100")
+    assert(spark.table("graft.clones.branch").count() == 100)
+    assert(spark.table("graft.clones.base").count() == 120)
+    // time-travel clone pins the version
+    spark.sql("CREATE TABLE graft.clones.early SHALLOW CLONE graft.clones.base VERSION AS OF 2")
+    assert(spark.table("graft.clones.early").count() == 100)
+    // cloning onto an existing identifier refuses
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft.clones.branch SHALLOW CLONE graft.clones.base"))
+  }
 }

@@ -398,4 +398,60 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       assert(spark.table("cohort_stream").as[CohortDelta].collect().exists(_.delta < 0))
     } finally q.stop()
   }
+
+  test("streaming SemDeDup probe maintains the index and equals batch q109") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val e0 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val aug = e0.unionByName(e0.filter($"vec_id" < 50)
+      .select((-($"vec_id" + 1)).cast("long").as("vec_id"), $"embedding"))
+    val init = aug.filter($"vec_id" < 300)
+    val cents = init.filter($"vec_id" % 50 === 0 && $"vec_id" >= 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-semdedup-stream").toString
+    // initial release: the delta round against an EMPTY member table IS
+    // the batch build (no prior mates, only intra-release lower ids)
+    val emptyMembers = aug.limit(0).withColumn("cid", lit(0L))
+      .select("vec_id", "cid", "embedding")
+    graft.sources.CommitLog.append(cents, s"$root/cells")
+    graft.sources.CommitLog.append(
+      graft.operators.Similarity.semdedupDelta(spark, init, cents, emptyMembers),
+      s"$root/members")
+
+    // the delta arrives as a stream, two id-monotone micro-batches
+    val delta = aug.filter($"vec_id" >= 300)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (b0, b1) = delta.splitAt(delta.length / 2)
+    val sink = semdedupProbeSink(root, "semdedup-spec")
+    val mem = MemoryStream[(Long, Array[Float])]
+    // MemoryStream's tuple encoder yields array<float> containsNull=false;
+    // cast to the table's nullable element type before the sink sees it
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .writeStream.foreachBatch(sink).start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def indexRows = graft.sources.CommitLog.read(spark, s"$root/members")
+      .select("vec_id", "cid", "dropped")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = indexRows
+    val batch = graft.SparkEntry.queries("q109_semdedup_incremental")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "streamed index must equal the batch incremental-SemDeDup answer")
+    assert(streamed.exists(_._3 == 1L)) // planted dups produce drops
+
+    // restart replay of the last micro-batch is a no-op (exactly-once)
+    val vBefore = graft.sources.CommitLog.currentVersion(s"$root/members")
+    sink(b1.toSeq.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding")), 1L)
+    assert(graft.sources.CommitLog.currentVersion(s"$root/members") == vBefore)
+    assert(indexRows == streamed)
+  }
 }
