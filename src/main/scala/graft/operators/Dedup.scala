@@ -341,6 +341,76 @@ object Dedup {
            |  CAST(n_unique * 1000000 // n_sh AS BIGINT) AS novelty_ppm
            |FROM per ORDER BY doc_id""".stripMargin)),
 
+    // Decontaminated eval split — the dataset-freeze composition every
+    // published benchmark pipeline runs before releasing an eval set:
+    // q100's content-free hash rule partitions the corpus 80/10/10, and
+    // each TEST doc is screened against the TRAIN split's distinct
+    // shingle set by OVERLAP RATIO (≥ 75% of the doc's distinct
+    // 3-shingles already in train = leaked — the ratio rule, unlike
+    // q67's absolute floor, discriminates on a shared-vocabulary corpus
+    // where every doc trivially shares a few shingles). Output is the
+    // per-doc eval manifest with the contamination flag — what actually
+    // ships, instead of two reports a human must join. All-integer
+    // threshold arithmetic (4·shared ≥ 3·total), no float boundary.
+    // 100 TB shape: the train shingle set is a semi-join + distinct
+    // (map-side combined); the test stream left-joins it on the shingle
+    // key and collapses to two counts per doc — one shuffle each.
+    "q110_clean_eval_split" -> QueryDef(
+      fn = { (s, dir) =>
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long")
+        val d = docs(s, dir).withColumn("split",
+          when(u % 100 < 80, "train").when(u % 100 < 90, "val")
+            .otherwise("test"))
+        val sh = shingles(d)
+        val trainSh = sh
+          .join(d.filter(col("split") === "train").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .select("sh").distinct()
+        val bad = sh
+          .join(d.filter(col("split") === "test").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .join(trainSh.withColumn("hit_sh", lit(1L)), Seq("sh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"),
+            sum(coalesce(col("hit_sh"), lit(0L))).as("n_shared"))
+          .filter(col("n_shared") * 4 >= col("n_sh") * 3)
+          .select(col("doc_id"), lit(1L).as("hit"))
+        d.filter(col("split") === "test")
+          .join(bad, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("source"),
+            coalesce(col("hit"), lit(0L)).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH $shinglesSql,
+           |splits AS (
+           |  SELECT doc_id, lang, source,
+           |    CASE WHEN u % 100 < 80 THEN 'train'
+           |         WHEN u % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (
+           |    SELECT doc_id, lang, source,
+           |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           |        AS BIGINT) AS u
+           |    FROM documents)),
+           |trsh AS (
+           |  SELECT DISTINCT sh FROM sh0
+           |  JOIN splits USING (doc_id) WHERE split = 'train'),
+           |bad AS (
+           |  SELECT s.doc_id FROM sh0 s
+           |  JOIN splits p ON p.doc_id = s.doc_id AND p.split = 'test'
+           |  LEFT JOIN trsh t ON t.sh = s.sh
+           |  GROUP BY 1
+           |  HAVING 4 * sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)
+           |    >= 3 * count(*))
+           |SELECT p.doc_id, p.lang, p.source,
+           |  CAST(CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           |    AS contaminated
+           |FROM splits p LEFT JOIN bad b ON b.doc_id = p.doc_id
+           |WHERE p.split = 'test'
+           |ORDER BY p.doc_id""".stripMargin)),
+
     // Exact dedup: canonical representative (min doc_id) per normalized
     // content hash. Hash-groupBy — the one shuffle is on the 128-bit key,
     // uniformly distributed by construction.

@@ -273,6 +273,41 @@ class CommitLogDVSpec extends SparkTestBase {
     assert(ids(root) == (6L until 12L))
   }
 
+  test("SQL MERGE INTO a DV-bearing table goes through the merge-on-read target") {
+    val root = tmpTable()
+    append1(spark.range(10).selectExpr("id", "id AS v"), root)
+    deleteDV(spark, root, col("id") === 4)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dv_m USING `graft-commitlog` OPTIONS (path '$root')")
+    spark.range(3, 6).selectExpr("id", "id * 100 AS v")
+      .createOrReplaceTempView("dv_m_src")
+    spark.sql("""MERGE INTO dv_m t USING dv_m_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = read(spark, root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 was dead -> the source row INSERTS it; 3 and 5 update in place
+    assert(rows(3L) == 300L && rows(4L) == 400L && rows(5L) == 500L)
+    assert(rows(2L) == 2L && rows.size == 10)
+  }
+
+  test("racing DV deletes: losers retry against the fresh DV state and all land") {
+    val root = tmpTable()
+    append1(spark.range(1000).toDF("id"), root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { t =>
+      new Thread(() => {
+        try CommitLog.withRetry(maxRetries = 10) {
+          deleteDV(spark, root, col("id") % 100 === t)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing deleteDV failed: ${errs.peek()}")
+    // every delete landed exactly once: a retry re-reads the winner's DV
+    // state and unions into it, never clobbers it
+    assert(ids(root) == (0L until 1000L).filterNot(i => i % 100 <= 2))
+    assert(currentVersion(root).contains(4L)) // 1 append + 3 delete commits
+  }
+
   test("pruned scan over a DV snapshot skips files AND applies DVs") {
     val root = tmpTable()
     (0L until 4L).foreach { i =>

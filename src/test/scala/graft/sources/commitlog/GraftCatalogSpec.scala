@@ -210,4 +210,24 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](
       spark.sql("CREATE TABLE graft.clones.branch SHALLOW CLONE graft.clones.base"))
   }
+
+  test("catalog reads route DV-bearing tables through the merge-on-read scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.dv.t SELECT id FROM range(50)")
+    spark.conf.set("spark.graft.commitlog.deletionVectors", "true")
+    try spark.sql("DELETE FROM graft.dv.t WHERE k % 10 = 0")
+    finally spark.conf.unset("spark.graft.commitlog.deletionVectors")
+    assert(CommitLog.readManifest(s"$root/dv/t",
+      CommitLog.currentVersion(s"$root/dv/t").get).op == "delete-dv")
+    // identifier-addressed read applies the DVs (falls back to the MoR scan)
+    assert(spark.table("graft.dv.t").count() == 45)
+    assert(spark.sql("SELECT sum(k) FROM graft.dv.t").collect()(0).getLong(0) ==
+      (0L until 50L).filter(_ % 10 != 0).sum)
+    // REORG through the catalog identifier, then the vectorized scan returns
+    spark.sql("REORG TABLE graft.dv.t APPLY (PURGE)")
+    val plan = spark.table("graft.dv.t").queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"expected V1 file scan:\n$plan")
+    assert(spark.table("graft.dv.t").count() == 45)
+  }
 }
