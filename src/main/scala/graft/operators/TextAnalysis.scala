@@ -591,6 +591,63 @@ object TextAnalysis {
     // 100 TB shape: one scan, per-row hash + CASE, one map-side-combined
     // aggregate on (lang, source, split) — ~|strata|×3 rows out, zero
     // joins.
+    // Curriculum shard packing: order the corpus easy→hard (ascending
+    // token length — the published sequence-length curriculum heuristic),
+    // then pack the ORDERED stream into 4000-token shards, so shard k is
+    // strictly easier than shard k+1 and a trainer consumes shards in
+    // id order. The global cumulative sum is computed WITHOUT a
+    // single-partition window — the distributed prefix-sum shape:
+    // range-partition on the curriculum key, per-range window cumsum
+    // (the window re-keys on pid: one extra 16-way shuffle of the
+    // 16-byte (doc_id, toks) projection — the price of never sorting
+    // the corpus on one task), then one |partitions|-row offset table
+    // (bounded collect) broadcast back. Range boundaries come from
+    // sampling and are NOT deterministic, but cum(doc) = Σ toks of docs
+    // ordered before it is boundary-INVARIANT, so the output is
+    // engine-exact anyway — that invariance is what makes the pattern
+    // safe at 1000 executors.
+    "q111_curriculum_pack" -> QueryDef(
+      fn = { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+          .withColumn("toks", size(toksCol).cast("long"))
+          .select("doc_id", "toks")
+        val parts = d.repartitionByRange(16, col("toks"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wIn = Window.partitionBy(col("pid"))
+          .orderBy(col("toks"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = parts.withColumn("lcum",
+          coalesce(sum(col("toks")).over(wIn), lit(0L)))
+        // per-partition totals: |partitions| rows — the bounded collect
+        val totals = local.groupBy(col("pid"))
+          .agg(sum(col("toks")).as("ptot"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+          (pid, acc + t)
+        }.sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }
+          .toSeq
+        val offDf = s.createDataFrame(
+          if (offsets.isEmpty) Seq((0, 0L)) else offsets).toDF("pid", "off")
+        local.join(broadcast(offDf), Seq("pid"), "left")
+          .withColumn("cum", col("lcum") + coalesce(col("off"), lit(0L)))
+          .withColumn("shard", expr("cum div 4000"))
+          .select("doc_id", "toks", "shard")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, toks, cum // 4000 AS shard
+          |FROM (
+          |  SELECT doc_id, toks,
+          |    CAST(coalesce(sum(toks) OVER (ORDER BY toks, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum
+          |  FROM (SELECT doc_id,
+          |          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+          |            AS BIGINT) AS toks
+          |        FROM documents))
+          |ORDER BY doc_id""".stripMargin)),
+
     "q100_split_assign" -> QueryDef(
       fn = { (s, dir) =>
         val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 import graft.sources.CommitLog
 
@@ -26,6 +26,7 @@ import graft.sources.CommitLog
   *   VACUUM <table> [RETAIN <n> HOURS]              → [[CommitLog.vacuum]]
   *   DESCRIBE HISTORY <table>                       → [[CommitLog.history]]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <n>   → [[CommitLog.restore]]
+  *   DESCRIBE DETAIL <table>                        → manifest summary row
   *   REORG TABLE <table> APPLY (PURGE)              → [[CommitLog.purgeDeletionVectors]]
   *   CREATE TABLE <t> SHALLOW CLONE <s> [VERSION AS OF <n>] → [[CommitLog.shallowClone]]
   *   ALTER TABLE <t> ADD CONSTRAINT <n> CHECK (<e>) → [[CommitLog.addConstraint]]
@@ -53,6 +54,8 @@ object CommitLogSqlMaintenance {
     """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   // Delta's published syntax for materializing deletion vectors away
   private val ReorgPurgeRe =
     """(?is)^\s*REORG\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
@@ -91,6 +94,8 @@ object CommitLogSqlMaintenance {
           Option(hours).map(_.toLong))
       case HistoryRe(ident) =>
         GraftHistoryCommand(delegate.parseMultipartIdentifier(ident))
+      case DetailRe(ident) =>
+        GraftDetailCommand(delegate.parseMultipartIdentifier(ident))
       case ReorgPurgeRe(ident) =>
         GraftPurgeDvCommand(delegate.parseMultipartIdentifier(ident))
       case CloneRe(dst, src, version) =>
@@ -155,6 +160,51 @@ object CommitLogSqlMaintenance {
         if (zorder.nonEmpty) CommitLog.cluster(spark, root, zorder)
         else CommitLog.optimize(spark, root)
       Seq(Row(v))
+    }
+  }
+
+  /** `DESCRIBE DETAIL t` (Delta's table-metadata summary): one row from
+    * the manifest alone — version, file/row/byte totals, partition spec,
+    * deletion-vector and constraint counts, last-commit stamp. Pure
+    * metadata: no data file opens at any table size.
+    */
+  case class GraftDetailCommand(parts: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("format", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("num_rows", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("partition_columns", StringType, nullable = false)(),
+      AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
+      AttributeReference("num_constraints", LongType, nullable = false)(),
+      AttributeReference("last_modified_ms", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val root = rootOf(spark, parts)
+      val v = CommitLog.currentVersion(root).getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val m = CommitLog.readManifest(root, v)
+      // num_rows counts live data-file rows; rows a DV killed are still
+      // inside their file, so subtract the dead positions (metadata-free
+      // would overcount) — DV files are position lists, rows = positions
+      val stats = m.statsOrNil
+      val deadRows = m.dvsOrEmpty.values.toSeq.sorted match {
+        case Nil => 0L
+        case dvs => spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pos", LongType))))
+          .parquet(dvs.map(f => CommitLog.dataPath(root, f)): _*)
+          .count()
+      }
+      Seq(Row("graft-commitlog", root, v,
+        stats.size.toLong, stats.map(_.rows).sum - deadRows,
+        stats.map(_.bytes).sum,
+        m.partitionByOrNil.mkString(","),
+        m.dvsOrEmpty.size.toLong,
+        m.constraintsOrEmpty.size.toLong,
+        CommitLog.commitTimestamp(root, v)))
     }
   }
 

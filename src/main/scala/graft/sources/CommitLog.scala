@@ -897,8 +897,11 @@ object CommitLog {
     * source's files by ABSOLUTE path (leading '/'), which every read/DML
     * path resolves through here.
     */
-  private[sources] def dataPath(root: String, f: String): String =
+  private[graft] def dataPath(root: String, f: String): String =
     if (f.startsWith("/")) f else s"$root/$f"
+
+  /** Publish stamp of one commit (epoch ms) — surfaced by DESCRIBE DETAIL. */
+  def commitTimestamp(root: String, v: Long): Long = readCommit(root, v).ts
 
   private def readFiles(spark: SparkSession, root: String, schema: StructType,
       files: Seq[String]): DataFrame =

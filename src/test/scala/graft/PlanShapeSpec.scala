@@ -53,9 +53,10 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("windowed pipelines never collapse to a single partition") {
     // per-series windows must keep their partition keys; an Exchange
-    // SinglePartition means one task sorts the whole corpus.
+    // SinglePartition means one task sorts the whole corpus. q111 is the
+    // acid test: a GLOBAL cumulative sum that must still never plan one.
     for (q <- Seq("q51_token_pack", "q40_gap_fill", "q62_fixed_k_sample",
-        "q72_transitions")) {
+        "q72_transitions", "q111_curriculum_pack")) {
       val p = plan(q)
       assert(!p.contains("SinglePartition"), s"$q single-partitions:\n$p")
     }
@@ -64,9 +65,21 @@ class PlanShapeSpec extends SparkTestBase {
   test("no cartesian product outside the documented q17 baseline") {
     for (q <- Seq("q45_neardup_lsh_verify", "q13_minhash_lsh", "q14_simhash",
         "q57_fuzzy_join", "q15_ngram_jaccard", "q92_ann_pq", "q93_triangles",
-        "q94_ann_ivfadc", "q96_passage_dedup", "q98_lexical_topk")) {
+        "q94_ann_ivfadc", "q96_passage_dedup", "q98_lexical_topk",
+        // SemDeDup's pairwise step must stay a cell-id equi-join; the only
+        // nested-loop allowed is the BROADCAST centroid assignment
+        "q107_semdedup", "q110_clean_eval_split")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q went all-pairs")
     }
+  }
+
+  test("q108 novelty: shingle aggregates stay two-phase (map-side combine)") {
+    // both the document-frequency agg and the per-doc collapse must show
+    // partial/final HashAggregate pairs — a single-phase agg shuffles raw
+    // shingle rows
+    val p = plan("q108_novelty")
+    assert(p.contains("HashAggregate"), s"q108 lost hash aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), "q108 went all-pairs")
   }
 
   test("q95 bloom prescreen probes below the exchange, as a plan literal") {

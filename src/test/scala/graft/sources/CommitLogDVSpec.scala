@@ -273,6 +273,20 @@ class CommitLogDVSpec extends SparkTestBase {
     assert(ids(root) == (6L until 12L))
   }
 
+  test("DESCRIBE DETAIL reports DV-aware row counts from metadata + DV files only") {
+    val root = tmpTable()
+    append1(spark.range(100).selectExpr("id", "id AS v"), root)
+    deleteDV(spark, root, col("id") < 10)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dv_d USING `graft-commitlog` OPTIONS (path '$root')")
+    val r = spark.sql("DESCRIBE DETAIL dv_d").collect()(0)
+    assert(r.getAs[String]("format") == "graft-commitlog")
+    assert(r.getAs[Long]("version") == 2L)
+    assert(r.getAs[Long]("num_files") == 1L)
+    assert(r.getAs[Long]("num_rows") == 90L) // 100 staged - 10 DV-dead
+    assert(r.getAs[Long]("num_deletion_vectors") == 1L)
+    assert(r.getAs[Long]("last_modified_ms") > 0L)
+  }
+
   test("SQL MERGE INTO a DV-bearing table goes through the merge-on-read target") {
     val root = tmpTable()
     append1(spark.range(10).selectExpr("id", "id AS v"), root)

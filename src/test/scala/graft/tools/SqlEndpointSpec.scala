@@ -123,6 +123,26 @@ class SqlEndpointSpec extends SparkTestBase {
           st.execute("VACUUM lake.ep_cl RETAIN 168 HOURS")
           val rs8 = st.executeQuery("SELECT count(*) AS n FROM lake.ep_cl")
           assert(rs8.next() && rs8.getLong(1) == 5L)
+
+          // deletion vectors over the socket: the client flips the session
+          // flag, DELETE lands merge-on-read, DESCRIBE DETAIL reports the
+          // DV, REORG purges it — the full MoR lifecycle from plain JDBC
+          st.execute("SET spark.graft.commitlog.deletionVectors=true")
+          st.execute("DELETE FROM lake.ep_cl WHERE id = 2")
+          st.execute("SET spark.graft.commitlog.deletionVectors=false")
+          assert(CommitLog.readManifest(root,
+            CommitLog.currentVersion(root).get).op == "delete-dv")
+          val det = st.executeQuery("DESCRIBE DETAIL lake.ep_cl")
+          assert(det.next())
+          assert(det.getLong(det.findColumn("num_deletion_vectors")) == 1L)
+          assert(det.getLong(det.findColumn("num_rows")) == 4L)
+          val rs9 = st.executeQuery("REORG TABLE lake.ep_cl APPLY (PURGE)")
+          assert(rs9.next())
+          val det2 = st.executeQuery("DESCRIBE DETAIL lake.ep_cl")
+          assert(det2.next())
+          assert(det2.getLong(det2.findColumn("num_deletion_vectors")) == 0L)
+          val rs10 = st.executeQuery("SELECT count(*) AS n FROM lake.ep_cl")
+          assert(rs10.next() && rs10.getLong(1) == 4L)
         } finally spark.sql("DROP TABLE IF EXISTS lake.ep_cl")
       } finally conn.close()
     } finally {
