@@ -396,6 +396,61 @@ object TableOps {
           |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 1)
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // Column mapping under the oracle gate: build a table, RENAME a
+    // column (metadata-only — no file rewrite), append a second
+    // generation under the NEW name, delete via DVs on the renamed
+    // column, read back. The oracle restates the surviving rows over the
+    // original parquet with plain AS aliases — so a green row proves the
+    // logical→physical mapping reassembles both file generations
+    // correctly under rename + merge-on-read deletes.
+    "q112_rename_read" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val root = tmp("graft-q112")
+        val n = ord.count()
+        CommitLog.append(ord.filter(col("o_orderkey") <= n / 2), root)
+        CommitLog.renameColumn(root, "o_totalprice", "price")
+        CommitLog.append(
+          ord.filter(col("o_orderkey") > n / 2)
+            .withColumnRenamed("o_totalprice", "price"), root)
+        CommitLog.deleteDV(s, root, col("price") > 100000.0)
+        CommitLog.read(s, root)
+          .select("o_orderkey", "price")
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_totalprice AS price FROM orders
+          |WHERE o_totalprice <= 100000.0
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // Partition-spec evolution under the oracle gate: generation 1 lands
+    // partitioned by o_orderstatus, the spec evolves to o_orderpriority,
+    // generation 2 lands in the new layout, and a pruned read filters on
+    // BOTH columns — old files prune on status, new files on priority,
+    // and the result must equal the plain filter over the original
+    // parquet. Proves layout change without rewrite loses nothing.
+    "q113_partition_evolve" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice"))
+        val root = tmp("graft-q113")
+        val n = ord.count()
+        CommitLog.append(ord.filter(col("o_orderkey") <= n / 2), root,
+          partitionBy = Seq("o_orderstatus"))
+        CommitLog.setPartitionSpec(root, Seq("o_orderpriority"))
+        CommitLog.append(ord.filter(col("o_orderkey") > n / 2), root)
+        CommitLog.readPruned(s, root,
+            col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // Incremental OPTIMIZE (bin-packing compaction): six small commits,
     // then a size-targeted rewrite that merges only under-sized files —
     // the oracle over the original parquet proves the rewrite is lossless

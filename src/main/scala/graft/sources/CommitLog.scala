@@ -110,7 +110,13 @@ object CommitLog {
       // path (both root-relative). Folding merges per data file (a new DV
       // REPLACES the file's prior one — DV content is cumulative by
       // construction); "restore" replaces the whole map like constraints.
-      dvs: Map[String, String] = Map.empty) {
+      dvs: Map[String, String] = Map.empty,
+      // column mapping (logical name → PHYSICAL parquet name; absent key =
+      // identity) + retired physical names of dropped columns. Read ONLY
+      // on rename-column/drop-column/restore/clone commits — every other
+      // op inherits, so pre-mapping logs and writers stay valid.
+      colMap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil) {
     def addOrNil: Seq[FileStat] = Option(add).getOrElse(Nil)
     def removeOrNil: Seq[String] = Option(remove).getOrElse(Nil)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
@@ -118,6 +124,8 @@ object CommitLog {
     def constraintsOrEmpty: Map[String, String] =
       Option(constraints).getOrElse(Map.empty)
     def dvsOrEmpty: Map[String, String] = Option(dvs).getOrElse(Map.empty)
+    def colMapOrEmpty: Map[String, String] = Option(colMap).getOrElse(Map.empty)
+    def retiredOrNil: Seq[String] = Option(retired).getOrElse(Nil)
   }
 
   /** Materialized snapshot at one version — what readers resolve, and the
@@ -132,7 +140,9 @@ object CommitLog {
       partitionBy: Seq[String] = Nil,
       txn: Map[String, Long] = Map.empty,
       constraints: Map[String, String] = Map.empty, // name → CHECK expr
-      dvs: Map[String, String] = Map.empty) { // data file → live DV file
+      dvs: Map[String, String] = Map.empty, // data file → live DV file
+      colMap: Map[String, String] = Map.empty, // logical → physical name
+      retired: Seq[String] = Nil) { // dropped columns' physical names
     def statsOrNil: Seq[FileStat] = Option(fileStats).getOrElse(Nil)
     def files: Seq[String] = statsOrNil.map(_.path)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
@@ -140,6 +150,11 @@ object CommitLog {
     def constraintsOrEmpty: Map[String, String] =
       Option(constraints).getOrElse(Map.empty)
     def dvsOrEmpty: Map[String, String] = Option(dvs).getOrElse(Map.empty)
+    def colMapOrEmpty: Map[String, String] = Option(colMap).getOrElse(Map.empty)
+    def retiredOrNil: Seq[String] = Option(retired).getOrElse(Nil)
+    /** Physical parquet name of a logical column (identity when unmapped). */
+    def physOf(logical: String): String =
+      colMapOrEmpty.getOrElse(logical, logical)
   }
 
   /** Jackson + erasure leaves Map[String, Long] values as boxed Integers. */
@@ -264,10 +279,20 @@ object CommitLog {
       if (c.op == "restore") c.dvsOrEmpty
       else (prior.map(_.dvsOrEmpty).getOrElse(Map.empty) -- removed) ++
         c.dvsOrEmpty
+    // Column mapping: rename/drop REPLACE the mapping + retired set;
+    // restore/clone revert them with the data; everything else inherits
+    // (pre-mapping logs and writers stay valid).
+    val mapOps = Set("rename-column", "drop-column", "restore", "clone")
+    val cm =
+      if (mapOps(c.op)) c.colMapOrEmpty
+      else prior.map(_.colMapOrEmpty).getOrElse(Map.empty)
+    val ret =
+      if (mapOps(c.op)) c.retiredOrNil
+      else prior.map(_.retiredOrNil).getOrElse(Nil)
     Manifest(c.version, c.op, c.schemaJson,
       prior.map(_.statsOrNil).getOrElse(Nil).filterNot(s => removed(s.path)) ++
         c.addOrNil,
-      c.partitionByOrNil, c.txnOrEmpty, cs, dvs)
+      c.partitionByOrNil, c.txnOrEmpty, cs, dvs, cm, ret)
   }
 
   /** Materialize the snapshot at version `v`: nearest checkpoint at or
@@ -454,13 +479,37 @@ object CommitLog {
     */
   private def stageWithStats(
       df: DataFrame, root: String, partitionBy: Seq[String],
-      preArranged: Boolean = false, maxRecordsPerFile: Long = 0L): Seq[FileStat] = {
-    val files = stage(df, root, partitionBy, preArranged, maxRecordsPerFile)
-    statsFor(df.sparkSession, root, files, df.schema).map { st =>
+      preArranged: Boolean = false, maxRecordsPerFile: Long = 0L,
+      colMap: Map[String, String] = Map.empty): Seq[FileStat] = {
+    // Column mapping: files are written under PHYSICAL names (stable for
+    // a column's whole life — rename changes only the logical name), so
+    // stats keys and parquet columns stay consistent across every file
+    // generation. Identity mapping = the historical behavior, unchanged.
+    def p(n: String) = colMap.getOrElse(n, n)
+    val physDf =
+      if (colMap.isEmpty) df
+      else df.select(df.schema.fieldNames.toIndexedSeq
+        .map(n => col(n).as(p(n))): _*)
+    val physSpec = partitionBy.map(p)
+    val files = stage(physDf, root, physSpec, preArranged, maxRecordsPerFile)
+    statsFor(df.sparkSession, root, files, physDf.schema).map { st =>
       st.copy(partitions =
-        partitionBy.flatMap(c => st.minsOrEmpty.get(c).map(c -> _)).toMap)
+        physSpec.flatMap(c => st.minsOrEmpty.get(c).map(c -> _)).toMap)
     }
   }
+
+  /** Physical-name view of a manifest's logical schema. */
+  private def physSchema(m: Manifest): StructType =
+    StructType(schemaOf(m).fields.map(f => f.copy(name = m.physOf(f.name))))
+
+  /** Rename a physical read back to logical names (plus pass-through tag
+    * columns); identity mapping short-circuits.
+    */
+  private def toLogical(df: DataFrame, m: Manifest,
+      extra: Seq[String] = Nil): DataFrame =
+    if (m.colMapOrEmpty.isEmpty && extra.isEmpty) df
+    else df.select((schemaOf(m).fields.toIndexedSeq.map(f =>
+      col(m.physOf(f.name)).as(f.name)) ++ extra.map(col)): _*)
 
   /** Lossless type widening within a numeric family — the published
     * Delta ("type widening") / Iceberg ("schema evolution: promote")
@@ -498,6 +547,21 @@ object CommitLog {
     val oldNames = old.fields.map(_.name).toSet
     StructType(evolved ++
       nw.fields.filterNot(f => oldNames.contains(f.name)).map(_.copy(nullable = true)))
+  }
+
+  /** Reject NEW logical columns whose name collides with a live PHYSICAL
+    * name (another column's storage name after a rename) or a RETIRED one
+    * (a dropped column's storage name): parquet files still carry those
+    * physical columns with old data, so an identity-mapped newcomer would
+    * silently read resurrected values.
+    */
+  private def guardNewColumns(m: Manifest, evolved: StructType): Unit = {
+    val existing = schemaOf(m).fieldNames.toSet
+    val taken = m.retiredOrNil.toSet ++
+      m.colMapOrEmpty.values.toSet
+    evolved.fieldNames.filterNot(existing).foreach(n => require(!taken(n),
+      s"new column '$n' collides with a live or retired PHYSICAL column " +
+        "name (a renamed/dropped column's storage name) — pick another name"))
   }
 
   /** The partition spec a new commit should carry: an explicit request must
@@ -539,7 +603,9 @@ object CommitLog {
     val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
       .getOrElse(df.schema)
     val spec = effectiveSpec(prior, partitionBy)
-    val add = stageWithStats(df, root, spec)
+    prior.foreach(guardNewColumns(_, schema))
+    val add = stageWithStats(df, root, spec,
+      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty))
     enforceConstraints(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
@@ -574,8 +640,77 @@ object CommitLog {
         throw new IllegalArgumentException(s"no CommitLog table at $root"))
       val prior = readManifest(root, base)
       val evolved = unionSchema(schemaOf(prior), newSchema)
+      guardNewColumns(prior, evolved)
       commitDelta(root, Some(prior), Commit(base + 1, "evolve-schema",
         evolved.json, Nil, Nil, prior.partitionByOrNil, prior.txnOrEmpty))
+      base + 1
+    }
+
+  /** RENAME COLUMN without rewriting a byte (the published Delta
+    * column-mapping concept): the files keep the column's PHYSICAL name —
+    * fixed at the column's creation for its whole life — and the manifest
+    * records logical → physical, applied at every read/write boundary
+    * (scans select physical AS logical; staging renames back; stats stay
+    * keyed physical, so pruning works identically across file
+    * generations). One metadata commit at any table size; time travel
+    * keeps each version's own names. Constraints are SQL text over
+    * logical names, so a rename of a constrained column is rejected —
+    * drop the constraint, rename, re-add.
+    */
+  def renameColumn(root: String, from: String, to: String): Long =
+    withRetry() {
+      val base = currentVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no CommitLog table at $root"))
+      val m = readManifest(root, base)
+      val schema = schemaOf(m)
+      require(schema.fieldNames.contains(from), s"no column '$from'")
+      require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+      require(from != to, "rename to the same name")
+      val mentions = "(?i).*\\b" + java.util.regex.Pattern.quote(from) + "\\b.*"
+      require(!m.constraintsOrEmpty.values.exists(_.matches(mentions)),
+        s"a CHECK constraint references '$from' — drop it, rename, re-add")
+      // no retired/physical-collision guard here: a rename records an
+      // EXPLICIT mapping entry, so even a target name equal to another
+      // column's storage name resolves unambiguously (unlike appends,
+      // where new columns are identity-mapped)
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val newMap = (m.colMapOrEmpty - from) + (to -> m.physOf(from))
+      val newSpec = m.partitionByOrNil.map(c => if (c == from) to else c)
+      commitDelta(root, Some(m), Commit(base + 1, "rename-column",
+        newSchema.json, Nil, Nil, newSpec, m.txnOrEmpty,
+        constraints = m.constraintsOrEmpty,
+        colMap = newMap.filterNot { case (l, p) => l == p },
+        retired = m.retiredOrNil))
+      base + 1
+    }
+
+  /** DROP COLUMN without rewriting a byte: the logical column disappears
+    * from the schema and mapping; its physical data stays in the files,
+    * unread (any later rewrite of a file sheds it), and its physical name
+    * is RETIRED — re-adding a column under a retired storage name is
+    * rejected so old values can never resurrect. Rejected while the
+    * column is a partition column or referenced by a CHECK constraint.
+    */
+  def dropColumn(root: String, name: String): Long =
+    withRetry() {
+      val base = currentVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no CommitLog table at $root"))
+      val m = readManifest(root, base)
+      val schema = schemaOf(m)
+      require(schema.fieldNames.contains(name), s"no column '$name'")
+      require(schema.fields.length > 1, "cannot drop the last column")
+      require(!m.partitionByOrNil.contains(name),
+        s"'$name' is a partition column — evolve the spec first")
+      val mentions = "(?i).*\\b" + java.util.regex.Pattern.quote(name) + "\\b.*"
+      require(!m.constraintsOrEmpty.values.exists(_.matches(mentions)),
+        s"a CHECK constraint references '$name' — drop the constraint first")
+      val newSchema = StructType(schema.fields.filterNot(_.name == name))
+      commitDelta(root, Some(m), Commit(base + 1, "drop-column",
+        newSchema.json, Nil, Nil, m.partitionByOrNil, m.txnOrEmpty,
+        constraints = m.constraintsOrEmpty,
+        colMap = m.colMapOrEmpty - name,
+        retired = (m.retiredOrNil :+ m.physOf(name)).distinct))
       base + 1
     }
 
@@ -637,7 +772,15 @@ object CommitLog {
       prior: Option[Manifest], add: Seq[FileStat], schema: StructType): Unit = {
     val cs = prior.map(_.constraintsOrEmpty).getOrElse(Map.empty)
     if (cs.isEmpty || add.isEmpty) return
-    val staged = readFiles(spark, root, schema, add.map(_.path))
+    // staged files carry PHYSICAL names; constraint exprs use logical ones
+    val cmap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty)
+    val physS = StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+    val raw = readFiles(spark, root, physS, add.map(_.path))
+    val staged =
+      if (cmap.isEmpty) raw
+      else raw.select(schema.fieldNames.toIndexedSeq.map(n =>
+        col(cmap.getOrElse(n, n)).as(n)): _*)
     // Genuinely ONE columnar pass regardless of how many constraints are
     // registered: all violation predicates are OR'd into a single filter,
     // and the surviving row's CASE chain names the first failing
@@ -677,7 +820,9 @@ object CommitLog {
     val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
       .getOrElse(df.schema)
     val spec = effectiveSpec(prior, Nil)
-    val add = stageWithStats(df, root, spec)
+    prior.foreach(guardNewColumns(_, schema))
+    val add = stageWithStats(df, root, spec,
+      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty))
     enforceConstraints(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId)))
@@ -758,12 +903,20 @@ object CommitLog {
           "deletion-vector commit removes rows without touching any file)")
       c
     }
+    val mEnd = readManifest(root, toV)
     val schemaJson =
-      if (commits.nonEmpty) commits.last.schemaJson
-      else readManifest(root, toV).schemaJson
-    readFiles(spark, root,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      if (commits.nonEmpty) commits.last.schemaJson else mEnd.schemaJson
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    // physical names are stable across renames, so the END mapping reads
+    // every file in the range correctly
+    val cmap = mEnd.colMapOrEmpty
+    val physS = StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+    val raw = readFiles(spark, root, physS,
       commits.flatMap(_.addOrNil.map(_.path)))
+    if (cmap.isEmpty) raw
+    else raw.select(schema.fieldNames.toIndexedSeq.map(n =>
+      col(cmap.getOrElse(n, n)).as(n)): _*)
   }
 
   /** Per-commit file-level change summary between two versions — PURE
@@ -807,12 +960,45 @@ object CommitLog {
     val spec =
       if (partitionBy.nonEmpty) partitionBy
       else prior.map(_.partitionByOrNil).getOrElse(Nil)
-    val add = if (df.isEmpty) Nil else stageWithStats(df, root, spec)
+    prior.foreach(guardNewColumns(_, df.schema))
+    val add = if (df.isEmpty) Nil else stageWithStats(df, root, spec,
+      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty))
     enforceConstraints(df.sparkSession, root, prior, add, df.schema)
     commitDelta(root, prior, Commit(v, "overwrite", df.schema.json, add,
       prior.map(_.files).getOrElse(Nil), spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
     v
+  }
+
+  /** PARTITION SPEC EVOLUTION (the published Iceberg concept): change the
+    * layout for FUTURE writes as one metadata commit; existing files stay
+    * exactly as written, no rewrite ever required. Safe by construction
+    * in this format: partitioning is purely a staging layout plus a
+    * per-file stats contract (min = max on partition columns), and scan
+    * pruning reads STATS, never directory paths — so old-layout files
+    * keep pruning exactly as before while new appends land in the new
+    * layout. Any later rewrite (compact/optimize/merge) migrates the
+    * touched data into the current spec as a side effect. At 100 TB this
+    * is the "we should have partitioned by day, not month" fix that
+    * costs one metadata write instead of a table rewrite.
+    */
+  def setPartitionSpec(root: String, spec: Seq[String]): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val schema = schemaOf(m)
+    spec.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$c' in the table schema"))
+      require(statTracked(f.dataType),
+        s"partition column '$c' (${f.dataType.simpleString}) collects no " +
+          "stats — the layout would never prune")
+    }
+    if (spec == m.partitionByOrNil) return base // no-op
+    commitDelta(root, Some(m), Commit(base + 1, "evolve-partition",
+      m.schemaJson, Nil, Nil, spec, m.txnOrEmpty))
+    base + 1
   }
 
   /** SHALLOW CLONE (the published Delta CLONE): create `dst` as a
@@ -849,7 +1035,7 @@ object CommitLog {
     }
     commitDelta(dst, None, Commit(1L, "clone", m.schemaJson, stats, Nil,
       m.partitionByOrNil, Map.empty, constraints = m.constraintsOrEmpty,
-      dvs = dvs))
+      dvs = dvs, colMap = m.colMapOrEmpty, retired = m.retiredOrNil))
     1L
   }
 
@@ -879,7 +1065,7 @@ object CommitLog {
     val spec = prior.partitionByOrNil
     val df0 = read(spark, root, Some(base))
     val df = if (spec.isEmpty) df0.repartition(nFiles) else df0
-    val add = stageWithStats(df, root, spec)
+    val add = stageWithStats(df, root, spec, colMap = prior.colMapOrEmpty)
     commitDelta(root, Some(prior), Commit(base + 1, "compact", df.schema.json,
       add, prior.files, spec, prior.txnOrEmpty))
     base + 1
@@ -919,7 +1105,7 @@ object CommitLog {
       files: Seq[String]): DataFrame = {
     val schema = schemaOf(m)
     if (m.dvsOrEmpty.isEmpty || !files.exists(m.dvsOrEmpty.contains))
-      readFiles(spark, root, schema, files)
+      toLogical(readFiles(spark, root, physSchema(m), files), m)
     else readTaggedLive(spark, root, m, files)
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
@@ -947,16 +1133,19 @@ object CommitLog {
     * only on file relations, and `input_file_name()` is unreliable above
     * joins.
     */
-  private def readTagged(spark: SparkSession, root: String, schema: StructType,
+  private def readTagged(spark: SparkSession, root: String, m: Manifest,
       files: Seq[String]): DataFrame = {
+    val schema = schemaOf(m)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(schema.fields ++ Seq(
           StructField(TagFile, StringType), StructField(TagPos, LongType))))
-    spark.read.schema(schema).parquet(files.map(dataPath(root, _)): _*)
-      .withColumn(TagFile, canonicalFileCol)
-      .withColumn(TagPos, col("_metadata.row_index"))
+    toLogical(
+      spark.read.schema(physSchema(m)).parquet(files.map(dataPath(root, _)): _*)
+        .withColumn(TagFile, canonicalFileCol)
+        .withColumn(TagPos, col("_metadata.row_index")),
+      m, extra = Seq(TagFile, TagPos))
   }
 
   /** Deletion-vector rows for the given data files as (`__dv_rel` data
@@ -985,7 +1174,7 @@ object CommitLog {
       files: Seq[String]): DataFrame = {
     val inSet = files.toSet
     val dvMap = m.dvsOrEmpty.filter { case (f, _) => inSet(f) }
-    val tagged = readTagged(spark, root, schemaOf(m), files)
+    val tagged = readTagged(spark, root, m, files)
     if (dvMap.isEmpty) return tagged
     // manifest path → absolute scan path, resolved on the driver (handles
     // both root-relative files and a shallow clone's absolute references)
@@ -1107,7 +1296,8 @@ object CommitLog {
       val merged = tTouched.join(srcKeys, keys, "left_anti")
         .unionByName(keep)
 
-      val add = stageWithStats(merged, root, m.partitionByOrNil)
+      val add = stageWithStats(merged, root, m.partitionByOrNil,
+        colMap = m.colMapOrEmpty)
       enforceConstraints(spark, root, Some(m), add, schema)
       commitDelta(root, Some(m), Commit(base + 1, "merge", schema.json,
         add, touched, m.partitionByOrNil, m.txnOrEmpty))
@@ -1140,7 +1330,8 @@ object CommitLog {
           case None => col(f.name)
         }
       }: _*)
-    val add = stageWithStats(updated, root, m.partitionByOrNil)
+    val add = stageWithStats(updated, root, m.partitionByOrNil,
+      colMap = m.colMapOrEmpty)
     enforceConstraints(spark, root, Some(m), add, schema)
     commitDelta(root, Some(m), Commit(base + 1, "update", m.schemaJson,
       add, touched, m.partitionByOrNil, m.txnOrEmpty))
@@ -1157,7 +1348,8 @@ object CommitLog {
       .filter(!coalesce(cond, lit(false)))
     val add =
       if (touched.isEmpty) Nil
-      else stageWithStats(kept, root, m.partitionByOrNil)
+      else stageWithStats(kept, root, m.partitionByOrNil,
+        colMap = m.colMapOrEmpty)
     commitDelta(root, Some(m), Commit(base + 1, "delete", m.schemaJson,
       add, touched, m.partitionByOrNil, m.txnOrEmpty))
     base + 1
@@ -1304,7 +1496,8 @@ object CommitLog {
             case None => col(f.name)
           }
         }: _*)
-        val add = stageWithStats(updated, root, m.partitionByOrNil)
+        val add = stageWithStats(updated, root, m.partitionByOrNil,
+          colMap = m.colMapOrEmpty)
         enforceConstraints(spark, root, Some(m), add, schema)
         commitDelta(root, Some(m), Commit(base + 1, "update-dv", m.schemaJson,
           add, fullGone, m.partitionByOrNil, m.txnOrEmpty, dvs = dvEntries))
@@ -1346,7 +1539,8 @@ object CommitLog {
     val dvFiles = m.dvsOrEmpty.keys.toSeq.sorted
     if (dvFiles.isEmpty) return base
     val df = readFiles(spark, root, m, dvFiles) // DV-applied live rows
-    val add = stageWithStats(df, root, m.partitionByOrNil)
+    val add = stageWithStats(df, root, m.partitionByOrNil,
+      colMap = m.colMapOrEmpty)
     commitDelta(root, Some(m), Commit(base + 1, "purge-dv", m.schemaJson,
       add, dvFiles, m.partitionByOrNil, m.txnOrEmpty))
     base + 1
@@ -1461,14 +1655,23 @@ object CommitLog {
   }
 
   private def prunedByPred(spark: SparkSession, m: Manifest,
-      pred: GraftBridge.Pred): Seq[String] = {
+      pred0: GraftBridge.Pred): Seq[String] = {
     val schema = schemaOf(m)
     val stats = m.statsOrNil
     if (stats.isEmpty) return m.files
-    val tracked = schema.fields.filter(f => statTracked(f.dataType)).map(_.name)
+    // Stats are keyed by PHYSICAL column names (stable across renames);
+    // predicates arrive on logical names — translate attribute refs.
+    def tr(p: GraftBridge.Pred): GraftBridge.Pred = p match {
+      case GraftBridge.Attr(a) => GraftBridge.Attr(m.physOf(a))
+      case GraftBridge.Fn(n, args) => GraftBridge.Fn(n, args.map(tr))
+      case other => other
+    }
+    val pred = if (m.colMapOrEmpty.isEmpty) pred0 else tr(pred0)
+    val tracked = schema.fields.filter(f => statTracked(f.dataType))
+      .map(f => m.physOf(f.name) -> f.dataType)
     val statRows = stats.map { s =>
       org.apache.spark.sql.Row.fromSeq(
-        s.path +: s.rows +: tracked.toIndexedSeq.flatMap(c =>
+        s.path +: s.rows +: tracked.toIndexedSeq.flatMap { case (c, _) =>
           Seq(s.minsOrEmpty.get(c).orNull, s.maxsOrEmpty.get(c).orNull,
             // Map[String, Long] values arrive from Jackson as boxed Integers
             // (erasure): widen via Any → Number — a Long-typed lambda would
@@ -1476,23 +1679,24 @@ object CommitLog {
             Option(s.nullCounts).getOrElse(Map.empty[String, Long])
               .asInstanceOf[Map[String, Any]].get(c)
               .map(v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue))
-              .orNull)))
+              .orNull)
+        })
     }
     val statSchema = StructType(
       StructField("path__", StringType) +: StructField("rows__", LongType) +:
-        tracked.toIndexedSeq.flatMap(c => Seq(
+        tracked.toIndexedSeq.flatMap { case (c, _) => Seq(
           StructField(s"mins__$c", StringType),
           StructField(s"maxs__$c", StringType),
-          StructField(s"nulls__$c", LongType))))
+          StructField(s"nulls__$c", LongType))
+        })
     val typed = spark.createDataFrame(statRows.asJava, statSchema)
       .select(col("path__") +: col("rows__") +:
-        tracked.toIndexedSeq.flatMap { c =>
-          val dt = schema(c).dataType
+        tracked.toIndexedSeq.flatMap { case (c, dt) =>
           Seq(statParse(col(s"mins__$c"), dt).as(s"min__$c"),
             statParse(col(s"maxs__$c"), dt).as(s"max__$c"),
             col(s"nulls__$c"))
         }: _*)
-    val survive = surviveCond(pred, tracked.toSet)
+    val survive = surviveCond(pred, tracked.map(_._1).toSet)
     val kept = typed.filter(survive).select("path__").collect().map(_.getString(0))
     m.files.filter(kept.contains)
   }
@@ -1545,7 +1749,8 @@ object CommitLog {
     // preArranged: the z-range layout IS the point — staging must not
     // re-shuffle it (the partitionBy writer still splits per value, so a
     // partitioned table gets z-clustered files within each partition).
-    val add = stageWithStats(out, root, prior.partitionByOrNil, preArranged = true)
+    val add = stageWithStats(out, root, prior.partitionByOrNil,
+      preArranged = true, colMap = prior.colMapOrEmpty)
     commitDelta(root, Some(prior), Commit(base + 1, "cluster", df.schema.json,
       add, prior.files, prior.partitionByOrNil, prior.txnOrEmpty))
     base + 1
@@ -1579,7 +1784,9 @@ object CommitLog {
       // data: the target snapshot was validated against its own CHECK set;
       // constraints added afterward never saw these rows (foldCommit applies
       // this set for op == "restore")
-      dvs = target.dvsOrEmpty)) // deletion vectors likewise revert wholesale
+      dvs = target.dvsOrEmpty, // deletion vectors likewise revert wholesale
+      colMap = target.colMapOrEmpty, // and the column mapping: the target's
+      retired = target.retiredOrNil)) // names come back with its data
     base + 1
   }
 
@@ -1691,7 +1898,8 @@ object CommitLog {
     // into ~target-sized files instead of one oversized single-task write.
     val rowsPerFile = math.max(1L,
       (targetBytes.toDouble / (smallBytes.toDouble / smallRows)).toLong)
-    val add = stageWithStats(out, root, spec, maxRecordsPerFile = rowsPerFile)
+    val add = stageWithStats(out, root, spec,
+      maxRecordsPerFile = rowsPerFile, colMap = m.colMapOrEmpty)
     commitDelta(root, Some(m), Commit(base + 1, "optimize", m.schemaJson,
       add, small.map(_.path), spec, m.txnOrEmpty))
     base + 1

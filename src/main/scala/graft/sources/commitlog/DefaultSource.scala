@@ -130,9 +130,13 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     // codegen below the boundary is preserved. DV-free snapshots keep the
     // vectorized HadoopFsRelation path unchanged.
     val resolved = version.orElse(CommitLog.currentVersion(root))
-    val hasDv = resolved.exists(v =>
-      CommitLog.readManifest(root, v).dvsOrEmpty.nonEmpty)
-    if (hasDv) return new MergeOnReadRelation(spark, root, version)
+    // DVs and column mappings both need the manifest-aware read (dead
+    // positions / physical→logical rename) — neither fits a raw file scan
+    val needsMor = resolved.exists { v =>
+      val m = CommitLog.readManifest(root, v)
+      m.dvsOrEmpty.nonEmpty || m.colMapOrEmpty.nonEmpty
+    }
+    if (needsMor) return new MergeOnReadRelation(spark, root, version)
     val index = new CommitLogFileIndex(spark, root, version)
     new HadoopFsRelation(index, new StructType(), index.initialSchema, None,
       new ParquetFileFormat, parameters)(spark) with InsertableRelation {
@@ -246,10 +250,11 @@ class CommitLogFileIndex(
     // index re-resolves per scan, so a deletion-vector commit landing
     // AFTER relation creation would make this file-level listing serve
     // dead rows — fail loudly instead; a fresh read/query plans correctly.
-    if (m.dvsOrEmpty.nonEmpty)
+    if (m.dvsOrEmpty.nonEmpty || m.colMapOrEmpty.nonEmpty)
       throw new IllegalStateException(
-        s"snapshot v${m.version} at $root now carries deletion vectors; " +
-          "re-create the read (each new query resolves the right scan)")
+        s"snapshot v${m.version} at $root now carries deletion vectors or " +
+          "a column mapping; re-create the read (each new query resolves " +
+          "the right scan)")
     // Catalyst expressions → V1 filters → the manifest pruner. A filter
     // that doesn't translate simply doesn't prune (it still runs above
     // the scan), the standard conservative data-skipping contract.

@@ -191,25 +191,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _ => () // unreachable by the partition above
     }
     if (schemaOps.nonEmpty) {
-      val current = CommitLog.manifestSchema(CommitLog.readManifest(d.toString,
-        CommitLog.currentVersion(d.toString).get))
-      val evolved = schemaOps.foldLeft(current) { (sch, ch) => ch match {
-        case add: TableChange.AddColumn =>
-          require(add.fieldNames().length == 1,
-            "graft catalog supports only top-level ADD COLUMNS")
-          StructType(sch.fields :+ org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType(), nullable = true))
-        case upd: TableChange.UpdateColumnType =>
-          require(upd.fieldNames().length == 1,
-            "graft catalog supports only top-level column retyping")
-          StructType(sch.fields.map(f =>
-            if (f.name == upd.fieldNames()(0)) f.copy(dataType = upd.newDataType())
-            else f))
-        case other => throw new UnsupportedOperationException(
-          s"graft catalog cannot apply $other — the commit log evolves " +
-            "additively (ADD COLUMNS, lossless widening)")
-      }}
-      CommitLog.evolveSchema(d.toString, evolved)
+      // column-mapping ops commit on their own (one metadata commit each,
+      // zero rewrite); only additive/widening changes go through the
+      // evolve-schema union
+      val (mapChanges, evolveChanges) = schemaOps.partition {
+        case _: TableChange.RenameColumn | _: TableChange.DeleteColumn => true
+        case _ => false
+      }
+      mapChanges.foreach {
+        case rn: TableChange.RenameColumn =>
+          require(rn.fieldNames().length == 1,
+            "graft catalog supports only top-level RENAME COLUMN")
+          CommitLog.renameColumn(d.toString, rn.fieldNames()(0), rn.newName())
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames().length == 1,
+            "graft catalog supports only top-level DROP COLUMN")
+          CommitLog.dropColumn(d.toString, del.fieldNames()(0))
+        case _ => () // unreachable by the partition above
+      }
+      if (evolveChanges.nonEmpty) {
+        val base = CommitLog.manifestSchema(CommitLog.readManifest(d.toString,
+          CommitLog.currentVersion(d.toString).get))
+        val evolved = evolveChanges.foldLeft(base) { (sch, ch) => ch match {
+          case add: TableChange.AddColumn =>
+            require(add.fieldNames().length == 1,
+              "graft catalog supports only top-level ADD COLUMNS")
+            StructType(sch.fields :+ org.apache.spark.sql.types.StructField(
+              add.fieldNames()(0), add.dataType(), nullable = true))
+          case upd: TableChange.UpdateColumnType =>
+            require(upd.fieldNames().length == 1,
+              "graft catalog supports only top-level column retyping")
+            StructType(sch.fields.map(f =>
+              if (f.name == upd.fieldNames()(0)) f.copy(dataType = upd.newDataType())
+              else f))
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog cannot apply $other — the commit log evolves " +
+              "additively (ADD COLUMNS, lossless widening, RENAME/DROP " +
+              "COLUMN via column mapping)")
+        }}
+        CommitLog.evolveSchema(d.toString, evolved)
+      }
     }
     GraftTable(d.toString, fullName(ident), pinned = None)
   }

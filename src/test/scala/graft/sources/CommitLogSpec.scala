@@ -803,6 +803,39 @@ class CommitLogSpec extends SparkTestBase {
     assert(read(spark, root).count() == 40)
   }
 
+  test("partition spec evolution: metadata-only, old files keep pruning") {
+    val root = tmpTable()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .selectExpr("id", "CAST(id % 3 AS STRING) AS a", "CAST(id % 5 AS STRING) AS b")
+    append(mk(0, 300), root, partitionBy = Seq("a")) // old layout: by a
+    val vEvolve = setPartitionSpec(root, Seq("b"))
+    assert(vEvolve == 2L)
+    assert(readManifest(root, 2L).op == "evolve-partition")
+    assert(readManifest(root, 2L).partitionByOrNil == Seq("b"))
+    append(mk(300, 600), root) // new layout: by b, inherited
+    val m = readManifest(root, 3L)
+    assert(m.partitionByOrNil == Seq("b"))
+    // every row still reads; both generations coexist
+    assert(read(spark, root).count() == 600)
+    // old files prune on a (their stats are single-valued on a),
+    // new files prune on b — stats-based pruning is layout-agnostic
+    import org.apache.spark.sql.functions.col
+    val onA = prunedFiles(spark, m, col("a") === "1")
+    val onB = prunedFiles(spark, m, col("b") === "2")
+    assert(onA.size < m.files.size && onB.size < m.files.size)
+    assert(read(spark, root).filter(col("a") === "1").count() ==
+      (0L until 600L).count(_ % 3 == 1))
+    // a rewrite migrates everything into the CURRENT spec: after compact,
+    // every file is single-valued on b (min = max in its stats)
+    compact(spark, root)
+    val mc = readManifest(root, 4L)
+    assert(mc.statsOrNil.forall(st =>
+      st.minsOrEmpty.get("b") == st.maxsOrEmpty.get("b")))
+    assert(read(spark, root).count() == 600)
+    // unknown or stat-less columns are rejected up front
+    intercept[IllegalArgumentException](setPartitionSpec(root, Seq("nope")))
+  }
+
   test("legacy full-manifest records fail loudly instead of reading as empty") {
     val root = tmpTable()
     append(spark.range(3).toDF("id"), root)

@@ -66,8 +66,13 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(df.filter(col("score").isNull).count() == 1)
     spark.sql("INSERT INTO graft.t3 VALUES (2, 0.5)")
     assert(spark.sql("SELECT sum(score) FROM graft.t3").collect()(0).getDouble(0) == 0.5)
-    // dropping a column violates the additive contract and fails cleanly
-    intercept[Exception](spark.sql("ALTER TABLE graft.t3 DROP COLUMN score"))
+    // DROP COLUMN is now a metadata-only column-mapping commit: the
+    // logical column vanishes, its storage name is retired
+    spark.sql("ALTER TABLE graft.t3 DROP COLUMN score")
+    assert(spark.table("graft.t3").schema.fieldNames.toSeq == Seq("k"))
+    assert(spark.table("graft.t3").count() == 2)
+    // ...and re-adding under the retired storage name is rejected
+    intercept[Exception](spark.sql("ALTER TABLE graft.t3 ADD COLUMNS (score DOUBLE)"))
   }
 
   test("DELETE / UPDATE / MERGE SQL on catalog tables via the DML rewrite") {
