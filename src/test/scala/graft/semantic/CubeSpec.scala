@@ -237,6 +237,18 @@ class CubeSpec extends SparkTestBase {
     val (v6, m3) = RollupJob.refreshFromChanges(spark, ReferenceCubes.eventsCube,
       resolver, factRoot, timeDim = "ts", targetTable = target, fromVersion = v5)
     assert(v6 == v5 && m3.isEmpty)
+
+    // MERGE-ON-READ delete (deletion vectors): no file is added OR
+    // removed, yet rows in January died — the DV'd file's stats surface
+    // through changedFileStats as removed-range, so the refresh still
+    // derives exactly January and the rollup tracks the live rows
+    CommitLog.deleteDV(spark, factRoot,
+      to_date(date_trunc("month", col("ts"))) === "2024-01-01" &&
+        col("value") >= 3.0)
+    val (v7, m4) = RollupJob.refreshFromChanges(spark, ReferenceCubes.eventsCube,
+      resolver, factRoot, timeDim = "ts", targetTable = target, fromVersion = v6)
+    assert(v7 == v6 + 1 && m4 == Seq("2024-01-01"))
+    rollupEqualsFullRecompute()
     spark.sql(s"DROP TABLE $target")
   }
 }
