@@ -704,5 +704,44 @@ object Corpus {
           |  FROM f)
           |SELECT lang, rank, tok, freq, rank * freq AS rank_x_freq
           |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin)),
+
+    // First BPE merge round, distributed (Sennrich ACL'16 §3): count every
+    // ADJACENT symbol pair inside tokens across the corpus and rank the
+    // top 30 — the statistic a byte-pair-encoding trainer computes each
+    // round before greedily merging the winner (at round 0 the symbols are
+    // characters, so pairs are character bigrams within words; the
+    // deterministic (count DESC, pair) order is the tie rule a trainer
+    // needs for reproducible vocabularies). Plan shape at 100 TB: the pair
+    // generation is IN-ROW (filter + nested transform + flatten, one
+    // Generate — no join, no UDF), and the only shuffle is the two-phase
+    // hash aggregate on the pair key whose distinct cardinality is
+    // alphabet², ending in TakeOrderedAndProject(30). A full BPE trainer
+    // loops this query, merging the winner into the token list between
+    // rounds — each round stays this same shape.
+    "q117_bpe_pairs" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .select(explode(expr(
+            """flatten(transform(
+              |  filter(split(lower(trim(text)), '\\s+'), w -> length(w) >= 2),
+              |  w -> transform(sequence(1, length(w) - 1),
+              |         i -> substring(w, i, 2))))""".stripMargin)).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(30)
+      },
+      oracle = Some(
+        """WITH w AS (
+          |  SELECT unnest(list_filter(
+          |    regexp_split_to_array(lower(trim(text)), '\s+'),
+          |    t -> length(t) >= 2)) AS w
+          |  FROM documents),
+          |p AS (
+          |  SELECT unnest(list_transform(range(1, length(w)),
+          |    i -> substr(w, CAST(i AS INT), 2))) AS pair
+          |  FROM w)
+          |SELECT pair, count(*) AS n FROM p
+          |GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin)),
   )
 }

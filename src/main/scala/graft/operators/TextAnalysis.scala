@@ -674,5 +674,113 @@ object TextAnalysis {
           |SELECT lang, source, split, count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Length-trend outlier screen via EXACT closed-form OLS: regress
+    // n_chars on token count across the whole corpus and surface the 20
+    // docs whose residual magnitude is largest — the "weird length ratio"
+    // quality screen (punctuation soup, single-token walls, boilerplate).
+    // ALL arithmetic is integer-exact: with centered moments
+    // Sxx' = n·Σx² − (Σx)² and Sxy' = n·Σxy − Σx·Σy, the residual scales
+    // to scaled_i = (n·yᵢ − Σy)·Sxx' − Sxy'·(n·xᵢ − Σx) = eᵢ·n·Sxx' — a
+    // DECIMAL(38,0)/HUGEINT quantity both engines rank identically (no
+    // division, no doubles, no rounding drift at the top-k boundary).
+    // The reported resid_milli = ⌊|scaled|·1000 / (n·Sxx')⌋ ≈ eᵢ·1000 is
+    // derived AFTER ranking, truncation-exact in both engines on the
+    // non-negative numerator. At 100 TB: one map-side-combined 5-sum
+    // aggregate to a single broadcast row, then a second corpus scan into
+    // TakeOrderedAndProject(20) — the corpus never shuffles.
+    "q114_residual_outliers" -> QueryDef(
+      fn = { (s, dir) =>
+        def dec(c: Column) = c.cast("decimal(38,0)")
+        val d = docs(s, dir).select(col("doc_id"),
+          size(toksCol).cast("long").as("toks"), col("n_chars"))
+        val g = d.agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(dec(col("toks"))).as("sx"),
+          sum(dec(col("n_chars"))).as("sy"),
+          sum(dec(col("toks")) * dec(col("toks"))).as("sxx"),
+          sum(dec(col("toks")) * dec(col("n_chars"))).as("sxy"))
+        d.crossJoin(broadcast(g))
+          .withColumn("sxxc", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("sxyc", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("scaled",
+            (col("n") * dec(col("n_chars")) - col("sy")) * col("sxxc") -
+              col("sxyc") * (col("n") * dec(col("toks")) - col("sx")))
+          .withColumn("resid_milli", expr(
+            """CAST(CASE WHEN scaled < 0
+              |  THEN -((abs(scaled) * 1000) div (n * sxxc))
+              |  ELSE (abs(scaled) * 1000) div (n * sxxc) END AS BIGINT)"""
+              .stripMargin))
+          .orderBy(abs(col("scaled")).desc, col("doc_id"))
+          .limit(20)
+          .select("doc_id", "toks", "n_chars", "resid_milli")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+          |      AS HUGEINT) AS toks,
+          |    CAST(n_chars AS HUGEINT) AS n_chars
+          |  FROM documents),
+          |g AS (
+          |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(toks) AS sx,
+          |    sum(n_chars) AS sy, sum(toks * toks) AS sxx,
+          |    sum(toks * n_chars) AS sxy
+          |  FROM d),
+          |r AS (
+          |  SELECT doc_id, toks, n_chars,
+          |    (n * n_chars - sy) * (n * sxx - sx * sx)
+          |      - (n * sxy - sx * sy) * (n * toks - sx) AS scaled,
+          |    n * (n * sxx - sx * sx) AS denom
+          |  FROM d CROSS JOIN g)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(toks AS BIGINT) AS toks,
+          |  CAST(n_chars AS BIGINT) AS n_chars,
+          |  CAST(CASE WHEN scaled < 0 THEN -((abs(scaled) * 1000) // denom)
+          |       ELSE (abs(scaled) * 1000) // denom END AS BIGINT)
+          |    AS resid_milli
+          |FROM r ORDER BY abs(scaled) DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Deterministic epoch-wise global reshuffle — the training-loader
+    // contract that every epoch visits the corpus in a DIFFERENT but
+    // REPRODUCIBLE order with balanced shards: epoch e's key for a doc is
+    // the md5 of "doc_id:e" (cross-engine-stable, uniform), the shard is
+    // key mod 16, and the within-shard order is (key, doc_id). No global
+    // sort and no corpus shuffle ever happens: shard assignment is a
+    // per-row hash expression, epochs explode IN-ROW (3 rows per doc from
+    // one scan), and only the 48-group rollup aggregates — at 100 TB the
+    // plan is scan → generate → two-phase hash aggregate, and a writer
+    // would emit shard files with sortWithinPartitions(key), still with
+    // zero wide shuffles. min/max of the hash per shard prove the
+    // assignment deterministic across engines, not just the counts.
+    "q115_epoch_shuffle" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), size(toksCol).cast("long").as("toks"))
+          .withColumn("epoch", explode(sequence(lit(0), lit(2))))
+          .withColumn("u",
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("epoch").cast("string"))), 1, 8), 16, 10).cast("long"))
+          .withColumn("shard", (col("u") % 16).cast("int"))
+          .groupBy(col("epoch"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"),
+            min(col("u")).as("min_key"), max(col("u")).as("max_key"))
+          .orderBy("epoch", "shard")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+          |      AS BIGINT) AS toks
+          |  FROM documents),
+          |e AS (
+          |  SELECT doc_id, toks, CAST(epoch AS INT) AS epoch,
+          |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+          |      ':', CAST(epoch AS VARCHAR))), 1, 8)) AS BIGINT) AS u
+          |  FROM d, range(3) t(epoch))
+          |SELECT epoch, CAST(u % 16 AS INT) AS shard, count(*) AS n_docs,
+          |  CAST(sum(toks) AS BIGINT) AS sum_toks,
+          |  min(u) AS min_key, max(u) AS max_key
+          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -73,6 +73,32 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q114 OLS outliers: 1-row stats broadcast, top-k pushes down") {
+    // the 5-sum global aggregate joins back as a broadcast (never a
+    // shuffled join against the corpus), and the final ranking must stay
+    // TakeOrderedAndProject — a global Sort would materialize the corpus
+    // on one task at 100 TB
+    val p = plan("q114_residual_outliers")
+    assert(p.contains("TakeOrderedAndProject"), s"q114 lost top-k pushdown:\n$p")
+    assert(p.contains("Broadcast"), s"q114 stats join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q114 sort-merges the corpus:\n$p")
+  }
+
+  test("q115/q117 corpus expansions stay join-free two-phase aggregates") {
+    // epoch explode (q115) and BPE pair generation (q117) are IN-ROW
+    // Generates; the only shuffle either may plan is the partial/final
+    // hash aggregate on the (epoch,shard)/pair key
+    for (q <- Seq("q115_epoch_shuffle", "q117_bpe_pairs")) {
+      val p = plan(q)
+      assert(p.contains("Generate"), s"$q lost its in-row expansion:\n$p")
+      assert(p.contains("HashAggregate"), s"$q lost hash aggregation:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+    }
+    assert(plan("q117_bpe_pairs").contains("TakeOrderedAndProject"),
+      "q117 lost top-k pushdown")
+  }
+
   test("q108 novelty: shingle aggregates stay two-phase (map-side combine)") {
     // both the document-frequency agg and the per-doc collapse must show
     // partial/final HashAggregate pairs — a single-phase agg shuffles raw
