@@ -527,5 +527,32 @@ object TableOps {
            |  ${sqlSum("o_totalprice")} AS sum_price,
            |  CAST(sum(coalesce(priority_flag, -1)) AS BIGINT) AS flag_sum
            |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bloom-indexed point lookup: documents land in 8 interleaved files
+    // (doc_id % 8), so every file's [min,max] spans the whole id domain
+    // and min/max skipping is structurally useless — the needle-in-
+    // haystack regime of a 100 TB keyed table. Write-time per-file bloom
+    // sidecars (spark.graft.bloom.columns) let the four-key lookup open
+    // only the files that can contain a key (here 4 of 8, proven by the
+    // CommitLogBloomSpec guard; at 1 GB files and 10⁵ files the same
+    // probe turns a full-table scan into a handful of opens). The oracle
+    // is the plain IN filter over the source parquet — value-proving that
+    // skipping never drops a matching row.
+    "q116_bloom_lookup" -> QueryDef(
+      fn = { (s, dir) =>
+        val root = tmp("graft-q116")
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        s.conf.set("spark.graft.bloom.columns", "doc_id")
+        try (0 until 8).foreach { i =>
+          CommitLog.append(d.filter(col("doc_id") % 8 === i), root)
+        } finally s.conf.unset("spark.graft.bloom.columns")
+        CommitLog.readPruned(s, root,
+            col("doc_id").isin(11L, 123L, 257L, 401L))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id IN (11, 123, 257, 401) ORDER BY doc_id""".stripMargin)),
   )
 }

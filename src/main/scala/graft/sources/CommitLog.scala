@@ -65,6 +65,26 @@ object CommitLog {
     */
   private[sources] val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
 
+  /** Per-file bloom index (the published Delta/Parquet bloom-filter-index
+    * concept): when `spark.graft.bloom.columns` names columns at write
+    * time, every staged file gets a sidecar holding one bloom filter per
+    * indexed column, built in the SAME single stats pass the commit
+    * already pays. Equality and IN pushdown then skip files whose bloom
+    * proves the value absent — the point-lookup complement to min/max
+    * skipping, which cannot prune high-cardinality unsorted keys (every
+    * file's [min,max] spans the whole domain, so a 100 TB needle-in-
+    * haystack lookup scans everything; a 1 % -fpp bloom cuts it to ~1 file
+    * + false positives). Sketches are Spark's own `util.sketch.BloomFilter`
+    * in its `BloomFilterAggregate` serialized form, keyed by xxhash64 of
+    * the column value — the exact bit layout AQE's injected runtime
+    * filters use, so build and probe can never disagree on hashing.
+    */
+  private[sources] val BloomColumnsConf = "spark.graft.bloom.columns"
+  private[sources] val BloomBitsConf = "spark.graft.bloom.bits"
+  private[sources] val BloomItemsConf = "spark.graft.bloom.items"
+  private val DefaultBloomBits = 262144L // 32 KiB/file/column ≈ 1% fpp @ 27k keys
+  private val DefaultBloomItems = 27000L
+
   /** Per-file column statistics for scan pruning: min/max rendered
     * zone-independently as strings (timestamps as unix micros — a session-
     * timezone-dependent rendering would shift pruning bounds between writer
@@ -81,11 +101,17 @@ object CommitLog {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       nullCounts: Map[String, Long] = Map.empty,
-      partitions: Map[String, String] = Map.empty) {
+      partitions: Map[String, String] = Map.empty,
+      // bloom-index sidecar for this file (root-relative; absolute on a
+      // shallow clone's source references; null = no index). The manifest
+      // carries only the PATH — the bits live in the sidecar, so the log
+      // stays metadata-sized however many files are indexed.
+      bloom: String = null) {
     def minsOrEmpty: Map[String, String] = Option(mins).getOrElse(Map.empty)
     def maxsOrEmpty: Map[String, String] = Option(maxs).getOrElse(Map.empty)
     def partitionsOrEmpty: Map[String, String] =
       Option(partitions).getOrElse(Map.empty)
+    def bloomOpt: Option[String] = Option(bloom)
   }
 
   /** On-disk per-version record: the DELTA of one transaction (Delta's
@@ -448,7 +474,8 @@ object CommitLog {
       spark: SparkSession,
       root: String,
       files: Seq[String],
-      schema: StructType): Seq[FileStat] = {
+      schema: StructType,
+      bloomSpec: Option[(Seq[String], Long, Long)] = None): Seq[FileStat] = {
     if (files.isEmpty) return Nil
     val tracked = schema.fields.filter(f => statTracked(f.dataType)).toSeq
     val df = spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
@@ -457,6 +484,19 @@ object CommitLog {
         statRender(min(col(f.name)), f.dataType).as(s"min__${f.name}"),
         statRender(max(col(f.name)), f.dataType).as(s"max__${f.name}"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}"))
+    } ++ bloomSpec.toSeq.flatMap { case (cols, items, bits) =>
+      // bloom sketches ride the SAME per-file aggregation pass as min/max:
+      // the engine's own BloomFilterAggregate over xxhash64 of the column
+      // (BloomFilterMightContain's exact build contract)
+      cols.map { c =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, XxHash64}
+        GraftBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(new XxHash64(Seq(UnresolvedAttribute(Seq(c)))),
+              CatLit(items), CatLit(bits)).toAggregateExpression())
+          .as(s"bloom__$c")
+      }
     } :+ count(lit(1)).as("rows__")
     val rows = df.groupBy(input_file_name().as("file__"))
       .agg(aggs.head, aggs.tail: _*).collect() // one row per staged file
@@ -467,10 +507,78 @@ object CommitLog {
       def s(prefix: String): Map[String, String] = tracked.flatMap { f =>
         Option(r.getAs[String](s"${prefix}__${f.name}")).map(f.name -> _)
       }.toMap
+      val bloomRel = bloomSpec.flatMap { case (cols, _, _) =>
+        val built = cols.flatMap(c =>
+          Option(r.getAs[Array[Byte]](s"bloom__$c")).map(c -> _))
+        if (built.isEmpty) None else Some(writeBloomSidecar(root, built))
+      }
       FileStat(rel, r.getAs[Long]("rows__"), Files.size(Paths.get(root, rel)),
         s("min"), s("max"),
-        tracked.map(f => f.name -> r.getAs[Long](s"nulls__${f.name}")).toMap)
+        tracked.map(f => f.name -> r.getAs[Long](s"nulls__${f.name}")).toMap,
+        bloom = bloomRel.orNull)
     }
+  }
+
+  private def bloomSupported(dt: DataType): Boolean = dt match {
+    // build and probe must hash IDENTICALLY; these are the types whose
+    // pushed literals arrive exactly as the column's type, so the probe's
+    // XxHash64(Literal(v, dt)) is bit-equal to the build's XxHash64(col)
+    case StringType | LongType | IntegerType => true
+    case _ => false
+  }
+
+  /** Sidecar layout: magic, format version, then (column, bytes) entries
+    * in `BloomFilterAggregate`'s serialized form. Sidecars live under
+    * `data/_bloom/` so [[vacuum]]'s unreferenced-file walk reclaims them
+    * exactly like data files once no retained snapshot references them.
+    */
+  private val BloomMagic = 0x47424C4D // "GBLM"
+
+  private def writeBloomSidecar(root: String,
+      blooms: Seq[(String, Array[Byte])]): String = {
+    val rel = s"data/_bloom/${UUID.randomUUID().toString}.gblm"
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    Using.resource(new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(p)))) { out =>
+      out.writeInt(BloomMagic)
+      out.writeInt(1)
+      out.writeInt(blooms.size)
+      blooms.foreach { case (c, b) =>
+        out.writeUTF(c); out.writeInt(b.length); out.write(b)
+      }
+    }
+    rel
+  }
+
+  /** Per-column sketches of one sidecar; unreadable/corrupt sidecars
+    * degrade to "no index" (never to wrong pruning).
+    */
+  private def readBloomSidecar(path: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      Using.resource(new java.io.DataInputStream(new java.io.BufferedInputStream(
+          Files.newInputStream(Paths.get(path))))) { in =>
+        if (in.readInt() != BloomMagic || in.readInt() != 1) Map.empty
+        else (0 until in.readInt()).map { _ =>
+          val c = in.readUTF()
+          val b = new Array[Byte](in.readInt())
+          in.readFully(b)
+          c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(b))
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** xxhash64 of a pushed literal AT the column's type — evaluated with
+    * the same Catalyst expression the build side aggregated, so a probe
+    * can never hash differently than the sketch was built. None (no
+    * pruning) when the literal cannot be represented at the column type.
+    */
+  private def xxh64Of(v: Any, dt: DataType): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, XxHash64}
+    try Some(new XxHash64(Seq(CatLit.create(v, dt))).eval(null).asInstanceOf[Long])
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Stage + stats + (for partitioned tables) the partition tuple, read off
@@ -492,7 +600,23 @@ object CommitLog {
         .map(n => col(n).as(p(n))): _*)
     val physSpec = partitionBy.map(p)
     val files = stage(physDf, root, physSpec, preArranged, maxRecordsPerFile)
-    statsFor(df.sparkSession, root, files, physDf.schema).map { st =>
+    // Bloom indexing is a WRITE-TIME session choice (the reference point:
+    // Delta's delta.bloomFilter column property): logical names in the
+    // conf, physical names on disk. Rewrites (compact/OPTIMIZE/DML) pass
+    // through here too, so rewritten files re-index automatically whenever
+    // the rewriting session keeps the conf set.
+    val sess = df.sparkSession
+    val bloomCols = sess.conf.get(BloomColumnsConf, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map(p)
+      .filter(c => physDf.schema.fields.exists(f =>
+        f.name == c && bloomSupported(f.dataType)))
+    val bloomSpec =
+      if (bloomCols.isEmpty) None
+      else Some((bloomCols,
+        sess.conf.get(BloomItemsConf, DefaultBloomItems.toString).toLong,
+        sess.conf.get(BloomBitsConf, DefaultBloomBits.toString).toLong))
+    statsFor(sess, root, files, physDf.schema, bloomSpec).map { st =>
       st.copy(partitions =
         physSpec.flatMap(c => st.minsOrEmpty.get(c).map(c -> _)).toMap)
     }
@@ -1029,7 +1153,8 @@ object CommitLog {
     require(currentVersion(dst).isEmpty,
       s"clone target $dst already has commits")
     val m = readManifest(src, v)
-    val stats = m.statsOrNil.map(s => s.copy(path = absPath(src, s.path)))
+    val stats = m.statsOrNil.map(s => s.copy(path = absPath(src, s.path),
+      bloom = s.bloomOpt.map(absPath(src, _)).orNull))
     val dvs = m.dvsOrEmpty.map { case (d, dv) =>
       absPath(src, d) -> absPath(src, dv)
     }
@@ -1610,13 +1735,20 @@ object CommitLog {
     val v = version.orElse(currentVersion(root))
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, v)
-    val surviving = prunedFiles(spark, m, predicate)
+    val surviving = prunedFiles(spark, root, m, predicate)
     readFiles(spark, root, m, surviving).filter(predicate)
   }
 
   /** The file subset [[readPruned]] would open (exposed for tests/EXPLAIN). */
   def prunedFiles(spark: SparkSession, m: Manifest, predicate: Column): Seq[String] =
-    prunedByPred(spark, m, GraftBridge.pred(predicate))
+    prunedByPred(spark, m, GraftBridge.pred(predicate), None)
+
+  /** Root-aware variant: min/max skipping PLUS the per-file bloom-index
+    * probe for equality/IN constraints (sidecars resolve against `root`).
+    */
+  def prunedFiles(spark: SparkSession, root: String, m: Manifest,
+      predicate: Column): Seq[String] =
+    prunedByPred(spark, m, GraftBridge.pred(predicate), Some(root))
 
   /** Log schema / file reading / V1-filter pruning, exposed for the
     * `graft-commitlog` data source ([[graft.sources.commitlog.DefaultSource]]).
@@ -1632,7 +1764,8 @@ object CommitLog {
     * pruning only ever skips I/O).
     */
   def pruneForSourceFilters(spark: SparkSession, m: Manifest,
-      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      root: Option[String] = None): Seq[String] = {
     import org.apache.spark.sql.{sources => sf}
     import GraftBridge.{Attr, Fn, Lit, Opaque, Pred}
     def l(v: Any): Pred = Lit(lit(v))
@@ -1651,11 +1784,11 @@ object CommitLog {
     }
     val pred = filters.map(conv)
       .reduceOption((a, b) => Fn("and", Seq(a, b))).getOrElse(Opaque)
-    prunedByPred(spark, m, pred)
+    prunedByPred(spark, m, pred, root)
   }
 
   private def prunedByPred(spark: SparkSession, m: Manifest,
-      pred0: GraftBridge.Pred): Seq[String] = {
+      pred0: GraftBridge.Pred, root: Option[String]): Seq[String] = {
     val schema = schemaOf(m)
     val stats = m.statsOrNil
     if (stats.isEmpty) return m.files
@@ -1698,7 +1831,63 @@ object CommitLog {
         }: _*)
     val survive = surviveCond(pred, tracked.map(_._1).toSet)
     val kept = typed.filter(survive).select("path__").collect().map(_.getString(0))
-    m.files.filter(kept.contains)
+    val byMinMax = m.files.filter(kept.contains)
+    root match {
+      case None => byMinMax
+      case Some(r) => bloomPrune(r, m, pred, tracked.toMap, byMinMax)
+    }
+  }
+
+  /** Top-level-conjunct equality/IN constraints of a pruning predicate:
+    * column → the literal values one of which a file MUST contain to
+    * survive. OR branches and non-literal shapes are simply not extracted
+    * (conservative), and a null literal never constrains.
+    */
+  private def bloomEqConstraints(p: GraftBridge.Pred): Seq[(String, Seq[Any])] = {
+    import GraftBridge.{Attr, Fn, Lit}
+    def raw(l: Lit): Option[Any] =
+      GraftBridge.litRaw(l.value).filter(_ != null)
+    p match {
+      case Fn("and", Seq(l, r)) => bloomEqConstraints(l) ++ bloomEqConstraints(r)
+      case Fn("=" | "==", Seq(Attr(a), l: Lit)) =>
+        raw(l).map(v => a -> Seq(v)).toSeq
+      case Fn("=" | "==", Seq(l: Lit, Attr(a))) =>
+        raw(l).map(v => a -> Seq(v)).toSeq
+      case Fn("in", Attr(a) +: vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Lit]) =>
+        val raws = vs.collect { case l: Lit => raw(l) }
+        // any non-extractable member makes the IN unprunable (it might
+        // match a row the extractable members don't)
+        if (raws.forall(_.isDefined)) Seq(a -> raws.flatten) else Nil
+      case _ => Nil
+    }
+  }
+
+  /** Drop min/max survivors whose bloom sidecar PROVES every required
+    * equality value absent. Files without a sidecar (or without a sketch
+    * for the constrained column) always survive; a bloom positive is only
+    * "might contain" — the residual filter above the scan stays load-
+    * bearing either way, so false positives cost I/O, never correctness.
+    */
+  private def bloomPrune(root: String, m: Manifest, pred: GraftBridge.Pred,
+      dtByPhys: Map[String, DataType], candidates: Seq[String]): Seq[String] = {
+    val cons = bloomEqConstraints(pred)
+    if (cons.isEmpty) return candidates
+    val statBy = m.statsOrNil.map(s => s.path -> s).toMap
+    candidates.filter { f =>
+      statBy.get(f).flatMap(_.bloomOpt) match {
+        case None => true
+        case Some(bp) =>
+          val sketches = readBloomSidecar(dataPath(root, bp))
+          cons.forall { case (a, vs) =>
+            (sketches.get(a), dtByPhys.get(a)) match {
+              case (Some(bf), Some(dt)) =>
+                vs.exists(v =>
+                  xxh64Of(v, dt).forall(bf.mightContainLong))
+              case _ => true
+            }
+          }
+      }
+    }
   }
 
   /** Z-order clustering rewrite (OPTIMIZE … ZORDER BY): sort the snapshot
@@ -2064,7 +2253,8 @@ object CommitLog {
       writeCheckpoint(root, keepSnaps.head)
       advanceLastCheckpoint(root, keepFrom)
       val live = (keepSnaps ++ pinnedSnaps)
-        .flatMap(s => s.files ++ s.dvsOrEmpty.values).toSet
+        .flatMap(s => s.files ++ s.dvsOrEmpty.values ++
+          s.statsOrNil.flatMap(_.bloomOpt)).toSet
       (1L until keepFrom).foreach { v =>
         Files.deleteIfExists(commitPath(root, v))
         if (!pinned.contains(v)) Files.deleteIfExists(checkpointPath(root, v))

@@ -261,7 +261,8 @@ class CommitLogFileIndex(
     val v1Filters = dataFilters.flatMap(GraftBridge.toSourceFilter)
     val surviving =
       if (v1Filters.isEmpty) m.files
-      else CommitLog.pruneForSourceFilters(spark, m, v1Filters.toArray)
+      else CommitLog.pruneForSourceFilters(spark, m, v1Filters.toArray,
+        Some(root))
     val byPath = m.statsOrNil.map(s => s.path -> s).toMap
     val statuses = surviving.map { rel =>
       val p = Paths.get(CommitLog.dataPath(root, rel))

@@ -30,6 +30,16 @@ object GraftBridge {
 
   def pred(c: Column): Pred = toPred(c.node)
 
+  /** The Scala-level literal value inside a literal Column (None for
+    * anything that is not a plain literal node) — what a driver-side
+    * pruning index needs to hash/compare a pushed constant without a
+    * Catalyst evaluation pass.
+    */
+  def litRaw(c: Column): Option[Any] = c.node match {
+    case l: LitNode => Some(l.value)
+    case _ => None
+  }
+
   /** Catalyst predicate → V1 `sources.Filter`, for the CommitLog
     * FileIndex's stats pruning (`translateFilter` is `protected[sql]`).
     * Nested-field pushdown is off: manifest stats track top-level atomic
