@@ -23,8 +23,10 @@ import graft.operators.QueryDef
   * luminance profile as the whole-payload feature — and through
   * [[AviMjpegDecoder]] — MJPEG in a RIFF/AVI container, walked by a
   * ~60-line chunk parser with each frame decoded by the JDK's JPEG codec;
-  * the two containers share [[temporalProfile]] so features are
-  * codec-independent. MP4/WebM payloads fall back to
+  * and through [[Mp4MjpegDecoder]] — MJPEG samples in an ISO-BMFF
+  * (MP4/MOV) container located via the stsz/stsc/stco sample tables; the
+  * containers share [[temporalProfile]] so features are
+  * codec-independent. H.264/HEVC/VP8 bitstreams (and WebM) fall back to
   * [[StubDecoder]] (deterministic pseudo-features — this container has no
   * external media libraries); everything around that fallback is real and
   * load-bearing: the schema contract, the partition-batched execution
@@ -275,8 +277,8 @@ object Multimodal {
     * frame luminance over 8 equal time segments — so scene-change and
     * near-dup screens over the feature column respond to actual content.
     * [[decodeFrames]] exposes the per-frame [[pixelFeature]] for real
-    * frame sampling. MP4/WebM need codecs the JDK lacks; those payloads
-    * fall back to [[StubDecoder]].
+    * frame sampling. Compressed-bitstream codecs the JDK lacks (H.264,
+    * VP8) fall back to [[StubDecoder]].
     */
   object GifVideoDecoder extends Decoder {
     import javax.imageio.ImageIO
@@ -389,8 +391,10 @@ object Multimodal {
     * and the whole-payload feature is the same [[temporalProfile]] the GIF
     * path reports. Chunks that fail JPEG decode are skipped (MJPEG streams
     * may interleave non-JPEG data chunks); a payload yielding zero frames
-    * falls back to the stub. MP4/WebM stay on the documented stub — the
-    * JDK ships no H.264/VP8 codec and zero egress forbids jars.
+    * falls back to the stub. (MP4 containers route to [[Mp4MjpegDecoder]];
+    * only the compressed bitstreams the JDK has no codec for — H.264,
+    * HEVC, VP8/WebM — stay on the documented stub, since zero egress
+    * forbids codec jars.)
     */
   object AviMjpegDecoder extends Decoder {
     import java.awt.image.BufferedImage
@@ -456,14 +460,158 @@ object Multimodal {
       else frames(payload).map(_.map(f => (f.getWidth, f.getHeight, pixelFeature(f))))
   }
 
+  /** REAL video codec #3: motion-JPEG inside an ISO base-media (MP4/MOV)
+    * container. The box grammar is a public spec (ISO/IEC 14496-12): a
+    * `moov/trak/mdia/minf/stbl` tree describes each track's samples —
+    * `stsz` sizes, `stsc` samples-per-chunk runs, `stco`/`co64` absolute
+    * chunk offsets — and for a `jpeg`/`mjpa`-format video track every
+    * sample is an independent JPEG that `javax.imageio` decodes. So the
+    * walker below gives TRUE frames/dimensions for MJPEG-in-MP4 (the
+    * QuickTime capture lineage), while H.264/HEVC/VP8 tracks in the same
+    * grammar still land on the honest stub: the CONTAINER is fully
+    * parsed; only the codec bitstream is out of JDK reach.
+    */
+  object Mp4MjpegDecoder extends Decoder {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    private val Iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, Iso)
+    private def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    private def u64(b: Array[Byte], off: Int): Long =
+      (u32(b, off) << 32) | u32(b, off + 4)
+
+    private[multimodal] def isMp4(payload: Array[Byte]): Boolean =
+      payload.length >= 12 && fourcc(payload, 4) == "ftyp"
+
+    /** One track's sample table, folded while walking its `stbl`. */
+    private final class Stbl {
+      var video = false // mdia/hdlr handler_type == 'vide'
+      var sizes: IndexedSeq[Int] = IndexedSeq.empty // stsz
+      var stsc: IndexedSeq[(Long, Long)] = IndexedSeq.empty // (first_chunk, per_chunk)
+      var chunks: IndexedSeq[Long] = IndexedSeq.empty // stco/co64 absolute offsets
+    }
+
+    /** Absolute (offset, size) of every sample in stbl order: walk chunks,
+      * expanding the stsc run-length table; samples inside a chunk are
+      * contiguous.
+      */
+    private def sampleSpans(t: Stbl): IndexedSeq[(Long, Int)] = {
+      val out = IndexedSeq.newBuilder[(Long, Int)]
+      var sample = 0
+      var run = 0
+      for (ci <- t.chunks.indices) {
+        // advance to the stsc run covering chunk ci+1 (runs are sorted)
+        while (run + 1 < t.stsc.length && t.stsc(run + 1)._1 <= ci + 1) run += 1
+        val perChunk =
+          if (t.stsc.isEmpty) 0L else t.stsc(math.min(run, t.stsc.length - 1))._2
+        var off = t.chunks(ci)
+        var s = 0L
+        while (s < perChunk && sample < t.sizes.length) {
+          val sz = t.sizes(sample)
+          out += ((off, sz))
+          off += sz
+          sample += 1
+          s += 1
+        }
+      }
+      out.result()
+    }
+
+    private def frames(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
+      if (!isMp4(payload)) return None
+      val tracks = Vector.newBuilder[Stbl]
+      var cur: Stbl = null
+      // recursive box walk over [start, end); descends containers only
+      def walk(start: Long, end: Long): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val sz0 = u32(payload, p.toInt)
+          val id = fourcc(payload, p.toInt + 4)
+          // size 1 → 64-bit largesize follows; size 0 → box runs to end
+          val (body, next) =
+            if (sz0 == 1 && p + 16 <= end) (p + 16, p + u64(payload, p.toInt + 8))
+            else if (sz0 == 0) (p + 8, end)
+            else (p + 8, p + sz0)
+          if (next < body || next > end) return // corrupt length: stop
+          id match {
+            case "moov" | "mdia" | "minf" | "stbl" => walk(body, next)
+            case "trak" =>
+              cur = new Stbl
+              walk(body, next)
+              tracks += cur
+              cur = null
+            case "hdlr" if cur != null && body + 12 <= next =>
+              if (fourcc(payload, body.toInt + 8) == "vide") cur.video = true
+            case "stsz" if cur != null && body + 12 <= next =>
+              val fixed = u32(payload, body.toInt + 4)
+              val n = u32(payload, body.toInt + 8).toInt
+              cur.sizes =
+                if (fixed != 0) IndexedSeq.fill(n)(fixed.toInt)
+                else (0 until n).map(i => u32(payload, body.toInt + 12 + 4 * i).toInt)
+            case "stsc" if cur != null && body + 8 <= next =>
+              val n = u32(payload, body.toInt + 4).toInt
+              cur.stsc = (0 until n).map { i =>
+                val e = body.toInt + 8 + 12 * i
+                (u32(payload, e), u32(payload, e + 4))
+              }
+            case "stco" if cur != null && body + 8 <= next =>
+              val n = u32(payload, body.toInt + 4).toInt
+              cur.chunks =
+                (0 until n).map(i => u32(payload, body.toInt + 8 + 4 * i))
+            case "co64" if cur != null && body + 8 <= next =>
+              val n = u32(payload, body.toInt + 4).toInt
+              cur.chunks =
+                (0 until n).map(i => u64(payload, body.toInt + 8 + 8 * i))
+            case _ => () // ftyp/mdat/mvhd/tkhd/stsd/…: not needed to locate samples
+          }
+          p = next
+        }
+      }
+      walk(0L, payload.length.toLong)
+      val out = Vector.newBuilder[BufferedImage]
+      for (t <- tracks.result() if t.video; (off, sz) <- sampleSpans(t)) {
+        if (off >= 0 && sz > 0 && off + sz <= payload.length) {
+          try {
+            val img = ImageIO.read(
+              new java.io.ByteArrayInputStream(payload, off.toInt, sz))
+            if (img != null) out += img
+          } catch { case _: Exception => () } // non-JPEG codec sample
+        }
+      }
+      val v = out.result()
+      if (v.isEmpty) None else Some(v)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      if (kind != "video") return StubDecoder.decode(kind, payload)
+      frames(payload) match {
+        case None => StubDecoder.decode(kind, payload) // H.264/HEVC etc.
+        case Some(fs) =>
+          (fs.head.getWidth, fs.head.getHeight, fs.length, temporalProfile(fs))
+      }
+    }
+
+    override def decodeFrames(
+        kind: String, payload: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Float])]] =
+      if (kind != "video") None
+      else frames(payload).map(_.map(f => (f.getWidth, f.getHeight, pixelFeature(f))))
+  }
+
   /** The default decoder: every kind the JDK can decode for real, routed to
     * its real codec; the rest on the honest stub.
     */
   object JdkDecoder extends Decoder {
-    // container sniff: RIFF/AVI → MJPEG path, anything else → GIF path
-    // (which itself stubs out undecodable bytes)
+    // container sniff: RIFF/AVI → MJPEG path, ISO-BMFF → the MP4 sample
+    // walker, anything else → GIF path (which itself stubs out
+    // undecodable bytes)
     private def videoCodec(payload: Array[Byte]): Decoder =
-      if (AviMjpegDecoder.isAvi(payload)) AviMjpegDecoder else GifVideoDecoder
+      if (AviMjpegDecoder.isAvi(payload)) AviMjpegDecoder
+      else if (Mp4MjpegDecoder.isMp4(payload)) Mp4MjpegDecoder
+      else GifVideoDecoder
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
       kind match {
         case "image" => ImageIoDecoder.decode(kind, payload)
