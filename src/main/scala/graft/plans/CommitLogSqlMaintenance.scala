@@ -180,6 +180,7 @@ object CommitLogSqlMaintenance {
       AttributeReference("partition_columns", StringType, nullable = false)(),
       AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
       AttributeReference("num_constraints", LongType, nullable = false)(),
+      AttributeReference("num_bloom_indexed_files", LongType, nullable = false)(),
       AttributeReference("last_modified_ms", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
       val root = rootOf(spark, parts)
@@ -204,6 +205,7 @@ object CommitLogSqlMaintenance {
         m.partitionByOrNil.mkString(","),
         m.dvsOrEmpty.size.toLong,
         m.constraintsOrEmpty.size.toLong,
+        stats.count(_.bloomOpt.isDefined).toLong,
         CommitLog.commitTimestamp(root, v)))
     }
   }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Distributed BPE training vs an independent single-machine reference
+  * implementation: identical merges (order, pairs, counts) and identical
+  * encodings, plus the deterministic tie rule and the early-stop floor.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- reference implementation (plain Scala, no Spark) ----
+  private def refWords(texts: Seq[String]): Map[Vector[String], Long] =
+    texts.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.toVector.map(_.toString) -> ws.size.toLong
+      }
+
+  private def refApply(syms: Vector[String], a: String, b: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String])((acc, s) =>
+      if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+      else acc :+ s)
+
+  private def refTrain(texts: Seq[String], rounds: Int,
+      minCount: Long = 2L): Seq[(String, String, Long)] = {
+    var vocab = refWords(texts)
+    val out = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      // winner: max count, ties by (a, b) ascending — the q117/Bpe rule
+      val best = pairs.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((a, b), n)) if n >= minCount =>
+          out += ((a, b, n))
+          vocab = vocab.toSeq.map { case (syms, f) => refApply(syms, a, b) -> f }
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        case _ => done = true
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  private val corpus = Seq(
+    "the theory of the thesis is the theme",
+    "other theories rethink the thesis theme",
+    "low lower lowest newer newest wide wider widest",
+    "the low theme of newer theories")
+
+  private def docsDf = corpus.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("distributed merges equal the reference, in order, with counts") {
+    val want = refTrain(corpus, 15)
+    val got = Bpe.train(docsDf, 15).map(m => (m.a, m.b, m.count))
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("encode matches the reference greedy encode per word") {
+    val merges = Bpe.train(docsDf, 12)
+    val ref = refTrain(corpus, 12)
+    assert(merges.map(m => (m.a, m.b, m.count)) == ref)
+    val got = Bpe.encode(docsDf, merges).orderBy("doc_id")
+      .select("bpe_toks").as[Seq[String]].collect()
+    val want = corpus.map(_.toLowerCase.trim.split("\\s+").toSeq
+      .filter(_.nonEmpty)
+      .flatMap { w =>
+        ref.foldLeft(w.toVector.map(_.toString)) { case (syms, (a, b, _)) =>
+          refApply(syms, a, b)
+        }
+      })
+    assert(got.map(_.toSeq).toSeq == want)
+  }
+
+  test("tie rule is lexicographic on the pair; floor stops early") {
+    // (a,b) and (c,d) both weight 2 → lexicographically first pair wins
+    val tied = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
+    val m = Bpe.train(tied, 1)
+    assert(m.map(x => (x.a, x.b, x.count)) == Seq(("a", "b", 2L)))
+    // a floor above every pair count learns nothing
+    assert(Bpe.train(tied, 5, minPairCount = 100L).isEmpty)
+    // merged symbols keep merging across rounds: "aaaa"x3 → (a,a) then (aa,aa)
+    val runs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val rm = Bpe.train(runs, 2)
+    assert(rm.map(x => (x.a, x.b)) == Seq(("a", "a"), ("aa", "aa")))
+  }
+
+  test("plan shape: training rounds work the vocab table, never the corpus") {
+    // wordTable is the ONLY corpus-sized stage; pairCounts over it is a
+    // join-free Generate + two-phase aggregate
+    val p = Bpe.pairCounts(Bpe.wordTable(docsDf))
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("Generate") && p.contains("HashAggregate"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+  }
+}

@@ -132,6 +132,25 @@ class CommitLogBloomSpec extends SparkTestBase {
     assert(readPruned(spark, root, col("id") === 42L).count() == 1)
   }
 
+  test("streaming appendTxn commits index their files; DESCRIBE DETAIL counts them") {
+    val root = tmpTable()
+    val even = spark.range(50).selectExpr("id * 2 AS id", "concat('s_', id) AS k")
+    val odd = spark.range(50).selectExpr("id * 2 + 1 AS id", "concat('s_', id) AS k")
+    withBloomConf("id") {
+      assert(appendTxn(even.coalesce(1), root, "bloom-app", 0L) == 1L)
+    }
+    appendTxn(odd.coalesce(1), root, "bloom-app", 1L) // conf off → unindexed
+    val m = readManifest(root, 2L)
+    assert(m.statsOrNil.count(_.bloomOpt.isDefined) == 1)
+    // id 3 is inside BOTH files' [min,max]; the indexed even file's bloom
+    // proves absence, the unindexed odd file conservatively survives
+    assert(prunedFiles(spark, root, m, col("id") === 3L).size == 1)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW bloom_d USING `graft-commitlog` " +
+      s"OPTIONS (path '$root')")
+    val r = spark.sql("DESCRIBE DETAIL bloom_d").collect()(0)
+    assert(r.getAs[Long]("num_bloom_indexed_files") == 1L)
+  }
+
   test("shallow clones probe the source's sidecars by absolute path") {
     val src = tmpTable()
     withBloomConf("id") { writeInterleaved(src) }
