@@ -142,7 +142,11 @@ object CommitLog {
       // on rename-column/drop-column/restore/clone commits — every other
       // op inherits, so pre-mapping logs and writers stay valid.
       colMap: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil) {
+      retired: Seq[String] = Nil,
+      // table properties (the Delta TBLPROPERTIES concept): full
+      // post-commit map, read ONLY on create/set-props/restore/clone —
+      // everything else inherits, so pre-props logs stay valid.
+      props: Map[String, String] = Map.empty) {
     def addOrNil: Seq[FileStat] = Option(add).getOrElse(Nil)
     def removeOrNil: Seq[String] = Option(remove).getOrElse(Nil)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
@@ -152,6 +156,7 @@ object CommitLog {
     def dvsOrEmpty: Map[String, String] = Option(dvs).getOrElse(Map.empty)
     def colMapOrEmpty: Map[String, String] = Option(colMap).getOrElse(Map.empty)
     def retiredOrNil: Seq[String] = Option(retired).getOrElse(Nil)
+    def propsOrEmpty: Map[String, String] = Option(props).getOrElse(Map.empty)
   }
 
   /** Materialized snapshot at one version — what readers resolve, and the
@@ -168,7 +173,8 @@ object CommitLog {
       constraints: Map[String, String] = Map.empty, // name → CHECK expr
       dvs: Map[String, String] = Map.empty, // data file → live DV file
       colMap: Map[String, String] = Map.empty, // logical → physical name
-      retired: Seq[String] = Nil) { // dropped columns' physical names
+      retired: Seq[String] = Nil, // dropped columns' physical names
+      props: Map[String, String] = Map.empty) { // table properties
     def statsOrNil: Seq[FileStat] = Option(fileStats).getOrElse(Nil)
     def files: Seq[String] = statsOrNil.map(_.path)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
@@ -178,6 +184,7 @@ object CommitLog {
     def dvsOrEmpty: Map[String, String] = Option(dvs).getOrElse(Map.empty)
     def colMapOrEmpty: Map[String, String] = Option(colMap).getOrElse(Map.empty)
     def retiredOrNil: Seq[String] = Option(retired).getOrElse(Nil)
+    def propsOrEmpty: Map[String, String] = Option(props).getOrElse(Map.empty)
     /** Physical parquet name of a logical column (identity when unmapped). */
     def physOf(logical: String): String =
       colMapOrEmpty.getOrElse(logical, logical)
@@ -315,10 +322,17 @@ object CommitLog {
     val ret =
       if (mapOps(c.op)) c.retiredOrNil
       else prior.map(_.retiredOrNil).getOrElse(Nil)
+    // Table properties: create/set-props/restore/clone REPLACE the map;
+    // everything else inherits (pre-props logs and writers stay valid).
+    val props =
+      if (c.op == "create" || c.op == "set-props" || c.op == "restore" ||
+          c.op == "clone")
+        c.propsOrEmpty
+      else prior.map(_.propsOrEmpty).getOrElse(Map.empty)
     Manifest(c.version, c.op, c.schemaJson,
       prior.map(_.statsOrNil).getOrElse(Nil).filterNot(s => removed(s.path)) ++
         c.addOrNil,
-      c.partitionByOrNil, c.txnOrEmpty, cs, dvs, cm, ret)
+      c.partitionByOrNil, c.txnOrEmpty, cs, dvs, cm, ret, props)
   }
 
   /** Materialize the snapshot at version `v`: nearest checkpoint at or
@@ -588,7 +602,8 @@ object CommitLog {
   private def stageWithStats(
       df: DataFrame, root: String, partitionBy: Seq[String],
       preArranged: Boolean = false, maxRecordsPerFile: Long = 0L,
-      colMap: Map[String, String] = Map.empty): Seq[FileStat] = {
+      colMap: Map[String, String] = Map.empty,
+      props: Map[String, String] = Map.empty): Seq[FileStat] = {
     // Column mapping: files are written under PHYSICAL names (stable for
     // a column's whole life — rename changes only the logical name), so
     // stats keys and parquet columns stay consistent across every file
@@ -600,13 +615,19 @@ object CommitLog {
         .map(n => col(n).as(p(n))): _*)
     val physSpec = partitionBy.map(p)
     val files = stage(physDf, root, physSpec, preArranged, maxRecordsPerFile)
-    // Bloom indexing is a WRITE-TIME session choice (the reference point:
-    // Delta's delta.bloomFilter column property): logical names in the
-    // conf, physical names on disk. Rewrites (compact/OPTIMIZE/DML) pass
-    // through here too, so rewritten files re-index automatically whenever
-    // the rewriting session keeps the conf set.
+    // Bloom indexing is a WRITE-TIME choice, sticky per table via the
+    // `bloom.columns`/`bloom.bits`/`bloom.items` TABLE properties (the
+    // reference point: Delta's delta.bloomFilter column property) with
+    // the session conf as a per-session override: logical names in
+    // either, physical names on disk. Every write path — appends,
+    // streaming appendTxn, compact/OPTIMIZE/DML rewrites — passes through
+    // here, so an indexed table stays indexed for every writer without
+    // per-session setup.
     val sess = df.sparkSession
-    val bloomCols = sess.conf.get(BloomColumnsConf, "")
+    def opt(confKey: String, propKey: String): Option[String] =
+      sess.conf.getOption(confKey).filter(_.nonEmpty)
+        .orElse(props.get(propKey)).filter(_.nonEmpty)
+    val bloomCols = opt(BloomColumnsConf, "bloom.columns").getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .map(p)
       .filter(c => physDf.schema.fields.exists(f =>
@@ -614,8 +635,8 @@ object CommitLog {
     val bloomSpec =
       if (bloomCols.isEmpty) None
       else Some((bloomCols,
-        sess.conf.get(BloomItemsConf, DefaultBloomItems.toString).toLong,
-        sess.conf.get(BloomBitsConf, DefaultBloomBits.toString).toLong))
+        opt(BloomItemsConf, "bloom.items").getOrElse(DefaultBloomItems.toString).toLong,
+        opt(BloomBitsConf, "bloom.bits").getOrElse(DefaultBloomBits.toString).toLong))
     statsFor(sess, root, files, physDf.schema, bloomSpec).map { st =>
       st.copy(partitions =
         physSpec.flatMap(c => st.minsOrEmpty.get(c).map(c -> _)).toMap)
@@ -729,7 +750,8 @@ object CommitLog {
     val spec = effectiveSpec(prior, partitionBy)
     prior.foreach(guardNewColumns(_, schema))
     val add = stageWithStats(df, root, spec,
-      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty))
+      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
+      props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
     enforceConstraints(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
@@ -742,13 +764,40 @@ object CommitLog {
     * [[append]]. Fails if the table already has commits.
     */
   def create(root: String, schema: StructType,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Long = {
     require(currentVersion(root).isEmpty, s"table already exists at $root")
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
     commitDelta(root, None, Commit(1L, "create", schema.json, Nil, Nil,
-      partitionBy))
+      partitionBy, props = props))
     1L
+  }
+
+  /** Current table-property map (empty for pre-props logs). */
+  def tablePropertiesOf(root: String): Map[String, String] =
+    currentVersion(root)
+      .map(v => readManifest(root, v).propsOrEmpty)
+      .getOrElse(Map.empty)
+
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: one metadata commit carrying
+    * the full post-change map (prior ++ set -- unset). Properties steer
+    * WRITE-time behavior (e.g. `bloom.columns` — see [[BloomColumnsConf]],
+    * whose session conf overrides the table property when both are set),
+    * so they stick to the table across sessions and writers instead of
+    * living in one session's conf.
+    */
+  def setTableProperties(root: String, set: Map[String, String],
+      unset: Seq[String] = Nil): Long = withRetry() {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no CommitLog table at $root"))
+    val m = readManifest(root, base)
+    commitDelta(root, Some(m), Commit(base + 1, "set-props", m.schemaJson,
+      Nil, Nil, m.partitionByOrNil, m.txnOrEmpty,
+      constraints = m.constraintsOrEmpty, dvs = m.dvsOrEmpty,
+      colMap = m.colMapOrEmpty, retired = m.retiredOrNil,
+      props = m.propsOrEmpty ++ set -- unset))
+    base + 1
   }
 
   /** Metadata-only schema evolution: commit the union of the current
@@ -946,7 +995,8 @@ object CommitLog {
     val spec = effectiveSpec(prior, Nil)
     prior.foreach(guardNewColumns(_, schema))
     val add = stageWithStats(df, root, spec,
-      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty))
+      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
+      props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
     enforceConstraints(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId)))
@@ -1086,7 +1136,8 @@ object CommitLog {
       else prior.map(_.partitionByOrNil).getOrElse(Nil)
     prior.foreach(guardNewColumns(_, df.schema))
     val add = if (df.isEmpty) Nil else stageWithStats(df, root, spec,
-      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty))
+      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
+      props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
     enforceConstraints(df.sparkSession, root, prior, add, df.schema)
     commitDelta(root, prior, Commit(v, "overwrite", df.schema.json, add,
       prior.map(_.files).getOrElse(Nil), spec,
@@ -1160,7 +1211,8 @@ object CommitLog {
     }
     commitDelta(dst, None, Commit(1L, "clone", m.schemaJson, stats, Nil,
       m.partitionByOrNil, Map.empty, constraints = m.constraintsOrEmpty,
-      dvs = dvs, colMap = m.colMapOrEmpty, retired = m.retiredOrNil))
+      dvs = dvs, colMap = m.colMapOrEmpty, retired = m.retiredOrNil,
+      props = m.propsOrEmpty))
     1L
   }
 
@@ -1190,7 +1242,8 @@ object CommitLog {
     val spec = prior.partitionByOrNil
     val df0 = read(spark, root, Some(base))
     val df = if (spec.isEmpty) df0.repartition(nFiles) else df0
-    val add = stageWithStats(df, root, spec, colMap = prior.colMapOrEmpty)
+    val add = stageWithStats(df, root, spec, colMap = prior.colMapOrEmpty,
+      props = prior.propsOrEmpty)
     commitDelta(root, Some(prior), Commit(base + 1, "compact", df.schema.json,
       add, prior.files, spec, prior.txnOrEmpty))
     base + 1
@@ -1422,7 +1475,7 @@ object CommitLog {
         .unionByName(keep)
 
       val add = stageWithStats(merged, root, m.partitionByOrNil,
-        colMap = m.colMapOrEmpty)
+        colMap = m.colMapOrEmpty, props = m.propsOrEmpty)
       enforceConstraints(spark, root, Some(m), add, schema)
       commitDelta(root, Some(m), Commit(base + 1, "merge", schema.json,
         add, touched, m.partitionByOrNil, m.txnOrEmpty))
@@ -1456,7 +1509,7 @@ object CommitLog {
         }
       }: _*)
     val add = stageWithStats(updated, root, m.partitionByOrNil,
-      colMap = m.colMapOrEmpty)
+      colMap = m.colMapOrEmpty, props = m.propsOrEmpty)
     enforceConstraints(spark, root, Some(m), add, schema)
     commitDelta(root, Some(m), Commit(base + 1, "update", m.schemaJson,
       add, touched, m.partitionByOrNil, m.txnOrEmpty))
@@ -1474,7 +1527,7 @@ object CommitLog {
     val add =
       if (touched.isEmpty) Nil
       else stageWithStats(kept, root, m.partitionByOrNil,
-        colMap = m.colMapOrEmpty)
+        colMap = m.colMapOrEmpty, props = m.propsOrEmpty)
     commitDelta(root, Some(m), Commit(base + 1, "delete", m.schemaJson,
       add, touched, m.partitionByOrNil, m.txnOrEmpty))
     base + 1
@@ -1622,7 +1675,7 @@ object CommitLog {
           }
         }: _*)
         val add = stageWithStats(updated, root, m.partitionByOrNil,
-          colMap = m.colMapOrEmpty)
+          colMap = m.colMapOrEmpty, props = m.propsOrEmpty)
         enforceConstraints(spark, root, Some(m), add, schema)
         commitDelta(root, Some(m), Commit(base + 1, "update-dv", m.schemaJson,
           add, fullGone, m.partitionByOrNil, m.txnOrEmpty, dvs = dvEntries))
@@ -1665,7 +1718,7 @@ object CommitLog {
     if (dvFiles.isEmpty) return base
     val df = readFiles(spark, root, m, dvFiles) // DV-applied live rows
     val add = stageWithStats(df, root, m.partitionByOrNil,
-      colMap = m.colMapOrEmpty)
+      colMap = m.colMapOrEmpty, props = m.propsOrEmpty)
     commitDelta(root, Some(m), Commit(base + 1, "purge-dv", m.schemaJson,
       add, dvFiles, m.partitionByOrNil, m.txnOrEmpty))
     base + 1
@@ -1939,7 +1992,8 @@ object CommitLog {
     // re-shuffle it (the partitionBy writer still splits per value, so a
     // partitioned table gets z-clustered files within each partition).
     val add = stageWithStats(out, root, prior.partitionByOrNil,
-      preArranged = true, colMap = prior.colMapOrEmpty)
+      preArranged = true, colMap = prior.colMapOrEmpty,
+      props = prior.propsOrEmpty)
     commitDelta(root, Some(prior), Commit(base + 1, "cluster", df.schema.json,
       add, prior.files, prior.partitionByOrNil, prior.txnOrEmpty))
     base + 1
@@ -1975,7 +2029,8 @@ object CommitLog {
       // this set for op == "restore")
       dvs = target.dvsOrEmpty, // deletion vectors likewise revert wholesale
       colMap = target.colMapOrEmpty, // and the column mapping: the target's
-      retired = target.retiredOrNil)) // names come back with its data
+      retired = target.retiredOrNil, // names come back with its data
+      props = target.propsOrEmpty)) // properties revert with the metadata
     base + 1
   }
 
@@ -2088,7 +2143,8 @@ object CommitLog {
     val rowsPerFile = math.max(1L,
       (targetBytes.toDouble / (smallBytes.toDouble / smallRows)).toLong)
     val add = stageWithStats(out, root, spec,
-      maxRecordsPerFile = rowsPerFile, colMap = m.colMapOrEmpty)
+      maxRecordsPerFile = rowsPerFile, colMap = m.colMapOrEmpty,
+      props = m.propsOrEmpty)
     commitDelta(root, Some(m), Commit(base + 1, "optimize", m.schemaJson,
       add, small.map(_.path), spec, m.txnOrEmpty))
     base + 1

@@ -150,7 +150,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       t.references()(0).fieldNames().mkString(".")
     }
     Files.createDirectories(d)
-    CommitLog.create(d.toString, schema, partCols)
+    // TBLPROPERTIES persist in the log (engine-reserved keys the session
+    // injects — provider/location/owner/external and write options — are
+    // catalog metadata, not table state, and stay out)
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
+    val props = properties.asScala.toMap
+      .filterNot { case (k, _) =>
+        reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
+      }
+    CommitLog.create(d.toString, schema, partCols, props)
     GraftTable(d.toString, fullName(ident), pinned = None)
   }
 
@@ -173,7 +182,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = dirOf(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
-    val (constraintOps, schemaOps) = changes.partition {
+    val (propOps, rest) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propOps.nonEmpty) {
+      // SET/UNSET TBLPROPERTIES: one metadata commit with the merged map
+      val sets = propOps.collect {
+        case sp: TableChange.SetProperty => sp.property() -> sp.value()
+      }.toMap
+      val unsets = propOps.collect {
+        case rp: TableChange.RemoveProperty => rp.property()
+      }
+      CommitLog.setTableProperties(d.toString, sets, unsets)
+    }
+    val (constraintOps, schemaOps) = rest.partition {
       case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
       case _ => false
     }
@@ -337,7 +360,8 @@ case class GraftTable(rootDir: String, tableName: String, pinned: Option[Long])
   }
 
   override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft-commitlog", "location" -> rootDir).asJava
+    (CommitLog.tablePropertiesOf(rootDir) ++
+      Map("provider" -> "graft-commitlog", "location" -> rootDir)).asJava
 
   /** The table's live CHECK set surfaced through the DSv2 constraints API
     * (DESCRIBE, catalog tooling). Registration validated existing rows, so

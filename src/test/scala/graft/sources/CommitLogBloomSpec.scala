@@ -162,6 +162,44 @@ class CommitLogBloomSpec extends SparkTestBase {
     assert(readPruned(spark, dst, col("id") === 42L).count() == 1)
   }
 
+  test("bloom.columns table property indexes every writer; restore reverts props") {
+    val root = tmpTable()
+    val df = spark.range(100).selectExpr("id", "concat('k', id) AS k")
+    create(root, df.schema, Nil, Map("bloom.columns" -> "id",
+      "bloom.bits" -> "65536", "bloom.items" -> "4000"))
+    // NO session conf: the property alone indexes appends and rewrites
+    append(df.filter(col("id") % 2 === 0).coalesce(1), root)
+    append(df.filter(col("id") % 2 === 1).coalesce(1), root)
+    val m = readManifest(root, 3L)
+    assert(m.statsOrNil.forall(_.bloomOpt.isDefined))
+    assert(prunedFiles(spark, root, m, col("id") === 2L).size == 1)
+    compact(spark, root, nFiles = 1) // rewrite stays indexed via the property
+    assert(readManifest(root, 4L).statsOrNil.forall(_.bloomOpt.isDefined))
+    // property changes are commits, so RESTORE reverts them with the rest
+    setTableProperties(root, Map("bloom.columns" -> "k"), unset = Seq("bloom.bits"))
+    assert(tablePropertiesOf(root) ==
+      Map("bloom.columns" -> "k", "bloom.items" -> "4000"))
+    restore(root, 4L)
+    assert(tablePropertiesOf(root).get("bloom.columns").contains("id"))
+    // the session conf OVERRIDES the table property when both are set
+    spark.conf.set(BloomColumnsConf, "k")
+    try append(df.coalesce(1), root)
+    finally spark.conf.unset(BloomColumnsConf)
+    val last = readManifest(root, currentVersion(root).get).statsOrNil.last
+    val sk = last.bloomOpt.map(bp => dataPathFor(root, bp)).get
+    // the freshest sidecar indexes k (conf override), not id
+    assert(prunedFiles(spark, root,
+      readManifest(root, currentVersion(root).get),
+      col("k") === "nope").size < currentFileCount(root))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(sk)))
+  }
+
+  private def dataPathFor(root: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$root/$rel"
+
+  private def currentFileCount(root: String): Int =
+    readManifest(root, currentVersion(root).get).files.size
+
   private def bloomFilesOnDisk(root: String): Int = {
     val d = Paths.get(root, "data", "_bloom")
     if (!Files.isDirectory(d)) 0

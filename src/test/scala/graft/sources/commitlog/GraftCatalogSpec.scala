@@ -235,4 +235,46 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(plan.contains("FileScan parquet"), s"expected V1 file scan:\n$plan")
     assert(spark.table("graft.dv.t").count() == 45)
   }
+
+  test("TBLPROPERTIES persist in the log and steer bloom indexing per table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.props")
+    spark.sql("CREATE TABLE graft.props.t (id BIGINT, k STRING) " +
+      "TBLPROPERTIES ('bloom.columns'='id', 'bloom.bits'='65536', " +
+      "'bloom.items'='4000', 'team'='data-eng')")
+    val d = java.nio.file.Paths.get(root, "props", "t").toString
+    // engine-reserved keys stay out; user keys persist
+    val p = CommitLog.tablePropertiesOf(d)
+    assert(p.get("bloom.columns").contains("id") && p.get("team").contains("data-eng"))
+    assert(!p.contains("provider") && !p.contains("location"))
+    // a PROPERTY-driven index: no session conf anywhere, yet INSERTs index
+    spark.sql("INSERT INTO graft.props.t SELECT id * 2, concat('k', id) " +
+      "FROM range(50)")
+    spark.sql("INSERT INTO graft.props.t SELECT id * 2 + 1, concat('j', id) " +
+      "FROM range(50)")
+    val m = CommitLog.readManifest(d, CommitLog.currentVersion(d).get)
+    assert(m.statsOrNil.nonEmpty && m.statsOrNil.forall(_.bloomOpt.isDefined))
+    // id 2 is in the even file only; both files' [min,max] contain it? No —
+    // ranges interleave (0..98 vs 1..99), so min/max alone keeps both and
+    // the bloom keeps exactly one
+    assert(CommitLog.prunedFiles(spark, d, m, col("id") === lit(2L)).size == 1)
+    // SET/UNSET TBLPROPERTIES commit metadata-only and re-steer writes
+    spark.sql("ALTER TABLE graft.props.t SET TBLPROPERTIES ('team'='ml')")
+    spark.sql("ALTER TABLE graft.props.t UNSET TBLPROPERTIES ('bloom.columns')")
+    val p2 = CommitLog.tablePropertiesOf(d)
+    assert(p2.get("team").contains("ml") && !p2.contains("bloom.columns"))
+    spark.sql("INSERT INTO graft.props.t SELECT 1000 + id, 'z' FROM range(10)")
+    val m2 = CommitLog.readManifest(d, CommitLog.currentVersion(d).get)
+    // every file of the new commit (ids ≥ 1000; one file per partition)
+    // landed unindexed; all earlier files keep their sidecars
+    val (newFiles, oldFiles) = m2.statsOrNil.partition(
+      _.mins.get("id").exists(_.toLong >= 1000L))
+    assert(newFiles.nonEmpty && newFiles.forall(_.bloomOpt.isEmpty))
+    assert(oldFiles.forall(_.bloomOpt.isDefined))
+    // the catalog surfaces stored properties through DESCRIBE EXTENDED
+    assert(spark.table("graft.props.t").count() == 110)
+    // clones inherit the property map with the rest of the metadata
+    spark.sql("CREATE TABLE graft.props.t2 SHALLOW CLONE graft.props.t")
+    val d2 = java.nio.file.Paths.get(root, "props", "t2").toString
+    assert(CommitLog.tablePropertiesOf(d2).get("team").contains("ml"))
+  }
 }
