@@ -743,5 +743,51 @@ object Corpus {
           |  FROM w)
           |SELECT pair, count(*) AS n FROM p
           |GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin)),
+
+    // BPE ENCODING under the oracle gate: a fixed 4-merge vocabulary
+    // (th, the, in, an — classic first English merges) applied to the
+    // whole corpus by graft's fold ([[Bpe.applyMerge]]), mirrored in
+    // DuckDB by the same left-to-right non-overlapping fold written as
+    // nested list_reduce calls — so the ENCODER's semantics (greedy
+    // in-order merge application, merged tokens eligible for later
+    // merges) are value-proven engine-against-engine, not just against
+    // the in-repo reference implementation. Output: per-language token
+    // mass + distinct-token count after encoding — the fertility numbers
+    // a tokenizer report publishes. Plan: merge application is per-row
+    // projections (zero shuffle); only the final per-lang aggregate
+    // (with its distinct expansion) exchanges.
+    "q118_bpe_encode" -> QueryDef(
+      fn = { (s, dir) =>
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
+          .map { case (a, b) => Bpe.Merge(a, b, 0L) }
+        Bpe.encode(docs(s, dir).select(col("lang"), col("text")), merges)
+          .select(col("lang"), explode(col("bpe_toks")).as("tok"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_distinct"))
+          .orderBy("lang")
+      },
+      oracle = Some {
+        val chars = "list_transform(range(1, length(w) + 1), " +
+          "i -> substr(w, CAST(i AS INT), 1))"
+        val folded = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
+          .foldLeft(chars) { case (inner, (a, b)) =>
+            s"""list_reduce(list_transform($inner, s -> [s]),
+               |  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$a'
+               |      AND x[1] = '$b'
+               |    THEN list_concat(acc[1:len(acc)-1], ['${a + b}'])
+               |    ELSE list_concat(acc, x) END)""".stripMargin
+          }
+        s"""WITH w AS (
+           |  SELECT lang, unnest(list_filter(
+           |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+           |    t -> length(t) >= 1)) AS w
+           |  FROM documents),
+           |enc AS (
+           |  SELECT lang, unnest($folded) AS tok FROM w)
+           |SELECT lang, count(*) AS n_tokens,
+           |  count(DISTINCT tok) AS n_distinct
+           |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
   )
 }

@@ -97,6 +97,11 @@ class PlanShapeSpec extends SparkTestBase {
     }
     assert(plan("q117_bpe_pairs").contains("TakeOrderedAndProject"),
       "q117 lost top-k pushdown")
+    // q118's merge application must stay per-row projections: the only
+    // exchange is the final per-lang aggregate
+    val p118 = plan("q118_bpe_encode")
+    assert(!p118.contains("Join") && !p118.contains("CartesianProduct"),
+      s"q118 grew a join:\n$p118")
   }
 
   test("q108 novelty: shingle aggregates stay two-phase (map-side combine)") {

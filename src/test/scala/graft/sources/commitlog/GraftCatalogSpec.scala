@@ -270,7 +270,10 @@ class GraftCatalogSpec extends SparkTestBase {
       _.mins.get("id").exists(_.toLong >= 1000L))
     assert(newFiles.nonEmpty && newFiles.forall(_.bloomOpt.isEmpty))
     assert(oldFiles.forall(_.bloomOpt.isDefined))
-    // the catalog surfaces stored properties through DESCRIBE EXTENDED
+    // the catalog surfaces stored properties to SQL tooling
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.props.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("team").contains("ml"))
     assert(spark.table("graft.props.t").count() == 110)
     // clones inherit the property map with the rest of the metadata
     spark.sql("CREATE TABLE graft.props.t2 SHALLOW CLONE graft.props.t")
