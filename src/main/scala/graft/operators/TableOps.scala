@@ -554,5 +554,37 @@ object TableOps {
       oracle = Some(
         """SELECT doc_id, lang, source, n_chars FROM documents
           |WHERE doc_id IN (11, 123, 257, 401) ORDER BY doc_id""".stripMargin)),
+
+    // Hidden partitioning (Iceberg-style transform spec) under the gate:
+    // events land in a days(ts) layout — the query NEVER mentions the
+    // derived day value, it filters on raw ts, and the one-grain-per-file
+    // layout makes per-file ts min/max tight enough that the 3-day window
+    // opens ~3/30 of the files (CommitLogHiddenPartitionSpec proves the
+    // file-count cut; this query value-proves no matching row is lost).
+    // The 100 TB point: time-grain layout + stats pruning is the
+    // standard event-table design, and it falls out of the spec string
+    // alone — no derived column in the schema, no query rewrite.
+    "q119_hidden_partition" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val root = tmp("graft-q119")
+        CommitLog.append(ev, root, partitionBy = Seq("days(ts)"))
+        // 2024-01-10T00:00Z .. 2024-01-13T00:00Z, as LITERALS (a function
+        // bound is Opaque to the pruner)
+        val lo = lit(new java.sql.Timestamp(1704844800000L))
+        val hi = lit(new java.sql.Timestamp(1705104000000L))
+        CommitLog.readPruned(s, root, col("ts") >= lo && col("ts") < hi)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""SELECT event_type, count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

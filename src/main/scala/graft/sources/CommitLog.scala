@@ -419,16 +419,92 @@ object CommitLog {
     * files — the standard hive layout — and force partition-value recovery
     * from paths on every read.)
     */
-  private def stage(df: DataFrame, root: String, partitionBy: Seq[String],
+  /** One partition-spec entry — identity ("col") or an Iceberg-style
+    * HIDDEN transform (the published partition-transform set, ISO to
+    * Iceberg §Partition Transforms): `days(ts)`/`months(ts)` time grains,
+    * `bucket(N, col)` hash buckets, `truncate(W, col)` string prefixes.
+    * Hidden means the QUERY never mentions the derived value: time-range
+    * predicates prune through each file's tight source-column min/max
+    * (one grain per file ⇒ tight bounds), and equality predicates prune
+    * bucket/truncate layouts through [[transformPrune]] — the user
+    * filters on `ts`/`id`, never on a partition column, which is exactly
+    * the misuse Iceberg's design removes from Hive-style partitioning.
+    */
+  private[sources] final case class PartField(
+      raw: String, fn: String, source: String, arg: Int) {
+    /** Directory/copy key (physical-name based, stable across renames). */
+    def key(p: String => String): String = fn match {
+      case "identity" => p(source)
+      case "bucket" | "truncate" => s"${fn}_${arg}_${p(source)}"
+      case _ => s"${fn}_${p(source)}"
+    }
+    /** Derived partition value over the PHYSICAL frame. Time grains are
+      * computed from epoch micros (UTC-deterministic — a writer session's
+      * time zone must not move a row's partition).
+      */
+    def derive(p: String => String): Column = {
+      val c = col(p(source))
+      fn match {
+        case "identity" => c
+        case "days" => expr(s"date_add(DATE'1970-01-01', " +
+          s"CAST(unix_micros(CAST(`${p(source)}` AS TIMESTAMP)) div 86400000000 AS INT))")
+          .cast("string")
+        case "months" => expr(s"trunc(date_add(DATE'1970-01-01', " +
+          s"CAST(unix_micros(CAST(`${p(source)}` AS TIMESTAMP)) div 86400000000 AS INT)), 'MM')")
+          .cast("string")
+        case "bucket" => pmod(hash(c), lit(arg)).cast("string")
+        case "truncate" => substring(c, 1, arg)
+      }
+    }
+  }
+
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z_][\w]*)\s*\)""".r
+  private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z_][\w]*)\s*\)""".r
+  private val GrainRe = """(days|months)\(\s*([A-Za-z_][\w]*)\s*\)""".r
+
+  private[sources] def parsePartField(raw: String): PartField = raw.trim match {
+    case BucketRe(n, c) => PartField(raw.trim, "bucket", c, n.toInt)
+    case TruncRe(w, c) => PartField(raw.trim, "truncate", c, w.toInt)
+    case GrainRe(f, c) => PartField(raw.trim, f, c, 0)
+    case c => PartField(c, "identity", c, 0)
+  }
+
+  /** Spec entries must name a schema column of a type the transform can
+    * digest; bucket sizes/truncate widths must be positive.
+    */
+  private def validatePartitionSpec(schema: StructType, spec: Seq[String]): Unit =
+    spec.map(parsePartField).foreach { f =>
+      val fld = schema.fields.find(_.name == f.source).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '${f.source}' in the table schema (spec '${f.raw}')"))
+      f.fn match {
+        case "identity" => require(statTracked(fld.dataType),
+          s"partition column '${f.source}' (${fld.dataType.simpleString}) " +
+            "collects no stats — the layout would never prune")
+        case "days" | "months" => require(fld.dataType match {
+          case TimestampType | TimestampNTZType | DateType => true
+          case _ => false
+        }, s"${f.fn}() needs a timestamp/date column, got ${fld.dataType.simpleString}")
+        case "bucket" => require(f.arg > 0 && (fld.dataType match {
+          case StringType | LongType | IntegerType => true
+          case _ => false
+        }), s"bucket(N, c) needs N > 0 and a string/integral column")
+        case "truncate" => require(f.arg > 0 && fld.dataType == StringType,
+          "truncate(W, c) needs W > 0 and a string column")
+      }
+    }
+
+  private def stage(df: DataFrame, root: String,
+      partCols: Seq[(String, Column)],
       preArranged: Boolean = false, maxRecordsPerFile: Long = 0L): Seq[String] = {
     val sub = s"data/${UUID.randomUUID()}"
     def withCap[A](w: org.apache.spark.sql.DataFrameWriter[A]) =
       if (maxRecordsPerFile > 0L) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
-    if (partitionBy.isEmpty) withCap(df.write).parquet(s"$root/$sub")
+    if (partCols.isEmpty) withCap(df.write).parquet(s"$root/$sub")
     else {
-      val copies = partitionBy.map(c => s"__gp_$c")
-      val withCopies = partitionBy.zip(copies).foldLeft(df) {
-        case (d, (c, cp)) => d.withColumn(cp, col(c))
+      val copies = partCols.map { case (k, _) => s"__gp_$k" }
+      val withCopies = partCols.foldLeft(df) {
+        case (d, (k, e)) => d.withColumn(s"__gp_$k", e)
       }
       // preArranged: the caller already laid rows out (e.g. cluster()'s
       // z-range sort) — a hash repartition here would destroy that layout;
@@ -436,7 +512,7 @@ object CommitLog {
       // the single-valued-file contract holds either way.
       val staged =
         if (preArranged) withCopies
-        else withCopies.repartition(partitionBy.map(col).toIndexedSeq: _*)
+        else withCopies.repartition(copies.map(col).toIndexedSeq: _*)
       withCap(staged.write).partitionBy(copies: _*).parquet(s"$root/$sub")
     }
     val rootPath = Paths.get(root)
@@ -613,8 +689,9 @@ object CommitLog {
       if (colMap.isEmpty) df
       else df.select(df.schema.fieldNames.toIndexedSeq
         .map(n => col(n).as(p(n))): _*)
-    val physSpec = partitionBy.map(p)
-    val files = stage(physDf, root, physSpec, preArranged, maxRecordsPerFile)
+    val fields = partitionBy.map(parsePartField)
+    val partCols = fields.map(f => f.key(p) -> f.derive(p))
+    val files = stage(physDf, root, partCols, preArranged, maxRecordsPerFile)
     // Bloom indexing is a WRITE-TIME choice, sticky per table via the
     // `bloom.columns`/`bloom.bits`/`bloom.items` TABLE properties (the
     // reference point: Delta's delta.bloomFilter column property) with
@@ -637,11 +714,49 @@ object CommitLog {
       else Some((bloomCols,
         opt(BloomItemsConf, "bloom.items").getOrElse(DefaultBloomItems.toString).toLong,
         opt(BloomBitsConf, "bloom.bits").getOrElse(DefaultBloomBits.toString).toLong))
+    // Partition tuple per file: identity entries read off the stats
+    // (staging guarantees min = max, and statRender keeps the historical
+    // zone-safe rendering); transform entries parse their derived value
+    // back out of the file's own __gp_<key>=<value> path segments.
+    val transformKeys = fields.filterNot(_.fn == "identity").map(_.key(p)).toSet
     statsFor(sess, root, files, physDf.schema, bloomSpec).map { st =>
-      st.copy(partitions =
-        physSpec.flatMap(c => st.minsOrEmpty.get(c).map(c -> _)).toMap)
+      val idTuple = fields.filter(_.fn == "identity")
+        .flatMap(f => st.minsOrEmpty.get(p(f.source)).map(p(f.source) -> _))
+        .toMap
+      val trTuple = partitionsFromPath(st.path)
+        .filter { case (k, _) => transformKeys.contains(k) }
+      st.copy(partitions = idTuple ++ trTuple)
     }
   }
+
+  /** `__gp_<key>=<value>` segments of a staged file's relative path, with
+    * the writer's %XX path escaping undone — how transform partition
+    * values round-trip without being schema columns.
+    */
+  private def partitionsFromPath(rel: String): Map[String, String] =
+    rel.split('/').toSeq
+      .filter(s => s.startsWith("__gp_") && s.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(5, i) -> unescapePath(seg.substring(i + 1))
+      }.toMap
+
+  private def unescapePath(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   /** Physical-name view of a manifest's logical schema. */
   private def physSchema(m: Manifest): StructType =
@@ -748,6 +863,7 @@ object CommitLog {
     val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
       .getOrElse(df.schema)
     val spec = effectiveSpec(prior, partitionBy)
+    if (prior.isEmpty) validatePartitionSpec(schema, spec)
     prior.foreach(guardNewColumns(_, schema))
     val add = stageWithStats(df, root, spec,
       colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
@@ -767,8 +883,7 @@ object CommitLog {
       partitionBy: Seq[String] = Nil,
       props: Map[String, String] = Map.empty): Long = {
     require(currentVersion(root).isEmpty, s"table already exists at $root")
-    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in schema"))
+    validatePartitionSpec(schema, partitionBy)
     commitDelta(root, None, Commit(1L, "create", schema.json, Nil, Nil,
       partitionBy, props = props))
     1L
@@ -873,8 +988,8 @@ object CommitLog {
       val schema = schemaOf(m)
       require(schema.fieldNames.contains(name), s"no column '$name'")
       require(schema.fields.length > 1, "cannot drop the last column")
-      require(!m.partitionByOrNil.contains(name),
-        s"'$name' is a partition column — evolve the spec first")
+      require(!m.partitionByOrNil.map(parsePartField).exists(_.source == name),
+        s"'$name' is referenced by the partition spec — evolve the spec first")
       val mentions = "(?i).*\\b" + java.util.regex.Pattern.quote(name) + "\\b.*"
       require(!m.constraintsOrEmpty.values.exists(_.matches(mentions)),
         s"a CHECK constraint references '$name' — drop the constraint first")
@@ -1162,14 +1277,7 @@ object CommitLog {
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, base)
     val schema = schemaOf(m)
-    spec.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"no column '$c' in the table schema"))
-      require(statTracked(f.dataType),
-        s"partition column '$c' (${f.dataType.simpleString}) collects no " +
-          "stats — the layout would never prune")
-    }
+    validatePartitionSpec(schema, spec)
     if (spec == m.partitionByOrNil) return base // no-op
     commitDelta(root, Some(m), Commit(base + 1, "evolve-partition",
       m.schemaJson, Nil, Nil, spec, m.txnOrEmpty))
@@ -1885,9 +1993,61 @@ object CommitLog {
     val survive = surviveCond(pred, tracked.map(_._1).toSet)
     val kept = typed.filter(survive).select("path__").collect().map(_.getString(0))
     val byMinMax = m.files.filter(kept.contains)
+    val byTransform = transformPrune(m, pred, tracked.toMap, byMinMax)
     root match {
-      case None => byMinMax
-      case Some(r) => bloomPrune(r, m, pred, tracked.toMap, byMinMax)
+      case None => byTransform
+      case Some(r) => bloomPrune(r, m, pred, tracked.toMap, byTransform)
+    }
+  }
+
+  /** Hidden-partitioning equality pruning: bucket/truncate layouts derive
+    * their partition value from the source column, so an equality (or IN)
+    * constraint on the SOURCE column determines which partition values can
+    * match — the probe computes bucket = pmod(murmur3(v), N) with the
+    * engine's own hash expression (the exact function [[PartField.derive]]
+    * aggregates at write), or the W-prefix for truncate. Time grains need
+    * no logic here: one grain per file makes the source column's min/max
+    * tight, and plain stats pruning already uses those. Files without a
+    * recorded partition value (pre-transform generations after a spec
+    * evolution) always survive — the evolution contract.
+    */
+  private def transformPrune(m: Manifest, pred: GraftBridge.Pred,
+      dtByPhys: Map[String, DataType], candidates: Seq[String]): Seq[String] = {
+    val fields = m.partitionByOrNil.map(parsePartField)
+      .filter(f => f.fn == "bucket" || f.fn == "truncate")
+    if (fields.isEmpty) return candidates
+    val cons = bloomEqConstraints(pred).toMap
+    val statBy = m.statsOrNil.map(s => s.path -> s).toMap
+    def expected(f: PartField, vs: Seq[Any]): Option[Set[String]] = {
+      val dt = dtByPhys.get(m.physOf(f.source))
+      val per = vs.map { v =>
+        (f.fn, dt) match {
+          case ("bucket", Some(d)) =>
+            try {
+              val h = org.apache.spark.sql.catalyst.expressions
+                .Murmur3Hash(Seq(org.apache.spark.sql.catalyst.expressions
+                  .Literal.create(v, d)), 42)
+                .eval(null).asInstanceOf[Int]
+              Some((((h % f.arg) + f.arg) % f.arg).toString)
+            } catch { case scala.util.control.NonFatal(_) => None }
+          case ("truncate", _) =>
+            Some(String.valueOf(v).take(f.arg))
+          case _ => None
+        }
+      }
+      // any uncomputable member makes the constraint unprunable
+      if (per.forall(_.isDefined)) Some(per.flatten.toSet) else None
+    }
+    val checks = fields.flatMap { f =>
+      cons.get(m.physOf(f.source)).flatMap(vs => expected(f, vs))
+        .map(exp => (f.key(m.physOf), exp))
+    }
+    if (checks.isEmpty) return candidates
+    candidates.filter { path =>
+      val parts = statBy.get(path).map(_.partitionsOrEmpty).getOrElse(Map.empty)
+      checks.forall { case (key, exp) =>
+        parts.get(key).forall(exp.contains)
+      }
     }
   }
 

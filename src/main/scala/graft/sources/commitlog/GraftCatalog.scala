@@ -144,10 +144,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       properties: util.Map[String, String]): Table = {
     val d = dirOf(ident)
     if (isTableDir(d)) throw new TableAlreadyExistsException(ident)
+    // PARTITIONED BY accepts identity columns AND the hidden transforms
+    // the log implements (days/months/bucket/truncate) — Spark's grammar
+    // parses them into named DSv2 transforms; rendered back into the
+    // log's spec-string form.
     val partCols = partitions.toSeq.map { t =>
-      require(t.name() == "identity",
-        s"graft catalog supports only identity PARTITIONED BY columns, got $t")
-      t.references()(0).fieldNames().mkString(".")
+      def field = t.references()(0).fieldNames().mkString(".")
+      def intArg: Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"transform $t needs an integer argument"))
+      t.name() match {
+        case "identity" => field
+        case "days" => s"days($field)"
+        case "months" => s"months($field)"
+        case "bucket" => s"bucket($intArg, $field)"
+        case "truncate" => s"truncate($intArg, $field)"
+        case other => throw new IllegalArgumentException(
+          s"graft catalog supports identity/days/months/bucket/truncate " +
+            s"PARTITIONED BY transforms, got $other")
+      }
     }
     Files.createDirectories(d)
     // TBLPROPERTIES persist in the log (engine-reserved keys the session
@@ -356,7 +373,18 @@ case class GraftTable(rootDir: String, tableName: String, pinned: Option[Long])
     val v = pinned.orElse(CommitLog.currentVersion(rootDir))
     v.map(CommitLog.readManifest(rootDir, _)).toSeq
       .flatMap(_.partitionByOrNil)
-      .map(Expressions.identity).toArray
+      .map { raw =>
+        val f = CommitLog.parsePartField(raw)
+        f.fn match {
+          case "identity" => Expressions.identity(f.source)
+          case "days" => Expressions.days(f.source)
+          case "months" => Expressions.months(f.source)
+          case "bucket" => Expressions.bucket(f.arg, f.source)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(f.arg), Expressions.column(f.source))
+          case _ => Expressions.identity(f.source)
+        }
+      }.toArray
   }
 
   override def properties(): util.Map[String, String] =
