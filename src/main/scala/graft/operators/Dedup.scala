@@ -991,5 +991,70 @@ object Dedup {
            |  FROM sc)
            |SELECT q_id, rank, c_id, inter, jaccard
            |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // Retrieval-quality eval with an INTEGER-EXACT metric: every 97th doc
+    // issues a SNIPPET query (its first ≤10 positional 3-gram shingles)
+    // against the whole corpus; candidates rank by shared-shingle count
+    // (desc, then doc_id — fully deterministic), and the metric is the
+    // query doc's own rank: hits@1 / hits@10 and MRR scaled by 2520
+    // (= lcm(1..10), so Σ 2520/rank is exact integer arithmetic — the
+    // cross-engine-safe way to ship a reciprocal-rank metric). A clean
+    // corpus self-retrieves at rank 1; exact/near duplicates push the
+    // self rank down via the doc_id tie rule, so the metric doubles as a
+    // dup-pollution monitor for the retrieval pipeline. Scale shape: the
+    // query side is 1/97th of the corpus and 3-gram document frequency
+    // is near-1, so the posting join is query-sized, never corpus²; the
+    // per-query window ranks candidate lists of ~df·10 rows.
+    "q120_self_retrieval_mrr" -> QueryDef(
+      fn = { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val corpus = shingles(d).toDF("c_id", "sh")
+        val snips = d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("q_id"),
+            split(lower(trim(col("text"))), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("q_id"), explode(expr(
+            "transform(sequence(0, least(size(toks) - 3, 9))," +
+              " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+          .distinct()
+        val scored = snips.join(corpus, Seq("sh"))
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(count(lit(1)).as("score"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("c_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("c_id") === col("q_id"))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum(when(col("rank") === 1, 1L).otherwise(0L)).as("hits_at_1"),
+            sum(when(col("rank") <= 10, 1L).otherwise(0L)).as("hits_at_10"),
+            sum(when(col("rank") <= 10, expr("2520 div rank"))
+              .otherwise(0L)).cast("long").as("mrr_x2520"))
+      },
+      oracle = Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents),
+           |$shinglesSql,
+           |snip AS (
+           |  SELECT DISTINCT doc_id AS q_id,
+           |    unnest(list_transform(range(1, least(len(toks) - 1, 11)),
+           |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+           |  FROM toks WHERE doc_id % 97 = 0 AND len(toks) >= 3),
+           |sc AS (
+           |  SELECT q_id, sh0.doc_id AS c_id, count(*) AS score
+           |  FROM snip JOIN sh0 USING (sh) GROUP BY 1, 2),
+           |r AS (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY score DESC, c_id) AS rank
+           |  FROM sc)
+           |SELECT count(*) AS n_queries,
+           |  CAST(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+           |  CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+           |  CAST(sum(CASE WHEN rank <= 10 THEN 2520 // rank ELSE 0 END) AS BIGINT)
+           |    AS mrr_x2520
+           |FROM r WHERE c_id = q_id""".stripMargin)),
   )
 }

@@ -68,7 +68,9 @@ class PlanShapeSpec extends SparkTestBase {
         "q94_ann_ivfadc", "q96_passage_dedup", "q98_lexical_topk",
         // SemDeDup's pairwise step must stay a cell-id equi-join; the only
         // nested-loop allowed is the BROADCAST centroid assignment
-        "q107_semdedup", "q110_clean_eval_split")) {
+        "q107_semdedup", "q110_clean_eval_split",
+        // the MRR eval's posting join must stay shingle-keyed
+        "q120_self_retrieval_mrr")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q went all-pairs")
     }
   }
