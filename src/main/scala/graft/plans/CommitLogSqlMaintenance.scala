@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructType}
 
 import graft.sources.CommitLog
 
@@ -27,6 +27,7 @@ import graft.sources.CommitLog
   *   DESCRIBE HISTORY <table>                       → [[CommitLog.history]]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <n>   → [[CommitLog.restore]]
   *   DESCRIBE DETAIL <table>                        → manifest summary row
+  *   DESCRIBE FILES <table>                         → one row per live file
   *   REORG TABLE <table> APPLY (PURGE)              → [[CommitLog.purgeDeletionVectors]]
   *   CREATE TABLE <t> SHALLOW CLONE <s> [VERSION AS OF <n>] → [[CommitLog.shallowClone]]
   *   ALTER TABLE <t> ADD CONSTRAINT <n> CHECK (<e>) → [[CommitLog.addConstraint]]
@@ -56,6 +57,10 @@ object CommitLogSqlMaintenance {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   private val DetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
+  // Iceberg's `t.files` metadata-table idea as a statement: one row per
+  // live data file with its stats/index/DV attachments
+  private val FilesRe =
+    """(?is)^\s*DESCRIBE\s+FILES\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   // Delta's published syntax for materializing deletion vectors away
   private val ReorgPurgeRe =
     """(?is)^\s*REORG\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
@@ -96,6 +101,8 @@ object CommitLogSqlMaintenance {
         GraftHistoryCommand(delegate.parseMultipartIdentifier(ident))
       case DetailRe(ident) =>
         GraftDetailCommand(delegate.parseMultipartIdentifier(ident))
+      case FilesRe(ident) =>
+        GraftFilesCommand(delegate.parseMultipartIdentifier(ident))
       case ReorgPurgeRe(ident) =>
         GraftPurgeDvCommand(delegate.parseMultipartIdentifier(ident))
       case CloneRe(dst, src, version) =>
@@ -281,6 +288,36 @@ object CommitLogSqlMaintenance {
         AttributeReference(f.name, f.dataType, f.nullable)())
     override def run(spark: SparkSession): Seq[Row] =
       CommitLog.history(spark, rootOf(spark, parts)).collect().toSeq
+  }
+
+  /** `DESCRIBE FILES t` — the Iceberg `t.files` metadata-table persona
+    * as a statement: one row per LIVE data file straight off the
+    * manifest (no data I/O), with the file's row/byte counts, partition
+    * tuple, and whether a bloom sidecar / deletion vector is attached.
+    * The operator's view of what OPTIMIZE, vacuum sizing, skew triage
+    * and skipping-efficiency questions actually need.
+    */
+  case class GraftFilesCommand(parts: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("rows", LongType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)(),
+      AttributeReference("partition", StringType, nullable = false)(),
+      AttributeReference("bloom_index", BooleanType, nullable = false)(),
+      AttributeReference("deletion_vector", StringType, nullable = true)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val root = rootOf(spark, parts)
+      val v = CommitLog.currentVersion(root).getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val m = CommitLog.readManifest(root, v)
+      m.statsOrNil.sortBy(_.path).map { s =>
+        val part = s.partitionsOrEmpty.toSeq.sorted
+          .map { case (k, vv) => s"$k=$vv" }.mkString(",")
+        Row(s.path, s.rows, s.bytes, part, s.bloomOpt.isDefined,
+          m.dvsOrEmpty.get(s.path).orNull)
+      }
+    }
   }
 
   /** `RESTORE [TABLE] t TO VERSION AS OF n` → metadata-only rollback (a

@@ -152,6 +152,12 @@ class CommitLogHiddenPartitionSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM ghp.t").collect()(0).getLong(0) == 59L)
     val m3 = readManifest(d, 3L)
     assert(m3.statsOrNil.forall(_.partitionsOrEmpty.contains("days_ts")))
+    // DESCRIBE FILES: the per-file metadata view shows the hidden layout
+    val files = spark.sql("DESCRIBE FILES ghp.t").collect()
+    assert(files.length == m3.statsOrNil.size)
+    assert(files.forall(r => r.getString(3).contains("days_ts=") &&
+      r.getString(3).contains("bucket_4_id=")))
+    assert(files.map(_.getAs[Long]("rows")).sum == 59L)
   }
 
   test("guards: transform sources cannot drop; invalid specs reject") {
