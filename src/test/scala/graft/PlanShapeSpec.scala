@@ -106,6 +106,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"q118 grew a join:\n$p118")
   }
 
+  test("q121 perceptron: every training round broadcasts, corpus never sort-merges") {
+    // three unrolled iterations = three 4-number weight rows broadcast
+    // back onto the feature scan; a SortMergeJoin anywhere means a
+    // training round shuffled the corpus
+    val p = plan("q121_perceptron_quality")
+    assert(p.contains("Broadcast"), s"q121 lost its weight broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q121 shuffles the corpus:\n$p")
+  }
+
   test("q108 novelty: shingle aggregates stay two-phase (map-side combine)") {
     // both the document-frequency agg and the per-doc collapse must show
     // partial/final HashAggregate pairs — a single-phase agg shuffles raw
