@@ -40,6 +40,73 @@ object TextAnalysis {
     "de" -> Seq("sch", "ich", "der", "ein", "und", "die"),
     "fr" -> Seq(" le", "les", "ent", " et", "est", "une"))
 
+  // ---- q121 classifier surface (shared with the streaming twin) ----
+
+  /** FROZEN centering statistics of a training release: the feature
+    * means' exact numerators/denominator (n, Σn_chars, Σr₂..Σr₅).
+    * Incremental/streaming training keeps centering with the RELEASE
+    * stats (the q109 frozen-cells discipline) so every update round and
+    * every engine computes identical integer features.
+    */
+  final case class PerceptronCenter(n: Long, schars: Long,
+      s2: Long, s3: Long, s4: Long, s5: Long)
+
+  private val perceptronWords = Seq("join", "hash", "row", "batch", "scan",
+    "customer", "column", "filter")
+
+  /** Raw integer surface counts per document (input needs `text` +
+    * `n_chars`): common-word hits, distinct tokens, long tokens, tokens.
+    */
+  def perceptronRaw(d: DataFrame): DataFrame = {
+    val common = perceptronWords.map(w => s"'$w'").mkString(", ")
+    d.withColumn("toks", toksCol).select(col("n_chars"),
+      expr(s"CAST(size(filter(toks, t -> t IN ($common))) AS BIGINT)").as("r2"),
+      expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("r3"),
+      expr("CAST(size(filter(toks, t -> length(t) >= 6)) AS BIGINT)").as("r4"),
+      size(col("toks")).cast("long").as("r5"))
+  }
+
+  /** Release centering stats: one map-side-combined aggregate, 6 numbers. */
+  def perceptronCenter(d: DataFrame): PerceptronCenter = {
+    val r = perceptronRaw(d).agg(count(lit(1)), sum("n_chars"),
+      sum("r2"), sum("r3"), sum("r4"), sum("r5")).collect()(0)
+    PerceptronCenter(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+  }
+
+  /** Exactly-centered integer features under frozen stats: label
+    * y = sign(n·n_charsᵢ − Σn_chars), features xⱼ = n·rⱼ − Σrⱼ.
+    */
+  def perceptronFeatures(d: DataFrame, c: PerceptronCenter): DataFrame =
+    perceptronRaw(d).select(
+      when(col("n_chars") * c.n > c.schars, 1L).otherwise(-1L).as("y"),
+      (col("r2") * c.n - c.s2).as("x2"),
+      (col("r3") * c.n - c.s3).as("x3"),
+      (col("r4") * c.n - c.s4).as("x4"),
+      (col("r5") * c.n - c.s5).as("x5"))
+
+  /** One full-batch perceptron round over `w`: returns the cumulative
+    * weights after adding Σ_{y·⟨w,x⟩ ≤ 0} y·x. Margins compute in
+    * DECIMAL(38,0) so nothing wraps; the update itself is a 4-number
+    * aggregate (an empty frame is a no-op round).
+    */
+  def perceptronUpdate(feats: DataFrame, w: Seq[Long]): Seq[Long] = {
+    require(w.length == 4)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val xs = Seq("x2", "x3", "x4", "x5")
+    val margin = xs.zip(w).map { case (x, wi) => dec(col(x)) * dec(lit(wi)) }
+      .reduce(_ + _)
+    val mis = dec(col("y")) * margin <= 0
+    val r = feats.agg(
+      sum(when(mis, col("y") * col("x2")).otherwise(0L)),
+      sum(when(mis, col("y") * col("x3")).otherwise(0L)),
+      sum(when(mis, col("y") * col("x4")).otherwise(0L)),
+      sum(when(mis, col("y") * col("x5")).otherwise(0L))).collect()(0)
+    w.zipWithIndex.map { case (wi, i) =>
+      wi + (if (r.isNullAt(i)) 0L else r.getLong(i))
+    }
+  }
+
   private def hitCount(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
     s"size(filter(toks, t -> t IN ($set)))"
@@ -806,17 +873,7 @@ object TextAnalysis {
     // 100 iterations at 100 TB still move only 4 numbers per round.
     "q121_perceptron_quality" -> QueryDef(
       fn = { (s, dir) =>
-        val common = Seq("join", "hash", "row", "batch", "scan", "customer",
-          "column", "filter").map(w => s"'$w'").mkString(", ")
-        val raw = docs(s, dir)
-          .withColumn("toks", toksCol)
-          .select(col("n_chars"),
-            expr(s"CAST(size(filter(toks, t -> t IN ($common))) AS BIGINT)")
-              .as("r2"),
-            expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("r3"),
-            expr("CAST(size(filter(toks, t -> length(t) >= 6)) AS BIGINT)")
-              .as("r4"),
-            size(col("toks")).cast("long").as("r5"))
+        val raw = perceptronRaw(docs(s, dir))
         val g = raw.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("schars"),
           sum(col("r2")).as("s2"), sum(col("r3")).as("s3"),
           sum(col("r4")).as("s4"), sum(col("r5")).as("s5"))

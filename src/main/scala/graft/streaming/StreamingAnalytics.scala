@@ -77,6 +77,42 @@ object StreamingAnalytics {
       ()
     }
 
+  /** Streaming twin of q121's classifier training: each micro-batch of
+    * newly landed documents (text, n_chars) runs ONE full-batch
+    * perceptron round against the CURRENT weights and appends the new
+    * weight row to a CommitLog table exactly once — incremental model
+    * training whose state is a VERSIONED TABLE (time-travelable: every
+    * historical weight vector stays queryable; restart replays are
+    * no-ops via the txn watermark; no state store at all). Centering
+    * stats are FROZEN at the initial release
+    * ([[graft.operators.TextAnalysis.perceptronCenter]]) — the q109
+    * frozen-cells discipline — so every round computes identical integer
+    * features and the whole training trajectory is deterministic given
+    * the batch sequence. Per-trigger cost: one 4-number aggregate over
+    * the batch plus a 1-row read of the weights table.
+    */
+  def perceptronTrainSink(center: graft.operators.TextAnalysis.PerceptronCenter,
+      root: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val s = batch.sparkSession
+      val cur: Seq[Long] =
+        graft.sources.CommitLog.currentVersion(root) match {
+          case None => Seq(0L, 0L, 0L, 0L)
+          case Some(_) =>
+            graft.sources.CommitLog.read(s, root)
+              .orderBy(col("update_id").desc).limit(1)
+              .select("w2", "w3", "w4", "w5").collect().headOption
+              .map(r => (0 until 4).map(r.getLong).toSeq)
+              .getOrElse(Seq(0L, 0L, 0L, 0L))
+        }
+      val w = graft.operators.TextAnalysis.perceptronUpdate(
+        graft.operators.TextAnalysis.perceptronFeatures(batch, center), cur)
+      val row = s.createDataFrame(Seq((batchId, w(0), w(1), w(2), w(3))))
+        .toDF("update_id", "w2", "w3", "w4", "w5")
+      graft.sources.CommitLog.appendTxn(row, root, appId, batchId)
+      ()
+    }
+
   /** Streaming twin of q95/q67's benchmark-contamination screen: each
     * micro-batch of newly landed documents (doc_id, text) is shingled,
     * prescreened by the DRIVER-HELD eval bloom sketch (re-inserted as a

@@ -454,4 +454,52 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(graft.sources.CommitLog.currentVersion(s"$root/members") == vBefore)
     assert(indexRows == streamed)
   }
+
+  test("streaming perceptron training: versioned weights, sequential determinism, exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+    // centering stats FROZEN at the initial release
+    val center = TextAnalysis.perceptronCenter(docsDf)
+    val root = java.nio.file.Files.createTempDirectory("graft-perc-stream").toString
+    val sink = perceptronTrainSink(center, root, "perc-spec")
+
+    val rows = docsDf.as[(Long, String, Long)].collect().sortBy(_._1)
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("doc_id", "text", "n_chars").writeStream
+      .foreachBatch(sink).start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin: the same two rounds applied sequentially
+    def df(xs: Array[(Long, String, Long)]) =
+      xs.toSeq.toDF("doc_id", "text", "n_chars")
+    val w1 = TextAnalysis.perceptronUpdate(
+      TextAnalysis.perceptronFeatures(df(b0), center), Seq(0L, 0L, 0L, 0L))
+    val w2 = TextAnalysis.perceptronUpdate(
+      TextAnalysis.perceptronFeatures(df(b1), center), w1)
+    val table = graft.sources.CommitLog.read(spark, root)
+      .orderBy("update_id").collect()
+      .map(r => (r.getAs[Long]("update_id"),
+        Seq(r.getAs[Long]("w2"), r.getAs[Long]("w3"),
+          r.getAs[Long]("w4"), r.getAs[Long]("w5"))))
+    assert(table.map(_._1).toSeq == Seq(0L, 1L))
+    assert(table(0)._2 == w1 && table(1)._2 == w2)
+    assert(w1 != w2, "second round must actually move the weights")
+
+    // the state is a VERSIONED table: the pre-second-batch weights stay
+    // queryable by time travel
+    assert(graft.sources.CommitLog.read(spark, root, Some(1L)).count() == 1)
+
+    // restart replay of the last micro-batch is a no-op (exactly-once)
+    val vBefore = graft.sources.CommitLog.currentVersion(root)
+    sink(df(b1), 1L)
+    assert(graft.sources.CommitLog.currentVersion(root) == vBefore)
+    assert(graft.sources.CommitLog.read(spark, root).count() == 2)
+  }
 }
