@@ -107,6 +107,60 @@ object TextAnalysis {
     }
   }
 
+  /** The q121 training chain: per-doc frame (doc_id, y, x2..x5) joined
+    * with the 3-round cumulative weights (w2..w5) via broadcast, plus the
+    * final-weight margin column expression — shared by the accuracy
+    * report (q121) and the active-learning sample (q122).
+    */
+  private def trainedFrame(s: SparkSession, dir: String): (DataFrame, Column) = {
+    val raw = perceptronRawWithId(docs(s, dir))
+    val g = raw.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("schars"),
+      sum(col("r2")).as("s2"), sum(col("r3")).as("s3"),
+      sum(col("r4")).as("s4"), sum(col("r5")).as("s5"))
+    val feats = raw.crossJoin(broadcast(g))
+      .select(
+        col("doc_id"),
+        when(col("n_chars") * col("n") > col("schars"), 1L)
+          .otherwise(-1L).as("y"),
+        (col("n") * col("r2") - col("s2")).as("x2"),
+        (col("n") * col("r3") - col("s3")).as("x3"),
+        (col("n") * col("r4") - col("s4")).as("x4"),
+        (col("n") * col("r5") - col("s5")).as("x5"))
+    val xs = Seq("x2", "x3", "x4", "x5")
+    val ws = Seq("w2", "w3", "w4", "w5")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def margin(wCols: Seq[String]) = xs.zip(wCols)
+      .map { case (x, w) => dec(col(x)) * dec(col(w)) }.reduce(_ + _)
+    // one unrolled iteration: cumulative weights in, cumulative out
+    def step(d: DataFrame, wCols: Seq[String]): DataFrame = {
+      val mis = dec(col("y")) * margin(wCols) <= 0
+      val upd = xs.zipWithIndex.map { case (x, i) =>
+        (col(wCols(i)) + sum(when(mis, col("y") * col(x)).otherwise(0L)))
+          .as(s"u${i + 2}") // avoid shadowing the grouping keys
+      }
+      d.groupBy(wCols.map(col): _*).agg(upd.head, upd.tail: _*)
+        .select(xs.indices.map(i => col(s"u${i + 2}").as(s"w${i + 2}")): _*)
+    }
+    val w0 = feats.crossJoin(broadcast(
+      s.range(1).select(xs.indices.map(i => lit(0L).as(s"w${i + 2}")): _*)))
+    val w1 = feats.crossJoin(broadcast(step(w0, ws)))
+    val w2 = feats.crossJoin(broadcast(step(w1, ws)))
+    val w3 = feats.crossJoin(broadcast(step(w2, ws)))
+    (w3, margin(ws))
+  }
+
+  /** [[perceptronRaw]] plus the doc_id pass-through the ranking queries
+    * need.
+    */
+  private def perceptronRawWithId(d: DataFrame): DataFrame = {
+    val common = perceptronWords.map(w => s"'$w'").mkString(", ")
+    d.withColumn("toks", toksCol).select(col("doc_id"), col("n_chars"),
+      expr(s"CAST(size(filter(toks, t -> t IN ($common))) AS BIGINT)").as("r2"),
+      expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("r3"),
+      expr("CAST(size(filter(toks, t -> length(t) >= 6)) AS BIGINT)").as("r4"),
+      size(col("toks")).cast("long").as("r5"))
+  }
+
   private def hitCount(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
     s"size(filter(toks, t -> t IN ($set)))"
@@ -873,41 +927,12 @@ object TextAnalysis {
     // 100 iterations at 100 TB still move only 4 numbers per round.
     "q121_perceptron_quality" -> QueryDef(
       fn = { (s, dir) =>
-        val raw = perceptronRaw(docs(s, dir))
-        val g = raw.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("schars"),
-          sum(col("r2")).as("s2"), sum(col("r3")).as("s3"),
-          sum(col("r4")).as("s4"), sum(col("r5")).as("s5"))
-        val feats = raw.crossJoin(broadcast(g)).select(
-          when(col("n_chars") * col("n") > col("schars"), 1L)
-            .otherwise(-1L).as("y"),
-          (col("n") * col("r2") - col("s2")).as("x2"),
-          (col("n") * col("r3") - col("s3")).as("x3"),
-          (col("n") * col("r4") - col("s4")).as("x4"),
-          (col("n") * col("r5") - col("s5")).as("x5"))
-        val xs = Seq("x2", "x3", "x4", "x5")
+        val (w3, margin) = trainedFrame(s, dir)
         val ws = Seq("w2", "w3", "w4", "w5")
-        def dec(c: Column) = c.cast("decimal(38,0)")
-        def margin(wCols: Seq[String]) = xs.zip(wCols)
-          .map { case (x, w) => dec(col(x)) * dec(col(w)) }.reduce(_ + _)
-        // one unrolled iteration: cumulative weights in, cumulative out
-        def step(d: DataFrame, wCols: Seq[String]): DataFrame = {
-          val mis = dec(col("y")) * margin(wCols) <= 0
-          val upd = xs.zipWithIndex.map { case (x, i) =>
-            (col(wCols(i)) + sum(when(mis, col("y") * col(x)).otherwise(0L)))
-              .as(s"u${i + 2}") // avoid shadowing the grouping keys
-          }
-          d.groupBy(wCols.map(col): _*).agg(upd.head, upd.tail: _*)
-            .select(xs.indices.map(i => col(s"u${i + 2}").as(s"w${i + 2}")): _*)
-        }
-        val w0 = feats.crossJoin(broadcast(
-          s.range(1).select(xs.indices.map(i => lit(0L).as(s"w${i + 2}")): _*)))
-        val w1 = feats.crossJoin(broadcast(step(w0, ws)))
-        val w2 = feats.crossJoin(broadcast(step(w1, ws)))
-        val w3 = feats.crossJoin(broadcast(step(w2, ws)))
         w3.groupBy(ws.map(col): _*)
           .agg(count(lit(1)).as("n_docs"),
-            sum(when(dec(col("y")) * margin(ws) > 0, 1L).otherwise(0L))
-              .as("n_correct"))
+            sum(when(col("y").cast("decimal(38,0)") * margin > 0, 1L)
+              .otherwise(0L)).as("n_correct"))
           .select((ws.map(col) :+ col("n_docs") :+ col("n_correct")): _*)
       },
       oracle = Some {
@@ -956,6 +981,75 @@ object TextAnalysis {
            |    AS BIGINT) AS n_correct
            |FROM f CROSS JOIN s3x
            |GROUP BY 1, 2, 3, 4""".stripMargin
+      }),
+
+    // ACTIVE-LEARNING SAMPLE from the trained model: the 20 documents the
+    // q121 classifier is MOST CONFIDENTLY WRONG about (largest |margin|
+    // among misclassified, ties by doc_id) — the label-noise/hard-example
+    // audit batch a data curation loop sends for review. Ranking compares
+    // the exact DECIMAL(38,0)/HUGEINT margins (never a rounded score), so
+    // the sample boundary is engine-exact; the output carries doc_id, the
+    // gold label, and the model's (wrong) prediction. Plan shape: the
+    // q121 training chain (broadcast-only) plus one
+    // TakeOrderedAndProject(20) — still zero corpus shuffles.
+    "q122_active_learning" -> QueryDef(
+      fn = { (s, dir) =>
+        val (w3, margin) = trainedFrame(s, dir)
+        def dec(c: Column) = c.cast("decimal(38,0)")
+        w3.withColumn("m", margin)
+          .filter(dec(col("y")) * col("m") <= 0)
+          .withColumn("predicted", when(col("m") > 0, 1L).otherwise(-1L))
+          .orderBy(abs(col("m")).desc, col("doc_id"))
+          .limit(20)
+          .select("doc_id", "y", "predicted")
+      },
+      oracle = Some {
+        val common = perceptronWords.map(w => s"'$w'").mkString(", ")
+        def marginSql(pre: String): String =
+          (2 to 5).map(i =>
+            s"CAST($pre.w$i AS HUGEINT) * CAST(x$i AS HUGEINT)")
+            .mkString(" + ")
+        def stepSql(name: String, prev: String): String =
+          s"""$name AS (
+             |  SELECT ${(2 to 5).map(i =>
+            s"CAST($prev.w$i + sum(CASE WHEN y * (${marginSql(prev)}) <= 0 " +
+              s"THEN y * x$i ELSE 0 END) AS BIGINT) AS w$i").mkString(", ")}
+             |  FROM f CROSS JOIN $prev
+             |  GROUP BY ${(2 to 5).map(i => s"$prev.w$i").mkString(", ")})"""
+            .stripMargin
+        s"""WITH raw AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(len(list_filter(toks, t -> t IN ($common))) AS BIGINT) AS r2,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS r3,
+           |    CAST(len(list_filter(toks, t -> length(t) >= 6)) AS BIGINT) AS r4,
+           |    CAST(len(toks) AS BIGINT) AS r5
+           |  FROM (SELECT doc_id, n_chars,
+           |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |        FROM documents)),
+           |g AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(n_chars) AS BIGINT) AS schars,
+           |    CAST(sum(r2) AS BIGINT) AS s2, CAST(sum(r3) AS BIGINT) AS s3,
+           |    CAST(sum(r4) AS BIGINT) AS s4, CAST(sum(r5) AS BIGINT) AS s5
+           |  FROM raw),
+           |f AS (
+           |  SELECT doc_id,
+           |    CASE WHEN n_chars * n > schars THEN 1 ELSE -1 END AS y,
+           |    n * r2 - s2 AS x2, n * r3 - s3 AS x3,
+           |    n * r4 - s4 AS x4, n * r5 - s5 AS x5
+           |  FROM raw CROSS JOIN g),
+           |w0 AS (SELECT ${(2 to 5).map(i => s"CAST(0 AS BIGINT) AS w$i")
+            .mkString(", ")}),
+           |${stepSql("s1", "w0")},
+           |${stepSql("s2x", "s1")},
+           |${stepSql("s3x", "s2x")},
+           |scored AS (
+           |  SELECT doc_id, y, ${marginSql("s3x")} AS m
+           |  FROM f CROSS JOIN s3x)
+           |SELECT doc_id, CAST(y AS BIGINT) AS y,
+           |  CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted
+           |FROM scored WHERE y * m <= 0
+           |ORDER BY abs(m) DESC, doc_id LIMIT 20""".stripMargin
       }),
   )
 }

@@ -452,6 +452,9 @@ object CommitLog {
         case "months" => expr(s"trunc(date_add(DATE'1970-01-01', " +
           s"CAST(unix_micros(CAST(`${p(source)}` AS TIMESTAMP)) div 86400000000 AS INT)), 'MM')")
           .cast("string")
+        case "years" => expr(s"trunc(date_add(DATE'1970-01-01', " +
+          s"CAST(unix_micros(CAST(`${p(source)}` AS TIMESTAMP)) div 86400000000 AS INT)), 'YY')")
+          .cast("string")
         case "bucket" => pmod(hash(c), lit(arg)).cast("string")
         case "truncate" => substring(c, 1, arg)
       }
@@ -460,7 +463,7 @@ object CommitLog {
 
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z_][\w]*)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z_][\w]*)\s*\)""".r
-  private val GrainRe = """(days|months)\(\s*([A-Za-z_][\w]*)\s*\)""".r
+  private val GrainRe = """(days|months|years)\(\s*([A-Za-z_][\w]*)\s*\)""".r
 
   private[sources] def parsePartField(raw: String): PartField = raw.trim match {
     case BucketRe(n, c) => PartField(raw.trim, "bucket", c, n.toInt)
@@ -481,7 +484,7 @@ object CommitLog {
         case "identity" => require(statTracked(fld.dataType),
           s"partition column '${f.source}' (${fld.dataType.simpleString}) " +
             "collects no stats — the layout would never prune")
-        case "days" | "months" => require(fld.dataType match {
+        case "days" | "months" | "years" => require(fld.dataType match {
           case TimestampType | TimestampNTZType | DateType => true
           case _ => false
         }, s"${f.fn}() needs a timestamp/date column, got ${fld.dataType.simpleString}")

@@ -159,11 +159,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case "identity" => field
         case "days" => s"days($field)"
         case "months" => s"months($field)"
+        case "years" => s"years($field)"
         case "bucket" => s"bucket($intArg, $field)"
         case "truncate" => s"truncate($intArg, $field)"
         case other => throw new IllegalArgumentException(
-          s"graft catalog supports identity/days/months/bucket/truncate " +
-            s"PARTITIONED BY transforms, got $other")
+          s"graft catalog supports identity/years/months/days/bucket/" +
+            s"truncate PARTITIONED BY transforms, got $other")
       }
     }
     Files.createDirectories(d)
@@ -379,6 +380,7 @@ case class GraftTable(rootDir: String, tableName: String, pinned: Option[Long])
           case "identity" => Expressions.identity(f.source)
           case "days" => Expressions.days(f.source)
           case "months" => Expressions.months(f.source)
+          case "years" => Expressions.years(f.source)
           case "bucket" => Expressions.bucket(f.arg, f.source)
           case "truncate" => Expressions.apply("truncate",
             Expressions.literal(f.arg), Expressions.column(f.source))

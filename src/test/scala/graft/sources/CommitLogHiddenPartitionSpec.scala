@@ -160,6 +160,24 @@ class CommitLogHiddenPartitionSpec extends SparkTestBase {
     assert(files.map(_.getAs[Long]("rows")).sum == 59L)
   }
 
+  test("years(ts): the coarsest grain, same hidden contract") {
+    val root = tmpTable()
+    // 100 rows across two years (366-day offset for half of them)
+    val df = spark.range(100).selectExpr("id",
+      "timestamp_micros(CAST(1700000000000000 + (id % 2) * 366 * 86400000000 " +
+        "+ id * 1000000 AS BIGINT)) AS ts")
+    create(root, df.schema, Seq("years(ts)"))
+    append(df, root)
+    val m = readManifest(root, 2L)
+    assert(m.statsOrNil.map(_.partitionsOrEmpty("years_ts")).distinct.sorted
+      == Seq("2023-01-01", "2024-01-01"))
+    // a filter on raw ts keeps only the 2024 generation's files
+    val lo = lit(new java.sql.Timestamp(1700000000000L + 366L * 86400000L))
+    val pruned = prunedFiles(spark, m, col("ts") >= lo)
+    assert(pruned.nonEmpty && pruned.size < m.files.size)
+    assert(readPruned(spark, root, col("ts") >= lo).count() == 50L)
+  }
+
   test("guards: transform sources cannot drop; invalid specs reject") {
     val root = tmpTable()
     create(root, tsDf.schema, Seq("days(ts)"))
