@@ -122,6 +122,18 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         }
         CommitLog.versionAsOf(root, ms)
       })
+    // CDC slice: `changesFrom`/`changesTo` expose CommitLog.changes —
+    // the rows the append-only commits in (from, to] added — as a plain
+    // relation, so an external JDBC client can read a version range with
+    // `CREATE TEMPORARY VIEW d USING graft-commitlog OPTIONS (path …,
+    // changesFrom '3' [, changesTo '5'])` and drive incremental ETL over
+    // SQL alone (Delta's table_changes persona).
+    parameters.get("changesFrom").foreach { f =>
+      val toV = parameters.get("changesTo").map(_.toLong)
+        .orElse(CommitLog.currentVersion(root))
+        .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+      return new ChangesRelation(spark, root, f.toLong, toV)
+    }
     // A snapshot carrying deletion vectors cannot be served by a plain
     // file scan (the FileIndex can only choose FILES; dead positions need
     // the anti-join read). Route it through the merge-on-read relation —
@@ -319,6 +331,41 @@ class MergeOnReadRelation(
       "cannot INSERT through a version-pinned (time travel) relation")
     if (overwrite) CommitLog.overwrite(data, root)
     else CommitLog.append(data, root)
+  }
+}
+
+/** CDC-slice relation ([[CommitLog.changes]] as a V1 table): the rows the
+  * append-only commits in (fromV, toV] added, with pushed filters applied
+  * as the residual condition and `needConversion=false` preserving
+  * codegen below the boundary — the same fast-path contract as
+  * [[MergeOnReadRelation]]. The append-only range check happens inside
+  * `changes` (a rewrite in the range fails loudly, never double-counts).
+  */
+class ChangesRelation(
+    spark: SparkSession,
+    val root: String,
+    val fromV: Long,
+    val toV: Long) extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType =
+    CommitLog.changes(spark, root, fromV, toV).schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val cond = filters.flatMap(GraftTable.toColumnOpt)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val projected = CommitLog.changes(spark, root, fromV, toV)
+      .filter(cond)
+      .select(requiredColumns.toIndexedSeq
+        .map(org.apache.spark.sql.functions.col): _*)
+    projected.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
 }
 

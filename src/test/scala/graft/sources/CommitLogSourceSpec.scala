@@ -225,4 +225,34 @@ class CommitLogSourceSpec extends SparkTestBase {
       assert(spark.sql("SELECT count(*) FROM cl_tail2").collect()(0).getLong(0) == 9)
     } finally q.stop()
   }
+
+  test("CDC slice over SQL: changesFrom/changesTo options expose changes()") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsv1-cdc").toString
+    CommitLog.append(spark.range(10).selectExpr("id", "id * 2 AS v"), root)
+    CommitLog.append(spark.range(10, 25).selectExpr("id", "id * 2 AS v"), root)
+    CommitLog.append(spark.range(25, 30).selectExpr("id", "id * 2 AS v"), root)
+    // (1, 3] = the second and third appends
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cdc_slice USING `graft-commitlog` " +
+      s"OPTIONS (path '$root', changesFrom '1', changesTo '3')")
+    assert(spark.table("cdc_slice").count() == 20)
+    assert(spark.sql("SELECT min(id), max(id) FROM cdc_slice").collect()(0)
+      .toSeq == Seq(10L, 29L))
+    // pushed filters apply as the residual condition
+    assert(spark.sql("SELECT count(*) FROM cdc_slice WHERE id >= 25").collect()(0)
+      .getLong(0) == 5L)
+    // open-ended tail: changesTo defaults to the current version
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cdc_tail USING `graft-commitlog` " +
+      s"OPTIONS (path '$root', changesFrom '2')")
+    assert(spark.table("cdc_tail").collect().map(_.getLong(0)).sorted.toSeq ==
+      (25L until 30L))
+    // a rewrite inside the range fails loudly (append-only contract) —
+    // at relation creation, where changes() resolves the range
+    CommitLog.compact(spark, root, nFiles = 1)
+    val e = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW cdc_bad USING `graft-commitlog` " +
+        s"OPTIONS (path '$root', changesFrom '3')")
+      spark.table("cdc_bad").count()
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
 }
