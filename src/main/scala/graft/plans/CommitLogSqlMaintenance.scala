@@ -21,7 +21,7 @@ import graft.sources.CommitLog
   * statements): [[MaintenanceParser]] recognizes exactly these statement
   * shapes and hands everything else to the delegate untouched —
   *
-  *   OPTIMIZE <table> [ZORDER BY (col [, col …])]   → [[CommitLog.optimize]]
+  *   OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (…)] → [[CommitLog.optimize]]
   *                                                   / [[CommitLog.cluster]]
   *   VACUUM <table> [RETAIN <n> HOURS]              → [[CommitLog.vacuum]]
   *   DESCRIBE HISTORY <table>                       → [[CommitLog.history]]
@@ -50,7 +50,7 @@ import graft.sources.CommitLog
 object CommitLogSqlMaintenance {
 
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+((?:`[^`]+`|[\w.])+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+((?:`[^`]+`|[\w.])+)(?:\s+WHERE\s+(.+?))?\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val HistoryRe =
@@ -90,10 +90,14 @@ object CommitLogSqlMaintenance {
     */
   class MaintenanceParser(delegate: ParserInterface) extends ParserInterface {
     override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-      case OptimizeRe(ident, zorder) =>
+      case OptimizeRe(ident, where, zorder) =>
         val cols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident), cols)
+        // validate the predicate text at PARSE time (clear error position),
+        // re-parse it at run time against the session
+        Option(where).foreach(delegate.parseExpression)
+        GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident), cols,
+          Option(where).map(_.trim))
       case VacuumRe(ident, hours) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
           Option(hours).map(_.toLong))
@@ -157,15 +161,43 @@ object CommitLogSqlMaintenance {
   /** `OPTIMIZE t` → bin-packing compaction; `OPTIMIZE t ZORDER BY (…)` →
     * interleaved-bits clustering rewrite. Returns the committed version.
     */
-  case class GraftOptimizeCommand(parts: Seq[String], zorder: Seq[String])
-      extends LeafRunnableCommand {
+  case class GraftOptimizeCommand(parts: Seq[String], zorder: Seq[String],
+      where: Option[String] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
       val root = rootOf(spark, parts)
+      require(where.isEmpty || zorder.isEmpty,
+        "OPTIMIZE ... WHERE does not combine with ZORDER BY (cluster the " +
+          "whole table, or scope a plain compaction)")
+      // `OPTIMIZE t WHERE p`: predicate-scoped compaction — p picks the
+      // candidate FILES via manifest pruning; partially-matching files
+      // rewrite whole (rows are never dropped). The parsed predicate
+      // resolves against the table schema and translates to V1 filters —
+      // the same path the data source's pushed filters prune through.
+      val scope = where.map { w =>
+        val m = CommitLog.readManifest(root,
+          CommitLog.currentVersion(root).getOrElse(
+            throw new IllegalStateException(s"no commits at $root")))
+        val schema = CommitLog.manifestSchema(m)
+        val attrs = schema.fields.map(f => f.name.toLowerCase ->
+          AttributeReference(f.name, f.dataType, f.nullable)()).toMap
+        val resolved = spark.sessionState.sqlParser.parseExpression(w)
+          .transformUp {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              attrs.getOrElse(ua.name.toLowerCase, ua)
+          }
+        val filters = GraftBridge.toSourceFilter(resolved).toArray[
+          org.apache.spark.sql.sources.Filter]
+        require(filters.nonEmpty,
+          s"OPTIMIZE WHERE predicate '$w' does not translate to a file-" +
+            "pruning filter (supported: comparisons/IN/IS NULL over " +
+            "columns and literals, AND/OR)")
+        CommitLog.pruneForSourceFilters(spark, m, filters, Some(root)).toSet
+      }
       val v =
         if (zorder.nonEmpty) CommitLog.cluster(spark, root, zorder)
-        else CommitLog.optimize(spark, root)
+        else CommitLog.optimize(spark, root, scopePaths = scope)
       Seq(Row(v))
     }
   }

@@ -2276,11 +2276,31 @@ object CommitLog {
     * nothing to do.
     */
   def optimize(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      where: Option[Column] = None,
+      scopePaths: Option[Set[String]] = None): Long = {
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, base)
     val spec = m.partitionByOrNil
+    // OPTIMIZE ... WHERE: restrict the candidate set to files the
+    // predicate might touch (manifest-stats + transform pruning — a
+    // metadata decision). Compaction semantics are file-granular, so a
+    // partially-matching file rewrites WHOLE (rows are never dropped);
+    // the predicate targets WHICH files are worth compacting — Delta's
+    // partition-scoped OPTIMIZE, without restricting the user to
+    // partition columns. At 100 TB this is the difference between
+    // compacting yesterday's hot partition and touching the whole table.
+    // (`scopePaths` is the pre-pruned form the SQL command passes, since
+    // a parser-built predicate translates through V1 filters, not the
+    // Column-node bridge.)
+    val scope: FileStat => Boolean =
+      scopePaths.map(set => (st: FileStat) => set.contains(st.path))
+        .orElse(where.map { p =>
+          val surviving = prunedFiles(spark, root, m, p).toSet
+          (st: FileStat) => surviving.contains(st.path)
+        })
+        .getOrElse((_: FileStat) => true)
     // Convergence: candidates are files under HALF the target (Delta's
     // minFileSize-below-maxFileSize split). Outputs land in
     // [target/2, target] — sum/ceil(sum/target) ≥ target/2 whenever more
@@ -2289,7 +2309,7 @@ object CommitLog {
     // ≤1-candidate guards below. Selecting up to the full target instead
     // re-selects its own output forever (e.g. two 0.75·target files merge
     // into two 0.75·target files, every pass).
-    val smallAll = m.statsOrNil.filter(_.bytes < targetBytes / 2)
+    val smallAll = m.statsOrNil.filter(s => s.bytes < targetBytes / 2 && scope(s))
     val small =
       if (spec.isEmpty) { if (smallAll.size <= 1) Nil else smallAll }
       else smallAll.groupBy(_.partitionsOrEmpty).valuesIterator

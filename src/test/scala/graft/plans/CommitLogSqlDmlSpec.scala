@@ -192,6 +192,43 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
   }
 
+  test("OPTIMIZE ... WHERE compacts only the predicate's files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-optwhere").toString
+    // partitioned table: 3 small files per partition value
+    (0 until 3).foreach { i =>
+      CommitLog.append(
+        Seq((i.toLong, "a", 1.0), (i + 10L, "b", 2.0)).toDF("k", "s", "v"),
+        root, partitionBy = Seq("s"))
+    }
+    val m0 = CommitLog.readManifest(root, 3L)
+    assert(m0.files.size == 6)
+    val view = s"optw_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view " +
+      s"USING `graft-commitlog` OPTIONS (path '$root')")
+    // scope to partition 'a': its 3 files compact, partition 'b' untouched
+    val v = spark.sql(s"OPTIMIZE $view WHERE s = 'a'").collect().head.getLong(0)
+    val m1 = CommitLog.readManifest(root, v)
+    val parts = m1.statsOrNil.groupBy(_.partitionsOrEmpty.get("s"))
+    assert(parts(Some("a")).size == 1, s"partition a not compacted: ${m1.files}")
+    assert(parts(Some("b")).size == 3, s"partition b was touched: ${m1.files}")
+    assert(spark.table(view).count() == 6) // rows never drop
+    // Scala API Column form scopes identically
+    val v2 = CommitLog.optimize(spark, root, where = Some(col("s") === "b"))
+    val m2 = CommitLog.readManifest(root, v2)
+    assert(m2.statsOrNil.groupBy(_.partitionsOrEmpty.get("s"))
+      .forall(_._2.size == 1))
+    assert(spark.table(view).count() == 6)
+    // WHERE + ZORDER is rejected; an untranslatable predicate is rejected
+    intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE $view WHERE s = 'a' ZORDER BY (k)").collect()
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE $view WHERE length(s) > 0").collect()
+    }
+  }
+
   test("SQL DESCRIBE HISTORY and RESTORE round-trip the table lifecycle") {
     val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
     spark.sql(s"DELETE FROM $view WHERE k = 2")
