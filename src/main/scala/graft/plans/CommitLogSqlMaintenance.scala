@@ -23,7 +23,7 @@ import graft.sources.CommitLog
   *
   *   OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (…)] → [[CommitLog.optimize]]
   *                                                   / [[CommitLog.cluster]]
-  *   VACUUM <table> [RETAIN <n> HOURS]              → [[CommitLog.vacuum]]
+  *   VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]   → [[CommitLog.vacuum]]
   *   DESCRIBE HISTORY <table>                       → [[CommitLog.history]]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <n>   → [[CommitLog.restore]]
   *   DESCRIBE DETAIL <table>                        → manifest summary row
@@ -52,7 +52,7 @@ object CommitLogSqlMaintenance {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+((?:`[^`]+`|[\w.])+)(?:\s+WHERE\s+(.+?))?\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   private val DetailRe =
@@ -98,9 +98,9 @@ object CommitLogSqlMaintenance {
         Option(where).foreach(delegate.parseExpression)
         GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident), cols,
           Option(where).map(_.trim))
-      case VacuumRe(ident, hours) =>
+      case VacuumRe(ident, hours, dry) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
-          Option(hours).map(_.toLong))
+          Option(hours).map(_.toLong), dryRun = dry != null)
       case HistoryRe(ident) =>
         GraftHistoryCommand(delegate.parseMultipartIdentifier(ident))
       case DetailRe(ident) =>
@@ -299,15 +299,26 @@ object CommitLogSqlMaintenance {
   /** `VACUUM t [RETAIN n HOURS]` → reclaim unreferenced files outside the
     * retention window (tagged snapshots stay pinned, young orphans stay).
     */
-  case class GraftVacuumCommand(parts: Seq[String], retainHours: Option[Long])
-      extends LeafRunnableCommand {
+  case class GraftVacuumCommand(parts: Seq[String], retainHours: Option[Long],
+      dryRun: Boolean = false) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      if (dryRun) Seq(AttributeReference("path", StringType, nullable = false)())
+      else Nil
     override def run(spark: SparkSession): Seq[Row] = {
       val root = rootOf(spark, parts)
-      retainHours match {
-        case Some(h) => CommitLog.vacuum(root, retentionMs = h * 3600L * 1000L)
-        case None    => CommitLog.vacuum(root)
+      val retention = retainHours.map(_ * 3600L * 1000L)
+      if (dryRun)
+        // pre-flight: list what a real vacuum would reclaim, touch nothing
+        CommitLog.vacuumDryRun(root,
+          retentionMs = retention.getOrElse(
+            CommitLog.DefaultVacuumRetentionMs)).map(Row(_))
+      else {
+        retention match {
+          case Some(ms) => CommitLog.vacuum(root, retentionMs = ms)
+          case None     => CommitLog.vacuum(root)
+        }
+        Nil
       }
-      Nil
     }
   }
 

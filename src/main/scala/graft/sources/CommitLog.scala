@@ -63,7 +63,7 @@ object CommitLog {
     * it is about to publish. Delta ships the same mtime-based guard
     * (`deletedFileRetentionDuration`, default 7 days).
     */
-  private[sources] val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
+  private[graft] val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
 
   /** Per-file bloom index (the published Delta/Parquet bloom-filter-index
     * concept): when `spark.graft.bloom.columns` names columns at write
@@ -2468,6 +2468,35 @@ object CommitLog {
     * tag snapshot and deletions (spec-injected races land exactly in the
     * window the barrier protects). Production callers leave the default.
     */
+  /** What [[vacuum]] WOULD reclaim right now, without reclaiming it —
+    * the operator's pre-flight check (Delta's `VACUUM … DRY RUN`).
+    * Read-only: no barrier, no checkpoint writes, no log trimming — a
+    * concurrent writer can change the answer by the time a real vacuum
+    * runs, which is exactly why the real one re-derives under its
+    * barrier. Returns root-relative candidate paths (data files, DV
+    * files and bloom sidecars alike).
+    */
+  def vacuumDryRun(root: String, keepVersions: Int = 1,
+      retentionMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
+    val cur = currentVersion(root).getOrElse(return Nil)
+    val keepFrom = math.max(earliestCommitOnDisk(root, cur),
+      math.max(1L, cur - keepVersions + 1))
+    val keepSnaps = (keepFrom to cur).map(readManifest(root, _))
+    val pinnedSnaps = tags(root).values.filter(_ < keepFrom).toSet
+      .toSeq.sorted.map(readManifest(root, _))
+    val live = (keepSnaps ++ pinnedSnaps)
+      .flatMap(s => s.files ++ s.dvsOrEmpty.values ++
+        s.statsOrNil.flatMap(_.bloomOpt)).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return Nil
+    withWalk(dataRoot)(_.filter { p =>
+      Files.isRegularFile(p) &&
+        !live.contains(Paths.get(root).relativize(p).toString) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff
+    }.map(p => Paths.get(root).relativize(p).toString).toSeq.sorted)
+  }
+
   def vacuum(root: String, keepVersions: Int = 1,
       retentionMs: Long = DefaultVacuumRetentionMs,
       barrierHook: () => Unit = () => ()): Unit = {

@@ -175,6 +175,12 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     assert(CommitLog.readManifest(root, v2).op == "cluster")
     assert(snapshot(view).map(_._1) == Seq(1L, 2L, 3L, 4L))
 
+    // DRY RUN lists the reclaim candidates without touching anything
+    val dry = spark.sql(s"VACUUM $view RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getString(0))
+    assert(dry.nonEmpty && dry.forall(_.startsWith("data/")))
+    assert(CommitLog.read(spark, root, Some(1L)).count() >= 0) // untouched
+
     // VACUUM RETAIN 0 HOURS reclaims the superseded pre-optimize files:
     // the current snapshot still reads, the pre-optimize version is gone
     spark.sql(s"VACUUM $view RETAIN 0 HOURS")
