@@ -521,7 +521,14 @@ object Multimodal {
       out.result()
     }
 
-    private def frames(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
+    private def frames(payload: Array[Byte]): Option[Vector[BufferedImage]] =
+      // a corrupt box tree (e.g. an stsz declaring more entries than the
+      // payload holds) must degrade to the stub, never fail the task —
+      // the same whole-parse guard the GIF path uses
+      try framesUnsafe(payload)
+      catch { case _: Exception => None }
+
+    private def framesUnsafe(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
       if (!isMp4(payload)) return None
       val tracks = Vector.newBuilder[Stbl]
       var cur: Stbl = null

@@ -79,7 +79,12 @@ object Bpe {
     */
   def train(docs: DataFrame, merges: Int, minPairCount: Long = 2L): Seq[Merge] = {
     require(merges >= 0 && minPairCount >= 1)
-    var words = wordTable(docs).localCheckpoint()
+    // track the LIVE checkpoint separately: `words` is usually a
+    // projection over it, and unpersisting a projection is a no-op —
+    // only the checkpoint DataFrame itself holds the LogicalRDD whose
+    // blocks must be released when a newer checkpoint supersedes it
+    var lastCkpt = wordTable(docs).localCheckpoint()
+    var words: DataFrame = lastCkpt
     val out = Seq.newBuilder[Merge]
     var r = 0
     var done = false
@@ -97,14 +102,15 @@ object Bpe {
           // superseded rounds release their blocks immediately
           if ((r + 1) % 4 == 0) {
             val ck = next.localCheckpoint()
-            dropCheckpoint(words)
+            dropCheckpoint(lastCkpt)
+            lastCkpt = ck
             words = ck
           } else words = next
         case _ => done = true
       }
       r += 1
     }
-    dropCheckpoint(words)
+    dropCheckpoint(lastCkpt)
     out.result()
   }
 

@@ -56,14 +56,19 @@ object TextAnalysis {
 
   /** Raw integer surface counts per document (input needs `text` +
     * `n_chars`): common-word hits, distinct tokens, long tokens, tokens.
+    * A `doc_id` column, when present, passes through (the ranking
+    * queries need it; the feature math never reads it) — ONE definition
+    * of the feature set, so the streaming twin and the batch queries
+    * cannot silently diverge.
     */
   def perceptronRaw(d: DataFrame): DataFrame = {
     val common = perceptronWords.map(w => s"'$w'").mkString(", ")
-    d.withColumn("toks", toksCol).select(col("n_chars"),
+    val id = if (d.columns.contains("doc_id")) Seq(col("doc_id")) else Nil
+    d.withColumn("toks", toksCol).select(id ++ Seq(col("n_chars"),
       expr(s"CAST(size(filter(toks, t -> t IN ($common))) AS BIGINT)").as("r2"),
       expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("r3"),
       expr("CAST(size(filter(toks, t -> length(t) >= 6)) AS BIGINT)").as("r4"),
-      size(col("toks")).cast("long").as("r5"))
+      size(col("toks")).cast("long").as("r5")): _*)
   }
 
   /** Release centering stats: one map-side-combined aggregate, 6 numbers. */
@@ -113,7 +118,7 @@ object TextAnalysis {
     * report (q121) and the active-learning sample (q122).
     */
   private def trainedFrame(s: SparkSession, dir: String): (DataFrame, Column) = {
-    val raw = perceptronRawWithId(docs(s, dir))
+    val raw = perceptronRaw(docs(s, dir))
     val g = raw.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("schars"),
       sum(col("r2")).as("s2"), sum(col("r3")).as("s3"),
       sum(col("r4")).as("s4"), sum(col("r5")).as("s5"))
@@ -147,18 +152,6 @@ object TextAnalysis {
     val w2 = feats.crossJoin(broadcast(step(w1, ws)))
     val w3 = feats.crossJoin(broadcast(step(w2, ws)))
     (w3, margin(ws))
-  }
-
-  /** [[perceptronRaw]] plus the doc_id pass-through the ranking queries
-    * need.
-    */
-  private def perceptronRawWithId(d: DataFrame): DataFrame = {
-    val common = perceptronWords.map(w => s"'$w'").mkString(", ")
-    d.withColumn("toks", toksCol).select(col("doc_id"), col("n_chars"),
-      expr(s"CAST(size(filter(toks, t -> t IN ($common))) AS BIGINT)").as("r2"),
-      expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("r3"),
-      expr("CAST(size(filter(toks, t -> length(t) >= 6)) AS BIGINT)").as("r4"),
-      size(col("toks")).cast("long").as("r5"))
   }
 
   private def hitCount(words: Seq[String]): String = {

@@ -644,10 +644,37 @@ object CommitLog {
     rel
   }
 
+  /** Driver-side sidecar cache: sidecars are immutable (UUID-named,
+    * write-once), so (absolute path → sketches) never invalidates; a
+    * bounded LRU keeps repeated point lookups over the same table from
+    * re-reading the same KB-scale blobs during every planning pass.
+    * ~1024 × 32 KiB default sketches ≈ 32 MB driver ceiling.
+    */
+  private val bloomCache =
+    new java.util.LinkedHashMap[String,
+        Map[String, org.apache.spark.util.sketch.BloomFilter]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            Map[String, org.apache.spark.util.sketch.BloomFilter]]): Boolean =
+        size() > 1024
+    }
+
+  private def readBloomSidecar(path: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.synchronized {
+      val hit = bloomCache.get(path)
+      if (hit != null) hit
+      else {
+        val loaded = readBloomSidecarUncached(path)
+        bloomCache.put(path, loaded)
+        loaded
+      }
+    }
+
   /** Per-column sketches of one sidecar; unreadable/corrupt sidecars
     * degrade to "no index" (never to wrong pruning).
     */
-  private def readBloomSidecar(path: String)
+  private def readBloomSidecarUncached(path: String)
       : Map[String, org.apache.spark.util.sketch.BloomFilter] =
     try {
       Using.resource(new java.io.DataInputStream(new java.io.BufferedInputStream(
@@ -887,10 +914,22 @@ object CommitLog {
       props: Map[String, String] = Map.empty): Long = {
     require(currentVersion(root).isEmpty, s"table already exists at $root")
     validatePartitionSpec(schema, partitionBy)
+    validateProps(props)
     commitDelta(root, None, Commit(1L, "create", schema.json, Nil, Nil,
       partitionBy, props = props))
     1L
   }
+
+  /** Engine-read properties must parse where they are SET, not explode
+    * inside some later writer's stageWithStats far from the operator who
+    * mistyped them.
+    */
+  private def validateProps(props: Map[String, String]): Unit =
+    Seq("bloom.bits", "bloom.items").foreach { k =>
+      props.get(k).foreach(v => require(
+        v.toLongOption.exists(_ > 0),
+        s"table property $k must be a positive integer, got '$v'"))
+    }
 
   /** Current table-property map (empty for pre-props logs). */
   def tablePropertiesOf(root: String): Map[String, String] =
@@ -910,6 +949,7 @@ object CommitLog {
     val base = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no CommitLog table at $root"))
     val m = readManifest(root, base)
+    validateProps(set)
     commitDelta(root, Some(m), Commit(base + 1, "set-props", m.schemaJson,
       Nil, Nil, m.partitionByOrNil, m.txnOrEmpty,
       constraints = m.constraintsOrEmpty, dvs = m.dvsOrEmpty,
@@ -967,7 +1007,19 @@ object CommitLog {
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
       val newMap = (m.colMapOrEmpty - from) + (to -> m.physOf(from))
-      val newSpec = m.partitionByOrNil.map(c => if (c == from) to else c)
+      // the spec follows the rename for identity AND transform entries —
+      // a stale "bucket(8, old_name)" would brick every later append
+      // (derive() resolves the source by name) and bypass dropColumn's
+      // spec guard
+      val newSpec = m.partitionByOrNil.map { raw =>
+        val f = parsePartField(raw)
+        if (f.source != from) raw
+        else f.fn match {
+          case "identity" => to
+          case "bucket" | "truncate" => s"${f.fn}(${f.arg}, $to)"
+          case grain => s"$grain($to)"
+        }
+      }
       commitDelta(root, Some(m), Commit(base + 1, "rename-column",
         newSchema.json, Nil, Nil, newSpec, m.txnOrEmpty,
         constraints = m.constraintsOrEmpty,
@@ -2049,7 +2101,11 @@ object CommitLog {
     candidates.filter { path =>
       val parts = statBy.get(path).map(_.partitionsOrEmpty).getOrElse(Map.empty)
       checks.forall { case (key, exp) =>
-        parts.get(key).forall(exp.contains)
+        parts.get(key).forall(v =>
+          // the writer maps null AND empty-string partition values to the
+          // Hive default directory — such a file may hold rows whose
+          // derived value we cannot reconstruct, so it always survives
+          v == "__HIVE_DEFAULT_PARTITION__" || exp.contains(v))
       }
     }
   }
@@ -2477,16 +2533,41 @@ object CommitLog {
     * files and bloom sidecars alike).
     */
   def vacuumDryRun(root: String, keepVersions: Int = 1,
-      retentionMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
-    val cur = currentVersion(root).getOrElse(return Nil)
+      retentionMs: Long = DefaultVacuumRetentionMs): Seq[String] =
+    currentVersion(root) match {
+      case None => Nil
+      case Some(cur) =>
+        val st = reclaimState(root, cur, keepVersions)
+        reclaimCandidates(root, st.live, retentionMs).sorted
+    }
+
+  /** Everything vacuum's reclaim decision derives from the log: the keep
+    * boundary, the surviving snapshots, the tag-pinned snapshots below
+    * it, and the resulting live-path set (data files + DV files + bloom
+    * sidecars). ONE derivation shared by [[vacuum]] (under its barrier)
+    * and [[vacuumDryRun]] (read-only) — a retention rule that landed in
+    * only one of the two would make the dry run lie.
+    */
+  private final case class ReclaimState(keepFrom: Long,
+      keepSnaps: Seq[Manifest], pinned: Set[Long],
+      pinnedSnaps: Seq[Manifest], live: Set[String])
+
+  private def reclaimState(root: String, cur: Long,
+      keepVersions: Int): ReclaimState = {
     val keepFrom = math.max(earliestCommitOnDisk(root, cur),
       math.max(1L, cur - keepVersions + 1))
     val keepSnaps = (keepFrom to cur).map(readManifest(root, _))
-    val pinnedSnaps = tags(root).values.filter(_ < keepFrom).toSet
-      .toSeq.sorted.map(readManifest(root, _))
+    val pinned = tags(root).values.filter(_ < keepFrom).toSet
+    val pinnedSnaps = pinned.toSeq.sorted.map(readManifest(root, _))
     val live = (keepSnaps ++ pinnedSnaps)
       .flatMap(s => s.files ++ s.dvsOrEmpty.values ++
         s.statsOrNil.flatMap(_.bloomOpt)).toSet
+    ReclaimState(keepFrom, keepSnaps, pinned, pinnedSnaps, live)
+  }
+
+  /** Unreferenced, out-of-retention regular files under data/. */
+  private def reclaimCandidates(root: String, live: Set[String],
+      retentionMs: Long): Seq[String] = {
     val cutoff = System.currentTimeMillis() - retentionMs
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return Nil
@@ -2494,7 +2575,7 @@ object CommitLog {
       Files.isRegularFile(p) &&
         !live.contains(Paths.get(root).relativize(p).toString) &&
         Files.getLastModifiedTime(p).toMillis < cutoff
-    }.map(p => Paths.get(root).relativize(p).toString).toSeq.sorted)
+    }.map(p => Paths.get(root).relativize(p).toString).toSeq)
   }
 
   def vacuum(root: String, keepVersions: Int = 1,
@@ -2503,38 +2584,34 @@ object CommitLog {
     val cur = currentVersion(root).getOrElse(return)
     // Clamp to the earliest commit still on disk: a prior, narrower vacuum
     // already dropped older history, so a wider window now must not try to
-    // materialize versions whose records are gone.
-    val keepFrom = math.max(earliestCommitOnDisk(root, cur),
+    // materialize versions whose records are gone. (The boundary is
+    // re-derived INSIDE the barrier via reclaimState — this read is only
+    // for the barrier's own version stamp.)
+    val keepFromStamp = math.max(earliestCommitOnDisk(root, cur),
       math.max(1L, cur - keepVersions + 1))
-    withVacuumBarrier(root, keepFrom) {
+    withVacuumBarrier(root, keepFromStamp) {
       barrierHook()
       // Materialize surviving snapshots BEFORE deleting anything, then pin
       // the keep boundary with a checkpoint so resolution never needs the
-      // commits about to be dropped.
-      val keepSnaps = (keepFrom to cur).map(readManifest(root, _))
-      // Pinned: tagged versions below the boundary — checkpoint each NOW so
-      // it resolves standalone after its delta chain is dropped. This read
-      // happens under the barrier (see the race note above).
-      val pinned = tags(root).values.filter(_ < keepFrom).toSet
-      val pinnedSnaps = pinned.toSeq.sorted.map(readManifest(root, _))
-      pinnedSnaps.foreach(writeCheckpoint(root, _))
-      writeCheckpoint(root, keepSnaps.head)
-      advanceLastCheckpoint(root, keepFrom)
-      val live = (keepSnaps ++ pinnedSnaps)
-        .flatMap(s => s.files ++ s.dvsOrEmpty.values ++
-          s.statsOrNil.flatMap(_.bloomOpt)).toSet
-      (1L until keepFrom).foreach { v =>
+      // commits about to be dropped. Pinned: tagged versions below the
+      // boundary — checkpoint each NOW so it resolves standalone after its
+      // delta chain is dropped. This read happens under the barrier (see
+      // the race note above), through the SAME derivation the dry run uses.
+      val st = reclaimState(root, cur, keepVersions)
+      st.pinnedSnaps.foreach(writeCheckpoint(root, _))
+      writeCheckpoint(root, st.keepSnaps.head)
+      advanceLastCheckpoint(root, st.keepFrom)
+      (1L until st.keepFrom).foreach { v =>
         Files.deleteIfExists(commitPath(root, v))
-        if (!pinned.contains(v)) Files.deleteIfExists(checkpointPath(root, v))
+        if (!st.pinned.contains(v)) Files.deleteIfExists(checkpointPath(root, v))
       }
       // remove unreferenced, out-of-retention data files (then empty dirs)
-      val cutoff = System.currentTimeMillis() - retentionMs
+      val doomed = reclaimCandidates(root, st.live, retentionMs).toSet
       val dataRoot = Paths.get(root, "data")
       if (Files.isDirectory(dataRoot)) {
         withWalk(dataRoot)(_.toSeq).reverse.foreach { p =>
           val rel = Paths.get(root).relativize(p).toString
-          if (Files.isRegularFile(p) && !live.contains(rel) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff) Files.delete(p)
+          if (Files.isRegularFile(p) && doomed.contains(rel)) Files.delete(p)
           else if (Files.isDirectory(p) && p != dataRoot &&
             withList(p)(!_.hasNext)) Files.delete(p)
         }

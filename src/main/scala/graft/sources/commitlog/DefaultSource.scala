@@ -349,8 +349,11 @@ class ChangesRelation(
 
   override def sqlContext: SQLContext = spark.sqlContext
 
-  override val schema: StructType =
-    CommitLog.changes(spark, root, fromV, toV).schema
+  // built ONCE: the version range is immutable, and rebuilding would
+  // re-read + re-validate every commit record in (fromV, toV] per scan
+  private val frame: DataFrame = CommitLog.changes(spark, root, fromV, toV)
+
+  override val schema: StructType = frame.schema
 
   override def needConversion: Boolean = false
 
@@ -360,7 +363,7 @@ class ChangesRelation(
     val cond = filters.flatMap(GraftTable.toColumnOpt)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val projected = CommitLog.changes(spark, root, fromV, toV)
+    val projected = frame
       .filter(cond)
       .select(requiredColumns.toIndexedSeq
         .map(org.apache.spark.sql.functions.col): _*)

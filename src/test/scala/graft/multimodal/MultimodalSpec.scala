@@ -305,11 +305,17 @@ class MultimodalSpec extends SparkTestBase {
         box("stsz", vf ++ be32(0) ++ be32(1) ++ be32(600)) ++
           box("stsc", vf ++ be32(1) ++ be32(1) ++ be32(1) ++ be32(1)) ++
           box("stco", vf ++ be32(1) ++ be32(mdatOff)))))))
+    // an stsz declaring more entries than the payload holds must degrade
+    // to the stub too (bounds are enforced by the whole-parse guard)
+    val lyingStsz = ftyp ++ box("mdat", opaque) ++ box("moov", box("trak",
+      box("mdia", hdlr ++ box("minf", box("stbl",
+        box("stsz", vf ++ be32(0) ++ be32(100000) ++ be32(600)))))))
     val fb = extractFeatures(
       Seq(MediaItem(8L, "video", mp4H264, 0, 0, 0L),
-        MediaItem(9L, "video", mp4.take(60), 0, 0, 0L)).toDS())
+        MediaItem(9L, "video", mp4.take(60), 0, 0, 0L),
+        MediaItem(10L, "video", lyingStsz, 0, 0, 0L)).toDS())
       .collect()
-    assert(fb.forall(_.n_frames >= 1)) // stub-shaped, no exception
+    assert(fb.length == 3 && fb.forall(_.n_frames >= 1)) // stub-shaped, no exception
   }
 
   test("payloads project to features before any wide op (plan shape)") {

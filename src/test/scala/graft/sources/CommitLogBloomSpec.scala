@@ -181,6 +181,11 @@ class CommitLogBloomSpec extends SparkTestBase {
       Map("bloom.columns" -> "k", "bloom.items" -> "4000"))
     restore(root, 4L)
     assert(tablePropertiesOf(root).get("bloom.columns").contains("id"))
+    // a non-numeric sizing property is rejected AT the ALTER, not at the
+    // next writer's append
+    intercept[IllegalArgumentException] {
+      setTableProperties(root, Map("bloom.bits" -> "lots"))
+    }
     // the session conf OVERRIDES the table property when both are set
     spark.conf.set(BloomColumnsConf, "k")
     try append(df.coalesce(1), root)

@@ -98,6 +98,14 @@ class CommitLogHiddenPartitionSpec extends SparkTestBase {
       .forall(_.partitionsOrEmpty("truncate_2_k") == "ab"))
     assert(readPruned(spark, root, col("k") === "ab_4")
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // empty-string values land in the writer's DEFAULT partition dir —
+    // the transform probe must keep that file for `k = ''` (it cannot
+    // reconstruct the derived value), never silently drop matching rows
+    import spark.implicits._
+    append(Seq((1000L, ""), (1001L, "zz_x")).toDF("id", "k").coalesce(1), root)
+    val m2 = readManifest(root, 3L)
+    assert(readPruned(spark, root, col("k") === "")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1000L))
   }
 
   test("spec evolution identity -> days(ts): both generations serve queries") {
@@ -195,5 +203,23 @@ class CommitLogHiddenPartitionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       create(tmpTable(), tsDf.schema, Seq("days(nope)"))
     }
+  }
+
+  test("RENAME COLUMN follows transform specs; the renamed table keeps working") {
+    val root = tmpTable()
+    val df = spark.range(40).selectExpr("id", "concat('k', id) AS k")
+    create(root, df.schema, Seq("bucket(4, id)"))
+    append(df, root)
+    renameColumn(root, "id", "uid")
+    val m = readManifest(root, currentVersion(root).get)
+    assert(m.partitionByOrNil == Seq("bucket(4, uid)"))
+    // appends under the new name still derive the layout (same PHYSICAL
+    // key, so old and new generations share partition dirs)
+    append(spark.range(40, 50).selectExpr("id AS uid", "concat('k', id) AS k"), root)
+    val m2 = readManifest(root, currentVersion(root).get)
+    assert(m2.statsOrNil.forall(_.partitionsOrEmpty.contains("bucket_4_id")))
+    assert(read(spark, root).count() == 50)
+    // the spec guard now sees the RENAMED source
+    intercept[IllegalArgumentException] { dropColumn(root, "uid") }
   }
 }
