@@ -763,7 +763,7 @@ object CommitLog {
     * the writer's %XX path escaping undone — how transform partition
     * values round-trip without being schema columns.
     */
-  private def partitionsFromPath(rel: String): Map[String, String] =
+  private[sources] def partitionsFromPath(rel: String): Map[String, String] =
     rel.split('/').toSeq
       .filter(s => s.startsWith("__gp_") && s.contains('='))
       .map { seg =>
