@@ -439,22 +439,33 @@ object CommitLog {
       case _ => s"${fn}_${p(source)}"
     }
     /** Derived partition value over the PHYSICAL frame. Time grains are
-      * computed from epoch micros (UTC-deterministic — a writer session's
-      * time zone must not move a row's partition).
+      * zone-deterministic — a writer session's time zone must not move a
+      * row's partition — and FLOOR to the grain boundary (Iceberg's
+      * contract): for instants (TimestampType) the grain date comes from
+      * exact floor division of epoch micros (plain `div` truncates toward
+      * zero, which would fold the 48 hours around the epoch into "day 0"
+      * and shift every pre-1970 boundary by one); for DateType and
+      * TimestampNTZType the grain is the value's own calendar date — a
+      * `CAST(… AS TIMESTAMP)` detour would route those wall-clock types
+      * through the session time zone, letting two writer sessions place
+      * the same value in different partitions.
       */
-    def derive(p: String => String): Column = {
+    def derive(p: String => String, dt: DataType): Column = {
       val c = col(p(source))
+      // Calendar date of the grain: exact-floor UTC day for instants,
+      // the value's own date field for wall-clock types.
+      lazy val grainDate: Column = dt match {
+        case DateType | TimestampNTZType => c.cast(DateType)
+        case _ =>
+          val m = s"unix_micros(`${p(source)}`)"
+          expr(s"date_add(DATE'1970-01-01', " +
+            s"CAST(($m - pmod($m, 86400000000)) div 86400000000 AS INT))")
+      }
       fn match {
         case "identity" => c
-        case "days" => expr(s"date_add(DATE'1970-01-01', " +
-          s"CAST(unix_micros(CAST(`${p(source)}` AS TIMESTAMP)) div 86400000000 AS INT))")
-          .cast("string")
-        case "months" => expr(s"trunc(date_add(DATE'1970-01-01', " +
-          s"CAST(unix_micros(CAST(`${p(source)}` AS TIMESTAMP)) div 86400000000 AS INT)), 'MM')")
-          .cast("string")
-        case "years" => expr(s"trunc(date_add(DATE'1970-01-01', " +
-          s"CAST(unix_micros(CAST(`${p(source)}` AS TIMESTAMP)) div 86400000000 AS INT)), 'YY')")
-          .cast("string")
+        case "days" => grainDate.cast("string")
+        case "months" => trunc(grainDate, "MM").cast("string")
+        case "years" => trunc(grainDate, "YY").cast("string")
         case "bucket" => pmod(hash(c), lit(arg)).cast("string")
         case "truncate" => substring(c, 1, arg)
       }
@@ -648,47 +659,99 @@ object CommitLog {
     * write-once), so (absolute path → sketches) never invalidates; a
     * bounded LRU keeps repeated point lookups over the same table from
     * re-reading the same KB-scale blobs during every planning pass.
-    * ~1024 × 32 KiB default sketches ≈ 32 MB driver ceiling.
+    * Bounded by BYTES (the serialized sketch sizes), not entry count — an
+    * entry cap would thrash on tables with more indexed files than the
+    * cap while a few huge sketches could still blow the driver heap.
+    * Default 64 MiB (≈ 2k default-sized sidecars); `spark.graft.bloom.
+    * cacheBytes` resizes it per deployment.
     */
-  private val bloomCache =
-    new java.util.LinkedHashMap[String,
-        Map[String, org.apache.spark.util.sketch.BloomFilter]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String,
-            Map[String, org.apache.spark.util.sketch.BloomFilter]]): Boolean =
-        size() > 1024
-    }
+  private[sources] val BloomCacheBytesConf = "spark.graft.bloom.cacheBytes"
+  private val DefaultBloomCacheBytes = 64L * 1024 * 1024
 
-  private def readBloomSidecar(path: String)
-      : Map[String, org.apache.spark.util.sketch.BloomFilter] =
-    bloomCache.synchronized {
-      val hit = bloomCache.get(path)
-      if (hit != null) hit
-      else {
-        val loaded = readBloomSidecarUncached(path)
-        bloomCache.put(path, loaded)
-        loaded
-      }
+  private final case class CachedSidecar(
+      sketches: Map[String, org.apache.spark.util.sketch.BloomFilter],
+      bytes: Long)
+
+  private val bloomCache =
+    new java.util.LinkedHashMap[String, CachedSidecar](64, 0.75f, true)
+  private var bloomCacheBytes = 0L
+
+  private def bloomCacheCap: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(BloomCacheBytesConf))
+      .flatMap(_.toLongOption).getOrElse(DefaultBloomCacheBytes)
+
+  /** Insert + evict-to-budget; caller holds the bloomCache lock. The
+    * just-inserted entry is youngest in access order, so the eldest-first
+    * eviction loop never removes it while anything else remains.
+    */
+  private def bloomCachePut(path: String, e: CachedSidecar): Unit = {
+    val prev = bloomCache.put(path, e)
+    bloomCacheBytes += e.bytes - Option(prev).map(_.bytes).getOrElse(0L)
+    val cap = bloomCacheCap
+    while (bloomCacheBytes > cap && bloomCache.size() > 1) {
+      val it = bloomCache.entrySet().iterator()
+      val eldest = it.next()
+      bloomCacheBytes -= eldest.getValue.bytes
+      it.remove()
     }
+  }
+
+  /** Batched cache-aware read: the paths missing from the cache load in
+    * PARALLEL (driver-side I/O — at 10^4-file scale a cold sequential
+    * sidecar walk adds seconds to every planning pass), then insert under
+    * one lock. Returns sketches for every requested path.
+    */
+  private def readBloomSidecars(paths: Seq[String])
+      : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val distinct = paths.distinct
+    if (distinct.isEmpty) return Map.empty
+    val (hits, missing) = bloomCache.synchronized {
+      val h = distinct.flatMap(p =>
+        Option(bloomCache.get(p)).map(p -> _.sketches)).toMap
+      (h, distinct.filterNot(h.contains))
+    }
+    if (missing.isEmpty) return hits
+    val loaded: Seq[(String, CachedSidecar)] =
+      if (missing.sizeIs == 1) missing.map(p => p -> readBloomSidecarUncached(p))
+      else {
+        import scala.jdk.CollectionConverters._
+        java.util.List.copyOf(missing.asJava).parallelStream()
+          .map[(String, CachedSidecar)](p => p -> readBloomSidecarUncached(p))
+          .collect(java.util.stream.Collectors.toList[(String, CachedSidecar)])
+          .asScala.toSeq
+      }
+    bloomCache.synchronized {
+      loaded.foreach { case (p, e) => bloomCachePut(p, e) }
+    }
+    hits ++ loaded.map { case (p, e) => p -> e.sketches }
+  }
 
   /** Per-column sketches of one sidecar; unreadable/corrupt sidecars
     * degrade to "no index" (never to wrong pruning).
     */
-  private def readBloomSidecarUncached(path: String)
-      : Map[String, org.apache.spark.util.sketch.BloomFilter] =
+  private def readBloomSidecarUncached(path: String): CachedSidecar =
     try {
       Using.resource(new java.io.DataInputStream(new java.io.BufferedInputStream(
           Files.newInputStream(Paths.get(path))))) { in =>
-        if (in.readInt() != BloomMagic || in.readInt() != 1) Map.empty
-        else (0 until in.readInt()).map { _ =>
-          val c = in.readUTF()
-          val b = new Array[Byte](in.readInt())
-          in.readFully(b)
-          c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(b))
-        }.toMap
+        if (in.readInt() != BloomMagic || in.readInt() != 1)
+          CachedSidecar(Map.empty, 0L)
+        else {
+          var bytes = 0L
+          val sk = (0 until in.readInt()).map { _ =>
+            val c = in.readUTF()
+            val b = new Array[Byte](in.readInt())
+            in.readFully(b)
+            bytes += b.length
+            c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(b))
+          }.toMap
+          CachedSidecar(sk, bytes)
+        }
       }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    } catch {
+      case scala.util.control.NonFatal(_) => CachedSidecar(Map.empty, 0L)
+    }
 
   /** xxhash64 of a pushed literal AT the column's type — evaluated with
     * the same Catalyst expression the build side aggregated, so a probe
@@ -720,7 +783,11 @@ object CommitLog {
       else df.select(df.schema.fieldNames.toIndexedSeq
         .map(n => col(n).as(p(n))): _*)
     val fields = partitionBy.map(parsePartField)
-    val partCols = fields.map(f => f.key(p) -> f.derive(p))
+    val partCols = fields.map { f =>
+      val dt = physDf.schema.fields.find(_.name == p(f.source))
+        .map(_.dataType).getOrElse(StringType)
+      f.key(p) -> f.derive(p, dt)
+    }
     val files = stage(physDf, root, partCols, preArranged, maxRecordsPerFile)
     // Bloom indexing is a WRITE-TIME choice, sticky per table via the
     // `bloom.columns`/`bloom.bits`/`bloom.items` TABLE properties (the
@@ -920,16 +987,36 @@ object CommitLog {
     1L
   }
 
-  /** Engine-read properties must parse where they are SET, not explode
-    * inside some later writer's stageWithStats far from the operator who
-    * mistyped them.
+  /** Engine-read properties must parse AND be buildable where they are
+    * SET, not explode inside some later writer's stageWithStats far from
+    * the operator who mistyped them. Spark's BloomFilterAggregate rejects
+    * sizes above `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` /
+    * `maxNumItems` at analysis time, so an over-cap property would let the
+    * SET succeed and then fail every subsequent write — exactly the
+    * distant failure this validation exists to prevent.
     */
-  private def validateProps(props: Map[String, String]): Unit =
+  private def validateProps(props: Map[String, String]): Unit = {
+    def cap(confKey: String, dflt: Long): Long =
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(confKey)).flatMap(_.toLongOption)
+        .getOrElse(dflt)
+    val caps = Map(
+      "bloom.bits" -> ("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        cap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)),
+      "bloom.items" -> ("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        cap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)))
     Seq("bloom.bits", "bloom.items").foreach { k =>
-      props.get(k).foreach(v => require(
-        v.toLongOption.exists(_ > 0),
-        s"table property $k must be a positive integer, got '$v'"))
+      props.get(k).foreach { v =>
+        require(v.toLongOption.exists(_ > 0),
+          s"table property $k must be a positive integer, got '$v'")
+        val (confKey, mx) = caps(k)
+        require(v.toLong <= mx,
+          s"table property $k = $v exceeds Spark's BloomFilterAggregate " +
+            s"cap $mx ($confKey) — writes to the table would fail at " +
+            "staging time")
+      }
     }
+  }
 
   /** Current table-property map (empty for pre-props logs). */
   def tablePropertiesOf(root: String): Map[String, String] =
@@ -2086,7 +2173,15 @@ object CommitLog {
               Some((((h % f.arg) + f.arg) % f.arg).toString)
             } catch { case scala.util.control.NonFatal(_) => None }
           case ("truncate", _) =>
-            Some(String.valueOf(v).take(f.arg))
+            // W counts CODE POINTS, matching the write side: derive()'s
+            // substring() is UTF8String.substringSQL, which is code-point
+            // based (as is Iceberg's truncate). String.take(W) counts
+            // UTF-16 code units, so for values with supplementary chars
+            // (emoji) the probe prefix would differ from the stored
+            // partition value and silently prune a file that holds the key.
+            val s = String.valueOf(v)
+            val n = math.min(f.arg, s.codePointCount(0, s.length))
+            Some(s.substring(0, s.offsetByCodePoints(0, n)))
           case _ => None
         }
       }
@@ -2145,11 +2240,15 @@ object CommitLog {
     val cons = bloomEqConstraints(pred)
     if (cons.isEmpty) return candidates
     val statBy = m.statsOrNil.map(s => s.path -> s).toMap
+    // one batched (cache-aware, parallel) load of every needed sidecar,
+    // not a sequential read inside the per-file filter
+    val sidecarOf: Map[String, String] = candidates.flatMap(f =>
+      statBy.get(f).flatMap(_.bloomOpt).map(bp => f -> dataPath(root, bp))).toMap
+    val sketchesBy = readBloomSidecars(sidecarOf.values.toSeq)
     candidates.filter { f =>
-      statBy.get(f).flatMap(_.bloomOpt) match {
+      sidecarOf.get(f).flatMap(sketchesBy.get) match {
         case None => true
-        case Some(bp) =>
-          val sketches = readBloomSidecar(dataPath(root, bp))
+        case Some(sketches) =>
           cons.forall { case (a, vs) =>
             (sketches.get(a), dtByPhys.get(a)) match {
               case (Some(bf), Some(dt)) =>

@@ -199,6 +199,41 @@ class CommitLogBloomSpec extends SparkTestBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(sk)))
   }
 
+  test("bloom sizes over Spark's BloomFilterAggregate caps reject at SET " +
+      "time, not at some later writer's staging pass") {
+    val root = tmpTable()
+    append(spark.range(10).selectExpr("id").coalesce(1), root)
+    intercept[IllegalArgumentException] {
+      setTableProperties(root, Map("bloom.bits" -> "1000000000"))
+    }
+    intercept[IllegalArgumentException] {
+      setTableProperties(root, Map("bloom.items" -> "100000000"))
+    }
+    // at-cap values are accepted and writable
+    setTableProperties(root,
+      Map("bloom.bits" -> "67108864", "bloom.items" -> "4000000",
+        "bloom.columns" -> "id"))
+    append(spark.range(10, 20).selectExpr("id").coalesce(1), root)
+    assert(readManifest(root, currentVersion(root).get)
+      .statsOrNil.last.bloomOpt.isDefined)
+  }
+
+  test("byte-bounded sidecar cache: a cap below one sidecar still prunes " +
+      "and reads correctly (eviction is a perf knob, never correctness)") {
+    val root = tmpTable()
+    spark.conf.set(BloomCacheBytesConf, "1024")
+    try {
+      withBloomConf("id") { writeInterleaved(root) }
+      val m = readManifest(root, 8L)
+      // every probe forces a (batched, parallel) cold load of 8 sidecars
+      assert(prunedFiles(spark, root, m, col("id") === 42L).size == 1)
+      assert(prunedFiles(spark, root, m, col("id") === 43L).size == 1)
+      assert(readPruned(spark, root, col("id") === 42L).count() == 1L)
+      assert(readPruned(spark, root, col("id") === 799L)
+        .select("k").collect().map(_.getString(0)).toSeq == Seq("key_799"))
+    } finally spark.conf.unset(BloomCacheBytesConf)
+  }
+
   private def dataPathFor(root: String, rel: String): String =
     if (rel.startsWith("/")) rel else s"$root/$rel"
 

@@ -108,6 +108,79 @@ class CommitLogHiddenPartitionSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(1000L))
   }
 
+  test("truncate(W, k): prefixes count CODE POINTS — supplementary chars " +
+      "never prune a matching file") {
+    val root = tmpTable()
+    import spark.implicits._
+    // '😀' is ONE code point but TWO UTF-16 units. The write side derives
+    // the partition value with substring() (code-point based), so
+    // truncate(2) stores "😀a"/"😀b"; a UTF-16 probe (String.take) would
+    // compute "😀" for the same key and silently prune the file that
+    // holds it.
+    val df = Seq((1L, "😀a_1"), (2L, "😀b_2"), (3L, "pl_3")).toDF("id", "k")
+    create(root, df.schema, Seq("truncate(2, k)"))
+    append(df, root)
+    val m = readManifest(root, 2L)
+    assert(m.statsOrNil.flatMap(_.partitionsOrEmpty.get("truncate_2_k"))
+      .toSet == Set("😀a", "😀b", "pl"))
+    // equality on the full key returns the row (probe prefix must match
+    // the stored code-point prefix)
+    assert(readPruned(spark, root, col("k") === "😀a_1")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // and the probe still PRUNES: only the matching prefix survives
+    val kept = prunedFiles(spark, m, col("k") === "😀a_1")
+    assert(m.statsOrNil.filter(s => kept.contains(s.path))
+      .forall(_.partitionsOrEmpty("truncate_2_k") == "😀a"))
+    assert(kept.size < m.files.size)
+  }
+
+  test("days/months pre-1970: grains FLOOR, never fold around the epoch") {
+    val root = tmpTable()
+    // -25 h, -1 h, +1 h around the epoch = three distinct UTC days; `div`
+    // (truncation toward zero) would fold both negative instants into
+    // epoch-relative day 0 / -1 and misplace them
+    val df = spark.range(3).selectExpr("id",
+      "timestamp_micros(element_at(array(-90000000000L, -3600000000L, " +
+        "3600000000L), CAST(id + 1 AS INT))) AS ts")
+    create(root, df.schema, Seq("days(ts)"))
+    append(df, root)
+    val m = readManifest(root, 2L)
+    assert(m.statsOrNil.map(_.partitionsOrEmpty("days_ts")).distinct.sorted
+      == Seq("1969-12-30", "1969-12-31", "1970-01-01"))
+    // and a pre-epoch month floors to ITS month's first day
+    val root2 = tmpTable()
+    create(root2, df.schema, Seq("months(ts)"))
+    append(df, root2)
+    assert(readManifest(root2, 2L).statsOrNil
+      .map(_.partitionsOrEmpty("months_ts")).distinct.sorted
+      == Seq("1969-12-01", "1970-01-01"))
+    // range reads over the boundary stay exact either way
+    val got = readPruned(spark, root,
+      col("ts") < lit(new java.sql.Timestamp(0L))).count()
+    assert(got == 2L)
+  }
+
+  test("date/timestamp_ntz grains are session-zone independent") {
+    val root = tmpTable()
+    def mk = spark.sql("SELECT 1L AS id, DATE'2021-03-15' AS d, " +
+      "TIMESTAMP_NTZ'2021-03-15 23:30:00' AS tn")
+    create(root, mk.schema, Seq("months(d)", "days(tn)"))
+    // UTC+14 and UTC-12 writer sessions: a CAST(… AS TIMESTAMP) detour
+    // would shift the same wall-clock value across a day (even a month)
+    // boundary between the two writers
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      append(mk, root)
+      spark.conf.set("spark.sql.session.timeZone", "Etc/GMT+12")
+      append(mk, root)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val m = readManifest(root, 3L)
+    assert(m.statsOrNil.map(_.partitionsOrEmpty("months_d")).distinct
+      == Seq("2021-03-01"))
+    assert(m.statsOrNil.map(_.partitionsOrEmpty("days_tn")).distinct
+      == Seq("2021-03-15"))
+  }
+
   test("spec evolution identity -> days(ts): both generations serve queries") {
     val root = tmpTable()
     val df = tsDf.withColumn("half", (col("id") % 2).cast("string"))
