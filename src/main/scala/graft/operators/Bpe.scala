@@ -117,10 +117,23 @@ object Bpe {
   /** Tokenize a `text` column with a learned merge list: per-word
     * character split, then each merge applied in learned order (the
     * published greedy encode). Returns the input with a `bpe_toks`
-    * array<string> column appended. Plan shape: one projection per merge,
-    * all in-row — encoding shuffles nothing.
+    * array<string> column appended. The whole encode is ONE native
+    * codegen expression ([[graft.functions.BpeEncode]]) — per-row, zero
+    * shuffle, O(symbols) per merge instead of the SQL fold's O(symbols²)
+    * interpreted array copies. [[encodeFold]] keeps the fold form as the
+    * executable semantic reference; BpeSpec proves them equal.
     */
-  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    docs.withColumn("bpe_toks", org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("text")),
+        merges.map(m => (m.a, m.b)))))
+
+  /** The original SQL-fold encode — one projection per merge, all in-row.
+    * Kept as the reference implementation the native expression is tested
+    * against (and as the form whose DuckDB translation oracles q118).
+    */
+  def encodeFold(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val words = expr(
       """transform(filter(split(lower(trim(text)), '\\s+'), w -> length(w) >= 1),
         |  w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))"""

@@ -78,6 +78,29 @@ class BpeSpec extends SparkTestBase {
     assert(got.map(_.toSeq).toSeq == want)
   }
 
+  test("native encode expression ≡ the SQL fold, incl. supplementary " +
+      "code points, runs, odd whitespace, and null text") {
+    val tricky = Seq(
+      (1L, "  the aaa 😀😀😀 ab abab  "),
+      (2L, "tabs\tand\nnewlines   spaced"),
+      (3L, ""),
+      (4L, "ñañá 日本語 aaaa THE The"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val merges = Seq(
+      ("a", "a"), ("aa", "a"), ("t", "h"), ("th", "e"),
+      ("😀", "😀"), ("日", "本"), ("ñ", "a"))
+      .map { case (a, b) => Bpe.Merge(a, b, 0L) }
+    val fast = Bpe.encode(tricky, merges).orderBy("doc_id")
+      .select("bpe_toks").as[Seq[String]].collect().toSeq
+    val slow = Bpe.encodeFold(tricky, merges).orderBy("doc_id")
+      .select("bpe_toks").as[Seq[String]].collect().toSeq
+    assert(fast == slow)
+    // spot-check the per-round non-overlap rule on a run: aaa under (a,a)
+    // then (aa,a) → [aaa]; 😀😀😀 under (😀,😀) → [😀😀, 😀]
+    assert(fast(0).contains("aaa") && fast(0).count(_ == "😀") == 1)
+  }
+
   test("tie rule is lexicographic on the pair; floor stops early") {
     // (a,b) and (c,d) both weight 2 → lexicographically first pair wins
     val tied = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
