@@ -149,6 +149,31 @@ object GraftFunctions {
           .toAggregateExpression()
       },
       "built-in")
+    // BPE encoding for SQL/JDBC clients: merge list as a literal spec
+    // ("a b,th e" — pairs comma-separated, symbols space-separated; BPE
+    // symbols come from whitespace-split words, so they can never contain
+    // either separator). Same native expression the Scala API uses.
+    reg.createOrReplaceTempFunction("bpe_encode",
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bpe_encode takes (text, 'a b,ab c,...' merge spec)")
+        val spec = args(1) match {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.StringType =>
+            String.valueOf(e.eval())
+          case other => throw new IllegalArgumentException(
+            s"bpe_encode merge spec must be a STRING literal, got $other")
+        }
+        val merges = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          .map { p =>
+            val ab = p.split(" ", 2)
+            require(ab.length == 2 && ab(0).nonEmpty && ab(1).nonEmpty,
+              s"bad merge entry '$p' — want 'left right'")
+            (ab(0), ab(1))
+          }
+        BpeEncode(args.head, merges)
+      },
+      "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       (args: Seq[Expression]) => {
         require(args.length == 2,

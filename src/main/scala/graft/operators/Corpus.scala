@@ -789,5 +789,77 @@ object Corpus {
            |  count(DISTINCT tok) AS n_distinct
            |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // Bigram-LM document scoring — the CCNet-style quality screen (Wenzek
+    // LREC'20 trains a KenLM and buckets documents by perplexity; the
+    // statistic here is the same "how expected is this text under a corpus
+    // LM" signal): train an add-one-smoothed bigram model ON the corpus,
+    // score every document by its mean token probability, and surface the
+    // 20 most surprising documents — the gibberish/boilerplate audit batch.
+    // Cross-engine exactness: no ln() anywhere (libm drift) — each token's
+    // p(b|a) = (c_ab+1)/(c_a+V) is one division of int64-derived doubles
+    // (bit-identical in IEEE), quantized with floor(1e12·p) to an exact
+    // BIGINT so the per-doc sum is order-independent, and the mean is
+    // BIGINT division (the q49/q70 rational discipline + the FloatDotQ
+    // quantization trick). Plan at 100 TB: bigrams generate IN-ROW; the
+    // model tables are two two-phase hash aggregates (vocab-sized after
+    // map-side combine); the model join happens VOCAB-side first (c_ab ⋈
+    // c_a on `a`, both ≪ corpus), so the corpus-sized bigram stream
+    // shuffles exactly twice — once into the single probability join on
+    // (a,b), once into the per-doc aggregate — and the final top-20 is a
+    // TakeOrderedAndProject, never a global sort.
+    "q123_lm_score" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = docs(s, dir).select(col("doc_id"), toksCol.as("toks"))
+        val bg = d.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> struct(element_at(toks, i) AS a,
+              |              element_at(toks, i + 1) AS b))""".stripMargin))
+            .as("p"))
+          .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        val ca = bg.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+        val v = d.select(explode(col("toks")).as("tok"))
+          .agg(countDistinct(col("tok")).as("v"))
+        // model assembled vocab-side: one small join + the broadcast V,
+        // so the corpus stream meets ONE probability table on (a, b)
+        val model = cab.join(ca, Seq("a")).crossJoin(broadcast(v))
+          .select(col("a"), col("b"),
+            floor(lit(1e12) * ((col("c_ab") + lit(1)).cast("double") /
+              (col("c_a") + col("v")).cast("double"))).cast("long").as("p_q"))
+        bg.join(model, Seq("a", "b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_q")).as("p_sum_q"))
+          .withColumn("avg_p_q", expr("p_sum_q div n_bigrams"))
+          .orderBy(col("avg_p_q").asc, col("doc_id"))
+          .limit(20)
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, p['a'] AS a, p['b'] AS b
+          |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          |      i -> {'a': toks[CAST(i AS INT)],
+          |            'b': toks[CAST(i AS INT) + 1]})) AS p
+          |    FROM d WHERE len(toks) >= 2)),
+          |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+          |  FROM bg GROUP BY 1, 2),
+          |ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a
+          |  FROM bg GROUP BY 1),
+          |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          |  FROM (SELECT unnest(toks) AS tok FROM d)),
+          |sc AS (
+          |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |    CAST(sum(CAST(floor(1e12 * (CAST(c_ab + 1 AS DOUBLE)
+          |      / CAST(c_a + v AS DOUBLE))) AS BIGINT)) AS BIGINT) AS p_sum_q
+          |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+          |  GROUP BY 1)
+          |SELECT doc_id, n_bigrams, p_sum_q,
+          |  p_sum_q // n_bigrams AS avg_p_q
+          |FROM sc ORDER BY avg_p_q ASC, doc_id LIMIT 20""".stripMargin)),
   )
 }

@@ -424,6 +424,36 @@ object TableOps {
           |WHERE o_totalprice <= 100000.0
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // Shallow-clone branch + fast-forward promote under the oracle gate
+    // (the WAP loop a pipeline actually runs): generation 1 lands in the
+    // source, a zero-copy branch takes the rest of the work — a second
+    // generation appended, bad rows deleted via DVs — and the validated
+    // branch publishes back with ONE metadata commit. The oracle restates
+    // the final state over the original parquet, so a green row proves the
+    // promote reassembles shared + branch-written files and the branch's
+    // deletion vectors exactly. At 100 TB: branch AND promote are both
+    // O(metadata); no data file is ever copied.
+    "q125_branch_promote" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val root = tmp("graft-q125")
+        val branch = tmp("graft-q125b")
+        val n = ord.count()
+        CommitLog.append(ord.filter(col("o_orderkey") <= n / 2), root)
+        CommitLog.shallowClone(root, branch)
+        CommitLog.append(ord.filter(col("o_orderkey") > n / 2), branch)
+        CommitLog.deleteDV(s, branch, col("o_totalprice") > 200000.0)
+        CommitLog.fastForward(root, branch)
+        CommitLog.read(s, root)
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice <= 200000.0
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // Partition-spec evolution under the oracle gate: generation 1 lands
     // partitioned by o_orderstatus, the spec evolves to o_orderpriority,
     // generation 2 lands in the new layout, and a pruned read filters on

@@ -1044,5 +1044,50 @@ object TextAnalysis {
            |FROM scored WHERE y * m <= 0
            |ORDER BY abs(m) DESC, doc_id LIMIT 20""".stripMargin
       }),
+
+    // k-anonymity generalization-ladder audit (Sweeney IJUFKS'02; the
+    // governance twin of q52's PII redaction): treat (nation, market
+    // segment, account-balance bucket) as the quasi-identifier and report,
+    // for EVERY generalization level of the ladder at once, how many
+    // equivalence classes exist, how many violate k=5, and how many rows
+    // sit in violating classes — the table a privacy review needs to pick
+    // the minimal generalization that satisfies k. One ROLLUP aggregate
+    // computes all four levels in a single corpus pass (Spark expands the
+    // grouping sets INSIDE the two-phase hash aggregate — no per-level
+    // re-scan), and the per-level summary is a second aggregate over the
+    // class table (vocab-sized). At 100 TB: one shuffle on the QI key,
+    // map-side combined; nothing else moves.
+    "q124_kanon_ladder" -> QueryDef(
+      fn = { (s, dir) =>
+        val k = 5L
+        val classes = Tables.load(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            (floor(col("c_acctbal") / 1000.0) * 1000).cast("long")
+              .as("bal_bucket"))
+          .rollup(col("nation"), col("segment"), col("bal_bucket"))
+          .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        classes.groupBy(col("gid").cast("long").as("gid"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating"),
+            sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"))
+          .orderBy("gid")
+      },
+      oracle = Some(
+        """WITH cls AS (
+          |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+          |    CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_bucket,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    CAST(GROUPING(c_nationkey, c_mktsegment,
+          |      CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT)) AS BIGINT)
+          |      AS gid
+          |  FROM customer
+          |  GROUP BY ROLLUP(1, 2, 3))
+          |SELECT gid, CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_violating,
+          |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+          |    AS rows_at_risk
+          |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -146,7 +146,14 @@ object CommitLog {
       // table properties (the Delta TBLPROPERTIES concept): full
       // post-commit map, read ONLY on create/set-props/restore/clone —
       // everything else inherits, so pre-props logs stay valid.
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      // clone origin (op == "clone" only): the normalized source root and
+      // the source version the clone snapshot was taken at — what
+      // [[fastForward]] needs to prove the promote is a true fast-forward.
+      // Null/0 on every other op and on pre-branch clone logs (which then
+      // simply cannot fast-forward; they still read fine).
+      cloneSrc: String = null,
+      cloneVer: Long = 0L) {
     def addOrNil: Seq[FileStat] = Option(add).getOrElse(Nil)
     def removeOrNil: Seq[String] = Option(remove).getOrElse(Nil)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
@@ -301,7 +308,7 @@ object CommitLog {
     // later, so keeping the newer set would publish unvalidated rows.
     val cs =
       if (c.op == "add-constraint" || c.op == "drop-constraint" ||
-          c.op == "restore" || c.op == "clone")
+          c.op == "restore" || c.op == "clone" || c.op == "fast-forward")
         c.constraintsOrEmpty
       else prior.map(_.constraintsOrEmpty).getOrElse(Map.empty)
     // Deletion vectors: a removed data file takes its DV with it (rewrites
@@ -309,13 +316,14 @@ object CommitLog {
     // file. "restore" replaces the whole map, like constraints — the
     // restored snapshot's DV state comes back with its data.
     val dvs =
-      if (c.op == "restore") c.dvsOrEmpty
+      if (c.op == "restore" || c.op == "fast-forward") c.dvsOrEmpty
       else (prior.map(_.dvsOrEmpty).getOrElse(Map.empty) -- removed) ++
         c.dvsOrEmpty
     // Column mapping: rename/drop REPLACE the mapping + retired set;
     // restore/clone revert them with the data; everything else inherits
     // (pre-mapping logs and writers stay valid).
-    val mapOps = Set("rename-column", "drop-column", "restore", "clone")
+    val mapOps =
+      Set("rename-column", "drop-column", "restore", "clone", "fast-forward")
     val cm =
       if (mapOps(c.op)) c.colMapOrEmpty
       else prior.map(_.colMapOrEmpty).getOrElse(Map.empty)
@@ -326,7 +334,7 @@ object CommitLog {
     // everything else inherits (pre-props logs and writers stay valid).
     val props =
       if (c.op == "create" || c.op == "set-props" || c.op == "restore" ||
-          c.op == "clone")
+          c.op == "clone" || c.op == "fast-forward")
         c.propsOrEmpty
       else prior.map(_.propsOrEmpty).getOrElse(Map.empty)
     Manifest(c.version, c.op, c.schemaJson,
@@ -1462,8 +1470,81 @@ object CommitLog {
     commitDelta(dst, None, Commit(1L, "clone", m.schemaJson, stats, Nil,
       m.partitionByOrNil, Map.empty, constraints = m.constraintsOrEmpty,
       dvs = dvs, colMap = m.colMapOrEmpty, retired = m.retiredOrNil,
-      props = m.propsOrEmpty))
+      props = m.propsOrEmpty,
+      cloneSrc = normRoot(src), cloneVer = v))
     1L
+  }
+
+  private def normRoot(root: String): String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+
+  /** FAST-FORWARD a shallow clone back onto its source — the branch-merge
+    * that completes the clone/WAP story (Iceberg's fast-forward branch
+    * publish): develop on the zero-copy clone (appends, DML, OPTIMIZE,
+    * schema changes), validate there, then publish the clone's CURRENT
+    * snapshot to the source as ONE metadata commit. Only legal while the
+    * source has not advanced past the clone point (a true fast-forward —
+    * anything else is a divergent merge this operation refuses rather
+    * than guesses at), enforced under the same OCC retry loop every
+    * commit uses, so a concurrent source writer either lands before the
+    * check (promote rejects) or after (the writer retries on top of the
+    * promoted snapshot).
+    *
+    * Path re-rooting makes promotion exact: clone-local files publish as
+    * absolute references into the clone's `data/`; files the clone still
+    * shares with the source turn back into source-relative paths (they
+    * were recorded absolute at clone time), so an unchanged file is
+    * referenced exactly as it was before the branch. Metadata (schema,
+    * constraints, column mapping, properties, deletion vectors) replaces
+    * wholesale, restore-style. The source's streaming txn watermarks are
+    * KEPT — promote changes data, not the source's sink idempotence
+    * history.
+    *
+    * The shallow-clone vacuum hazard inverts after promote: the SOURCE
+    * now references files under the clone's `data/`, so the clone must be
+    * treated as merged — discard it, or at minimum never vacuum it.
+    * Localize the source (OPTIMIZE/compact) to retire the cross-root
+    * references. At 100 TB the promote itself stays O(metadata).
+    */
+  def fastForward(src: String, clone: String): Long = withRetry() {
+    val cv = currentVersion(clone).getOrElse(
+      throw new IllegalArgumentException(s"no CommitLog table at $clone"))
+    val c1 = readCommit(clone, 1L)
+    require(c1.op == "clone" && c1.cloneSrc != null,
+      s"$clone is not a shallow clone with a recorded origin " +
+        s"(first commit op '${c1.op}') — nothing to fast-forward")
+    val srcRoot = normRoot(src)
+    require(srcRoot == c1.cloneSrc,
+      s"$clone was cloned from ${c1.cloneSrc}, not $srcRoot")
+    val base = currentVersion(src).getOrElse(
+      throw new IllegalStateException(s"no commits at $src"))
+    require(base == c1.cloneVer,
+      s"source advanced to version $base past the clone point " +
+        s"${c1.cloneVer} — not a fast-forward; reconcile the branches " +
+        "explicitly (e.g. MERGE) instead")
+    val cur = readManifest(src, base)
+    val cm = readManifest(clone, cv)
+    // clone-relative → absolute into the clone; absolute-under-source →
+    // source-relative again (unchanged shared files keep their original
+    // identity, so stats/DV/bloom keys line up with pre-branch history)
+    def reroot(p: String): String = {
+      val abs = if (p.startsWith("/")) p else absPath(clone, p)
+      if (abs.startsWith(srcRoot + "/")) abs.substring(srcRoot.length + 1)
+      else abs
+    }
+    val stats = cm.statsOrNil.map(s => s.copy(path = reroot(s.path),
+      bloom = s.bloomOpt.map(reroot).orNull))
+    commitDelta(src, Some(cur), Commit(base + 1, "fast-forward",
+      cm.schemaJson,
+      add = stats,
+      remove = cur.files,
+      partitionBy = cm.partitionByOrNil,
+      txn = cur.txnOrEmpty,
+      constraints = cm.constraintsOrEmpty,
+      dvs = cm.dvsOrEmpty.map { case (d, dv) => reroot(d) -> reroot(dv) },
+      colMap = cm.colMapOrEmpty, retired = cm.retiredOrNil,
+      props = cm.propsOrEmpty))
+    base + 1
   }
 
   /** Read a snapshot: latest by default, or a pinned historical version.

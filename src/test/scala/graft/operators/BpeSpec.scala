@@ -114,6 +114,17 @@ class BpeSpec extends SparkTestBase {
     assert(rm.map(x => (x.a, x.b)) == Seq(("a", "a"), ("aa", "aa")))
   }
 
+  test("bpe_encode is SQL-callable with a literal merge spec") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT bpe_encode('The theme of things', 't h,th e') AS toks")
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("the", "the", "m", "e", "o", "f", "th", "i", "n", "g", "s"))
+    intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', 'badspec')").collect()
+    }
+  }
+
   test("plan shape: training rounds work the vocab table, never the corpus") {
     // wordTable is the ONLY corpus-sized stage; pairCounts over it is a
     // join-free Generate + two-phase aggregate

@@ -102,4 +102,71 @@ class CommitLogCloneSpec extends SparkTestBase {
     append(spark.range(3).toDF("id"), dst)
     intercept[IllegalArgumentException](shallowClone(src, dst))
   }
+
+  test("fast-forward publishes the branch: WAP develop-validate-promote") {
+    val src = tmpTable(); val dst = tmpTable()
+    append(spark.range(50).selectExpr("id", "id * 2 AS v"), src)
+    shallowClone(src, dst)
+    // develop on the branch: append + DV delete + properties
+    append(spark.range(50, 60).selectExpr("id", "id * 2 AS v"), dst)
+    deleteDV(spark, dst, col("id") < 5)
+    setTableProperties(dst, Map("branch.note" -> "validated"))
+    val want = read(spark, dst).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val v = fastForward(src, dst)
+    assert(v == 2L)
+    val m = readManifest(src, v)
+    assert(m.op == "fast-forward")
+    assert(ids(src) == want && want == (5L until 60L))
+    // unchanged shared file(s) come back SOURCE-RELATIVE (pre-branch
+    // identity), clone-local files publish absolute into the clone
+    assert(m.files.exists(f => !f.startsWith("/")),
+      "shared files should re-root to source-relative paths")
+    assert(m.files.exists(_.startsWith(dst)),
+      "branch-written files should reference the clone's data dir")
+    // metadata promoted wholesale
+    assert(m.propsOrEmpty.get("branch.note").contains("validated"))
+    // time travel to the pre-promote snapshot still serves
+    assert(read(spark, src, Some(1L)).count() == 50)
+    // and the source keeps working: another append on top of the promote
+    append(spark.range(60, 65).selectExpr("id", "id * 2 AS v"), src)
+    assert(ids(src) == (5L until 65L))
+  }
+
+  test("fast-forward refuses a diverged source and a non-clone target") {
+    val src = tmpTable(); val dst = tmpTable()
+    append(spark.range(10).toDF("id"), src)
+    shallowClone(src, dst)
+    append(spark.range(10, 12).toDF("id"), dst)
+    append(spark.range(90, 95).toDF("id"), src) // source moves on
+    val e = intercept[IllegalArgumentException](fastForward(src, dst))
+    assert(e.getMessage.contains("not a fast-forward"))
+    // a plain table (no clone origin) cannot promote anywhere
+    val other = tmpTable()
+    append(spark.range(3).toDF("id"), other)
+    intercept[IllegalArgumentException](fastForward(src, other))
+    // and the wrong source refuses
+    val src2 = tmpTable()
+    append(spark.range(3).toDF("id"), src2)
+    intercept[IllegalArgumentException](fastForward(src2, dst))
+  }
+
+  test("fast-forward with rename + partition-spec change promotes the " +
+      "clone's metadata exactly") {
+    val src = tmpTable(); val dst = tmpTable()
+    append(spark.range(20).selectExpr("id", "CAST(id % 2 AS STRING) AS k"),
+      src)
+    shallowClone(src, dst)
+    renameColumn(dst, "k", "bucket")
+    setPartitionSpec(dst, Seq("bucket"))
+    append(spark.range(20, 30)
+      .selectExpr("id", "CAST(id % 2 AS STRING) AS bucket"), dst)
+    fastForward(src, dst)
+    val m = readManifest(src, currentVersion(src).get)
+    assert(m.partitionByOrNil == Seq("bucket"))
+    assert(read(spark, src).columns.toSeq == Seq("id", "bucket"))
+    assert(read(spark, src).count() == 30)
+    // pruning on the promoted layout still works across both generations
+    assert(readPruned(spark, src, col("bucket") === "1").count() == 15)
+  }
 }
