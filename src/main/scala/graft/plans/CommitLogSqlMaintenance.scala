@@ -30,6 +30,7 @@ import graft.sources.CommitLog
   *   DESCRIBE FILES <table>                         → one row per live file
   *   REORG TABLE <table> APPLY (PURGE)              → [[CommitLog.purgeDeletionVectors]]
   *   CREATE TABLE <t> SHALLOW CLONE <s> [VERSION AS OF <n>] → [[CommitLog.shallowClone]]
+  *   FAST FORWARD <t> FROM <clone>                  → [[CommitLog.fastForward]]
   *   ALTER TABLE <t> ADD CONSTRAINT <n> CHECK (<e>) → [[CommitLog.addConstraint]]
   *   ALTER TABLE <t> DROP CONSTRAINT <n>            → [[CommitLog.dropConstraint]]
   *
@@ -71,6 +72,10 @@ object CommitLogSqlMaintenance {
       """((?:`[^`]+`|[\w.])+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  // Branch promote (Iceberg's fast_forward procedure as a statement):
+  // publish a shallow clone's current snapshot back to its source
+  private val FastForwardRe =
+    """(?is)^\s*FAST\s+FORWARD\s+((?:`[^`]+`|[\w.])+)\s+FROM\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   // Greedy body capture: the CHECK expression may itself contain parens;
   // anchoring on the FINAL ')' keeps nested expressions whole. Known
   // limitation of the regex parse: nothing may follow the closing paren —
@@ -115,6 +120,9 @@ object CommitLogSqlMaintenance {
           Option(version).map(_.toLong))
       case RestoreRe(ident, version) =>
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident), version.toLong)
+      case FastForwardRe(dst, srcClone) =>
+        GraftFastForwardCommand(delegate.parseMultipartIdentifier(dst),
+          delegate.parseMultipartIdentifier(srcClone))
       case AddConstraintRe(ident, name, check) =>
         GraftAddConstraintCommand(
           delegate.parseMultipartIdentifier(ident), name, check.trim,
@@ -294,6 +302,19 @@ object CommitLogSqlMaintenance {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       Seq(Row(CommitLog.shallowClone(srcRoot, dir, version)))
     }
+  }
+
+  /** `FAST FORWARD t FROM clone` → publish the clone's current snapshot
+    * back onto its source as one metadata commit ([[CommitLog.fastForward]]
+    * carries the fast-forward-only guard). Returns the committed version.
+    */
+  case class GraftFastForwardCommand(target: Seq[String], branch: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(CommitLog.fastForward(
+        rootOf(spark, target), rootOf(spark, branch))))
   }
 
   /** `VACUUM t [RETAIN n HOURS]` → reclaim unreferenced files outside the

@@ -310,4 +310,24 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     assert(!e2.getMessage.toLowerCase.contains("commitlog"),
       s"intercepted instead of delegated: ${e2.getMessage}")
   }
+
+  test("FAST FORWARD <t> FROM <clone> promotes a branch through SQL") {
+    val (root, view) = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val branchRoot = Files.createTempDirectory("graft-sqlff").toString + "/b"
+    CommitLog.shallowClone(root, branchRoot)
+    val bview = s"sqlff_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $bview " +
+      s"USING `graft-commitlog` OPTIONS (path '$branchRoot')")
+    // develop on the branch through SQL DML, then promote through SQL
+    spark.sql(s"DELETE FROM $bview WHERE k = 1")
+    import spark.implicits._
+    CommitLog.append(Seq((3L, "c", 3.0)).toDF("k", "s", "v"), branchRoot)
+    val v = spark.sql(s"FAST FORWARD $view FROM $bview")
+      .collect()(0).getLong(0)
+    assert(v == 2L)
+    assert(snapshot(view) == Seq((2L, "b", 2.0), (3L, "c", 3.0)))
+    // a second promote is no longer a fast-forward (source advanced)
+    val e = intercept[Exception](spark.sql(s"FAST FORWARD $view FROM $bview"))
+    assert(e.getMessage.contains("not a fast-forward"))
+  }
 }
