@@ -28,6 +28,7 @@ import graft.sources.CommitLog
   *   RESTORE [TABLE] <table> TO VERSION AS OF <n>   → [[CommitLog.restore]]
   *   DESCRIBE DETAIL <table>                        → manifest summary row
   *   DESCRIBE FILES <table>                         → one row per live file
+  *   DESCRIBE STATS <table>                         → [[CommitLog.describeStats]]
   *   REORG TABLE <table> APPLY (PURGE)              → [[CommitLog.purgeDeletionVectors]]
   *   CREATE TABLE <t> SHALLOW CLONE <s> [VERSION AS OF <n>] → [[CommitLog.shallowClone]]
   *   FAST FORWARD <t> FROM <clone>                  → [[CommitLog.fastForward]]
@@ -62,6 +63,10 @@ object CommitLogSqlMaintenance {
   // live data file with its stats/index/DV attachments
   private val FilesRe =
     """(?is)^\s*DESCRIBE\s+FILES\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
+  // table-level column statistics (rows/nulls from the manifest, NDV from
+  // merged per-file HLL sketches) — one row per schema column
+  private val StatsRe =
+    """(?is)^\s*DESCRIBE\s+STATS\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   // Delta's published syntax for materializing deletion vectors away
   private val ReorgPurgeRe =
     """(?is)^\s*REORG\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
@@ -112,6 +117,8 @@ object CommitLogSqlMaintenance {
         GraftDetailCommand(delegate.parseMultipartIdentifier(ident))
       case FilesRe(ident) =>
         GraftFilesCommand(delegate.parseMultipartIdentifier(ident))
+      case StatsRe(ident) =>
+        GraftStatsCommand(delegate.parseMultipartIdentifier(ident))
       case ReorgPurgeRe(ident) =>
         GraftPurgeDvCommand(delegate.parseMultipartIdentifier(ident))
       case CloneRe(dst, src, version) =>
@@ -302,6 +309,17 @@ object CommitLogSqlMaintenance {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       Seq(Row(CommitLog.shallowClone(srcRoot, dir, version)))
     }
+  }
+
+  /** `DESCRIBE STATS t` → table-level column statistics (rows, nulls,
+    * merged-HLL NDV) from metadata + sidecars only — never a data scan.
+    */
+  case class GraftStatsCommand(parts: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      CommitLog.statsSchema.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)())
+    override def run(spark: SparkSession): Seq[Row] =
+      CommitLog.describeStats(spark, rootOf(spark, parts)).collect().toSeq
   }
 
   /** `FAST FORWARD t FROM clone` → publish the clone's current snapshot

@@ -85,6 +85,21 @@ object CommitLog {
   private val DefaultBloomBits = 262144L // 32 KiB/file/column ≈ 1% fpp @ 27k keys
   private val DefaultBloomItems = 27000L
 
+  /** Per-file NDV sketches (the Iceberg-puffin/theta-sketch concept, built
+    * on the engine's own bundled datasketches HLL): when `ndv.columns`
+    * (table property, or the session conf override) names columns at
+    * write time, every staged file gets a sidecar holding one HLL sketch
+    * per column, built in the SAME stats pass the commit already pays.
+    * HLL sketches MERGE losslessly, so [[describeStats]] unions the
+    * per-file sketches into table-level distinct-count estimates without
+    * ever re-scanning data — the statistic a planner (or a human sizing a
+    * join) needs, at any file count. ~2.5 KiB per sketch at the default
+    * lgK=12 (±~1.6% standard error).
+    */
+  private[sources] val NdvColumnsConf = "spark.graft.ndv.columns"
+  private[sources] val NdvLgkConf = "spark.graft.ndv.lgk"
+  private val DefaultNdvLgk = 12
+
   /** Per-file column statistics for scan pruning: min/max rendered
     * zone-independently as strings (timestamps as unix micros — a session-
     * timezone-dependent rendering would shift pruning bounds between writer
@@ -106,12 +121,15 @@ object CommitLog {
       // shallow clone's source references; null = no index). The manifest
       // carries only the PATH — the bits live in the sidecar, so the log
       // stays metadata-sized however many files are indexed.
-      bloom: String = null) {
+      bloom: String = null,
+      // NDV (HLL) sketch sidecar, same path discipline as `bloom`
+      ndv: String = null) {
     def minsOrEmpty: Map[String, String] = Option(mins).getOrElse(Map.empty)
     def maxsOrEmpty: Map[String, String] = Option(maxs).getOrElse(Map.empty)
     def partitionsOrEmpty: Map[String, String] =
       Option(partitions).getOrElse(Map.empty)
     def bloomOpt: Option[String] = Option(bloom)
+    def ndvOpt: Option[String] = Option(ndv)
   }
 
   /** On-disk per-version record: the DELTA of one transaction (Delta's
@@ -587,7 +605,8 @@ object CommitLog {
       root: String,
       files: Seq[String],
       schema: StructType,
-      bloomSpec: Option[(Seq[String], Long, Long)] = None): Seq[FileStat] = {
+      bloomSpec: Option[(Seq[String], Long, Long)] = None,
+      ndvSpec: Option[(Seq[String], Int)] = None): Seq[FileStat] = {
     if (files.isEmpty) return Nil
     val tracked = schema.fields.filter(f => statTracked(f.dataType)).toSeq
     val df = spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
@@ -609,6 +628,10 @@ object CommitLog {
               CatLit(items), CatLit(bits)).toAggregateExpression())
           .as(s"bloom__$c")
       }
+    } ++ ndvSpec.toSeq.flatMap { case (cols, lgk) =>
+      // NDV sketches likewise ride the same pass: the engine's own
+      // datasketches HLL aggregate, whose binary form hll_union_agg merges
+      cols.map(c => hll_sketch_agg(col(c), lit(lgk)).as(s"ndv__$c"))
     } :+ count(lit(1)).as("rows__")
     val rows = df.groupBy(input_file_name().as("file__"))
       .agg(aggs.head, aggs.tail: _*).collect() // one row per staged file
@@ -622,12 +645,19 @@ object CommitLog {
       val bloomRel = bloomSpec.flatMap { case (cols, _, _) =>
         val built = cols.flatMap(c =>
           Option(r.getAs[Array[Byte]](s"bloom__$c")).map(c -> _))
-        if (built.isEmpty) None else Some(writeBloomSidecar(root, built))
+        if (built.isEmpty) None
+        else Some(writeSketchSidecar(root, "_bloom", "gblm", BloomMagic, built))
+      }
+      val ndvRel = ndvSpec.flatMap { case (cols, _) =>
+        val built = cols.flatMap(c =>
+          Option(r.getAs[Array[Byte]](s"ndv__$c")).map(c -> _))
+        if (built.isEmpty) None
+        else Some(writeSketchSidecar(root, "_ndv", "gndv", NdvMagic, built))
       }
       FileStat(rel, r.getAs[Long]("rows__"), Files.size(Paths.get(root, rel)),
         s("min"), s("max"),
         tracked.map(f => f.name -> r.getAs[Long](s"nulls__${f.name}")).toMap,
-        bloom = bloomRel.orNull)
+        bloom = bloomRel.orNull, ndv = ndvRel.orNull)
     }
   }
 
@@ -639,29 +669,56 @@ object CommitLog {
     case _ => false
   }
 
-  /** Sidecar layout: magic, format version, then (column, bytes) entries
-    * in `BloomFilterAggregate`'s serialized form. Sidecars live under
-    * `data/_bloom/` so [[vacuum]]'s unreferenced-file walk reclaims them
-    * exactly like data files once no retained snapshot references them.
+  private def ndvSupported(dt: DataType): Boolean = dt match {
+    // the types Spark's HllSketchAgg accepts
+    case StringType | LongType | IntegerType | BinaryType => true
+    case _ => false
+  }
+
+  /** Sidecar layout (shared by the bloom and NDV indexes): magic, format
+    * version, then (column, bytes) entries — bloom entries hold
+    * `BloomFilterAggregate`'s serialized form, NDV entries an HLL sketch.
+    * Sidecars live under `data/_bloom/` / `data/_ndv/` so [[vacuum]]'s
+    * unreferenced-file walk reclaims them exactly like data files once no
+    * retained snapshot references them.
     */
   private val BloomMagic = 0x47424C4D // "GBLM"
+  private val NdvMagic = 0x474E4456 // "GNDV"
 
-  private def writeBloomSidecar(root: String,
-      blooms: Seq[(String, Array[Byte])]): String = {
-    val rel = s"data/_bloom/${UUID.randomUUID().toString}.gblm"
+  private def writeSketchSidecar(root: String, sub: String, ext: String,
+      magic: Int, entries: Seq[(String, Array[Byte])]): String = {
+    val rel = s"data/$sub/${UUID.randomUUID().toString}.$ext"
     val p = Paths.get(root, rel)
     Files.createDirectories(p.getParent)
     Using.resource(new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         Files.newOutputStream(p)))) { out =>
-      out.writeInt(BloomMagic)
+      out.writeInt(magic)
       out.writeInt(1)
-      out.writeInt(blooms.size)
-      blooms.foreach { case (c, b) =>
+      out.writeInt(entries.size)
+      entries.foreach { case (c, b) =>
         out.writeUTF(c); out.writeInt(b.length); out.write(b)
       }
     }
     rel
   }
+
+  /** Raw (column → sketch bytes) entries of one sidecar; unreadable or
+    * wrong-magic files degrade to empty.
+    */
+  private def readSketchSidecar(path: String, magic: Int)
+      : Map[String, Array[Byte]] =
+    try {
+      Using.resource(new java.io.DataInputStream(new java.io.BufferedInputStream(
+          Files.newInputStream(Paths.get(path))))) { in =>
+        if (in.readInt() != magic || in.readInt() != 1) Map.empty
+        else (0 until in.readInt()).map { _ =>
+          val c = in.readUTF()
+          val b = new Array[Byte](in.readInt())
+          in.readFully(b)
+          c -> b
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Driver-side sidecar cache: sidecars are immutable (UUID-named,
     * write-once), so (absolute path → sketches) never invalidates; a
@@ -740,23 +797,13 @@ object CommitLog {
     */
   private def readBloomSidecarUncached(path: String): CachedSidecar =
     try {
-      Using.resource(new java.io.DataInputStream(new java.io.BufferedInputStream(
-          Files.newInputStream(Paths.get(path))))) { in =>
-        if (in.readInt() != BloomMagic || in.readInt() != 1)
-          CachedSidecar(Map.empty, 0L)
-        else {
-          var bytes = 0L
-          val sk = (0 until in.readInt()).map { _ =>
-            val c = in.readUTF()
-            val b = new Array[Byte](in.readInt())
-            in.readFully(b)
-            bytes += b.length
-            c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(b))
-          }.toMap
-          CachedSidecar(sk, bytes)
-        }
+      var bytes = 0L
+      val sk = readSketchSidecar(path, BloomMagic).map { case (c, b) =>
+        bytes += b.length
+        c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b))
       }
+      CachedSidecar(sk, bytes)
     } catch {
       case scala.util.control.NonFatal(_) => CachedSidecar(Map.empty, 0L)
     }
@@ -819,12 +866,22 @@ object CommitLog {
       else Some((bloomCols,
         opt(BloomItemsConf, "bloom.items").getOrElse(DefaultBloomItems.toString).toLong,
         opt(BloomBitsConf, "bloom.bits").getOrElse(DefaultBloomBits.toString).toLong))
+    // NDV sketches: same sticky-property + session-override discipline
+    val ndvCols = opt(NdvColumnsConf, "ndv.columns").getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map(p)
+      .filter(c => physDf.schema.fields.exists(f =>
+        f.name == c && ndvSupported(f.dataType)))
+    val ndvSpec =
+      if (ndvCols.isEmpty) None
+      else Some((ndvCols,
+        opt(NdvLgkConf, "ndv.lgk").getOrElse(DefaultNdvLgk.toString).toInt))
     // Partition tuple per file: identity entries read off the stats
     // (staging guarantees min = max, and statRender keeps the historical
     // zone-safe rendering); transform entries parse their derived value
     // back out of the file's own __gp_<key>=<value> path segments.
     val transformKeys = fields.filterNot(_.fn == "identity").map(_.key(p)).toSet
-    statsFor(sess, root, files, physDf.schema, bloomSpec).map { st =>
+    statsFor(sess, root, files, physDf.schema, bloomSpec, ndvSpec).map { st =>
       val idTuple = fields.filter(_.fn == "identity")
         .flatMap(f => st.minsOrEmpty.get(p(f.source)).map(p(f.source) -> _))
         .toMap
@@ -1023,6 +1080,11 @@ object CommitLog {
             s"cap $mx ($confKey) — writes to the table would fail at " +
             "staging time")
       }
+    }
+    props.get("ndv.lgk").foreach { v =>
+      // datasketches HLL bounds (HllSketchAgg rejects outside [4, 21])
+      require(v.toIntOption.exists(n => n >= 4 && n <= 21),
+        s"table property ndv.lgk must be an integer in [4, 21], got '$v'")
     }
   }
 
@@ -1463,7 +1525,8 @@ object CommitLog {
       s"clone target $dst already has commits")
     val m = readManifest(src, v)
     val stats = m.statsOrNil.map(s => s.copy(path = absPath(src, s.path),
-      bloom = s.bloomOpt.map(absPath(src, _)).orNull))
+      bloom = s.bloomOpt.map(absPath(src, _)).orNull,
+      ndv = s.ndvOpt.map(absPath(src, _)).orNull))
     val dvs = m.dvsOrEmpty.map { case (d, dv) =>
       absPath(src, d) -> absPath(src, dv)
     }
@@ -1533,7 +1596,8 @@ object CommitLog {
       else abs
     }
     val stats = cm.statsOrNil.map(s => s.copy(path = reroot(s.path),
-      bloom = s.bloomOpt.map(reroot).orNull))
+      bloom = s.bloomOpt.map(reroot).orNull,
+      ndv = s.ndvOpt.map(reroot).orNull))
     commitDelta(src, Some(cur), Commit(base + 1, "fast-forward",
       cm.schemaJson,
       add = stats,
@@ -2480,6 +2544,73 @@ object CommitLog {
       "added_rows", "added_bytes", "partition_by")
   }
 
+  val statsSchema: Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("nulls", LongType, nullable = true),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_files_sketched", LongType, nullable = false),
+      StructField("ndv", LongType, nullable = true))
+  }
+
+  /** Table-level column statistics from METADATA + NDV sidecars only —
+    * never a data scan: row and null counts fold out of the manifest's
+    * per-file stats, and distinct-count estimates come from hll_union of
+    * the per-file HLL sketches (sketches merge losslessly, so the union
+    * over any number of files is the same estimate one global sketch
+    * would give — the property that makes per-file collection scale).
+    * `nulls` is null for columns outside stat tracking; `ndv` is null for
+    * columns no file has sketched, and covers the sketched files
+    * (`n_files_sketched` says how many — equal to `n_files` on a table
+    * whose `ndv.columns` property predates all data). One row per LOGICAL
+    * schema column, in schema order.
+    */
+  def describeStats(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, v)
+    val schema = schemaOf(m)
+    val stats = m.statsOrNil
+    val totalRows = stats.map(_.rows).sum
+    // per-physical-column sketch rows from every referenced sidecar
+    val bySidecar: Seq[Map[String, Array[Byte]]] = stats.flatMap(_.ndvOpt)
+      .map(p => readSketchSidecar(dataPath(root, p), NdvMagic))
+    val sketchedFiles: Map[String, Long] = bySidecar.flatMap(_.keys)
+      .groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val ndvEst: Map[String, Long] =
+      if (bySidecar.forall(_.isEmpty)) Map.empty
+      else {
+        val rows = bySidecar.flatMap(_.toSeq).map { case (c, b) =>
+          org.apache.spark.sql.Row(c, b)
+        }
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+            StructField("c", StringType), StructField("sk", BinaryType))))
+          .groupBy(col("c"))
+          .agg(hll_sketch_estimate(
+            hll_union_agg(col("sk"), allowDifferentLgConfigK = true)).as("ndv"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val out = schema.fields.toSeq.map { f =>
+      val phys = m.physOf(f.name)
+      val tracked = statTracked(f.dataType)
+      val nulls =
+        if (!tracked) null
+        else java.lang.Long.valueOf(stats.map(s =>
+          Option(s.nullCounts).getOrElse(Map.empty[String, Long])
+            .asInstanceOf[Map[String, Any]].get(phys)
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)).sum)
+      org.apache.spark.sql.Row(f.name, totalRows, nulls,
+        stats.size.toLong, sketchedFiles.getOrElse(phys, 0L),
+        ndvEst.get(phys).map(java.lang.Long.valueOf).orNull)
+    }
+    spark.createDataFrame(out.asJava,
+      org.apache.spark.sql.types.StructType(statsSchema))
+  }
+
   /** Time-based time travel (Delta's `timestampAsOf`): the snapshot that
     * was current at instant `tsMs` — the LAST version whose publish
     * timestamp is ≤ tsMs. Resolution reads commit records still on disk
@@ -2741,7 +2872,8 @@ object CommitLog {
     val pinnedSnaps = pinned.toSeq.sorted.map(readManifest(root, _))
     val live = (keepSnaps ++ pinnedSnaps)
       .flatMap(s => s.files ++ s.dvsOrEmpty.values ++
-        s.statsOrNil.flatMap(_.bloomOpt)).toSet
+        s.statsOrNil.flatMap(_.bloomOpt) ++
+        s.statsOrNil.flatMap(_.ndvOpt)).toSet
     ReclaimState(keepFrom, keepSnaps, pinned, pinnedSnaps, live)
   }
 
