@@ -1089,5 +1089,86 @@ object TextAnalysis {
           |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
           |    AS rows_at_risk
           |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DSIR-style importance weighting (Xie NeurIPS'23 "Data Selection via
+    // Importance Resampling"): hashed-bigram features, a target feature
+    // distribution estimated from the in-domain slice (lang = 'en' here),
+    // a raw distribution from the whole corpus, and a per-document
+    // importance score that up-weights documents whose features look like
+    // the target. Deviation from the paper, for cross-engine exactness:
+    // the per-feature statistic is the QUANTIZED probability ratio
+    // floor(1e9 · p_target(f)/p_raw(f)) summed per document (an exact-
+    // BIGINT, logs-free surrogate for the paper's log-ratio sum — same
+    // add-one smoothing, same hashed feature space). The top-50 most
+    // target-like documents surface, mean-normalized so length doesn't
+    // dominate. Plan at 100 TB: features generate in-row (one md5 + conv
+    // per bigram); BOTH distributions are two-phase aggregates collapsing
+    // to the 4096-bucket space; the model (4096 rows) broadcasts into the
+    // feature stream, so the corpus shuffles exactly once — into the
+    // per-document aggregate — and the top-50 is a TakeOrderedAndProject.
+    "q126_dsir_weights" -> QueryDef(
+      fn = { (s, dir) =>
+        val b = 4096L
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("lang"), Text.toksCol.as("toks"))
+        val fx = d.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> concat(element_at(toks, i), ' ',
+              |              element_at(toks, i + 1)))""".stripMargin)).as("f"))
+          .withColumn("h",
+            conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % b)
+        val raw = fx.groupBy(col("h")).agg(count(lit(1)).as("r"))
+        val tgt = fx.filter(col("lang") === "en")
+          .groupBy(col("h")).agg(count(lit(1)).as("t"))
+        val tot = fx.agg(count(lit(1)).as("rt"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+        val model = raw.join(tgt, Seq("h"), "left")
+          .na.fill(0L, Seq("t"))
+          .crossJoin(broadcast(tot))
+          .select(col("h"), floor(lit(1e9) *
+            ((col("t") + lit(1)).cast("double") /
+              (col("tt") + lit(b)).cast("double")) /
+            ((col("r") + lit(1)).cast("double") /
+              (col("rt") + lit(b)).cast("double"))).cast("long").as("w_q"))
+        fx.join(broadcast(model), Seq("h"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_feats"), sum(col("w_q")).as("w_sum_q"))
+          .withColumn("avg_w_q", expr("w_sum_q div n_feats"))
+          .orderBy(col("avg_w_q").desc, col("doc_id"))
+          .limit(50)
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id, lang,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents),
+          |fx AS (
+          |  SELECT doc_id, lang,
+          |    CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS h
+          |  FROM (SELECT doc_id, lang, unnest(list_transform(
+          |      range(1, len(toks)),
+          |      i -> concat(toks[CAST(i AS INT)], ' ',
+          |                  toks[CAST(i AS INT) + 1]))) AS f
+          |    FROM d WHERE len(toks) >= 2)),
+          |raw AS (SELECT h, CAST(count(*) AS BIGINT) AS r FROM fx GROUP BY 1),
+          |tgt AS (SELECT h, CAST(count(*) AS BIGINT) AS t
+          |  FROM fx WHERE lang = 'en' GROUP BY 1),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS rt,
+          |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+          |  FROM fx),
+          |model AS (
+          |  SELECT raw.h, CAST(floor(1e9 *
+          |    (CAST(COALESCE(t, 0) + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE)) /
+          |    (CAST(r + 1 AS DOUBLE) / CAST(rt + 4096 AS DOUBLE)))
+          |    AS BIGINT) AS w_q
+          |  FROM raw LEFT JOIN tgt ON raw.h = tgt.h CROSS JOIN tot),
+          |sc AS (
+          |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
+          |    CAST(sum(w_q) AS BIGINT) AS w_sum_q
+          |  FROM fx JOIN model USING (h) GROUP BY 1, 2)
+          |SELECT doc_id, lang, n_feats, w_sum_q,
+          |  w_sum_q // n_feats AS avg_w_q
+          |FROM sc ORDER BY avg_w_q DESC, doc_id LIMIT 50""".stripMargin)),
   )
 }
