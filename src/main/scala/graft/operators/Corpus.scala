@@ -27,6 +27,58 @@ object Corpus {
 
   private def toksCol: Column = Text.toksCol
 
+  /** (doc_id, a, b): the in-row adjacent-bigram stream of a `text` column
+    * (shared by q123's batch scoring and the streaming twin).
+    */
+  private def lmBigrams(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), toksCol.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS a,
+          |              element_at(toks, i + 1) AS b))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Train the add-one-smoothed bigram model on a (doc_id, text) corpus:
+    * returns the probability table (a, b, p_q) — p_q = floor(1e12 ·
+    * (c_ab+1)/(c_a+V)), exact BIGINT — and the vocabulary size V (the
+    * smoothing constant a scorer needs for bigrams the model never saw).
+    * Model-table cardinality is the corpus's distinct-bigram count
+    * (vocab-sized, never corpus-sized); persist it as a CommitLog table
+    * to freeze a model release for streaming scoring.
+    */
+  def lmModel(docsDf: DataFrame): (DataFrame, Long) = {
+    val bg = lmBigrams(docsDf)
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = bg.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val v = docsDf.select(explode(toksCol).as("tok"))
+      .agg(countDistinct(col("tok"))).collect()(0).getLong(0)
+    // model assembled vocab-side (c_ab ⋈ c_a on `a`, both ≪ corpus), so
+    // the corpus-sized scoring stream meets ONE probability table
+    val model = cab.join(ca, Seq("a"))
+      .select(col("a"), col("b"),
+        floor(lit(1e12) * ((col("c_ab") + lit(1)).cast("double") /
+          (col("c_a") + lit(v)).cast("double"))).cast("long").as("p_q"))
+    (model, v)
+  }
+
+  /** Score (doc_id, text) documents against a trained bigram model: mean
+    * quantized token probability per document. Bigrams the model never
+    * saw score at the Laplace floor 1/V (c_ab = 0 over an unseen
+    * context) — for documents FROM the training corpus the fallback
+    * never fires, so batch scoring is exactly q123; for NEW documents
+    * (the streaming path) it is the standard smoothed assignment.
+    */
+  def lmScore(docsDf: DataFrame, model: DataFrame, v: Long): DataFrame =
+    lmBigrams(docsDf)
+      .join(model, Seq("a", "b"), "left")
+      .withColumn("pw", coalesce(col("p_q"),
+        floor(lit(1e12) * (lit(1.0) / lit(v.toDouble))).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pw")).as("p_sum_q"))
+      .withColumn("avg_p_q", expr("p_sum_q div n_bigrams"))
+
   val queries: Map[String, QueryDef] = Map(
 
     // TF-IDF top terms per document. One explode → (doc, term) tf counts;
@@ -810,28 +862,9 @@ object Corpus {
     // TakeOrderedAndProject, never a global sort.
     "q123_lm_score" -> QueryDef(
       fn = { (s, dir) =>
-        val d = docs(s, dir).select(col("doc_id"), toksCol.as("toks"))
-        val bg = d.filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(toks) - 1),
-              |  i -> struct(element_at(toks, i) AS a,
-              |              element_at(toks, i + 1) AS b))""".stripMargin))
-            .as("p"))
-          .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-        val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-        val ca = bg.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
-        val v = d.select(explode(col("toks")).as("tok"))
-          .agg(countDistinct(col("tok")).as("v"))
-        // model assembled vocab-side: one small join + the broadcast V,
-        // so the corpus stream meets ONE probability table on (a, b)
-        val model = cab.join(ca, Seq("a")).crossJoin(broadcast(v))
-          .select(col("a"), col("b"),
-            floor(lit(1e12) * ((col("c_ab") + lit(1)).cast("double") /
-              (col("c_a") + col("v")).cast("double"))).cast("long").as("p_q"))
-        bg.join(model, Seq("a", "b"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_q")).as("p_sum_q"))
-          .withColumn("avg_p_q", expr("p_sum_q div n_bigrams"))
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val (model, v) = lmModel(d)
+        lmScore(d, model, v)
           .orderBy(col("avg_p_q").asc, col("doc_id"))
           .limit(20)
       },

@@ -113,6 +113,25 @@ object StreamingAnalytics {
       ()
     }
 
+  /** Streaming twin of q123's LM quality scoring: each micro-batch of
+    * newly landed documents (doc_id, text) scores against a FROZEN
+    * bigram model (the q109/q121 frozen-release discipline — persist
+    * [[graft.operators.Corpus.lmModel]]'s table as a CommitLog release),
+    * and the per-doc scores append exactly once. Bigrams the model never
+    * saw score at the Laplace floor 1/V, so new-vocabulary documents get
+    * the standard smoothed assignment instead of silently dropping
+    * features. The quality gate run AT INGEST: per-trigger cost is
+    * O(batch bigrams ⋈ model); no state-store state (the model table IS
+    * the state); restart replays are no-ops via the txn watermark.
+    */
+  def lmScoreSink(model: DataFrame, v: Long,
+      root: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val scored = graft.operators.Corpus.lmScore(batch, model, v)
+      graft.sources.CommitLog.appendTxn(scored, root, appId, batchId)
+      ()
+    }
+
   /** Streaming twin of q95/q67's benchmark-contamination screen: each
     * micro-batch of newly landed documents (doc_id, text) is shingled,
     * prescreened by the DRIVER-HELD eval bloom sketch (re-inserted as a

@@ -77,6 +77,62 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     fp.unpersist(); bands.unpersist()
   }
 
+  test("streaming LM scoring against a frozen model release equals batch " +
+      "scoring and appends exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    // model release, built once and FROZEN as a versioned table
+    val (model0, v) = graft.operators.Corpus.lmModel(corpus)
+    val modelRoot = java.nio.file.Files
+      .createTempDirectory("graft-lm-model").toString
+    graft.sources.CommitLog.append(model0, modelRoot)
+    val model = graft.sources.CommitLog.read(spark, modelRoot)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lm-stream").toString
+    val sink = lmScoreSink(model, v, root, "lm-spec")
+
+    val docsArr = corpus.as[(Long, String)].collect().sortBy(_._1)
+    val (b0, b1) = docsArr.splitAt(docsArr.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def tableRows = graft.sources.CommitLog.read(spark, root)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Long]("p_sum_q"),
+        r.getAs[Long]("avg_p_q"))).toSet
+    val streamed = tableRows
+    // per-doc scoring is batch-split-invariant: the union must equal one
+    // batch pass with the same frozen model
+    val batch = graft.operators.Corpus.lmScore(corpus, model, v)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Long]("p_sum_q"),
+        r.getAs[Long]("avg_p_q"))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+
+    // restart replay of the last micro-batch is a no-op (exactly-once)
+    val vBefore = graft.sources.CommitLog.currentVersion(root)
+    sink(b1.toSeq.toDF("doc_id", "text"), 1L)
+    assert(graft.sources.CommitLog.currentVersion(root) == vBefore)
+    assert(tableRows == streamed)
+
+    // a document of vocabulary the model never saw scores at the
+    // Laplace floor 1/V — smoothed, never dropped
+    sink(Seq((999999L, "zzqxj wvvkp zzqxj wvvkp"))
+      .toDF("doc_id", "text"), 2L)
+    val novel = graft.sources.CommitLog.read(spark, root)
+      .filter($"doc_id" === 999999L).collect()(0)
+    assert(novel.getAs[Long]("n_bigrams") == 3L)
+    assert(novel.getAs[Long]("avg_p_q") ==
+      math.floor(1e12 * (1.0 / v.toDouble)).toLong)
+  }
+
   test("streaming contamination screen equals batch q67 and appends exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
