@@ -454,6 +454,35 @@ object TableOps {
           |WHERE o_totalprice <= 200000.0
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // Metadata-answered aggregates under the oracle gate: count/min/max
+    // over a commitlog table rewrite to the manifest fold (the
+    // MetadataAggregate rule — no file scan at all; see
+    // MetadataAggregateSpec for the plan-shape assertions), and the values
+    // must equal DuckDB's scan of the original parquet. At 100 TB this is
+    // `SELECT count(*)` in driver-metadata time instead of a cluster job.
+    "q127_metadata_agg" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val root = tmp("graft-q127")
+        val n = ord.count()
+        CommitLog.append(ord.filter(col("o_orderkey") <= n / 2), root)
+        CommitLog.append(ord.filter(col("o_orderkey") > n / 2), root)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q127_t
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+        s.sql(
+          """SELECT count(*) AS n, count(o_orderstatus) AS n_status,
+            |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+            |  max(o_orderstatus) AS top_status
+            |FROM q127_t""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(o_orderstatus) AS BIGINT) AS n_status,
+          |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+          |  max(o_orderstatus) AS top_status
+          |FROM orders""".stripMargin)),
+
     // Partition-spec evolution under the oracle gate: generation 1 lands
     // partitioned by o_orderstatus, the spec evolves to o_orderpriority,
     // generation 2 lands in the new layout, and a pruned read filters on

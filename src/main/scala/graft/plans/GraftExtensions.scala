@@ -100,6 +100,7 @@ object RewriteFloatDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteFloatDotProduct)
+    e.injectOptimizerRule(_ => MetadataAggregate)
     // SQL row-level DML (MERGE/UPDATE/DELETE) and time travel (VERSION AS
     // OF / TIMESTAMP AS OF) on commitlog tables. Resolution-batch rules
     // cannot be attached to an already-built session, so these two are only
@@ -191,8 +192,10 @@ object GraftExtensions {
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    if (!spark.experimental.extraOptimizations.contains(RewriteFloatDotProduct))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteFloatDotProduct
+    Seq(RewriteFloatDotProduct, MetadataAggregate).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 }

@@ -2611,6 +2611,81 @@ object CommitLog {
       org.apache.spark.sql.types.StructType(statsSchema))
   }
 
+  /** Exact metadata answers for a global aggregate (the
+    * [[graft.plans.MetadataAggregate]] rewrite): total row count,
+    * per-column non-null counts, and TYPED min/max — all folded from the
+    * manifest's per-file stats, no data scan. Returns None whenever the
+    * metadata cannot answer EXACTLY:
+    *   - the snapshot carries deletion vectors (recorded per-file rows
+    *     overcount),
+    *   - a requested column lacks stats in some file that is not provably
+    *     all-null there (nullCounts == rows), or is not stat-tracked.
+    * min/max values come back as EXTERNAL Spark types via the same
+    * statParse the pruner trusts, so parse semantics can never diverge
+    * between pruning and answering.
+    */
+  final case class MetadataAgg(
+      totalRows: Long,
+      nonNullCounts: Map[String, Long],
+      minMax: Map[String, (Any, Any)])
+
+  def metadataAggAnswers(spark: SparkSession, root: String,
+      version: Option[Long], minMaxCols: Seq[String],
+      countCols: Seq[String]): Option[MetadataAgg] = {
+    val v = version.orElse(currentVersion(root)).getOrElse(return None)
+    val m = readManifest(root, v)
+    if (m.dvsOrEmpty.nonEmpty) return None
+    val schema = schemaOf(m)
+    val stats = m.statsOrNil
+    val totalRows = stats.map(_.rows).sum
+    def nullsOf(s: FileStat, phys: String): Option[Long] =
+      Option(s.nullCounts).getOrElse(Map.empty[String, Long])
+        .asInstanceOf[Map[String, Any]].get(phys)
+        .map(_.asInstanceOf[Number].longValue)
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    // every requested column must be answerable from EVERY file
+    val counts: Map[String, Long] = countCols.map { c =>
+      val phys = m.physOf(c)
+      if (!dtOf(c).exists(statTracked)) return None
+      val perFile = stats.map(s => nullsOf(s, phys).getOrElse(return None))
+      c -> (totalRows - perFile.sum)
+    }.toMap
+    val mmCols = minMaxCols.distinct.filter { c =>
+      // a file may lack min/max ONLY if provably all-null there (or empty)
+      dtOf(c).exists(statTracked) && stats.forall { s =>
+        val phys = m.physOf(c)
+        (s.minsOrEmpty.contains(phys) && s.maxsOrEmpty.contains(phys)) ||
+          s.rows == 0L || nullsOf(s, phys).contains(s.rows)
+      }
+    }
+    if (mmCols.size != minMaxCols.distinct.size) return None
+    val minMax: Map[String, (Any, Any)] =
+      if (mmCols.isEmpty) Map.empty
+      else {
+        // fold the per-file STRING stats through the same typed parse the
+        // pruner uses, as one local (file-count-sized) aggregation
+        val rows = stats.map { s =>
+          org.apache.spark.sql.Row.fromSeq(mmCols.flatMap { c =>
+            val phys = m.physOf(c)
+            Seq(s.minsOrEmpty.get(phys).orNull, s.maxsOrEmpty.get(phys).orNull)
+          })
+        }
+        val raw = StructType(mmCols.flatMap(c => Seq(
+          StructField(s"mn__$c", StringType), StructField(s"mx__$c", StringType))))
+        val aggs = mmCols.flatMap { c =>
+          val dt = dtOf(c).get
+          Seq(min(statParse(col(s"mn__$c"), dt)).as(s"min__$c"),
+            max(statParse(col(s"mx__$c"), dt)).as(s"max__$c"))
+        }
+        val r = spark.createDataFrame(rows.asJava, raw)
+          .agg(aggs.head, aggs.tail: _*).collect()(0)
+        mmCols.map(c =>
+          c -> (r.getAs[Any](s"min__$c"), r.getAs[Any](s"max__$c"))).toMap
+      }
+    Some(MetadataAgg(totalRows, counts, minMax))
+  }
+
   /** Time-based time travel (Delta's `timestampAsOf`): the snapshot that
     * was current at instant `tsMs` — the LAST version whose publish
     * timestamp is ≤ tsMs. Resolution reads commit records still on disk

@@ -1,0 +1,135 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.CommitLog
+
+/** The metadata-aggregate rewrite: count/min/max answered from the
+  * manifest (LocalTableScan, no file scan) exactly when provably exact,
+  * and a clean fall-back to the normal scan everywhere else — filters,
+  * deletion vectors, missing stats, disabled conf.
+  */
+class MetadataAggregateSpec extends SparkTestBase {
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-mdagg").toString
+
+  private def view(root: String): String = {
+    val v = s"mdagg_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $v " +
+      s"USING `graft-commitlog` OPTIONS (path '$root')")
+    v
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def answersFromMetadata(df: DataFrame): Boolean = {
+    val p = planOf(df)
+    p.contains("LocalTableScan") && !p.contains("FileScan")
+  }
+
+  test("count(*)/count(c)/min/max over a bare table answer from metadata") {
+    val root = tmpTable()
+    CommitLog.append(spark.range(100)
+      .selectExpr("id", "CASE WHEN id % 4 = 0 THEN NULL " +
+        "ELSE concat('k', id % 10) END AS k"), root)
+    CommitLog.append(spark.range(100, 250)
+      .selectExpr("id", "concat('k', id % 10) AS k"), root)
+    val q = spark.sql(s"SELECT count(*) AS n, count(k) AS nk, " +
+      s"min(id) AS lo, max(id) AS hi, max(k) AS mk FROM ${view(root)}")
+    assert(answersFromMetadata(q), planOf(q))
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 250L && r.getLong(1) == 225L)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 249L)
+    assert(r.getString(4) == "k9")
+  }
+
+  test("filters, grouping, and other aggregates keep the real scan") {
+    val root = tmpTable()
+    CommitLog.append(spark.range(50).selectExpr("id", "id * 2 AS v"), root)
+    val filtered = spark.sql(
+      s"SELECT count(*) FROM ${view(root)} WHERE id > 10")
+    assert(!answersFromMetadata(filtered))
+    assert(filtered.collect()(0).getLong(0) == 39L)
+    val grouped = spark.sql(
+      s"SELECT id % 2, count(*) FROM ${view(root)} GROUP BY 1")
+    assert(!answersFromMetadata(grouped) && grouped.count() == 2)
+    val summed = spark.sql(s"SELECT sum(v) FROM ${view(root)}")
+    assert(!answersFromMetadata(summed))
+    assert(summed.collect()(0).getLong(0) == 49L * 50L)
+    val distinct = spark.sql(
+      s"SELECT count(DISTINCT id) FROM ${view(root)}")
+    assert(!answersFromMetadata(distinct))
+    assert(distinct.collect()(0).getLong(0) == 50L)
+  }
+
+  test("deletion vectors force the scan; counts reflect the deletes") {
+    val root = tmpTable()
+    CommitLog.append(spark.range(60).selectExpr("id"), root)
+    CommitLog.deleteDV(spark, root, col("id") % 3 === 0)
+    val q = spark.sql(s"SELECT count(*) AS n FROM ${view(root)}")
+    assert(!answersFromMetadata(q))
+    assert(q.collect()(0).getLong(0) == 40L)
+  }
+
+  test("time travel answers from the pinned version's manifest") {
+    val root = tmpTable()
+    CommitLog.append(spark.range(30).selectExpr("id"), root)
+    CommitLog.append(spark.range(30, 80).selectExpr("id"), root)
+    val v = view(root)
+    val pinned = spark.sql(
+      s"SELECT count(*) AS n, max(id) AS hi FROM $v VERSION AS OF 1")
+    assert(answersFromMetadata(pinned), planOf(pinned))
+    val r = pinned.collect()(0)
+    assert(r.getLong(0) == 30L && r.getLong(1) == 29L)
+    val cur = spark.sql(s"SELECT count(*) FROM $v").collect()(0).getLong(0)
+    assert(cur == 80L)
+  }
+
+  test("renamed columns answer through the physical mapping; timestamps " +
+      "parse through statParse; conf disables the rewrite") {
+    val root = tmpTable()
+    CommitLog.append(spark.range(40).selectExpr("id",
+      "timestamp_micros(1700000000000000 + id * 1000000) AS ts"), root)
+    CommitLog.renameColumn(root, "id", "uid")
+    val q = spark.sql(
+      s"SELECT max(uid) AS hi, min(ts) AS t0 FROM ${view(root)}")
+    assert(answersFromMetadata(q), planOf(q))
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 39L)
+    assert(r.getTimestamp(1).getTime == 1700000000000L)
+    spark.conf.set(MetadataAggregate.EnabledConf, "false")
+    try {
+      val off = spark.sql(s"SELECT max(uid) FROM ${view(root)}")
+      assert(!answersFromMetadata(off))
+      assert(off.collect()(0).getLong(0) == 39L)
+    } finally spark.conf.unset(MetadataAggregate.EnabledConf)
+  }
+
+  test("an all-null generation stays answerable; a from-scratch min over " +
+      "only-null values is SQL-null") {
+    val root = tmpTable()
+    import spark.implicits._
+    CommitLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), root)
+    CommitLog.append(
+      Seq((3L, null.asInstanceOf[String])).toDF("id", "k").coalesce(1), root)
+    val q = spark.sql(
+      s"SELECT count(k) AS nk, min(k) AS lo, max(id) AS hi FROM ${view(root)}")
+    assert(answersFromMetadata(q), planOf(q))
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 2L && r.getString(1) == "a" && r.getLong(2) == 3L)
+    // a table where the column is null EVERYWHERE: min/max are null
+    val root2 = tmpTable()
+    CommitLog.append(Seq((1L, null.asInstanceOf[String]))
+      .toDF("id", "k").coalesce(1), root2)
+    val q2 = spark.sql(s"SELECT min(k) AS lo, count(k) AS nk FROM ${view(root2)}")
+    assert(answersFromMetadata(q2), planOf(q2))
+    val r2 = q2.collect()(0)
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
+  }
+}
