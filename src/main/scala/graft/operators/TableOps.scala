@@ -483,6 +483,32 @@ object TableOps {
           |  max(o_orderstatus) AS top_status
           |FROM orders""".stripMargin)),
 
+    // Grouped metadata aggregates under the oracle gate: the classic
+    // per-partition profile (`GROUP BY partition_col` with count/min/max)
+    // folds from per-file manifest stats — identity-partition staging
+    // guarantees min = max per file on the partition column, which is
+    // exactly the single-valued condition the MetadataAggregate rule
+    // requires — and the values must equal DuckDB's full scan.
+    "q128_metadata_group" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val root = tmp("graft-q128")
+        CommitLog.append(ord, root, partitionBy = Seq("o_orderstatus"))
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q128_t
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+        s.sql(
+          """SELECT o_orderstatus, count(*) AS n,
+            |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+            |FROM q128_t GROUP BY o_orderstatus
+            |ORDER BY o_orderstatus""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+          |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+          |FROM orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)),
+
     // Partition-spec evolution under the oracle gate: generation 1 lands
     // partitioned by o_orderstatus, the spec evolves to o_orderpriority,
     // generation 2 lands in the new layout, and a pruned read filters on

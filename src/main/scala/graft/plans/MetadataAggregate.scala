@@ -64,6 +64,7 @@ object MetadataAggregate extends Rule[LogicalPlan] {
   private final case class CountCol(c: String) extends Kind
   private final case class MinCol(c: String) extends Kind
   private final case class MaxCol(c: String) extends Kind
+  private final case class GroupRef(c: String) extends Kind
 
   private def classify(ne: NamedExpression): Option[Kind] = ne match {
     case Alias(ae: AggregateExpression, _)
@@ -103,11 +104,62 @@ object MetadataAggregate extends Rule[LogicalPlan] {
               case CountCol(c) => answers.nonNullCounts(c)
               case MinCol(c) => answers.minMax(c)._1
               case MaxCol(c) => answers.minMax(c)._2
+              case GroupRef(_) => null // unreachable: no grouping here
             }
             CatalystTypeConverters.createToCatalystConverter(
               attr.dataType)(ext)
           }
           LocalRelation(out, Seq(InternalRow.fromSeq(values)))
+        }).getOrElse(agg)
+
+      // GROUP BY over single-valued-per-file columns — the layout
+      // identity-partition staging guarantees, so the classic
+      // per-partition count/profile query folds from the manifest
+      case agg @ Aggregate(groupExprs, exprs, child, _)
+          if groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        val groupNames = groupExprs.collect {
+          case a: AttributeReference => a.name
+        }
+        def classifyG(ne: NamedExpression): Option[Kind] = ne match {
+          case a: AttributeReference if groupNames.contains(a.name) =>
+            Some(GroupRef(a.name))
+          case Alias(a: AttributeReference, _)
+              if groupNames.contains(a.name) =>
+            Some(GroupRef(a.name))
+          case other => classify(other)
+        }
+        (for {
+          (root, pinned) <- relationOf(child)
+          kinds <- {
+            val ks = exprs.map(classifyG)
+            if (ks.forall(_.isDefined)) Some(ks.flatten) else None
+          }
+          answers <- CommitLog.metadataGroupAnswers(spark, root, pinned,
+            groupCols = groupNames,
+            minMaxCols = kinds.collect {
+              case MinCol(c) => c
+              case MaxCol(c) => c
+            },
+            countCols = kinds.collect { case CountCol(c) => c })
+        } yield {
+          val out = agg.aggregateExpressions.map(_.toAttribute)
+          val converters = out.map(a =>
+            CatalystTypeConverters.createToCatalystConverter(a.dataType))
+          val data = answers.map { case (gvals, n, counts, mm) =>
+            InternalRow.fromSeq(kinds.zip(converters).map {
+              case (k, conv) =>
+                val ext = k match {
+                  case GroupRef(c) => gvals(groupNames.indexOf(c))
+                  case CountStar => n
+                  case CountCol(c) => counts(c)
+                  case MinCol(c) => mm(c)._1
+                  case MaxCol(c) => mm(c)._2
+                }
+                conv(ext)
+            })
+          }
+          LocalRelation(out, data)
         }).getOrElse(agg)
     }
   }

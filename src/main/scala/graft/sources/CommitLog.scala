@@ -2686,6 +2686,99 @@ object CommitLog {
     Some(MetadataAgg(totalRows, counts, minMax))
   }
 
+  /** Grouped twin of [[metadataAggAnswers]]: answers `GROUP BY g` counts
+    * and min/max from the manifest when every group column is
+    * SINGLE-VALUED per file — min == max, the exact guarantee identity-
+    * partition staging provides (or the file is provably all-null for the
+    * column, the writer's default-partition case). Per group:
+    * count(*) = Σ file rows, count(c) = Σ (rows − nulls), min/max fold
+    * per-file min/max (files sit WHOLLY inside one group, so the fold is
+    * exact). Returns one entry per group — (group values, row count,
+    * non-null counts, min/max) — or None when any column cannot be
+    * answered exactly. Zero-row files contribute nothing and are skipped.
+    */
+  def metadataGroupAnswers(spark: SparkSession, root: String,
+      version: Option[Long], groupCols: Seq[String], minMaxCols: Seq[String],
+      countCols: Seq[String])
+      : Option[Seq[(Seq[Any], Long, Map[String, Long], Map[String, (Any, Any)])]] = {
+    if (groupCols.isEmpty) return None
+    val v = version.orElse(currentVersion(root)).getOrElse(return None)
+    val m = readManifest(root, v)
+    if (m.dvsOrEmpty.nonEmpty) return None
+    val schema = schemaOf(m)
+    val stats = m.statsOrNil.filter(_.rows > 0L)
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def nullsOf(s: FileStat, phys: String): Option[Long] =
+      Option(s.nullCounts).getOrElse(Map.empty[String, Long])
+        .asInstanceOf[Map[String, Any]].get(phys)
+        .map(_.asInstanceOf[Number].longValue)
+    def allNull(s: FileStat, phys: String): Boolean =
+      nullsOf(s, phys).contains(s.rows)
+    val g = groupCols.distinct
+    val mm = minMaxCols.distinct
+    val cc = countCols.distinct
+    val answerable =
+      g.forall { c =>
+        val phys = m.physOf(c)
+        dtOf(c).exists(statTracked) && stats.forall { s =>
+          (s.minsOrEmpty.get(phys), s.maxsOrEmpty.get(phys)) match {
+            case (Some(a), Some(b)) => a == b
+            case _ => allNull(s, phys)
+          }
+        }
+      } && mm.forall { c =>
+        val phys = m.physOf(c)
+        dtOf(c).exists(statTracked) && stats.forall(s =>
+          (s.minsOrEmpty.contains(phys) && s.maxsOrEmpty.contains(phys)) ||
+            allNull(s, phys))
+      } && cc.forall { c =>
+        val phys = m.physOf(c)
+        dtOf(c).exists(statTracked) &&
+          stats.forall(s => nullsOf(s, phys).isDefined)
+      }
+    if (!answerable) return None
+    // per-file local frame: group values + rows + per-column raw stats,
+    // typed through the pruner's own statParse, then ONE tiny aggregate
+    val rawFields =
+      g.map(c => StructField(s"g__$c", StringType)) ++
+        Seq(StructField("rows__", LongType)) ++
+        cc.map(c => StructField(s"nulls__$c", LongType)) ++
+        mm.flatMap(c => Seq(StructField(s"mn__$c", StringType),
+          StructField(s"mx__$c", StringType)))
+    val rows = stats.map { s =>
+      org.apache.spark.sql.Row.fromSeq(
+        g.map(c => s.minsOrEmpty.get(m.physOf(c)).orNull) ++
+          Seq(s.rows) ++
+          cc.map(c => nullsOf(s, m.physOf(c)).get) ++
+          mm.flatMap(c => Seq(s.minsOrEmpty.get(m.physOf(c)).orNull,
+            s.maxsOrEmpty.get(m.physOf(c)).orNull)))
+    }
+    val typed = spark.createDataFrame(rows.asJava, StructType(rawFields))
+      .select(
+        g.map(c => statParse(col(s"g__$c"), dtOf(c).get).as(s"g__$c")) ++
+          Seq(col("rows__")) ++
+          cc.map(c => col(s"nulls__$c")) ++
+          mm.flatMap(c => Seq(
+            statParse(col(s"mn__$c"), dtOf(c).get).as(s"mn__$c"),
+            statParse(col(s"mx__$c"), dtOf(c).get).as(s"mx__$c"))): _*)
+    val aggs =
+      Seq(sum(col("rows__")).as("n__")) ++
+        cc.map(c => sum(col("rows__") - col(s"nulls__$c")).as(s"cnt__$c")) ++
+        mm.flatMap(c => Seq(min(col(s"mn__$c")).as(s"min__$c"),
+          max(col(s"mx__$c")).as(s"max__$c")))
+    val out = typed.groupBy(g.map(c => col(s"g__$c")): _*)
+      .agg(aggs.head, aggs.tail: _*).collect()
+    Some(out.toSeq.map { r =>
+      val gvals = groupCols.map(c => r.getAs[Any](s"g__$c"))
+      val n = r.getAs[Long]("n__")
+      val counts = cc.map(c => c -> r.getAs[Long](s"cnt__$c")).toMap
+      val mmVals = mm.map(c =>
+        c -> (r.getAs[Any](s"min__$c"), r.getAs[Any](s"max__$c"))).toMap
+      (gvals, n, counts, mmVals)
+    })
+  }
+
   /** Time-based time travel (Delta's `timestampAsOf`): the snapshot that
     * was current at instant `tsMs` — the LAST version whose publish
     * timestamp is ≤ tsMs. Resolution reads commit records still on disk

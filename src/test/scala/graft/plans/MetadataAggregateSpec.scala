@@ -111,6 +111,43 @@ class MetadataAggregateSpec extends SparkTestBase {
     } finally spark.conf.unset(MetadataAggregate.EnabledConf)
   }
 
+  test("GROUP BY a partition column answers from the manifest: one row " +
+      "per partition, counts and min/max folded per file") {
+    val root = tmpTable()
+    val df = spark.range(120).selectExpr("id",
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS k",
+      "CAST(id AS DOUBLE) AS v")
+    CommitLog.append(df.filter(col("id") < 60), root, partitionBy = Seq("k"))
+    CommitLog.append(df.filter(col("id") >= 60), root)
+    val q = spark.sql(s"SELECT k, count(*) AS n, min(id) AS lo, " +
+      s"max(id) AS hi FROM ${view(root)} GROUP BY k")
+    assert(answersFromMetadata(q), planOf(q))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet
+    val want = df.groupBy("k").agg(count(lit(1)), min("id"), max("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.size == 3)
+    // grouping by a NON-single-valued column keeps the real scan
+    val multi = spark.sql(
+      s"SELECT id % 2, count(*) FROM ${view(root)} GROUP BY 1")
+    assert(!answersFromMetadata(multi) && multi.count() == 2)
+  }
+
+  test("GROUP BY with a null partition value: the writer's default " +
+      "partition folds to the SQL null group") {
+    val root = tmpTable()
+    import spark.implicits._
+    CommitLog.append(Seq((1L, "x"), (2L, "x"), (3L, "y"))
+      .toDF("id", "k").coalesce(1), root, partitionBy = Seq("k"))
+    CommitLog.append(Seq((4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("id", "k").coalesce(1), root)
+    val q = spark.sql(s"SELECT k, count(*) AS n FROM ${view(root)} GROUP BY k")
+    assert(answersFromMetadata(q), planOf(q))
+    val got = q.collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(got == Set((Some("x"), 2L), (Some("y"), 1L), (None, 2L)))
+  }
+
   test("an all-null generation stays answerable; a from-scratch min over " +
       "only-null values is SQL-null") {
     val root = tmpTable()
