@@ -2561,11 +2561,18 @@ object CommitLog {
     * the per-file HLL sketches (sketches merge losslessly, so the union
     * over any number of files is the same estimate one global sketch
     * would give — the property that makes per-file collection scale).
-    * `nulls` is null for columns outside stat tracking; `ndv` is null for
-    * columns no file has sketched, and covers the sketched files
-    * (`n_files_sketched` says how many — equal to `n_files` on a table
-    * whose `ndv.columns` property predates all data). One row per LOGICAL
-    * schema column, in schema order.
+    * `rows` is DV-aware (live rows, dead positions subtracted — the
+    * DESCRIBE DETAIL contract); `nulls`/`ndv` describe the STAGED file
+    * contents (a deletion vector kills positions, not column stats).
+    * `nulls` is null when unknown — columns outside stat tracking, or any
+    * file without a recorded null count for the column (e.g. files
+    * predating a schema-evolution ADD COLUMN, whose rows read as null but
+    * whose stats never saw the column — reporting a partial sum would
+    * silently undercount). `ndv` is null for columns no file has
+    * sketched, and covers the sketched files (`n_files_sketched` says how
+    * many — equal to `n_files` on a table whose `ndv.columns` property
+    * predates all data). One row per LOGICAL schema column, in schema
+    * order.
     */
   def describeStats(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
@@ -2574,7 +2581,14 @@ object CommitLog {
     val m = readManifest(root, v)
     val schema = schemaOf(m)
     val stats = m.statsOrNil
-    val totalRows = stats.map(_.rows).sum
+    val deadRows = m.dvsOrEmpty.values.toSeq.sorted match {
+      case Nil => 0L
+      case dvs => spark.read
+        .schema(StructType(Seq(StructField("pos", LongType))))
+        .parquet(dvs.map(f => dataPath(root, f)): _*)
+        .count()
+    }
+    val totalRows = stats.map(_.rows).sum - deadRows
     // per-physical-column sketch rows from every referenced sidecar
     val bySidecar: Seq[Map[String, Array[Byte]]] = stats.flatMap(_.ndvOpt)
       .map(p => readSketchSidecar(dataPath(root, p), NdvMagic))
@@ -2599,10 +2613,15 @@ object CommitLog {
       val tracked = statTracked(f.dataType)
       val nulls =
         if (!tracked) null
-        else java.lang.Long.valueOf(stats.map(s =>
-          Option(s.nullCounts).getOrElse(Map.empty[String, Long])
-            .asInstanceOf[Map[String, Any]].get(phys)
-            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)).sum)
+        else {
+          val perFile = stats.map(s =>
+            Option(s.nullCounts).getOrElse(Map.empty[String, Long])
+              .asInstanceOf[Map[String, Any]].get(phys)
+              .map(_.asInstanceOf[Number].longValue))
+          if (perFile.forall(_.isDefined))
+            java.lang.Long.valueOf(perFile.flatten.sum)
+          else null // unknown (e.g. pre-evolution files) — never undercount
+        }
       org.apache.spark.sql.Row(f.name, totalRows, nulls,
         stats.size.toLong, sketchedFiles.getOrElse(phys, 0L),
         ndvEst.get(phys).map(java.lang.Long.valueOf).orNull)

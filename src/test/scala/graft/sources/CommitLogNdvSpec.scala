@@ -101,6 +101,31 @@ class CommitLogNdvSpec extends SparkTestBase {
     assert(math.abs(statRow(src, "id").getLong(5) - 300L) <= 20L)
   }
 
+  test("rows is DV-aware; nulls report UNKNOWN (null) when a pre-evolution " +
+      "file never recorded the column") {
+    val root = tmpTable()
+    create(root, chunk(0, 1).schema, props = Map("ndv.columns" -> "id"))
+    append(chunk(0, 100), root)
+    // merge-on-read delete: recorded per-file rows overcount live rows
+    deleteDV(spark, root, col("id") < 20)
+    assert(statRow(root, "id").getLong(1) == 80L)
+    // additive evolution: old files read the new column as null but their
+    // stats never saw it — a partial null sum would silently undercount
+    val root2 = tmpTable()
+    append(spark.range(50).selectExpr("id"), root2)
+    evolveSchema(root2, spark.range(1)
+      .selectExpr("id", "CAST('x' AS STRING) AS extra").schema)
+    append(spark.range(50, 60).selectExpr("id", "concat('v', id) AS extra"),
+      root2)
+    val extraRow = describeStats(spark, root2).collect()
+      .find(_.getString(0) == "extra").get
+    assert(extraRow.getLong(1) == 60L && extraRow.isNullAt(2))
+    // fully-recorded columns still fold exactly
+    val idRow2 = describeStats(spark, root2).collect()
+      .find(_.getString(0) == "id").get
+    assert(idRow2.getLong(2) == 0L)
+  }
+
   test("DESCRIBE STATS through SQL; ndv.lgk bounds validate at SET time") {
     val root = tmpTable()
     create(root, chunk(0, 1).schema,
