@@ -473,6 +473,7 @@ object TableOps {
         s.sql(
           """SELECT count(*) AS n, count(o_orderstatus) AS n_status,
             |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+            |  sum(o_orderkey) AS key_sum,
             |  max(o_orderstatus) AS top_status
             |FROM q127_t""".stripMargin)
       },
@@ -480,6 +481,7 @@ object TableOps {
         """SELECT CAST(count(*) AS BIGINT) AS n,
           |  CAST(count(o_orderstatus) AS BIGINT) AS n_status,
           |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
           |  max(o_orderstatus) AS top_status
           |FROM orders""".stripMargin)),
 

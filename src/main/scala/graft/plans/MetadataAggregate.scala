@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -64,6 +64,7 @@ object MetadataAggregate extends Rule[LogicalPlan] {
   private final case class CountCol(c: String) extends Kind
   private final case class MinCol(c: String) extends Kind
   private final case class MaxCol(c: String) extends Kind
+  private final case class SumCol(c: String) extends Kind
   private final case class GroupRef(c: String) extends Kind
 
   private def classify(ne: NamedExpression): Option[Kind] = ne match {
@@ -74,6 +75,13 @@ object MetadataAggregate extends Rule[LogicalPlan] {
         case Count(Seq(a: AttributeReference)) => Some(CountCol(a.name))
         case Min(a: AttributeReference) => Some(MinCol(a.name))
         case Max(a: AttributeReference) => Some(MaxCol(a.name))
+        // any eval mode: non-overflow values are identical, and the
+        // answerer declines on overflow so each mode keeps its own
+        // overflow behavior through the real scan
+        case s: Sum => s.child match {
+          case a: AttributeReference => Some(SumCol(a.name))
+          case _ => None
+        }
         case _ => None
       }
     case _ => None
@@ -95,7 +103,8 @@ object MetadataAggregate extends Rule[LogicalPlan] {
               case MinCol(c) => c
               case MaxCol(c) => c
             },
-            countCols = kinds.collect { case CountCol(c) => c })
+            countCols = kinds.collect { case CountCol(c) => c },
+            sumCols = kinds.collect { case SumCol(c) => c })
         } yield {
           val out = agg.aggregateExpressions.map(_.toAttribute)
           val values = kinds.zip(out).map { case (k, attr) =>
@@ -104,6 +113,8 @@ object MetadataAggregate extends Rule[LogicalPlan] {
               case CountCol(c) => answers.nonNullCounts(c)
               case MinCol(c) => answers.minMax(c)._1
               case MaxCol(c) => answers.minMax(c)._2
+              case SumCol(c) =>
+                answers.sums(c).map(java.lang.Long.valueOf).orNull
               case GroupRef(_) => null // unreachable: no grouping here
             }
             CatalystTypeConverters.createToCatalystConverter(
@@ -141,20 +152,23 @@ object MetadataAggregate extends Rule[LogicalPlan] {
               case MinCol(c) => c
               case MaxCol(c) => c
             },
-            countCols = kinds.collect { case CountCol(c) => c })
+            countCols = kinds.collect { case CountCol(c) => c },
+            sumCols = kinds.collect { case SumCol(c) => c })
         } yield {
           val out = agg.aggregateExpressions.map(_.toAttribute)
           val converters = out.map(a =>
             CatalystTypeConverters.createToCatalystConverter(a.dataType))
-          val data = answers.map { case (gvals, n, counts, mm) =>
+          val data = answers.map { row =>
             InternalRow.fromSeq(kinds.zip(converters).map {
               case (k, conv) =>
                 val ext = k match {
-                  case GroupRef(c) => gvals(groupNames.indexOf(c))
-                  case CountStar => n
-                  case CountCol(c) => counts(c)
-                  case MinCol(c) => mm(c)._1
-                  case MaxCol(c) => mm(c)._2
+                  case GroupRef(c) => row.groupValues(groupNames.indexOf(c))
+                  case CountStar => row.rows
+                  case CountCol(c) => row.nonNullCounts(c)
+                  case MinCol(c) => row.minMax(c)._1
+                  case MaxCol(c) => row.minMax(c)._2
+                  case SumCol(c) =>
+                    row.sums(c).map(java.lang.Long.valueOf).orNull
                 }
                 conv(ext)
             })

@@ -123,13 +123,19 @@ object CommitLog {
       // stays metadata-sized however many files are indexed.
       bloom: String = null,
       // NDV (HLL) sketch sidecar, same path discipline as `bloom`
-      ndv: String = null) {
+      ndv: String = null,
+      // exact per-file column sums (integral columns only, rendered as
+      // DECIMAL(38,0) strings so no file-level overflow is possible) —
+      // what lets a global/grouped SUM fold from metadata; absent key =
+      // all-null in this file or a pre-sums log (the answerer declines)
+      sums: Map[String, String] = Map.empty) {
     def minsOrEmpty: Map[String, String] = Option(mins).getOrElse(Map.empty)
     def maxsOrEmpty: Map[String, String] = Option(maxs).getOrElse(Map.empty)
     def partitionsOrEmpty: Map[String, String] =
       Option(partitions).getOrElse(Map.empty)
     def bloomOpt: Option[String] = Option(bloom)
     def ndvOpt: Option[String] = Option(ndv)
+    def sumsOrEmpty: Map[String, String] = Option(sums).getOrElse(Map.empty)
   }
 
   /** On-disk per-version record: the DELTA of one transaction (Delta's
@@ -609,12 +615,18 @@ object CommitLog {
       ndvSpec: Option[(Seq[String], Int)] = None): Seq[FileStat] = {
     if (files.isEmpty) return Nil
     val tracked = schema.fields.filter(f => statTracked(f.dataType)).toSeq
+    // exact column sums only where exactness is structural: integral
+    // types, widened to DECIMAL(38,0) so a file-level sum cannot overflow
+    val summed = tracked.filter(f => integralType(f.dataType))
     val df = spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
     val aggs = tracked.flatMap { f =>
       Seq(
         statRender(min(col(f.name)), f.dataType).as(s"min__${f.name}"),
         statRender(max(col(f.name)), f.dataType).as(s"max__${f.name}"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}"))
+    } ++ summed.map { f =>
+      sum(col(f.name).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("string").as(s"sum__${f.name}")
     } ++ bloomSpec.toSeq.flatMap { case (cols, items, bits) =>
       // bloom sketches ride the SAME per-file aggregation pass as min/max:
       // the engine's own BloomFilterAggregate over xxhash64 of the column
@@ -657,8 +669,17 @@ object CommitLog {
       FileStat(rel, r.getAs[Long]("rows__"), Files.size(Paths.get(root, rel)),
         s("min"), s("max"),
         tracked.map(f => f.name -> r.getAs[Long](s"nulls__${f.name}")).toMap,
-        bloom = bloomRel.orNull, ndv = ndvRel.orNull)
+        bloom = bloomRel.orNull, ndv = ndvRel.orNull,
+        sums = summed.flatMap(f =>
+          Option(r.getAs[String](s"sum__${f.name}")).map(f.name -> _)).toMap)
     }
+  }
+
+  private def integralType(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        IntegerType | LongType => true
+    case _ => false
   }
 
   private def bloomSupported(dt: DataType): Boolean = dt match {
@@ -2646,11 +2667,13 @@ object CommitLog {
   final case class MetadataAgg(
       totalRows: Long,
       nonNullCounts: Map[String, Long],
-      minMax: Map[String, (Any, Any)])
+      minMax: Map[String, (Any, Any)],
+      // None = the SQL null sum (every contributing file all-null/empty)
+      sums: Map[String, Option[Long]] = Map.empty)
 
   def metadataAggAnswers(spark: SparkSession, root: String,
       version: Option[Long], minMaxCols: Seq[String],
-      countCols: Seq[String]): Option[MetadataAgg] = {
+      countCols: Seq[String], sumCols: Seq[String] = Nil): Option[MetadataAgg] = {
     val v = version.orElse(currentVersion(root)).getOrElse(return None)
     val m = readManifest(root, v)
     if (m.dvsOrEmpty.nonEmpty) return None
@@ -2679,6 +2702,27 @@ object CommitLog {
       }
     }
     if (mmCols.size != minMaxCols.distinct.size) return None
+    // exact sums: every file must carry a recorded sum or be provably
+    // contribution-free (empty / all-null); a total outside Long range
+    // declines so overflow keeps the scan's own semantics
+    val sums: Map[String, Option[Long]] = sumCols.distinct.map { c =>
+      val phys = m.physOf(c)
+      if (!dtOf(c).exists(integralType)) return None
+      val per: Seq[BigInt] = stats.flatMap { s =>
+        s.sumsOrEmpty.get(phys) match {
+          case Some(str) => Some(BigInt(new java.math.BigDecimal(str).toBigIntegerExact))
+          case None =>
+            if (s.rows == 0L || nullsOf(s, phys).contains(s.rows)) None
+            else return None
+        }
+      }
+      if (per.isEmpty) c -> None
+      else {
+        val t = per.sum
+        if (t < BigInt(Long.MinValue) || t > BigInt(Long.MaxValue)) return None
+        c -> Some(t.toLong)
+      }
+    }.toMap
     val minMax: Map[String, (Any, Any)] =
       if (mmCols.isEmpty) Map.empty
       else {
@@ -2702,7 +2746,7 @@ object CommitLog {
         mmCols.map(c =>
           c -> (r.getAs[Any](s"min__$c"), r.getAs[Any](s"max__$c"))).toMap
       }
-    Some(MetadataAgg(totalRows, counts, minMax))
+    Some(MetadataAgg(totalRows, counts, minMax, sums))
   }
 
   /** Grouped twin of [[metadataAggAnswers]]: answers `GROUP BY g` counts
@@ -2716,10 +2760,17 @@ object CommitLog {
     * non-null counts, min/max) — or None when any column cannot be
     * answered exactly. Zero-row files contribute nothing and are skipped.
     */
+  final case class MetadataGroupRow(
+      groupValues: Seq[Any],
+      rows: Long,
+      nonNullCounts: Map[String, Long],
+      minMax: Map[String, (Any, Any)],
+      sums: Map[String, Option[Long]])
+
   def metadataGroupAnswers(spark: SparkSession, root: String,
       version: Option[Long], groupCols: Seq[String], minMaxCols: Seq[String],
-      countCols: Seq[String])
-      : Option[Seq[(Seq[Any], Long, Map[String, Long], Map[String, (Any, Any)])]] = {
+      countCols: Seq[String], sumCols: Seq[String] = Nil)
+      : Option[Seq[MetadataGroupRow]] = {
     if (groupCols.isEmpty) return None
     val v = version.orElse(currentVersion(root)).getOrElse(return None)
     val m = readManifest(root, v)
@@ -2737,6 +2788,7 @@ object CommitLog {
     val g = groupCols.distinct
     val mm = minMaxCols.distinct
     val cc = countCols.distinct
+    val sc = sumCols.distinct
     val answerable =
       g.forall { c =>
         val phys = m.physOf(c)
@@ -2755,6 +2807,10 @@ object CommitLog {
         val phys = m.physOf(c)
         dtOf(c).exists(statTracked) &&
           stats.forall(s => nullsOf(s, phys).isDefined)
+      } && sc.forall { c =>
+        val phys = m.physOf(c)
+        dtOf(c).exists(integralType) && stats.forall(s =>
+          s.sumsOrEmpty.contains(phys) || allNull(s, phys))
       }
     if (!answerable) return None
     // per-file local frame: group values + rows + per-column raw stats,
@@ -2764,14 +2820,16 @@ object CommitLog {
         Seq(StructField("rows__", LongType)) ++
         cc.map(c => StructField(s"nulls__$c", LongType)) ++
         mm.flatMap(c => Seq(StructField(s"mn__$c", StringType),
-          StructField(s"mx__$c", StringType)))
+          StructField(s"mx__$c", StringType))) ++
+        sc.map(c => StructField(s"sm__$c", StringType))
     val rows = stats.map { s =>
       org.apache.spark.sql.Row.fromSeq(
         g.map(c => s.minsOrEmpty.get(m.physOf(c)).orNull) ++
           Seq(s.rows) ++
           cc.map(c => nullsOf(s, m.physOf(c)).get) ++
           mm.flatMap(c => Seq(s.minsOrEmpty.get(m.physOf(c)).orNull,
-            s.maxsOrEmpty.get(m.physOf(c)).orNull)))
+            s.maxsOrEmpty.get(m.physOf(c)).orNull)) ++
+          sc.map(c => s.sumsOrEmpty.get(m.physOf(c)).orNull))
     }
     val typed = spark.createDataFrame(rows.asJava, StructType(rawFields))
       .select(
@@ -2780,12 +2838,16 @@ object CommitLog {
           cc.map(c => col(s"nulls__$c")) ++
           mm.flatMap(c => Seq(
             statParse(col(s"mn__$c"), dtOf(c).get).as(s"mn__$c"),
-            statParse(col(s"mx__$c"), dtOf(c).get).as(s"mx__$c"))): _*)
+            statParse(col(s"mx__$c"), dtOf(c).get).as(s"mx__$c"))) ++
+          sc.map(c => col(s"sm__$c")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as(s"sm__$c")): _*)
     val aggs =
       Seq(sum(col("rows__")).as("n__")) ++
         cc.map(c => sum(col("rows__") - col(s"nulls__$c")).as(s"cnt__$c")) ++
         mm.flatMap(c => Seq(min(col(s"mn__$c")).as(s"min__$c"),
-          max(col(s"mx__$c")).as(s"max__$c")))
+          max(col(s"mx__$c")).as(s"max__$c"))) ++
+        sc.map(c => sum(col(s"sm__$c")).as(s"sum__$c"))
     val out = typed.groupBy(g.map(c => col(s"g__$c")): _*)
       .agg(aggs.head, aggs.tail: _*).collect()
     Some(out.toSeq.map { r =>
@@ -2794,7 +2856,17 @@ object CommitLog {
       val counts = cc.map(c => c -> r.getAs[Long](s"cnt__$c")).toMap
       val mmVals = mm.map(c =>
         c -> (r.getAs[Any](s"min__$c"), r.getAs[Any](s"max__$c"))).toMap
-      (gvals, n, counts, mmVals)
+      val sumVals = sc.map { c =>
+        c -> (Option(r.getAs[java.math.BigDecimal](s"sum__$c")) match {
+          case None => None // every file in the group all-null → SQL null
+          case Some(d) =>
+            // outside Long range: decline the whole rewrite (keep the
+            // scan's own overflow semantics) rather than wrap differently
+            try Some(d.toBigIntegerExact.longValueExact)
+            catch { case _: ArithmeticException => return None }
+        })
+      }.toMap
+      MetadataGroupRow(gvals, n, counts, mmVals, sumVals)
     })
   }
 

@@ -59,9 +59,14 @@ class MetadataAggregateSpec extends SparkTestBase {
     val grouped = spark.sql(
       s"SELECT id % 2, count(*) FROM ${view(root)} GROUP BY 1")
     assert(!answersFromMetadata(grouped) && grouped.count() == 2)
+    // integral sums ARE metadata-answerable (see the sum test); the
+    // unsupported-aggregate fallback is exercised with avg
     val summed = spark.sql(s"SELECT sum(v) FROM ${view(root)}")
-    assert(!answersFromMetadata(summed))
+    assert(answersFromMetadata(summed))
     assert(summed.collect()(0).getLong(0) == 49L * 50L)
+    val avged = spark.sql(s"SELECT avg(v) FROM ${view(root)}")
+    assert(!answersFromMetadata(avged))
+    assert(avged.collect()(0).getDouble(0) == 49.0)
     val distinct = spark.sql(
       s"SELECT count(DISTINCT id) FROM ${view(root)}")
     assert(!answersFromMetadata(distinct))
@@ -111,6 +116,31 @@ class MetadataAggregateSpec extends SparkTestBase {
     } finally spark.conf.unset(MetadataAggregate.EnabledConf)
   }
 
+  test("sum of integral columns answers from per-file exact sums; " +
+      "doubles and all-null sums keep exact SQL semantics") {
+    val root = tmpTable()
+    import spark.implicits._
+    CommitLog.append(spark.range(1000)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v"), root)
+    CommitLog.append(Seq((1000L, null), (1001L, null))
+      .asInstanceOf[Seq[(Long, Option[Double])]].toDF("id", "v")
+      .selectExpr("id", "CAST(v AS DOUBLE) AS v").coalesce(1), root)
+    val q = spark.sql(
+      s"SELECT sum(id) AS s, count(*) AS n FROM ${view(root)}")
+    assert(answersFromMetadata(q), planOf(q))
+    assert(q.collect()(0).getLong(0) == (0L until 1002L).sum)
+    // double sums are NOT structurally exact → real scan
+    val dq = spark.sql(s"SELECT sum(v) FROM ${view(root)}")
+    assert(!answersFromMetadata(dq))
+    // a column that is null in EVERY row sums to SQL null — from metadata
+    val root2 = tmpTable()
+    CommitLog.append(spark.range(5)
+      .selectExpr("id", "CAST(NULL AS BIGINT) AS w").coalesce(1), root2)
+    val nq = spark.sql(s"SELECT sum(w) AS s FROM ${view(root2)}")
+    assert(answersFromMetadata(nq), planOf(nq))
+    assert(nq.collect()(0).isNullAt(0))
+  }
+
   test("GROUP BY a partition column answers from the manifest: one row " +
       "per partition, counts and min/max folded per file") {
     val root = tmpTable()
@@ -128,6 +158,13 @@ class MetadataAggregateSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1),
         r.getLong(2), r.getLong(3))).toSet
     assert(got == want && got.size == 3)
+    // grouped sums fold from the same per-file exact sums
+    val qs = spark.sql(s"SELECT k, sum(id) AS s FROM ${view(root)} GROUP BY k")
+    assert(answersFromMetadata(qs), planOf(qs))
+    val gotS = qs.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val wantS = df.groupBy("k").agg(sum("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotS == wantS)
     // grouping by a NON-single-valued column keeps the real scan
     val multi = spark.sql(
       s"SELECT id % 2, count(*) FROM ${view(root)} GROUP BY 1")
