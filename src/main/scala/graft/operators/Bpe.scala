@@ -114,6 +114,96 @@ object Bpe {
     out.result()
   }
 
+  /** [[train]] with the merge loop moved to the driver: ONE distributed
+    * pass collapses the corpus to its word histogram (the only
+    * corpus-sized work), the bounded histogram is collected, and the
+    * greedy rounds run in memory — the factoring production tokenizer
+    * trainers use, because after the histogram every round's input is
+    * vocabulary-sized regardless of corpus size. `maxVocab` caps the
+    * collected histogram deterministically (freq DESC, word ASC) for
+    * corpora whose raw vocabulary outgrows driver memory (Heaps' law says
+    * ~10⁷ words at 100 TB ≈ a few hundred MB — cap to the frequent head,
+    * which is where every early merge lives anyway). Semantics are
+    * IDENTICAL to [[train]] (BpeSpec proves it round-for-round): same
+    * histogram, same overlap-counting pair statistic, same (count DESC,
+    * pair ASC) tie rule, same left-to-right non-overlapping application.
+    */
+  def trainLocal(docs: DataFrame, merges: Int, minPairCount: Long = 2L,
+      maxVocab: Int = Int.MaxValue): Seq[Merge] = {
+    require(merges >= 0 && minPairCount >= 1 && maxVocab >= 1)
+    val hist0 = docs
+      .select(explode(Text.toksCol).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+    val hist =
+      if (maxVocab == Int.MaxValue) hist0.collect()
+      else hist0.orderBy(col("freq").desc, col("w")).limit(maxVocab).collect()
+    // code-point split, matching Spark's substring()/length() semantics in
+    // wordTable (a UTF-16 split would shear supplementary characters)
+    var words: Array[(Array[String], Long)] = hist.map { r =>
+      val w = r.getString(0)
+      val syms = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (syms.result(), r.getLong(1))
+    }
+    val out = Seq.newBuilder[Merge]
+    var r = 0
+    var done = false
+    while (r < merges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      // (count DESC, a ASC, b ASC) — byte-order comparison over the
+      // UTF-8 form, matching Spark's BinaryType-style string ordering
+      // in train()'s orderBy (Java compareTo would diverge past BMP)
+      var best: Option[((String, String), Long)] = None
+      counts.foreach { case (p, n) =>
+        if (best.forall { case (bp, bn) =>
+            n > bn || (n == bn && utf8Lt(p, bp)) }) best = Some((p, n))
+      }
+      best match {
+        case Some(((a, b), n)) if n >= minPairCount =>
+          out += Merge(a, b, n)
+          words = words.map { case (syms, f) =>
+            val acc = Array.newBuilder[String]
+            var last: String = null
+            syms.foreach { s =>
+              if (last == a && s == b) last = a + b
+              else { if (last != null) acc += last; last = s }
+            }
+            if (last != null) acc += last
+            (acc.result(), f)
+          }
+        case _ => done = true
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  private def utf8Lt(x: (String, String), y: (String, String)): Boolean = {
+    val ca = utf8Cmp(x._1, y._1)
+    ca < 0 || (ca == 0 && utf8Cmp(x._2, y._2) < 0)
+  }
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.util.Arrays.compareUnsigned(xa, xb)
+  }
+
   /** Tokenize a `text` column with a learned merge list: per-word
     * character split, then each merge applied in learned order (the
     * published greedy encode). Returns the input with a `bpe_toks`

@@ -79,6 +79,53 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("pw")).as("p_sum_q"))
       .withColumn("avg_p_q", expr("p_sum_q div n_bigrams"))
 
+  /** DuckDB program that re-learns `k` BPE merges from `documents`,
+    * mirroring [[Bpe.train]] exactly (q129's oracle). Stage tables carry
+    * each word as a SPACED STRING — ` a  b  c ` (every token wrapped in
+    * its own single spaces, so adjacent tokens meet as a double space) —
+    * because that framing makes one SQL `replace(s, ' a  b ', ' ab ')`
+    * exactly the left-to-right non-overlapping merge fold: a consumed
+    * occurrence eats its neighbours' inner delimiters, so overlapping
+    * occurrences can't double-merge (` a  a  a ` → ` aa  a `, the fold's
+    * answer), while disjoint occurrences each keep a full frame and all
+    * merge in one pass. Pair STATISTICS still count every adjacent index
+    * (overlap included), matching pairCounts — enumeration goes through
+    * the token list, not string search. Every CTE is MATERIALIZED: each
+    * stage is referenced twice (next stage + its pair table), so inlining
+    * would double the expression tree per stage — 2^k by the last one.
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT ' ' || replace(rtrim(regexp_replace(w, '(.)', '\1,', 'g'), ','), ',', '  ') || ' ' AS s,
+        |    CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(
+        |      trim(regexp_replace(lower(trim(text)), '[^a-z\s]', ' ', 'g')), '\s+'),
+        |      t -> length(t) >= 1)) AS w FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val stages = (1 to k).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(toks)),
+           |      j -> struct_pack(l := toks[CAST(j AS INT)], r := toks[CAST(j AS INT) + 1]))) AS p
+           |    FROM (SELECT freq, string_split(trim(s, ' '), '  ') AS toks FROM w${i - 1})
+           |    WHERE len(toks) >= 2)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"b$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1)",
+        s"""w$i AS MATERIALIZED (
+           |  SELECT replace(s,
+           |    ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+           |    ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS s, freq
+           |  FROM w${i - 1})""".stripMargin)
+    }
+    val finals = (1 to k)
+      .map(i => s"SELECT $i AS rank, l AS a, r AS b, n FROM b$i")
+      .mkString("\nUNION ALL\n")
+    (Seq(w0) ++ stages).mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM (\n$finals\n) ORDER BY rank"
+  }
+
   val queries: Map[String, QueryDef] = Map(
 
     // TF-IDF top terms per document. One explode → (doc, term) tf counts;
@@ -841,6 +888,34 @@ object Corpus {
            |  count(DISTINCT tok) AS n_distinct
            |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // FULL BPE TRAINING under the oracle gate — the whole greedy loop,
+    // engine-against-engine: graft learns 12 merges from the corpus
+    // ([[Bpe.trainLocal]] — ONE corpus-sized histogram shuffle, then
+    // driver rounds over the bounded vocabulary, the production-trainer
+    // factoring; BpeSpec proves it round-identical to the distributed
+    // [[Bpe.train]]), and DuckDB re-learns the same 12 merges from
+    // scratch via a generated 12-stage chained-CTE program (pair counts →
+    // deterministic argmax → left-to-right non-overlapping application as
+    // a spaced-string replace — the double-space framing makes SQL
+    // replace() ≡ the per-round merge fold, validated against q118's
+    // list_reduce form). A hash match here means the LEARNED VOCABULARY
+    // — order, pairs, and weighted counts — is bit-identical across
+    // engines, not merely the pair statistic of one round (q117) or the
+    // application of a fixed vocabulary (q118). Text is pre-restricted to
+    // [a-z ] so tokenization and tie-break collation are engine-neutral.
+    "q129_bpe_train" -> QueryDef(
+      fn = { (s, dir) =>
+        val cleaned = docs(s, dir).select(
+          regexp_replace(lower(trim(col("text"))), "[^a-z\\s]", " ")
+            .as("text"))
+        val ms = Bpe.trainLocal(cleaned, merges = 12)
+        import s.implicits._
+        ms.zipWithIndex
+          .map { case (m, i) => (i + 1, m.a, m.b, m.count) }
+          .toDF("rank", "a", "b", "n")
+      },
+      oracle = Some(bpeTrainOracle(12))),
 
     // Bigram-LM document scoring — the CCNet-style quality screen (Wenzek
     // LREC'20 trains a KenLM and buckets documents by perplexity; the

@@ -101,6 +101,32 @@ class BpeSpec extends SparkTestBase {
     assert(fast(0).contains("aaa") && fast(0).count(_ == "😀") == 1)
   }
 
+  test("trainLocal ≡ train round-for-round; vocab cap keeps the " +
+      "deterministic frequent head") {
+    val wantFull = Bpe.train(docsDf, 15).map(m => (m.a, m.b, m.count))
+    val gotFull = Bpe.trainLocal(docsDf, 15).map(m => (m.a, m.b, m.count))
+    assert(gotFull == wantFull && gotFull.nonEmpty)
+    // supplementary code points split identically (no UTF-16 shearing),
+    // and the UTF-8 tie ordering matches Spark's orderBy on the pair
+    val emoji = Seq((1L, "😀😀 😀😀 ab ab")).toDF("doc_id", "text")
+    assert(Bpe.trainLocal(emoji, 2).map(m => (m.a, m.b, m.count)) ==
+      Bpe.train(emoji, 2).map(m => (m.a, m.b, m.count)))
+    // a cap below the vocabulary size trains on the (freq DESC, word ASC)
+    // head — deterministic, and identical to training on a corpus holding
+    // exactly those words at their true frequencies
+    val capped = Bpe.trainLocal(docsDf, 5, maxVocab = 3)
+    val head = docsDf
+      .selectExpr("explode(split(lower(trim(text)), '\\\\s+')) AS w")
+      .where("length(w) >= 1").groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val headDocs = Seq((1L, head.flatMap { case (w, n) =>
+      Seq.fill(n.toInt)(w) }.mkString(" "))).toDF("doc_id", "text")
+    assert(capped.nonEmpty &&
+      capped.map(m => (m.a, m.b, m.count)) ==
+        Bpe.trainLocal(headDocs, 5).map(m => (m.a, m.b, m.count)))
+  }
+
   test("tie rule is lexicographic on the pair; floor stops early") {
     // (a,b) and (c,d) both weight 2 → lexicographically first pair wins
     val tied = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
