@@ -485,6 +485,46 @@ object TableOps {
           |  max(o_orderstatus) AS top_status
           |FROM orders""".stripMargin)),
 
+    // Automatic materialized-view rewrite under the oracle gate: the
+    // query is written against the BASE table, the MvRewrite rule reroutes
+    // it to the incrementally-maintained view (q59's machinery), and the
+    // values must equal DuckDB's full scan of the original parquet — so a
+    // green hash proves rewrite ≡ scan. The require() makes the artifact
+    // honest: if the rewrite ever stops firing, the query fails instead of
+    // silently passing through the scan path. At 100 TB this is the BI
+    // dashboard query served from a group-cardinality-sized table.
+    "q130_mv_rewrite" -> QueryDef(
+      fn = { (s, dir) =>
+        import graft.sources.IncrementalView
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val n = ev.count()
+        val src = tmp("graft-q130-src"); val view = tmp("graft-q130-view")
+        CommitLog.append(ev.filter(col("event_id") < n / 2), src)
+        val v1 = IncrementalView.refresh(s, src, view,
+          Seq("event_type"), "value", fromV = 0L)
+        CommitLog.append(ev.filter(col("event_id") >= n / 2), src)
+        IncrementalView.refresh(s, src, view,
+          Seq("event_type"), "value", fromV = v1)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q130_t
+                 |USING `graft-commitlog` OPTIONS (path '$src')""".stripMargin)
+        val out = s.sql(
+          """SELECT event_type, count(*) AS cnt,
+            |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            |FROM q130_t GROUP BY event_type ORDER BY event_type""".stripMargin)
+        // truncation-proof plan assertion: only the VIEW's relation carries
+        // the folded `sum_val` column, so a leaf exposing it proves the
+        // aggregate was rerouted off the base table
+        require(out.queryExecution.optimizedPlan.collectLeaves()
+            .exists(_.output.exists(_.name == "sum_val")),
+          "MV rewrite did not fire — the aggregate read the base table")
+        out
+      },
+      oracle = Some(
+        s"""SELECT event_type, count(*) AS cnt,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Grouped metadata aggregates under the oracle gate: the classic
     // per-partition profile (`GROUP BY partition_col` with count/min/max)
     // folds from per-file manifest stats — identity-partition staging

@@ -101,6 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteFloatDotProduct)
     e.injectOptimizerRule(_ => MetadataAggregate)
+    e.injectOptimizerRule(_ => MvRewrite)
     // SQL row-level DML (MERGE/UPDATE/DELETE) and time travel (VERSION AS
     // OF / TIMESTAMP AS OF) on commitlog tables. Resolution-batch rules
     // cannot be attached to an already-built session, so these two are only
@@ -192,7 +193,7 @@ object GraftExtensions {
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    Seq(RewriteFloatDotProduct, MetadataAggregate).foreach { r =>
+    Seq(RewriteFloatDotProduct, MetadataAggregate, MvRewrite).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r

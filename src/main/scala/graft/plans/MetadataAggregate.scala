@@ -39,7 +39,7 @@ object MetadataAggregate extends Rule[LogicalPlan] {
 
   private[plans] val EnabledConf = "spark.graft.metadataAgg.enabled"
 
-  private def relationOf(plan: LogicalPlan): Option[(String, Option[Long])] =
+  private[plans] def relationOf(plan: LogicalPlan): Option[(String, Option[Long])] =
     plan match {
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>

@@ -60,6 +60,17 @@ object IncrementalView {
               coalesce(col("sum_val"), lit(0).cast(dec))).cast(dec).as("sum_val")): _*)
     }
     CommitLog.overwrite(combined, viewRoot)
+    // persist the view's identity + reflected source version on the view
+    // itself (one metadata commit) and register it for the MvRewrite
+    // optimizer rule — the recorded version is the rewrite's exactness
+    // gate, so it must land atomically with every refresh
+    CommitLog.setTableProperties(viewRoot, Map(
+      "mv.src" -> srcRoot,
+      "mv.group" -> groupCols.mkString(","),
+      "mv.value" -> valueCol,
+      "mv.srcVersion" -> toV.toString))
+    MvRegistry.register(MvRegistry.Mv(srcRoot, viewRoot, groupCols,
+      valueCol, toV))
     toV
   }
 
