@@ -485,6 +485,40 @@ object TableOps {
           |  max(o_orderstatus) AS top_status
           |FROM orders""".stripMargin)),
 
+    // Join-time file skipping under the oracle gate (runtime filter /
+    // DPP at the table-format layer): lineitem lands range-clustered on
+    // l_orderkey with bloom sidecars, the dim side (high-value orders) is
+    // evaluated first, and the fact scan opens ONLY files whose stats or
+    // bloom can contain a surviving key — then broadcast-joins the dim.
+    // The oracle is the plain SQL join, so a green hash proves the file
+    // skipping loses no row; RuntimeFilterSpec proves files are actually
+    // skipped. Zero shuffles: prune → row-filter → BroadcastHashJoin.
+    "q131_runtime_filter_join" -> QueryDef(
+      fn = { (s, dir) =>
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val root = tmp("graft-q131")
+        s.conf.set("spark.graft.bloom.columns", "l_orderkey")
+        try CommitLog.append(
+          li.repartitionByRange(8, col("l_orderkey")), root)
+        finally s.conf.unset("spark.graft.bloom.columns")
+        val dim = Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") > 498000.0)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        RuntimeFilter.keyPrunedJoin(s, root, dim, "l_orderkey", "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some(
+        s"""SELECT o_orderpriority, count(*) AS n_items,
+           |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_totalprice > 498000.0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Automatic materialized-view rewrite under the oracle gate: the
     // query is written against the BASE table, the MvRewrite rule reroutes
     // it to the incrementally-maintained view (q59's machinery), and the
