@@ -92,7 +92,7 @@ object Dedup {
     * token set ⇒ all-pairs explosion); 3-shingles discriminate. The shingle
     * set is built and deduplicated INSIDE the row — no shuffle.
     */
-  private def shingles(d: DataFrame): DataFrame =
+  private[operators] def shingles(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"), explode(array_distinct(
         when(size(col("toks")) >= 3,
@@ -101,7 +101,7 @@ object Dedup {
           .otherwise(expr("array()")))).as("sh"))
 
   /** DuckDB mirror of [[shingles]] as a CTE body named `sh0`. */
-  private val shinglesSql: String =
+  private[operators] val shinglesSql: String =
     """sh0 AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, greatest(len(toks) - 1, 1)),

@@ -690,6 +690,119 @@ object Similarity {
 
   val queries: Map[String, QueryDef] = Map(
 
+    // HYBRID RETRIEVAL with reciprocal-rank fusion (Cormack & Clarke
+    // SIGIR'09 — the standard lexical+vector fusion every RAG/retrieval
+    // stack ships): each query doc retrieves its top-10 lexical
+    // candidates (3-shingle Jaccard, q98's pipeline) and its top-10
+    // vector candidates (exact quantized cosine, q16's pipeline), and
+    // the two lists fuse by RRF score Σ 1/(60 + rank) — computed as the
+    // INTEGER 1e12 div (60 + rank) so the fused ordering is exact in
+    // both engines (the double 1/(60+r) would differ in the last ulp
+    // across engines for summed ties). The documents and embeddings
+    // tables share an id space, so the fusion join is (q_id, c_id)
+    // FULL OUTER over two 10-row-per-query lists — fusion cost is
+    // rank-list-sized, never corpus-sized. 100 TB shape: the lexical
+    // side is q98's asymmetric posting join (corpus side never
+    // broadcast), the vector side broadcasts only the query vectors;
+    // the fusion itself touches ≤ 20 rows per query.
+    "q132_hybrid_rrf" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = Tables.load(s, dir, "documents")
+        // lexical top-10: shared-shingle Jaccard, deterministic tie rule
+        val sh = Dedup.shingles(d)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = sh.filter(col("doc_id") % 97 === 0).toDF("q_id", "sh")
+          .join(sh.toDF("c_id", "sh"), Seq("sh"))
+          .filter(col("c_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(count(lit(1)).as("inter"))
+        val wl = Window.partitionBy(col("q_id"))
+          .orderBy(col("jaccard").desc, col("c_id"))
+        val lexTop = inter
+          .join(broadcast(sizes.filter(col("doc_id") % 97 === 0)
+            .toDF("q_id", "sz_q")), Seq("q_id"))
+          .join(sizes.toDF("c_id", "sz_c"), Seq("c_id"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("sz_q") + col("sz_c") - col("inter")))
+          .withColumn("r_lex", row_number().over(wl))
+          .filter(col("r_lex") <= 10)
+          .select("q_id", "c_id", "r_lex")
+        // vector top-10: exact quantized cosine, query side broadcast
+        val e = emb(s, dir)
+        val n = norms(e)
+        val qs = e.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cs = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val wv = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosim").desc, col("c_id"))
+        val vecTop = cs.join(broadcast(qs), col("c_id") =!= col("q_id"))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("q_id", "n2q"), Seq("q_id"))
+          .join(n.toDF("c_id", "n2c"), Seq("c_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2c")))
+          .withColumn("r_vec", row_number().over(wv))
+          .filter(col("r_vec") <= 10)
+          .select("q_id", "c_id", "r_vec")
+        // integer-exact RRF fusion over the two rank lists
+        val wf = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_q").desc, col("c_id"))
+        lexTop.join(vecTop, Seq("q_id", "c_id"), "full_outer")
+          .withColumn("rrf_q",
+            coalesce(expr("1000000000000L div (60 + r_lex)"), lit(0L)) +
+              coalesce(expr("1000000000000L div (60 + r_vec)"), lit(0L)))
+          .withColumn("rank", row_number().over(wf))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("c_id"), col("rrf_q"))
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(
+        s"""WITH ${Dedup.shinglesSql},
+           |$normsSql,
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+           |inter AS (
+           |  SELECT q.doc_id AS q_id, c.doc_id AS c_id, count(*) AS inter
+           |  FROM sh0 q JOIN sh0 c ON c.sh = q.sh AND c.doc_id <> q.doc_id
+           |  WHERE q.doc_id % 97 = 0
+           |  GROUP BY 1, 2),
+           |lex AS (
+           |  SELECT q_id, c_id, r_lex FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY CAST(inter AS DOUBLE) / (sq.sz + sc2.sz - inter)
+           |        DESC, c_id) AS r_lex
+           |    FROM inter
+           |    JOIN sz sq ON sq.doc_id = q_id
+           |    JOIN sz sc2 ON sc2.doc_id = c_id)
+           |  WHERE r_lex <= 10),
+           |dots AS (
+           |  SELECT q_id, c_id, $dotSqlExpr AS dot
+           |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |          q.embedding AS qe, c.embedding AS ce,
+           |          generate_subscripts(q.embedding, 1) AS i
+           |        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |        WHERE q.vec_id % 97 = 0)
+           |  GROUP BY 1, 2),
+           |vec AS (
+           |  SELECT q_id, c_id, r_vec FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY CAST(dot AS DOUBLE) /
+           |        sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE))
+           |        DESC, c_id) AS r_vec
+           |    FROM dots
+           |    JOIN norms nq ON nq.vec_id = q_id
+           |    JOIN norms nc ON nc.vec_id = c_id)
+           |  WHERE r_vec <= 10),
+           |fused AS (
+           |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+           |    coalesce(l.c_id, v.c_id) AS c_id,
+           |    coalesce(1000000000000 // (60 + l.r_lex), 0) +
+           |      coalesce(1000000000000 // (60 + v.r_vec), 0) AS rrf_q
+           |  FROM lex l FULL OUTER JOIN vec v
+           |    ON v.q_id = l.q_id AND v.c_id = l.c_id)
+           |SELECT q_id, rank, c_id, CAST(rrf_q AS BIGINT) AS rrf_q FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY rrf_q DESC, c_id) AS INT) AS rank FROM fused)
+           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // Sign-LSH ANN (random hyperplane): signature bit r = [dot(v, g_r) ≥ 0];
     // 16 bits banded 4×4; candidates share ≥1 band with the query, then
     // rank by exact quantized cosine — the LSH-bucketed scale path (the
