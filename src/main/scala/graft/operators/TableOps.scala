@@ -485,6 +485,38 @@ object TableOps {
           |  max(o_orderstatus) AS top_status
           |FROM orders""".stripMargin)),
 
+    // Snapshot diff under the oracle gate: the NET row-level change set
+    // between two versions, reconstructed from METADATA (immutable files
+    // in both manifests contribute nothing; only added/removed files and
+    // deletion-vector deltas are read — day-sized work on a 10⁵-file
+    // table). The range here crosses an append AND a DV delete, so both
+    // change kinds appear; the oracle restates the diff in set algebra
+    // over the original parquet.
+    "q133_snapshot_diff" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val root = tmp("graft-q133")
+        val n = ord.count()
+        CommitLog.append(ord.filter(col("o_orderkey") <= n / 2), root)
+        val v1 = CommitLog.currentVersion(root).get
+        CommitLog.append(ord.filter(col("o_orderkey") > n / 2), root)
+        CommitLog.deleteDV(s, root, col("o_totalprice") > 300000.0)
+        val v3 = CommitLog.currentVersion(root).get
+        CommitLog.snapshotDiff(s, root, v1, v3)
+          .select(col("_change").as("change"), col("o_orderkey"))
+          .orderBy("change", "o_orderkey")
+      },
+      oracle = Some(
+        """WITH half AS (SELECT count(*) // 2 AS h FROM orders)
+          |SELECT * FROM (
+          |  SELECT 'delete' AS change, o_orderkey FROM orders, half
+          |  WHERE o_orderkey <= h AND o_totalprice > 300000.0
+          |  UNION ALL
+          |  SELECT 'insert' AS change, o_orderkey FROM orders, half
+          |  WHERE o_orderkey > h AND o_totalprice <= 300000.0)
+          |ORDER BY change, o_orderkey""".stripMargin)),
+
     // Join-time file skipping under the oracle gate (runtime filter /
     // DPP at the table-format layer): lineitem lands range-clustered on
     // l_orderkey with bloom sidecars, the dim side (high-value orders) is

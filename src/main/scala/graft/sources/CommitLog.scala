@@ -1472,6 +1472,93 @@ object CommitLog {
     }
   }
 
+  /** NET row-level diff between two snapshots, `_change` ∈ insert|delete
+    * (Delta's change-data-feed answer reconstructed from METADATA): a row
+    * present at `toV` but not `fromV` is an insert, present at `fromV`
+    * but not `toV` a delete. Works across ANY ops in the range —
+    * appends, copy-on-write rewrites, deletion vectors, restore —
+    * because data files are immutable: a file in BOTH manifests with the
+    * same DV contributes NOTHING, so the diff reads only
+    *   - files added between the versions (live rows under toV's DVs),
+    *   - files removed (live rows under fromV's DVs),
+    *   - files whose DV changed (the position-set delta, O(deleted
+    *     rows) both ways — shrinkage from a restore surfaces as
+    *     re-inserts).
+    * That file-symmetric-difference cost model is the 100 TB point: a
+    * day-to-day diff of a 10⁵-file table opens the day's churn, never
+    * the table. Presented in toV's logical schema (columns added between
+    * the versions read as null on the delete side; dropped columns leave
+    * the diff, the standard CDF convention). Declines (throws) when a
+    * column was RENAMED in the range — same-named columns would silently
+    * change meaning.
+    */
+  def snapshotDiff(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV, s"snapshotDiff($fromV, $toV): versions out of order")
+    val mF = readManifest(root, fromV)
+    val mT = readManifest(root, toV)
+    val sF = schemaOf(mF); val sT = schemaOf(mT)
+    // a rename moves a PHYSICAL column to a new logical name; a diff over
+    // such a range is ill-defined (the "same" column changes meaning), so
+    // compare by physical identity and refuse on any move
+    val physF = sF.fieldNames.map(n => mF.physOf(n) -> n).toMap
+    val physT = sT.fieldNames.map(n => mT.physOf(n) -> n).toMap
+    physF.keySet.intersect(physT.keySet).foreach { p =>
+      require(physF(p) == physT(p),
+        s"snapshotDiff: column '${physF(p)}' was renamed to '${physT(p)}' " +
+          s"between v$fromV and v$toV")
+    }
+    val out = sT.fieldNames.toIndexedSeq
+    def shaped(df: DataFrame, have: Set[String]): DataFrame =
+      df.select(out.map(n =>
+        if (have(n)) col(n)
+        else lit(null).cast(sT(n).dataType).as(n)): _*)
+    val fromSet = mF.files.toSet; val toSet = mT.files.toSet
+    val ins0 = shaped(
+      readTaggedLive(spark, root, mT, mT.files.filterNot(fromSet)),
+      sT.fieldNames.toSet)
+    val del0 = shaped(
+      readTaggedLive(spark, root, mF, mF.files.filterNot(toSet)),
+      sF.fieldNames.toSet)
+    // common files: only a DV change moves rows between the snapshots
+    val changed = mT.files.filter(f => fromSet(f) &&
+      mF.dvsOrEmpty.get(f) != mT.dvsOrEmpty.get(f))
+    val (ins, del) =
+      if (changed.isEmpty) (ins0, del0)
+      else {
+        val raw = readTagged(spark, root, mT, changed)
+        def dead(m: Manifest): DataFrame = {
+          val dvMap = m.dvsOrEmpty.filter { case (f, _) => changed.contains(f) }
+          val relToAbs = dvMap.keysIterator.map(f => (f, absPath(root, f))).toSeq
+          if (dvMap.isEmpty)
+            spark.createDataFrame(Seq.empty[(String, Long)])
+              .toDF("__dv_file", "__dv_pos")
+          else dvPositionsRel(spark, root, dvMap)
+            .join(broadcast(spark.createDataFrame(relToAbs)
+              .toDF("__dv_rel", "__dv_file")), "__dv_rel")
+            .select(col("__dv_file"), col("__dv_pos"))
+        }
+        val deadF = dead(mF); val deadT = dead(mT)
+        def minus(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b.toDF("__b_file", "__b_pos"),
+            a("__dv_file") === col("__b_file") && a("__dv_pos") === col("__b_pos"),
+            "left_anti")
+        def rowsAt(posSet: DataFrame): DataFrame =
+          shaped(raw.join(broadcast(posSet),
+              raw(TagFile) === posSet("__dv_file") && raw(TagPos) === posSet("__dv_pos"),
+              "left_semi"),
+            sT.fieldNames.toSet)
+        (ins0.unionAll(rowsAt(minus(deadF, deadT))),
+          del0.unionAll(rowsAt(minus(deadT, deadF))))
+      }
+    // NET semantics: a rewrite (compact/merge/optimize) re-stages existing
+    // rows into new files — identical rows on both sides cancel, multiset
+    // style (exceptAll), so pure rewrites diff EMPTY. The cancellation
+    // join is churn-sized, never table-sized.
+    ins.exceptAll(del).withColumn("_change", lit("insert"))
+      .unionAll(del.exceptAll(ins).withColumn("_change", lit("delete")))
+  }
+
   /** Replace the table contents with `df` (zero rows allowed) atomically. */
   def overwrite(df: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
     val base = currentVersion(root)
