@@ -1559,6 +1559,40 @@ object CommitLog {
       .unionAll(del.exceptAll(ins).withColumn("_change", lit("delete")))
   }
 
+  /** Last committed batchId for a streaming appId, if any — the replay
+    * guard a caller can consult BEFORE computing an expensive batch body
+    * (the committing writers re-check under their own read of the
+    * manifest, so this is an optimization, not the correctness gate).
+    */
+  def txnWatermark(root: String, appId: String): Option[Long] =
+    currentVersion(root)
+      .flatMap(v => readManifest(root, v).txnOrEmpty.get(appId))
+
+  /** [[overwrite]] with the streaming txn watermark (the exactly-once
+    * contract of [[appendTxn]], for sinks that REPLACE state per batch —
+    * e.g. incremental-view maintenance): a replayed batchId returns the
+    * current version without committing.
+    */
+  def overwriteTxn(df: DataFrame, root: String, appId: String,
+      batchId: Long): Long = {
+    val base = currentVersion(root)
+    val prior = base.map(readManifest(root, _))
+    val last = prior.map(_.txnOrEmpty.getOrElse(appId, Long.MinValue))
+      .getOrElse(Long.MinValue)
+    if (batchId <= last) return base.get // replay — already committed
+    val v = base.getOrElse(0L) + 1
+    val spec = prior.map(_.partitionByOrNil).getOrElse(Nil)
+    prior.foreach(guardNewColumns(_, df.schema))
+    val add = if (df.isEmpty) Nil else stageWithStats(df, root, spec,
+      colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
+      props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
+    enforceConstraints(df.sparkSession, root, prior, add, df.schema)
+    commitDelta(root, prior, Commit(v, "overwrite", df.schema.json, add,
+      prior.map(_.files).getOrElse(Nil), spec,
+      prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId)))
+    v
+  }
+
   /** Replace the table contents with `df` (zero rows allowed) atomically. */
   def overwrite(df: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
     val base = currentVersion(root)

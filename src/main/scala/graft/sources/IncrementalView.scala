@@ -38,13 +38,38 @@ object IncrementalView {
     val toV = CommitLog.currentVersion(srcRoot)
       .getOrElse(throw new IllegalStateException(s"no commits at $srcRoot"))
     if (toV == fromV) return toV
-    val delta = CommitLog.changes(spark, srcRoot, fromV, toV)
-      .groupBy(groupCols.map(col).toIndexedSeq: _*)
+    val combined = combine(spark, viewRoot,
+      aggDelta(CommitLog.changes(spark, srcRoot, fromV, toV),
+        groupCols, valueCol), groupCols)
+    CommitLog.overwrite(combined, viewRoot)
+    // persist the view's identity + reflected source version on the view
+    // itself (one metadata commit) and register it for the MvRewrite
+    // optimizer rule — the recorded version is the rewrite's exactness
+    // gate, so it must land atomically with every refresh
+    CommitLog.setTableProperties(viewRoot, Map(
+      "mv.src" -> srcRoot,
+      "mv.group" -> groupCols.mkString(","),
+      "mv.value" -> valueCol,
+      "mv.srcVersion" -> toV.toString))
+    MvRegistry.register(MvRegistry.Mv(srcRoot, viewRoot, groupCols,
+      valueCol, toV))
+    toV
+  }
+
+  /** Per-group (cnt, sum_val) aggregate of a delta slice —
+    * sum(DECIMAL(18,6)) widens to (28,6); pin the stored type so every
+    * view version carries the same schema.
+    */
+  private def aggDelta(rows: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    rows.groupBy(groupCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"),
-        // sum(DECIMAL(18,6)) widens to (28,6); pin the stored type so every
-        // view version carries the same schema
         sum(col(valueCol).cast(dec)).cast(dec).as("sum_val"))
-    val combined = CommitLog.currentVersion(viewRoot) match {
+
+  /** Fold an aggregated delta into the stored view state. */
+  private def combine(spark: SparkSession, viewRoot: String,
+      delta: DataFrame, groupCols: Seq[String]): DataFrame =
+    CommitLog.currentVersion(viewRoot) match {
       case None => delta
       case Some(_) =>
         val prior = CommitLog.read(spark, viewRoot).toDF(
@@ -59,19 +84,30 @@ object IncrementalView {
             (coalesce(col("p_sum"), lit(0).cast(dec)) +
               coalesce(col("sum_val"), lit(0).cast(dec))).cast(dec).as("sum_val")): _*)
     }
-    CommitLog.overwrite(combined, viewRoot)
-    // persist the view's identity + reflected source version on the view
-    // itself (one metadata commit) and register it for the MvRewrite
-    // optimizer rule — the recorded version is the rewrite's exactness
-    // gate, so it must land atomically with every refresh
-    CommitLog.setTableProperties(viewRoot, Map(
-      "mv.src" -> srcRoot,
-      "mv.group" -> groupCols.mkString(","),
-      "mv.value" -> valueCol,
-      "mv.srcVersion" -> toV.toString))
-    MvRegistry.register(MvRegistry.Mv(srcRoot, viewRoot, groupCols,
-      valueCol, toV))
-    toV
+
+  /** Streaming maintenance: fold ONE micro-batch of source rows into the
+    * view, exactly once — the `foreachBatch` body of a live-dashboard
+    * sink. The fold is the SAME combine [[refresh]] uses (so stream ≡
+    * batch bit-for-bit — exact decimal sums are order- and
+    * batching-independent); idempotence comes from the view table's own
+    * txn watermark: a replayed batchId returns without committing. A
+    * streaming view carries no `mv.srcVersion` (there is no source TABLE
+    * version to reflect), so the MvRewrite rule never reroutes to it —
+    * serving is explicit via [[serve]].
+    */
+  def foldBatch(
+      batch: DataFrame,
+      viewRoot: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      appId: String,
+      batchId: Long): Long = {
+    val spark = batch.sparkSession
+    if (CommitLog.txnWatermark(viewRoot, appId).exists(batchId <= _))
+      return CommitLog.currentVersion(viewRoot).get // replay — no-op
+    val combined = combine(spark, viewRoot,
+      aggDelta(batch, groupCols, valueCol), groupCols)
+    CommitLog.overwriteTxn(combined, viewRoot, appId, batchId)
   }
 
   /** Serving projection: exact decimals cast to double for consumers. */

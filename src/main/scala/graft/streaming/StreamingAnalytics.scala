@@ -132,6 +132,27 @@ object StreamingAnalytics {
       ()
     }
 
+  /** Streaming twin of q59/q130's incremental materialized view: each
+    * micro-batch folds its per-group (count, exact-decimal sum) delta
+    * into the view table — a live dashboard aggregate maintained at
+    * ingest, group-cardinality-sized however much data streams through.
+    * The fold is [[graft.sources.IncrementalView.refresh]]'s own combine
+    * (exact decimal sums are order- and batching-independent, so the
+    * streamed view ≡ one batch aggregate bit-for-bit), and replays are
+    * no-ops via the view table's txn watermark (the state IS the table —
+    * no state store). The per-batch overwrite is the right cost model:
+    * the view is dimension-sized, so rewriting it per trigger is
+    * KB-scale metadata work, while the alternative (appending deltas and
+    * compacting at read) would push a re-aggregation onto every reader.
+    */
+  def incrementalViewSink(viewRoot: String, groupCols: Seq[String],
+      valueCol: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.sources.IncrementalView.foldBatch(
+        batch, viewRoot, groupCols, valueCol, appId, batchId)
+      ()
+    }
+
   /** Streaming twin of q95/q67's benchmark-contamination screen: each
     * micro-batch of newly landed documents (doc_id, text) is shingled,
     * prescreened by the DRIVER-HELD eval bloom sketch (re-inserted as a

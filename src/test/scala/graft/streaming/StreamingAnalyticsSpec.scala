@@ -133,6 +133,47 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       math.floor(1e12 * (1.0 / v.toDouble)).toLong)
   }
 
+  test("streaming incremental view equals the batch aggregate and " +
+      "replays exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("event_id", "event_type", "value")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivw-stream").toString
+    val sink = incrementalViewSink(root, Seq("event_type"), "value", "ivw-spec")
+    val rows = events.as[(Long, String, Double)].collect().sortBy(_._1)
+    val (b0, b1) = rows.splitAt(rows.length / 3)
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("event_id", "event_type", "value").writeStream
+      .foreachBatch(sink).start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    def viewRows = graft.sources.IncrementalView.serve(spark, root)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("sum_value"))).toSet
+    val streamed = viewRows
+    val batch = events.groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum($"value".cast("decimal(18,6)"))
+          .cast("decimal(18,6)").cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // restart replay of the last micro-batch is a no-op (exactly-once):
+    // without the watermark this would double-fold b1
+    val vBefore = graft.sources.CommitLog.currentVersion(root)
+    sink(b1.toSeq.toDF("event_id", "event_type", "value"), 1L)
+    assert(graft.sources.CommitLog.currentVersion(root) == vBefore)
+    assert(viewRows == streamed)
+    // a fresh batch keeps folding
+    sink(Seq((-1L, "zz_new_type", 2.5)).toDF("event_id", "event_type", "value"), 2L)
+    assert(viewRows.contains(("zz_new_type", 1L, 2.5)))
+  }
+
   test("streaming contamination screen equals batch q67 and appends exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
