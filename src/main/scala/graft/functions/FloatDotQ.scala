@@ -149,6 +149,15 @@ object GraftFunctions {
           .toAggregateExpression()
       },
       "built-in")
+    // Unicode NFC normalization (text hygiene before tokenize/dedup) —
+    // named to match DuckDB's function, which is what lets the q134
+    // oracle value-prove Java's normalizer against utf8proc's.
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(args.head)
+      },
+      "built-in")
     // BPE encoding for SQL/JDBC clients: merge list as a literal spec
     // ("a b,th e" — pairs comma-separated, symbols space-separated; BPE
     // symbols come from whitespace-split words, so they can never contain

@@ -607,13 +607,15 @@ object TableOps {
                  |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
         s.sql(
           """SELECT o_orderstatus, count(*) AS n,
-            |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+            |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+            |  sum(o_orderkey) AS key_sum
             |FROM q128_t GROUP BY o_orderstatus
             |ORDER BY o_orderstatus""".stripMargin)
       },
       oracle = Some(
         """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-          |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+          |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
           |FROM orders GROUP BY o_orderstatus
           |ORDER BY o_orderstatus""".stripMargin)),
 

@@ -166,6 +166,49 @@ object TextAnalysis {
 
   val queries: Map[String, QueryDef] = Map(
 
+    // Unicode NFC hygiene audit — the normalization pass an LLM corpus
+    // runs before tokenization/dedup (decomposed accents and legacy
+    // combining forms hash and shingle differently, so un-normalized
+    // corpora under-dedup and fragment token statistics). Every 50th doc
+    // gets a PLANTED decomposed suffix (" e" + U+0301 + "clat", the
+    // q45 planted-duplicate idiom), and the audit reports per-language
+    // how many documents NFC actually changes and how many code points
+    // composition saves. graft normalizes through the native
+    // [[graft.functions.NfcNormalize]] codegen expression (isNormalized
+    // fast path: ASCII rows return the input with zero allocation);
+    // DuckDB re-normalizes with its own utf8proc `nfc_normalize`, so a
+    // green hash value-proves the two engines' Unicode normalizers agree
+    // on this corpus. Per-row, zero shuffles before the tiny per-lang
+    // aggregate — the plan shape survives any corpus size.
+    "q134_nfc_audit" -> QueryDef(
+      fn = { (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        docs(s, dir)
+          .withColumn("t",
+            when(col("doc_id") % 50 === 0,
+              concat(col("text"), lit(" e\u0301clat")))
+              .otherwise(col("text")))
+          .withColumn("norm", expr("nfc_normalize(t)"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("norm") =!= col("t"), 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(length(col("t")) - length(col("norm"))).as("chars_saved"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(
+        """WITH w AS (
+          |  SELECT lang,
+          |    CASE WHEN doc_id % 50 = 0
+          |      THEN text || ' e' || chr(769) || 'clat' ELSE text END AS t
+          |  FROM documents)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_changed,
+          |  CAST(sum(length(t) - length(nfc_normalize(t))) AS BIGINT)
+          |    AS chars_saved
+          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Language ID: stopword-profile scores, argmax with fixed tie order
     // (profile order above, then 'und' = undetermined when all scores 0);
     // rolled up to counts per predicted language.
