@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Exact._
-import graft.operators.{Analytic, Corpus, Dedup, QueryDef, Relational, Similarity, TableOps, TextAnalysis}
+import graft.operators.{Analytic, Corpus, Dedup, QueryDef, Relational, Similarity, TableOps, TextAnalysis, TextIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +28,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryDef.queriesOf(Relational.queries, Analytic.queries, Dedup.queries,
       Similarity.queries, TextAnalysis.queries, TableOps.queries, Corpus.queries,
-      graft.semantic.ReferenceCubes.queries,
+      TextIndex.queries, graft.semantic.ReferenceCubes.queries,
       graft.multimodal.Multimodal.queries) ++ base
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -70,7 +70,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueryDef.oraclesOf(Relational.queries, Analytic.queries, Dedup.queries,
       Similarity.queries, TextAnalysis.queries, TableOps.queries, Corpus.queries,
-      graft.semantic.ReferenceCubes.queries,
+      TextIndex.queries, graft.semantic.ReferenceCubes.queries,
       graft.multimodal.Multimodal.queries) ++ baseOracle
 
   private def baseOracle: Map[String, String] = Map(
