@@ -201,5 +201,39 @@ object TextIndex {
           CommitLog.read(s, s"$root/doclen"),
           terms = Seq("spark", "table", "query"))
       },
-      oracle = TextAnalysis.queries("q49_bm25").oracle))
+      oracle = TextAnalysis.queries("q49_bm25").oracle),
+
+    // The index PAIR committed atomically: q135's postings+sizes releases
+    // go through CommitLog.multiAppend — each release (initial, delta) is
+    // ONE cross-table transaction, so no reader can ever join new
+    // postings against old sizes (the inconsistency window two
+    // independent appends leave). The serving plan is unchanged and the
+    // oracle is q98's verbatim: a green hash proves the transactional
+    // path commits exactly what the two-append path commits — plus the
+    // consistentSnapshot pin proves the cut the query reads is a
+    // transaction boundary. At 100 TB the prepare phase streams index
+    // shards at cluster width; the atomic visibility point stays one
+    // KB-scale marker write.
+    "q137_txn_index_pair" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = docs(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q137-txnidx").toString
+        val deltaCond = col("doc_id") % 7 === 3
+        val (p0, z0) = shingleIndex(d.filter(!deltaCond))
+        CommitLog.multiAppend(Seq(
+          p0 -> s"$root/postings", z0 -> s"$root/sizes"), s"$root/txn")
+        val (pd, zd) = shingleIndex(d.filter(deltaCond))
+        CommitLog.multiAppend(Seq(
+          pd -> s"$root/postings", zd -> s"$root/sizes"), s"$root/txn")
+        val cut = CommitLog.consistentSnapshot(
+          Seq(s"$root/postings", s"$root/sizes"))
+        jaccardTopK(
+          CommitLog.read(s, s"$root/postings",
+            version = Some(cut(s"$root/postings"))),
+          CommitLog.read(s, s"$root/sizes",
+            version = Some(cut(s"$root/sizes"))),
+          isQueryDoc = col("doc_id") % 97 === 0, k = 3)
+      },
+      oracle = Dedup.queries("q98_lexical_topk").oracle))
 }

@@ -54,6 +54,12 @@ object CommitLog {
 
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** A multi-table transaction lost its marker race: some table's prepare
+    * was force-aborted by a concurrent resolver before the coordinator
+    * could publish the committed marker. No table shows any effect.
+    */
+  final class TxnAbortedException(msg: String) extends RuntimeException(msg)
+
   /** Full checkpoint every this many commits. Delta's default is 10. */
   private[sources] val CheckpointInterval = 10L
 
@@ -177,7 +183,13 @@ object CommitLog {
       // Null/0 on every other op and on pre-branch clone logs (which then
       // simply cannot fast-forward; they still read fine).
       cloneSrc: String = null,
-      cloneVer: Long = 0L) {
+      cloneVer: Long = 0L,
+      // multi-table transaction marker (op == "txn-append" only): the
+      // ABSOLUTE path of the coordinator's decision file. The commit's
+      // effects are real iff that marker says "committed"; fold resolves
+      // it (forcing a decision on stale undecided markers — Percolator's
+      // lazy lock cleanup). Null on every single-table commit.
+      multiTxn: String = null) {
     def addOrNil: Seq[FileStat] = Option(add).getOrElse(Nil)
     def removeOrNil: Seq[String] = Option(remove).getOrElse(Nil)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
@@ -324,6 +336,20 @@ object CommitLog {
   }
 
   private def foldCommit(prior: Option[Manifest], c: Commit): Manifest = {
+    // Multi-table prepare: effective only once its coordinator marker says
+    // "committed" — txnCommitted force-decides stale undecided markers, so
+    // a fold's outcome is deterministic and permanent from the first time
+    // anyone resolves it (decided states are cached; markers are never
+    // vacuumed). An aborted/losing prepare folds as a NO-OP: the version
+    // number stays occupied (the chain keeps its density) but nothing
+    // changes — on a fresh table it leaves an empty shell with the
+    // prepare's schema.
+    if (c.multiTxn != null && !txnCommitted(c.multiTxn, c.ts)) {
+      return prior match {
+        case Some(m) => m.copy(version = c.version, op = "txn-aborted")
+        case None => Manifest(c.version, "txn-aborted", c.schemaJson)
+      }
+    }
     val removed = c.removeOrNil.toSet
     // Constraint-carrying ops REPLACE the active CHECK set; everything else
     // inherits. "restore" is in the first group because RESTORE reverts
@@ -1357,6 +1383,173 @@ object CommitLog {
     */
   def streamingSink(root: String, appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => { appendTxn(batch, root, appId, batchId); () }
+
+  // --------------------------------------------------------------------
+  // Multi-table transactions (atomic cross-table visibility)
+  // --------------------------------------------------------------------
+
+  /** How long a resolver waits on an UNDECIDED marker before force-
+    * aborting it. The prepare→marker window is metadata-only (a few JSON
+    * writes), so the default comfortably covers a healthy coordinator;
+    * a marker still undecided past the grace belongs to a crashed one.
+    */
+  private[sources] val TxnGraceConf = "spark.graft.txn.graceMs"
+  private val DefaultTxnGraceMs = 2000L
+
+  private final case class TxnMarker(state: String)
+
+  /** Decided marker states are immutable — cache them so historical folds
+    * never re-read the marker file (one entry per transaction ever seen).
+    */
+  private val txnStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def readMarkerState(marker: Path): Option[String] =
+    if (!Files.exists(marker)) None
+    else
+      try Some(mapper.readValue(Files.readAllBytes(marker),
+        classOf[TxnMarker]).state)
+      catch { case _: Exception => None } // racing link; caller re-checks
+
+  /** Create-if-absent decision write; returns the FINAL state (ours, or
+    * the racing winner's — hard-link creation picks exactly one).
+    */
+  private[sources] def decideMarker(marker: Path, state: String): String = {
+    Files.createDirectories(marker.getParent)
+    val tmp = Files.createTempFile(marker.getParent, ".txn", ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(TxnMarker(state)))
+    try { Files.createLink(marker, tmp); state }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        readMarkerState(marker).getOrElse(state)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Test seam: stage a frame's files without committing (what a crashed
+    * coordinator leaves behind between prepare and marker).
+    */
+  private[sources] def stageForTest(df: DataFrame, root: String): Seq[FileStat] =
+    stageWithStats(df, root, Nil)
+
+  /** Resolve a prepare's coordinator marker, FORCING a decision when it is
+    * undecided: wait out the grace window (in-flight coordinators publish
+    * their marker within milliseconds of the last prepare), then abort it
+    * — Percolator's lazy cleanup of crashed transactions, which is what
+    * makes fold outcomes deterministic (no "maybe later" state survives a
+    * resolution) and checkpoints safe to take above a decided chain.
+    */
+  private def txnCommitted(markerPath: String, commitTs: Long): Boolean = {
+    val cached = txnStateCache.get(markerPath)
+    if (cached != null) return cached == "committed"
+    val marker = Paths.get(markerPath)
+    var st = readMarkerState(marker)
+    if (st.isEmpty) {
+      val grace = org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(TxnGraceConf)).flatMap(_.toLongOption)
+        .getOrElse(DefaultTxnGraceMs)
+      val deadline = math.min(commitTs + grace,
+        System.currentTimeMillis() + grace)
+      while (st.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(25)
+        st = readMarkerState(marker)
+      }
+      if (st.isEmpty) st = Some(decideMarker(marker, "aborted"))
+    }
+    txnStateCache.put(markerPath, st.get)
+    st.get == "committed"
+  }
+
+  /** Atomic multi-table append: every batch lands in its table, and ALL of
+    * them become visible at one instant — the creation of a single
+    * coordinator marker file — or none ever do. The protocol (two-phase,
+    * decided lazily à la Percolator, OSDI'10):
+    *
+    *  1. PREPARE, per table in order: stage data files + publish a
+    *     "txn-append" commit carrying the marker path (`multiTxn`). The
+    *     prepare occupies a version but has NO effect until the marker
+    *     decides — readers fold it as a no-op (and force-abort it if it
+    *     outlives the grace window undecided, so a crashed coordinator
+    *     cannot wedge its tables). Prepares skip checkpointing: a
+    *     checkpoint above an undecided fold would freeze the wrong answer.
+    *  2. COMMIT: one create-if-absent marker write. Atomicity is exactly
+    *     the atomicity of that single hard-link creation — the same
+    *     primitive every single-table commit already trusts. If a
+    *     concurrent resolver aborted us first, the link loses, no table
+    *     shows anything, and [[TxnAbortedException]] reports it.
+    *
+    * Why a table format needs this: derived-table PAIRS (an inverted
+    * index's postings + sizes, an IVF index's centroids + members, a cube
+    * + its rollup) are only correct TOGETHER — two independent appends
+    * leave a window where a reader joins new postings against old sizes.
+    * At 100 TB the prepare phase streams data at full cluster width;
+    * the commit point stays one KB-scale metadata write.
+    *
+    * Returns table root → prepared version. Appends only by design: the
+    * cross-table txn composes with each table's own OCC (each prepare
+    * retries independently; rewriting ops would need cross-table conflict
+    * analysis that appends don't).
+    */
+  def multiAppend(batches: Seq[(DataFrame, String)],
+      coord: String): Map[String, Long] = {
+    require(batches.nonEmpty, "multiAppend needs at least one batch")
+    val roots = batches.map(_._2)
+    require(roots.distinct.size == roots.size,
+      "one batch per table root (combine duplicates with union first)")
+    Files.createDirectories(Paths.get(coord))
+    val markerPath = Paths.get(coord)
+      .resolve(s"txn-${UUID.randomUUID()}.json").toAbsolutePath.toString
+    val versions = batches.map { case (df, root) =>
+      root -> withRetry() {
+        val base = currentVersion(root)
+        val prior = base.map(readManifest(root, _))
+        val v = base.getOrElse(0L) + 1
+        val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
+          .getOrElse(df.schema)
+        val spec = effectiveSpec(prior, Nil)
+        prior.foreach(guardNewColumns(_, schema))
+        val add = stageWithStats(df, root, spec,
+          colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
+          props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
+        enforceConstraints(df.sparkSession, root, prior, add, schema)
+        publish(root, Commit(v, "txn-append", schema.json, add, Nil, spec,
+          prior.map(_.txnOrEmpty).getOrElse(Map.empty),
+          multiTxn = markerPath))
+        v
+      }
+    }.toMap
+    val st = decideMarker(Paths.get(markerPath), "committed")
+    txnStateCache.put(markerPath, st)
+    if (st != "committed")
+      throw new TxnAbortedException(
+        s"multi-table transaction $markerPath was force-aborted by a " +
+          "concurrent resolver during prepare; no table shows any effect")
+    versions
+  }
+
+  /** A consistent cross-table version cut: per-table current versions
+    * re-read until a full pass observes no movement. Combined with marker
+    * resolution being deterministic (decided once, cached forever), the
+    * returned pins can never show a multi-table transaction partially —
+    * a prepare landing mid-scan moves its table's head and forces another
+    * pass. Pin these versions (`CommitLog.read(..., version = Some(v))`)
+    * to hold one transaction-consistent view across an arbitrary number
+    * of reads — the multi-table analogue of a single table's snapshot
+    * isolation, priced at two metadata probes per table per attempt.
+    */
+  def consistentSnapshot(roots: Seq[String],
+      maxAttempts: Int = 20): Map[String, Long] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val first = roots.map(r => r -> currentVersion(r))
+      val second = roots.map(r => r -> currentVersion(r))
+      if (first == second)
+        return first.collect { case (r, Some(v)) => r -> v }.toMap
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"no quiescent cut across ${roots.size} tables in $maxAttempts " +
+        "attempts (sustained concurrent commits)")
+  }
 
   /** Optimistic-concurrency retry loop: re-run `commit` (which must
     * re-read the current version itself, as every DML here does) until it
