@@ -183,6 +183,24 @@ object GraftFunctions {
         BpeEncode(args.head, merges)
       },
       "built-in")
+    // Unigram-LM Viterbi word scoring for SQL/JDBC clients: vocabulary as
+    // a literal spec ("th:-45,e:-30|unk:-100"). Same native expression
+    // the Scala API uses.
+    reg.createOrReplaceTempFunction("unigram_score",
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "unigram_score takes (word, 'p:s,p:s|unk:floor' vocab spec)")
+        val spec = args(1) match {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.StringType =>
+            String.valueOf(e.eval())
+          case other => throw new IllegalArgumentException(
+            s"unigram_score vocab spec must be a STRING literal, got $other")
+        }
+        val (pieces, unk) = UnigramScore.parseSpec(spec)
+        UnigramScore(args.head, pieces, unk)
+      },
+      "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       (args: Seq[Expression]) => {
         require(args.length == 2,

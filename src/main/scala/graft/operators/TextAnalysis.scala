@@ -30,6 +30,30 @@ object TextAnalysis {
 
   private def toksCol: Column = Text.toksCol
 
+  /** q138's fixed unigram vocabulary: integer piece scores (quantized
+    * log-probs, the shape a SentencePiece trainer emits), common English
+    * fragments + single letters; anything else pays the per-code-point
+    * unknown floor. ONE definition feeds both the Spark spec literal and
+    * the oracle's struct-list literal, so the engines can never drift.
+    */
+  private val unigramVocab: Seq[(String, Long)] = Seq(
+    "the" -> -70L, "ing" -> -80L, "ion" -> -85L,
+    "th" -> -55L, "he" -> -50L, "in" -> -52L, "er" -> -54L, "an" -> -53L,
+    "re" -> -56L, "on" -> -55L, "at" -> -57L, "es" -> -55L, "te" -> -57L,
+    "ti" -> -58L,
+    "a" -> -38L, "e" -> -35L, "i" -> -40L, "o" -> -40L, "u" -> -45L,
+    "s" -> -42L, "t" -> -40L, "n" -> -41L, "r" -> -43L, "l" -> -44L,
+    "d" -> -45L, "c" -> -46L, "h" -> -44L, "m" -> -46L, "p" -> -47L,
+    "b" -> -48L, "g" -> -48L, "f" -> -49L, "w" -> -49L, "y" -> -48L,
+    "v" -> -50L, "k" -> -51L, "x" -> -55L, "z" -> -56L, "j" -> -55L,
+    "q" -> -56L)
+  private val unigramUnk = -100L
+  private val unigramMaxLen =
+    unigramVocab.map(p => p._1.codePointCount(0, p._1.length)).max
+  private val unigramSpec =
+    unigramVocab.map { case (p, sc) => s"$p:$sc" }.mkString(",") +
+      s"|unk:$unigramUnk"
+
   /** Character-trigram profiles (high-frequency trigrams per language,
     * space-padded word boundaries included) for the n-gram language-ID
     * variant — same argmax cascade as the stopword profiles.
@@ -208,6 +232,77 @@ object TextAnalysis {
           |  CAST(sum(length(t) - length(nfc_normalize(t))) AS BIGINT)
           |    AS chars_saved
           |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Unigram-LM tokenizer segmentation (SentencePiece's inference step,
+    // Kudo ACL'18) under the oracle gate: every DISTINCT word is Viterbi-
+    // segmented against a fixed integer-scored piece vocabulary by the
+    // native [[graft.functions.UnigramScore]] codegen expression, and
+    // DuckDB RE-RUNS the same DP as a recursive CTE carrying the best-
+    // score vector as a list — pure integer arithmetic, so the per-word
+    // (max score, min piece count) pair must match bit-for-bit. Emitting
+    // the optimal VALUE rather than the piece sequence makes the contract
+    // tie-proof: the max is unique even when segmentations tie, so no
+    // tie-break rule needs replicating cross-engine. Scale shape: the
+    // O(len × maxPiece) DP runs once per VOCABULARY entry (distinct
+    // words), never per token — the q70 collapse discipline — then joins
+    // back to occurrence counts; with BPE (q117/q118/q129) this closes
+    // the second major subword-tokenizer family.
+    "q138_unigram_segment" -> QueryDef(
+      fn = { (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val d = docs(s, dir)
+        val occ = d.withColumn("toks", toksCol)
+          .select(col("lang"), explode(col("toks")).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("occ"))
+        val scored = occ.select("w").distinct()
+          .withColumn("sc", expr(s"unigram_score(w, '$unigramSpec')"))
+          .select(col("w"), col("sc")(0).as("score"),
+            col("sc")(1).as("pieces"))
+        occ.join(scored, Seq("w"))
+          .groupBy("lang")
+          .agg(sum(col("occ")).as("n_words"),
+            sum(col("occ") * col("pieces")).as("n_pieces"),
+            sum(col("occ") * col("score")).as("total_score"))
+          .orderBy("lang")
+      },
+      oracle = Some {
+        val vl = unigramVocab.map { case (p, sc) =>
+          s"{'p':'$p','sc':$sc}"
+        }.mkString(", ")
+        s"""WITH RECURSIVE
+           |occ AS (
+           |  SELECT lang,
+           |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+           |  FROM documents),
+           |oc AS (SELECT lang, w, count(*) AS occ FROM occ GROUP BY 1, 2),
+           |wd AS (SELECT DISTINCT w FROM oc),
+           |vv AS (SELECT [$vl] AS vl),
+           |r AS (
+           |  SELECT wd.w AS w, 0 AS i,
+           |    [{'s': CAST(0 AS BIGINT), 'nc': CAST(0 AS BIGINT)}] AS best
+           |  FROM wd
+           |  UNION ALL
+           |  SELECT w, i + 1,
+           |    list_append(best,
+           |      list_aggregate(
+           |        list_filter(
+           |          list_transform(range(1, least(i + 1, $unigramMaxLen) + 1), L ->
+           |            {'s': best[i + 2 - L].s + coalesce(
+           |                    list_filter(vl, z -> z.p = substr(w, i + 2 - L, L))[1].sc,
+           |                    CASE WHEN L = 1 THEN $unigramUnk ELSE NULL END),
+           |             'nc': best[i + 2 - L].nc - 1}),
+           |          x -> x.s IS NOT NULL),
+           |        'max'))
+           |  FROM r, vv WHERE i < len(w)),
+           |sc AS (
+           |  SELECT w, best[len(w) + 1].s AS score, -best[len(w) + 1].nc AS pieces
+           |  FROM r WHERE i = len(w))
+           |SELECT lang, CAST(sum(occ) AS BIGINT) AS n_words,
+           |  CAST(sum(occ * pieces) AS BIGINT) AS n_pieces,
+           |  CAST(sum(occ * score) AS BIGINT) AS total_score
+           |FROM oc JOIN sc USING (w)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // Language ID: stopword-profile scores, argmax with fixed tie order
     // (profile order above, then 'und' = undetermined when all scores 0);
