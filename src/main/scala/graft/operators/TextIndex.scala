@@ -138,6 +138,26 @@ object TextIndex {
       .orderBy("doc_id")
   }
 
+  /** `foreachBatch` body maintaining the shingle-index PAIR from a
+    * document stream, exactly-once: each micro-batch's postings + sizes
+    * commit as ONE multi-table transaction
+    * ([[CommitLog.multiAppendTxn]]), so the watermark advances atomically
+    * with both tables — a replayed batch is a no-op, and no reader ever
+    * joins a batch's postings against pre-batch sizes. The streaming twin
+    * of q135's nightly build: per-trigger cost is O(batch), the index
+    * tables ARE the state (no state store), and index versions stay
+    * time-travelable releases.
+    */
+  def shingleIndexSink(indexRoot: String,
+      appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val (p, z) = shingleIndex(batch)
+      CommitLog.multiAppendTxn(Seq(
+        p -> s"$indexRoot/postings", z -> s"$indexRoot/sizes"),
+        s"$indexRoot/txn", appId, batchId)
+      ()
+    }
+
   // ------------------------------------------------------------------
   // Oracle-gated exposures
   // ------------------------------------------------------------------

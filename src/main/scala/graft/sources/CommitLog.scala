@@ -1526,6 +1526,79 @@ object CommitLog {
     versions
   }
 
+  /** Signals a duplicate multi-table batch detected mid-prepare: some
+    * table's transaction watermark already covers this (appId, batchId) —
+    * a racing driver's identical txn won. Internal control flow only.
+    */
+  private final class TxnReplay extends RuntimeException
+
+  /** Exactly-once multi-table append (the appendTxn × multiAppend
+    * composition, for `foreachBatch` sinks maintaining DERIVED TABLE
+    * PAIRS): the per-table txn watermark (appId → batchId) rides inside
+    * each prepare, so watermark advancement is atomic with the data —
+    * an aborted txn advances nothing, a committed one advances every
+    * table at the marker instant. Replays (Structured Streaming retries,
+    * duplicate drivers) are detected either up front (all watermarks
+    * covered → no-op) or mid-prepare (a racing identical txn won a
+    * table's version → our whole txn self-aborts; the winner carried the
+    * same batch data, so aborting wholesale IS the exactly-once
+    * behavior). Returns current versions either way.
+    */
+  def multiAppendTxn(batches: Seq[(DataFrame, String)], coord: String,
+      appId: String, batchId: Long): Map[String, Long] = {
+    require(batches.nonEmpty, "multiAppendTxn needs at least one batch")
+    def watermark(root: String): Long =
+      currentVersion(root).map(readManifest(root, _))
+        .map(_.txnOrEmpty.getOrElse(appId, Long.MinValue))
+        .getOrElse(Long.MinValue)
+    def currents: Map[String, Long] =
+      batches.map { case (_, r) =>
+        r -> currentVersion(r).getOrElse(0L)
+      }.toMap
+    if (batches.forall { case (_, r) => watermark(r) >= batchId })
+      return currents // full replay — already committed
+    Files.createDirectories(Paths.get(coord))
+    val markerPath = Paths.get(coord)
+      .resolve(s"txn-${UUID.randomUUID()}.json").toAbsolutePath.toString
+    try {
+      val versions = batches.map { case (df, root) =>
+        root -> withRetry() {
+          val base = currentVersion(root)
+          val prior = base.map(readManifest(root, _))
+          if (prior.map(_.txnOrEmpty.getOrElse(appId, Long.MinValue))
+              .getOrElse(Long.MinValue) >= batchId)
+            throw new TxnReplay // racing identical txn won this table
+          val v = base.getOrElse(0L) + 1
+          val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
+            .getOrElse(df.schema)
+          val spec = effectiveSpec(prior, Nil)
+          prior.foreach(guardNewColumns(_, schema))
+          val add = stageWithStats(df, root, spec,
+            colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
+            props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
+          enforceConstraints(df.sparkSession, root, prior, add, schema)
+          publish(root, Commit(v, "txn-append", schema.json, add, Nil, spec,
+            prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId),
+            multiTxn = markerPath))
+          v
+        }
+      }.toMap
+      val st = decideMarker(Paths.get(markerPath), "committed")
+      txnStateCache.put(markerPath, st)
+      if (st != "committed")
+        throw new TxnAbortedException(
+          s"multi-table transaction $markerPath was force-aborted by a " +
+            "concurrent resolver during prepare; no table shows any effect")
+      versions
+    } catch {
+      case _: TxnReplay =>
+        // our prepares (if any) become no-ops; the winner has the data
+        val st = decideMarker(Paths.get(markerPath), "aborted")
+        txnStateCache.put(markerPath, st)
+        currents
+    }
+  }
+
   /** A consistent cross-table version cut: per-table current versions
     * re-read until a full pass observes no movement. Combined with marker
     * resolution being deterministic (decided once, cached forever), the

@@ -61,6 +61,41 @@ class TextIndexSpec extends SparkTestBase {
     assert(byId(3L) > 0.0 && byId(5L) > 0.0 && byId(4L) == 0.0)
   }
 
+  test("shingleIndexSink: streamed index ≡ batch build, replays are " +
+      "no-ops, and postings/sizes versions advance in lockstep") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft-idx-stream")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val all = corpus.as[(Long, String)].collect().toSeq
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(TextIndex.shingleIndexSink(root, "idx-test"))
+      .option("checkpointLocation", tmpDir("graft-idx-ckpt"))
+      .start()
+    try {
+      mem.addData(all.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val (pf, zf) = TextIndex.shingleIndex(corpus)
+    val pRead = CommitLog.read(spark, s"$root/postings")
+    val zRead = CommitLog.read(spark, s"$root/sizes")
+    assert(pRead.exceptAll(pf).isEmpty && pf.exceptAll(pRead).isEmpty)
+    assert(zRead.exceptAll(zf).isEmpty && zf.exceptAll(zRead).isEmpty)
+    val cut = CommitLog.consistentSnapshot(
+      Seq(s"$root/postings", s"$root/sizes"))
+    assert(cut(s"$root/postings") == cut(s"$root/sizes"))
+    // manual replay of an already-committed batch: versions unchanged
+    TextIndex.shingleIndexSink(root, "idx-test")(
+      corpus.filter(col("doc_id") <= 3), 0L)
+    assert(CommitLog.consistentSnapshot(
+      Seq(s"$root/postings", s"$root/sizes")) == cut)
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   test("jaccardTopK matches a brute-force recompute and plans no " +
       "cartesian product") {
     val (p, z) = TextIndex.shingleIndex(corpus)

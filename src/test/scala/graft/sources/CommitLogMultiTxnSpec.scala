@@ -94,6 +94,33 @@ class CommitLogMultiTxnSpec extends SparkTestBase {
     assert(CommitLog.read(spark, a).count() == 1)
   }
 
+  test("vacuum reclaims an aborted txn's staged files; a committed txn's " +
+      "survive") {
+    val (a, coord) = (tmp("mt-a5"), tmp("mt-coord5"))
+    CommitLog.multiAppend(Seq(
+      Seq((1L, "keep")).toDF("id", "v") -> a), coord)
+    // crashed prepare → force-aborted on resolution → its files orphan
+    val marker = Paths.get(coord).resolve("txn-orphan.json")
+      .toAbsolutePath.toString
+    CommitLog.publish(a, CommitLog.Commit(2L, "txn-append",
+      Seq((2L, "ghost")).toDF("id", "v").schema.json,
+      add = CommitLog.stageForTest(Seq((2L, "ghost")).toDF("id", "v"), a),
+      multiTxn = marker, ts = System.currentTimeMillis() - 60000L))
+    spark.conf.set(CommitLog.TxnGraceConf, "50")
+    try {
+      assert(CommitLog.read(spark, a).count() == 1) // resolves → aborted
+      val doomed = CommitLog.vacuumDryRun(a, keepVersions = 10,
+        retentionMs = 0L)
+      assert(doomed.nonEmpty, "aborted staging should be reclaimable")
+      CommitLog.vacuum(a, keepVersions = 10, retentionMs = 0L)
+      // committed data intact, ghost files gone
+      assert(CommitLog.read(spark, a).as[(Long, String)].collect()
+        .toSeq == Seq((1L, "keep")))
+      assert(CommitLog.vacuumDryRun(a, keepVersions = 10,
+        retentionMs = 0L).isEmpty)
+    } finally spark.conf.unset(CommitLog.TxnGraceConf)
+  }
+
   test("consistentSnapshot pins a quiescent cut that advances with a txn") {
     val (a, b, coord) = (tmp("mt-a4"), tmp("mt-b4"), tmp("mt-coord4"))
     CommitLog.multiAppend(Seq(
