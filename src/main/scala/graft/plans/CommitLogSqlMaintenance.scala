@@ -67,6 +67,10 @@ object CommitLogSqlMaintenance {
   // merged per-file HLL sketches) — one row per schema column
   private val StatsRe =
     """(?is)^\s*DESCRIBE\s+STATS\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
+  // Delta's FSCK as a statement: verify manifest ↔ storage, optionally
+  // committing the repairs
+  private val FsckRe =
+    """(?is)^\s*FSCK\s+TABLE\s+((?:`[^`]+`|[\w.])+)(\s+REPAIR)?\s*;?\s*$""".r
   // Delta's published syntax for materializing deletion vectors away
   private val ReorgPurgeRe =
     """(?is)^\s*REORG\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
@@ -119,6 +123,9 @@ object CommitLogSqlMaintenance {
         GraftFilesCommand(delegate.parseMultipartIdentifier(ident))
       case StatsRe(ident) =>
         GraftStatsCommand(delegate.parseMultipartIdentifier(ident))
+      case FsckRe(ident, repair) =>
+        GraftFsckCommand(delegate.parseMultipartIdentifier(ident),
+          repair = repair != null)
       case ReorgPurgeRe(ident) =>
         GraftPurgeDvCommand(delegate.parseMultipartIdentifier(ident))
       case CloneRe(dst, src, version) =>
@@ -261,6 +268,24 @@ object CommitLogSqlMaintenance {
         m.constraintsOrEmpty.size.toLong,
         stats.count(_.bloomOpt.isDefined).toLong,
         CommitLog.commitTimestamp(root, v)))
+    }
+  }
+
+  /** `FSCK TABLE t [REPAIR]` → [[CommitLog.fsck]] / [[CommitLog.fsckRepair]]:
+    * one row per inconsistency (kind, path, detail); with REPAIR the
+    * fixes are committed first and the POST-repair scan is returned —
+    * an empty result after REPAIR means the table verifies clean.
+    */
+  case class GraftFsckCommand(parts: Seq[String], repair: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("detail", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val root = rootOf(spark, parts)
+      if (repair) CommitLog.fsckRepair(root)
+      CommitLog.fsck(root).map(i => Row(i.kind, i.path, i.detail))
     }
   }
 

@@ -3347,6 +3347,98 @@ object CommitLog {
   }
 
   // --------------------------------------------------------------------
+  // Integrity: FSCK + repair
+  // --------------------------------------------------------------------
+
+  /** One manifest↔storage inconsistency found by [[fsck]]. `kind` ∈
+    * missing-file | size-mismatch | missing-dv | missing-bloom |
+    * missing-ndv.
+    */
+  final case class FsckIssue(kind: String, path: String, detail: String)
+
+  /** Verify the CURRENT manifest against storage — the operational check
+    * after a botched restore/copy/manual cleanup (the published Delta
+    * FSCK concept). Driver metadata pass: one existence/size probe per
+    * referenced file (data, DV, sidecars), zero data reads — O(files)
+    * against the manifest, never O(bytes). Read-only; [[fsckRepair]]
+    * commits the fixes.
+    */
+  def fsck(root: String): Seq[FsckIssue] = {
+    val cur = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, cur)
+    def probe(rel: String): Option[Long] = {
+      val p = Paths.get(dataPath(root, rel))
+      if (Files.isRegularFile(p)) Some(Files.size(p)) else None
+    }
+    val issues = Seq.newBuilder[FsckIssue]
+    m.statsOrNil.foreach { s =>
+      probe(s.path) match {
+        case None =>
+          issues += FsckIssue("missing-file", s.path,
+            s"manifest v$cur references a data file absent on storage")
+        case Some(sz) if s.bytes > 0L && sz != s.bytes =>
+          issues += FsckIssue("size-mismatch", s.path,
+            s"recorded ${s.bytes} bytes, found $sz")
+        case _ => ()
+      }
+      s.bloomOpt.filter(probe(_).isEmpty).foreach(b =>
+        issues += FsckIssue("missing-bloom", s.path, s"sidecar $b absent"))
+      s.ndvOpt.filter(probe(_).isEmpty).foreach(nv =>
+        issues += FsckIssue("missing-ndv", s.path, s"sidecar $nv absent"))
+    }
+    m.dvsOrEmpty.foreach { case (file, dv) =>
+      if (probe(dv).isEmpty)
+        issues += FsckIssue("missing-dv", file,
+          s"deletion vector $dv absent — file entry must be dropped " +
+            "(reading without it would resurrect deleted rows)")
+    }
+    issues.result()
+  }
+
+  /** Commit the repairs for [[fsck]]'s findings: file entries whose data
+    * file OR deletion vector is gone are REMOVED from the manifest
+    * (Delta's FSCK semantics — acknowledging the loss beats failing every
+    * scan; a missing DV drops its whole entry because reading the file
+    * without it would resurrect deleted rows); entries with a missing
+    * bloom/NDV sidecar are re-added with the reference CLEARED (pruning
+    * falls back to stats, DESCRIBE STATS to declining). Size mismatches
+    * are NOT auto-repaired — recorded stats may no longer describe the
+    * bytes, which needs a rewrite, not a metadata edit. Returns the new
+    * version (current one if nothing to repair).
+    */
+  def fsckRepair(root: String): Long = withRetry() {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val issues = fsck(root)
+    if (issues.isEmpty) return base
+    val dead = issues.collect {
+      case FsckIssue("missing-file" | "missing-dv", p, _) => p
+    }.toSet
+    val sidecarless = issues.collect {
+      case FsckIssue("missing-bloom" | "missing-ndv", p, _) => p
+    }.toSet -- dead
+    val readd = m.statsOrNil.filter(s => sidecarless(s.path)).map { s =>
+      val dropBloom = s.bloomOpt.exists(b =>
+        !Files.isRegularFile(Paths.get(dataPath(root, b))))
+      val dropNdv = s.ndvOpt.exists(nv =>
+        !Files.isRegularFile(Paths.get(dataPath(root, nv))))
+      s.copy(bloom = if (dropBloom) null else s.bloom,
+        ndv = if (dropNdv) null else s.ndv)
+    }
+    // a re-added entry must carry its LIVE deletion vector through the
+    // remove/re-add (fold drops removed paths' DV mappings) — losing it
+    // would resurrect deleted rows
+    val keepDvs = m.dvsOrEmpty.filter { case (f, _) => sidecarless(f) }
+    commitDelta(root, Some(m), Commit(base + 1, "fsck", m.schemaJson,
+      add = readd, remove = (dead ++ sidecarless).toSeq.sorted,
+      partitionBy = m.partitionByOrNil, txn = m.txnOrEmpty,
+      dvs = keepDvs))
+    base + 1
+  }
+
+  // --------------------------------------------------------------------
   // Named refs (tags)
   // --------------------------------------------------------------------
 
