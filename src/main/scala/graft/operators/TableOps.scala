@@ -597,6 +597,39 @@ object TableOps {
     // guarantees min = max per file on the partition column, which is
     // exactly the single-valued condition the MetadataAggregate rule
     // requires — and the values must equal DuckDB's full scan.
+    // Version-keyed result cache under the oracle gate: the aggregate runs
+    // through [[graft.tools.ResultCache]] twice — the first call computes
+    // and publishes an entry keyed on (canonical plan, table version), the
+    // second is a pure cache HIT (one existence probe + a KB parquet read,
+    // base table untouched) — and the HIT's rows are what the oracle
+    // checks, so a stale/corrupt/mis-keyed entry hash-mismatches. At
+    // 100 TB this is the BI tier: repeated dashboard aggregates stop
+    // costing cluster scans, and a commit invalidates exactly by re-key
+    // (no TTLs — entries stay correct for their snapshot forever,
+    // including time-travel reads, which share keys with the version they
+    // pin).
+    "q139_result_cache" -> QueryDef(
+      fn = { (s, dir) =>
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val root = tmp("graft-q139")
+        CommitLog.append(ord, root)
+        val cacheDir = tmp("graft-q139-cache")
+        def q = CommitLog.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("o_orderstatus"))
+        graft.tools.ResultCache.cached(cacheDir, q) // miss: compute+publish
+        graft.tools.ResultCache.cached(cacheDir, q) // hit: entry bytes only
+          .orderBy(col("o_orderstatus"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+          |FROM orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)),
+
     "q128_metadata_group" -> QueryDef(
       fn = { (s, dir) =>
         val ord = Tables.load(s, dir, "orders")
