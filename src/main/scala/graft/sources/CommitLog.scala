@@ -384,7 +384,8 @@ object CommitLog {
     // everything else inherits (pre-props logs and writers stay valid).
     val props =
       if (c.op == "create" || c.op == "set-props" || c.op == "restore" ||
-          c.op == "clone" || c.op == "fast-forward")
+          c.op == "clone" || c.op == "fast-forward" ||
+          (c.op == "overwrite" && c.propsOrEmpty.nonEmpty))
         c.propsOrEmpty
       else prior.map(_.propsOrEmpty).getOrElse(Map.empty)
     Manifest(c.version, c.op, c.schemaJson,
@@ -1860,7 +1861,8 @@ object CommitLog {
   }
 
   /** Replace the table contents with `df` (zero rows allowed) atomically. */
-  def overwrite(df: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
+  def overwrite(df: DataFrame, root: String, partitionBy: Seq[String] = Nil,
+      setProps: Map[String, String] = Map.empty): Long = {
     val base = currentVersion(root)
     val prior = base.map(readManifest(root, _))
     val v = base.getOrElse(0L) + 1
@@ -1870,13 +1872,23 @@ object CommitLog {
       if (partitionBy.nonEmpty) partitionBy
       else prior.map(_.partitionByOrNil).getOrElse(Nil)
     prior.foreach(guardNewColumns(_, df.schema))
+    // `setProps` lands ATOMICALLY with the data (the incremental-view
+    // refresh contract: the recorded mv.srcVersion must never be observable
+    // apart from the rows it describes); an overwrite commit carries the
+    // full post-commit map, overlaid on the prior one, and foldCommit
+    // reads it only when non-empty so prop-less overwrites (and every
+    // historical log) inherit exactly as before.
+    val props0 = prior.map(_.propsOrEmpty).getOrElse(Map.empty)
+    val newProps = if (setProps.isEmpty) Map.empty[String, String]
+      else { validateProps(setProps); props0 ++ setProps }
     val add = if (df.isEmpty) Nil else stageWithStats(df, root, spec,
       colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
-      props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
+      props = if (newProps.isEmpty) props0 else newProps)
     enforceConstraints(df.sparkSession, root, prior, add, df.schema)
     commitDelta(root, prior, Commit(v, "overwrite", df.schema.json, add,
       prior.map(_.files).getOrElse(Nil), spec,
-      prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
+      prior.map(_.txnOrEmpty).getOrElse(Map.empty),
+      props = newProps))
     v
   }
 

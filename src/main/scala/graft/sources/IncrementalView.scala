@@ -41,12 +41,11 @@ object IncrementalView {
     val combined = combine(spark, viewRoot,
       aggDelta(CommitLog.changes(spark, srcRoot, fromV, toV),
         groupCols, valueCol), groupCols)
-    CommitLog.overwrite(combined, viewRoot)
-    // persist the view's identity + reflected source version on the view
-    // itself (one metadata commit) and register it for the MvRewrite
-    // optimizer rule — the recorded version is the rewrite's exactness
-    // gate, so it must land atomically with every refresh
-    CommitLog.setTableProperties(viewRoot, Map(
+    // the view's identity + reflected source version ride IN the
+    // overwrite commit (one atomic commit per refresh) — the recorded
+    // version is the MvRewrite rule's exactness gate, so it must never be
+    // observable apart from the rows it describes
+    CommitLog.overwrite(combined, viewRoot, setProps = Map(
       "mv.src" -> srcRoot,
       "mv.group" -> groupCols.mkString(","),
       "mv.value" -> valueCol,
