@@ -48,6 +48,57 @@ object TextAnalysis {
     "v" -> -50L, "k" -> -51L, "x" -> -55L, "z" -> -56L, "j" -> -55L,
     "q" -> -56L)
   private val unigramUnk = -100L
+
+  /** q140/q141's deterministic PAGE construction (the q45/q134 planted-
+    * artifact idiom): the corpus text carries no newlines, bullets, or
+    * punctuation at all, so the line-level quality rules would be
+    * degenerate on it — instead every doc deterministically becomes a
+    * multi-line "page": tokens chunk into 7-word lines, each line gets a
+    * doc_id-arithmetic terminal ('.', nothing, or '...'), every 5th
+    * (doc_id+i) line a '- ' bullet, and docs at doc_id % 11/13/17 gain a
+    * planted boilerplate/code/lorem line. ONE definition rendered into
+    * both engines' expression languages, so the page the rules see is
+    * bit-identical.
+    */
+  private val pageLinesExpr: String =
+    """concat(
+      |  transform(sequence(0, (size(toks) + 6) div 7 - 1), i ->
+      |    concat(
+      |      CASE WHEN pmod(doc_id + i, 5) = 0 THEN '- ' ELSE '' END,
+      |      concat_ws(' ', slice(toks, i * 7 + 1, 7)),
+      |      CASE pmod(doc_id + i, 3) WHEN 0 THEN '.' WHEN 1 THEN ''
+      |        ELSE '...' END)),
+      |  IF(doc_id % 11 = 0,
+      |    array('enable javascript and cookies to continue'),
+      |    cast(array() as array<string>)),
+      |  IF(doc_id % 13 = 0, array('function() { return; }'),
+      |    cast(array() as array<string>)),
+      |  IF(doc_id % 17 = 0, array('lorem ipsum dolor sit amet'),
+      |    cast(array() as array<string>)))""".stripMargin
+
+  /** DuckDB mirror of [[pageLinesExpr]]: CTE body `pg` supplying
+    * (doc_id, lang, toks, lines) over `documents`.
+    */
+  private val pageLinesSql: String =
+    """pg AS (
+      |  SELECT doc_id, lang, toks,
+      |    list_concat(list_concat(list_concat(
+      |      list_transform(range(0, (len(toks) + 6) // 7), i ->
+      |        concat(
+      |          CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END,
+      |          array_to_string(toks[i * 7 + 1 : i * 7 + 7], ' '),
+      |          CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+      |            WHEN (doc_id + i) % 3 = 1 THEN '' ELSE '...' END)),
+      |      CASE WHEN doc_id % 11 = 0
+      |        THEN ['enable javascript and cookies to continue']
+      |        ELSE [] END),
+      |      CASE WHEN doc_id % 13 = 0 THEN ['function() { return; }']
+      |        ELSE [] END),
+      |      CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum dolor sit amet']
+      |        ELSE [] END) AS lines
+      |  FROM (SELECT doc_id, lang,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents))""".stripMargin
   private val unigramMaxLen =
     unigramVocab.map(p => p._1.codePointCount(0, p._1.length)).max
   private val unigramSpec =
@@ -303,6 +354,150 @@ object TextAnalysis {
            |FROM oc JOIN sc USING (w)
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // The full Gopher quality-rule panel (Rae et al. 2021, Appendix A) as
+    // one per-language audit: word-count bounds, mean-word-length bounds
+    // (integer cross-multiplied — no division), ellipsis-symbol ratio,
+    // bullet-line and ellipsis-line ratios, alphabetic-word ratio, and
+    // stopword presence, each as an integer-exact pass flag summed per
+    // lang plus the all-rules keep count. Runs against the deterministic
+    // constructed page (see [[pageLinesExpr]]) so the line rules actually
+    // discriminate. Pure per-row expression work into one bounded-key
+    // aggregate — zero shuffles before the 5-row rollup at any corpus
+    // size.
+    "q140_gopher_rules" -> QueryDef(
+      fn = { (s, dir) =>
+        val flags = docs(s, dir)
+          .withColumn("toks", toksCol)
+          .withColumn("lines", expr(pageLinesExpr))
+          .withColumn("wc", size(col("toks")).cast("long"))
+          .withColumn("totlen", expr(
+            "aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))"))
+          .withColumn("page", expr("array_join(lines, '\n')"))
+          .withColumn("ell",
+            ((length(col("page")) -
+              length(regexp_replace(col("page"), lit("\\.\\.\\."), lit("")))) / 3)
+              .cast("long"))
+          .withColumn("nlines", size(col("lines")).cast("long"))
+          .withColumn("bullets", expr(
+            "cast(size(filter(lines, l -> left(l, 2) = '- ')) as bigint)"))
+          .withColumn("ellend", expr(
+            "cast(size(filter(lines, l -> right(l, 3) = '...')) as bigint)"))
+          .withColumn("alpha", expr(
+            "cast(size(filter(toks, x -> x rlike '[a-z]')) as bigint)"))
+          .withColumn("stop", Seq("the", "be", "to", "of", "and", "that",
+            "have", "with").map(w =>
+              when(array_contains(col("toks"), w), 1L).otherwise(0L))
+            .reduce(_ + _))
+          .select(col("lang"),
+            (col("wc") >= 50 && col("wc") <= 100000).cast("long").as("f_wc"),
+            (lit(3) * col("wc") <= col("totlen") &&
+              col("totlen") <= lit(10) * col("wc")).cast("long").as("f_mwl"),
+            (lit(10) * col("ell") <= col("wc")).cast("long").as("f_sym"),
+            (lit(10) * col("bullets") <= col("nlines")).cast("long")
+              .as("f_bullet"),
+            (lit(10) * col("ellend") <= lit(3) * col("nlines")).cast("long")
+              .as("f_ellipsis"),
+            (lit(5) * col("alpha") >= lit(4) * col("wc")).cast("long")
+              .as("f_alpha"),
+            (col("stop") >= 2).cast("long").as("f_stop"))
+        flags
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("f_wc").as("pass_wordcount"),
+            sum("f_mwl").as("pass_meanlen"),
+            sum("f_sym").as("pass_symbol"),
+            sum("f_bullet").as("pass_bullet"),
+            sum("f_ellipsis").as("pass_ellipsis"),
+            sum("f_alpha").as("pass_alpha"),
+            sum("f_stop").as("pass_stopword"),
+            sum(col("f_wc") * col("f_mwl") * col("f_sym") * col("f_bullet") *
+              col("f_ellipsis") * col("f_alpha") * col("f_stop"))
+              .as("keep"))
+          .orderBy("lang")
+      },
+      oracle = Some(
+        s"""WITH $pageLinesSql,
+           |fl AS (
+           |  SELECT lang,
+           |    CASE WHEN len(toks) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS f_wc,
+           |    CASE WHEN 3 * len(toks) <= list_sum(list_transform(toks, x -> len(x)))
+           |          AND list_sum(list_transform(toks, x -> len(x))) <= 10 * len(toks)
+           |         THEN 1 ELSE 0 END AS f_mwl,
+           |    CASE WHEN 10 * ((len(page) - len(replace(page, '...', ''))) // 3)
+           |          <= len(toks) THEN 1 ELSE 0 END AS f_sym,
+           |    CASE WHEN 10 * len(list_filter(lines, l -> left(l, 2) = '- '))
+           |          <= len(lines) THEN 1 ELSE 0 END AS f_bullet,
+           |    CASE WHEN 10 * len(list_filter(lines, l -> right(l, 3) = '...'))
+           |          <= 3 * len(lines) THEN 1 ELSE 0 END AS f_ellipsis,
+           |    CASE WHEN 5 * len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           |          >= 4 * len(toks) THEN 1 ELSE 0 END AS f_alpha,
+           |    CASE WHEN (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+           |             + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+           |             + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+           |             + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+           |             + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+           |             + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+           |             + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+           |             + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+           |          >= 2 THEN 1 ELSE 0 END AS f_stop
+           |  FROM (SELECT lang, toks, lines,
+           |          array_to_string(lines, chr(10)) AS page FROM pg))
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(f_wc) AS BIGINT) AS pass_wordcount,
+           |  CAST(sum(f_mwl) AS BIGINT) AS pass_meanlen,
+           |  CAST(sum(f_sym) AS BIGINT) AS pass_symbol,
+           |  CAST(sum(f_bullet) AS BIGINT) AS pass_bullet,
+           |  CAST(sum(f_ellipsis) AS BIGINT) AS pass_ellipsis,
+           |  CAST(sum(f_alpha) AS BIGINT) AS pass_alpha,
+           |  CAST(sum(f_stop) AS BIGINT) AS pass_stopword,
+           |  CAST(sum(f_wc * f_mwl * f_sym * f_bullet * f_ellipsis
+           |    * f_alpha * f_stop) AS BIGINT) AS keep
+           |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C4's line-level cleaning (Raffel et al. 2020 §2.2) under the oracle
+    // gate: keep lines ending in terminal punctuation with ≥ 3 words,
+    // drop boilerplate lines ('javascript', 'lorem ipsum'), and flag
+    // whole pages containing '{' (the code-leak page rule). Emits the
+    // per-doc cleaning manifest — line counts before/after, cleaned char
+    // count, page-drop flag. Pure in-row array work, ZERO shuffles before
+    // the presentation sort; at 100 TB cleaning is one map pass.
+    "q141_c4_clean" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir)
+          .withColumn("toks", toksCol)
+          .withColumn("lines", expr(pageLinesExpr))
+          .withColumn("kept", expr(
+            """filter(lines, l ->
+              |  right(l, 1) IN ('.', '!', '?', '"') AND
+              |  size(split(trim(l), '\\s+')) >= 3 AND
+              |  NOT contains(l, 'javascript') AND
+              |  NOT contains(l, 'lorem ipsum'))""".stripMargin))
+          .select(col("doc_id"),
+            size(col("lines")).cast("long").as("n_lines"),
+            size(col("kept")).cast("long").as("n_kept"),
+            expr("cast(length(array_join(kept, '\n')) as bigint)")
+              .as("clean_chars"),
+            expr("cast(exists(lines, l -> contains(l, '{')) as bigint)")
+              .as("dropped"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH $pageLinesSql,
+           |cl AS (
+           |  SELECT doc_id, lines,
+           |    list_filter(lines, l ->
+           |      right(l, 1) IN ('.', '!', '?', '"')
+           |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+           |      AND NOT contains(l, 'javascript')
+           |      AND NOT contains(l, 'lorem ipsum')) AS kept
+           |  FROM pg)
+           |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           |  CAST(len(kept) AS BIGINT) AS n_kept,
+           |  CAST(len(array_to_string(kept, chr(10))) AS BIGINT) AS clean_chars,
+           |  CAST(len(list_filter(lines, l -> contains(l, '{'))) > 0 AS BIGINT)
+           |    AS dropped
+           |FROM cl ORDER BY doc_id""".stripMargin)),
 
     // Language ID: stopword-profile scores, argmax with fixed tie order
     // (profile order above, then 'und' = undetermined when all scores 0);
