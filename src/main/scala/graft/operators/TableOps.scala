@@ -302,6 +302,48 @@ object TableOps {
           |UNION ALL SELECT * FROM ins
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // SQL MERGE with WHEN NOT MATCHED BY SOURCE (snapshot sync) under the
+    // oracle gate: the source is a fresh snapshot of a key slice, matched
+    // rows update, new keys insert, and stale target rows — keys the
+    // snapshot no longer carries — delete, restricted by a target-row
+    // condition. ONE commit makes the table ≡ snapshot ∪ surviving
+    // out-of-scope rows; the oracle restates that set algebra over the
+    // original parquet. Scale: the by-source touch probe is exact (a file
+    // rewrites only if it holds a matched key or a clause-hit row), so a
+    // partition-scoped daily re-land rewrites the day, not the table —
+    // CommitLogSqlDmlSpec proves untouched files carry over by reference.
+    "q142_merge_sync" -> QueryDef(
+      fn = { (s, dir) =>
+        val k = col("o_orderkey")
+        val ord = Tables.load(s, dir, "orders")
+          .select(k, col("o_totalprice"), col("o_orderstatus"))
+        val root = tmp("graft-q142")
+        CommitLog.append(ord.filter(k % 3 < 2), root)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q142_t
+                 |USING `graft-commitlog` OPTIONS (path '$root')""".stripMargin)
+        ord.filter(k % 3 >= 1)
+          .select(k, (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit("S").as("o_orderstatus"))
+          .createOrReplaceTempView("q142_src")
+        s.sql("""MERGE INTO q142_t t USING q142_src src
+                |ON t.o_orderkey = src.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *
+                |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F'
+                |  THEN DELETE""".stripMargin)
+        s.table("q142_t")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+          |       'S' AS o_orderstatus
+          |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+          |UNION ALL
+          |SELECT o_orderkey, o_totalprice, o_orderstatus
+          |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // SQL UPDATE + DELETE statements (copy-on-write, one commit each): the
     // oracle restates both statements declaratively over the original
     // parquet — filter out the deleted keys, apply the SET arithmetic to

@@ -93,7 +93,9 @@ object CommitLogSqlDml {
     throw new UnsupportedOperationException(
       s"graft-commitlog MERGE supports equi-key ON, WHEN MATCHED [AND cond] " +
         s"THEN DELETE, WHEN MATCHED THEN UPDATE SET * (all columns from the " +
-        s"source row), WHEN NOT MATCHED THEN INSERT * — got: $what")
+        s"source row), WHEN NOT MATCHED THEN INSERT *, and one WHEN NOT " +
+        s"MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET … clause " +
+        s"over target columns — got: $what")
 
   /** Analyzer rule: resolved V1-rejected DML onto commitlog commands. */
   class ResolveDml(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -116,8 +118,8 @@ object CommitLogSqlDml {
           matched, notMatched, notMatchedBySource, withSchemaEvolution)
           if m.resolved =>
         if (withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
-        if (notMatchedBySource.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
-        translateMerge(root, target, source, cond, matched, notMatched)
+        translateMerge(root, target, source, cond, matched, notMatched,
+          notMatchedBySource)
 
       case _ => plan
     }
@@ -128,7 +130,8 @@ object CommitLogSqlDml {
         source: LogicalPlan,
         cond: Expression,
         matched: Seq[MergeAction],
-        notMatched: Seq[MergeAction]): LogicalPlan = {
+        notMatched: Seq[MergeAction],
+        notMatchedBySource: Seq[MergeAction]): LogicalPlan = {
       val tOut = target.outputSet
       val sOut = source.outputSet
       val resolver = spark.sessionState.conf.resolver
@@ -212,12 +215,49 @@ object CommitLogSqlDml {
           "conditional WHEN NOT MATCHED INSERT")
         case other => unsupported(other.mkString("; "))
       }
-      if (matched.isEmpty && !insertUnmatched) unsupported("no actions")
+      // WHEN NOT MATCHED BY SOURCE acts on TARGET rows with no source
+      // match, so its condition and assignment values may reference only
+      // target columns. One clause of either kind is supported (the
+      // first-match-wins interplay of several is not).
+      val bySource = notMatchedBySource match {
+        case Nil => None
+        case Seq(DeleteAction(c)) =>
+          c.filterNot(_.references.subsetOf(tOut)).foreach(cc => unsupported(
+            s"NOT MATCHED BY SOURCE DELETE condition referencing source " +
+              s"columns: ${cc.sql}"))
+          Some(MergeBySource(delete = true, Nil, c))
+        case Seq(UpdateAction(c, assignments, _)) =>
+          c.filterNot(_.references.subsetOf(tOut)).foreach(cc => unsupported(
+            s"NOT MATCHED BY SOURCE UPDATE condition referencing source " +
+              s"columns: ${cc.sql}"))
+          val set = assignments.map {
+            case Assignment(k: AttributeReference, v)
+                if tOut.contains(k) && v.references.subsetOf(tOut) =>
+              k.name -> v
+            case a => unsupported(
+              s"NOT MATCHED BY SOURCE assignment ${a.sql} (target columns " +
+                s"from target-row expressions only)")
+          }
+          Some(MergeBySource(delete = false, set, c))
+        case other => unsupported(
+          s"multiple WHEN NOT MATCHED BY SOURCE clauses: ${other.mkString("; ")}")
+      }
+      if (matched.isEmpty && !insertUnmatched && bySource.isEmpty)
+        unsupported("no actions")
 
       GraftMergeCommand(root, source, keys, deleteWhen,
-        insertUnmatched, replaceMatched = sawUpdate)
+        insertUnmatched, replaceMatched = sawUpdate, bySource)
     }
   }
+
+  /** Resolved `WHEN NOT MATCHED BY SOURCE` clause carried to the command:
+    * `delete = true` drops qualifying target rows, otherwise `set` rewrites
+    * them in place; `cond` restricts the clause (target-row scope).
+    */
+  case class MergeBySource(
+      delete: Boolean,
+      set: Seq[(String, Expression)],
+      cond: Option[Expression])
 
   /** `DELETE FROM t WHERE …` → copy-on-write [[CommitLog.delete]], or
     * merge-on-read [[CommitLog.deleteDV]] when the session sets
@@ -256,10 +296,14 @@ object CommitLogSqlDml {
       keys: Seq[String],
       deleteWhen: Option[Expression],
       insertUnmatched: Boolean,
-      replaceMatched: Boolean) extends LeafRunnableCommand {
+      replaceMatched: Boolean,
+      bySource: Option[MergeBySource] = None) extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(spark: SparkSession): Seq[Row] = {
       val src0 = GraftBridge.ofRows(spark, source)
+      val bs = bySource.map(b => CommitLog.BySourceClause(b.delete,
+        b.set.map { case (n, e) => n -> GraftBridge.column(byName(e)) },
+        b.cond.map(e => GraftBridge.column(byName(e)))))
       val schema = CommitLog.manifestSchema(CommitLog.readManifest(root,
         CommitLog.currentVersion(root).getOrElse(throw new IllegalStateException(
           s"no commits at $root"))))
@@ -275,7 +319,16 @@ object CommitLogSqlDml {
           :+ col(flag)): _*)
       if (replaceMatched) {
         CommitLog.mergeRows(spark, root, projected, keys,
-          deleteFlag = Some(flag), insertUnmatched = insertUnmatched)
+          deleteFlag = Some(flag), insertUnmatched = insertUnmatched,
+          bySource = bs)
+      } else if (bs.isDefined) {
+        // No WHEN MATCHED clause but a BY SOURCE one: the engine carries
+        // matched target rows through unchanged (replaceMatched = false)
+        // while the clause rewrites/drops unmatched ones; the FULL source
+        // is passed so "not matched by source" means the original source.
+        CommitLog.mergeRows(spark, root, projected.drop(flag), keys,
+          deleteFlag = None, insertUnmatched = insertUnmatched,
+          replaceMatched = false, bySource = bs)
       } else {
         // Insert-only merge (no WHEN MATCHED clause): matched TARGET rows
         // must survive untouched, so restrict the source to unmatched rows

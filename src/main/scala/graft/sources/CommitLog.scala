@@ -2221,21 +2221,54 @@ object CommitLog {
 
   private val MergeDeleteFlag = "__graft_merge_delete"
 
+  /** Snapshot sync: make the table equal to `snapshot` (within `scope`, when
+    * given) in ONE merge commit — the SQL idiom
+    * `MERGE … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    * WHEN NOT MATCHED BY SOURCE [AND scope] THEN DELETE`. With a
+    * partition-selective `scope` (e.g. `col("day") === d` for a daily
+    * re-land), files outside the scope holding no snapshot key move by
+    * reference — the rewrite cost is the synced slice, not the table.
+    */
+  def applySnapshot(spark: SparkSession, root: String, snapshot: DataFrame,
+      keys: Seq[String], scope: Option[Column] = None): Long =
+    mergeRows(spark, root, snapshot, keys, deleteFlag = None,
+      insertUnmatched = true, replaceMatched = true,
+      bySource = Some(BySourceClause(delete = true, Nil, scope)))
+
   /** The general MERGE engine (SQL `MERGE INTO` semantics): full-row
     * replace of matched target rows by their source row, with
     *  - `deleteFlag`: boolean source column naming MATCHED rows to delete
     *    instead of replace (an UNMATCHED row with the flag set still
     *    inserts — `WHEN MATCHED … DELETE` never touches insert candidates);
     *  - `insertUnmatched = false`: update-only merge (no `WHEN NOT MATCHED`
-    *    clause) — source rows matching nothing are dropped.
+    *    clause) — source rows matching nothing are dropped;
+    *  - `bySource` (SQL `WHEN NOT MATCHED BY SOURCE`): applied to TARGET
+    *    rows whose key matches no source row — `delete = true` drops them,
+    *    otherwise `set` assignments rewrite them in place; `cond` (over the
+    *    target row) restricts the clause. The file-touch probe is exact:
+    *    only files containing a matched key OR an unmatched row satisfying
+    *    `cond` are rewritten, so a partition-selective condition keeps the
+    *    snapshot-sync cost proportional to the synced slice, not the table
+    *    (the unconditional full-sync case rewrites every file holding any
+    *    unmatched row — inherent to its semantics, same as Delta);
+    *  - `replaceMatched = false` (no `WHEN MATCHED` clause but a `bySource`
+    *    one): matched target rows are carried UNCHANGED through the rewrite
+    *    instead of being replaced by their source row.
     */
+  private[graft] case class BySourceClause(
+      delete: Boolean,
+      set: Seq[(String, Column)],
+      cond: Option[Column])
+
   private[graft] def mergeRows(
       spark: SparkSession,
       root: String,
       source: DataFrame,
       keys: Seq[String],
       deleteFlag: Option[String],
-      insertUnmatched: Boolean): Long = {
+      insertUnmatched: Boolean,
+      replaceMatched: Boolean = true,
+      bySource: Option[BySourceClause] = None): Long = {
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, base)
@@ -2262,8 +2295,19 @@ object CommitLog {
         "merge source has duplicate keys — ambiguous MATCHED action")
 
       val srcKeys = src.select(keys.map(col).toIndexedSeq: _*)
-      val touched = touchedFiles(spark, root, m)(
-        _.join(srcKeys, keys, "left_semi"))
+      // The by-source clause fires on rows with NO source match, so its
+      // touch probe is the anti-join under the clause condition; files with
+      // neither a matched key nor a clause-hit row move by reference.
+      val bsCond = bySource.map(b =>
+        coalesce(b.cond.getOrElse(lit(true)), lit(false)))
+      val touched = touchedFiles(spark, root, m) { df =>
+        val matchedRows = df.join(srcKeys, keys, "left_semi")
+        bsCond match {
+          case None => matchedRows
+          case Some(c) => matchedRows.unionByName(
+            df.filter(c).join(srcKeys, keys, "left_anti"))
+        }
+      }
       val tTouched = readFiles(spark, root, m, touched)
 
       // Full-row replace collapses the merged touch-set to one anti-join and
@@ -2273,21 +2317,48 @@ object CommitLog {
       // have made its file touched). "Matched" is decidable against the
       // touched files alone — a source key present anywhere in the table
       // makes its file touched — so the split below never rescans the table.
-      val keep0 = deleteFlag match {
-        case None => src
-        case Some(f) =>
-          val tKeys = tTouched.select(keys.map(col).toIndexedSeq: _*)
-          src.join(tKeys, keys, "left_semi")
-            .filter(!coalesce(col(f), lit(false)))
-            .unionByName(src.join(tKeys, keys, "left_anti"))
-      }
+      val tKeys = tTouched.select(keys.map(col).toIndexedSeq: _*)
+      // Surviving SOURCE rows (updates + inserts). Without a WHEN MATCHED
+      // clause the source contributes only inserts — a source key present
+      // anywhere in the table makes its file touched, so "matches nothing"
+      // is decidable against the touched keys alone.
       val keep1 =
-        if (insertUnmatched) keep0
-        else keep0.join(
-          tTouched.select(keys.map(col).toIndexedSeq: _*), keys, "left_semi")
+        if (!replaceMatched) {
+          if (insertUnmatched) src.join(tKeys, keys, "left_anti") else src.limit(0)
+        } else {
+          val keep0 = deleteFlag match {
+            case None => src
+            case Some(f) =>
+              src.join(tKeys, keys, "left_semi")
+                .filter(!coalesce(col(f), lit(false)))
+                .unionByName(src.join(tKeys, keys, "left_anti"))
+          }
+          if (insertUnmatched) keep0 else keep0.join(tKeys, keys, "left_semi")
+        }
       val keep = keep1.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      val merged = tTouched.join(srcKeys, keys, "left_anti")
-        .unionByName(keep)
+      // Surviving TARGET rows: unmatched rows pass through the by-source
+      // clause (delete → drop; update → conditional in-place assignments,
+      // cast back to the declared type so staged parquet can never
+      // contradict the log schema); matched rows survive unchanged only
+      // when there is no WHEN MATCHED clause.
+      val unmatchedT = tTouched.join(srcKeys, keys, "left_anti")
+      val unmatchedKept = (bySource, bsCond) match {
+        case (Some(b), Some(c)) if b.delete => unmatchedT.filter(!c)
+        case (Some(b), Some(c)) =>
+          val setMap = b.set.toMap
+          unmatchedT.select(schema.fields.toIndexedSeq.map { f =>
+            setMap.get(f.name) match {
+              case Some(v) =>
+                when(c, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }: _*)
+        case _ => unmatchedT
+      }
+      val matchedKept =
+        if (replaceMatched) tTouched.limit(0)
+        else tTouched.join(srcKeys, keys, "left_semi")
+      val merged = unmatchedKept.unionByName(matchedKept).unionByName(keep)
 
       val add = stageWithStats(merged, root, m.partitionByOrNil,
         colMap = m.colMapOrEmpty, props = m.propsOrEmpty)

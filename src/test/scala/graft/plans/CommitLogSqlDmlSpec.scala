@@ -117,6 +117,92 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     assert(before.subsetOf(after.files.toSet))
   }
 
+  test("SQL MERGE: NOT MATCHED BY SOURCE DELETE syncs the table to the snapshot") {
+    val (root, view) = freshTable(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    spark.sql(
+      s"""MERGE INTO $view t USING (
+         |  SELECT 2L AS k, 'b2' AS s, 22.0 AS v UNION ALL
+         |  SELECT 4L, 'd', 40.0) src
+         |ON t.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // table ≡ snapshot: 1 and 3 (absent from source) deleted
+    assert(snapshot(view) == Seq((2L, "b2", 22.0), (4L, "d", 40.0)))
+    assert(CommitLog.readManifest(root, 2L).op == "merge")
+  }
+
+  test("SQL MERGE: conditional BY SOURCE DELETE leaves out-of-scope files by reference") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sqldml").toString
+    // two files with disjoint key ranges; the clause condition only ever
+    // holds in the first, so the second must carry over unrewritten
+    CommitLog.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v"), root)
+    CommitLog.append(Seq((10L, "x", 1.0), (11L, "y", 2.0)).toDF("k", "s", "v"), root)
+    val before = CommitLog.readManifest(root, 2L)
+    val outOfScope = before.statsOrNil.filter(_.mins("k").toLong >= 10L).map(_.path)
+    assert(outOfScope.nonEmpty)
+    val view = s"sqldml_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view " +
+      s"USING `graft-commitlog` OPTIONS (path '$root')")
+    spark.sql(
+      s"""MERGE INTO $view t USING (SELECT 1L AS k, 'a2' AS s, 12.0 AS v) src
+         |ON t.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND t.k < 10 THEN DELETE""".stripMargin)
+    assert(snapshot(view) == Seq((1L, "a2", 12.0), (10L, "x", 1.0), (11L, "y", 2.0)))
+    val after = CommitLog.readManifest(root, 3L)
+    assert(outOfScope.forall(after.files.contains),
+      "files outside the BY SOURCE condition's scope must move by reference")
+  }
+
+  test("SQL MERGE: NOT MATCHED BY SOURCE UPDATE rewrites stale rows in place") {
+    val (root, view) = freshTable(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    spark.sql(
+      s"""MERGE INTO $view t USING (SELECT 2L AS k, 'b2' AS s, 22.0 AS v) src
+         |ON t.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND t.v < 30.0
+         |  THEN UPDATE SET s = concat(t.s, '-stale'), v = -t.v""".stripMargin)
+    // 1 is unmatched and v<30 → rewritten; 3 unmatched but v=30 → untouched
+    assert(snapshot(view) ==
+      Seq((1L, "a-stale", -10.0), (2L, "b2", 22.0), (3L, "c", 30.0)))
+    assert(CommitLog.readManifest(root, 2L).op == "merge")
+  }
+
+  test("SQL MERGE: BY SOURCE with no WHEN MATCHED keeps matched rows unchanged") {
+    val (_, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    spark.sql(
+      s"""MERGE INTO $view t USING (SELECT 1L AS k, 'IGNORED' AS s, 0.0 AS v) src
+         |ON t.k = src.k
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // 1 matched → survives with its TARGET values; 2 unmatched → deleted
+    assert(snapshot(view) == Seq((1L, "a", 10.0)))
+  }
+
+  test("Scala applySnapshot: full sync and partition-scoped sync") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sqldml").toString
+    CommitLog.append(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v"),
+      root)
+    // scoped sync: only rows with k <= 2 are in scope — 3 survives even
+    // though the snapshot doesn't carry it
+    CommitLog.applySnapshot(spark, root,
+      Seq((1L, "a2", 11.0)).toDF("k", "s", "v"), Seq("k"),
+      scope = Some(org.apache.spark.sql.functions.col("k") <= 2))
+    assert(CommitLog.read(spark, root).orderBy("k").collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))) ==
+      Seq((1L, "a2", 11.0), (3L, "c", 30.0)))
+    // full sync: table ≡ snapshot
+    CommitLog.applySnapshot(spark, root,
+      Seq((5L, "e", 50.0)).toDF("k", "s", "v"), Seq("k"))
+    assert(CommitLog.read(spark, root).orderBy("k").collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))) == Seq((5L, "e", 50.0)))
+  }
+
   test("SQL MERGE: unsupported shapes fail with a clear message") {
     val (_, view) = freshTable(Seq((1L, "a", 10.0)))
     def bad(sql: String): Unit = {
@@ -135,6 +221,13 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     // conditional insert
     bad(s"""MERGE INTO $view t USING (SELECT 1L AS k, 'x' AS s, 1.0 AS v) src
            |ON t.k = src.k WHEN NOT MATCHED AND src.v > 0 THEN INSERT *""".stripMargin)
+    // BY SOURCE condition referencing source columns: Spark's own analyzer
+    // resolves the clause against the target-only scope and rejects it
+    // before our rule runs (the rule's guard is defense-in-depth)
+    intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      s"""MERGE INTO $view t USING (SELECT 1L AS k, 'x' AS s, 1.0 AS v) src
+         |ON t.k = src.k WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND src.v > 0 THEN DELETE""".stripMargin))
   }
 
   test("SQL time travel: VERSION AS OF number and tag, TIMESTAMP AS OF") {
