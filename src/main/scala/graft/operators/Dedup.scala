@@ -704,6 +704,85 @@ object Dedup {
           |FROM p LEFT JOIN dup d ON d.passage = p.passage
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exact duplicated-substring REMOVAL (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — the ExactSubstr pass
+    // q96 only approximates): every OVERLAPPING 15-token window occurring
+    // at ≥ 2 corpus positions is a duplicated span; the globally-first
+    // occurrence (min (doc_id, pos)) survives, every other occurrence's
+    // tokens are cut from their document, and the cleaned text is rebuilt.
+    // Token-granular where q96 is chunk-granular: a span straddling q96's
+    // fixed chunk boundaries goes unseen there but is cut here. A verbatim
+    // duplicate doc cleans to the empty string (all its windows lose to
+    // the first copy), so ExactSubstr subsumes exact dedup as the
+    // degenerate case — 13 of sf0.01's 23 affected docs cut to "".
+    //
+    // 100 TB shape: windows are one in-row transform + posexplode
+    // (≈ |tokens| rows, no shuffle to build); the canonical occurrence is
+    // ONE groupBy on the window key with map-side combine; marking is an
+    // equi-join back on that key; the rebuild is per-doc in-row array work
+    // against a KB-scale sorted cut list — the token stream itself never
+    // shuffles. Production would exchange xxhash64(window) (8 bytes)
+    // instead of the ~100-char string; the string key is kept so the
+    // oracle mirrors the algebra exactly (same trade as q96).
+    "q143_substr_dedup" -> QueryDef(
+      fn = { (s, dir) =>
+        val W = 15
+        val base = docs(s, dir).select(col("doc_id"), Text.toksCol.as("toks"))
+        val win = base.filter(size(col("toks")) >= W)
+          .select(col("doc_id"), posexplode(expr(
+            s"""transform(sequence(0, size(toks) - $W),
+               |  i -> concat_ws(' ', slice(toks, i + 1, $W)))""".stripMargin)))
+          .withColumnRenamed("col", "w")
+        // one BIGINT encodes the (doc_id, pos) total order — min() picks
+        // the globally-first occurrence without a struct comparator
+        val key = col("doc_id") * lit(1000000L) + col("pos")
+        val canon = win.groupBy("w").agg(min(key).as("canon"))
+        val cut = win.join(canon, "w")
+          .filter(key =!= col("canon"))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("tokpos"))
+          .distinct()
+        val perDoc = cut.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_cut"),
+            array_sort(collect_list(col("tokpos"))).as("cuts"))
+        base.join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_toks"),
+            coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+            when(col("cuts").isNull, concat_ws(" ", col("toks")))
+              .otherwise(expr(
+                "concat_ws(' ', filter(toks, (t, i) -> NOT array_contains(cuts, i)))"))
+              .as("clean_text"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT doc_id,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents),
+          |w AS (SELECT doc_id,
+          |    unnest(range(0, greatest(len(toks)-14, 0))) AS pos, toks FROM d),
+          |win AS (SELECT doc_id, pos,
+          |    array_to_string(toks[pos+1 : pos+15], ' ') AS w FROM w),
+          |canon AS (SELECT w, min(doc_id*1000000 + pos) AS canon
+          |  FROM win GROUP BY 1),
+          |cut AS (SELECT DISTINCT doc_id, tokpos FROM (
+          |  SELECT win.doc_id, unnest(range(win.pos, win.pos+15)) AS tokpos
+          |  FROM win JOIN canon ON canon.w = win.w
+          |  WHERE win.doc_id*1000000 + win.pos <> canon.canon)),
+          |tokrows AS (SELECT doc_id, unnest(toks) AS tok,
+          |    unnest(range(0, len(toks))) AS idx FROM d),
+          |kept AS (SELECT t.doc_id, t.tok, t.idx FROM tokrows t
+          |  ANTI JOIN cut c ON c.doc_id = t.doc_id AND c.tokpos = t.idx)
+          |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_toks,
+          |  CAST(coalesce(c.n_cut, 0) AS BIGINT) AS n_cut,
+          |  coalesce(k.clean_text, '') AS clean_text
+          |FROM d
+          |LEFT JOIN (SELECT doc_id, count(*) AS n_cut FROM cut GROUP BY 1) c
+          |  USING (doc_id)
+          |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx)
+          |    AS clean_text FROM kept GROUP BY 1) k USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
     // Keep-one-canonical dedup output: the corpus a near-dup pass actually
     // SHIPS — one surviving representative per connected component (the
     // member with the minimum doc_id, which IS the component label) plus

@@ -66,6 +66,10 @@ class PlanShapeSpec extends SparkTestBase {
     for (q <- Seq("q45_neardup_lsh_verify", "q13_minhash_lsh", "q14_simhash",
         "q57_fuzzy_join", "q15_ngram_jaccard", "q92_ann_pq", "q93_triangles",
         "q94_ann_ivfadc", "q96_passage_dedup", "q98_lexical_topk",
+        // ExactSubstr must mark spans via the window-key equi-join — an
+        // all-pairs occurrence comparison is the failure mode it exists
+        // to avoid
+        "q143_substr_dedup",
         // SemDeDup's pairwise step must stay a cell-id equi-join; the only
         // nested-loop allowed is the BROADCAST centroid assignment
         "q107_semdedup", "q110_clean_eval_split",
