@@ -812,6 +812,134 @@ object Dedup {
            |SELECT component AS doc_id, count(*) AS cluster_size
            |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The pipeline ATTRITION REPORT (the funnel a data card publishes):
+    // seven cumulative stages — raw → language filter → Gopher-style
+    // length/mean-word-length bounds → repetition cap (top word ≤ 20 %,
+    // exact integer cross-multiply) → near-dup canonical (q47 components;
+    // this corpus has NO byte-identical docs, so doc-hash dedup would be
+    // the degenerate rule here) → decontamination (q67 semantics: eval
+    // slice held out, ≥ 3 shared shingles drops the doc) → 80 % determin-
+    // istic hash sample — each reported as surviving doc and token counts.
+    // q69 ships the final corpus; THIS query is the per-stage accounting
+    // that says where the other docs went. Every rule is integer-exact so
+    // the oracle's recomputation matches bit-for-bit.
+    //
+    // 100 TB shape: per-doc features are in-row expressions; the stage
+    // flags are three equi-joins (component label, contamination set —
+    // both survivor-sized) onto the feature scan; the funnel itself is ONE
+    // aggregate over that scan (14 conditional sums, map-side combined)
+    // unpivoted driver-side by stack() — the report never shuffles rows,
+    // only the 1-row aggregate state.
+    "q144_pipeline_funnel" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = docs(s, dir)
+        val base = d.select(col("doc_id"), col("lang"), Text.toksCol.as("toks"))
+          .select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n"),
+            expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+              .as("sum_chars"),
+            expr("array_max(transform(array_distinct(toks), " +
+              "t -> size(filter(toks, x -> x = t))))").cast("long").as("maxf"))
+        val canon = components(s, dir)
+          .filter(col("doc_id") === col("component"))
+          .select(col("doc_id"), lit(1).as("is_canon"))
+        val sh = shingles(d)
+        val evalSh = sh.filter(col("doc_id") % 11 === 0).select("sh").distinct()
+        val contaminated = sh.filter(col("doc_id") % 11 =!= 0)
+          .join(evalSh, Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+          .filter(col("ns") >= 3).select(col("doc_id"), lit(1).as("is_contam"))
+        val flags = base
+          .join(canon, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .select(col("n"),
+            (col("lang") === "en").as("s1"),
+            (col("n").between(20L, 5000L) &&
+              col("sum_chars") >= col("n") * 3 &&
+              col("sum_chars") <= col("n") * 10).as("s2"),
+            (col("maxf") * 5 <= col("n")).as("s3"),
+            col("is_canon").isNotNull.as("s4"),
+            (col("doc_id") % 11 =!= 0 && col("is_contam").isNull).as("s5"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 10 < 8).as("s6"))
+        val cum = flags.select(col("n"), col("s1").as("c1"),
+          (col("s1") && col("s2")).as("c2"),
+          (col("s1") && col("s2") && col("s3")).as("c3"),
+          (col("s1") && col("s2") && col("s3") && col("s4")).as("c4"),
+          (col("s1") && col("s2") && col("s3") && col("s4") && col("s5"))
+            .as("c5"),
+          (col("s1") && col("s2") && col("s3") && col("s4") && col("s5") &&
+            col("s6")).as("c6"))
+        val sums = Seq(sum(col("n")).as("t0")) ++ (1 to 6).flatMap(i => Seq(
+          sum(when(col(s"c$i"), 1L).otherwise(0L)).as(s"d$i"),
+          sum(when(col(s"c$i"), col("n")).otherwise(0L)).as(s"t$i")))
+        cum.agg(count(lit(1)).as("d0"), sums: _*)
+          .select(expr(
+            """stack(7,
+              |  0, 'raw',         d0, t0,
+              |  1, 'lang',        d1, t1,
+              |  2, 'length',      d2, t2,
+              |  3, 'repetition',  d3, t3,
+              |  4, 'neardup',     d4, t4,
+              |  5, 'decontam',    d5, t5,
+              |  6, 'sample',      d6, t6)
+              |  AS (stage_idx, stage, n_docs, n_toks)""".stripMargin))
+          .orderBy("stage_idx")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $simhashPairsSql,
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+           |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+           |ev AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 11 = 0),
+           |contam AS (SELECT doc_id FROM sh0 WHERE doc_id % 11 <> 0
+           |  AND sh IN (SELECT sh FROM ev) GROUP BY 1 HAVING count(*) >= 3),
+           |feat AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n,
+           |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+           |      AS sum_chars,
+           |    CAST(list_max(list_transform(list_distinct(toks),
+           |      t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS maxf
+           |  FROM (SELECT doc_id, lang,
+           |      regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |    FROM documents)),
+           |flags AS (
+           |  SELECT f.n,
+           |    (f.lang = 'en') AS s1,
+           |    (f.n BETWEEN 20 AND 5000 AND 3*f.n <= f.sum_chars
+           |      AND f.sum_chars <= 10*f.n) AS s2,
+           |    (f.maxf * 5 <= f.n) AS s3,
+           |    (c.id = c.component) AS s4,
+           |    (f.doc_id % 11 <> 0
+           |      AND f.doc_id NOT IN (SELECT doc_id FROM contam)) AS s5,
+           |    (CAST(concat('0x', substr(md5(CAST(f.doc_id AS VARCHAR)),1,8))
+           |      AS BIGINT) % 10 < 8) AS s6
+           |  FROM feat f JOIN comp c ON c.id = f.doc_id),
+           |cum AS (SELECT n, s1 AS c1, s1 AND s2 AS c2,
+           |    s1 AND s2 AND s3 AS c3, s1 AND s2 AND s3 AND s4 AS c4,
+           |    s1 AND s2 AND s3 AND s4 AND s5 AS c5,
+           |    s1 AND s2 AND s3 AND s4 AND s5 AND s6 AS c6 FROM flags)
+           |SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
+           |    CAST(sum(n) AS BIGINT) AS n_toks FROM cum
+           |UNION ALL SELECT 1, 'lang', count(*) FILTER (c1),
+           |  CAST(coalesce(sum(n) FILTER (c1), 0) AS BIGINT) FROM cum
+           |UNION ALL SELECT 2, 'length', count(*) FILTER (c2),
+           |  CAST(coalesce(sum(n) FILTER (c2), 0) AS BIGINT) FROM cum
+           |UNION ALL SELECT 3, 'repetition', count(*) FILTER (c3),
+           |  CAST(coalesce(sum(n) FILTER (c3), 0) AS BIGINT) FROM cum
+           |UNION ALL SELECT 4, 'neardup', count(*) FILTER (c4),
+           |  CAST(coalesce(sum(n) FILTER (c4), 0) AS BIGINT) FROM cum
+           |UNION ALL SELECT 5, 'decontam', count(*) FILTER (c5),
+           |  CAST(coalesce(sum(n) FILTER (c5), 0) AS BIGINT) FROM cum
+           |UNION ALL SELECT 6, 'sample', count(*) FILTER (c6),
+           |  CAST(coalesce(sum(n) FILTER (c6), 0) AS BIGINT) FROM cum
+           |ORDER BY stage_idx""".stripMargin)),
+
     // The SHIPPED corpus, end to end: what an actual training-data run
     // publishes after the cleaning pipeline — the train split (eval slice
     // held out), keeping only each near-dup cluster's canonical
