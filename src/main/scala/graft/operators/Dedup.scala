@@ -53,6 +53,23 @@ object Dedup {
       case _ => ()
     }
 
+  /** q143/q145's overlapping 15-token windows over (doc_id, toks) rows:
+    * (doc_id, pos, w) built entirely in-row — one transform + posexplode,
+    * no shuffle to construct.
+    */
+  private val SubstrW = 15
+  private def substrWindows(base: DataFrame): DataFrame =
+    base.filter(size(col("toks")) >= SubstrW)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $SubstrW),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $SubstrW)))""".stripMargin)))
+      .withColumnRenamed("col", "w")
+
+  /** One BIGINT encodes the (doc_id, pos) total order — min() picks the
+    * globally-first window occurrence without a struct comparator.
+    */
+  private def substrKey: Column = col("doc_id") * lit(1000000L) + col("pos")
+
   private def components(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val pairs = simhashPairs(d).select("doc_a", "doc_b")
@@ -726,21 +743,15 @@ object Dedup {
     // oracle mirrors the algebra exactly (same trade as q96).
     "q143_substr_dedup" -> QueryDef(
       fn = { (s, dir) =>
-        val W = 15
         val base = docs(s, dir).select(col("doc_id"), Text.toksCol.as("toks"))
-        val win = base.filter(size(col("toks")) >= W)
-          .select(col("doc_id"), posexplode(expr(
-            s"""transform(sequence(0, size(toks) - $W),
-               |  i -> concat_ws(' ', slice(toks, i + 1, $W)))""".stripMargin)))
-          .withColumnRenamed("col", "w")
-        // one BIGINT encodes the (doc_id, pos) total order — min() picks
-        // the globally-first occurrence without a struct comparator
-        val key = col("doc_id") * lit(1000000L) + col("pos")
-        val canon = win.groupBy("w").agg(min(key).as("canon"))
+        val win = substrWindows(base)
+        val canon = win.groupBy("w").agg(min(substrKey).as("canon"))
+        val key = substrKey
         val cut = win.join(canon, "w")
           .filter(key =!= col("canon"))
           .select(col("doc_id"),
-            explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("tokpos"))
+            explode(sequence(col("pos"), col("pos") + lit(SubstrW - 1)))
+              .as("tokpos"))
           .distinct()
         val perDoc = cut.groupBy("doc_id")
           .agg(count(lit(1)).as("n_cut"),
@@ -781,6 +792,98 @@ object Dedup {
           |  USING (doc_id)
           |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx)
           |    AS clean_text FROM kept GROUP BY 1) k USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // INCREMENTAL ExactSubstr: q143's semantics served from a PERSISTED
+    // window index (a commit-log table of (w, canon) = each window's
+    // globally-first occurrence key) instead of a corpus rescan. The
+    // already-ingested corpus (doc_id % 5 ≠ 0) built the index; the new
+    // batch (doc_id % 5 = 0) folds in with ONE MERGE commit — source rows
+    // pre-resolve canon = least(index, batch-min), so full-row-replace
+    // upsert is exact regardless of id interleaving — and the batch's
+    // spans are then cut against the UPDATED index (the index read is
+    // load-bearing for the output, not a side effect). The oracle knows
+    // nothing of the index: it recomputes q143 from scratch over the FULL
+    // corpus and restricts to batch docs, so the green row proves
+    // incremental ≡ whole-corpus recompute.
+    //
+    // 100 TB shape: per batch, work is O(batch windows) — the index probe
+    // and the MERGE's file-touch set are equi-keyed on w (the merge
+    // rewrites only files holding matched window keys); the historical
+    // corpus text is NEVER rescanned. This is the maintenance loop that
+    // makes ExactSubstr viable as a continuous ingest gate rather than a
+    // periodic whole-corpus job (same trade as q80's near-dup probe and
+    // q105's IVF index update).
+    "q145_substr_incremental" -> QueryDef(
+      fn = { (s, dir) =>
+        import graft.sources.CommitLog
+        val all = docs(s, dir).select(col("doc_id"), Text.toksCol.as("toks"))
+        val old = all.filter(col("doc_id") % 5 =!= 0)
+        val batch = all.filter(col("doc_id") % 5 === 0)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q145-substr").toString
+        CommitLog.append(
+          substrWindows(old).groupBy("w").agg(min(substrKey).as("canon")),
+          root)
+        // fold the batch in: resolve the new canon on the source side so
+        // the MERGE's full-row replace lands the exact final value
+        val batchCanon = substrWindows(batch)
+          .groupBy("w").agg(min(substrKey).as("canon"))
+        val upsert = batchCanon.join(
+          CommitLog.read(s, root).withColumnRenamed("canon", "old_canon"),
+          Seq("w"), "left")
+          .select(col("w"),
+            least(col("canon"), coalesce(col("old_canon"), col("canon")))
+              .as("canon"))
+        CommitLog.mergeRows(s, root, upsert, Seq("w"),
+          deleteFlag = None, insertUnmatched = true)
+        val index = CommitLog.read(s, root)
+        val cut = substrWindows(batch).join(index, Seq("w"))
+          .filter(substrKey =!= col("canon"))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + lit(SubstrW - 1)))
+              .as("tokpos"))
+          .distinct()
+        val perDoc = cut.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_cut"),
+            array_sort(collect_list(col("tokpos"))).as("cuts"))
+        batch.join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_toks"),
+            coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+            when(col("cuts").isNull, concat_ws(" ", col("toks")))
+              .otherwise(expr(
+                "concat_ws(' ', filter(toks, (t, i) -> NOT array_contains(cuts, i)))"))
+              .as("clean_text"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT doc_id,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents),
+          |w AS (SELECT doc_id,
+          |    unnest(range(0, greatest(len(toks)-14, 0))) AS pos, toks FROM d),
+          |win AS (SELECT doc_id, pos,
+          |    array_to_string(toks[pos+1 : pos+15], ' ') AS w FROM w),
+          |canon AS (SELECT w, min(doc_id*1000000 + pos) AS canon
+          |  FROM win GROUP BY 1),
+          |cut AS (SELECT DISTINCT doc_id, tokpos FROM (
+          |  SELECT win.doc_id, unnest(range(win.pos, win.pos+15)) AS tokpos
+          |  FROM win JOIN canon ON canon.w = win.w
+          |  WHERE win.doc_id*1000000 + win.pos <> canon.canon)),
+          |tokrows AS (SELECT doc_id, unnest(toks) AS tok,
+          |    unnest(range(0, len(toks))) AS idx FROM d),
+          |kept AS (SELECT t.doc_id, t.tok, t.idx FROM tokrows t
+          |  ANTI JOIN cut c ON c.doc_id = t.doc_id AND c.tokpos = t.idx)
+          |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_toks,
+          |  CAST(coalesce(c.n_cut, 0) AS BIGINT) AS n_cut,
+          |  coalesce(k.clean_text, '') AS clean_text
+          |FROM d
+          |LEFT JOIN (SELECT doc_id, count(*) AS n_cut FROM cut GROUP BY 1) c
+          |  USING (doc_id)
+          |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx)
+          |    AS clean_text FROM kept GROUP BY 1) k USING (doc_id)
+          |WHERE d.doc_id % 5 = 0
           |ORDER BY doc_id""".stripMargin)),
 
     // Keep-one-canonical dedup output: the corpus a near-dup pass actually
