@@ -70,6 +70,57 @@ object Dedup {
     */
   private def substrKey: Column = col("doc_id") * lit(1000000L) + col("pos")
 
+  /** q145's per-batch incremental-ExactSubstr fold, shared with the
+    * streaming sink: merge the batch's windows into the persisted index at
+    * `root` (ONE MERGE commit — source rows pre-resolve
+    * canon = least(index, batch-min), so the full-row upsert is exact under
+    * any id interleaving), then cut the batch's duplicated spans against
+    * the UPDATED index and return the per-doc cleaning output
+    * (doc_id, n_toks, n_cut, clean_text). With doc_ids monotone across
+    * batches (the q80 contract), folding batch-by-batch produces the same
+    * output as folding their concatenation once — the associativity the
+    * streaming spec asserts.
+    */
+  def substrFold(s: SparkSession, batchDocs: DataFrame, root: String): DataFrame = {
+    import graft.sources.CommitLog
+    val batch = batchDocs.select(col("doc_id"), Text.toksCol.as("toks"))
+    val batchCanon = substrWindows(batch)
+      .groupBy("w").agg(min(substrKey).as("canon"))
+    val upsert = batchCanon.join(
+      CommitLog.read(s, root).withColumnRenamed("canon", "old_canon"),
+      Seq("w"), "left")
+      .select(col("w"),
+        least(col("canon"), coalesce(col("old_canon"), col("canon")))
+          .as("canon"))
+    CommitLog.mergeRows(s, root, upsert, Seq("w"),
+      deleteFlag = None, insertUnmatched = true)
+    val index = CommitLog.read(s, root)
+    val cut = substrWindows(batch).join(index, Seq("w"))
+      .filter(substrKey =!= col("canon"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(SubstrW - 1)))
+          .as("tokpos"))
+      .distinct()
+    val perDoc = cut.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cut"),
+        array_sort(collect_list(col("tokpos"))).as("cuts"))
+    batch.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        when(col("cuts").isNull, concat_ws(" ", col("toks")))
+          .otherwise(expr(
+            "concat_ws(' ', filter(toks, (t, i) -> NOT array_contains(cuts, i)))"))
+          .as("clean_text"))
+  }
+
+  /** Seed an empty ExactSubstr window index table for [[substrFold]]. */
+  def substrIndexInit(s: SparkSession, corpus: DataFrame, root: String): Long = {
+    val base = corpus.select(col("doc_id"), Text.toksCol.as("toks"))
+    graft.sources.CommitLog.append(
+      substrWindows(base).groupBy("w").agg(min(substrKey).as("canon")), root)
+  }
+
   private def components(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val pairs = simhashPairs(d).select("doc_a", "doc_b")
@@ -816,45 +867,11 @@ object Dedup {
     // q105's IVF index update).
     "q145_substr_incremental" -> QueryDef(
       fn = { (s, dir) =>
-        import graft.sources.CommitLog
-        val all = docs(s, dir).select(col("doc_id"), Text.toksCol.as("toks"))
-        val old = all.filter(col("doc_id") % 5 =!= 0)
-        val batch = all.filter(col("doc_id") % 5 === 0)
+        val d = docs(s, dir)
         val root = java.nio.file.Files
           .createTempDirectory("graft-q145-substr").toString
-        CommitLog.append(
-          substrWindows(old).groupBy("w").agg(min(substrKey).as("canon")),
-          root)
-        // fold the batch in: resolve the new canon on the source side so
-        // the MERGE's full-row replace lands the exact final value
-        val batchCanon = substrWindows(batch)
-          .groupBy("w").agg(min(substrKey).as("canon"))
-        val upsert = batchCanon.join(
-          CommitLog.read(s, root).withColumnRenamed("canon", "old_canon"),
-          Seq("w"), "left")
-          .select(col("w"),
-            least(col("canon"), coalesce(col("old_canon"), col("canon")))
-              .as("canon"))
-        CommitLog.mergeRows(s, root, upsert, Seq("w"),
-          deleteFlag = None, insertUnmatched = true)
-        val index = CommitLog.read(s, root)
-        val cut = substrWindows(batch).join(index, Seq("w"))
-          .filter(substrKey =!= col("canon"))
-          .select(col("doc_id"),
-            explode(sequence(col("pos"), col("pos") + lit(SubstrW - 1)))
-              .as("tokpos"))
-          .distinct()
-        val perDoc = cut.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_cut"),
-            array_sort(collect_list(col("tokpos"))).as("cuts"))
-        batch.join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            size(col("toks")).cast("long").as("n_toks"),
-            coalesce(col("n_cut"), lit(0L)).as("n_cut"),
-            when(col("cuts").isNull, concat_ws(" ", col("toks")))
-              .otherwise(expr(
-                "concat_ws(' ', filter(toks, (t, i) -> NOT array_contains(cuts, i)))"))
-              .as("clean_text"))
+        substrIndexInit(s, d.filter(col("doc_id") % 5 =!= 0), root)
+        substrFold(s, d.filter(col("doc_id") % 5 === 0), root)
           .orderBy("doc_id")
       },
       oracle = Some(

@@ -186,6 +186,40 @@ object StreamingAnalytics {
       ()
     }
 
+  /** Streaming twin of q145's incremental ExactSubstr: each micro-batch
+    * of newly ingested documents (doc_id, text) folds its 15-token
+    * windows into the PERSISTED window index at `indexRoot` (one MERGE
+    * commit per batch — [[graft.operators.Dedup.substrFold]]), cuts the
+    * batch's duplicated spans against the updated index, and appends the
+    * per-doc cleaning output (doc_id, n_toks, n_cut, clean_text) to
+    * `outRoot` exactly once. The duplicated-span gate run AT INGEST: each
+    * document is cleaned against everything that landed before it plus
+    * its batch-mates; per-trigger cost is O(batch windows) and the
+    * historical corpus text is never rescanned. State is the two
+    * commit-log tables themselves — versioned, time-travelable, no state
+    * store.
+    *
+    * Exactly-once: a replayed batchId is skipped WHOLE via the output
+    * table's txn watermark (the fold is least()-idempotent, so even a
+    * crash between the index merge and the output append just re-merges
+    * to identical canon values on replay before appending once).
+    * CONTRACT (the q80 monotone rule): doc_ids must be monotone across
+    * batches; then batch-by-batch folding ≡ folding the concatenation
+    * once (DedupSpec asserts this associativity).
+    */
+  def substrDedupSink(indexRoot: String, outRoot: String,
+      appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val replayed = graft.sources.CommitLog
+        .txnWatermark(outRoot, appId).exists(batchId <= _)
+      if (!replayed) {
+        val out = graft.operators.Dedup.substrFold(
+          batch.sparkSession, batch, indexRoot)
+        graft.sources.CommitLog.appendTxn(out, outRoot, appId, batchId)
+      }
+      ()
+    }
+
   /** Tumbling 1-minute per-type counts with a 10-minute watermark (late
     * rows older than the watermark are dropped; window state is evicted
     * once the watermark passes — bounded state at any scale).

@@ -77,6 +77,61 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     fp.unpersist(); bands.unpersist()
   }
 
+  test("streaming ExactSubstr fold equals the one-shot batch fold and " +
+      "replays are whole-batch no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val old = corpus.filter($"doc_id" % 5 =!= 0)
+    // monotone doc_ids across batches — the contract that makes
+    // batch-by-batch folding ≡ one concatenated fold
+    val stream = corpus.filter($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b0, b1) = stream.splitAt(stream.length / 2)
+
+    val idxS = java.nio.file.Files
+      .createTempDirectory("graft-substr-idx-s").toString
+    graft.operators.Dedup.substrIndexInit(spark, old, idxS)
+    val outRoot = java.nio.file.Files
+      .createTempDirectory("graft-substr-out").toString
+    val sink = substrDedupSink(idxS, outRoot, "substr-spec")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("n_cut"), r.getAs[String]("clean_text"))).toSet
+    val streamed = rows(graft.sources.CommitLog.read(spark, outRoot))
+
+    // batch twin: ONE fold of the concatenation against a fresh index
+    val idxB = java.nio.file.Files
+      .createTempDirectory("graft-substr-idx-b").toString
+    graft.operators.Dedup.substrIndexInit(spark, old, idxB)
+    val batchOut = rows(graft.operators.Dedup.substrFold(
+      spark, stream.toSeq.toDF("doc_id", "text"), idxB))
+    assert(streamed == batchOut,
+      "batch-by-batch folds must equal one concatenated fold")
+    assert(streamed.exists(_._3 > 0), "sf0.001 carries duplicated spans")
+    // and both index paths converge to the same canon map
+    def canon(root: String) = graft.sources.CommitLog.read(spark, root)
+      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("canon"))).toSet
+    assert(canon(idxS) == canon(idxB))
+
+    // restart replay of the last micro-batch: skipped whole — neither
+    // the index nor the output table commits again
+    val vIdx = graft.sources.CommitLog.currentVersion(idxS)
+    val vOut = graft.sources.CommitLog.currentVersion(outRoot)
+    sink(b1.toSeq.toDF("doc_id", "text"), 1L)
+    assert(graft.sources.CommitLog.currentVersion(idxS) == vIdx)
+    assert(graft.sources.CommitLog.currentVersion(outRoot) == vOut)
+  }
+
   test("streaming LM scoring against a frozen model release equals batch " +
       "scoring and appends exactly once") {
     import spark.implicits._
