@@ -344,6 +344,60 @@ object TableOps {
           |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // Partition-scoped INSERT OVERWRITE through the DSv2 catalog, both
+    // flavors (the Delta replaceWhere / dynamic-partition-overwrite
+    // concepts as log ops): a static `PARTITION (o_orderstatus = 'F')`
+    // spec re-lands only the F partition; dynamic mode then replaces
+    // exactly the partitions PRESENT in the data ('O' here) — P's files
+    // move by reference both times (GraftCatalogSpec proves the
+    // by-reference carry). At scale this is the nightly partition re-land
+    // that costs the partition, never the table. The oracle restates the
+    // final per-status state over the original parquet.
+    "q146_replace_where" -> QueryDef(
+      fn = { (s, dir) =>
+        if (!s.conf.getOption("spark.sql.catalog.graftcat").isDefined) {
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.commitlog.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.graftcat.root", tmp("graft-q146"))
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.gold")
+        s.sql("DROP TABLE IF EXISTS graftcat.gold.orders146")
+        s.sql("""CREATE TABLE graftcat.gold.orders146
+                |(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+                |PARTITIONED BY (o_orderstatus)""".stripMargin)
+        s.sql(s"""INSERT INTO graftcat.gold.orders146
+                 |SELECT o_orderkey, o_totalprice, o_orderstatus
+                 |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+        s.sql(s"""INSERT OVERWRITE graftcat.gold.orders146
+                 |PARTITION (o_orderstatus = 'F')
+                 |SELECT o_orderkey, o_totalprice / 2
+                 |FROM parquet.`$dir/orders.parquet`
+                 |WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0""".stripMargin)
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try s.sql(s"""INSERT OVERWRITE graftcat.gold.orders146
+                     |SELECT o_orderkey, o_totalprice + 1, o_orderstatus
+                     |FROM parquet.`$dir/orders.parquet`
+                     |WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0""".stripMargin)
+        finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        s.table("graftcat.gold.orders146")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""WITH final AS (
+           |  SELECT o_totalprice / 2 AS o_totalprice, o_orderstatus
+           |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+           |  UNION ALL
+           |  SELECT o_totalprice + 1, o_orderstatus
+           |  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
+           |  UNION ALL
+           |  SELECT o_totalprice, o_orderstatus
+           |  FROM orders WHERE o_orderstatus NOT IN ('F', 'O'))
+           |SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL UPDATE + DELETE statements (copy-on-write, one commit each): the
     // oracle restates both statements declaratively over the original
     // parquet — filter out the deleted keys, apply the SET arithmetic to

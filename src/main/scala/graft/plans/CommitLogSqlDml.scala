@@ -121,6 +121,22 @@ object CommitLogSqlDml {
         translateMerge(root, target, source, cond, matched, notMatched,
           notMatchedBySource)
 
+      // Dynamic partition overwrite on a catalog table: Spark ships no V1
+      // write fallback for OverwritePartitionsDynamic (its capability
+      // check demands a real V2 BATCH_WRITE), so the plan rewrites here —
+      // before CheckAnalysis — onto the commitlog's own partition-replace
+      // commit, the same interception route every other commitlog DML
+      // statement takes.
+      case o @ OverwritePartitionsDynamic(
+          r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+          query, _, _, _)
+          if o.childrenResolved &&
+            r.table.isInstanceOf[graft.sources.commitlog.GraftTable] =>
+        val t = r.table.asInstanceOf[graft.sources.commitlog.GraftTable]
+        if (t.pinned.isDefined) throw new IllegalArgumentException(
+          "cannot write through a version-pinned (time travel) relation")
+        GraftDynamicOverwriteCommand(t.rootDir, query)
+
       case _ => plan
     }
 
@@ -263,6 +279,26 @@ object CommitLogSqlDml {
     * merge-on-read [[CommitLog.deleteDV]] when the session sets
     * `spark.graft.commitlog.deletionVectors=true`.
     */
+  /** `INSERT OVERWRITE` in `partitionOverwriteMode=dynamic` → ONE
+    * [[CommitLog.overwritePartitionsDynamic]] commit replacing exactly the
+    * partitions present in the query's rows. Columns rebind positionally
+    * to the table schema (the analyzer has already aligned and cast the
+    * insert query by the time this command is built).
+    */
+  case class GraftDynamicOverwriteCommand(root: String, query: LogicalPlan)
+      extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val schema = CommitLog.manifestSchema(CommitLog.readManifest(root,
+        CommitLog.currentVersion(root).getOrElse(
+          throw new IllegalStateException(s"no commits at $root"))))
+      val df = GraftBridge.ofRows(spark, query)
+        .toDF(schema.fieldNames.toIndexedSeq: _*)
+      CommitLog.overwritePartitionsDynamic(spark, root, df)
+      Nil
+    }
+  }
+
   case class GraftDeleteCommand(root: String, cond: Expression)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {

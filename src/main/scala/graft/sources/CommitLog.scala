@@ -2419,6 +2419,67 @@ object CommitLog {
     base + 1
   }
 
+  /** Predicate-scoped atomic overwrite (the published Delta `replaceWhere`
+    * concept): ONE commit deletes every row matching `cond` and lands `df`
+    * in its place. The file-touch set is exact — only files holding a
+    * matching row rewrite (their non-matching rows carry into the staged
+    * output); everything else moves by reference — so re-landing one
+    * day of a day-partitioned 10⁵-file table costs that day's files, never
+    * the table. Every input row must satisfy `cond` (the Delta contract):
+    * an out-of-scope row would silently survive the NEXT replace of its
+    * own scope, so it is refused here rather than discovered as drift.
+    */
+  def replaceWhere(spark: SparkSession, root: String, cond: Column,
+      df: DataFrame): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val schema = schemaOf(m)
+    require(df.filter(!coalesce(cond, lit(false))).isEmpty,
+      "replaceWhere: every input row must satisfy the replace predicate " +
+        "(out-of-scope rows would silently survive later replaces)")
+    val touched = touchedFiles(spark, root, m)(_.filter(cond))
+    val kept = readFiles(spark, root, m, touched)
+      .filter(!coalesce(cond, lit(false)))
+    val merged = kept.unionByName(
+      df.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+    val add =
+      if (touched.isEmpty && df.isEmpty) Nil
+      else stageWithStats(merged, root, m.partitionByOrNil,
+        colMap = m.colMapOrEmpty, props = m.propsOrEmpty)
+    enforceConstraints(spark, root, Some(m), add, schema)
+    commitDelta(root, Some(m), Commit(base + 1, "replaceWhere",
+      m.schemaJson, add, touched, m.partitionByOrNil, m.txnOrEmpty))
+    base + 1
+  }
+
+  /** Dynamic-partition overwrite (Spark's `partitionOverwriteMode=dynamic`
+    * as a log op): replace exactly the partitions PRESENT IN `df`, leave
+    * every other partition untouched, one commit. The replaced set is the
+    * distinct partition tuples of the input (bounded by partition
+    * cardinality, collected driver-side like every manifest-scale
+    * decision), and the touch probe is the partition-key semi-join — at
+    * scale the nightly "re-land the days this batch carries" pattern.
+    */
+  def overwritePartitionsDynamic(spark: SparkSession, root: String,
+      df: DataFrame): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val spec = m.partitionByOrNil
+    require(spec.nonEmpty,
+      "dynamic partition overwrite requires a partitioned table " +
+        "(unpartitioned tables: use overwrite/replaceWhere)")
+    val parts = df.select(spec.map(col).toIndexedSeq: _*).distinct()
+      .collect().toIndexedSeq
+    val cond = balancedOr(parts
+      .map(r => spec.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _))).getOrElse(lit(false))
+    replaceWhere(spark, root, cond, df)
+  }
+
   // --------------------------------------------------------------------
   // Merge-on-read DELETE: deletion vectors
   // --------------------------------------------------------------------
@@ -2614,6 +2675,20 @@ object CommitLog {
   // Stats-pruned scan (data skipping)
   // --------------------------------------------------------------------
 
+  /** OR-fold as a BALANCED tree (depth log n). A left-leaning
+    * `reduce(_ || _)` chain nests one Or per operand, and Catalyst's
+    * recursive tree walks overflow the JVM stack once the operand count
+    * reaches runtime-filter scale — seen as a StackOverflowError planning
+    * the per-file survival condition for an IN over ~5k dim keys at sf1.
+    */
+  private def balancedOr(cs: Seq[Column]): Option[Column] = cs.length match {
+    case 0 => None
+    case 1 => Some(cs.head)
+    case n =>
+      val (l, r) = cs.splitAt(n / 2)
+      Some(balancedOr(l).get || balancedOr(r).get)
+  }
+
   /** Conservative file-survival condition for a predicate over per-file
     * min/max stats: true means "this file MIGHT contain a matching row".
     * Unsupported predicate shapes map to `true` (never wrong, just
@@ -2646,8 +2721,9 @@ object CommitLog {
       case Fn("<=", Seq(Attr(a), Lit(v))) => guarded(a)((mn, _) => mn <= v)
       case Fn("<=", Seq(Lit(v), Attr(a))) => guarded(a)((_, mx) => mx >= v)
       case Fn("in", Attr(a) +: vs) if vs.forall(_.isInstanceOf[Lit]) =>
-        vs.collect { case Lit(v) => guarded(a)((mn, mx) => mn <= v && mx >= v) }
-          .reduceOption(_ || _).getOrElse(lit(true))
+        balancedOr(vs.collect {
+          case Lit(v) => guarded(a)((mn, mx) => mn <= v && mx >= v)
+        }).getOrElse(lit(true))
       case Fn("isnull", Seq(Attr(a))) =>
         if (!tracked.contains(a)) lit(true)
         else coalesce(col(s"nulls__$a") > 0L, lit(true))

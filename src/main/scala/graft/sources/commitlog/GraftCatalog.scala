@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -414,25 +414,37 @@ case class GraftTable(rootDir: String, tableName: String, pinned: Option[Long])
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** Options for the V1 relation this table falls back to. */
   def v1Options: Map[String, String] =
     Map("path" -> rootDir) ++ pinned.map(v => "version" -> v.toString)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite
+        with SupportsDynamicOverwrite {
       private var replace = false
+      private var dynamic = false
+      private var replaceCond: Option[Column] = None
       override def truncate(): WriteBuilder = { replace = true; this }
-      // INSERT OVERWRITE arrives as overwrite-by-filter with the
-      // always-true filter (non-partitioned full replace); partial
-      // filter overwrites are not a log op and reject cleanly.
+      // INSERT OVERWRITE arrives as overwrite-by-filter: the always-true
+      // filter for a full replace, a real predicate for a static
+      // `PARTITION (p = v)` spec — the latter routes to
+      // [[CommitLog.replaceWhere]] (ONE commit, only files holding a
+      // matching row rewrite, the rest move by reference).
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
-        require(filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
-          "graft catalog supports only full-table INSERT OVERWRITE, got " +
-            filters.mkString(", "))
-        replace = true
+        if (filters.forall(_.isInstanceOf[sources.AlwaysTrue])) replace = true
+        else replaceCond = Some(GraftTable.filtersToColumn(filters).getOrElse(
+          throw new UnsupportedOperationException(
+            "cannot translate INSERT OVERWRITE predicate: " +
+              filters.mkString(", "))))
         this
+      }
+      // `partitionOverwriteMode=dynamic`: replace exactly the partitions
+      // present in the incoming data, leave the rest untouched.
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
       }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -440,8 +452,14 @@ case class GraftTable(rootDir: String, tableName: String, pinned: Option[Long])
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               require(pinned.isEmpty,
                 "cannot write through a version-pinned (time travel) relation")
-              if (replace || overwrite) CommitLog.overwrite(data, rootDir)
-              else CommitLog.append(data, rootDir)
+              if (dynamic)
+                CommitLog.overwritePartitionsDynamic(spark, rootDir, data)
+              else replaceCond match {
+                case Some(c) => CommitLog.replaceWhere(spark, rootDir, c, data)
+                case None =>
+                  if (replace || overwrite) CommitLog.overwrite(data, rootDir)
+                  else CommitLog.append(data, rootDir)
+              }
             }
           }
       }

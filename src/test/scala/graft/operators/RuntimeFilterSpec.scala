@@ -41,6 +41,21 @@ class RuntimeFilterSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq && got.length == 40)
   }
 
+  test("runtime-filter-scale IN lists plan without stack overflow") {
+    // ~6k dim keys once overflowed the stack: the per-file survival
+    // condition chained one Or per key (left-leaning reduce); it now
+    // folds as a balanced tree (found by the sf1 sweep — q131 died with
+    // StackOverflowError at 10× the gate scale)
+    val root = tmp()
+    val fact = spark.range(20000).selectExpr("id AS k", "id * 3 AS v")
+    CommitLog.append(fact.repartitionByRange(4, col("k")), root)
+    val dim = spark.range(0, 18000, 3).selectExpr("id AS dk", "'x' AS tag")
+    val got = RuntimeFilter.keyPrunedJoin(spark, root, dim, "k", "dk")
+      .agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(got.getLong(0) == 6000L)
+    assert(got.getLong(1) == (0L until 18000L by 3).map(_ * 3).sum)
+  }
+
   test("scattered keys survive the range layout through bloom sidecars") {
     val root = tmp()
     // bucketed (hash) layout: ranges overlap fully, so min/max can't

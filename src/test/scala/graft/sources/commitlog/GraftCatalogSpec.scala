@@ -123,6 +123,47 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("static and dynamic partition INSERT OVERWRITE replace only their partitions") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.t12 (k BIGINT, v STRING, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.t12 VALUES (1, 'a', 'p1'), (2, 'b', 'p2'), (3, 'c', 'p3')")
+    val dir = s"$root/t12"
+    val before = CommitLog.readManifest(dir, CommitLog.currentVersion(dir).get)
+    val others = before.statsOrNil.filterNot(_.mins("p") == "p1").map(_.path)
+    assert(others.nonEmpty)
+
+    // static spec → replaceWhere: ONE commit, p1 replaced, other
+    // partitions' files move by reference
+    spark.sql("INSERT OVERWRITE graft.t12 PARTITION (p = 'p1') VALUES (10, 'A')")
+    val after = CommitLog.readManifest(dir, CommitLog.currentVersion(dir).get)
+    assert(after.op == "replaceWhere")
+    assert(others.forall(after.files.contains),
+      "untouched partitions must carry by reference")
+    assert(spark.table("graft.t12").where("p = 'p1'")
+      .select("k", "v").as[(Long, String)].collect().toSeq == Seq((10L, "A")))
+    assert(spark.table("graft.t12").count() == 3)
+
+    // dynamic mode: only partitions PRESENT in the data replace; p3 stays
+    val p3files = after.statsOrNil.filter(_.mins("p") == "p3").map(_.path)
+    assert(p3files.nonEmpty)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(
+      "INSERT OVERWRITE graft.t12 VALUES (20, 'B', 'p1'), (30, 'C', 'p2')")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val after2 = CommitLog.readManifest(dir, CommitLog.currentVersion(dir).get)
+    assert(p3files.forall(after2.files.contains),
+      "partitions absent from the data must carry by reference")
+    assert(spark.table("graft.t12").orderBy("k")
+      .select("k").as[Long].collect().toSeq == Seq(3L, 20L, 30L))
+
+    // the replaceWhere contract: out-of-scope input rows refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.replaceWhere(spark, dir, col("p") === "p1",
+        Seq((99L, "z", "p2")).toDF("k", "v", "p"))
+    }
+    assert(ex.getMessage.contains("replace predicate"))
+  }
+
   test("DROP TABLE, RENAME, and namespace listing") {
     spark.sql("CREATE TABLE graft.t7 (k BIGINT)")
     spark.sql("INSERT INTO graft.t7 VALUES (1)")
