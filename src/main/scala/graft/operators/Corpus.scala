@@ -540,6 +540,84 @@ object Corpus {
           |  quantile_cont(epoch_us(t_purchase) - epoch_us(t_view), 0.9) AS p90_latency_us
           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Multi-touch (position-based) marketing attribution with EXACT integer
+    // credit: each purchase distributes 10,000 basis points across the
+    // touches (click/view/signup) in its lookback window — 40/20/40
+    // first/middle/last (U-shaped), with the middle share split by integer
+    // division and the remainder going to the EARLIEST middles, so every
+    // conversion's credit sums to exactly 10,000 and the per-channel totals
+    // are order-independent BIGINTs (no float credit drift cross-engine).
+    // Touch→conversion assignment is one descending running-min window per
+    // user (next purchase at-or-after the touch), then positions come from
+    // one (user, conversion) window — two keyed window passes, no joins, no
+    // self-join on the event stream. Scale: both windows partition by
+    // user/(user, conversion) — at 100 TB this is two shuffles of the touch
+    // slice keyed by user, each partition a single sorted pass; credit
+    // arithmetic is per-row expression work inside whole-stage codegen.
+    "q148_attribution" -> QueryDef(
+      fn = { (s, dir) =>
+        val wNext = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withConv = events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .withColumn("conv_us",
+            min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+              .over(wNext))
+        val touch = withConv
+          .filter(col("event_type").isin("click", "view", "signup") &&
+            col("conv_us").isNotNull &&
+            unix_micros(col("ts")) <= col("conv_us") &&
+            col("conv_us") - unix_micros(col("ts")) <= lit(2592000000000L))
+        val wPos = Window.partitionBy(col("user_id"), col("conv_us"))
+          .orderBy(col("ts"), col("event_id"))
+        val wCnt = Window.partitionBy(col("user_id"), col("conv_us"))
+        val pos = touch
+          .withColumn("rn", row_number().over(wPos))
+          .withColumn("n", count(lit(1)).over(wCnt))
+        val credit = when(col("n") === 1, lit(10000L))
+          .when(col("n") === 2, lit(5000L))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(4000L))
+          .otherwise(expr("CAST(2000 DIV (n - 2) AS BIGINT)") +
+            when(col("rn") - 1 <= expr("2000 % (n - 2)"), lit(1L))
+              .otherwise(lit(0L)))
+        pos.withColumn("credit", credit)
+          .groupBy(col("event_type"))
+          .agg(sum(col("credit")).as("credit_bp"),
+            count(lit(1)).as("touches"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH conv AS (
+          |  SELECT event_id, ts, user_id, event_type,
+          |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+          |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS conv_us
+          |  FROM events),
+          |touch AS (
+          |  SELECT user_id, conv_us, ts, event_id, event_type
+          |  FROM conv
+          |  WHERE event_type IN ('click', 'view', 'signup')
+          |    AND conv_us IS NOT NULL
+          |    AND epoch_us(ts) <= conv_us
+          |    AND conv_us - epoch_us(ts) <= 2592000000000),
+          |pos AS (
+          |  SELECT event_type,
+          |    row_number() OVER (PARTITION BY user_id, conv_us
+          |                       ORDER BY ts, event_id) AS rn,
+          |    count(*) OVER (PARTITION BY user_id, conv_us) AS n
+          |  FROM touch)
+          |SELECT event_type,
+          |  CAST(SUM(CASE WHEN n = 1 THEN 10000
+          |                WHEN n = 2 THEN 5000
+          |                WHEN rn = 1 OR rn = n THEN 4000
+          |                ELSE 2000 // (n - 2) +
+          |                  (CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
+          |           END) AS BIGINT) AS credit_bp,
+          |  count(*) AS touches
+          |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Quality-WEIGHTED deterministic sampling: keep probability is a
     // per-row function of the data (here length-derived, w = min(1,
     // n_chars/2000)) instead of q50's per-stratum literals — the "sample

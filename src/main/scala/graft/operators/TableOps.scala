@@ -398,6 +398,90 @@ object TableOps {
            |  ${sqlSum("o_totalprice")} AS sum_price
            |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SCD Type-2 dimension maintenance (Kimball slowly-changing dimension,
+    // type 2) in ONE merge commit: the customer dimension carries
+    // (valid_from, valid_to, is_current) validity ranges; an update batch
+    // closes the current version of every key whose tracked attributes
+    // actually changed (no-op rows — the batch's key%10==7 slice arrives
+    // with unchanged values — must NOT produce a new version) and opens the
+    // new version, while brand-new keys insert their first version. The
+    // single-MERGE encoding: merge key = (c_custkey, valid_from), source =
+    // close-rows (the current row's full image with valid_to/is_current
+    // rewritten — they hit the open version exactly) ∪ new-version rows ∪
+    // first-version rows (their (key, eff_date) pair matches nothing →
+    // INSERT). Change detection is ONE equi-join of the batch against the
+    // open slice before the merge. Scale: the merge rewrites only files
+    // holding a changed key (file-granular copy-on-write); history files —
+    // closed versions never match — carry over by reference, so a daily
+    // dimension sync costs the churn, never the accumulated history.
+    "q147_scd2_dimension" -> QueryDef(
+      fn = { (s, dir) =>
+        val d0 = java.sql.Date.valueOf("1992-01-01")
+        val eff = java.sql.Date.valueOf("1997-01-01")
+        // open-end sentinel instead of NULL (Kimball's standard practice;
+        // also keeps the cross-engine value hash free of null-date skew)
+        val open = java.sql.Date.valueOf("2099-12-31")
+        val cust = Tables.load(s, dir, "customer")
+        val root = tmp("graft-q147")
+        CommitLog.append(
+          cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            lit(d0).as("valid_from"), lit(open).as("valid_to"),
+            lit(true).as("is_current")),
+          root)
+        // update batch: key % 5 == 2 propose segment PROMO / balance + 100,
+        // EXCEPT key % 10 == 7 which arrives value-identical (no-op probe)
+        val noop = col("c_custkey") % 10 === 7
+        val upd = cust.filter(col("c_custkey") % 5 === 2)
+          .select(col("c_custkey"),
+            when(noop, col("c_mktsegment")).otherwise(lit("PROMO")).as("new_seg"),
+            when(noop, col("c_acctbal")).otherwise(col("c_acctbal") + 100)
+              .as("new_bal"))
+        val cur = CommitLog.read(s, root).filter(col("is_current"))
+        val changed = upd.join(cur, Seq("c_custkey"))
+          .filter(col("new_seg") =!= col("c_mktsegment") ||
+            col("new_bal") =!= col("c_acctbal"))
+        val closeRows = changed.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal"), col("valid_from"), lit(eff).as("valid_to"),
+          lit(false).as("is_current"))
+        val newRows = changed.select(col("c_custkey"),
+          col("new_seg").as("c_mktsegment"), col("new_bal").as("c_acctbal"),
+          lit(eff).as("valid_from"), lit(open).as("valid_to"),
+          lit(true).as("is_current"))
+        val firstRows = cust.filter(col("c_custkey") % 17 === 3)
+          .select((-col("c_custkey")).as("c_custkey"),
+            lit("NEW").as("c_mktsegment"), col("c_acctbal"),
+            lit(eff).as("valid_from"), lit(open).as("valid_to"),
+            lit(true).as("is_current"))
+        CommitLog.merge(s, root,
+          closeRows.unionByName(newRows).unionByName(firstRows),
+          keys = Seq("c_custkey", "valid_from"))
+        CommitLog.read(s, root)
+          .select("c_custkey", "c_mktsegment", "c_acctbal", "valid_from",
+            "valid_to", "is_current")
+          .orderBy("c_custkey", "valid_from")
+      },
+      oracle = Some(
+        """WITH changed AS (
+          |  SELECT c_custkey, c_mktsegment AS old_seg, c_acctbal AS old_bal
+          |  FROM customer WHERE c_custkey % 5 = 2 AND c_custkey % 10 <> 7)
+          |SELECT c_custkey, c_mktsegment, c_acctbal,
+          |       DATE '1992-01-01' AS valid_from, DATE '2099-12-31' AS valid_to,
+          |       true AS is_current
+          |FROM customer WHERE NOT (c_custkey % 5 = 2 AND c_custkey % 10 <> 7)
+          |UNION ALL
+          |SELECT c_custkey, old_seg, old_bal, DATE '1992-01-01',
+          |       DATE '1997-01-01', false
+          |FROM changed
+          |UNION ALL
+          |SELECT c_custkey, 'PROMO', old_bal + 100, DATE '1997-01-01',
+          |       DATE '2099-12-31', true
+          |FROM changed
+          |UNION ALL
+          |SELECT -c_custkey, 'NEW', c_acctbal, DATE '1997-01-01',
+          |       DATE '2099-12-31', true
+          |FROM customer WHERE c_custkey % 17 = 3
+          |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     // SQL UPDATE + DELETE statements (copy-on-write, one commit each): the
     // oracle restates both statements declaratively over the original
     // parquet — filter out the deleted keys, apply the SET arithmetic to
