@@ -482,6 +482,112 @@ object TableOps {
           |FROM customer WHERE c_custkey % 17 = 3
           |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // RELY-constraint join elimination (the Snowflake/Oracle warehouse
+    // optimizer move): customer declares `constraint.pk = c_custkey`
+    // (validated unique+non-null at declaration), orders declares
+    // `constraint.fk.o_custkey -> customer.c_custkey` (validated
+    // referential at declaration, re-enforced per append) — so the
+    // fact⋈dim star query that consumes only fact columns drops its join
+    // entirely ([[graft.plans.JoinElimination]]). The query RETURNS the
+    // optimized plan's join count as a column: the oracle — which answers
+    // with the REAL join over the same parquet — hard-codes 0, so the
+    // correctness gate simultaneously proves (a) the rewrite fired and
+    // (b) dropping the join changed nothing. Scale: each eliminated join
+    // saves the dimension's broadcast/shuffle AND unblocks fact-only
+    // pruning — on a 1000-executor star-schema dashboard this is the
+    // single most common generated-SQL waste.
+    "q149_join_elimination" -> QueryDef(
+      fn = { (s, dir) =>
+        val dimRoot = tmp("graft-q149d")
+        val factRoot = tmp("graft-q149f")
+        CommitLog.append(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")), dimRoot)
+        CommitLog.setTableProperties(dimRoot, Map(CommitLog.PkProp -> "c_custkey"))
+        CommitLog.append(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice")), factRoot)
+        CommitLog.setTableProperties(factRoot,
+          Map(s"${CommitLog.FkPropPrefix}o_custkey" -> s"$dimRoot::c_custkey"))
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q149_dim
+                 |USING `graft-commitlog` OPTIONS (path '$dimRoot')""".stripMargin)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q149_fact
+                 |USING `graft-commitlog` OPTIONS (path '$factRoot')""".stripMargin)
+        val agg = s.sql(
+          """SELECT o.o_orderstatus, count(*) AS n,
+            |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+            |    AS sum_price
+            |FROM q149_fact o JOIN q149_dim c ON o.o_custkey = c.c_custkey
+            |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)
+        val joins = agg.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.size
+        agg.withColumn("joins_in_plan", lit(joins).cast("long"))
+      },
+      oracle = Some(
+        s"""SELECT o.o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o.o_totalprice")} AS sum_price,
+           |  CAST(0 AS BIGINT) AS joins_in_plan
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)),
+
+    // Right-to-erasure across a table family ([[CommitLog.forgetKeys]]):
+    // the subject list (every user_id ≡ 13 mod 97) is removed from BOTH
+    // the activity table and its derived per-user profile table in ONE
+    // atomic multi-table transaction — the coordinator-marker protocol
+    // means no reader can see the subject half-erased. The oracle
+    // restates both post-erasure tables as filtered aggregates over the
+    // original parquet. Scale: per table the cost is the key-pruned
+    // touch probe + O(matched rows) of DV bytes; the erasure list itself
+    // is request-sized (driver-side), never a distributed join.
+    "q150_forget_keys" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val prof = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        val actRoot = tmp("graft-q150a")
+        val profRoot = tmp("graft-q150p")
+        val coord = tmp("graft-q150c")
+        CommitLog.append(ev, actRoot)
+        CommitLog.append(prof, profRoot)
+        val keys = ev.filter(col("user_id") % 97 === 13)
+          .select(col("user_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        CommitLog.forgetKeys(s,
+          Seq((actRoot, "user_id"), (profRoot, "user_id")), keys, coord)
+        val a = CommitLog.read(s, actRoot)
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("subjects"),
+            dsum(col("value")).as("sum_value"))
+          .select(lit("activity").as("tbl"), col("n"), col("subjects"),
+            col("sum_value"))
+        val p = CommitLog.read(s, profRoot)
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("subjects"),
+            dsum(col("sum_value")).as("sum_value"))
+          .select(lit("profile").as("tbl"), col("n"), col("subjects"),
+            col("sum_value"))
+        a.unionByName(p).orderBy("tbl")
+      },
+      oracle = Some(
+        s"""WITH kept AS (
+           |  SELECT * FROM events WHERE user_id % 97 <> 13),
+           |prof AS (
+           |  SELECT user_id, count(*) AS n_events,
+           |    ${sqlSum("value")} AS sum_value
+           |  FROM events GROUP BY 1)
+           |SELECT 'activity' AS tbl, count(*) AS n,
+           |  count(DISTINCT user_id) AS subjects,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM kept
+           |UNION ALL
+           |SELECT 'profile' AS tbl, count(*) AS n,
+           |  count(DISTINCT user_id) AS subjects,
+           |  ${sqlSum("sum_value")} AS sum_value
+           |FROM prof WHERE user_id % 97 <> 13
+           |ORDER BY tbl""".stripMargin)),
+
     // SQL UPDATE + DELETE statements (copy-on-write, one commit each): the
     // oracle restates both statements declaratively over the original
     // parquet — filter out the deleted keys, apply the SET arithmetic to

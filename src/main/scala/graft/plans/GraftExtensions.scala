@@ -102,6 +102,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteFloatDotProduct)
     e.injectOptimizerRule(_ => MetadataAggregate)
     e.injectOptimizerRule(_ => MvRewrite)
+    e.injectOptimizerRule(_ => JoinElimination)
     // SQL row-level DML (MERGE/UPDATE/DELETE) and time travel (VERSION AS
     // OF / TIMESTAMP AS OF) on commitlog tables. Resolution-batch rules
     // cannot be attached to an already-built session, so these two are only
@@ -193,7 +194,8 @@ object GraftExtensions {
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    Seq(RewriteFloatDotProduct, MetadataAggregate, MvRewrite).foreach { r =>
+    Seq(RewriteFloatDotProduct, MetadataAggregate, MvRewrite,
+        JoinElimination).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r

@@ -1079,6 +1079,7 @@ object CommitLog {
       colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
       props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
     enforceConstraints(df.sparkSession, root, prior, add, schema)
+    enforceRelational(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
     v
@@ -1134,6 +1135,133 @@ object CommitLog {
       require(v.toIntOption.exists(n => n >= 4 && n <= 21),
         s"table property ndv.lgk must be an integer in [4, 21], got '$v'")
     }
+    props.get(PkProp).foreach { v =>
+      require(v.trim.nonEmpty && !v.contains(','),
+        s"table property $PkProp must name exactly one column, got '$v'")
+    }
+    props.keys.filter(_.startsWith(FkPropPrefix)).foreach { k =>
+      require(k.length > FkPropPrefix.length,
+        s"foreign-key property '$k' names no column")
+      val v = props(k)
+      require(FkRefRe.pattern.matcher(v).matches(),
+        s"table property $k must be '<dimRoot>::<pkColumn>', got '$v'")
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // Declared relational (RELY) constraints: primary / foreign keys
+  // --------------------------------------------------------------------
+
+  /** `constraint.pk = <col>`: the column is unique and non-null across the
+    * table. `constraint.fk.<col> = <dimRoot>::<pkCol>`: every value of
+    * `<col>` is non-null and present in the referenced table's declared
+    * primary key. Both are VALIDATED against the full table when declared
+    * (ADD CONSTRAINT semantics) and re-checked for the new rows on every
+    * append; [[graft.plans.JoinElimination]] then trusts them the way
+    * Snowflake's optimizer trusts RELY constraints — eliminating fact⋈dim
+    * joins whose dimension side is provably redundant.
+    */
+  private[graft] val PkProp = "constraint.pk"
+  private[graft] val FkPropPrefix = "constraint.fk."
+  private val FkRefRe = "(?s)(.+)::([^:]+)".r
+
+  private def declaredFks(props: Map[String, String]): Seq[(String, String, String)] =
+    props.toSeq.collect {
+      case (k, FkRefRe(dimRoot, pkCol)) if k.startsWith(FkPropPrefix) =>
+        (k.stripPrefix(FkPropPrefix), dimRoot, pkCol)
+    }
+
+  /** Full-table validation of newly DECLARED pk/fk constraints — runs once
+    * at declaration (the cost of `ALTER TABLE ADD CONSTRAINT`), scanning
+    * only the key columns involved.
+    */
+  private def validateDeclaredConstraints(spark: SparkSession, root: String,
+      set: Map[String, String]): Unit = {
+    set.get(PkProp).foreach { pk =>
+      val c = pk.trim
+      val bad = read(spark, root).groupBy(col(c))
+        .agg(count(lit(1)).as("n"))
+        .filter(col(c).isNull || col("n") > 1)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot declare $PkProp = $c on $root: column has " +
+          "duplicate or null values")
+    }
+    declaredFks(set).foreach { case (fkCol, dimRoot, pkCol) =>
+      require(tablePropertiesOf(dimRoot).get(PkProp).contains(pkCol),
+        s"cannot declare foreign key $fkCol -> $dimRoot::$pkCol: the " +
+          s"referenced table does not declare $PkProp = $pkCol")
+      val nulls = read(spark, root).filter(col(fkCol).isNull).limit(1).collect()
+      require(nulls.isEmpty,
+        s"cannot declare foreign key on $fkCol: column has null values")
+      val orphan = read(spark, root).select(col(fkCol)).distinct()
+        .join(read(spark, dimRoot).select(col(pkCol)),
+          col(fkCol) === col(pkCol), "left_anti")
+        .limit(1).collect()
+      require(orphan.isEmpty,
+        s"cannot declare foreign key $fkCol -> $dimRoot::$pkCol: " +
+          s"value ${orphan.headOption.map(_.get(0))} has no parent row")
+    }
+  }
+
+  /** Append-path re-check of declared pk/fk constraints over the STAGED
+    * rows only (new-row enforcement — merge keyed on the pk preserves
+    * uniqueness structurally via its own duplicate-source check). Cost is
+    * one key-column pass over the staged batch plus one key-only probe of
+    * the existing table / referenced dimension per constraint.
+    */
+  private def enforceRelational(spark: SparkSession, root: String,
+      prior: Option[Manifest], add: Seq[FileStat], schema: StructType): Unit = {
+    val props = prior.map(_.propsOrEmpty).getOrElse(Map.empty)
+    val fks = declaredFks(props)
+    if (add.isEmpty || (props.get(PkProp).isEmpty && fks.isEmpty)) return
+    val staged = stagedLogical(spark, root, prior, add, schema)
+    props.get(PkProp).foreach { pk =>
+      val c = pk.trim
+      val dup = staged.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .filter(col(c).isNull || col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"append violates $PkProp = $c on $root: batch has duplicate " +
+          "or null key values — commit aborted")
+      // prior is always present here: the props map came from it
+      val existing = readFiles(spark, root, prior.get, prior.get.files)
+        .select(col(c))
+      val clash = staged.select(col(c))
+        .join(existing, Seq(c), "left_semi").limit(1).collect()
+      require(clash.isEmpty,
+        s"append violates $PkProp = $c on $root: batch re-inserts key " +
+          s"${clash.headOption.map(_.get(0))} — commit aborted")
+    }
+    fks.foreach { case (fkCol, dimRoot, pkCol) =>
+      val orphan = staged.select(col(fkCol))
+        .filter(col(fkCol).isNull).limit(1).collect()
+      require(orphan.isEmpty,
+        s"append violates foreign key $fkCol -> $dimRoot::$pkCol: null " +
+          "key in batch — commit aborted")
+      val missing = staged.select(col(fkCol)).distinct()
+        .join(read(spark, dimRoot).select(col(pkCol)),
+          col(fkCol) === col(pkCol), "left_anti")
+        .limit(1).collect()
+      require(missing.isEmpty,
+        s"append violates foreign key $fkCol -> $dimRoot::$pkCol: value " +
+          s"${missing.headOption.map(_.get(0))} has no parent row — " +
+          "commit aborted")
+    }
+  }
+
+  /** The staged files of a pending commit read back with LOGICAL column
+    * names (column-mapped tables stage under physical names).
+    */
+  private def stagedLogical(spark: SparkSession, root: String,
+      prior: Option[Manifest], add: Seq[FileStat],
+      schema: StructType): DataFrame = {
+    val cmap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty)
+    val physS = StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+    val raw = readFiles(spark, root, physS, add.map(_.path))
+    if (cmap.isEmpty) raw
+    else raw.select(schema.fieldNames.toIndexedSeq.map(n =>
+      col(cmap.getOrElse(n, n)).as(n)): _*)
   }
 
   /** Current table-property map (empty for pre-props logs). */
@@ -1155,6 +1283,15 @@ object CommitLog {
       throw new IllegalArgumentException(s"no CommitLog table at $root"))
     val m = readManifest(root, base)
     validateProps(set)
+    // ADD CONSTRAINT semantics for newly declared relational constraints:
+    // the declaration commit lands only if the CURRENT data satisfies it.
+    if (set.contains(PkProp) || set.keys.exists(_.startsWith(FkPropPrefix))) {
+      val spark = SparkSession.getActiveSession.getOrElse(
+        throw new IllegalStateException(
+          "declaring pk/fk constraints requires an active SparkSession " +
+            "(the declaration validates the existing data)"))
+      validateDeclaredConstraints(spark, root, set)
+    }
     commitDelta(root, Some(m), Commit(base + 1, "set-props", m.schemaJson,
       Nil, Nil, m.partitionByOrNil, m.txnOrEmpty,
       constraints = m.constraintsOrEmpty, dvs = m.dvsOrEmpty,
@@ -1321,14 +1458,7 @@ object CommitLog {
     val cs = prior.map(_.constraintsOrEmpty).getOrElse(Map.empty)
     if (cs.isEmpty || add.isEmpty) return
     // staged files carry PHYSICAL names; constraint exprs use logical ones
-    val cmap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty)
-    val physS = StructType(schema.fields.map(f =>
-      f.copy(name = cmap.getOrElse(f.name, f.name))))
-    val raw = readFiles(spark, root, physS, add.map(_.path))
-    val staged =
-      if (cmap.isEmpty) raw
-      else raw.select(schema.fieldNames.toIndexedSeq.map(n =>
-        col(cmap.getOrElse(n, n)).as(n)): _*)
+    val staged = stagedLogical(spark, root, prior, add, schema)
     // Genuinely ONE columnar pass regardless of how many constraints are
     // registered: all violation predicates are OR'd into a single filter,
     // and the surviving row's CASE chain names the first failing
@@ -1373,6 +1503,7 @@ object CommitLog {
       colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
       props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
     enforceConstraints(df.sparkSession, root, prior, add, schema)
+    enforceRelational(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId)))
     v
@@ -2542,8 +2673,25 @@ object CommitLog {
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(root, base)
+    stageDvDelete(spark, root, m, cond) match {
+      case None => base // nothing matches: no-op, no commit
+      case Some((fullGone, dvEntries)) =>
+        commitDelta(root, Some(m), Commit(base + 1, "delete-dv", m.schemaJson,
+          Nil, fullGone, m.partitionByOrNil, m.txnOrEmpty, dvs = dvEntries))
+        base + 1
+    }
+  }
+
+  /** The staging core of a merge-on-read delete against snapshot `m`:
+    * returns None when no file holds a matching row, otherwise the files
+    * whose every row died (dropped outright) and the DV sidecar entries
+    * for partially-hit files. Shared by [[deleteDV]] (single-table commit)
+    * and [[forgetKeys]] (multi-table transactional commit).
+    */
+  private def stageDvDelete(spark: SparkSession, root: String, m: Manifest,
+      cond: Column): Option[(Seq[String], Map[String, String])] = {
     val touched = touchedFiles(spark, root, m)(_.filter(cond))
-    if (touched.isEmpty) return base // nothing matches: no-op, no commit
+    if (touched.isEmpty) return None
     // Newly dead coordinates — from the LIVE read, so previously-DV'd
     // positions cannot reappear here (the union below stays disjoint).
     // Scan paths map back to MANIFEST path strings via a driver lookup
@@ -2566,10 +2714,64 @@ object CommitLog {
       val dvEntries =
         if (partial.isEmpty) Map.empty[String, String]
         else stageDV(dead.filter(col("__dv_rel").isin(partial: _*)), root, partial)
-      commitDelta(root, Some(m), Commit(base + 1, "delete-dv", m.schemaJson,
-        Nil, fullGone, m.partitionByOrNil, m.txnOrEmpty, dvs = dvEntries))
-      base + 1
+      Some((fullGone, dvEntries))
     } finally dead.unpersist()
+  }
+
+  /** Right-to-erasure ("forget me") across a table FAMILY in one atomic
+    * multi-table transaction: every row whose `keyCol` is one of `keys`
+    * dies — via merge-on-read deletion vectors — in EVERY listed table at
+    * a single visibility instant (the coordinator marker write, the same
+    * Percolator-style protocol as [[multiAppend]]); a reader can never
+    * observe the subject half-erased. Tables holding no matching row skip
+    * (their current version is returned unchanged) — skipping cannot break
+    * atomicity because there is nothing to erase there.
+    *
+    * DV erasure removes the rows from every subsequent read instantly at
+    * O(matched rows) write cost; the bytes still sit in the original
+    * parquet until a rewrite. PHYSICAL erasure = this + [[compact]]
+    * (materializes DVs away) + [[vacuumLog]] past the retention horizon —
+    * the same two-phase contract Delta documents for GDPR deletes. Note
+    * that time travel to pre-erasure versions still sees the subject until
+    * the log is vacuumed; shrink the retention window accordingly when
+    * running under a deletion deadline.
+    *
+    * Scale: per table, cost is the key-pruned touch probe (manifest stats
+    * / bloom sidecars cut the candidate files first) + DV staging of the
+    * matched positions — erasing one subject from a 10⁵-file table opens
+    * the handful of files bloom/min-max say may hold the key.
+    */
+  def forgetKeys(spark: SparkSession, tables: Seq[(String, String)],
+      keys: Seq[Any], coord: String): Map[String, Long] = {
+    require(tables.nonEmpty, "forgetKeys needs at least one (root, keyCol)")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "one entry per table root")
+    require(keys.nonEmpty, "forgetKeys needs at least one key value")
+    Files.createDirectories(Paths.get(coord))
+    val markerPath = Paths.get(coord)
+      .resolve(s"txn-${UUID.randomUUID()}.json").toAbsolutePath.toString
+    val versions = tables.map { case (root, keyCol) =>
+      root -> withRetry() {
+        val base = currentVersion(root).getOrElse(
+          throw new IllegalStateException(s"no commits at $root"))
+        val m = readManifest(root, base)
+        stageDvDelete(spark, root, m, col(keyCol).isin(keys: _*)) match {
+          case None => base // no matching rows here — nothing to erase
+          case Some((fullGone, dvEntries)) =>
+            publish(root, Commit(base + 1, "delete-dv", m.schemaJson,
+              Nil, fullGone, m.partitionByOrNil, m.txnOrEmpty,
+              dvs = dvEntries, multiTxn = markerPath))
+            base + 1
+        }
+      }
+    }.toMap
+    val st = decideMarker(Paths.get(markerPath), "committed")
+    txnStateCache.put(markerPath, st)
+    if (st != "committed")
+      throw new TxnAbortedException(
+        s"forgetKeys transaction $markerPath was force-aborted by a " +
+          "concurrent resolver during prepare; no table shows any effect")
+    versions
   }
 
   /** Merge-on-read UPDATE: ONE commit in which the matched rows' positions

@@ -1,0 +1,160 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.CommitLog
+
+/** RELY-constraint join elimination: declared `constraint.pk` /
+  * `constraint.fk.<col>` table properties let the optimizer drop fact⋈dim
+  * joins whose dimension side is never consumed — and the declarations
+  * themselves are validated against the data (ADD CONSTRAINT semantics)
+  * and enforced for new rows on every append.
+  */
+class JoinEliminationSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-jelim").toString
+
+  private def view(root: String): String = {
+    val v = s"je_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $v " +
+      s"USING `graft-commitlog` OPTIONS (path '$root')")
+    v
+  }
+
+  private def hasJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty
+
+  /** dim: 10 unique keys; fact: 100 rows, every fk a valid parent. */
+  private def fixture(): (String, String) = {
+    val dim = tmp(); val fact = tmp()
+    CommitLog.append(
+      spark.range(10).selectExpr("id AS pk", "concat('d', id) AS dname"), dim)
+    CommitLog.setTableProperties(dim, Map(CommitLog.PkProp -> "pk"))
+    CommitLog.append(
+      spark.range(100).selectExpr("id", "id % 10 AS fk",
+        "CAST(id AS DOUBLE) AS v"), fact)
+    CommitLog.setTableProperties(fact,
+      Map(s"${CommitLog.FkPropPrefix}fk" -> s"$dim::pk"))
+    (dim, fact)
+  }
+
+  test("inner fact-dim join with only fact columns consumed is eliminated " +
+      "and answers match the real join") {
+    val (dim, fact) = fixture()
+    val fv = view(fact); val dv = view(dim)
+    val q = spark.sql(
+      s"""SELECT fk, count(*) AS n, sum(v) AS sv
+         |FROM $fv f JOIN $dv d ON f.fk = d.pk
+         |GROUP BY fk ORDER BY fk""".stripMargin)
+    assert(!hasJoin(q), q.queryExecution.optimizedPlan.toString)
+    val want = spark.sql(
+      s"SELECT fk, count(*) AS n, sum(v) AS sv FROM $fv GROUP BY fk ORDER BY fk")
+      .collect().toSeq
+    assert(q.collect().toSeq == want)
+  }
+
+  test("left outer join to a declared-unique key is eliminated even with " +
+      "a dim-side filter; inner is NOT eliminated when the dim is filtered") {
+    val (dim, fact) = fixture()
+    val fv = view(fact); val dv = view(dim)
+    val louter = spark.sql(
+      s"""SELECT f.id, f.v FROM $fv f
+         |LEFT JOIN (SELECT * FROM $dv WHERE pk < 5) d ON f.fk = d.pk
+         |ORDER BY f.id""".stripMargin)
+    assert(!hasJoin(louter), louter.queryExecution.optimizedPlan.toString)
+    assert(louter.count() == 100)
+    val inner = spark.sql(
+      s"""SELECT f.id, f.v FROM $fv f
+         |JOIN (SELECT * FROM $dv WHERE pk < 5) d ON f.fk = d.pk""".stripMargin)
+    assert(hasJoin(inner))
+    assert(inner.count() == 50)
+  }
+
+  test("join survives when dim columns are consumed, when no constraint " +
+      "is declared, and when the rewrite is disabled") {
+    val (dim, fact) = fixture()
+    val fv = view(fact); val dv = view(dim)
+    val uses = spark.sql(
+      s"SELECT f.fk, d.dname FROM $fv f JOIN $dv d ON f.fk = d.pk")
+    assert(hasJoin(uses))
+    // no declaration: a fresh dim without constraint.pk keeps the join
+    val bare = tmp()
+    CommitLog.append(
+      spark.range(10).selectExpr("id AS pk", "concat('d', id) AS dname"), bare)
+    val bv = view(bare)
+    val noDecl = spark.sql(
+      s"SELECT f.id FROM $fv f LEFT JOIN $bv d ON f.fk = d.pk")
+    assert(hasJoin(noDecl))
+    spark.conf.set(JoinElimination.EnabledConf, "false")
+    try {
+      val off = spark.sql(
+        s"SELECT f.id FROM $fv f LEFT JOIN $dv d ON f.fk = d.pk")
+      assert(hasJoin(off))
+    } finally spark.conf.unset(JoinElimination.EnabledConf)
+  }
+
+  test("declaring a pk on duplicate or null data is rejected; declaring " +
+      "an fk with orphans or an undeclared parent key is rejected") {
+    val t = tmp()
+    CommitLog.append(spark.range(10).selectExpr("id % 5 AS pk"), t)
+    val e1 = intercept[IllegalArgumentException] {
+      CommitLog.setTableProperties(t, Map(CommitLog.PkProp -> "pk"))
+    }
+    assert(e1.getMessage.contains("duplicate or null"))
+    val (dim, _) = fixture()
+    val orphan = tmp()
+    CommitLog.append(spark.range(12).selectExpr("id AS fk"), orphan)
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.setTableProperties(orphan,
+        Map(s"${CommitLog.FkPropPrefix}fk" -> s"$dim::pk"))
+    }
+    assert(e2.getMessage.contains("has no parent"))
+    val e3 = intercept[IllegalArgumentException] {
+      CommitLog.setTableProperties(orphan,
+        Map(s"${CommitLog.FkPropPrefix}fk" -> s"$t::pk"))
+    }
+    assert(e3.getMessage.contains("does not declare"))
+  }
+
+  test("appends enforce declared constraints: duplicate/existing pk and " +
+      "orphan/null fk batches abort, valid batches commit") {
+    val (dim, fact) = fixture()
+    // duplicate-in-batch pk
+    val e1 = intercept[IllegalArgumentException] {
+      CommitLog.append(
+        spark.range(2).selectExpr("CAST(99 AS BIGINT) AS pk", "'x' AS dname"), dim)
+    }
+    assert(e1.getMessage.contains("duplicate or null"))
+    // re-insert of an existing pk
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.append(
+        spark.range(1).selectExpr("CAST(3 AS BIGINT) AS pk", "'x' AS dname"), dim)
+    }
+    assert(e2.getMessage.contains("re-inserts"))
+    // orphan fk
+    val e3 = intercept[IllegalArgumentException] {
+      CommitLog.append(
+        spark.range(1).selectExpr("CAST(1000 AS BIGINT) AS id", "CAST(77 AS BIGINT) AS fk", "CAST(0.0 AS DOUBLE) AS v"), fact)
+    }
+    assert(e3.getMessage.contains("no parent"))
+    // null fk
+    val e4 = intercept[IllegalArgumentException] {
+      CommitLog.append(spark.range(1).selectExpr(
+        "CAST(1000 AS BIGINT) AS id", "CAST(NULL AS BIGINT) AS fk", "CAST(0.0 AS DOUBLE) AS v"), fact)
+    }
+    assert(e4.getMessage.contains("null"))
+    // valid appends still work
+    CommitLog.append(
+      spark.range(1).selectExpr("CAST(42 AS BIGINT) AS pk", "'d42' AS dname"), dim)
+    CommitLog.append(
+      spark.range(1).selectExpr("CAST(1000 AS BIGINT) AS id", "CAST(42 AS BIGINT) AS fk", "CAST(1.0 AS DOUBLE) AS v"), fact)
+    assert(CommitLog.read(spark, fact).count() == 101)
+  }
+}
