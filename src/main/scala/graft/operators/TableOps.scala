@@ -588,6 +588,56 @@ object TableOps {
            |FROM prof WHERE user_id % 97 <> 13
            |ORDER BY tbl""".stripMargin)),
 
+    // Column masking policies ([[graft.sources.Masking]]): `mask.<col>`
+    // table properties declare per-column policies — hash64 pseudonym,
+    // last4 tail, bucket:<N> generalization, redact — and the masked view
+    // renders them as deterministic codegen expressions, so the governed
+    // surface keeps joinability (equal raw → equal pseudonym) and
+    // aggregate utility (consistent buckets) while hiding raw values. The
+    // oracle applies the same masking algebra in DuckDB: a green hash
+    // proves the masked surface is value-identical cross-engine — i.e.
+    // masking is a pure function of the data, not engine state. Scale:
+    // masking is per-row expression work — the masked view costs what the
+    // raw scan costs, at any table size.
+    "q151_masked_view" -> QueryDef(
+      fn = { (s, dir) =>
+        val root = tmp("graft-q151")
+        CommitLog.append(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment")), root)
+        CommitLog.setTableProperties(root, Map(
+          "mask.c_custkey" -> "hash64",
+          "mask.c_name" -> "last4",
+          "mask.c_acctbal" -> "bucket:100",
+          "mask.c_nationkey" -> "redact"))
+        graft.sources.Masking.masked(s, root)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("c_custkey")).as("pseudonyms"),
+            dsum(col("c_acctbal")).as("sum_bucketed_bal"),
+            min(col("c_name")).as("min_masked_name"),
+            max(col("c_name")).as("max_masked_name"),
+            count(col("c_nationkey")).as("n_nation_visible"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some(
+        s"""WITH masked AS (
+           |  SELECT
+           |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+           |      AS BIGINT) AS c_custkey,
+           |    '***' || right(c_name, 4) AS c_name,
+           |    CAST(NULL AS INTEGER) AS c_nationkey,
+           |    floor(CAST(c_acctbal AS DOUBLE) / 100) * 100 AS c_acctbal,
+           |    c_mktsegment
+           |  FROM customer)
+           |SELECT c_mktsegment, count(*) AS n,
+           |  count(DISTINCT c_custkey) AS pseudonyms,
+           |  ${sqlSum("c_acctbal")} AS sum_bucketed_bal,
+           |  min(c_name) AS min_masked_name,
+           |  max(c_name) AS max_masked_name,
+           |  count(c_nationkey) AS n_nation_visible
+           |FROM masked GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL UPDATE + DELETE statements (copy-on-write, one commit each): the
     // oracle restates both statements declaratively over the original
     // parquet — filter out the deleted keys, apply the SET arithmetic to

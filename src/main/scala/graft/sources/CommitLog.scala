@@ -1146,6 +1146,15 @@ object CommitLog {
       require(FkRefRe.pattern.matcher(v).matches(),
         s"table property $k must be '<dimRoot>::<pkColumn>', got '$v'")
     }
+    props.foreach { case (k, v) =>
+      if (k.startsWith(Masking.Prefix)) {
+        require(k.length > Masking.Prefix.length,
+          s"masking property '$k' names no column")
+        require(Masking.validPolicy(v),
+          s"table property $k: unknown masking policy '$v' (want hash64, " +
+            "last4, bucket:<N>, or redact)")
+      }
+    }
   }
 
   // --------------------------------------------------------------------
