@@ -638,6 +638,42 @@ object TableOps {
            |  count(c_nationkey) AS n_nation_visible
            |FROM masked GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Row-level security + column masking composed on one governed view:
+    // `rowfilter` hides the error stream entirely (RLS filter over raw
+    // columns, applied BEFORE masking so it can push down to the scan) and
+    // user_id renders as a hash64 pseudonym — the Snowflake row-access-
+    // policy + masking-policy combination. The oracle applies the same
+    // filter+mask algebra; joins_in_plan-style trickery isn't needed here
+    // because the VALUES prove both policies applied (no 'error' rows,
+    // pseudonym cardinality preserved). Scale: the filter reaches the
+    // scan, masking is per-row expression work — governance costs nothing
+    // at 100 TB.
+    "q152_row_security" -> QueryDef(
+      fn = { (s, dir) =>
+        val root = tmp("graft-q152")
+        CommitLog.append(Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")), root)
+        CommitLog.setTableProperties(root, Map(
+          "rowfilter" -> "event_type <> 'error'",
+          "mask.user_id" -> "hash64"))
+        graft.sources.Masking.masked(s, root)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("pseudonyms"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""SELECT event_type, count(*) AS n,
+           |  count(DISTINCT CAST(concat('0x',
+           |    substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT))
+           |    AS pseudonyms,
+           |  ${sqlSum("value")} AS sum_value
+           |FROM events
+           |WHERE event_type <> 'error'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL UPDATE + DELETE statements (copy-on-write, one commit each): the
     // oracle restates both statements declaratively over the original
     // parquet — filter out the deleted keys, apply the SET arithmetic to

@@ -1301,6 +1301,21 @@ object CommitLog {
             "(the declaration validates the existing data)"))
       validateDeclaredConstraints(spark, root, set)
     }
+    // a row-security filter must at least ANALYZE against the table's
+    // schema at SET time — a typo'd column would otherwise surface only
+    // when some consumer first opens the governed view
+    set.get(Masking.RowFilterProp).foreach { f =>
+      SparkSession.getActiveSession.foreach { spark =>
+        try read(spark, root).filter(expr(f).cast("boolean"))
+          .queryExecution.analyzed
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"table property ${Masking.RowFilterProp} = '$f' does not " +
+                s"analyze against the table schema: ${e.getMessage}")
+        }
+      }
+    }
     commitDelta(root, Some(m), Commit(base + 1, "set-props", m.schemaJson,
       Nil, Nil, m.partitionByOrNil, m.txnOrEmpty,
       constraints = m.constraintsOrEmpty, dvs = m.dvsOrEmpty,

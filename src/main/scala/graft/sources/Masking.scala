@@ -33,6 +33,13 @@ object Masking {
 
   private[graft] val Prefix = "mask."
 
+  /** Row-level security: `rowfilter` is a boolean SQL expression over the
+    * table's columns; the governed view keeps only rows satisfying it
+    * (NULL → hidden, the usual RLS semantics). Declared once, applied to
+    * every consumer of [[masked]]/[[maskedView]].
+    */
+  private[graft] val RowFilterProp = "rowfilter"
+
   private val BucketRe = """bucket:(\d+(?:\.\d+)?)""".r
 
   /** Declared (column → policy) map of a table. */
@@ -71,8 +78,16 @@ object Masking {
     * passes through untouched.
     */
   def masked(spark: SparkSession, root: String): DataFrame = {
-    val df = CommitLog.read(spark, root)
-    val pol = policiesOf(root)
+    val df0 = CommitLog.read(spark, root)
+    val props = CommitLog.tablePropertiesOf(root)
+    // row filter BEFORE masking: the policy is written over raw columns,
+    // and filtering first also lets it push down to the scan
+    val df = props.get(RowFilterProp)
+      .map(f => df0.filter(coalesce(expr(f).cast("boolean"), lit(false))))
+      .getOrElse(df0)
+    val pol = props.collect {
+      case (k, v) if k.startsWith(Prefix) => k.stripPrefix(Prefix) -> v
+    }
     df.select(df.schema.fields.toIndexedSeq.map { f =>
       pol.get(f.name)
         .map(p => maskExpr(f.name, p, f.dataType).as(f.name))

@@ -37,6 +37,23 @@ class MaskingSpec extends SparkTestBase {
     assert(m.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("rowfilter hides non-matching rows from the governed view and a " +
+      "typo'd filter is rejected at SET time") {
+    val t = tmp()
+    CommitLog.append(spark.range(10).selectExpr(
+      "id", "CASE WHEN id % 2 = 0 THEN 'pub' ELSE 'priv' END AS vis"), t)
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.setTableProperties(t, Map("rowfilter" -> "nope = 'pub'"))
+    }
+    assert(e.getMessage.contains("does not analyze"))
+    CommitLog.setTableProperties(t, Map("rowfilter" -> "vis = 'pub'"))
+    val m = Masking.masked(spark, t)
+    assert(m.count() == 5)
+    assert(m.filter(col("vis") === "priv").count() == 0)
+    // raw read is unaffected — governance applies to the view, not the log
+    assert(CommitLog.read(spark, t).count() == 10)
+  }
+
   test("unknown policy is rejected at SET time; masked view is reachable " +
       "from SQL") {
     val t = tmp()
