@@ -418,43 +418,27 @@ object TableOps {
       fn = { (s, dir) =>
         val d0 = java.sql.Date.valueOf("1992-01-01")
         val eff = java.sql.Date.valueOf("1997-01-01")
-        // open-end sentinel instead of NULL (Kimball's standard practice;
-        // also keeps the cross-engine value hash free of null-date skew)
-        val open = java.sql.Date.valueOf("2099-12-31")
         val cust = Tables.load(s, dir, "customer")
         val root = tmp("graft-q147")
-        CommitLog.append(
-          cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-            lit(d0).as("valid_from"), lit(open).as("valid_to"),
-            lit(true).as("is_current")),
-          root)
+        graft.sources.Scd2.init(
+          cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+          root, d0)
         // update batch: key % 5 == 2 propose segment PROMO / balance + 100,
-        // EXCEPT key % 10 == 7 which arrives value-identical (no-op probe)
+        // EXCEPT key % 10 == 7 which arrives value-identical (the no-op
+        // probe — Scd2's null-safe change detector must drop it); keys
+        // ≡ 3 mod 17 arrive negated as first-version inserts
         val noop = col("c_custkey") % 10 === 7
         val upd = cust.filter(col("c_custkey") % 5 === 2)
           .select(col("c_custkey"),
-            when(noop, col("c_mktsegment")).otherwise(lit("PROMO")).as("new_seg"),
+            when(noop, col("c_mktsegment")).otherwise(lit("PROMO"))
+              .as("c_mktsegment"),
             when(noop, col("c_acctbal")).otherwise(col("c_acctbal") + 100)
-              .as("new_bal"))
-        val cur = CommitLog.read(s, root).filter(col("is_current"))
-        val changed = upd.join(cur, Seq("c_custkey"))
-          .filter(col("new_seg") =!= col("c_mktsegment") ||
-            col("new_bal") =!= col("c_acctbal"))
-        val closeRows = changed.select(col("c_custkey"), col("c_mktsegment"),
-          col("c_acctbal"), col("valid_from"), lit(eff).as("valid_to"),
-          lit(false).as("is_current"))
-        val newRows = changed.select(col("c_custkey"),
-          col("new_seg").as("c_mktsegment"), col("new_bal").as("c_acctbal"),
-          lit(eff).as("valid_from"), lit(open).as("valid_to"),
-          lit(true).as("is_current"))
+              .as("c_acctbal"))
         val firstRows = cust.filter(col("c_custkey") % 17 === 3)
           .select((-col("c_custkey")).as("c_custkey"),
-            lit("NEW").as("c_mktsegment"), col("c_acctbal"),
-            lit(eff).as("valid_from"), lit(open).as("valid_to"),
-            lit(true).as("is_current"))
-        CommitLog.merge(s, root,
-          closeRows.unionByName(newRows).unionByName(firstRows),
-          keys = Seq("c_custkey", "valid_from"))
+            lit("NEW").as("c_mktsegment"), col("c_acctbal"))
+        graft.sources.Scd2.merge(s, root, upd.unionByName(firstRows),
+          "c_custkey", eff)
         CommitLog.read(s, root)
           .select("c_custkey", "c_mktsegment", "c_acctbal", "valid_from",
             "valid_to", "is_current")

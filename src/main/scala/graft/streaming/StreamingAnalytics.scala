@@ -153,6 +153,24 @@ object StreamingAnalytics {
       ()
     }
 
+  /** Streaming twin of [[graft.sources.Scd2]]: each micro-batch of
+    * dimension updates (key + tracked attributes) merges as one SCD2
+    * generation, effective at `effOf(batchId)` — a pure function of the
+    * batch id, so a replayed batch re-derives the SAME effective date and
+    * the merge's value-identical change probe makes the replay a no-op
+    * (exactly-once by semantic idempotence; no txn watermark needed).
+    * The continuously-maintained dimension every streaming warehouse
+    * needs: late attribute corrections land as new versions, history is
+    * never rewritten, and readers join facts against the open slice.
+    */
+  def scd2Sink(root: String, key: String,
+      effOf: Long => java.sql.Date): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.sources.Scd2.merge(batch.sparkSession, root, batch, key,
+        effOf(batchId))
+      ()
+    }
+
   /** Streaming twin of q95/q67's benchmark-contamination screen: each
     * micro-batch of newly landed documents (doc_id, text) is shingled,
     * prescreened by the DRIVER-HELD eval bloom sketch (re-inserted as a
