@@ -1082,6 +1082,8 @@ object CommitLog {
     enforceRelational(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty)))
+    maybeAutoCompact(df.sparkSession, root,
+      prior.map(_.propsOrEmpty).getOrElse(Map.empty))
     v
   }
 
@@ -1155,7 +1157,48 @@ object CommitLog {
             "last4, bucket:<N>, or redact)")
       }
     }
+    props.get(AutoCompactFilesProp).foreach { v =>
+      require(v.toIntOption.exists(_ > 0),
+        s"table property $AutoCompactFilesProp must be a positive " +
+          s"integer, got '$v'")
+    }
+    props.get(AutoCompactTargetProp).foreach { v =>
+      require(v.toLongOption.exists(_ > 0),
+        s"table property $AutoCompactTargetProp must be a positive byte " +
+          s"count, got '$v'")
+    }
   }
+
+  // --------------------------------------------------------------------
+  // Auto-compaction policy
+  // --------------------------------------------------------------------
+
+  /** `autocompact.files = N` (+ optional `autocompact.target` bytes,
+    * default 128 MiB): after an append commits, if the snapshot holds
+    * more than N live files under HALF the target size, [[optimize]]
+    * runs immediately as a follow-up commit — the Delta auto-compaction
+    * idea, bound to the table instead of a writer conf so EVERY writer
+    * (batch appends, streaming appendTxn sinks) honors it. The streaming
+    * small-file spiral is the single most common operational failure of a
+    * log-structured table at scale: a 30-second trigger writing KB-scale
+    * micro-batches mints ~3k files/day per table, and scan planning cost
+    * grows with the file count. The policy caps that growth at N files of
+    * debt; optimize's convergence contract (outputs land at or above
+    * target/2) guarantees a compaction's own outputs are never
+    * re-selected, so the follow-up commit cannot cascade.
+    */
+  private[graft] val AutoCompactFilesProp = "autocompact.files"
+  private[graft] val AutoCompactTargetProp = "autocompact.target"
+
+  private def maybeAutoCompact(spark: SparkSession, root: String,
+      props: Map[String, String]): Unit =
+    props.get(AutoCompactFilesProp).flatMap(_.toIntOption).foreach { n =>
+      val target = props.get(AutoCompactTargetProp).flatMap(_.toLongOption)
+        .getOrElse(128L * 1024 * 1024)
+      val m = readManifest(root, currentVersion(root).get)
+      val small = m.statsOrNil.count(_.bytes < target / 2)
+      if (small > n) { optimize(spark, root, target); () }
+    }
 
   // --------------------------------------------------------------------
   // Declared relational (RELY) constraints: primary / foreign keys
@@ -1530,6 +1573,8 @@ object CommitLog {
     enforceRelational(df.sparkSession, root, prior, add, schema)
     commitDelta(root, prior, Commit(v, "append", schema.json, add, Nil, spec,
       prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId)))
+    maybeAutoCompact(df.sparkSession, root,
+      prior.map(_.propsOrEmpty).getOrElse(Map.empty))
     v
   }
 
