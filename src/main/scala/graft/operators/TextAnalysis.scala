@@ -499,6 +499,90 @@ object TextAnalysis {
            |    AS dropped
            |FROM cl ORDER BY doc_id""".stripMargin)),
 
+    // HTML boilerplate extraction (the trafilatura/jusText step of a web
+    // crawl pipeline, as pure regex algebra): each document is wrapped in
+    // a deterministic page shell — head/script/style, nav, aside, footer —
+    // and the GENERIC extractor recovers the main content: script/style
+    // blocks die first, then boilerplate containers (nav/aside/footer),
+    // then remaining tags, then HTML entities unescape, then whitespace
+    // squeezes. n_exact counts documents whose extraction round-trips to
+    // the whitespace-normalized original — the extractor's recall metric.
+    // All six regex passes run inside ONE whole-stage-codegen projection;
+    // the only shuffle is the per-language rollup. At 100 TB (the actual
+    // Common-Crawl shape) this is one map pass over the corpus — no join,
+    // no state, embarrassingly parallel.
+    "q153_html_extract" -> QueryDef(
+      fn = { (s, dir) =>
+        val page = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><script type=\"text/javascript\">var id="),
+          col("doc_id").cast("string"),
+          lit(";</script><style>.m{color:red}</style></head><body>" +
+            "<nav>Home | Docs | About</nav><article><p>"),
+          col("text"),
+          lit("</p></article><aside>Related: doc-"),
+          col("doc_id").cast("string"),
+          lit("</aside><footer>&copy; 2020 Example Corp</footer>" +
+            "</body></html>"))
+        val stripped = regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(page,
+            "(?s)<script[^>]*>.*?</script>", " "),
+            "(?s)<style[^>]*>.*?</style>", " "),
+            "(?s)<(nav|aside|footer)[^>]*>.*?</(nav|aside|footer)>", " "),
+            "<[^>]+>", " ")
+        val unescaped = expr(
+          """replace(replace(replace(replace(replace(__str,
+            |  '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+            |  '&quot;', '"'), '&#39;', '''')""".stripMargin
+            .replace("__str", "__stripped"))
+        val d = docs(s, dir)
+          .withColumn("__stripped", stripped)
+          .withColumn("extracted",
+            trim(regexp_replace(unescaped, "\\s+", " ")))
+          .withColumn("norm_orig",
+            trim(regexp_replace(col("text"), "\\s+", " ")))
+        d.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("extracted")).cast("long")).as("sum_chars"),
+            sum(when(col("extracted") === col("norm_orig"), 1L)
+              .otherwise(0L)).as("n_exact"))
+          .orderBy("lang")
+      },
+      oracle = Some(
+        """WITH pages AS (
+          |  SELECT lang, text,
+          |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          |    '</title><script type="text/javascript">var id=' ||
+          |    CAST(doc_id AS VARCHAR) ||
+          |    ';</script><style>.m{color:red}</style></head><body>' ||
+          |    '<nav>Home | Docs | About</nav><article><p>' || text ||
+          |    '</p></article><aside>Related: doc-' ||
+          |    CAST(doc_id AS VARCHAR) ||
+          |    '</aside><footer>&copy; 2020 Example Corp</footer>' ||
+          |    '</body></html>' AS page
+          |  FROM documents),
+          |ext AS (
+          |  SELECT lang, text,
+          |    trim(regexp_replace(
+          |      replace(replace(replace(replace(replace(
+          |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |          page,
+          |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          |          '(?s)<(nav|aside|footer)[^>]*>.*?</(nav|aside|footer)>',
+          |            ' ', 'g'),
+          |          '<[^>]+>', ' ', 'g'),
+          |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          |        '&quot;', '"'), '&#39;', ''''),
+          |      '\s+', ' ', 'g')) AS extracted,
+          |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_orig
+          |  FROM pages)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(len(extracted)) AS BIGINT) AS sum_chars,
+          |  CAST(sum(CASE WHEN extracted = norm_orig THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_exact
+          |FROM ext GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Language ID: stopword-profile scores, argmax with fixed tie order
     // (profile order above, then 'und' = undetermined when all scores 0);
     // rolled up to counts per predicted language.
