@@ -224,6 +224,55 @@ object TableOps {
            |FROM events
            |WHERE event_type = (SELECT min(event_type) FROM events)""".stripMargin)),
 
+    // Generated partition column (the Delta generated-columns flagship
+    // case): the table declares `generate.day = to_date(ts)` and
+    // partitions by day — every writer appends WITHOUT the column, the
+    // engine computes it (and would verify it if provided), and the
+    // single-valued-file-per-partition staging makes day pruning exact.
+    // The query emits files_opened/files_total alongside the aggregate:
+    // the oracle derives both from day arithmetic over the raw events, so
+    // a green row proves the derived layout pruned exactly the queried
+    // days. Scale: the partition column costs writers nothing (no
+    // contract to forget), and every reader's day-range scan opens only
+    // the matching partitions of a 10⁵-file table.
+    "q154_generated_partition" -> QueryDef(
+      fn = { (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("value"))
+        val root = tmp("graft-q154")
+        val schema = org.apache.spark.sql.types.StructType(
+          ev.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "day", org.apache.spark.sql.types.DateType))
+        CommitLog.create(root, schema, partitionBy = Seq("day"),
+          props = Map("generate.day" -> "to_date(ts)"))
+        CommitLog.append(ev, root) // writer never mentions `day`
+        val lo = ev.agg(date_add(to_date(min(col("ts"))), 3)).collect()(0)
+          .getDate(0)
+        val hi = ev.agg(date_add(to_date(min(col("ts"))), 9)).collect()(0)
+          .getDate(0)
+        val pred = col("day").between(lit(lo), lit(hi))
+        val m = CommitLog.readManifest(root,
+          CommitLog.currentVersion(root).get)
+        val opened = CommitLog.prunedFiles(s, root, m, pred).size.toLong
+        CommitLog.readPruned(s, root, pred)
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("n"), col("sum_value"),
+            lit(opened).as("files_opened"),
+            lit(m.files.size.toLong).as("files_total"))
+      },
+      oracle = Some(
+        s"""WITH lo AS (SELECT min(CAST(ts AS DATE)) + 3 AS d FROM events),
+           |hi AS (SELECT min(CAST(ts AS DATE)) + 9 AS d FROM events)
+           |SELECT count(*) AS n, ${sqlSum("value")} AS sum_value,
+           |  (SELECT count(DISTINCT CAST(ts AS DATE)) FROM events
+           |   WHERE CAST(ts AS DATE) BETWEEN (SELECT d FROM lo)
+           |     AND (SELECT d FROM hi)) AS files_opened,
+           |  (SELECT count(DISTINCT CAST(ts AS DATE)) FROM events)
+           |    AS files_total
+           |FROM events
+           |WHERE CAST(ts AS DATE) BETWEEN (SELECT d FROM lo)
+           |  AND (SELECT d FROM hi)""".stripMargin)),
+
     // SQL DML surface: the table is CREATED by df.write, exposed as a view
     // via CREATE TEMPORARY VIEW ... USING, grown by INSERT INTO ... SELECT
     // (one atomic commit through the log), and read back through the same

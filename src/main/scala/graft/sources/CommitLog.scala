@@ -1025,6 +1025,60 @@ object CommitLog {
     * physical columns with old data, so an identity-mapped newcomer would
     * silently read resurrected values.
     */
+  /** `schema.mode = strict | additive` (default additive): strict pins the
+    * write contract — an append's columns must be EXACTLY the table's
+    * logical schema, same names and same types (no new columns, no omitted
+    * columns, no widening). The schema-registry "backward compatibility
+    * off" switch for tables whose downstream consumers codegen against a
+    * fixed shape; additive keeps the engine's normal union-schema
+    * evolution.
+    */
+  private[graft] val SchemaModeProp = "schema.mode"
+
+  private def guardSchemaMode(prior: Option[Manifest],
+      df: StructType): Unit =
+    prior.foreach { m =>
+      if (m.propsOrEmpty.get(SchemaModeProp).contains("strict")) {
+        val t = schemaOf(m)
+        require(df.fieldNames.sorted.sameElements(t.fieldNames.sorted),
+          s"$SchemaModeProp=strict: append columns " +
+            s"${df.fieldNames.sorted.mkString(",")} != table schema " +
+            s"${t.fieldNames.sorted.mkString(",")}")
+        t.fields.foreach { f =>
+          require(df(f.name).dataType == f.dataType,
+            s"$SchemaModeProp=strict: column ${f.name} arrives as " +
+              s"${df(f.name).dataType.simpleString}, table has " +
+              s"${f.dataType.simpleString}")
+        }
+      }
+    }
+
+  /** `generate.<col> = <sql expr>` (Delta generated columns): an append
+    * missing `<col>` computes it from the expression; an append providing
+    * it is VERIFIED against the expression (null-safe, first mismatch
+    * aborts) — so the column is trustworthy for pruning and consumers no
+    * matter which writer landed the row.
+    */
+  private[graft] val GeneratePrefix = "generate."
+
+  private def applyGenerated(df: DataFrame,
+      props: Map[String, String]): DataFrame = {
+    val gens = props.toSeq.collect {
+      case (k, v) if k.startsWith(GeneratePrefix) =>
+        k.stripPrefix(GeneratePrefix) -> v
+    }
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+      else {
+        val bad = d.filter(!(col(c) <=> expr(e))).limit(1).collect()
+        require(bad.isEmpty,
+          s"append provides generated column '$c' with values that " +
+            s"contradict its expression ($e) — commit aborted")
+        d
+      }
+    }
+  }
+
   private def guardNewColumns(m: Manifest, evolved: StructType): Unit = {
     val existing = schemaOf(m).fieldNames.toSet
     val taken = m.retiredOrNil.toSet ++
@@ -1066,10 +1120,13 @@ object CommitLog {
     * later plain appends, [[merge]], [[delete]], [[compact]] and
     * [[cluster]] all preserve it.
     */
-  def append(df: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
+  def append(df0: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
     val base = currentVersion(root)
     val prior = base.map(readManifest(root, _))
     val v = base.getOrElse(0L) + 1
+    val df = applyGenerated(df0,
+      prior.map(_.propsOrEmpty).getOrElse(Map.empty))
+    guardSchemaMode(prior, df.schema)
     val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
       .getOrElse(df.schema)
     val spec = effectiveSpec(prior, partitionBy)
@@ -1161,6 +1218,15 @@ object CommitLog {
       require(v.toIntOption.exists(_ > 0),
         s"table property $AutoCompactFilesProp must be a positive " +
           s"integer, got '$v'")
+    }
+    props.get(SchemaModeProp).foreach { v =>
+      require(v == "strict" || v == "additive",
+        s"table property $SchemaModeProp must be 'strict' or 'additive', " +
+          s"got '$v'")
+    }
+    props.keys.filter(_.startsWith(GeneratePrefix)).foreach { k =>
+      require(k.length > GeneratePrefix.length,
+        s"generated-column property '$k' names no column")
     }
     props.get(AutoCompactTargetProp).foreach { v =>
       require(v.toLongOption.exists(_ > 0),
@@ -1356,6 +1422,23 @@ object CommitLog {
             throw new IllegalArgumentException(
               s"table property ${Masking.RowFilterProp} = '$f' does not " +
                 s"analyze against the table schema: ${e.getMessage}")
+        }
+      }
+    }
+    // generated-column expressions likewise analyze at SET time (over the
+    // OTHER columns — a generated column may not reference itself)
+    set.foreach { case (k, e) =>
+      if (k.startsWith(GeneratePrefix)) {
+        val c = k.stripPrefix(GeneratePrefix)
+        SparkSession.getActiveSession.foreach { spark =>
+          try read(spark, root).drop(c).select(expr(e))
+            .queryExecution.analyzed
+          catch {
+            case scala.util.control.NonFatal(ex) =>
+              throw new IllegalArgumentException(
+                s"table property $k = '$e' does not analyze against the " +
+                  s"table schema (excluding '$c' itself): ${ex.getMessage}")
+          }
         }
       }
     }
@@ -1555,13 +1638,16 @@ object CommitLog {
     * failure with the SAME batchId) it yields exactly-once table commits on
     * top of at-least-once batch delivery. See [[streamingSink]].
     */
-  def appendTxn(df: DataFrame, root: String, appId: String, batchId: Long): Long = {
+  def appendTxn(df0: DataFrame, root: String, appId: String, batchId: Long): Long = {
     val base = currentVersion(root)
     val prior = base.map(readManifest(root, _))
     val last = prior.map(_.txnOrEmpty.getOrElse(appId, Long.MinValue))
       .getOrElse(Long.MinValue)
     if (batchId <= last) return base.get // replay — already committed
     val v = base.getOrElse(0L) + 1
+    val df = applyGenerated(df0,
+      prior.map(_.propsOrEmpty).getOrElse(Map.empty))
+    guardSchemaMode(prior, df.schema)
     val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
       .getOrElse(df.schema)
     val spec = effectiveSpec(prior, Nil)
