@@ -273,6 +273,75 @@ object TableOps {
            |WHERE CAST(ts AS DATE) BETWEEN (SELECT d FROM lo)
            |  AND (SELECT d FROM hi)""".stripMargin)),
 
+    // Delta Lake interop ([[graft.sources.interop.DeltaImport]]): a
+    // protocol-compliant Delta log (public delta-io PROTOCOL.md: ordered
+    // JSON commits of protocol/metaData/add/remove actions) is written
+    // from orders — evens in one file (added with numRecords stats), odds
+    // in another (added, then REMOVED in commit 1) — and imported
+    // ZERO-COPY: the commitlog commit references the Delta files by
+    // absolute path, no byte moves. The oracle is the surviving slice of
+    // orders; a green hash proves the log fold (last-writer-wins adds
+    // minus removes) and the by-reference read are both exact. Scale: a
+    // 100 TB Delta table imports in driver-metadata time.
+    "q155_delta_import" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = tmp("graft-q155d"); val root = tmp("graft-q155t")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val t = Files.createTempDirectory("graft-q155w")
+          df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+          val part = Files.list(t).iterator()
+          val it = new scala.collection.Iterator[java.nio.file.Path] {
+            def hasNext = part.hasNext; def next() = part.next()
+          }
+          val f = it.find(_.toString.endsWith(".parquet")).get
+          Files.move(f, java.nio.file.Paths.get(d, name))
+        }
+        val evens = ord.filter(col("o_orderkey") % 2 === 0)
+        val nEvens = evens.count()
+        writeOne(evens, "part-evens.parquet")
+        writeOne(ord.filter(col("o_orderkey") % 2 === 1), "part-odds.parquet")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        def line(build: com.fasterxml.jackson.databind.node.ObjectNode => Unit)
+            : String = {
+          val n = om.createObjectNode(); build(n); om.writeValueAsString(n)
+        }
+        val log = java.nio.file.Paths.get(d, "_delta_log")
+        Files.createDirectories(log)
+        Files.write(log.resolve(f"${0L}%020d.json"), Seq(
+          line(n => { val p = n.putObject("protocol")
+            p.put("minReaderVersion", 1); p.put("minWriterVersion", 2) }),
+          line(n => { val m = n.putObject("metaData")
+            m.put("id", "q155"); m.put("schemaString", ord.schema.json)
+            m.putObject("format").put("provider", "parquet")
+            m.putArray("partitionColumns") }),
+          line(n => { val a = n.putObject("add")
+            a.put("path", "part-evens.parquet"); a.put("dataChange", true)
+            a.put("size", 1L); a.put("modificationTime", 0L)
+            a.putObject("partitionValues")
+            a.put("stats", s"""{"numRecords":$nEvens}""") }),
+          line(n => { val a = n.putObject("add")
+            a.put("path", "part-odds.parquet"); a.put("dataChange", true)
+            a.put("size", 1L); a.put("modificationTime", 0L)
+            a.putObject("partitionValues") })
+        ).mkString("\n").getBytes("UTF-8"))
+        Files.write(log.resolve(f"${1L}%020d.json"), Seq(
+          line(n => { val r = n.putObject("remove")
+            r.put("path", "part-odds.parquet"); r.put("dataChange", true) })
+        ).mkString("\n").getBytes("UTF-8"))
+        graft.sources.interop.DeltaImport.importTable(s, d, root)
+        CommitLog.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL DML surface: the table is CREATED by df.write, exposed as a view
     // via CREATE TEMPORARY VIEW ... USING, grown by INSERT INTO ... SELECT
     // (one atomic commit through the log), and read back through the same

@@ -1144,6 +1144,23 @@ object CommitLog {
     v
   }
 
+  /** Publish version 1 of a NEW table that REFERENCES externally-managed
+    * data files by ABSOLUTE path — the interop import commit
+    * ([[graft.sources.interop.DeltaImport]]): zero bytes move, the same
+    * by-reference mechanism a SHALLOW CLONE's first commit uses (reads
+    * resolve absolute references through [[dataPath]]; vacuum never
+    * reclaims files outside the root). Files without min/max stats simply
+    * never prune — conservative, correct.
+    */
+  def importSnapshot(root: String, schema: StructType,
+      files: Seq[FileStat]): Long = {
+    require(currentVersion(root).isEmpty, s"table already exists at $root")
+    require(files.forall(_.path.startsWith("/")),
+      "import references must be absolute paths")
+    commitDelta(root, None, Commit(1L, "import", schema.json, files, Nil, Nil))
+    1L
+  }
+
   /** Create an EMPTY table: version 1 records the schema and partition
     * spec with no files — the DDL-first workflow a catalog needs
     * (`CREATE TABLE` then `INSERT`), vs the write-creates-table path of
