@@ -1,0 +1,58 @@
+package graft.sources.interop
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.CommitLog
+
+/** Delta export round-trip: the written log re-imports to the identical
+  * snapshot, zero bytes move, and exports that would corrupt (deletion
+  * vectors, out-of-root references) refuse.
+  */
+class DeltaExportSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-dexp").toString
+
+  test("export writes a protocol-1 log over the existing files and " +
+      "DeltaImport round-trips the identical snapshot") {
+    val t = tmp(); val back = tmp()
+    CommitLog.append(spark.range(100).selectExpr(
+      "id", "CAST(id AS DOUBLE) / 4 AS v"), t)
+    CommitLog.append(spark.range(50).selectExpr(
+      "id + 1000 AS id", "CAST(id AS DOUBLE) AS v"), t)
+    val nFiles = DeltaExport.exportTable(t)
+    assert(nFiles == CommitLog.readManifest(t,
+      CommitLog.currentVersion(t).get).files.size)
+    assert(Files.isRegularFile(
+      Paths.get(t, "_delta_log", f"${0L}%020d.json")))
+    DeltaImport.importTable(spark, t, back)
+    val a = CommitLog.read(spark, t).orderBy("id").collect().map(_.toSeq)
+    val b = CommitLog.read(spark, back).orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // zero-copy both ways: the round-trip table holds no parquet either
+    import scala.jdk.CollectionConverters._
+    assert(!Files.walk(Paths.get(back)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+  }
+
+  test("exports that would corrupt refuse: deletion vectors and a " +
+      "pre-existing _delta_log") {
+    val t = tmp()
+    CommitLog.append(spark.range(20).selectExpr("id"), t)
+    CommitLog.deleteDV(spark, t, col("id") === 3L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.exportTable(t)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    // after compact the DVs materialize away and export succeeds ONCE
+    CommitLog.compact(spark, t)
+    DeltaExport.exportTable(t)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaExport.exportTable(t)
+    }
+    assert(e2.getMessage.contains("_delta_log"))
+  }
+}
