@@ -342,6 +342,100 @@ object TableOps {
            |FROM orders WHERE o_orderkey % 2 = 0
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Apache Iceberg interop ([[graft.sources.interop.IcebergImport]]):
+    // a spec-compliant Iceberg metadata tree (version-hint →
+    // vN.metadata.json → avro manifest list → avro manifest) is written
+    // from orders — evens live (status=1, record_count in the manifest),
+    // odds marked deleted (status=2) — and imported ZERO-COPY by
+    // reference. The oracle is the live slice of orders: a green hash
+    // proves the metadata walk, the schema conversion, and the
+    // by-reference read exact. Scale: manifests are KB–MB at any table
+    // size; a 100 TB Iceberg table imports in driver-metadata time.
+    "q156_iceberg_import" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = tmp("graft-q156i"); val root = tmp("graft-q156t")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+          val w = Files.createTempDirectory("graft-q156w")
+          df.coalesce(1).write.mode("overwrite").parquet(w.toString)
+          val it = Files.list(w).iterator()
+          var f: java.nio.file.Path = null
+          while (it.hasNext) { val p = it.next()
+            if (p.toString.endsWith(".parquet")) f = p }
+          val target = java.nio.file.Paths.get(t, "data", name)
+          Files.createDirectories(target.getParent)
+          Files.move(f, target)
+          df.count()
+        }
+        val nE = writeOne(ord.filter(col("o_orderkey") % 2 === 0), "evens.parquet")
+        val nO = writeOne(ord.filter(col("o_orderkey") % 2 === 1), "odds.parquet")
+        val mfSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |  {"name":"status","type":"int"},
+            |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |    {"name":"file_path","type":"string"},
+            |    {"name":"file_format","type":"string"},
+            |    {"name":"record_count","type":"long"},
+            |    {"name":"file_size_in_bytes","type":"long"}
+            |  ]}}]}""".stripMargin)
+        val mlSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |  {"name":"manifest_path","type":"string"},
+            |  {"name":"manifest_length","type":"long"}]}""".stripMargin)
+        def entry(status: Int, path: String, rows: Long) = {
+          val r = new org.apache.avro.generic.GenericData.Record(mfSchema)
+          r.put("status", status)
+          val d = new org.apache.avro.generic.GenericData.Record(
+            mfSchema.getField("data_file").schema())
+          d.put("file_path", path); d.put("file_format", "PARQUET")
+          d.put("record_count", rows); d.put("file_size_in_bytes", 1L)
+          r.put("data_file", d); r
+        }
+        def writeAvro(target: java.nio.file.Path,
+            sch: org.apache.avro.Schema,
+            rs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+          Files.createDirectories(target.getParent)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](sch))
+          w.create(sch, target.toFile)
+          try rs.foreach(w.append) finally w.close()
+        }
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "m1.avro"), mfSchema,
+          Seq(entry(1, s"$t/data/evens.parquet", nE),
+            entry(2, s"$t/data/odds.parquet", nO)))
+        val ml = new org.apache.avro.generic.GenericData.Record(mlSchema)
+        ml.put("manifest_path", s"$t/metadata/m1.avro")
+        ml.put("manifest_length", 1L)
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "ml1.avro"),
+          mlSchema, Seq(ml))
+        val schemaJson =
+          """{"type":"struct","schema-id":0,"fields":[
+            |  {"id":1,"name":"o_orderkey","required":true,"type":"long"},
+            |  {"id":2,"name":"o_totalprice","required":false,"type":"double"},
+            |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"}
+            |]}""".stripMargin
+        Files.write(java.nio.file.Paths.get(t, "metadata", "v1.metadata.json"),
+          s"""{"format-version":1,"table-uuid":"0-0-0-0-0","location":"$t",
+             |"schema":$schemaJson,"current-snapshot-id":1,
+             |"snapshots":[{"snapshot-id":1,
+             |  "manifest-list":"$t/metadata/ml1.avro"}]}""".stripMargin
+            .getBytes("UTF-8"))
+        Files.write(java.nio.file.Paths.get(t, "metadata", "version-hint.text"),
+          "1".getBytes("UTF-8"))
+        graft.sources.interop.IcebergImport.importTable(s, t, root)
+        CommitLog.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL DML surface: the table is CREATED by df.write, exposed as a view
     // via CREATE TEMPORARY VIEW ... USING, grown by INSERT INTO ... SELECT
     // (one atomic commit through the log), and read back through the same

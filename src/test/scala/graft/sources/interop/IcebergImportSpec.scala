@@ -1,0 +1,172 @@
+package graft.sources.interop
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.CommitLog
+
+/** Iceberg import: fixtures are written by hand to the public table spec
+  * (vN.metadata.json + version-hint, avro manifest list, avro manifests
+  * with spec field names), exercising the reader against the spec.
+  */
+class IcebergImportSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-iceberg").toString
+
+  private def writeOne(df: DataFrame, target: Path): Unit = {
+    val t = Files.createTempDirectory("graft-iimp")
+    df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+    val part = Files.list(t).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.createDirectories(target.getParent)
+    Files.move(part, target)
+  }
+
+  private def writeAvro(target: Path, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    Files.createDirectories(target.getParent)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, target.toFile)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string"},
+      |  {"name":"manifest_length","type":"long"},
+      |  {"name":"partition_spec_id","type":"int"},
+      |  {"name":"content","type":"int","default":0}
+      |]}""".stripMargin)
+
+  private val manifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int"},
+      |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |    {"name":"file_path","type":"string"},
+      |    {"name":"file_format","type":"string"},
+      |    {"name":"record_count","type":"long"},
+      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"content","type":"int","default":0}
+      |  ]}}
+      |]}""".stripMargin)
+
+  private def listEntry(path: String, content: Int = 0): GenericRecord = {
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", path); r.put("manifest_length", 1L)
+    r.put("partition_spec_id", 0); r.put("content", content)
+    r
+  }
+
+  private def manifestEntry(status: Int, path: String,
+      rows: Long, dfContent: Int = 0): GenericRecord = {
+    val r = new GenericData.Record(manifestSchema)
+    r.put("status", status)
+    val d = new GenericData.Record(
+      manifestSchema.getField("data_file").schema())
+    d.put("file_path", path); d.put("file_format", "PARQUET")
+    d.put("record_count", rows); d.put("file_size_in_bytes", 1L)
+    d.put("content", dfContent)
+    r.put("data_file", d)
+    r
+  }
+
+  private val schemaJson =
+    """{"type":"struct","schema-id":0,"fields":[
+      |  {"id":1,"name":"id","required":true,"type":"long"},
+      |  {"id":2,"name":"v","required":false,"type":"double"},
+      |  {"id":3,"name":"name","required":false,"type":"string"}
+      |]}""".stripMargin
+
+  private def metadataJson(location: String, snapshotId: Long,
+      manifestList: String, formatVersion: Int = 1): String =
+    s"""{"format-version":$formatVersion,
+       |"table-uuid":"11111111-2222-3333-4444-555555555555",
+       |"location":"$location",
+       |"schema":$schemaJson,
+       |"schemas":[$schemaJson],
+       |"current-schema-id":0,
+       |"current-snapshot-id":$snapshotId,
+       |"snapshots":[{"snapshot-id":$snapshotId,
+       |  "manifest-list":"$manifestList"}]}""".stripMargin
+
+  private def dataDf(lo: Int, n: Int): DataFrame =
+    spark.range(lo, lo + n).selectExpr("id",
+      "CAST(id AS DOUBLE) / 2 AS v", "concat('r', id) AS name")
+
+  test("v1 table imports by reference: deleted manifest entries drop, " +
+      "record counts ride the manifest, schema converts") {
+    val t = tmp(); val root = tmp()
+    writeOne(dataDf(0, 8), Paths.get(t, "data", "f1.parquet"))
+    writeOne(dataDf(100, 5), Paths.get(t, "data", "f2.parquet"))
+    writeAvro(Paths.get(t, "metadata", "m1.avro"), manifestSchema, Seq(
+      manifestEntry(1, s"$t/data/f1.parquet", 8L),
+      manifestEntry(2, s"$t/data/f2.parquet", 5L))) // status 2 = deleted
+    writeAvro(Paths.get(t, "metadata", "ml1.avro"), manifestListSchema,
+      Seq(listEntry(s"$t/metadata/m1.avro")))
+    Files.write(Paths.get(t, "metadata", "v1.metadata.json"),
+      metadataJson(t, 1L, s"$t/metadata/ml1.avro").getBytes("UTF-8"))
+    Files.write(Paths.get(t, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+    IcebergImport.importTable(spark, t, root)
+    val got = CommitLog.read(spark, root)
+    assert(got.count() == 8)
+    assert(got.filter(col("id") >= 100).count() == 0)
+    assert(got.schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(got.filter(col("name") === "r3").count() == 1)
+    // by reference: no parquet copied under the import root
+    assert(!Files.walk(Paths.get(root)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+  }
+
+  test("version-hint picks the current metadata among several") {
+    val t = tmp(); val root = tmp()
+    writeOne(dataDf(0, 4), Paths.get(t, "data", "old.parquet"))
+    writeOne(dataDf(50, 6), Paths.get(t, "data", "new.parquet"))
+    writeAvro(Paths.get(t, "metadata", "m-old.avro"), manifestSchema,
+      Seq(manifestEntry(1, s"$t/data/old.parquet", 4L)))
+    writeAvro(Paths.get(t, "metadata", "m-new.avro"), manifestSchema,
+      Seq(manifestEntry(1, s"$t/data/new.parquet", 6L)))
+    writeAvro(Paths.get(t, "metadata", "ml-old.avro"), manifestListSchema,
+      Seq(listEntry(s"$t/metadata/m-old.avro")))
+    writeAvro(Paths.get(t, "metadata", "ml-new.avro"), manifestListSchema,
+      Seq(listEntry(s"$t/metadata/m-new.avro")))
+    Files.write(Paths.get(t, "metadata", "v1.metadata.json"),
+      metadataJson(t, 1L, s"$t/metadata/ml-old.avro").getBytes("UTF-8"))
+    Files.write(Paths.get(t, "metadata", "v2.metadata.json"),
+      metadataJson(t, 2L, s"$t/metadata/ml-new.avro").getBytes("UTF-8"))
+    Files.write(Paths.get(t, "metadata", "version-hint.text"),
+      "2".getBytes("UTF-8"))
+    IcebergImport.importTable(spark, t, root)
+    assert(CommitLog.read(spark, root).agg(min(col("id"))).collect()
+      .head.getLong(0) == 50L)
+  }
+
+  test("v2 delete manifests and delete data files refuse") {
+    val t = tmp(); val root = tmp()
+    writeOne(dataDf(0, 3), Paths.get(t, "data", "f.parquet"))
+    writeAvro(Paths.get(t, "metadata", "m.avro"), manifestSchema,
+      Seq(manifestEntry(1, s"$t/data/f.parquet", 3L)))
+    writeAvro(Paths.get(t, "metadata", "ml.avro"), manifestListSchema, Seq(
+      listEntry(s"$t/metadata/m.avro"),
+      listEntry(s"$t/metadata/m.avro", content = 1))) // delete manifest
+    Files.write(Paths.get(t, "metadata", "v1.metadata.json"),
+      metadataJson(t, 1L, s"$t/metadata/ml.avro", formatVersion = 2)
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(t, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(spark, t, root)
+    }
+    assert(e.getMessage.contains("DELETE manifests"))
+  }
+}
