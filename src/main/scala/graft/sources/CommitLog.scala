@@ -645,7 +645,9 @@ object CommitLog {
     // exact column sums only where exactness is structural: integral
     // types, widened to DECIMAL(38,0) so a file-level sum cannot overflow
     val summed = tracked.filter(f => integralType(f.dataType))
-    val df = spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+    // dataPath: clone/import snapshots reference files by ABSOLUTE path
+    val df = spark.read.schema(schema)
+      .parquet(files.map(f => dataPath(root, f)): _*)
     val aggs = tracked.flatMap { f =>
       Seq(
         statRender(min(col(f.name)), f.dataType).as(s"min__${f.name}"),
@@ -693,7 +695,8 @@ object CommitLog {
         if (built.isEmpty) None
         else Some(writeSketchSidecar(root, "_ndv", "gndv", NdvMagic, built))
       }
-      FileStat(rel, r.getAs[Long]("rows__"), Files.size(Paths.get(root, rel)),
+      FileStat(rel, r.getAs[Long]("rows__"),
+        Files.size(Paths.get(dataPath(root, rel))),
         s("min"), s("max"),
         tracked.map(f => f.name -> r.getAs[Long](s"nulls__${f.name}")).toMap,
         bloom = bloomRel.orNull, ndv = ndvRel.orNull,
@@ -1159,6 +1162,40 @@ object CommitLog {
       "import references must be absolute paths")
     commitDelta(root, None, Commit(1L, "import", schema.json, files, Nil, Nil))
     1L
+  }
+
+  /** Recompute per-file min/max/null/sum statistics for files that lack
+    * them (`onlyMissing = true`, the default) or for every live file —
+    * ONE metadata commit re-adds the same paths with fresh stats, no data
+    * rewritten. The companion of [[importSnapshot]]: an imported
+    * Delta/Iceberg snapshot arrives stats-less (its files never prune);
+    * one refresh pass — a key-column scan, the cost `ANALYZE TABLE` pays
+    * anywhere — lights up min/max skipping over the referenced files in
+    * place. Partition tuples, bloom/NDV sidecar references, and deletion
+    * vectors carry through unchanged (the file bytes didn't move, so the
+    * sidecars stay valid; stats deliberately cover ALL rows including
+    * DV-dead ones — the pruning contract is over file contents).
+    */
+  def refreshStats(spark: SparkSession, root: String,
+      onlyMissing: Boolean = true): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(root, base)
+    val targets = m.statsOrNil.filter(s =>
+      !onlyMissing || (s.mins.isEmpty && s.maxs.isEmpty))
+    if (targets.isEmpty) return base
+    val byPath = targets.map(s => s.path -> s).toMap
+    val fresh = statsFor(spark, root, targets.map(_.path), physSchema(m))
+      .map { f =>
+        val prior = byPath(f.path)
+        f.copy(partitions = prior.partitionsOrEmpty,
+          bloom = prior.bloom, ndv = prior.ndv)
+      }
+    val dvCarry = m.dvsOrEmpty.filter { case (p, _) => byPath.contains(p) }
+    commitDelta(root, Some(m), Commit(base + 1, "refresh-stats",
+      m.schemaJson, fresh, targets.map(_.path), m.partitionByOrNil,
+      m.txnOrEmpty, dvs = dvCarry))
+    base + 1
   }
 
   /** Create an EMPTY table: version 1 records the schema and partition
