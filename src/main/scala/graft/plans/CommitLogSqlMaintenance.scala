@@ -67,6 +67,13 @@ object CommitLogSqlMaintenance {
   // merged per-file HLL sketches) — one row per schema column
   private val StatsRe =
     """(?is)^\s*DESCRIBE\s+STATS\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
+  // ANALYZE for commitlog tables: refresh per-file min/max/null/sum stats
+  // (the serviceability step after a by-reference Delta/Iceberg import;
+  // FULL re-analyzes every live file instead of only stats-less ones).
+  // Non-commitlog targets fall through to Spark's own ANALYZE.
+  private val AnalyzeRe =
+    """(?is)^\s*ANALYZE\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+COMPUTE\s+STATISTICS(\s+FULL)?\s*;?\s*$""".r
+
   // Delta's FSCK as a statement: verify manifest ↔ storage, optionally
   // committing the repairs
   private val FsckRe =
@@ -126,6 +133,9 @@ object CommitLogSqlMaintenance {
       case FsckRe(ident, repair) =>
         GraftFsckCommand(delegate.parseMultipartIdentifier(ident),
           repair = repair != null)
+      case AnalyzeRe(ident, full) =>
+        GraftAnalyzeCommand(delegate.parseMultipartIdentifier(ident),
+          full = full != null, sqlText, delegate)
       case ReorgPurgeRe(ident) =>
         GraftPurgeDvCommand(delegate.parseMultipartIdentifier(ident))
       case CloneRe(dst, src, version) =>
@@ -460,6 +470,25 @@ object CommitLogSqlMaintenance {
     * — so a DSv2 catalog with its own CHECK DDL still works, and a
     * missing table surfaces Spark's standard error, not ours.
     */
+  /** `ANALYZE TABLE t COMPUTE STATISTICS [FULL]` → [[CommitLog.refreshStats]]
+    * for commitlog tables (default: only stats-less files — the
+    * post-import case; FULL re-analyzes everything); non-commitlog targets
+    * run Spark's own ANALYZE via the delegate.
+    */
+  case class GraftAnalyzeCommand(parts: Seq[String], full: Boolean,
+      original: String, @transient delegate: ParserInterface)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = rootOpt(spark, parts) match {
+      case Some(root) =>
+        Seq(Row(CommitLog.refreshStats(spark, root, onlyMissing = !full)))
+      case None =>
+        GraftBridge.ofRows(spark, delegate.parsePlan(original)).collect()
+        Nil
+    }
+  }
+
   case class GraftAddConstraintCommand(parts: Seq[String],
       name: String, check: String, original: String,
       @transient delegate: ParserInterface) extends LeafRunnableCommand {

@@ -252,6 +252,34 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
       .option("timestampAsOf", ms1.toString).load(root).count() == 1)
   }
 
+  test("SQL ANALYZE TABLE refreshes stats for an imported by-reference " +
+      "snapshot so pruning lights up") {
+    val ext = java.nio.file.Files.createTempDirectory("graft-an-ext")
+    val root = java.nio.file.Files.createTempDirectory("graft-an").toString
+    val t = java.nio.file.Files.createTempDirectory("graft-an-w")
+    spark.range(100).selectExpr("id").coalesce(1)
+      .write.mode("overwrite").parquet(t.toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(t).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val data = ext.resolve("f.parquet")
+    java.nio.file.Files.move(part, data)
+    CommitLog.importSnapshot(root, spark.range(1).selectExpr("id").schema,
+      Seq(CommitLog.FileStat(data.toString, 100L, 1L)))
+    val view = s"an_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view " +
+      s"USING `graft-commitlog` OPTIONS (path '$root')")
+    def m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+    assert(m.statsOrNil.head.mins.isEmpty)
+    val v = spark.sql(s"ANALYZE TABLE $view COMPUTE STATISTICS")
+      .collect().head.getLong(0)
+    assert(v == 2L)
+    assert(m.statsOrNil.head.mins.nonEmpty)
+    // ANALYZE of a non-commitlog table still routes to Spark's own
+    spark.range(3).write.mode("overwrite").saveAsTable("an_plain")
+    spark.sql("ANALYZE TABLE an_plain COMPUTE STATISTICS")
+  }
+
   test("SQL OPTIMIZE and VACUUM: compaction, zorder, retention-guarded reclaim") {
     import spark.implicits._
     val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
