@@ -436,6 +436,36 @@ object TableOps {
            |FROM orders WHERE o_orderkey % 2 = 0
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Iceberg EXPORT round-trip ([[graft.sources.interop.IcebergExport]]):
+    // a commitlog table built from orders exports its metadata tree
+    // (v1.metadata.json → avro manifest list → avro manifest, per the
+    // public spec) IN PLACE — zero bytes move — and IcebergImport re-reads
+    // that tree into a second by-reference table. The oracle aggregates
+    // the same orders slice: a green hash proves schema conversion both
+    // directions (Spark→Iceberg JSON→Spark), the avro write/read, and the
+    // exact record counts riding the manifests. Scale: both directions are
+    // driver-metadata walks — a 100 TB table mounts OUT to Iceberg readers
+    // (or back IN) in seconds with no data pass.
+    "q157_iceberg_roundtrip" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = tmp("graft-q157t"); val back = tmp("graft-q157b")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .filter(col("o_orderkey") % 3 === 0)
+        CommitLog.append(ord, t)
+        graft.sources.interop.IcebergExport.exportTable(t)
+        graft.sources.interop.IcebergImport.importTable(s, t, back)
+        CommitLog.read(s, back)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders WHERE o_orderkey % 3 = 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL DML surface: the table is CREATED by df.write, exposed as a view
     // via CREATE TEMPORARY VIEW ... USING, grown by INSERT INTO ... SELECT
     // (one atomic commit through the log), and read back through the same

@@ -1,0 +1,81 @@
+package graft.sources.interop
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.CommitLog
+
+/** Iceberg export round-trip: the written metadata tree re-imports to the
+  * identical snapshot, zero bytes move, and exports that would corrupt
+  * (deletion vectors, a pre-existing metadata tree) refuse.
+  */
+class IcebergExportSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-iexp").toString
+
+  test("export writes a v1 metadata tree over the existing files and " +
+      "IcebergImport round-trips the identical snapshot") {
+    val t = tmp(); val back = tmp()
+    CommitLog.append(spark.range(100).selectExpr(
+      "id", "CAST(id AS DOUBLE) / 4 AS v", "CAST(id AS STRING) AS s"), t)
+    CommitLog.append(spark.range(50).selectExpr(
+      "id + 1000 AS id", "CAST(id AS DOUBLE) AS v",
+      "CAST(id % 7 AS STRING) AS s"), t)
+    val nFiles = IcebergExport.exportTable(t)
+    assert(nFiles == CommitLog.readManifest(t,
+      CommitLog.currentVersion(t).get).files.size)
+    assert(Files.isRegularFile(Paths.get(t, "metadata", "v1.metadata.json")))
+    assert(Files.isRegularFile(Paths.get(t, "metadata", "version-hint.text")))
+    IcebergImport.importTable(spark, t, back)
+    val a = CommitLog.read(spark, t).orderBy("id").collect().map(_.toSeq)
+    val b = CommitLog.read(spark, back).orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // schema round-trips exactly (names, types, nullability)
+    assert(CommitLog.read(spark, back).schema ==
+      CommitLog.read(spark, t).schema)
+    // zero-copy both ways: the round-trip table holds no parquet
+    import scala.jdk.CollectionConverters._
+    assert(!Files.walk(Paths.get(back)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+  }
+
+  test("by-reference files OUTSIDE the root export fine (full-URI paths, " +
+      "unlike Delta's root-relative adds)") {
+    val ext = Files.createTempDirectory("graft-iexp-ext")
+    val w = Files.createTempDirectory("graft-iexp-w")
+    spark.range(40).selectExpr("id").coalesce(1)
+      .write.mode("overwrite").parquet(w.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(w).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val data = ext.resolve("f.parquet")
+    Files.move(part, data)
+    val t = tmp(); val back = tmp()
+    CommitLog.importSnapshot(t, spark.range(1).selectExpr("id").schema,
+      Seq(CommitLog.FileStat(data.toString, 40L, Files.size(data))))
+    IcebergExport.exportTable(t)
+    IcebergImport.importTable(spark, t, back)
+    assert(CommitLog.read(spark, back).count() == 40L)
+  }
+
+  test("exports that would corrupt refuse: deletion vectors and a " +
+      "pre-existing metadata tree") {
+    val t = tmp()
+    CommitLog.append(spark.range(20).selectExpr("id"), t)
+    CommitLog.deleteDV(spark, t, col("id") === 3L)
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.exportTable(t)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    // after compact the DVs materialize away and export succeeds ONCE
+    CommitLog.compact(spark, t)
+    IcebergExport.exportTable(t)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergExport.exportTable(t)
+    }
+    assert(e2.getMessage.contains("metadata directory"))
+  }
+}
