@@ -1047,5 +1047,138 @@ object Corpus {
           |SELECT doc_id, n_bigrams, p_sum_q,
           |  p_sum_q // n_bigrams AS avg_p_q
           |FROM sc ORDER BY avg_p_q ASC, doc_id LIMIT 20""".stripMargin)),
+
+    // CCNet head/middle/tail corpus partitioning (Wenzek LREC'20 §4.3:
+    // train an LM on a reference slice, bucket every document into
+    // perplexity terciles — head trains the model, tail gets dropped or
+    // down-weighted). The LM is add-one unigram over the even-doc_id
+    // training slice; a document's cost is its mean BITS PER TOKEN —
+    // a true log-space perplexity, unlike q123's probability-space mean.
+    // Cross-engine exactness WITH a logarithm and still no libm: log2 is
+    // computed in Q20 FIXED POINT by the classic square-and-shift
+    // algorithm (20 rounds of Q30 integer squaring, truncation shifts
+    // only), identical BIGINT ops on both engines — bits(tok) =
+    // L(T+V) − L(c+1) where L = fixedLog2, so sums/means are exact
+    // integers. Plan at 100 TB: counts and the log iteration are
+    // VOCABULARY-sized (the 20-step unrolled loop runs once per distinct
+    // token, all whole-stage codegen); the corpus-sized token stream
+    // meets one broadcast bits table and collapses map-side into per-doc
+    // sums; the tercile ntile sorts DOC-level rows (corpus/1000s), not
+    // tokens.
+    "q158_ccnet_buckets" -> QueryDef(
+      fn = { (s, dir) =>
+        val toks = docs(s, dir).select(col("doc_id"), explode(toksCol).as("tok"))
+        val train = toks.filter(col("doc_id") % 2 === 0)
+        val counts = train.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val Array(t, v) = train.agg(count(lit(1)), countDistinct(col("tok")))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        val lgDen = fixedLog2Long(t + v)
+        val bits = fixedLog2(counts.withColumn("n", col("c") + lit(1)), "n", "lg")
+          .select(col("tok"), (lit(lgDen) - col("lg")).as("bits"))
+        val perDoc = toks.join(broadcast(bits), Seq("tok"), "left")
+          .withColumn("bw", coalesce(col("bits"), lit(lgDen)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("bw")).as("bits_sum"))
+          .withColumn("ppl_q20", expr("bits_sum div n_toks"))
+        val bucketed = perDoc.withColumn("b",
+          ntile(3).over(Window.orderBy(col("ppl_q20"), col("doc_id"))))
+        bucketed.groupBy(col("b"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("ppl_q20")).as("min_ppl_q20"),
+            max(col("ppl_q20")).as("max_ppl_q20"),
+            sum(col("n_toks")).as("sum_toks"))
+          .select(
+            expr("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END")
+              .as("bucket"),
+            col("n_docs"), col("min_ppl_q20"), col("max_ppl_q20"),
+            col("sum_toks"))
+          .orderBy(col("min_ppl_q20"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE
+          |toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents),
+          |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+          |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM train GROUP BY 1),
+          |tv AS (SELECT CAST(count(*) AS BIGINT)
+          |  + CAST(count(DISTINCT tok) AS BIGINT) AS den FROM train),
+          |vals AS (SELECT DISTINCT c + 1 AS n FROM cnt
+          |  UNION SELECT den AS n FROM tv),
+          |it AS (
+          |  SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS m,
+          |    CASE WHEN length(bin(n)) - 1 <= 30
+          |      THEN n << (30 - (length(bin(n)) - 1))
+          |      ELSE n >> ((length(bin(n)) - 1) - 30) END AS x,
+          |    CAST(0 AS BIGINT) AS acc, 0 AS i
+          |  FROM vals
+          |  UNION ALL
+          |  SELECT n, m,
+          |    CASE WHEN ((x * x) >> 30) >= 2147483648
+          |      THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
+          |    acc * 2 + CASE WHEN ((x * x) >> 30) >= 2147483648 THEN 1 ELSE 0 END,
+          |    i + 1
+          |  FROM it WHERE i < 20),
+          |logs AS (SELECT n, (m << 20) + acc AS lg FROM it WHERE i = 20),
+          |ld AS (SELECT lg FROM logs JOIN tv ON logs.n = tv.den),
+          |bits AS (SELECT cnt.tok, ld.lg - logs.lg AS bits
+          |  FROM cnt JOIN logs ON logs.n = cnt.c + 1 CROSS JOIN ld),
+          |perdoc AS (
+          |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+          |    CAST(sum(COALESCE(b.bits, ld.lg)) AS BIGINT) AS bits_sum
+          |  FROM toks t LEFT JOIN bits b USING (tok) CROSS JOIN ld
+          |  GROUP BY 1),
+          |ppl AS (SELECT doc_id, n_toks, bits_sum // n_toks AS ppl_q20 FROM perdoc),
+          |bucketed AS (SELECT doc_id, n_toks, ppl_q20,
+          |  ntile(3) OVER (ORDER BY ppl_q20, doc_id) AS b FROM ppl)
+          |SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  min(ppl_q20) AS min_ppl_q20, max(ppl_q20) AS max_ppl_q20,
+          |  CAST(sum(n_toks) AS BIGINT) AS sum_toks
+          |FROM bucketed GROUP BY b ORDER BY min_ppl_q20""".stripMargin)),
   )
+
+  /** Q20 fixed-point log2 of a positive BIGINT column `in` → BIGINT column
+    * `out` = floor(2^20 · log2(n)): integer part from the bit length,
+    * fraction by 20 rounds of the classic square-and-shift iteration over
+    * a Q30 mantissa (x² < 2^62 — never overflows a signed 64-bit). Every
+    * op is BIGINT multiply/shift/compare — no libm, so Spark and DuckDB
+    * (same algorithm as a recursive CTE) agree bit-for-bit; all 20 rounds
+    * unroll into one whole-stage-codegen projection. Run it on
+    * VOCABULARY-sized tables only; corpus-sized streams join the result.
+    */
+  private def fixedLog2(df: DataFrame, in: String, out: String): DataFrame = {
+    var d = df
+      .withColumn("_m", (length(expr(s"bin($in)")) - lit(1)).cast("long"))
+      .withColumn("_x", expr(
+        s"CASE WHEN _m <= 30 THEN shiftleft($in, CAST(30 - _m AS INT)) " +
+          s"ELSE shiftright($in, CAST(_m - 30 AS INT)) END"))
+      .withColumn("_a", lit(0L))
+    for (_ <- 1 to 20) {
+      d = d.withColumn("_xs", expr("shiftright(_x * _x, 30)"))
+        .withColumn("_a", expr(
+          "_a * 2 + CASE WHEN _xs >= 2147483648 THEN 1 ELSE 0 END"))
+        .withColumn("_x", expr(
+          "CASE WHEN _xs >= 2147483648 THEN shiftright(_xs, 1) ELSE _xs END"))
+        .drop("_xs")
+    }
+    d.withColumn(out, expr("shiftleft(_m, 20) + _a")).drop("_m", "_x", "_a")
+  }
+
+  /** Driver-side twin of [[fixedLog2]] for the scalar smoothing
+    * denominator — same integer algorithm, same result by construction.
+    */
+  private def fixedLog2Long(n: Long): Long = {
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var x = if (m <= 30) n << (30 - m) else n >> (m - 30)
+    var acc = 0L
+    var i = 0
+    while (i < 20) {
+      val xs = (x * x) >> 30
+      if (xs >= 2147483648L) { acc = acc * 2 + 1; x = xs >> 1 }
+      else { acc = acc * 2; x = xs }
+      i += 1
+    }
+    (m.toLong << 20) + acc
+  }
 }
