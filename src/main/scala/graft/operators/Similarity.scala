@@ -1247,6 +1247,81 @@ object Similarity {
       },
       oracle = Some(q92Sql)),
 
+    // SQ8 scalar quantization — the OTHER production compression point on
+    // the ANN memory/recall curve (the FAISS `SQ8` flat index): each
+    // dimension linearly quantizes to ONE BYTE against its corpus
+    // min/max, cutting vector memory 4× versus float32 with near-exact
+    // recall (unlike PQ's 64×-but-lossy codes — SQ8 is what production
+    // stacks use when the index still fits at 1 B/dim). Ranking is
+    // ASYMMETRIC: the query keeps its exact 1e6-grid values and scans
+    // candidates' DEQUANTIZED values, so the only error is the
+    // candidate-side rounding. All arithmetic is BIGINT on the 1e6 grid
+    // (code = ((v−mn)·255) div span with span = mx−mn ≥ 0, dequant =
+    // mn + (code·span) div 255; d² ≤ 64·2⁴² = 2⁴⁸) — codes and ranking
+    // are bit-identical cross-engine, so the oracle proves the
+    // train(min/max)→encode→dequant→rank chain end to end. Every operand
+    // here is nonnegative, so Spark's truncating `div` and DuckDB's
+    // flooring `//` agree. Plan at 100 TB: the per-dim range table is 64
+    // rows (broadcast); encoding is one map pass over the corpus; queries
+    // broadcast (|Q|×dims rows) onto the code scan and collapse map-side
+    // into (q_id, c_id) sums — the corpus never reshuffles and nothing
+    // is O(n²).
+    "q159_ann_sq8" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val vq = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+          .repartition(col("vec_id")) // parallelize the single-split scan
+        val rng = vq.groupBy(col("pos"))
+          .agg(min(col("vq")).as("mn"), max(col("vq")).as("mx"))
+          .withColumn("span", col("mx") - col("mn"))
+        val codes = vq.join(broadcast(rng), Seq("pos"))
+          .withColumn("code", expr(
+            "CASE WHEN span = 0 THEN 0 ELSE ((vq - mn) * 255) div span END"))
+          .withColumn("dec", expr("mn + (code * span) div 255"))
+          .select(col("vec_id").as("c_id"), col("pos"), col("dec"))
+        val qs = vq.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("adist_q"), col("c_id"))
+        codes.join(broadcast(qs), Seq("pos"))
+          .filter(col("c_id") =!= col("q_id"))
+          .withColumn("d2", (col("qv") - col("dec")) * (col("qv") - col("dec")))
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(sum(col("d2")).as("adist_q"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "c_id", "adist_q", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      oracle = Some(
+        """WITH vq AS (
+          |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+          |    CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+          |  FROM (SELECT vec_id, embedding AS e,
+          |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+          |rng AS (SELECT pos, min(vq) AS mn, max(vq) AS mx,
+          |    max(vq) - min(vq) AS span FROM vq GROUP BY 1),
+          |codes AS (
+          |  SELECT v.vec_id AS c_id, v.pos,
+          |    r.mn + ((CASE WHEN r.span = 0 THEN 0
+          |      ELSE ((v.vq - r.mn) * 255) // r.span END) * r.span) // 255 AS dec
+          |  FROM vq v JOIN rng r USING (pos)),
+          |qs AS (SELECT vec_id AS q_id, pos, vq AS qv FROM vq WHERE vec_id < 10),
+          |ad AS (
+          |  SELECT q.q_id, c.c_id,
+          |    CAST(sum((q.qv - c.dec) * (q.qv - c.dec)) AS BIGINT) AS adist_q
+          |  FROM codes c JOIN qs q USING (pos)
+          |  WHERE c.c_id <> q.q_id GROUP BY 1, 2)
+          |SELECT q_id, c_id, adist_q, rnk FROM (
+          |  SELECT q_id, c_id, adist_q,
+          |    CAST(row_number() OVER (PARTITION BY q_id
+          |      ORDER BY adist_q, c_id) AS BIGINT) AS rnk
+          |  FROM ad) WHERE rnk <= 3
+          |ORDER BY q_id, rnk""".stripMargin)),
+
     // IVFADC — the complete billion-scale ANN architecture (Jégou et al.
     // TPAMI'11 §IV, the FAISS `IVFPQ` index): q88's LEARNED coarse cells
     // route each vector to its inverted list; the PQ codebooks then train
