@@ -496,6 +496,79 @@ object Dedup {
           |  min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // KMV sketch cross-corpus overlap (Beyer et al. SIGMOD'07 "On
+    // Synopses for Distinct Value Estimation" — the k-minimum-values
+    // synopsis): estimate |A∪B| and Jaccard(A,B) between two corpora by
+    // exchanging only their k smallest content-key hashes. The use case
+    // at 100 TB is the FIRST question of any dataset merger or
+    // contamination audit — "how much do these two corpora overlap?" —
+    // answered WITHOUT a cross-corpus join: each side computes a
+    // KB-sized sketch in one pass, and the estimates come from comparing
+    // sketches alone. Estimators (exact-integer renditions): with m =
+    // k-th smallest of the combined sketch over a 2⁶⁰ hash space,
+    // est |A∪B| ≈ (k−1)·(2⁶⁰ div m); Jaccard ≈ |K(A∪B) ∩ A ∩ B| / k.
+    // The estimator's QUALITY is itself oracle-checked (the q46
+    // discipline): the output row carries the exact union/Jaccard beside
+    // the estimates, and every value is BIGINT-derived (60-bit md5 hash
+    // via conv/'0x' cast, floor divisions on nonnegative operands), so
+    // both engines agree bit-for-bit. Plan shape: per-side sketch =
+    // map-side-combined distinct on the hash then a k-row
+    // TakeOrderedAndProject — never a global sort; the exact comparison
+    // (a key-distinct + one equi-join) is the audit the sketch REPLACES
+    // at scale, kept here to grade the estimator.
+    "q160_kmv_overlap" -> QueryDef(
+      fn = { (s, dir) =>
+        val k = 64
+        val h = conv(substring(md5(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ")), 1, 15),
+          16, 10).cast("long")
+        val keyed = docs(s, dir).select(col("doc_id"), h.as("h"))
+        val a = keyed.filter(col("doc_id") % 3 === 0).select("h").distinct()
+        val b = keyed.filter(col("doc_id") % 3 =!= 0).select("h").distinct()
+        val sa = a.orderBy(col("h")).limit(k)
+        val sb = b.orderBy(col("h")).limit(k)
+        val uk = sa.unionByName(sb).distinct().orderBy(col("h")).limit(k)
+        val mRow = uk.agg(max(col("h")).as("m"), count(lit(1)).as("kk"))
+          .collect()(0)
+        val m = mRow.getLong(0); val kk = mRow.getLong(1)
+        val nShared = uk.join(sa, Seq("h"), "left_semi")
+          .join(sb, Seq("h"), "left_semi").count()
+        val exactUnion = a.unionByName(b).distinct().count()
+        val exactShared = a.join(b, Seq("h"), "left_semi").count()
+        import s.implicits._
+        Seq((kk, (kk - 1) * ((1L << 60) / m), exactUnion,
+          nShared, nShared * 1000000L / kk,
+          exactShared * 1000000L / exactUnion))
+          .toDF("k", "est_union_q", "exact_union", "n_shared",
+            "jaccard_est_q", "jaccard_exact_q")
+      },
+      oracle = Some(
+        """WITH ka AS (SELECT DISTINCT CAST(concat('0x', substr(md5(
+          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))
+          |    AS BIGINT) AS h
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |kb AS (SELECT DISTINCT CAST(concat('0x', substr(md5(
+          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))
+          |    AS BIGINT) AS h
+          |  FROM documents WHERE doc_id % 3 <> 0),
+          |sa AS (SELECT h FROM ka ORDER BY h LIMIT 64),
+          |sb AS (SELECT h FROM kb ORDER BY h LIMIT 64),
+          |uk AS (SELECT DISTINCT h FROM (SELECT h FROM sa
+          |    UNION ALL SELECT h FROM sb) ORDER BY h LIMIT 64),
+          |m AS (SELECT max(h) AS m, CAST(count(*) AS BIGINT) AS k FROM uk),
+          |shared AS (SELECT CAST(count(*) AS BIGINT) AS n_shared FROM uk
+          |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+          |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union
+          |  FROM (SELECT h FROM ka UNION SELECT h FROM kb)),
+          |exs AS (SELECT CAST(count(*) AS BIGINT) AS exact_shared FROM ka
+          |  WHERE h IN (SELECT h FROM kb))
+          |SELECT m.k AS k,
+          |  (m.k - 1) * ((CAST(1 AS BIGINT) << 60) // m.m) AS est_union_q,
+          |  ex.exact_union, shared.n_shared,
+          |  (shared.n_shared * 1000000) // m.k AS jaccard_est_q,
+          |  (exs.exact_shared * 1000000) // ex.exact_union AS jaccard_exact_q
+          |FROM m, shared, ex, exs""".stripMargin)),
+
     // MinHash + LSH near-dup: K=12 Carter–Wegman minhashes over the shingle
     // set, banded 4×3; candidate pairs share ≥1 band; est_sim = matching
     // minhash fraction (the unbiased Jaccard estimator).
