@@ -152,6 +152,13 @@ object GraftFunctions {
     // Unicode NFC normalization (text hygiene before tokenize/dedup) —
     // named to match DuckDB's function, which is what lets the q134
     // oracle value-prove Java's normalizer against utf8proc's.
+    reg.createOrReplaceTempFunction("hilbert_index",
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "hilbert_index takes exactly 1 array<bigint> argument")
+        HilbertIndexExpr(args.head)
+      },
+      "built-in")
     reg.createOrReplaceTempFunction("nfc_normalize",
       (args: Seq[Expression]) => {
         require(args.length == 1, "nfc_normalize takes exactly 1 argument")

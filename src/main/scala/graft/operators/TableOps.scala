@@ -466,6 +466,41 @@ object TableOps {
            |FROM orders WHERE o_orderkey % 3 = 0
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Hilbert-curve clustering (OPTIMIZE … HILBERT BY — the liquid-
+    // clustering layout; see [[graft.functions.Hilbert]]): lineitem lands
+    // in a commitlog table, rewrites onto the 2-D Hilbert curve over
+    // (l_orderkey, l_partkey), and a box query over BOTH columns reads it
+    // back — the oracle proves the rewrite content-lossless end to end
+    // (layout moves, no row does). The curve's jump-free property (unit
+    // steps, exhaustively proven in HilbertSpec) is what Z-order lacks:
+    // each file covers a COMPACT box of the clustering space, so min/max
+    // skipping admits fewer seam files on multi-column range workloads —
+    // HilbertSpec measures admitted-file counts hilbert ≤ zorder on the
+    // same grid. At 100 TB the rewrite is one repartitionByRange shuffle
+    // (any compaction's cost), and every box-shaped scan thereafter prunes
+    // on all clustered columns, not just a lexicographic prefix.
+    "q161_hilbert_cluster" -> QueryDef(
+      fn = { (s, dir) =>
+        val root = tmp("graft-q161")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        CommitLog.append(li, root)
+        CommitLog.cluster(s, root, Seq("l_orderkey", "l_partkey"),
+          nFiles = 16, curve = "hilbert")
+        CommitLog.read(s, root)
+          .filter(col("l_orderkey").between(1000, 3000) &&
+            col("l_partkey").between(500, 1500))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            min(col("l_orderkey")).as("min_ok"),
+            max(col("l_partkey")).as("max_pk"))
+      },
+      oracle = Some(
+        s"""SELECT count(*) AS n, ${sqlSum("l_quantity")} AS sum_qty,
+           |  min(l_orderkey) AS min_ok, max(l_partkey) AS max_pk
+           |FROM lineitem
+           |WHERE l_orderkey BETWEEN 1000 AND 3000
+           |  AND l_partkey BETWEEN 500 AND 1500""".stripMargin)),
+
     // SQL DML surface: the table is CREATED by df.write, exposed as a view
     // via CREATE TEMPORARY VIEW ... USING, grown by INSERT INTO ... SELECT
     // (one atomic commit through the log), and read back through the same

@@ -21,8 +21,8 @@ import graft.sources.CommitLog
   * statements): [[MaintenanceParser]] recognizes exactly these statement
   * shapes and hands everything else to the delegate untouched —
   *
-  *   OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (…)] → [[CommitLog.optimize]]
-  *                                                   / [[CommitLog.cluster]]
+  *   OPTIMIZE <table> [WHERE <pred>] [ZORDER|HILBERT BY (…)]
+  *                                   → [[CommitLog.optimize]] / [[CommitLog.cluster]]
   *   VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]   → [[CommitLog.vacuum]]
   *   DESCRIBE HISTORY <table>                       → [[CommitLog.history]]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <n>   → [[CommitLog.restore]]
@@ -52,7 +52,7 @@ import graft.sources.CommitLog
 object CommitLogSqlMaintenance {
 
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+((?:`[^`]+`|[\w.])+)(?:\s+WHERE\s+(.+?))?\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+((?:`[^`]+`|[\w.])+)(?:\s+WHERE\s+(.+?))?\s*(?:(ZORDER|HILBERT)\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""".r
   private val HistoryRe =
@@ -111,14 +111,15 @@ object CommitLogSqlMaintenance {
     */
   class MaintenanceParser(delegate: ParserInterface) extends ParserInterface {
     override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-      case OptimizeRe(ident, where, zorder) =>
-        val cols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
+      case OptimizeRe(ident, where, curve, clusterCols) =>
+        val cols = Option(clusterCols).toSeq.flatMap(_.split(",").toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
         // validate the predicate text at PARSE time (clear error position),
         // re-parse it at run time against the session
         Option(where).foreach(delegate.parseExpression)
         GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident), cols,
-          Option(where).map(_.trim))
+          Option(where).map(_.trim),
+          curve = Option(curve).map(_.toLowerCase).getOrElse("zorder"))
       case VacuumRe(ident, hours, dry) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
           Option(hours).map(_.toLong), dryRun = dry != null)
@@ -191,10 +192,13 @@ object CommitLogSqlMaintenance {
   }
 
   /** `OPTIMIZE t` → bin-packing compaction; `OPTIMIZE t ZORDER BY (…)` →
-    * interleaved-bits clustering rewrite. Returns the committed version.
+    * interleaved-bits clustering rewrite; `OPTIMIZE t HILBERT BY (…)` →
+    * the jump-free Hilbert-curve layout (see [[graft.functions.Hilbert]]).
+    * Returns the committed version.
     */
   case class GraftOptimizeCommand(parts: Seq[String], zorder: Seq[String],
-      where: Option[String] = None) extends LeafRunnableCommand {
+      where: Option[String] = None, curve: String = "zorder")
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
@@ -228,7 +232,7 @@ object CommitLogSqlMaintenance {
         CommitLog.pruneForSourceFilters(spark, m, filters, Some(root)).toSet
       }
       val v =
-        if (zorder.nonEmpty) CommitLog.cluster(spark, root, zorder)
+        if (zorder.nonEmpty) CommitLog.cluster(spark, root, zorder, curve = curve)
         else CommitLog.optimize(spark, root, scopePaths = scope)
       Seq(Row(v))
     }

@@ -3397,10 +3397,19 @@ object CommitLog {
     * the same cost as any compaction rewrite. One new commit; pinned
     * readers keep their snapshot. On a partitioned table the z-ranged
     * tasks still split per partition value, so the layout contract holds.
+    *
+    * `curve = "hilbert"` swaps the interleave for the Hilbert index
+    * ([[graft.functions.Hilbert]] — the liquid-clustering curve): jump-free
+    * by construction, so consecutive curve positions are grid-adjacent and
+    * file min/max boxes come out tighter than Z's seam-crossing ranges on
+    * the same data (HilbertSpec measures the skipping difference). Same
+    * normalization, same single shuffle, same commit shape.
     */
   def cluster(spark: SparkSession, root: String, cols: Seq[String],
-      nFiles: Int = 16): Long = {
+      nFiles: Int = 16, curve: String = "zorder"): Long = {
     require(cols.nonEmpty && cols.size <= 4, "cluster on 1-4 numeric columns")
+    require(curve == "zorder" || curve == "hilbert",
+      s"curve must be zorder or hilbert, got $curve")
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val prior = readManifest(root, base)
@@ -3418,11 +3427,15 @@ object CommitLog {
         .cast("long").as(s"u$i")
     }
     val k = cols.size
-    val zExpr = (0 until 16).flatMap { b =>
-      (0 until k).map { i =>
-        shiftleft(shiftright(col(s"u$i"), b).bitwiseAND(lit(1L)), b * k + i)
-      }
-    }.reduce[Column](_.bitwiseOR(_))
+    val zExpr =
+      if (curve == "hilbert") {
+        graft.functions.GraftFunctions.register(spark)
+        expr(s"hilbert_index(array(${cols.indices.map(i => s"u$i").mkString(", ")}))")
+      } else (0 until 16).flatMap { b =>
+        (0 until k).map { i =>
+          shiftleft(shiftright(col(s"u$i"), b).bitwiseAND(lit(1L)), b * k + i)
+        }
+      }.reduce[Column](_.bitwiseOR(_))
     val out = df
       .select((df.columns.map(col) ++ coords).toIndexedSeq: _*)
       .withColumn("_graft_z", zExpr)
