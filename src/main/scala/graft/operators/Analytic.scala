@@ -646,5 +646,75 @@ object Analytic {
           |SELECT cohort, wk AS active_week, count(*) AS users
           |FROM a JOIN f USING (user_id)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Classical seasonal decomposition (the moving-average method, e.g.
+    // Hyndman & Athanasopoulos FPP §6.3 "classical decomposition") of the
+    // hourly event series: y(h) − trend (centered 24-hour moving sum) −
+    // seasonal (per hour-of-day mean of the detrended series) = residual;
+    // the 20 largest |residual| points are the seasonality-aware anomaly
+    // batch — what the plain z-score screen (q73) flags as outliers
+    // includes every rush hour; THIS flags departures from the expected
+    // daily shape. Exactness: values quantize to the 1e6 BIGINT grid
+    // before summation; the trend is kept as the 24-bucket SUM (detrended
+    // d = 24·y − sum24, exact — no division rounding); the seasonal mean
+    // divides with Spark `div` ≡ DuckDB `//` (BOTH truncate toward zero —
+    // verified, so the idiom is safe even though d goes negative).
+    // Plan at 100 TB: the series collapses to (event_type, hour)
+    // buckets FIRST (map-side combined; buckets ≪ events), so the window
+    // and seasonal passes run on bucket-sized data; final top-20 is a
+    // TakeOrderedAndProject.
+    "q162_seasonal_decompose" -> QueryDef(
+      fn = { (s, dir) =>
+        val hourly = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"),
+            floor(col("value").cast("double") * 1000000.0).cast("long").as("vq"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(sum(col("vq")).as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(-12, 11)
+        val trended = hourly
+          .withColumn("sum24", sum(col("y")).over(w))
+          .withColumn("cnt24", count(lit(1)).over(w))
+          .filter(col("cnt24") === 24)
+          .withColumn("d", lit(24) * col("y") - col("sum24"))
+        val seasonal = trended
+          .withColumn("phase", pmod(col("h"), lit(24)))
+          .withColumn("sd", expr(
+            "sum(d) OVER (PARTITION BY event_type, phase)" +
+              " div count(1) OVER (PARTITION BY event_type, phase)"))
+          .withColumn("resid", col("d") - col("sd"))
+        seasonal
+          .select(col("event_type"), col("h"), col("y"),
+            col("sum24"), col("sd").as("seasonal_q"), col("resid"))
+          .orderBy(abs(col("resid")).desc, col("event_type"), col("h"))
+          .limit(20)
+      },
+      oracle = Some(
+        """WITH hourly AS (
+          |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT))
+          |      AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |trended AS (
+          |  SELECT event_type, h, y,
+          |    CAST(sum(y) OVER wf AS BIGINT) AS sum24,
+          |    CAST(count(*) OVER wf AS BIGINT) AS cnt24
+          |  FROM hourly
+          |  WINDOW wf AS (PARTITION BY event_type ORDER BY h
+          |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+          |detr AS (
+          |  SELECT event_type, h, y, sum24, 24 * y - sum24 AS d,
+          |    h % 24 AS phase
+          |  FROM trended WHERE cnt24 = 24),
+          |seas AS (
+          |  SELECT event_type, h, y, sum24, d,
+          |    CAST(sum(d) OVER pf AS BIGINT)
+          |      // CAST(count(*) OVER pf AS BIGINT) AS sd
+          |  FROM detr
+          |  WINDOW pf AS (PARTITION BY event_type, phase))
+          |SELECT event_type, h, y, sum24, sd AS seasonal_q, d - sd AS resid
+          |FROM seas
+          |ORDER BY abs(d - sd) DESC, event_type, h LIMIT 20""".stripMargin)),
   )
 }
