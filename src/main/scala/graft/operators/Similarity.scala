@@ -1322,6 +1322,92 @@ object Similarity {
           |  FROM ad) WHERE rnk <= 3
           |ORDER BY q_id, rnk""".stripMargin)),
 
+    // Bitext mining — the margin-based mutual-nearest-neighbor criterion
+    // (Artetxe & Schwenk ACL'19 §3, the LASER/CCMatrix parallel-corpus
+    // miner): two "language" sides (even vec_ids = source batch, odd =
+    // target corpus) pair up when each is the other's best match by
+    // MARGIN — cosine penalized by how similar each side is to its other
+    // near neighbors (absolute-margin variant: cos − (avgNN_k(a) +
+    // avgNN_k(b))/2, k=4), which kills hubness false positives that raw
+    // cosine mutual-NN admits. Exactness: cos quantizes to floor(1e9·cos)
+    // BIGINT (the q45 verification grid), so top-4 sums are
+    // order-independent integers and the ×8-scaled margin m8 = 8·cq −
+    // Σtop4(a) − Σtop4(b) is exact — ranking and mutuality are
+    // bit-identical cross-engine. Plan at 100 TB: the source BATCH
+    // broadcasts onto one target-corpus scan (the q98 asymmetric-probe
+    // shape — production mines source chunks against an IVF-routed
+    // candidate set instead of the full scan; the margin/mutuality logic
+    // is unchanged); both ranking windows key on (a_id)/(b_id), never a
+    // single partition.
+    "q163_bitext_mine" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val n = norms(e)
+        val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 80)
+          .select(col("vec_id").as("a_id"), col("embedding").as("qe"))
+        val b = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("b_id"), col("embedding").as("ce"))
+        val cq = b.crossJoin(broadcast(a))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("a_id", "n2a"), Seq("a_id"))
+          .join(n.toDF("b_id", "n2b"), Seq("b_id"))
+          .withColumn("cq",
+            floor(cosim(col("dot"), col("n2a"), col("n2b")) * lit(1.0e9))
+              .cast("long"))
+          .select("a_id", "b_id", "cq")
+        val wa = Window.partitionBy(col("a_id")).orderBy(col("cq").desc, col("b_id"))
+        val wb = Window.partitionBy(col("b_id")).orderBy(col("cq").desc, col("a_id"))
+        val ta = cq.withColumn("r", row_number().over(wa)).filter(col("r") <= 4)
+          .groupBy(col("a_id")).agg(sum(col("cq")).as("sum_a"))
+        val tb = cq.withColumn("r", row_number().over(wb)).filter(col("r") <= 4)
+          .groupBy(col("b_id")).agg(sum(col("cq")).as("sum_b"))
+        val m = cq.join(broadcast(ta), Seq("a_id")).join(tb, Seq("b_id"))
+          .withColumn("m8", lit(8) * col("cq") - col("sum_a") - col("sum_b"))
+        val ra = Window.partitionBy(col("a_id")).orderBy(col("m8").desc, col("b_id"))
+        val rb = Window.partitionBy(col("b_id")).orderBy(col("m8").desc, col("a_id"))
+        m.withColumn("ra", row_number().over(ra))
+          .withColumn("rb", row_number().over(rb))
+          .filter(col("ra") === 1 && col("rb") === 1)
+          .select(col("a_id"), col("b_id"), col("cq").as("cos_q"),
+            col("m8").as("margin_q"))
+          .orderBy("a_id")
+      },
+      oracle = Some(
+        s"""WITH $normsSql,
+           |dots AS (
+           |  SELECT a_id, b_id, $dotSqlExpr AS dot
+           |  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |          a.embedding AS qe, b.embedding AS ce,
+           |          generate_subscripts(a.embedding, 1) AS i
+           |        FROM embeddings a JOIN embeddings b
+           |          ON a.vec_id % 2 = 0 AND a.vec_id < 80 AND b.vec_id % 2 = 1)
+           |  GROUP BY 1, 2),
+           |cq AS (
+           |  SELECT a_id, b_id,
+           |    CAST(floor(1000000000.0 * (CAST(dot AS DOUBLE)
+           |      / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))))
+           |      AS BIGINT) AS cq
+           |  FROM dots
+           |  JOIN norms na ON na.vec_id = a_id
+           |  JOIN norms nb ON nb.vec_id = b_id),
+           |ta AS (SELECT a_id, CAST(sum(cq) AS BIGINT) AS sum_a FROM (
+           |    SELECT a_id, cq, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY cq DESC, b_id) AS r FROM cq)
+           |  WHERE r <= 4 GROUP BY 1),
+           |tb AS (SELECT b_id, CAST(sum(cq) AS BIGINT) AS sum_b FROM (
+           |    SELECT b_id, cq, row_number() OVER (PARTITION BY b_id
+           |      ORDER BY cq DESC, a_id) AS r FROM cq)
+           |  WHERE r <= 4 GROUP BY 1),
+           |m AS (SELECT c.a_id, c.b_id, c.cq,
+           |    8 * c.cq - ta.sum_a - tb.sum_b AS m8
+           |  FROM cq c JOIN ta USING (a_id) JOIN tb USING (b_id)),
+           |r AS (SELECT a_id, b_id, cq, m8,
+           |    row_number() OVER (PARTITION BY a_id ORDER BY m8 DESC, b_id) AS ra,
+           |    row_number() OVER (PARTITION BY b_id ORDER BY m8 DESC, a_id) AS rb
+           |  FROM m)
+           |SELECT a_id, b_id, cq AS cos_q, m8 AS margin_q
+           |FROM r WHERE ra = 1 AND rb = 1 ORDER BY a_id""".stripMargin)),
+
     // IVFADC — the complete billion-scale ANN architecture (Jégou et al.
     // TPAMI'11 §IV, the FAISS `IVFPQ` index): q88's LEARNED coarse cells
     // route each vector to its inverted list; the PQ codebooks then train
