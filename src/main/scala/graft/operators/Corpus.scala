@@ -1167,8 +1167,9 @@ object Corpus {
 
   /** Driver-side twin of [[fixedLog2]] for the scalar smoothing
     * denominator — same integer algorithm, same result by construction.
+    * Shared with q164's nDCG weights (Similarity).
     */
-  private def fixedLog2Long(n: Long): Long = {
+  private[operators] def fixedLog2Long(n: Long): Long = {
     val m = 63 - java.lang.Long.numberOfLeadingZeros(n)
     var x = if (m <= 30) n << (30 - m) else n >> (m - 30)
     var acc = 0L

@@ -1408,6 +1408,140 @@ object Similarity {
            |SELECT a_id, b_id, cq AS cos_q, m8 AS margin_q
            |FROM r WHERE ra = 1 AND rb = 1 ORDER BY a_id""".stripMargin)),
 
+    // nDCG@10 for the SQ8 index — the position-discounted ranking-quality
+    // metric (Järvelin & Kekäläinen TOIS'02), completing the eval suite
+    // next to recall@k (q46) and MRR (q120): graded gains (11 − exact
+    // cosine rank, 0 outside the exact top-10) discounted by 1/log2(i+1).
+    // The logarithm rides the SAME Q20 fixed-point log2 as q158
+    // ([[Corpus.fixedLog2Long]]): the ten discount weights W(i) =
+    // 2⁴⁰ div L(i+1) are computed ONCE driver-side and inlined as
+    // literals into BOTH the Spark plan and the oracle SQL (the q35
+    // hyperplane-literal pattern), so DCG sums and the final ×1e6 nDCG
+    // ratio are exact BIGINTs — the eval metric itself is value-proven
+    // cross-engine, not just the ranking under it. Plan at 100 TB: the
+    // exact pass is the q16 broadcast-probe scan, the system pass is
+    // q159's code scan; the metric itself joins two 10-row-per-query
+    // sets against a 10-row broadcast weight table — free.
+    "q164_ndcg_sq8" -> QueryDef(
+      fn = { (s, dir) =>
+        val weights = (1 to 10).map(i =>
+          i.toLong -> ((1L << 40) / graft.operators.Corpus.fixedLog2Long(i + 1L)))
+        val idcg = weights.map { case (i, w) => (11L - i) * w }.sum
+        val e = emb(s, dir)
+        val n = norms(e)
+        // exact cosine top-10 (the q16 shape) → graded gains
+        val qsE = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val csE = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val wEx = Window.partitionBy(col("q_id")).orderBy(col("cq").desc, col("c_id"))
+        val gains = csE.join(broadcast(qsE), col("c_id") =!= col("q_id"))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("q_id", "n2q"), Seq("q_id"))
+          .join(n.toDF("c_id", "n2c"), Seq("c_id"))
+          .withColumn("cq",
+            floor(cosim(col("dot"), col("n2q"), col("n2c")) * lit(1.0e9))
+              .cast("long"))
+          .withColumn("er", row_number().over(wEx))
+          .filter(col("er") <= 10)
+          .select(col("q_id"), col("c_id"), (lit(11L) - col("er")).as("gain"))
+        // the system under eval: q159's SQ8 pipeline, top-10
+        val vq = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+          .repartition(col("vec_id"))
+        val rng = vq.groupBy(col("pos"))
+          .agg(min(col("vq")).as("mn"), max(col("vq")).as("mx"))
+          .withColumn("span", col("mx") - col("mn"))
+        val codes = vq.join(broadcast(rng), Seq("pos"))
+          .withColumn("code", expr(
+            "CASE WHEN span = 0 THEN 0 ELSE ((vq - mn) * 255) div span END"))
+          .withColumn("dec", expr("mn + (code * span) div 255"))
+          .select(col("vec_id").as("c_id"), col("pos"), col("dec"))
+        val qsS = vq.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv"))
+        val wSys = Window.partitionBy(col("q_id"))
+          .orderBy(col("adist_q"), col("c_id"))
+        val sys = codes.join(broadcast(qsS), Seq("pos"))
+          .filter(col("c_id") =!= col("q_id"))
+          .withColumn("d2", (col("qv") - col("dec")) * (col("qv") - col("dec")))
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(sum(col("d2")).as("adist_q"))
+          .withColumn("rnk", row_number().over(wSys).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select("q_id", "c_id", "rnk")
+        import s.implicits._
+        val wdf = weights.toDF("rnk", "wgt")
+        sys.join(gains, Seq("q_id", "c_id"), "left")
+          .na.fill(0L, Seq("gain"))
+          .join(broadcast(wdf), Seq("rnk"))
+          .groupBy(col("q_id"))
+          .agg(sum(col("gain") * col("wgt")).as("dcg_q"))
+          .withColumn("idcg_q", lit(idcg))
+          .withColumn("ndcg_micro", expr("dcg_q * 1000000 div idcg_q"))
+          .orderBy("q_id")
+      },
+      oracle = Some {
+        val weights = (1 to 10).map(i =>
+          i.toLong -> ((1L << 40) / graft.operators.Corpus.fixedLog2Long(i + 1L)))
+        val idcg = weights.map { case (i, w) => (11L - i) * w }.sum
+        val wVals = weights.map { case (i, w) => s"($i, $w)" }.mkString(", ")
+        s"""WITH $normsSql,
+           |dots AS (
+           |  SELECT q_id, c_id, $dotSqlExpr AS dot
+           |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |          q.embedding AS qe, c.embedding AS ce,
+           |          generate_subscripts(q.embedding, 1) AS i
+           |        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |        WHERE q.vec_id < 10)
+           |  GROUP BY 1, 2),
+           |gains AS (
+           |  SELECT q_id, c_id, CAST(11 - er AS BIGINT) AS gain FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |        ORDER BY cqx DESC, c_id) AS er FROM (
+           |      SELECT q_id, c_id,
+           |        CAST(floor(1000000000.0 * (CAST(dot AS DOUBLE)
+           |          / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE))))
+           |          AS BIGINT) AS cqx
+           |      FROM dots
+           |      JOIN norms nq ON nq.vec_id = q_id
+           |      JOIN norms nc ON nc.vec_id = c_id))
+           |  WHERE er <= 10),
+           |sq AS (
+           |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+           |    CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+           |  FROM (SELECT vec_id, embedding AS e,
+           |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+           |rng AS (SELECT pos, min(vq) AS mn, max(vq) AS mx,
+           |    max(vq) - min(vq) AS span FROM sq GROUP BY 1),
+           |codes AS (
+           |  SELECT v.vec_id AS c_id, v.pos,
+           |    r.mn + ((CASE WHEN r.span = 0 THEN 0
+           |      ELSE ((v.vq - r.mn) * 255) // r.span END) * r.span) // 255 AS dec
+           |  FROM sq v JOIN rng r USING (pos)),
+           |qss AS (SELECT vec_id AS q_id, pos, vq AS qv FROM sq WHERE vec_id < 10),
+           |sys AS (
+           |  SELECT q_id, c_id, rnk FROM (
+           |    SELECT q_id, c_id,
+           |      CAST(row_number() OVER (PARTITION BY q_id
+           |        ORDER BY adist_q, c_id) AS BIGINT) AS rnk
+           |    FROM (SELECT q.q_id, c.c_id,
+           |        CAST(sum((q.qv - c.dec) * (q.qv - c.dec)) AS BIGINT) AS adist_q
+           |      FROM codes c JOIN qss q USING (pos)
+           |      WHERE c.c_id <> q.q_id GROUP BY 1, 2))
+           |  WHERE rnk <= 10),
+           |w AS (SELECT * FROM (VALUES $wVals) AS t(rnk, wgt))
+           |SELECT s.q_id,
+           |  CAST(sum(COALESCE(g.gain, 0) * w.wgt) AS BIGINT) AS dcg_q,
+           |  CAST($idcg AS BIGINT) AS idcg_q,
+           |  CAST(sum(COALESCE(g.gain, 0) * w.wgt) AS BIGINT) * 1000000
+           |    // $idcg AS ndcg_micro
+           |FROM sys s
+           |LEFT JOIN gains g USING (q_id, c_id)
+           |JOIN w USING (rnk)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // IVFADC — the complete billion-scale ANN architecture (Jégou et al.
     // TPAMI'11 §IV, the FAISS `IVFPQ` index): q88's LEARNED coarse cells
     // route each vector to its inverted list; the PQ codebooks then train
