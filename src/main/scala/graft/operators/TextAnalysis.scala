@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1220,6 +1221,93 @@ object TextAnalysis {
     // non-negative numerator. At 100 TB: one map-side-combined 5-sum
     // aggregate to a single broadcast row, then a second corpus scan into
     // TakeOrderedAndProject(20) — the corpus never shuffles.
+    // One-pass Poisson bootstrap (Chamandy/Muralidharan/Najmi/Naidu,
+    // "Estimating Uncertainty for Massive Data Streams", Google 2012): a
+    // corpus-level metric (mean chars/doc) gets a CONFIDENCE INTERVAL in
+    // one pass — each of 32 replicas reweights every doc by an
+    // independent Poisson(1) draw (≈ resampling with replacement without
+    // materializing resamples), and the replica means' 2nd/31st order
+    // statistics bound the 94% CI. Determinism: the draw inverts the
+    // Poisson(1) CDF at a 60-bit md5 hash of (doc_id, replica) — the CDF
+    // thresholds are computed ONCE driver-side and inlined as BIGINT
+    // literals in BOTH engines (the q164 weight pattern), the weight is a
+    // sum of 8 comparisons, and every mean is integer-quantized — the CI
+    // itself is value-proven cross-engine. Plan at 100 TB: the ×32
+    // expansion is an IN-ROW explode (q115's join-free shape), replica
+    // sums are ONE map-side-combined aggregate over 32 groups, and the
+    // order statistics rank 32 rows — uncertainty costs one extra scan
+    // constant, not a resample of the corpus.
+    "q165_bootstrap_ci" -> QueryDef(
+      fn = { (s, dir) =>
+        val thresholds = {
+          var fact = 1.0; var cum = 0.0
+          (0 to 7).map { k =>
+            if (k > 0) fact *= k
+            cum += math.exp(-1.0) / fact
+            math.floor(cum * (1L << 60).toDouble).toLong
+          }
+        }
+        val wExpr = thresholds.map(t => s"(CASE WHEN u >= ${t}L THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        val reps = d.select(col("doc_id"), col("n_chars"),
+          explode(expr("sequence(0, 31)")).as("b"))
+          .withColumn("u", conv(substring(md5(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("b").cast("string"))), 1, 15), 16, 10).cast("long"))
+          .withColumn("w", expr(wExpr).cast("long"))
+        val means = reps.groupBy(col("b"))
+          .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
+          .filter(col("sw") > 0)
+          .withColumn("mean_micro", expr("(1000000 * swx) div sw"))
+        val r = Window.orderBy(col("mean_micro"), col("b"))
+        val ci = means.withColumn("r", row_number().over(r))
+          .agg(
+            max(when(col("r") === 2, col("mean_micro"))).as("ci_lo_micro"),
+            max(when(col("r") === 31, col("mean_micro"))).as("ci_hi_micro"),
+            count(lit(1)).as("n_replicas"))
+        val point = d.agg(count(lit(1)).as("n_docs"),
+          expr("(1000000 * sum(n_chars)) div count(1)").as("mean_micro"))
+        point.crossJoin(ci)
+          .select("n_docs", "mean_micro", "ci_lo_micro", "ci_hi_micro",
+            "n_replicas")
+      },
+      oracle = Some {
+        val thresholds = {
+          var fact = 1.0; var cum = 0.0
+          (0 to 7).map { k =>
+            if (k > 0) fact *= k
+            cum += math.exp(-1.0) / fact
+            math.floor(cum * (1L << 60).toDouble).toLong
+          }
+        }
+        val wExpr = thresholds.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH reps AS (
+           |  SELECT doc_id, n_chars, unnest(range(32)) AS b FROM documents),
+           |hashed AS (
+           |  SELECT n_chars,  b,
+           |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+           |      ':', CAST(b AS VARCHAR))), 1, 15)) AS BIGINT) AS u
+           |  FROM reps),
+           |weighted AS (SELECT b, n_chars, CAST($wExpr AS BIGINT) AS w FROM hashed),
+           |means AS (
+           |  SELECT b, (1000000 * CAST(sum(w * n_chars) AS BIGINT))
+           |      // CAST(sum(w) AS BIGINT) AS mean_micro
+           |  FROM weighted GROUP BY b HAVING sum(w) > 0),
+           |ranked AS (SELECT mean_micro,
+           |    row_number() OVER (ORDER BY mean_micro, b) AS r FROM means),
+           |ci AS (SELECT
+           |    max(CASE WHEN r = 2 THEN mean_micro END) AS ci_lo_micro,
+           |    max(CASE WHEN r = 31 THEN mean_micro END) AS ci_hi_micro,
+           |    CAST(count(*) AS BIGINT) AS n_replicas FROM ranked),
+           |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    (1000000 * CAST(sum(n_chars) AS BIGINT))
+           |      // CAST(count(*) AS BIGINT) AS mean_micro FROM documents)
+           |SELECT n_docs, mean_micro, ci_lo_micro, ci_hi_micro, n_replicas
+           |FROM pt, ci""".stripMargin
+      }),
+
     "q114_residual_outliers" -> QueryDef(
       fn = { (s, dir) =>
         def dec(c: Column) = c.cast("decimal(38,0)")
