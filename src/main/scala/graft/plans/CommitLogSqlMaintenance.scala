@@ -233,7 +233,17 @@ object CommitLogSqlMaintenance {
       }
       val v =
         if (zorder.nonEmpty) CommitLog.cluster(spark, root, zorder, curve = curve)
-        else CommitLog.optimize(spark, root, scopePaths = scope)
+        else CommitLog.tablePropertiesOf(root).get("cluster.by") match {
+          // declared clustering policy (liquid-clustering UX): a bare
+          // OPTIMIZE follows the table's own layout declaration; a
+          // WHERE-scoped OPTIMIZE stays a plain scoped compaction
+          case Some(spec) if where.isEmpty =>
+            val Array(c, colSpec) = spec.split(":", 2)
+            CommitLog.cluster(spark, root,
+              colSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              curve = c)
+          case _ => CommitLog.optimize(spark, root, scopePaths = scope)
+        }
       Seq(Row(v))
     }
   }

@@ -1248,6 +1248,20 @@ object CommitLog {
       require(v.toIntOption.exists(n => n >= 4 && n <= 21),
         s"table property ndv.lgk must be an integer in [4, 21], got '$v'")
     }
+    props.get("cluster.by").foreach { v =>
+      // declared clustering policy: "<zorder|hilbert>:<c1>[,c2...]" — a
+      // bare `OPTIMIZE t` then clusters instead of bin-packing (the
+      // liquid-clustering UX). Validated at SET time, same rationale as
+      // the bloom caps: a typo'd curve must fail at the ALTER, not at the
+      // next maintenance window.
+      val parts = v.split(":", 2)
+      require(parts.length == 2 &&
+        (parts(0) == "zorder" || parts(0) == "hilbert") &&
+        parts(1).split(",").map(_.trim).count(_.nonEmpty) >= 1 &&
+        parts(1).split(",").map(_.trim).count(_.nonEmpty) <= 4,
+        s"table property cluster.by must be '<zorder|hilbert>:<c1>[,c2..c4]', " +
+          s"got '$v'")
+    }
     props.get(PkProp).foreach { v =>
       require(v.trim.nonEmpty && !v.contains(','),
         s"table property $PkProp must name exactly one column, got '$v'")

@@ -280,6 +280,29 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     spark.sql("ANALYZE TABLE an_plain COMPUTE STATISTICS")
   }
 
+  test("cluster.by policy: a bare OPTIMIZE follows the declared layout, " +
+      "and a typo'd policy is rejected at SET time") {
+    val (root, view) = freshTable(
+      (1L to 64L).map(i => (i, s"s$i", i.toDouble)))
+    CommitLog.setTableProperties(root, Map("cluster.by" -> "hilbert:k,v"), Nil)
+    val v = spark.sql(s"OPTIMIZE $view").collect().head.getLong(0)
+    val op = spark.sql(s"DESCRIBE HISTORY $view")
+      .filter(s"version = $v").select("op").collect().head.getString(0)
+    assert(op == "cluster", s"policy OPTIMIZE committed '$op'")
+    assert(snapshot(view) == (1L to 64L).map(i => (i, s"s$i", i.toDouble)))
+    // WHERE-scoped OPTIMIZE stays a plain scoped compaction despite the
+    // policy (a no-op scope returns the current version without a commit)
+    val v2 = spark.sql(s"OPTIMIZE $view WHERE k <= 3").collect().head.getLong(0)
+    val op2 = spark.sql(s"DESCRIBE HISTORY $view")
+      .filter(s"version = $v2").select("op").collect().head.getString(0)
+    assert(v2 == v || op2 != "cluster", s"scoped OPTIMIZE clustered: '$op2'")
+    // unknown curve refuses at the SET, not at the maintenance window
+    val e = intercept[Exception] {
+      CommitLog.setTableProperties(root, Map("cluster.by" -> "hibert:k"), Nil)
+    }
+    assert(e.getMessage.contains("cluster.by"))
+  }
+
   test("SQL OPTIMIZE and VACUUM: compaction, zorder, retention-guarded reclaim") {
     import spark.implicits._
     val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
