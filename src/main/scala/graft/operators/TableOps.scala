@@ -466,6 +466,80 @@ object TableOps {
            |FROM orders WHERE o_orderkey % 3 = 0
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Apache Hudi interop ([[graft.sources.interop.HudiImport]]): a
+    // spec-shaped COW layout (hoodie.properties + timeline of commit /
+    // replacecommit JSON with partitionToWriteStats and the avro schema
+    // in extraMetadata) is written from orders — evens as file group fg1,
+    // odds as fg2, then a replacecommit retires fg2 (the clustering /
+    // insert_overwrite action) — and imported ZERO-COPY by reference.
+    // The oracle is the surviving slice: a green hash proves the timeline
+    // fold, the avro→Spark schema conversion, and the by-reference read.
+    // With q155 (Delta) and q156 (Iceberg), all three public open table
+    // formats now migrate in driver-metadata time.
+    "q166_hudi_import" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = Files.createTempDirectory("graft-q166h")
+        val root = tmp("graft-q166t")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+          val w = Files.createTempDirectory("graft-q166w")
+          df.coalesce(1).write.mode("overwrite").parquet(w.toString)
+          val it = Files.list(w).iterator()
+          var f: java.nio.file.Path = null
+          while (it.hasNext) { val p = it.next()
+            if (p.toString.endsWith(".parquet")) f = p }
+          Files.move(f, t.resolve(name))
+          df.count()
+        }
+        val nE = writeOne(ord.filter(col("o_orderkey") % 2 === 0),
+          "fg1_0-0-0_001.parquet")
+        val nO = writeOne(ord.filter(col("o_orderkey") % 2 === 1),
+          "fg2_0-0-0_001.parquet")
+        val hoodie = t.resolve(".hoodie")
+        Files.createDirectories(hoodie)
+        Files.write(hoodie.resolve("hoodie.properties"),
+          "hoodie.table.name=q166\nhoodie.table.type=COPY_ON_WRITE\n"
+            .getBytes("UTF-8"))
+        val avro =
+          """{"type":"record","name":"r","fields":[
+            |  {"name":"o_orderkey","type":"long"},
+            |  {"name":"o_totalprice","type":["null","double"],"default":null},
+            |  {"name":"o_orderstatus","type":["null","string"],"default":null}
+            |]}""".stripMargin
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        def commit(stats: Seq[(String, String, Long)],
+            replaced: Seq[String]): String = {
+          val n = om.createObjectNode()
+          val pws = n.putObject("partitionToWriteStats").putArray("")
+          stats.foreach { case (fid, p, rows) =>
+            val st = pws.addObject()
+            st.put("fileId", fid); st.put("path", p); st.put("numWrites", rows)
+          }
+          if (replaced.nonEmpty) {
+            val rep = n.putObject("partitionToReplaceFileIds").putArray("")
+            replaced.foreach(rep.add)
+          }
+          n.putObject("extraMetadata").put("schema", avro)
+          om.writeValueAsString(n)
+        }
+        Files.write(hoodie.resolve("001.commit"), commit(Seq(
+          ("fg1", "fg1_0-0-0_001.parquet", nE),
+          ("fg2", "fg2_0-0-0_001.parquet", nO)), Nil).getBytes("UTF-8"))
+        Files.write(hoodie.resolve("002.replacecommit"),
+          commit(Nil, Seq("fg2")).getBytes("UTF-8"))
+        graft.sources.interop.HudiImport.importTable(s, t.toString, root)
+        CommitLog.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Hilbert-curve clustering (OPTIMIZE … HILBERT BY — the liquid-
     // clustering layout; see [[graft.functions.Hilbert]]): lineitem lands
     // in a commitlog table, rewrites onto the 2-D Hilbert curve over
