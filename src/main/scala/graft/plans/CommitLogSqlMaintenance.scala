@@ -74,6 +74,11 @@ object CommitLogSqlMaintenance {
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+COMPUTE\s+STATISTICS(\s+FULL)?\s*;?\s*$""".r
 
+  // SQL-first migration: mount a Delta/Iceberg/Hudi table as a NEW graft
+  // catalog table, zero-copy (the interop importers)
+  private val ImportRe =
+    """(?is)^\s*IMPORT\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+FROM\s+(DELTA|ICEBERG|HUDI)\s+'([^']+)'\s*;?\s*$""".r
+
   // Delta's FSCK as a statement: verify manifest ↔ storage, optionally
   // committing the repairs
   private val FsckRe =
@@ -137,6 +142,9 @@ object CommitLogSqlMaintenance {
       case AnalyzeRe(ident, full) =>
         GraftAnalyzeCommand(delegate.parseMultipartIdentifier(ident),
           full = full != null, sqlText, delegate)
+      case ImportRe(ident, fmt, path) =>
+        GraftImportCommand(delegate.parseMultipartIdentifier(ident),
+          fmt.toUpperCase(java.util.Locale.ROOT), path)
       case ReorgPurgeRe(ident) =>
         GraftPurgeDvCommand(delegate.parseMultipartIdentifier(ident))
       case CloneRe(dst, src, version) =>
@@ -357,6 +365,47 @@ object CommitLogSqlMaintenance {
       val dir = gcat.locationFor(ident)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       Seq(Row(CommitLog.shallowClone(srcRoot, dir, version)))
+    }
+  }
+
+  /** `IMPORT TABLE <catalog.ns.t> FROM DELTA|ICEBERG|HUDI '<path>'` →
+    * the zero-copy interop importers, with the graft catalog supplying
+    * the new table's location (the SHALLOW CLONE placement rule). An
+    * analyst migrates a 100 TB table over JDBC in one statement — then
+    * `ANALYZE TABLE … COMPUTE STATISTICS` lights up manifest skipping.
+    */
+  case class GraftImportCommand(dst: Seq[String], format: String,
+      path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      require(dst.size >= 2,
+        "IMPORT TABLE target must be a catalog identifier (catalog.[ns.]table)")
+      val gcat = (try spark.sessionState.catalogManager.catalog(dst.head) catch {
+        case _: Exception => throw new UnsupportedOperationException(
+          s"'${dst.head}' is not a registered catalog — IMPORT TABLE " +
+            "targets live in a graft catalog, which supplies the location")
+      }) match {
+        case g: graft.sources.commitlog.GraftCatalog => g
+        case other => throw new UnsupportedOperationException(
+          s"catalog '${dst.head}' (${other.getClass.getSimpleName}) is not " +
+            "a GraftCatalog — IMPORT TABLE needs one to place the new table")
+      }
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        dst.tail.init.toArray, dst.last)
+      require(!gcat.tableExists(ident),
+        s"table ${dst.mkString(".")} already exists")
+      val dir = gcat.locationFor(ident)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val v = format match {
+        case "DELTA" =>
+          graft.sources.interop.DeltaImport.importTable(spark, path, dir)
+        case "ICEBERG" =>
+          graft.sources.interop.IcebergImport.importTable(spark, path, dir)
+        case "HUDI" =>
+          graft.sources.interop.HudiImport.importTable(spark, path, dir)
+      }
+      Seq(Row(v))
     }
   }
 

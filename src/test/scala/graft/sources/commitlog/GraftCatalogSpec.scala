@@ -257,6 +257,45 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql("CREATE TABLE graft.clones.branch SHALLOW CLONE graft.clones.base"))
   }
 
+  test("IMPORT TABLE ... FROM DELTA mounts an external table zero-copy " +
+      "through SQL alone") {
+    // hand-written protocol-1 Delta table: one data file + its log
+    val d = Files.createTempDirectory("graft-imp-delta")
+    import spark.implicits._
+    val w = Files.createTempDirectory("graft-imp-w")
+    (1L to 40L).map(i => (i, i * 0.25)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(w.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(w).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(part, d.resolve("part-0.parquet"))
+    val schemaJson = Seq((1L, 0.25)).toDF("k", "v").schema.json
+    val log = d.resolve("_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"imp","schemaString":${
+        com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(schemaJson)},"format":{"provider":"parquet"},
+         |"partitionColumns":[]}}""".stripMargin.replace("\n", ""),
+      """{"add":{"path":"part-0.parquet","dataChange":true,"size":1,
+        |"modificationTime":0,"partitionValues":{}}}"""
+        .stripMargin.replace("\n", "")
+    ).asJava)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imports")
+    val v = spark.sql(
+      s"IMPORT TABLE graft.imports.dl FROM DELTA '${d.toString}'")
+      .collect()(0).getLong(0)
+    assert(v == 1L)
+    assert(spark.table("graft.imports.dl").count() == 40L)
+    // zero-copy: the catalog table holds only a log
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "imports", "dl", "data")))
+    // importing onto an existing identifier refuses
+    intercept[Exception](spark.sql(
+      s"IMPORT TABLE graft.imports.dl FROM DELTA '${d.toString}'"))
+  }
+
   test("catalog reads route DV-bearing tables through the merge-on-read scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
     spark.sql("CREATE TABLE graft.dv.t (k BIGINT)")
