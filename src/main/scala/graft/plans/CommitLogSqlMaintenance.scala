@@ -243,11 +243,13 @@ object CommitLogSqlMaintenance {
         if (zorder.nonEmpty) CommitLog.cluster(spark, root, zorder, curve = curve)
         else CommitLog.tablePropertiesOf(root).get("cluster.by") match {
           // declared clustering policy (liquid-clustering UX): a bare
-          // OPTIMIZE follows the table's own layout declaration; a
+          // OPTIMIZE follows the table's own layout declaration, and it
+          // clusters INCREMENTALLY — only files landed since the last
+          // cluster commit rewrite (O(debt), never O(table)); a
           // WHERE-scoped OPTIMIZE stays a plain scoped compaction
           case Some(spec) if where.isEmpty =>
             val Array(c, colSpec) = spec.split(":", 2)
-            CommitLog.cluster(spark, root,
+            CommitLog.clusterIncremental(spark, root,
               colSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
               curve = c)
           case _ => CommitLog.optimize(spark, root, scopePaths = scope)

@@ -3418,16 +3418,29 @@ object CommitLog {
     * file min/max boxes come out tighter than Z's seam-crossing ranges on
     * the same data (HilbertSpec measures the skipping difference). Same
     * normalization, same single shuffle, same commit shape.
+    *
+    * `scopePaths` clusters ONLY those files (the incremental path — see
+    * [[clusterIncremental]]): out-of-scope files carry by reference, so
+    * re-clustering cost is O(debt), never O(table). Normalization ranges
+    * come from the scoped data alone — file skipping prunes on DATA
+    * min/max boxes, so cross-commit curve-value consistency is a locality
+    * nicety, not a correctness requirement.
     */
   def cluster(spark: SparkSession, root: String, cols: Seq[String],
-      nFiles: Int = 16, curve: String = "zorder"): Long = {
+      nFiles: Int = 16, curve: String = "zorder",
+      scopePaths: Option[Set[String]] = None): Long = {
     require(cols.nonEmpty && cols.size <= 4, "cluster on 1-4 numeric columns")
     require(curve == "zorder" || curve == "hilbert",
       s"curve must be zorder or hilbert, got $curve")
     val base = currentVersion(root)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val prior = readManifest(root, base)
-    val df = read(spark, root, Some(base))
+    val scoped = scopePaths.map(_.toSeq.sorted)
+    if (scoped.exists(_.isEmpty)) return base // no debt — nothing to do
+    val df = scoped match {
+      case Some(paths) => readFiles(spark, root, prior, paths)
+      case None => read(spark, root, Some(base))
+    }
     val aggCols = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).cast("double").as(s"mn$i"),
         max(col(c)).cast("double").as(s"mx$i"))
@@ -3463,8 +3476,40 @@ object CommitLog {
       preArranged = true, colMap = prior.colMapOrEmpty,
       props = prior.propsOrEmpty)
     commitDelta(root, Some(prior), Commit(base + 1, "cluster", df.schema.json,
-      add, prior.files, prior.partitionByOrNil, prior.txnOrEmpty))
+      add, scoped.getOrElse(prior.files), prior.partitionByOrNil,
+      prior.txnOrEmpty))
     base + 1
+  }
+
+  /** Incremental clustering — liquid clustering's actual maintenance
+    * behavior: only files landed SINCE the last `cluster` commit (the
+    * debt) rewrite onto the curve; the previously-clustered bulk carries
+    * by reference. Finds the newest `cluster` commit by walking the log
+    * backwards (driver metadata); no prior cluster — or history vacuumed
+    * past it — falls back to a full cluster once. At 100 TB this is the
+    * difference between a nightly rewrite of yesterday's files and a
+    * nightly rewrite of the table.
+    */
+  def clusterIncremental(spark: SparkSession, root: String, cols: Seq[String],
+      nFiles: Int = 16, curve: String = "zorder"): Long = {
+    val base = currentVersion(root)
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val lastCluster = Iterator.range(base, 0L, -1L)
+      .map(v => v -> scala.util.Try(readManifest(root, v)).toOption)
+      .takeWhile(_._2.isDefined) // stop at vacuumed-away history
+      .collectFirst { case (v, Some(m)) if m.op == "cluster" => m }
+    lastCluster match {
+      case None => cluster(spark, root, cols, nFiles, curve)
+      case Some(cm) =>
+        val clustered = cm.files.toSet
+        val m = readManifest(root, base)
+        val debt = m.files.filterNot(clustered).toSet
+        // size outputs to the debt, capped by the caller's nFiles
+        val debtBytes = m.statsOrNil.filter(s => debt(s.path)).map(_.bytes).sum
+        val n = math.max(1, math.min(nFiles,
+          math.ceil(debtBytes.toDouble / (128L * 1024 * 1024)).toInt))
+        cluster(spark, root, cols, n, curve, scopePaths = Some(debt))
+    }
   }
 
   /** RESTORE: make the table's CURRENT contents equal an earlier

@@ -303,6 +303,38 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     assert(e.getMessage.contains("cluster.by"))
   }
 
+  test("policy clustering is INCREMENTAL: only debt files rewrite, the " +
+      "clustered bulk carries by reference, no debt = no commit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-liquid").toString
+    CommitLog.append((1L to 64L).map(i => (i, i * 2, i.toDouble))
+      .toDF("a", "b", "v"), root)
+    CommitLog.setTableProperties(root, Map("cluster.by" -> "hilbert:a,b"), Nil)
+    val view = s"liq_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view " +
+      s"USING `graft-commitlog` OPTIONS (path '$root')")
+    // first OPTIMIZE: no prior cluster commit → full cluster
+    val v1 = spark.sql(s"OPTIMIZE $view").collect().head.getLong(0)
+    val clustered = CommitLog.readManifest(root, v1).files.toSet
+    assert(CommitLog.readManifest(root, v1).op == "cluster")
+    // new data lands AFTER the cluster
+    CommitLog.append((100L to 131L).map(i => (i, i * 2, i.toDouble))
+      .toDF("a", "b", "v"), root)
+    // second OPTIMIZE: incremental — clustered bulk must survive by
+    // reference, only the debt rewrites
+    val v2 = spark.sql(s"OPTIMIZE $view").collect().head.getLong(0)
+    val m2 = CommitLog.readManifest(root, v2)
+    assert(m2.op == "cluster")
+    assert(clustered.subsetOf(m2.files.toSet),
+      "previously-clustered files were rewritten by the incremental pass")
+    assert(spark.table(view).count() == 96L)
+    assert(spark.table(view).agg(org.apache.spark.sql.functions.sum("a"))
+      .collect().head.getLong(0) == (1L to 64L).sum + (100L to 131L).sum)
+    // third OPTIMIZE: zero debt → no-op, no new commit
+    val v3 = spark.sql(s"OPTIMIZE $view").collect().head.getLong(0)
+    assert(v3 == v2, s"debt-free OPTIMIZE committed $v3 over $v2")
+  }
+
   test("SQL OPTIMIZE and VACUUM: compaction, zorder, retention-guarded reclaim") {
     import spark.implicits._
     val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
