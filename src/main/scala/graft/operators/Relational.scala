@@ -317,6 +317,65 @@ object Relational {
           |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
           |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber""".stripMargin)),
 
+    // Join-key skew diagnosis — the operational report that DECIDES
+    // between q33's salting, a broadcast, and a plain shuffle join before
+    // any cluster time is spent: bucket the candidate key, report key
+    // cardinality, the worst/p99 bucket, the top-10 keys' mass share, and
+    // a machine-readable verdict (max bucket > 10× the fair share).
+    // Every number is an exact integer (shares ×1e6 with BIGINT div,
+    // p99 by ordered rank); plan shape: ONE map-side-combined groupBy on
+    // the key, then all statistics run over the BUCKET table (|keys| ≪
+    // |rows|) — the diagnosis of a 100 TB join costs one aggregate of
+    // the probe side, and the verdict threshold is exactly the skew
+    // criterion AQE's runtime skew-join uses (a partition far above the
+    // median), evaluated before the job instead of during it.
+    "q167_skew_report" -> QueryDef(
+      fn = { (s, dir) =>
+        val buckets = t(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("n").desc, col("user_id"))
+        val ranked = buckets.withColumn("r", row_number().over(w))
+        val stats = ranked.agg(
+          sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_bucket"),
+          sum(when(col("r") <= 10, col("n")).otherwise(lit(0L)))
+            .as("top10_rows"))
+        val p99 = ranked
+          .withColumn("asc_r", row_number().over(
+            Window.orderBy(col("n"), col("user_id"))))
+          .crossJoin(broadcast(stats.select(col("n_keys").as("nk"))))
+          .filter(col("asc_r") === expr("CAST(ceil(0.99 * nk) AS BIGINT)"))
+          .select(col("n").as("p99_bucket"))
+        stats.crossJoin(broadcast(p99))
+          .select(col("n_rows"), col("n_keys"), col("max_bucket"),
+            col("p99_bucket"),
+            expr("(top10_rows * 1000000) div n_rows").as("top10_share_micro"),
+            expr("CASE WHEN max_bucket * n_keys > 10 * n_rows" +
+              " THEN 'salt_or_broadcast' ELSE 'plain_shuffle' END")
+              .as("verdict"))
+      },
+      oracle = Some(
+        """WITH b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1),
+          |r AS (SELECT user_id, n,
+          |    row_number() OVER (ORDER BY n DESC, user_id) AS r,
+          |    row_number() OVER (ORDER BY n, user_id) AS asc_r
+          |  FROM b),
+          |st AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+          |    CAST(count(*) AS BIGINT) AS n_keys,
+          |    max(n) AS max_bucket,
+          |    CAST(sum(CASE WHEN r <= 10 THEN n ELSE 0 END) AS BIGINT)
+          |      AS top10_rows
+          |  FROM r),
+          |p AS (SELECT n AS p99_bucket FROM r, st
+          |  WHERE asc_r = CAST(ceil(0.99 * n_keys) AS BIGINT))
+          |SELECT n_rows, n_keys, max_bucket, p99_bucket,
+          |  (top10_rows * 1000000) // n_rows AS top10_share_micro,
+          |  CASE WHEN max_bucket * n_keys > 10 * n_rows
+          |    THEN 'salt_or_broadcast' ELSE 'plain_shuffle' END AS verdict
+          |FROM st, p""".stripMargin)),
+
     // Data-quality expectations report — the validation step a pipeline
     // runs before publishing a dataset (the batch-report complement of
     // CommitLog's write-time CHECK constraints): one row per rule with
