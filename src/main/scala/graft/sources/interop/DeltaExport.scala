@@ -32,12 +32,16 @@ object DeltaExport {
 
   private val mapper = new ObjectMapper()
 
-  /** Write the Delta log for the CURRENT snapshot; returns the number of
-    * data files exported.
+  /** Write the Delta log for the current — or a PINNED (`version`) —
+    * snapshot; returns the number of data files exported. Pinning is the
+    * "publish this tag to external Delta readers" move: the export
+    * freezes that snapshot's file list, while the commitlog table keeps
+    * evolving underneath (vacuum retention still governs the files'
+    * physical lifetime — pin a tag to hold them).
     */
-  def exportTable(root: String): Int = {
-    val v = CommitLog.currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no commits at $root"))
+  def exportTable(root: String, version: Option[Long] = None): Int = {
+    val v = version.getOrElse(CommitLog.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no commits at $root")))
     val m = CommitLog.readManifest(root, v)
     require(m.dvsOrEmpty.isEmpty,
       "snapshot carries deletion vectors — compact first (a Delta reader " +

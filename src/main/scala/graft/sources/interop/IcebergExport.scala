@@ -116,12 +116,13 @@ object IcebergExport {
     try rs.foreach(w.append) finally w.close()
   }
 
-  /** Write the Iceberg metadata tree for the CURRENT snapshot; returns the
-    * number of data files exported.
+  /** Write the Iceberg metadata tree for the current — or a PINNED
+    * (`version`) — snapshot; returns the number of data files exported.
+    * Same publish-a-tag semantics as [[DeltaExport.exportTable]].
     */
-  def exportTable(root: String): Int = {
-    val v = CommitLog.currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no commits at $root"))
+  def exportTable(root: String, version: Option[Long] = None): Int = {
+    val v = version.getOrElse(CommitLog.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no commits at $root")))
     val m = CommitLog.readManifest(root, v)
     require(m.dvsOrEmpty.isEmpty,
       "snapshot carries deletion vectors — compact first (an Iceberg v1 " +

@@ -42,6 +42,17 @@ class IcebergExportSpec extends SparkTestBase {
       .exists(_.toString.endsWith(".parquet")))
   }
 
+  test("a PINNED version exports the old snapshot while the table has " +
+      "moved on") {
+    val t = tmp(); val back = tmp()
+    CommitLog.append(spark.range(30).selectExpr("id"), t)     // v1
+    CommitLog.append(spark.range(70).selectExpr("id + 100 AS id"), t) // v2
+    IcebergExport.exportTable(t, version = Some(1L))
+    IcebergImport.importTable(spark, t, back)
+    assert(CommitLog.read(spark, back).count() == 30L)
+    assert(CommitLog.read(spark, t).count() == 100L) // live table untouched
+  }
+
   test("by-reference files OUTSIDE the root export fine (full-URI paths, " +
       "unlike Delta's root-relative adds)") {
     val ext = Files.createTempDirectory("graft-iexp-ext")
