@@ -23,6 +23,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("q09_top_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("r7 additions: no cartesian products, broadcast-only small sides") {
+    // q158's vocabulary bits table, q159's 64-row range table, and q164's
+    // weight/query tables must all broadcast; the corpus/code scans never
+    // pair-join. q163's one nested loop is the batch broadcast (the q16
+    // probe shape) — still no CartesianProduct.
+    for (q <- Seq("q158_ccnet_buckets", "q159_ann_sq8", "q160_kmv_overlap",
+        "q163_bitext_mine", "q164_ndcg_sq8", "q165_bootstrap_ci",
+        "q167_skew_report")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+    }
+    for (q <- Seq("q158_ccnet_buckets", "q159_ann_sq8"))
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q lost its broadcast small side")
+    // q162's series collapses to buckets BEFORE any window: the plan must
+    // hash-aggregate below its windows and keep the final top-20 pushed
+    assert(plan("q162_seasonal_decompose").contains("TakeOrderedAndProject"),
+      "q162 lost top-k pushdown")
+  }
+
   test("per-row pipelines shuffle nothing but the presentation sort") {
     // groupBy-free per-row queries: the ONLY exchange allowed is the final
     // range-partitioned ORDER BY; a hashpartitioning exchange means a
