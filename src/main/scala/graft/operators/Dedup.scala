@@ -633,6 +633,124 @@ object Dedup {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // MinHash estimator CALIBRATION (the q46/q160/q164 grading discipline
+    // applied to q13): for every LSH candidate pair, the K=12 signature
+    // estimate sits next to the EXACT shingle Jaccard, and the report is
+    // the error panel — MAE, worst error, and signed bias — that tells an
+    // operator whether est_sim thresholds can be trusted before a dedup
+    // run burns cluster time. Everything is exact integers on the 1e6
+    // grid (est = 1e6·matches div 12; jac = 1e6·|A∩B| div |A∪B|; Spark
+    // `div` ≡ DuckDB `//`, both truncate toward zero even for the signed
+    // bias). Plan at 100 TB: candidates come from the SAME band equi-join
+    // q13 uses (never all-pairs); the exact-Jaccard join is candidate-
+    // scoped — intersections only ever compute for pairs the bands
+    // already admitted, which is the whole point of LSH.
+    "q168_minhash_calibration" -> QueryDef(
+      fn = { (s, dir) =>
+        val shs = shingles(docs(s, dir))
+        val sig = withShingleHash(shs).groupBy(col("doc_id"))
+          .agg(minhashAggs.head, minhashAggs.tail: _*)
+        val bandStructs = (0 until BANDS).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("|", (0 until 3).map(r => col(s"m${3 * b + r}")): _*).as("key"))
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sa = sig.toDF(sig.columns.toIndexedSeq
+          .map(c => if (c == "doc_id") c else s"a_$c"): _*)
+        val sb = sig.toDF(sig.columns.toIndexedSeq
+          .map(c => if (c == "doc_id") c else s"b_$c"): _*)
+        val matches = (0 until K)
+          .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val est = cand
+          .join(sa, cand("doc_a") === sa("doc_id")).drop("doc_id")
+          .join(sb, cand("doc_b") === sb("doc_id")).drop("doc_id")
+          .withColumn("mt", matches)
+          .select(col("doc_a"), col("doc_b"),
+            expr(s"(1000000 * mt) div $K").as("est_micro"))
+        val inter = cand
+          .join(shs.toDF("doc_a", "sh"), Seq("doc_a"))
+          .join(shs.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+        val sizes = shs.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        est.join(inter, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("inter"))
+          .join(sizes.toDF("doc_a", "nsh_a"), Seq("doc_a"))
+          .join(sizes.toDF("doc_b", "nsh_b"), Seq("doc_b"))
+          .withColumn("jac_micro",
+            expr("(1000000 * inter) div (nsh_a + nsh_b - inter)"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(abs(col("est_micro") - col("jac_micro"))).as("abs_sum"),
+            max(abs(col("est_micro") - col("jac_micro"))).as("max_err_micro"),
+            sum(col("est_micro") - col("jac_micro")).as("sgn_sum"))
+          .select(col("n_pairs"),
+            expr("abs_sum div n_pairs").as("mae_micro"),
+            col("max_err_micro"),
+            expr("sgn_sum div n_pairs").as("bias_micro"))
+      },
+      oracle = Some {
+        val minCols = (0 until K)
+          .map(i => s"min((h1 + $i * h2) % $MINHASH_P) AS m$i").mkString(",\n    ")
+        val bandSelects = (0 until BANDS).map { b =>
+          val key = (0 until 3).map(r => s"m${3 * b + r}").mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws('|', $key) AS key FROM sig"
+        }.mkString("\n  UNION ALL\n  ")
+        val matchSum = (0 until K)
+          .map(i => s"CASE WHEN fa.m$i = fb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $shinglesSql,
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h1,
+           |    CAST(concat('0x', substr(md5(sh), 15, 14)) AS BIGINT) AS h2
+           |  FROM sh0),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $minCols
+           |  FROM hashed GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |est AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    (1000000 * ($matchSum)) // $K AS est_micro
+           |  FROM cand c
+           |  JOIN sig fa ON fa.doc_id = c.doc_a
+           |  JOIN sig fb ON fb.doc_id = c.doc_b),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+           |  FROM cand c
+           |  JOIN sh0 a ON a.doc_id = c.doc_a
+           |  JOIN sh0 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+           |  GROUP BY 1, 2),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+           |  FROM sh0 GROUP BY 1),
+           |per AS (
+           |  SELECT e.est_micro,
+           |    (1000000 * COALESCE(i.inter, 0))
+           |      // (sa.nsh + sb.nsh - COALESCE(i.inter, 0)) AS jac_micro
+           |  FROM est e
+           |  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+           |  JOIN sizes sa ON sa.doc_id = e.doc_a
+           |  JOIN sizes sb ON sb.doc_id = e.doc_b)
+           |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(abs(est_micro - jac_micro)) AS BIGINT)
+           |    // CAST(count(*) AS BIGINT) AS mae_micro,
+           |  max(abs(est_micro - jac_micro)) AS max_err_micro,
+           |  CAST(sum(est_micro - jac_micro) AS BIGINT)
+           |    // CAST(count(*) AS BIGINT) AS bias_micro
+           |FROM per""".stripMargin
+      }),
+
     // SimHash: 60-bit fingerprint (bit i set iff the +1/−1 vote of bit i
     // of the shingle hash's leading 60 bits, over the doc's shingle set,
     // is positive — Manku et al. WWW'07 wide-fingerprint design);
