@@ -496,6 +496,49 @@ object Dedup {
           |  min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Dedup savings report — the decision panel that justifies (or
+    // kills) a dedup run before it's scheduled: exact-duplicate clusters
+    // (q12's normalized-content key) bucketed by size, with doc counts,
+    // removable-duplicate counts, and the bytes a keep-one policy frees
+    // (keep the SMALLEST rendition per cluster — deterministic and the
+    // cheapest to store). Pure integer arithmetic; plan shape: ONE
+    // map-side-combined groupBy on the 128-bit key, then the histogram
+    // aggregates over the CLUSTER table (clusters ≪ docs) — the savings
+    // estimate for a 100 TB corpus costs exactly one dedup-key aggregate,
+    // the same first stage the dedup itself would run.
+    "q169_dedup_savings" -> QueryDef(
+      fn = { (s, dir) =>
+        val clusters = docs(s, dir)
+          .select(Text.contentKey.as("k"), col("n_chars"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("bytes"),
+            min(col("n_chars")).as("keep_bytes"))
+        clusters
+          .withColumn("bucket", expr(
+            "CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2' " +
+              "WHEN sz <= 5 THEN '3-5' ELSE '6+' END"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz")).as("n_docs"),
+            sum(col("sz") - lit(1)).as("dup_docs"),
+            sum(col("bytes") - col("keep_bytes")).as("saved_bytes"))
+          .orderBy("bucket")
+      },
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k,
+          |    CAST(count(*) AS BIGINT) AS sz,
+          |    CAST(sum(n_chars) AS BIGINT) AS bytes,
+          |    min(n_chars) AS keep_bytes
+          |  FROM documents GROUP BY 1)
+          |SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+          |    WHEN sz <= 5 THEN '3-5' ELSE '6+' END AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n_clusters,
+          |  CAST(sum(sz) AS BIGINT) AS n_docs,
+          |  CAST(sum(sz - 1) AS BIGINT) AS dup_docs,
+          |  CAST(sum(bytes - keep_bytes) AS BIGINT) AS saved_bytes
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // KMV sketch cross-corpus overlap (Beyer et al. SIGMOD'07 "On
     // Synopses for Distinct Value Estimation" — the k-minimum-values
     // synopsis): estimate |A∪B| and Jaccard(A,B) between two corpora by
