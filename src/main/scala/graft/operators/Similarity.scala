@@ -498,6 +498,35 @@ object Similarity {
     * and ADC top-3 via the per-query distance table (= d2 restricted to
     * the query rows). All BIGINT; nested by q46.
     */
+  /** q159's SQ8 chain as the shared oracle block (q159 and q46 both
+    * embed it).
+    */
+  private def q159Sql: String =
+    """WITH vq AS (
+      |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      |  FROM (SELECT vec_id, embedding AS e,
+      |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |rng AS (SELECT pos, min(vq) AS mn, max(vq) AS mx,
+      |    max(vq) - min(vq) AS span FROM vq GROUP BY 1),
+      |codes AS (
+      |  SELECT v.vec_id AS c_id, v.pos,
+      |    r.mn + ((CASE WHEN r.span = 0 THEN 0
+      |      ELSE ((v.vq - r.mn) * 255) // r.span END) * r.span) // 255 AS dec
+      |  FROM vq v JOIN rng r USING (pos)),
+      |qs AS (SELECT vec_id AS q_id, pos, vq AS qv FROM vq WHERE vec_id < 10),
+      |ad AS (
+      |  SELECT q.q_id, c.c_id,
+      |    CAST(sum((q.qv - c.dec) * (q.qv - c.dec)) AS BIGINT) AS adist_q
+      |  FROM codes c JOIN qs q USING (pos)
+      |  WHERE c.c_id <> q.q_id GROUP BY 1, 2)
+      |SELECT q_id, c_id, adist_q, rnk FROM (
+      |  SELECT q_id, c_id, adist_q,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY adist_q, c_id) AS BIGINT) AS rnk
+      |  FROM ad) WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin
+
   private def q92Sql: String =
     s"""WITH vq AS (
        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
@@ -1296,31 +1325,7 @@ object Similarity {
           .select("q_id", "c_id", "adist_q", "rnk")
           .orderBy("q_id", "rnk")
       },
-      oracle = Some(
-        """WITH vq AS (
-          |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-          |    CAST(floor(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
-          |  FROM (SELECT vec_id, embedding AS e,
-          |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
-          |rng AS (SELECT pos, min(vq) AS mn, max(vq) AS mx,
-          |    max(vq) - min(vq) AS span FROM vq GROUP BY 1),
-          |codes AS (
-          |  SELECT v.vec_id AS c_id, v.pos,
-          |    r.mn + ((CASE WHEN r.span = 0 THEN 0
-          |      ELSE ((v.vq - r.mn) * 255) // r.span END) * r.span) // 255 AS dec
-          |  FROM vq v JOIN rng r USING (pos)),
-          |qs AS (SELECT vec_id AS q_id, pos, vq AS qv FROM vq WHERE vec_id < 10),
-          |ad AS (
-          |  SELECT q.q_id, c.c_id,
-          |    CAST(sum((q.qv - c.dec) * (q.qv - c.dec)) AS BIGINT) AS adist_q
-          |  FROM codes c JOIN qs q USING (pos)
-          |  WHERE c.c_id <> q.q_id GROUP BY 1, 2)
-          |SELECT q_id, c_id, adist_q, rnk FROM (
-          |  SELECT q_id, c_id, adist_q,
-          |    CAST(row_number() OVER (PARTITION BY q_id
-          |      ORDER BY adist_q, c_id) AS BIGINT) AS rnk
-          |  FROM ad) WHERE rnk <= 3
-          |ORDER BY q_id, rnk""".stripMargin)),
+      oracle = Some(q159Sql)),
 
     // Bitext mining — the margin-based mutual-nearest-neighbor criterion
     // (Artetxe & Schwenk ACL'19 §3, the LASER/CCMatrix parallel-corpus
@@ -1683,13 +1688,17 @@ object Similarity {
             .unionByName(
               queries("q94_ann_ivfadc").fn(s, dir).select("q_id", "c_id")
                 .withColumn("method", lit("ivfadc")))
+            .unionByName(
+              queries("q159_ann_sq8").fn(s, dir).select("q_id", "c_id")
+                .withColumn("method", lit("sq8")))
         val hits = approx.join(exact3, Seq("q_id", "c_id"))
           .groupBy("method", "q_id").agg(count(lit(1)).as("n_hit"))
         // left join from the full (method × query) grid so a 0-hit query
         // still reports recall 0 instead of vanishing
         val universe = exact3.select("q_id").distinct()
           .crossJoin(broadcast(
-            Seq("ivf", "lsh", "ivf_kmeans", "pq", "ivfadc").toDF("method")))
+            Seq("ivf", "lsh", "ivf_kmeans", "pq", "ivfadc", "sq8")
+              .toDF("method")))
         universe.join(hits, Seq("method", "q_id"), "left")
           .select(col("method"), col("q_id"),
             coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -1704,6 +1713,7 @@ object Similarity {
            |ivfk AS (SELECT q_id, c_id FROM ($q88Sql) x),
            |pq AS (SELECT q_id, c_id FROM ($q92Sql) x),
            |ivfadc AS (SELECT q_id, c_id FROM ($q94Sql) x),
+           |sq8 AS (SELECT q_id, c_id FROM ($q159Sql) x),
            |approx AS (
            |  SELECT 'ivf' AS method, q_id, c_id FROM ivf
            |  UNION ALL
@@ -1713,7 +1723,9 @@ object Similarity {
            |  UNION ALL
            |  SELECT 'pq' AS method, q_id, c_id FROM pq
            |  UNION ALL
-           |  SELECT 'ivfadc' AS method, q_id, c_id FROM ivfadc),
+           |  SELECT 'ivfadc' AS method, q_id, c_id FROM ivfadc
+           |  UNION ALL
+           |  SELECT 'sq8' AS method, q_id, c_id FROM sq8),
            |hits AS (
            |  SELECT a.method, a.q_id, count(*) AS n_hit
            |  FROM approx a JOIN exact3 e ON e.q_id = a.q_id AND e.c_id = a.c_id
@@ -1721,7 +1733,7 @@ object Similarity {
            |universe AS (
            |  SELECT m.method, q.q_id
            |  FROM (SELECT DISTINCT q_id FROM exact3) q
-           |  CROSS JOIN (VALUES ('ivf'), ('lsh'), ('ivf_kmeans'), ('pq'), ('ivfadc')) m(method))
+           |  CROSS JOIN (VALUES ('ivf'), ('lsh'), ('ivf_kmeans'), ('pq'), ('ivfadc'), ('sq8')) m(method))
            |SELECT u.method, u.q_id,
            |  coalesce(h.n_hit, 0) AS n_hit,
            |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall3
