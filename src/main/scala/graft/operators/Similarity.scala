@@ -1327,6 +1327,102 @@ object Similarity {
       },
       oracle = Some(q159Sql)),
 
+    // Hard-negative mining for contrastive training (the DPR/SimCSE
+    // in-batch-negatives upgrade, Karpukhin et al. EMNLP'20 §3.2: the
+    // best negatives are the CLOSEST non-relevant items): for each anchor,
+    // the top-3 same-IVF-cell vectors by cosine that are NOT among its
+    // exact top-3 true neighbors. Reuses the q18/q104 index relations —
+    // the cell is precisely the "looks similar but isn't" candidate pool,
+    // so mining cost is cell-sized, not corpus-sized. Exactness: cosine
+    // on the 1e9-quantized dot grid (q16's discipline), anti-join against
+    // the exact top-3, deterministic (cosim DESC, c_id) ranking. Plan at
+    // 100 TB: centroids broadcast for assignment, anchors probe ONLY
+    // their own cell's members (an equi-join on cent_id), the true-
+    // neighbor anti-join is 3-rows-per-anchor — no stage touches the
+    // corpus beyond the index build it shares with every other ANN query.
+    "q170_hard_negatives" -> QueryDef(
+      fn = { (s, dir) =>
+        val e = emb(s, dir)
+        val n = norms(e)
+        val (_, assign) = ivfBuild(e, n)
+        val anchors = assign.filter(col("member_id") < 10)
+          .select(col("member_id").as("q_id"), col("cent_id"))
+        val cand = anchors.join(assign, Seq("cent_id"))
+          .filter(col("member_id") =!= col("q_id"))
+          .select(col("q_id"), col("member_id").as("c_id"))
+        val scored = cand
+          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")),
+            Seq("q_id"))
+          .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce")),
+            Seq("c_id"))
+          .withColumn("dot", dotDec("qe", "ce"))
+          .join(n.toDF("q_id", "n2q"), Seq("q_id"))
+          .join(n.toDF("c_id", "n2c"), Seq("c_id"))
+          .withColumn("cosim", cosim(col("dot"), col("n2q"), col("n2c")))
+          .select("q_id", "c_id", "cosim")
+        val positives = queries("q16_ann_topk").fn(s, dir)
+          .filter(col("rnk") <= 3).select("q_id", "c_id")
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosim").desc, col("c_id"))
+        scored.join(positives, Seq("q_id", "c_id"), "left_anti")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "c_id", "cosim", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      oracle = Some(
+        s"""WITH $normsSql,
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+           |          WHERE vec_id % 50 = 0),
+           |assign0 AS (
+           |  SELECT vec_id, cent_id, $dotSqlExpr AS dot
+           |  FROM (SELECT v.vec_id, c.cent_id, v.embedding AS qe, c.ce,
+           |          generate_subscripts(v.embedding, 1) AS i
+           |        FROM embeddings v CROSS JOIN cents c)
+           |  GROUP BY 1, 2),
+           |assign1 AS (
+           |  SELECT assign0.vec_id, assign0.cent_id,
+           |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+           |  FROM assign0
+           |  JOIN norms nv ON nv.vec_id = assign0.vec_id
+           |  JOIN norms nc ON nc.vec_id = assign0.cent_id),
+           |assign AS (
+           |  SELECT vec_id AS member_id, cent_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosim DESC, cent_id) AS rnk FROM assign1)
+           |  WHERE rnk = 1),
+           |anchors AS (SELECT member_id AS q_id, cent_id FROM assign
+           |  WHERE member_id < 10),
+           |cand AS (
+           |  SELECT an.q_id, a.member_id AS c_id
+           |  FROM anchors an JOIN assign a ON a.cent_id = an.cent_id
+           |  WHERE a.member_id <> an.q_id),
+           |cdots AS (
+           |  SELECT q_id, c_id, $dotSqlExpr AS dot
+           |  FROM (SELECT cand.q_id, cand.c_id,
+           |          q.embedding AS qe, c.embedding AS ce,
+           |          generate_subscripts(q.embedding, 1) AS i
+           |        FROM cand
+           |        JOIN embeddings q ON q.vec_id = cand.q_id
+           |        JOIN embeddings c ON c.vec_id = cand.c_id)
+           |  GROUP BY 1, 2),
+           |ccos AS (
+           |  SELECT q_id, c_id,
+           |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosim
+           |  FROM cdots
+           |  JOIN norms nq ON nq.vec_id = q_id
+           |  JOIN norms nc ON nc.vec_id = c_id),
+           |exact3 AS (SELECT q_id, c_id FROM ($q16Sql) x WHERE rnk <= 3),
+           |negs AS (
+           |  SELECT c.q_id, c.c_id, c.cosim
+           |  FROM ccos c ANTI JOIN exact3 e USING (q_id, c_id))
+           |SELECT q_id, c_id, cosim, rnk FROM (
+           |  SELECT q_id, c_id, cosim,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cosim DESC, c_id) AS BIGINT) AS rnk
+           |  FROM negs) WHERE rnk <= 3
+           |ORDER BY q_id, rnk""".stripMargin)),
+
     // Bitext mining — the margin-based mutual-nearest-neighbor criterion
     // (Artetxe & Schwenk ACL'19 §3, the LASER/CCMatrix parallel-corpus
     // miner): two "language" sides (even vec_ids = source batch, odd =
