@@ -1048,6 +1048,96 @@ object Corpus {
           |  p_sum_q // n_bigrams AS avg_p_q
           |FROM sc ORDER BY avg_p_q ASC, doc_id LIMIT 20""".stripMargin)),
 
+    // Corpus drift report — Jensen-Shannon divergence between two corpus
+    // slices' unigram distributions (Lin '91; THE dataset-iteration
+    // question: "did the new crawl shift the token distribution, and how
+    // much?"). JSD = (KL(P‖M) + KL(Q‖M))/2 with M the mixture — symmetric
+    // and bounded [0,1] bit, unlike raw KL. Exact WITH the logs: every
+    // log2 term is Q20 fixed point over integer products of add-one-
+    // smoothed counts — log2(p_i/m_i) = L(2aB′) − L(aB′ + bA′), products
+    // ≤ 2·2²¹·2²¹ = 2⁴³ (no overflow), KLs carried as Σ a·bits BIGINTs
+    // and normalized by one division at the end. Same fixedLog2 engine
+    // pair as q158 (unrolled codegen Spark-side, recursive CTE oracle-
+    // side). Plan at 100 TB: token streams collapse to per-slice vocab
+    // counts FIRST (map-side combine); the log iteration and the KL sums
+    // run on the JOINED VOCABULARY (≪ corpus); one full-outer equi-join
+    // on the token key is the only vocab-sized shuffle.
+    "q171_corpus_drift" -> QueryDef(
+      fn = { (s, dir) =>
+        val toks = docs(s, dir).select(col("doc_id"), explode(toksCol).as("tok"))
+        def side(m: Int) = toks.filter(col("doc_id") % 2 === m)
+          .groupBy(col("tok")).agg(count(lit(1)).as(if (m == 0) "a" else "b"))
+        val joined = side(0).join(side(1), Seq("tok"), "full_outer")
+          .na.fill(0L, Seq("a", "b"))
+          .withColumn("a1", col("a") + lit(1)).withColumn("b1", col("b") + lit(1))
+        val Array(aTot, bTot, v) = joined
+          .agg(sum(col("a1")), sum(col("b1")), count(lit(1)))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        // bits(P vs M) per token: L(2·a1·B′) − L(a1·B′ + b1·A′); mirror for Q
+        val terms = joined
+          .withColumn("xab", expr(s"2 * a1 * ${bTot}L"))
+          .withColumn("yab", expr(s"a1 * ${bTot}L + b1 * ${aTot}L"))
+          .withColumn("xba", expr(s"2 * b1 * ${aTot}L"))
+        val withLogs = Seq(("xab", "lx_a"), ("yab", "ly"), ("xba", "lx_b"))
+          .foldLeft(terms) { case (d, (in, out)) => fixedLog2(d, in, out) }
+        withLogs
+          .agg(sum(col("a1") * (col("lx_a") - col("ly"))).as("kla_sum"),
+            sum(col("b1") * (col("lx_b") - col("ly"))).as("klb_sum"))
+          .select(lit(aTot).as("a_tokens"), lit(bTot).as("b_tokens"),
+            lit(v).as("vocab"),
+            expr(s"kla_sum div ${aTot}L").as("kl_p_q20"),
+            expr(s"klb_sum div ${bTot}L").as("kl_q_q20"),
+            expr(s"(kla_sum div ${aTot}L + klb_sum div ${bTot}L) div 2")
+              .as("jsd_q20"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE
+          |toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents),
+          |sa AS (SELECT tok, CAST(count(*) AS BIGINT) AS a FROM toks
+          |  WHERE doc_id % 2 = 0 GROUP BY 1),
+          |sb AS (SELECT tok, CAST(count(*) AS BIGINT) AS b FROM toks
+          |  WHERE doc_id % 2 = 1 GROUP BY 1),
+          |j AS (SELECT COALESCE(a, 0) + 1 AS a1, COALESCE(b, 0) + 1 AS b1
+          |  FROM sa FULL OUTER JOIN sb USING (tok)),
+          |tot AS (SELECT CAST(sum(a1) AS BIGINT) AS at,
+          |    CAST(sum(b1) AS BIGINT) AS bt,
+          |    CAST(count(*) AS BIGINT) AS v FROM j),
+          |terms AS (SELECT a1, b1,
+          |    2 * a1 * bt AS xab, a1 * bt + b1 * at AS yab, 2 * b1 * at AS xba
+          |  FROM j, tot),
+          |vals AS (SELECT DISTINCT n FROM (
+          |  SELECT xab AS n FROM terms UNION
+          |  SELECT yab FROM terms UNION SELECT xba FROM terms)),
+          |it AS (
+          |  SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS m,
+          |    CASE WHEN length(bin(n)) - 1 <= 30
+          |      THEN n << (30 - (length(bin(n)) - 1))
+          |      ELSE n >> ((length(bin(n)) - 1) - 30) END AS x,
+          |    CAST(0 AS BIGINT) AS acc, 0 AS i
+          |  FROM vals
+          |  UNION ALL
+          |  SELECT n, m,
+          |    CASE WHEN ((x * x) >> 30) >= 2147483648
+          |      THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
+          |    acc * 2 + CASE WHEN ((x * x) >> 30) >= 2147483648 THEN 1 ELSE 0 END,
+          |    i + 1
+          |  FROM it WHERE i < 20),
+          |logs AS (SELECT n, (m << 20) + acc AS lg FROM it WHERE i = 20),
+          |sums AS (
+          |  SELECT CAST(sum(t.a1 * (la.lg - ly.lg)) AS BIGINT) AS kla_sum,
+          |    CAST(sum(t.b1 * (lb.lg - ly.lg)) AS BIGINT) AS klb_sum
+          |  FROM terms t
+          |  JOIN logs la ON la.n = t.xab
+          |  JOIN logs ly ON ly.n = t.yab
+          |  JOIN logs lb ON lb.n = t.xba)
+          |SELECT tot.at AS a_tokens, tot.bt AS b_tokens, tot.v AS vocab,
+          |  kla_sum // tot.at AS kl_p_q20,
+          |  klb_sum // tot.bt AS kl_q_q20,
+          |  (kla_sum // tot.at + klb_sum // tot.bt) // 2 AS jsd_q20
+          |FROM sums, tot""".stripMargin)),
+
     // CCNet head/middle/tail corpus partitioning (Wenzek LREC'20 §4.3:
     // train an LM on a reference slice, bucket every document into
     // perplexity terciles — head trains the model, tail gets dropped or
