@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -155,29 +155,50 @@ object Similarity {
     */
   private val LSH_R = 16
   private val DIMS = 64
-  private def hplane(r: Int): Array[Float] = Array.tabulate(DIMS) { d =>
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$r:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    ((java.lang.Long.parseLong(hex, 16) % 1000001L) - 500000L).toFloat
-  }
-  /** q35 uses the first 16 planes; q45's banding uses all 48.
+  private def hplane(r: Int): Array[Float] =
+    graft.functions.SignLsh.plane(r, DIMS) // shared with LshBandKeys
+  /** q35 uses the first 16 planes; q45's banding draws planes on demand.
     *
-    * Bits-per-band is DERIVED from the similarity threshold, not free
-    * (the Indyk–Motwani tradeoff): at cos ≥ θ a plane agrees with
-    * p = 1 − arccos(θ)/π, a w-bit band matches with p^w, and B bands miss
-    * a true pair with (1−p^w)^B. q45 runs the production dedup regime
-    * (cos ≥ 0.95, p ≈ 0.90): 6 bands × 8 bits give 256-bucket selectivity
-    * per band — candidates ≈ 6·n²/512 vs n²/2 all-pairs, and the prune
-    * RATIO grows with corpus size, which is what survives 100 TB. An
-    * earlier revision ran threshold 0.4 (p ≈ 0.63) with 24×2-bit bands
-    * for exact recall; the r5 sf1 sweep showed that regime generating
-    * MORE join volume than q17's brute force (4-bucket bands ≈ no prune)
-    * — at thresholds that low, all-pairs IS the right plan, and q17
-    * remains exactly that documented baseline.
+    * Band GEOMETRY is DERIVED, not free, on two axes (the Indyk–Motwani
+    * tradeoff): at cos ≥ θ a plane agrees with p = 1 − arccos(θ)/π, a
+    * w-bit band matches with p^w, and B bands miss a true pair with
+    * (1−p^w)^B. The r5 revision fixed the THRESHOLD axis (at θ = 0.4,
+    * p ≈ 0.63, narrow bands ≈ no prune — all-pairs is the honest plan and
+    * q17 remains that documented baseline; q45 runs the production regime
+    * θ = 0.95, p ≈ 0.90). The r8 revision fixes the CORPUS-SIZE axis: a
+    * FIXED band width w leaves expected candidates B·n²/2^{w+1} — a
+    * constant-factor cut of all-pairs, still quadratic (the r7 sf1 sweep
+    * measured exactly that: 14.2× for 10× data on 8-bit bands). So q45
+    * now derives (w, B) from a cheap corpus `count()`:
+    *   w = clamp(ceil(log2(4n)), 8, 24)   — key space tracks the corpus,
+    *     so per-band expected collisions stay ≤ ~n/8 (linear in n);
+    *   B = clamp(ceil(ln 0.05 / ln(1−p^w)), 3, 24) — enough bands to hold
+    *     generic-pair recall at ≥ 95% as w widens (planted EXACT dups
+    *     collide in every band regardless — identical vector, identical
+    *     key — so their recall is structural, not probabilistic).
+    * At n ≤ 64 this reproduces the historic 6 bands × 8 bits exactly;
+    * at sf1-sweep scale (n ≈ 20k) it yields 17 bands × 17 bits — ~26k
+    * expected candidates instead of the fixed-width ~4.7M. Signature cost
+    * is B·w dot products per ROW (O(n·log²n) total work, embarrassingly
+    * parallel); the planes are the same deterministic md5 family at every
+    * index, so both engines would derive identical keys if they ever
+    * needed to (the oracle stays brute force and never looks at them).
     */
-  private val NDUP_R = 48
-  private val NDUP_BANDS = 6 // 8 bits per band (see threshold note above)
-  private val hplanes: IndexedSeq[Array[Float]] = (0 until NDUP_R).map(hplane)
+  private val hplanes: IndexedSeq[Array[Float]] = (0 until LSH_R).map(hplane)
+
+  /** (bandBits, bandCount) for threshold-θ sign-LSH over n vectors — the
+    * derivation documented above. Driver-side planning arithmetic only
+    * (libm here never touches row data, so cross-engine exactness is not
+    * in play); deterministic in (n, θ).
+    */
+  private[graft] def lshBandGeometry(n: Long, theta: Double): (Int, Int) = {
+    val w0 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, 4L * n - 1L))
+    val w = math.min(24, math.max(8, w0.toInt))
+    val p = 1.0 - math.acos(theta) / math.Pi
+    val missPerBand = 1.0 - math.pow(p, w.toDouble)
+    val b = math.ceil(math.log(0.05) / math.log(missPerBand)).toInt
+    (w, math.min(24, math.max(3, b)))
+  }
 
   /** Brute-force threshold near-dup SQL — the oracle for BOTH q17 (the
     * all-pairs baseline) and q45 (LSH-candidate + verify): a shared oracle
@@ -932,14 +953,15 @@ object Similarity {
     // the SAME derived corpus, so a green row literally proves
     // candidate-prune + verify ≡ all-pairs. For the planted pairs the
     // recall argument is not even probabilistic: an exact copy computes
-    // the identical 48-bit signature, so every band collides by
-    // construction; probabilistic recall ((1−p⁸)⁶ ≈ 3e-6 miss at cos
-    // 0.95) applies only to generic near-dups. The plan has NO O(n²)
-    // join: candidates come from an equi-join on (band, key) with
-    // 256-bucket bands — ~6·n²/512 candidate rows vs n²/2 all-pairs, a
-    // prune ratio that GROWS with n (the r5 sf1 sweep killed the previous
-    // 0.4-threshold/2-bit-band revision for inverting exactly this:
-    // 4-bucket bands generated more join volume than brute force).
+    // the identical per-band keys, so every band collides by
+    // construction; the derived (1−p^w)^B ≤ 5% miss applies only to
+    // generic near-dups. The plan has NO O(n²) join: candidates come from
+    // an equi-join on (band, key) whose KEY SPACE SCALES WITH THE CORPUS —
+    // (w, B) = lshBandGeometry(count, 0.95), so expected candidates stay
+    // ~B·n²/2^{w+1} ≲ B·n/8, linear in n (the r7 sf1 sweep killed the
+    // previous FIXED 8-bit revision for exactly this: 256 buckets don't
+    // grow with n, leaving a constant-factor cut of all-pairs — 14.2× at
+    // 10× data).
     "q45_neardup_lsh_verify" -> QueryDef(
       fn = { (s, dir) =>
         val e0 = emb(s, dir)
@@ -948,18 +970,19 @@ object Similarity {
             .select((-(col("vec_id") + 1)).cast("long").as("vec_id"),
               col("embedding")))
         val n = norms(aug)
-        val bitCols = (0 until NDUP_R).map { r =>
-          when(call_function("float_dot_q",
-              col("embedding"), typedlit(hplanes(r))) >= 0L, lit(1L << r))
-            .otherwise(lit(0L))
-        }
-        val sig = aug.select(col("vec_id"), bitCols.reduce(_ + _).as("sig"))
+        // one metadata-cheap count sizes the band geometry for THIS corpus
+        val (w, nb) = lshBandGeometry(aug.count(), 0.95)
+        // band b's key = w sign bits against planes [b·w, (b+1)·w), all
+        // computed by ONE native expression per row (a composed
+        // float_dot_q-per-plane form blows janino's method limit at
+        // adaptive geometry — see LshBandKeys)
+        val keyed = aug.select(col("vec_id"), col("embedding"))
           .repartition(col("vec_id")) // parallelize the single-split scan
-        val bands = sig.select(col("vec_id"),
-          explode(array((0 until NDUP_BANDS).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
-          .select(col("vec_id"), col("bk.band"), col("bk.key"))
+        val bands = keyed.select(col("vec_id"),
+          posexplode(GraftBridge.column(graft.functions.LshBandKeys(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              Seq("embedding")), w, nb, DIMS))))
+          .select(col("vec_id"), col("pos").as("band"), col("col").as("key"))
         val cand = bands.toDF("a_id", "band", "key")
           .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
