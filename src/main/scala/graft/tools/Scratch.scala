@@ -1,10 +1,11 @@
 package graft.tools
 
 import java.nio.file.Files
-
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway experiment harness (not part of the library). */
+/** Dev scratchpad — contents change per investigation, never library
+  * surface. Current probe: footer stats for >4KB strings + MICROS override.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -16,25 +17,30 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    // Does the BUILT-IN Spark 4.1.2 grammar (no graft extensions) parse
-    // constraint DDL? Decides whether MaintenanceParser's regex intercept
-    // can shadow a native statement.
-    val p = spark.sessionState.sqlParser
-    for (sql <- Seq(
-      "ALTER TABLE t ADD CONSTRAINT c1 CHECK (x > 0)",
-      "ALTER TABLE t DROP CONSTRAINT c1",
-      "OPTIMIZE t",
-      "VACUUM t RETAIN 168 HOURS",
-      "DESCRIBE HISTORY t",
-      "RESTORE TABLE t TO VERSION AS OF 3")) {
-      try println(s"OK   $sql  ->  ${p.parsePlan(sql).getClass.getSimpleName}")
-      catch {
-        case e: Exception =>
-          println(s"FAIL $sql  ->  ${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val big = "x" * 5000
+    val df = Seq((1, big + "a"), (2, big + "b")).toDF("i", "t")
+      .withColumn("ts", to_timestamp(lit("2024-03-01 10:11:12.123456")))
+      .withColumn("mixnan", when(col("i") === 1, lit(Float.NaN)).otherwise(lit(2.5f)))
+    df.coalesce(1).write.mode("overwrite").parquet("/tmp/footerprobe2")
+    val f = Files.list(java.nio.file.Paths.get("/tmp/footerprobe2")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    r.getFooter.getBlocks.forEach { b =>
+      b.getColumns.forEach { c =>
+        val st = c.getStatistics
+        println(s"col=${c.getPath} prim=${c.getPrimitiveType.getPrimitiveTypeName} " +
+          s"empty=${st.isEmpty} hasNonNull=${st.hasNonNullValue} nullsSet=${st.isNumNullsSet} " +
+          s"min=${if (st.hasNonNullValue) String.valueOf(st.genericGetMin).take(20) else "-"} " +
+          s"max=${if (st.hasNonNullValue) String.valueOf(st.genericGetMax).take(20) else "-"}")
       }
     }
+    r.close()
     spark.stop()
   }
 }
