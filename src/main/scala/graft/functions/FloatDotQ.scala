@@ -82,6 +82,53 @@ case class FloatDotQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Escape-aware splitting for the SQL-literal spec formats (bpe_encode
+  * merge lists, unigram_score vocabularies): symbols/pieces may contain the
+  * format's own separators, escaped with a backslash. Splitting KEEPS
+  * escapes so nested splits stay correct; [[unescape]] runs once on the
+  * terminal symbol.
+  */
+private[functions] object SpecFormat {
+  def splitKeepEscapes(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        cur.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (c == sep) {
+        out += cur.toString; cur.clear(); i += 1
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Index of the last UNESCAPED occurrence of `sep`, or -1. */
+  def lastUnescaped(s: String, sep: Char): Int = {
+    var i = 0
+    var last = -1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) i += 2
+      else { if (c == sep) last = i; i += 1 }
+    }
+    last
+  }
+
+  def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
 /** Session-scoped registration of graft's native expressions. */
 object GraftFunctions {
   // once per session: every operator entry point calls register() (so each
@@ -166,9 +213,13 @@ object GraftFunctions {
       },
       "built-in")
     // BPE encoding for SQL/JDBC clients: merge list as a literal spec
-    // ("a b,th e" — pairs comma-separated, symbols space-separated; BPE
-    // symbols come from whitespace-split words, so they can never contain
-    // either separator). Same native expression the Scala API uses.
+    // ("a b,th e" — pairs comma-separated, symbols space-separated).
+    // Symbols CAN contain the separators (whitespace-split words keep
+    // their commas, so a learned merge like "a, b" is legitimate — ADVICE
+    // r7 caught the old parser silently mis-pairing those): escape a
+    // literal ',' or ' ' inside a symbol as '\,' / '\ ' ('\\' for a
+    // backslash). Same native expression the Scala API uses (which takes
+    // the pair list directly and needs no escaping).
     reg.createOrReplaceTempFunction("bpe_encode",
       (args: Seq[Expression]) => {
         require(args.length == 2,
@@ -180,12 +231,14 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"bpe_encode merge spec must be a STRING literal, got $other")
         }
-        val merges = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val merges = SpecFormat.splitKeepEscapes(spec, ',')
+          .filter(_.trim.nonEmpty)
           .map { p =>
-            val ab = p.split(" ", 2)
-            require(ab.length == 2 && ab(0).nonEmpty && ab(1).nonEmpty,
-              s"bad merge entry '$p' — want 'left right'")
-            (ab(0), ab(1))
+            val ab = SpecFormat.splitKeepEscapes(p, ' ').filter(_.nonEmpty)
+            require(ab.length == 2,
+              s"bad merge entry '$p' — want 'left right' (escape a literal " +
+                "',' or ' ' inside a symbol as '\\,' / '\\ ')")
+            (SpecFormat.unescape(ab(0)), SpecFormat.unescape(ab(1)))
           }
         BpeEncode(args.head, merges)
       },

@@ -109,19 +109,23 @@ case class UnigramScore(child: Expression, pieces: Seq[(String, Long)],
 }
 
 object UnigramScore {
-  /** Parse the SQL-literal vocab spec `"piece:score,piece:score|unk:floor"`
-    * (pieces must not contain `:`/`,`/`|` — tokenizer vocabularies here
-    * are lowercase word fragments).
+  /** Parse the SQL-literal vocab spec `"piece:score,piece:score|unk:floor"`.
+    * Pieces MAY contain the separators (`:`/`,`/`|` are legal vocabulary
+    * fragments — ADVICE r7 caught the old parser silently mis-splitting
+    * them): escape as `\:` / `\,` / `\|` (`\\` for a backslash). Scores
+    * are numbers, so the piece/score cut is the LAST unescaped colon.
     */
   def parseSpec(spec: String): (Seq[(String, Long)], Long) = {
-    val parts = spec.split("\\|", -1)
+    val parts = SpecFormat.splitKeepEscapes(spec, '|')
     require(parts.length == 2 && parts(1).startsWith("unk:"),
       s"unigram spec must be 'p:s,p:s|unk:floor', got '$spec'")
-    val ps = parts(0).split(",", -1).filter(_.nonEmpty).toSeq.map { kv =>
-      val i = kv.lastIndexOf(':')
-      require(i > 0, s"bad piece entry '$kv'")
-      (kv.substring(0, i), kv.substring(i + 1).toLong)
-    }
+    val ps = SpecFormat.splitKeepEscapes(parts(0), ',')
+      .filter(_.nonEmpty).map { kv =>
+        val i = SpecFormat.lastUnescaped(kv, ':')
+        require(i > 0, s"bad piece entry '$kv' (escape a literal ':' in a " +
+          "piece as '\\:')")
+        (SpecFormat.unescape(kv.substring(0, i)), kv.substring(i + 1).toLong)
+      }
     (ps, parts(1).stripPrefix("unk:").toLong)
   }
 }

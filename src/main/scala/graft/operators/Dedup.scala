@@ -66,9 +66,26 @@ object Dedup {
       .withColumnRenamed("col", "w")
 
   /** One BIGINT encodes the (doc_id, pos) total order — min() picks the
-    * globally-first window occurrence without a struct comparator.
+    * globally-first window occurrence without a struct comparator. The
+    * encoding is injective and order-correct ONLY inside its headroom
+    * (pos < 10⁶ window positions per document, |doc_id| < 2⁶³/10⁶ ≈
+    * 9.2·10¹²), and the DuckDB oracle uses the identical formula — so a
+    * silent wrap could never be caught by the correctness gate. Out-of-
+    * contract rows therefore FAIL LOUDLY at run time (ADVICE r7): a
+    * million-window document (~10⁶ tokens) should be chunked upstream
+    * (q51/q99 are the chunkers), and hash-derived doc ids must stay under
+    * the bound.
     */
-  private def substrKey: Column = col("doc_id") * lit(1000000L) + col("pos")
+  private val SubstrMaxDocId = Long.MaxValue / 1000000L // 9 223 372 036 854
+  private def substrKey: Column =
+    when(col("pos") >= 1000000L || abs(col("doc_id")) >= SubstrMaxDocId,
+      raise_error(concat(
+        lit("ExactSubstr occurrence key out of contract: (doc_id, pos) = ("),
+        col("doc_id"), lit(", "), col("pos"),
+        lit(") exceeds doc_id*1e6+pos headroom — chunk documents past 1e6 " +
+          "windows (q51/q99) or re-shard doc ids below 9.2e12")))
+        .cast("long"))
+      .otherwise(col("doc_id") * lit(1000000L) + col("pos"))
 
   /** q145's per-batch incremental-ExactSubstr fold, shared with the
     * streaming sink: merge the batch's windows into the persisted index at

@@ -74,9 +74,21 @@ object JoinElimination extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def props(root: String): Map[String, String] =
-    try CommitLog.tablePropertiesOf(root)
-    catch { case NonFatal(_) => Map.empty }
+  private def trust(root: String): CommitLog.ConstraintTrust =
+    try CommitLog.constraintTrustOf(root)
+    catch { case NonFatal(_) => CommitLog.ConstraintTrust(Map.empty, 0L, 0L) }
+
+  /** A constraint property is trustworthy iff its validation stamp exists
+    * and no staleness watermark has passed it — the append path re-
+    * validates relationally, but delete/update/merge/DV/overwrite commits
+    * do NOT, so a constraint declared before such a commit proves nothing
+    * about the rows that exist now. Re-declaring the constraint
+    * re-validates the data and refreshes the stamp. Pre-stamp tables
+    * (declared before this build) never eliminate until re-declared.
+    */
+  private def stampFresh(t: CommitLog.ConstraintTrust, stampKey: String,
+      watermark: Long): Boolean =
+    t.props.get(stampKey).flatMap(_.toLongOption).exists(watermark <= _)
 
   /** The fact-side replacement for `j`, when `needed` (every attribute the
     * parent consumes) lives entirely on one side and the declared
@@ -96,20 +108,37 @@ object JoinElimination extends Rule[LogicalPlan] {
     }
     j.joinType match {
       case LeftOuter =>
+        // needs only PK UNIQUENESS on dim: appends re-validate it and pure
+        // deletes cannot break it, so the staleness watermark is modifyV
         for {
           (dimRoot, pinned) <- walk(dim, throughFilter = true)
           if pinned.isEmpty
-          if props(dimRoot).get("constraint.pk").contains(pk.name)
+          dimT = trust(dimRoot)
+          if dimT.props.get("constraint.pk").contains(pk.name)
+          if stampFresh(dimT, "constraint.pk.v", dimT.modifyV)
         } yield fact
       case Inner =>
+        // needs full referential integrity: dim rows must not have been
+        // removed OR modified since the FK validated against them
+        // (mutationV), dim PK uniqueness must still hold (modifyV vs the
+        // pk stamp), and fact fk VALUES must not have been rewritten since
+        // validation (fact modifyV vs the fk stamp — fact deletes are
+        // fine, fewer rows still all have parents)
         for {
           (dimRoot, dimPin) <- walk(dim, throughFilter = false)
           if dimPin.isEmpty
-          if props(dimRoot).get("constraint.pk").contains(pk.name)
+          dimT = trust(dimRoot)
+          if dimT.props.get("constraint.pk").contains(pk.name)
+          if stampFresh(dimT, "constraint.pk.v", dimT.modifyV)
           (factRoot, factPin) <- walk(fact, throughFilter = true)
           if factPin.isEmpty
-          if props(factRoot).get(s"constraint.fk.${fk.name}")
+          factT = trust(factRoot)
+          if factT.props.get(s"constraint.fk.${fk.name}")
             .contains(s"$dimRoot::${pk.name}")
+          if stampFresh(factT, s"constraint.fk.${fk.name}.v", factT.modifyV)
+          dimStamp <- factT.props.get(s"constraint.fk.${fk.name}.dimv")
+            .flatMap(_.toLongOption)
+          if dimT.mutationV <= dimStamp
         } yield fact
       case _ => None
     }

@@ -224,7 +224,20 @@ object CommitLog {
       dvs: Map[String, String] = Map.empty, // data file → live DV file
       colMap: Map[String, String] = Map.empty, // logical → physical name
       retired: Seq[String] = Nil, // dropped columns' physical names
-      props: Map[String, String] = Map.empty) { // table properties
+      props: Map[String, String] = Map.empty, // table properties
+      // RELY join-elimination trust boundary (folded forward, so the check
+      // is a manifest read — never a history walk; 0 = never, and pre-r8
+      // checkpoints, whose tables carry no stamps and never eliminate):
+      //  - mutationV: latest version that could REMOVE OR MODIFY live rows
+      //    (delete/update/merge/overwrite/DV ops/restore/…) — stales FK
+      //    trust (a removed parent orphans fact rows);
+      //  - modifyV: latest version that could MODIFY live row VALUES
+      //    (update/merge/overwrite/restore/…; pure deletes excluded — they
+      //    cannot introduce duplicate keys) — stales PK-uniqueness trust.
+      // Appends re-validate relationally on the append path, so they bump
+      // neither.
+      mutationV: Long = 0L,
+      modifyV: Long = 0L) {
     def statsOrNil: Seq[FileStat] = Option(fileStats).getOrElse(Nil)
     def files: Seq[String] = statsOrNil.map(_.path)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
@@ -235,6 +248,8 @@ object CommitLog {
     def colMapOrEmpty: Map[String, String] = Option(colMap).getOrElse(Map.empty)
     def retiredOrNil: Seq[String] = Option(retired).getOrElse(Nil)
     def propsOrEmpty: Map[String, String] = Option(props).getOrElse(Map.empty)
+    def mutationVOrZero: Long = mutationV
+    def modifyVOrZero: Long = modifyV
     /** Physical parquet name of a logical column (identity when unmapped). */
     def physOf(logical: String): String =
       colMapOrEmpty.getOrElse(logical, logical)
@@ -395,11 +410,42 @@ object CommitLog {
           (c.op == "overwrite" && c.propsOrEmpty.nonEmpty))
         c.propsOrEmpty
       else prior.map(_.propsOrEmpty).getOrElse(Map.empty)
+    // Live-row mutation tracking (join-elimination trust boundary): any op
+    // NOT on the preserves-live-rows whitelist bumps mutationV — unknown
+    // ops count as mutations, so a future op can only be over-conservative.
+    // Pure row removals additionally leave modifyV alone (a delete can
+    // orphan a foreign key but never duplicate a primary key).
+    val mut =
+      if (PreservesLiveRows(c.op)) prior.map(_.mutationVOrZero).getOrElse(0L)
+      else c.version
+    val mod =
+      if (PreservesLiveRows(c.op) || RemovesRowsOnly(c.op))
+        prior.map(_.modifyVOrZero).getOrElse(0L)
+      else c.version
     Manifest(c.version, c.op, c.schemaJson,
       prior.map(_.statsOrNil).getOrElse(Nil).filterNot(s => removed(s.path)) ++
         c.addOrNil,
-      c.partitionByOrNil, c.txnOrEmpty, cs, dvs, cm, ret, props)
+      c.partitionByOrNil, c.txnOrEmpty, cs, dvs, cm, ret, props, mut, mod)
   }
+
+  /** Ops that provably leave every live row's values intact: appends
+    * (relationally re-validated), metadata commits, and content-preserving
+    * rewrites (compaction/clustering rewrite bytes, never row sets;
+    * purge-dv materializes only already-dead rows away). Everything else —
+    * delete/update/merge/overwrite/DV writes/restore/fast-forward/clone/
+    * fsck and any op this build doesn't know — counts as a mutation.
+    */
+  private val PreservesLiveRows = Set(
+    "append", "txn-append", "create", "import", "refresh-stats",
+    "optimize", "compact", "cluster", "purge-dv", "set-props",
+    "add-constraint", "drop-constraint", "evolve-partition",
+    "evolve-schema", "rename-column", "drop-column", "txn-aborted")
+
+  /** Ops that can only DELETE whole rows (never change surviving values or
+    * smuggle new ones in): copy-on-write delete, merge-on-read delete
+    * (DV-only commit), and fsck's unreadable-file drop.
+    */
+  private val RemovesRowsOnly = Set("delete", "delete-dv", "fsck")
 
   /** Materialize the snapshot at version `v`: nearest checkpoint at or
     * below `v` plus the commit deltas after it. Checkpoints are written
@@ -1669,6 +1715,19 @@ object CommitLog {
       .map(v => readManifest(root, v).propsOrEmpty)
       .getOrElse(Map.empty)
 
+  /** What RELY join elimination needs in ONE manifest read: the current
+    * properties (constraints + their validation stamps) and the two
+    * mutation watermarks. See [[Manifest.mutationV]].
+    */
+  final case class ConstraintTrust(props: Map[String, String],
+      mutationV: Long, modifyV: Long)
+
+  def constraintTrustOf(root: String): ConstraintTrust =
+    currentVersion(root).map { v =>
+      val m = readManifest(root, v)
+      ConstraintTrust(m.propsOrEmpty, m.mutationVOrZero, m.modifyVOrZero)
+    }.getOrElse(ConstraintTrust(Map.empty, 0L, 0L))
+
   /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: one metadata commit carrying
     * the full post-change map (prior ++ set -- unset). Properties steer
     * WRITE-time behavior (e.g. `bloom.columns` — see [[BloomColumnsConf]],
@@ -1684,12 +1743,27 @@ object CommitLog {
     validateProps(set)
     // ADD CONSTRAINT semantics for newly declared relational constraints:
     // the declaration commit lands only if the CURRENT data satisfies it.
+    // Validation stamps (the RELY trust boundary, see Manifest.mutationV):
+    // a passing declaration records the versions it validated — this
+    // table's next version, and for each FK the referenced dimension's
+    // CURRENT version. Join elimination trusts a constraint exactly while
+    // no row-mutating commit has landed past its stamp on either side;
+    // after a dim delete/update/merge the stamp goes stale and elimination
+    // declines until the constraint is re-declared (re-validating).
+    var stamped = set
     if (set.contains(PkProp) || set.keys.exists(_.startsWith(FkPropPrefix))) {
       val spark = SparkSession.getActiveSession.getOrElse(
         throw new IllegalStateException(
           "declaring pk/fk constraints requires an active SparkSession " +
             "(the declaration validates the existing data)"))
       validateDeclaredConstraints(spark, root, set)
+      if (set.contains(PkProp))
+        stamped += s"$PkProp.v" -> (base + 1).toString
+      declaredFks(set).foreach { case (fkCol, dimRoot, _) =>
+        stamped += s"$FkPropPrefix$fkCol.v" -> (base + 1).toString
+        currentVersion(dimRoot).foreach(dv =>
+          stamped += s"$FkPropPrefix$fkCol.dimv" -> dv.toString)
+      }
     }
     // a row-security filter must at least ANALYZE against the table's
     // schema at SET time — a typo'd column would otherwise surface only
@@ -1727,7 +1801,7 @@ object CommitLog {
       Nil, Nil, m.partitionByOrNil, m.txnOrEmpty,
       constraints = m.constraintsOrEmpty, dvs = m.dvsOrEmpty,
       colMap = m.colMapOrEmpty, retired = m.retiredOrNil,
-      props = m.propsOrEmpty ++ set -- unset))
+      props = m.propsOrEmpty ++ stamped -- unset))
     base + 1
   }
 
@@ -2032,13 +2106,20 @@ object CommitLog {
     * coordinator marker file — or none ever do. The protocol (two-phase,
     * decided lazily à la Percolator, OSDI'10):
     *
-    *  1. PREPARE, per table in order: stage data files + publish a
-    *     "txn-append" commit carrying the marker path (`multiTxn`). The
-    *     prepare occupies a version but has NO effect until the marker
-    *     decides — readers fold it as a no-op (and force-abort it if it
-    *     outlives the grace window undecided, so a crashed coordinator
-    *     cannot wedge its tables). Prepares skip checkpointing: a
-    *     checkpoint above an undecided fold would freeze the wrong answer.
+    *  0. STAGE, per table: ALL data work (file writes, stats, CHECK +
+    *     relational enforcement) happens before any prepare is visible —
+    *     the first published prepare starts every reader's force-abort
+    *     grace clock, so the prepare→marker window must stay metadata-only.
+    *  1. PREPARE, per table in order: publish a "txn-append" commit
+    *     carrying the marker path (`multiTxn`) — a KB-scale write; staged
+    *     files are reused unless a concurrent commit changed the partition
+    *     spec or column mapping (then that table re-stages and
+    *     re-validates before ITS prepare). The prepare occupies a version
+    *     but has NO effect until the marker decides — readers fold it as a
+    *     no-op (and force-abort it if it outlives the grace window
+    *     undecided, so a crashed coordinator cannot wedge its tables).
+    *     Prepares skip checkpointing: a checkpoint above an undecided fold
+    *     would freeze the wrong answer.
     *  2. COMMIT: one create-if-absent marker write. Atomicity is exactly
     *     the atomicity of that single hard-link creation — the same
     *     primitive every single-table commit already trusts. If a
@@ -2057,6 +2138,70 @@ object CommitLog {
     * retries independently; rewriting ops would need cross-table conflict
     * analysis that appends don't).
     */
+  /** One table's staged-and-validated contribution to a multi-table txn —
+    * everything data-sized happens BEFORE any prepare is published, so the
+    * prepare→marker window stays metadata-only (see [[multiAppend]]).
+    */
+  private final case class PreparedBatch(df: DataFrame, root: String,
+      base: Option[Long], schema: StructType, spec: Seq[String],
+      colMap: Map[String, String], add: Seq[FileStat])
+
+  /** Stage + validate one batch against the table's CURRENT state (full
+    * data work: write, stats, CHECK + relational enforcement) without
+    * publishing anything.
+    */
+  private def prepareBatch(df: DataFrame, root: String): PreparedBatch = {
+    val base = currentVersion(root)
+    val prior = base.map(readManifest(root, _))
+    val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
+      .getOrElse(df.schema)
+    val spec = effectiveSpec(prior, Nil)
+    prior.foreach(guardNewColumns(_, schema))
+    val cm = prior.map(_.colMapOrEmpty).getOrElse(Map.empty)
+    val add = stageWithStats(df, root, spec, colMap = cm,
+      props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
+    enforceConstraints(df.sparkSession, root, prior, add, schema)
+    enforceRelational(df.sparkSession, root, prior, add, schema)
+    PreparedBatch(df, root, base, schema, spec, cm, add)
+  }
+
+  /** Publish one prepared batch as a "txn-append" prepare. Fast path
+    * (table unmoved since [[prepareBatch]]): pure metadata. If a
+    * concurrent commit landed in between, re-derive the metadata — the
+    * staged files stay reusable unless the partition spec or column
+    * mapping changed (then re-stage; the orphans are vacuum's), and
+    * CHECK/relational validation re-runs because the rows it validated
+    * against moved.
+    */
+  private def publishPrepared(pb: PreparedBatch, markerPath: String,
+      txnPatch: Map[String, Long] => Map[String, Long],
+      priorGuard: Option[Manifest] => Unit = _ => ()): Long = {
+    val cur = currentVersion(pb.root)
+    val prior = cur.map(readManifest(pb.root, _))
+    priorGuard(prior) // e.g. replay detection, on the SAME prior we publish against
+    val v = cur.getOrElse(0L) + 1
+    val (schema, spec, add) =
+      if (cur == pb.base) (pb.schema, pb.spec, pb.add)
+      else {
+        val schema = prior.map(m => unionSchema(schemaOf(m), pb.df.schema))
+          .getOrElse(pb.df.schema)
+        val spec = effectiveSpec(prior, Nil)
+        prior.foreach(guardNewColumns(_, schema))
+        val cm = prior.map(_.colMapOrEmpty).getOrElse(Map.empty)
+        val add =
+          if (spec == pb.spec && cm == pb.colMap) pb.add
+          else stageWithStats(pb.df, pb.root, spec, colMap = cm,
+            props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
+        enforceConstraints(pb.df.sparkSession, pb.root, prior, add, schema)
+        enforceRelational(pb.df.sparkSession, pb.root, prior, add, schema)
+        (schema, spec, add)
+      }
+    publish(pb.root, Commit(v, "txn-append", schema.json, add, Nil, spec,
+      txnPatch(prior.map(_.txnOrEmpty).getOrElse(Map.empty)),
+      multiTxn = markerPath))
+    v
+  }
+
   def multiAppend(batches: Seq[(DataFrame, String)],
       coord: String): Map[String, Long] = {
     require(batches.nonEmpty, "multiAppend needs at least one batch")
@@ -2066,25 +2211,18 @@ object CommitLog {
     Files.createDirectories(Paths.get(coord))
     val markerPath = Paths.get(coord)
       .resolve(s"txn-${UUID.randomUUID()}.json").toAbsolutePath.toString
-    val versions = batches.map { case (df, root) =>
-      root -> withRetry() {
-        val base = currentVersion(root)
-        val prior = base.map(readManifest(root, _))
-        val v = base.getOrElse(0L) + 1
-        val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
-          .getOrElse(df.schema)
-        val spec = effectiveSpec(prior, Nil)
-        prior.foreach(guardNewColumns(_, schema))
-        val add = stageWithStats(df, root, spec,
-          colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
-          props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
-        enforceConstraints(df.sparkSession, root, prior, add, schema)
-        publish(root, Commit(v, "txn-append", schema.json, add, Nil, spec,
-          prior.map(_.txnOrEmpty).getOrElse(Map.empty),
-          multiTxn = markerPath))
-        v
-      }
+    // Phase 0 — ALL data work first (staging, stats, enforcement), before
+    // any prepare is visible: a reader that folds the first prepare starts
+    // the force-abort grace clock, so the prepare→marker window must hold
+    // only the remaining prepares' metadata writes, never a data job
+    // (ADVICE r7: staging minutes between prepare and marker let any
+    // concurrent reader force-abort a healthy transaction).
+    val prepared = batches.map { case (df, root) => prepareBatch(df, root) }
+    // Phase 1 — prepares back-to-back (KB-scale commit writes each)
+    val versions = prepared.map { pb =>
+      pb.root -> withRetry() { publishPrepared(pb, markerPath, identity) }
     }.toMap
+    // Phase 2 — one create-if-absent marker write decides everything
     val st = decideMarker(Paths.get(markerPath), "committed")
     txnStateCache.put(markerPath, st)
     if (st != "committed")
@@ -2129,26 +2267,15 @@ object CommitLog {
     val markerPath = Paths.get(coord)
       .resolve(s"txn-${UUID.randomUUID()}.json").toAbsolutePath.toString
     try {
-      val versions = batches.map { case (df, root) =>
-        root -> withRetry() {
-          val base = currentVersion(root)
-          val prior = base.map(readManifest(root, _))
-          if (prior.map(_.txnOrEmpty.getOrElse(appId, Long.MinValue))
-              .getOrElse(Long.MinValue) >= batchId)
-            throw new TxnReplay // racing identical txn won this table
-          val v = base.getOrElse(0L) + 1
-          val schema = prior.map(m => unionSchema(schemaOf(m), df.schema))
-            .getOrElse(df.schema)
-          val spec = effectiveSpec(prior, Nil)
-          prior.foreach(guardNewColumns(_, schema))
-          val add = stageWithStats(df, root, spec,
-            colMap = prior.map(_.colMapOrEmpty).getOrElse(Map.empty),
-            props = prior.map(_.propsOrEmpty).getOrElse(Map.empty))
-          enforceConstraints(df.sparkSession, root, prior, add, schema)
-          publish(root, Commit(v, "txn-append", schema.json, add, Nil, spec,
-            prior.map(_.txnOrEmpty).getOrElse(Map.empty) + (appId -> batchId),
-            multiTxn = markerPath))
-          v
+      // data work first, prepares metadata-only — see multiAppend phase 0
+      val prepared = batches.map { case (df, root) => prepareBatch(df, root) }
+      val versions = prepared.map { pb =>
+        pb.root -> withRetry() {
+          publishPrepared(pb, markerPath, _ + (appId -> batchId),
+            priorGuard = prior =>
+              if (prior.map(_.txnOrEmpty.getOrElse(appId, Long.MinValue))
+                  .getOrElse(Long.MinValue) >= batchId)
+                throw new TxnReplay) // racing identical txn won this table
         }
       }.toMap
       val st = decideMarker(Paths.get(markerPath), "committed")
@@ -2175,13 +2302,26 @@ object CommitLog {
     * pass. Pin these versions (`CommitLog.read(..., version = Some(v))`)
     * to hold one transaction-consistent view across an arbitrary number
     * of reads — the multi-table analogue of a single table's snapshot
-    * isolation, priced at two metadata probes per table per attempt.
+    * isolation, priced at two metadata probes plus one head fold per
+    * table per attempt (the fold pins every marker decision to the cut).
     */
   def consistentSnapshot(roots: Seq[String],
       maxAttempts: Int = 20): Map[String, Long] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val first = roots.map(r => r -> currentVersion(r))
+      // RESOLVE the observed heads between the probes (ADVICE r7): folding
+      // each head forces every multi-table marker at or below the cut to a
+      // DECIDED, sticky state (txnCommitted waits out the grace then
+      // force-decides; decided markers never flip). Without this, a
+      // prepare visible to both probes on table A whose marker commits
+      // AFTER the cut would fold as committed when the pin is finally
+      // read, while table B — whose prepare landed after both probes —
+      // stays pinned before it: a partial transaction. After resolution,
+      // a marker our fold saw committed implies every sibling prepare was
+      // already published (markers are created only after all prepares),
+      // so the second probe sees those heads moved and retries.
+      first.foreach { case (r, v) => v.foreach(readManifest(r, _)) }
       val second = roots.map(r => r -> currentVersion(r))
       if (first == second)
         return first.collect { case (r, Some(v)) => r -> v }.toMap

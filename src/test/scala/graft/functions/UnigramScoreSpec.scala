@@ -60,4 +60,17 @@ class UnigramScoreSpec extends SparkTestBase {
       "tab", "abba", "eat", "teeth", "hattab", "zzzz", "b", "质量")
     for (w <- words) assert(score(w) == brute(w), s"word '$w'")
   }
+
+  test("spec pieces may contain separators when escaped (ADVICE r7: the " +
+      "old parser silently mis-split ','/'|'/':' inside pieces)") {
+    // pieces: "a,b" (comma), "x:y" (colon), "p|q" (pipe), plus plain "a"
+    val (ps, unkF) = UnigramScore.parseSpec(
+      """a\,b:-10,x\:y:-20,p\|q:-30,a:-5|unk:-99""")
+    assert(ps == Seq("a,b" -> -10L, "x:y" -> -20L, "p|q" -> -30L, "a" -> -5L))
+    assert(unkF == -99L)
+    // unescaped ambiguity still fails loudly
+    intercept[IllegalArgumentException] {
+      UnigramScore.parseSpec("ab:-10|extra|unk:-99")
+    }
+  }
 }

@@ -151,6 +151,24 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("bpe_encode spec symbols may contain ','/' ' when escaped — a " +
+      "learned merge over comma symbols round-trips (ADVICE r7)") {
+    graft.functions.GraftFunctions.register(spark)
+    // word "a,b" chars: 'a' ',' 'b'; merges: ('a', ',') then ('a,', 'b')
+    val got = spark.sql(
+      """SELECT bpe_encode('a,b', 'a \\,,a\\, b') AS toks""")
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("a,b"), got.toString)
+    // the same merges through the Scala API (no spec, no escaping) agree
+    val viaScala = Seq(Tuple1("a,b")).toDF("t")
+      .select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BpeEncode(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("t")),
+          Seq(("a", ","), ("a,", "b")))).as("toks"))
+      .as[Seq[String]].collect()(0)
+    assert(viaScala == got)
+  }
+
   test("plan shape: training rounds work the vocab table, never the corpus") {
     // wordTable is the ONLY corpus-sized stage; pairCounts over it is a
     // join-free Generate + two-phase aggregate

@@ -157,4 +157,74 @@ class JoinEliminationSpec extends SparkTestBase {
       spark.range(1).selectExpr("CAST(1000 AS BIGINT) AS id", "CAST(42 AS BIGINT) AS fk", "CAST(1.0 AS DOUBLE) AS v"), fact)
     assert(CommitLog.read(spark, fact).count() == 101)
   }
+
+  test("a dim-side delete stales INNER elimination (removed parents would " +
+      "orphan fact rows) but not LEFT — and re-declaration restores it") {
+    val (dim, fact) = fixture()
+    val fv = view(fact); val dv = view(dim)
+    def inner = spark.sql(
+      s"SELECT fk, count(*) AS n FROM $fv f JOIN $dv d ON f.fk = d.pk GROUP BY fk")
+    def louter = spark.sql(
+      s"SELECT f.id FROM $fv f LEFT JOIN $dv d ON f.fk = d.pk")
+    assert(!hasJoin(inner) && !hasJoin(louter))
+    // DELETE a parent: the fk declaration's validation no longer covers
+    // the data — an eliminated inner join would return fk=3 rows a real
+    // join drops. Pure deletes cannot duplicate the pk, so LEFT holds.
+    CommitLog.delete(spark, dim, col("pk") === 3L)
+    assert(hasJoin(inner), inner.queryExecution.optimizedPlan.toString)
+    assert(!hasJoin(louter))
+    // the declined plan is also CORRECT: fk=3 group is gone
+    assert(!inner.collect().map(_.getLong(0)).contains(3L))
+    // re-declare (re-validates against current data): fails while orphans
+    // exist, succeeds once the orphaned fact rows are removed — and the
+    // fresh stamp re-enables elimination
+    intercept[IllegalArgumentException] {
+      CommitLog.setTableProperties(fact,
+        Map(s"${CommitLog.FkPropPrefix}fk" -> s"$dim::pk"))
+    }
+    CommitLog.delete(spark, fact, col("fk") === 3L)
+    CommitLog.setTableProperties(fact,
+      Map(s"${CommitLog.FkPropPrefix}fk" -> s"$dim::pk"))
+    assert(!hasJoin(inner), inner.queryExecution.optimizedPlan.toString)
+  }
+
+  test("a dim-side UPDATE stales LEFT elimination too (an update can " +
+      "duplicate the key) until the pk is re-declared") {
+    val (dim, fact) = fixture()
+    val fv = view(fact); val dv = view(dim)
+    def louter = spark.sql(
+      s"SELECT f.id FROM $fv f LEFT JOIN $dv d ON f.fk = d.pk")
+    assert(!hasJoin(louter))
+    CommitLog.update(spark, dim, Seq("dname" -> lit("renamed")),
+      col("pk") === 2L)
+    assert(hasJoin(louter), louter.queryExecution.optimizedPlan.toString)
+    // re-declaring the pk re-validates uniqueness and restores elimination
+    CommitLog.setTableProperties(dim, Map(CommitLog.PkProp -> "pk"))
+    assert(!hasJoin(louter))
+  }
+
+  test("multiAppend enforces relational constraints (it skipped " +
+      "enforceRelational before r8)") {
+    val (dim, fact) = fixture()
+    val coord = tmp()
+    val e = intercept[Exception] {
+      CommitLog.multiAppend(Seq(
+        (spark.range(1).selectExpr("CAST(1000 AS BIGINT) AS id",
+          "CAST(77 AS BIGINT) AS fk", "CAST(0.0 AS DOUBLE) AS v"), fact),
+        (spark.range(1).selectExpr("CAST(50 AS BIGINT) AS pk",
+          "'d50' AS dname"), dim)), coord)
+    }
+    assert(e.getMessage.contains("no parent"), e.getMessage)
+    // nothing landed visibly on either table
+    assert(CommitLog.read(spark, fact).count() == 100)
+    assert(CommitLog.read(spark, dim).count() == 10)
+    // a valid multi-batch still commits both
+    CommitLog.multiAppend(Seq(
+      (spark.range(1).selectExpr("CAST(1000 AS BIGINT) AS id",
+        "CAST(5 AS BIGINT) AS fk", "CAST(0.0 AS DOUBLE) AS v"), fact),
+      (spark.range(1).selectExpr("CAST(50 AS BIGINT) AS pk",
+        "'d50' AS dname"), dim)), coord)
+    assert(CommitLog.read(spark, fact).count() == 101)
+    assert(CommitLog.read(spark, dim).count() == 11)
+  }
 }
