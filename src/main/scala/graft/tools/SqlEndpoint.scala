@@ -23,6 +23,12 @@ import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
   */
 object SqlEndpoint {
 
+  /** Server-side TLS material: a JKS keystore holding the endpoint's
+    * private key + certificate (≡ the reference's HTTPS JDBC keystore,
+    * trino/conf/trino/config.properties:9-12 + certs/).
+    */
+  final case class Ssl(keystore: java.nio.file.Path, keystorePassword: String)
+
   private def freePort(): Int = {
     val s = new ServerSocket(0)
     try s.getLocalPort finally s.close()
@@ -39,9 +45,18 @@ object SqlEndpoint {
     * (trino/conf/trino/config.properties:15,
     * password-authenticator.properties:1-2). When None the server stays
     * open-auth, matching the reference's unauthenticated Postgres port.
+    *
+    * `ssl`: when set, the thrift socket speaks TLS (`hive.server2.use.SSL`
+    * + keystore — the HiveServer2 twin of the reference's HTTPS JDBC,
+    * trino/conf/trino/config.properties:9-12 `http-server.https.enabled`
+    * with a keystore path; certs in `certs/`). Without it, PASSWORD auth
+    * ships credentials in the clear the moment the endpoint leaves
+    * localhost — pair them. Clients connect with
+    * `jdbc:hive2://host:port/;ssl=true;sslTrustStore=…;trustStorePassword=…`.
     */
   def start(spark: SparkSession, port: Int = 0,
-            passwdFile: Option[java.nio.file.Path] = None): (Int, HiveServer2) = {
+            passwdFile: Option[java.nio.file.Path] = None,
+            ssl: Option[Ssl] = None): (Int, HiveServer2) = {
     val p = if (port == 0) freePort() else port
     // HiveConf applies "hive.*" system properties on construction — the
     // reliable way to reach the server conf from outside spark-submit.
@@ -56,6 +71,14 @@ object SqlEndpoint {
       case None =>
         System.setProperty("hive.server2.authentication", "NONE")
     }
+    ssl match {
+      case Some(Ssl(ks, pw)) =>
+        System.setProperty("hive.server2.use.SSL", "true")
+        System.setProperty("hive.server2.keystore.path", ks.toString)
+        System.setProperty("hive.server2.keystore.password", pw)
+      case None =>
+        System.setProperty("hive.server2.use.SSL", "false")
+    }
     // Embedded Derby workspace for HiveServer2's session state: keep
     // metastore_db/derby.log out of the process CWD.
     if (System.getProperty("derby.system.home") == null)
@@ -63,5 +86,32 @@ object SqlEndpoint {
         Files.createTempDirectory("graft-derby").toString)
     val server = HiveThriftServer2.startWithSparkSession(spark, exitOnError = false)
     (p, server)
+  }
+
+  /** Dev/test keystore generation (self-signed, CN=localhost) via the
+    * JDK's own keytool — a deployment brings its own certificate exactly
+    * like the reference's `certs/` directory. Writes the server keystore
+    * and a client truststore holding just the exported certificate.
+    */
+  def generateSelfSignedKeystore(keystore: java.nio.file.Path,
+      storePass: String, truststore: java.nio.file.Path,
+      trustPass: String): Unit = {
+    def run(cmd: String*): Unit = {
+      val pr = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+      require(pr.waitFor() == 0, s"${cmd.take(2).mkString(" ")} failed:\n$out")
+    }
+    val keytool = s"${System.getProperty("java.home")}/bin/keytool"
+    run(keytool, "-genkeypair", "-alias", "graft", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "365", "-dname", "CN=localhost",
+      "-keystore", keystore.toString, "-storetype", "JKS",
+      "-storepass", storePass, "-keypass", storePass)
+    val cert = keystore.resolveSibling("graft-endpoint.cer")
+    run(keytool, "-exportcert", "-alias", "graft",
+      "-keystore", keystore.toString, "-storepass", storePass,
+      "-file", cert.toString)
+    run(keytool, "-importcert", "-noprompt", "-alias", "graft",
+      "-keystore", truststore.toString, "-storetype", "JKS",
+      "-storepass", trustPass, "-file", cert.toString)
   }
 }
