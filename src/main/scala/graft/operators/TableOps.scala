@@ -342,6 +342,103 @@ object TableOps {
            |FROM orders WHERE o_orderkey % 2 = 0
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Delta reader-version-3 import under the oracle gate (r8,
+    // [[graft.sources.interop.DeltaImport]] + [[DeltaDv]]): the fixture is
+    // an actively-maintained production-shaped Delta table — COLUMN
+    // MAPPING (files store physical `col-*` names, the log's schema
+    // carries delta.columnMapping.physicalName metadata) plus a DELETION
+    // VECTOR (PROTOCOL.md portable RoaringBitmapArray in a 'u'-addressed
+    // .bin, CRC-checked) killing the 5 lowest-row-index rows of the data
+    // file. Both translate natively — physicalName → the commitlog's own
+    // column map, DV positions → commitlog DV parquet — so the import is
+    // STILL zero-copy metadata work. The oracle recomputes the surviving
+    // rows relationally (evens minus the 5 smallest even keys), proving
+    // the decode + re-encode row-exact.
+    "q172_delta_import_rv2" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = tmp("graft-q172d"); val root = tmp("graft-q172t")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val evens = ord.filter(col("o_orderkey") % 2 === 0)
+          .coalesce(1).sortWithinPartitions("o_orderkey")
+        val nEvens = evens.count()
+        // the data file holds PHYSICAL column names (delta-spark style)
+        val phys = evens.select(col("o_orderkey").as("col-ok"),
+          col("o_totalprice").as("col-tp"), col("o_orderstatus").as("col-os"))
+        val t = Files.createTempDirectory("graft-q172w")
+        phys.coalesce(1).write.mode("overwrite").parquet(t.toString)
+        val it = Files.list(t).iterator()
+        val sit = new scala.collection.Iterator[java.nio.file.Path] {
+          def hasNext = it.hasNext; def next() = it.next()
+        }
+        Files.move(sit.find(_.toString.endsWith(".parquet")).get,
+          java.nio.file.Paths.get(d, "part-evens.parquet"))
+        // logical schema with columnMapping metadata
+        def f(name: String, phys: String) =
+          org.apache.spark.sql.types.StructField(name,
+            ord.schema(name).dataType, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("delta.columnMapping.physicalName", phys).build())
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          f("o_orderkey", "col-ok"), f("o_totalprice", "col-tp"),
+          f("o_orderstatus", "col-os")))
+        // DV: kill row indexes 0..4 (the 5 smallest even keys — the file
+        // is sorted) in a 'u'-addressed .bin named by a Z85 uuid
+        import graft.sources.interop.DeltaDv
+        val uuid = java.util.UUID.randomUUID()
+        val ub = java.nio.ByteBuffer.allocate(16)
+        ub.putLong(uuid.getMostSignificantBits)
+        ub.putLong(uuid.getLeastSignificantBits)
+        val off = DeltaDv.writeDvFile(
+          java.nio.file.Paths.get(d, s"deletion_vector_$uuid.bin"),
+          Array(0L, 1L, 2L, 3L, 4L))
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        def line(build: com.fasterxml.jackson.databind.node.ObjectNode => Unit)
+            : String = {
+          val n = om.createObjectNode(); build(n); om.writeValueAsString(n)
+        }
+        val log = java.nio.file.Paths.get(d, "_delta_log")
+        Files.createDirectories(log)
+        Files.write(log.resolve(f"${0L}%020d.json"), Seq(
+          line(n => { val p = n.putObject("protocol")
+            p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+            val rf = p.putArray("readerFeatures")
+            rf.add("deletionVectors"); rf.add("columnMapping")
+            val wf = p.putArray("writerFeatures")
+            wf.add("deletionVectors"); wf.add("columnMapping") }),
+          line(n => { val m = n.putObject("metaData")
+            m.put("id", "q172"); m.put("schemaString", schema.json)
+            m.putObject("format").put("provider", "parquet")
+            m.putArray("partitionColumns")
+            m.putObject("configuration")
+              .put("delta.columnMapping.mode", "name") }),
+          line(n => { val a = n.putObject("add")
+            a.put("path", "part-evens.parquet"); a.put("dataChange", true)
+            a.put("size", 1L); a.put("modificationTime", 0L)
+            a.putObject("partitionValues")
+            a.put("stats", s"""{"numRecords":$nEvens}""")
+            val dv = a.putObject("deletionVector")
+            dv.put("storageType", "u")
+            dv.put("pathOrInlineDv", DeltaDv.z85Encode(ub.array()))
+            dv.put("offset", off); dv.put("sizeInBytes", 1L)
+            dv.put("cardinality", 5L) })
+        ).mkString("\n").getBytes("UTF-8"))
+        graft.sources.interop.DeltaImport.importTable(s, d, root)
+        CommitLog.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""WITH ev AS (
+           |  SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+           |cut AS (
+           |  SELECT o_orderkey FROM ev ORDER BY o_orderkey LIMIT 5)
+           |SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM ev ANTI JOIN cut USING (o_orderkey)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Apache Iceberg interop ([[graft.sources.interop.IcebergImport]]):
     // a spec-compliant Iceberg metadata tree (version-hint →
     // vN.metadata.json → avro manifest list → avro manifest) is written

@@ -392,10 +392,12 @@ object CommitLog {
       else (prior.map(_.dvsOrEmpty).getOrElse(Map.empty) -- removed) ++
         c.dvsOrEmpty
     // Column mapping: rename/drop REPLACE the mapping + retired set;
-    // restore/clone revert them with the data; everything else inherits
-    // (pre-mapping logs and writers stay valid).
+    // restore/clone revert them with the data; an import CARRIES the
+    // source format's mapping (Delta column mapping translates to ours);
+    // everything else inherits (pre-mapping logs and writers stay valid).
     val mapOps =
-      Set("rename-column", "drop-column", "restore", "clone", "fast-forward")
+      Set("rename-column", "drop-column", "restore", "clone", "fast-forward",
+        "import")
     val cm =
       if (mapOps(c.op)) c.colMapOrEmpty
       else prior.map(_.colMapOrEmpty).getOrElse(Map.empty)
@@ -1410,12 +1412,66 @@ object CommitLog {
     * never prune — conservative, correct.
     */
   def importSnapshot(root: String, schema: StructType,
-      files: Seq[FileStat]): Long = {
+      files: Seq[FileStat],
+      colMap: Map[String, String] = Map.empty,
+      dvs: Map[String, String] = Map.empty): Long = {
     require(currentVersion(root).isEmpty, s"table already exists at $root")
     require(files.forall(_.path.startsWith("/")),
       "import references must be absolute paths")
-    commitDelta(root, None, Commit(1L, "import", schema.json, files, Nil, Nil))
+    require(dvs.keySet.subsetOf(files.map(_.path).toSet),
+      "every deletion vector must address an imported file")
+    commitDelta(root, None, Commit(1L, "import", schema.json, files, Nil, Nil,
+      colMap = colMap, dvs = dvs))
     1L
+  }
+
+  /** Write externally-decoded deletion vectors (data file → dead row
+    * indexes) as this format's DV parquet files, returning the dvs map
+    * [[importSnapshot]] expects. Positions use the same `_metadata
+    * .row_index` addressing the native DV writer records, so readers
+    * apply them through the identical anti-join. Batched so an import of
+    * many heavily-deleted files never materializes every position on the
+    * driver at once.
+    */
+  def stageImportedDvs(spark: SparkSession, root: String,
+      perFile: Seq[(String, Array[Long])]): Map[String, String] = {
+    import spark.implicits._
+    val out = Map.newBuilder[String, String]
+    val batchCap = 16L * 1024 * 1024 // positions per write job
+    var batch = Seq.newBuilder[(String, Array[Long])]
+    var batchPos = 0L
+    def flush(): Unit = {
+      val entries = batch.result()
+      batch = Seq.newBuilder; batchPos = 0L
+      if (entries.isEmpty) return
+      val sub = s"data/${UUID.randomUUID()}"
+      entries.zipWithIndex.flatMap { case ((_, pos), i) =>
+        pos.map(p => (i.toString, p))
+      }.toDF("__dv_k", "pos")
+        .repartition(col("__dv_k"))
+        .sortWithinPartitions("pos")
+        .write.partitionBy("__dv_k").parquet(s"$root/$sub")
+      val rootPath = Paths.get(root)
+      val byKey = withWalk(Paths.get(root, sub))(_.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.map { p =>
+        p.getParent.getFileName.toString.stripPrefix("__dv_k=") ->
+          rootPath.relativize(p).toString
+      }.toMap)
+      entries.zipWithIndex.foreach { case ((file, pos), i) =>
+        if (pos.nonEmpty)
+          out += file -> byKey.getOrElse(i.toString,
+            sys.error(s"imported DV partition $i missing for $file"))
+      }
+    }
+    perFile.filter(_._2.nonEmpty).foreach { case (f, pos) =>
+      if (batchPos + pos.length > batchCap) flush()
+      batch += ((f, pos)); batchPos += pos.length
+    }
+    flush()
+    out.result()
   }
 
   /** Recompute per-file min/max/null/sum statistics for files that lack

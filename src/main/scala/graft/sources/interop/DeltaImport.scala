@@ -35,10 +35,19 @@ import graft.sources.CommitLog
   *    pruning exact). Each partition tuple's files read back with the
   *    tuple's literals injected (cast through the declared schema), and
   *    land as one partitioned append.
-  *  - Reader-version gate: protocol `minReaderVersion` > 1 (deletion
-  *    vectors, column mapping, v2 checkpoints …) is REFUSED loudly —
-  *    importing such a snapshot by path would resurrect deleted rows or
-  *    misname columns.
+  *  - **Reader version 2/3 features translate natively** (r8; the engine
+  *    implements both concepts itself, so refusing them was a pure gap):
+  *    `delta.columnMapping.physicalName` field metadata becomes the
+  *    commitlog's own logical→physical column map (files keep physical
+  *    names, reads resolve through the map — the identical mechanism);
+  *    `deletionVector` descriptors decode per PROTOCOL.md (Z85 'u' paths,
+  *    absolute 'p', inline 'i'; CRC-checked; RoaringBitmapArray portable
+  *    bitmaps — see [[DeltaDv]]) and re-encode as commitlog DV parquet,
+  *    position-for-position (`_metadata.row_index` addressing on both
+  *    sides). Features this engine has no native twin for (v2Checkpoints
+  *    as the checkpoint gate below, type widening, …) still REFUSE
+  *    loudly — importing files a reader feature reinterprets would be
+  *    silently wrong.
   */
 object DeltaImport {
 
@@ -46,9 +55,12 @@ object DeltaImport {
     .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
 
   private final case class Snapshot(
-      schema: StructType,
-      partitionCols: Seq[String],
-      adds: Map[String, JsonNode]) // path -> add action (last wins)
+      schema: StructType, // logical names, delta metadata stripped
+      partitionCols: Seq[String], // logical names
+      adds: Map[String, JsonNode], // path -> add action (last wins)
+      colMap: Map[String, String]) { // logical -> physical (empty = none)
+    def physOf(c: String): String = colMap.getOrElse(c, c)
+  }
 
   /** Fold the Delta log at `deltaPath` to its current snapshot. */
   private def readLog(spark: SparkSession, deltaPath: String): Snapshot = {
@@ -68,10 +80,9 @@ object DeltaImport {
           s"_last_checkpoint names version $v but ${cpFile.getFileName} " +
             "is missing (multi-part/v2 checkpoints are not supported)")
         val rows = spark.read.parquet(cpFile.toString)
-        val protos = rows.select("protocol.minReaderVersion")
-          .filter(col("minReaderVersion").isNotNull)
-          .collect().map(_.getInt(0))
-        protos.foreach(gateReader)
+        rows.filter(col("protocol.minReaderVersion").isNotNull)
+          .select(to_json(col("protocol")).as("j"))
+          .collect().foreach(r => gateReader(mapper.readTree(r.getString(0))))
         val metas = rows
           .filter(col("metaData.schemaString").isNotNull)
           .select("metaData.schemaString", "metaData.partitionColumns")
@@ -105,8 +116,7 @@ object DeltaImport {
       Files.readAllLines(logDir.resolve(name)).asScala
         .filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
-          Option(node.get("protocol")).foreach(p =>
-            gateReader(p.get("minReaderVersion").asInt()))
+          Option(node.get("protocol")).foreach(gateReader)
           Option(node.get("metaData")).foreach { m =>
             schema = Some(DataType.fromJson(m.get("schemaString").asText())
               .asInstanceOf[StructType])
@@ -119,18 +129,62 @@ object DeltaImport {
             adds.remove(r.get("path").asText()))
         }
     }
-    Snapshot(
-      schema.getOrElse(throw new IllegalArgumentException(
-        s"$deltaPath log carries no metaData action")),
-      partCols, adds.toMap)
+    val raw = schema.getOrElse(throw new IllegalArgumentException(
+      s"$deltaPath log carries no metaData action"))
+    // delta.columnMapping.physicalName → the engine's own logical→physical
+    // map. Top-level only: the commitlog resolves nested fields by their
+    // literal parquet names, so a nested mapping cannot translate.
+    val PhysKey = "delta.columnMapping.physicalName"
+    def nestedMapped(dt: DataType): Boolean = dt match {
+      case st: StructType => st.fields.exists(f =>
+        (f.metadata.contains(PhysKey) &&
+          f.metadata.getString(PhysKey) != f.name) || nestedMapped(f.dataType))
+      case at: org.apache.spark.sql.types.ArrayType => nestedMapped(at.elementType)
+      case mt: org.apache.spark.sql.types.MapType =>
+        nestedMapped(mt.keyType) || nestedMapped(mt.valueType)
+      case _ => false
+    }
+    raw.fields.foreach(f => require(!nestedMapped(f.dataType),
+      s"column '${f.name}' carries NESTED column-mapping physical names — " +
+        "the commitlog maps top-level columns only; materialize with a " +
+        "Delta-native reader first"))
+    val colMap = raw.fields.flatMap { f =>
+      if (f.metadata.contains(PhysKey) &&
+          f.metadata.getString(PhysKey) != f.name)
+        Some(f.name -> f.metadata.getString(PhysKey))
+      else None
+    }.toMap
+    val clean = StructType(raw.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+    Snapshot(clean, partCols, adds.toMap, colMap)
   }
 
-  private def gateReader(minReaderVersion: Int): Unit =
-    require(minReaderVersion <= 1,
-      s"Delta table requires reader version $minReaderVersion " +
-        "(deletion vectors / column mapping / v2 checkpoints); importing " +
-        "its files by path would be incorrect — materialize it with a " +
-        "Delta-native reader first")
+  /** Reader-feature gate: version 1 is the base protocol; version 2 is
+    * column mapping (translated natively); version 3 lists readerFeatures,
+    * each of which must have a native translation here. Anything else is
+    * REFUSED loudly — importing files a reader feature reinterprets would
+    * be silently wrong (v2Checkpoint is additionally gated at the
+    * single-part-checkpoint require above).
+    */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz")
+
+  private def gateReader(protocol: JsonNode): Unit = {
+    val v = protocol.get("minReaderVersion").asInt()
+    if (v <= 2) return
+    require(v == 3, s"Delta reader version $v is unknown to this importer")
+    require(protocol.get("readerFeatures") != null,
+      "Delta reader version 3 requires a readerFeatures list " +
+        "(PROTOCOL.md, Table Features) — refusing a malformed protocol")
+    val feats = Option(protocol.get("readerFeatures")).toSeq
+      .flatMap(_.elements().asScala.map(_.asText()))
+    val unsupported = feats.filterNot(SupportedReaderFeatures)
+    require(unsupported.isEmpty,
+      s"Delta table requires reader features ${unsupported.mkString(", ")} " +
+        "with no native translation in this engine; importing its files " +
+        "by path would be incorrect — materialize it with a Delta-native " +
+        "reader first")
+  }
 
   /** Percent-decode an add.path (the protocol stores RFC 2396-encoded
     * relative paths).
@@ -152,6 +206,9 @@ object DeltaImport {
     else importMaterialized(spark, deltaPath, snap, root)
   }
 
+  private def dvOf(a: JsonNode): Option[JsonNode] =
+    Option(a.get("deletionVector")).filterNot(_.isNull)
+
   private def importByReference(spark: SparkSession, deltaPath: String,
       snap: Snapshot, root: String): Long = {
     val stats = snap.adds.toSeq.map { case (rel, a) =>
@@ -164,24 +221,59 @@ object DeltaImport {
         .getOrElse(spark.read.parquet(abs).count())
       CommitLog.FileStat(abs, rows, Files.size(Paths.get(abs)))
     }
-    CommitLog.importSnapshot(root, snap.schema, stats)
+    // deletion vectors re-encode as commitlog DV parquet, position-for-
+    // position (both formats address parquet row indexes); rows above
+    // deliberately keep Delta's physical counts — the commitlog records
+    // all-rows stats too and subtracts DVs at read/describe time
+    val dvPerFile = snap.adds.toSeq.flatMap { case (rel, a) =>
+      dvOf(a).map { d =>
+        val abs = Paths.get(deltaPath, decodePath(rel)).toAbsolutePath.toString
+        abs -> DeltaDv.decode(deltaPath, d)
+      }
+    }
+    val dvs = CommitLog.stageImportedDvs(spark, root, dvPerFile)
+    CommitLog.importSnapshot(root, snap.schema, stats, snap.colMap, dvs)
   }
 
   private def importMaterialized(spark: SparkSession, deltaPath: String,
       snap: Snapshot, root: String): Long = {
+    // under column mapping the log's partitionValues are keyed by
+    // PHYSICAL name (PROTOCOL.md: partition values use the physical
+    // schema); data files likewise store physical column names
     val byTuple = snap.adds.toSeq.groupBy { case (_, a) =>
       snap.partitionCols.map(c =>
-        Option(a.get("partitionValues").get(c)).filterNot(_.isNull)
-          .map(_.asText()).orNull)
+        Option(a.get("partitionValues").get(snap.physOf(c)))
+          .filterNot(_.isNull).map(_.asText()).orNull)
     }
     val dataCols = snap.schema.fields
-      .filterNot(f => snap.partitionCols.contains(f.name))
+      .filterNot(f => snap.partitionCols.contains(f.name)).toSeq
+    val physSchema = StructType(dataCols.map(f =>
+      f.copy(name = snap.physOf(f.name))))
+    def toLogical(df: DataFrame): DataFrame =
+      if (snap.colMap.isEmpty) df
+      else df.select(dataCols.map(f =>
+        col(snap.physOf(f.name)).as(f.name)): _*)
     val parts = byTuple.toSeq.map { case (tuple, files) =>
-      val paths = files.map { case (rel, _) =>
-        Paths.get(deltaPath, decodePath(rel)).toAbsolutePath.toString }
-      val base = spark.read
-        .schema(StructType(dataCols))
-        .parquet(paths: _*)
+      val (withDv, clean) = files.partition { case (_, a) => dvOf(a).isDefined }
+      def absOf(rel: String) =
+        Paths.get(deltaPath, decodePath(rel)).toAbsolutePath.toString
+      val cleanDf =
+        if (clean.isEmpty) None
+        else Some(toLogical(spark.read.schema(physSchema)
+          .parquet(clean.map(f => absOf(f._1)): _*)))
+      // DV'd files materialize MINUS their dead positions: each file reads
+      // alone (its DV addresses ITS row indexes) and anti-joins the
+      // decoded position set on _metadata.row_index
+      val dvDfs = withDv.map { case (rel, a) =>
+        import spark.implicits._
+        val dead = DeltaDv.decode(deltaPath, dvOf(a).get)
+          .toSeq.toDF("__imp_pos")
+        toLogical(spark.read.schema(physSchema).parquet(absOf(rel))
+          .withColumn("__imp_pos", col("_metadata.row_index"))
+          .join(broadcast(dead), Seq("__imp_pos"), "left_anti")
+          .drop("__imp_pos"))
+      }
+      val base = (cleanDf.toSeq ++ dvDfs).reduce(_.unionByName(_))
       snap.partitionCols.zip(tuple).foldLeft(base) { case (d, (c, v)) =>
         d.withColumn(c,
           lit(v).cast(snap.schema(c).dataType))

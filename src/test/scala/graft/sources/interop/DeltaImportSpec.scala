@@ -34,10 +34,14 @@ class DeltaImportSpec extends SparkTestBase {
     Files.move(part, target)
   }
 
-  private def protoJson(minReader: Int): String = {
+  private def protoJson(minReader: Int, features: Seq[String] = Nil): String = {
     val n = om.createObjectNode()
     val p = n.putObject("protocol")
     p.put("minReaderVersion", minReader); p.put("minWriterVersion", 2)
+    if (features.nonEmpty) {
+      val rf = p.putArray("readerFeatures"); features.foreach(rf.add)
+      val wf = p.putArray("writerFeatures"); features.foreach(wf.add)
+    }
     om.writeValueAsString(n)
   }
 
@@ -151,14 +155,155 @@ class DeltaImportSpec extends SparkTestBase {
     DeltaImport.importTable(spark, d, root)
     assert(CommitLog.read(spark, root).count() == 6)
 
-    // reader gate: minReaderVersion 3 (e.g. deletion vectors) refuses
+    // reader gate: version 3 with a feature this engine cannot translate
+    // (v2Checkpoint) refuses; bare v3 without the mandatory feature list
+    // is malformed and refuses too
     val d2 = tmp(); val root2 = tmp()
     writeOne(df1, Paths.get(d2, "f1.parquet"))
-    writeCommit(d2, 0L, Seq(protoJson(3), metaJson(df1.schema, Nil),
-      addJson("f1.parquet", Some(4L))))
+    writeCommit(d2, 0L, Seq(protoJson(3, Seq("v2Checkpoint")),
+      metaJson(df1.schema, Nil), addJson("f1.parquet", Some(4L))))
     val e = intercept[IllegalArgumentException] {
       DeltaImport.importTable(spark, d2, root2)
     }
-    assert(e.getMessage.contains("reader version"))
+    assert(e.getMessage.contains("reader features"), e.getMessage)
+    val d3 = tmp()
+    writeOne(df1, Paths.get(d3, "f1.parquet"))
+    writeCommit(d3, 0L, Seq(protoJson(3), metaJson(df1.schema, Nil),
+      addJson("f1.parquet", Some(4L))))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaImport.importTable(spark, d3, tmp())
+    }
+    assert(e2.getMessage.contains("readerFeatures"), e2.getMessage)
+  }
+
+  /** Schema whose fields map to physical parquet names — the reader-v2
+    * column-mapping layout (delta.columnMapping.physicalName metadata).
+    */
+  private def mappedSchema(fields: (String, org.apache.spark.sql.types.DataType,
+      String)*): StructType =
+    StructType(fields.map { case (name, dt, phys) =>
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", 1L).build())
+    })
+
+  test("reader-version-2 column mapping imports zero-copy through the " +
+      "native logical->physical column map") {
+    import org.apache.spark.sql.types.LongType
+    val d = tmp(); val root = tmp()
+    // the data file holds PHYSICAL column names, delta-spark style
+    val phys = spark.range(5).selectExpr(
+      "id AS `col-9a1b`", "id * 3 AS `col-77cd`")
+    writeOne(phys, Paths.get(d, "p1.parquet"))
+    val schema = mappedSchema(
+      ("id", LongType, "col-9a1b"), ("v", LongType, "col-77cd"))
+    writeCommit(d, 0L, Seq(protoJson(2), metaJson(schema, Nil),
+      addJson("p1.parquet", Some(5L))))
+    DeltaImport.importTable(spark, d, root)
+    val t = CommitLog.read(spark, root)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(t.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == (0L until 5L).map(i => (i, i * 3)))
+    val m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+    assert(m.physOf("id") == "col-9a1b" && m.physOf("v") == "col-77cd")
+    // zero-copy: nothing materialized under the import root
+    assert(!Files.walk(Paths.get(root)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+    // a NESTED mapping cannot translate (top-level-only map) — refuse
+    val d2 = tmp()
+    writeOne(phys, Paths.get(d2, "p1.parquet"))
+    val nested = StructType(Seq(org.apache.spark.sql.types.StructField(
+      "s", StructType(mappedSchema(("a", LongType, "col-inner")).fields))))
+    writeCommit(d2, 0L, Seq(protoJson(2), metaJson(nested, Nil),
+      addJson("p1.parquet", Some(5L))))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.importTable(spark, d2, tmp())
+    }
+    assert(e.getMessage.contains("NESTED"), e.getMessage)
+  }
+
+  private def addDvJson(path: String, stats: Option[Long],
+      storageType: String, pathOrInlineDv: String, offset: Option[Int],
+      cardinality: Long, partVals: Map[String, String] = Map.empty): String = {
+    val n = om.readTree(addJson(path, stats, partVals))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val dv = n.`with`("add").putObject("deletionVector")
+    dv.put("storageType", storageType)
+    dv.put("pathOrInlineDv", pathOrInlineDv)
+    offset.foreach(o => dv.put("offset", o))
+    dv.put("sizeInBytes", 1L)
+    dv.put("cardinality", cardinality)
+    om.writeValueAsString(n)
+  }
+
+  test("reader-version-3 deletion vectors decode (u-path, inline) and " +
+      "re-encode as commitlog DVs with row-exact reads") {
+    val d = tmp(); val root = tmp()
+    val df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+      .coalesce(1).sortWithinPartitions("id")
+    val df2 = spark.range(100, 106).selectExpr("id", "id * 2 AS v")
+      .coalesce(1).sortWithinPartitions("id")
+    writeOne(df1, Paths.get(d, "f1.parquet"))
+    writeOne(df2, Paths.get(d, "f2.parquet"))
+    // f1's DV lives in a 'u'-addressed .bin (Z85 uuid), killing rows 1,3,4
+    val uuid = java.util.UUID.randomUUID()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val enc = DeltaDv.z85Encode(bb.array())
+    val off = DeltaDv.writeDvFile(
+      Paths.get(d, s"deletion_vector_$uuid.bin"), Array(1L, 3L, 4L))
+    // f2's DV rides INLINE (Z85 of the portable payload), killing row 0
+    val inline = DeltaDv.z85Encode {
+      val p = DeltaDv.writePortable(Array(0L))
+      java.util.Arrays.copyOf(p, (p.length + 3) / 4 * 4) // Z85 pads to 4
+    }
+    writeCommit(d, 0L, Seq(
+      protoJson(3, Seq("deletionVectors")),
+      metaJson(spark.range(1).selectExpr("id", "id AS v").schema, Nil),
+      addDvJson("f1.parquet", Some(10L), "u", enc, Some(off), 3L),
+      addDvJson("f2.parquet", Some(6L), "i", inline, None, 1L)))
+    DeltaImport.importTable(spark, d, root)
+    val got = CommitLog.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (Seq(0L, 2L, 5L, 6L, 7L, 8L, 9L) ++ (101L to 105L))
+      .map(i => (i, i * 2))
+    assert(got == want, got.toString)
+    // the import landed DVs as manifest metadata, zero data copies
+    val m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+    assert(m.dvsOrEmpty.size == 2)
+    // and the snapshot supports further native DV work: purge materializes
+    CommitLog.purgeDeletionVectors(spark, root)
+    assert(CommitLog.read(spark, root).count() == 12)
+  }
+
+  test("partitioned table with column mapping AND a DV materializes " +
+      "row-exactly (partitionValues keyed by physical name)") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val d = tmp(); val root = tmp()
+    val phys = spark.range(4).selectExpr("id AS `col-x`")
+      .coalesce(1).sortWithinPartitions("col-x")
+    writeOne(phys, Paths.get(d, "k=a", "p1.parquet"))
+    writeOne(phys, Paths.get(d, "k=b", "p2.parquet"))
+    val schema = mappedSchema(
+      ("id", LongType, "col-x"), ("k", StringType, "col-part"))
+    // p1 (k=a) loses row index 2 to an inline DV
+    val inline = DeltaDv.z85Encode {
+      val p = DeltaDv.writePortable(Array(2L))
+      java.util.Arrays.copyOf(p, (p.length + 3) / 4 * 4)
+    }
+    writeCommit(d, 0L, Seq(
+      protoJson(3, Seq("deletionVectors", "columnMapping")),
+      metaJson(schema, Seq("k")),
+      addDvJson("k=a/p1.parquet", Some(4L), "i", inline, None, 1L,
+        partVals = Map("col-part" -> "a")),
+      addJson("k=b/p2.parquet", Some(4L), Map("col-part" -> "b"))))
+    DeltaImport.importTable(spark, d, root)
+    val t = CommitLog.read(spark, root)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "k"))
+    assert(t.filter(col("k") === "a").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 3L))
+    assert(t.filter(col("k") === "b").count() == 4)
   }
 }
