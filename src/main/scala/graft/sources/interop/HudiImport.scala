@@ -28,10 +28,21 @@ import graft.sources.CommitLog
   * simply never projected because the commitlog schema doesn't name them.
   * All reads are driver-side JSON walks, KB–MB at any table size.
   *
-  * Refused loudly: MERGE_ON_READ tables (ignoring their avro log files
-  * would silently drop updates). Files written by INFLIGHT instants never
-  * enter the fold at all — only completed-commit metadata is read, which
-  * is exactly Hudi's own snapshot-isolation rule.
+  * MERGE_ON_READ (r8): imports when the snapshot is LOG-FREE — every live
+  * file group's newest base file is newer than any log file attached to it
+  * (a fully-compacted MOR table, the steady state any compaction schedule
+  * converges to; the fold reads `deltacommit` instants alongside commits
+  * and tracks per-group log/base recency from the timeline alone). A file
+  * group with an OUTSTANDING log file still refuses loudly: folding the
+  * log would require re-implementing Hudi's binary log-block format
+  * (#HUDI# framing + avro record/delete blocks) from the spec with no
+  * native writer available to validate against — a wrong-byte reader
+  * would silently drop or resurrect updates, which is strictly worse than
+  * the refusal. Compact with a Hudi-native engine, then import.
+  *
+  * Files written by INFLIGHT instants never enter the fold at all — only
+  * completed-commit metadata is read, which is exactly Hudi's own
+  * snapshot-isolation rule.
   */
 object HudiImport {
 
@@ -87,18 +98,18 @@ object HudiImport {
       }
     }
 
-  /** Completed commit/replacecommit instants, oldest first, as
-    * (instantTime, parsed JSON body).
+  /** Completed commit/replacecommit/deltacommit instants, oldest first,
+    * as (instantTime, action, parsed JSON body).
     */
-  private def completedCommits(hoodie: Path): Seq[(String, JsonNode)] = {
+  private def completedCommits(hoodie: Path): Seq[(String, String, JsonNode)] = {
     val timelineDirs = Seq(hoodie.resolve("timeline"), hoodie)
       .filter(Files.isDirectory(_))
-    val Re = """^(\d+)(?:_\d+)?\.(commit|replacecommit)$""".r
+    val Re = """^(\d+)(?:_\d+)?\.(commit|replacecommit|deltacommit)$""".r
     timelineDirs.flatMap { d =>
       Files.list(d).iterator().asScala.flatMap { p =>
         p.getFileName.toString match {
-          case Re(instant, _) =>
-            Some(instant -> mapper.readTree(Files.readAllBytes(p)))
+          case Re(instant, action) =>
+            Some((instant, action, mapper.readTree(Files.readAllBytes(p))))
           case _ => None
         }
       }.toSeq
@@ -120,17 +131,19 @@ object HudiImport {
     val in = Files.newInputStream(pf)
     try props.load(in) finally in.close()
     val tableType = props.getProperty("hoodie.table.type", "COPY_ON_WRITE")
-    require(tableType == "COPY_ON_WRITE",
-      s"table type $tableType unsupported — a MERGE_ON_READ snapshot " +
-        "needs its avro log files merged; compact it to COW with a " +
-        "Hudi-native engine first")
+    require(tableType == "COPY_ON_WRITE" || tableType == "MERGE_ON_READ",
+      s"unknown hoodie.table.type $tableType")
     val commits = completedCommits(hoodie)
     require(commits.nonEmpty, s"$hudiPath has no completed commits")
     // timeline fold: newest completed base file per (partition, fileId);
-    // replacecommits kill the file groups they list
-    val live = scala.collection.mutable.Map[
-      (String, String), (String, Long)]() // (partition, fileId) -> (path, rows)
-    commits.foreach { case (_, body) =>
+    // replacecommits kill the file groups they list; deltacommit write
+    // stats referencing LOG files mark their group log-bearing AS OF that
+    // instant (a later compaction commit replaces the base and absorbs
+    // older logs — only a log newer than the group's base is outstanding)
+    final case class Group(path: String, rows: Long, baseInstant: String,
+        lastLogInstant: Option[String])
+    val live = scala.collection.mutable.Map[(String, String), Group]()
+    commits.foreach { case (instant, _, body) =>
       Option(body.get("partitionToReplaceFileIds")).foreach { rep =>
         rep.properties().asScala.foreach { e =>
           e.getValue.elements().asScala.foreach(fid =>
@@ -142,27 +155,48 @@ object HudiImport {
           e.getValue.elements().asScala.foreach { st =>
             val fileId = st.get("fileId").asText()
             val p = st.get("path").asText()
-            val rows = Option(st.get("numWrites")).map(_.asLong()).getOrElse(0L)
-            live((e.getKey, fileId)) = (p, rows)
+            val key = (e.getKey, fileId)
+            if (p.contains(".log.")) {
+              // MOR delta log append: the group carries unmerged updates
+              // from this instant on (until a newer base file lands)
+              live.get(key) match {
+                case Some(g) => live(key) = g.copy(lastLogInstant = Some(instant))
+                case None => live(key) = Group(null, 0L, "", Some(instant))
+              }
+            } else {
+              val rows = Option(st.get("numWrites")).map(_.asLong()).getOrElse(0L)
+              // a new base file (insert or compaction) supersedes any log
+              // written before it
+              live(key) = Group(p, rows, instant, None)
+            }
           }
         }
       }
     }
     require(live.nonEmpty, s"$hudiPath folds to an empty snapshot")
+    val outstanding = live.filter { case (_, g) =>
+      g.path == null || g.lastLogInstant.exists(_ > g.baseInstant)
+    }
+    require(outstanding.isEmpty,
+      s"MERGE_ON_READ snapshot has ${outstanding.size} file group(s) with " +
+        "outstanding log files (e.g. " +
+        s"${outstanding.keys.take(3).mkString(", ")}); folding Hudi's " +
+        "binary log blocks is not implemented — compact with a " +
+        "Hudi-native engine, then import")
     // schema: the newest commit carrying one
     val schemaJson = commits.reverse.iterator
-      .flatMap(c => Option(c._2.get("extraMetadata"))
+      .flatMap(c => Option(c._3.get("extraMetadata"))
         .flatMap(m => Option(m.get("schema"))).map(_.asText()))
       .find(_.nonEmpty)
       .getOrElse(throw new IllegalArgumentException(
         s"no commit at $hudiPath carries extraMetadata.schema"))
     val (dt, _) = avroToSpark(mapper.readTree(schemaJson))
     val schema = dt.asInstanceOf[StructType]
-    val stats = live.values.toSeq.sortBy(_._1).map { case (rel, rows) =>
-      val abs = Paths.get(hudiPath, rel)
+    val stats = live.values.toSeq.sortBy(_.path).map { g =>
+      val abs = Paths.get(hudiPath, g.path)
       require(Files.isRegularFile(abs),
         s"commit metadata references missing base file $abs")
-      CommitLog.FileStat(abs.toString, rows, Files.size(abs))
+      CommitLog.FileStat(abs.toString, g.rows, Files.size(abs))
     }
     CommitLog.importSnapshot(root, schema, stats)
   }

@@ -96,14 +96,48 @@ class HudiImportSpec extends SparkTestBase {
     assert(CommitLog.read(spark, root2).count() == 50L)
   }
 
-  test("MERGE_ON_READ refuses loudly") {
+  test("MERGE_ON_READ with outstanding log files refuses loudly; once a " +
+      "compaction commit supersedes the logs, the snapshot imports") {
     val t = freshHudi(tableType = "MERGE_ON_READ")
-    Files.write(t.resolve(".hoodie").resolve("001.commit"),
-      commitJson(Seq(("fg1", "x.parquet", 1L))).getBytes("UTF-8"))
+    val hoodie = t.resolve(".hoodie")
+    writeParquet(t, "fg1_0-0-0_001.parquet", 0L until 30L)
+    // 001: MOR base file; 002: a deltacommit APPENDS A LOG FILE to fg1 —
+    // its updates live only in the log, so importing now would drop them
+    Files.write(hoodie.resolve("001.deltacommit"), commitJson(Seq(
+      ("fg1", "fg1_0-0-0_001.parquet", 30L))).getBytes("UTF-8"))
+    Files.write(hoodie.resolve("002.deltacommit"), commitJson(Seq(
+      ("fg1", ".fg1_001.log.1_0-1-0", 5L))).getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       HudiImport.importTable(spark, t.toString,
         Files.createTempDirectory("graft-hudi-mor").toString)
     }
-    assert(e.getMessage.contains("MERGE_ON_READ"))
+    assert(e.getMessage.contains("outstanding log"), e.getMessage)
+    // 003: compaction lands a NEW base for fg1 (merging the log) — the
+    // log-free snapshot now imports, reading only the compacted base
+    writeParquet(t, "fg1_0-0-0_003.parquet", 0L until 35L)
+    Files.write(hoodie.resolve("003.commit"), commitJson(Seq(
+      ("fg1", "fg1_0-0-0_003.parquet", 35L))).getBytes("UTF-8"))
+    val root = Files.createTempDirectory("graft-hudi-mor2").toString
+    HudiImport.importTable(spark, t.toString, root)
+    assert(CommitLog.read(spark, root).count() == 35L)
+    // a fresh log AFTER the compaction re-arms the refusal
+    Files.write(hoodie.resolve("004.deltacommit"), commitJson(Seq(
+      ("fg1", ".fg1_003.log.1_0-1-0", 2L))).getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      HudiImport.importTable(spark, t.toString,
+        Files.createTempDirectory("graft-hudi-mor3").toString)
+    }
+    assert(e2.getMessage.contains("outstanding log"), e2.getMessage)
+  }
+
+  test("a file group known ONLY through a log file (no base yet) refuses") {
+    val t = freshHudi(tableType = "MERGE_ON_READ")
+    Files.write(t.resolve(".hoodie").resolve("001.deltacommit"),
+      commitJson(Seq(("fg9", ".fg9_001.log.1_0-1-0", 3L))).getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      HudiImport.importTable(spark, t.toString,
+        Files.createTempDirectory("graft-hudi-lonely").toString)
+    }
+    assert(e.getMessage.contains("outstanding log"), e.getMessage)
   }
 }
