@@ -92,4 +92,114 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`$table`")
     registerTable(spark, s"$db.$table")
   }
+
+  // --------------------------------------------------------------------
+  // Catalog backup/restore ≡ the reference's bin/backup_hive_metastore.sh
+  // (a mysqldump of the Hive metastore). The metastore holds POINTERS —
+  // database names, table names → (provider, location, schema, partition
+  // spec) plus view DDL — while every byte of data lives in the tables'
+  // own storage (commitlog roots, parquet directories). So a backup is a
+  // KB-scale JSON dump of those pointers, and restore re-creates every
+  // table as an EXTERNAL pointer at its recorded location: data is never
+  // copied, exactly like the reference's SQL dump. Works against any
+  // catalog implementation (in-memory, Hive-on-Derby, a remote HMS).
+  // --------------------------------------------------------------------
+
+  private final case class TableDump(
+      db: String, name: String, tableType: String, provider: String,
+      location: String, schemaJson: String, partitionCols: Seq[String],
+      options: Map[String, String], viewText: String)
+  private final case class CatalogDump(
+      version: Int, databases: Seq[String], tables: Seq[TableDump])
+
+  private val dumpMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m.configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  /** Dump every database's table/view pointers to one JSON file; returns
+    * the number of tables dumped. `dbs` restricts the scope (default: all
+    * non-default databases plus any tables in `default`).
+    */
+  def exportCatalog(spark: SparkSession, path: String,
+      dbs: Seq[String] = Nil): Int = {
+    val cat = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+    val databases =
+      if (dbs.nonEmpty) dbs else cat.listDatabases()
+    val tables = databases.flatMap { db =>
+      cat.listTables(db).map(id =>
+        cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          id.table, Some(db))))
+    } // views dump too — their DDL restores below
+    val dumps = tables.map { t =>
+      TableDump(
+        t.identifier.database.getOrElse("default"), t.identifier.table,
+        t.tableType.name, t.provider.getOrElse(""),
+        t.storage.locationUri.map(_.toString).getOrElse(""),
+        t.schema.json, t.partitionColumnNames,
+        t.storage.properties, t.viewText.getOrElse(""))
+    }
+    val dump = CatalogDump(1, databases.filterNot(_ == "default"), dumps)
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, dumpMapper.writeValueAsBytes(dump))
+    dumps.size
+  }
+
+  /** Re-create every dumped database and table pointer in THIS session's
+    * catalog; data is never touched (tables restore as pointers at their
+    * recorded locations). Existing objects are left alone (IF NOT EXISTS
+    * semantics), so restore is idempotent and safe on a half-initialized
+    * metastore. Returns the number of tables restored.
+    */
+  def importCatalog(spark: SparkSession, path: String): Int = {
+    val dump = dumpMapper.readValue(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      classOf[CatalogDump])
+    Option(dump.databases).getOrElse(Nil).foreach(ensureSchema(spark, _))
+    var n = 0
+    // tables first, views second — a view's text may reference any table
+    val (views, tabs) = Option(dump.tables).getOrElse(Nil)
+      .partition(_.tableType == "VIEW")
+    tabs.foreach { t =>
+      ensureSchema(spark, t.db)
+      if (!spark.catalog.tableExists(s"${t.db}.${t.name}")) {
+        val schema = org.apache.spark.sql.types.DataType.fromJson(t.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val cols = schema.fields.map(f =>
+          s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        val part =
+          if (Option(t.partitionCols).getOrElse(Nil).isEmpty) ""
+          else t.partitionCols.map(c => s"`$c`").mkString(
+            " PARTITIONED BY (", ", ", ")")
+        val opts = Option(t.options).getOrElse(Map.empty) ++
+          (if (t.location.nonEmpty &&
+              !Option(t.options).getOrElse(Map.empty).contains("path"))
+            Map("path" -> t.location) else Map.empty)
+        val optSql =
+          if (opts.isEmpty) ""
+          else opts.map { case (k, v) =>
+            s"'${k.replace("'", "''")}' '${v.replace("'", "''")}'"
+          }.mkString(" OPTIONS (", ", ", ")")
+        val provider = if (t.provider.nonEmpty) t.provider else "parquet"
+        spark.sql(s"CREATE TABLE IF NOT EXISTS `${t.db}`.`${t.name}` " +
+          s"($cols) USING `$provider`$optSql$part")
+        n += 1
+      }
+    }
+    views.foreach { v =>
+      ensureSchema(spark, v.db)
+      if (!spark.catalog.tableExists(s"${v.db}.${v.name}") &&
+          v.viewText.nonEmpty) {
+        spark.sql(s"CREATE VIEW IF NOT EXISTS `${v.db}`.`${v.name}` " +
+          s"AS ${v.viewText}")
+        n += 1
+      }
+    }
+    n
+  }
 }
