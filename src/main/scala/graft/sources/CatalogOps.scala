@@ -129,12 +129,15 @@ object CatalogOps {
     val cat = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.catalog
     val databases =
-      if (dbs.nonEmpty) dbs else cat.listDatabases()
+      (if (dbs.nonEmpty) dbs else cat.listDatabases())
+        .filterNot(_ == "global_temp") // session-scoped, not metastore state
     val tables = databases.flatMap { db =>
-      cat.listTables(db).map(id =>
+      // exclude session temp views: listTables merges them into every db
+      // listing, but they are not metastore state and have no metadata
+      cat.listTables(db, "*", includeLocalTempViews = false).map(id =>
         cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
           id.table, Some(db))))
-    } // views dump too — their DDL restores below
+    } // persistent views dump too — their DDL restores below
     val dumps = tables.map { t =>
       TableDump(
         t.identifier.database.getOrElse("default"), t.identifier.table,
