@@ -19,14 +19,26 @@ import graft.sources.CommitLog
   * per live file with `stats.numRecords` riding the manifest's exact row
   * counts.
   *
-  * Refused loudly (exporting would corrupt): deletion vectors (a Delta-1
-  * reader would resurrect dead rows), column mapping (physical names
-  * would leak), and by-reference files outside the root (clone/import
-  * sources — a relative path cannot reach them).
+  * Deletion vectors (r8): a DV-bearing snapshot exports as a READER
+  * VERSION 3 log with the `deletionVectors` feature — each file's
+  * commitlog DV parquet (dead `_metadata.row_index` positions, the same
+  * addressing Delta uses) re-encodes through [[DeltaDv.writeDvFile]] as a
+  * 'u'-addressed `deletion_vector_<uuid>.bin` (Z85 uuid, CRC-framed
+  * portable RoaringBitmapArray) referenced by a `deletionVector`
+  * descriptor on the add action. Reading the positions needs a
+  * SparkSession (DV parquet is data, not metadata) — pass one, or the
+  * DV case refuses with instructions; positions per file are KB-scale.
+  *
+  * Refused loudly (exporting would corrupt): column mapping (physical
+  * names would leak), and by-reference files outside the root
+  * (clone/import sources — a relative path cannot reach them).
   *
   * Round-trip contract: `DeltaImport.importTable` over the exported root
-  * reads back the identical snapshot ([[DeltaExportSpec]]). At 100 TB the
-  * export is a driver-metadata write — KB of JSON for any table size.
+  * reads back the identical snapshot ([[DeltaExportSpec]]) — for DV
+  * exports that round trip exercises BOTH halves of the PROTOCOL.md DV
+  * codec against each other plus the commitlog read path as the
+  * ground truth. At 100 TB the export is a driver-metadata write — KB of
+  * JSON (plus KB-scale .bin per DV'd file) for any table size.
   */
 object DeltaExport {
 
@@ -39,22 +51,50 @@ object DeltaExport {
     * evolving underneath (vacuum retention still governs the files'
     * physical lifetime — pin a tag to hold them).
     */
-  def exportTable(root: String, version: Option[Long] = None): Int = {
+  def exportTable(root: String, version: Option[Long] = None,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Int = {
     val v = version.getOrElse(CommitLog.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no commits at $root")))
     val m = CommitLog.readManifest(root, v)
-    require(m.dvsOrEmpty.isEmpty,
-      "snapshot carries deletion vectors — compact first (a Delta reader " +
-        "version 1 would resurrect deleted rows)")
+    val dvMap = m.dvsOrEmpty
+    require(dvMap.isEmpty || spark.nonEmpty,
+      "snapshot carries deletion vectors — their positions live in DV " +
+        "parquet, so exporting them needs a SparkSession: " +
+        "exportTable(root, version, spark = Some(session)) writes a " +
+        "reader-version-3 log; or REORG … APPLY (PURGE) first for a " +
+        "reader-version-1 export")
     require(m.colMapOrEmpty.isEmpty,
       "table uses column mapping — physical file names differ from the " +
         "logical schema; materialize a rename-free copy first")
     require(m.files.forall(!_.startsWith("/")),
       "snapshot references files outside the table root (clone/import " +
         "sources) — a relative Delta path cannot reach them; compact first")
+    require(dvMap.values.forall(!_.startsWith("/")),
+      "snapshot references deletion vectors outside the table root — " +
+        "purge or compact first")
     val logDir = Paths.get(root, "_delta_log")
     require(!Files.exists(logDir),
       s"$root already carries a _delta_log")
+    // DV re-encode BEFORE the log dir exists (a failed export must not
+    // leave a half-valid Delta table): one descriptor per DV'd file
+    val descriptors: Map[String, (String, Int, Long, Long)] =
+      dvMap.map { case (dataFile, dvFile) =>
+        val s = spark.get
+        val positions = s.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pos",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(s"$root/$dvFile")
+          .collect().map(_.getLong(0)).sorted
+        val uuid = java.util.UUID.randomUUID()
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(uuid.getMostSignificantBits)
+        bb.putLong(uuid.getLeastSignificantBits)
+        val target = Paths.get(root, s"deletion_vector_$uuid.bin")
+        val offset = DeltaDv.writeDvFile(target, positions)
+        dataFile -> (DeltaDv.z85Encode(bb.array()), offset,
+          Files.size(target), positions.length.toLong)
+      }
     Files.createDirectories(logDir)
     val rowsOf = m.statsOrNil.map(s => s.path -> s.rows).toMap
     val sizeOf = m.statsOrNil.map(s => s.path -> s.bytes).toMap
@@ -70,7 +110,14 @@ object DeltaExport {
     val actions =
       line { n =>
         val p = n.putObject("protocol")
-        p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
+        if (descriptors.isEmpty) {
+          p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
+        } else {
+          // table features protocol: DVs are a reader feature
+          p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+          p.putArray("readerFeatures").add("deletionVectors")
+          p.putArray("writerFeatures").add("deletionVectors")
+        }
       } +:
       line { n =>
         val md = n.putObject("metaData")
@@ -78,6 +125,9 @@ object DeltaExport {
         md.put("schemaString", CommitLog.manifestSchema(m).json)
         md.putObject("format").put("provider", "parquet")
         md.putArray("partitionColumns")
+        if (descriptors.nonEmpty)
+          md.putObject("configuration")
+            .put("delta.enableDeletionVectors", "true")
         md.put("createdTime", m.version) // deterministic, not wall clock
       } +:
       m.files.map { f =>
@@ -89,6 +139,14 @@ object DeltaExport {
           a.putObject("partitionValues")
           rowsOf.get(f).foreach(r =>
             a.put("stats", s"""{"numRecords":$r}"""))
+          descriptors.get(f).foreach { case (enc, off, bytes, card) =>
+            val dv = a.putObject("deletionVector")
+            dv.put("storageType", "u")
+            dv.put("pathOrInlineDv", enc)
+            dv.put("offset", off)
+            dv.put("sizeInBytes", bytes)
+            dv.put("cardinality", card)
+          }
         }
       }
     Files.write(logDir.resolve(f"${0L}%020d.json"),

@@ -38,8 +38,8 @@ class DeltaExportSpec extends SparkTestBase {
       .exists(_.toString.endsWith(".parquet")))
   }
 
-  test("exports that would corrupt refuse: deletion vectors and a " +
-      "pre-existing _delta_log") {
+  test("exports that would corrupt refuse: deletion vectors without a " +
+      "session, and a pre-existing _delta_log") {
     val t = tmp()
     CommitLog.append(spark.range(20).selectExpr("id"), t)
     CommitLog.deleteDV(spark, t, col("id") === 3L)
@@ -54,5 +54,37 @@ class DeltaExportSpec extends SparkTestBase {
       DeltaExport.exportTable(t)
     }
     assert(e2.getMessage.contains("_delta_log"))
+  }
+
+  test("a DV-bearing snapshot exports as a reader-version-3 log whose " +
+      "descriptors round-trip through DeltaImport row-exactly") {
+    val t = tmp(); val back = tmp()
+    CommitLog.append(spark.range(40).selectExpr(
+      "id", "CAST(id AS DOUBLE) / 8 AS v"), t)
+    CommitLog.append(spark.range(40, 60).selectExpr(
+      "id", "CAST(id AS DOUBLE) AS v"), t)
+    // merge-on-read deletes in BOTH file generations
+    CommitLog.deleteDV(spark, t, col("id").isin(3L, 17L, 45L))
+    val want = CommitLog.read(spark, t).orderBy("id").collect().map(_.toSeq)
+    assert(want.length == 57)
+    val n = DeltaExport.exportTable(t, spark = Some(spark))
+    assert(n >= 2)
+    // the log declares the feature and carries descriptors
+    val log = new String(Files.readAllBytes(
+      Paths.get(t, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+    assert(log.contains("\"minReaderVersion\":3") &&
+      log.contains("deletionVectors") && log.contains("\"storageType\":\"u\""))
+    // both halves of the PROTOCOL.md DV codec meet: export wrote, import
+    // decodes, and the commitlog read is the ground truth on both sides
+    DeltaImport.importTable(spark, t, back)
+    val got = CommitLog.read(spark, back).orderBy("id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // zero-copy for DATA: the only parquet the re-import writes is its
+    // own KB-scale DV encoding (positions land as commitlog DV parquet)
+    import scala.jdk.CollectionConverters._
+    val parquet = Files.walk(Paths.get(back)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(parquet.nonEmpty && parquet.forall(_.toString.contains("__dv_k=")),
+      parquet.mkString("\n"))
   }
 }
