@@ -439,6 +439,37 @@ object TableOps {
            |FROM ev ANTI JOIN cut USING (o_orderkey)
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Delta DV EXPORT round trip under the oracle gate (r8,
+    // [[graft.sources.interop.DeltaExport]]): a commitlog table takes
+    // merge-on-read deletes (DVs), exports as a reader-version-3 Delta
+    // log (deletionVector descriptors re-encoded per PROTOCOL.md from
+    // the commitlog's DV parquet), re-imports through DeltaImport, and
+    // aggregates — the oracle recomputes the surviving rows relationally,
+    // so BOTH halves of the DV codec are value-proven against DuckDB with
+    // the deletes applied twice independently (natively on export's
+    // source, via descriptor decode on import's result).
+    "q173_delta_export_dv" -> QueryDef(
+      fn = { (s, dir) =>
+        val src = tmp("graft-q173s"); val back = tmp("graft-q173b")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        CommitLog.append(ord.filter(col("o_orderkey") % 2 === 0), src)
+        CommitLog.append(ord.filter(col("o_orderkey") % 2 === 1), src)
+        // MoR deletes across both file generations
+        CommitLog.deleteDV(s, src, col("o_orderkey") % 7 === 3)
+        graft.sources.interop.DeltaExport.exportTable(src, spark = Some(s))
+        graft.sources.interop.DeltaImport.importTable(s, src, back)
+        CommitLog.read(s, back)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders WHERE o_orderkey % 7 <> 3
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Apache Iceberg interop ([[graft.sources.interop.IcebergImport]]):
     // a spec-compliant Iceberg metadata tree (version-hint →
     // vN.metadata.json → avro manifest list → avro manifest) is written
