@@ -1076,88 +1076,38 @@ object Corpus {
         val toks = docs(s, dir).select(col("doc_id"), explode(toksCol).as("tok"))
         def side(m: Int) = toks.filter(col("doc_id") % 2 === m)
           .groupBy(col("tok")).agg(count(lit(1)).as(if (m == 0) "a" else "b"))
-        val joined = side(0).join(side(1), Seq("tok"), "full_outer")
-          .na.fill(0L, Seq("a", "b"))
-          .withColumn("a1", col("a") + lit(1)).withColumn("b1", col("b") + lit(1))
-        val Array(aTot, bTot, v) = joined
-          .agg(sum(col("a1")), sum(col("b1")), count(lit(1)))
-          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-        // shared power-of-two pre-scale of the totals (headroom proof in
-        // the block comment and in driftScale's unit tests; s = 0 at any
-        // test scale)
-        val (aT, bT) = driftScale(aTot, bTot)
-        // bits(P vs M) per token: L(2·a1·B′) − L(a1·B′ + b1·A′); mirror for Q
-        val terms = joined
-          .withColumn("xab", expr(s"2 * a1 * ${bT}L"))
-          .withColumn("yab", expr(s"a1 * ${bT}L + b1 * ${aT}L"))
-          .withColumn("xba", expr(s"2 * b1 * ${aT}L"))
-        val withLogs = Seq(("xab", "lx_a"), ("yab", "ly"), ("xba", "lx_b"))
-          .foldLeft(terms) { case (d, (in, out)) => fixedLog2(d, in, out) }
-        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        withLogs
-          .agg(
-            sum(col("a1").cast(dec38) * (col("lx_a") - col("ly")))
-              .as("kla_sum"),
-            sum(col("b1").cast(dec38) * (col("lx_b") - col("ly")))
-              .as("klb_sum"))
-          .select(lit(aTot).as("a_tokens"), lit(bTot).as("b_tokens"),
-            lit(v).as("vocab"),
-            expr(s"CAST(kla_sum div ${aTot}L AS BIGINT)").as("kl_p_q20"),
-            expr(s"CAST(klb_sum div ${bTot}L AS BIGINT)").as("kl_q_q20"),
-            expr(s"CAST((kla_sum div ${aTot}L + klb_sum div ${bTot}L) div 2" +
-              " AS BIGINT)").as("jsd_q20"))
+        driftReportFromCounts(side(0).join(side(1), Seq("tok"), "full_outer"))
       },
-      oracle = Some(
-        """WITH RECURSIVE
-          |toks AS (
-          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-          |  FROM documents),
-          |sa AS (SELECT tok, CAST(count(*) AS BIGINT) AS a FROM toks
-          |  WHERE doc_id % 2 = 0 GROUP BY 1),
-          |sb AS (SELECT tok, CAST(count(*) AS BIGINT) AS b FROM toks
-          |  WHERE doc_id % 2 = 1 GROUP BY 1),
-          |j AS (SELECT COALESCE(a, 0) + 1 AS a1, COALESCE(b, 0) + 1 AS b1
-          |  FROM sa FULL OUTER JOIN sb USING (tok)),
-          |tot AS (SELECT CAST(sum(a1) AS BIGINT) AS at,
-          |    CAST(sum(b1) AS BIGINT) AS bt,
-          |    CAST(count(*) AS BIGINT) AS v,
-          |    GREATEST(0, length(bin(CAST(sum(a1) AS BIGINT)))
-          |      + length(bin(CAST(sum(b1) AS BIGINT))) - 61) AS s FROM j),
-          |terms AS (SELECT a1, b1,
-          |    2 * a1 * (bt >> s) AS xab,
-          |    a1 * (bt >> s) + b1 * (at >> s) AS yab,
-          |    2 * b1 * (at >> s) AS xba
-          |  FROM j, tot),
-          |vals AS (SELECT DISTINCT n FROM (
-          |  SELECT xab AS n FROM terms UNION
-          |  SELECT yab FROM terms UNION SELECT xba FROM terms)),
-          |it AS (
-          |  SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS m,
-          |    CASE WHEN length(bin(n)) - 1 <= 30
-          |      THEN n << (30 - (length(bin(n)) - 1))
-          |      ELSE n >> ((length(bin(n)) - 1) - 30) END AS x,
-          |    CAST(0 AS BIGINT) AS acc, 0 AS i
-          |  FROM vals
-          |  UNION ALL
-          |  SELECT n, m,
-          |    CASE WHEN ((x * x) >> 30) >= 2147483648
-          |      THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
-          |    acc * 2 + CASE WHEN ((x * x) >> 30) >= 2147483648 THEN 1 ELSE 0 END,
-          |    i + 1
-          |  FROM it WHERE i < 20),
-          |logs AS (SELECT n, (m << 20) + acc AS lg FROM it WHERE i = 20),
-          |sums AS (
-          |  SELECT sum(CAST(t.a1 AS HUGEINT) * (la.lg - ly.lg)) AS kla_sum,
-          |    sum(CAST(t.b1 AS HUGEINT) * (lb.lg - ly.lg)) AS klb_sum
-          |  FROM terms t
-          |  JOIN logs la ON la.n = t.xab
-          |  JOIN logs ly ON ly.n = t.yab
-          |  JOIN logs lb ON lb.n = t.xba)
-          |SELECT tot.at AS a_tokens, tot.bt AS b_tokens, tot.v AS vocab,
-          |  CAST(kla_sum // tot.at AS BIGINT) AS kl_p_q20,
-          |  CAST(klb_sum // tot.bt AS BIGINT) AS kl_q_q20,
-          |  CAST((kla_sum // tot.at + klb_sum // tot.bt) // 2 AS BIGINT) AS jsd_q20
-          |FROM sums, tot""".stripMargin)),
+      oracle = Some(driftOracleSql)),
+
+    // Incremental corpus-drift monitor — the STREAMING-SHAPED twin of
+    // q171 (the ops need: "is tonight's crawl shifting the distribution"
+    // answered per ingest batch, not per full recompute). The per-slice
+    // vocab counts persist as an incremental view (tok → row count +
+    // exact sum of the slice-A indicator, so a = sum, b = cnt − sum);
+    // each batch folds through [[graft.sources.IncrementalView.foldBatch]]
+    // — exactly-once via the view's own txn watermark, vocab-sized
+    // rewrites, the corpus never rescans. The report is THE SAME
+    // driftReportFromCounts the batch query runs, over the persisted
+    // counts — so q174 reuses q171's oracle VERBATIM: three folded
+    // batches must reproduce the full-corpus JSD bit-for-bit. At 100 TB:
+    // per-batch cost = tokenize the batch + one vocab-sized merge; the
+    // report is vocab-sized arithmetic on demand.
+    "q174_drift_incremental" -> QueryDef(
+      fn = { (s, dir) =>
+        val d = docs(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q174").toString
+        val n = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        Seq(0L to n / 3, (n / 3 + 1) to 2 * n / 3, (2 * n / 3 + 1) to n)
+          .zipWithIndex.foreach { case (r, i) =>
+            driftFoldBatch(
+              d.filter(col("doc_id").between(r.head, r.last)),
+              root, appId = "q174", batchId = i.toLong)
+          }
+        driftReport(s, root)
+      },
+      oracle = Some(driftOracleSql)),
 
     // CCNet head/middle/tail corpus partitioning (Wenzek LREC'20 §4.3:
     // train an LM on a reference slice, bucket every document into
@@ -1248,6 +1198,129 @@ object Corpus {
           |  CAST(sum(n_toks) AS BIGINT) AS sum_toks
           |FROM bucketed GROUP BY b ORDER BY min_ppl_q20""".stripMargin)),
   )
+
+  /** Shared q171/q174 drift computation from per-token slice counts
+    * (`tok`, `a`, `b`; nulls = absent in that slice). Everything after
+    * the counts is vocabulary-sized.
+    */
+  private[graft] def driftReportFromCounts(counts: DataFrame): DataFrame = {
+        val joined = counts
+          .na.fill(0L, Seq("a", "b"))
+          .withColumn("a1", col("a") + lit(1)).withColumn("b1", col("b") + lit(1))
+        val Array(aTot, bTot, v) = joined
+          .agg(sum(col("a1")), sum(col("b1")), count(lit(1)))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        // shared power-of-two pre-scale of the totals (headroom proof in
+        // the block comment and in driftScale's unit tests; s = 0 at any
+        // test scale)
+        val (aT, bT) = driftScale(aTot, bTot)
+        // bits(P vs M) per token: L(2·a1·B′) − L(a1·B′ + b1·A′); mirror for Q
+        val terms = joined
+          .withColumn("xab", expr(s"2 * a1 * ${bT}L"))
+          .withColumn("yab", expr(s"a1 * ${bT}L + b1 * ${aT}L"))
+          .withColumn("xba", expr(s"2 * b1 * ${aT}L"))
+        val withLogs = Seq(("xab", "lx_a"), ("yab", "ly"), ("xba", "lx_b"))
+          .foldLeft(terms) { case (d, (in, out)) => fixedLog2(d, in, out) }
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        withLogs
+          .agg(
+            sum(col("a1").cast(dec38) * (col("lx_a") - col("ly")))
+              .as("kla_sum"),
+            sum(col("b1").cast(dec38) * (col("lx_b") - col("ly")))
+              .as("klb_sum"))
+          .select(lit(aTot).as("a_tokens"), lit(bTot).as("b_tokens"),
+            lit(v).as("vocab"),
+            expr(s"CAST(kla_sum div ${aTot}L AS BIGINT)").as("kl_p_q20"),
+            expr(s"CAST(klb_sum div ${bTot}L AS BIGINT)").as("kl_q_q20"),
+            expr(s"CAST((kla_sum div ${aTot}L + klb_sum div ${bTot}L) div 2" +
+              " AS BIGINT)").as("jsd_q20"))
+  }
+
+  /** Fold one batch of documents into the persisted drift-counts view at
+    * `root` — exactly-once via the view's txn watermark (a replayed
+    * batchId is a no-op), vocab-sized rewrite per fold, corpus never
+    * rescans. The view rows are (tok, cnt, sum_val) where sum_val counts
+    * slice-A occurrences: one indicator column carries BOTH slices, since
+    * every token row is in exactly one (a = sum, b = cnt − sum).
+    */
+  def driftFoldBatch(batchDocs: DataFrame, root: String,
+      appId: String, batchId: Long): Long = {
+    val tokRows = batchDocs
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .select(col("tok"),
+        when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("in_a"))
+    graft.sources.IncrementalView.foldBatch(
+      tokRows, root, Seq("tok"), "in_a", appId, batchId)
+  }
+
+  /** The q171 drift report computed from the PERSISTED counts view — the
+    * on-demand half of the incremental monitor (vocab-sized arithmetic,
+    * zero corpus work).
+    */
+  def driftReport(spark: SparkSession, root: String): DataFrame =
+    driftReportFromCounts(
+      graft.sources.CommitLog.read(spark, root)
+        .select(col("tok"),
+          col("sum_val").cast("long").as("a"),
+          (col("cnt") - col("sum_val").cast("long")).as("b")))
+
+  /** q171's oracle — reused VERBATIM by q174: the incrementally-folded
+    * counts must reproduce the full-corpus JSD bit-for-bit. (`def`, not
+    * `val`: the queries map above captures it during ITS initialization,
+    * which runs before any later val in this object would assign.)
+    */
+  private def driftOracleSql: String =
+
+        """WITH RECURSIVE
+          |toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents),
+          |sa AS (SELECT tok, CAST(count(*) AS BIGINT) AS a FROM toks
+          |  WHERE doc_id % 2 = 0 GROUP BY 1),
+          |sb AS (SELECT tok, CAST(count(*) AS BIGINT) AS b FROM toks
+          |  WHERE doc_id % 2 = 1 GROUP BY 1),
+          |j AS (SELECT COALESCE(a, 0) + 1 AS a1, COALESCE(b, 0) + 1 AS b1
+          |  FROM sa FULL OUTER JOIN sb USING (tok)),
+          |tot AS (SELECT CAST(sum(a1) AS BIGINT) AS at,
+          |    CAST(sum(b1) AS BIGINT) AS bt,
+          |    CAST(count(*) AS BIGINT) AS v,
+          |    GREATEST(0, length(bin(CAST(sum(a1) AS BIGINT)))
+          |      + length(bin(CAST(sum(b1) AS BIGINT))) - 61) AS s FROM j),
+          |terms AS (SELECT a1, b1,
+          |    2 * a1 * (bt >> s) AS xab,
+          |    a1 * (bt >> s) + b1 * (at >> s) AS yab,
+          |    2 * b1 * (at >> s) AS xba
+          |  FROM j, tot),
+          |vals AS (SELECT DISTINCT n FROM (
+          |  SELECT xab AS n FROM terms UNION
+          |  SELECT yab FROM terms UNION SELECT xba FROM terms)),
+          |it AS (
+          |  SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS m,
+          |    CASE WHEN length(bin(n)) - 1 <= 30
+          |      THEN n << (30 - (length(bin(n)) - 1))
+          |      ELSE n >> ((length(bin(n)) - 1) - 30) END AS x,
+          |    CAST(0 AS BIGINT) AS acc, 0 AS i
+          |  FROM vals
+          |  UNION ALL
+          |  SELECT n, m,
+          |    CASE WHEN ((x * x) >> 30) >= 2147483648
+          |      THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
+          |    acc * 2 + CASE WHEN ((x * x) >> 30) >= 2147483648 THEN 1 ELSE 0 END,
+          |    i + 1
+          |  FROM it WHERE i < 20),
+          |logs AS (SELECT n, (m << 20) + acc AS lg FROM it WHERE i = 20),
+          |sums AS (
+          |  SELECT sum(CAST(t.a1 AS HUGEINT) * (la.lg - ly.lg)) AS kla_sum,
+          |    sum(CAST(t.b1 AS HUGEINT) * (lb.lg - ly.lg)) AS klb_sum
+          |  FROM terms t
+          |  JOIN logs la ON la.n = t.xab
+          |  JOIN logs ly ON ly.n = t.yab
+          |  JOIN logs lb ON lb.n = t.xba)
+          |SELECT tot.at AS a_tokens, tot.bt AS b_tokens, tot.v AS vocab,
+          |  CAST(kla_sum // tot.at AS BIGINT) AS kl_p_q20,
+          |  CAST(klb_sum // tot.bt AS BIGINT) AS kl_q_q20,
+          |  CAST((kla_sum // tot.at + klb_sum // tot.bt) // 2 AS BIGINT) AS jsd_q20
+          |FROM sums, tot""".stripMargin
 
   /** Q20 fixed-point log2 of a positive BIGINT column `in` → BIGINT column
     * `out` = floor(2^20 · log2(n)): integer part from the bit length,

@@ -153,6 +153,20 @@ object StreamingAnalytics {
       ()
     }
 
+  /** Streaming corpus-drift monitor — the live twin of q171/q174: each
+    * micro-batch of documents folds its per-slice vocab counts into the
+    * persisted drift view (exactly-once through the view's txn
+    * watermark; vocab-sized work per batch, the corpus never rescans);
+    * `Corpus.driftReport(spark, viewRoot)` then answers "did tonight's
+    * crawl shift the distribution" on demand with q171's exact Q20 JSD —
+    * bit-identical to the batch recompute over everything ingested.
+    */
+  def driftSink(viewRoot: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.operators.Corpus.driftFoldBatch(batch, viewRoot, appId, batchId)
+      ()
+    }
+
   /** Streaming twin of [[graft.sources.Scd2]]: each micro-batch of
     * dimension updates (key + tracked attributes) merges as one SCD2
     * generation, effective at `effOf(batchId)` — a pure function of the

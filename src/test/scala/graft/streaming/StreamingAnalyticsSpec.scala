@@ -654,4 +654,40 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(graft.sources.CommitLog.currentVersion(root) == vBefore)
     assert(graft.sources.CommitLog.read(spark, root).count() == 2)
   }
+
+  test("streaming corpus-drift monitor equals the batch q171 JSD " +
+      "bit-for-bit and replays exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-drift-sink").toString
+    val sink = driftSink(root, "drift-spec")
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val (b0, rest) = rows.splitAt(rows.length / 3)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.operators.Corpus.driftReport(spark, root)
+      .collect()(0).toSeq
+    // ground truth: the BATCH q171 over the same corpus — every column
+    // (totals, vocab, both KLs, JSD) must match exactly, Q20 included
+    val batch = graft.SparkEntry
+      .queries("q171_corpus_drift")(spark, sf0001).collect()(0).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // restart replay of the last micro-batch is a no-op (exactly-once):
+    // a double fold would shift every count and move the JSD
+    val vBefore = graft.sources.CommitLog.currentVersion(root)
+    sink(b2.toSeq.toDF("doc_id", "text"), 2L)
+    assert(graft.sources.CommitLog.currentVersion(root) == vBefore)
+    assert(graft.operators.Corpus.driftReport(spark, root)
+      .collect()(0).toSeq == batch)
+  }
 }
