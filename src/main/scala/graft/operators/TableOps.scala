@@ -479,6 +479,114 @@ object TableOps {
     // proves the metadata walk, the schema conversion, and the
     // by-reference read exact. Scale: manifests are KB–MB at any table
     // size; a 100 TB Iceberg table imports in driver-metadata time.
+    // Iceberg v2 POSITION-DELETE import under the oracle gate (r8):
+    // the fixture is a format-version-2 snapshot whose delete manifest
+    // carries a position-delete parquet ((file_path, pos) rows — the
+    // spec's layout, and byte-for-byte the commitlog DV model) killing
+    // the 5 lowest row indexes of the sorted evens file. The import
+    // re-encodes the marks as commitlog DVs, stays zero-copy for data,
+    // and the oracle recomputes the survivors relationally — same shape
+    // as q172's Delta DV proof, closing row-level-delete migration for
+    // BOTH formats.
+    "q175_iceberg_posdelete" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = tmp("graft-q175i"); val root = tmp("graft-q175t")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+          val w = Files.createTempDirectory("graft-q175w")
+          df.coalesce(1).write.mode("overwrite").parquet(w.toString)
+          val it = Files.list(w).iterator()
+          var f: java.nio.file.Path = null
+          while (it.hasNext) { val p = it.next()
+            if (p.toString.endsWith(".parquet")) f = p }
+          val target = java.nio.file.Paths.get(t, "data", name)
+          Files.createDirectories(target.getParent)
+          Files.move(f, target)
+          df.count()
+        }
+        val nE = writeOne(ord.filter(col("o_orderkey") % 2 === 0)
+          .coalesce(1).sortWithinPartitions("o_orderkey"), "evens.parquet")
+        import s.implicits._
+        writeOne((0L until 5L).map(p => (s"$t/data/evens.parquet", p))
+          .toDF("file_path", "pos"), "pdel.parquet")
+        val mfSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |  {"name":"status","type":"int"},
+            |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |    {"name":"file_path","type":"string"},
+            |    {"name":"file_format","type":"string"},
+            |    {"name":"record_count","type":"long"},
+            |    {"name":"file_size_in_bytes","type":"long"},
+            |    {"name":"content","type":"int","default":0}
+            |  ]}}]}""".stripMargin)
+        val mlSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |  {"name":"manifest_path","type":"string"},
+            |  {"name":"manifest_length","type":"long"},
+            |  {"name":"content","type":"int","default":0}]}""".stripMargin)
+        def entry(path: String, rows: Long, content: Int) = {
+          val r = new org.apache.avro.generic.GenericData.Record(mfSchema)
+          r.put("status", 1)
+          val d = new org.apache.avro.generic.GenericData.Record(
+            mfSchema.getField("data_file").schema())
+          d.put("file_path", path); d.put("file_format", "PARQUET")
+          d.put("record_count", rows); d.put("file_size_in_bytes", 1L)
+          d.put("content", content)
+          r.put("data_file", d); r
+        }
+        def writeAvro(target: java.nio.file.Path,
+            sch: org.apache.avro.Schema,
+            rs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+          Files.createDirectories(target.getParent)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](sch))
+          w.create(sch, target.toFile)
+          try rs.foreach(w.append) finally w.close()
+        }
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "m1.avro"), mfSchema,
+          Seq(entry(s"$t/data/evens.parquet", nE, 0)))
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "md1.avro"), mfSchema,
+          Seq(entry(s"$t/data/pdel.parquet", 5L, 1)))
+        def ml(path: String, content: Int) = {
+          val r = new org.apache.avro.generic.GenericData.Record(mlSchema)
+          r.put("manifest_path", path); r.put("manifest_length", 1L)
+          r.put("content", content); r
+        }
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "ml1.avro"),
+          mlSchema, Seq(ml(s"$t/metadata/m1.avro", 0),
+            ml(s"$t/metadata/md1.avro", 1)))
+        val schemaJson =
+          """{"type":"struct","schema-id":0,"fields":[
+            |  {"id":1,"name":"o_orderkey","required":true,"type":"long"},
+            |  {"id":2,"name":"o_totalprice","required":false,"type":"double"},
+            |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"}
+            |]}""".stripMargin
+        Files.write(java.nio.file.Paths.get(t, "metadata", "v1.metadata.json"),
+          s"""{"format-version":2,"table-uuid":"0-0-0-0-1","location":"$t",
+             |"schema":$schemaJson,"current-snapshot-id":1,
+             |"snapshots":[{"snapshot-id":1,
+             |  "manifest-list":"$t/metadata/ml1.avro"}]}""".stripMargin
+            .getBytes("UTF-8"))
+        Files.write(java.nio.file.Paths.get(t, "metadata", "version-hint.text"),
+          "1".getBytes("UTF-8"))
+        graft.sources.interop.IcebergImport.importTable(s, t, root)
+        CommitLog.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""WITH ev AS (
+           |  SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+           |cut AS (
+           |  SELECT o_orderkey FROM ev ORDER BY o_orderkey LIMIT 5)
+           |SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM ev ANTI JOIN cut USING (o_orderkey)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q156_iceberg_import" -> QueryDef(
       fn = { (s, dir) =>
         val t = tmp("graft-q156i"); val root = tmp("graft-q156t")

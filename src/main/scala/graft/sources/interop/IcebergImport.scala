@@ -29,10 +29,18 @@ import graft.sources.CommitLog
   * driver-metadata time with zero byte moves. Run `cluster`/`optimize`
   * afterwards to build this engine's own stats/layout for skipping.
   *
-  * Refused loudly (importing by path would resurrect deleted rows):
-  * v2 DELETE manifests (`content = 1` in the manifest list) and non-data
-  * `data_file.content` entries (position/equality deletes); `deleted`
-  * manifest entries (`status = 2`) simply drop out of the fold.
+  * v2 row-level deletes (r8): POSITION delete files translate natively —
+  * per the spec they are ordinary parquet of (`file_path`, `pos`) rows,
+  * `pos` being the row's ordinal in its data file, which is EXACTLY the
+  * commitlog deletion-vector model (`_metadata.row_index` positions in
+  * DV parquet). Delete manifests (`content = 1`) are read, their
+  * position-delete files re-encode through `CommitLog.stageImportedDvs`,
+  * and the import stays zero-copy for data. Dangling deletes (target
+  * data file no longer in the snapshot) are ignored, as the spec directs
+  * readers to. EQUALITY delete files (`data_file.content = 2`) still
+  * refuse loudly — applying them needs row matching plus sequence-number
+  * ordering, machinery with no commitlog twin. `deleted` manifest
+  * entries (`status = 2`) simply drop out of the fold.
   */
 object IcebergImport {
 
@@ -144,22 +152,19 @@ object IcebergImport {
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalArgumentException(
         s"current-snapshot-id $snapId not present in snapshots"))
-    val manifests: Seq[String] = Option(snap.get("manifest-list")) match {
+    val (dataManifests, deleteManifests) = Option(snap.get("manifest-list")) match {
       case Some(ml) =>
-        avroRecords(localPath(ml.asText())).map { r =>
-          fieldOpt(r, "content").map(_.toString.toInt).foreach(c =>
-            require(c == 0,
-              "snapshot carries DELETE manifests (v2 row-level deletes); " +
-                "importing data files by path would resurrect deleted " +
-                "rows — rewrite/expire them with an Iceberg-native engine " +
-                "first"))
-          localPath(r.get("manifest_path").toString)
+        val entries = avroRecords(localPath(ml.asText())).map { r =>
+          (localPath(r.get("manifest_path").toString),
+            fieldOpt(r, "content").map(_.toString.toInt).getOrElse(0))
         }
-      case None => // v1 inline manifest array
-        snap.get("manifests").elements().asScala
-          .map(m => localPath(m.asText())).toSeq
+        (entries.collect { case (p, 0) => p },
+          entries.collect { case (p, 1) => p })
+      case None => // v1 inline manifest array (data only by definition)
+        (snap.get("manifests").elements().asScala
+          .map(m => localPath(m.asText())).toSeq, Nil)
     }
-    val stats = manifests.flatMap { mPath =>
+    val stats = dataManifests.flatMap { mPath =>
       avroRecords(mPath).flatMap { e =>
         val status = e.get("status").toString.toInt
         if (status == 2) None // deleted entry
@@ -167,8 +172,8 @@ object IcebergImport {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           fieldOpt(df, "content").map(_.toString.toInt).foreach(c =>
             require(c == 0,
-              "manifest carries delete files (position/equality) — " +
-                "unsupported for by-path import"))
+              "data manifest carries delete-file content — malformed " +
+                "metadata (delete files belong in content=1 manifests)"))
           val path = localPath(df.get("file_path").toString)
           require(Files.isRegularFile(Paths.get(path)),
             s"manifest references missing data file $path")
@@ -180,6 +185,47 @@ object IcebergImport {
     }
     require(stats.nonEmpty,
       s"$icebergPath folds to an empty snapshot — nothing to import")
-    CommitLog.importSnapshot(root, schema, stats)
+    // v2 row-level deletes: position-delete parquet → commitlog DVs;
+    // equality deletes refuse (no by-path translation exists)
+    val deleteFiles = deleteManifests.flatMap { mPath =>
+      avroRecords(mPath).flatMap { e =>
+        if (e.get("status").toString.toInt == 2) None // removed delete file
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val c = fieldOpt(df, "content").map(_.toString.toInt).getOrElse(1)
+          require(c != 2,
+            "snapshot carries EQUALITY delete files — applying them needs " +
+              "row matching + sequence ordering with no by-path " +
+              "translation; rewrite them with an Iceberg-native engine " +
+              "first")
+          require(c == 1, s"unknown delete-file content $c")
+          val path = localPath(df.get("file_path").toString)
+          require(Files.isRegularFile(Paths.get(path)),
+            s"delete manifest references missing file $path")
+          Some(path)
+        }
+      }
+    }
+    val dvs =
+      if (deleteFiles.isEmpty) Map.empty[String, String]
+      else {
+        val live = stats.map(_.path).toSet
+        // position-delete files are plain parquet of (file_path, pos) —
+        // the deleted-row set, driver-bounded like the Delta DV import;
+        // duplicate marks (several delete files hitting one row) dedupe,
+        // dangling marks (target no longer live) drop per the spec
+        val perFile = spark.read
+          .schema(StructType(Seq(
+            StructField("file_path", StringType),
+            StructField("pos", LongType))))
+          .parquet(deleteFiles: _*)
+          .collect()
+          .groupBy(r => localPath(r.getString(0)))
+          .collect { case (p, rs) if live(p) =>
+            p -> rs.map(_.getLong(1)).distinct.sorted }
+          .toSeq
+        CommitLog.stageImportedDvs(spark, root, perFile)
+      }
+    CommitLog.importSnapshot(root, schema, stats, dvs = dvs)
   }
 }

@@ -151,22 +151,67 @@ class IcebergImportSpec extends SparkTestBase {
       .head.getLong(0) == 50L)
   }
 
-  test("v2 delete manifests and delete data files refuse") {
+  test("v2 POSITION deletes translate to commitlog DVs (dedup + dangling " +
+      "drop); EQUALITY deletes refuse") {
     val t = tmp(); val root = tmp()
-    writeOne(dataDf(0, 3), Paths.get(t, "data", "f.parquet"))
-    writeAvro(Paths.get(t, "metadata", "m.avro"), manifestSchema,
-      Seq(manifestEntry(1, s"$t/data/f.parquet", 3L)))
+    // two data files; f1 loses rows 1 and 3, marked across TWO delete
+    // files (row 3 twice — dedup), plus a DANGLING mark on a removed file
+    writeOne(dataDf(0, 8).coalesce(1).sortWithinPartitions("id"),
+      Paths.get(t, "data", "f1.parquet"))
+    writeOne(dataDf(100, 4).coalesce(1).sortWithinPartitions("id"),
+      Paths.get(t, "data", "f2.parquet"))
+    import spark.implicits._
+    writeOne(Seq((s"$t/data/f1.parquet", 1L), (s"$t/data/f1.parquet", 3L))
+      .toDF("file_path", "pos"), Paths.get(t, "data", "del1.parquet"))
+    writeOne(Seq((s"$t/data/f1.parquet", 3L),
+      (s"$t/data/gone.parquet", 0L)) // dangling — target not in snapshot
+      .toDF("file_path", "pos"), Paths.get(t, "data", "del2.parquet"))
+    writeAvro(Paths.get(t, "metadata", "m.avro"), manifestSchema, Seq(
+      manifestEntry(1, s"$t/data/f1.parquet", 8L),
+      manifestEntry(1, s"$t/data/f2.parquet", 4L)))
+    writeAvro(Paths.get(t, "metadata", "md.avro"), manifestSchema, Seq(
+      manifestEntry(1, s"$t/data/del1.parquet", 2L, dfContent = 1),
+      manifestEntry(1, s"$t/data/del2.parquet", 2L, dfContent = 1)))
     writeAvro(Paths.get(t, "metadata", "ml.avro"), manifestListSchema, Seq(
       listEntry(s"$t/metadata/m.avro"),
-      listEntry(s"$t/metadata/m.avro", content = 1))) // delete manifest
+      listEntry(s"$t/metadata/md.avro", content = 1)))
     Files.write(Paths.get(t, "metadata", "v1.metadata.json"),
       metadataJson(t, 1L, s"$t/metadata/ml.avro", formatVersion = 2)
         .getBytes("UTF-8"))
     Files.write(Paths.get(t, "metadata", "version-hint.text"),
       "1".getBytes("UTF-8"))
+    IcebergImport.importTable(spark, t, root)
+    val got = CommitLog.read(spark, root)
+    assert(got.count() == 10) // 8 - 2 dead + 4
+    assert(got.filter(col("id") < 8).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 4L, 5L, 6L, 7L))
+    // the deletes landed as DV metadata; data stayed by reference
+    val m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+    assert(m.dvsOrEmpty.size == 1)
+    // and purge materializes them away natively
+    CommitLog.purgeDeletionVectors(spark, root)
+    assert(CommitLog.read(spark, root).count() == 10)
+
+    // equality deletes refuse
+    val t2 = tmp()
+    writeOne(dataDf(0, 3), Paths.get(t2, "data", "f.parquet"))
+    writeOne(Seq((1L, 0L)).toDF("id", "x"),
+      Paths.get(t2, "data", "eq.parquet"))
+    writeAvro(Paths.get(t2, "metadata", "m.avro"), manifestSchema,
+      Seq(manifestEntry(1, s"$t2/data/f.parquet", 3L)))
+    writeAvro(Paths.get(t2, "metadata", "md.avro"), manifestSchema,
+      Seq(manifestEntry(1, s"$t2/data/eq.parquet", 1L, dfContent = 2)))
+    writeAvro(Paths.get(t2, "metadata", "ml.avro"), manifestListSchema, Seq(
+      listEntry(s"$t2/metadata/m.avro"),
+      listEntry(s"$t2/metadata/md.avro", content = 1)))
+    Files.write(Paths.get(t2, "metadata", "v1.metadata.json"),
+      metadataJson(t2, 1L, s"$t2/metadata/ml.avro", formatVersion = 2)
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(t2, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
-      IcebergImport.importTable(spark, t, root)
+      IcebergImport.importTable(spark, t2, tmp())
     }
-    assert(e.getMessage.contains("DELETE manifests"))
+    assert(e.getMessage.contains("EQUALITY"), e.getMessage)
   }
 }
