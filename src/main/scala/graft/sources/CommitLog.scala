@@ -775,8 +775,12 @@ object CommitLog {
         if (!fileSchema.containsField(f.name)) {
           nulls += f.name -> rows // pre-evolution file: column reads as null
         } else {
+          // match TOP-LEVEL paths only: a struct leaf a.b has the same
+          // dot-string as a flat column literally named "a.b" — tracked
+          // columns are top-level primitives, so require path length 1
           val chunks = blocks.map(_.getColumns.asScala
-            .find(_.getPath.toDotString == f.name).orNull)
+            .find(c => c.getPath.size == 1 &&
+              c.getPath.toDotString == f.name).orNull)
           val stats = chunks.map(c => Option(c).map(_.getStatistics).orNull)
           val int96 = chunks.exists(c => c != null &&
             c.getPrimitiveType.getPrimitiveTypeName ==
