@@ -785,8 +785,30 @@ object CommitLog {
           val int96 = chunks.exists(c => c != null &&
             c.getPrimitiveType.getPrimitiveTypeName ==
               org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+          // [[renderFooterValue]] reads INT64 timestamps as unix MICROS —
+          // only what the footer's LogicalTypeAnnotation actually promises
+          // can be trusted. Foreign writers (parquet-avro, Flink, pre-2.6
+          // Spark) annotate TIMESTAMP(MILLIS)/NANOS; trusting those would
+          // render bounds 1000× off and mis-prune files that DO contain
+          // matching rows. refreshStats over imported snapshots is exactly
+          // this foreign-file path, so: any unit other than MICROS (or a
+          // missing/non-timestamp annotation, unit unknowable) degrades to
+          // the residual pass, same as INT96.
+          val tsUnitBad = (f.dataType == TimestampType ||
+              f.dataType == TimestampNTZType) &&
+            chunks.exists { c =>
+              c != null && c.getPrimitiveType.getPrimitiveTypeName !=
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 && {
+                import org.apache.parquet.schema.LogicalTypeAnnotation
+                c.getPrimitiveType.getLogicalTypeAnnotation match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS
+                  case _ => true
+                }
+              }
+            }
           if (chunks.contains(null) || stats.contains(null) || int96 ||
-              stats.exists(s => !s.isNumNullsSet)) {
+              tsUnitBad || stats.exists(s => !s.isNumNullsSet)) {
             under += f.name
           } else {
             val nullCount = stats.map(_.getNumNulls).sum

@@ -122,6 +122,47 @@ class CommitLogFooterStatsSpec extends SparkTestBase {
     assert(st.maxsOrEmpty("big").endsWith("2"))
   }
 
+  test("TIMESTAMP(MILLIS) foreign files degrade to the residual pass: " +
+      "bounds land in unix micros and pruning keeps matching files") {
+    // refreshStats over imported snapshots is the foreign-file path:
+    // parquet-avro/Flink/pre-2.6-Spark annotate INT64 timestamps as
+    // TIMESTAMP(MILLIS). Trusting those footer values as micros would
+    // render bounds 1000× too small and prune files that DO match.
+    val root = tmp()
+    val foreign = Files.createTempDirectory("graft-millis").toString
+    val key = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(key, "TIMESTAMP_MILLIS")
+    try {
+      spark.range(2).selectExpr("id",
+        "timestamp_millis(1700000000000 + id * 1000) AS ts")
+        .coalesce(1).write.parquet(s"$foreign/a")
+      spark.range(2).selectExpr("id + 2 AS id",
+        "timestamp_millis(1800000000000 + id * 1000) AS ts")
+        .coalesce(1).write.parquet(s"$foreign/b")
+    } finally spark.conf.unset(key)
+    val parts = Seq("a", "b").map { d =>
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(foreign, d)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+    }
+    CommitLog.importSnapshot(root,
+      StructType(Seq(StructField("id", LongType),
+        StructField("ts", TimestampType))),
+      parts.map(p => CommitLog.FileStat(p, 2L)))
+    CommitLog.refreshStats(spark, root)
+    val st = statsOf(root)
+    // bounds must be the residual pass's micros rendering, never the raw
+    // millis footer values read as micros
+    val minsTs = st.map(_.minsOrEmpty("ts")).sorted
+    assert(minsTs == Seq("1700000000000000", "1800000000000000"), minsTs)
+    // and the pruner keeps exactly the matching file
+    val hit = CommitLog.readPruned(spark, root,
+      col("ts") >= timestamp_millis(lit(1800000000000L)))
+    assert(hit.count() == 2L)
+    assert(CommitLog.readPruned(spark, root,
+      col("ts") > timestamp_millis(lit(1800000001000L))).count() == 0L)
+  }
+
   test("a plain append never re-reads the staged bytes: input bytes stay " +
       "bounded by the residual columns, and ~zero with sums off") {
     def inputBytesDuring(f: => Unit): Long = {
