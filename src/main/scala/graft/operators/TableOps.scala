@@ -389,7 +389,7 @@ object TableOps {
         val ub = java.nio.ByteBuffer.allocate(16)
         ub.putLong(uuid.getMostSignificantBits)
         ub.putLong(uuid.getLeastSignificantBits)
-        val off = DeltaDv.writeDvFile(
+        val (off, dvLen) = DeltaDv.writeDvFile(
           java.nio.file.Paths.get(d, s"deletion_vector_$uuid.bin"),
           Array(0L, 1L, 2L, 3L, 4L))
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -420,7 +420,7 @@ object TableOps {
             val dv = a.putObject("deletionVector")
             dv.put("storageType", "u")
             dv.put("pathOrInlineDv", DeltaDv.z85Encode(ub.array()))
-            dv.put("offset", off); dv.put("sizeInBytes", 1L)
+            dv.put("offset", off); dv.put("sizeInBytes", dvLen)
             dv.put("cardinality", 5L) })
         ).mkString("\n").getBytes("UTF-8"))
         graft.sources.interop.DeltaImport.importTable(s, d, root)

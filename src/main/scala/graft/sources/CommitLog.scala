@@ -1451,53 +1451,57 @@ object CommitLog {
     1L
   }
 
-  /** Write externally-decoded deletion vectors (data file → dead row
-    * indexes) as this format's DV parquet files, returning the dvs map
-    * [[importSnapshot]] expects. Positions use the same `_metadata
-    * .row_index` addressing the native DV writer records, so readers
-    * apply them through the identical anti-join. Batched so an import of
-    * many heavily-deleted files never materializes every position on the
-    * driver at once.
+  /** Write externally-sourced deletion-vector position marks as this
+    * format's DV parquet files, returning the dvs map [[importSnapshot]]
+    * expects. `marks` carries one row per dead position — (`file` STRING:
+    * the data file's path exactly as the import references it, `pos`
+    * BIGINT: parquet `_metadata.row_index`, the same addressing the
+    * native DV writer records) — so readers apply imported DVs through
+    * the identical anti-join. Fully DISTRIBUTED: positions stay in the
+    * DataFrame end-to-end (duplicate marks dedupe in the shuffle, the
+    * DV parquet lands via one partitionBy write keyed on a path digest);
+    * the driver holds only the DV'd FILE LIST — one row per file, never
+    * a position set — so an import of billions of dead positions is a
+    * normal Spark job, not a driver OOM.
     */
   def stageImportedDvs(spark: SparkSession, root: String,
-      perFile: Seq[(String, Array[Long])]): Map[String, String] = {
-    import spark.implicits._
-    val out = Map.newBuilder[String, String]
-    val batchCap = 16L * 1024 * 1024 // positions per write job
-    var batch = Seq.newBuilder[(String, Array[Long])]
-    var batchPos = 0L
-    def flush(): Unit = {
-      val entries = batch.result()
-      batch = Seq.newBuilder; batchPos = 0L
-      if (entries.isEmpty) return
-      val sub = s"data/${UUID.randomUUID()}"
-      entries.zipWithIndex.flatMap { case ((_, pos), i) =>
-        pos.map(p => (i.toString, p))
-      }.toDF("__dv_k", "pos")
-        .repartition(col("__dv_k"))
-        .sortWithinPartitions("pos")
-        .write.partitionBy("__dv_k").parquet(s"$root/$sub")
-      val rootPath = Paths.get(root)
-      val byKey = withWalk(Paths.get(root, sub))(_.filter { p =>
-        val n = p.getFileName.toString
-        Files.isRegularFile(p) && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")
-      }.map { p =>
-        p.getParent.getFileName.toString.stripPrefix("__dv_k=") ->
-          rootPath.relativize(p).toString
-      }.toMap)
-      entries.zipWithIndex.foreach { case ((file, pos), i) =>
-        if (pos.nonEmpty)
-          out += file -> byKey.getOrElse(i.toString,
-            sys.error(s"imported DV partition $i missing for $file"))
-      }
-    }
-    perFile.filter(_._2.nonEmpty).foreach { case (f, pos) =>
-      if (batchPos + pos.length > batchCap) flush()
-      batch += ((f, pos)); batchPos += pos.length
-    }
-    flush()
-    out.result()
+      marks: DataFrame): Map[String, String] = {
+    // the DV'd file list is metadata-sized (≤ one entry per imported
+    // data file) — the ONLY thing collected here
+    val files = marks.select(col("file").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) return Map.empty
+    val sub = s"data/${UUID.randomUUID()}"
+    marks
+      .select(col("file").cast("string").as("file"),
+        col("pos").cast("long").as("pos"))
+      .distinct() // several delete files may mark the same row
+      .withColumn("__dv_k", sha2(col("file"), 256).substr(1, 16))
+      .select(col("__dv_k"), col("pos"))
+      .repartition(col("__dv_k"))
+      .sortWithinPartitions("pos")
+      // exactly ONE parquet per DV key, whatever the session's
+      // maxRecordsPerFile says — a split file would silently drop the
+      // positions landing in the shadowed part (resurrected rows)
+      .write.option("maxRecordsPerFile", 0L)
+      .partitionBy("__dv_k").parquet(s"$root/$sub")
+    val byKey = files.map(f => dvKey(f) -> f).toMap
+    val rootPath = Paths.get(root)
+    val found = withWalk(Paths.get(root, sub))(_.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }.map { p =>
+      p.getParent.getFileName.toString.stripPrefix("__dv_k=") ->
+        rootPath.relativize(p).toString
+    }.toSeq)
+    found.groupBy(_._1).collect { case (k, vs) if vs.sizeIs > 1 => k }
+      .headOption.foreach(k => sys.error(
+        s"imported DV key $k split across multiple parquet files — " +
+          "refusing a staging layout that would drop delete positions"))
+    found.map { case (k, rel) =>
+      byKey.getOrElse(k, sys.error(s"unexpected imported DV key '$k'")) -> rel
+    }.toMap
   }
 
   /** Recompute per-file min/max/null/sum statistics for files that lack
@@ -3295,18 +3299,28 @@ object CommitLog {
       .select(col("__dv_k"), col("__dv_pos").as("pos"))
       .repartition(col("__dv_k"))
       .sortWithinPartitions("pos")
-      .write.partitionBy("__dv_k").parquet(s"$root/$sub")
+      // exactly ONE parquet per DV key even when the session caps
+      // maxRecordsPerFile — a split DV would silently shadow positions
+      .write.option("maxRecordsPerFile", 0L)
+      .partitionBy("__dv_k").parquet(s"$root/$sub")
     val byKey = files.map(f => dvKey(f) -> f).toMap
     val rootPath = Paths.get(root)
-    withWalk(Paths.get(root, sub))(_.filter { p =>
+    val found = withWalk(Paths.get(root, sub))(_.filter { p =>
       val n = p.getFileName.toString
       Files.isRegularFile(p) && n.endsWith(".parquet") &&
         !n.startsWith("_") && !n.startsWith(".")
     }.map { p =>
-      val key = p.getParent.getFileName.toString.stripPrefix("__dv_k=")
-      byKey.getOrElse(key, sys.error(s"unexpected DV partition '$key'")) ->
+      p.getParent.getFileName.toString.stripPrefix("__dv_k=") ->
         rootPath.relativize(p).toString
-    }.toMap)
+    }.toSeq)
+    found.groupBy(_._1).collect { case (k, vs) if vs.sizeIs > 1 => k }
+      .headOption.foreach(k => sys.error(
+        s"DV key $k split across multiple parquet files — refusing a " +
+          "staging layout that would drop delete positions"))
+    found.map { case (key, rel) =>
+      byKey.getOrElse(key, sys.error(s"unexpected DV partition '$key'")) ->
+        rel
+    }.toMap
   }
 
   /** Merge-on-read DELETE (the published Delta deletion-vector concept):

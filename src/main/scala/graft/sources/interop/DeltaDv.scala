@@ -101,21 +101,41 @@ object DeltaDv {
   }
 
   /** Decode one descriptor to its dead row indexes (sorted ascending). */
-  def decode(tableRoot: String, dv: JsonNode): Array[Long] = {
-    val storageType = dv.get("storageType").asText()
-    val pathOrInline = dv.get("pathOrInlineDv").asText()
+  def decode(tableRoot: String, dv: JsonNode): Array[Long] = decodeFields(
+    tableRoot,
+    dv.get("storageType").asText(),
+    dv.get("pathOrInlineDv").asText(),
+    Option(dv.get("offset")).map(_.asInt()).getOrElse(0),
+    Option(dv.get("sizeInBytes")).map(_.asInt()).getOrElse(-1),
+    Option(dv.get("cardinality")).map(_.asLong()).getOrElse(-1L))
+
+  /** [[decode]] over the descriptor's plain fields — Serializable-friendly
+    * (no Jackson nodes), so the import path can decode DVs EXECUTOR-side
+    * and keep position sets off the driver entirely. Pass negative
+    * `sizeInBytes`/`cardinality` when the descriptor omits them.
+    */
+  private[graft] def decodeFields(tableRoot: String, storageType: String,
+      pathOrInline: String, offset: Int, sizeInBytes: Int,
+      cardinality: Long): Array[Long] = {
     val payload: Array[Byte] = storageType match {
       case "i" => z85Decode(pathOrInline)
       case _ =>
         val file = dvFilePath(tableRoot, storageType, pathOrInline)
         require(Files.isRegularFile(file), s"DV file missing: $file")
         val bytes = Files.readAllBytes(file)
-        val off = Option(dv.get("offset")).map(_.asInt()).getOrElse(0)
+        val off = offset
         val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
         bb.position(off)
         val len = bb.getInt
         require(len > 0 && off + 4 + len + 4 <= bytes.length,
           s"DV entry at offset $off overruns $file (len=$len)")
+        // PROTOCOL.md: sizeInBytes is the serialized payload size, which
+        // the storage format repeats as the entry's length prefix —
+        // delta-spark asserts they agree, and so do we (a writer that
+        // recorded the .bin FILE size here would corrupt real readers)
+        require(sizeInBytes < 0 || len == sizeInBytes,
+          s"DV length prefix $len != descriptor sizeInBytes $sizeInBytes " +
+            s"in $file at offset $off — malformed descriptor")
         val p = new Array[Byte](len)
         bb.get(p)
         val storedCrc = bb.getInt
@@ -128,9 +148,9 @@ object DeltaDv {
         p
     }
     val positions = parsePortable(payload)
-    val card = Option(dv.get("cardinality")).map(_.asLong()).getOrElse(-1L)
-    require(card < 0 || card == positions.length,
-      s"DV cardinality ${positions.length} != descriptor cardinality $card")
+    require(cardinality < 0 || cardinality == positions.length,
+      s"DV cardinality ${positions.length} != descriptor cardinality " +
+        s"$cardinality")
     positions
   }
 
@@ -173,10 +193,13 @@ object DeltaDv {
   }
 
   /** Write a DV FILE holding one vector at offset 1 (version byte 1 at
-    * offset 0, per the storage format) — fixture/spec helper.
+    * offset 0, per the storage format); returns (entry offset, payload
+    * length). The payload length — NOT the .bin file size — is what a
+    * descriptor's `sizeInBytes` must carry (PROTOCOL.md; delta readers
+    * assert it against the length prefix).
     */
   private[graft] def writeDvFile(target: Path,
-      positions: Array[Long]): Int = {
+      positions: Array[Long]): (Int, Int) = {
     val payload = writePortable(positions)
     val crc = new java.util.zip.CRC32
     crc.update(payload)
@@ -188,6 +211,6 @@ object DeltaDv {
     bb.putInt(crc.getValue.toInt)
     Files.createDirectories(target.getParent)
     Files.write(target, bb.array())
-    1 // offset of the entry
+    (1, payload.length) // entry offset, descriptor sizeInBytes
   }
 }

@@ -27,7 +27,9 @@ import graft.sources.CommitLog
   * portable RoaringBitmapArray) referenced by a `deletionVector`
   * descriptor on the add action. Reading the positions needs a
   * SparkSession (DV parquet is data, not metadata) — pass one, or the
-  * DV case refuses with instructions; positions per file are KB-scale.
+  * DV case refuses with instructions. The re-encode is DISTRIBUTED:
+  * each DV's .bin is built and written executor-side; the driver holds
+  * only descriptor tuples, never a position set.
   *
   * Refused loudly (exporting would corrupt): column mapping (physical
   * names would leak), and by-reference files outside the root
@@ -76,24 +78,58 @@ object DeltaExport {
     require(!Files.exists(logDir),
       s"$root already carries a _delta_log")
     // DV re-encode BEFORE the log dir exists (a failed export must not
-    // leave a half-valid Delta table): one descriptor per DV'd file
-    val descriptors: Map[String, (String, Int, Long, Long)] =
-      dvMap.map { case (dataFile, dvFile) =>
+    // leave a half-valid Delta table): one descriptor per DV'd file.
+    // DISTRIBUTED: every DV parquet reads in ONE Spark job; each group
+    // (the positions of one DV — inherently single-file-bounded) builds
+    // and writes its .bin ON THE EXECUTOR, so the driver only ever holds
+    // the per-file descriptor tuples, never a position set
+    val descriptors: Map[String, (String, Int, Int, Long)] =
+      if (dvMap.isEmpty) Map.empty
+      else {
         val s = spark.get
-        val positions = s.read
+        import s.implicits._
+        // dv parquet (absolute, normalized) → the data files it serves
+        // (normally exactly one) with a driver-chosen uuid each
+        val plan: Map[String, Seq[(String, String)]] =
+          dvMap.toSeq.map { case (dataFile, dvFile) =>
+            Paths.get(root, dvFile).toAbsolutePath.normalize.toString ->
+              (dataFile, java.util.UUID.randomUUID().toString)
+          }.groupMap(_._1)(_._2)
+        val rootB = root
+        val written = s.read
           .schema(org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("pos",
               org.apache.spark.sql.types.LongType))))
-          .parquet(s"$root/$dvFile")
-          .collect().map(_.getLong(0)).sorted
-        val uuid = java.util.UUID.randomUUID()
-        val bb = java.nio.ByteBuffer.allocate(16)
-        bb.putLong(uuid.getMostSignificantBits)
-        bb.putLong(uuid.getLeastSignificantBits)
-        val target = Paths.get(root, s"deletion_vector_$uuid.bin")
-        val offset = DeltaDv.writeDvFile(target, positions)
-        dataFile -> (DeltaDv.z85Encode(bb.array()), offset,
-          Files.size(target), positions.length.toLong)
+          .parquet(plan.keys.toSeq: _*)
+          .select(org.apache.spark.sql.functions.input_file_name().as("u"),
+            org.apache.spark.sql.functions.col("pos"))
+          .as[(String, Long)]
+          // input_file_name is a URI — decode to the on-disk path
+          .map { case (u, p) =>
+            (Paths.get(new java.net.URI(u).getPath)
+              .normalize.toString, p) }
+          .groupByKey(_._1)
+          .mapGroups { (dvAbs: String, it: Iterator[(String, Long)]) =>
+            val positions = it.map(_._2).toArray
+            plan.getOrElse(dvAbs, sys.error(
+              s"DV parquet $dvAbs not in the export plan")).map {
+              case (dataFile, uuid) =>
+                val (off, size) = DeltaDv.writeDvFile(
+                  Paths.get(rootB, s"deletion_vector_$uuid.bin"), positions)
+                (dataFile, uuid, off, size, positions.length.toLong)
+            }
+          }
+          .collect().toSeq.flatten
+        written.map { case (dataFile, uuid, off, size, card) =>
+          val u = java.util.UUID.fromString(uuid)
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.putLong(u.getMostSignificantBits)
+          bb.putLong(u.getLeastSignificantBits)
+          // sizeInBytes = the serialized payload length (== the entry's
+          // length prefix), NOT the .bin file size — PROTOCOL.md; delta
+          // readers assert the two agree when loading the DV
+          dataFile -> (DeltaDv.z85Encode(bb.array()), off, size, card)
+        }.toMap
       }
     Files.createDirectories(logDir)
     val rowsOf = m.statsOrNil.map(s => s.path -> s.rows).toMap
@@ -139,12 +175,12 @@ object DeltaExport {
           a.putObject("partitionValues")
           rowsOf.get(f).foreach(r =>
             a.put("stats", s"""{"numRecords":$r}"""))
-          descriptors.get(f).foreach { case (enc, off, bytes, card) =>
+          descriptors.get(f).foreach { case (enc, off, payloadLen, card) =>
             val dv = a.putObject("deletionVector")
             dv.put("storageType", "u")
             dv.put("pathOrInlineDv", enc)
             dv.put("offset", off)
-            dv.put("sizeInBytes", bytes)
+            dv.put("sizeInBytes", payloadLen)
             dv.put("cardinality", card)
           }
         }

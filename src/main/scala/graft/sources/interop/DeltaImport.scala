@@ -224,14 +224,38 @@ object DeltaImport {
     // deletion vectors re-encode as commitlog DV parquet, position-for-
     // position (both formats address parquet row indexes); rows above
     // deliberately keep Delta's physical counts — the commitlog records
-    // all-rows stats too and subtracts DVs at read/describe time
-    val dvPerFile = snap.adds.toSeq.flatMap { case (rel, a) =>
+    // all-rows stats too and subtracts DVs at read/describe time.
+    // DISTRIBUTED: the driver keeps only the descriptor list (one row per
+    // DV'd file, straight out of the log it already holds); the bitmaps
+    // decode EXECUTOR-side and flow as (file, pos) marks into
+    // stageImportedDvs' partitionBy write — a heavily-churned import of
+    // billions of dead positions never touches driver memory
+    val dvDescs = snap.adds.toSeq.flatMap { case (rel, a) =>
       dvOf(a).map { d =>
         val abs = Paths.get(deltaPath, decodePath(rel)).toAbsolutePath.toString
-        abs -> DeltaDv.decode(deltaPath, d)
+        (abs, d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+          Option(d.get("offset")).map(_.asInt()).getOrElse(0),
+          Option(d.get("sizeInBytes")).map(_.asInt()).getOrElse(-1),
+          Option(d.get("cardinality")).map(_.asLong()).getOrElse(-1L))
       }
     }
-    val dvs = CommitLog.stageImportedDvs(spark, root, dvPerFile)
+    val dvs =
+      if (dvDescs.isEmpty) Map.empty[String, String]
+      else {
+        import spark.implicits._
+        val deltaPathB = deltaPath
+        val marks = dvDescs
+          .toDF("file", "st", "p", "off", "size", "card")
+          .repartition(math.min(dvDescs.size,
+            spark.sparkContext.defaultParallelism), col("file"))
+          .as[(String, String, String, Int, Int, Long)]
+          .flatMap { case (f, st, p, off, size, card) =>
+            DeltaDv.decodeFields(deltaPathB, st, p, off, size, card)
+              .map(pos => (f, pos))
+          }
+          .toDF("file", "pos")
+        CommitLog.stageImportedDvs(spark, root, marks)
+      }
     CommitLog.importSnapshot(root, snap.schema, stats, snap.colMap, dvs)
   }
 
@@ -263,14 +287,26 @@ object DeltaImport {
           .parquet(clean.map(f => absOf(f._1)): _*)))
       // DV'd files materialize MINUS their dead positions: each file reads
       // alone (its DV addresses ITS row indexes) and anti-joins the
-      // decoded position set on _metadata.row_index
+      // position set on _metadata.row_index. The bitmap decodes EXECUTOR-
+      // side (one descriptor row → flatMap), so even a file with millions
+      // of dead rows never lands its positions on the driver; AQE picks
+      // broadcast for the (typical) small side on its own
       val dvDfs = withDv.map { case (rel, a) =>
         import spark.implicits._
-        val dead = DeltaDv.decode(deltaPath, dvOf(a).get)
-          .toSeq.toDF("__imp_pos")
+        val d = dvOf(a).get
+        val deltaPathB = deltaPath
+        val dead = Seq((d.get("storageType").asText(),
+            d.get("pathOrInlineDv").asText(),
+            Option(d.get("offset")).map(_.asInt()).getOrElse(0),
+            Option(d.get("sizeInBytes")).map(_.asInt()).getOrElse(-1),
+            Option(d.get("cardinality")).map(_.asLong()).getOrElse(-1L)))
+          .toDS()
+          .flatMap { case (st, p, off, size, card) =>
+            DeltaDv.decodeFields(deltaPathB, st, p, off, size, card) }
+          .toDF("__imp_pos")
         toLogical(spark.read.schema(physSchema).parquet(absOf(rel))
           .withColumn("__imp_pos", col("_metadata.row_index"))
-          .join(broadcast(dead), Seq("__imp_pos"), "left_anti")
+          .join(dead, Seq("__imp_pos"), "left_anti")
           .drop("__imp_pos"))
       }
       val base = (cleanDf.toSeq ++ dvDfs).reduce(_.unionByName(_))

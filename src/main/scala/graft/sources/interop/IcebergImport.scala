@@ -209,22 +209,26 @@ object IcebergImport {
     val dvs =
       if (deleteFiles.isEmpty) Map.empty[String, String]
       else {
-        val live = stats.map(_.path).toSet
+        import org.apache.spark.sql.functions._
         // position-delete files are plain parquet of (file_path, pos) —
-        // the deleted-row set, driver-bounded like the Delta DV import;
-        // duplicate marks (several delete files hitting one row) dedupe,
-        // dangling marks (target no longer live) drop per the spec
-        val perFile = spark.read
+        // read DISTRIBUTED, never collected: the marks flow straight into
+        // stageImportedDvs' partitionBy write, the driver holding only the
+        // DV'd file list. Duplicate marks (several delete files hitting
+        // one row) dedupe in the staging shuffle; dangling marks (target
+        // no longer live) drop per the spec via a broadcast semi join
+        // against the metadata-sized live-file list
+        val live = spark.createDataFrame(
+          stats.map(s => Tuple1(s.path))).toDF("file")
+        val marks = spark.read
           .schema(StructType(Seq(
             StructField("file_path", StringType),
             StructField("pos", LongType))))
           .parquet(deleteFiles: _*)
-          .collect()
-          .groupBy(r => localPath(r.getString(0)))
-          .collect { case (p, rs) if live(p) =>
-            p -> rs.map(_.getLong(1)).distinct.sorted }
-          .toSeq
-        CommitLog.stageImportedDvs(spark, root, perFile)
+          // localPath, columnar: strip a file:/  or file:// scheme prefix
+          .select(regexp_replace(col("file_path"), "^file:(//)?", "")
+            .as("file"), col("pos"))
+          .join(broadcast(live), Seq("file"), "left_semi")
+        CommitLog.stageImportedDvs(spark, root, marks)
       }
     CommitLog.importSnapshot(root, schema, stats, dvs = dvs)
   }

@@ -74,8 +74,31 @@ class DeltaExportSpec extends SparkTestBase {
       Paths.get(t, "_delta_log", f"${0L}%020d.json")), "UTF-8")
     assert(log.contains("\"minReaderVersion\":3") &&
       log.contains("deletionVectors") && log.contains("\"storageType\":\"u\""))
+    // descriptor sizeInBytes must be the serialized PAYLOAD length — the
+    // value the storage format repeats as the entry's length prefix and
+    // delta-spark asserts on load — never the .bin file size (version
+    // byte + prefix + payload + CRC)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dvDescs = log.split('\n').toSeq
+      .map(om.readTree)
+      .flatMap(n => Option(n.get("add")))
+      .flatMap(a => Option(a.get("deletionVector")))
+    assert(dvDescs.nonEmpty)
+    dvDescs.foreach { d =>
+      val bin = DeltaDv.dvFilePath(t, d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText())
+      val bytes = Files.readAllBytes(bin)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.position(d.get("offset").asInt())
+      val lenPrefix = bb.getInt
+      assert(d.get("sizeInBytes").asInt() == lenPrefix,
+        s"descriptor sizeInBytes ${d.get("sizeInBytes").asInt()} != " +
+          s"length prefix $lenPrefix")
+      assert(d.get("sizeInBytes").asLong() != Files.size(bin))
+    }
     // both halves of the PROTOCOL.md DV codec meet: export wrote, import
-    // decodes, and the commitlog read is the ground truth on both sides
+    // decodes (now CHECKING sizeInBytes against the prefix), and the
+    // commitlog read is the ground truth on both sides
     DeltaImport.importTable(spark, t, back)
     val got = CommitLog.read(spark, back).orderBy("id").collect().map(_.toSeq)
     assert(got.toSeq == want.toSeq)

@@ -225,14 +225,17 @@ class DeltaImportSpec extends SparkTestBase {
 
   private def addDvJson(path: String, stats: Option[Long],
       storageType: String, pathOrInlineDv: String, offset: Option[Int],
-      cardinality: Long, partVals: Map[String, String] = Map.empty): String = {
+      cardinality: Long, partVals: Map[String, String] = Map.empty,
+      sizeInBytes: Option[Int] = None): String = {
     val n = om.readTree(addJson(path, stats, partVals))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val dv = n.`with`("add").putObject("deletionVector")
     dv.put("storageType", storageType)
     dv.put("pathOrInlineDv", pathOrInlineDv)
     offset.foreach(o => dv.put("offset", o))
-    dv.put("sizeInBytes", 1L)
+    // when present the import CHECKS it against the entry's length prefix
+    // (the delta-spark behavior) — fixtures omit it unless probing that
+    sizeInBytes.foreach(s => dv.put("sizeInBytes", s))
     dv.put("cardinality", cardinality)
     om.writeValueAsString(n)
   }
@@ -252,7 +255,7 @@ class DeltaImportSpec extends SparkTestBase {
     bb.putLong(uuid.getMostSignificantBits)
     bb.putLong(uuid.getLeastSignificantBits)
     val enc = DeltaDv.z85Encode(bb.array())
-    val off = DeltaDv.writeDvFile(
+    val (off, dvLen) = DeltaDv.writeDvFile(
       Paths.get(d, s"deletion_vector_$uuid.bin"), Array(1L, 3L, 4L))
     // f2's DV rides INLINE (Z85 of the portable payload), killing row 0
     val inline = DeltaDv.z85Encode {
@@ -262,7 +265,8 @@ class DeltaImportSpec extends SparkTestBase {
     writeCommit(d, 0L, Seq(
       protoJson(3, Seq("deletionVectors")),
       metaJson(spark.range(1).selectExpr("id", "id AS v").schema, Nil),
-      addDvJson("f1.parquet", Some(10L), "u", enc, Some(off), 3L),
+      addDvJson("f1.parquet", Some(10L), "u", enc, Some(off), 3L,
+        sizeInBytes = Some(dvLen)),
       addDvJson("f2.parquet", Some(6L), "i", inline, None, 1L)))
     DeltaImport.importTable(spark, d, root)
     val got = CommitLog.read(spark, root).orderBy("id").collect()
