@@ -194,13 +194,36 @@ object CatalogOps {
         n += 1
       }
     }
-    views.foreach { v =>
-      ensureSchema(spark, v.db)
-      if (!spark.catalog.tableExists(s"${v.db}.${v.name}") &&
-          v.viewText.nonEmpty) {
-        spark.sql(s"CREATE VIEW IF NOT EXISTS `${v.db}`.`${v.name}` " +
-          s"AS ${v.viewText}")
-        n += 1
+    // CREATE VIEW analyzes its text immediately, so a view referencing
+    // another view later in the dump would fail a single pass (views-on-
+    // views are common; the dump order is arbitrary). Retry failures in
+    // passes until a fix-point — each pass creates at least the views
+    // whose dependencies now exist — and only surface errors for views
+    // still failing when a pass makes no progress (genuinely broken text
+    // or a reference outside the dump).
+    var pending = views.filter(v => v.viewText.nonEmpty &&
+      !spark.catalog.tableExists(s"${v.db}.${v.name}"))
+    var progressed = true
+    while (pending.nonEmpty && progressed) {
+      progressed = false
+      val failed = Seq.newBuilder[(TableDump, Exception)]
+      pending.foreach { v =>
+        ensureSchema(spark, v.db)
+        try {
+          spark.sql(s"CREATE VIEW IF NOT EXISTS `${v.db}`.`${v.name}` " +
+            s"AS ${v.viewText}")
+          n += 1; progressed = true
+        } catch {
+          case e: Exception => failed += ((v, e))
+        }
+      }
+      val stillFailing = failed.result()
+      pending = stillFailing.map(_._1)
+      if (!progressed && stillFailing.nonEmpty) {
+        val (v, e) = stillFailing.head
+        throw new IllegalStateException(
+          s"view `${v.db}`.`${v.name}` failed to restore after resolving " +
+            s"every other restorable view: ${e.getMessage}", e)
       }
     }
     n

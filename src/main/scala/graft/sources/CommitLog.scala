@@ -1821,11 +1821,31 @@ object CommitLog {
     * so they stick to the table across sessions and writers instead of
     * living in one session's conf.
     */
+  /** RELY validation stamps (`constraint.pk.v`, `constraint.fk.<c>.v`,
+    * `constraint.fk.<c>.dimv`) are written ONLY by the validating
+    * declaration path below — a caller writing one directly would forge a
+    * stale constraint's freshness and re-enable join elimination that no
+    * longer holds. (A bare `constraint.fk.v` is an FK ON a column named
+    * "v", not a stamp — the stamp shape requires a column before the
+    * suffix.)
+    */
+  private def isTrustStamp(k: String): Boolean =
+    k == s"$PkProp.v" || (k.startsWith(FkPropPrefix) && {
+      val rest = k.stripPrefix(FkPropPrefix)
+      rest.endsWith(".v") || rest.endsWith(".dimv")
+    })
+
   def setTableProperties(root: String, set: Map[String, String],
       unset: Seq[String] = Nil): Long = withRetry() {
     val base = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no CommitLog table at $root"))
     val m = readManifest(root, base)
+    (set.keys ++ unset).find(isTrustStamp).foreach(k =>
+      throw new IllegalArgumentException(
+        s"table property $k is a RELY validation stamp — it is written " +
+          "only by the constraint-declaration path (which validates the " +
+          "data it stamps); setting or unsetting it directly would forge " +
+          "constraint freshness"))
     validateProps(set)
     // ADD CONSTRAINT semantics for newly declared relational constraints:
     // the declaration commit lands only if the CURRENT data satisfies it.
@@ -1883,11 +1903,19 @@ object CommitLog {
         }
       }
     }
+    // dropping a constraint drops its stamps with it — a lingering stamp
+    // without its constraint is dead weight at best
+    val unsetAll = unset.flatMap {
+      case PkProp => Seq(PkProp, s"$PkProp.v")
+      case k if k.startsWith(FkPropPrefix) =>
+        Seq(k, s"$k.v", s"$k.dimv")
+      case k => Seq(k)
+    }
     commitDelta(root, Some(m), Commit(base + 1, "set-props", m.schemaJson,
       Nil, Nil, m.partitionByOrNil, m.txnOrEmpty,
       constraints = m.constraintsOrEmpty, dvs = m.dvsOrEmpty,
       colMap = m.colMapOrEmpty, retired = m.retiredOrNil,
-      props = m.propsOrEmpty ++ stamped -- unset))
+      props = m.propsOrEmpty ++ stamped -- unsetAll))
     base + 1
   }
 

@@ -203,6 +203,48 @@ class JoinEliminationSpec extends SparkTestBase {
     assert(!hasJoin(louter))
   }
 
+  test("RELY validation stamps cannot be forged: setting or unsetting " +
+      "constraint.*.v/.dimv directly is rejected, and dropping a " +
+      "constraint drops its stamps") {
+    val (dim, fact) = fixture()
+    val fv = view(fact); val dv = view(dim)
+    def inner = spark.sql(
+      s"SELECT fk, count(*) AS n FROM $fv f JOIN $dv d ON f.fk = d.pk GROUP BY fk")
+    // stale the fk by deleting a parent, then try to forge freshness
+    CommitLog.delete(spark, dim, col("pk") === 3L)
+    assert(hasJoin(inner))
+    val forged = CommitLog.currentVersion(fact).get + 10
+    Seq(
+      Map(s"${CommitLog.FkPropPrefix}fk.v" -> forged.toString),
+      Map(s"${CommitLog.FkPropPrefix}fk.dimv" -> forged.toString),
+      Map(s"${CommitLog.PkProp}.v" -> forged.toString)
+    ).foreach { set =>
+      val e = intercept[IllegalArgumentException] {
+        CommitLog.setTableProperties(fact, set)
+      }
+      assert(e.getMessage.contains("validation stamp"), e.getMessage)
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.setTableProperties(fact, Map.empty,
+        unset = Seq(s"${CommitLog.FkPropPrefix}fk.v"))
+    }
+    assert(e2.getMessage.contains("validation stamp"), e2.getMessage)
+    // still declined — the forgeries never landed
+    assert(hasJoin(inner))
+    // an FK ON a column literally named "v" is a constraint, not a stamp:
+    // the stamp shape requires a column name before the suffix
+    val vTable = tmp()
+    CommitLog.append(spark.range(5).selectExpr("id % 2 AS v"), vTable)
+    CommitLog.setTableProperties(vTable,
+      Map(s"${CommitLog.FkPropPrefix}v" -> s"$dim::pk"))
+    // dropping the constraint drops its stamps with it
+    CommitLog.setTableProperties(vTable, Map.empty,
+      unset = Seq(s"${CommitLog.FkPropPrefix}v"))
+    val left = CommitLog.tablePropertiesOf(vTable).keys
+      .filter(_.startsWith("constraint."))
+    assert(left.isEmpty, left.toString)
+  }
+
   test("multiAppend enforces relational constraints (it skipped " +
       "enforceRelational before r8)") {
     val (dim, fact) = fixture()

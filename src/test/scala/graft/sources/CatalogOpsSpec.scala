@@ -67,4 +67,59 @@ class CatalogOpsSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS bak.pq_t")
     spark.sql("DROP DATABASE bak CASCADE")
   }
+
+  test("views-on-views restore whatever the dump order: failed views " +
+      "retry to a fix-point; a genuinely broken view surfaces") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-catvv")
+    CatalogOps.appendTable(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), "vvdb", "base")
+    // a 3-deep view chain; dumps list in arbitrary catalog order
+    spark.sql("CREATE VIEW vvdb.v1 AS SELECT id, v * 2 AS v2 FROM vvdb.base")
+    spark.sql("CREATE VIEW vvdb.v2 AS SELECT id, v2 + 1 AS v3 FROM vvdb.v1")
+    spark.sql("CREATE VIEW vvdb.v3 AS SELECT sum(v3) AS s FROM vvdb.v2")
+    val dump = s"$dir/catalog.json"
+    CatalogOps.exportCatalog(spark, dump, dbs = Seq("vvdb"))
+    // REVERSE the dump's table order so every dependent view precedes
+    // its dependency — a single-pass restore would abort mid-import
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dump)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val tables = node.get("tables")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val rev = om.createArrayNode()
+    (tables.size - 1 to 0 by -1).foreach(i => rev.add(tables.get(i)))
+    node.set("tables", rev)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dump),
+      om.writeValueAsBytes(node))
+    spark.sql("DROP VIEW vvdb.v3"); spark.sql("DROP VIEW vvdb.v2")
+    spark.sql("DROP VIEW vvdb.v1")
+    assert(CatalogOps.importCatalog(spark, dump) == 3)
+    assert(spark.table("vvdb.v3").collect()(0).getLong(0) == 62L)
+    // a view whose text references something that never restores fails
+    // loudly once no pass makes progress
+    spark.sql("CREATE VIEW vvdb.broken AS SELECT * FROM vvdb.v1")
+    CatalogOps.exportCatalog(spark, dump, dbs = Seq("vvdb"))
+    val node2 = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dump)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node2.get("tables").forEach { t =>
+      val o = t.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (o.get("name").asText() == "broken")
+        o.put("viewText", "SELECT * FROM vvdb.no_such_table")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dump),
+      om.writeValueAsBytes(node2))
+    spark.sql("DROP VIEW vvdb.broken")
+    val e = intercept[IllegalStateException] {
+      CatalogOps.importCatalog(spark, dump)
+    }
+    assert(e.getMessage.contains("broken"), e.getMessage)
+    spark.sql("DROP VIEW IF EXISTS vvdb.v3")
+    spark.sql("DROP VIEW IF EXISTS vvdb.v2")
+    spark.sql("DROP VIEW IF EXISTS vvdb.v1")
+    spark.sql("DROP TABLE IF EXISTS vvdb.base")
+    spark.sql("DROP DATABASE vvdb CASCADE")
+  }
 }
