@@ -587,6 +587,147 @@ object TableOps {
            |FROM ev ANTI JOIN cut USING (o_orderkey)
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Iceberg v2 EQUALITY-DELETE import under the oracle gate (r9,
+    // [[graft.sources.interop.IcebergImport]]): the fixture is the spec's
+    // CDC upsert shape — f1 (data sequence 1) holds the evens; an
+    // equality delete (sequence 2, equality_ids = [o_orderkey]) kills
+    // every key ≡ 4 (mod 10); f2 (sequence 2, NOT outranked by the
+    // delete) re-inserts those keys with o_totalprice + 1000; a position
+    // delete kills f1's 3 lowest row indexes. The import materializes
+    // exactly f1 (anti-joining both delete kinds), keeps f2 by reference,
+    // and the oracle rebuilds the same CDC fold relationally — proving
+    // the sequence-number gating, the null-safe key match, and the
+    // position-delete fold byte-exact against DuckDB.
+    "q176_iceberg_eqdelete" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = tmp("graft-q176i"); val root = tmp("graft-q176t")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val ev = ord.filter(col("o_orderkey") % 2 === 0)
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+          val w = Files.createTempDirectory("graft-q176w")
+          df.coalesce(1).write.mode("overwrite").parquet(w.toString)
+          val it = Files.list(w).iterator()
+          var f: java.nio.file.Path = null
+          while (it.hasNext) { val p = it.next()
+            if (p.toString.endsWith(".parquet")) f = p }
+          val target = java.nio.file.Paths.get(t, "data", name)
+          Files.createDirectories(target.getParent)
+          Files.move(f, target)
+          df.count()
+        }
+        val nE = writeOne(ev.coalesce(1).sortWithinPartitions("o_orderkey"),
+          "f1.parquet")
+        val f2 = ev.filter(col("o_orderkey") % 10 === 4)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000).as("o_totalprice"),
+            col("o_orderstatus"))
+        val nF2 = writeOne(f2.coalesce(1), "f2.parquet")
+        val nEq = writeOne(ev.filter(col("o_orderkey") % 10 === 4)
+          .select("o_orderkey").coalesce(1), "eqdel.parquet")
+        import s.implicits._
+        writeOne((0L until 3L).map(p => (s"$t/data/f1.parquet", p))
+          .toDF("file_path", "pos"), "pdel.parquet")
+        val mfSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |  {"name":"status","type":"int"},
+            |  {"name":"sequence_number","type":["null","long"],"default":null},
+            |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |    {"name":"file_path","type":"string"},
+            |    {"name":"file_format","type":"string"},
+            |    {"name":"record_count","type":"long"},
+            |    {"name":"file_size_in_bytes","type":"long"},
+            |    {"name":"content","type":"int","default":0},
+            |    {"name":"equality_ids",
+            |     "type":["null",{"type":"array","items":"int"}],"default":null}
+            |  ]}}]}""".stripMargin)
+        val mlSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |  {"name":"manifest_path","type":"string"},
+            |  {"name":"manifest_length","type":"long"},
+            |  {"name":"content","type":"int","default":0},
+            |  {"name":"sequence_number","type":["null","long"],"default":null}
+            |]}""".stripMargin)
+        def entry(path: String, rows: Long, content: Int, seq: Long,
+            eqIds: Seq[Int] = Nil) = {
+          val r = new org.apache.avro.generic.GenericData.Record(mfSchema)
+          r.put("status", 1); r.put("sequence_number", seq)
+          val d = new org.apache.avro.generic.GenericData.Record(
+            mfSchema.getField("data_file").schema())
+          d.put("file_path", path); d.put("file_format", "PARQUET")
+          d.put("record_count", rows); d.put("file_size_in_bytes", 1L)
+          d.put("content", content)
+          if (eqIds.nonEmpty) {
+            import scala.jdk.CollectionConverters._
+            d.put("equality_ids", eqIds.map(Int.box).asJava)
+          }
+          r.put("data_file", d); r
+        }
+        def writeAvro(target: java.nio.file.Path,
+            sch: org.apache.avro.Schema,
+            rs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+          Files.createDirectories(target.getParent)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](sch))
+          w.create(sch, target.toFile)
+          try rs.foreach(w.append) finally w.close()
+        }
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "m1.avro"), mfSchema,
+          Seq(entry(s"$t/data/f1.parquet", nE, 0, 1L)))
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "m2.avro"), mfSchema,
+          Seq(entry(s"$t/data/f2.parquet", nF2, 0, 2L)))
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "md1.avro"), mfSchema,
+          Seq(entry(s"$t/data/eqdel.parquet", nEq, 2, 2L, eqIds = Seq(1)),
+            entry(s"$t/data/pdel.parquet", 3L, 1, 2L)))
+        def ml(path: String, content: Int, seq: Long) = {
+          val r = new org.apache.avro.generic.GenericData.Record(mlSchema)
+          r.put("manifest_path", path); r.put("manifest_length", 1L)
+          r.put("content", content); r.put("sequence_number", seq); r
+        }
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "ml1.avro"),
+          mlSchema, Seq(ml(s"$t/metadata/m1.avro", 0, 1L),
+            ml(s"$t/metadata/m2.avro", 0, 2L),
+            ml(s"$t/metadata/md1.avro", 1, 2L)))
+        val schemaJson =
+          """{"type":"struct","schema-id":0,"fields":[
+            |  {"id":1,"name":"o_orderkey","required":true,"type":"long"},
+            |  {"id":2,"name":"o_totalprice","required":false,"type":"double"},
+            |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"}
+            |]}""".stripMargin
+        Files.write(java.nio.file.Paths.get(t, "metadata", "v1.metadata.json"),
+          s"""{"format-version":2,"table-uuid":"0-0-0-0-2","location":"$t",
+             |"schema":$schemaJson,"current-snapshot-id":1,
+             |"snapshots":[{"snapshot-id":1,
+             |  "manifest-list":"$t/metadata/ml1.avro"}]}""".stripMargin
+            .getBytes("UTF-8"))
+        Files.write(java.nio.file.Paths.get(t, "metadata", "version-hint.text"),
+          "1".getBytes("UTF-8"))
+        graft.sources.interop.IcebergImport.importTable(s, t, root)
+        CommitLog.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""WITH ev AS (
+           |  SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+           |cut AS (
+           |  SELECT o_orderkey FROM ev ORDER BY o_orderkey LIMIT 3),
+           |f1s AS (
+           |  SELECT o_orderkey, o_totalprice, o_orderstatus
+           |  FROM ev ANTI JOIN cut USING (o_orderkey)
+           |  WHERE o_orderkey % 10 <> 4),
+           |f2 AS (
+           |  SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice,
+           |    o_orderstatus
+           |  FROM ev WHERE o_orderkey % 10 = 4),
+           |alive AS (
+           |  SELECT * FROM f1s UNION ALL SELECT * FROM f2)
+           |SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM alive GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q156_iceberg_import" -> QueryDef(
       fn = { (s, dir) =>
         val t = tmp("graft-q156i"); val root = tmp("graft-q156t")

@@ -38,7 +38,8 @@ import graft.sources.CommitLog
   * (#HUDI# framing + avro record/delete blocks) from the spec with no
   * native writer available to validate against — a wrong-byte reader
   * would silently drop or resurrect updates, which is strictly worse than
-  * the refusal. Compact with a Hudi-native engine, then import.
+  * the refusal. This is a PERMANENT boundary, recorded in DEPLOYMENT.md's
+  * interop section (r9): compact with a Hudi-native engine, then import.
   *
   * Files written by INFLIGHT instants never enter the fold at all — only
   * completed-commit metadata is read, which is exactly Hudi's own
@@ -180,9 +181,13 @@ object HudiImport {
     require(outstanding.isEmpty,
       s"MERGE_ON_READ snapshot has ${outstanding.size} file group(s) with " +
         "outstanding log files (e.g. " +
-        s"${outstanding.keys.take(3).mkString(", ")}); folding Hudi's " +
-        "binary log blocks is not implemented — compact with a " +
-        "Hudi-native engine, then import")
+        s"${outstanding.keys.take(3).mkString(", ")}). Folding Hudi's " +
+        "binary log blocks is a PERMANENT boundary of this importer " +
+        "(DEPLOYMENT.md, 'Permanent boundary — Hudi MERGE_ON_READ'): with " +
+        "no native writer to validate a byte-level reader against, a " +
+        "wrong-byte fold would silently drop or resurrect updates. " +
+        "Compact with a Hudi-native engine, then import the log-free " +
+        "snapshot (verified per file group from the timeline)")
     // schema: the newest commit carrying one
     val schemaJson = commits.reverse.iterator
       .flatMap(c => Option(c._3.get("extraMetadata"))

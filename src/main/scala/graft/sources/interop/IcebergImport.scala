@@ -37,10 +37,19 @@ import graft.sources.CommitLog
   * position-delete files re-encode through `CommitLog.stageImportedDvs`,
   * and the import stays zero-copy for data. Dangling deletes (target
   * data file no longer in the snapshot) are ignored, as the spec directs
-  * readers to. EQUALITY delete files (`data_file.content = 2`) still
-  * refuse loudly — applying them needs row matching plus sequence-number
-  * ordering, machinery with no commitlog twin. `deleted` manifest
-  * entries (`status = 2`) simply drop out of the fold.
+  * readers to. `deleted` manifest entries (`status = 2`) simply drop out
+  * of the fold.
+  *
+  * EQUALITY delete files (`data_file.content = 2`, r9) MATERIALIZE: the
+  * data files an equality delete outranks (strictly smaller data
+  * sequence number, per the spec's scan planning) re-stage as a second
+  * commit with their dead rows anti-joined away — null-safe equality on
+  * the `equality_ids` columns, position deletes for those files applied
+  * in the same rewrite. THE IMPORT STOPS BEING ZERO-COPY FOR EXACTLY
+  * THOSE FILES (stated here loudly; unaffected files still import by
+  * reference). Two honest refusals remain: equality deletes on a
+  * PARTITIONED table (they are partition-scoped; applying them globally
+  * could over-delete) and equality ids naming nested fields.
   */
 object IcebergImport {
 
@@ -152,19 +161,28 @@ object IcebergImport {
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalArgumentException(
         s"current-snapshot-id $snapId not present in snapshots"))
+    // manifest-list entries carry the manifests' DATA SEQUENCE NUMBERS
+    // (v2) — the ordering that scopes row-level deletes: an equality
+    // delete applies to data files with STRICTLY SMALLER sequence numbers
+    // (iceberg spec, "Scan Planning"). Entries may carry their own
+    // sequence_number; added entries inherit the manifest's.
     val (dataManifests, deleteManifests) = Option(snap.get("manifest-list")) match {
       case Some(ml) =>
         val entries = avroRecords(localPath(ml.asText())).map { r =>
           (localPath(r.get("manifest_path").toString),
-            fieldOpt(r, "content").map(_.toString.toInt).getOrElse(0))
+            fieldOpt(r, "content").map(_.toString.toInt).getOrElse(0),
+            fieldOpt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L))
         }
-        (entries.collect { case (p, 0) => p },
-          entries.collect { case (p, 1) => p })
+        (entries.collect { case (p, 0, s) => (p, s) },
+          entries.collect { case (p, 1, s) => (p, s) })
       case None => // v1 inline manifest array (data only by definition)
         (snap.get("manifests").elements().asScala
-          .map(m => localPath(m.asText())).toSeq, Nil)
+          .map(m => (localPath(m.asText()), 0L)).toSeq, Nil)
     }
-    val stats = dataManifests.flatMap { mPath =>
+    def entrySeq(e: GenericRecord, manifestSeq: Long): Long =
+      fieldOpt(e, "sequence_number").map(_.toString.toLong)
+        .getOrElse(manifestSeq)
+    val statsWithSeq = dataManifests.flatMap { case (mPath, mSeq) =>
       avroRecords(mPath).flatMap { e =>
         val status = e.get("status").toString.toInt
         if (status == 2) None // deleted entry
@@ -177,59 +195,140 @@ object IcebergImport {
           val path = localPath(df.get("file_path").toString)
           require(Files.isRegularFile(Paths.get(path)),
             s"manifest references missing data file $path")
-          Some(CommitLog.FileStat(path,
+          Some((CommitLog.FileStat(path,
             df.get("record_count").toString.toLong,
-            Files.size(Paths.get(path))))
+            Files.size(Paths.get(path))), entrySeq(e, mSeq)))
         }
       }
     }
+    val stats = statsWithSeq.map(_._1)
     require(stats.nonEmpty,
       s"$icebergPath folds to an empty snapshot — nothing to import")
     // v2 row-level deletes: position-delete parquet → commitlog DVs;
-    // equality deletes refuse (no by-path translation exists)
-    val deleteFiles = deleteManifests.flatMap { mPath =>
-      avroRecords(mPath).flatMap { e =>
-        if (e.get("status").toString.toInt == 2) None // removed delete file
-        else {
+    // equality deletes MATERIALIZE the data files they cover (r9)
+    val posDeleteFiles = Seq.newBuilder[String]
+    val eqDeleteFiles = Seq.newBuilder[(String, Long, Seq[String])]
+    val fieldNameById: Map[Int, String] =
+      schemaNode.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    deleteManifests.foreach { case (mPath, mSeq) =>
+      avroRecords(mPath).foreach { e =>
+        if (e.get("status").toString.toInt != 2) { // 2 = removed delete file
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val c = fieldOpt(df, "content").map(_.toString.toInt).getOrElse(1)
-          require(c != 2,
-            "snapshot carries EQUALITY delete files — applying them needs " +
-              "row matching + sequence ordering with no by-path " +
-              "translation; rewrite them with an Iceberg-native engine " +
-              "first")
-          require(c == 1, s"unknown delete-file content $c")
           val path = localPath(df.get("file_path").toString)
           require(Files.isRegularFile(Paths.get(path)),
             s"delete manifest references missing file $path")
-          Some(path)
+          if (c == 1) posDeleteFiles += path
+          else if (c == 2) {
+            val ids = fieldOpt(df, "equality_ids").map { v =>
+              v.asInstanceOf[java.lang.Iterable[AnyRef]].asScala
+                .map(_.toString.toInt).toSeq
+            }.getOrElse(Nil)
+            require(ids.nonEmpty,
+              s"equality delete file $path lists no equality_ids — " +
+                "malformed metadata")
+            val cols = ids.map(id => fieldNameById.getOrElse(id,
+              sys.error(s"equality delete field id $id is not a top-level " +
+                "schema column — nested equality deletes have no " +
+                "translation here; rewrite with an Iceberg-native engine")))
+            eqDeleteFiles += ((path, entrySeq(e, mSeq), cols))
+          } else sys.error(s"unknown delete-file content $c")
         }
       }
     }
+    val posDeletes = posDeleteFiles.result()
+    val eqDeletes = eqDeleteFiles.result()
+    if (eqDeletes.nonEmpty) {
+      // equality deletes are PARTITION-SCOPED in Iceberg; applying them
+      // globally is only correct when the table is unpartitioned — refuse
+      // otherwise rather than over-delete rows in unscoped partitions
+      val specFields = (for {
+        specs <- Option(meta.get("partition-specs")).toSeq
+        dflt = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+        spec <- specs.elements().asScala
+        if spec.get("spec-id").asInt() == dflt
+        f <- Option(spec.get("fields")).toSeq.flatMap(_.elements().asScala)
+      } yield f) ++
+        Option(meta.get("partition-spec")).toSeq
+          .flatMap(_.elements().asScala)
+      require(specFields.isEmpty,
+        "snapshot carries EQUALITY delete files on a PARTITIONED table — " +
+          "they are partition-scoped and this importer applies them " +
+          "globally; rewrite them with an Iceberg-native engine first")
+    }
+    val seqOf = statsWithSeq.map { case (s, q) => s.path -> q }.toMap
+    // a data file is AFFECTED when any equality delete outranks it; those
+    // files MATERIALIZE (import stops being zero-copy for exactly them —
+    // rows re-stage minus their deletes), everything else imports by
+    // reference as always
+    val affected = stats.map(_.path)
+      .filter(p => eqDeletes.exists(_._2 > seqOf(p))).toSet
+    val unaffected = stats.filterNot(s => affected(s.path))
+    import org.apache.spark.sql.functions._
+    val posSchema = StructType(Seq(
+      StructField("file_path", StringType), StructField("pos", LongType)))
+    def posMarks(targets: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val live = spark.createDataFrame(targets.map(Tuple1(_))).toDF("file")
+      spark.read.schema(posSchema).parquet(posDeletes: _*)
+        // localPath, columnar: strip a file:/ or file:// scheme prefix
+        .select(regexp_replace(col("file_path"), "^file:(//)?", "")
+          .as("file"), col("pos"))
+        .join(broadcast(live), Seq("file"), "left_semi")
+    }
+    // position-delete files are plain parquet of (file_path, pos) — read
+    // DISTRIBUTED, never collected: marks for by-reference files flow
+    // straight into stageImportedDvs' partitionBy write (duplicates
+    // dedupe in the shuffle; dangling marks drop per the spec via the
+    // broadcast semi join); marks for materializing files anti-join
+    // during the rewrite below instead
     val dvs =
-      if (deleteFiles.isEmpty) Map.empty[String, String]
-      else {
-        import org.apache.spark.sql.functions._
-        // position-delete files are plain parquet of (file_path, pos) —
-        // read DISTRIBUTED, never collected: the marks flow straight into
-        // stageImportedDvs' partitionBy write, the driver holding only the
-        // DV'd file list. Duplicate marks (several delete files hitting
-        // one row) dedupe in the staging shuffle; dangling marks (target
-        // no longer live) drop per the spec via a broadcast semi join
-        // against the metadata-sized live-file list
-        val live = spark.createDataFrame(
-          stats.map(s => Tuple1(s.path))).toDF("file")
-        val marks = spark.read
-          .schema(StructType(Seq(
-            StructField("file_path", StringType),
-            StructField("pos", LongType))))
-          .parquet(deleteFiles: _*)
-          // localPath, columnar: strip a file:/  or file:// scheme prefix
-          .select(regexp_replace(col("file_path"), "^file:(//)?", "")
-            .as("file"), col("pos"))
-          .join(broadcast(live), Seq("file"), "left_semi")
-        CommitLog.stageImportedDvs(spark, root, marks)
+      if (posDeletes.isEmpty || unaffected.isEmpty)
+        Map.empty[String, String]
+      else CommitLog.stageImportedDvs(spark, root,
+        posMarks(unaffected.map(_.path)))
+    val v1 = CommitLog.importSnapshot(root, schema, unaffected, dvs = dvs)
+    if (affected.isEmpty) v1
+    else {
+      // balanced union — a left-deep fold over many files would blow
+      // Catalyst's recursive plan walks
+      def unionAll(dfs: IndexedSeq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
+        if (dfs.size == 1) dfs.head
+        else unionAll(dfs.take(dfs.size / 2))
+          .unionByName(unionAll(dfs.drop(dfs.size / 2)))
+      val dataCols = schema.fieldNames.toIndexedSeq
+      val posTargets = affected.toSeq.sorted
+      val marksForAffected =
+        if (posDeletes.isEmpty) None else Some(posMarks(posTargets))
+      val perFile = posTargets.toIndexedSeq.map { p =>
+        val base = spark.read.schema(schema).parquet(p)
+          .withColumn("__seq", lit(seqOf(p)))
+        marksForAffected match {
+          case None => base
+          case Some(mk) =>
+            base.withColumn("__pos", col("_metadata.row_index"))
+              .join(mk.filter(col("file") === lit(p))
+                .select(col("pos").as("__pos")), Seq("__pos"), "left_anti")
+              .drop("__pos")
+        }
       }
-    CommitLog.importSnapshot(root, schema, stats, dvs = dvs)
+      // one anti-join per distinct equality-column set: delete rows read
+      // with their sequence number attached, matched null-safely (the
+      // spec: NULL in a delete row matches NULL in the data), applied
+      // only to rows from files the delete outranks
+      val survivors = eqDeletes.groupBy(_._3).foldLeft(unionAll(perFile)) {
+        case (data, (cols, files)) =>
+          val delRows = unionAll(files.toIndexedSeq.map { case (p, q, _) =>
+            spark.read.parquet(p)
+              .select(cols.map(c => col(c).as(s"__eq_$c")) :+
+                lit(q).as("__dseq"): _*)
+          })
+          val cond = cols.map(c => col(c) <=> col(s"__eq_$c"))
+            .reduce(_ && _) && col("__seq") < col("__dseq")
+          data.join(delRows, cond, "left_anti")
+      }
+      CommitLog.append(
+        survivors.select(dataCols.map(col): _*), root)
+    }
   }
 }

@@ -44,37 +44,47 @@ class IcebergImportSpec extends SparkTestBase {
       |  {"name":"manifest_path","type":"string"},
       |  {"name":"manifest_length","type":"long"},
       |  {"name":"partition_spec_id","type":"int"},
-      |  {"name":"content","type":"int","default":0}
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"sequence_number","type":["null","long"],"default":null}
       |]}""".stripMargin)
 
   private val manifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
+      |  {"name":"sequence_number","type":["null","long"],"default":null},
       |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
       |    {"name":"file_size_in_bytes","type":"long"},
-      |    {"name":"content","type":"int","default":0}
+      |    {"name":"content","type":"int","default":0},
+      |    {"name":"equality_ids",
+      |     "type":["null",{"type":"array","items":"int"}],"default":null}
       |  ]}}
       |]}""".stripMargin)
 
-  private def listEntry(path: String, content: Int = 0): GenericRecord = {
+  private def listEntry(path: String, content: Int = 0,
+      seq: Option[Long] = None): GenericRecord = {
     val r = new GenericData.Record(manifestListSchema)
     r.put("manifest_path", path); r.put("manifest_length", 1L)
     r.put("partition_spec_id", 0); r.put("content", content)
+    seq.foreach(s => r.put("sequence_number", s))
     r
   }
 
   private def manifestEntry(status: Int, path: String,
-      rows: Long, dfContent: Int = 0): GenericRecord = {
+      rows: Long, dfContent: Int = 0, seq: Option[Long] = None,
+      equalityIds: Seq[Int] = Nil): GenericRecord = {
     val r = new GenericData.Record(manifestSchema)
     r.put("status", status)
+    seq.foreach(s => r.put("sequence_number", s))
     val d = new GenericData.Record(
       manifestSchema.getField("data_file").schema())
     d.put("file_path", path); d.put("file_format", "PARQUET")
     d.put("record_count", rows); d.put("file_size_in_bytes", 1L)
     d.put("content", dfContent)
+    if (equalityIds.nonEmpty)
+      d.put("equality_ids", equalityIds.map(Int.box).asJava)
     r.put("data_file", d)
     r
   }
@@ -87,13 +97,16 @@ class IcebergImportSpec extends SparkTestBase {
       |]}""".stripMargin
 
   private def metadataJson(location: String, snapshotId: Long,
-      manifestList: String, formatVersion: Int = 1): String =
+      manifestList: String, formatVersion: Int = 1,
+      partitionSpecFields: String = ""): String =
     s"""{"format-version":$formatVersion,
        |"table-uuid":"11111111-2222-3333-4444-555555555555",
        |"location":"$location",
        |"schema":$schemaJson,
        |"schemas":[$schemaJson],
        |"current-schema-id":0,
+       |"default-spec-id":0,
+       |"partition-specs":[{"spec-id":0,"fields":[$partitionSpecFields]}],
        |"current-snapshot-id":$snapshotId,
        |"snapshots":[{"snapshot-id":$snapshotId,
        |  "manifest-list":"$manifestList"}]}""".stripMargin
@@ -151,8 +164,86 @@ class IcebergImportSpec extends SparkTestBase {
       .head.getLong(0) == 50L)
   }
 
+  test("v2 EQUALITY deletes materialize outranked files (null-safe key " +
+      "match, position deletes folded in) while unoutranked and " +
+      "unaffected files stay by reference") {
+    import spark.implicits._
+    val t = tmp(); val root = tmp()
+    // CDC shape: f1 (seq 1) holds ids 0..7; an equality delete (seq 2)
+    // kills keys 2 and 5; f2 (seq 2) re-inserts key 2 with a NEW value —
+    // same seq as the delete, so the delete does NOT outrank it. A
+    // position delete also kills f1's row 0 — applied in the same rewrite.
+    writeOne(dataDf(0, 8).coalesce(1).sortWithinPartitions("id"),
+      Paths.get(t, "data", "f1.parquet"))
+    val f2 = spark.sql(
+      "SELECT id, CAST(id AS DOUBLE)/2 AS v, concat('r', id) AS name " +
+        "FROM range(100, 104) UNION ALL SELECT 2L, 99.0D, 'r2new'")
+    writeOne(f2.coalesce(1), Paths.get(t, "data", "f2.parquet"))
+    writeOne(Seq(2L, 5L).toDF("id"), Paths.get(t, "data", "eq1.parquet"))
+    writeOne(Seq((s"$t/data/f1.parquet", 0L)).toDF("file_path", "pos"),
+      Paths.get(t, "data", "pdel.parquet"))
+    writeAvro(Paths.get(t, "metadata", "m1.avro"), manifestSchema, Seq(
+      manifestEntry(1, s"$t/data/f1.parquet", 8L, seq = Some(1L))))
+    writeAvro(Paths.get(t, "metadata", "m2.avro"), manifestSchema, Seq(
+      manifestEntry(1, s"$t/data/f2.parquet", 5L, seq = Some(2L))))
+    writeAvro(Paths.get(t, "metadata", "md.avro"), manifestSchema, Seq(
+      manifestEntry(1, s"$t/data/eq1.parquet", 2L, dfContent = 2,
+        seq = Some(2L), equalityIds = Seq(1)), // field id 1 = "id"
+      manifestEntry(1, s"$t/data/pdel.parquet", 1L, dfContent = 1,
+        seq = Some(2L))))
+    writeAvro(Paths.get(t, "metadata", "ml.avro"), manifestListSchema, Seq(
+      listEntry(s"$t/metadata/m1.avro", seq = Some(1L)),
+      listEntry(s"$t/metadata/m2.avro", seq = Some(2L)),
+      listEntry(s"$t/metadata/md.avro", content = 1, seq = Some(2L))))
+    Files.write(Paths.get(t, "metadata", "v1.metadata.json"),
+      metadataJson(t, 1L, s"$t/metadata/ml.avro", formatVersion = 2)
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(t, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+    IcebergImport.importTable(spark, t, root)
+    val got = CommitLog.read(spark, root)
+    // f1 survivors: 1,3,4,6,7 (0 by position, 2 and 5 by equality);
+    // f2 intact: 100..103 plus the re-inserted key 2
+    assert(got.count() == 10, got.collect().mkString(","))
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 6L, 7L, 100L, 101L, 102L, 103L))
+    // the surviving key 2 is the NEW row — the delete did not outrank it
+    assert(got.filter(col("id") === 2L).select("name").collect()
+      .map(_.getString(0)).toSeq == Seq("r2new"))
+    // zero-copy held for the unoutranked file: f2 is still referenced
+    // absolutely; only f1 re-staged under the root
+    val m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+    assert(m.files.contains(s"$t/data/f2.parquet"), m.files.toString)
+    assert(!m.files.contains(s"$t/data/f1.parquet"), m.files.toString)
+
+    // equality deletes on a PARTITIONED table refuse (partition-scoped;
+    // a global rewrite could over-delete)
+    val t2 = tmp()
+    writeOne(dataDf(0, 3), Paths.get(t2, "data", "f.parquet"))
+    writeOne(Seq(1L).toDF("id"), Paths.get(t2, "data", "eq.parquet"))
+    writeAvro(Paths.get(t2, "metadata", "m.avro"), manifestSchema,
+      Seq(manifestEntry(1, s"$t2/data/f.parquet", 3L, seq = Some(1L))))
+    writeAvro(Paths.get(t2, "metadata", "md.avro"), manifestSchema,
+      Seq(manifestEntry(1, s"$t2/data/eq.parquet", 1L, dfContent = 2,
+        seq = Some(2L), equalityIds = Seq(1))))
+    writeAvro(Paths.get(t2, "metadata", "ml.avro"), manifestListSchema, Seq(
+      listEntry(s"$t2/metadata/m.avro", seq = Some(1L)),
+      listEntry(s"$t2/metadata/md.avro", content = 1, seq = Some(2L))))
+    Files.write(Paths.get(t2, "metadata", "v1.metadata.json"),
+      metadataJson(t2, 1L, s"$t2/metadata/ml.avro", formatVersion = 2,
+        partitionSpecFields = """{"name":"name","transform":"identity",
+          |"source-id":3,"field-id":1000}""".stripMargin)
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(t2, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(spark, t2, tmp())
+    }
+    assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
+  }
+
   test("v2 POSITION deletes translate to commitlog DVs (dedup + dangling " +
-      "drop); EQUALITY deletes refuse") {
+      "drop); an equality delete outranking nothing is a no-op") {
     val t = tmp(); val root = tmp()
     // two data files; f1 loses rows 1 and 3, marked across TWO delete
     // files (row 3 twice — dedup), plus a DANGLING mark on a removed file
@@ -192,26 +283,28 @@ class IcebergImportSpec extends SparkTestBase {
     CommitLog.purgeDeletionVectors(spark, root)
     assert(CommitLog.read(spark, root).count() == 10)
 
-    // equality deletes refuse
-    val t2 = tmp()
+    // an equality delete whose sequence number outranks NO data file is
+    // a no-op (spec scan planning: strictly-smaller only) — the import
+    // stays fully by reference
+    val t2 = tmp(); val root2 = tmp()
     writeOne(dataDf(0, 3), Paths.get(t2, "data", "f.parquet"))
-    writeOne(Seq((1L, 0L)).toDF("id", "x"),
-      Paths.get(t2, "data", "eq.parquet"))
+    writeOne(Seq(1L).toDF("id"), Paths.get(t2, "data", "eq.parquet"))
     writeAvro(Paths.get(t2, "metadata", "m.avro"), manifestSchema,
-      Seq(manifestEntry(1, s"$t2/data/f.parquet", 3L)))
+      Seq(manifestEntry(1, s"$t2/data/f.parquet", 3L, seq = Some(2L))))
     writeAvro(Paths.get(t2, "metadata", "md.avro"), manifestSchema,
-      Seq(manifestEntry(1, s"$t2/data/eq.parquet", 1L, dfContent = 2)))
+      Seq(manifestEntry(1, s"$t2/data/eq.parquet", 1L, dfContent = 2,
+        seq = Some(2L), equalityIds = Seq(1))))
     writeAvro(Paths.get(t2, "metadata", "ml.avro"), manifestListSchema, Seq(
-      listEntry(s"$t2/metadata/m.avro"),
-      listEntry(s"$t2/metadata/md.avro", content = 1)))
+      listEntry(s"$t2/metadata/m.avro", seq = Some(2L)),
+      listEntry(s"$t2/metadata/md.avro", content = 1, seq = Some(2L))))
     Files.write(Paths.get(t2, "metadata", "v1.metadata.json"),
       metadataJson(t2, 1L, s"$t2/metadata/ml.avro", formatVersion = 2)
         .getBytes("UTF-8"))
     Files.write(Paths.get(t2, "metadata", "version-hint.text"),
       "1".getBytes("UTF-8"))
-    val e = intercept[IllegalArgumentException] {
-      IcebergImport.importTable(spark, t2, tmp())
-    }
-    assert(e.getMessage.contains("EQUALITY"), e.getMessage)
+    IcebergImport.importTable(spark, t2, root2)
+    assert(CommitLog.read(spark, root2).count() == 3)
+    assert(!Files.walk(Paths.get(root2)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
   }
 }
