@@ -95,12 +95,20 @@ final case class CubeDef(
   def query(
       resolve: String => DataFrame,
       measureNames: Seq[String],
-      dims: Seq[(String, Option[String])]): DataFrame = {
-    val base = preAggregations.find(servableBy(_, measureNames, dims)) match {
+      dims: Seq[(String, Option[String])],
+      filters: Seq[Column] = Nil): DataFrame = {
+    // filtered selections render on the RAW path: a pre-aggregation can
+    // only serve a filter over dimensions it stores, and proving that per
+    // operator buys little — dashboard-grain UNfiltered selections (the
+    // rollup's reason to exist) still route
+    val base = (if (filters.isEmpty)
+      preAggregations.find(servableBy(_, measureNames, dims)) else None) match {
       case Some(p) => return finish(rollupAgg(resolve(p.table), p, measureNames, dims), dims)
-      case None => joins.foldLeft(resolve(table)) { (df, j) =>
-        df.join(resolve(j.other), j.on, j.how)
-      }
+      case None =>
+        val joined = joins.foldLeft(resolve(table)) { (df, j) =>
+          df.join(resolve(j.other), j.on, j.how)
+        }
+        filters.foldLeft(joined)(_.filter(_))
     }
     val dimCols = dims.map { case (n, g) => dimension(n).toCol(g) }
     val aggCols = measureNames.map(measure(_).toCol)
@@ -108,6 +116,14 @@ final case class CubeDef(
       if (dimCols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
       else base.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
     finish(grouped, dims)
+  }
+
+  /** The SQL expression behind a member name — the REST persona's filter
+    * target (a filter addresses a dimension's expression, pre-aggregation).
+    */
+  private[graft] def dimensionExpr(n: String): (Column, String) = {
+    val d = dimension(n)
+    (expr(d.sql), d.typ)
   }
 
   /** deterministic output order over the dimension columns */
