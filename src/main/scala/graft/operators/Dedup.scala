@@ -694,17 +694,22 @@ object Dedup {
       }),
 
     // MinHash estimator CALIBRATION (the q46/q160/q164 grading discipline
-    // applied to q13): for every LSH candidate pair, the K=12 signature
-    // estimate sits next to the EXACT shingle Jaccard, and the report is
-    // the error panel — MAE, worst error, and signed bias — that tells an
-    // operator whether est_sim thresholds can be trusted before a dedup
-    // run burns cluster time. Everything is exact integers on the 1e6
-    // grid (est = 1e6·matches div 12; jac = 1e6·|A∩B| div |A∪B|; Spark
-    // `div` ≡ DuckDB `//`, both truncate toward zero even for the signed
-    // bias). Plan at 100 TB: candidates come from the SAME band equi-join
-    // q13 uses (never all-pairs); the exact-Jaccard join is candidate-
-    // scoped — intersections only ever compute for pairs the bands
-    // already admitted, which is the whole point of LSH.
+    // applied to q13): for a deterministic sample of LSH candidate pairs,
+    // the K=12 signature estimate sits next to the EXACT shingle Jaccard,
+    // and the report is the error panel — MAE, worst error, and signed
+    // bias — that tells an operator whether est_sim thresholds can be
+    // trusted before a dedup run burns cluster time. Everything is exact
+    // integers on the 1e6 grid (est = 1e6·matches div 12; jac =
+    // 1e6·|A∩B| div |A∪B|; Spark `div` ≡ DuckDB `//`, both truncate
+    // toward zero even for the signed bias). Plan at 100 TB: candidates
+    // come from the SAME band equi-join q13 uses (never all-pairs), and
+    // the AUDIT ITSELF is capped (r9): when candidates exceed ~20k pairs,
+    // a deterministic md5-hash modulus (the q50 sampling idiom, computed
+    // identically by the oracle) keeps a fixed-size pair sample — the
+    // calibration stays O(cap) at any corpus scale instead of riding the
+    // (mildly superlinear) candidate-pair density. Below the cap the
+    // modulus is 1 and every candidate grades, so small-SF results are
+    // unchanged.
     "q168_minhash_calibration" -> QueryDef(
       fn = { (s, dir) =>
         val shs = shingles(docs(s, dir))
@@ -716,11 +721,23 @@ object Dedup {
         }
         val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cand = bands.as("a").join(bands.as("b"),
+        val candAll = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
+        // sample modulus d = ceil(n_cand / cap): candidate-count-priced to
+        // compute, keeps ~cap pairs, and the oracle derives the SAME d
+        // from its own identical candidate set
+        val sampleCap = 20000L
+        val nCand = candAll.count()
+        val d = (nCand + sampleCap - 1) / sampleCap
+        val cand =
+          if (d <= 1L) candAll
+          else candAll.filter(
+            conv(substring(md5(concat(col("doc_a").cast("string"), lit("|"),
+              col("doc_b").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % lit(d) === 0L)
         val sa = sig.toDF(sig.columns.toIndexedSeq
           .map(c => if (c == "doc_id") c else s"a_$c"): _*)
         val sb = sig.toDF(sig.columns.toIndexedSeq
@@ -780,15 +797,21 @@ object Dedup {
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
            |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |samp AS (
+           |  SELECT doc_a, doc_b FROM cand
+           |  WHERE (CAST(concat('0x', substr(md5(concat(
+           |      CAST(doc_a AS VARCHAR), '|', CAST(doc_b AS VARCHAR))),
+           |      1, 8)) AS BIGINT)
+           |    % (SELECT (count(*) + 19999) // 20000 FROM cand)) = 0),
            |est AS (
            |  SELECT c.doc_a, c.doc_b,
            |    (1000000 * ($matchSum)) // $K AS est_micro
-           |  FROM cand c
+           |  FROM samp c
            |  JOIN sig fa ON fa.doc_id = c.doc_a
            |  JOIN sig fb ON fb.doc_id = c.doc_b),
            |inter AS (
            |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
-           |  FROM cand c
+           |  FROM samp c
            |  JOIN sh0 a ON a.doc_id = c.doc_a
            |  JOIN sh0 b ON b.doc_id = c.doc_b AND b.sh = a.sh
            |  GROUP BY 1, 2),
