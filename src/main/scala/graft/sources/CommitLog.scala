@@ -1504,6 +1504,25 @@ object CommitLog {
     }.toMap
   }
 
+  /** Footer-derived per-file statistics for EXTERNALLY-managed parquet an
+    * import references (r9): KB of footer I/O per file — scaled out as a
+    * Spark job past 192 files, like every footer pass — and ZERO data
+    * reads, so a by-reference import lights up min/max skipping
+    * immediately instead of waiting for an ANALYZE scan. Columns whose
+    * footers cannot carry Spark's semantics (INT96 or non-MICROS
+    * timestamps, NaN-dropped fp bounds, >4 KB binary bounds — the foreign
+    * files this path exists for) simply carry NO bounds here (they never
+    * mis-prune, and [[refreshStats]]/ANALYZE later pays the scan that
+    * derives them exactly); there is deliberately no residual pass at
+    * import time. Row counts and byte sizes come from the footer, exact.
+    */
+  def importFooterStats(spark: SparkSession, schema: StructType,
+      files: Seq[String]): Seq[FileStat] = {
+    val tracked = schema.fields.filter(f => statTracked(f.dataType)).toSeq
+    readFooterStats(spark, "", files, tracked).map(f =>
+      FileStat(f.rel, f.rows, f.bytes, f.mins, f.maxs, f.nulls))
+  }
+
   /** Recompute per-file min/max/null/sum statistics for files that lack
     * them (`onlyMissing = true`, the default) or for every live file —
     * ONE metadata commit re-adds the same paths with fresh stats, no data

@@ -211,16 +211,22 @@ object DeltaImport {
 
   private def importByReference(spark: SparkSession, deltaPath: String,
       snap: Snapshot, root: String): Long = {
-    val stats = snap.adds.toSeq.map { case (rel, a) =>
+    val paths = snap.adds.keysIterator.toSeq.sorted.map { rel =>
       val abs = Paths.get(deltaPath, decodePath(rel)).toAbsolutePath.toString
       require(Files.isRegularFile(Paths.get(abs)),
         s"Delta add references missing file $rel")
-      val rows = Option(a.get("stats"))
-        .map(s => mapper.readTree(s.asText()))
-        .flatMap(s => Option(s.get("numRecords")).map(_.asLong()))
-        .getOrElse(spark.read.parquet(abs).count())
-      CommitLog.FileStat(abs, rows, Files.size(Paths.get(abs)))
+      abs
     }
+    // r9: per-file stats come off the parquet FOOTERS at import — KB per
+    // file, zero data reads, scaled out as a Spark job past 192 files —
+    // so the imported table prunes (and metadata-answers counts)
+    // immediately, no ANALYZE scan needed. Row counts are footer-exact
+    // (supersedes trusting add.stats.numRecords / counting statless
+    // files). Stats key by PHYSICAL column name under column mapping,
+    // exactly like native rename-era tables.
+    val physSchema = StructType(snap.schema.fields.map(f =>
+      f.copy(name = snap.physOf(f.name))))
+    val stats = CommitLog.importFooterStats(spark, physSchema, paths)
     // deletion vectors re-encode as commitlog DV parquet, position-for-
     // position (both formats address parquet row indexes); rows above
     // deliberately keep Delta's physical counts — the commitlog records

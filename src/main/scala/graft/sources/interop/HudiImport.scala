@@ -197,12 +197,18 @@ object HudiImport {
         s"no commit at $hudiPath carries extraMetadata.schema"))
     val (dt, _) = avroToSpark(mapper.readTree(schemaJson))
     val schema = dt.asInstanceOf[StructType]
-    val stats = live.values.toSeq.sortBy(_.path).map { g =>
-      val abs = Paths.get(hudiPath, g.path)
+    val paths = live.values.toSeq.map(_.path).sorted.map { p =>
+      val abs = Paths.get(hudiPath, p)
       require(Files.isRegularFile(abs),
         s"commit metadata references missing base file $abs")
-      CommitLog.FileStat(abs.toString, g.rows, Files.size(abs))
+      abs.toString
     }
+    // r9: per-file stats off the parquet FOOTERS at import — KB per file,
+    // zero data reads — so the imported table prunes immediately without
+    // an ANALYZE scan; row counts are footer-exact (supersedes trusting
+    // the commits' numWrites). Hudi's _hoodie_* meta columns are simply
+    // not in the schema, so no stats ever track them.
+    val stats = CommitLog.importFooterStats(spark, schema, paths)
     CommitLog.importSnapshot(root, schema, stats)
   }
 }

@@ -182,28 +182,32 @@ object IcebergImport {
     def entrySeq(e: GenericRecord, manifestSeq: Long): Long =
       fieldOpt(e, "sequence_number").map(_.toString.toLong)
         .getOrElse(manifestSeq)
-    val statsWithSeq = dataManifests.flatMap { case (mPath, mSeq) =>
-      avroRecords(mPath).flatMap { e =>
-        val status = e.get("status").toString.toInt
-        if (status == 2) None // deleted entry
-        else {
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          fieldOpt(df, "content").map(_.toString.toInt).foreach(c =>
-            require(c == 0,
-              "data manifest carries delete-file content — malformed " +
-                "metadata (delete files belong in content=1 manifests)"))
-          val path = localPath(df.get("file_path").toString)
-          require(Files.isRegularFile(Paths.get(path)),
-            s"manifest references missing data file $path")
-          Some((CommitLog.FileStat(path,
-            df.get("record_count").toString.toLong,
-            Files.size(Paths.get(path))), entrySeq(e, mSeq)))
+    val dataEntries: Seq[(String, Long)] = dataManifests.flatMap {
+      case (mPath, mSeq) =>
+        avroRecords(mPath).flatMap { e =>
+          val status = e.get("status").toString.toInt
+          if (status == 2) None // deleted entry
+          else {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            fieldOpt(df, "content").map(_.toString.toInt).foreach(c =>
+              require(c == 0,
+                "data manifest carries delete-file content — malformed " +
+                  "metadata (delete files belong in content=1 manifests)"))
+            val path = localPath(df.get("file_path").toString)
+            require(Files.isRegularFile(Paths.get(path)),
+              s"manifest references missing data file $path")
+            Some((path, entrySeq(e, mSeq)))
+          }
         }
-      }
     }
-    val stats = statsWithSeq.map(_._1)
-    require(stats.nonEmpty,
+    require(dataEntries.nonEmpty,
       s"$icebergPath folds to an empty snapshot — nothing to import")
+    // r9: per-file stats off the parquet FOOTERS at import — KB per file,
+    // zero data reads — so the imported table prunes immediately without
+    // an ANALYZE scan; row counts are footer-exact (supersedes trusting
+    // the manifests' record_count)
+    val stats = CommitLog.importFooterStats(spark, schema,
+      dataEntries.map(_._1).distinct)
     // v2 row-level deletes: position-delete parquet → commitlog DVs;
     // equality deletes MATERIALIZE the data files they cover (r9)
     val posDeleteFiles = Seq.newBuilder[String]
@@ -257,7 +261,7 @@ object IcebergImport {
           "they are partition-scoped and this importer applies them " +
           "globally; rewrite them with an Iceberg-native engine first")
     }
-    val seqOf = statsWithSeq.map { case (s, q) => s.path -> q }.toMap
+    val seqOf = dataEntries.toMap
     // a data file is AFFECTED when any equality delete outranks it; those
     // files MATERIALIZE (import stops being zero-copy for exactly them —
     // rows re-stage minus their deletes), everything else imports by

@@ -101,6 +101,30 @@ class DeltaImportSpec extends SparkTestBase {
       .exists(_.toString.endsWith(".parquet")))
   }
 
+  test("imports carry footer-derived stats: min/max pruning and exact " +
+      "row counts with NO ANALYZE pass (r9)") {
+    val d = tmp(); val root = tmp()
+    val low = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    val high = spark.range(1000, 1100).selectExpr("id", "id AS v")
+    writeOne(low, Paths.get(d, "low.parquet"))
+    writeOne(high, Paths.get(d, "high.parquet"))
+    // statless adds on purpose: rows must come from the footers now
+    writeCommit(d, 0L, Seq(protoJson(1), metaJson(low.schema, Nil),
+      addJson("low.parquet", stats = None),
+      addJson("high.parquet", stats = None)))
+    DeltaImport.importTable(spark, d, root)
+    val m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+    assert(m.statsOrNil.map(_.rows).sorted == Seq(100L, 100L))
+    // pruning works immediately — no refreshStats/ANALYZE ran
+    assert(CommitLog.prunedFiles(spark, root, m, col("id") < 50L).size == 1)
+    assert(CommitLog.prunedFiles(spark, root, m, col("id") >= 1000L).size == 1)
+    assert(CommitLog.read(spark, root).filter(col("id") < 50L).count() == 50)
+    // still zero-copy: stats came from KB of footer, not a data move
+    import scala.jdk.CollectionConverters._
+    assert(!java.nio.file.Files.walk(Paths.get(root)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+  }
+
   test("hive-partitioned table materializes with injected, typed " +
       "partition values and keeps the partition spec") {
     val d = tmp(); val root = tmp()

@@ -279,6 +279,8 @@ class IcebergImportSpec extends SparkTestBase {
     // the deletes landed as DV metadata; data stayed by reference
     val m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
     assert(m.dvsOrEmpty.size == 1)
+    // r9: footer stats at import — min/max pruning with NO ANALYZE pass
+    assert(CommitLog.prunedFiles(spark, root, m, col("id") >= 100L).size == 1)
     // and purge materializes them away natively
     CommitLog.purgeDeletionVectors(spark, root)
     assert(CommitLog.read(spark, root).count() == 10)
