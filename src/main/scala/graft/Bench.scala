@@ -146,9 +146,33 @@ object Bench {
     val (csvRows, csvSec) = timed(csvRoot)
     val (jsonRows, jsonSec) = timed(jsonRoot)
     val (xlsxRows, xlsxSec) = timed(xlsxRoot)
+
+    // --- streaming ingest (r8 VERDICT #8): the AvailableNow file-stream
+    // path — exactly-once checkpoint tracking + managed-table append +
+    // consume-the-source archive — timed end to end so the streaming
+    // write path's amplification is tracked round-over-round next to the
+    // batch pipeline's ---
+    val streamLand = Files.createDirectories(
+      work.resolve("land_stream/sales")).toString
+    stageSingle(li, streamLand, "lineitem_stream.csv")
+    val streamSchema = spark.read.option("header", "true")
+      .csv(s"$streamLand/lineitem_stream.csv").schema // untimed probe
+    val (streamRows, streamSec) = {
+      val t0 = System.nanoTime()
+      val src = graft.streaming.FileStreamIngest.source(
+        spark, streamLand, streamSchema,
+        archiveDir = Some(s"$work/stream_archive"))
+      graft.streaming.FileStreamIngest.runAvailableNow(
+        src, "graft_bench_stream", s"$work/stream_ckpt")
+      val rows = spark.table("graft_bench_stream").count()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_bench_stream")
+
     def rate(rows: Long, sec: Double): Long = math.round(rows / math.max(sec, 1e-9))
     s"""{"csv_rows_per_s":${rate(csvRows, csvSec)},"csv_rows":$csvRows,""" +
       s""""json_rows_per_s":${rate(jsonRows, jsonSec)},"json_rows":$jsonRows,""" +
-      s""""xlsx_rows_per_s":${rate(xlsxRows, xlsxSec)},"xlsx_rows":$xlsxRows}"""
+      s""""xlsx_rows_per_s":${rate(xlsxRows, xlsxSec)},"xlsx_rows":$xlsxRows,""" +
+      s""""stream_rows_per_s":${rate(streamRows, streamSec)},"stream_rows":$streamRows}"""
   }
 }
