@@ -470,6 +470,62 @@ object TableOps {
            |FROM orders WHERE o_orderkey % 7 <> 3
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Delta COLUMN-MAPPED export round trip (r9): a commitlog table takes
+    // a metadata-only RENAME (files keep the physical name), exports as a
+    // reader-version-2 Delta log whose schemaString carries name-mode
+    // columnMapping metadata, re-imports through DeltaImport (physical →
+    // the importer's native column map), and aggregates by the LOGICAL
+    // name — the oracle recomputes relationally, proving the rename
+    // migrates losslessly in BOTH directions with zero data movement.
+    "q177_delta_export_colmap" -> QueryDef(
+      fn = { (s, dir) =>
+        val src = tmp("graft-q177s"); val back = tmp("graft-q177b")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price0"),
+            col("o_orderstatus"))
+        CommitLog.append(ord, src)
+        CommitLog.renameColumn(src, "price0", "o_totalprice")
+        graft.sources.interop.DeltaExport.exportTable(src)
+        graft.sources.interop.DeltaImport.importTable(s, src, back)
+        CommitLog.read(s, back)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Iceberg DV EXPORT round trip (r9, the q173 proof for the OTHER v2
+    // format): a commitlog table takes merge-on-read deletes, exports as
+    // a format-version-2 Iceberg tree whose delete manifest references
+    // spec-shaped (file_path, pos) position-delete parquet (re-encoded
+    // from commitlog DV parquet in one distributed job), re-imports
+    // through IcebergImport, and aggregates — the oracle recomputes the
+    // survivors relationally, so both halves of the position-delete codec
+    // are value-proven against DuckDB.
+    "q178_iceberg_export_dv" -> QueryDef(
+      fn = { (s, dir) =>
+        val src = tmp("graft-q178s"); val back = tmp("graft-q178b")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        CommitLog.append(ord.filter(col("o_orderkey") % 2 === 0), src)
+        CommitLog.append(ord.filter(col("o_orderkey") % 2 === 1), src)
+        CommitLog.deleteDV(s, src, col("o_orderkey") % 7 === 5)
+        graft.sources.interop.IcebergExport.exportTable(src, spark = Some(s))
+        graft.sources.interop.IcebergImport.importTable(s, src, back)
+        CommitLog.read(s, back)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders WHERE o_orderkey % 7 <> 5
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Apache Iceberg interop ([[graft.sources.interop.IcebergImport]]):
     // a spec-compliant Iceberg metadata tree (version-hint →
     // vN.metadata.json → avro manifest list → avro manifest) is written

@@ -31,9 +31,15 @@ import graft.sources.CommitLog
   * each DV's .bin is built and written executor-side; the driver holds
   * only descriptor tuples, never a position set.
   *
-  * Refused loudly (exporting would corrupt): column mapping (physical
-  * names would leak), and by-reference files outside the root
-  * (clone/import sources — a relative path cannot reach them).
+  * Column mapping (r9): rename-era tables export NATIVELY as Delta
+  * name-mode column mapping — the file bytes already hold physical
+  * column names, and the schemaString's per-field
+  * `delta.columnMapping.physicalName`/`id` metadata carries the map, so
+  * the export stays pure metadata (reader version 2, or the
+  * `columnMapping` table feature when DVs ride along).
+  *
+  * Refused loudly (exporting would corrupt): by-reference files outside
+  * the root (clone/import sources — a relative path cannot reach them).
   *
   * Round-trip contract: `DeltaImport.importTable` over the exported root
   * reads back the identical snapshot ([[DeltaExportSpec]]) — for DV
@@ -65,9 +71,13 @@ object DeltaExport {
         "exportTable(root, version, spark = Some(session)) writes a " +
         "reader-version-3 log; or REORG … APPLY (PURGE) first for a " +
         "reader-version-1 export")
-    require(m.colMapOrEmpty.isEmpty,
-      "table uses column mapping — physical file names differ from the " +
-        "logical schema; materialize a rename-free copy first")
+    // column-mapped tables export NATIVELY (r9): Delta's name-mode column
+    // mapping is the identical mechanism — files keep physical column
+    // names, the schemaString's per-field delta.columnMapping.physicalName
+    // metadata carries logical→physical — so the export is still pure
+    // metadata. (Rename-era commitlog maps are top-level only, matching
+    // what the import side translates.)
+    val colMap = m.colMapOrEmpty
     require(m.files.forall(!_.startsWith("/")),
       "snapshot references files outside the table root (clone/import " +
         "sources) — a relative Delta path cannot reach them; compact first")
@@ -143,27 +153,59 @@ object DeltaExport {
       p.split('/').map(seg =>
         java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
         .mkString("/")
+    // schemaString: logical names; under column mapping every field
+    // carries the physicalName + id metadata the protocol requires for
+    // name mode (defaulting to its own name for never-renamed columns)
+    val schemaForDelta = {
+      val base = CommitLog.manifestSchema(m)
+      if (colMap.isEmpty) base
+      else org.apache.spark.sql.types.StructType(
+        base.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("delta.columnMapping.physicalName",
+                colMap.getOrElse(f.name, f.name))
+              .putLong("delta.columnMapping.id", (i + 1).toLong)
+              .build())
+        })
+    }
     val actions =
       line { n =>
         val p = n.putObject("protocol")
-        if (descriptors.isEmpty) {
+        if (descriptors.isEmpty && colMap.isEmpty) {
           p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
+        } else if (descriptors.isEmpty) {
+          // reader version 2 IS column mapping in the legacy protocol
+          p.put("minReaderVersion", 2); p.put("minWriterVersion", 5)
         } else {
-          // table features protocol: DVs are a reader feature
+          // table features protocol: DVs (and colMap when present) are
+          // reader features
           p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
-          p.putArray("readerFeatures").add("deletionVectors")
-          p.putArray("writerFeatures").add("deletionVectors")
+          val rf = p.putArray("readerFeatures")
+          val wf = p.putArray("writerFeatures")
+          rf.add("deletionVectors"); wf.add("deletionVectors")
+          if (colMap.nonEmpty) {
+            rf.add("columnMapping"); wf.add("columnMapping")
+          }
         }
       } +:
       line { n =>
         val md = n.putObject("metaData")
         md.put("id", java.util.UUID.randomUUID().toString)
-        md.put("schemaString", CommitLog.manifestSchema(m).json)
+        md.put("schemaString", schemaForDelta.json)
         md.putObject("format").put("provider", "parquet")
         md.putArray("partitionColumns")
-        if (descriptors.nonEmpty)
-          md.putObject("configuration")
-            .put("delta.enableDeletionVectors", "true")
+        if (descriptors.nonEmpty || colMap.nonEmpty) {
+          val cfg = md.putObject("configuration")
+          if (descriptors.nonEmpty)
+            cfg.put("delta.enableDeletionVectors", "true")
+          if (colMap.nonEmpty) {
+            cfg.put("delta.columnMapping.mode", "name")
+            cfg.put("delta.columnMapping.maxColumnId",
+              schemaForDelta.fields.length.toString)
+          }
+        }
         md.put("createdTime", m.version) // deterministic, not wall clock
       } +:
       m.files.map { f =>

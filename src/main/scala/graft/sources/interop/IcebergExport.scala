@@ -25,9 +25,18 @@ import graft.sources.CommitLog
   *
   * Unlike [[DeltaExport]] (whose `add` paths are root-relative), Iceberg
   * `file_path` is a full URI — so by-reference files OUTSIDE the root
-  * (clone/import sources) export fine; only states a v1 Iceberg reader
-  * would misread refuse: deletion vectors (rows would resurrect) and
-  * column mapping (physical names would leak).
+  * (clone/import sources) export fine.
+  *
+  * Deletion vectors (r9): a DV-bearing snapshot exports as FORMAT
+  * VERSION 2 with POSITION-DELETE files — the commitlog DV parquet
+  * re-encodes (one distributed job, positions never on the driver) as
+  * spec-shaped (file_path, pos) parquet carrying the spec's reserved
+  * parquet field ids, referenced from a content=1 delete manifest at
+  * data sequence 2 over the data's sequence 1. Column mapping still
+  * refuses: Iceberg resolves renames by FIELD ID inside the data files,
+  * which by-reference physical-name parquet does not carry — exporting
+  * logical names would read as all-null; materialize a rename-free copy
+  * first.
   *
   * Round-trip contract: [[IcebergImport.importTable]] over the exported
   * root reads back the identical snapshot ([[IcebergExportSpec]]). At
@@ -99,12 +108,41 @@ object IcebergExport {
       |    {"name":"block_size_in_bytes","type":"long","field-id":105}
       |  ]},"field-id":2}]}""".stripMargin)
 
+  // v2 manifest_entry: data sequence numbers inline, data_file.content
+  // (0 data / 1 position deletes) — the fields the v2 scan-planning rules
+  // read (spec §Manifests, §Sequence Numbers)
+  private val entrySchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int","field-id":0},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |    {"name":"content","type":"int","default":0,"field-id":134},
+      |    {"name":"file_path","type":"string","field-id":100},
+      |    {"name":"file_format","type":"string","field-id":101},
+      |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |    {"name":"record_count","type":"long","field-id":103},
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  ]},"field-id":2}]}""".stripMargin)
+
   // manifest_file (the manifest-list entry), v1 core fields
   private val listSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |  {"name":"manifest_path","type":"string","field-id":500},
       |  {"name":"manifest_length","type":"long","field-id":501},
       |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
+      |]}""".stripMargin)
+
+  // v2 manifest_file: content (0 data / 1 deletes manifest) + the
+  // manifest's sequence number, which added entries inherit
+  private val listSchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string","field-id":500},
+      |  {"name":"manifest_length","type":"long","field-id":501},
+      |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"content","type":"int","default":0,"field-id":517},
+      |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":515},
       |  {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
       |]}""".stripMargin)
 
@@ -120,24 +158,79 @@ object IcebergExport {
     * (`version`) — snapshot; returns the number of data files exported.
     * Same publish-a-tag semantics as [[DeltaExport.exportTable]].
     */
-  def exportTable(root: String, version: Option[Long] = None): Int = {
+  def exportTable(root: String, version: Option[Long] = None,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Int = {
     val v = version.getOrElse(CommitLog.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no commits at $root")))
     val m = CommitLog.readManifest(root, v)
-    require(m.dvsOrEmpty.isEmpty,
-      "snapshot carries deletion vectors — compact first (an Iceberg v1 " +
-        "reader would resurrect deleted rows)")
+    val dvMap = m.dvsOrEmpty
+    require(dvMap.isEmpty || spark.nonEmpty,
+      "snapshot carries deletion vectors — their positions live in DV " +
+        "parquet, so exporting them needs a SparkSession: " +
+        "exportTable(root, version, spark = Some(session)) writes a " +
+        "format-version-2 tree with position-delete files; or " +
+        "REORG … APPLY (PURGE) first for a v1 export")
     require(m.colMapOrEmpty.isEmpty,
       "table uses column mapping — physical file names differ from the " +
         "logical schema; materialize a rename-free copy first")
     val metaDir = Paths.get(root, "metadata")
     require(!Files.exists(metaDir),
       s"$root already carries an Iceberg metadata directory")
-    Files.createDirectories(metaDir)
     val rowsOf = m.statsOrNil.map(s => s.path -> s.rows).toMap
     val sizeOf = m.statsOrNil.map(s => s.path -> s.bytes).toMap
     def uri(f: String): String =
       "file://" + (if (f.startsWith("/")) f else s"$root/$f")
+    val fv = if (dvMap.isEmpty) 1 else 2
+
+    // DV → position-delete parquet BEFORE the metadata dir exists (a
+    // failed export must not leave a half-valid Iceberg tree): one
+    // distributed job reads every DV parquet, maps each row back to its
+    // data file's URI, and writes spec-shaped (file_path, pos) rows —
+    // sorted, with the spec's reserved parquet field ids (2147483546 /
+    // 2147483545) on the columns for id-based readers. Positions never
+    // land on the driver; only the part-file list does.
+    val posDeleteSchema = StructType(Seq(
+      StructField("file_path", StringType), StructField("pos", LongType)))
+    val deleteParts: Seq[(String, Long)] =
+      if (dvMap.isEmpty) Nil
+      else {
+        val s = spark.get
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val byDvAbs: Map[String, Seq[String]] =
+          dvMap.toSeq.groupMap { case (_, dvFile) =>
+            Paths.get(root, dvFile).toAbsolutePath.normalize.toString
+          } { case (dataFile, _) => uri(dataFile) }
+        val outDir = s"$root/deletes-v$v"
+        val fileIdMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2147483546L).build()
+        val posIdMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2147483545L).build()
+        s.read
+          .schema(StructType(Seq(StructField("pos", LongType))))
+          .parquet(byDvAbs.keys.toSeq: _*)
+          .select(input_file_name().as("u"), col("pos"))
+          .as[(String, Long)]
+          .flatMap { case (u, p) =>
+            byDvAbs(Paths.get(new java.net.URI(u).getPath)
+              .normalize.toString).map(f => (f, p)) }
+          .toDF("file_path", "pos")
+          .sort("file_path", "pos")
+          .select(col("file_path").as("file_path", fileIdMeta),
+            col("pos").as("pos", posIdMeta))
+          .write.parquet(outDir)
+        import scala.jdk.CollectionConverters._
+        val parts = Files.walk(Paths.get(outDir)).iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            Files.isRegularFile(p) && n.endsWith(".parquet") &&
+              !n.startsWith("_") && !n.startsWith(".")
+          }.map(_.toString).toSeq.sorted
+        // exact per-part record counts off the footers (KB each)
+        CommitLog.importFooterStats(s, posDeleteSchema, parts)
+          .map(st => st.path -> st.rows)
+      }
+    Files.createDirectories(metaDir)
 
     // schema JSON with spec-required field ids
     var nextId = 0
@@ -146,36 +239,62 @@ object IcebergExport {
       .asInstanceOf[ObjectNode]
     schemaNode.put("schema-id", 0)
 
-    // one manifest of ADDED entries carrying the manifest's exact counts
-    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val eSchema = if (fv == 1) entrySchema else entrySchemaV2
+    val dataFileSchema = eSchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    val entries = m.files.map { f =>
-      val e = new GenericData.Record(entrySchema)
+    def entry(path: String, rows: Long, bytes: Long, content: Int,
+        seq: Long): GenericRecord = {
+      val e = new GenericData.Record(eSchema)
       e.put("status", 1); e.put("snapshot_id", v)
+      if (fv == 2) e.put("sequence_number", seq)
       val d = new GenericData.Record(dataFileSchema)
-      d.put("file_path", uri(f)); d.put("file_format", "PARQUET")
+      d.put("file_path", path); d.put("file_format", "PARQUET")
       d.put("partition", new GenericData.Record(partSchema))
-      d.put("record_count", rowsOf.getOrElse(f, 0L))
-      d.put("file_size_in_bytes", sizeOf.getOrElse(f, 0L))
-      d.put("block_size_in_bytes", sizeOf.getOrElse(f, 0L))
+      d.put("record_count", rows)
+      d.put("file_size_in_bytes", bytes)
+      if (fv == 1) d.put("block_size_in_bytes", bytes)
+      else d.put("content", content)
       e.put("data_file", d); e
     }
+    // data manifest: ADDED entries carrying the manifest's exact counts;
+    // data sequence 1 — the position deletes outrank it at sequence 2
+    // (position deletes apply at data seq ≤ delete seq per the spec)
+    val entries = m.files.map(f =>
+      entry(uri(f), rowsOf.getOrElse(f, 0L), sizeOf.getOrElse(f, 0L), 0, 1L))
     val manifestPath = metaDir.resolve(f"m0-v$v%d.avro")
-    writeAvro(manifestPath, entrySchema, Seq(
+    writeAvro(manifestPath, eSchema, Seq(
       "schema" -> mapper.writeValueAsString(schemaNode),
-      "partition-spec" -> "[]", "format-version" -> "1",
+      "partition-spec" -> "[]", "format-version" -> fv.toString,
       "content" -> "data"), entries)
+    val deleteManifestPath =
+      if (deleteParts.isEmpty) None
+      else {
+        val p = metaDir.resolve(f"m1-v$v%d-deletes.avro")
+        writeAvro(p, eSchema, Seq(
+          "schema" -> mapper.writeValueAsString(schemaNode),
+          "partition-spec" -> "[]", "format-version" -> fv.toString,
+          "content" -> "deletes"),
+          deleteParts.map { case (path, rows) =>
+            entry(uri(path), rows, Files.size(Paths.get(path)), 1, 2L) })
+        Some(p)
+      }
 
-    val mf = new GenericData.Record(listSchema)
-    mf.put("manifest_path", uri(s"metadata/${manifestPath.getFileName}"))
-    mf.put("manifest_length", Files.size(manifestPath))
-    mf.put("partition_spec_id", 0); mf.put("added_snapshot_id", v)
+    val lSchema = if (fv == 1) listSchema else listSchemaV2
+    def listEntry(p: java.nio.file.Path, content: Int, seq: Long) = {
+      val mf = new GenericData.Record(lSchema)
+      mf.put("manifest_path", uri(s"metadata/${p.getFileName}"))
+      mf.put("manifest_length", Files.size(p))
+      mf.put("partition_spec_id", 0); mf.put("added_snapshot_id", v)
+      if (fv == 2) { mf.put("content", content); mf.put("sequence_number", seq) }
+      mf
+    }
     val listPath = metaDir.resolve(f"snap-v$v%d.avro")
-    writeAvro(listPath, listSchema,
-      Seq("format-version" -> "1"), Seq(mf))
+    writeAvro(listPath, lSchema, Seq("format-version" -> fv.toString),
+      listEntry(manifestPath, 0, 1L) +:
+        deleteManifestPath.map(listEntry(_, 1, 2L)).toSeq)
 
     val meta = mapper.createObjectNode()
-    meta.put("format-version", 1)
+    meta.put("format-version", fv)
     // deterministic identity + times (not wall clock), as DeltaExport does
     meta.put("table-uuid",
       java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)
@@ -183,6 +302,12 @@ object IcebergExport {
     meta.put("last-updated-ms", v)
     meta.put("last-column-id", nextId)
     meta.set[ObjectNode]("schema", schemaNode)
+    if (fv == 2) {
+      val schemas = meta.putArray("schemas")
+      schemas.add(schemaNode.deepCopy[ObjectNode]())
+      meta.put("current-schema-id", 0)
+      meta.put("last-sequence-number", 2L)
+    }
     meta.putArray("partition-spec")
     val specs = meta.putArray("partition-specs")
     val spec0 = specs.addObject()
@@ -193,6 +318,7 @@ object IcebergExport {
     val snaps = meta.putArray("snapshots")
     val snap = snaps.addObject()
     snap.put("snapshot-id", v); snap.put("timestamp-ms", v)
+    if (fv == 2) snap.put("sequence-number", 2L)
     snap.putObject("summary").put("operation", "append")
     snap.put("manifest-list", uri(s"metadata/${listPath.getFileName}"))
     Files.write(metaDir.resolve("v1.metadata.json"),

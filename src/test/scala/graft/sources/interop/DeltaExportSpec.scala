@@ -38,6 +38,50 @@ class DeltaExportSpec extends SparkTestBase {
       .exists(_.toString.endsWith(".parquet")))
   }
 
+  test("a RENAMED (column-mapped) table exports as Delta name-mode column " +
+      "mapping and round-trips through DeltaImport") {
+    val t = tmp(); val back = tmp()
+    CommitLog.append(spark.range(30).selectExpr(
+      "id", "id * 3 AS old_name"), t)
+    CommitLog.renameColumn(t, "old_name", "v") // files keep 'old_name'
+    CommitLog.append(spark.range(30, 40).selectExpr("id", "id * 3 AS v"), t)
+    val want = CommitLog.read(spark, t).orderBy("id").collect().map(_.toSeq)
+    DeltaExport.exportTable(t)
+    val log = new String(Files.readAllBytes(
+      Paths.get(t, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+    // legacy reader-version-2 protocol IS column mapping; the schema
+    // carries per-field physicalName metadata and name mode is declared
+    assert(log.contains("\"minReaderVersion\":2"), log.take(200))
+    assert(log.contains("delta.columnMapping.physicalName") &&
+      log.contains("\"delta.columnMapping.mode\":\"name\""))
+    DeltaImport.importTable(spark, t, back)
+    val got = CommitLog.read(spark, back)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.orderBy("id").collect().map(_.toSeq).toSeq == want.toSeq)
+    // the map survives as the importer's native column map; still zero-copy
+    val m = CommitLog.readManifest(back, CommitLog.currentVersion(back).get)
+    assert(m.physOf("v") != "v")
+    import scala.jdk.CollectionConverters._
+    assert(!Files.walk(Paths.get(back)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+
+    // DVs + column mapping together: table-features protocol with BOTH
+    // reader features, still row-exact through the round trip
+    val t2 = tmp(); val back2 = tmp()
+    CommitLog.append(spark.range(20).selectExpr("id", "id * 2 AS a0"), t2)
+    CommitLog.renameColumn(t2, "a0", "val")
+    CommitLog.deleteDV(spark, t2, col("id").isin(2L, 11L))
+    val want2 = CommitLog.read(spark, t2).orderBy("id").collect().map(_.toSeq)
+    DeltaExport.exportTable(t2, spark = Some(spark))
+    val log2 = new String(Files.readAllBytes(
+      Paths.get(t2, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+    assert(log2.contains("\"minReaderVersion\":3") &&
+      log2.contains("columnMapping") && log2.contains("deletionVectors"))
+    DeltaImport.importTable(spark, t2, back2)
+    assert(CommitLog.read(spark, back2).orderBy("id").collect()
+      .map(_.toSeq).toSeq == want2.toSeq)
+  }
+
   test("exports that would corrupt refuse: deletion vectors without a " +
       "session, and a pre-existing _delta_log") {
     val t = tmp()

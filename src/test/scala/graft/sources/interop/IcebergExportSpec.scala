@@ -72,8 +72,8 @@ class IcebergExportSpec extends SparkTestBase {
     assert(CommitLog.read(spark, back).count() == 40L)
   }
 
-  test("exports that would corrupt refuse: deletion vectors and a " +
-      "pre-existing metadata tree") {
+  test("exports that would corrupt refuse: deletion vectors without a " +
+      "session, and a pre-existing metadata tree") {
     val t = tmp()
     CommitLog.append(spark.range(20).selectExpr("id"), t)
     CommitLog.deleteDV(spark, t, col("id") === 3L)
@@ -81,12 +81,52 @@ class IcebergExportSpec extends SparkTestBase {
       IcebergExport.exportTable(t)
     }
     assert(e.getMessage.contains("deletion vectors"))
-    // after compact the DVs materialize away and export succeeds ONCE
+    // after compact the DVs materialize away and a v1 export succeeds ONCE
     CommitLog.compact(spark, t)
     IcebergExport.exportTable(t)
     val e2 = intercept[IllegalArgumentException] {
       IcebergExport.exportTable(t)
     }
     assert(e2.getMessage.contains("metadata directory"))
+  }
+
+  test("a DV-bearing snapshot exports as FORMAT VERSION 2 with position " +
+      "deletes that round-trip through IcebergImport row-exactly") {
+    val t = tmp(); val back = tmp()
+    CommitLog.append(spark.range(40).selectExpr(
+      "id", "CAST(id AS DOUBLE) / 8 AS v"), t)
+    CommitLog.append(spark.range(40, 60).selectExpr(
+      "id", "CAST(id AS DOUBLE) AS v"), t)
+    // merge-on-read deletes in BOTH file generations
+    CommitLog.deleteDV(spark, t, col("id").isin(3L, 17L, 45L))
+    val want = CommitLog.read(spark, t).orderBy("id").collect().map(_.toSeq)
+    assert(want.length == 57)
+    val n = IcebergExport.exportTable(t, spark = Some(spark))
+    assert(n >= 2)
+    import scala.jdk.CollectionConverters._
+    // the metadata tree declares v2 and a content=1 delete manifest
+    val metaJson = new String(Files.readAllBytes(
+      Paths.get(t, "metadata", "v1.metadata.json")), "UTF-8")
+    assert(metaJson.contains("\"format-version\" : 2") ||
+      metaJson.contains("\"format-version\":2"), metaJson.take(200))
+    assert(Files.list(Paths.get(t, "metadata")).iterator()
+      .asScala.exists(_.getFileName.toString.contains("deletes")))
+    // the delete parquet is spec-shaped (file_path, pos)
+    val delDir = Files.list(Paths.get(t)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("deletes-v")).get
+    val delDf = spark.read.parquet(delDir.toString)
+    assert(delDf.schema.fieldNames.toSeq == Seq("file_path", "pos"))
+    assert(delDf.count() == 3L)
+    // both halves of the position-delete codec meet: export wrote, import
+    // re-encodes as commitlog DVs, the commitlog read is ground truth
+    IcebergImport.importTable(spark, t, back)
+    val got = CommitLog.read(spark, back).orderBy("id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // zero-copy for DATA: the re-import's only parquet is its own DV
+    // re-encoding
+    val parquet = Files.walk(Paths.get(back)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(parquet.nonEmpty && parquet.forall(_.toString.contains("__dv_k=")),
+      parquet.mkString("\n"))
   }
 }
