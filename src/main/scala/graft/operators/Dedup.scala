@@ -712,9 +712,16 @@ object Dedup {
     // unchanged.
     "q168_minhash_calibration" -> QueryDef(
       fn = { (s, dir) =>
-        val shs = shingles(docs(s, dir))
+        // r10: checkpoint the two SHARED upstream sets — the audit fans
+        // out five ways (bands ×2 sides, est ×2 sides, inter ×2 sides +
+        // sizes), and without materialization every branch re-runs the
+        // shingle explode + minhash aggregation (the actual cost VERDICT
+        // r9 measured; the band join itself was never the bottleneck).
+        // shs is corpus-linear (distinct 3-shingles), sig is doc-sized.
+        val shs = shingles(docs(s, dir)).localCheckpoint()
         val sig = withShingleHash(shs).groupBy(col("doc_id"))
           .agg(minhashAggs.head, minhashAggs.tail: _*)
+          .localCheckpoint()
         val bandStructs = (0 until BANDS).map { b =>
           struct(lit(b).as("band"),
             concat_ws("|", (0 until 3).map(r => col(s"m${3 * b + r}")): _*).as("key"))
@@ -726,18 +733,28 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        // sample modulus d = ceil(n_cand / cap): candidate-count-priced to
-        // compute, keeps ~cap pairs, and the oracle derives the SAME d
-        // from its own identical candidate set
+        // sample modulus d = ceil(pair_incidences / cap), where
+        // pair_incidences = Σ c·(c−1)/2 over band buckets — ONE aggregate
+        // over `bands`, never a join (r10: r9 derived d by COUNTING the
+        // band join, which ran it twice — VERDICT r9 #1). The incidence
+        // sum upper-bounds the distinct candidate count (multi-band
+        // collisions count once per band), so the sample stays ≤ ~cap,
+        // and the oracle reproduces the identical d from its own bands.
         val sampleCap = 20000L
-        val nCand = candAll.count()
-        val d = (nCand + sampleCap - 1) / sampleCap
+        val nInc = bands.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+          .collect()(0).getLong(0)
+        val d = (nInc + sampleCap - 1) / sampleCap
         val cand =
-          if (d <= 1L) candAll
-          else candAll.filter(
+          (if (d <= 1L) candAll
+           else candAll.filter(
             conv(substring(md5(concat(col("doc_a").cast("string"), lit("|"),
               col("doc_b").cast("string"))), 1, 8), 16, 10)
-              .cast("long") % lit(d) === 0L)
+              .cast("long") % lit(d) === 0L))
+          // materialize the ≤cap-sized sample once: the est- and
+          // inter-joins below would otherwise each re-run the band join
+          .localCheckpoint()
         val sa = sig.toDF(sig.columns.toIndexedSeq
           .map(c => if (c == "doc_id") c else s"a_$c"): _*)
         val sb = sig.toDF(sig.columns.toIndexedSeq
@@ -745,13 +762,18 @@ object Dedup {
         val matches = (0 until K)
           .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
           .reduce(_ + _)
-        val est = cand
+        val est = broadcast(cand)
           .join(sa, cand("doc_a") === sa("doc_id")).drop("doc_id")
           .join(sb, cand("doc_b") === sb("doc_id")).drop("doc_id")
           .withColumn("mt", matches)
           .select(col("doc_a"), col("doc_b"),
             expr(s"(1000000 * mt) div $K").as("est_micro"))
-        val inter = cand
+        // exact-Jaccard side: broadcast the cap-bounded sample into the
+        // shingle joins — shs streams map-side (no corpus shuffle) and
+        // collapses to sample-sized rows before the (doc_b, sh) join;
+        // sizes is a map-combined doc-keyed rollup (shuffle is doc-count
+        // rows, not shingle rows) — all linear scans at any corpus scale
+        val inter = broadcast(cand)
           .join(shs.toDF("doc_a", "sh"), Seq("doc_a"))
           .join(shs.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
@@ -802,7 +824,8 @@ object Dedup {
            |  WHERE (CAST(concat('0x', substr(md5(concat(
            |      CAST(doc_a AS VARCHAR), '|', CAST(doc_b AS VARCHAR))),
            |      1, 8)) AS BIGINT)
-           |    % (SELECT (count(*) + 19999) // 20000 FROM cand)) = 0),
+           |    % (SELECT (COALESCE(sum(c * (c - 1) // 2), 0) + 19999) // 20000
+           |       FROM (SELECT count(*) AS c FROM bands GROUP BY band, key))) = 0),
            |est AS (
            |  SELECT c.doc_a, c.doc_b,
            |    (1000000 * ($matchSum)) // $K AS est_micro

@@ -1519,8 +1519,13 @@ object CommitLog {
   def importFooterStats(spark: SparkSession, schema: StructType,
       files: Seq[String]): Seq[FileStat] = {
     val tracked = schema.fields.filter(f => statTracked(f.dataType)).toSeq
-    readFooterStats(spark, "", files, tracked).map(f =>
-      FileStat(f.rel, f.rows, f.bytes, f.mins, f.maxs, f.nulls))
+    readFooterStats(spark, "", files, tracked)
+      // the native-commit invariant — 0-row files never enter the
+      // manifest (statsFor filters them) — holds for imports too: a
+      // foreign snapshot referencing an empty parquet contributes
+      // nothing but manifest noise
+      .filter(_.rows > 0L)
+      .map(f => FileStat(f.rel, f.rows, f.bytes, f.mins, f.maxs, f.nulls))
   }
 
   /** Recompute per-file min/max/null/sum statistics for files that lack

@@ -307,6 +307,15 @@ object IcebergExport {
       schemas.add(schemaNode.deepCopy[ObjectNode]())
       meta.put("current-schema-id", 0)
       meta.put("last-sequence-number", 2L)
+      // v2-REQUIRED fields a strict reader (the Java reference impl)
+      // checks even when empty: an unsorted sort order, its default id,
+      // and the highest assigned partition-field id (999 = none yet;
+      // partition field ids start at 1000 per the spec).
+      val orders = meta.putArray("sort-orders")
+      val order0 = orders.addObject()
+      order0.put("order-id", 0); order0.putArray("fields")
+      meta.put("default-sort-order-id", 0)
+      meta.put("last-partition-id", 999)
     }
     meta.putArray("partition-spec")
     val specs = meta.putArray("partition-specs")

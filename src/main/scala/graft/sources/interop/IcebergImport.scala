@@ -210,7 +210,7 @@ object IcebergImport {
       dataEntries.map(_._1).distinct)
     // v2 row-level deletes: position-delete parquet → commitlog DVs;
     // equality deletes MATERIALIZE the data files they cover (r9)
-    val posDeleteFiles = Seq.newBuilder[String]
+    val posDeleteFiles = Seq.newBuilder[(String, Long)]
     val eqDeleteFiles = Seq.newBuilder[(String, Long, Seq[String])]
     val fieldNameById: Map[Int, String] =
       schemaNode.get("fields").elements().asScala
@@ -223,7 +223,7 @@ object IcebergImport {
           val path = localPath(df.get("file_path").toString)
           require(Files.isRegularFile(Paths.get(path)),
             s"delete manifest references missing file $path")
-          if (c == 1) posDeleteFiles += path
+          if (c == 1) posDeleteFiles += ((path, entrySeq(e, mSeq)))
           else if (c == 2) {
             val ids = fieldOpt(df, "equality_ids").map { v =>
               v.asInstanceOf[java.lang.Iterable[AnyRef]].asScala
@@ -262,6 +262,12 @@ object IcebergImport {
           "globally; rewrite them with an Iceberg-native engine first")
     }
     val seqOf = dataEntries.toMap
+    // balanced union — a left-deep fold over many files would blow
+    // Catalyst's recursive plan walks
+    def unionAll(dfs: IndexedSeq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
+      if (dfs.size == 1) dfs.head
+      else unionAll(dfs.take(dfs.size / 2))
+        .unionByName(unionAll(dfs.drop(dfs.size / 2)))
     // a data file is AFFECTED when any equality delete outranks it; those
     // files MATERIALIZE (import stops being zero-copy for exactly them —
     // rows re-stage minus their deletes), everything else imports by
@@ -273,18 +279,30 @@ object IcebergImport {
     val posSchema = StructType(Seq(
       StructField("file_path", StringType), StructField("pos", LongType)))
     def posMarks(targets: Seq[String]): org.apache.spark.sql.DataFrame = {
-      val live = spark.createDataFrame(targets.map(Tuple1(_))).toDF("file")
-      spark.read.schema(posSchema).parquet(posDeletes: _*)
-        // localPath, columnar: strip a file:/ or file:// scheme prefix
-        .select(regexp_replace(col("file_path"), "^file:(//)?", "")
-          .as("file"), col("pos"))
-        .join(broadcast(live), Seq("file"), "left_semi")
+      // (path, data sequence) of the targets — file-list-sized, broadcast
+      val live = spark.createDataFrame(targets.map(p => (p, seqOf(p))))
+        .toDF("file", "__dataseq")
+      // delete files read grouped by THEIR sequence so each mark carries
+      // it; the spec's scan-planning gate then drops marks whose delete
+      // sequence is below the target file's data sequence (valid
+      // metadata never produces such a mark — paths are unique — but a
+      // malformed tree must not silently over-delete)
+      val marks = unionAll(posDeletes.groupBy(_._2).toIndexedSeq
+        .sortBy(_._1).map { case (dseq, files) =>
+          spark.read.schema(posSchema).parquet(files.map(_._1): _*)
+            // localPath, columnar: strip a file:/ or file:// scheme prefix
+            .select(regexp_replace(col("file_path"), "^file:(//)?", "")
+              .as("file"), col("pos"), lit(dseq).as("__dseq"))
+        })
+      marks.join(broadcast(live), Seq("file")) // inner: dangling marks drop
+        .filter(col("__dseq") >= col("__dataseq"))
+        .select(col("file"), col("pos"))
     }
     // position-delete files are plain parquet of (file_path, pos) — read
     // DISTRIBUTED, never collected: marks for by-reference files flow
     // straight into stageImportedDvs' partitionBy write (duplicates
-    // dedupe in the shuffle; dangling marks drop per the spec via the
-    // broadcast semi join); marks for materializing files anti-join
+    // dedupe in the shuffle; dangling and sequence-outranked marks drop
+    // via the broadcast join + gate); marks for materializing files anti-join
     // during the rewrite below instead
     val dvs =
       if (posDeletes.isEmpty || unaffected.isEmpty)
@@ -294,12 +312,6 @@ object IcebergImport {
     val v1 = CommitLog.importSnapshot(root, schema, unaffected, dvs = dvs)
     if (affected.isEmpty) v1
     else {
-      // balanced union — a left-deep fold over many files would blow
-      // Catalyst's recursive plan walks
-      def unionAll(dfs: IndexedSeq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
-        if (dfs.size == 1) dfs.head
-        else unionAll(dfs.take(dfs.size / 2))
-          .unionByName(unionAll(dfs.drop(dfs.size / 2)))
       val dataCols = schema.fieldNames.toIndexedSeq
       val posTargets = affected.toSeq.sorted
       val marksForAffected =

@@ -28,8 +28,14 @@ import graft.semantic.CubeDef
   * Auth ≡ `CUBEJS_API_SECRET`: the `Authorization` header carries either
   * the literal secret (cube.dev dev-mode style) or an HS256 JWT signed
   * WITH the secret (cube.dev production style) — the JWT path verifies
-  * the signature with a constant-time compare and ignores claims, the
-  * persona's subset of cube's security context.
+  * the signature with a constant-time compare and enforces the standard
+  * time claims (`exp` strictly in the future, `nbf` not in the future)
+  * so a leaked token ages out; other claims are ignored, the persona's
+  * subset of cube's security context. The server binds loopback by
+  * default (`bindAddress` widens it deliberately), and results are
+  * row-capped before `collect()` — `limit` defaults to 10000 and is
+  * rejected above 50000, cube.dev's own bounds — so an authorized but
+  * oversized query cannot OOM the driver.
   *
   * Scale: the server is a thin JSON shim; every query plans and executes
   * as the cube's declarative aggregation (Catalyst/AQE own the physical
@@ -38,22 +44,31 @@ import graft.semantic.CubeDef
   */
 object CubeRest {
 
+  /** cube.dev's own load-query row bounds (its API reference: `limit`
+    * defaults to 10000, maximum 50000).
+    */
+  val DefaultLimit = 10000
+  val MaxLimit = 50000
+
   private val mapper = new ObjectMapper()
 
   /** Start the REST endpoint on `port` (0 = pick a free one); returns the
     * server (call `.stop(0)` to shut down) and the bound port.
     *
-    * @param cubes   the served cube catalog
-    * @param resolve table name → DataFrame, same contract as CubeDef.query
-    * @param secret  ≡ CUBEJS_API_SECRET (defaults to the env var)
+    * @param cubes       the served cube catalog
+    * @param resolve     table name → DataFrame, same contract as CubeDef.query
+    * @param secret      ≡ CUBEJS_API_SECRET (defaults to the env var)
+    * @param bindAddress interface to listen on; loopback by default —
+    *                    widening to 0.0.0.0 is an explicit caller choice
     */
   def start(cubes: Seq[CubeDef], resolve: String => DataFrame,
       secret: String = sys.env.getOrElse("CUBEJS_API_SECRET", ""),
-      port: Int = 0): (HttpServer, Int) = {
+      port: Int = 0, bindAddress: String = "127.0.0.1"): (HttpServer, Int) = {
     require(secret.nonEmpty,
       "CubeRest needs an API secret (CUBEJS_API_SECRET or the secret arg)")
     val byName = cubes.map(c => c.name -> c).toMap
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val server = HttpServer.create(
+      new InetSocketAddress(java.net.InetAddress.getByName(bindAddress), port), 0)
     server.createContext("/cubejs-api/v1/load", (ex: HttpExchange) =>
       guarded(ex, secret) { () =>
         val q = ex.getRequestMethod match {
@@ -78,8 +93,15 @@ object CubeRest {
 
   // ------------------------------------------------------------------ auth
 
-  /** Literal secret, or an HS256 JWT signed with it (claims ignored). */
-  private[tools] def authorized(header: String, secret: String): Boolean = {
+  /** Literal secret, or an HS256 JWT signed with it. A verified JWT must
+    * also pass the standard time claims when present — `exp` strictly
+    * after now, `nbf` at or before now (RFC 7519 §4.1.4/4.1.5) — so an
+    * expired or leaked-and-rotated-out token is not valid forever.
+    * `nowEpochSec` is injectable for the spec's frozen-clock cases.
+    */
+  private[tools] def authorized(header: String, secret: String,
+      nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000L)
+      : Boolean = {
     val t = header.stripPrefix("Bearer ").trim
     if (java.security.MessageDigest.isEqual(
         t.getBytes(UTF_8), secret.getBytes(UTF_8))) true
@@ -91,10 +113,24 @@ object CubeRest {
         val want = java.util.Base64.getUrlEncoder.withoutPadding
           .encodeToString(mac.doFinal(s"$h.$p".getBytes(UTF_8)))
         java.security.MessageDigest.isEqual(
-          want.getBytes(UTF_8), sig.getBytes(UTF_8))
+          want.getBytes(UTF_8), sig.getBytes(UTF_8)) && timeClaimsOk(p, nowEpochSec())
       case _ => false
     }
   }
+
+  /** exp/nbf gate over a signature-verified payload; a payload that is
+    * not decodable JSON fails closed (the signature says the issuer
+    * produced it, but a non-JWS-shaped token earns no time-claim pass).
+    */
+  private def timeClaimsOk(payloadB64: String, now: Long): Boolean =
+    try {
+      val claims = mapper.readTree(
+        java.util.Base64.getUrlDecoder.decode(payloadB64))
+      def num(f: String): Option[Long] =
+        Option(claims.get(f)).filterNot(_.isNull).filter(_.isNumber)
+          .map(_.asLong())
+      num("exp").forall(_ > now) && num("nbf").forall(_ <= now)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   private def guarded(ex: HttpExchange, secret: String)
       (body: () => ObjectNode): Unit = {
@@ -167,9 +203,15 @@ object CubeRest {
         // inclusive calendar-date range, cube.dev's dateRange contract
         cube.dimensionExpr(d)._1.cast("date").between(from, to)
       }
-    var df = cube.query(resolve, measures.map(_._2), dims, filters)
-    Option(q.get("limit")).filterNot(_.isNull)
-      .foreach(l => df = df.limit(l.asInt()))
+    // cube.dev's row-limit contract (default 10000, hard max 50000) —
+    // enforced BEFORE collect() so an omitted or oversized limit can
+    // never pull an unbounded aggregate onto the driver.
+    val limit = Option(q.get("limit")).filterNot(_.isNull)
+      .map(_.asInt()).getOrElse(DefaultLimit)
+    require(limit >= 0 && limit <= MaxLimit,
+      s"limit must be between 0 and $MaxLimit, got $limit")
+    val df = cube.query(resolve, measures.map(_._2), dims, filters)
+      .limit(limit)
     // response keys ≡ cube.dev: cube.measure, cube.dim, cube.timeDim.gran
     val outKeys: Seq[(String, String)] = // (df column, response key)
       dimensions.map { case (c, d) => d -> s"$c.$d" } ++

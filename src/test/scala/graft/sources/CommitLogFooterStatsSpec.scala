@@ -205,4 +205,58 @@ class CommitLogFooterStatsSpec extends SparkTestBase {
     assert(CommitLog.read(spark, root2).agg(sum("id")).collect()(0)
       .getLong(0) == (0L until 2000L).sum)
   }
+
+  test("the distributed footer branch (>192 files) agrees with the " +
+      "driver-parallel branch, and 0-row files are filtered at import") {
+    import scala.jdk.CollectionConverters._
+    // 193 one-row files — partitionBy guarantees exactly one non-empty
+    // leaf per key, pushing readFooterStats onto its Spark-job path
+    val dir = tmp() + "/t"
+    spark.range(193).selectExpr("id AS k", "id * 10 AS v", "uuid() AS s")
+      .repartition(8)
+      .write.partitionBy("k").parquet(dir)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) &&
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.toString).toSeq.sorted
+    assert(files.size == 193, s"fixture wrote ${files.size} leaf files")
+    val schema = StructType(Seq(
+      StructField("v", LongType), StructField("s", StringType)))
+    val big = CommitLog.importFooterStats(spark, schema, files) // job path
+    assert(big.size == 193)
+    val byPath = big.map(s => s.path -> s).toMap
+    // the driver-parallel branch over a subset must agree field-for-field
+    val sub = files.take(25)
+    CommitLog.importFooterStats(spark, schema, sub).foreach { s =>
+      val b = byPath(s.path)
+      assert((s.rows, s.bytes, s.minsOrEmpty, s.maxsOrEmpty,
+        s.nullCounts) == (b.rows, b.bytes, b.minsOrEmpty, b.maxsOrEmpty,
+        b.nullCounts))
+    }
+    // spot-check values: every file holds exactly its one row, min==max
+    big.foreach { s =>
+      assert(s.rows == 1L)
+      assert(s.minsOrEmpty("v") == s.maxsOrEmpty("v"))
+    }
+
+    // 0-row files never enter import-derived stats (the native-commit
+    // manifest invariant holds for imports too)
+    val emptyDir = tmp() + "/e"
+    spark.range(5).selectExpr("id AS v", "uuid() AS s").filter("v < 0")
+      .coalesce(1).write.parquet(emptyDir)
+    val emptyFile = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(emptyDir)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).map(_.toString)
+    // Spark may or may not emit a physical part file for an empty write;
+    // when it does, the import filter must drop it
+    emptyFile.foreach { ef =>
+      val got = CommitLog.importFooterStats(spark, schema,
+        Seq(files.head, ef))
+      assert(got.map(_.path) == Seq(files.head))
+    }
+  }
 }

@@ -109,6 +109,12 @@ class IcebergExportSpec extends SparkTestBase {
       Paths.get(t, "metadata", "v1.metadata.json")), "UTF-8")
     assert(metaJson.contains("\"format-version\" : 2") ||
       metaJson.contains("\"format-version\":2"), metaJson.take(200))
+    // v2-required fields strict readers check (r10): empty sort order,
+    // its default id, and last-partition-id
+    Seq("\"sort-orders\"", "\"default-sort-order-id\" : 0",
+        "\"last-partition-id\" : 999", "\"order-id\" : 0")
+      .foreach(f => assert(metaJson.replace(" ", "").contains(
+        f.replace(" ", "")), s"missing $f in ${metaJson.take(400)}"))
     assert(Files.list(Paths.get(t, "metadata")).iterator()
       .asScala.exists(_.getFileName.toString.contains("deletes")))
     // the delete parquet is spec-shaped (file_path, pos)

@@ -309,4 +309,38 @@ class IcebergImportSpec extends SparkTestBase {
     assert(!Files.walk(Paths.get(root2)).iterator().asScala
       .exists(_.toString.endsWith(".parquet")))
   }
+
+  test("position-delete scan-planning gate: marks whose delete sequence " +
+      "is below the data file's sequence drop instead of over-deleting") {
+    val t = tmp(); val root = tmp()
+    // data file at sequence 2; one delete file at sequence 1 (OUTRANKED —
+    // a valid writer can't produce this, a malformed tree can) and one at
+    // sequence 3 (applies). Only the seq-3 marks may kill rows.
+    writeOne(dataDf(0, 6).coalesce(1).sortWithinPartitions("id"),
+      Paths.get(t, "data", "f1.parquet"))
+    import spark.implicits._
+    writeOne(Seq((s"$t/data/f1.parquet", 0L), (s"$t/data/f1.parquet", 1L))
+      .toDF("file_path", "pos"), Paths.get(t, "data", "del_old.parquet"))
+    writeOne(Seq((s"$t/data/f1.parquet", 5L))
+      .toDF("file_path", "pos"), Paths.get(t, "data", "del_new.parquet"))
+    writeAvro(Paths.get(t, "metadata", "m.avro"), manifestSchema,
+      Seq(manifestEntry(1, s"$t/data/f1.parquet", 6L, seq = Some(2L))))
+    writeAvro(Paths.get(t, "metadata", "md.avro"), manifestSchema, Seq(
+      manifestEntry(1, s"$t/data/del_old.parquet", 2L, dfContent = 1,
+        seq = Some(1L)),
+      manifestEntry(1, s"$t/data/del_new.parquet", 1L, dfContent = 1,
+        seq = Some(3L))))
+    writeAvro(Paths.get(t, "metadata", "ml.avro"), manifestListSchema, Seq(
+      listEntry(s"$t/metadata/m.avro", seq = Some(2L)),
+      listEntry(s"$t/metadata/md.avro", content = 1, seq = Some(3L))))
+    Files.write(Paths.get(t, "metadata", "v1.metadata.json"),
+      metadataJson(t, 1L, s"$t/metadata/ml.avro", formatVersion = 2)
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(t, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+    IcebergImport.importTable(spark, t, root)
+    // rows 0 and 1 SURVIVE (their marks were outranked); row 5 dies
+    assert(CommitLog.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
 }

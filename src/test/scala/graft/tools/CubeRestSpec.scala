@@ -140,6 +140,57 @@ class CubeRestSpec extends SparkTestBase {
         """{"measures":["a.m","b.m"]}"""
       assert(http(port, s"/cubejs-api/v1/load?query=${enc(twoCubes)}",
         Some(secret))._1 == 400)
+
+      // an over-the-max limit answers 400 (cube.dev caps at 50000);
+      // an omitted limit still renders (the default cap, not an
+      // unbounded collect)
+      val big =
+        """{"measures":["events_cube.n"],
+          |"dimensions":["events_cube.event_type"],"limit":50001}"""
+          .stripMargin
+      assert(http(port, s"/cubejs-api/v1/load?query=${enc(big)}",
+        Some(secret))._1 == 400)
+      val noLimit =
+        """{"measures":["events_cube.n"],
+          |"dimensions":["events_cube.event_type"]}""".stripMargin
+      assert(http(port, s"/cubejs-api/v1/load?query=${enc(noLimit)}",
+        Some(secret))._1 == 200)
+
+      // an expired JWT is refused at the socket even though its
+      // signature verifies
+      val expiredJwt = signedJwt(s"""{"exp":${nowSec - 3600}}""")
+      assert(http(port, "/cubejs-api/v1/load?query=%7B%7D",
+        Some(s"Bearer $expiredJwt"))._1 == 403)
     } finally server.stop(0)
+  }
+
+  private def nowSec: Long = System.currentTimeMillis() / 1000L
+
+  private def signedJwt(payload: String): String = {
+    def b64(s: String) = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes(UTF_8))
+    val hp = b64("""{"alg":"HS256","typ":"JWT"}""") + "." + b64(payload)
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes(UTF_8), "HmacSHA256"))
+    hp + "." + java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(mac.doFinal(hp.getBytes(UTF_8)))
+  }
+
+  test("JWT time claims: exp and nbf gate a signature-valid token") {
+    val clock = () => 1_000_000L
+    def ok(payload: String): Boolean =
+      CubeRest.authorized(s"Bearer ${signedJwt(payload)}", secret, clock)
+    assert(ok("{}"))                           // no time claims → valid
+    assert(ok("""{"exp":1000001}"""))          // expires next second
+    assert(!ok("""{"exp":1000000}"""))         // exp == now → expired
+    assert(!ok("""{"exp":999999}"""))          // past → expired
+    assert(ok("""{"nbf":1000000}"""))          // active as of now
+    assert(!ok("""{"nbf":1000001}"""))         // not yet valid
+    assert(ok("""{"nbf":999000,"exp":1000500}"""))
+    assert(!ok("""{"nbf":999000,"exp":999500}"""))
+    // a signature over a non-JSON payload fails closed
+    assert(!CubeRest.authorized(
+      s"Bearer ${signedJwt("not json")}", secret, clock))
   }
 }
