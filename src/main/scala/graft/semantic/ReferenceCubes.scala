@@ -144,5 +144,58 @@ object ReferenceCubes {
            |  max(value) AS max_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
+
+    // The cube through the POSTGRES WIRE persona (r10): the reference
+    // exposes pg-wire twice — direct Postgres JDBC (README.md:74-76) and
+    // cube.dev's SQL port (conf/cube/.env:9-11, CUBEJS_PG_SQL_PORT +
+    // CUBEJS_SQL_USER/PASSWORD) — and this entry drives the full q23/q102
+    // selection through a REAL pg-wire socket: server renders to protocol
+    // text, the one-shot client parses the frames back, and the rows are
+    // re-typed for the oracle hash. Double/long/date survive the
+    // text round trip bit-exactly (Java's shortest-repr Double.toString ↔
+    // parse), so a green hash here means the protocol carried every value
+    // intact — the persona is on the oracle-checked path, like the
+    // global_temp view face (q102) and the REST face (CubeRestSpec).
+    // Scale: the wire adds render/parse per emitted row of a BOUNDED
+    // selection (event_type × month); execution is the same cube plan.
+    "q179_pgwire_cube" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        import org.apache.spark.sql.functions._
+        val resolve: String => DataFrame = name => Tables.load(s, dir, name)
+        CubeViews.register(s, Seq(eventsCube), Some(resolve), grain = "month")
+        val server = graft.tools.PgWire.start(s,
+          user = "cube", password = "wire-check")
+        val (_, rows) =
+          try graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+            "cube", "wire-check",
+            """SELECT event_type, ts_month, n, sum_value, avg_value,
+              |  min_value, max_value
+              |FROM global_temp.events_cube
+              |ORDER BY event_type, ts_month""".stripMargin)
+          finally server.stop()
+        import s.implicits._
+        rows.map(r => (r(0).get, r(1).get, r(2).get, r(3).get, r(4).get,
+            r(5).get, r(6).get))
+          .toDF("event_type", "ts_month", "n", "sum_value", "avg_value",
+            "min_value", "max_value")
+          .select(col("event_type"),
+            to_date(col("ts_month")).as("ts_month"),
+            col("n").cast("long").as("n"),
+            col("sum_value").cast("double").as("sum_value"),
+            col("avg_value").cast("double").as("avg_value"),
+            col("min_value").cast("double").as("min_value"),
+            col("max_value").cast("double").as("max_value"))
+          .orderBy("event_type", "ts_month")
+      },
+      oracle = Some {
+        import graft.operators.Exact._
+        s"""SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS ts_month,
+           |  count(*) AS n,
+           |  ${sqlSum("value")} AS sum_value,
+           |  ${sqlAvg("value")} AS avg_value,
+           |  min(value) AS min_value,
+           |  max(value) AS max_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
   )
 }
