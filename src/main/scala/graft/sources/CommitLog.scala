@@ -1517,15 +1517,84 @@ object CommitLog {
     * import time. Row counts and byte sizes come from the footer, exact.
     */
   def importFooterStats(spark: SparkSession, schema: StructType,
-      files: Seq[String]): Seq[FileStat] = {
+      files: Seq[String], sidecarRoot: Option[String] = None): Seq[FileStat] = {
     val tracked = schema.fields.filter(f => statTracked(f.dataType)).toSeq
-    readFooterStats(spark, "", files, tracked)
+    val base = readFooterStats(spark, "", files, tracked)
       // the native-commit invariant — 0-row files never enter the
       // manifest (statsFor filters them) — holds for imports too: a
       // foreign snapshot referencing an empty parquet contributes
       // nothing but manifest noise
       .filter(_.rows > 0L)
       .map(f => FileStat(f.rel, f.rows, f.bytes, f.mins, f.maxs, f.nulls))
+    sidecarRoot match {
+      case Some(root) => importSidecars(spark, root, schema, base)
+      case None => base
+    }
+  }
+
+  /** Bloom/NDV sidecars for IMPORTED by-reference files (r10): when the
+    * session opts in via `spark.graft.bloom.columns` / `ndv.columns`
+    * (the write-path confs — an import has no table properties yet),
+    * one column-pruned pass over the referenced files builds the same
+    * sketches a native commit's residual pass would, and the sidecars
+    * land under the TARGET root (`data/_bloom`/`data/_ndv`, vacuum's
+    * walk reclaims them normally) while the foreign data files stay
+    * untouched. Point-lookup skipping then lights up at import, not
+    * first at OPTIMIZE/refresh. No opt-in → pure-metadata import,
+    * exactly as before. Cost: the scan OPTIMIZE would pay later, paid
+    * once, only over the named columns.
+    */
+  private def importSidecars(spark: SparkSession, root: String,
+      schema: StructType, stats: Seq[FileStat]): Seq[FileStat] = {
+    def cols(conf: String, ok: DataType => Boolean): Seq[String] =
+      spark.conf.getOption(conf).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .filter(c => schema.fields.exists(f => f.name == c && ok(f.dataType)))
+    val bloomCols = cols(BloomColumnsConf, bloomSupported)
+    val ndvCols = cols(NdvColumnsConf, ndvSupported)
+    if ((bloomCols.isEmpty && ndvCols.isEmpty) || stats.isEmpty) return stats
+    val items = spark.conf.getOption(BloomItemsConf)
+      .getOrElse(DefaultBloomItems.toString).toLong
+    val bits = spark.conf.getOption(BloomBitsConf)
+      .getOrElse(DefaultBloomBits.toString).toLong
+    val lgk = spark.conf.getOption(NdvLgkConf)
+      .getOrElse(DefaultNdvLgk.toString).toInt
+    val passFields = (bloomCols ++ ndvCols).distinct
+      .flatMap(c => schema.fields.find(_.name == c))
+    val df = spark.read.schema(StructType(passFields))
+      .parquet(stats.map(_.path): _*)
+    val aggs = bloomCols.map { c =>
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, XxHash64}
+      GraftBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(new XxHash64(Seq(UnresolvedAttribute(Seq(c)))),
+            CatLit(items), CatLit(bits)).toAggregateExpression())
+        .as(s"bloom__$c")
+    } ++ ndvCols.map(c => hll_sketch_agg(col(c), lit(lgk)).as(s"ndv__$c"))
+    val rows = df.groupBy(input_file_name().as("file__"))
+      .agg(aggs.head, aggs.tail: _*).collect() // one row per imported file
+    val byPath = rows.toSeq
+      .map(r => decodeFileName(r.getAs[String]("file__")) -> r).toMap
+    stats.map { st =>
+      byPath.get(st.path) match {
+        case None => st // e.g. a file whose named columns are all absent
+        case Some(r) =>
+          val bloomRel = {
+            val built = bloomCols.flatMap(c =>
+              Option(r.getAs[Array[Byte]](s"bloom__$c")).map(c -> _))
+            if (built.isEmpty) None
+            else Some(writeSketchSidecar(root, "_bloom", "gblm", BloomMagic, built))
+          }
+          val ndvRel = {
+            val built = ndvCols.flatMap(c =>
+              Option(r.getAs[Array[Byte]](s"ndv__$c")).map(c -> _))
+            if (built.isEmpty) None
+            else Some(writeSketchSidecar(root, "_ndv", "gndv", NdvMagic, built))
+          }
+          st.copy(bloom = bloomRel.orNull, ndv = ndvRel.orNull)
+      }
+    }
   }
 
   /** Recompute per-file min/max/null/sum statistics for files that lack

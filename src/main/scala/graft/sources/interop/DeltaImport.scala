@@ -226,7 +226,8 @@ object DeltaImport {
     // exactly like native rename-era tables.
     val physSchema = StructType(snap.schema.fields.map(f =>
       f.copy(name = snap.physOf(f.name))))
-    val stats = CommitLog.importFooterStats(spark, physSchema, paths)
+    val stats = CommitLog.importFooterStats(spark, physSchema, paths,
+      sidecarRoot = Some(root))
     // deletion vectors re-encode as commitlog DV parquet, position-for-
     // position (both formats address parquet row indexes); rows above
     // deliberately keep Delta's physical counts — the commitlog records

@@ -208,7 +208,8 @@ object HudiImport {
     // an ANALYZE scan; row counts are footer-exact (supersedes trusting
     // the commits' numWrites). Hudi's _hoodie_* meta columns are simply
     // not in the schema, so no stats ever track them.
-    val stats = CommitLog.importFooterStats(spark, schema, paths)
+    val stats = CommitLog.importFooterStats(spark, schema, paths,
+      sidecarRoot = Some(root))
     CommitLog.importSnapshot(root, schema, stats)
   }
 }

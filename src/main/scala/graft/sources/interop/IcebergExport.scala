@@ -94,15 +94,17 @@ object IcebergExport {
 
   // manifest_entry with the v1-required data_file fields (spec §Manifests;
   // field-id props ride along as the spec assigns them: status=0,
-  // snapshot_id=1, data_file=2, file_path=100 …block_size_in_bytes=105)
-  private val entrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
+  // snapshot_id=1, data_file=2, file_path=100 …block_size_in_bytes=105).
+  // `partFields` (r10) injects the typed partition-struct fields of the
+  // declared spec — empty for unpartitioned exports, as before.
+  private def entrySchema(partFields: String): Schema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int","field-id":0},
       |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |    {"name":"file_path","type":"string","field-id":100},
       |    {"name":"file_format","type":"string","field-id":101},
-      |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |    {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
       |    {"name":"record_count","type":"long","field-id":103},
       |    {"name":"file_size_in_bytes","type":"long","field-id":104},
       |    {"name":"block_size_in_bytes","type":"long","field-id":105}
@@ -111,8 +113,8 @@ object IcebergExport {
   // v2 manifest_entry: data sequence numbers inline, data_file.content
   // (0 data / 1 position deletes) — the fields the v2 scan-planning rules
   // read (spec §Manifests, §Sequence Numbers)
-  private val entrySchemaV2: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
+  private def entrySchemaV2(partFields: String): Schema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int","field-id":0},
       |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
@@ -120,7 +122,7 @@ object IcebergExport {
       |    {"name":"content","type":"int","default":0,"field-id":134},
       |    {"name":"file_path","type":"string","field-id":100},
       |    {"name":"file_format","type":"string","field-id":101},
-      |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |    {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
       |    {"name":"record_count","type":"long","field-id":103},
       |    {"name":"file_size_in_bytes","type":"long","field-id":104}
       |  ]},"field-id":2}]}""".stripMargin)
@@ -239,17 +241,113 @@ object IcebergExport {
       .asInstanceOf[ObjectNode]
     schemaNode.put("schema-id", 0)
 
-    val eSchema = if (fv == 1) entrySchema else entrySchemaV2
+    // ---- hidden-partition spec translation (r10): the commitlog's
+    // transform vocabulary IS Iceberg's (days/months/years/truncate are
+    // the spec's own transforms; the floor contract already matches), so
+    // a hidden-partitioned layout exports as a real Iceberg partition
+    // spec with typed per-file partition values — Iceberg readers prune
+    // on it natively. Deliberate exclusions, each wrong-results-proof:
+    //   - bucket(N, c): the two engines hash DIFFERENTLY (Spark Murmur3
+    //     seed-42 internal encoding vs Iceberg's spec-defined
+    //     murmur3_x86_32 byte encodings) — declaring it would make an
+    //     Iceberg reader probe the wrong bucket and silently drop rows;
+    //     the field stays undeclared (unpartitioned is always correct).
+    //   - any file missing its partition tuple → declare nothing.
+    //   - DV-bearing (v2) exports stay unpartitioned-declared: delete
+    //     manifests share the spec, and null partition tuples on delete
+    //     entries could make a strict planner skip applying them.
+    val topIds: Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      schemaNode.get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    }
+    val tableSchema = CommitLog.manifestSchema(m)
+    val statsByPath = m.statsOrNil.map(s => s.path -> s).toMap
+    final case class PartOut(name: String, transform: String, sourceId: Int,
+        key: String, conv: String => Any, avroType: String) {
+      var fieldId: Int = 0
+    }
+    def epochDay(s: String): Any =
+      java.time.LocalDate.parse(s).toEpochDay.toInt
+    val declaredParts: Seq[PartOut] = {
+      if (fv != 1) Nil
+      else {
+        val candidates = m.partitionByOrNil
+          .map(CommitLog.parsePartField).flatMap { f =>
+            val srcType = tableSchema.fields.find(_.name == f.source)
+              .map(_.dataType)
+            val key = f.key(identity)
+            (f.fn, srcType) match {
+              case ("days", _) => Some(PartOut(s"${f.source}_day", "day",
+                topIds(f.source), key, epochDay,
+                """{"type":"int","logicalType":"date"}"""))
+              case ("months", _) => Some(PartOut(s"${f.source}_month", "month",
+                topIds(f.source), key, s => {
+                  val d = java.time.LocalDate.parse(s)
+                  (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+                }, "\"int\""))
+              case ("years", _) => Some(PartOut(s"${f.source}_year", "year",
+                topIds(f.source), key, s =>
+                  java.time.LocalDate.parse(s).getYear - 1970, "\"int\""))
+              case ("truncate", Some(StringType)) =>
+                Some(PartOut(s"${f.source}_trunc", s"truncate[${f.arg}]",
+                  topIds(f.source), key, s => s, "\"string\""))
+              case ("identity", Some(LongType)) =>
+                Some(PartOut(f.source, "identity", topIds(f.source), key,
+                  s => s.toLong, "\"long\""))
+              case ("identity", Some(IntegerType)) =>
+                Some(PartOut(f.source, "identity", topIds(f.source), key,
+                  s => s.toInt, "\"int\""))
+              case ("identity", Some(StringType)) =>
+                Some(PartOut(f.source, "identity", topIds(f.source), key,
+                  s => s, "\"string\""))
+              case ("identity", Some(DateType)) =>
+                Some(PartOut(f.source, "identity", topIds(f.source), key,
+                  epochDay, """{"type":"int","logicalType":"date"}"""))
+              case _ => None // bucket + untranslatable identity types
+            }
+          }
+        val complete = m.files.forall(f => statsByPath.get(f)
+          .exists(st => candidates.forall(c =>
+            st.partitionsOrEmpty.contains(c.key))))
+        if (candidates.nonEmpty && complete) {
+          candidates.zipWithIndex.foreach { case (c, i) => c.fieldId = 1000 + i }
+          candidates
+        } else Nil
+      }
+    }
+    val partFieldsJson = declaredParts.map(pd =>
+      s"""{"name":"${pd.name}","type":["null",${pd.avroType}],""" +
+        s""""default":null,"field-id":${pd.fieldId}}""").mkString(",")
+    val specFieldsJson: String = {
+      val arr = mapper.createArrayNode()
+      declaredParts.foreach { pd =>
+        val o = arr.addObject()
+        o.put("name", pd.name); o.put("transform", pd.transform)
+        o.put("source-id", pd.sourceId); o.put("field-id", pd.fieldId)
+      }
+      mapper.writeValueAsString(arr)
+    }
+
+    val eSchema = if (fv == 1) entrySchema(partFieldsJson)
+      else entrySchemaV2(partFieldsJson)
     val dataFileSchema = eSchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    def entry(path: String, rows: Long, bytes: Long, content: Int,
+    // `f` is the path AS THE COMMITLOG MANIFEST RECORDS IT (the
+    // statsByPath key); the Iceberg file_path URI derives from it here
+    def entry(f: String, rows: Long, bytes: Long, content: Int,
         seq: Long): GenericRecord = {
       val e = new GenericData.Record(eSchema)
       e.put("status", 1); e.put("snapshot_id", v)
       if (fv == 2) e.put("sequence_number", seq)
       val d = new GenericData.Record(dataFileSchema)
-      d.put("file_path", path); d.put("file_format", "PARQUET")
-      d.put("partition", new GenericData.Record(partSchema))
+      d.put("file_path", uri(f)); d.put("file_format", "PARQUET")
+      val pRec = new GenericData.Record(partSchema)
+      if (content == 0) declaredParts.foreach { pd =>
+        statsByPath.get(f).flatMap(_.partitionsOrEmpty.get(pd.key))
+          .foreach(vStr => pRec.put(pd.name, pd.conv(vStr)))
+      }
+      d.put("partition", pRec)
       d.put("record_count", rows)
       d.put("file_size_in_bytes", bytes)
       if (fv == 1) d.put("block_size_in_bytes", bytes)
@@ -260,11 +358,11 @@ object IcebergExport {
     // data sequence 1 — the position deletes outrank it at sequence 2
     // (position deletes apply at data seq ≤ delete seq per the spec)
     val entries = m.files.map(f =>
-      entry(uri(f), rowsOf.getOrElse(f, 0L), sizeOf.getOrElse(f, 0L), 0, 1L))
+      entry(f, rowsOf.getOrElse(f, 0L), sizeOf.getOrElse(f, 0L), 0, 1L))
     val manifestPath = metaDir.resolve(f"m0-v$v%d.avro")
     writeAvro(manifestPath, eSchema, Seq(
       "schema" -> mapper.writeValueAsString(schemaNode),
-      "partition-spec" -> "[]", "format-version" -> fv.toString,
+      "partition-spec" -> specFieldsJson, "format-version" -> fv.toString,
       "content" -> "data"), entries)
     val deleteManifestPath =
       if (deleteParts.isEmpty) None
@@ -272,10 +370,10 @@ object IcebergExport {
         val p = metaDir.resolve(f"m1-v$v%d-deletes.avro")
         writeAvro(p, eSchema, Seq(
           "schema" -> mapper.writeValueAsString(schemaNode),
-          "partition-spec" -> "[]", "format-version" -> fv.toString,
+          "partition-spec" -> specFieldsJson, "format-version" -> fv.toString,
           "content" -> "deletes"),
           deleteParts.map { case (path, rows) =>
-            entry(uri(path), rows, Files.size(Paths.get(path)), 1, 2L) })
+            entry(path, rows, Files.size(Paths.get(path)), 1, 2L) })
         Some(p)
       }
 
@@ -317,10 +415,23 @@ object IcebergExport {
       meta.put("default-sort-order-id", 0)
       meta.put("last-partition-id", 999)
     }
-    meta.putArray("partition-spec")
+    def specFieldObj(n: com.fasterxml.jackson.databind.node.ArrayNode,
+        pd: (String, String, Int, Int)): Unit = {
+      val o = n.addObject()
+      o.put("name", pd._1); o.put("transform", pd._2)
+      o.put("source-id", pd._3); o.put("field-id", pd._4)
+    }
+    val declTuples = declaredParts.map(pd =>
+      (pd.name, pd.transform, pd.sourceId, pd.fieldId))
+    val legacy = meta.putArray("partition-spec") // v1 legacy single spec
+    declTuples.foreach(specFieldObj(legacy, _))
     val specs = meta.putArray("partition-specs")
     val spec0 = specs.addObject()
-    spec0.put("spec-id", 0); spec0.putArray("fields")
+    spec0.put("spec-id", 0)
+    val spec0Fields = spec0.putArray("fields")
+    declTuples.foreach(specFieldObj(spec0Fields, _))
+    if (declaredParts.nonEmpty)
+      meta.put("last-partition-id", 999 + declaredParts.size)
     meta.put("default-spec-id", 0)
     meta.putObject("properties")
     meta.put("current-snapshot-id", v)

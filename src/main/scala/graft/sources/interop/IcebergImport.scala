@@ -207,7 +207,7 @@ object IcebergImport {
     // an ANALYZE scan; row counts are footer-exact (supersedes trusting
     // the manifests' record_count)
     val stats = CommitLog.importFooterStats(spark, schema,
-      dataEntries.map(_._1).distinct)
+      dataEntries.map(_._1).distinct, sidecarRoot = Some(root))
     // v2 row-level deletes: position-delete parquet → commitlog DVs;
     // equality deletes MATERIALIZE the data files they cover (r9)
     val posDeleteFiles = Seq.newBuilder[(String, Long)]

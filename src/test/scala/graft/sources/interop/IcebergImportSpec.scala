@@ -343,4 +343,56 @@ class IcebergImportSpec extends SparkTestBase {
     assert(CommitLog.read(spark, root).select("id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("import-time bloom/NDV sidecars (r10): session opt-in lights " +
+      "point-lookup skipping at import, no OPTIMIZE needed") {
+    val t = tmp(); val root = tmp()
+    // four files with INTERLEAVED id ranges (file k holds k, k+4, k+8…)
+    // so min/max bounds overlap completely — only a bloom probe prunes
+    (0 until 4).foreach { k =>
+      writeOne(spark.range(16).selectExpr(s"id * 4 + $k AS id",
+          "CAST(id AS DOUBLE) / 2 AS v", s"concat('r', id * 4 + $k) AS name")
+        .coalesce(1).sortWithinPartitions("id"),
+        Paths.get(t, "data", s"f$k.parquet"))
+    }
+    writeAvro(Paths.get(t, "metadata", "m.avro"), manifestSchema,
+      (0 until 4).map(k => manifestEntry(1, s"$t/data/f$k.parquet", 16L)))
+    writeAvro(Paths.get(t, "metadata", "ml.avro"), manifestListSchema,
+      Seq(listEntry(s"$t/metadata/m.avro")))
+    Files.write(Paths.get(t, "metadata", "v1.metadata.json"),
+      metadataJson(t, 1L, s"$t/metadata/ml.avro").getBytes("UTF-8"))
+    Files.write(Paths.get(t, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.bloom.columns", "id")
+    spark.conf.set("spark.graft.ndv.columns", "name")
+    try IcebergImport.importTable(spark, t, root)
+    finally {
+      spark.conf.unset("spark.graft.bloom.columns")
+      spark.conf.unset("spark.graft.ndv.columns")
+    }
+    val m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+    assert(m.statsOrNil.size == 4)
+    assert(m.statsOrNil.forall(_.bloomOpt.isDefined), "every file bloom-indexed")
+    assert(m.statsOrNil.forall(_.ndvOpt.isDefined), "every file NDV-sketched")
+    // min/max alone cannot prune the interleaved layout…
+    assert(CommitLog.prunedFiles(spark, m, col("id") === 5L).size == 4)
+    // …the import-time bloom does: id 5 lives only in file 5 % 4 == 1
+    assert(CommitLog.prunedFiles(spark, root, m, col("id") === 5L).size == 1)
+    assert(CommitLog.readPruned(spark, root, col("id") === 5L)
+      .select("name").collect().map(_.getString(0)).toSeq == Seq("r5"))
+    // data files stayed foreign (by reference); only sidecars landed
+    // under the target root
+    import scala.jdk.CollectionConverters._
+    val local = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(p => Files.isRegularFile(p)).map(_.toString).toSeq
+    assert(!local.exists(_.endsWith(".parquet")), "data must stay foreign")
+    assert(local.exists(_.contains("_bloom/")) && local.exists(_.contains("_ndv/")))
+    // and without the opt-in the import stays pure metadata (no sidecars)
+    val root2 = tmp()
+    IcebergImport.importTable(spark, t, root2)
+    val m2 = CommitLog.readManifest(root2, CommitLog.currentVersion(root2).get)
+    assert(m2.statsOrNil.forall(_.bloomOpt.isEmpty))
+    assert(!Files.walk(Paths.get(root2)).iterator().asScala
+      .exists(_.toString.contains("_bloom")))
+  }
 }
