@@ -30,7 +30,13 @@ import org.apache.spark.sql.types._
   *     constant-time compared; `trust` for tests. ≡ the cube SQL port's
   *     CUBEJS_SQL_USER/PASSWORD pair.
   *   - Simple query `Q` → RowDescription, DataRows, CommandComplete,
-  *     ReadyForQuery (`EmptyQueryResponse` for blank SQL).
+  *     ReadyForQuery (`EmptyQueryResponse` for blank SQL). Multi-
+  *     statement scripts split on top-level semicolons (quote/comment
+  *     aware) and run one result cycle each, first error aborting the
+  *     rest — pg's own contract. BEGIN/COMMIT/ROLLBACK/DISCARD ALL
+  *     acknowledge as no-ops with their pg tags (the engine IS
+  *     per-statement autocommit), so pg-JDBC's reflexive txn framing
+  *     and pool DISCARDs don't break the session.
   *   - Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync
   *     (`$n` parameters substituted as quoted text literals at Bind —
   *     the persona's subset; binary result format is refused loudly).
@@ -304,10 +310,21 @@ object PgWire {
         // discard until Sync, per the protocol's error recovery
       } else t match {
         case 'Q' =>
-          val sql = cur.cstr().trim.stripSuffix(";").trim
-          if (sql.isEmpty) new Msg('I').send(out)
-          else try runAndSend(session, out, sql)
-          catch { case scala.util.control.NonFatal(e) => sendError(out, e) }
+          // pg simple query carries a SCRIPT: statements split on
+          // top-level semicolons run in order, each with its own result
+          // cycle; the first error aborts the rest (pg's own contract)
+          val stmtsQ = splitStatements(cur.cstr())
+          if (stmtsQ.isEmpty) new Msg('I').send(out)
+          else {
+            var failed = false
+            stmtsQ.foreach { sql =>
+              if (!failed) {
+                try runAndSend(session, out, sql)
+                catch { case scala.util.control.NonFatal(e) =>
+                  sendError(out, e); failed = true }
+              }
+            }
+          }
           ready(out)
 
         case 'P' => // Parse: name, query, param-type oids
@@ -421,8 +438,28 @@ object PgWire {
 
   // ------------------------------------------------------------- queries
 
+  /** Transaction-control and pool-reset verbs pg clients emit on every
+    * connection (pg-JDBC's BEGIN under autocommit=off, pgbouncer's
+    * DISCARD ALL). Spark executes per-statement atomically and holds no
+    * session-transaction state, so these acknowledge as no-ops with
+    * their pg tags — the autocommit semantics the engine actually has.
+    */
+  private val TxnNoop =
+    "(?i)^(BEGIN|COMMIT|ROLLBACK|START\\s+TRANSACTION|END|DISCARD\\s+ALL)(\\s+.*)?$".r
+
   private def runAndSend(session: SparkSession, out: DataOutputStream,
       sql: String): Unit = {
+    sql match {
+      case TxnNoop(verb, _) =>
+        val tag = verb.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ") match {
+          case "START TRANSACTION" => "BEGIN"
+          case "END" => "COMMIT"
+          case t => t
+        }
+        new Msg('C').cstr(tag).send(out)
+        return
+      case _ =>
+    }
     val df = session.sql(sql)
     if (df.schema.isEmpty) new Msg('C').cstr(tagFor(sql)).send(out)
     else {
@@ -436,6 +473,54 @@ object PgWire {
       }
       new Msg('C').cstr(s"SELECT $n").send(out)
     }
+  }
+
+  /** Split a simple-query buffer into statements on TOP-LEVEL semicolons:
+    * quoted strings (`'…'` with `''` escapes — standard_conforming_strings
+    * is on, so backslashes are literal), double-quoted identifiers,
+    * line (`--`) and block comments are opaque. Blank statements drop.
+    */
+  private[tools] def splitStatements(buf: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new java.lang.StringBuilder()
+    var i = 0
+    val n = buf.length
+    var state = 0 // 0 plain, 1 'str', 2 "ident", 3 --line, 4 /*block*/
+    var depth = 0 // block-comment nesting (pg block comments nest)
+    while (i < n) {
+      val c = buf.charAt(i)
+      state match {
+        case 0 => c match {
+          case ';' => out += cur.toString; cur.setLength(0)
+          case '\'' => state = 1; cur.append(c)
+          case '"' => state = 2; cur.append(c)
+          case '-' if i + 1 < n && buf.charAt(i + 1) == '-' =>
+            state = 3; cur.append("--"); i += 1
+          case '/' if i + 1 < n && buf.charAt(i + 1) == '*' =>
+            state = 4; depth = 1; cur.append("/*"); i += 1
+          case _ => cur.append(c)
+        }
+        case 1 =>
+          cur.append(c)
+          if (c == '\'') {
+            if (i + 1 < n && buf.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+            else state = 0
+          }
+        case 2 => cur.append(c); if (c == '"') state = 0
+        case 3 => cur.append(c); if (c == '\n') state = 0
+        case 4 =>
+          cur.append(c)
+          if (c == '*' && i + 1 < n && buf.charAt(i + 1) == '/') {
+            cur.append('/'); i += 1; depth -= 1
+            if (depth == 0) state = 0
+          } else if (c == '/' && i + 1 < n && buf.charAt(i + 1) == '*') {
+            cur.append('*'); i += 1; depth += 1
+          }
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** pg CommandComplete tag for a row-less statement. */

@@ -103,6 +103,39 @@ class PgWireSpec extends SparkTestBase {
       collectResult()
     }
 
+    private def parseT(b: Array[Byte]): (Seq[String], Seq[Int]) = {
+      val n = i16(b, 0); var p = 2
+      val cs = Seq.newBuilder[String]; val os = Seq.newBuilder[Int]
+      (0 until n).foreach { _ =>
+        val e = b.indexOf(0.toByte, p)
+        cs += new String(b, p, e - p, UTF_8)
+        os += i32(b, e + 7) // skip table oid(4) + attnum(2)
+        p = e + 1 + 18
+      }
+      (cs.result(), os.result())
+    }
+
+    private def parseD(b: Array[Byte]): Seq[Option[String]] = {
+      val n = i16(b, 0); var p = 2
+      val r = Seq.newBuilder[Option[String]]
+      (0 until n).foreach { _ =>
+        val l = i32(b, p); p += 4
+        if (l == -1) r += None
+        else { r += Some(new String(b, p, l, UTF_8)); p += l }
+      }
+      r.result()
+    }
+
+    private def parseE(b: Array[Byte]): Option[String] = {
+      var p = 0; var m: Option[String] = None
+      while (p < b.length && b(p) != 0) {
+        val code = b(p).toChar; val e = b.indexOf(0.toByte, p + 1)
+        if (code == 'M') m = Some(new String(b, p + 1, e - p - 1, UTF_8))
+        p = e + 1
+      }
+      m
+    }
+
     def collectResult(): Result = {
       var cols = Seq.empty[String]; var oids = Seq.empty[Int]
       val rows = Seq.newBuilder[Seq[Option[String]]]
@@ -111,40 +144,45 @@ class PgWireSpec extends SparkTestBase {
       while (!done) {
         val (t, b) = readMsg()
         t match {
-          case 'T' =>
-            val n = i16(b, 0); var p = 2
-            val cs = Seq.newBuilder[String]; val os = Seq.newBuilder[Int]
-            (0 until n).foreach { _ =>
-              val e = b.indexOf(0.toByte, p)
-              cs += new String(b, p, e - p, UTF_8)
-              os += i32(b, e + 7) // skip table oid(4) + attnum(2)
-              p = e + 1 + 18
-            }
-            cols = cs.result(); oids = os.result()
-          case 'D' =>
-            val n = i16(b, 0); var p = 2
-            val r = Seq.newBuilder[Option[String]]
-            (0 until n).foreach { _ =>
-              val l = i32(b, p); p += 4
-              if (l == -1) r += None
-              else { r += Some(new String(b, p, l, UTF_8)); p += l }
-            }
-            rows += r.result()
+          case 'T' => val (c, o) = parseT(b); cols = c; oids = o
+          case 'D' => rows += parseD(b)
           case 'C' => tag = new String(b, 0, b.indexOf(0.toByte), UTF_8)
-          case 'E' =>
-            // fields: code byte + cstring until terminator; pull 'M'
-            var p = 0
-            while (p < b.length && b(p) != 0) {
-              val code = b(p).toChar; val e = b.indexOf(0.toByte, p + 1)
-              if (code == 'M') err = Some(new String(b, p + 1, e - p - 1, UTF_8))
-              p = e + 1
-            }
+          case 'E' => err = parseE(b)
           case 'Z' => done = true
           case 'I' => tag = "EMPTY"
           case _ => // ParameterStatus etc — ignore
         }
       }
       Result(cols, oids, rows.result(), tag, err)
+    }
+
+    /** A multi-statement simple query: one (cols, rows, tag) per
+      * completed statement, plus the error (if one aborted the script).
+      */
+    def queryMulti(sql: String)
+        : (Seq[(Seq[String], Seq[Seq[Option[String]]], String)], Option[String]) = {
+      msg('Q', cstrBytes(sql))
+      val results =
+        Seq.newBuilder[(Seq[String], Seq[Seq[Option[String]]], String)]
+      var cols = Seq.empty[String]
+      var rows = Seq.newBuilder[Seq[Option[String]]]
+      var err: Option[String] = None
+      var done = false
+      while (!done) {
+        val (t, b) = readMsg()
+        t match {
+          case 'T' => cols = parseT(b)._1
+          case 'D' => rows += parseD(b)
+          case 'C' =>
+            results += ((cols, rows.result(),
+              new String(b, 0, b.indexOf(0.toByte), UTF_8)))
+            cols = Seq.empty; rows = Seq.newBuilder
+          case 'E' => err = parseE(b)
+          case 'Z' => done = true
+          case _ =>
+        }
+      }
+      (results.result(), err)
     }
 
     def close(): Unit = {
@@ -240,6 +278,29 @@ class PgWireSpec extends SparkTestBase {
       // ---- empty query → EmptyQueryResponse
       assert(c.query(" ;").tag == "EMPTY")
 
+      // ---- txn-control verbs clients emit reflexively are acknowledged
+      // as no-ops with their pg tags (the engine IS autocommit)
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("commit").tag == "COMMIT")
+      assert(c.query("START TRANSACTION").tag == "BEGIN")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      assert(c.query("DISCARD ALL").tag == "DISCARD ALL")
+      assert(c.query("SELECT 9 AS x").rows == Seq(Seq(Some("9"))))
+
+      // ---- multi-statement scripts: one result cycle per statement,
+      // semicolons inside literals/comments don't split, first error
+      // aborts the remainder (pg's simple-query contract)
+      val (multi, mErr) = c.queryMulti(
+        "SELECT 1 AS a; SELECT 'x;y' AS s -- c;c\n; SELECT 3 AS b;")
+      assert(mErr.isEmpty, mErr)
+      assert(multi.map(_._3) == Seq("SELECT 1", "SELECT 1", "SELECT 1"))
+      assert(multi.map(_._2) == Seq(Seq(Seq(Some("1"))),
+        Seq(Seq(Some("x;y"))), Seq(Seq(Some("3")))))
+      val (multi2, mErr2) = c.queryMulti(
+        "SELECT 1 AS a; THIS IS NOT SQL; SELECT 3 AS b")
+      assert(multi2.size == 1 && mErr2.isDefined) // error aborts the rest
+      assert(c.query("SELECT 4 AS ok").rows == Seq(Seq(Some("4"))))
+
       // ---- extended protocol: Parse/Bind($1)/Describe/Execute/Sync
       c.msg('P', c.cstrBytes("s1") ++ c.cstrBytes(
         "SELECT id, id * 2 AS v FROM range(10) WHERE id = $1") ++
@@ -309,5 +370,18 @@ class PgWireSpec extends SparkTestBase {
     assert(PgWire.render(Array[Byte](0x0a, (0xff).toByte)) == "\\x0aff")
     assert(PgWire.render(new java.math.BigDecimal("2.50")) == "2.50")
     assert(PgWire.render(Seq(1, 2, 3)) == "{1,2,3}")
+
+    // statement splitting: top-level semicolons only
+    assert(PgWire.splitStatements("a; b ;c") == Seq("a", "b", "c"))
+    assert(PgWire.splitStatements("SELECT 'a;b'; x") ==
+      Seq("SELECT 'a;b'", "x"))
+    assert(PgWire.splitStatements("SELECT 'it''s; here'") ==
+      Seq("SELECT 'it''s; here'"))
+    assert(PgWire.splitStatements("SELECT \"we;ird\" FROM t") ==
+      Seq("SELECT \"we;ird\" FROM t"))
+    assert(PgWire.splitStatements("a -- c;c\n; b") == Seq("a -- c;c", "b"))
+    assert(PgWire.splitStatements("a /* ; /* ; */ ; */; b") ==
+      Seq("a /* ; /* ; */ ; */", "b"))
+    assert(PgWire.splitStatements("  ;;  ") == Nil)
   }
 }
