@@ -55,7 +55,15 @@ object Bench {
           case e: Throwable =>
             ((System.nanoTime() - t0) / 1e9, -1L,
               Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
-        } finally spark.catalog.clearCache() // persists must not tax successors
+        } finally {
+          spark.catalog.clearCache() // persists must not tax successors
+          // localCheckpoint blocks live OUTSIDE the cache manager and
+          // would otherwise pin memory for the whole sweep (the r10 sf1
+          // sweep measured a later query at 29.8 s in-sweep vs 2.7 s
+          // isolated from exactly this storage pressure)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
       // best-of-2: this host's contention windows have multiplied adjacent
       // queries' times 30-50x before; the min of two SUCCESSFUL runs sheds

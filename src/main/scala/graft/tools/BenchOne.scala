@@ -44,6 +44,9 @@ object BenchOne {
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         println(f"$q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     spark.stop()

@@ -3,6 +3,7 @@ package graft.tools
 import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.net.{InetAddress, ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
 import java.security.MessageDigest
 import java.util.concurrent.atomic.AtomicInteger
 
@@ -81,14 +82,34 @@ object PgWire {
     * the cube SQL-port env contract (`CUBEJS_SQL_USER`/
     * `CUBEJS_SQL_PASSWORD`); loopback bind by default — widening is an
     * explicit caller choice, as with [[CubeRest.start]].
+    *
+    * `ssl`: when set (the [[SqlEndpoint.Ssl]] keystore material the
+    * thrift endpoint already uses), a client's SSLRequest is answered
+    * `S` and the socket upgrades to real TLS before the StartupMessage —
+    * pg's own negotiation. Without it SSLRequest answers `N` (plaintext)
+    * as before. pg semantics allow both on one port (`hostssl` policy
+    * is a deployment choice); pair TLS with MD5/cleartext auth the
+    * moment the endpoint leaves localhost, as with the thrift twin.
     */
   def start(spark: SparkSession, port: Int = 0,
       user: String = sys.env.getOrElse("CUBEJS_SQL_USER", "graft"),
       password: String = sys.env.getOrElse("CUBEJS_SQL_PASSWORD", ""),
-      auth: Auth = Md5, bindAddress: String = "127.0.0.1"): Server = {
+      auth: Auth = Md5, bindAddress: String = "127.0.0.1",
+      ssl: Option[SqlEndpoint.Ssl] = None): Server = {
     require(auth == Trust || password.nonEmpty,
       "PgWire needs a password for cleartext/md5 auth " +
         "(CUBEJS_SQL_PASSWORD or the password arg)")
+    val sslCtx = ssl.map { s =>
+      val ks = java.security.KeyStore.getInstance("JKS")
+      val in = Files.newInputStream(s.keystore)
+      try ks.load(in, s.keystorePassword.toCharArray) finally in.close()
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, s.keystorePassword.toCharArray)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, null, null)
+      ctx
+    }
     val listener = new ServerSocket(port, 50, InetAddress.getByName(bindAddress))
     val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
     val acceptor = new Thread(() => {
@@ -96,7 +117,7 @@ object PgWire {
         val sock = listener.accept()
         conns.add(sock)
         val t = new Thread(() => {
-          try handleConnection(spark, sock, user, password, auth)
+          try handleConnection(spark, sock, user, password, auth, sslCtx)
           catch { case _: EOFException | _: SocketException => // client gone
             case scala.util.control.NonFatal(_) => }
           finally { conns.remove(sock); try sock.close() catch { case _: Exception => } }
@@ -226,10 +247,12 @@ object PgWire {
 
   // ---------------------------------------------------------- connection
 
-  private def handleConnection(spark: SparkSession, sock: Socket,
-      user: String, password: String, auth: Auth): Unit = {
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private def handleConnection(spark: SparkSession, sock0: Socket,
+      user: String, password: String, auth: Auth,
+      sslCtx: Option[javax.net.ssl.SSLContext]): Unit = {
+    var sock = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
 
     // ---- startup phase: SSLRequest(s) then StartupMessage
     var params = Map.empty[String, String]
@@ -238,8 +261,23 @@ object PgWire {
       val len = in.readInt()
       val payload = new Cur(readN(in, len - 4))
       payload.i32() match {
-        case 80877103 => // SSLRequest → plaintext
-          out.writeByte('N'); out.flush()
+        case 80877103 => // SSLRequest
+          sslCtx match {
+            case Some(ctx) =>
+              out.writeByte('S'); out.flush()
+              // upgrade in place: TLS handshake over the raw socket,
+              // then the StartupMessage arrives inside the tunnel
+              val tls = ctx.getSocketFactory
+                .createSocket(sock, null, sock.getPort, false)
+                .asInstanceOf[javax.net.ssl.SSLSocket]
+              tls.setUseClientMode(false)
+              tls.startHandshake()
+              sock = tls
+              in = new DataInputStream(new BufferedInputStream(tls.getInputStream))
+              out = new DataOutputStream(new BufferedOutputStream(tls.getOutputStream))
+            case None =>
+              out.writeByte('N'); out.flush() // plaintext, as before
+          }
         case 80877102 => // CancelRequest — no async cancel; just close
           return
         case 196608 => // protocol 3.0

@@ -20,13 +20,38 @@ class PgWireSpec extends SparkTestBase {
 
   /** Minimal pg-wire v3 client. */
   private final class PgClient(port: Int) {
-    val sock = new Socket("127.0.0.1", port)
-    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    var sock: java.net.Socket = new Socket("127.0.0.1", port)
+    private var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
 
     def sslRequest(): Char = {
       out.writeInt(8); out.writeInt(80877103); out.flush()
       in.readByte().toChar
+    }
+
+    /** After an `S` reply: TLS-upgrade the socket trusting `truststore`
+      * (None = JVM default trust, which rejects the self-signed cert).
+      */
+    def upgradeTls(truststore: Option[(java.nio.file.Path, String)]): Unit = {
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      val tms = truststore.map { case (p, pw) =>
+        val ks = java.security.KeyStore.getInstance("JKS")
+        val is = java.nio.file.Files.newInputStream(p)
+        try ks.load(is, pw.toCharArray) finally is.close()
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        tmf.getTrustManagers
+      }.orNull
+      ctx.init(null, tms, null)
+      val tls = ctx.getSocketFactory
+        .createSocket(sock, "127.0.0.1", sock.getPort, false)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      tls.setUseClientMode(true)
+      tls.startHandshake()
+      sock = tls
+      in = new DataInputStream(new BufferedInputStream(tls.getInputStream))
+      out = new DataOutputStream(new BufferedOutputStream(tls.getOutputStream))
     }
 
     def startup(user: String): Unit = {
@@ -338,6 +363,37 @@ class PgWireSpec extends SparkTestBase {
       assert(c.query("SELECT 5 AS ok").rows == Seq(Seq(Some("5"))))
 
       c.close()
+    } finally server.stop()
+  }
+
+  test("pg-wire TLS: SSLRequest answered S upgrades to a real tunnel " +
+      "with the endpoint keystore; plaintext coexists; wrong trust fails") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pgtls")
+    val ks = dir.resolve("server.jks"); val ts = dir.resolve("trust.jks")
+    SqlEndpoint.generateSelfSignedKeystore(ks, "kspass-1", ts, "tspass-1")
+    val server = PgWire.start(spark, user = user, password = pass,
+      ssl = Some(SqlEndpoint.Ssl(ks, "kspass-1")))
+    try {
+      // full session inside the tunnel: handshake, MD5 auth, query
+      val c = new PgClient(server.port)
+      assert(c.sslRequest() == 'S')
+      c.upgradeTls(Some((ts, "tspass-1")))
+      c.startup(user)
+      assert(c.authenticate(user, pass))
+      assert(c.query("SELECT 11 AS x").rows == Seq(Seq(Some("11"))))
+      c.close()
+      // plaintext startup still works on the same port (pg allows both;
+      // restricting is the deployment's hostssl policy)
+      val p = new PgClient(server.port)
+      p.startup(user)
+      assert(p.authenticate(user, pass))
+      assert(p.query("SELECT 12 AS x").rows == Seq(Seq(Some("12"))))
+      p.close()
+      // default JVM trust rejects the self-signed server cert
+      val bad = new PgClient(server.port)
+      assert(bad.sslRequest() == 'S')
+      intercept[Exception] { bad.upgradeTls(None) }
+      bad.sock.close()
     } finally server.stop()
   }
 
