@@ -24,8 +24,13 @@ import org.apache.spark.sql.types._
   *
   * Protocol subset (framing per the published protocol documentation,
   * "Message Formats" / "Message Flow"):
-  *   - StartupMessage (196608), SSLRequest answered `N` (plaintext),
-  *     CancelRequest accepted and closed (no async cancel).
+  *   - StartupMessage (196608), SSLRequest answered `S` + a real TLS
+  *     upgrade when a keystore is configured (`N`/plaintext otherwise),
+  *     and REAL out-of-band cancel: BackendKeyData hands each
+  *     connection a (pid, secret), and a CancelRequest echoing it
+  *     aborts that connection's running statement via Spark's own
+  *     job-group cancellation (the canceled query answers SQLSTATE
+  *     57014 and the connection keeps serving — pg's contract).
   *   - Auth: cleartext-password (`R`/3) or MD5 (`R`/5 + 4-byte salt,
   *     token = `md5` + hex(md5(hex(md5(password‖user)) ‖ salt))), both
   *     constant-time compared; `trust` for tests. ≡ the cube SQL port's
@@ -77,6 +82,15 @@ object PgWire {
   }
 
   private val connCounter = new AtomicInteger(1)
+
+  /** (pid, secret) → the connection's Spark job-group id: pg's
+    * out-of-band cancel — a SECOND connection sends CancelRequest with
+    * the BackendKeyData pair and the server kills the running query —
+    * maps exactly onto `SparkContext.cancelJobGroup` (job groups are
+    * thread-local, and each pg connection executes on its own thread).
+    */
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (SparkSession, String)]()
 
   /** Start the endpoint on `port` (0 = pick free). Credentials default to
     * the cube SQL-port env contract (`CUBEJS_SQL_USER`/
@@ -278,7 +292,13 @@ object PgWire {
             case None =>
               out.writeByte('N'); out.flush() // plaintext, as before
           }
-        case 80877102 => // CancelRequest — no async cancel; just close
+        case 80877102 => // CancelRequest: (pid, secret) → cancel the job
+          // group of the addressed connection, then close (per the
+          // protocol: no response travels on a cancel connection)
+          val pid = payload.i32(); val secret = payload.i32()
+          Option(cancelKeys.get((pid, secret))).foreach {
+            case (sess, group) => sess.sparkContext.cancelJobGroup(group)
+          }
           return
         case 196608 => // protocol 3.0
           var k = payload.cstr()
@@ -321,12 +341,23 @@ object PgWire {
         "integer_datetimes" -> "on", "standard_conforming_strings" -> "on",
         "TimeZone" -> "UTC", "is_superuser" -> "off")
       .foreach { case (k, v) => new Msg('S').cstr(k).cstr(v).send(out) }
-    new Msg('K').i32(connCounter.get()).i32(0).send(out) // BackendKeyData
+    // BackendKeyData: THIS connection's (pid, secret) — what a client
+    // echoes back in a CancelRequest to kill the running query
+    val pid = connCounter.incrementAndGet()
+    val secret = new java.security.SecureRandom().nextInt()
+    new Msg('K').i32(pid).i32(secret).send(out)
     ready(out)
 
     // per-connection Spark session: same catalog/extensions, isolated
     // temp views + confs — the thrift server's per-connection contract
     val session = spark.newSession()
+    val jobGroup = s"pgwire-$pid"
+    cancelKeys.put((pid, secret), (session, jobGroup))
+    // every statement on this connection runs under the group (job
+    // groups are thread-local; this IS the execution thread), so an
+    // out-of-band CancelRequest aborts exactly this connection's work
+    session.sparkContext.setJobGroup(jobGroup, s"pgwire connection $pid",
+      interruptOnCancel = true)
 
     // extended-protocol state
     final case class Prepared(sql: String, nParams: Int)
@@ -340,7 +371,7 @@ object PgWire {
       case None => val d = session.sql(p.sql); p.df = Some(d); d
     }
 
-    while (true) {
+    try while (true) {
       val t = in.readByte().toChar
       val len = in.readInt()
       val cur = new Cur(readN(in, len - 4))
@@ -460,7 +491,7 @@ object PgWire {
         case _ => fatal(out, "08P01", s"unsupported message type '$t'"); return
       }
       out.flush()
-    }
+    } finally cancelKeys.remove((pid, secret))
   }
 
   private def readPassword(in: DataInputStream): Option[String] = {
@@ -658,14 +689,17 @@ object PgWire {
   // -------------------------------------------------------------- errors
 
   private def sendError(out: DataOutputStream, e: Throwable): Unit = {
-    val state = e match {
-      case _: org.apache.spark.sql.catalyst.parser.ParseException => "42601"
-      case _: org.apache.spark.sql.AnalysisException => "42P01"
-      case _: IllegalArgumentException => "22023"
-      case _ => "XX000"
-    }
-    errorMsg(out, state,
-      Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    val state =
+      if (msg.toLowerCase(java.util.Locale.ROOT).contains("cancel"))
+        "57014" // query_canceled — a CancelRequest landed
+      else e match {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException => "42601"
+        case _: org.apache.spark.sql.AnalysisException => "42P01"
+        case _: IllegalArgumentException => "22023"
+        case _ => "XX000"
+      }
+    errorMsg(out, state, msg)
   }
 
   private def errorMsg(out: DataOutputStream, state: String, msg: String): Unit = {

@@ -105,9 +105,15 @@ class PgWireSpec extends SparkTestBase {
       }
     }
 
+    var pid = 0; var secret = 0 // BackendKeyData, for CancelRequest
+
     private def drainToReady(): Boolean = {
       var t = ' '
-      while (t != 'Z') { t = readMsg()._1 } // ParameterStatus, BackendKeyData…
+      while (t != 'Z') {
+        val (ty, b) = readMsg()
+        if (ty == 'K') { pid = i32(b, 0); secret = i32(b, 4) }
+        t = ty
+      }
       true
     }
 
@@ -152,13 +158,15 @@ class PgWireSpec extends SparkTestBase {
     }
 
     private def parseE(b: Array[Byte]): Option[String] = {
-      var p = 0; var m: Option[String] = None
+      var p = 0; var m = ""; var sqlState = ""
       while (p < b.length && b(p) != 0) {
         val code = b(p).toChar; val e = b.indexOf(0.toByte, p + 1)
-        if (code == 'M') m = Some(new String(b, p + 1, e - p - 1, UTF_8))
+        val v = new String(b, p + 1, e - p - 1, UTF_8)
+        if (code == 'M') m = v
+        if (code == 'C') sqlState = v
         p = e + 1
       }
-      m
+      if (m.isEmpty && sqlState.isEmpty) None else Some(s"[$sqlState] $m")
     }
 
     def collectResult(): Result = {
@@ -394,6 +402,51 @@ class PgWireSpec extends SparkTestBase {
       assert(bad.sslRequest() == 'S')
       intercept[Exception] { bad.upgradeTls(None) }
       bad.sock.close()
+    } finally server.stop()
+  }
+
+  test("out-of-band CancelRequest (BackendKeyData pid/secret) aborts the " +
+      "running statement with SQLSTATE 57014 and the connection survives") {
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user)
+      assert(c.authenticate(user, pass))
+      assert(c.pid != 0, "BackendKeyData not captured")
+      @volatile var res: Option[c.Result] = None
+      val runner = new Thread(() => {
+        res = Some(c.query(
+          "SELECT sum(id % 1000) AS s FROM range(800000000000)"))
+      })
+      runner.start()
+      Thread.sleep(2000) // let the aggregation's tasks actually start
+      // a SECOND connection carries the CancelRequest (pg's design:
+      // the busy connection can't read its own socket mid-query)
+      val cs = new Socket("127.0.0.1", server.port)
+      val co = new DataOutputStream(cs.getOutputStream)
+      co.writeInt(16); co.writeInt(80877102)
+      co.writeInt(c.pid); co.writeInt(c.secret)
+      co.flush(); cs.close()
+      runner.join(90000)
+      assert(!runner.isAlive, "query did not return after cancel")
+      assert(res.exists(_.error.isDefined),
+        s"expected the canceled query to error, got $res")
+      assert(res.get.error.get.startsWith("[57014]"),
+        s"expected SQLSTATE 57014, got ${res.get.error}")
+      // the canceled CONNECTION keeps serving (pg's contract)
+      assert(c.query("SELECT 21 AS x").rows == Seq(Seq(Some("21"))))
+      // a CancelRequest with a WRONG secret cancels nothing
+      @volatile var ok: Option[c.Result] = None
+      val r2 = new Thread(() => { ok = Some(c.query("SELECT 22 AS x")) })
+      val cs2 = new Socket("127.0.0.1", server.port)
+      val co2 = new DataOutputStream(cs2.getOutputStream)
+      co2.writeInt(16); co2.writeInt(80877102)
+      co2.writeInt(c.pid); co2.writeInt(c.secret + 1)
+      co2.flush(); cs2.close()
+      r2.start(); r2.join(30000)
+      assert(ok.exists(r => r.error.isEmpty &&
+        r.rows == Seq(Seq(Some("22")))))
+      c.close()
     } finally server.stop()
   }
 
