@@ -1146,6 +1146,16 @@ object TextAnalysis {
           .select("doc_id", "toks")
         val parts = d.repartitionByRange(16, col("toks"), col("doc_id"))
           .withColumn("pid", spark_partition_id())
+          // materialize ONCE (r10): the totals collect and the final join
+          // are separate jobs, and each re-execution of a
+          // repartitionByRange RE-SAMPLES its boundaries (the sample seed
+          // rides the new RDD id) — at sf0.1 the two runs disagreed by a
+          // few docs near boundaries, skewing the offset table against
+          // the final run's pids. Pinning the partitioning makes the
+          // boundary-invariance argument hold the way the plan note
+          // claims: ONE consistent pid assignment, corpus-projection-
+          // sized blocks (16 bytes/doc), freed by the sweep's unpersist.
+          .localCheckpoint()
         val wIn = Window.partitionBy(col("pid"))
           .orderBy(col("toks"), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, -1)

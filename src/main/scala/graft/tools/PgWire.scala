@@ -361,7 +361,10 @@ object PgWire {
 
     // extended-protocol state
     final case class Prepared(sql: String, nParams: Int)
-    final case class Portal(sql: String) { var df: Option[DataFrame] = None }
+    final case class Portal(sql: String) {
+      var df: Option[DataFrame] = None
+      var described = false // RowDescription already sent for this portal
+    }
     val stmts = scala.collection.mutable.Map.empty[String, Prepared]
     val portals = scala.collection.mutable.Map.empty[String, Portal]
     var skipToSync = false
@@ -433,14 +436,25 @@ object PgWire {
             sendError(out, e); skipToSync = true }
 
         case 'D' => // Describe 'S' statement | 'P' portal
+          // pg's contract: Describe returns the row shape WITHOUT
+          // executing. Spark's `sql()` is lazy for row queries but EAGER
+          // for commands (INSERT/OPTIMIZE/SET…), so only row-query
+          // prefixes plan at Describe — a described-but-never-executed
+          // DML must not have mutated anything. Command statements
+          // answer NoData here and execute at Execute, where a
+          // RowDescription is back-filled if rows emerge (SHOW et al).
           try {
             val kind = cur.bytes(1)(0).toChar; val name = cur.cstr()
             kind match {
               case 'P' =>
-                val schema = planOf(portals.getOrElse(name,
-                  throw new IllegalArgumentException(s"unknown portal \"$name\""))).schema
-                if (schema.isEmpty) new Msg('n').send(out)
-                else rowDescription(out, schema)
+                val p = portals.getOrElse(name,
+                  throw new IllegalArgumentException(s"unknown portal \"$name\""))
+                if (!isRowQuery(p.sql)) new Msg('n').send(out)
+                else {
+                  val schema = planOf(p).schema
+                  if (schema.isEmpty) new Msg('n').send(out)
+                  else { rowDescription(out, schema); p.described = true }
+                }
               case _ =>
                 val prep = stmts.getOrElse(name,
                   throw new IllegalArgumentException(s"unknown prepared statement \"$name\""))
@@ -449,7 +463,8 @@ object PgWire {
                 pd.send(out)
                 // row shape of a parameterized statement is unknown until
                 // Bind substitutes — NoData is the honest answer
-                if (prep.nParams > 0) new Msg('n').send(out)
+                if (prep.nParams > 0 || !isRowQuery(prep.sql))
+                  new Msg('n').send(out)
                 else {
                   val schema = session.sql(prep.sql).schema
                   if (schema.isEmpty) new Msg('n').send(out)
@@ -467,6 +482,9 @@ object PgWire {
             val df = planOf(p)
             if (df.schema.isEmpty) new Msg('C').cstr(tagFor(p.sql)).send(out)
             else {
+              // commands that DO return rows (SHOW, OPTIMIZE, SET) were
+              // NoData at Describe — back-fill the row shape before data
+              if (!p.described) { rowDescription(out, df.schema); p.described = true }
               var n = 0L
               val it = df.toLocalIterator()
               while (it.hasNext) { dataRow(out, it.next(), df.schema); n += 1 }
@@ -590,6 +608,18 @@ object PgWire {
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Statement prefixes that are LAZY in Spark (plan without running) —
+    * the ones Describe may safely plan for a row shape. Everything else
+    * (DML, DDL, maintenance verbs, SET) is eager at `sql()` and must
+    * not run before Execute.
+    */
+  private[tools] def isRowQuery(sql: String): Boolean = {
+    val w = sql.trim.split("\\s+").headOption.getOrElse("")
+      .toUpperCase(java.util.Locale.ROOT)
+    w == "SELECT" || w == "WITH" || w == "VALUES" || w == "TABLE" ||
+      w == "EXPLAIN" || w == "("
   }
 
   /** pg CommandComplete tag for a row-less statement. */

@@ -301,6 +301,40 @@ class PgWireSpec extends SparkTestBase {
       val mx = c.query("SELECT max(v) AS m FROM pglake.t")
       assert(mx.rows == Seq(Seq(Some("100"))))
 
+      // ---- Describe must NOT execute a DML (pg's contract: Describe
+      // returns the row shape without running) — only Execute mutates
+      val vBefore = CommitLog.currentVersion(root).get
+      c.msg('P', c.cstrBytes("dml1") ++ c.cstrBytes(
+        "INSERT INTO pglake.t SELECT 50 AS id, 51 AS v") ++
+        Array[Byte](0, 0))
+      c.msg('B', c.cstrBytes("") ++ c.cstrBytes("dml1") ++
+        Array[Byte](0, 0, 0, 0, 0, 0))
+      c.msg('D', "P".getBytes(UTF_8) ++ c.cstrBytes(""))
+      assert(c.readMsg()._1 == '1')
+      assert(c.readMsg()._1 == '2')
+      assert(c.readMsg()._1 == 'n') // NoData — and nothing ran:
+      assert(CommitLog.currentVersion(root).contains(vBefore))
+      c.msg('E', c.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+      c.msg('S', Array.emptyByteArray)
+      val dmlRes = c.collectResult()
+      assert(dmlRes.error.isEmpty && dmlRes.tag == "INSERT 0 0")
+      assert(CommitLog.currentVersion(root).contains(vBefore + 1))
+      // a command that DOES return rows (SHOW) gets its RowDescription
+      // back-filled at Execute after the NoData Describe
+      c.msg('P', c.cstrBytes("sh1") ++ c.cstrBytes(
+        "SHOW TABLES IN pglake") ++ Array[Byte](0, 0))
+      c.msg('B', c.cstrBytes("") ++ c.cstrBytes("sh1") ++
+        Array[Byte](0, 0, 0, 0, 0, 0))
+      c.msg('D', "P".getBytes(UTF_8) ++ c.cstrBytes(""))
+      c.msg('E', c.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+      c.msg('S', Array.emptyByteArray)
+      assert(c.readMsg()._1 == '1')
+      assert(c.readMsg()._1 == '2')
+      assert(c.readMsg()._1 == 'n')
+      val showRes = c.collectResult()
+      assert(showRes.error.isEmpty, showRes.error)
+      assert(showRes.cols.nonEmpty && showRes.rows.nonEmpty)
+
       // ---- a bad statement answers ErrorResponse, and the SAME
       // connection keeps working (ReadyForQuery recovery)
       val oops = c.query("SELECT FROM FROM nope")
