@@ -126,10 +126,17 @@ object CubeRest {
     try {
       val claims = mapper.readTree(
         java.util.Base64.getUrlDecoder.decode(payloadB64))
-      def num(f: String): Option[Long] =
-        Option(claims.get(f)).filterNot(_.isNull).filter(_.isNumber)
-          .map(_.asLong())
-      num("exp").forall(_ > now) && num("nbf").forall(_ <= now)
+      // RFC 7519 requires exp/nbf to be NumericDate. A present-but-non-
+      // numeric claim (e.g. "exp": "123") is a malformed token and fails
+      // CLOSED — silently skipping the check would mint never-expiring
+      // tokens out of an issuer bug.
+      def gate(f: String)(ok: Long => Boolean): Boolean =
+        Option(claims.get(f)).filterNot(_.isNull) match {
+          case None => true
+          case Some(n) if n.isNumber => ok(n.asLong())
+          case Some(_) => false
+        }
+      gate("exp")(_ > now) && gate("nbf")(_ <= now)
     } catch { case scala.util.control.NonFatal(_) => false }
 
   private def guarded(ex: HttpExchange, secret: String)

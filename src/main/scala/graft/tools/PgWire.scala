@@ -273,6 +273,14 @@ object PgWire {
     var started = false
     while (!started) {
       val len = in.readInt()
+      // pre-auth frames are tiny by construction (SSLRequest 8,
+      // CancelRequest 16, StartupMessage = a few k/v params; pg itself
+      // caps the startup packet at 10000 bytes). An unauthenticated
+      // client must not be able to make this thread allocate a
+      // client-controlled 2 GB buffer — or a negative one.
+      if (len < 8 || len > MaxPreAuthFrame) {
+        fatal(out, "08P01", s"startup message length $len out of range"); return
+      }
       val payload = new Cur(readN(in, len - 4))
       payload.i32() match {
         case 80877103 => // SSLRequest
@@ -360,8 +368,14 @@ object PgWire {
       interruptOnCancel = true)
 
     // extended-protocol state
-    final case class Prepared(sql: String, nParams: Int)
-    final case class Portal(sql: String) {
+    final case class Prepared(sql: String, nParams: Int,
+        noopTag: Option[String]) {
+      // plan cached by a statement-Describe so Execute reuses it (a
+      // lazily-planned row query analyzes once per Parse, not per
+      // Describe+Execute)
+      var df: Option[DataFrame] = None
+    }
+    final case class Portal(sql: String, noopTag: Option[String]) {
       var df: Option[DataFrame] = None
       var described = false // RowDescription already sent for this portal
     }
@@ -377,6 +391,12 @@ object PgWire {
     try while (true) {
       val t = in.readByte().toChar
       val len = in.readInt()
+      // post-auth frames carry SQL scripts and bind values — generous
+      // bound, but still a bound (a 64 MiB statement is a client bug,
+      // not a workload)
+      if (len < 4 || len > MaxFrame) {
+        fatal(out, "08P01", s"message length $len out of range"); return
+      }
       val cur = new Cur(readN(in, len - 4))
       if (skipToSync && t != 'S' && t != 'X') {
         // discard until Sync, per the protocol's error recovery
@@ -403,13 +423,19 @@ object PgWire {
           try {
             val name = cur.cstr(); val sql = cur.cstr()
             val nTypes = cur.i16(); (0 until nTypes).foreach(_ => cur.i32())
-            val nP = countParams(sql)
+            val noop = txnTag(sql.trim)
+            val nP = if (noop.isDefined) 0 else countParams(sql)
             // pg reports syntax errors AT Parse: run the session's SQL
             // parser (syntax only, nothing executes) with placeholder
-            // literals standing in for $n
-            session.sessionState.sqlParser.parsePlan(
-              bindParams(sql, Seq.fill(nP)(Some("0"))))
-            stmts(name) = Prepared(sql, nP)
+            // literals standing in for $n. Txn-control verbs (BEGIN,
+            // COMMIT, DISCARD ALL…) are pg syntax Spark's parser rejects
+            // — pg-JDBC with autocommit=off sends BEGIN through THIS
+            // path, so they bypass parsePlan and answer their pg tag at
+            // Execute, exactly as runAndSend does for simple queries.
+            if (noop.isEmpty)
+              session.sessionState.sqlParser.parsePlan(
+                bindParams(sql, Seq.fill(nP)(Some("0"))))
+            stmts(name) = Prepared(sql, nP, noop)
             new Msg('1').send(out)
           } catch { case scala.util.control.NonFatal(e) =>
             sendError(out, e); skipToSync = true }
@@ -430,7 +456,11 @@ object PgWire {
             val nRes = cur.i16()
             val resFmts = (0 until nRes).map(_ => cur.i16())
             require(resFmts.forall(_ == 0), "binary result format not supported")
-            portals(portal) = Portal(bindParams(prep.sql, vals))
+            val p = Portal(bindParams(prep.sql, vals), prep.noopTag)
+            // zero-param statement: a Describe('S') may already hold the
+            // analyzed plan — reuse it instead of re-planning
+            if (prep.nParams == 0) p.df = prep.df
+            portals(portal) = p
             new Msg('2').send(out)
           } catch { case scala.util.control.NonFatal(e) =>
             sendError(out, e); skipToSync = true }
@@ -449,7 +479,7 @@ object PgWire {
               case 'P' =>
                 val p = portals.getOrElse(name,
                   throw new IllegalArgumentException(s"unknown portal \"$name\""))
-                if (!isRowQuery(p.sql)) new Msg('n').send(out)
+                if (p.noopTag.isDefined || !isRowQuery(p.sql)) new Msg('n').send(out)
                 else {
                   val schema = planOf(p).schema
                   if (schema.isEmpty) new Msg('n').send(out)
@@ -463,12 +493,15 @@ object PgWire {
                 pd.send(out)
                 // row shape of a parameterized statement is unknown until
                 // Bind substitutes — NoData is the honest answer
-                if (prep.nParams > 0 || !isRowQuery(prep.sql))
+                if (prep.noopTag.isDefined || prep.nParams > 0 ||
+                    !isRowQuery(prep.sql))
                   new Msg('n').send(out)
                 else {
-                  val schema = session.sql(prep.sql).schema
-                  if (schema.isEmpty) new Msg('n').send(out)
-                  else rowDescription(out, schema)
+                  val df = prep.df.getOrElse {
+                    val d = session.sql(prep.sql); prep.df = Some(d); d
+                  }
+                  if (df.schema.isEmpty) new Msg('n').send(out)
+                  else rowDescription(out, df.schema)
                 }
             }
           } catch { case scala.util.control.NonFatal(e) =>
@@ -479,16 +512,21 @@ object PgWire {
             val name = cur.cstr(); cur.i32()
             val p = portals.getOrElse(name,
               throw new IllegalArgumentException(s"unknown portal \"$name\""))
-            val df = planOf(p)
-            if (df.schema.isEmpty) new Msg('C').cstr(tagFor(p.sql)).send(out)
-            else {
-              // commands that DO return rows (SHOW, OPTIMIZE, SET) were
-              // NoData at Describe — back-fill the row shape before data
-              if (!p.described) { rowDescription(out, df.schema); p.described = true }
-              var n = 0L
-              val it = df.toLocalIterator()
-              while (it.hasNext) { dataRow(out, it.next(), df.schema); n += 1 }
-              new Msg('C').cstr(s"SELECT $n").send(out)
+            p.noopTag match {
+              case Some(tag) =>
+                new Msg('C').cstr(tag).send(out)
+              case None =>
+                val df = planOf(p)
+                if (df.schema.isEmpty) new Msg('C').cstr(tagFor(p.sql)).send(out)
+                else {
+                  // commands that DO return rows (SHOW, OPTIMIZE, SET) were
+                  // NoData at Describe — back-fill the row shape before data
+                  if (!p.described) { rowDescription(out, df.schema); p.described = true }
+                  var n = 0L
+                  val it = df.toLocalIterator()
+                  while (it.hasNext) { dataRow(out, it.next(), df.schema); n += 1 }
+                  new Msg('C').cstr(s"SELECT $n").send(out)
+                }
             }
           } catch { case scala.util.control.NonFatal(e) =>
             sendError(out, e); skipToSync = true }
@@ -512,9 +550,19 @@ object PgWire {
     } finally cancelKeys.remove((pid, secret))
   }
 
+  /** Pre-auth frame ceiling: SSLRequest/CancelRequest/StartupMessage/
+    * PasswordMessage all fit in a MB with room to spare (pg caps the
+    * startup packet at 10000 bytes).
+    */
+  private val MaxPreAuthFrame = 1 << 20
+  /** Post-auth frame ceiling — bounds the per-message allocation. */
+  private val MaxFrame = 64 << 20
+
   private def readPassword(in: DataInputStream): Option[String] = {
     val t = in.readByte().toChar
     val len = in.readInt()
+    // still pre-auth: same allocation bound as the startup loop
+    if (len < 4 || len > MaxPreAuthFrame) return None
     val cur = new Cur(readN(in, len - 4))
     if (t == 'p') Some(cur.cstr()) else None
   }
@@ -534,18 +582,26 @@ object PgWire {
   private val TxnNoop =
     "(?i)^(BEGIN|COMMIT|ROLLBACK|START\\s+TRANSACTION|END|DISCARD\\s+ALL)(\\s+.*)?$".r
 
+  /** The pg CommandComplete tag for a txn-control no-op, or None for a
+    * real statement. Shared by the simple-query path AND the extended
+    * protocol (pg-JDBC with autocommit=off sends BEGIN via Parse/Bind/
+    * Execute — feeding it to Spark's parser would throw at Parse).
+    */
+  private[tools] def txnTag(sql: String): Option[String] = sql match {
+    case TxnNoop(verb, _) =>
+      Some(verb.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ") match {
+        case "START TRANSACTION" => "BEGIN"
+        case "END" => "COMMIT"
+        case t => t
+      })
+    case _ => None
+  }
+
   private def runAndSend(session: SparkSession, out: DataOutputStream,
       sql: String): Unit = {
-    sql match {
-      case TxnNoop(verb, _) =>
-        val tag = verb.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ") match {
-          case "START TRANSACTION" => "BEGIN"
-          case "END" => "COMMIT"
-          case t => t
-        }
-        new Msg('C').cstr(tag).send(out)
-        return
-      case _ =>
+    txnTag(sql) match {
+      case Some(tag) => new Msg('C').cstr(tag).send(out); return
+      case None =>
     }
     val df = session.sql(sql)
     if (df.schema.isEmpty) new Msg('C').cstr(tagFor(sql)).send(out)
@@ -614,12 +670,88 @@ object PgWire {
     * the ones Describe may safely plan for a row shape. Everything else
     * (DML, DDL, maintenance verbs, SET) is eager at `sql()` and must
     * not run before Execute.
+    *
+    * WITH needs more than a head-word check: Spark accepts CTE-prefixed
+    * DML (`WITH t AS (…) INSERT INTO …`), which executes eagerly at
+    * `sql()` — classifying it lazy would run the INSERT at Describe AND
+    * again at Execute. Scan the statement's TOP-LEVEL tokens (paren
+    * depth 0, quotes/comments opaque): the first depth-0 verb after the
+    * CTE list decides. CTE bodies sit inside parens, so their SELECTs
+    * never reach depth 0.
     */
   private[tools] def isRowQuery(sql: String): Boolean = {
     val w = sql.trim.split("\\s+").headOption.getOrElse("")
       .toUpperCase(java.util.Locale.ROOT)
-    w == "SELECT" || w == "WITH" || w == "VALUES" || w == "TABLE" ||
-      w == "EXPLAIN" || w == "("
+    if (w == "WITH") {
+      val rowVerbs = Set("SELECT", "VALUES", "TABLE")
+      val dmlVerbs = Set("INSERT", "UPDATE", "DELETE", "MERGE", "REPLACE")
+      topLevelWords(sql).drop(1).find(t => rowVerbs(t) || dmlVerbs(t))
+        .forall(rowVerbs)
+    } else
+      w == "SELECT" || w == "VALUES" || w == "TABLE" ||
+        w == "EXPLAIN" || w == "("
+  }
+
+  /** Upper-cased bare words at paren depth 0, with quoted strings,
+    * quoted identifiers, and comments opaque — the lexical spine
+    * [[isRowQuery]] classifies on.
+    */
+  private def topLevelWords(sql: String): Vector[String] = {
+    val words = Vector.newBuilder[String]
+    val cur = new java.lang.StringBuilder()
+    def flush(): Unit = if (cur.length > 0) {
+      words += cur.toString.toUpperCase(java.util.Locale.ROOT)
+      cur.setLength(0)
+    }
+    scanSql(sql) { (c, _, depth) =>
+      if (depth == 0 && (Character.isLetterOrDigit(c) || c == '_' || c == '$'))
+        cur.append(c)
+      else flush()
+    }
+    flush()
+    words.result()
+  }
+
+  /** Walk `sql` with the quote/comment/paren state machine and call
+    * `visit(char, index, parenDepth)` for every character OUTSIDE quoted
+    * strings, quoted identifiers, and comments, in source order. The
+    * single lexer behind [[topLevelWords]] and [[paramSpans]],
+    * state-compatible with [[splitStatements]].
+    */
+  private def scanSql(sql: String)(visit: (Char, Int, Int) => Unit): Unit = {
+    var i = 0
+    val n = sql.length
+    var state = 0 // 0 plain, 1 'str', 2 "ident", 3 --line, 4 /*block*/
+    var cdepth = 0 // block-comment nesting
+    var pdepth = 0 // paren depth (plain state only)
+    while (i < n) {
+      val c = sql.charAt(i)
+      state match {
+        case 0 => c match {
+          case '\'' => state = 1
+          case '"' => state = 2
+          case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => state = 3; i += 1
+          case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+            state = 4; cdepth = 1; i += 1
+          case '(' => visit(c, i, pdepth); pdepth += 1
+          case ')' => pdepth = math.max(0, pdepth - 1); visit(c, i, pdepth)
+          case _ => visit(c, i, pdepth)
+        }
+        case 1 =>
+          if (c == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 1 else state = 0
+          }
+        case 2 => if (c == '"') state = 0
+        case 3 => if (c == '\n') state = 0
+        case 4 =>
+          if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
+            i += 1; cdepth -= 1; if (cdepth == 0) state = 0
+          } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+            i += 1; cdepth += 1
+          }
+      }
+      i += 1
+    }
   }
 
   /** pg CommandComplete tag for a row-less statement. */
@@ -637,24 +769,59 @@ object PgWire {
     }
   }
 
-  /** `$n` occurrences (the extended protocol's parameter syntax). */
-  private[tools] def countParams(sql: String): Int = {
-    val m = java.util.regex.Pattern.compile("\\$([0-9]+)").matcher(sql)
-    var max = 0
-    while (m.find()) max = math.max(max, m.group(1).toInt)
-    max
+  /** `$n` placeholder spans at the statement's TOP LEVEL — the same
+    * quote/comment-aware lexer as [[splitStatements]], so a `$1` inside
+    * a string literal, quoted identifier, or comment is literal text,
+    * never a parameter (pg's own lexing). Each span is
+    * (startOffset, endExclusive, paramNumber).
+    */
+  private def paramSpans(sql: String): Seq[(Int, Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int, Int)]
+    var start = -1
+    val digits = new java.lang.StringBuilder()
+    var last = -2 // index of the previous visited char — gaps break spans
+    def flush(endEx: Int): Unit = {
+      if (start >= 0 && digits.length > 0)
+        spans += ((start, endEx, digits.toString.toInt))
+      start = -1; digits.setLength(0)
+    }
+    scanSql(sql) { (c, i, _) =>
+      if (c == '$') { flush(i); start = i }
+      else if (start >= 0 && Character.isDigit(c) && i == last + 1)
+        digits.append(c)
+      else if (start >= 0) flush(i)
+      last = i
+    }
+    flush(sql.length)
+    spans.result()
   }
 
-  /** Substitute `$n` with quoted text literals (descending n so `$1`
-    * never clobbers the prefix of `$10`). Spark's implicit casts then
+  /** Highest `$n` at top level (the extended protocol's parameter
+    * count). Placeholders inside literals/comments don't count.
+    */
+  private[tools] def countParams(sql: String): Int =
+    paramSpans(sql).foldLeft(0) { case (m, (_, _, n)) => math.max(m, n) }
+
+  /** Substitute `$n` with quoted text literals, span-exact (a `$1`
+    * can never clobber the prefix of `$10`, and literal text like
+    * `'$1'` inside quotes is untouched). Spark's implicit casts then
     * type them in context — the persona's subset of pg's typed binds.
     */
-  private[tools] def bindParams(sql: String, vals: Seq[Option[String]]): String =
-    vals.zipWithIndex.sortBy(-_._2).foldLeft(sql) {
-      case (acc, (v, i)) =>
-        val lit = v.map(s => "'" + s.replace("'", "''") + "'").getOrElse("NULL")
-        acc.replace("$" + (i + 1), lit)
+  private[tools] def bindParams(sql: String, vals: Seq[Option[String]]): String = {
+    val spans = paramSpans(sql)
+    if (spans.isEmpty) sql
+    else {
+      val sb = new java.lang.StringBuilder(sql)
+      spans.sortBy(-_._1).foreach { case (s, e, n) =>
+        val lit =
+          if (n >= 1 && n <= vals.length)
+            vals(n - 1).map(v => "'" + v.replace("'", "''") + "'").getOrElse("NULL")
+          else "NULL"
+        sb.replace(s, e, lit)
+      }
+      sb.toString
     }
+  }
 
   // ------------------------------------------------------------- results
 

@@ -192,5 +192,13 @@ class CubeRestSpec extends SparkTestBase {
     // a signature over a non-JSON payload fails closed
     assert(!CubeRest.authorized(
       s"Bearer ${signedJwt("not json")}", secret, clock))
+    // RFC 7519: exp/nbf must be NumericDate — a present-but-non-numeric
+    // claim is a malformed token and fails CLOSED (an issuer bug
+    // emitting string timestamps must not mint never-expiring tokens)
+    assert(!ok("""{"exp":"999999"}"""))
+    assert(!ok("""{"exp":"2000000"}"""))
+    assert(!ok("""{"nbf":"0"}"""))
+    assert(!ok("""{"exp":true}"""))
+    assert(!ok("""{"exp":[1000001]}"""))
   }
 }

@@ -484,6 +484,125 @@ class PgWireSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("CTE-prefixed DML, extended-protocol txn verbs, and pre-auth " +
+      "frame bounds (ADVICE r10)") {
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user)
+      assert(c.authenticate(user, pass))
+
+      import graft.sources.{CatalogOps, CommitLog}
+      val root = java.nio.file.Files.createTempDirectory("graft-pgcte").toString
+      CommitLog.append(spark.range(3).selectExpr("id", "id * 2 AS v"), root)
+      CatalogOps.createCommitLogTable(spark, "pgcte", "t", root)
+
+      // WITH-prefixed INSERT is EAGER at session.sql — Describe must not
+      // run it, and Execute must run it exactly once (no double insert)
+      val v0 = CommitLog.currentVersion(root).get
+      c.msg('P', c.cstrBytes("cte1") ++ c.cstrBytes(
+        "WITH src AS (SELECT 50 AS id, 51 AS v) INSERT INTO pgcte.t " +
+          "SELECT id, v FROM src") ++ Array[Byte](0, 0))
+      c.msg('D', "S".getBytes(UTF_8) ++ c.cstrBytes("cte1"))
+      c.msg('B', c.cstrBytes("") ++ c.cstrBytes("cte1") ++
+        Array[Byte](0, 0, 0, 0, 0, 0))
+      c.msg('D', "P".getBytes(UTF_8) ++ c.cstrBytes(""))
+      assert(c.readMsg()._1 == '1') // ParseComplete
+      assert(c.readMsg()._1 == 't') // ParameterDescription (0 params)
+      assert(c.readMsg()._1 == 'n') // statement Describe: NoData
+      assert(c.readMsg()._1 == '2') // BindComplete
+      assert(c.readMsg()._1 == 'n') // portal Describe: NoData
+      // NOTHING has executed through Parse+Describe+Bind+Describe:
+      assert(CommitLog.currentVersion(root).contains(v0))
+      c.msg('E', c.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+      c.msg('S', Array.emptyByteArray)
+      val r = c.collectResult()
+      assert(r.error.isEmpty, r.error)
+      // exactly ONE commit landed — Describe didn't pre-run the DML
+      assert(CommitLog.currentVersion(root).contains(v0 + 1))
+      val n = c.query("SELECT count(*) AS n FROM pgcte.t WHERE id = 50")
+      assert(n.rows == Seq(Seq(Some("1"))))
+
+      // a CTE-prefixed SELECT still describes with a row shape
+      c.msg('P', c.cstrBytes("cte2") ++ c.cstrBytes(
+        "WITH a AS (SELECT 1 AS x), b AS (SELECT 2 AS y) " +
+          "SELECT x, y FROM a, b") ++ Array[Byte](0, 0))
+      c.msg('B', c.cstrBytes("") ++ c.cstrBytes("cte2") ++
+        Array[Byte](0, 0, 0, 0, 0, 0))
+      c.msg('D', "P".getBytes(UTF_8) ++ c.cstrBytes(""))
+      c.msg('E', c.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+      c.msg('S', Array.emptyByteArray)
+      assert(c.readMsg()._1 == '1')
+      assert(c.readMsg()._1 == '2')
+      val cte = c.collectResult()
+      assert(cte.error.isEmpty && cte.cols == Seq("x", "y") &&
+        cte.rows == Seq(Seq(Some("1"), Some("2"))))
+
+      // pg-JDBC with autocommit=off sends BEGIN via the EXTENDED
+      // protocol — it must answer its pg tag, not a ParseException
+      c.msg('P', c.cstrBytes("tx1") ++ c.cstrBytes("BEGIN") ++
+        Array[Byte](0, 0))
+      c.msg('B', c.cstrBytes("") ++ c.cstrBytes("tx1") ++
+        Array[Byte](0, 0, 0, 0, 0, 0))
+      c.msg('D', "P".getBytes(UTF_8) ++ c.cstrBytes(""))
+      c.msg('E', c.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+      c.msg('S', Array.emptyByteArray)
+      assert(c.readMsg()._1 == '1')
+      assert(c.readMsg()._1 == '2')
+      assert(c.readMsg()._1 == 'n')
+      val tx = c.collectResult()
+      assert(tx.error.isEmpty, tx.error)
+      assert(tx.tag == "BEGIN")
+      assert(c.query("SELECT 31 AS x").rows == Seq(Seq(Some("31"))))
+      c.close()
+
+      // ---- pre-auth DoS bound: a 2 GB-claiming startup frame is
+      // rejected before allocation and the connection closes
+      val dos = new Socket("127.0.0.1", server.port)
+      val dOut = new DataOutputStream(dos.getOutputStream)
+      dOut.writeInt(Int.MaxValue); dOut.flush()
+      val dIn = new DataInputStream(dos.getInputStream)
+      assert(dIn.readByte().toChar == 'E') // ErrorResponse, then EOF
+      dos.close()
+      // negative/undersized length: closed without NegativeArraySize
+      val neg = new Socket("127.0.0.1", server.port)
+      val nOut = new DataOutputStream(neg.getOutputStream)
+      nOut.writeInt(2); nOut.flush()
+      val nIn = new DataInputStream(neg.getInputStream)
+      assert(nIn.readByte().toChar == 'E')
+      neg.close()
+      // and the server still serves fresh connections
+      val ok = new PgClient(server.port)
+      ok.startup(user)
+      assert(ok.authenticate(user, pass))
+      assert(ok.query("SELECT 32 AS x").rows == Seq(Seq(Some("32"))))
+      ok.close()
+    } finally server.stop()
+
+    // isRowQuery: CTE-prefixed DML classifies as a command; CTE bodies
+    // (inside parens) never fool the scan; quoted text is opaque
+    assert(PgWire.isRowQuery("WITH t AS (SELECT 1) SELECT * FROM t"))
+    assert(PgWire.isRowQuery(
+      "WITH a AS (SELECT 1), b AS (SELECT 2) TABLE a"))
+    assert(!PgWire.isRowQuery(
+      "WITH t AS (SELECT 1 AS x) INSERT INTO lake.t SELECT x FROM t"))
+    assert(!PgWire.isRowQuery(
+      "WITH t AS (SELECT 1) DELETE FROM lake.t WHERE id IN (SELECT * FROM t)"))
+    assert(!PgWire.isRowQuery(
+      "WITH t AS (SELECT 1) MERGE INTO lake.a USING t ON a.id = t.id " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    assert(PgWire.isRowQuery(
+      "WITH t AS (SELECT 'INSERT' AS w) SELECT w FROM t"))
+    assert(!PgWire.isRowQuery("INSERT INTO t VALUES (1)"))
+    assert(PgWire.isRowQuery("SELECT 1"))
+
+    // txnTag drives both protocol paths
+    assert(PgWire.txnTag("BEGIN") == Some("BEGIN"))
+    assert(PgWire.txnTag("start  transaction") == Some("BEGIN"))
+    assert(PgWire.txnTag("END") == Some("COMMIT"))
+    assert(PgWire.txnTag("SELECT 1") == None)
+  }
+
   test("cleartext auth mode and bind/tag/render unit behavior") {
     val server = PgWire.start(spark, user = user, password = pass,
       auth = PgWire.Cleartext)
@@ -506,6 +625,17 @@ class PgWireSpec extends SparkTestBase {
     assert(PgWire.bindParams("x = $1", Seq(None)) == "x = NULL")
     assert(PgWire.countParams("a $1 $3 b") == 3)
     assert(PgWire.countParams("no params") == 0)
+    // $n inside string literals, quoted identifiers, and comments is
+    // LITERAL TEXT (pg's lexing) — never counted, never substituted
+    assert(PgWire.countParams("SELECT '$1' AS lit") == 0)
+    assert(PgWire.countParams("SELECT \"$1\" FROM t -- uses $2\n") == 0)
+    assert(PgWire.countParams("SELECT /* $3 */ $1") == 1)
+    assert(PgWire.bindParams("SELECT '$1', $1 AS p", Seq(Some("v"))) ==
+      "SELECT '$1', 'v' AS p")
+    assert(PgWire.bindParams("-- $1\nSELECT $1", Seq(Some("a"))) ==
+      "-- $1\nSELECT 'a'")
+    assert(PgWire.bindParams("SELECT 'it''s $1', $2",
+      Seq(Some("x"), Some("y"))) == "SELECT 'it''s $1', 'y'")
     assert(PgWire.tagFor("insert into t values (1)") == "INSERT 0 0")
     assert(PgWire.tagFor("CREATE TABLE x (i INT)") == "CREATE TABLE")
     assert(PgWire.tagFor("VACUUM lake.t") == "VACUUM")
