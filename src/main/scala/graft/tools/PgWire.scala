@@ -31,9 +31,12 @@ import org.apache.spark.sql.types._
   *     aborts that connection's running statement via Spark's own
   *     job-group cancellation (the canceled query answers SQLSTATE
   *     57014 and the connection keeps serving — pg's contract).
-  *   - Auth: cleartext-password (`R`/3) or MD5 (`R`/5 + 4-byte salt,
-  *     token = `md5` + hex(md5(hex(md5(password‖user)) ‖ salt))), both
-  *     constant-time compared; `trust` for tests. ≡ the cube SQL port's
+  *   - Auth: SCRAM-SHA-256 (RFC 5802/7677 over AuthenticationSASL —
+  *     the modern pg default; salted/iterated, password never on the
+  *     wire, mutual via ServerSignature), cleartext-password (`R`/3),
+  *     or MD5 (`R`/5 + 4-byte salt, token = `md5` +
+  *     hex(md5(hex(md5(password‖user)) ‖ salt))), all constant-time
+  *     compared; `trust` for tests. ≡ the cube SQL port's
   *     CUBEJS_SQL_USER/PASSWORD pair.
   *   - Simple query `Q` → RowDescription, DataRows, CommandComplete,
   *     ReadyForQuery (`EmptyQueryResponse` for blank SQL). Multi-
@@ -45,14 +48,26 @@ import org.apache.spark.sql.types._
   *     and pool DISCARDs don't break the session.
   *   - Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync
   *     (`$n` parameters substituted as quoted text literals at Bind —
-  *     the persona's subset; binary result format is refused loudly).
+  *     the persona's subset; binary PARAMETER format refused loudly).
   *   - `X` terminate; ErrorResponse with SQLSTATE + message on failure,
   *     post-error extended messages discarded until Sync per the spec.
+  *   - Client compatibility ([[PgCatalog]]): `pg_catalog` introspection
+  *     views mapped live from `spark.catalog`, the scalar shims clients
+  *     call on connect (`version()`, `pg_get_userbyid`, `format_type`,
+  *     …), pg dialect rewrites (`::` casts, `~`/`!~` regex operators,
+  *     `OPERATOR(pg_catalog.x)`), and the SET/SHOW session-parameter
+  *     protocol (pgjdbc's `SET extra_float_digits` connect battery) —
+  *     so a stock pg client's metadata path works, not just its query
+  *     path.
   *
-  * All results travel in text format with honest type OIDs (bool 16,
-  * int8 20, int4 23, float8 701, numeric 1700, date 1082, timestamp
-  * 1114, text 25, bytea 17); booleans render `t`/`f`, timestamps render
-  * ISO-with-space — what pg clients parse.
+  * Results travel in text format with honest type OIDs (bool 16, int8
+  * 20, int4 23, float8 701, numeric 1700, date 1082, timestamp 1114,
+  * text 25, bytea 17); booleans render `t`/`f`, timestamps render
+  * ISO-with-space — what pg clients parse. A portal Bind may request
+  * the BINARY result format (code 1, all columns or per-column):
+  * int2/int4/int8/float4/float8/bool network-order, date/timestamp
+  * against the pg 2000-01-01 epoch, numeric as base-10000 digit groups
+  * — what pgjdbc switches to once a statement is named-prepared.
   *
   * Scale: the server is a session/protocol shim — each connection forks
   * `spark.newSession()` (same catalog + extensions, isolated temp views
@@ -71,6 +86,12 @@ object PgWire {
   case object Cleartext extends Auth
   /** AuthenticationMD5Password (`R`/5) — the pg default for decades. */
   case object Md5 extends Auth
+  /** SCRAM-SHA-256 (RFC 5802/7677 over the AuthenticationSASL message
+    * family) — the modern pg default (md5 deprecated since pg 14).
+    * Salted, iterated, challenge-response: the password never crosses
+    * the wire, and a captured exchange can't be replayed.
+    */
+  case object Scram extends Auth
 
   /** A running endpoint; `stop()` closes the listener and live conns. */
   final class Server(val port: Int, listener: ServerSocket,
@@ -180,6 +201,9 @@ object PgWire {
             val tok = "md5" + hexMd5(
               hexMd5((password + user).getBytes(UTF_8)).getBytes(UTF_8) ++ salt)
             new Msg('p').cstr(tok).send(out); out.flush()
+          case 10 => // AuthenticationSASL → SCRAM-SHA-256 exchange
+            if (!scramClient(in, out, user, password))
+              sys.error("pg-wire auth refused: SCRAM exchange failed")
           case other => sys.error(s"unsupported auth code $other")
         }
       }
@@ -340,6 +364,8 @@ object PgWire {
             ctEq(claimedUser, user) && ctEq(tok, want)
           case None => false
         }
+      case Scram =>
+        ctEq(claimedUser, user) & scramExchange(in, out, password)
     }
     if (!ok) { fatal(out, "28P01", s"""password authentication failed for user "$claimedUser""""); return }
 
@@ -366,16 +392,22 @@ object PgWire {
     // out-of-band CancelRequest aborts exactly this connection's work
     session.sparkContext.setJobGroup(jobGroup, s"pgwire connection $pid",
       interruptOnCancel = true)
+    // pg session parameters + the introspection scalar shims real
+    // clients call on connect (version(), pg_get_userbyid, …)
+    val gucs = new Gucs(session)
+    PgCatalog.registerFunctions(session, user, pid)
+    params.get("application_name").foreach(gucs.set("application_name", _))
 
     // extended-protocol state
     final case class Prepared(sql: String, nParams: Int,
-        noopTag: Option[String]) {
+        shim: Option[Shim]) {
       // plan cached by a statement-Describe so Execute reuses it (a
       // lazily-planned row query analyzes once per Parse, not per
       // Describe+Execute)
       var df: Option[DataFrame] = None
     }
-    final case class Portal(sql: String, noopTag: Option[String]) {
+    final case class Portal(sql: String, shim: Option[Shim],
+        fmts: Seq[Int]) {
       var df: Option[DataFrame] = None
       var described = false // RowDescription already sent for this portal
     }
@@ -385,8 +417,13 @@ object PgWire {
 
     def planOf(p: Portal): DataFrame = p.df match {
       case Some(d) => d
-      case None => val d = session.sql(p.sql); p.df = Some(d); d
+      case None =>
+        // re-ensure the catalog views at plan time: DDL between Parse
+        // and Execute must be visible to an introspection portal
+        if (PgCatalog.touchesCatalog(p.sql)) PgCatalog.ensure(session)
+        val d = session.sql(p.sql); p.df = Some(d); d
     }
+    def showSchema(k: String) = StructType(Seq(StructField(k, StringType)))
 
     try while (true) {
       val t = in.readByte().toChar
@@ -411,7 +448,7 @@ object PgWire {
             var failed = false
             stmtsQ.foreach { sql =>
               if (!failed) {
-                try runAndSend(session, out, sql)
+                try runAndSend(session, out, sql, gucs)
                 catch { case scala.util.control.NonFatal(e) =>
                   sendError(out, e); failed = true }
               }
@@ -421,21 +458,27 @@ object PgWire {
 
         case 'P' => // Parse: name, query, param-type oids
           try {
-            val name = cur.cstr(); val sql = cur.cstr()
+            val name = cur.cstr(); val raw = cur.cstr()
             val nTypes = cur.i16(); (0 until nTypes).foreach(_ => cur.i32())
-            val noop = txnTag(sql.trim)
-            val nP = if (noop.isDefined) 0 else countParams(sql)
+            val shim = shimOf(raw)
+            // pg-dialect spellings translate once at Parse; later stages
+            // (Bind/Describe/Execute) see the Spark-parseable text
+            val sql = if (shim.isDefined) raw
+              else if (PgCatalog.needsRewrite(raw)) PgCatalog.rewrite(raw)
+              else raw
+            val nP = if (shim.isDefined) 0 else countParams(sql)
             // pg reports syntax errors AT Parse: run the session's SQL
             // parser (syntax only, nothing executes) with placeholder
-            // literals standing in for $n. Txn-control verbs (BEGIN,
-            // COMMIT, DISCARD ALL…) are pg syntax Spark's parser rejects
-            // — pg-JDBC with autocommit=off sends BEGIN through THIS
-            // path, so they bypass parsePlan and answer their pg tag at
-            // Execute, exactly as runAndSend does for simple queries.
-            if (noop.isEmpty)
+            // literals standing in for $n. Shimmed statements (txn
+            // verbs, SET/SHOW params) are pg syntax Spark's parser
+            // rejects — pg-JDBC with autocommit=off sends BEGIN through
+            // THIS path, and sends SET extra_float_digits on connect —
+            // so they bypass parsePlan and answer at Execute, exactly
+            // as runAndSend does for simple queries.
+            if (shim.isEmpty)
               session.sessionState.sqlParser.parsePlan(
                 bindParams(sql, Seq.fill(nP)(Some("0"))))
-            stmts(name) = Prepared(sql, nP, noop)
+            stmts(name) = Prepared(sql, nP, shim)
             new Msg('1').send(out)
           } catch { case scala.util.control.NonFatal(e) =>
             sendError(out, e); skipToSync = true }
@@ -455,8 +498,9 @@ object PgWire {
             }
             val nRes = cur.i16()
             val resFmts = (0 until nRes).map(_ => cur.i16())
-            require(resFmts.forall(_ == 0), "binary result format not supported")
-            val p = Portal(bindParams(prep.sql, vals), prep.noopTag)
+            require(resFmts.forall(f => f == 0 || f == 1),
+              s"unknown result format code ${resFmts.find(f => f != 0 && f != 1).get}")
+            val p = Portal(bindParams(prep.sql, vals), prep.shim, resFmts)
             // zero-param statement: a Describe('S') may already hold the
             // analyzed plan — reuse it instead of re-planning
             if (prep.nParams == 0) p.df = prep.df
@@ -479,11 +523,16 @@ object PgWire {
               case 'P' =>
                 val p = portals.getOrElse(name,
                   throw new IllegalArgumentException(s"unknown portal \"$name\""))
-                if (p.noopTag.isDefined || !isRowQuery(p.sql)) new Msg('n').send(out)
-                else {
-                  val schema = planOf(p).schema
-                  if (schema.isEmpty) new Msg('n').send(out)
-                  else { rowDescription(out, schema); p.described = true }
+                p.shim match {
+                  case Some(ShowParam(k)) =>
+                    rowDescription(out, showSchema(k), p.fmts)
+                    p.described = true
+                  case Some(_) => new Msg('n').send(out)
+                  case None if !isRowQuery(p.sql) => new Msg('n').send(out)
+                  case None =>
+                    val schema = planOf(p).schema
+                    if (schema.isEmpty) new Msg('n').send(out)
+                    else { rowDescription(out, schema, p.fmts); p.described = true }
                 }
               case _ =>
                 val prep = stmts.getOrElse(name,
@@ -492,16 +541,23 @@ object PgWire {
                 (0 until prep.nParams).foreach(_ => pd.i32(25)) // text
                 pd.send(out)
                 // row shape of a parameterized statement is unknown until
-                // Bind substitutes — NoData is the honest answer
-                if (prep.noopTag.isDefined || prep.nParams > 0 ||
-                    !isRowQuery(prep.sql))
-                  new Msg('n').send(out)
-                else {
-                  val df = prep.df.getOrElse {
-                    val d = session.sql(prep.sql); prep.df = Some(d); d
-                  }
-                  if (df.schema.isEmpty) new Msg('n').send(out)
-                  else rowDescription(out, df.schema)
+                // Bind substitutes — NoData is the honest answer. The
+                // statement variant always declares format 0 (pg's
+                // contract: formats aren't known until Bind).
+                prep.shim match {
+                  case Some(ShowParam(k)) =>
+                    rowDescription(out, showSchema(k), Nil)
+                  case Some(_) => new Msg('n').send(out)
+                  case None if prep.nParams > 0 || !isRowQuery(prep.sql) =>
+                    new Msg('n').send(out)
+                  case None =>
+                    val df = prep.df.getOrElse {
+                      if (PgCatalog.touchesCatalog(prep.sql))
+                        PgCatalog.ensure(session)
+                      val d = session.sql(prep.sql); prep.df = Some(d); d
+                    }
+                    if (df.schema.isEmpty) new Msg('n').send(out)
+                    else rowDescription(out, df.schema, Nil)
                 }
             }
           } catch { case scala.util.control.NonFatal(e) =>
@@ -512,19 +568,30 @@ object PgWire {
             val name = cur.cstr(); cur.i32()
             val p = portals.getOrElse(name,
               throw new IllegalArgumentException(s"unknown portal \"$name\""))
-            p.noopTag match {
-              case Some(tag) =>
+            p.shim match {
+              case Some(TagOnly(tag)) =>
                 new Msg('C').cstr(tag).send(out)
+              case Some(SetParam(k, v)) =>
+                gucs.set(k, v); new Msg('C').cstr("SET").send(out)
+              case Some(ShowParam(k)) =>
+                val v = gucs.get(k)
+                if (!p.described) {
+                  rowDescription(out, showSchema(k), p.fmts)
+                  p.described = true
+                }
+                val m = new Msg('D').i16(1)
+                val b = v.getBytes(UTF_8); m.i32(b.length).raw(b); m.send(out)
+                new Msg('C').cstr("SHOW").send(out)
               case None =>
                 val df = planOf(p)
                 if (df.schema.isEmpty) new Msg('C').cstr(tagFor(p.sql)).send(out)
                 else {
                   // commands that DO return rows (SHOW, OPTIMIZE, SET) were
                   // NoData at Describe — back-fill the row shape before data
-                  if (!p.described) { rowDescription(out, df.schema); p.described = true }
+                  if (!p.described) { rowDescription(out, df.schema, p.fmts); p.described = true }
                   var n = 0L
                   val it = df.toLocalIterator()
-                  while (it.hasNext) { dataRow(out, it.next(), df.schema); n += 1 }
+                  while (it.hasNext) { dataRow(out, it.next(), df.schema, p.fmts); n += 1 }
                   new Msg('C').cstr(s"SELECT $n").send(out)
                 }
             }
@@ -571,6 +638,178 @@ object PgWire {
     MessageDigest.getInstance("MD5").digest(b)
       .map(x => f"${x & 0xff}%02x").mkString
 
+  // -------------------------------------------------------------- SCRAM
+
+  private[tools] def hmacSha256(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(msg)
+  }
+
+  private[tools] def sha256(b: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(b)
+
+  /** RFC 5802 Hi() = PBKDF2-HMAC-SHA256. JDK-native; zero-egress. */
+  private[tools] def saltedPassword(password: String, salt: Array[Byte],
+      iterations: Int): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iterations, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  private def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    a.zip(b).map { case (x, y) => (x ^ y).toByte }
+
+  /** Parse `k=v` attribute lists (`r=nonce,s=salt,i=4096`). SCRAM
+    * values may themselves contain `=` (base64), so split on the FIRST
+    * `=` only.
+    */
+  private[tools] def scramAttrs(s: String): Map[String, String] =
+    s.split(',').iterator.filter(_.length >= 2).map { kv =>
+      kv.charAt(0).toString -> kv.substring(2)
+    }.toMap
+
+  /** Server side of the SCRAM-SHA-256 exchange (RFC 5802/7677 carried
+    * over pg's AuthenticationSASL family). Flow:
+    *
+    *   R/10 (mechanisms)  →  p SASLInitialResponse (client-first)
+    *   R/11 server-first  →  p SASLResponse (client-final)
+    *   R/12 server-final (v=ServerSignature)  →  caller sends R/0
+    *
+    * Channel-binding: the server advertises only SCRAM-SHA-256 (not
+    * -PLUS), so gs2 flags `n` (none) and `y` (client supports CB but
+    * server didn't offer) are accepted and `p=` is refused — RFC 5802's
+    * rule for a non-PLUS server. Verification computes StoredKey =
+    * H(ClientProof XOR ClientSignature) and compares constant-time; the
+    * ServerSignature in the final message proves the server also knows
+    * the (salted) password — mutual authentication md5 never had.
+    *
+    * Credentials are salted per-exchange from the configured password
+    * (the server stores no verifier table — same trust model as the md5
+    * path, but nothing password-equivalent ever crosses the wire).
+    */
+  private def scramExchange(in: DataInputStream, out: DataOutputStream,
+      password: String): Boolean = {
+    val b64e = java.util.Base64.getEncoder
+    val b64d = java.util.Base64.getDecoder
+    // advertise mechanisms: SCRAM-SHA-256, list 0-terminated
+    val adv = new Msg('R').i32(10).cstr("SCRAM-SHA-256")
+    adv.byte(0)
+    adv.send(out); out.flush()
+    // SASLInitialResponse: cstr mechanism, i32 length, client-first
+    val t1 = in.readByte().toChar
+    val len1 = in.readInt()
+    if (t1 != 'p' || len1 < 4 || len1 > MaxPreAuthFrame) return false
+    val cur1 = new Cur(readN(in, len1 - 4))
+    val mech = cur1.cstr()
+    if (mech != "SCRAM-SHA-256") return false
+    val rLen = cur1.i32()
+    if (rLen < 0 || rLen > MaxPreAuthFrame) return false
+    val clientFirst = new String(cur1.bytes(rLen), UTF_8)
+    // gs2 header: cbind-flag "," [authzid] "," then client-first-bare
+    val c1 = clientFirst.indexOf(',')
+    val c2 = clientFirst.indexOf(',', c1 + 1)
+    if (c1 < 0 || c2 < 0) return false
+    val gs2 = clientFirst.substring(0, c2 + 1)
+    val cbindFlag = clientFirst.charAt(0)
+    if (cbindFlag != 'n' && cbindFlag != 'y') return false // no -PLUS offered
+    val clientFirstBare = clientFirst.substring(c2 + 1)
+    val cAttrs = scramAttrs(clientFirstBare)
+    val clientNonce = cAttrs.getOrElse("r", return false)
+    // server-first: extend the nonce, salt + iterate
+    val rnd = new java.security.SecureRandom()
+    val nonceExt = new Array[Byte](18); rnd.nextBytes(nonceExt)
+    val nonce = clientNonce + b64e.encodeToString(nonceExt)
+    val salt = new Array[Byte](16); rnd.nextBytes(salt)
+    val iterations = 4096
+    val serverFirst = s"r=$nonce,s=${b64e.encodeToString(salt)},i=$iterations"
+    new Msg('R').i32(11).raw(serverFirst.getBytes(UTF_8)).send(out); out.flush()
+    // SASLResponse: client-final = c=<b64 gs2>,r=<nonce>,p=<b64 proof>
+    val t2 = in.readByte().toChar
+    val len2 = in.readInt()
+    if (t2 != 'p' || len2 < 4 || len2 > MaxPreAuthFrame) return false
+    val clientFinal = new String(readN(in, len2 - 4), UTF_8)
+    val fAttrs = scramAttrs(clientFinal)
+    val proofB64 = fAttrs.getOrElse("p", return false)
+    // the client must echo the full nonce and its own gs2 header
+    if (!fAttrs.get("r").contains(nonce)) return false
+    if (!fAttrs.get("c").contains(b64e.encodeToString(gs2.getBytes(UTF_8))))
+      return false
+    val clientFinalNoProof =
+      clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+    val authMessage =
+      s"$clientFirstBare,$serverFirst,$clientFinalNoProof".getBytes(UTF_8)
+    val salted = saltedPassword(password, salt, iterations)
+    val clientKey = hmacSha256(salted, "Client Key".getBytes(UTF_8))
+    val storedKey = sha256(clientKey)
+    val clientSig = hmacSha256(storedKey, authMessage)
+    val proof =
+      try b64d.decode(proofB64)
+      catch { case _: IllegalArgumentException => return false }
+    if (proof.length != clientSig.length) return false
+    // recovered ClientKey = proof XOR signature; its hash must equal
+    // StoredKey (constant-time)
+    if (!MessageDigest.isEqual(sha256(xor(proof, clientSig)), storedKey))
+      return false
+    val serverKey = hmacSha256(salted, "Server Key".getBytes(UTF_8))
+    val serverSig = hmacSha256(serverKey, authMessage)
+    val serverFinal = s"v=${b64e.encodeToString(serverSig)}"
+    new Msg('R').i32(12).raw(serverFinal.getBytes(UTF_8)).send(out); out.flush()
+    true
+  }
+
+  /** Client side of SCRAM-SHA-256 (for [[queryOnce]] and the spec's
+    * hand-rolled client — zero-egress hosts ship no pg driver jar).
+    * Returns the ServerSignature to verify, or None on refusal.
+    */
+  private[tools] def scramClient(in: DataInputStream, out: DataOutputStream,
+      user: String, password: String): Boolean = {
+    val b64e = java.util.Base64.getEncoder
+    val rnd = new java.security.SecureRandom()
+    val nb = new Array[Byte](18); rnd.nextBytes(nb)
+    val clientNonce = b64e.encodeToString(nb)
+    val gs2 = "n,,"
+    val clientFirstBare = s"n=$user,r=$clientNonce"
+    val initial = (gs2 + clientFirstBare).getBytes(UTF_8)
+    val m = new Msg('p').cstr("SCRAM-SHA-256").i32(initial.length).raw(initial)
+    m.send(out); out.flush()
+    // server-first (R/11)
+    val t1 = in.readByte().toChar
+    val len1 = in.readInt()
+    val cur1 = new Cur(readN(in, len1 - 4))
+    if (t1 == 'E') return false
+    if (t1 != 'R' || cur1.i32() != 11) return false
+    val serverFirst = new String(cur1.bytes(len1 - 8), UTF_8)
+    val sAttrs = scramAttrs(serverFirst)
+    val nonce = sAttrs("r")
+    if (!nonce.startsWith(clientNonce)) return false
+    val salt = java.util.Base64.getDecoder.decode(sAttrs("s"))
+    val iterations = sAttrs("i").toInt
+    val cbind = b64e.encodeToString(gs2.getBytes(UTF_8))
+    val clientFinalNoProof = s"c=$cbind,r=$nonce"
+    val authMessage =
+      s"$clientFirstBare,$serverFirst,$clientFinalNoProof".getBytes(UTF_8)
+    val salted = saltedPassword(password, salt, iterations)
+    val clientKey = hmacSha256(salted, "Client Key".getBytes(UTF_8))
+    val clientSig = hmacSha256(sha256(clientKey), authMessage)
+    val proof = b64e.encodeToString(xor(clientKey, clientSig))
+    new Msg('p').raw(s"$clientFinalNoProof,p=$proof".getBytes(UTF_8)).send(out)
+    out.flush()
+    // server-final (R/12) carries v=ServerSignature — verify it: SCRAM
+    // is mutual
+    val t2 = in.readByte().toChar
+    val len2 = in.readInt()
+    val cur2 = new Cur(readN(in, len2 - 4))
+    if (t2 == 'E') return false
+    if (t2 != 'R' || cur2.i32() != 12) return false
+    val serverFinal = new String(cur2.bytes(len2 - 8), UTF_8)
+    val serverKey = hmacSha256(salted, "Server Key".getBytes(UTF_8))
+    val wantSig = java.util.Base64.getEncoder.encodeToString(
+      hmacSha256(serverKey, authMessage))
+    scramAttrs(serverFinal).get("v").contains(wantSig)
+  }
+
   // ------------------------------------------------------------- queries
 
   /** Transaction-control and pool-reset verbs pg clients emit on every
@@ -597,20 +836,110 @@ object PgWire {
     case _ => None
   }
 
+  /** Statements the endpoint answers WITHOUT handing to Spark: txn
+    * no-ops, and pg's SET/SHOW session-parameter protocol (pgjdbc sends
+    * `SET extra_float_digits = 3` + `SET application_name` on every
+    * connect; psql probes params with SHOW). Spark confs (dotted
+    * `spark.*` keys) still route to `session.conf` so a pg client can
+    * tune the session, but they follow pg's result contract: SET is a
+    * row-less `SET` tag, SHOW one row — not Spark's key/value echo.
+    */
+  private[tools] sealed trait Shim
+  private[tools] final case class TagOnly(tag: String) extends Shim
+  private[tools] final case class SetParam(key: String, value: String) extends Shim
+  private[tools] final case class ShowParam(key: String) extends Shim
+
+  private val SetStmt =
+    "(?is)^SET\\s+(?:SESSION\\s+|LOCAL\\s+)?([A-Za-z_][\\w.]*)\\s*(?:=|\\s+TO\\s+)\\s*(.+?)\\s*$".r
+  private val SetTimeZone = "(?is)^SET\\s+TIME\\s+ZONE\\s+(.+?)\\s*$".r
+  private val ShowStmt = "(?is)^SHOW\\s+([A-Za-z_][\\w.]*)\\s*$".r
+  private val ShowTxnIso =
+    "(?is)^SHOW\\s+TRANSACTION\\s+ISOLATION\\s+LEVEL\\s*$".r
+  /** Spark's own SHOW verbs, which must keep reaching Spark. */
+  private val SparkShowVerbs = Set("TABLES", "DATABASES", "NAMESPACES",
+    "VIEWS", "FUNCTIONS", "COLUMNS", "PARTITIONS", "CATALOGS",
+    "TBLPROPERTIES", "CREATE", "TABLE")
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  private[tools] def shimOf(sql: String): Option[Shim] = {
+    val s = sql.trim.stripSuffix(";").trim
+    txnTag(s).map(TagOnly.apply).orElse(s match {
+      case ShowTxnIso() => Some(ShowParam("transaction_isolation"))
+      case SetTimeZone(v) => Some(SetParam("TimeZone", unquote(v)))
+      case SetStmt(k, v) => Some(SetParam(k, unquote(v)))
+      case ShowStmt(k)
+          if !SparkShowVerbs(k.toUpperCase(java.util.Locale.ROOT)) =>
+        Some(ShowParam(k))
+      case _ => None
+    })
+  }
+
+  /** Per-connection pg session parameters ("GUCs"): what SET stores and
+    * SHOW reads back. Keys are case-insensitive like pg's. The values
+    * are an honest shim — they are echoed, not interpreted (the engine
+    * renders floats/dates one way) — except `spark.*` keys, which hit
+    * the real session conf.
+    */
+  private[tools] final class Gucs(session: SparkSession) {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    Seq("server_version" -> "15.4 (graft)", "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8", "DateStyle" -> "ISO, MDY",
+      "integer_datetimes" -> "on", "standard_conforming_strings" -> "on",
+      "TimeZone" -> "UTC", "is_superuser" -> "off",
+      "search_path" -> "\"$user\", public", "application_name" -> "",
+      "extra_float_digits" -> "1", "statement_timeout" -> "0",
+      "transaction_isolation" -> "read committed",
+      "client_min_messages" -> "notice", "max_identifier_length" -> "63")
+      .foreach { case (k, v) => m.put(k.toLowerCase(java.util.Locale.ROOT), v) }
+    def set(k: String, v: String): Unit =
+      if (k.startsWith("spark.")) session.conf.set(k, v)
+      else m.put(k.toLowerCase(java.util.Locale.ROOT), v)
+    def get(k: String): String =
+      if (k.startsWith("spark.")) session.conf.get(k, "")
+      else Option(m.get(k.toLowerCase(java.util.Locale.ROOT))).getOrElse {
+        throw new IllegalArgumentException(
+          s"""unrecognized configuration parameter "$k"""")
+      }
+  }
+
+  /** Refresh the pg_catalog views when the statement introspects, and
+    * translate pg dialect spellings Spark's parser rejects — the
+    * client-compat front door every Spark-bound statement passes.
+    */
+  private def prepareSql(session: SparkSession, sql: String): String = {
+    if (PgCatalog.touchesCatalog(sql)) PgCatalog.ensure(session)
+    if (PgCatalog.needsRewrite(sql)) PgCatalog.rewrite(sql) else sql
+  }
+
   private def runAndSend(session: SparkSession, out: DataOutputStream,
-      sql: String): Unit = {
-    txnTag(sql) match {
-      case Some(tag) => new Msg('C').cstr(tag).send(out); return
+      sql: String, gucs: Gucs): Unit = {
+    shimOf(sql) match {
+      case Some(TagOnly(tag)) =>
+        new Msg('C').cstr(tag).send(out); return
+      case Some(SetParam(k, v)) =>
+        gucs.set(k, v); new Msg('C').cstr("SET").send(out); return
+      case Some(ShowParam(k)) =>
+        val v = gucs.get(k)
+        rowDescription(out, StructType(Seq(StructField(k, StringType))), Nil)
+        val m = new Msg('D').i16(1)
+        val b = v.getBytes(UTF_8); m.i32(b.length).raw(b); m.send(out)
+        new Msg('C').cstr("SHOW").send(out); return
       case None =>
     }
-    val df = session.sql(sql)
+    val df = session.sql(prepareSql(session, sql))
     if (df.schema.isEmpty) new Msg('C').cstr(tagFor(sql)).send(out)
     else {
-      rowDescription(out, df.schema)
+      rowDescription(out, df.schema, Nil)
       var n = 0L
       val it = df.toLocalIterator()
       while (it.hasNext) {
-        dataRow(out, it.next(), df.schema)
+        dataRow(out, it.next(), df.schema, Nil)
         n += 1
         if (n % 256 == 0) out.flush() // stream, don't buffer the world
       }
@@ -825,7 +1154,7 @@ object PgWire {
 
   // ------------------------------------------------------------- results
 
-  private def pgType(dt: DataType): (Int, Int) = dt match {
+  private[tools] def pgType(dt: DataType): (Int, Int) = dt match {
     case BooleanType => (16, 1)
     case ByteType | ShortType => (21, 2)
     case IntegerType => (23, 4)
@@ -839,13 +1168,113 @@ object PgWire {
     case _ => (25, -1) // strings, arrays, structs → text rendering
   }
 
-  private def rowDescription(out: DataOutputStream, schema: StructType): Unit = {
+  /** Result format code for column `i` under the Bind-declared `fmts`
+    * (pg's rule: empty = all text, one entry = applies to all, else
+    * per-column).
+    */
+  private def fmtFor(fmts: Seq[Int], i: Int): Int =
+    if (fmts.isEmpty) 0
+    else if (fmts.length == 1) fmts.head
+    else fmts(i)
+
+  private def rowDescription(out: DataOutputStream, schema: StructType,
+      fmts: Seq[Int]): Unit = {
     val m = new Msg('T').i16(schema.length)
-    schema.fields.foreach { f =>
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
       val (oid, tlen) = pgType(f.dataType)
-      m.cstr(f.name).i32(0).i16(0).i32(oid).i16(tlen).i32(-1).i16(0)
+      m.cstr(f.name).i32(0).i16(0).i32(oid).i16(tlen).i32(-1)
+        .i16(fmtFor(fmts, i))
     }
     m.send(out)
+  }
+
+  // pg's epoch for binary date/timestamp is 2000-01-01 (not Unix's)
+  private val PgEpochDays = 10957L // LocalDate(2000,1,1).toEpochDay
+  private val PgEpochMicros = 946684800000000L
+
+  /** Binary-format (format code 1) rendering per the published pg
+    * conventions: network byte order, dates as int4 days / timestamps
+    * as int8 micros since 2000-01-01, numeric as base-10000 digit
+    * groups. pgjdbc requests binary for these the moment a statement is
+    * named-prepared — a text-only server forces its slow path. For
+    * text-rendered types (strings, arrays, structs under OID 25) the
+    * binary format IS the text bytes, so every OID the wire emits is
+    * binary-renderable.
+    */
+  private[tools] def binaryRender(v: Any, dt: DataType): Array[Byte] = {
+    def be16(x: Int) = Array[Byte]((x >>> 8).toByte, x.toByte)
+    def be32(x: Int) = Array[Byte]((x >>> 24).toByte, (x >>> 16).toByte,
+      (x >>> 8).toByte, x.toByte)
+    def be64(x: Long) = Array[Byte]((x >>> 56).toByte, (x >>> 48).toByte,
+      (x >>> 40).toByte, (x >>> 32).toByte, (x >>> 24).toByte,
+      (x >>> 16).toByte, (x >>> 8).toByte, x.toByte)
+    dt match {
+      case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ByteType => be16(v.asInstanceOf[Byte].toInt)
+      case ShortType => be16(v.asInstanceOf[Short].toInt)
+      case IntegerType => be32(v.asInstanceOf[Int])
+      case LongType => be64(v.asInstanceOf[Long])
+      case FloatType =>
+        be32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+      case DoubleType =>
+        be64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+      case DateType =>
+        val days = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        }
+        be32((days - PgEpochDays).toInt)
+      case TimestampType | TimestampNTZType =>
+        val micros = v match {
+          case t: java.sql.Timestamp =>
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          case t: java.time.Instant =>
+            t.getEpochSecond * 1000000L + t.getNano / 1000
+          case t: java.time.LocalDateTime =>
+            t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              t.getNano / 1000
+        }
+        be64(micros - PgEpochMicros)
+      case _: DecimalType => numericBinary(v match {
+        case d: java.math.BigDecimal => d
+        case d: BigDecimal => d.bigDecimal
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      })
+      case BinaryType => v.asInstanceOf[Array[Byte]]
+      case _ => render(v).getBytes(UTF_8) // text's binary form = its bytes
+    }
+  }
+
+  /** pg `numeric` binary layout: i16 ndigits, i16 weight (base-10000
+    * exponent of the first digit group), i16 sign (0x0000/0x4000), i16
+    * dscale, then ndigits base-10000 groups — decimal-point-aligned, so
+    * `12345.6` is digits [1, 2345, 6000] with weight 1.
+    */
+  private[tools] def numericBinary(bd0: java.math.BigDecimal): Array[Byte] = {
+    val neg = bd0.signum() < 0
+    val dscale = math.max(bd0.scale(), 0)
+    val plain = bd0.abs().toPlainString
+    val dot = plain.indexOf('.')
+    val ipRaw = if (dot < 0) plain else plain.substring(0, dot)
+    val fp = if (dot < 0) "" else plain.substring(dot + 1)
+    val ip = ipRaw.dropWhile(_ == '0')
+    val ipPad = ("0" * ((4 - ip.length % 4) % 4)) + ip
+    val fpPad = fp + ("0" * ((4 - fp.length % 4) % 4))
+    val intGroups = ipPad.grouped(4).filter(_.nonEmpty).map(_.toInt).toVector
+    val fracGroups = fpPad.grouped(4).filter(_.nonEmpty).map(_.toInt).toVector
+    var digits = intGroups ++ fracGroups
+    var weight = intGroups.length - 1
+    while (digits.nonEmpty && digits.head == 0) {
+      digits = digits.tail; weight -= 1
+    }
+    while (digits.nonEmpty && digits.last == 0) digits = digits.dropRight(1)
+    if (digits.isEmpty) weight = 0
+    val out = new ByteArrayOutputStream()
+    def i16(x: Int): Unit = { out.write(x >>> 8); out.write(x) }
+    i16(digits.length); i16(weight & 0xffff)
+    i16(if (neg) 0x4000 else 0x0000); i16(dscale)
+    digits.foreach(i16)
+    out.toByteArray
   }
 
   /** Text-format rendering per pg conventions: `t`/`f` booleans, ISO
@@ -869,13 +1298,16 @@ object PgWire {
   }
 
   private def dataRow(out: DataOutputStream,
-      row: org.apache.spark.sql.Row, schema: StructType): Unit = {
+      row: org.apache.spark.sql.Row, schema: StructType,
+      fmts: Seq[Int]): Unit = {
     val m = new Msg('D').i16(schema.length)
     var i = 0
     while (i < schema.length) {
       if (row.isNullAt(i)) m.i32(-1)
       else {
-        val b = render(row.get(i)).getBytes(UTF_8)
+        val b =
+          if (fmtFor(fmts, i) == 1) binaryRender(row.get(i), schema(i).dataType)
+          else render(row.get(i)).getBytes(UTF_8)
         m.i32(b.length).raw(b)
       }
       i += 1

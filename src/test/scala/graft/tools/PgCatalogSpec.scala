@@ -1,0 +1,228 @@
+package graft.tools
+
+import graft.{SparkTestBase, Tables}
+
+/** The pg-wire CLIENT-COMPATIBILITY surface: the introspection queries
+  * real Postgres clients issue on connect and for metadata — replayed
+  * VERBATIM from their documented sources over a live socket — must
+  * answer with rows that match `spark.catalog`.
+  *
+  * Batteries covered (each test names its source):
+  *   - pgjdbc connect: `SET extra_float_digits`, `SELECT current_schema()`
+  *   - pgjdbc `DatabaseMetaData`: getSchemas / getTables / getColumns
+  *     (PgDatabaseMetaData.java, driver 42.x), the TypeInfoCache oid
+  *     lookup (generate_series / array_upper / current_schemas forms)
+  *   - psql: `\dn`, `\dt`, and the three-step `\d <table>` sequence
+  *     (OPERATOR(pg_catalog.~), COLLATE pg_catalog.default, `::` casts,
+  *     correlated pg_attrdef/pg_collation subqueries)
+  *
+  * Every query here reaches Spark through [[PgCatalog.rewrite]] and the
+  * live temp views [[PgCatalog.ensure]] builds from `spark.catalog` —
+  * nothing is special-cased per query.
+  */
+class PgCatalogSpec extends SparkTestBase {
+
+  private val user = "cube"
+  private val pass = "pg-cat-secret"
+
+  private def q(port: Int, sql: String) =
+    PgWire.queryOnce("127.0.0.1", port, user, pass, sql)
+
+  test("pgjdbc + psql introspection batteries replay verbatim against " +
+      "a live socket and match spark.catalog") {
+    // a real catalog surface: one permanent commitlog table in its own
+    // database + one temp view, both expected to introspect
+    import graft.sources.{CatalogOps, CommitLog}
+    val root = java.nio.file.Files.createTempDirectory("graft-pgcat").toString
+    CommitLog.append(
+      spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS price",
+        "CAST(id AS STRING) AS label"), root)
+    CatalogOps.createCommitLogTable(spark, "pgmeta", "widgets", root)
+    Tables.load(spark, sf0001, "nation").createOrReplaceTempView("nation_pgv")
+
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val port = server.port
+
+      // ---- pgjdbc connect-time battery -------------------------------
+      q(port, "SET extra_float_digits = 3") // must not error
+      q(port, "SET application_name = 'PostgreSQL JDBC Driver'")
+      assert(q(port, "SELECT 1")._2 == Seq(Seq(Some("1"))))
+      val ver = q(port, "SELECT version()")._2.head.head.get
+      assert(ver.startsWith("PostgreSQL "), ver)
+      // pgjdbc getSchema()
+      val cs = q(port, "select current_schema()")._2.head.head
+      assert(cs.exists(_.nonEmpty))
+      // pgjdbc getCatalog()
+      assert(q(port, "select current_database()")._2 ==
+        Seq(Seq(Some("graft"))))
+      // SHOW round trip (psql \echo :VERSION uses SHOW server_version)
+      assert(q(port, "SHOW server_version")._2 ==
+        Seq(Seq(Some("15.4 (graft)"))))
+      assert(q(port, "SHOW TRANSACTION ISOLATION LEVEL")._2 ==
+        Seq(Seq(Some("read committed"))))
+
+      // ---- pgjdbc getSchemas (PgDatabaseMetaData.getSchemas) ---------
+      val schemas = q(port,
+        """SELECT nspname AS TABLE_SCHEM, NULL AS TABLE_CATALOG FROM pg_catalog.pg_namespace  WHERE nspname <> 'pg_toast' AND (nspname !~ '^pg_temp_'  OR nspname = (pg_catalog.current_schemas(true))[1]) AND (nspname !~ '^pg_toast_temp_'  OR nspname = replace((pg_catalog.current_schemas(true))[1], 'pg_temp_', 'pg_toast_temp_'))  ORDER BY TABLE_SCHEM""")
+      val schemaNames = schemas._2.map(_.head.get)
+      assert(schemaNames.contains("pgmeta"), schemaNames)
+      assert(schemaNames.contains("pg_catalog")) // clients expect it listed
+      // the same namespaces spark.catalog reports
+      spark.catalog.listDatabases().collect().map(_.name).foreach { db =>
+        assert(schemaNames.contains(db), s"missing schema $db")
+      }
+
+      // ---- psql \dn --------------------------------------------------
+      val dn = q(port,
+        """SELECT n.nspname AS "Name",
+          |  pg_catalog.pg_get_userbyid(n.nspowner) AS "Owner"
+          |FROM pg_catalog.pg_namespace n
+          |WHERE n.nspname !~ '^pg_' AND n.nspname <> 'information_schema'
+          |ORDER BY 1""".stripMargin)
+      assert(dn._1 == Seq("Name", "Owner"))
+      assert(dn._2.exists(r => r.head.contains("pgmeta") &&
+        r(1).contains(user)))
+
+      // ---- psql \dt --------------------------------------------------
+      val dt = q(port,
+        """SELECT n.nspname as "Schema",
+          |  c.relname as "Name",
+          |  CASE c.relkind WHEN 'r' THEN 'table' WHEN 'v' THEN 'view' WHEN 'm' THEN 'materialized view' WHEN 'i' THEN 'index' WHEN 'S' THEN 'sequence' WHEN 't' THEN 'TOAST table' WHEN 'f' THEN 'foreign table' WHEN 'p' THEN 'partitioned table' WHEN 'I' THEN 'partitioned index' END as "Type",
+          |  pg_catalog.pg_get_userbyid(c.relowner) as "Owner"
+          |FROM pg_catalog.pg_class c
+          |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+          |WHERE c.relkind IN ('r','p','')
+          |      AND n.nspname <> 'pg_catalog'
+          |      AND n.nspname !~ '^pg_toast'
+          |      AND n.nspname <> 'information_schema'
+          |  AND pg_catalog.pg_table_is_visible(c.oid)
+          |ORDER BY 1,2""".stripMargin)
+      assert(dt._1 == Seq("Schema", "Name", "Type", "Owner"))
+      assert(dt._2.exists(r => r == Seq(Some("pgmeta"), Some("widgets"),
+        Some("table"), Some(user))), dt._2)
+
+      // ---- psql \d widgets: the documented three-query sequence ------
+      // (1) resolve the name to an oid
+      val d1 = q(port,
+        """SELECT c.oid,
+          |  n.nspname,
+          |  c.relname
+          |FROM pg_catalog.pg_class c
+          |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+          |WHERE c.relname OPERATOR(pg_catalog.~) '^(widgets)$' COLLATE pg_catalog.default
+          |  AND pg_catalog.pg_table_is_visible(c.oid)
+          |ORDER BY 2, 3""".stripMargin)
+      assert(d1._2.length == 1, d1._2)
+      val oid = d1._2.head.head.get
+      assert(d1._2.head(1).contains("pgmeta") && d1._2.head(2).contains("widgets"))
+
+      // (2) relation flags for that oid
+      val d2 = q(port,
+        s"""SELECT c.relchecks, c.relkind, c.relhasindex, c.relhasrules, c.relhastriggers, c.relrowsecurity, c.relforcerowsecurity, false AS relhasoids, c.relispartition, '', c.reltablespace, CASE WHEN c.reloftype = 0 THEN '' ELSE c.reloftype::pg_catalog.regtype::pg_catalog.text END, c.relpersistence, c.relreplident, am.amname
+           |FROM pg_catalog.pg_class c
+           | LEFT JOIN pg_catalog.pg_am am ON (c.relam = am.oid)
+           |WHERE c.oid = '$oid'""".stripMargin)
+      assert(d2._2.length == 1)
+      assert(d2._2.head(1).contains("r")) // relkind
+
+      // (3) the column list, format_type'd, with the correlated
+      // pg_attrdef / pg_collation subqueries psql sends
+      val d3 = q(port,
+        s"""SELECT a.attname,
+           |  pg_catalog.format_type(a.atttypid, a.atttypmod),
+           |  (SELECT pg_catalog.pg_get_expr(d.adbin, d.adrelid, true)
+           |   FROM pg_catalog.pg_attrdef d
+           |   WHERE d.adrelid = a.attrelid AND d.adnum = a.attnum AND a.atthasdef),
+           |  a.attnotnull,
+           |  (SELECT c.collname FROM pg_catalog.pg_collation c, pg_catalog.pg_type t
+           |   WHERE c.oid = a.attcollation AND t.oid = a.atttypid AND a.attcollation <> t.typcollation) AS attcollation,
+           |  a.attidentity,
+           |  a.attgenerated
+           |FROM pg_catalog.pg_attribute a
+           |WHERE a.attrelid = '$oid' AND a.attnum > 0 AND NOT a.attisdropped
+           |ORDER BY a.attnum""".stripMargin)
+      // rows match the real schema, in declared order, with pg spellings
+      val fields = spark.table("pgmeta.widgets").schema.fields
+      assert(d3._2.map(_.head.get) == fields.map(_.name).toSeq)
+      assert(d3._2.map(r => r(1).get) ==
+        Seq("bigint", "double precision", "text"))
+
+      // ---- pgjdbc getTables (PgDatabaseMetaData.getTables) -----------
+      val gt = q(port,
+        """SELECT NULL AS TABLE_CAT, n.nspname AS TABLE_SCHEM, c.relname AS TABLE_NAME,  CASE n.nspname ~ '^pg_' OR n.nspname = 'information_schema'  WHEN true THEN CASE  WHEN n.nspname = 'pg_catalog' OR n.nspname = 'information_schema' THEN CASE c.relkind   WHEN 'r' THEN 'SYSTEM TABLE'   WHEN 'v' THEN 'SYSTEM VIEW'   WHEN 'i' THEN 'SYSTEM INDEX'   ELSE NULL   END  WHEN n.nspname = 'pg_toast' THEN CASE c.relkind   WHEN 'r' THEN 'SYSTEM TOAST TABLE'   WHEN 'i' THEN 'SYSTEM TOAST INDEX'   ELSE NULL   END  ELSE CASE c.relkind   WHEN 'r' THEN 'TEMPORARY TABLE'   WHEN 'p' THEN 'TEMPORARY TABLE'   WHEN 'i' THEN 'TEMPORARY INDEX'   WHEN 'S' THEN 'TEMPORARY SEQUENCE'   WHEN 'v' THEN 'TEMPORARY VIEW'   ELSE NULL   END  END  WHEN false THEN CASE c.relkind  WHEN 'r' THEN 'TABLE'  WHEN 'p' THEN 'PARTITIONED TABLE'  WHEN 'i' THEN 'INDEX'  WHEN 'P' then 'PARTITIONED INDEX'  WHEN 'S' THEN 'SEQUENCE'  WHEN 'v' THEN 'VIEW'  WHEN 'c' THEN 'TYPE'  WHEN 'f' THEN 'FOREIGN TABLE'  WHEN 'm' THEN 'MATERIALIZED VIEW'  ELSE NULL  END  ELSE NULL  END  AS TABLE_TYPE, d.description AS REMARKS,  '' as TYPE_CAT, '' as TYPE_SCHEM, '' as TYPE_NAME, '' AS SELF_REFERENCING_COL_NAME, '' AS REF_GENERATION  FROM pg_catalog.pg_namespace n, pg_catalog.pg_class c  LEFT JOIN pg_catalog.pg_description d ON (c.oid = d.objoid AND d.objsubid = 0  and d.classoid = 'pg_class'::regclass)  WHERE c.relnamespace = n.oid  AND (false  OR ( c.relkind = 'r' AND n.nspname !~ '^pg_' AND n.nspname <> 'information_schema' ) )  ORDER BY TABLE_TYPE,TABLE_SCHEM,TABLE_NAME""")
+      assert(gt._2.exists(r => r(1).contains("pgmeta") &&
+        r(2).contains("widgets") && r(3).contains("TABLE")), gt._2)
+
+      // ---- pgjdbc getColumns (PgDatabaseMetaData.getColumns) ---------
+      val gc = q(port,
+        """SELECT * FROM (SELECT n.nspname,c.relname,a.attname,a.atttypid,a.attnotnull OR (t.typtype = 'd' AND t.typnotnull) AS attnotnull,a.atttypmod,a.attlen,t.typtypmod,row_number() OVER (PARTITION BY a.attrelid ORDER BY a.attnum) AS attnum, nullif(a.attidentity, '') as attidentity,nullif(a.attgenerated, '') as attgenerated,pg_catalog.pg_get_expr(def.adbin, def.adrelid) AS adsrc,dsc.description,t.typbasetype,t.typtype  FROM pg_catalog.pg_namespace n  JOIN pg_catalog.pg_class c ON (c.relnamespace = n.oid)  JOIN pg_catalog.pg_attribute a ON (a.attrelid=c.oid)  JOIN pg_catalog.pg_type t ON (a.atttypid = t.oid)  LEFT JOIN pg_catalog.pg_attrdef def ON (a.attrelid=def.adrelid AND a.attnum = def.adnum)  LEFT JOIN pg_catalog.pg_description dsc ON (c.oid=dsc.objoid AND a.attnum = dsc.objsubid)  LEFT JOIN pg_catalog.pg_class dc ON (dc.oid=dsc.classoid AND dc.relname='pg_class')  LEFT JOIN pg_catalog.pg_namespace dn ON (dc.relnamespace=dn.oid AND dn.nspname='pg_catalog')  WHERE c.relkind in ('r','p','v','f','m') and a.attnum > 0 AND NOT a.attisdropped  AND c.relname LIKE 'widgets'  AND a.attname LIKE '%') c WHERE true  ORDER BY nspname,c.relname,attnum""")
+      assert(gc._2.map(_(2).get) == Seq("id", "price", "label"))
+      assert(gc._2.map(_(3).get) == Seq("20", "701", "25")) // int8/float8/text
+
+      // ---- pgjdbc TypeInfoCache oid lookup (the $1 bound to 23) ------
+      val ti = q(port,
+        """SELECT typinput='array_in'::regproc as is_array, typtype, typname, pg_type.oid FROM pg_catalog.pg_type LEFT JOIN (select ns.oid as nspoid, ns.nspname, r.r from pg_namespace as ns join ( select s.r, (current_schemas(false))[s.r] as nspname from generate_series(1, array_upper(current_schemas(false), 1)) as s(r) ) as r using ( nspname ) ) as sp ON sp.nspoid = typnamespace WHERE pg_type.oid = 23 LIMIT 1""")
+      assert(ti._2 == Seq(Seq(Some("f"), Some("b"), Some("int4"), Some("23"))))
+
+      // global temp views are cross-session — they surface as relkind
+      // 'v' in the global_temp schema (exactly where SELECT finds them)
+      spark.range(2).selectExpr("id AS g").createOrReplaceGlobalTempView("gpv")
+      val tv = q(port,
+        """SELECT n.nspname, c.relkind FROM pg_catalog.pg_class c
+          | JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+          | WHERE c.relname = 'gpv'""".stripMargin)
+      assert(tv._2 == Seq(Seq(Some("global_temp"), Some("v"))))
+
+      // DDL AFTER connect is visible to introspection (ensure() is
+      // live): a table created in the shared catalog mid-session
+      val root2 = java.nio.file.Files.createTempDirectory("graft-pgcat2").toString
+      CommitLog.append(spark.range(2).selectExpr("id AS k"), root2)
+      CatalogOps.createCommitLogTable(spark, "pgmeta", "late_t", root2)
+      val late = q(port,
+        "SELECT c.relname FROM pg_catalog.pg_class c WHERE c.relname = 'late_t'")
+      assert(late._2 == Seq(Seq(Some("late_t"))))
+    } finally server.stop()
+
+    // session temp views (invisible to OTHER connections — the thrift
+    // isolation contract) map to relkind 'v' in the session's own
+    // catalog view: exercise ensure() on the owning session directly
+    PgCatalog.ensure(spark)
+    val mine = spark.sql(
+      "SELECT relkind FROM pg_class WHERE relname = 'nation_pgv'").collect()
+    assert(mine.map(_.getString(0)).toSeq == Seq("v"))
+  }
+
+  test("rewrite unit behavior: casts, regex operators, COLLATE, " +
+      "regclass, subscripts, double-quoted identifiers — literals opaque") {
+    // rewrites may differ in whitespace; compare space-normalized
+    def rw(s: String): String =
+      PgCatalog.rewrite(s).replaceAll("\\s+", " ").trim
+    assert(rw("SELECT c.oid::pg_catalog.regtype::pg_catalog.text FROM t")
+      == "SELECT c.oid FROM t")
+    assert(rw("a !~ '^pg_'") == "a NOT RLIKE '^pg_'")
+    assert(rw("a OPERATOR(pg_catalog.~) '^(x)$'") == "a RLIKE '^(x)$'")
+    assert(rw("n.nspname ~ '^pg_'") == "n.nspname RLIKE '^pg_'")
+    assert(rw("x COLLATE pg_catalog.default AND y") == "x AND y")
+    assert(rw("d.classoid = 'pg_class'::regclass")
+      == "d.classoid = regclass_oid('pg_class')")
+    // a literal containing the operators is untouched
+    assert(rw("SELECT 'a::b' AS x") == "SELECT 'a::b' AS x")
+    assert(rw("SELECT 'a ~ b' AS x") == "SELECT 'a ~ b' AS x")
+    // pg double quotes are IDENTIFIERS → Spark backticks ("" escape kept)
+    assert(rw("SELECT n.nspname as \"Schema\" FROM t")
+      == "SELECT n.nspname as `Schema` FROM t")
+    assert(rw("SELECT 1 as \"a\"\"b\"") == "SELECT 1 as `a\"b`")
+    assert(rw("(pg_catalog.current_schemas(true))[1]")
+      == "element_at(current_schemas(true), 1)")
+    assert(rw("generate_series(1, array_upper(current_schemas(false), 1)) as s(r)")
+      == "explode(sequence(1, size(current_schemas(false)))) as s(r)")
+    // non-word-boundary names are left alone, later real calls still hit
+    assert(rw("xgenerate_series(1,2) + generate_series(3, 4)")
+      == "xgenerate_series(1,2) + explode(sequence(3, 4))")
+    // the gate: plain engine SQL never pays the rewrite
+    assert(!PgCatalog.needsRewrite("SELECT l_orderkey FROM lineitem"))
+    assert(PgCatalog.needsRewrite("SELECT * FROM pg_catalog.pg_class"))
+    assert(PgCatalog.needsRewrite("SELECT 1 AS \"x\""))
+  }
+}

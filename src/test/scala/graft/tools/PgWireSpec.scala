@@ -21,8 +21,8 @@ class PgWireSpec extends SparkTestBase {
   /** Minimal pg-wire v3 client. */
   private final class PgClient(port: Int) {
     var sock: java.net.Socket = new Socket("127.0.0.1", port)
-    private var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    private var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
 
     def sslRequest(): Char = {
       out.writeInt(8); out.writeInt(80877103); out.flush()
@@ -94,6 +94,12 @@ class PgWireSpec extends SparkTestBase {
             .digest(x).map(v => f"${v & 0xff}%02x").mkString
           "md5" + hexMd5(hexMd5((password + user).getBytes(UTF_8)).getBytes(UTF_8) ++ salt)
         case 0 => return drainToReady()
+        case 10 => // AuthenticationSASL → run the SCRAM exchange
+          assert(new String(body.drop(4), UTF_8).startsWith("SCRAM-SHA-256"),
+            "server must advertise SCRAM-SHA-256")
+          if (!PgWire.scramClient(in, out, user, password)) return false
+          val (t3, b3) = readMsg()
+          return t3 == 'R' && i32(b3, 0) == 0 && drainToReady()
         case other => fail(s"unexpected auth code $other")
       }
       msg('p', cstrBytes(token))
@@ -601,6 +607,152 @@ class PgWireSpec extends SparkTestBase {
     assert(PgWire.txnTag("start  transaction") == Some("BEGIN"))
     assert(PgWire.txnTag("END") == Some("COMMIT"))
     assert(PgWire.txnTag("SELECT 1") == None)
+  }
+
+  test("SCRAM-SHA-256: full RFC 5802 exchange over the socket — right " +
+      "password in, wrong password refused, server signature verified") {
+    val server = PgWire.start(spark, user = user, password = pass,
+      auth = PgWire.Scram)
+    try {
+      // the hand-rolled client completes the SASL exchange and VERIFIES
+      // the ServerSignature (mutual auth) inside scramClient
+      val c = new PgClient(server.port)
+      c.startup(user)
+      assert(c.authenticate(user, pass))
+      assert(c.query("SELECT 41 AS x").rows == Seq(Seq(Some("41"))))
+      // queryOnce (the library's own client face) speaks SCRAM too
+      val (cols, rows) = PgWire.queryOnce("127.0.0.1", server.port,
+        user, pass, "SELECT 42 AS y")
+      assert(cols == Seq("y") && rows == Seq(Seq(Some("42"))))
+      c.close()
+      // wrong password: the proof fails verification at the server
+      val bad = new PgClient(server.port)
+      bad.startup(user)
+      assert(!bad.authenticate(user, "wrong-password"))
+      bad.close()
+      // wrong USER refused even with the right password
+      val badU = new PgClient(server.port)
+      badU.startup("intruder")
+      assert(!badU.authenticate("intruder", pass))
+      badU.close()
+      // a client that can't speak SASL (answers the SASL request with a
+      // bare password message) is refused cleanly, not crashed
+      val legacy = new PgClient(server.port)
+      legacy.startup(user)
+      val (tl, bl) = legacy.readMsg()
+      assert(tl == 'R' && legacy.i32(bl, 0) == 10)
+      legacy.msg('p', legacy.cstrBytes(pass)) // not a SASLInitialResponse
+      val (te, _) = legacy.readMsg()
+      assert(te == 'E') // clean 28P01 refusal
+      legacy.sock.close()
+      // and the server still serves (md5-era clients use an md5
+      // endpoint: mechanism policy is per-endpoint, like pg_hba)
+      val ok = new PgClient(server.port)
+      ok.startup(user)
+      assert(ok.authenticate(user, pass))
+      ok.close()
+    } finally server.stop()
+  }
+
+  test("binary result format (Bind format code 1): the 8 binary type " +
+      "renderings round-trip value-equal to the text path") {
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user)
+      assert(c.authenticate(user, pass))
+      val sql = "SELECT CAST(7 AS INT) a, CAST(-8 AS BIGINT) b, " +
+        "CAST(2.5 AS DOUBLE) c, true d, DATE'2026-03-05' e, " +
+        "TIMESTAMP'2026-03-05 12:30:45' f, CAST(-1.25 AS DECIMAL(10,2)) g, " +
+        "CAST(3 AS SMALLINT) h, CAST(1.5 AS FLOAT) i, 'txt' j"
+      c.msg('P', c.cstrBytes("bf") ++ c.cstrBytes(sql) ++ Array[Byte](0, 0))
+      // Bind with ONE result-format code = 1 (applies to all columns)
+      c.msg('B', c.cstrBytes("") ++ c.cstrBytes("bf") ++
+        Array[Byte](0, 0) ++ Array[Byte](0, 0) ++
+        Array[Byte](0, 1, 0, 1))
+      c.msg('D', "P".getBytes(UTF_8) ++ c.cstrBytes(""))
+      c.msg('E', c.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+      c.msg('S', Array.emptyByteArray)
+      assert(c.readMsg()._1 == '1')
+      assert(c.readMsg()._1 == '2')
+      val (tT, bT) = c.readMsg()
+      assert(tT == 'T')
+      // RowDescription's per-field format code must say 1 (binary)
+      // layout per field: name\0 + i32 + i16 + i32 + i16 + i32 + i16
+      var p = 2
+      (0 until 10).foreach { _ =>
+        val e = bT.indexOf(0.toByte, p); p = e + 1 + 16
+        val fmt = ((bT(p) & 0xff) << 8) | (bT(p + 1) & 0xff)
+        assert(fmt == 1, "RowDescription must declare binary format")
+        p += 2
+      }
+      val (tD, bD) = c.readMsg()
+      assert(tD == 'D')
+      // parse the binary DataRow
+      def i16(b: Array[Byte], o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      def i32(b: Array[Byte], o: Int) = (0 until 4).foldLeft(0)((a, k) =>
+        (a << 8) | (b(o + k) & 0xff))
+      def i64(b: Array[Byte], o: Int) = (0 until 8).foldLeft(0L)((a, k) =>
+        (a << 8) | (b(o + k) & 0xff))
+      var q = 2
+      val fields = Seq.newBuilder[Array[Byte]]
+      (0 until 10).foreach { _ =>
+        val l = i32(bD, q); q += 4
+        fields += bD.slice(q, q + l); q += l
+      }
+      val f = fields.result()
+      assert(i32(f(0), 0) == 7)                          // int4
+      assert(i64(f(1), 0) == -8L)                        // int8
+      assert(java.lang.Double.longBitsToDouble(i64(f(2), 0)) == 2.5) // float8
+      assert(f(3).sameElements(Array[Byte](1)))          // bool
+      val pgDays = java.time.LocalDate.of(2026, 3, 5).toEpochDay - 10957
+      assert(i32(f(4), 0) == pgDays.toInt)               // date, pg epoch
+      val pgMicros = java.time.LocalDateTime.of(2026, 3, 5, 12, 30, 45)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L - 946684800000000L
+      assert(i64(f(5), 0) == pgMicros)                   // timestamp, pg epoch
+      // numeric -1.25: ndigits=2, weight=0, sign=0x4000, dscale=2,
+      // digits [1, 2500] (base 10000, decimal-point aligned)
+      assert(i16(f(6), 0) == 2 && i16(f(6), 2) == 0)
+      assert(i16(f(6), 4) == 0x4000 && i16(f(6), 6) == 2)
+      assert(i16(f(6), 8) == 1 && i16(f(6), 10) == 2500)
+      assert(i16(f(7), 0) == 3)                          // int2
+      assert(java.lang.Float.intBitsToFloat(i32(f(8), 0)) == 1.5f) // float4
+      assert(new String(f(9), UTF_8) == "txt")           // text = raw bytes
+      val fin = c.collectResult()
+      assert(fin.error.isEmpty && fin.tag == "SELECT 1")
+
+      // per-column formats: [text, binary] over a 2-column result
+      c.msg('P', c.cstrBytes("bf2") ++
+        c.cstrBytes("SELECT 5 AS a, 6 AS b") ++ Array[Byte](0, 0))
+      c.msg('B', c.cstrBytes("") ++ c.cstrBytes("bf2") ++
+        Array[Byte](0, 0) ++ Array[Byte](0, 0) ++
+        Array[Byte](0, 2, 0, 0, 0, 1)) // 2 codes: 0 then 1
+      c.msg('E', c.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+      c.msg('S', Array.emptyByteArray)
+      assert(c.readMsg()._1 == '1')
+      assert(c.readMsg()._1 == '2')
+      // no Describe was sent → the row shape back-fills at Execute
+      assert(c.readMsg()._1 == 'T')
+      val (tD2, bD2) = c.readMsg()
+      assert(tD2 == 'D')
+      val aLen = i32(bD2, 2)
+      assert(new String(bD2.slice(6, 6 + aLen), UTF_8) == "5") // text
+      assert(i32(bD2, 6 + aLen + 4) == 6)                      // binary
+      val fin2 = c.collectResult()
+      assert(fin2.error.isEmpty)
+
+      // numeric binary unit coverage: zero, sub-one, and group-aligned
+      def num(b: java.math.BigDecimal) = PgWire.numericBinary(b)
+      val z = num(new java.math.BigDecimal("0.00"))
+      assert(i16(z, 0) == 0 && i16(z, 4) == 0 && i16(z, 6) == 2)
+      val half = num(new java.math.BigDecimal("0.5"))
+      assert(i16(half, 0) == 1 && i16(half, 2) == 0xffff) // weight -1
+      assert(i16(half, 8) == 5000)
+      val big = num(new java.math.BigDecimal("12345.6"))
+      assert(i16(big, 0) == 3 && i16(big, 2) == 1 && i16(big, 6) == 1)
+      assert(i16(big, 8) == 1 && i16(big, 10) == 2345 && i16(big, 12) == 6000)
+      c.close()
+    } finally server.stop()
   }
 
   test("cleartext auth mode and bind/tag/render unit behavior") {
