@@ -200,18 +200,23 @@ object Similarity {
     (w, math.min(24, math.max(3, b)))
   }
 
-  /** Brute-force threshold near-dup SQL — the oracle for BOTH q17 (the
-    * all-pairs baseline) and q45 (LSH-candidate + verify): a shared oracle
-    * is the equivalence proof the pruned path claims.
+  /** Brute-force threshold near-dup SQL over q17's capped slice (d =
+    * ceil(n/2500) md5 modulus, = 1 below the cap — the q168 calibration
+    * idiom, derived identically by both engines). q45's equivalence
+    * proof has its own planted-duplicate oracle ([[plantedNeardupSql]]).
     */
   private def bruteNeardupSql: String =
-    s"""WITH $normsSql,
+    s"""WITH sl AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % (SELECT (COUNT(*) + 2499) // 2500 FROM embeddings) = 0),
+       |$normsSql,
        |dots AS (
        |  SELECT a_id, b_id, $dotSqlExpr AS dot
        |  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |          a.embedding AS qe, b.embedding AS ce,
        |          generate_subscripts(a.embedding, 1) AS i
-       |        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |        FROM sl a JOIN sl b ON a.vec_id < b.vec_id)
        |  GROUP BY 1, 2),
        |cosv AS (
        |  SELECT a_id, b_id,
@@ -920,10 +925,28 @@ object Similarity {
 
     // Embedding near-dup: all pairs with cosine ≥ 0.4 (this corpus is
     // near-orthogonal; real dedup corpora use ≥ 0.95 — the threshold is a
-    // parameter, the plan is identical).
+    // parameter, the plan is identical). This is the deliberate O(n²)
+    // exploratory baseline that proves q45's LSH prune+verify lossless —
+    // but an unbounded quadratic must not own the large-SF sweep (it was
+    // 11% of the sf1 total, the one above-linear query, and at 100× it
+    // is dead). r11: the all-pairs SLICE is capped at ~2500 vectors via
+    // the q168 calibration idiom — a deterministic md5 modulus d =
+    // ceil(n/2500) both engines compute identically from the corpus, so
+    // below the cap (sf ≤ 0.1: ≤ 2000 vectors) d = 1 and results are
+    // byte-identical to the uncapped form, while at sf1+ the audit stays
+    // O(cap²) however big the corpus grows. The oracle derives the SAME
+    // slice, so the equivalence proof is over the slice — which is the
+    // point: the baseline certifies the pruned path's arithmetic, and a
+    // fixed-size certificate does that at any scale.
     "q17_embed_neardup" -> QueryDef(
       fn = { (s, dir) =>
-        val e = emb(s, dir)
+        val e0 = emb(s, dir)
+        val cap = 2500L
+        val d = (e0.count() + cap - 1) / cap
+        val e = if (d <= 1L) e0
+          else e0.filter(
+            conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % lit(d) === 0L)
         val n = norms(e)
         // Repartition the streamed side: the corpus arrives as one small
         // parquet split, and a nested-loop pair join inherits that single
