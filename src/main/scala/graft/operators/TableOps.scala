@@ -526,6 +526,51 @@ object TableOps {
            |FROM orders WHERE o_orderkey % 7 <> 5
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Iceberg bucket(N) hidden partitioning end to end (r11): the table
+    // is laid out by iceberg_bucket(8, o_custkey) — the SPEC's own
+    // murmur3_x86_32 hash ([[graft.functions.IcebergHash]]), not Spark's
+    // seed-42 Murmur3 — so the export declares a REAL bucket[8] partition
+    // spec (previously the honest exclusion). The query reads the SAME
+    // equality predicate two ways: `direct` through readPruned on the
+    // bucketed table (the transform probe computes the literal's bucket
+    // and opens only that bucket's files — CommitLogHiddenPartitionSpec
+    // asserts the file counts) and `import` through the full
+    // export→import round trip of the bucket-spec'd Iceberg tree. One
+    // oracle over raw parquet proves BOTH paths row-exact: a pruned read
+    // must never lose a row to a hash mismatch, which is exactly the
+    // failure mode that kept bucket undeclared before. Scale: bucket
+    // derivation is one codegen hash per row on the write path; the
+    // equality probe is driver-side arithmetic over the manifest.
+    "q180_iceberg_bucket" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = tmp("graft-q180t"); val back = tmp("graft-q180b")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        CommitLog.append(ord, t,
+          partitionBy = Seq("iceberg_bucket(8, o_custkey)"))
+        graft.sources.interop.IcebergExport.exportTable(t, spark = Some(s))
+        graft.sources.interop.IcebergImport.importTable(s, t, back)
+        val direct = CommitLog.readPruned(s, t, col("o_custkey") === 37L)
+          .select(lit("direct").as("src"), col("o_orderkey"),
+            col("o_totalprice"))
+        val imported = CommitLog.read(s, back)
+          .filter(col("o_custkey") === 37L)
+          .select(lit("import").as("src"), col("o_orderkey"),
+            col("o_totalprice"))
+        direct.unionByName(imported)
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("src")
+      },
+      oracle = Some(
+        s"""SELECT src, count(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+           |FROM (
+           |  SELECT 'direct' AS src, o_totalprice FROM orders WHERE o_custkey = 37
+           |  UNION ALL
+           |  SELECT 'import' AS src, o_totalprice FROM orders WHERE o_custkey = 37
+           |)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Apache Iceberg interop ([[graft.sources.interop.IcebergImport]]):
     // a spec-compliant Iceberg metadata tree (version-hint →
     // vN.metadata.json → avro manifest list → avro manifest) is written

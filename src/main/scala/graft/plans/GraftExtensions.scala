@@ -128,6 +128,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatDotQ(args.head, args(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("iceberg_bucket"),
+      new ExpressionInfo(
+        classOf[graft.functions.IcebergBucket].getName, "iceberg_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "iceberg_bucket takes (N, col)")
+        val n = args.head match {
+          case c if c.foldable &&
+            c.dataType == org.apache.spark.sql.types.IntegerType =>
+            c.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"iceberg_bucket N must be an INT literal, got $other")
+        }
+        graft.functions.IcebergBucket(n, args(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[graft.functions.SimHash60].getName, "simhash60"),
       (args: Seq[Expression]) => {

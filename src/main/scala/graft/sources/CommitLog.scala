@@ -549,7 +549,7 @@ object CommitLog {
     /** Directory/copy key (physical-name based, stable across renames). */
     def key(p: String => String): String = fn match {
       case "identity" => p(source)
-      case "bucket" | "truncate" => s"${fn}_${arg}_${p(source)}"
+      case "bucket" | "truncate" | "ibucket" => s"${fn}_${arg}_${p(source)}"
       case _ => s"${fn}_${p(source)}"
     }
     /** Derived partition value over the PHYSICAL frame. Time grains are
@@ -581,17 +581,28 @@ object CommitLog {
         case "months" => trunc(grainDate, "MM").cast("string")
         case "years" => trunc(grainDate, "YY").cast("string")
         case "bucket" => pmod(hash(c), lit(arg)).cast("string")
+        // Iceberg's OWN bucket hash (spec murmur3_x86_32 encodings, not
+        // Spark's seed-42 Murmur3) — a layout an Iceberg reader can
+        // probe, so IcebergExport declares it as a real bucket[N] spec
+        case "ibucket" =>
+          org.apache.spark.sql.GraftBridge.column(
+            graft.functions.IcebergBucket(arg,
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                .quoted(p(source)))).cast("string")
         case "truncate" => substring(c, 1, arg)
       }
     }
   }
 
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z_][\w]*)\s*\)""".r
+  private val IBucketRe =
+    """iceberg_bucket\(\s*(\d+)\s*,\s*([A-Za-z_][\w]*)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z_][\w]*)\s*\)""".r
   private val GrainRe = """(days|months|years)\(\s*([A-Za-z_][\w]*)\s*\)""".r
 
   private[sources] def parsePartField(raw: String): PartField = raw.trim match {
     case BucketRe(n, c) => PartField(raw.trim, "bucket", c, n.toInt)
+    case IBucketRe(n, c) => PartField(raw.trim, "ibucket", c, n.toInt)
     case TruncRe(w, c) => PartField(raw.trim, "truncate", c, w.toInt)
     case GrainRe(f, c) => PartField(raw.trim, f, c, 0)
     case c => PartField(c, "identity", c, 0)
@@ -617,6 +628,13 @@ object CommitLog {
           case StringType | LongType | IntegerType => true
           case _ => false
         }), s"bucket(N, c) needs N > 0 and a string/integral column")
+        case "ibucket" => require(f.arg > 0 && (fld.dataType match {
+          case StringType | LongType | IntegerType | DateType |
+              TimestampType | TimestampNTZType | BinaryType |
+              _: DecimalType => true
+          case _ => false
+        }), "iceberg_bucket(N, c) needs N > 0 and an " +
+          "int/long/string/date/timestamp/binary/decimal column")
         case "truncate" => require(f.arg > 0 && fld.dataType == StringType,
           "truncate(W, c) needs W > 0 and a string column")
       }
@@ -2071,6 +2089,7 @@ object CommitLog {
         else f.fn match {
           case "identity" => to
           case "bucket" | "truncate" => s"${f.fn}(${f.arg}, $to)"
+          case "ibucket" => s"iceberg_bucket(${f.arg}, $to)"
           case grain => s"$grain($to)"
         }
       }
@@ -3863,7 +3882,7 @@ object CommitLog {
   private def transformPrune(m: Manifest, pred: GraftBridge.Pred,
       dtByPhys: Map[String, DataType], candidates: Seq[String]): Seq[String] = {
     val fields = m.partitionByOrNil.map(parsePartField)
-      .filter(f => f.fn == "bucket" || f.fn == "truncate")
+      .filter(f => f.fn == "bucket" || f.fn == "truncate" || f.fn == "ibucket")
     if (fields.isEmpty) return candidates
     val cons = bloomEqConstraints(pred).toMap
     val statBy = m.statsOrNil.map(s => s.path -> s).toMap
@@ -3871,6 +3890,10 @@ object CommitLog {
       val dt = dtByPhys.get(m.physOf(f.source))
       val per = vs.map { v =>
         (f.fn, dt) match {
+          case ("ibucket", Some(d)) =>
+            // the spec's own hash — must equal what derive() wrote
+            graft.functions.IcebergHash.bucketOfValue(v, d, f.arg)
+              .map(_.toString)
           case ("bucket", Some(d)) =>
             try {
               val h = org.apache.spark.sql.catalyst.expressions

@@ -247,11 +247,16 @@ object IcebergExport {
     // a hidden-partitioned layout exports as a real Iceberg partition
     // spec with typed per-file partition values — Iceberg readers prune
     // on it natively. Deliberate exclusions, each wrong-results-proof:
-    //   - bucket(N, c): the two engines hash DIFFERENTLY (Spark Murmur3
-    //     seed-42 internal encoding vs Iceberg's spec-defined
-    //     murmur3_x86_32 byte encodings) — declaring it would make an
-    //     Iceberg reader probe the wrong bucket and silently drop rows;
-    //     the field stays undeclared (unpartitioned is always correct).
+    //   - bucket(N, c) — SPARK-hash buckets: the two engines hash
+    //     DIFFERENTLY (Spark Murmur3 seed-42 internal encoding vs
+    //     Iceberg's spec-defined murmur3_x86_32 byte encodings) —
+    //     declaring it would make an Iceberg reader probe the wrong
+    //     bucket and silently drop rows; the field stays undeclared
+    //     (unpartitioned is always correct). Tables that WANT a
+    //     declarable bucket layout partition by iceberg_bucket(N, c)
+    //     instead (r11): graft.functions.IcebergHash IS the spec's
+    //     murmur3_x86_32 with the spec's type encodings, so those
+    //     export as real bucket[N] specs below.
     //   - any file missing its partition tuple → declare nothing.
     //   - DV-bearing (v2) exports stay unpartitioned-declared: delete
     //     manifests share the spec, and null partition tuples on delete
@@ -292,6 +297,11 @@ object IcebergExport {
               case ("truncate", Some(StringType)) =>
                 Some(PartOut(s"${f.source}_trunc", s"truncate[${f.arg}]",
                   topIds(f.source), key, s => s, "\"string\""))
+              case ("ibucket", _) =>
+                // written with the spec's own hash (IcebergHash), so an
+                // Iceberg reader probing bucket[N] finds every row
+                Some(PartOut(s"${f.source}_bucket", s"bucket[${f.arg}]",
+                  topIds(f.source), key, s => s.toInt, "\"int\""))
               case ("identity", Some(LongType)) =>
                 Some(PartOut(f.source, "identity", topIds(f.source), key,
                   s => s.toLong, "\"long\""))

@@ -83,6 +83,44 @@ class CommitLogHiddenPartitionSpec extends SparkTestBase {
     assert(readPruned(spark, root, col("id").isin(57L, 123L)).count() == 2)
   }
 
+  test("iceberg_bucket(8, id): the SPEC's hash lays out files, equality " +
+      "prunes to one bucket, and the tuple matches IcebergHash per file") {
+    val root = tmpTable()
+    val df = spark.range(400).selectExpr("id", "concat('v', id) AS k")
+    create(root, df.schema, Seq("iceberg_bucket(8, id)"))
+    append(df, root)
+    val m = readManifest(root, 2L)
+    val buckets = m.statsOrNil.map(_.partitionsOrEmpty("ibucket_8_id")).distinct
+    assert(buckets.size == 8)
+    // every file's recorded bucket is EXACTLY the spec hash of its rows
+    m.statsOrNil.foreach { st =>
+      val declared = st.partitionsOrEmpty("ibucket_8_id").toInt
+      val p = if (st.path.startsWith("/") || st.path.contains("://")) st.path
+        else s"$root/${st.path}"
+      val actual = spark.read.parquet(p)
+        .selectExpr("iceberg_bucket(8, id) AS b").distinct().collect()
+      assert(actual.length == 1 && actual(0).getInt(0) == declared)
+    }
+    // equality on the source column opens only the literal's bucket
+    val kept = prunedFiles(spark, m, col("id") === 57L)
+    assert(kept.nonEmpty && kept.size < m.files.size)
+    val keptBuckets = m.statsOrNil.filter(s => kept.contains(s.path))
+      .map(_.partitionsOrEmpty("ibucket_8_id")).distinct
+    assert(keptBuckets ==
+      Seq(graft.functions.IcebergHash.bucketLong(57L, 8).toString))
+    assert(readPruned(spark, root, col("id") === 57L)
+      .select("k").collect().map(_.getString(0)).toSeq == Seq("v57"))
+    // IN over two ids keeps at most two buckets and loses no row
+    assert(readPruned(spark, root, col("id").isin(57L, 123L)).count() == 2)
+    // rename follows the spec (a stale source name would brick appends)
+    CommitLog.renameColumn(root, "id", "ident")
+    val m2 = readManifest(root, 3L)
+    assert(m2.partitionByOrNil == Seq("iceberg_bucket(8, ident)"))
+    append(spark.range(400, 410).selectExpr("id AS ident", "concat('v', id) AS k"),
+      root)
+    assert(readPruned(spark, root, col("ident") === 405L).count() == 1)
+  }
+
   test("truncate(2, k): prefix partitions serve equality on the full string") {
     val root = tmpTable()
     val df = spark.range(90).selectExpr(

@@ -200,4 +200,48 @@ class IcebergExportSpec extends SparkTestBase {
       .toSeq == CommitLog.read(spark, t).orderBy("id").collect()
       .map(_.toSeq).toSeq)
   }
+
+  test("iceberg_bucket(N, c) layouts export as REAL bucket[N] specs " +
+      "(r11): the spec hash wrote the files, every declared tuple " +
+      "matches its rows, and the tree round-trips") {
+    val t = tmp(); val back = tmp()
+    val df = spark.sql(
+      "SELECT id, concat('u', id % 5) AS who, id * 3 AS v FROM range(120)")
+    CommitLog.append(df, t, partitionBy = Seq("iceberg_bucket(4, id)"))
+    IcebergExport.exportTable(t)
+    val metaJson = new String(Files.readAllBytes(
+      Paths.get(t, "metadata", "v1.metadata.json")), "UTF-8").replace(" ", "")
+    // DECLARED now — the engine wrote with the spec's own hash
+    assert(metaJson.contains("\"transform\":\"bucket[4]\""))
+    assert(metaJson.contains("\"name\":\"id_bucket\""))
+
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val mPath = Files.list(Paths.get(t, "metadata")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("m0-")).get
+    val reader = DataFileReader.openReader(mPath.toFile,
+      new GenericDatumReader[GenericRecord]())
+    val tuples = try reader.iterator().asScala.toVector.map { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      val pr = d.get("partition").asInstanceOf[GenericRecord]
+      (d.get("file_path").toString, pr.get("id_bucket").asInstanceOf[Int])
+    } finally reader.close()
+    assert(tuples.map(_._2).toSet == Set(0, 1, 2, 3))
+    // an Iceberg reader prunes on these tuples — each must equal the
+    // spec hash of EVERY row in its file, or reads silently lose rows
+    tuples.foreach { case (uri, declared) =>
+      val ids = spark.read.parquet(uri.stripPrefix("file://"))
+        .select("id").collect().map(_.getLong(0))
+      assert(ids.nonEmpty)
+      ids.foreach { id =>
+        assert(graft.functions.IcebergHash.bucketLong(id, 4) == declared,
+          s"row $id in $uri declared bucket $declared")
+      }
+    }
+    // round trip through the importer stays row-exact
+    IcebergImport.importTable(spark, t, back)
+    assert(CommitLog.read(spark, back).orderBy("id").collect().map(_.toSeq)
+      .toSeq == df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
 }
