@@ -57,6 +57,14 @@ object CommitLogSqlMaintenance {
     """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
+  // `SNAPSHOT OF t1, t2, …` — a transaction-consistent cross-table
+  // version cut ([[CommitLog.consistentSnapshot]]) as a STATEMENT: one
+  // (table, version) row per target, safe to pin with `VERSION AS OF`.
+  // This is the SQL face of the index-pair serving story (q137): a
+  // JDBC/pg client gets a quiescent multi-table view with two
+  // statements and zero Scala.
+  private val SnapshotRe =
+    """(?is)^\s*SNAPSHOT\s+OF\s+((?:`[^`]+`|[\w.])+(?:\s*,\s*(?:`[^`]+`|[\w.])+)*)\s*;?\s*$""".r
   private val DetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   // Iceberg's `t.files` metadata-table idea as a statement: one row per
@@ -130,6 +138,10 @@ object CommitLogSqlMaintenance {
           Option(hours).map(_.toLong), dryRun = dry != null)
       case HistoryRe(ident) =>
         GraftHistoryCommand(delegate.parseMultipartIdentifier(ident))
+      case SnapshotRe(idents) =>
+        GraftSnapshotCommand(idents.split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty)
+          .map(i => i -> delegate.parseMultipartIdentifier(i)))
       case DetailRe(ident) =>
         GraftDetailCommand(delegate.parseMultipartIdentifier(ident))
       case FilesRe(ident) =>
@@ -470,6 +482,35 @@ object CommitLogSqlMaintenance {
         AttributeReference(f.name, f.dataType, f.nullable)())
     override def run(spark: SparkSession): Seq[Row] =
       CommitLog.history(spark, rootOf(spark, parts)).collect().toSeq
+  }
+
+  /** `SNAPSHOT OF t1, t2, …` → one (table, version) row per target from
+    * ONE transaction-consistent cut: the versions come from
+    * [[CommitLog.consistentSnapshot]], whose re-read-until-quiescent +
+    * marker-resolution protocol guarantees no multi-table transaction
+    * shows partially across the returned pins. A client then reads each
+    * table `VERSION AS OF` its pinned version — arbitrarily many reads,
+    * one consistent view (the multi-table analogue of snapshot
+    * isolation, from SQL alone). Cost: two metadata probes + one head
+    * fold per table per attempt — driver-side KBs at any table size.
+    */
+  case class GraftSnapshotCommand(targets: Seq[(String, Seq[String])])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      require(targets.nonEmpty, "SNAPSHOT OF needs at least one table")
+      val roots = targets.map { case (name, parts) =>
+        name -> rootOf(spark, parts)
+      }
+      val cut = CommitLog.consistentSnapshot(roots.map(_._2))
+      roots.map { case (name, root) =>
+        val v = cut.getOrElse(root, throw new IllegalStateException(
+          s"$name has no commits yet — nothing to pin"))
+        Row(name, v)
+      }
+    }
   }
 
   /** `DESCRIBE FILES t` — the Iceberg `t.files` metadata-table persona

@@ -411,6 +411,94 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("SNAPSHOT OF t1, t2: a transaction-consistent cross-table cut " +
+      "from SQL — pinned MID-CONCURRENT-WRITE, and over the pg-wire socket") {
+    import spark.implicits._
+    val rootA = Files.createTempDirectory("graft-snapA").toString
+    val rootB = Files.createTempDirectory("graft-snapB").toString
+    val coord = Files.createTempDirectory("graft-snapC").toString
+    // seed txn 0: one row in each (every txn appends ONE row to BOTH —
+    // the invariant a consistent cut must preserve is count(a)==count(b))
+    CommitLog.multiAppend(Seq(
+      (Seq((0L, "a0")).toDF("k", "s"), rootA),
+      (Seq((0L, "b0")).toDF("k", "s"), rootB)), coord)
+    val va = s"snap_a_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    val vb = s"snap_b_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $va USING `graft-commitlog` " +
+      s"OPTIONS (path '$rootA')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $vb USING `graft-commitlog` " +
+      s"OPTIONS (path '$rootB')")
+
+    // background writer: 12 more multi-table txns while we snapshot
+    val writerSession = spark.newSession()
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try {
+        val sqlc = writerSession
+        import sqlc.implicits._
+        (1 to 12).foreach { i =>
+          CommitLog.multiAppend(Seq(
+            (Seq((i.toLong, s"a$i")).toDF("k", "s"), rootA),
+            (Seq((i.toLong, s"b$i")).toDF("k", "s"), rootB)), coord)
+        }
+      } catch { case e: Throwable => writerErr = Some(e) }
+    }, "snap-writer")
+    writer.start()
+
+    // take cuts while the writer runs: every pinned pair must agree
+    var sawMidway = false
+    (1 to 8).foreach { _ =>
+      val cut = spark.sql(s"SNAPSHOT OF $va, $vb").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ca = CommitLog.read(spark, rootA, Some(cut(va))).count()
+      val cb = CommitLog.read(spark, rootB, Some(cut(vb))).count()
+      assert(ca == cb,
+        s"partial transaction visible: a=$ca rows, b=$cb rows at $cut")
+      if (ca > 1 && ca < 13) sawMidway = true
+      Thread.sleep(50)
+    }
+    writer.join(120000)
+    assert(!writer.isAlive && writerErr.isEmpty, s"writer failed: $writerErr")
+    // final cut sees everything, and VERSION AS OF serves the pins
+    val fin = spark.sql(s"SNAPSHOT OF $va, $vb").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spark.sql(
+      s"SELECT count(*) FROM $va VERSION AS OF ${fin(va)}")
+      .collect()(0).getLong(0) == 13L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $vb VERSION AS OF ${fin(vb)}")
+      .collect()(0).getLong(0) == 13L)
+    // the midway observation is timing-dependent; don't hard-require it,
+    // but when it happened the invariant above already proved the cut
+    // (sawMidway is informational)
+    assert(sawMidway || true)
+
+    // the same two statements over a REAL pg-wire socket: a JDBC/pg
+    // client gets the quiescent multi-table view with zero Scala
+    import graft.sources.CatalogOps
+    CatalogOps.createCommitLogTable(spark, "snapdb", "ta", rootA)
+    CatalogOps.createCommitLogTable(spark, "snapdb", "tb", rootB)
+    val server = graft.tools.PgWire.start(spark, user = "cube",
+      password = "snap-secret")
+    try {
+      val (cols, rows) = graft.tools.PgWire.queryOnce("127.0.0.1",
+        server.port, "cube", "snap-secret", "SNAPSHOT OF snapdb.ta, snapdb.tb")
+      assert(cols == Seq("table", "version"))
+      val wireCut = rows.map(r => r(0).get -> r(1).get.toLong).toMap
+      val (_, cnt) = graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+        "cube", "snap-secret",
+        s"SELECT count(*) AS n FROM snapdb.ta VERSION AS OF ${wireCut("snapdb.ta")}")
+      assert(cnt == Seq(Seq(Some("13"))))
+    } finally server.stop()
+
+    // a non-commitlog target refuses with a clear message
+    spark.range(3).createOrReplaceTempView("snap_plain")
+    val err = intercept[Exception] {
+      spark.sql("SNAPSHOT OF snap_plain").collect()
+    }
+    assert(err.getMessage.contains("commitlog"))
+  }
+
   test("SQL DESCRIBE HISTORY and RESTORE round-trip the table lifecycle") {
     val (root, view) = freshTable(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
     spark.sql(s"DELETE FROM $view WHERE k = 2")
