@@ -944,6 +944,146 @@ object TableOps {
            |FROM orders WHERE o_orderkey % 3 = 0
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Hudi MERGE_ON_READ log fold under the oracle gate (r11): the
+    // fixture is a MOR table whose state lives PARTLY in a HoodieLogFormat
+    // v1 log file — a base parquet of all orders, then one log with a
+    // DELETE block (keys o_orderkey % 11 = 3) followed by an AVRO data
+    // block upserting keys o_orderkey % 13 = 1 with price −1 (the upsert
+    // RESURRECTS deleted keys that match both predicates — block order
+    // matters and the oracle encodes it). importTable(allowLogs = true)
+    // folds the published byte layout (#HUDI# framing, length-prefixed
+    // avro-binary records, HoodieDeleteRecordList) and the oracle
+    // recomputes the merged state relationally — a green hash proves the
+    // byte-level reader against DuckDB, not against its own writer.
+    "q181_hudi_mor_fold" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = Files.createTempDirectory("graft-q181h")
+        val root = tmp("graft-q181t")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        // base file: every order, one parquet part
+        val w = Files.createTempDirectory("graft-q181w")
+        ord.coalesce(1).write.mode("overwrite").parquet(w.toString)
+        val it = Files.list(w).iterator()
+        var part: java.nio.file.Path = null
+        while (it.hasNext) { val p = it.next()
+          if (p.toString.endsWith(".parquet")) part = p }
+        Files.move(part, t.resolve("fg1_0-0-0_001.parquet"))
+        val avro =
+          """{"type":"record","name":"r","fields":[
+            |  {"name":"o_orderkey","type":"long"},
+            |  {"name":"o_totalprice","type":["null","double"],"default":null},
+            |  {"name":"o_orderstatus","type":["null","string"],"default":null}
+            |]}""".stripMargin
+        // ---- HoodieLogFormat v1 bytes (the published layout; same
+        // framing the HudiImportSpec fixtures pin byte-for-byte)
+        def meta(m: Seq[(Int, String)]): Array[Byte] = {
+          val bo = new java.io.ByteArrayOutputStream()
+          val d = new java.io.DataOutputStream(bo)
+          d.writeInt(m.size)
+          m.foreach { case (k, v) =>
+            d.writeInt(k)
+            val b = v.getBytes("UTF-8"); d.writeInt(b.length); d.write(b)
+          }
+          bo.toByteArray
+        }
+        def block(btype: Int, header: Seq[(Int, String)],
+            content: Array[Byte]): Array[Byte] = {
+          val bo = new java.io.ByteArrayOutputStream()
+          val d = new java.io.DataOutputStream(bo)
+          d.write("#HUDI#".getBytes("UTF-8"))
+          val hb = meta(header); val fb = meta(Nil)
+          val size = 4 + 4 + hb.length + 8 + content.length + fb.length + 8
+          d.writeLong(size.toLong); d.writeInt(1); d.writeInt(btype)
+          d.write(hb); d.writeLong(content.length.toLong); d.write(content)
+          d.write(fb); d.writeLong((6 + 8 + size).toLong)
+          bo.toByteArray
+        }
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+        val schema = new org.apache.avro.Schema.Parser().parse(avro)
+        // delete keys: o_orderkey % 11 = 3 (collected — log files are
+        // MB-bounded by design; this is fixture construction, not a read
+        // path)
+        val delKeys = ord.filter(col("o_orderkey") % 11 === 3)
+          .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+        val dls = graft.sources.interop.HudiImport.deleteListSchema
+        val recSchema = dls.getField("deleteRecordList").schema().getElementType
+        val list = new GenericData.Record(dls)
+        val arr = new java.util.ArrayList[GenericRecord]()
+        delKeys.foreach { k =>
+          val r = new GenericData.Record(recSchema)
+          r.put("recordKey", k.toString); r.put("partitionPath", "")
+          arr.add(r)
+        }
+        list.put("deleteRecordList", arr)
+        val dro = new java.io.ByteArrayOutputStream()
+        val denc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(dro, null)
+        new GenericDatumWriter[GenericRecord](dls).write(list, denc); denc.flush()
+        val dbody = dro.toByteArray
+        val dco = new java.io.ByteArrayOutputStream()
+        val dcd = new java.io.DataOutputStream(dco)
+        dcd.writeInt(3); dcd.writeInt(dbody.length); dcd.write(dbody)
+        val deleteBlk = block(1, Seq(0 -> "002"), dco.toByteArray)
+        // upsert records: o_orderkey % 13 = 1 → price −1, status kept
+        val ups = ord.filter(col("o_orderkey") % 13 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val wtr = new GenericDatumWriter[GenericRecord](schema)
+        val aco = new java.io.ByteArrayOutputStream()
+        val acd = new java.io.DataOutputStream(aco)
+        acd.writeInt(3); acd.writeInt(ups.length)
+        ups.foreach { case (k, st) =>
+          val r = new GenericData.Record(schema)
+          r.put("o_orderkey", java.lang.Long.valueOf(k))
+          r.put("o_totalprice", java.lang.Double.valueOf(-1.0))
+          r.put("o_orderstatus", st)
+          val ro = new java.io.ByteArrayOutputStream()
+          val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(ro, null)
+          wtr.write(r, enc); enc.flush()
+          val rb = ro.toByteArray
+          acd.writeInt(rb.length); acd.write(rb)
+        }
+        val dataBlk = block(3, Seq(0 -> "002", 2 -> avro), aco.toByteArray)
+        Files.write(t.resolve(".fg1_001.log.1_0-1-0"), deleteBlk ++ dataBlk)
+        // timeline + properties
+        val hoodie = t.resolve(".hoodie")
+        Files.createDirectories(hoodie)
+        Files.write(hoodie.resolve("hoodie.properties"),
+          ("hoodie.table.name=q181\nhoodie.table.type=MERGE_ON_READ\n" +
+            "hoodie.table.recordkey.fields=o_orderkey\n").getBytes("UTF-8"))
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        def commit(stats: Seq[(String, String, Long)]): String = {
+          val n = om.createObjectNode()
+          val pws = n.putObject("partitionToWriteStats").putArray("")
+          stats.foreach { case (fid, p, rows) =>
+            val st = pws.addObject()
+            st.put("fileId", fid); st.put("path", p); st.put("numWrites", rows)
+          }
+          n.putObject("extraMetadata").put("schema", avro)
+          om.writeValueAsString(n)
+        }
+        Files.write(hoodie.resolve("001.deltacommit"), commit(Seq(
+          ("fg1", "fg1_0-0-0_001.parquet", 0L))).getBytes("UTF-8"))
+        Files.write(hoodie.resolve("002.deltacommit"), commit(Seq(
+          ("fg1", ".fg1_001.log.1_0-1-0", 0L))).getBytes("UTF-8"))
+        graft.sources.interop.HudiImport.importTable(s, t.toString, root,
+          allowLogs = true)
+        CommitLog.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""WITH merged AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    CASE WHEN o_orderkey % 13 = 1 THEN -1.0
+           |         ELSE o_totalprice END AS o_totalprice
+           |  FROM orders
+           |  WHERE o_orderkey % 11 <> 3 OR o_orderkey % 13 = 1)
+           |SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Apache Hudi interop ([[graft.sources.interop.HudiImport]]): a
     // spec-shaped COW layout (hoodie.properties + timeline of commit /
     // replacecommit JSON with partitionToWriteStats and the avro schema

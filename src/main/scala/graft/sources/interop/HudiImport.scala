@@ -33,13 +33,28 @@ import graft.sources.CommitLog
   * (a fully-compacted MOR table, the steady state any compaction schedule
   * converges to; the fold reads `deltacommit` instants alongside commits
   * and tracks per-group log/base recency from the timeline alone). A file
-  * group with an OUTSTANDING log file still refuses loudly: folding the
-  * log would require re-implementing Hudi's binary log-block format
-  * (#HUDI# framing + avro record/delete blocks) from the spec with no
-  * native writer available to validate against — a wrong-byte reader
-  * would silently drop or resurrect updates, which is strictly worse than
-  * the refusal. This is a PERMANENT boundary, recorded in DEPLOYMENT.md's
-  * interop section (r9): compact with a Hudi-native engine, then import.
+  * group with an OUTSTANDING log file refuses loudly BY DEFAULT: folding
+  * the log means re-implementing Hudi's binary log-block format from the
+  * published spec with no native writer on this host to validate against,
+  * so a wrong-byte reader would silently drop or resurrect updates.
+  *
+  * `importTable(allowLogs = true)` (r11) opts into that fold for the
+  * DOCUMENTED subset of the published HoodieLogFormat (hudi tech-specs
+  * "Log File Format"): version-1 `#HUDI#` block framing, AVRO data
+  * blocks (schema in the block header, length-prefixed avro-binary
+  * records), v3 DELETE blocks (avro HoodieDeleteRecordList), and
+  * ROLLBACK command blocks (negate prior blocks of the target instant).
+  * Per group, blocks apply in instant order — last writer wins per
+  * record key (`hoodie.table.recordkey.fields`), a delete kills the key,
+  * a later upsert resurrects it — and the merged group MATERIALIZES as
+  * parquet under the target root (log-free groups stay zero-copy by
+  * reference). The boundary text stands as the default: fixture-proven
+  * is weaker than writer-validated, which is why the flag is explicit
+  * and default-off (HudiImportSpec carries the byte-level fixtures).
+  *
+  * Scale: log files are MB-bounded by design (compaction debt); blocks
+  * parse on the driver, but the MERGE itself is a DataFrame anti-join —
+  * base files are never collected.
   *
   * Files written by INFLIGHT instants never enter the fold at all — only
   * completed-commit metadata is read, which is exactly Hudi's own
@@ -120,7 +135,8 @@ object HudiImport {
   /** Import the table's current COW snapshot into a NEW commitlog table at
     * `root`; returns the created version.
     */
-  def importTable(spark: SparkSession, hudiPath: String, root: String): Long = {
+  def importTable(spark: SparkSession, hudiPath: String, root: String,
+      allowLogs: Boolean = false): Long = {
     require(CommitLog.currentVersion(root).isEmpty,
       s"import target $root already holds a table")
     val hoodie = Paths.get(hudiPath, ".hoodie")
@@ -142,7 +158,11 @@ object HudiImport {
     // instant (a later compaction commit replaces the base and absorbs
     // older logs — only a log newer than the group's base is outstanding)
     final case class Group(path: String, rows: Long, baseInstant: String,
-        lastLogInstant: Option[String])
+        logs: Vector[(String, String)]) { // (instant, path), arrival order
+      def outstandingLogs: Vector[(String, String)] =
+        logs.filter(_._1 > baseInstant)
+      def hasOutstanding: Boolean = path == null || outstandingLogs.nonEmpty
+    }
     val live = scala.collection.mutable.Map[(String, String), Group]()
     commits.foreach { case (instant, _, body) =>
       Option(body.get("partitionToReplaceFileIds")).foreach { rep =>
@@ -161,33 +181,33 @@ object HudiImport {
               // MOR delta log append: the group carries unmerged updates
               // from this instant on (until a newer base file lands)
               live.get(key) match {
-                case Some(g) => live(key) = g.copy(lastLogInstant = Some(instant))
-                case None => live(key) = Group(null, 0L, "", Some(instant))
+                case Some(g) => live(key) = g.copy(logs = g.logs :+ (instant -> p))
+                case None =>
+                  live(key) = Group(null, 0L, "", Vector(instant -> p))
               }
             } else {
               val rows = Option(st.get("numWrites")).map(_.asLong()).getOrElse(0L)
               // a new base file (insert or compaction) supersedes any log
               // written before it
-              live(key) = Group(p, rows, instant, None)
+              live(key) = Group(p, rows, instant, Vector.empty)
             }
           }
         }
       }
     }
     require(live.nonEmpty, s"$hudiPath folds to an empty snapshot")
-    val outstanding = live.filter { case (_, g) =>
-      g.path == null || g.lastLogInstant.exists(_ > g.baseInstant)
-    }
-    require(outstanding.isEmpty,
+    val outstanding = live.filter { case (_, g) => g.hasOutstanding }
+    require(outstanding.isEmpty || allowLogs,
       s"MERGE_ON_READ snapshot has ${outstanding.size} file group(s) with " +
         "outstanding log files (e.g. " +
         s"${outstanding.keys.take(3).mkString(", ")}). Folding Hudi's " +
-        "binary log blocks is a PERMANENT boundary of this importer " +
-        "(DEPLOYMENT.md, 'Permanent boundary — Hudi MERGE_ON_READ'): with " +
-        "no native writer to validate a byte-level reader against, a " +
-        "wrong-byte fold would silently drop or resurrect updates. " +
-        "Compact with a Hudi-native engine, then import the log-free " +
-        "snapshot (verified per file group from the timeline)")
+        "binary log blocks is DEFAULT-OFF in this importer " +
+        "(DEPLOYMENT.md, 'Hudi MERGE_ON_READ'): with no native writer on " +
+        "this host to validate a byte-level reader against, a wrong-byte " +
+        "fold could silently drop or resurrect updates. Either compact " +
+        "with a Hudi-native engine and import the log-free snapshot, or " +
+        "opt into the fixture-proven log fold with " +
+        "importTable(allowLogs = true)")
     // schema: the newest commit carrying one
     val schemaJson = commits.reverse.iterator
       .flatMap(c => Option(c._3.get("extraMetadata"))
@@ -197,19 +217,238 @@ object HudiImport {
         s"no commit at $hudiPath carries extraMetadata.schema"))
     val (dt, _) = avroToSpark(mapper.readTree(schemaJson))
     val schema = dt.asInstanceOf[StructType]
-    val paths = live.values.toSeq.map(_.path).sorted.map { p =>
+    // log-free groups stay zero-copy by reference; log-bearing groups
+    // (allowLogs) materialize their merged state under the target root
+    val clean = live.filter { case (_, g) => !g.hasOutstanding }
+    val refPaths = clean.values.toSeq.map(_.path).sorted.map { p =>
       val abs = Paths.get(hudiPath, p)
       require(Files.isRegularFile(abs),
         s"commit metadata references missing base file $abs")
       abs.toString
     }
+    val mergedPaths: Seq[String] =
+      if (outstanding.isEmpty) Nil
+      else {
+        val keyField = Option(props.getProperty("hoodie.table.recordkey.fields"))
+          .map(_.trim).filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(
+              "MOR log fold needs hoodie.table.recordkey.fields in " +
+                "hoodie.properties (composite keys unsupported)"))
+        require(!keyField.contains(","),
+          "MOR log fold supports a single record-key field, got " + keyField)
+        require(schema.fieldNames.contains(keyField),
+          s"record-key field $keyField is not in the table schema")
+        import org.apache.spark.sql.functions.col
+        val mergedFrames = outstanding.toSeq
+          .sortBy { case ((part, fid), _) => (part, fid) }
+          .map { case ((_, _), g) =>
+            val blocks = g.outstandingLogs.flatMap { case (instant, p) =>
+              val abs = Paths.get(hudiPath, p)
+              require(Files.isRegularFile(abs),
+                s"commit metadata references missing log file $abs")
+              parseLogFile(abs).map(instant -> _)
+            }
+            // ROLLBACK command blocks negate earlier blocks of their
+            // target instant (Hudi's log-level undo)
+            val effective = blocks.foldLeft(Vector.empty[(String, LogBlock)]) {
+              case (acc, (_, b)) if b.blockType == CommandBlock =>
+                val target = b.header.getOrElse(TargetInstantTime, "")
+                acc.filterNot(_._1 == target)
+              case (acc, ib) => acc :+ ib
+            }
+            // last-writer-wins fold by record key, in block order
+            val upserts = new java.util.LinkedHashMap[String, org.apache.avro
+              .generic.GenericRecord]()
+            val deletes = new java.util.LinkedHashSet[String]()
+            effective.foreach { case (_, b) =>
+              b.blockType match {
+                case AvroDataBlock =>
+                  dataBlockRecords(b).foreach { r =>
+                    val k = String.valueOf(r.get(keyField))
+                    upserts.put(k, r); deletes.remove(k)
+                  }
+                case DeleteBlock =>
+                  deleteBlockKeys(b).foreach { k =>
+                    deletes.add(k); upserts.remove(k)
+                  }
+                case other => throw new IllegalArgumentException(
+                  s"unsupported log block type $other (only avro data, " +
+                    "delete, and rollback command blocks fold)")
+              }
+            }
+            val touched = (upserts.keySet.asScala ++ deletes.asScala).toSeq
+            val base =
+              if (g.path == null) spark.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                schema)
+              else spark.read.schema(schema)
+                .parquet(Paths.get(hudiPath, g.path).toString)
+            val touchedDf = spark.createDataFrame(
+              touched.map(org.apache.spark.sql.Row(_)).asJava,
+              StructType(Seq(StructField("__hoodie_touched_key", StringType))))
+            val upsertRows = upserts.values.asScala.toSeq
+              .map(r => avroRecordToRow(r, schema))
+            val upsertDf = spark.createDataFrame(upsertRows.asJava, schema)
+            base.join(touchedDf,
+                col(keyField).cast("string") === col("__hoodie_touched_key"),
+                "left_anti")
+              .unionByName(upsertDf)
+          }
+        val mergeDir = Paths.get(root,
+          s"mor-merge-${java.util.UUID.randomUUID().toString.take(8)}")
+        mergedFrames.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(mergeDir.toString)
+        Files.list(mergeDir).iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }.map(_.toString).toSeq.sorted
+      }
     // r9: per-file stats off the parquet FOOTERS at import — KB per file,
     // zero data reads — so the imported table prunes immediately without
     // an ANALYZE scan; row counts are footer-exact (supersedes trusting
     // the commits' numWrites). Hudi's _hoodie_* meta columns are simply
     // not in the schema, so no stats ever track them.
-    val stats = CommitLog.importFooterStats(spark, schema, paths,
-      sidecarRoot = Some(root))
+    val stats = CommitLog.importFooterStats(spark, schema,
+      refPaths ++ mergedPaths, sidecarRoot = Some(root))
     CommitLog.importSnapshot(root, schema, stats)
+  }
+
+  // ------------------------------------------------- HoodieLogFormat v1
+  // The published log-file layout (hudi tech-specs "Log File Format"):
+  // per block — 6-byte #HUDI# magic, i64 block size (excluding magic and
+  // this long), i32 format version (1), i32 block-type ordinal, header
+  // metadata map, i64 content length, content, footer metadata map, i64
+  // total block length (reverse-scan support). Metadata maps serialize as
+  // i32 count then per entry (i32 key-ordinal, i32 byte-length, UTF-8
+  // bytes). Block-type ordinals: 0 command, 1 delete, 2 corrupt, 3 avro
+  // data. Header-key ordinals: 0 INSTANT_TIME, 1 TARGET_INSTANT_TIME,
+  // 2 SCHEMA, 3 COMMAND_BLOCK_TYPE.
+
+  private[interop] val CommandBlock = 0
+  private[interop] val DeleteBlock = 1
+  private[interop] val AvroDataBlock = 3
+  private[interop] val InstantTime = 0
+  private[interop] val TargetInstantTime = 1
+  private[interop] val SchemaKey = 2
+
+  private val LogMagic: Array[Byte] = "#HUDI#".getBytes("UTF-8")
+
+  private[interop] final case class LogBlock(blockType: Int,
+      header: Map[Int, String], content: Array[Byte])
+
+  private[interop] def parseLogFile(path: Path): Seq[LogBlock] = {
+    val bytes = Files.readAllBytes(path)
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[LogBlock]
+    while (in.available() > 0) {
+      val magic = new Array[Byte](LogMagic.length); in.readFully(magic)
+      require(java.util.Arrays.equals(magic, LogMagic),
+        s"corrupt log block in $path: bad magic")
+      val blockSize = in.readLong()
+      require(blockSize > 0 && blockSize <= bytes.length,
+        s"corrupt log block in $path: size $blockSize")
+      val version = in.readInt()
+      require(version == 1, s"unsupported HoodieLogFormat version $version")
+      val blockType = in.readInt()
+      val header = readLogMetadata(in)
+      val contentLen = in.readLong()
+      require(contentLen >= 0 && contentLen <= bytes.length,
+        s"corrupt log block in $path: content length $contentLen")
+      val content = new Array[Byte](contentLen.toInt); in.readFully(content)
+      readLogMetadata(in) // footer (unused in the folded subset)
+      in.readLong() // trailing total-length (reverse-scan support)
+      out += LogBlock(blockType, header, content)
+    }
+    out.result()
+  }
+
+  private def readLogMetadata(in: java.io.DataInputStream): Map[Int, String] = {
+    val n = in.readInt()
+    require(n >= 0 && n <= 64, s"corrupt log metadata map size $n")
+    (0 until n).map { _ =>
+      val k = in.readInt()
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      k -> new String(b, "UTF-8")
+    }.toMap
+  }
+
+  /** AVRO data block content: i32 content-format version, i32 record
+    * count, then per record (i32 length, avro-binary bytes) decoded with
+    * the WRITER schema carried in the block header.
+    */
+  private[interop] def dataBlockRecords(b: LogBlock)
+      : Seq[org.apache.avro.generic.GenericRecord] = {
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val schemaJson = b.header.getOrElse(SchemaKey,
+      throw new IllegalArgumentException("avro data block without a schema header"))
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(b.content))
+    in.readInt() // content-format version
+    val count = in.readInt()
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    (0 until count).map { _ =>
+      val len = in.readInt()
+      val rb = new Array[Byte](len); in.readFully(rb)
+      reader.read(null,
+        org.apache.avro.io.DecoderFactory.get().binaryDecoder(rb, null))
+    }
+  }
+
+  /** DELETE block content (v3 layout): i32 version, i32 length, then an
+    * avro-binary HoodieDeleteRecordList (recordKey/partitionPath/
+    * orderingVal per entry — the published hudi-common schema).
+    */
+  private val DeleteListSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"HoodieDeleteRecordList",
+      |"namespace":"org.apache.hudi.avro.model","fields":[
+      |  {"name":"deleteRecordList","type":{"type":"array","items":
+      |    {"type":"record","name":"HoodieDeleteRecord","fields":[
+      |      {"name":"recordKey","type":["null","string"],"default":null},
+      |      {"name":"partitionPath","type":["null","string"],"default":null},
+      |      {"name":"orderingVal","type":["null","string","int","long",
+      |        "float","double","bytes"],"default":null}
+      |    ]}}}]}""".stripMargin)
+
+  /** Exposed for fixture writers (q181, HudiImportSpec builds its own
+    * independent copy).
+    */
+  def deleteListSchema: org.apache.avro.Schema = DeleteListSchema
+
+  private[interop] def deleteBlockKeys(b: LogBlock): Seq[String] = {
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(b.content))
+    in.readInt() // delete-block content version
+    val len = in.readInt()
+    val rb = new Array[Byte](len); in.readFully(rb)
+    val reader = new GenericDatumReader[GenericRecord](DeleteListSchema)
+    val rec = reader.read(null,
+      org.apache.avro.io.DecoderFactory.get().binaryDecoder(rb, null))
+    rec.get("deleteRecordList").asInstanceOf[java.util.List[AnyRef]]
+      .asScala.map {
+        case r: GenericRecord => String.valueOf(r.get("recordKey"))
+        case other => String.valueOf(other)
+      }.toSeq
+  }
+
+  /** Avro GenericRecord → Spark Row under the TABLE schema (fields
+    * resolved by name; Utf8 → String, ByteBuffer → bytes — the same
+    * subset [[avroToSpark]] maps).
+    */
+  private[interop] def avroRecordToRow(r: org.apache.avro.generic.GenericRecord,
+      schema: StructType): org.apache.spark.sql.Row = {
+    def conv(v: Any): Any = v match {
+      case null => null
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case s: CharSequence => s.toString
+      case bb: java.nio.ByteBuffer =>
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+      case x => x
+    }
+    org.apache.spark.sql.Row(schema.fields.map(f => conv(r.get(f.name))): _*)
   }
 }

@@ -140,4 +140,198 @@ class HudiImportSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("outstanding log"), e.getMessage)
   }
+
+  // ------------------------------------------- MOR log-fold fixtures
+  // An INDEPENDENT byte-level writer of the published HoodieLogFormat v1
+  // layout (the DeltaImport fixture discipline: the test writes the spec
+  // by hand; agreeing with the reader means both implement the published
+  // bytes, not each other).
+
+  private def metaBytes(m: Seq[(Int, String)]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bo)
+    d.writeInt(m.size)
+    m.foreach { case (k, v) =>
+      d.writeInt(k)
+      val b = v.getBytes("UTF-8"); d.writeInt(b.length); d.write(b)
+    }
+    bo.toByteArray
+  }
+
+  private def blockBytes(btype: Int, header: Seq[(Int, String)],
+      content: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bo)
+    d.write("#HUDI#".getBytes("UTF-8"))
+    val hb = metaBytes(header); val fb = metaBytes(Nil)
+    // block size = version(4) + type(4) + header + contentLen(8) +
+    // content + footer + trailing-total(8), excluding magic and itself
+    val blockSize = 4 + 4 + hb.length + 8 + content.length + fb.length + 8
+    d.writeLong(blockSize.toLong)
+    d.writeInt(1) // HoodieLogFormat version
+    d.writeInt(btype)
+    d.write(hb)
+    d.writeLong(content.length.toLong)
+    d.write(content)
+    d.write(fb)
+    d.writeLong((6 + 8 + blockSize).toLong) // total incl. magic + size long
+    bo.toByteArray
+  }
+
+  private def avroDataBlock(instant: String,
+      recs: Seq[(Long, Option[Double])]): Array[Byte] = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new org.apache.avro.Schema.Parser().parse(avroSchema)
+    val writer = new GenericDatumWriter[GenericRecord](schema)
+    val co = new java.io.ByteArrayOutputStream()
+    val cd = new java.io.DataOutputStream(co)
+    cd.writeInt(3) // avro data block content-format version
+    cd.writeInt(recs.size)
+    recs.foreach { case (id, v) =>
+      val r = new GenericData.Record(schema)
+      r.put("id", java.lang.Long.valueOf(id))
+      r.put("v", v.map(java.lang.Double.valueOf).orNull)
+      val ro = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(ro, null)
+      writer.write(r, enc); enc.flush()
+      val rb = ro.toByteArray
+      cd.writeInt(rb.length); cd.write(rb)
+    }
+    // header: INSTANT_TIME(0), SCHEMA(2); type 3 = avro data block
+    blockBytes(3, Seq(0 -> instant, 2 -> avroSchema), co.toByteArray)
+  }
+
+  // the published HoodieDeleteRecordList schema, re-embedded here so the
+  // test does NOT share the reader's constant
+  private val deleteListSchemaJson =
+    """{"type":"record","name":"HoodieDeleteRecordList",
+      |"namespace":"org.apache.hudi.avro.model","fields":[
+      |  {"name":"deleteRecordList","type":{"type":"array","items":
+      |    {"type":"record","name":"HoodieDeleteRecord","fields":[
+      |      {"name":"recordKey","type":["null","string"],"default":null},
+      |      {"name":"partitionPath","type":["null","string"],"default":null},
+      |      {"name":"orderingVal","type":["null","string","int","long",
+      |        "float","double","bytes"],"default":null}
+      |    ]}}}]}""".stripMargin
+
+  private def deleteBlock(instant: String, keys: Seq[String]): Array[Byte] = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val ls = new org.apache.avro.Schema.Parser().parse(deleteListSchemaJson)
+    val recSchema = ls.getField("deleteRecordList").schema().getElementType
+    val list = new GenericData.Record(ls)
+    val arr = new java.util.ArrayList[GenericRecord]()
+    keys.foreach { k =>
+      val r = new GenericData.Record(recSchema)
+      r.put("recordKey", k); r.put("partitionPath", ""); arr.add(r)
+    }
+    list.put("deleteRecordList", arr)
+    val ro = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(ro, null)
+    new GenericDatumWriter[GenericRecord](ls).write(list, enc); enc.flush()
+    val body = ro.toByteArray
+    val co = new java.io.ByteArrayOutputStream()
+    val cd = new java.io.DataOutputStream(co)
+    cd.writeInt(3) // delete block content-format version
+    cd.writeInt(body.length); cd.write(body)
+    blockBytes(1, Seq(0 -> instant), co.toByteArray)
+  }
+
+  private def rollbackBlock(instant: String, target: String): Array[Byte] =
+    // COMMAND_BLOCK (0); header: INSTANT_TIME(0), TARGET_INSTANT_TIME(1),
+    // COMMAND_BLOCK_TYPE(3) = "0" (rollback)
+    blockBytes(0, Seq(0 -> instant, 1 -> target, 3 -> "0"),
+      Array.emptyByteArray)
+
+  private def freshMor(): Path = {
+    val t = Files.createTempDirectory("graft-hudi-mor-fold")
+    val hoodie = t.resolve(".hoodie")
+    Files.createDirectories(hoodie)
+    Files.write(hoodie.resolve("hoodie.properties"),
+      ("hoodie.table.name=fixture\nhoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.recordkey.fields=id\n").getBytes("UTF-8"))
+    t
+  }
+
+  test("MOR log fold (allowLogs=true): avro data blocks upsert/insert, " +
+      "delete blocks kill keys, later blocks win — against hand-written " +
+      "byte fixtures") {
+    val t = freshMor()
+    val hoodie = t.resolve(".hoodie")
+    writeParquet(t, "fg1_0-0-0_001.parquet", 0L until 10L) // v = id/4
+    Files.write(hoodie.resolve("001.deltacommit"), commitJson(Seq(
+      ("fg1", "fg1_0-0-0_001.parquet", 10L))).getBytes("UTF-8"))
+    // 002: upsert id 3 (v=99) + insert id 100 (v=1)
+    Files.write(t.resolve(".fg1_001.log.1_0-1-0"),
+      avroDataBlock("002", Seq(3L -> Some(99.0), 100L -> Some(1.0))))
+    Files.write(hoodie.resolve("002.deltacommit"), commitJson(Seq(
+      ("fg1", ".fg1_001.log.1_0-1-0", 2L))).getBytes("UTF-8"))
+    // 003: one log file, TWO blocks — delete {5, 100}, then a data block
+    // resurrects 5 with v=7.5 (order within the file must hold)
+    Files.write(t.resolve(".fg1_001.log.2_0-1-0"),
+      deleteBlock("003", Seq("5", "100")) ++
+        avroDataBlock("003", Seq(5L -> Some(7.5))))
+    Files.write(hoodie.resolve("003.deltacommit"), commitJson(Seq(
+      ("fg1", ".fg1_001.log.2_0-1-0", 3L))).getBytes("UTF-8"))
+
+    // default stays the refusal
+    intercept[IllegalArgumentException] {
+      HudiImport.importTable(spark, t.toString,
+        Files.createTempDirectory("graft-hudi-f0").toString)
+    }
+    val root = Files.createTempDirectory("graft-hudi-f1").toString
+    HudiImport.importTable(spark, t.toString, root, allowLogs = true)
+    val got = CommitLog.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = (0L until 10L).map {
+      case 3L => (3L, 99.0)
+      case 5L => (5L, 7.5)
+      case i => (i, i.toDouble / 4)
+    }
+    assert(got == want, s"got $got")
+
+    // 004: a rollback command block negates instant 003's blocks —
+    // the delete and the resurrection both vanish, 002's effects stay
+    Files.write(t.resolve(".fg1_001.log.3_0-1-0"),
+      rollbackBlock("004", target = "003"))
+    Files.write(hoodie.resolve("004.deltacommit"), commitJson(Seq(
+      ("fg1", ".fg1_001.log.3_0-1-0", 0L))).getBytes("UTF-8"))
+    val root2 = Files.createTempDirectory("graft-hudi-f2").toString
+    HudiImport.importTable(spark, t.toString, root2, allowLogs = true)
+    val got2 = CommitLog.read(spark, root2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want2 = ((0L until 10L).map {
+      case 3L => (3L, 99.0)
+      case i => (i, i.toDouble / 4)
+    } :+ (100L, 1.0)).sortBy(_._1)
+    assert(got2 == want2, s"got $got2")
+  }
+
+  test("MOR log fold: a log-ONLY file group (no base) imports its " +
+      "inserts under allowLogs; mixed clean groups stay by reference") {
+    val t = freshMor()
+    val hoodie = t.resolve(".hoodie")
+    // fg1: a clean, log-free base file
+    writeParquet(t, "fg1_0-0-0_001.parquet", 0L until 20L)
+    Files.write(hoodie.resolve("001.deltacommit"), commitJson(Seq(
+      ("fg1", "fg1_0-0-0_001.parquet", 20L))).getBytes("UTF-8"))
+    // fg2: exists ONLY as a log file of inserts
+    Files.write(t.resolve(".fg2_002.log.1_0-1-0"),
+      avroDataBlock("002", Seq(500L -> Some(5.0), 501L -> None)))
+    Files.write(hoodie.resolve("002.deltacommit"), commitJson(Seq(
+      ("fg2", ".fg2_002.log.1_0-1-0", 2L))).getBytes("UTF-8"))
+    val root = Files.createTempDirectory("graft-hudi-f3").toString
+    HudiImport.importTable(spark, t.toString, root, allowLogs = true)
+    val got = CommitLog.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.length == 22)
+    assert(got.last == ((501L, None))) // null union round-trips
+    assert(got(20) == ((500L, Some(5.0))))
+    // the clean group's base file is referenced, not copied: the only
+    // parquet under root is the merged log-only group
+    import scala.jdk.CollectionConverters._
+    val copied = Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(copied.nonEmpty &&
+      copied.forall(_.toString.contains("mor-merge-")))
+  }
 }
