@@ -216,6 +216,8 @@ object PgCatalog {
     // SELECT finds them) and global temp views (schema global_temp)
     val clsRows = Seq.newBuilder[Row]
     val attRows = Seq.newBuilder[Row]
+    val isTabRows = Seq.newBuilder[Row] // information_schema.tables
+    val isColRows = Seq.newBuilder[Row] // information_schema.columns
     def addRel(db: String, name: String, kind: String,
         schema: => StructType): Unit = {
       val relOid = oidOf("cls", s"$db.$name")
@@ -226,11 +228,16 @@ object PgCatalog {
         0L, 0.0, 0L, 0L, false, false, "p", kind, fields.length, 0,
         false, false, false, false, true, "d", false, 0L,
         null.asInstanceOf[String], null.asInstanceOf[String])
+      isTabRows += Row("graft", db, name,
+        if (kind == "r") "BASE TABLE" else "VIEW")
       fields.zipWithIndex.foreach { case (f, i) =>
         val (oid, tlen) = PgWire.pgType(f.dataType)
         attRows += Row(relOid, f.name, oid.toLong, -1, tlen, i + 1,
           !f.nullable, false, -1, false, "", "", 0L,
           null.asInstanceOf[String])
+        isColRows += Row("graft", db, name, f.name, i + 1,
+          if (f.nullable) "YES" else "NO", formatTypeName(oid.toLong, -1),
+          typeNameOf(oid.toLong), null.asInstanceOf[String])
       }
     }
     val currentDb = sc.currentDatabase
@@ -370,6 +377,36 @@ object PgCatalog {
     empty("pg_collation", StructType(Seq(
       StructField("oid", LongType), StructField("collname", StringType),
       StructField("collnamespace", LongType))))
+
+    // ---- information_schema: the OTHER introspection dialect (SQL
+    // standard; Metabase's sync and many ORMs read it instead of
+    // pg_catalog). Views are registered under information_schema_<name>;
+    // [[rewrite]] maps the qualified references.
+    session.createDataFrame(
+      (dbs ++ Seq(gtdb, "pg_catalog", "information_schema")).distinct
+        .map(db => Row("graft", db, "graft")).asJava,
+      StructType(Seq(
+        StructField("catalog_name", StringType),
+        StructField("schema_name", StringType),
+        StructField("schema_owner", StringType))))
+      .createOrReplaceTempView("information_schema_schemata")
+    session.createDataFrame(isTabRows.result().asJava, StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("table_type", StringType)))
+    ).createOrReplaceTempView("information_schema_tables")
+    session.createDataFrame(isColRows.result().asJava, StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("ordinal_position", IntegerType),
+      StructField("is_nullable", StringType),
+      StructField("data_type", StringType),
+      StructField("udt_name", StringType),
+      StructField("column_default", StringType)))
+    ).createOrReplaceTempView("information_schema_columns")
   }
 
   /** True when the statement needs the catalog views refreshed before
@@ -377,7 +414,8 @@ object PgCatalog {
     */
   def touchesCatalog(sql: String): Boolean = {
     val l = sql.toLowerCase(java.util.Locale.ROOT)
-    l.contains("pg_catalog") || l.contains("pg_class") ||
+    l.contains("pg_catalog") || l.contains("information_schema.") ||
+      l.contains("pg_class") ||
       l.contains("pg_namespace") || l.contains("pg_attribute") ||
       l.contains("pg_type") || l.contains("pg_database") ||
       l.contains("pg_roles") || l.contains("pg_index") ||
@@ -397,7 +435,7 @@ object PgCatalog {
       sql.contains("~") || sql.contains("OPERATOR(") ||
       sql.toUpperCase(java.util.Locale.ROOT).contains("COLLATE") ||
       sql.contains("pg_get_expr") || sql.contains("current_user") ||
-      sql.contains("\"")
+      sql.contains("information_schema.") || sql.contains("\"")
 
   /** pg dialect → Spark SQL, string-level. Single-quoted strings are
     * preserved verbatim (the rewrites run segment-wise between quotes),
@@ -525,6 +563,9 @@ object PgCatalog {
     s = rewriteCall(s, "array_upper")(args => s"size(${args.head})")
     s = rewriteCall(s, "generate_series")(args =>
       s"explode(sequence(${args.mkString(", ")}))")
+    // information_schema.<view> → the registered temp views
+    s = s.replaceAll("(?i)information_schema\\.(schemata|tables|columns)\\b",
+      "information_schema_$1")
     // strip the pg_catalog. qualifier LAST: tables become the bare temp
     // views, functions the bare shims
     s = s.replace("pg_catalog.", "")

@@ -410,6 +410,11 @@ object PgWire {
         fmts: Seq[Int]) {
       var df: Option[DataFrame] = None
       var described = false // RowDescription already sent for this portal
+      // portal-suspension state (Execute with maxRows > 0): the open
+      // result iterator survives across Executes until drained
+      var it: java.util.Iterator[org.apache.spark.sql.Row] = null
+      var rowsSent = 0L
+      var exhausted = false
     }
     val stmts = scala.collection.mutable.Map.empty[String, Prepared]
     val portals = scala.collection.mutable.Map.empty[String, Portal]
@@ -563,9 +568,14 @@ object PgWire {
           } catch { case scala.util.control.NonFatal(e) =>
             sendError(out, e); skipToSync = true }
 
-        case 'E' => // Execute: portal, max rows (ignored — full result)
+        case 'E' => // Execute: portal, max rows (0 = all; >0 = pg's
+          // portal-suspension protocol — pgjdbc drives this whenever
+          // setFetchSize is on: up to maxRows DataRows, then
+          // PortalSuspended ('s'); the NEXT Execute on the same portal
+          // RESUMES the open iterator (Spark keeps streaming partitions
+          // — the result never re-executes and never full-collects)
           try {
-            val name = cur.cstr(); cur.i32()
+            val name = cur.cstr(); val maxRows = cur.i32()
             val p = portals.getOrElse(name,
               throw new IllegalArgumentException(s"unknown portal \"$name\""))
             p.shim match {
@@ -589,10 +599,23 @@ object PgWire {
                   // commands that DO return rows (SHOW, OPTIMIZE, SET) were
                   // NoData at Describe — back-fill the row shape before data
                   if (!p.described) { rowDescription(out, df.schema, p.fmts); p.described = true }
+                  if (p.it == null && !p.exhausted) p.it = df.toLocalIterator()
                   var n = 0L
-                  val it = df.toLocalIterator()
-                  while (it.hasNext) { dataRow(out, it.next(), df.schema, p.fmts); n += 1 }
-                  new Msg('C').cstr(s"SELECT $n").send(out)
+                  while (p.it != null && p.it.hasNext &&
+                      (maxRows <= 0 || n < maxRows)) {
+                    dataRow(out, p.it.next(), df.schema, p.fmts)
+                    n += 1
+                    if (n % 256 == 0) out.flush()
+                  }
+                  p.rowsSent += n
+                  if (maxRows > 0 && p.it != null && p.it.hasNext)
+                    new Msg('s').send(out) // PortalSuspended
+                  else {
+                    // pg's contract: a completed portal stays at end —
+                    // further Executes return zero rows, not a re-run
+                    new Msg('C').cstr(s"SELECT ${p.rowsSent}").send(out)
+                    p.it = null; p.exhausted = true; p.rowsSent = 0L
+                  }
                 }
             }
           } catch { case scala.util.control.NonFatal(e) =>

@@ -174,6 +174,28 @@ class PgCatalogSpec extends SparkTestBase {
           | WHERE c.relname = 'gpv'""".stripMargin)
       assert(tv._2 == Seq(Seq(Some("global_temp"), Some("v"))))
 
+      // ---- information_schema (the SQL-standard introspection dialect
+      // Metabase's sync and many ORMs use instead of pg_catalog)
+      val ist = q(port,
+        """SELECT table_schema, table_name, table_type
+          | FROM information_schema.tables
+          | WHERE table_type = 'BASE TABLE'
+          |   AND table_schema NOT IN ('pg_catalog', 'information_schema')
+          | ORDER BY 1, 2""".stripMargin)
+      assert(ist._2.exists(r => r.head.contains("pgmeta") &&
+        r(1).contains("widgets") && r(2).contains("BASE TABLE")), ist._2)
+      val isc = q(port,
+        """SELECT column_name, data_type, is_nullable, ordinal_position
+          | FROM information_schema.columns
+          | WHERE table_schema = 'pgmeta' AND table_name = 'widgets'
+          | ORDER BY ordinal_position""".stripMargin)
+      assert(isc._2.map(_.head.get) == Seq("id", "price", "label"))
+      assert(isc._2.map(_(1).get) ==
+        Seq("bigint", "double precision", "text"))
+      val iss = q(port,
+        "SELECT schema_name FROM information_schema.schemata ORDER BY 1")
+      assert(iss._2.map(_.head.get).contains("pgmeta"))
+
       // DDL AFTER connect is visible to introspection (ensure() is
       // live): a table created in the shared catalog mid-session
       val root2 = java.nio.file.Files.createTempDirectory("graft-pgcat2").toString

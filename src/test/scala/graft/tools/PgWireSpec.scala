@@ -755,6 +755,58 @@ class PgWireSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("portal suspension (Execute maxRows): batches + PortalSuspended, " +
+      "resume across Sync, completed portal stays at end — pgjdbc's " +
+      "setFetchSize protocol") {
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user)
+      assert(c.authenticate(user, pass))
+      c.msg('P', c.cstrBytes("fs") ++ c.cstrBytes(
+        "SELECT id FROM range(10) ORDER BY id") ++ Array[Byte](0, 0))
+      c.msg('B', c.cstrBytes("p1") ++ c.cstrBytes("fs") ++
+        Array[Byte](0, 0, 0, 0, 0, 0))
+      c.msg('D', "P".getBytes(UTF_8) ++ c.cstrBytes("p1"))
+      // Execute with maxRows = 4 → 4 DataRows then PortalSuspended
+      c.msg('E', c.cstrBytes("p1") ++ Array[Byte](0, 0, 0, 4))
+      c.msg('H', Array.emptyByteArray) // Flush
+      assert(c.readMsg()._1 == '1')
+      assert(c.readMsg()._1 == '2')
+      assert(c.readMsg()._1 == 'T')
+      (0 until 4).foreach(_ => assert(c.readMsg()._1 == 'D'))
+      assert(c.readMsg()._1 == 's') // PortalSuspended
+      // resume: next Execute continues from row 5 (pgjdbc sends Sync
+      // between fetches; the portal survives it here — autocommit
+      // sessions have no txn boundary to destroy it at)
+      c.msg('E', c.cstrBytes("p1") ++ Array[Byte](0, 0, 0, 4))
+      c.msg('H', Array.emptyByteArray)
+      val batch2 = (0 until 4).map { _ =>
+        val (t, b) = c.readMsg(); assert(t == 'D')
+        // single int8 col, text format: payload = i16 ncols + i32 len + text
+        new String(b.drop(6), UTF_8)
+      }
+      assert(batch2 == Seq("4", "5", "6", "7"))
+      assert(c.readMsg()._1 == 's')
+      // final batch: fewer rows than maxRows → CommandComplete with the
+      // TOTAL row count
+      c.msg('E', c.cstrBytes("p1") ++ Array[Byte](0, 0, 0, 4))
+      c.msg('H', Array.emptyByteArray)
+      (0 until 2).foreach(_ => assert(c.readMsg()._1 == 'D'))
+      val (tC, bC) = c.readMsg()
+      assert(tC == 'C' &&
+        new String(bC, 0, bC.indexOf(0.toByte), UTF_8) == "SELECT 10")
+      // a COMPLETED portal stays at end: re-Execute returns zero rows
+      c.msg('E', c.cstrBytes("p1") ++ Array[Byte](0, 0, 0, 4))
+      c.msg('S', Array.emptyByteArray)
+      val fin = c.collectResult()
+      assert(fin.error.isEmpty && fin.rows.isEmpty && fin.tag == "SELECT 0")
+      // the connection still serves
+      assert(c.query("SELECT 51 AS x").rows == Seq(Seq(Some("51"))))
+      c.close()
+    } finally server.stop()
+  }
+
   test("cleartext auth mode and bind/tag/render unit behavior") {
     val server = PgWire.start(spark, user = user, password = pass,
       auth = PgWire.Cleartext)
