@@ -197,5 +197,50 @@ object ReferenceCubes {
            |  max(value) AS max_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
-  )
+
+    // pg-DIALECT SQL through the wire onto the oracle path (r11): the
+    // statement a stock pg client would write — double-quoted identifier
+    // aliases, `~`/`!~` regex operators, a `::text` cast — crosses the
+    // socket, the [[graft.tools.PgCatalog.rewrite]] layer translates it
+    // to Spark SQL, and DuckDB recomputes the same semantics natively. A
+    // green hash proves the DIALECT translation value-exact, not just
+    // parseable — the q179 discipline applied to the client-compat
+    // layer. Scale: the rewrite is a driver-side string pass gated to
+    // statements containing pg-isms; the query itself is one scan + one
+    // map-side-combined aggregate.
+    "q182_pgwire_dialect" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "customer")
+          .createOrReplaceGlobalTempView("pg_customers")
+        val server = graft.tools.PgWire.start(s,
+          user = "cube", password = "wire-check")
+        val (_, rows) =
+          try graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+            "cube", "wire-check",
+            """SELECT c.c_mktsegment AS "Segment",
+              |  count(*) AS n,
+              |  sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS cents
+              |FROM global_temp.pg_customers c
+              |WHERE c.c_mktsegment !~ '^A' AND c.c_name ~ 'Customer'
+              |  AND c.c_custkey::pg_catalog.text <> '-1'
+              |GROUP BY c.c_mktsegment
+              |ORDER BY c.c_mktsegment""".stripMargin)
+          finally server.stop()
+        import s.implicits._
+        rows.map(r => (r(0).get, r(1).get, r(2).get))
+          .toDF("Segment", "n", "cents")
+          .select(col("Segment"), col("n").cast("long").as("n"),
+            col("cents").cast("long").as("cents"))
+          .orderBy("Segment")
+      },
+      oracle = Some(
+        """SELECT c_mktsegment AS Segment, count(*) AS n,
+          |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM customer
+          |WHERE NOT regexp_matches(c_mktsegment, '^A')
+          |  AND regexp_matches(c_name, 'Customer')
+          |  AND CAST(c_custkey AS VARCHAR) <> '-1'
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+  ))
 }
