@@ -319,9 +319,13 @@ object PgCatalog {
       StructField("datdba", LongType), StructField("encoding", IntegerType),
       StructField("datcollate", StringType), StructField("datctype", StringType),
       StructField("datistemplate", BooleanType),
-      StructField("datallowconn", BooleanType)))
+      StructField("datallowconn", BooleanType),
+      // no per-object ACLs → NULL (array-typed: \l feeds it to
+      // array_to_string)
+      StructField("datacl", ArrayType(StringType))))
     session.createDataFrame(Seq(
-      Row(oidOf("db", "graft"), "graft", 10L, 6, "C", "C", false, true)).asJava,
+      Row(oidOf("db", "graft"), "graft", 10L, 6, "C", "C", false, true,
+        null)).asJava,
       dbSchema).createOrReplaceTempView("pg_database")
 
     // ---- pg_roles: the single engine user
@@ -461,7 +465,20 @@ object PgCatalog {
       val c = sql.charAt(i)
       state match {
         case 0 =>
-          if (c == '\'') { flushPlain(); out.append(c); state = 1 }
+          if (c == '\'') {
+            // pg escape-string literals: a standalone E/e immediately
+            // before the opening quote (psql's `\l` ACL separator
+            // E'\n') drops — the payload travels as a plain literal.
+            // Decided HERE, where quote context is certain: an E inside
+            // a string can never match, and `CASE'x'`/identifiers
+            // ending in E keep their E (word-interior).
+            val L = seg.length
+            if (L > 0 && (seg.charAt(L - 1) == 'E' || seg.charAt(L - 1) == 'e') &&
+                (L == 1 || !Character.isLetterOrDigit(seg.charAt(L - 2)) &&
+                  seg.charAt(L - 2) != '_'))
+              seg.setLength(L - 1)
+            flushPlain(); out.append(c); state = 1
+          }
           else if (c == '"') { flushPlain(); out.append('`'); state = 2 }
           else seg.append(c)
         case 1 =>
@@ -542,7 +559,7 @@ object PgCatalog {
     s = s.replaceAll("::\\s*(pg_catalog\\.)?[a-zA-Z_][a-zA-Z0-9_]*(\\s*\\(\\s*\\d+\\s*(,\\s*\\d+\\s*)?\\))?(\\[\\])?",
       "")
     // COLLATE clauses have no Spark analog
-    s = s.replaceAll("(?i)COLLATE\\s+(pg_catalog\\.)?(\"[^\"]*\"|[\\w.]+)", "")
+    s = s.replaceAll("(?i)\\bCOLLATE\\b\\s+(pg_catalog\\.)?(\"[^\"]*\"|[\\w.]+)", "")
     // pg_get_expr has 2- and 3-arg forms; the shim ignores the pretty
     // flag either way
     s = s.replaceAll("(?i)(pg_catalog\\.)?pg_get_expr\\s*\\(([^()]*?),\\s*([\\w.]+)\\s*(,\\s*(true|false)\\s*)?\\)",

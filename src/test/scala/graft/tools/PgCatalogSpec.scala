@@ -174,6 +174,22 @@ class PgCatalogSpec extends SparkTestBase {
           | WHERE c.relname = 'gpv'""".stripMargin)
       assert(tv._2 == Seq(Seq(Some("global_temp"), Some("v"))))
 
+      // ---- psql \l (list databases) — verbatim, incl. the E'\n'
+      // escape-string literal and the array_to_string over a NULL acl
+      val dl = q(port,
+        """SELECT d.datname as "Name",
+          |       pg_catalog.pg_get_userbyid(d.datdba) as "Owner",
+          |       pg_catalog.pg_encoding_to_char(d.encoding) as "Encoding",
+          |       d.datcollate as "Collate",
+          |       d.datctype as "Ctype",
+          |       pg_catalog.array_to_string(d.datacl, E'\n') AS "Access privileges"
+          |FROM pg_catalog.pg_database d
+          |ORDER BY 1""".stripMargin)
+      assert(dl._1 == Seq("Name", "Owner", "Encoding", "Collate", "Ctype",
+        "Access privileges"))
+      assert(dl._2 == Seq(Seq(Some("graft"), Some(user), Some("UTF8"),
+        Some("C"), Some("C"), None)))
+
       // ---- information_schema (the SQL-standard introspection dialect
       // Metabase's sync and many ORMs use instead of pg_catalog)
       val ist = q(port,
@@ -226,6 +242,16 @@ class PgCatalogSpec extends SparkTestBase {
     assert(rw("a OPERATOR(pg_catalog.~) '^(x)$'") == "a RLIKE '^(x)$'")
     assert(rw("n.nspname ~ '^pg_'") == "n.nspname RLIKE '^pg_'")
     assert(rw("x COLLATE pg_catalog.default AND y") == "x AND y")
+    // COLLATE is word-bounded: a column NAMED datcollate is untouched
+    assert(rw("SELECT d.datcollate as c FROM t") ==
+      "SELECT d.datcollate as c FROM t")
+    // pg escape-string literals: standalone E before a quote drops; an
+    // E inside a literal, or word-interior (LIKE'x'), never does
+    assert(rw("SELECT array_to_string(a, E'\\n') FROM t") ==
+      "SELECT array_to_string(a, '\\n') FROM t")
+    assert(rw("SELECT 'A E''B' AS x") == "SELECT 'A E''B' AS x")
+    assert(rw("SELECT k FROM t WHERE k LIKE'y%'") ==
+      "SELECT k FROM t WHERE k LIKE'y%'")
     assert(rw("d.classoid = 'pg_class'::regclass")
       == "d.classoid = regclass_oid('pg_class')")
     // a literal containing the operators is untouched
