@@ -107,7 +107,10 @@ object IcebergHash {
     case (DateType, d: java.time.LocalDate) => Some(bucketLong(d.toEpochDay, n))
     case (DateType, d: java.lang.Integer) => Some(bucketLong(d.longValue(), n))
     case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
-      Some(bucketLong(t.getTime / 1000 * 1000000L + t.getNanos / 1000, n))
+      // floorDiv, not /: for pre-1970 fractional seconds getTime is
+      // negative and truncation-toward-zero would land one second above
+      // the micros the write-side expression hashed (silent over-prune).
+      Some(bucketLong(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000, n))
     case (TimestampType, t: java.time.Instant) =>
       Some(bucketLong(t.getEpochSecond * 1000000L + t.getNano / 1000, n))
     case (TimestampType | TimestampNTZType, t: java.lang.Long) =>
@@ -115,8 +118,16 @@ object IcebergHash {
     case (StringType, s: String) => Some(bucketString(s, n))
     case (StringType, s: UTF8String) => Some(bucketUtf8(s, n))
     case (BinaryType, b: Array[Byte]) => Some(bucketBytes(b, n))
-    case (_: DecimalType, d: java.math.BigDecimal) => Some(bucketOf(hashDecimal(d), n))
-    case (_: DecimalType, d: Decimal) => Some(bucketDecimal(d, n))
+    case (dt: DecimalType, d: java.math.BigDecimal) =>
+      // The spec hashes the unscaled value AT THE TYPE'S SCALE; a pushed
+      // literal at its own scale (14.2 vs DECIMAL(9,2)) would hash 142
+      // where derive() wrote 1420. Rescale exactly; a literal that can't
+      // be represented at the column scale matches no stored value, but
+      // we conservatively keep the file (None) rather than prune.
+      try Some(bucketOf(hashDecimal(d.setScale(dt.scale, java.math.RoundingMode.UNNECESSARY)), n))
+      catch { case _: ArithmeticException => None }
+    case (dt: DecimalType, d: Decimal) =>
+      bucketOfValue(d.toJavaBigDecimal, dt, n)
     case _ => None
   }
 }

@@ -119,6 +119,24 @@ object CommitLogSqlMaintenance {
   private val DropConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
 
+  /** Split a comma-separated identifier list with backquoted segments
+    * opaque — `SnapshotRe`'s `[^`]+` accepts a comma INSIDE a quoted
+    * identifier, so a raw `split(",")` would cut such a name in half
+    * (failing, or worse, pinning the wrong tables).
+    */
+  private[plans] def splitIdentList(idents: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new java.lang.StringBuilder()
+    var quoted = false
+    idents.foreach { c =>
+      if (c == '`') { quoted = !quoted; cur.append(c) }
+      else if (c == ',' && !quoted) { out += cur.toString; cur.setLength(0) }
+      else cur.append(c)
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Delegating parser: the two maintenance statements short-circuit into
     * runnable commands; every other string parses exactly as before.
     */
@@ -139,8 +157,7 @@ object CommitLogSqlMaintenance {
       case HistoryRe(ident) =>
         GraftHistoryCommand(delegate.parseMultipartIdentifier(ident))
       case SnapshotRe(idents) =>
-        GraftSnapshotCommand(idents.split(",").toSeq.map(_.trim)
-          .filter(_.nonEmpty)
+        GraftSnapshotCommand(splitIdentList(idents)
           .map(i => i -> delegate.parseMultipartIdentifier(i)))
       case DetailRe(ident) =>
         GraftDetailCommand(delegate.parseMultipartIdentifier(ident))

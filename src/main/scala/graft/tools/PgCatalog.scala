@@ -123,14 +123,6 @@ object PgCatalog {
     * correlates its own BackendKeyData.
     */
   def registerFunctions(session: SparkSession, user: String, pid: Int): Unit = {
-    // pg types a bare '' literal as UNKNOWN and coerces it in context
-    // (psql's `\d` sends `CASE WHEN … THEN '' ELSE oid::text END`);
-    // Spark's ANSI mode instead hard-casts the literal to the other
-    // branch's type and throws CAST_INVALID_INPUT. Legacy coercion IS
-    // pg's behavior here — per-connection conf, invisible to other
-    // sessions. (Double-quoted identifiers are handled in [[rewrite]]
-    // as backticks, so the ANSI identifier mode isn't needed either.)
-    session.conf.set("spark.sql.ansi.enabled", "false")
     val udf = session.udf
     udf.register("version",
       () => "PostgreSQL 15.4 (graft engine, Apache Spark " +
@@ -412,6 +404,35 @@ object PgCatalog {
       StructField("column_default", StringType)))
     ).createOrReplaceTempView("information_schema_columns")
   }
+
+  /** Run `f` with `spark.sql.ansi.enabled=false` when (and only when)
+    * `sql` is a catalog-introspection statement, restoring the prior
+    * value after. pg types a bare '' literal as UNKNOWN and coerces it
+    * in context (psql's `\d` sends `CASE WHEN … THEN '' ELSE oid::text
+    * END`); Spark's ANSI mode instead hard-casts the literal to the
+    * other branch's type and throws CAST_INVALID_INPUT. Legacy coercion
+    * IS pg's behavior for those queries — but ONLY for them: a
+    * session-wide flip (the r11 shape) silently gave every client
+    * statement wrapping integer overflow and NULL-returning casts,
+    * diverging from both the engine's native ANSI results and real
+    * Postgres (which errors). ANSI choices are largely BAKED at
+    * analysis (cast eval modes, coercion rules), so callers must both
+    * plan AND materialize catalog statements inside the scope —
+    * introspection results are catalog-sized, so an eager collect is
+    * driver-safe at any data scale.
+    */
+  def withAnsiScope[A](session: SparkSession, sql: String)(f: => A): A =
+    if (!touchesCatalog(sql)) f
+    else {
+      val key = "spark.sql.ansi.enabled"
+      val prev = session.conf.getOption(key)
+      session.conf.set(key, "false")
+      try f
+      finally prev match {
+        case Some(v) => session.conf.set(key, v)
+        case None => session.conf.unset(key)
+      }
+    }
 
   /** True when the statement needs the catalog views refreshed before
     * it runs.

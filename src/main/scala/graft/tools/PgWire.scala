@@ -426,7 +426,10 @@ object PgWire {
         // re-ensure the catalog views at plan time: DDL between Parse
         // and Execute must be visible to an introspection portal
         if (PgCatalog.touchesCatalog(p.sql)) PgCatalog.ensure(session)
-        val d = session.sql(p.sql); p.df = Some(d); d
+        // analysis under the catalog-scoped ANSI flip (cast eval modes
+        // bake at analysis — see PgCatalog.withAnsiScope)
+        val d = PgCatalog.withAnsiScope(session, p.sql)(session.sql(p.sql))
+        p.df = Some(d); d
     }
     def showSchema(k: String) = StructType(Seq(StructField(k, StringType)))
 
@@ -559,7 +562,9 @@ object PgWire {
                     val df = prep.df.getOrElse {
                       if (PgCatalog.touchesCatalog(prep.sql))
                         PgCatalog.ensure(session)
-                      val d = session.sql(prep.sql); prep.df = Some(d); d
+                      val d = PgCatalog.withAnsiScope(session, prep.sql)(
+                        session.sql(prep.sql))
+                      prep.df = Some(d); d
                     }
                     if (df.schema.isEmpty) new Msg('n').send(out)
                     else rowDescription(out, df.schema, Nil)
@@ -599,7 +604,14 @@ object PgWire {
                   // commands that DO return rows (SHOW, OPTIMIZE, SET) were
                   // NoData at Describe — back-fill the row shape before data
                   if (!p.described) { rowDescription(out, df.schema, p.fmts); p.described = true }
-                  if (p.it == null && !p.exhausted) p.it = df.toLocalIterator()
+                  // catalog statements materialize INSIDE the ANSI scope
+                  // (results are catalog-sized); everything else streams
+                  if (p.it == null && !p.exhausted) p.it =
+                    if (PgCatalog.touchesCatalog(p.sql))
+                      PgCatalog.withAnsiScope(session, p.sql) {
+                        java.util.Arrays.asList(df.collect(): _*).iterator()
+                      }
+                    else df.toLocalIterator()
                   var n = 0L
                   while (p.it != null && p.it.hasNext &&
                       (maxRows <= 0 || n < maxRows)) {
@@ -955,12 +967,22 @@ object PgWire {
         new Msg('C').cstr("SHOW").send(out); return
       case None =>
     }
-    val df = session.sql(prepareSql(session, sql))
+    // catalog statements plan AND materialize inside the scoped ANSI
+    // flip (catalog-sized results); everything else keeps the session's
+    // ANSI semantics and streams
+    val isCat = PgCatalog.touchesCatalog(sql)
+    val (df, it) = PgCatalog.withAnsiScope(session, sql) {
+      val d = session.sql(prepareSql(session, sql))
+      val i =
+        if (d.schema.isEmpty) null
+        else if (isCat) java.util.Arrays.asList(d.collect(): _*).iterator()
+        else d.toLocalIterator()
+      (d, i)
+    }
     if (df.schema.isEmpty) new Msg('C').cstr(tagFor(sql)).send(out)
     else {
       rowDescription(out, df.schema, Nil)
       var n = 0L
-      val it = df.toLocalIterator()
       while (it.hasNext) {
         dataRow(out, it.next(), df.schema, Nil)
         n += 1
@@ -1250,7 +1272,9 @@ object PgWire {
       case TimestampType | TimestampNTZType =>
         val micros = v match {
           case t: java.sql.Timestamp =>
-            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+            // floorDiv: pre-1970 fractional seconds have negative getTime
+            // whose truncation-toward-zero would be a second too high.
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
           case t: java.time.Instant =>
             t.getEpochSecond * 1000000L + t.getNano / 1000
           case t: java.time.LocalDateTime =>

@@ -81,4 +81,39 @@ class IcebergBucketSpec extends SparkTestBase {
     }
     assert(err.getMessage.toLowerCase.contains("iceberg_bucket"))
   }
+
+  test("probe: pre-1970 fractional-second timestamps floor to the " +
+      "write-side micros (no off-by-one-second over-prune)") {
+    // 1969-12-31 23:59:59.5 UTC = -500ms epoch → -500000 micros. A
+    // truncating getTime/1000 would compute 0*1e6 + 500000 = +500000 —
+    // one full second above the micros the write expression hashed, so
+    // the probe would prune the file actually holding the row.
+    val ts = new java.sql.Timestamp(-500L) // getTime -500, nanos 500000000
+    assert(ts.getNanos == 500000000)
+    val want = spark.sql(
+      "SELECT iceberg_bucket(16, TIMESTAMP'1969-12-31 23:59:59.5')")
+      .collect()(0).getInt(0)
+    assert(IcebergHash.bucketOfValue(ts, TimestampType, 16).contains(want))
+    // and the direct micros identity
+    assert(IcebergHash.bucketOfValue(ts, TimestampType, 16)
+      .contains(IcebergHash.bucketLong(-500000L, 16)))
+  }
+
+  test("probe: decimal literals rescale to the column's declared scale " +
+      "before hashing (spec: unscaled value under the type's scale)") {
+    // 14.2 pushed against DECIMAL(9,2): unscaled must be 1420, not 142
+    val d = new java.math.BigDecimal("14.2")
+    assert(IcebergHash.bucketOfValue(d, DecimalType(9, 2), 16)
+      .contains(IcebergHash.bucketOf(
+        IcebergHash.hashDecimal(new java.math.BigDecimal("14.20")), 16)))
+    // a wider-scale literal that IS representable at the column scale
+    assert(IcebergHash.bucketOfValue(new java.math.BigDecimal("14.2000"),
+      DecimalType(9, 2), 16)
+      .contains(IcebergHash.bucketOf(
+        IcebergHash.hashDecimal(new java.math.BigDecimal("14.20")), 16)))
+    // non-representable at the column scale → None (keep the file;
+    // never a wrong bucket)
+    assert(IcebergHash.bucketOfValue(new java.math.BigDecimal("14.205"),
+      DecimalType(9, 2), 16).isEmpty)
+  }
 }

@@ -497,6 +497,16 @@ class CommitLogSqlDmlSpec extends SparkTestBase {
       spark.sql("SNAPSHOT OF snap_plain").collect()
     }
     assert(err.getMessage.contains("commitlog"))
+
+    // a backquoted identifier CONTAINING a comma survives the list split
+    // (a raw split(",") would cut it in half)
+    val weird = "snap,comma"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$weird` USING " +
+      s"`graft-commitlog` OPTIONS (path '$rootA')")
+    val wcut = spark.sql(s"SNAPSHOT OF `$weird`, $vb").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wcut.keySet == Set(s"`$weird`", vb))
+    assert(wcut(s"`$weird`") == fin(va)) // same root, same pinned head
   }
 
   test("SQL DESCRIBE HISTORY and RESTORE round-trip the table lifecycle") {

@@ -751,6 +751,44 @@ class PgWireSpec extends SparkTestBase {
       val big = num(new java.math.BigDecimal("12345.6"))
       assert(i16(big, 0) == 3 && i16(big, 2) == 1 && i16(big, 6) == 1)
       assert(i16(big, 8) == 1 && i16(big, 10) == 2345 && i16(big, 12) == 6000)
+
+      // negative-epoch fractional timestamp: floorDiv conversion (a
+      // truncating getTime/1000 would render one second high).
+      // 1969-12-31 23:59:59.5 UTC = -500 ms → -500000 micros
+      val preEpoch = new java.sql.Timestamp(-500L)
+      assert(preEpoch.getNanos == 500000000)
+      val bts = PgWire.binaryRender(preEpoch,
+        org.apache.spark.sql.types.TimestampType)
+      assert(i64(bts, 0) == -500000L - 946684800000000L)
+      c.close()
+    } finally server.stop()
+  }
+
+  test("ANSI scope: user statements keep ANSI semantics (invalid cast " +
+      "errors, as pg does); only catalog introspection gets pg's legacy " +
+      "''-coercion") {
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user)
+      assert(c.authenticate(user, pass))
+      // (1) a normal statement with an invalid cast must ERROR (ANSI on,
+      // like real pg raising 22P02) — the r11 session-wide legacy flip
+      // would have answered NULL
+      val bad = c.query("SELECT CAST('' AS INT)")
+      assert(bad.error.isDefined, "invalid cast must error under ANSI")
+      // (2) a catalog query mixing a bare '' with a numeric branch —
+      // psql's `THEN '' ELSE oid::text` shape, whose ::text the rewrite
+      // drops, leaving ''-vs-bigint: ANSI would cast '' to bigint and
+      // throw at constant folding; pg's UNKNOWN coercion (scoped legacy
+      // mode) strings the oid instead
+      val cat = c.query("SELECT CASE WHEN relkind = 'Z' THEN '' ELSE " +
+        "oid::text END AS k FROM pg_catalog.pg_class LIMIT 1")
+      assert(cat.error.isEmpty, s"catalog query failed: ${cat.error}")
+      // (3) and the flip did NOT leak: the same connection still errors
+      // on the user statement afterwards
+      val bad2 = c.query("SELECT CAST('' AS INT)")
+      assert(bad2.error.isDefined, "ANSI flip leaked out of catalog scope")
       c.close()
     } finally server.stop()
   }
