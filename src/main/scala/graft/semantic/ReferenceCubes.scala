@@ -241,6 +241,88 @@ object ReferenceCubes {
           |WHERE NOT regexp_matches(c_mktsegment, '^A')
           |  AND regexp_matches(c_name, 'Customer')
           |  AND CAST(c_custkey AS VARCHAR) <> '-1'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TRANSACTION BLOCKS through the wire onto the oracle path (r12):
+    // the reference's Postgres endpoint gives clients real BEGIN/COMMIT/
+    // ROLLBACK (docker-compose.yml:40-57); here a pg script stages two
+    // INSERTs into two commitlog catalog tables and COMMITs them as ONE
+    // atomic CommitLog.multiAppend cross-table transaction, a second
+    // script proves ROLLBACK discards (version counters asserted
+    // in-query), and the final join reads the committed state back
+    // through the same socket. A green hash proves the transactional
+    // write path lands EXACTLY the rows the autocommit path would — and
+    // that the rollback left no trace. Scale: staging is
+    // wire-interactive-sized by contract (bulk loads take the streaming
+    // append paths); the commit point is multiAppend's one KB-scale
+    // marker write regardless of table size.
+    "q183_pgwire_txn" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.{CatalogOps, CommitLog}
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q183-pgtxn").toString
+        CommitLog.append(cust.filter(col("c_custkey") % 4 === 0),
+          s"$root/cust")
+        CommitLog.append(ord.filter(col("o_orderkey") % 8 === 0),
+          s"$root/ord")
+        val db = "pgtxn_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(10)
+        CatalogOps.createCommitLogTable(s, db, "cust", s"$root/cust")
+        CatalogOps.createCommitLogTable(s, db, "ord", s"$root/ord")
+        // global temp views are cross-session — the INSERT sources the
+        // connection's isolated session can see
+        cust.filter(col("c_custkey") % 4 === 1)
+          .createOrReplaceGlobalTempView("pgtxn_src_c")
+        ord.filter(col("o_orderkey") % 8 === 1)
+          .createOrReplaceGlobalTempView("pgtxn_src_o")
+        val server = graft.tools.PgWire.start(s,
+          user = "cube", password = "wire-check")
+        val rows =
+          try {
+            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+              "cube", "wire-check",
+              s"""BEGIN;
+                 |INSERT INTO $db.cust SELECT * FROM global_temp.pgtxn_src_c;
+                 |INSERT INTO $db.ord SELECT * FROM global_temp.pgtxn_src_o;
+                 |COMMIT""".stripMargin)
+            // atomic: exactly ONE new commit per table (the txn prepare)
+            require(CommitLog.currentVersion(s"$root/cust").contains(2L) &&
+              CommitLog.currentVersion(s"$root/ord").contains(2L),
+              "txn COMMIT must land exactly one commit per table")
+            // and ROLLBACK must discard without a trace
+            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+              "cube", "wire-check",
+              s"""BEGIN;
+                 |INSERT INTO $db.cust SELECT * FROM global_temp.pgtxn_src_c;
+                 |ROLLBACK""".stripMargin)
+            require(CommitLog.currentVersion(s"$root/cust").contains(2L),
+              "ROLLBACK must leave the table untouched")
+            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+              "cube", "wire-check",
+              s"""SELECT c.c_mktsegment AS seg, count(*) AS n_ord,
+                 |  sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+                 |FROM $db.cust c JOIN $db.ord o ON o.o_custkey = c.c_custkey
+                 |GROUP BY c.c_mktsegment
+                 |ORDER BY c.c_mktsegment""".stripMargin)._2
+          } finally server.stop()
+        import s.implicits._
+        rows.map(r => (r(0).get, r(1).get, r(2).get))
+          .toDF("seg", "n_ord", "cents")
+          .select(col("seg"), col("n_ord").cast("long").as("n_ord"),
+            col("cents").cast("long").as("cents"))
+          .orderBy("seg")
+      },
+      oracle = Some(
+        """SELECT c.c_mktsegment AS seg, count(*) AS n_ord,
+          |  CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM (SELECT * FROM customer WHERE c_custkey % 4 <= 1) c
+          |JOIN (SELECT * FROM orders WHERE o_orderkey % 8 <= 1) o
+          |  ON o.o_custkey = c.c_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin),
   ))
 }

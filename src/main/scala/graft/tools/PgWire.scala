@@ -42,10 +42,13 @@ import org.apache.spark.sql.types._
   *     ReadyForQuery (`EmptyQueryResponse` for blank SQL). Multi-
   *     statement scripts split on top-level semicolons (quote/comment
   *     aware) and run one result cycle each, first error aborting the
-  *     rest — pg's own contract. BEGIN/COMMIT/ROLLBACK/DISCARD ALL
-  *     acknowledge as no-ops with their pg tags (the engine IS
-  *     per-statement autocommit), so pg-JDBC's reflexive txn framing
-  *     and pool DISCARDs don't break the session.
+  *     rest — pg's own contract. BEGIN/COMMIT/ROLLBACK open REAL
+  *     transaction blocks ([[PgTxn]]): INSERTs stage, COMMIT publishes
+  *     them as ONE atomic [[graft.sources.CommitLog.multiAppend]]
+  *     cross-table commit, ROLLBACK (or a dropped connection) discards,
+  *     reads inside the block see a consistentSnapshot cut plus the
+  *     block's own staged rows, errors poison the block (25P02) and
+  *     ReadyForQuery carries the honest I/T/E status byte.
   *   - Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync
   *     (`$n` parameters substituted as quoted text literals at Bind —
   *     the persona's subset; binary PARAMETER format refused loudly).
@@ -380,11 +383,14 @@ object PgWire {
     val pid = connCounter.incrementAndGet()
     val secret = new java.security.SecureRandom().nextInt()
     new Msg('K').i32(pid).i32(secret).send(out)
-    ready(out)
 
     // per-connection Spark session: same catalog/extensions, isolated
     // temp views + confs — the thrift server's per-connection contract
     val session = spark.newSession()
+    // per-connection transaction block state (BEGIN/COMMIT/ROLLBACK —
+    // real atomicity over CommitLog.multiAppend, see [[PgTxn]])
+    val txn = new PgTxn(session)
+    ready(out, txn.status)
     val jobGroup = s"pgwire-$pid"
     cancelKeys.put((pid, secret), (session, jobGroup))
     // every statement on this connection runs under the group (job
@@ -410,6 +416,10 @@ object PgWire {
         fmts: Seq[Int]) {
       var df: Option[DataFrame] = None
       var described = false // RowDescription already sent for this portal
+      // tag of a transaction-staged INSERT: pg's completed-portal
+      // contract — a re-Execute answers the tag, never re-stages (and
+      // never falls through to a real execution after COMMIT)
+      var stagedTag: Option[String] = None
       // portal-suspension state (Execute with maxRows > 0): the open
       // result iterator survives across Executes until drained
       var it: java.util.Iterator[org.apache.spark.sql.Row] = null
@@ -419,10 +429,16 @@ object PgWire {
     val stmts = scala.collection.mutable.Map.empty[String, Prepared]
     val portals = scala.collection.mutable.Map.empty[String, Portal]
     var skipToSync = false
+    // Execute-time routing result of txn.intercept (set inside the match
+    // guard so a staged INSERT is intercepted exactly once)
+    var txnRouted: Option[String] = None
 
     def planOf(p: Portal): DataFrame = p.df match {
       case Some(d) => d
       case None =>
+        // an open transaction block pins + shadows before any plan (a
+        // described portal must already see the snapshot cut)
+        txn.beforePlan()
         // re-ensure the catalog views at plan time: DDL between Parse
         // and Execute must be visible to an introspection portal
         if (PgCatalog.touchesCatalog(p.sql)) PgCatalog.ensure(session)
@@ -456,13 +472,13 @@ object PgWire {
             var failed = false
             stmtsQ.foreach { sql =>
               if (!failed) {
-                try runAndSend(session, out, sql, gucs)
+                try runAndSend(session, out, sql, gucs, txn)
                 catch { case scala.util.control.NonFatal(e) =>
-                  sendError(out, e); failed = true }
+                  sendError(out, e); txn.fail(); failed = true }
               }
             }
           }
-          ready(out)
+          ready(out, txn.status)
 
         case 'P' => // Parse: name, query, param-type oids
           try {
@@ -489,7 +505,7 @@ object PgWire {
             stmts(name) = Prepared(sql, nP, shim)
             new Msg('1').send(out)
           } catch { case scala.util.control.NonFatal(e) =>
-            sendError(out, e); skipToSync = true }
+            sendError(out, e); txn.fail(); skipToSync = true }
 
         case 'B' => // Bind: portal, stmt, param formats, params, result formats
           try {
@@ -515,7 +531,7 @@ object PgWire {
             portals(portal) = p
             new Msg('2').send(out)
           } catch { case scala.util.control.NonFatal(e) =>
-            sendError(out, e); skipToSync = true }
+            sendError(out, e); txn.fail(); skipToSync = true }
 
         case 'D' => // Describe 'S' statement | 'P' portal
           // pg's contract: Describe returns the row shape WITHOUT
@@ -571,7 +587,7 @@ object PgWire {
                 }
             }
           } catch { case scala.util.control.NonFatal(e) =>
-            sendError(out, e); skipToSync = true }
+            sendError(out, e); txn.fail(); skipToSync = true }
 
         case 'E' => // Execute: portal, max rows (0 = all; >0 = pg's
           // portal-suspension protocol — pgjdbc drives this whenever
@@ -584,11 +600,13 @@ object PgWire {
             val p = portals.getOrElse(name,
               throw new IllegalArgumentException(s"unknown portal \"$name\""))
             p.shim match {
-              case Some(TagOnly(tag)) =>
-                new Msg('C').cstr(tag).send(out)
+              case Some(TxnVerb(verb)) =>
+                new Msg('C').cstr(txnExec(txn, verb)).send(out)
               case Some(SetParam(k, v)) =>
+                txn.guard() // a failed block refuses SET too (pg 25P02)
                 gucs.set(k, v); new Msg('C').cstr("SET").send(out)
               case Some(ShowParam(k)) =>
+                txn.guard()
                 val v = gucs.get(k)
                 if (!p.described) {
                   rowDescription(out, showSchema(k), p.fmts)
@@ -597,6 +615,22 @@ object PgWire {
                 val m = new Msg('D').i16(1)
                 val b = v.getBytes(UTF_8); m.i32(b.length).raw(b); m.send(out)
                 new Msg('C').cstr("SHOW").send(out)
+              case None
+                  if {
+                    // inside an open block the transaction routes the
+                    // statement: Some(tag) = staged INSERT (answered
+                    // here), None = read (falls through to the normal
+                    // portal path against the shadowed session). A
+                    // staged portal's tag is cached so re-Execute never
+                    // re-stages (or really-executes after COMMIT).
+                    txnRouted = p.stagedTag
+                    if (txnRouted.isEmpty && txn.isOpen) {
+                      txnRouted = txn.intercept(p.sql)
+                      p.stagedTag = txnRouted
+                    }
+                    txnRouted.isDefined
+                  } =>
+                new Msg('C').cstr(txnRouted.get).send(out)
               case None =>
                 val df = planOf(p)
                 if (df.schema.isEmpty) new Msg('C').cstr(tagFor(p.sql)).send(out)
@@ -631,7 +665,7 @@ object PgWire {
                 }
             }
           } catch { case scala.util.control.NonFatal(e) =>
-            sendError(out, e); skipToSync = true }
+            sendError(out, e); txn.fail(); skipToSync = true }
 
         case 'C' => // Close statement/portal
           val kind = cur.bytes(1)(0).toChar; val name = cur.cstr()
@@ -640,7 +674,7 @@ object PgWire {
 
         case 'H' => out.flush()
 
-        case 'S' => skipToSync = false; ready(out)
+        case 'S' => skipToSync = false; ready(out, txn.status)
 
         case 'X' => return
 
@@ -649,7 +683,12 @@ object PgWire {
         case _ => fatal(out, "08P01", s"unsupported message type '$t'"); return
       }
       out.flush()
-    } finally cancelKeys.remove((pid, secret))
+    } finally {
+      cancelKeys.remove((pid, secret))
+      // a connection dying mid-block rolls back: staged batches discard,
+      // shadows drop, no table ever saw a byte
+      try txn.rollback() catch { case scala.util.control.NonFatal(_) => }
+    }
   }
 
   /** Pre-auth frame ceiling: SSLRequest/CancelRequest/StartupMessage/
@@ -847,11 +886,11 @@ object PgWire {
 
   // ------------------------------------------------------------- queries
 
-  /** Transaction-control and pool-reset verbs pg clients emit on every
-    * connection (pg-JDBC's BEGIN under autocommit=off, pgbouncer's
-    * DISCARD ALL). Spark executes per-statement atomically and holds no
-    * session-transaction state, so these acknowledge as no-ops with
-    * their pg tags — the autocommit semantics the engine actually has.
+  /** Transaction-control and pool-reset verbs pg clients emit
+    * (pg-JDBC's BEGIN under autocommit=off, pgbouncer's DISCARD ALL).
+    * Routed to the connection's [[PgTxn]] block state: BEGIN opens a
+    * real transaction (staged INSERTs, snapshot-pinned reads, one
+    * atomic multi-table commit at COMMIT); DISCARD ALL rolls back.
     */
   private val TxnNoop =
     "(?i)^(BEGIN|COMMIT|ROLLBACK|START\\s+TRANSACTION|END|DISCARD\\s+ALL)(\\s+.*)?$".r
@@ -880,9 +919,25 @@ object PgWire {
     * row-less `SET` tag, SHOW one row — not Spark's key/value echo.
     */
   private[tools] sealed trait Shim
-  private[tools] final case class TagOnly(tag: String) extends Shim
+  /** A transaction-control verb (BEGIN/COMMIT/ROLLBACK/DISCARD ALL) —
+    * executed against the connection's [[PgTxn]] at Execute time, never
+    * handed to Spark's parser.
+    */
+  private[tools] final case class TxnVerb(verb: String) extends Shim
   private[tools] final case class SetParam(key: String, value: String) extends Shim
   private[tools] final case class ShowParam(key: String) extends Shim
+
+  /** Run a txn verb against the connection's block state, returning the
+    * CommandComplete tag (COMMIT on a failed block honestly answers
+    * ROLLBACK — pg's own contract).
+    */
+  private def txnExec(txn: PgTxn, verb: String): String = verb match {
+    case "BEGIN" => txn.begin()
+    case "COMMIT" => txn.commit()
+    case "ROLLBACK" => txn.rollback()
+    case "DISCARD ALL" => txn.rollback(); "DISCARD ALL"
+    case other => other
+  }
 
   private val SetStmt =
     "(?is)^SET\\s+(?:SESSION\\s+|LOCAL\\s+)?([A-Za-z_][\\w.]*)\\s*(?:=|\\s+TO\\s+)\\s*(.+?)\\s*$".r
@@ -904,7 +959,7 @@ object PgWire {
 
   private[tools] def shimOf(sql: String): Option[Shim] = {
     val s = sql.trim.stripSuffix(";").trim
-    txnTag(s).map(TagOnly.apply).orElse(s match {
+    txnTag(s).map(TxnVerb.apply).orElse(s match {
       case ShowTxnIso() => Some(ShowParam("transaction_isolation"))
       case SetTimeZone(v) => Some(SetParam("TimeZone", unquote(v)))
       case SetStmt(k, v) => Some(SetParam(k, unquote(v)))
@@ -953,18 +1008,27 @@ object PgWire {
   }
 
   private def runAndSend(session: SparkSession, out: DataOutputStream,
-      sql: String, gucs: Gucs): Unit = {
+      sql: String, gucs: Gucs, txn: PgTxn): Unit = {
     shimOf(sql) match {
-      case Some(TagOnly(tag)) =>
-        new Msg('C').cstr(tag).send(out); return
+      case Some(TxnVerb(verb)) =>
+        new Msg('C').cstr(txnExec(txn, verb)).send(out); return
       case Some(SetParam(k, v)) =>
+        txn.guard() // a failed block refuses SET too (pg 25P02)
         gucs.set(k, v); new Msg('C').cstr("SET").send(out); return
       case Some(ShowParam(k)) =>
+        txn.guard()
         val v = gucs.get(k)
         rowDescription(out, StructType(Seq(StructField(k, StringType))), Nil)
         val m = new Msg('D').i16(1)
         val b = v.getBytes(UTF_8); m.i32(b.length).raw(b); m.send(out)
         new Msg('C').cstr("SHOW").send(out); return
+      case None =>
+    }
+    // inside an open transaction block the txn routes the statement:
+    // staged INSERTs answer their tag here; reads fall through against
+    // the shadowed (snapshot-pinned) session
+    if (txn.isOpen) txn.intercept(sql) match {
+      case Some(tag) => new Msg('C').cstr(tag).send(out); return
       case None =>
     }
     // catalog statements plan AND materialize inside the scoped ANSI
@@ -1370,6 +1434,8 @@ object PgWire {
       if (msg.toLowerCase(java.util.Locale.ROOT).contains("cancel"))
         "57014" // query_canceled — a CancelRequest landed
       else e match {
+        case _: PgTxn.PgTxnAbortedException => "25P02"
+        case _: UnsupportedOperationException => "0A000"
         case _: org.apache.spark.sql.catalyst.parser.ParseException => "42601"
         case _: org.apache.spark.sql.AnalysisException => "42P01"
         case _: IllegalArgumentException => "22023"
@@ -1387,7 +1453,10 @@ object PgWire {
     try { errorMsg(out, state, msg); out.flush() } catch { case _: Exception => }
   }
 
-  private def ready(out: DataOutputStream): Unit = {
-    new Msg('Z').byte('I').send(out); out.flush()
+  /** ReadyForQuery with the block status pg clients key UI/retry logic
+    * off: I idle, T in transaction, E failed transaction.
+    */
+  private def ready(out: DataOutputStream, status: Char = 'I'): Unit = {
+    new Msg('Z').byte(status).send(out); out.flush()
   }
 }

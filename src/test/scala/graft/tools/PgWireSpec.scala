@@ -112,6 +112,7 @@ class PgWireSpec extends SparkTestBase {
     }
 
     var pid = 0; var secret = 0 // BackendKeyData, for CancelRequest
+    var lastStatus = ' ' // ReadyForQuery status byte: I idle, T txn, E failed
 
     private def drainToReady(): Boolean = {
       var t = ' '
@@ -187,7 +188,7 @@ class PgWireSpec extends SparkTestBase {
           case 'D' => rows += parseD(b)
           case 'C' => tag = new String(b, 0, b.indexOf(0.toByte), UTF_8)
           case 'E' => err = parseE(b)
-          case 'Z' => done = true
+          case 'Z' => lastStatus = b(0).toChar; done = true
           case 'I' => tag = "EMPTY"
           case _ => // ParameterStatus etc — ignore
         }
@@ -898,5 +899,140 @@ class PgWireSpec extends SparkTestBase {
     assert(PgWire.splitStatements("a /* ; /* ; */ ; */; b") ==
       Seq("a /* ; /* ; */ ; */", "b"))
     assert(PgWire.splitStatements("  ;;  ") == Nil)
+  }
+
+  test("transaction blocks: atomic multi-table COMMIT, ROLLBACK discards, " +
+      "snapshot + read-your-writes, 25P02 poisoning, dropped connection " +
+      "rolls back, extended-protocol staging") {
+    import spark.implicits._
+    import graft.sources.{CatalogOps, CommitLog}
+    val rootA = java.nio.file.Files.createTempDirectory("graft-pgtxnA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-pgtxnB").toString
+    CommitLog.append(Seq((1L, "a1"), (2L, "a2")).toDF("k", "s"), rootA)
+    CommitLog.append(Seq((1L, "b1")).toDF("k", "s"), rootB)
+    CatalogOps.createCommitLogTable(spark, "pgtxndb", "ta", rootA)
+    CatalogOps.createCommitLogTable(spark, "pgtxndb", "tb", rootB)
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user); assert(c.authenticate(user, pass))
+      assert(c.query("USE pgtxndb").error.isEmpty)
+      assert(c.lastStatus == 'I')
+      val vA0 = CommitLog.currentVersion(rootA).get
+      val vB0 = CommitLog.currentVersion(rootB).get
+
+      // ---- BEGIN opens a real block; ReadyForQuery says 'T'
+      val b0 = c.query("BEGIN")
+      assert(b0.error.isEmpty && b0.tag == "BEGIN" && c.lastStatus == 'T')
+      val i1 = c.query("INSERT INTO ta SELECT 10 AS k, 'a10' AS s")
+      assert(i1.error.isEmpty, s"stage failed: ${i1.error}")
+      assert(i1.tag == "INSERT 0 1")
+      // read-your-writes through the shadow view
+      val ryw = c.query("SELECT count(*) AS n FROM ta")
+      assert(ryw.rows == Seq(Seq(Some("3"))), s"read-your-writes: ${ryw.rows}")
+      // nothing committed yet: version and content untouched outside
+      assert(CommitLog.currentVersion(rootA).get == vA0)
+      assert(CommitLog.read(spark, rootA).count() == 2)
+      // snapshot isolation: a concurrent commit to tb is INVISIBLE in-block
+      CommitLog.append(Seq((9L, "b9")).toDF("k", "s"), rootB)
+      val snap = c.query("SELECT count(*) AS n FROM tb")
+      assert(snap.rows == Seq(Seq(Some("1"))),
+        s"pinned read saw a concurrent commit: ${snap.rows}")
+      val i2 = c.query("INSERT INTO tb SELECT 20 AS k, 'b20' AS s")
+      assert(i2.error.isEmpty && i2.tag == "INSERT 0 1")
+      val cm = c.query("COMMIT")
+      assert(cm.error.isEmpty && cm.tag == "COMMIT" && c.lastStatus == 'I')
+      // exactly ONE new commit per table (the txn prepare), atomic counts
+      assert(CommitLog.currentVersion(rootA).get == vA0 + 1)
+      assert(CommitLog.currentVersion(rootB).get == vB0 + 2) // b9 + txn
+      assert(CommitLog.read(spark, rootA).count() == 3)
+      assert(CommitLog.read(spark, rootB).count() == 3) // b1 + b9 + b20
+      val vA1 = vA0 + 1
+      // the head commits are txn-append prepares under one marker
+      val histA = spark.sql("DESCRIBE HISTORY pgtxndb.ta").collect()
+      assert(histA.exists(r => r.getLong(0) == vA1 &&
+        r.getString(1) == "txn-append"), histA.mkString("; "))
+
+      // ---- ROLLBACK discards staged work entirely
+      val (rres, rerr) = c.queryMulti(
+        "BEGIN; INSERT INTO ta SELECT 11, 'a11'; ROLLBACK")
+      assert(rerr.isEmpty, s"$rerr")
+      assert(rres.map(_._3) == Seq("BEGIN", "INSERT 0 1", "ROLLBACK"))
+      assert(CommitLog.currentVersion(rootA).get == vA1)
+      assert(CommitLog.read(spark, rootA).count() == 3)
+
+      // ---- a failed block poisons until end; COMMIT answers ROLLBACK
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("SELECT definitely broken FROM").error.isDefined)
+      assert(c.lastStatus == 'E')
+      val poisoned = c.query("SELECT 1")
+      assert(poisoned.error.exists(_.contains("25P02")), s"${poisoned.error}")
+      val cm2 = c.query("COMMIT")
+      assert(cm2.error.isEmpty && cm2.tag == "ROLLBACK" && c.lastStatus == 'I')
+
+      // ---- non-INSERT DML refuses loudly (0A000), never half-honors
+      assert(c.query("BEGIN").tag == "BEGIN")
+      val del = c.query("DELETE FROM ta WHERE k = 1")
+      assert(del.error.exists(_.contains("0A000")), s"${del.error}")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      assert(CommitLog.read(spark, rootA).count() == 3)
+
+      // ---- the pgjdbc autocommit=off shape as ONE script buffer
+      val (sres, serr) = c.queryMulti("BEGIN; INSERT INTO ta SELECT 12, " +
+        "'a12'; INSERT INTO tb SELECT 21, 'b21'; COMMIT")
+      assert(serr.isEmpty, s"$serr")
+      assert(sres.map(_._3) ==
+        Seq("BEGIN", "INSERT 0 1", "INSERT 0 1", "COMMIT"))
+      assert(CommitLog.currentVersion(rootA).get == vA1 + 1)
+      assert(CommitLog.read(spark, rootA).count() == 4)
+      assert(CommitLog.read(spark, rootB).count() == 4)
+      c.close()
+
+      // ---- a dropped connection mid-block rolls back (teardown path);
+      // a coordinator crash BETWEEN prepare and marker is
+      // CommitLogMultiTxnSpec's force-abort battery — COMMIT rides
+      // multiAppend's graceMs machinery unchanged
+      val c2 = new PgClient(server.port)
+      c2.startup(user); assert(c2.authenticate(user, pass))
+      assert(c2.query("USE pgtxndb").error.isEmpty)
+      assert(c2.query("BEGIN").tag == "BEGIN")
+      assert(c2.query("INSERT INTO ta SELECT 99, 'zz'").tag == "INSERT 0 1")
+      c2.sock.close() // no COMMIT, no Terminate — a client crash
+      Thread.sleep(300)
+      assert(CommitLog.currentVersion(rootA).get == vA1 + 1)
+      assert(CommitLog.read(spark, rootA).count() == 4)
+
+      // ---- extended protocol: BEGIN/staged INSERT/COMMIT via
+      // Parse+Bind+Execute (pgjdbc's autocommit=off framing)
+      val c3 = new PgClient(server.port)
+      c3.startup(user); assert(c3.authenticate(user, pass))
+      assert(c3.query("USE pgtxndb").error.isEmpty)
+      def extTag(sql: String): String = {
+        c3.msg('P', c3.cstrBytes("") ++ c3.cstrBytes(sql) ++ Array[Byte](0, 0))
+        c3.msg('B', c3.cstrBytes("") ++ c3.cstrBytes("") ++
+          Array[Byte](0, 0) ++ Array[Byte](0, 0) ++ Array[Byte](0, 0))
+        c3.msg('E', c3.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+        c3.msg('S', Array.emptyByteArray)
+        var tag = ""; var done = false
+        while (!done) {
+          val (t, b) = c3.readMsg()
+          t match {
+            case 'C' => tag = new String(b, 0, b.indexOf(0.toByte), UTF_8)
+            case 'E' => tag = "ERROR " + new String(b, UTF_8)
+            case 'Z' => done = true
+            case _ =>
+          }
+        }
+        tag
+      }
+      assert(extTag("BEGIN") == "BEGIN")
+      assert(extTag("INSERT INTO ta SELECT 13, 'a13'") == "INSERT 0 1")
+      // invisible until COMMIT
+      assert(CommitLog.read(spark, rootA).count() == 4)
+      assert(extTag("COMMIT") == "COMMIT")
+      assert(CommitLog.currentVersion(rootA).get == vA1 + 2)
+      assert(CommitLog.read(spark, rootA).count() == 5)
+      c3.close()
+    } finally server.stop()
   }
 }
