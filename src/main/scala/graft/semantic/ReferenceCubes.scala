@@ -323,6 +323,66 @@ object ReferenceCubes {
           |FROM (SELECT * FROM customer WHERE c_custkey % 4 <= 1) c
           |JOIN (SELECT * FROM orders WHERE o_orderkey % 8 <= 1) o
           |  ON o.o_custkey = c.c_custkey
-          |GROUP BY 1 ORDER BY 1""".stripMargin),
-  ))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The COPY sub-protocol onto the oracle path (r12): `COPY … TO
+    // STDOUT (FORMAT csv)` streams the part table through the socket,
+    // the client re-sends the SAME payload as `COPY … FROM STDIN`, which
+    // lands as ONE atomic commitlog commit, and the aggregate read back
+    // through SQL hashes against DuckDB computing straight off the
+    // parquet. A green hash proves the full journey — CSV render, frame
+    // chunking, CSV parse, schema-cast, atomic commit — value-exact in
+    // both directions (psql `\copy`'s path against the reference's
+    // endpoint). Scale: COPY is single-socket by nature; OUT streams via
+    // toLocalIterator, IN is one append commit — cluster-width ingest
+    // stays the file/streaming surface's job.
+    "q184_pgwire_copy" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.{CatalogOps, CommitLog}
+        val part = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        part.createOrReplaceGlobalTempView("pgcopy_src")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q184-copy").toString
+        CommitLog.append(part.limit(0), root) // schema-only seed
+        val db = "pgcopy_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(10)
+        CatalogOps.createCommitLogTable(s, db, "dst", root)
+        val server = graft.tools.PgWire.start(s,
+          user = "cube", password = "wire-check")
+        val rows =
+          try {
+            val payload = graft.tools.PgWire.copyOnceOut("127.0.0.1",
+              server.port, "cube", "wire-check",
+              "COPY (SELECT p_partkey, p_name, p_retailprice FROM " +
+                "global_temp.pgcopy_src) TO STDOUT WITH (FORMAT csv)")
+            val tag = graft.tools.PgWire.copyOnceIn("127.0.0.1",
+              server.port, "cube", "wire-check",
+              s"COPY $db.dst FROM STDIN WITH (FORMAT csv)",
+              payload.mkString("\n") + "\n")
+            require(tag == s"COPY ${payload.size}",
+              s"COPY IN tag $tag for ${payload.size} rows")
+            require(CommitLog.currentVersion(root).contains(2L),
+              "COPY FROM must land exactly one commit")
+            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+              "cube", "wire-check",
+              s"""SELECT count(*) AS n, sum(p_partkey) AS sum_key,
+                 |  sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS cents,
+                 |  min(p_name) AS min_name, max(p_name) AS max_name
+                 |FROM $db.dst""".stripMargin)._2
+          } finally server.stop()
+        import s.implicits._
+        rows.map(r => (r(0).get, r(1).get, r(2).get, r(3).get, r(4).get))
+          .toDF("n", "sum_key", "cents", "min_name", "max_name")
+          .select(col("n").cast("long").as("n"),
+            col("sum_key").cast("long").as("sum_key"),
+            col("cents").cast("long").as("cents"),
+            col("min_name"), col("max_name"))
+      },
+      oracle = Some(
+        """SELECT count(*) AS n, CAST(sum(p_partkey) AS BIGINT) AS sum_key,
+          |  CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+          |  min(p_name) AS min_name, max(p_name) AS max_name
+          |FROM part""".stripMargin)))
 }

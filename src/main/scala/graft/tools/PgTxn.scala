@@ -284,6 +284,31 @@ final class PgTxn(session: SparkSession) {
     s"INSERT 0 $n"
   }
 
+  /** Resolve a (possibly shadowed) table name to its commitlog root and
+    * current schema — [[PgCopy]]'s target face, valid in or out of a
+    * block (shadows only exist while one is open).
+    */
+  private[tools] def resolveTable(name: String): Option[(String, StructType)] = {
+    val resolver = session.sessionState.conf.resolver
+    val bare = name.stripPrefix("`").stripSuffix("`")
+    val fromShadow =
+      if (!name.contains("."))
+        shadows.collectFirst { case (nm, r) if resolver(nm, bare) => r }
+      else None
+    fromShadow.orElse(rootOfName(name)).map(r => (r, tableSchema(r, name)))
+  }
+
+  /** Stage one already-aligned batch into the open block ([[PgCopy]]'s
+    * COPY FROM inside BEGIN): same contract as a staged INSERT.
+    */
+  private[tools] def stageBatch(root: String, df: DataFrame): Unit = {
+    guard(); ensurePins()
+    val mat = df.localCheckpoint(true)
+    staged.getOrElseUpdate(root, mutable.Buffer.empty) += mat
+    shadows.collectFirst { case (nm, r) if r == root => nm }
+      .foreach(nm => refreshShadow(nm, root))
+  }
+
   /** The table's current schema: manifest-declared when commits exist
     * (the authority the append path unions against), catalog-declared
     * for a registered-but-empty table.

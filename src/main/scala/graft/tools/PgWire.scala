@@ -180,38 +180,12 @@ object PgWire {
       sql: String): (Seq[String], Seq[Seq[Option[String]]]) = {
     val sock = new Socket(host, port)
     try {
-      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-      val b = new ByteArrayOutputStream()
-      def c(s: String): Unit = { b.write(s.getBytes(UTF_8)); b.write(0) }
-      c("user"); c(user); c("database"); c("graft"); b.write(0)
-      out.writeInt(8 + b.size); out.writeInt(196608); b.writeTo(out); out.flush()
+      val (in, out) = connectAuthed(sock, user, password)
       def read(): (Char, Cur) = {
         val t = in.readByte().toChar
         val len = in.readInt()
         (t, new Cur(readN(in, len - 4)))
       }
-      var authed = false
-      while (!authed) {
-        val (t, cur) = read()
-        if (t == 'E') sys.error(s"pg-wire auth refused: ${errField(cur.b)}")
-        require(t == 'R', s"expected auth request, got '$t'")
-        cur.i32() match {
-          case 0 => authed = true
-          case 3 => new Msg('p').cstr(password).send(out); out.flush()
-          case 5 =>
-            val salt = cur.bytes(4)
-            val tok = "md5" + hexMd5(
-              hexMd5((password + user).getBytes(UTF_8)).getBytes(UTF_8) ++ salt)
-            new Msg('p').cstr(tok).send(out); out.flush()
-          case 10 => // AuthenticationSASL → SCRAM-SHA-256 exchange
-            if (!scramClient(in, out, user, password))
-              sys.error("pg-wire auth refused: SCRAM exchange failed")
-          case other => sys.error(s"unsupported auth code $other")
-        }
-      }
-      var t0 = ' '
-      while (t0 != 'Z') t0 = read()._1 // ParameterStatus/BackendKeyData
       new Msg('Q').cstr(sql).send(out); out.flush()
       var cols = Seq.empty[String]
       val rows = Seq.newBuilder[Seq[Option[String]]]
@@ -239,6 +213,115 @@ object PgWire {
       err.foreach(m => sys.error(s"pg-wire error: $m"))
       try { new Msg('X').send(out); out.flush() } catch { case _: Exception => }
       (cols, rows.result())
+    } finally sock.close()
+  }
+
+  /** Startup + authentication + drain-to-ReadyForQuery over an open
+    * socket — the shared front half of every one-shot client call.
+    */
+  private def connectAuthed(sock: Socket, user: String,
+      password: String): (DataInputStream, DataOutputStream) = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val b = new ByteArrayOutputStream()
+    def c(s: String): Unit = { b.write(s.getBytes(UTF_8)); b.write(0) }
+    c("user"); c(user); c("database"); c("graft"); b.write(0)
+    out.writeInt(8 + b.size); out.writeInt(196608); b.writeTo(out); out.flush()
+    def read(): (Char, Cur) = {
+      val t = in.readByte().toChar
+      val len = in.readInt()
+      (t, new Cur(readN(in, len - 4)))
+    }
+    var authed = false
+    while (!authed) {
+      val (t, cur) = read()
+      if (t == 'E') sys.error(s"pg-wire auth refused: ${errField(cur.b)}")
+      require(t == 'R', s"expected auth request, got '$t'")
+      cur.i32() match {
+        case 0 => authed = true
+        case 3 => new Msg('p').cstr(password).send(out); out.flush()
+        case 5 =>
+          val salt = cur.bytes(4)
+          val tok = "md5" + hexMd5(
+            hexMd5((password + user).getBytes(UTF_8)).getBytes(UTF_8) ++ salt)
+          new Msg('p').cstr(tok).send(out); out.flush()
+        case 10 => // AuthenticationSASL → SCRAM-SHA-256 exchange
+          if (!scramClient(in, out, user, password))
+            sys.error("pg-wire auth refused: SCRAM exchange failed")
+        case other => sys.error(s"unsupported auth code $other")
+      }
+    }
+    var t0 = ' '
+    while (t0 != 'Z') t0 = read()._1 // ParameterStatus/BackendKeyData
+    (in, out)
+  }
+
+  /** One-shot `COPY … TO STDOUT`: the raw CopyData payload, returned as
+    * lines (the library's own bulk-out client face; zero-egress hosts
+    * ship no pg driver jar).
+    */
+  def copyOnceOut(host: String, port: Int, user: String, password: String,
+      sql: String): Seq[String] = {
+    val sock = new Socket(host, port)
+    try {
+      val (in, out) = connectAuthed(sock, user, password)
+      new Msg('Q').cstr(sql).send(out); out.flush()
+      val buf = new ByteArrayOutputStream()
+      var err: Option[String] = None
+      var done = false
+      while (!done) {
+        val t = in.readByte().toChar
+        val len = in.readInt()
+        val body = readN(in, len - 4)
+        t match {
+          case 'd' => buf.write(body)
+          case 'E' => err = Some(errField(body))
+          case 'Z' => done = true
+          case _ => // H/c/C — framing
+        }
+      }
+      err.foreach(m => sys.error(s"pg-wire COPY error: $m"))
+      try { new Msg('X').send(out); out.flush() } catch { case _: Exception => }
+      new String(buf.toByteArray, UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+    } finally sock.close()
+  }
+
+  /** One-shot `COPY … FROM STDIN`: send `payload` (already in the
+    * statement's declared format) as CopyData + CopyDone, return the
+    * CommandComplete tag (`COPY <n>`).
+    */
+  def copyOnceIn(host: String, port: Int, user: String, password: String,
+      sql: String, payload: String): String = {
+    val sock = new Socket(host, port)
+    try {
+      val (in, out) = connectAuthed(sock, user, password)
+      new Msg('Q').cstr(sql).send(out); out.flush()
+      val (t0, b0) = {
+        val t = in.readByte().toChar
+        val len = in.readInt()
+        (t, readN(in, len - 4))
+      }
+      if (t0 == 'E') sys.error(s"pg-wire COPY refused: ${errField(b0)}")
+      require(t0 == 'G', s"expected CopyInResponse, got '$t0'")
+      payload.getBytes(UTF_8).grouped(8192).foreach { chunk =>
+        new Msg('d').raw(chunk).send(out)
+      }
+      new Msg('c').send(out); out.flush()
+      var tag = ""; var err: Option[String] = None; var done = false
+      while (!done) {
+        val t = in.readByte().toChar
+        val len = in.readInt()
+        val body = readN(in, len - 4)
+        t match {
+          case 'C' => tag = new String(body, 0, body.indexOf(0.toByte), UTF_8)
+          case 'E' => err = Some(errField(body))
+          case 'Z' => done = true
+          case _ =>
+        }
+      }
+      err.foreach(m => sys.error(s"pg-wire COPY error: $m"))
+      try { new Msg('X').send(out); out.flush() } catch { case _: Exception => }
+      tag
     } finally sock.close()
   }
 
@@ -472,8 +555,14 @@ object PgWire {
             var failed = false
             stmtsQ.foreach { sql =>
               if (!failed) {
-                try runAndSend(session, out, sql, gucs, txn)
-                catch { case scala.util.control.NonFatal(e) =>
+                try {
+                  // COPY runs its own sub-protocol (CopyIn/CopyOut
+                  // frames on this very socket) — never Spark's parser
+                  if (PgCopy.isCopy(sql))
+                    PgCopy.handle(session, in, out, sql, txn,
+                      s => prepareSql(session, s))
+                  else runAndSend(session, out, sql, gucs, txn)
+                } catch { case scala.util.control.NonFatal(e) =>
                   sendError(out, e); txn.fail(); failed = true }
               }
             }

@@ -229,6 +229,57 @@ class PgWireSpec extends SparkTestBase {
       try { msg('X', Array.emptyByteArray) } catch { case _: Exception => }
       sock.close()
     }
+
+    /** COPY … TO STDOUT: raw payload + tag + error. */
+    def copyOut(sql: String): (String, String, Option[String]) = {
+      msg('Q', cstrBytes(sql))
+      val buf = new ByteArrayOutputStream()
+      var tag = ""; var err: Option[String] = None; var done = false
+      while (!done) {
+        val (t, b) = readMsg()
+        t match {
+          case 'd' => buf.write(b)
+          case 'C' => tag = new String(b, 0, b.indexOf(0.toByte), UTF_8)
+          case 'E' => err = parseE(b)
+          case 'Z' => lastStatus = b(0).toChar; done = true
+          case _ => // H / c
+        }
+      }
+      (new String(buf.toByteArray, UTF_8), tag, err)
+    }
+
+    /** COPY … FROM STDIN: send payload in small chunks (exercising
+      * row-spanning frames), or CopyFail when `fail` is set.
+      */
+    def copyIn(sql: String, payload: String,
+        fail: Option[String] = None): (String, Option[String]) = {
+      msg('Q', cstrBytes(sql))
+      val (t0, b0) = readMsg()
+      if (t0 == 'E') {
+        var done = false
+        while (!done) { val (t, b) = readMsg(); if (t == 'Z') { lastStatus = b(0).toChar; done = true } }
+        return ("", parseE(b0))
+      }
+      assert(t0 == 'G', s"expected CopyInResponse, got '$t0'")
+      fail match {
+        case Some(m) => msg('f', cstrBytes(m))
+        case None =>
+          payload.getBytes(UTF_8).grouped(7) // tiny frames split rows
+            .foreach(chunk => msg('d', chunk))
+          msg('c', Array.emptyByteArray)
+      }
+      var tag = ""; var err: Option[String] = None; var done = false
+      while (!done) {
+        val (t, b) = readMsg()
+        t match {
+          case 'C' => tag = new String(b, 0, b.indexOf(0.toByte), UTF_8)
+          case 'E' => err = parseE(b)
+          case 'Z' => lastStatus = b(0).toChar; done = true
+          case _ =>
+        }
+      }
+      (tag, err)
+    }
   }
 
   private val user = "cube"
@@ -1033,6 +1084,106 @@ class PgWireSpec extends SparkTestBase {
       assert(CommitLog.currentVersion(rootA).get == vA1 + 2)
       assert(CommitLog.read(spark, rootA).count() == 5)
       c3.close()
+    } finally server.stop()
+  }
+
+  test("COPY protocol: TO STDOUT text + csv/header, FROM STDIN as one " +
+      "atomic commit, NULL/quote/newline fidelity, CopyFail aborts, " +
+      "transaction participation") {
+    import spark.implicits._
+    import graft.sources.{CatalogOps, CommitLog}
+    val rootS = java.nio.file.Files.createTempDirectory("graft-copyS").toString
+    val rootD = java.nio.file.Files.createTempDirectory("graft-copyD").toString
+    val rootD2 = java.nio.file.Files.createTempDirectory("graft-copyD2").toString
+    val src = Seq(
+      (1L, Option("plain"), Option(1.5)),
+      (2L, Option("tab\there"), Option.empty[Double]),
+      (3L, Option("line\nbreak"), Option(-2.25)),
+      (4L, Option.empty[String], Option(0.5)),
+      (5L, Option("quote\"and,comma"), Option(3.0)),
+      (6L, Option(""), Option(4.0)) // empty string ≠ NULL
+    ).toDF("k", "s", "v")
+    CommitLog.append(src, rootS)
+    CommitLog.append(src.limit(0), rootD)  // schema-only seeds
+    CommitLog.append(src.limit(0), rootD2)
+    CatalogOps.createCommitLogTable(spark, "pgcopydb", "src", rootS)
+    CatalogOps.createCommitLogTable(spark, "pgcopydb", "dst", rootD)
+    CatalogOps.createCommitLogTable(spark, "pgcopydb", "dst2", rootD2)
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user); assert(c.authenticate(user, pass))
+
+      // ---- TEXT out: tab-delimited, \N nulls, escaped tab/newline
+      val (tPay, tTag, tErr) = c.copyOut("COPY pgcopydb.src TO STDOUT")
+      assert(tErr.isEmpty, s"$tErr")
+      assert(tTag == "COPY 6")
+      val tLines = tPay.split("\n").filter(_.nonEmpty).toSet
+      assert(tLines == Set(
+        "1\tplain\t1.5",
+        "2\ttab\\there\t\\N",
+        "3\tline\\nbreak\t-2.25",
+        "4\t\\N\t0.5",
+        "5\tquote\"and,comma\t3.0",
+        "6\t\t4.0"), tLines.mkString("|"))
+
+      // ---- CSV out with HEADER over a query source
+      val (cPay, cTag, cErr) = c.copyOut("COPY (SELECT k, s, v FROM " +
+        "pgcopydb.src) TO STDOUT WITH (FORMAT csv, HEADER)")
+      assert(cErr.isEmpty && cTag == "COPY 6")
+      val parsed = PgCopy.parseCsv(cPay, ',')
+      assert(parsed.head == Seq(Some("k"), Some("s"), Some("v")))
+      val body = parsed.drop(1).map(r => (r(0).get, r(1), r(2))).toSet
+      assert(body.contains(("3", Some("line\nbreak"), Some("-2.25"))))
+      assert(body.contains(("4", None, Some("0.5"))))          // NULL
+      assert(body.contains(("6", Some(""), Some("4.0"))))      // "" kept
+      assert(body.contains(("5", Some("quote\"and,comma"), Some("3.0"))))
+
+      // ---- TEXT round trip into dst: ONE atomic commit, equal content
+      val vD0 = CommitLog.currentVersion(rootD).get
+      val (inTag, inErr) = c.copyIn("COPY pgcopydb.dst FROM STDIN", tPay)
+      assert(inErr.isEmpty, s"$inErr")
+      assert(inTag == "COPY 6")
+      assert(CommitLog.currentVersion(rootD).get == vD0 + 1)
+      def content(root: String) = CommitLog.read(spark, root)
+        .collect().map(r => (r.getLong(0),
+          Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(content(rootD) == content(rootS))
+
+      // ---- CSV round trip into dst2 (no header payload)
+      val csvBody = cPay.split("\n", 2)(1)
+      val (in2Tag, in2Err) =
+        c.copyIn("COPY pgcopydb.dst2 FROM STDIN WITH (FORMAT csv)", csvBody)
+      assert(in2Err.isEmpty && in2Tag == "COPY 6")
+      assert(content(rootD2) == content(rootS))
+
+      // ---- CopyFail aborts with no commit; connection stays usable
+      val vD1 = CommitLog.currentVersion(rootD).get
+      val (_, failErr) = c.copyIn("COPY pgcopydb.dst FROM STDIN", "",
+        fail = Some("client changed its mind"))
+      assert(failErr.exists(_.contains("changed its mind")))
+      assert(CommitLog.currentVersion(rootD).get == vD1)
+      assert(c.query("SELECT 1").error.isEmpty)
+
+      // ---- a malformed payload drains the stream, errors, commits nothing
+      val (_, badErr) = c.copyIn("COPY pgcopydb.dst FROM STDIN",
+        "1\tonly-two-fields\n")
+      assert(badErr.isDefined)
+      assert(CommitLog.currentVersion(rootD).get == vD1)
+      assert(c.query("SELECT 1").error.isEmpty)
+
+      // ---- COPY participates in transaction blocks
+      assert(c.query("USE pgcopydb").error.isEmpty)
+      assert(c.query("BEGIN").tag == "BEGIN")
+      val (txTag, txErr) = c.copyIn("COPY dst FROM STDIN", "7\tstaged\t7.5\n")
+      assert(txErr.isEmpty && txTag == "COPY 1")
+      // read-your-writes sees it; the table log does not
+      assert(c.query("SELECT count(*) AS n FROM dst").rows ==
+        Seq(Seq(Some("7"))))
+      assert(CommitLog.currentVersion(rootD).get == vD1)
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      assert(CommitLog.read(spark, rootD).count() == 6)
+      c.close()
     } finally server.stop()
   }
 }
