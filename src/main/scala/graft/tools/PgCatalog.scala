@@ -50,6 +50,12 @@ import org.apache.spark.sql.types._
   * surface in schema `public`, global temp views in `global_temp` —
   * honest: that is exactly where `SELECT` finds them.
   */
+/** One element of pg's `_pg_expandarray(a)` set-returning function:
+  * `x` = the element, `n` = its 1-BASED position (pg's record shape,
+  * which pgjdbc's getPrimaryKeys dereferences as `(…).n` / `(KEYS).x`).
+  */
+case class PgExpanded(x: Int, n: Int)
+
 object PgCatalog {
 
   /** Stable positive 31-bit oid from a qualified name — deterministic
@@ -140,7 +146,9 @@ object PgCatalog {
     udf.register("pg_table_is_visible", (_: Long) => true)
     udf.register("pg_type_is_visible", (_: Long) => true)
     udf.register("pg_function_is_visible", (_: Long) => true)
-    // no COMMENT ON store → descriptions are honestly NULL
+    // obj_description / col_description re-register inside [[ensure]]
+    // with the live comment maps; these are the pre-first-introspection
+    // fallbacks (shared objects carry no comments here)
     udf.register("obj_description",
       (_: Long, _: String) => null.asInstanceOf[String])
     udf.register("col_description",
@@ -203,34 +211,49 @@ object PgCatalog {
     session.createDataFrame(nsRows.asJava, nsSchema)
       .createOrReplaceTempView("pg_namespace")
 
-    // ---- pg_class + pg_attribute: tables/views per database, plus
-    // session temp views (schema = current db: that IS where unqualified
-    // SELECT finds them) and global temp views (schema global_temp)
-    val clsRows = Seq.newBuilder[Row]
-    val attRows = Seq.newBuilder[Row]
-    val isTabRows = Seq.newBuilder[Row] // information_schema.tables
-    val isColRows = Seq.newBuilder[Row] // information_schema.columns
+    // ---- pass 1: gather every relation's shape + (for commitlog catalog
+    // tables) its declared constraints and comments — all driver-side
+    // catalog metadata, never data I/O
+    final case class RelInfo(db: String, name: String, kind: String,
+        fields: Array[StructField], comment: Option[String],
+        colComments: Map[String, String], root: Option[String],
+        props: Map[String, String], checks: Map[String, String]) {
+      val relOid: Long = oidOf("cls", s"$db.$name")
+      def attnum(col: String): Option[Int] = {
+        val r = session.sessionState.conf.resolver
+        val i = fields.indexWhere(f => r(f.name, col))
+        if (i < 0) None else Some(i + 1)
+      }
+    }
+    val rels = Seq.newBuilder[RelInfo]
     def addRel(db: String, name: String, kind: String,
-        schema: => StructType): Unit = {
-      val relOid = oidOf("cls", s"$db.$name")
+        schema: => StructType, meta: Option[
+          org.apache.spark.sql.catalyst.catalog.CatalogTable]): Unit = {
       val fields =
         try schema.fields
         catch { case scala.util.control.NonFatal(_) => Array.empty[StructField] }
-      clsRows += Row(relOid, name, oidOf("ns", db), 0L, 10L, 0L, 0L, 0L,
-        0L, 0.0, 0L, 0L, false, false, "p", kind, fields.length, 0,
-        false, false, false, false, true, "d", false, 0L,
-        null.asInstanceOf[String], null.asInstanceOf[String])
-      isTabRows += Row("graft", db, name,
-        if (kind == "r") "BASE TABLE" else "VIEW")
-      fields.zipWithIndex.foreach { case (f, i) =>
-        val (oid, tlen) = PgWire.pgType(f.dataType)
-        attRows += Row(relOid, f.name, oid.toLong, -1, tlen, i + 1,
-          !f.nullable, false, -1, false, "", "", 0L,
-          null.asInstanceOf[String])
-        isColRows += Row("graft", db, name, f.name, i + 1,
-          if (f.nullable) "YES" else "NO", formatTypeName(oid.toLong, -1),
-          typeNameOf(oid.toLong), null.asInstanceOf[String])
+      val root = meta.filter(_.provider.exists(
+          _.equalsIgnoreCase("graft-commitlog")))
+        .flatMap(m => m.storage.properties.get("path")
+          .orElse(m.storage.locationUri.map(u =>
+            java.nio.file.Paths.get(u).toString)))
+      val (props, checks) = root match {
+        case Some(r) =>
+          try {
+            val v = graft.sources.CommitLog.currentVersion(r)
+            val checks = v.map(vv => graft.sources.CommitLog
+              .readManifest(r, vv).constraintsOrEmpty).getOrElse(Map.empty)
+            (graft.sources.CommitLog.tablePropertiesOf(r), checks)
+          } catch { case scala.util.control.NonFatal(_) =>
+            (Map.empty[String, String], Map.empty[String, String]) }
+        case None => (Map.empty[String, String], Map.empty[String, String])
       }
+      // column comments live in the CATALOG schema (ALTER COLUMN
+      // COMMENT), not the relation's manifest-derived schema — overlay
+      val colCms = meta.map(_.schema.fields.flatMap(f =>
+        f.getComment().map(f.name -> _)).toMap).getOrElse(Map.empty)
+      rels += RelInfo(db, name, kind, fields, meta.flatMap(_.comment),
+        colCms, root, props, checks)
     }
     val currentDb = sc.currentDatabase
     dbs.foreach { db =>
@@ -241,19 +264,147 @@ object PgCatalog {
         if (!isTemp || db == currentDb) {
           val relDb = if (isTemp) currentDb else t.database
           val kind = if (t.tableType == "MANAGED" || t.tableType == "EXTERNAL") "r" else "v"
+          val meta =
+            if (isTemp) None
+            else try Some(session.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t.name, Some(relDb))))
+            catch { case scala.util.control.NonFatal(_) => None }
           addRel(relDb, t.name, kind, {
             val qualified =
               if (isTemp) s"`${t.name}`" else s"`$relDb`.`${t.name}`"
             session.table(qualified).schema
-          })
+          }, meta)
         }
       }
     }
     // global temp views live in their own reserved namespace
     try sc.listTables(gtdb).collect().foreach { t =>
       if (t.database == gtdb)
-        addRel(gtdb, t.name, "v", session.table(s"`$gtdb`.`${t.name}`").schema)
+        addRel(gtdb, t.name, "v",
+          session.table(s"`$gtdb`.`${t.name}`").schema, None)
     } catch { case scala.util.control.NonFatal(_) => } // none registered yet
+
+    // ---- pass 2: emit the catalog rows. Constraint rows come from the
+    // engine's OWN declared-and-validated metadata: `constraint.pk` /
+    // `constraint.fk.<col> = <dimRoot>::<pkCol>` table properties (RELY
+    // constraints, q149) and manifest CHECK constraints — rendered the
+    // way pg renders them (contype 'p'/'f'/'c', conkey/confkey attribute
+    // numbers, a pg_class row of relkind 'i' per PK index) so pgjdbc's
+    // getPrimaryKeys/getImportedKeys and Metabase's relationship sync
+    // see real keys instead of structurally-empty catalogs.
+    val allRels = rels.result()
+    val rootToRel: Map[String, RelInfo] =
+      allRels.flatMap(r => r.root.map(_ -> r)).toMap
+    val clsRows = Seq.newBuilder[Row]
+    val attRows = Seq.newBuilder[Row]
+    val idxRows = Seq.newBuilder[Row]
+    val conRows = Seq.newBuilder[Row]
+    val descRows = Seq.newBuilder[Row]
+    val isTabRows = Seq.newBuilder[Row] // information_schema.tables
+    val isColRows = Seq.newBuilder[Row] // information_schema.columns
+    val isTcRows = Seq.newBuilder[Row]  // …table_constraints
+    val isKcuRows = Seq.newBuilder[Row] // …key_column_usage
+    val isRcRows = Seq.newBuilder[Row]  // …referential_constraints
+    val conDefs = scala.collection.mutable.Map.empty[Long, String]
+    val idxDefs = scala.collection.mutable.Map.empty[Long, (String, Seq[String], String)]
+    def pkIndexOid(r: RelInfo): Long = oidOf("idx", s"${r.db}.${r.name}_pkey")
+    def pkCols(r: RelInfo): Seq[String] =
+      r.props.get("constraint.pk").toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+    allRels.foreach { r =>
+      val pk = pkCols(r)
+      val checks = r.checks.toSeq.sortBy(_._1)
+      clsRows += Row(r.relOid, r.name, oidOf("ns", r.db), 0L, 10L, 0L, 0L, 0L,
+        0L, 0.0, 0L, 0L, pk.nonEmpty, false, "p", r.kind, r.fields.length,
+        checks.size, false, false, false, false, true, "d", false, 0L,
+        null.asInstanceOf[String], null.asInstanceOf[String])
+      isTabRows += Row("graft", r.db, r.name,
+        if (r.kind == "r") "BASE TABLE" else "VIEW")
+      r.comment.foreach { cm =>
+        descRows += Row(r.relOid, oidOf("cls", "pg_catalog.pg_class"), 0, cm)
+      }
+      r.fields.zipWithIndex.foreach { case (f, i) =>
+        val (oid, tlen) = PgWire.pgType(f.dataType)
+        attRows += Row(r.relOid, f.name, oid.toLong, -1, tlen, i + 1,
+          !f.nullable, false, -1, false, "", "", 0L,
+          null.asInstanceOf[String])
+        isColRows += Row("graft", r.db, r.name, f.name, i + 1,
+          if (f.nullable) "YES" else "NO", formatTypeName(oid.toLong, -1),
+          typeNameOf(oid.toLong), null.asInstanceOf[String])
+        f.getComment().orElse(r.colComments.get(f.name)).foreach { cm =>
+          descRows += Row(r.relOid, oidOf("cls", "pg_catalog.pg_class"),
+            i + 1, cm)
+        }
+      }
+      // PRIMARY KEY → pg_index row + an index pg_class row + 'p' constraint
+      if (pk.nonEmpty && pk.forall(c => r.attnum(c).isDefined)) {
+        val idxName = s"${r.name}_pkey"
+        val idxOid = pkIndexOid(r)
+        val conOid = oidOf("con", s"${r.db}.${r.name}.$idxName")
+        val keyNums = pk.flatMap(r.attnum)
+        clsRows += Row(idxOid, idxName, oidOf("ns", r.db), 0L, 10L, 403L, 0L,
+          0L, 0L, 0.0, 0L, 0L, false, false, "p", "i", keyNums.length, 0,
+          false, false, false, false, true, "d", false, 0L,
+          null.asInstanceOf[String], null.asInstanceOf[String])
+        idxRows += Row(idxOid, r.relOid, true, true, false, true, false,
+          keyNums, keyNums.length, keyNums.length)
+        conRows += Row(conOid, idxName, oidOf("ns", r.db), "p", r.relOid,
+          0L, keyNums, null.asInstanceOf[Seq[Int]], false, false, true, 0L,
+          idxOid, null.asInstanceOf[String], null.asInstanceOf[String],
+          null.asInstanceOf[String])
+        conDefs(conOid) = s"PRIMARY KEY (${pk.mkString(", ")})"
+        idxDefs(idxOid) = (idxName, pk, s"${r.db}.${r.name}")
+        isTcRows += Row("graft", r.db, idxName, "graft", r.db, r.name,
+          "PRIMARY KEY", "NO", "NO")
+        pk.zipWithIndex.foreach { case (c, i) =>
+          isKcuRows += Row("graft", r.db, idxName, "graft", r.db, r.name,
+            c, i + 1, null.asInstanceOf[Integer])
+        }
+      }
+      // FOREIGN KEYS → 'f' constraints referencing the pk index of the
+      // dim table (skipped when the referenced root has no catalog name —
+      // pg clients join confrelid to pg_class, a dangling oid helps no one)
+      r.props.toSeq.sortBy(_._1).foreach {
+        case (k, v) if k.startsWith("constraint.fk.") &&
+            !k.endsWith(".v") && !k.endsWith(".dimv") =>
+          val fkCol = k.stripPrefix("constraint.fk.")
+          val sep = v.lastIndexOf("::")
+          if (sep > 0) {
+            val dimRoot = v.substring(0, sep)
+            val pkCol = v.substring(sep + 2)
+            (rootToRel.get(dimRoot), r.attnum(fkCol)) match {
+              case (Some(dim), Some(fkNum)) if dim.attnum(pkCol).isDefined =>
+                val conName = s"${r.name}_${fkCol}_fkey"
+                val conOid = oidOf("con", s"${r.db}.${r.name}.$conName")
+                conRows += Row(conOid, conName, oidOf("ns", r.db), "f",
+                  r.relOid, dim.relOid, Seq(fkNum),
+                  Seq(dim.attnum(pkCol).get), false, false, true, 0L,
+                  pkIndexOid(dim), "a", "a", "s")
+                conDefs(conOid) =
+                  s"FOREIGN KEY ($fkCol) REFERENCES ${dim.name}($pkCol)"
+                isTcRows += Row("graft", r.db, conName, "graft", r.db,
+                  r.name, "FOREIGN KEY", "NO", "NO")
+                isKcuRows += Row("graft", r.db, conName, "graft", r.db,
+                  r.name, fkCol, 1, Integer.valueOf(1))
+                isRcRows += Row("graft", r.db, conName, "graft", dim.db,
+                  s"${dim.name}_pkey", "NONE", "NO ACTION", "NO ACTION")
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+      // CHECK constraints → 'c' rows (definition via pg_get_constraintdef)
+      checks.foreach { case (cn, expr) =>
+        val conOid = oidOf("con", s"${r.db}.${r.name}.$cn")
+        conRows += Row(conOid, cn, oidOf("ns", r.db), "c", r.relOid, 0L,
+          null.asInstanceOf[Seq[Int]], null.asInstanceOf[Seq[Int]],
+          false, false, true, 0L, 0L, null.asInstanceOf[String],
+          null.asInstanceOf[String], null.asInstanceOf[String])
+        conDefs(conOid) = s"CHECK ($expr)"
+        isTcRows += Row("graft", r.db, cn, "graft", r.db, r.name,
+          "CHECK", "NO", "NO")
+      }
+    }
     val clsSchema = StructType(Seq(
       StructField("oid", LongType), StructField("relname", StringType),
       StructField("relnamespace", LongType), StructField("reloftype", LongType),
@@ -328,30 +479,72 @@ object PgCatalog {
       Seq(Row(10L, "graft", true, true)).asJava, roleSchema)
       .createOrReplaceTempView("pg_roles")
 
-    // ---- structurally-empty catalogs clients join against: right
-    // columns, zero rows (no indexes/constraints/defaults/comments/
-    // inheritance/access-methods exist in this engine)
-    def empty(name: String, schema: StructType): Unit =
-      session.createDataFrame(Seq.empty[Row].asJava, schema)
-        .createOrReplaceTempView(name)
-    empty("pg_index", StructType(Seq(
+    // ---- pg_index / pg_constraint / pg_description: REAL rows from the
+    // engine's declared constraints and catalog comments (r12 — pgjdbc's
+    // getPrimaryKeys/getImportedKeys and psql's \d constraint batteries
+    // read these; they were structurally empty before)
+    session.createDataFrame(idxRows.result().asJava, StructType(Seq(
       StructField("indexrelid", LongType), StructField("indrelid", LongType),
       StructField("indisprimary", BooleanType), StructField("indisunique", BooleanType),
       StructField("indisclustered", BooleanType), StructField("indisvalid", BooleanType),
-      StructField("indkey", StringType), StructField("indnatts", IntegerType))))
-    empty("pg_constraint", StructType(Seq(
+      StructField("indisreplident", BooleanType),
+      StructField("indkey", ArrayType(IntegerType)),
+      StructField("indnatts", IntegerType),
+      StructField("indnkeyatts", IntegerType))))
+      .createOrReplaceTempView("pg_index")
+    session.createDataFrame(conRows.result().asJava, StructType(Seq(
       StructField("oid", LongType), StructField("conname", StringType),
       StructField("connamespace", LongType), StructField("contype", StringType),
       StructField("conrelid", LongType), StructField("confrelid", LongType),
-      StructField("conkey", StringType), StructField("confkey", StringType),
+      StructField("conkey", ArrayType(IntegerType)),
+      StructField("confkey", ArrayType(IntegerType)),
       StructField("condeferrable", BooleanType), StructField("condeferred", BooleanType),
-      StructField("convalidated", BooleanType), StructField("conparentid", LongType))))
+      StructField("convalidated", BooleanType), StructField("conparentid", LongType),
+      StructField("conindid", LongType),
+      StructField("confupdtype", StringType),
+      StructField("confdeltype", StringType),
+      StructField("confmatchtype", StringType))))
+      .createOrReplaceTempView("pg_constraint")
+    val descAll = descRows.result()
+    session.createDataFrame(descAll.asJava, StructType(Seq(
+      StructField("objoid", LongType), StructField("classoid", LongType),
+      StructField("objsubid", IntegerType), StructField("description", StringType))))
+      .createOrReplaceTempView("pg_description")
+
+    // def-rendering + description shims need THIS ensure's maps — UDFs
+    // re-register per refresh so a new constraint/comment is visible to
+    // the very next introspection query
+    val conDefMap = conDefs.toMap
+    val idxDefMap = idxDefs.toMap
+    val tblComments: Map[Long, String] = descAll
+      .collect { case Row(o: Long, _, 0, d: String) => o -> d }.toMap
+    val colComments: Map[(Long, Int), String] = descAll
+      .collect { case Row(o: Long, _, n: Int, d: String) if n != 0 =>
+        (o, n) -> d }.toMap
+    session.udf.register("pg_get_constraintdef_shim",
+      (oid: Long) => conDefMap.get(oid).orNull)
+    session.udf.register("pg_get_indexdef_shim", (oid: Long, col: Int) =>
+      idxDefMap.get(oid).map { case (idxName, cols, table) =>
+        if (col > 0) cols.lift(col - 1).orNull
+        else s"CREATE UNIQUE INDEX $idxName ON $table " +
+          s"(${cols.mkString(", ")})"
+      }.orNull)
+    session.udf.register("obj_description",
+      (oid: Long, _: String) => tblComments.get(oid).orNull)
+    session.udf.register("col_description",
+      (oid: Long, n: Int) => colComments.get((oid, n)).orNull)
+    // pg's SRF `_pg_expandarray(a)` = rows of (x = element, n = 1-based
+    // position); the rewrite lowers calls to explode() over this array
+    session.udf.register("_pg_expandarray", (a: Seq[Int]) =>
+      if (a == null) Seq.empty[PgExpanded]
+      else a.zipWithIndex.map { case (v, i) => PgExpanded(v, i + 1) })
+
+    def empty(name: String, schema: StructType): Unit =
+      session.createDataFrame(Seq.empty[Row].asJava, schema)
+        .createOrReplaceTempView(name)
     empty("pg_attrdef", StructType(Seq(
       StructField("oid", LongType), StructField("adrelid", LongType),
       StructField("adnum", IntegerType), StructField("adbin", StringType))))
-    empty("pg_description", StructType(Seq(
-      StructField("objoid", LongType), StructField("classoid", LongType),
-      StructField("objsubid", IntegerType), StructField("description", StringType))))
     empty("pg_am", StructType(Seq(
       StructField("oid", LongType), StructField("amname", StringType),
       StructField("amtype", StringType))))
@@ -403,6 +596,40 @@ object PgCatalog {
       StructField("udt_name", StringType),
       StructField("column_default", StringType)))
     ).createOrReplaceTempView("information_schema_columns")
+    // the SQL-standard constraint views (Metabase's sync reads these)
+    session.createDataFrame(isTcRows.result().asJava, StructType(Seq(
+      StructField("constraint_catalog", StringType),
+      StructField("constraint_schema", StringType),
+      StructField("constraint_name", StringType),
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("constraint_type", StringType),
+      StructField("is_deferrable", StringType),
+      StructField("initially_deferred", StringType)))
+    ).createOrReplaceTempView("information_schema_table_constraints")
+    session.createDataFrame(isKcuRows.result().asJava, StructType(Seq(
+      StructField("constraint_catalog", StringType),
+      StructField("constraint_schema", StringType),
+      StructField("constraint_name", StringType),
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("ordinal_position", IntegerType),
+      StructField("position_in_unique_constraint", IntegerType)))
+    ).createOrReplaceTempView("information_schema_key_column_usage")
+    session.createDataFrame(isRcRows.result().asJava, StructType(Seq(
+      StructField("constraint_catalog", StringType),
+      StructField("constraint_schema", StringType),
+      StructField("constraint_name", StringType),
+      StructField("unique_constraint_catalog", StringType),
+      StructField("unique_constraint_schema", StringType),
+      StructField("unique_constraint_name", StringType),
+      StructField("match_option", StringType),
+      StructField("update_rule", StringType),
+      StructField("delete_rule", StringType)))
+    ).createOrReplaceTempView("information_schema_referential_constraints")
   }
 
   /** Run `f` with `spark.sql.ansi.enabled=false` when (and only when)
@@ -460,7 +687,9 @@ object PgCatalog {
       sql.contains("~") || sql.contains("OPERATOR(") ||
       sql.toUpperCase(java.util.Locale.ROOT).contains("COLLATE") ||
       sql.contains("pg_get_expr") || sql.contains("current_user") ||
-      sql.contains("information_schema.") || sql.contains("\"")
+      sql.contains("information_schema.") || sql.contains("\"") ||
+      sql.contains("_pg_expandarray") ||
+      sql.toUpperCase(java.util.Locale.ROOT).trim.startsWith("COMMENT ON ")
 
   /** pg dialect → Spark SQL, string-level. Single-quoted strings are
     * preserved verbatim (the rewrites run segment-wise between quotes),
@@ -470,11 +699,22 @@ object PgCatalog {
     * quotes never mean a string, exactly as on a real pg socket.
     */
   def rewrite(sql0: String): String = {
+    // COMMENT ON TABLE/COLUMN → Spark's own comment DDL (pg clients and
+    // humans write the pg spelling; the comments land in catalog
+    // metadata, which ensure() renders back through pg_description)
+    commentOnRewrite(sql0) match {
+      case Some(translated) => return translated
+      case None =>
+    }
     // pre-pass across quote boundaries: 'name'::regclass is a
     // name→oid LOOKUP in pg, not a cast — funnel it to the shim (the
     // only rewrite whose pattern spans a string literal)
-    val sql = sql0.replaceAll(
+    val sql1 = sql0.replaceAll(
       "'([\\w.]+)'\\s*::\\s*(pg_catalog\\.)?regclass\\b", "regclass_oid('$1')")
+    // SRF lowering spans segments (it inserts a LATERAL VIEW clause
+    // before the enclosing subquery's WHERE) — run it before the
+    // segment-wise pass
+    val sql = rewriteExpandArray(sql1)
     // split into quoted and unquoted segments; rewrite only unquoted
     val out = new java.lang.StringBuilder()
     var i = 0
@@ -520,6 +760,115 @@ object PgCatalog {
     }
     flushPlain()
     out.toString
+  }
+
+  private val CommentTableRe =
+    """(?is)^\s*COMMENT\s+ON\s+TABLE\s+((?:"[^"]+"|[\w.])+)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$""".r
+  private val CommentColumnRe =
+    """(?is)^\s*COMMENT\s+ON\s+COLUMN\s+((?:"[^"]+"|[\w.])+)\.((?:"[^"]+")|\w+)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$""".r
+
+  private def pgIdentToSpark(ident: String): String =
+    ident.split("\\.").map { p =>
+      val bare = if (p.length >= 2 && p.head == '"' && p.last == '"')
+        p.substring(1, p.length - 1).replace("\"\"", "\"") else p
+      if (bare.matches("[A-Za-z0-9_]+")) bare
+      else s"`${bare.replace("`", "``")}`"
+    }.mkString(".")
+
+  /** pg's COMMENT ON → Spark comment DDL: COMMENT ON TABLE becomes the
+    * table-properties comment, COMMENT ON COLUMN becomes ALTER COLUMN
+    * COMMENT. `IS NULL` clears. Returns None for non-COMMENT statements.
+    */
+  private[tools] def commentOnRewrite(sql: String): Option[String] = sql match {
+    case CommentTableRe(ident, value) =>
+      val t = pgIdentToSpark(ident)
+      Some(
+        if (value.equalsIgnoreCase("NULL"))
+          s"ALTER TABLE $t UNSET TBLPROPERTIES IF EXISTS ('comment')"
+        else s"ALTER TABLE $t SET TBLPROPERTIES ('comment' = $value)")
+    case CommentColumnRe(ident, colIdent, value) =>
+      val t = pgIdentToSpark(ident)
+      val c = pgIdentToSpark(colIdent)
+      val v = if (value.equalsIgnoreCase("NULL")) "''" else value
+      Some(s"ALTER TABLE $t ALTER COLUMN $c COMMENT $v")
+    case _ => None
+  }
+
+  /** Lower pg's set-returning `information_schema._pg_expandarray(E)` to
+    * Spark: every occurrence (field-dereferenced or bare) becomes a
+    * reference to ONE generator column, and a `LATERAL VIEW
+    * explode(_pg_expandarray(E))` clause is inserted before the
+    * enclosing subquery's WHERE — pg's lockstep-SRF semantics (identical
+    * calls expand once, multiplying the row). This is exactly the shape
+    * pgjdbc's getPrimaryKeys emits; anything more exotic (distinct args
+    * at different paren depths) is refused loudly rather than silently
+    * mis-joined.
+    */
+  private[tools] def rewriteExpandArray(sql: String): String = {
+    val call = "information_schema._pg_expandarray("
+    val at0 = sql.toLowerCase(java.util.Locale.ROOT).indexOf(call)
+    if (at0 < 0) return sql
+    // collect (start, endExclusive, argText) of every call occurrence
+    val lower = sql.toLowerCase(java.util.Locale.ROOT)
+    val occ = Seq.newBuilder[(Int, Int, String)]
+    var i = 0
+    while (i >= 0 && i < sql.length) {
+      val at = lower.indexOf(call, i)
+      if (at < 0) i = -1
+      else {
+        var depth = 1
+        var j = at + call.length
+        while (j < sql.length && depth > 0) {
+          val c = sql.charAt(j)
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          j += 1
+        }
+        occ += ((at, j, sql.substring(at + call.length, j - 1).trim))
+        i = j
+      }
+    }
+    val all = occ.result()
+    val args = all.map(_._3).distinct
+    require(args.size == 1,
+      s"_pg_expandarray with ${args.size} distinct arguments is not " +
+        "supported (pgjdbc's introspection uses one)")
+    val arg = args.head
+    val alias = "__pgexp"
+    // replace every occurrence (right to left keeps offsets valid)
+    val sb = new java.lang.StringBuilder(sql)
+    all.sortBy(-_._1).foreach { case (s, e, _) => sb.replace(s, e, alias) }
+    val out = sb.toString
+    // the enclosing subquery's depth = the MINIMUM paren depth across
+    // the replaced occurrences (a field-dereferenced `(…).n` occurrence
+    // sits one paren deeper than the select list itself); insert the
+    // lateral view before the first WHERE at that depth — or before the
+    // subquery's closing paren / end when it has none
+    def depthAt(s: String, pos: Int): Int =
+      s.take(pos).count(_ == '(') - s.take(pos).count(_ == ')')
+    val occOut = Iterator.iterate(out.indexOf(alias))(p =>
+      out.indexOf(alias, p + 1)).takeWhile(_ >= 0).toSeq
+    val targetDepth = occOut.map(depthAt(out, _)).min
+    val lateral = s" LATERAL VIEW explode(_pg_expandarray($arg)) " +
+      s"__pgexp_t AS $alias "
+    val outLower = out.toLowerCase(java.util.Locale.ROOT)
+    var depth = depthAt(out, occOut.head)
+    var insertAt = -1
+    var k = occOut.head
+    while (insertAt < 0 && k < out.length) {
+      val c = out.charAt(k)
+      if (c == '(') depth += 1
+      else if (c == ')') {
+        depth -= 1
+        // end of the enclosing subquery with no WHERE — insert here
+        if (depth < targetDepth) insertAt = k
+      } else if (depth == targetDepth && outLower.startsWith("where", k) &&
+          (k == 0 || !Character.isLetterOrDigit(out.charAt(k - 1))))
+        insertAt = k
+      k += 1
+    }
+    if (insertAt < 0) insertAt = out.length
+    out.substring(0, insertAt) + lateral + out.substring(insertAt)
   }
 
   /** Balanced-paren rewrite of `name(args…)` calls (regex can't nest):
@@ -601,8 +950,19 @@ object PgCatalog {
     s = rewriteCall(s, "array_upper")(args => s"size(${args.head})")
     s = rewriteCall(s, "generate_series")(args =>
       s"explode(sequence(${args.mkString(", ")}))")
+    // constraint/index definition renderers → the map-backed shims
+    // (normalizing away the pretty-print flag; pg_catalog. strips below)
+    s = rewriteCall(s, "pg_get_constraintdef")(args =>
+      s"pg_get_constraintdef_shim(${args.head})")
+    s = rewriteCall(s, "pg_get_indexdef")(args =>
+      if (args.size >= 2) s"pg_get_indexdef_shim(${args.head}, ${args(1)})"
+      else s"pg_get_indexdef_shim(${args.head}, 0)")
+    // pg array subscripts are 1-based; Spark's element_at matches
+    // (getImportedKeys probes `con.conkey[pos.n]`)
+    s = s.replaceAll("([\\w.]+)\\s*\\[([^\\[\\]]+)\\]", "element_at($1, $2)")
     // information_schema.<view> → the registered temp views
-    s = s.replaceAll("(?i)information_schema\\.(schemata|tables|columns)\\b",
+    s = s.replaceAll("(?i)information_schema\\.(table_constraints|" +
+      "key_column_usage|referential_constraints|schemata|tables|columns)\\b",
       "information_schema_$1")
     // strip the pg_catalog. qualifier LAST: tables become the bare temp
     // views, functions the bare shims

@@ -231,6 +231,167 @@ class PgCatalogSpec extends SparkTestBase {
     assert(mine.map(_.getString(0)).toSeq == Seq("v"))
   }
 
+  test("constraint + comment batteries: pgjdbc getPrimaryKeys/" +
+      "getImportedKeys verbatim, psql \\d constraint queries, COMMENT ON " +
+      "through pg_description/obj_description — from declared RELY keys") {
+    import graft.sources.{CatalogOps, CommitLog}
+    // a dim with a declared PK, a fact with a declared FK onto it, and a
+    // CHECK constraint — the engine's own validated constraint surface
+    val dimRoot = java.nio.file.Files.createTempDirectory("graft-pgconD").toString
+    val factRoot = java.nio.file.Files.createTempDirectory("graft-pgconF").toString
+    CommitLog.append(spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS nm"), dimRoot)
+    CommitLog.setTableProperties(dimRoot, Map(CommitLog.PkProp -> "k"))
+    CommitLog.append(spark.range(10).selectExpr("id AS fid", "id % 5 AS dim_k",
+      "CAST(id * 2 AS DOUBLE) AS amount"), factRoot)
+    CommitLog.setTableProperties(factRoot,
+      Map(s"${CommitLog.FkPropPrefix}dim_k" -> s"$dimRoot::k"))
+    CatalogOps.createCommitLogTable(spark, "pgcon", "dim", dimRoot)
+    CatalogOps.createCommitLogTable(spark, "pgcon", "fact", factRoot)
+    spark.sql("ALTER TABLE pgcon.fact ADD CONSTRAINT amount_pos CHECK (amount >= 0)")
+
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val port = server.port
+
+      // ---- pgjdbc getPrimaryKeys (PgDatabaseMetaData, 42.x) VERBATIM —
+      // including the _pg_expandarray SRF and the (result.KEYS).x
+      // record-field wrapper
+      val pk = q(port,
+        "SELECT result.TABLE_CAT, result.TABLE_SCHEM, result.TABLE_NAME, " +
+          "result.COLUMN_NAME, result.KEY_SEQ, result.PK_NAME FROM (" +
+          "SELECT NULL AS TABLE_CAT, n.nspname AS TABLE_SCHEM, ct.relname AS TABLE_NAME, " +
+          "a.attname AS COLUMN_NAME, (information_schema._pg_expandarray(i.indkey)).n AS KEY_SEQ, " +
+          "ci.relname AS PK_NAME, information_schema._pg_expandarray(i.indkey) AS KEYS, " +
+          "a.attnum AS A_ATTNUM FROM pg_catalog.pg_class ct " +
+          "JOIN pg_catalog.pg_attribute a ON (ct.oid = a.attrelid) " +
+          "JOIN pg_catalog.pg_index i ON ( a.attrelid = i.indrelid) " +
+          "JOIN pg_catalog.pg_class ci ON (ci.oid = i.indexrelid) " +
+          "JOIN pg_catalog.pg_namespace n ON (ct.relnamespace = n.oid) " +
+          "WHERE true  AND n.nspname = E'pgcon' AND ct.relname = E'dim' AND i.indisprimary " +
+          ") result where result.A_ATTNUM = (result.KEYS).x " +
+          "ORDER BY result.table_name, result.pk_name, result.key_seq")
+      assert(pk._2 == Seq(Seq(None, Some("pgcon"), Some("dim"), Some("k"),
+        Some("1"), Some("dim_pkey"))), pk._2)
+
+      // ---- pgjdbc getImportedKeys VERBATIM — generate_series pos(n) in
+      // FROM, 1-based conkey/confkey subscripts, conindid join onto the
+      // PK index's pg_class row
+      val fk = q(port,
+        "SELECT NULL::text AS PKTABLE_CAT, pkn.nspname AS PKTABLE_SCHEM, pkc.relname AS PKTABLE_NAME, " +
+          "pka.attname AS PKCOLUMN_NAME, NULL::text AS FKTABLE_CAT, fkn.nspname AS FKTABLE_SCHEM, " +
+          "fkc.relname AS FKTABLE_NAME, fka.attname AS FKCOLUMN_NAME, pos.n AS KEY_SEQ, " +
+          "CASE con.confupdtype  WHEN 'c' THEN 0 WHEN 'n' THEN 2 WHEN 'd' THEN 4 WHEN 'r' THEN 1 " +
+          "WHEN 'p' THEN 1 WHEN 'a' THEN 3 ELSE NULL END AS UPDATE_RULE, " +
+          "CASE con.confdeltype  WHEN 'c' THEN 0 WHEN 'n' THEN 2 WHEN 'd' THEN 4 WHEN 'r' THEN 1 " +
+          "WHEN 'p' THEN 1 WHEN 'a' THEN 3 ELSE NULL END AS DELETE_RULE, " +
+          "con.conname AS FK_NAME, pkic.relname AS PK_NAME, " +
+          "CASE  WHEN con.condeferrable AND con.condeferred THEN 5 WHEN con.condeferrable THEN 6 ELSE 7 END AS DEFERRABILITY " +
+          "FROM pg_catalog.pg_namespace pkn, pg_catalog.pg_class pkc, pg_catalog.pg_attribute pka, " +
+          "pg_catalog.pg_namespace fkn, pg_catalog.pg_class fkc, pg_catalog.pg_attribute fka, " +
+          "pg_catalog.pg_constraint con, pg_catalog.generate_series(1, 32) pos(n), pg_catalog.pg_class pkic " +
+          "WHERE pkn.oid = pkc.relnamespace AND pkc.oid = pka.attrelid AND pka.attnum = con.confkey[pos.n] " +
+          "AND con.confrelid = pkc.oid AND fkn.oid = fkc.relnamespace AND fkc.oid = fka.attrelid " +
+          "AND fka.attnum = con.conkey[pos.n] AND con.conrelid = fkc.oid AND con.contype = 'f' " +
+          "AND (pkic.relkind = 'i' OR pkic.relkind = 'I') AND pkic.oid = con.conindid " +
+          "AND fkn.nspname = E'pgcon' AND fkc.relname = E'fact' " +
+          "ORDER BY pkn.nspname,pkc.relname, con.conname,pos.n")
+      assert(fk._2 == Seq(Seq(None, Some("pgcon"), Some("dim"), Some("k"),
+        None, Some("pgcon"), Some("fact"), Some("dim_k"), Some("1"),
+        Some("3"), Some("3"), Some("fact_dim_k_fkey"), Some("dim_pkey"),
+        Some("7"))), fk._2)
+
+      // ---- psql \d dim: the index battery (pg_get_indexdef /
+      // pg_get_constraintdef / conindid / contype IN)
+      val oid = q(port,
+        "SELECT c.oid FROM pg_catalog.pg_class c JOIN pg_catalog.pg_namespace n " +
+          "ON n.oid = c.relnamespace WHERE c.relname = 'dim' AND n.nspname = 'pgcon'")
+        ._2.head.head.get
+      val idx = q(port,
+        s"""SELECT c2.relname, i.indisprimary, i.indisunique, i.indisclustered, i.indisvalid, pg_catalog.pg_get_indexdef(i.indexrelid, 0, true),
+           |  pg_catalog.pg_get_constraintdef(con.oid, true), contype, condeferrable, condeferred, i.indisreplident, c2.reltablespace
+           |FROM pg_catalog.pg_class c, pg_catalog.pg_class c2, pg_catalog.pg_index i
+           |  LEFT JOIN pg_catalog.pg_constraint con ON (conrelid = i.indrelid AND conindid = i.indexrelid AND contype IN ('p','u','x'))
+           |WHERE c.oid = '$oid' AND c.oid = i.indrelid AND i.indexrelid = c2.oid
+           |ORDER BY i.indisprimary DESC, i.indisunique DESC, c2.relname""".stripMargin)
+      assert(idx._2.length == 1)
+      assert(idx._2.head.head.contains("dim_pkey"))
+      assert(idx._2.head(1).contains("t") && idx._2.head(2).contains("t"))
+      assert(idx._2.head(5).exists(_.contains("CREATE UNIQUE INDEX dim_pkey")))
+      assert(idx._2.head(6).contains("PRIMARY KEY (k)"))
+      assert(idx._2.head(7).contains("p"))
+
+      // ---- psql \d fact: FK + CHECK constraint listings
+      val factOid = q(port,
+        "SELECT c.oid FROM pg_catalog.pg_class c JOIN pg_catalog.pg_namespace n " +
+          "ON n.oid = c.relnamespace WHERE c.relname = 'fact' AND n.nspname = 'pgcon'")
+        ._2.head.head.get
+      val fkDef = q(port,
+        s"SELECT conname, pg_catalog.pg_get_constraintdef(r.oid, true) as condef " +
+          s"FROM pg_catalog.pg_constraint r WHERE r.conrelid = '$factOid' " +
+          "AND r.contype = 'f' ORDER BY 1")
+      assert(fkDef._2 == Seq(Seq(Some("fact_dim_k_fkey"),
+        Some("FOREIGN KEY (dim_k) REFERENCES dim(k)"))))
+      val ckDef = q(port,
+        s"SELECT r.conname, pg_catalog.pg_get_constraintdef(r.oid, true) " +
+          s"FROM pg_catalog.pg_constraint r WHERE r.conrelid = '$factOid' " +
+          "AND r.contype = 'c' ORDER BY 1")
+      assert(ckDef._2.length == 1)
+      assert(ckDef._2.head.head.contains("amount_pos"))
+      assert(ckDef._2.head(1).exists(_.startsWith("CHECK (")))
+
+      // ---- information_schema constraint views (Metabase's FK sync)
+      val tc = q(port,
+        """SELECT constraint_name, table_name, constraint_type
+          | FROM information_schema.table_constraints
+          | WHERE table_schema = 'pgcon' ORDER BY 1""".stripMargin)
+      assert(tc._2.map(r => (r.head.get, r(1).get, r(2).get)).toSet == Set(
+        ("dim_pkey", "dim", "PRIMARY KEY"),
+        ("fact_dim_k_fkey", "fact", "FOREIGN KEY"),
+        ("amount_pos", "fact", "CHECK")), tc._2)
+      val kcu = q(port,
+        """SELECT kcu.constraint_name, kcu.table_name, kcu.column_name, kcu.ordinal_position
+          | FROM information_schema.key_column_usage kcu
+          | WHERE kcu.table_schema = 'pgcon' ORDER BY 1""".stripMargin)
+      assert(kcu._2.map(r => (r.head.get, r(1).get, r(2).get, r(3).get)).toSet
+        == Set(("dim_pkey", "dim", "k", "1"),
+          ("fact_dim_k_fkey", "fact", "dim_k", "1")), kcu._2)
+      val rc = q(port,
+        """SELECT constraint_name, unique_constraint_name, delete_rule
+          | FROM information_schema.referential_constraints ORDER BY 1""".stripMargin)
+      assert(rc._2.exists(r => r.head.contains("fact_dim_k_fkey") &&
+        r(1).contains("dim_pkey") && r(2).contains("NO ACTION")), rc._2)
+
+      // ---- COMMENT ON → pg_description / obj_description / \dt+ -------
+      assert(q(port, "COMMENT ON TABLE pgcon.dim IS 'the dimension'")._2 == Nil)
+      assert(q(port, "COMMENT ON COLUMN pgcon.dim.k IS 'the key'")._2 == Nil)
+      // psql \dt+ Description column
+      val dtp = q(port,
+        """SELECT c.relname, pg_catalog.obj_description(c.oid, 'pg_class') as "Description"
+          | FROM pg_catalog.pg_class c JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+          | WHERE n.nspname = 'pgcon' AND c.relkind = 'r' ORDER BY 1""".stripMargin)
+      assert(dtp._2.contains(Seq(Some("dim"), Some("the dimension"))), dtp._2)
+      // psql \d+ column Description (col_description)
+      val cdesc = q(port,
+        s"""SELECT a.attname, pg_catalog.col_description(a.attrelid, a.attnum)
+           | FROM pg_catalog.pg_attribute a WHERE a.attrelid = '$oid'
+           | AND a.attnum > 0 ORDER BY a.attnum""".stripMargin)
+      assert(cdesc._2 == Seq(Seq(Some("k"), Some("the key")),
+        Seq(Some("nm"), None)), cdesc._2)
+      // pgjdbc getTables REMARKS rides the same pg_description join
+      val rem = q(port,
+        """SELECT c.relname, d.description FROM pg_catalog.pg_class c
+          | LEFT JOIN pg_catalog.pg_description d ON (c.oid = d.objoid AND d.objsubid = 0 and d.classoid = 'pg_class'::regclass)
+          | WHERE c.relname = 'dim'""".stripMargin)
+      assert(rem._2 == Seq(Seq(Some("dim"), Some("the dimension"))))
+      // COMMENT ON ... IS NULL clears
+      assert(q(port, "COMMENT ON TABLE pgcon.dim IS NULL")._2 == Nil)
+      val cleared = q(port,
+        """SELECT pg_catalog.obj_description(c.oid, 'pg_class')
+          | FROM pg_catalog.pg_class c WHERE c.relname = 'dim'""".stripMargin)
+      assert(cleared._2 == Seq(Seq(None)), cleared._2)
+    } finally server.stop()
+  }
+
   test("rewrite unit behavior: casts, regex operators, COLLATE, " +
       "regclass, subscripts, double-quoted identifiers — literals opaque") {
     // rewrites may differ in whitespace; compare space-normalized
