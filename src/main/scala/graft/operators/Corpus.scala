@@ -126,6 +126,118 @@ object Corpus {
       s"\nSELECT * FROM (\n$finals\n) ORDER BY rank"
   }
 
+  /** DuckDB re-derivation of [[Unigram.trainLocal]] — the q129
+    * discipline applied to the unigram family: the oracle re-learns the
+    * vocabulary FROM SCRATCH with chained CTEs, one block per hard-EM
+    * round (recursive Viterbi DP forward pass with the (score, -pieces,
+    * lastLen) struct-max tie rule, a recursive backtrack emitting the
+    * chosen pieces, frequency-weighted recount, coverage-floored
+    * singles + count-pruned multis, Q20 square-and-shift log2 rescore).
+    * Every quantity is BIGINT, so a hash match means the TRAINED piece
+    * table — surfaces, counts, and scores — is bit-identical.
+    */
+  private def unigramTrainOracle(rounds: Int, maxPieceLen: Int,
+      seedMulti: Int, keep: Seq[Int]): String = {
+    def lgBlock(tag: String): String =
+      s"""lg${tag}it AS (
+         |  SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS m,
+         |    CASE WHEN length(bin(n)) - 1 <= 30
+         |      THEN n << (30 - (length(bin(n)) - 1))
+         |      ELSE n >> ((length(bin(n)) - 1) - 30) END AS x,
+         |    CAST(0 AS BIGINT) AS acc, 0 AS i
+         |  FROM lg${tag}vals
+         |  UNION ALL
+         |  SELECT n, m,
+         |    CASE WHEN ((x * x) >> 30) >= 2147483648
+         |      THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
+         |    acc * 2 + CASE WHEN ((x * x) >> 30) >= 2147483648 THEN 1 ELSE 0 END,
+         |    i + 1
+         |  FROM lg${tag}it WHERE i < 20),
+         |lg$tag AS (SELECT n, (m << 20) + acc AS lg FROM lg${tag}it WHERE i = 20)"""
+        .stripMargin
+    // v$r (p, cnt) → sc$r (p, cnt, s) + the vocab-as-list vv$r the next
+    // round's DP lambda scans (q138's broadcast idiom)
+    def scoreBlock(r: Int): String =
+      s"""t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM v$r),
+         |lg${r}vals AS (SELECT DISTINCT cnt AS n FROM v$r
+         |  UNION SELECT t AS n FROM t$r),
+         |${lgBlock(r.toString)},
+         |sc$r AS (SELECT v$r.p, v$r.cnt,
+         |  lg$r.lg - (SELECT lg FROM lg$r, t$r WHERE lg$r.n = t$r.t) AS s
+         |  FROM v$r JOIN lg$r ON lg$r.n = v$r.cnt),
+         |vv$r AS (SELECT list({'p': p, 'sc': s}) AS vl FROM sc$r)"""
+        .stripMargin
+    def roundBlock(r: Int): String = {
+      val pr = r - 1
+      s"""dp$r AS (
+         |  SELECT wrd.w AS w, 0 AS i,
+         |    [{'s': CAST(0 AS BIGINT), 'nc': CAST(0 AS BIGINT),
+         |      'pl': CAST(0 AS BIGINT)}] AS best
+         |  FROM wrd
+         |  UNION ALL
+         |  SELECT w, i + 1,
+         |    list_append(best,
+         |      list_aggregate(
+         |        list_filter(
+         |          list_transform(range(1, least(i + 1, $maxPieceLen) + 1), L ->
+         |            {'s': best[i + 2 - L].s +
+         |               list_filter(vl, z -> z.p = substr(w, i + 2 - L, L))[1].sc,
+         |             'nc': best[i + 2 - L].nc - 1,
+         |             'pl': CAST(L AS BIGINT)}),
+         |          x -> x.s IS NOT NULL),
+         |        'max'))
+         |  FROM dp$r, vv$pr WHERE i < length(w)),
+         |bt$r AS (
+         |  SELECT w, CAST(length(w) AS BIGINT) AS i, best
+         |  FROM dp$r WHERE i = length(w)
+         |  UNION ALL
+         |  SELECT w, i - best[i + 1].pl, best FROM bt$r WHERE i > 0),
+         |pieces$r AS (
+         |  SELECT w, substr(w, i - best[i + 1].pl + 1, best[i + 1].pl) AS p
+         |  FROM bt$r WHERE i > 0),
+         |cnt$r AS (
+         |  SELECT pieces$r.p AS p, CAST(sum(wrd.freq) AS BIGINT) AS cnt
+         |  FROM pieces$r JOIN wrd ON wrd.w = pieces$r.w GROUP BY 1),
+         |v$r AS (
+         |  SELECT s.p, greatest(coalesce(c.cnt, 0), 1) AS cnt
+         |  FROM singles s LEFT JOIN cnt$r c ON c.p = s.p
+         |  UNION ALL
+         |  SELECT p, cnt FROM (
+         |    SELECT p, cnt FROM cnt$r WHERE length(p) >= 2 AND cnt >= 1
+         |    ORDER BY cnt DESC, p LIMIT ${keep(r - 1)})),
+         |${scoreBlock(r)}""".stripMargin
+    }
+    val seed =
+      s"""wrd AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_filter(regexp_split_to_array(
+         |      trim(regexp_replace(lower(trim(text)), '[^a-z\\s]', ' ', 'g')), '\\s+'),
+         |      t -> length(t) >= 1)) AS w FROM documents)
+         |  GROUP BY 1),
+         |cand AS MATERIALIZED (
+         |  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(flatten(list_transform(
+         |      range(1, $maxPieceLen + 1), L ->
+         |        list_transform(range(1, length(w) - L + 2), i ->
+         |          substr(w, i, L))))) AS p
+         |    FROM wrd)
+         |  GROUP BY 1),
+         |singles AS MATERIALIZED (SELECT p, cnt FROM cand WHERE length(p) = 1),
+         |v0 AS (
+         |  SELECT p, cnt FROM singles
+         |  UNION ALL
+         |  SELECT p, cnt FROM (
+         |    SELECT p, cnt FROM cand WHERE length(p) >= 2
+         |    ORDER BY cnt DESC, p LIMIT $seedMulti)),
+         |${scoreBlock(0)}""".stripMargin
+    val body = (Seq(seed) ++ (1 to rounds).map(roundBlock)).mkString(",\n")
+    s"""WITH RECURSIVE
+       |$body
+       |SELECT p AS piece, cnt, s AS score_q20
+       |FROM sc$rounds
+       |ORDER BY score_q20 DESC, piece""".stripMargin
+  }
+
   val queries: Map[String, QueryDef] = Map(
 
     // TF-IDF top terms per document. One explode → (doc, term) tf counts;
@@ -994,6 +1106,35 @@ object Corpus {
           .toDF("rank", "a", "b", "n")
       },
       oracle = Some(bpeTrainOracle(12))),
+
+    // FULL UNIGRAM-LM TOKENIZER TRAINING under the oracle gate — the
+    // SentencePiece half q138 left open (q138 scores with a GIVEN piece
+    // table; this learns one). Engine side: [[Unigram.trainLocal]] — one
+    // corpus-sized histogram shuffle, then deterministic hard-EM rounds
+    // (Viterbi E-step, coverage-floored count M-step, count-based
+    // pruning, Q20 fixed-point log2 scores) driver-side over the bounded
+    // vocabulary, the [[Bpe.trainLocal]] factoring. Oracle side: DuckDB
+    // re-learns the SAME vocabulary from scratch (recursive-CTE Viterbi
+    // with the identical struct-max tie rule, recursive backtrack,
+    // integer recount/rescore — see [[unigramTrainOracle]]). A hash
+    // match means the trained piece table — surfaces, hard-EM counts,
+    // and Q20 scores — is bit-identical across engines. Text restricted
+    // to [a-z ] so tokenization and tie-break collation are
+    // engine-neutral (q129's discipline).
+    "q185_unigram_train" -> QueryDef(
+      fn = { (s, dir) =>
+        val cleaned = docs(s, dir).select(
+          regexp_replace(lower(trim(col("text"))), "[^a-z\\s]", " ")
+            .as("text"))
+        val pieces = Unigram.trainLocal(cleaned, rounds = 2,
+          maxPieceLen = 4, seedMulti = 48, keepSchedule = Seq(32, 24))
+        import s.implicits._
+        pieces.map(p => (p.p, p.cnt, p.score))
+          .toDF("piece", "cnt", "score_q20")
+          .orderBy(col("score_q20").desc, col("piece"))
+      },
+      oracle = Some(unigramTrainOracle(rounds = 2, maxPieceLen = 4,
+        seedMulti = 48, keep = Seq(32, 24)))),
 
     // Bigram-LM document scoring — the CCNet-style quality screen (Wenzek
     // LREC'20 trains a KenLM and buckets documents by perplexity; the
