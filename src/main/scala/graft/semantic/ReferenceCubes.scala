@@ -384,5 +384,83 @@ object ReferenceCubes {
         """SELECT count(*) AS n, CAST(sum(p_partkey) AS BIGINT) AS sum_key,
           |  CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS cents,
           |  min(p_name) AS min_name, max(p_name) AS max_name
-          |FROM part""".stripMargin)))
+          |FROM part""".stripMargin)),
+
+    // FEDERATED JDBC READ onto the oracle path (r12): the reference's
+    // Trino federates into Postgres through a connector catalog
+    // (trino/conf/trino/catalog/my_catalog.properties:1-4); here the
+    // engine CONSUMES JDBC the same way — spark.read.jdbc (Hive driver,
+    // [[graft.sources.interop.JdbcFederation]]'s hive2 dialect) against
+    // the engine's own thrift endpoint as the "foreign database", with
+    // the region predicate PUSHED into the remote scan (asserted on the
+    // physical plan) and the remote dimension joined against the local
+    // supplier parquet. A green hash proves the federated read
+    // value-exact end to end. Scale: pushdown ships the filter to the
+    // remote side so the wire carries the reduced dimension; the local
+    // fact side never leaves the cluster; partitionColumn splits bigger
+    // federated scans into parallel range fetches (JdbcFederationSpec).
+    "q186_jdbc_federation" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.{CatalogOps, CommitLog}
+        val nationRoot = java.nio.file.Files
+          .createTempDirectory("graft-q186-nation").toString
+        CommitLog.append(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+          nationRoot)
+        val db = "fed_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(10)
+        CatalogOps.createCommitLogTable(s, db, "nation", nationRoot)
+        val url = s"jdbc:hive2://localhost:${federationPort(s)}/default"
+        val remote = graft.sources.interop.JdbcFederation
+          .readTable(s, url, s"$db.nation")
+          .filter(col("n_regionkey") <= 2)
+          .select(col("n_nationkey"), col("n_name"))
+        val joined = Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .join(remote, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_sup"),
+            sum(expr("CAST(floor(s_acctbal * 100) AS BIGINT)")).as("cents"))
+          .orderBy("n_name")
+        // the federation contract, asserted: the predicate and the
+        // projection both reached the REMOTE scan
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("JDBCRelation") &&
+          plan.contains("LessThanOrEqual(n_regionkey,2)"),
+          s"region predicate not pushed into the remote scan:\n$plan")
+        joined
+      },
+      oracle = Some(
+        """SELECT n.n_name, count(*) AS n_sup,
+          |  CAST(sum(CAST(floor(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |WHERE n.n_regionkey <= 2
+          |GROUP BY 1 ORDER BY 1""".stripMargin)))
+
+  /** The federation endpoint, started ONCE per JVM and never stopped
+    * (HiveThriftServer2 does not rebind after stop — SqlEndpointSpec's
+    * documented constraint — and BenchOne's best-of-3 re-runs q186 in
+    * one process). Poll-until-accepting so the first caller returns a
+    * usable port.
+    */
+  private val fedPortHolder = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def federationPort(s: SparkSession): Int = fedPortHolder.synchronized {
+    if (fedPortHolder.get == 0) {
+      val (port, _) = graft.tools.SqlEndpoint.start(s)
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:$port/default"
+      var conn: java.sql.Connection = null
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (conn == null && System.nanoTime() < deadline) {
+        try conn = java.sql.DriverManager.getConnection(url, "anonymous", "")
+        catch { case _: Exception => Thread.sleep(300) }
+      }
+      require(conn != null, "federation endpoint never came up")
+      conn.close()
+      fedPortHolder.set(port)
+    }
+    fedPortHolder.get
+  }
 }

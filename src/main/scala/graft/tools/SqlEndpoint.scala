@@ -84,6 +84,36 @@ object SqlEndpoint {
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home",
         Files.createTempDirectory("graft-derby").toString)
+    // With an in-memory catalog (no real metastore configured), pin the
+    // HiveServer2 session-state metastore to a FILE-BACKED temp Derby:
+    // the `jdbc:derby:memory:;databaseName=…` URL Spark otherwise
+    // derives resolves the empty database name against the process CWD
+    // on this Derby (10.16: "Directory memory:<cwd> already exists")
+    // and the server wedges in metastore-init retries. Guarded so a
+    // session with a REAL metastore (Graft.session(warehouse), hive
+    // catalog) keeps its own URL untouched.
+    val jdoKey = "javax.jdo.option.ConnectionURL"
+    if (System.getProperty(jdoKey) == null &&
+        !spark.sparkContext.getConf.contains(jdoKey) &&
+        spark.sparkContext.getConf
+          .get("spark.sql.catalogImplementation", "in-memory") != "hive")
+      System.setProperty(jdoKey,
+        "jdbc:derby:;databaseName=" +
+          Files.createTempDirectory("graft-hs2-ms").resolve("metastore_db") +
+          ";create=true")
+    // The in-memory-catalog execution client's Derby URL
+    // (`jdbc:derby:memory:;databaseName=…`, baked by Spark's
+    // newClientForExecution — not overridable from outside) fails its
+    // FIRST create on Derby 10.16 and succeeds on a retry once the
+    // racing create has landed. The default HMS handler cadence (10
+    // attempts × 2000 ms) turns that benign first failure into ~20 s of
+    // dead wait PER JDBC CONNECTION; a tight interval keeps the same
+    // eventually-succeeds behavior at interactive latency.
+    Seq("hive.hmshandler.retry.interval" -> "200ms",
+        "hive.metastore.client.connect.retry.delay" -> "1s")
+      .foreach { case (k, v) =>
+        if (System.getProperty(k) == null) System.setProperty(k, v)
+      }
     val server = HiveThriftServer2.startWithSparkSession(spark, exitOnError = false)
     (p, server)
   }
