@@ -229,16 +229,28 @@ object HudiImport {
     val mergedPaths: Seq[String] =
       if (outstanding.isEmpty) Nil
       else {
-        val keyField = Option(props.getProperty("hoodie.table.recordkey.fields"))
+        val keySpec = Option(props.getProperty("hoodie.table.recordkey.fields"))
           .map(_.trim).filter(_.nonEmpty).getOrElse(
             throw new IllegalArgumentException(
               "MOR log fold needs hoodie.table.recordkey.fields in " +
-                "hoodie.properties (composite keys unsupported)"))
-        require(!keyField.contains(","),
-          "MOR log fold supports a single record-key field, got " + keyField)
-        require(schema.fieldNames.contains(keyField),
-          s"record-key field $keyField is not in the table schema")
-        import org.apache.spark.sql.functions.col
+                "hoodie.properties"))
+        val keyFields = keySpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        keyFields.foreach(f => require(schema.fieldNames.contains(f),
+          s"record-key field $f is not in the table schema"))
+        // Hudi's key encodings (the published KeyGenerator contract):
+        // SimpleKeyGenerator renders the single field's value verbatim;
+        // ComplexKeyGenerator renders `f1:v1,f2:v2` — delete blocks carry
+        // recordKey in exactly this form, so the fold's avro-side and
+        // base-file-side encoders must both reproduce it.
+        def keyOfRecord(r: org.apache.avro.generic.GenericRecord): String =
+          if (keyFields.size == 1) String.valueOf(r.get(keyFields.head))
+          else keyFields.map(f => s"$f:${String.valueOf(r.get(f))}")
+            .mkString(",")
+        import org.apache.spark.sql.functions.{col, concat_ws, lit}
+        def keyColumn: org.apache.spark.sql.Column =
+          if (keyFields.size == 1) col(keyFields.head).cast("string")
+          else concat_ws(",", keyFields.map(f =>
+            concat_ws(":", lit(f), col(f).cast("string"))): _*)
         val mergedFrames = outstanding.toSeq
           .sortBy { case ((part, fid), _) => (part, fid) }
           .map { case ((_, _), g) =>
@@ -264,7 +276,7 @@ object HudiImport {
               b.blockType match {
                 case AvroDataBlock =>
                   dataBlockRecords(b).foreach { r =>
-                    val k = String.valueOf(r.get(keyField))
+                    val k = keyOfRecord(r)
                     upserts.put(k, r); deletes.remove(k)
                   }
                 case DeleteBlock =>
@@ -290,7 +302,7 @@ object HudiImport {
               .map(r => avroRecordToRow(r, schema))
             val upsertDf = spark.createDataFrame(upsertRows.asJava, schema)
             base.join(touchedDf,
-                col(keyField).cast("string") === col("__hoodie_touched_key"),
+                keyColumn === col("__hoodie_touched_key"),
                 "left_anti")
               .unionByName(upsertDf)
           }

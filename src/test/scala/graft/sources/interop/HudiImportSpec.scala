@@ -30,7 +30,7 @@ class HudiImportSpec extends SparkTestBase {
   }
 
   private def commitJson(stats: Seq[(String, String, Long)],
-      replaced: Seq[String] = Nil): String = {
+      replaced: Seq[String] = Nil, schema: String = avroSchema): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = om.createObjectNode()
     val pws = n.putObject("partitionToWriteStats").putArray("")
@@ -42,7 +42,7 @@ class HudiImportSpec extends SparkTestBase {
       val rep = n.putObject("partitionToReplaceFileIds").putArray("")
       replaced.foreach(rep.add)
     }
-    n.putObject("extraMetadata").put("schema", avroSchema)
+    n.putObject("extraMetadata").put("schema", schema)
     om.writeValueAsString(n)
   }
 
@@ -304,6 +304,79 @@ class HudiImportSpec extends SparkTestBase {
       case i => (i, i.toDouble / 4)
     } :+ (100L, 1.0)).sortBy(_._1)
     assert(got2 == want2, s"got $got2")
+  }
+
+  test("MOR log fold: COMPOSITE record keys (ComplexKeyGenerator " +
+      "`f1:v1,f2:v2` encoding) — upserts, deletes, and the base-file " +
+      "anti-join all agree on the encoded key") {
+    import spark.implicits._
+    val schema2 =
+      """{"type":"record","name":"r2","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"sub","type":"string"},
+        |  {"name":"v","type":["null","double"],"default":null}
+        |]}""".stripMargin
+    def dataBlock2(instant: String,
+        recs: Seq[(Long, String, Option[Double])]): Array[Byte] = {
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val sc = new org.apache.avro.Schema.Parser().parse(schema2)
+      val writer = new GenericDatumWriter[GenericRecord](sc)
+      val co = new java.io.ByteArrayOutputStream()
+      val cd = new java.io.DataOutputStream(co)
+      cd.writeInt(3); cd.writeInt(recs.size)
+      recs.foreach { case (id, sub, v) =>
+        val r = new GenericData.Record(sc)
+        r.put("id", java.lang.Long.valueOf(id))
+        r.put("sub", sub)
+        r.put("v", v.map(java.lang.Double.valueOf).orNull)
+        val ro = new java.io.ByteArrayOutputStream()
+        val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(ro, null)
+        writer.write(r, enc); enc.flush()
+        val rb = ro.toByteArray
+        cd.writeInt(rb.length); cd.write(rb)
+      }
+      blockBytes(3, Seq(0 -> instant, 2 -> schema2), co.toByteArray)
+    }
+    val t = Files.createTempDirectory("graft-hudi-mor-ck")
+    val hoodie = t.resolve(".hoodie")
+    Files.createDirectories(hoodie)
+    Files.write(hoodie.resolve("hoodie.properties"),
+      ("hoodie.table.name=fixture\nhoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.recordkey.fields=id,sub\n").getBytes("UTF-8"))
+    // base: (0..5) x (a,b)
+    val w = Files.createTempDirectory("graft-hudi-ckw")
+    (0L until 6L).flatMap(i => Seq((i, "a", i * 1.0), (i, "b", i * 2.0)))
+      .toDF("id", "sub", "v").coalesce(1)
+      .write.mode("overwrite").parquet(w.toString)
+    import scala.jdk.CollectionConverters._
+    Files.move(Files.list(w).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get,
+      t.resolve("fg1_0-0-0_001.parquet"))
+    Files.write(hoodie.resolve("001.deltacommit"), commitJson(Seq(
+      ("fg1", "fg1_0-0-0_001.parquet", 12L)), schema = schema2)
+      .getBytes("UTF-8"))
+    // 002: upsert (3,a)->99, insert (100,a)->1
+    Files.write(t.resolve(".fg1_001.log.1_0-1-0"),
+      dataBlock2("002", Seq((3L, "a", Some(99.0)), (100L, "a", Some(1.0)))))
+    Files.write(hoodie.resolve("002.deltacommit"), commitJson(Seq(
+      ("fg1", ".fg1_001.log.1_0-1-0", 2L)), schema = schema2)
+      .getBytes("UTF-8"))
+    // 003: composite-encoded deletes — (5,b) from the base, (100,a) from
+    // the log insert; (5,a) must SURVIVE (the key is the pair, not id)
+    Files.write(t.resolve(".fg1_001.log.2_0-1-0"),
+      deleteBlock("003", Seq("id:5,sub:b", "id:100,sub:a")))
+    Files.write(hoodie.resolve("003.deltacommit"), commitJson(Seq(
+      ("fg1", ".fg1_001.log.2_0-1-0", 2L)), schema = schema2)
+      .getBytes("UTF-8"))
+    val root = Files.createTempDirectory("graft-hudi-ck-out").toString
+    HudiImport.importTable(spark, t.toString, root, allowLogs = true)
+    val got = CommitLog.read(spark, root).orderBy("id", "sub").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val want = ((0L until 6L).flatMap(i => Seq(
+      (i, "a", if (i == 3L) 99.0 else i * 1.0),
+      (i, "b", i * 2.0))).filterNot(x => x._1 == 5L && x._2 == "b"))
+      .sortBy(x => (x._1, x._2))
+    assert(got == want, s"got $got")
   }
 
   test("MOR log fold: a log-ONLY file group (no base) imports its " +
