@@ -573,6 +573,11 @@ object PgWire {
           try {
             val name = cur.cstr(); val raw = cur.cstr()
             val nTypes = cur.i16(); (0 until nTypes).foreach(_ => cur.i32())
+            if (PgCopy.isCopy(raw))
+              throw new UnsupportedOperationException(
+                "COPY is served on the simple-query protocol only " +
+                  "(psql \\copy works); the extended protocol refuses it " +
+                  "rather than half-running the sub-protocol")
             val shim = shimOf(raw)
             // pg-dialect spellings translate once at Parse; later stages
             // (Bind/Describe/Execute) see the Spark-parseable text
@@ -1025,7 +1030,13 @@ object PgWire {
     case "COMMIT" => txn.commit()
     case "ROLLBACK" => txn.rollback()
     case "DISCARD ALL" => txn.rollback(); "DISCARD ALL"
-    case other => other
+    case "SAVEPOINT" =>
+      txn.fail() // pg: an errored verb poisons the block
+      throw new UnsupportedOperationException(
+        "SAVEPOINT is not supported — the transaction protocol commits " +
+          "all-or-nothing at one marker write and has no partial-rollback " +
+          "point; use separate transactions")
+    case other => other // SET TRANSACTION … → "SET" acknowledge
   }
 
   private val SetStmt =
@@ -1046,10 +1057,24 @@ object PgWire {
     else t
   }
 
+  /** SAVEPOINT verbs: pg clients may issue them inside a block; the
+    * append-only transaction protocol has no partial-rollback point, so
+    * they refuse with a clear 0A000 instead of a confusing Spark parse
+    * error. `SET [SESSION CHARACTERISTICS AS] TRANSACTION …` verbs
+    * acknowledge as `SET` (reads in a block already get a snapshot cut;
+    * there is no weaker level to set).
+    */
+  private val SavepointRe =
+    "(?is)^(SAVEPOINT|RELEASE\\s+SAVEPOINT|ROLLBACK\\s+TO\\s+SAVEPOINT|RELEASE)\\s+.*".r
+  private val SetTxnRe =
+    "(?is)^SET\\s+(SESSION\\s+CHARACTERISTICS\\s+AS\\s+)?TRANSACTION\\b.*".r
+
   private[tools] def shimOf(sql: String): Option[Shim] = {
     val s = sql.trim.stripSuffix(";").trim
     txnTag(s).map(TxnVerb.apply).orElse(s match {
       case ShowTxnIso() => Some(ShowParam("transaction_isolation"))
+      case SavepointRe(_) => Some(TxnVerb("SAVEPOINT"))
+      case SetTxnRe(_) => Some(TxnVerb("SET"))
       case SetTimeZone(v) => Some(SetParam("TimeZone", unquote(v)))
       case SetStmt(k, v) => Some(SetParam(k, unquote(v)))
       case ShowStmt(k)

@@ -1083,7 +1083,24 @@ class PgWireSpec extends SparkTestBase {
       assert(extTag("COMMIT") == "COMMIT")
       assert(CommitLog.currentVersion(rootA).get == vA1 + 2)
       assert(CommitLog.read(spark, rootA).count() == 5)
+      // COPY refuses on the extended protocol (simple-query only)
+      assert(extTag("COPY ta TO STDOUT").startsWith("ERROR"))
       c3.close()
+
+      // ---- SAVEPOINT refuses with 0A000 and poisons; SET TRANSACTION
+      // acknowledges (the snapshot cut IS the isolation)
+      val c4 = new PgClient(server.port)
+      c4.startup(user); assert(c4.authenticate(user, pass))
+      assert(c4.query("USE pgtxndb").error.isEmpty)
+      assert(c4.query("BEGIN").tag == "BEGIN")
+      assert(c4.query(
+        "SET TRANSACTION ISOLATION LEVEL SERIALIZABLE").tag == "SET")
+      val sp = c4.query("SAVEPOINT sp1")
+      assert(sp.error.exists(e => e.contains("0A000") &&
+        e.contains("SAVEPOINT")), s"${sp.error}")
+      assert(c4.lastStatus == 'E')
+      assert(c4.query("ROLLBACK").tag == "ROLLBACK")
+      c4.close()
     } finally server.stop()
   }
 
