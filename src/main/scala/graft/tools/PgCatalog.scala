@@ -666,7 +666,11 @@ object PgCatalog {
     */
   def touchesCatalog(sql: String): Boolean = {
     val l = sql.toLowerCase(java.util.Locale.ROOT)
-    l.contains("pg_catalog") || l.contains("information_schema.") ||
+    // both spellings: the raw pg form (information_schema.tables) and
+    // the REWRITTEN temp-view form (information_schema_tables) — the
+    // extended protocol stores rewritten text at Parse, and Describe/
+    // Execute re-check THAT when deciding whether to refresh the views
+    l.contains("pg_catalog") || l.contains("information_schema") ||
       l.contains("pg_class") ||
       l.contains("pg_namespace") || l.contains("pg_attribute") ||
       l.contains("pg_type") || l.contains("pg_database") ||

@@ -1104,6 +1104,34 @@ class PgWireSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("extended-protocol information_schema on a FRESH connection " +
+      "refreshes the catalog views (rewritten-name touchesCatalog)") {
+    import graft.sources.{CatalogOps, CommitLog}
+    val root = java.nio.file.Files.createTempDirectory("graft-pgisx").toString
+    CommitLog.append(spark.range(2).selectExpr("id AS k"), root)
+    CatalogOps.createCommitLogTable(spark, "pgisxdb", "t1", root)
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user); assert(c.authenticate(user, pass))
+      // NO prior simple query: Parse/Bind/Describe/Execute directly —
+      // the stored statement text is the REWRITTEN form
+      // (information_schema_tables), which must still trigger ensure()
+      val sql = "SELECT table_name FROM information_schema.tables " +
+        "WHERE table_schema = 'pgisxdb' ORDER BY 1"
+      c.msg('P', c.cstrBytes("") ++ c.cstrBytes(sql) ++ Array[Byte](0, 0))
+      c.msg('B', c.cstrBytes("") ++ c.cstrBytes("") ++
+        Array[Byte](0, 0) ++ Array[Byte](0, 0) ++ Array[Byte](0, 0))
+      c.msg('D', "P".getBytes(UTF_8) ++ c.cstrBytes(""))
+      c.msg('E', c.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+      c.msg('S', Array.emptyByteArray)
+      val r = c.collectResult()
+      assert(r.error.isEmpty, s"${r.error}")
+      assert(r.rows == Seq(Seq(Some("t1"))), r.rows)
+      c.close()
+    } finally server.stop()
+  }
+
   test("COPY protocol: TO STDOUT text + csv/header, FROM STDIN as one " +
       "atomic commit, NULL/quote/newline fidelity, CopyFail aborts, " +
       "transaction participation") {
