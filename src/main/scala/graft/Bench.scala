@@ -88,7 +88,15 @@ object Bench {
     // did manually, 9 flags in r11, all host contention). The emitted
     // {in_sweep, isolated} pairs make the sweep number interpretable
     // without a separate triage session.
-    val prior = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+    // r12 verdict #2: the official run carried `flags:{}` because the
+    // machinery only armed when the env var was set. The prior now
+    // DEFAULTS to the newest committed round snapshot (dev/
+    // bench_local_r{N}.json), so the driver's run self-adjudicates with
+    // no env cooperation; the env var remains an explicit override.
+    val priorPath = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+      .orElse(defaultPriorPath())
+    priorPath.foreach(p => System.err.println(s"Bench: adjudication prior = $p"))
+    val prior = priorPath
       .map(parsePriorQueries).getOrElse(Map.empty[String, Double])
     val flags = results
       .filter { case (name, t, n) =>
@@ -128,6 +136,28 @@ object Bench {
       s""""n_flags":${flags.size},""" +
       s""""ingest":$ingest,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The newest committed per-round sf0.1 snapshot (`dev/
+    * bench_local_r{N}{suffix}.json`, highest round then latest suffix) —
+    * the default self-adjudication prior. Looks beside the CWD first
+    * (the driver runs from the repo root), then the canonical repo path.
+    */
+  private def defaultPriorPath(): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val Re = """bench_local_r(\d+)([a-z]?)\.json""".r
+    Seq("dev", "/root/repo/dev")
+      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.isDirectory(_))
+      .flatMap { dir =>
+        java.nio.file.Files.list(dir).iterator().asScala
+          .flatMap { p =>
+            p.getFileName.toString match {
+              case Re(n, s) => Some((n.toInt, s, p.toString))
+              case _ => None
+            }
+          }.toSeq.sortBy { case (n, s, _) => (n, s) }
+          .lastOption.map(_._3)
+      }
   }
 
   /** The prior round's per-query seconds, parsed from its bench JSON

@@ -402,18 +402,9 @@ object ReferenceCubes {
     "q186_jdbc_federation" -> QueryDef(
       fn = { (s: SparkSession, dir: String) =>
         import org.apache.spark.sql.functions._
-        import graft.sources.{CatalogOps, CommitLog}
-        val nationRoot = java.nio.file.Files
-          .createTempDirectory("graft-q186-nation").toString
-        CommitLog.append(Tables.load(s, dir, "nation")
-          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
-          nationRoot)
-        val db = "fed_" + java.util.UUID.randomUUID().toString
-          .replace("-", "").take(10)
-        CatalogOps.createCommitLogTable(s, db, "nation", nationRoot)
         val url = s"jdbc:hive2://localhost:${federationPort(s)}/default"
         val remote = graft.sources.interop.JdbcFederation
-          .readTable(s, url, s"$db.nation")
+          .readTable(s, url, fedNationTable(s, dir))
           .filter(col("n_regionkey") <= 2)
           .select(col("n_nationkey"), col("n_name"))
         val joined = Tables.load(s, dir, "supplier")
@@ -436,6 +427,85 @@ object ReferenceCubes {
           |  CAST(sum(CAST(floor(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
           |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
           |WHERE n.n_regionkey <= 2
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TRANSACTIONAL ROW-LEVEL DML through the wire onto the oracle path
+    // (r13, verdict #4): a pg script runs UPDATE + DELETE + INSERT
+    // between BEGIN and COMMIT; the block's ordered ops fold over the
+    // pinned snapshot's position-tagged rows ([[CommitLog.multiDml]]) —
+    // dead positions become deletion vectors, updated images and inserts
+    // append — landing as EXACTLY ONE commit under one coordinator
+    // marker (version asserted in-query), and a ROLLBACK script with the
+    // same verbs leaves no trace (asserted too). DuckDB recomputes the
+    // final state from the raw parquet with set algebra. Scale: the DML
+    // write cost is O(matched rows) merge-on-read (DV + new images,
+    // never a table rewrite), and the commit point stays one KB-scale
+    // marker write.
+    "q187_pgwire_txn_dml" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.{CatalogOps, CommitLog}
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q187-dml").toString
+        CommitLog.append(ord.filter(col("o_orderkey") % 4 === 0), root)
+        val db = "pgdml_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(10)
+        CatalogOps.createCommitLogTable(s, db, "ord", root)
+        ord.filter(col("o_orderkey") % 4 === 1)
+          .createOrReplaceGlobalTempView("pgdml_src_o")
+        val server = graft.tools.PgWire.start(s,
+          user = "cube", password = "wire-check")
+        val rows =
+          try {
+            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+              "cube", "wire-check",
+              s"""USE $db;
+                 |BEGIN;
+                 |UPDATE ord SET o_totalprice = o_totalprice * 2
+                 |  WHERE o_orderkey % 3 = 0;
+                 |DELETE FROM ord WHERE o_orderkey % 5 = 0;
+                 |INSERT INTO ord SELECT * FROM global_temp.pgdml_src_o;
+                 |COMMIT""".stripMargin)
+            require(CommitLog.currentVersion(root).contains(2L),
+              "the whole DML block must land as exactly ONE commit")
+            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+              "cube", "wire-check",
+              s"""USE $db;
+                 |BEGIN;
+                 |UPDATE ord SET o_totalprice = 0 WHERE o_orderkey > 0;
+                 |DELETE FROM ord WHERE o_custkey % 2 = 0;
+                 |ROLLBACK""".stripMargin)
+            require(CommitLog.currentVersion(root).contains(2L),
+              "ROLLBACK must leave the table untouched")
+            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+              "cube", "wire-check",
+              s"""SELECT o_custkey % 10 AS bucket, count(*) AS n,
+                 |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+                 |FROM $db.ord
+                 |GROUP BY o_custkey % 10
+                 |ORDER BY bucket""".stripMargin)._2
+          } finally server.stop()
+        import s.implicits._
+        rows.map(r => (r(0).get, r(1).get, r(2).get))
+          .toDF("bucket", "n", "cents")
+          .select(col("bucket").cast("long").as("bucket"),
+            col("n").cast("long").as("n"),
+            col("cents").cast("long").as("cents"))
+          .orderBy("bucket")
+      },
+      oracle = Some(
+        """SELECT o_custkey % 10 AS bucket, count(*) AS n,
+          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM (
+          |  SELECT o_custkey,
+          |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+          |         ELSE o_totalprice END AS o_totalprice
+          |  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 5 <> 0
+          |  UNION ALL
+          |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+          |) u
           |GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** The federation endpoint, started ONCE per JVM and never stopped
@@ -445,6 +515,33 @@ object ReferenceCubes {
     * usable port.
     */
   private val fedPortHolder = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The q186 remote-side fixture (nation as a commitlog catalog table),
+    * staged ONCE per (JVM, sf-dir) — r12 verdict #3: the in-query
+    * fixture commit + catalog DDL (and, on the first call, the endpoint
+    * spin-up) dominated the bench number (~14 s, 5–8 % of the sweep),
+    * masking real regressions elsewhere. The timed body is now the
+    * federated scan + join; the fixture cost lands on the warmup pass /
+    * first run only, which best-of-N sheds.
+    */
+  private val fedFixtures = scala.collection.mutable.Map[String, String]()
+
+  private def fedNationTable(s: SparkSession, dir: String): String =
+    fedFixtures.synchronized {
+      fedFixtures.getOrElseUpdate(dir, {
+        import org.apache.spark.sql.functions.col
+        import graft.sources.{CatalogOps, CommitLog}
+        val nationRoot = java.nio.file.Files
+          .createTempDirectory("graft-q186-nation").toString
+        CommitLog.append(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+          nationRoot)
+        val db = "fed_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(10)
+        CatalogOps.createCommitLogTable(s, db, "nation", nationRoot)
+        s"$db.nation"
+      })
+    }
 
   private def federationPort(s: SparkSession): Int = fedPortHolder.synchronized {
     if (fedPortHolder.get == 0) {

@@ -2458,6 +2458,218 @@ object CommitLog {
     versions
   }
 
+  // --------------------------------------------------------------------
+  // Multi-table transactions carrying row-level DML (pg-wire blocks)
+  // --------------------------------------------------------------------
+
+  /** One statement's effect inside a transaction block, in statement
+    * order. INSERTs carry their statement-time-evaluated rows; DELETE and
+    * UPDATE carry the predicate/assignments as unresolved [[Column]]s —
+    * deterministic against the block's PINNED snapshot, so deferring
+    * their evaluation to COMMIT preserves statement-time semantics.
+    */
+  sealed trait TxnOp
+  final case class TxnIns(df: DataFrame) extends TxnOp
+  final case class TxnDel(cond: Column) extends TxnOp
+  final case class TxnUpd(set: Seq[(String, Column)], cond: Column)
+    extends TxnOp
+
+  /** The block is stale: a concurrent commit moved a table between the
+    * snapshot its DML was computed against and COMMIT. pg SQLSTATE 40001
+    * (serialization_failure) — the client retries the transaction.
+    */
+  final class TxnSerializationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Fold a block's ordered ops over a base frame — THE definition of the
+    * transaction's view of a table, shared by the pg-wire shadow views
+    * (read-your-writes at every point in the block) and [[multiDml]]'s
+    * commit materialization. `extra` columns (the file/position tags the
+    * commit path rides) pass through untouched except that an UPDATE
+    * nulls them on the rows it rewrites: an updated base row's old
+    * position dies and its new image appends, exactly like [[updateDV]].
+    */
+  def applyTxnOps(base: DataFrame, schema: StructType, ops: Seq[TxnOp],
+      extra: Seq[String] = Nil): DataFrame =
+    ops.foldLeft(base) {
+      case (df, TxnIns(b)) => df.unionByName(b, allowMissingColumns = true)
+      case (df, TxnDel(c)) => df.filter(!coalesce(c, lit(false)))
+      case (df, TxnUpd(set, c)) =>
+        val hit = coalesce(c, lit(false))
+        val assign = set.toMap
+        val cols = schema.fields.toIndexedSeq.map { f =>
+          assign.get(f.name) match {
+            case Some(v) =>
+              when(hit, v.cast(f.dataType))
+                .otherwise(col(s"`${f.name.replace("`", "``")}`"))
+                .as(f.name)
+            case None => col(s"`${f.name.replace("`", "``")}`")
+          }
+        } ++ extra.map(e =>
+          when(hit, lit(null)).otherwise(col(e)).as(e))
+        df.select(cols: _*)
+    }
+
+  /** A fully-staged single-table DML payload, awaiting its phase-1
+    * publish: everything here was data work; the publish is one KB-scale
+    * commit record.
+    */
+  private final case class PreparedDml(root: String, base: Long,
+      commit: Commit)
+
+  /** Atomic multi-table commit of a transaction block that may carry
+    * row-level DELETE/UPDATE alongside INSERTs — the pg-wire BEGIN…COMMIT
+    * surface ([[graft.tools.PgTxn]]). Same Percolator-style protocol as
+    * [[multiAppend]] (phase 0 all data work, phase 1 KB-scale prepares,
+    * phase 2 ONE create-if-absent marker write), with per-table payloads
+    * generalized from append-only to add+remove+DV.
+    *
+    * Per table the ordered ops fold over the POSITION-TAGGED live rows of
+    * the files the predicates touch ([[applyTxnOps]]): base positions
+    * absent from the folded state die (deletion vectors / whole-file
+    * drops — merge-on-read, O(matched rows) write cost like [[deleteDV]]);
+    * rows with no surviving tag (staged inserts + updated images) stage
+    * as new files. Untouched files carry by reference.
+    *
+    * Isolation: a table whose ops include DELETE/UPDATE must still be at
+    * `pinned` (the version the block's snapshot cut pinned) at COMMIT —
+    * first-committer-wins snapshot isolation; otherwise the whole
+    * transaction aborts with [[TxnSerializationException]] (pg 40001) and
+    * no table shows any effect. Insert-only tables keep [[multiAppend]]'s
+    * append-commute semantics (a concurrent commit re-derives metadata,
+    * never aborts).
+    *
+    * `tables`: (root, pinned version — None only for insert-only entries,
+    * ops in statement order).
+    */
+  def multiDml(spark: SparkSession,
+      tables: Seq[(String, Option[Long], Seq[TxnOp])],
+      coord: String): Map[String, Long] = {
+    require(tables.nonEmpty, "multiDml needs at least one table")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "one entry per table root")
+    Files.createDirectories(Paths.get(coord))
+    val markerPath = Paths.get(coord)
+      .resolve(s"txn-${UUID.randomUUID()}.json").toAbsolutePath.toString
+    def fail(e: Throwable): Nothing = {
+      // fail FAST and deterministically: abort our own marker so already-
+      // published prepares fold as no-ops immediately (not after the
+      // grace window)
+      val st = decideMarker(Paths.get(markerPath), "aborted")
+      txnStateCache.put(markerPath, st)
+      throw e
+    }
+    // Phase 0 — ALL data work (staging, DV computation, enforcement)
+    val prepared: Seq[Either[PreparedBatch, PreparedDml]] =
+      try {
+        tables.map { case (root, pinned, ops) =>
+          val dml = ops.exists(o => !o.isInstanceOf[TxnIns])
+          if (!dml) {
+            val batch = ops.collect { case TxnIns(df) => df }
+              .reduceLeft(_ unionByName _)
+            Left(prepareBatch(batch, root))
+          } else {
+            val base = pinned.getOrElse(throw new IllegalArgumentException(
+              s"DML ops need the block's pinned version for $root " +
+                "(fold DML on a no-commit table into a pure insert first)"))
+            if (!currentVersion(root).contains(base))
+              throw new TxnSerializationException(
+                s"$root moved past pinned version $base before COMMIT; " +
+                  "retry the transaction (serialization failure)")
+            val m = readManifest(root, base)
+            val schema = schemaOf(m)
+            val orCond = ops.collect {
+              case TxnDel(c) => c
+              case TxnUpd(_, c) => c
+            }.reduceLeft(_ || _)
+            val touched = touchedFiles(spark, root, m)(
+              _.filter(coalesce(orCond, lit(false))))
+            val tagged = readTaggedLive(spark, root, m, touched)
+            val state = applyTxnOps(tagged, schema, ops,
+              extra = Seq(TagFile, TagPos)).persist()
+            try {
+              val survivors = state.where(col(TagFile).isNotNull)
+                .select(col(TagFile), col(TagPos))
+              val absToRel = touched.map(f => (absPath(root, f), f))
+              val deadRel = tagged.select(col(TagFile), col(TagPos))
+                .except(survivors)
+                .join(broadcast(spark.createDataFrame(absToRel)
+                  .toDF(TagFile, "__dv_rel")), TagFile)
+                .select(col("__dv_rel"), col(TagPos).as("__dv_pos"))
+              val priorDv = m.dvsOrEmpty.filter {
+                case (f, _) => touched.contains(f)
+              }
+              val dead = (if (priorDv.isEmpty) deadRel
+                else deadRel.unionByName(
+                  dvPositionsRel(spark, root, priorDv))).persist()
+              try {
+                val counts = dead.groupBy("__dv_rel")
+                  .agg(count(lit(1)).as("n"))
+                  .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+                val rowsOf = m.statsOrNil.map(s => s.path -> s.rows).toMap
+                val (fullGone, partial0) = touched.partition(f =>
+                  counts.getOrElse(f, 0L) > 0L &&
+                    rowsOf.get(f).contains(counts(f)))
+                // a touched file whose net fold killed nothing keeps its
+                // (possibly absent) DV and is neither removed nor re-DV'd
+                val partial = partial0.filter(f => counts.getOrElse(f, 0L) > 0L)
+                val dvEntries =
+                  if (partial.isEmpty) Map.empty[String, String]
+                  else stageDV(dead.filter(col("__dv_rel").isin(partial: _*)),
+                    root, partial)
+                val newRows = state.where(col(TagFile).isNull)
+                  .select(schema.fields.toIndexedSeq.map(f =>
+                    col(s"`${f.name.replace("`", "``")}`")
+                      .cast(f.dataType).as(f.name)): _*)
+                val add =
+                  if (newRows.isEmpty) Nil
+                  else stageWithStats(newRows, root, m.partitionByOrNil,
+                    colMap = m.colMapOrEmpty, props = m.propsOrEmpty)
+                if (add.nonEmpty) {
+                  enforceConstraints(spark, root, Some(m), add, schema)
+                  enforceRelational(spark, root, Some(m), add, schema)
+                }
+                Right(PreparedDml(root, base,
+                  Commit(base + 1, "txn-dml", m.schemaJson, add, fullGone,
+                    m.partitionByOrNil, m.txnOrEmpty, dvs = dvEntries,
+                    multiTxn = markerPath)))
+              } finally dead.unpersist()
+            } finally state.unpersist()
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) => fail(e) }
+    // Phase 1 — prepares back-to-back (KB-scale commit writes each)
+    val versions =
+      try {
+        prepared.map {
+          case Left(pb) =>
+            pb.root -> withRetry() { publishPrepared(pb, markerPath, identity) }
+          case Right(pd) =>
+            // first-committer-wins: the version we computed against must
+            // still be current; the link-create races the last inch
+            if (!currentVersion(pd.root).contains(pd.base))
+              throw new TxnSerializationException(
+                s"${pd.root} moved past pinned version ${pd.base} during " +
+                  "COMMIT; retry the transaction (serialization failure)")
+            try { publish(pd.root, pd.commit); pd.root -> pd.commit.version }
+            catch {
+              case _: CommitConflictException =>
+                throw new TxnSerializationException(
+                  s"${pd.root} received a concurrent commit during COMMIT; " +
+                    "retry the transaction (serialization failure)")
+            }
+        }.toMap
+      } catch { case scala.util.control.NonFatal(e) => fail(e) }
+    // Phase 2 — one create-if-absent marker write decides everything
+    val st = decideMarker(Paths.get(markerPath), "committed")
+    txnStateCache.put(markerPath, st)
+    if (st != "committed")
+      throw new TxnAbortedException(
+        s"multi-table transaction $markerPath was force-aborted by a " +
+          "concurrent resolver during prepare; no table shows any effect")
+    versions
+  }
+
   /** Signals a duplicate multi-table batch detected mid-prepare: some
     * table's transaction watermark already covers this (appId, batchId) —
     * a racing driver's identical txn won. Internal control flow only.

@@ -64,10 +64,30 @@ import graft.sources.CommitLog
   * relation already executes as Spark's vectorized, codegen'd
   * `FileSourceScanExec`, which is the entire point.
   */
-class DefaultSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+class DefaultSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-commitlog"
+
+  /** Declared-schema face (`CREATE TABLE t (k INT, …) USING
+    * graft-commitlog`): on a root with NO commits yet, serve an empty
+    * relation at the declared schema — the pg-style "create the table,
+    * then INSERT into it (possibly inside a transaction block)" shape,
+    * which the infer-only RelationProvider path refuses with "no
+    * commits". Once commits exist the manifest is the schema authority
+    * and this delegates to the inferring path unchanged.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val root = rootOf(parameters)
+    val pinned = parameters.get("version").map(_.toLong)
+    if (CommitLog.currentVersion(root).isEmpty && pinned.isEmpty)
+      new EmptyCommitLogRelation(sqlContext.sparkSession, root, schema)
+    else createRelation(sqlContext, parameters)
+  }
 
   private def rootOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path",
@@ -284,6 +304,39 @@ class CommitLogFileIndex(
     }
     Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
   }
+}
+
+/** Relation for a registered commitlog table whose root has no commits
+  * yet: schema is the CREATE-declared one, scans are empty, inserts land
+  * the first commit. Built only when the root was commit-free at
+  * RESOLUTION time; because a relation instance can outlive a concurrent
+  * first commit (Spark caches resolved data-source tables per session),
+  * the scan re-probes the log and serves real rows if any have appeared —
+  * correct rows in the transition window, vectorized scans from the next
+  * resolution on.
+  */
+class EmptyCommitLogRelation(
+    spark: SparkSession,
+    val root: String,
+    override val schema: StructType) extends BaseRelation
+    with TableScan with InsertableRelation {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    CommitLog.currentVersion(root) match {
+      case Some(_) =>
+        val aligned = CommitLog.read(spark, root).select(
+          schema.fieldNames.toIndexedSeq
+            .map(n => org.apache.spark.sql.functions
+              .col(s"`${n.replace("`", "``")}`")): _*)
+        aligned.rdd
+      case None => spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+    }
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    if (overwrite) CommitLog.overwrite(data, root)
+    else CommitLog.append(data, root)
 }
 
 /** V1 relation for snapshots that carry deletion vectors: delegates to the

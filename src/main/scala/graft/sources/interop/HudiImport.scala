@@ -239,18 +239,30 @@ object HudiImport {
           s"record-key field $f is not in the table schema"))
         // Hudi's key encodings (the published KeyGenerator contract):
         // SimpleKeyGenerator renders the single field's value verbatim;
-        // ComplexKeyGenerator renders `f1:v1,f2:v2` — delete blocks carry
-        // recordKey in exactly this form, so the fold's avro-side and
-        // base-file-side encoders must both reproduce it.
+        // ComplexKeyGenerator renders `f1:v1,f2:v2` with the documented
+        // placeholders `__null__` for a null value and `__empty__` for an
+        // empty string — delete blocks carry recordKey in exactly this
+        // form, so the fold's avro-side and base-file-side encoders must
+        // both reproduce it (r12 advice: String.valueOf rendered "null"
+        // and concat_ws silently DROPPED null fields, so the two sides
+        // disagreed with Hudi and with each other on such keys).
+        def complexVal(s: String): String =
+          if (s == null) "__null__" else if (s.isEmpty) "__empty__" else s
         def keyOfRecord(r: org.apache.avro.generic.GenericRecord): String =
           if (keyFields.size == 1) String.valueOf(r.get(keyFields.head))
-          else keyFields.map(f => s"$f:${String.valueOf(r.get(f))}")
-            .mkString(",")
-        import org.apache.spark.sql.functions.{col, concat_ws, lit}
+          else keyFields.map { f =>
+            val v = r.get(f)
+            s"$f:${complexVal(if (v == null) null else String.valueOf(v))}"
+          }.mkString(",")
+        import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
         def keyColumn: org.apache.spark.sql.Column =
           if (keyFields.size == 1) col(keyFields.head).cast("string")
-          else concat_ws(",", keyFields.map(f =>
-            concat_ws(":", lit(f), col(f).cast("string"))): _*)
+          else concat_ws(",", keyFields.map { f =>
+            val s = col(f).cast("string")
+            val v = when(s.isNull, "__null__")
+              .when(s === "", "__empty__").otherwise(s)
+            concat_ws(":", lit(f), v)
+          }: _*)
         val mergedFrames = outstanding.toSeq
           .sortBy { case ((part, fid), _) => (part, fid) }
           .map { case ((_, _), g) =>

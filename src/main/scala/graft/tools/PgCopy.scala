@@ -211,16 +211,50 @@ object PgCopy {
   }
 
   private[tools] def csvField(v: String, delim: Char): String =
+    csvField(v, delim, "")
+
+  /** A non-null value that HAPPENS to equal the NULL token must quote
+    * (pg's COPY TO does the same force-quoting) — quoted fields are
+    * never NULL on the way back in.
+    */
+  private[tools] def csvField(v: String, delim: Char, nullToken: String): String =
     if (v.isEmpty) "\"\"" // quoted empty ≠ unquoted empty (= NULL)
-    else if (v.exists(c => c == delim || c == '"' || c == '\n' || c == '\r'))
+    else if (v == nullToken ||
+        v.exists(c => c == delim || c == '"' || c == '\n' || c == '\r'))
       "\"" + v.replace("\"", "\"\"") + "\""
     else v
 
+  /** Split one TEXT-format line into raw (still-escaped) fields. The
+    * delimiter is matched literally and a backslash escapes the next
+    * character, so `\<delim>` inside field data never splits mid-field
+    * and a regex-meta delimiter like `|` or `.` is safe (r12 advice:
+    * `String.split` treated the delimiter as a regex).
+    */
+  private[tools] def splitText(line: String, delim: Char): Seq[String] = {
+    val fields = Seq.newBuilder[String]
+    val cur = new java.lang.StringBuilder()
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '\\' && i + 1 < line.length) {
+        cur.append(c).append(line.charAt(i + 1)); i += 1
+      } else if (c == delim) { fields += cur.toString; cur.setLength(0) }
+      else cur.append(c)
+      i += 1
+    }
+    fields += cur.toString
+    fields.result()
+  }
+
   /** Split one CSV payload into rows×fields (quotes may span lines).
-    * Unquoted empty fields are None (pg's CSV NULL); quoted ones are
-    * empty strings.
+    * A field is NULL (None) when it is UNQUOTED and equals `nullToken`
+    * (pg's CSV rule — default token is the empty string, so unquoted
+    * empty = NULL); quoted fields are never NULL.
     */
   private[tools] def parseCsv(data: String, delim: Char)
+      : Seq[Seq[Option[String]]] = parseCsv(data, delim, "")
+
+  private[tools] def parseCsv(data: String, delim: Char, nullToken: String)
       : Seq[Seq[Option[String]]] = {
     val rows = Seq.newBuilder[Seq[Option[String]]]
     var fields = Seq.newBuilder[Option[String]]
@@ -229,7 +263,8 @@ object PgCopy {
     var wasQuoted = false // current field had quotes (affects NULL-ness)
     var any = false      // current row has content
     def endField(): Unit = {
-      fields += (if (!wasQuoted && cur.length == 0) None else Some(cur.toString))
+      fields += (if (!wasQuoted && cur.toString == nullToken) None
+                 else Some(cur.toString))
       cur.setLength(0); wasQuoted = false
     }
     def endRow(): Unit = { endField(); rows += fields.result(); fields = Seq.newBuilder; any = false }
@@ -316,7 +351,8 @@ object PgCopy {
       if (row.isNullAt(i)) sb.append(o.nullToken)
       else {
         val s = PgWire.render(row.get(i))
-        sb.append(if (o.csv) csvField(s, o.delim) else escapeText(s, o.delim))
+        sb.append(if (o.csv) csvField(s, o.delim, o.nullToken)
+                  else escapeText(s, o.delim))
       }
       i += 1
     }
@@ -367,12 +403,12 @@ object PgCopy {
     val data = new String(buf.toByteArray, UTF_8)
     val cells: Seq[Seq[Option[String]]] =
       if (o.csv) {
-        val all = parseCsv(data, o.delim)
+        val all = parseCsv(data, o.delim, o.nullToken)
         if (o.header) all.drop(1) else all
       } else {
         data.split("\n").toSeq.map(_.stripSuffix("\r"))
           .filter(_.nonEmpty).takeWhile(_ != "\\.")
-          .map(_.split(o.delim.toString, -1).toSeq.map {
+          .map(splitText(_, o.delim).map {
             case t if t == o.nullToken => None
             case t => Some(unescapeText(t))
           })

@@ -5,10 +5,11 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.CommitLog
@@ -53,14 +54,28 @@ import graft.sources.commitlog.{CommitLogFileIndex, MergeOnReadRelation}
   *     and COMMIT on a failed block rolls back (returning pg's honest
   *     `ROLLBACK` tag).
   *
-  * Documented boundaries (each refused loudly with 0A000, never half
-  * honored): only `INSERT INTO` stages — UPDATE/DELETE/MERGE/DDL inside
-  * a block would need cross-table conflict analysis the append-only txn
-  * protocol deliberately avoids (same restriction as
-  * [[CommitLog.multiAppend]] itself); qualified (`db.table`) references
-  * bypass temp-view shadowing, so in-block reads of OTHER databases see
-  * latest-committed rather than the pin; non-commitlog relations cannot
-  * stage.
+  *   - **Row-level DML stages too** (r12 verdict #4): DELETE and UPDATE
+  *     between BEGIN and COMMIT record their predicate/assignments in the
+  *     per-table op log; COMMIT folds the ordered ops over the pinned
+  *     snapshot's position-tagged rows ([[CommitLog.multiDml]]) — dead
+  *     base positions become deletion vectors, updated images and
+  *     surviving inserts append, all tables under the block's ONE marker.
+  *     Because the DML was computed against the pin, a table that moved
+  *     before COMMIT aborts the whole block with pg's 40001
+  *     (first-committer-wins snapshot isolation).
+  *   - **SAVEPOINTs** are prefix marks over the op logs: ROLLBACK TO
+  *     truncates each table's op list back to the mark (and un-fails the
+  *     block — pg's error-recovery contract); RELEASE just forgets marks.
+  *
+  * Documented boundaries (each refused loudly, never half honored):
+  * MERGE and DDL inside a block refuse with 0A000 (MERGE's source-join
+  * semantics against moving staged state are not worth the ambiguity —
+  * run it in autocommit); DELETE/UPDATE with subqueries refuse (a
+  * subquery re-evaluated at COMMIT would break statement-time
+  * semantics); DML targets outside the block's snapshot cut (other
+  * databases) refuse; qualified (`db.table`) references bypass temp-view
+  * shadowing, so in-block reads of OTHER databases see latest-committed
+  * rather than the pin; non-commitlog relations cannot stage.
   *
   * Scale: staged batches are `localCheckpoint`ed (statement-time
   * evaluation, executor-resident blocks) — transaction payloads are
@@ -77,7 +92,19 @@ final class PgTxn(session: SparkSession) {
   private var pinned = false
   private var pins: Map[String, Long] = Map.empty    // root -> pinned version
   private var shadows: Map[String, String] = Map.empty // table name -> root
-  private val staged = mutable.LinkedHashMap[String, mutable.Buffer[DataFrame]]()
+  // a table with NO commits at pin time still shadows (read-your-writes
+  // for a first INSERT into an empty table); its base is an empty frame
+  // of the catalog-declared schema, captured here at pin time
+  private var emptySchemas: Map[String, StructType] = Map.empty // root -> schema
+  // per-root ordered op log (INSERT/DELETE/UPDATE in statement order) —
+  // the block's entire write state; [[CommitLog.applyTxnOps]] folds it
+  // over the pinned base for both shadow reads and the COMMIT payload
+  private val staged =
+    mutable.LinkedHashMap[String, mutable.Buffer[CommitLog.TxnOp]]()
+  // savepoint stack, newest first: name -> per-root staged op counts at
+  // the moment the savepoint was established (ordered op-log staging
+  // means "state at savepoint" ≡ a prefix length of each op buffer)
+  private var savepoints: List[(String, Map[String, Int])] = Nil
 
   def isOpen: Boolean = open
   def isFailed: Boolean = failedFlag
@@ -101,6 +128,69 @@ final class PgTxn(session: SparkSession) {
 
   def rollback(): String = { cleanup(); "ROLLBACK" }
 
+  // ----------------------------------------------------------- savepoints
+
+  /** `SAVEPOINT <name>`: record the current staged-batch count of every
+    * table. Append-only staging means the block's entire write state at
+    * any instant IS a prefix length per buffer, so a savepoint is a
+    * handful of integers — pg's sub-transaction semantics without any
+    * sub-transaction machinery. Re-using a name shadows the older mark
+    * (pg's contract: ROLLBACK TO finds the most recent).
+    */
+  def savepoint(name: String): String = {
+    if (!open) throw new PgTxnNoBlockException(
+      "SAVEPOINT can only be used in transaction blocks")
+    guard() // pg 25P02: a failed block refuses new savepoints
+    ensurePins()
+    savepoints = (name -> staged.map { case (r, b) => r -> b.size }.toMap) ::
+      savepoints
+    "SAVEPOINT"
+  }
+
+  /** `ROLLBACK TO SAVEPOINT <name>`: truncate every staged buffer back
+    * to the marked prefix, drop tables first staged after the mark,
+    * refresh the shadows, and UN-FAIL the block — pg's error-recovery
+    * contract (this verb is legal in a failed block; that is its point).
+    * Savepoints established after the target are destroyed; the target
+    * itself survives for repeated rollbacks.
+    */
+  def rollbackToSavepoint(name: String): String = {
+    if (!open) throw new PgTxnNoBlockException(
+      s"""ROLLBACK TO SAVEPOINT can only be used in transaction blocks""")
+    val idx = savepoints.indexWhere(_._1 == name)
+    if (idx < 0) throw new PgTxnNoSavepointException(name)
+    val mark = savepoints(idx)._2
+    savepoints = savepoints.drop(idx) // target survives, newer marks die
+    val touched = staged.keys.toSeq
+    touched.foreach { root =>
+      mark.get(root) match {
+        case Some(n) =>
+          val b = staged(root)
+          if (b.size > n) staged(root) = b.take(n)
+        case None => staged.remove(root)
+      }
+    }
+    failedFlag = false
+    shadows.foreach { case (nm, r) =>
+      if (touched.contains(r)) refreshShadow(nm, r)
+    }
+    "ROLLBACK"
+  }
+
+  /** `RELEASE SAVEPOINT <name>`: forget the mark (and every newer one),
+    * keeping all effects — pg's merge-into-parent semantics are a no-op
+    * under prefix-length marks.
+    */
+  def releaseSavepoint(name: String): String = {
+    if (!open) throw new PgTxnNoBlockException(
+      "RELEASE SAVEPOINT can only be used in transaction blocks")
+    guard() // pg 25P02: RELEASE is refused in a failed block
+    val idx = savepoints.indexWhere(_._1 == name)
+    if (idx < 0) throw new PgTxnNoSavepointException(name)
+    savepoints = savepoints.drop(idx + 1)
+    "RELEASE"
+  }
+
   /** COMMIT: publish all staged batches as ONE [[CommitLog.multiAppend]]
     * transaction. On a failed block this is a rollback (pg's own tag
     * contract). A publish failure (constraint violation, force-abort)
@@ -112,14 +202,26 @@ final class PgTxn(session: SparkSession) {
     if (failedFlag) { cleanup(); return "ROLLBACK" }
     try {
       if (staged.nonEmpty) {
-        val batches = staged.toSeq.map { case (root, dfs) =>
-          (dfs.reduceLeft(_ unionByName _), root)
+        val tables = staged.toSeq.map { case (root, ops) =>
+          val hasDml = ops.exists(o => !o.isInstanceOf[CommitLog.TxnIns])
+          if (!hasDml || pins.contains(root)) (root, pins.get(root), ops.toSeq)
+          else {
+            // DML over a table with no commits at pin time: the base is
+            // empty, so the fold's entire outcome is the surviving
+            // inserted/updated images — commit those as a pure insert
+            val schema = emptySchemas(root)
+            val empty = session.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              schema)
+            val folded = CommitLog.applyTxnOps(empty, schema, ops.toSeq)
+            (root, None, Seq(CommitLog.TxnIns(folded)))
+          }
         }
         // marker dir beside the first table's log (vacuum walks only
         // `data/`, so markers are never reclaimed out from under
         // historical fold resolution)
-        val coord = batches.head._2 + "/_txn"
-        CommitLog.multiAppend(batches, coord)
+        val coord = tables.head._1 + "/_txn"
+        CommitLog.multiDml(session, tables, coord)
       }
       "COMMIT"
     } finally cleanup()
@@ -138,11 +240,13 @@ final class PgTxn(session: SparkSession) {
     val head = sql.trim.split("\\s+").headOption.getOrElse("")
       .toUpperCase(java.util.Locale.ROOT)
     if (head == "INSERT") Some(stageInsert(sql))
+    else if (head == "DELETE") Some(stageDelete(sql))
+    else if (head == "UPDATE") Some(stageUpdate(sql))
     else if (PgWire.isRowQuery(sql) || ReadVerbs(head)) None
     else throw new UnsupportedOperationException(
-      s"$head is not supported inside a transaction block — only INSERT " +
-        "and read statements are transactional here (the atomic commit " +
-        "protocol is append-only); run it in autocommit")
+      s"$head is not supported inside a transaction block — INSERT, " +
+        "DELETE, UPDATE, and read statements are transactional here " +
+        "(MERGE and DDL are not); run it in autocommit")
   }
 
   /** Reads at Describe/plan time also need the pins (a portal described
@@ -172,35 +276,56 @@ final class PgTxn(session: SparkSession) {
             meta.storage.properties.get("path")
               .orElse(meta.storage.locationUri.map(u =>
                 java.nio.file.Paths.get(u).toString))
-              .map(t.name -> _)
+              .map(r => (t.name, r, meta.schema))
           else None
         } catch { case NonFatal(_) => None }
       }
-      // a table with no commits yet has nothing to pin (and nothing a
-      // concurrent writer could partially show)
-      .filter { case (_, r) => CommitLog.currentVersion(r).isDefined }
-    if (named.nonEmpty) {
-      pins = CommitLog.consistentSnapshot(named.map(_._2).distinct)
-      shadows = named.toMap
+    // a table with no commits yet has nothing to pin, but it still
+    // shadows — otherwise an INSERT staged into an initially-empty table
+    // followed by a SELECT would read the (empty) catalog table and
+    // break read-your-writes. Its pin is "empty at the catalog-declared
+    // schema" (`session.table` can't serve it — the relation throws on a
+    // no-commit root). A no-commit table whose CREATE declared no
+    // columns has no schema to shadow with and is skipped.
+    val (withCommits, empty) = named
+      .partition { case (_, r, _) => CommitLog.currentVersion(r).isDefined }
+    val shadowable = withCommits ++ empty.filter(_._3.nonEmpty)
+    if (shadowable.nonEmpty) {
+      if (withCommits.nonEmpty)
+        pins = CommitLog.consistentSnapshot(withCommits.map(_._2).distinct)
+      emptySchemas = empty.collect {
+        case (_, root, schema) if schema.nonEmpty => root -> schema
+      }.toMap
+      shadows = shadowable.map { case (n, r, _) => n -> r }.toMap
       shadows.foreach { case (name, root) => refreshShadow(name, root) }
     }
   }
 
-  /** (Re)register one table's shadow view: the pinned snapshot unioned
-    * with the block's own staged batches (read-your-writes).
+  /** The block's current view of one table: the pinned snapshot (an
+    * empty frame for a table with no commits at pin time) with the
+    * block's ordered ops folded over it — [[CommitLog.applyTxnOps]], the
+    * same fold COMMIT materializes.
     */
-  private def refreshShadow(name: String, root: String): Unit = {
-    val base = CommitLog.read(session, root, pins.get(root))
-    val v = staged.getOrElse(root, mutable.Buffer.empty)
-      .foldLeft(base)((d, s) => d.unionByName(s, allowMissingColumns = true))
-    v.createOrReplaceTempView(name)
+  private def stagedState(root: String): DataFrame = {
+    val base = emptySchemas.get(root) match {
+      case Some(schema) => session.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case None => CommitLog.read(session, root, pins.get(root))
+    }
+    CommitLog.applyTxnOps(base, StructType(base.schema.fields),
+      staged.getOrElse(root, mutable.Buffer.empty).toSeq)
   }
+
+  /** (Re)register one table's shadow view (read-your-writes). */
+  private def refreshShadow(name: String, root: String): Unit =
+    stagedState(root).createOrReplaceTempView(name)
 
   private def cleanup(): Unit = {
     shadows.keys.foreach { n =>
       try session.catalog.dropTempView(n) catch { case NonFatal(_) => }
     }
     shadows = Map.empty; pins = Map.empty; pinned = false
+    emptySchemas = Map.empty; savepoints = Nil
     staged.clear(); open = false; failedFlag = false
   }
 
@@ -277,12 +402,121 @@ final class PgTxn(session: SparkSession) {
     // the row-count tag and the eventual commit staging
     val mat = aligned.localCheckpoint(true)
     val n = mat.count()
-    staged.getOrElseUpdate(root, mutable.Buffer.empty) += mat
-    // read-your-writes: the shadow now includes this batch
-    shadows.collectFirst { case (nm, r) if r == root => nm }
-      .foreach(nm => refreshShadow(nm, root))
+    stageOp(root, CommitLog.TxnIns(mat))
     s"INSERT 0 $n"
   }
+
+  /** Append one op to the root's ordered log and refresh its shadow. */
+  private def stageOp(root: String, op: CommitLog.TxnOp): Unit = {
+    staged.getOrElseUpdate(root, mutable.Buffer.empty) += op
+    shadows.collectFirst { case (nm, r) if r == root => nm }
+      .foreach(nm => refreshShadow(nm, root))
+  }
+
+  /** Stage one `DELETE FROM t WHERE …`: parse (never execute), resolve
+    * the shadowed target, record the predicate in the op log. The rows it
+    * kills are fixed by the PINNED snapshot + the ops before it, so
+    * deferring evaluation to COMMIT ([[CommitLog.multiDml]]'s DV staging)
+    * IS statement-time semantics; the tag's count is measured now against
+    * the same fold.
+    */
+  private def stageDelete(sql: String): String = {
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    val (table, cond) = parsed match {
+      case DeleteFromTable(t, c) => (t, c)
+      case _ => throw new UnsupportedOperationException(
+        "only plain DELETE FROM is transactional; run it in autocommit")
+    }
+    val root = dmlTarget(table, "DELETE")
+    guardDmlExpr(cond)
+    val condCol = GraftBridge.column(cond)
+    val n = stagedState(root).filter(coalesce(condCol, lit(false))).count()
+    stageOp(root, CommitLog.TxnDel(condCol))
+    s"DELETE $n"
+  }
+
+  /** Stage one `UPDATE t SET … WHERE …`: DV-delete of the matched
+    * positions + append of the updated images, both deferred to COMMIT's
+    * one atomic fold.
+    */
+  private def stageUpdate(sql: String): String = {
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    val (table, assignments, cond) = parsed match {
+      case UpdateTable(t, a, c) => (t, a, c)
+      case _ => throw new UnsupportedOperationException(
+        "only plain UPDATE … SET is transactional; run it in autocommit")
+    }
+    val root = dmlTarget(table, "UPDATE")
+    val schema = tableSchemaOf(root)
+    val resolver = session.sessionState.conf.resolver
+    val set = assignments.map {
+      case Assignment(k: UnresolvedAttribute, v) =>
+        guardDmlExpr(v)
+        val name = schema.fieldNames.find(resolver(_, k.nameParts.last))
+          .getOrElse(throw new IllegalArgumentException(
+            s"UPDATE of unknown column ${k.name}"))
+        name -> GraftBridge.column(v)
+      case a => throw new UnsupportedOperationException(
+        s"UPDATE of a non-column target is not supported: ${a.sql}")
+    }
+    cond.foreach(guardDmlExpr)
+    val condCol = cond.map(GraftBridge.column).getOrElse(lit(true))
+    val n = stagedState(root).filter(coalesce(condCol, lit(false))).count()
+    stageOp(root, CommitLog.TxnUpd(set, condCol))
+    s"UPDATE $n"
+  }
+
+  /** Resolve a DML statement's target to a SHADOWED root — row-level
+    * DELETE/UPDATE inside a block applies to the block's snapshot cut, so
+    * only tables in the cut (the current database's commitlog tables)
+    * qualify; qualified other-database targets refuse rather than
+    * half-honor against an unpinned table.
+    */
+  private def dmlTarget(table: LogicalPlan, verb: String): String = {
+    val parts = unwrapTarget(table) match {
+      case Some(u) => u.multipartIdentifier
+      case None => throw new UnsupportedOperationException(
+        s"unsupported $verb target inside a transaction: $table")
+    }
+    val resolver = session.sessionState.conf.resolver
+    val db = session.catalog.currentDatabase
+    val bare =
+      if (parts.size == 1) Some(parts.head)
+      else if (parts.size == 2 && resolver(parts.head, db)) Some(parts.last)
+      else None
+    bare.flatMap(b =>
+      shadows.collectFirst { case (nm, r) if resolver(nm, b) => r })
+      .getOrElse(throw new UnsupportedOperationException(
+        s"${parts.mkString(".")} is not in this transaction's snapshot " +
+          s"cut — $verb inside a block targets the current database's " +
+          "commitlog tables; run it in autocommit"))
+  }
+
+  private def unwrapTarget(p: LogicalPlan): Option[UnresolvedRelation] =
+    p match {
+      case u: UnresolvedRelation => Some(u)
+      case SubqueryAlias(_, child) => unwrapTarget(child)
+      case _ => None
+    }
+
+  /** Predicates/assignments must be self-contained row expressions: a
+    * subquery would evaluate against MOVING state at COMMIT time, which
+    * breaks the statement-time contract — refuse loudly.
+    */
+  private def guardDmlExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        "subqueries in transactional DELETE/UPDATE are not supported — " +
+          "evaluate the subquery into a literal list first, or run it in " +
+          "autocommit")
+
+  /** The schema the block sees for a shadowed root (pin-time authority). */
+  private def tableSchemaOf(root: String): StructType =
+    emptySchemas.get(root) match {
+      case Some(s) => s
+      case None => StructType(
+        CommitLog.read(session, root, pins.get(root)).schema.fields)
+    }
 
   /** Resolve a (possibly shadowed) table name to its commitlog root and
     * current schema — [[PgCopy]]'s target face, valid in or out of a
@@ -303,10 +537,7 @@ final class PgTxn(session: SparkSession) {
     */
   private[tools] def stageBatch(root: String, df: DataFrame): Unit = {
     guard(); ensurePins()
-    val mat = df.localCheckpoint(true)
-    staged.getOrElseUpdate(root, mutable.Buffer.empty) += mat
-    shadows.collectFirst { case (nm, r) if r == root => nm }
-      .foreach(nm => refreshShadow(nm, root))
+    stageOp(root, CommitLog.TxnIns(df.localCheckpoint(true)))
   }
 
   /** The table's current schema: manifest-declared when commits exist
@@ -335,6 +566,7 @@ final class PgTxn(session: SparkSession) {
             case _ => None
           }
           case mor: MergeOnReadRelation => Some(mor.root)
+          case e: graft.sources.commitlog.EmptyCommitLogRelation => Some(e.root)
           case _ => None
         }
         // catalog tables resolve through the V2 route (GraftTable)
@@ -350,6 +582,14 @@ object PgTxn {
   final class PgTxnAbortedException extends RuntimeException(
     "current transaction is aborted, commands ignored until end of " +
       "transaction block")
+
+  /** pg's 25P01: a savepoint verb outside any transaction block. */
+  final class PgTxnNoBlockException(msg: String)
+    extends RuntimeException(msg)
+
+  /** pg's 3B001: the named savepoint does not exist. */
+  final class PgTxnNoSavepointException(name: String)
+    extends RuntimeException(s"""savepoint "$name" does not exist""")
 
   /** Head verbs that execute as reads inside a block (on top of the
     * row-query prefixes [[PgWire.isRowQuery]] already recognizes).

@@ -696,6 +696,8 @@ object PgWire {
             p.shim match {
               case Some(TxnVerb(verb)) =>
                 new Msg('C').cstr(txnExec(txn, verb)).send(out)
+              case Some(sv: SavepointVerb) =>
+                new Msg('C').cstr(savepointExec(txn, sv)).send(out)
               case Some(SetParam(k, v)) =>
                 txn.guard() // a failed block refuses SET too (pg 25P02)
                 gucs.set(k, v); new Msg('C').cstr("SET").send(out)
@@ -987,7 +989,8 @@ object PgWire {
     * atomic multi-table commit at COMMIT); DISCARD ALL rolls back.
     */
   private val TxnNoop =
-    "(?i)^(BEGIN|COMMIT|ROLLBACK|START\\s+TRANSACTION|END|DISCARD\\s+ALL)(\\s+.*)?$".r
+    ("(?i)^(BEGIN|COMMIT|ROLLBACK(?!\\s+(?:WORK\\s+|TRANSACTION\\s+)?TO\\b)|" +
+      "START\\s+TRANSACTION|END|DISCARD\\s+ALL)(\\s+.*)?$").r
 
   /** The pg CommandComplete tag for a txn-control no-op, or None for a
     * real statement. Shared by the simple-query path AND the extended
@@ -1018,6 +1021,12 @@ object PgWire {
     * handed to Spark's parser.
     */
   private[tools] final case class TxnVerb(verb: String) extends Shim
+  /** A savepoint verb (SAVEPOINT / ROLLBACK TO / RELEASE) with its parsed
+    * identifier — executed against the connection's [[PgTxn]] savepoint
+    * stack. `action` ∈ {SAVEPOINT, ROLLBACK_TO, RELEASE}.
+    */
+  private[tools] final case class SavepointVerb(action: String, name: String)
+    extends Shim
   private[tools] final case class SetParam(key: String, value: String) extends Shim
   private[tools] final case class ShowParam(key: String) extends Shim
 
@@ -1030,14 +1039,18 @@ object PgWire {
     case "COMMIT" => txn.commit()
     case "ROLLBACK" => txn.rollback()
     case "DISCARD ALL" => txn.rollback(); "DISCARD ALL"
-    case "SAVEPOINT" =>
-      txn.fail() // pg: an errored verb poisons the block
-      throw new UnsupportedOperationException(
-        "SAVEPOINT is not supported — the transaction protocol commits " +
-          "all-or-nothing at one marker write and has no partial-rollback " +
-          "point; use separate transactions")
     case other => other // SET TRANSACTION … → "SET" acknowledge
   }
+
+  /** Run a savepoint verb against the block's savepoint stack (prefix
+    * marks over the append-only staging — see [[PgTxn.savepoint]]).
+    */
+  private def savepointExec(txn: PgTxn, v: SavepointVerb): String =
+    v.action match {
+      case "SAVEPOINT" => txn.savepoint(v.name)
+      case "ROLLBACK_TO" => txn.rollbackToSavepoint(v.name)
+      case _ => txn.releaseSavepoint(v.name)
+    }
 
   private val SetStmt =
     "(?is)^SET\\s+(?:SESSION\\s+|LOCAL\\s+)?([A-Za-z_][\\w.]*)\\s*(?:=|\\s+TO\\s+)\\s*(.+?)\\s*$".r
@@ -1057,23 +1070,42 @@ object PgWire {
     else t
   }
 
-  /** SAVEPOINT verbs: pg clients may issue them inside a block; the
-    * append-only transaction protocol has no partial-rollback point, so
-    * they refuse with a clear 0A000 instead of a confusing Spark parse
-    * error. `SET [SESSION CHARACTERISTICS AS] TRANSACTION …` verbs
-    * acknowledge as `SET` (reads in a block already get a snapshot cut;
-    * there is no weaker level to set).
+  /** SAVEPOINT verbs, parsed into [[SavepointVerb]]s with their pg
+    * identifier (double-quoted names keep case, bare names case-fold
+    * down — pg's identifier rules). These MUST be checked before
+    * [[txnTag]]: `ROLLBACK TO SAVEPOINT x` would otherwise match
+    * TxnNoop's bare ROLLBACK and silently roll back the whole block
+    * (the r12 advice finding). `SET [SESSION CHARACTERISTICS AS]
+    * TRANSACTION …` verbs acknowledge as `SET` (reads in a block
+    * already get a snapshot cut; there is no weaker level to set).
     */
-  private val SavepointRe =
-    "(?is)^(SAVEPOINT|RELEASE\\s+SAVEPOINT|ROLLBACK\\s+TO\\s+SAVEPOINT|RELEASE)\\s+.*".r
+  private val SavepointStmtRe =
+    "(?is)^SAVEPOINT\\s+(\"[^\"]*\"|[\\w$]+)\\s*$".r
+  private val RollbackToRe =
+    ("(?is)^ROLLBACK\\s+(?:WORK\\s+|TRANSACTION\\s+)?TO\\s+" +
+      "(?:SAVEPOINT\\s+)?(\"[^\"]*\"|[\\w$]+)\\s*$").r
+  private val ReleaseRe =
+    "(?is)^RELEASE\\s+(?:SAVEPOINT\\s+)?(\"[^\"]*\"|[\\w$]+)\\s*$".r
   private val SetTxnRe =
     "(?is)^SET\\s+(SESSION\\s+CHARACTERISTICS\\s+AS\\s+)?TRANSACTION\\b.*".r
 
+  /** pg identifier → savepoint name: strip double quotes (keeping case),
+    * or case-fold a bare identifier to lowercase.
+    */
+  private def spName(ident: String): String =
+    if (ident.length >= 2 && ident.head == '"' && ident.last == '"')
+      ident.substring(1, ident.length - 1).replace("\"\"", "\"")
+    else ident.toLowerCase(java.util.Locale.ROOT)
+
   private[tools] def shimOf(sql: String): Option[Shim] = {
     val s = sql.trim.stripSuffix(";").trim
-    txnTag(s).map(TxnVerb.apply).orElse(s match {
+    (s match {
+      case SavepointStmtRe(n) => Some(SavepointVerb("SAVEPOINT", spName(n)))
+      case RollbackToRe(n) => Some(SavepointVerb("ROLLBACK_TO", spName(n)))
+      case ReleaseRe(n) => Some(SavepointVerb("RELEASE", spName(n)))
+      case _ => None
+    }).orElse(txnTag(s).map(TxnVerb.apply)).orElse(s match {
       case ShowTxnIso() => Some(ShowParam("transaction_isolation"))
-      case SavepointRe(_) => Some(TxnVerb("SAVEPOINT"))
       case SetTxnRe(_) => Some(TxnVerb("SET"))
       case SetTimeZone(v) => Some(SetParam("TimeZone", unquote(v)))
       case SetStmt(k, v) => Some(SetParam(k, unquote(v)))
@@ -1126,6 +1158,8 @@ object PgWire {
     shimOf(sql) match {
       case Some(TxnVerb(verb)) =>
         new Msg('C').cstr(txnExec(txn, verb)).send(out); return
+      case Some(sv: SavepointVerb) =>
+        new Msg('C').cstr(savepointExec(txn, sv)).send(out); return
       case Some(SetParam(k, v)) =>
         txn.guard() // a failed block refuses SET too (pg 25P02)
         gucs.set(k, v); new Msg('C').cstr("SET").send(out); return
@@ -1549,6 +1583,9 @@ object PgWire {
         "57014" // query_canceled — a CancelRequest landed
       else e match {
         case _: PgTxn.PgTxnAbortedException => "25P02"
+        case _: graft.sources.CommitLog.TxnSerializationException => "40001"
+        case _: PgTxn.PgTxnNoBlockException => "25P01"
+        case _: PgTxn.PgTxnNoSavepointException => "3B001"
         case _: UnsupportedOperationException => "0A000"
         case _: org.apache.spark.sql.catalyst.parser.ParseException => "42601"
         case _: org.apache.spark.sql.AnalysisException => "42P01"

@@ -1021,10 +1021,14 @@ class PgWireSpec extends SparkTestBase {
       val cm2 = c.query("COMMIT")
       assert(cm2.error.isEmpty && cm2.tag == "ROLLBACK" && c.lastStatus == 'I')
 
-      // ---- non-INSERT DML refuses loudly (0A000), never half-honors
+      // ---- DELETE stages transactionally (r13); ROLLBACK discards it;
+      // MERGE still refuses loudly (0A000), never half-honors
       assert(c.query("BEGIN").tag == "BEGIN")
       val del = c.query("DELETE FROM ta WHERE k = 1")
-      assert(del.error.exists(_.contains("0A000")), s"${del.error}")
+      assert(del.error.isEmpty && del.tag == "DELETE 1", s"${del.error}")
+      val mrg = c.query("MERGE INTO ta USING ta tb ON ta.k = tb.k " +
+        "WHEN MATCHED THEN DELETE")
+      assert(mrg.error.exists(_.contains("0A000")), s"${mrg.error}")
       assert(c.query("ROLLBACK").tag == "ROLLBACK")
       assert(CommitLog.read(spark, rootA).count() == 3)
 
@@ -1087,20 +1091,156 @@ class PgWireSpec extends SparkTestBase {
       assert(extTag("COPY ta TO STDOUT").startsWith("ERROR"))
       c3.close()
 
-      // ---- SAVEPOINT refuses with 0A000 and poisons; SET TRANSACTION
-      // acknowledges (the snapshot cut IS the isolation)
+      // ---- SAVEPOINT battery: prefix-marks over the staging buffers
+      // (pgjdbc's setSavepoint/rollback(sp)/releaseSavepoint verbs);
+      // SET TRANSACTION acknowledges (the snapshot cut IS the isolation)
       val c4 = new PgClient(server.port)
       c4.startup(user); assert(c4.authenticate(user, pass))
       assert(c4.query("USE pgtxndb").error.isEmpty)
+      // outside any block: pg's 25P01
+      val spOut = c4.query("SAVEPOINT nope")
+      assert(spOut.error.exists(_.contains("25P01")), s"${spOut.error}")
+      val vA3 = CommitLog.currentVersion(rootA).get
+      val nA3 = CommitLog.read(spark, rootA).count()
       assert(c4.query("BEGIN").tag == "BEGIN")
       assert(c4.query(
         "SET TRANSACTION ISOLATION LEVEL SERIALIZABLE").tag == "SET")
-      val sp = c4.query("SAVEPOINT sp1")
-      assert(sp.error.exists(e => e.contains("0A000") &&
-        e.contains("SAVEPOINT")), s"${sp.error}")
+      assert(c4.query("INSERT INTO ta SELECT 31, 'a31'").tag == "INSERT 0 1")
+      assert(c4.query("SAVEPOINT sp1").tag == "SAVEPOINT")
+      assert(c4.query("INSERT INTO ta SELECT 32, 'a32'").tag == "INSERT 0 1")
+      def taCount(): Long = c4.query("SELECT count(*) AS n FROM ta")
+        .rows.head.head.get.toLong
+      assert(taCount() == nA3 + 2) // read-your-writes through the shadow
+      // unknown savepoint: 3B001, and the error poisons the block
+      val unk = c4.query("ROLLBACK TO SAVEPOINT no_such_sp")
+      assert(unk.error.exists(_.contains("3B001")), s"${unk.error}")
       assert(c4.lastStatus == 'E')
-      assert(c4.query("ROLLBACK").tag == "ROLLBACK")
+      val gated = c4.query("SELECT 1")
+      assert(gated.error.exists(_.contains("25P02")), s"${gated.error}")
+      // ROLLBACK TO a real savepoint RECOVERS the failed block (pg's
+      // error-recovery contract) and truncates the staging back to it
+      val rb = c4.query("ROLLBACK TO SAVEPOINT sp1")
+      assert(rb.error.isEmpty && rb.tag == "ROLLBACK", s"${rb.error}")
+      assert(c4.lastStatus == 'T')
+      assert(taCount() == nA3 + 1) // a32 gone, a31 kept
+      assert(c4.query("RELEASE SAVEPOINT sp1").tag == "RELEASE")
+      assert(c4.query("COMMIT").tag == "COMMIT")
+      assert(CommitLog.currentVersion(rootA).get == vA3 + 1)
+      assert(CommitLog.read(spark, rootA).count() == nA3 + 1)
+      assert(CommitLog.read(spark, rootA)
+        .where("k = 32").count() == 0) // rolled-back batch never landed
       c4.close()
+    } finally server.stop()
+  }
+
+  test("transactional DELETE/UPDATE: ordered-op fold, one atomic commit, " +
+      "rollback/savepoint interplay, snapshot-isolation 40001") {
+    import graft.sources.{CatalogOps, CommitLog}
+    val root = java.nio.file.Files.createTempDirectory("graft-pgdml").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-pgdmlb").toString
+    import spark.implicits._
+    CommitLog.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v"), root)
+    CommitLog.append(Seq((100L, "z")).toDF("k", "s"), rootB)
+    CatalogOps.createCommitLogTable(spark, "pgdmldb", "t", root)
+    CatalogOps.createCommitLogTable(spark, "pgdmldb", "tb", rootB)
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user); assert(c.authenticate(user, pass))
+      assert(c.query("USE pgdmldb").error.isEmpty)
+      val v0 = CommitLog.currentVersion(root).get
+      val vB0 = CommitLog.currentVersion(rootB).get
+
+      // ---- UPDATE + DELETE + INSERT in one block, multi-table, atomic
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("UPDATE t SET v = v + 1 WHERE k <= 2").tag == "UPDATE 2")
+      assert(c.query("DELETE FROM t WHERE k = 3").tag == "DELETE 1")
+      assert(c.query("INSERT INTO t SELECT 5, 'e', 50.0").tag == "INSERT 0 1")
+      // read-your-writes sees the folded state mid-block
+      val mid = c.query("SELECT k, v FROM t ORDER BY k")
+      assert(mid.rows.map(r => (r(0).get, r(1).get)) ==
+        Seq(("1", "11.0"), ("2", "21.0"), ("4", "40.0"), ("5", "50.0")), mid.rows)
+      // a row inserted in the SAME block can be deleted again
+      assert(c.query("DELETE FROM t WHERE k = 5").tag == "DELETE 1")
+      assert(c.query("INSERT INTO t SELECT 6, 'f', 60.0").tag == "INSERT 0 1")
+      assert(c.query("INSERT INTO tb SELECT 101, 'y'").tag == "INSERT 0 1")
+      // nothing visible outside the block yet
+      assert(CommitLog.read(spark, root).count() == 4)
+      assert(CommitLog.currentVersion(root).get == v0)
+      assert(c.query("COMMIT").tag == "COMMIT")
+      // exactly ONE commit per table — the whole block is one fold
+      assert(CommitLog.currentVersion(root).get == v0 + 1)
+      assert(CommitLog.currentVersion(rootB).get == vB0 + 1)
+      def content() = CommitLog.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(content() == Set((1L, "a", 11.0), (2L, "b", 21.0),
+        (4L, "d", 40.0), (6L, "f", 60.0)), content())
+      assert(CommitLog.read(spark, rootB).count() == 2)
+
+      // ---- ROLLBACK leaves no trace of DML
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("UPDATE t SET v = 0 WHERE k >= 1").tag == "UPDATE 4")
+      assert(c.query("DELETE FROM t WHERE k = 1").tag == "DELETE 1")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      assert(CommitLog.currentVersion(root).get == v0 + 1)
+      assert(content() == Set((1L, "a", 11.0), (2L, "b", 21.0),
+        (4L, "d", 40.0), (6L, "f", 60.0)))
+
+      // ---- savepoint truncates DML ops too
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("DELETE FROM t WHERE k = 4").tag == "DELETE 1")
+      assert(c.query("SAVEPOINT s1").tag == "SAVEPOINT")
+      assert(c.query("UPDATE t SET v = 99 WHERE k = 2").tag == "UPDATE 1")
+      assert(c.query("ROLLBACK TO SAVEPOINT s1").tag == "ROLLBACK")
+      assert(c.query("COMMIT").tag == "COMMIT")
+      assert(content() == Set((1L, "a", 11.0), (2L, "b", 21.0),
+        (6L, "f", 60.0)), content()) // k=4 deleted, k=2 update rolled back
+
+      // ---- snapshot isolation: a concurrent commit aborts the block (40001)
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("UPDATE t SET v = 1 WHERE k = 1").tag == "UPDATE 1")
+      CommitLog.append(Seq((7L, "g", 70.0)).toDF("k", "s", "v"), root)
+      val conflicted = c.query("COMMIT")
+      assert(conflicted.error.exists(_.contains("40001")), s"${conflicted.error}")
+      assert(c.lastStatus == 'I') // the failed COMMIT still closed the block
+      assert(content() == Set((1L, "a", 11.0), (2L, "b", 21.0),
+        (6L, "f", 60.0), (7L, "g", 70.0))) // only the concurrent append landed
+
+      // ---- boundaries: subqueries and MERGE refuse loudly
+      assert(c.query("BEGIN").tag == "BEGIN")
+      val sub = c.query("DELETE FROM t WHERE k IN (SELECT k FROM tb)")
+      assert(sub.error.exists(_.contains("0A000")), s"${sub.error}")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      c.close()
+    } finally server.stop()
+  }
+
+  test("transaction read-your-writes on an initially-EMPTY commitlog " +
+      "table (shadowed with no pinned version)") {
+    import graft.sources.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("graft-pgtxne").toString
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user); assert(c.authenticate(user, pass))
+      assert(c.query("CREATE DATABASE IF NOT EXISTS pgemptydb").error.isEmpty)
+      assert(c.query("USE pgemptydb").error.isEmpty)
+      assert(c.query("CREATE TABLE pgemptydb.te (k INT, s STRING) USING " +
+        s"`graft-commitlog` OPTIONS (path '$root')").error.isEmpty)
+      assert(CommitLog.currentVersion(root).isEmpty)
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("INSERT INTO te SELECT 1, 'one'").tag == "INSERT 0 1")
+      // the r12 advice finding: an empty table got NO shadow, so this
+      // SELECT read the (empty) catalog table instead of the staging
+      val r = c.query("SELECT k, s FROM te ORDER BY k")
+      assert(r.error.isEmpty, s"${r.error}")
+      assert(r.rows == Seq(Seq(Some("1"), Some("one"))), r.rows)
+      assert(CommitLog.currentVersion(root).isEmpty) // still unpublished
+      assert(c.query("COMMIT").tag == "COMMIT")
+      assert(CommitLog.currentVersion(root).isDefined)
+      assert(CommitLog.read(spark, root).count() == 1)
+      c.close()
     } finally server.stop()
   }
 
@@ -1202,6 +1342,40 @@ class PgWireSpec extends SparkTestBase {
       assert(in2Err.isEmpty && in2Tag == "COPY 6")
       assert(content(rootD2) == content(rootS))
 
+      // ---- custom TEXT delimiter '|' (a regex metachar — the r12
+      // advice finding: String.split treated it as a regex and split on
+      // EVERY character) round-trips, including a backslash-escaped
+      // delimiter inside field data
+      assert(PgCopy.escapeText("a|b", '|') == "a\\|b")
+      assert(PgCopy.splitText("a\\|b|c", '|') == Seq("a\\|b", "c"))
+      assert(PgCopy.unescapeText("a\\|b") == "a|b")
+      val (pPay, pTag, pErr) =
+        c.copyOut("COPY pgcopydb.src TO STDOUT WITH (DELIMITER '|')")
+      assert(pErr.isEmpty && pTag == "COPY 6", s"$pErr")
+      val vP0 = CommitLog.currentVersion(rootD).get
+      val (pInTag, pInErr) = c.copyIn(
+        "COPY pgcopydb.dst FROM STDIN WITH (DELIMITER '|')", pPay)
+      assert(pInErr.isEmpty, s"$pInErr")
+      assert(pInTag == "COPY 6")
+      assert(CommitLog.currentVersion(rootD).get == vP0 + 1)
+      assert(content(rootD) == content(rootS)) // set-equal after re-append
+
+      // ---- CSV NULL '<tok>' honored on the way IN (r12 advice: it was
+      // accepted and half-honored), and a non-null value equal to the
+      // token force-quotes on the way OUT
+      val (nPay, nTag, nErr) = c.copyOut(
+        "COPY pgcopydb.src TO STDOUT WITH (FORMAT csv, NULL 'NA')")
+      assert(nErr.isEmpty && nTag == "COPY 6")
+      assert(nPay.split("\n").exists(_.endsWith(",NA")), nPay) // null v → NA
+      val (nInTag, nInErr) = c.copyIn(
+        "COPY pgcopydb.dst2 FROM STDIN WITH (FORMAT csv, NULL 'NA')", nPay)
+      assert(nInErr.isEmpty, s"$nInErr")
+      assert(nInTag == "COPY 6")
+      assert(content(rootD2) == content(rootS)) // NA landed as NULL
+      assert(PgCopy.csvField("NA", ',', "NA") == "\"NA\"")
+      assert(PgCopy.parseCsv("\"NA\",NA\n", ',', "NA") ==
+        Seq(Seq(Some("NA"), None))) // quoted survives, unquoted is NULL
+
       // ---- CopyFail aborts with no commit; connection stays usable
       val vD1 = CommitLog.currentVersion(rootD).get
       val (_, failErr) = c.copyIn("COPY pgcopydb.dst FROM STDIN", "",
@@ -1218,16 +1392,17 @@ class PgWireSpec extends SparkTestBase {
       assert(c.query("SELECT 1").error.isEmpty)
 
       // ---- COPY participates in transaction blocks
+      val nD1 = CommitLog.read(spark, rootD).count()
       assert(c.query("USE pgcopydb").error.isEmpty)
       assert(c.query("BEGIN").tag == "BEGIN")
       val (txTag, txErr) = c.copyIn("COPY dst FROM STDIN", "7\tstaged\t7.5\n")
       assert(txErr.isEmpty && txTag == "COPY 1")
       // read-your-writes sees it; the table log does not
       assert(c.query("SELECT count(*) AS n FROM dst").rows ==
-        Seq(Seq(Some("7"))))
+        Seq(Seq(Some((nD1 + 1).toString))))
       assert(CommitLog.currentVersion(rootD).get == vD1)
       assert(c.query("ROLLBACK").tag == "ROLLBACK")
-      assert(CommitLog.read(spark, rootD).count() == 6)
+      assert(CommitLog.read(spark, rootD).count() == nD1)
       c.close()
     } finally server.stop()
   }
