@@ -280,24 +280,43 @@ object HudiImport {
                 acc.filterNot(_._1 == target)
               case (acc, ib) => acc :+ ib
             }
-            // last-writer-wins fold by record key, in block order
-            val upserts = new java.util.LinkedHashMap[String, org.apache.avro
-              .generic.GenericRecord]()
+            // key of an already-row-shaped record (parquet/HFile block
+            // rows land as Spark Rows under the table schema) — same
+            // encoding contract as keyOfRecord
+            def keyOfRow(row: org.apache.spark.sql.Row): String =
+              if (keyFields.size == 1)
+                String.valueOf(row.get(schema.fieldIndex(keyFields.head)))
+              else keyFields.map { f =>
+                val v = row.get(schema.fieldIndex(f))
+                s"$f:${complexVal(if (v == null) null else String.valueOf(v))}"
+              }.mkString(",")
+            // last-writer-wins fold by record key, in block order; values
+            // normalize to Spark Rows under the table schema at entry
+            val upserts =
+              new java.util.LinkedHashMap[String, org.apache.spark.sql.Row]()
             val deletes = new java.util.LinkedHashSet[String]()
+            def upsert(k: String, row: org.apache.spark.sql.Row): Unit = {
+              upserts.put(k, row); deletes.remove(k)
+            }
             effective.foreach { case (_, b) =>
               b.blockType match {
                 case AvroDataBlock =>
                   dataBlockRecords(b).foreach { r =>
-                    val k = keyOfRecord(r)
-                    upserts.put(k, r); deletes.remove(k)
+                    upsert(keyOfRecord(r), avroRecordToRow(r, schema))
                   }
+                case ParquetDataBlock =>
+                  parquetBlockRows(spark, b, schema)
+                    .foreach(row => upsert(keyOfRow(row), row))
+                case HFileDataBlock =>
+                  hfileBlockRows(b, schema)
+                    .foreach(row => upsert(keyOfRow(row), row))
                 case DeleteBlock =>
                   deleteBlockKeys(b).foreach { k =>
                     deletes.add(k); upserts.remove(k)
                   }
                 case other => throw new IllegalArgumentException(
-                  s"unsupported log block type $other (only avro data, " +
-                    "delete, and rollback command blocks fold)")
+                  s"unsupported log block type $other (avro/parquet/hfile " +
+                    "data, delete, and rollback command blocks fold)")
               }
             }
             val touched = (upserts.keySet.asScala ++ deletes.asScala).toSeq
@@ -310,9 +329,8 @@ object HudiImport {
             val touchedDf = spark.createDataFrame(
               touched.map(org.apache.spark.sql.Row(_)).asJava,
               StructType(Seq(StructField("__hoodie_touched_key", StringType))))
-            val upsertRows = upserts.values.asScala.toSeq
-              .map(r => avroRecordToRow(r, schema))
-            val upsertDf = spark.createDataFrame(upsertRows.asJava, schema)
+            val upsertDf = spark.createDataFrame(
+              upserts.values.asScala.toSeq.asJava, schema)
             base.join(touchedDf,
                 keyColumn === col("__hoodie_touched_key"),
                 "left_anti")
@@ -352,6 +370,8 @@ object HudiImport {
   private[interop] val CommandBlock = 0
   private[interop] val DeleteBlock = 1
   private[interop] val AvroDataBlock = 3
+  private[interop] val HFileDataBlock = 4
+  private[interop] val ParquetDataBlock = 5
   private[interop] val InstantTime = 0
   private[interop] val TargetInstantTime = 1
   private[interop] val SchemaKey = 2
@@ -422,6 +442,53 @@ object HudiImport {
     }
   }
 
+  /** PARQUET data block (hudi tech-specs block type 5): the content IS a
+    * complete parquet file byte stream (Hudi serializes records through
+    * a parquet stream writer), so Spark's own reader decodes it — spill
+    * to a temp file, read, align to the table schema by name (Hudi's
+    * `_hoodie_*` meta columns, if present, simply aren't selected).
+    * Block payloads are log-append sized; the driver-side spill matches
+    * the fold's existing per-block discipline.
+    */
+  private[interop] def parquetBlockRows(spark: SparkSession, b: LogBlock,
+      schema: StructType): Seq[org.apache.spark.sql.Row] = {
+    val tmp = Files.createTempDirectory("hudi-pq-block")
+    val f = tmp.resolve("block.parquet")
+    Files.write(f, b.content)
+    try {
+      spark.read.parquet(f.toString)
+        .select(schema.fields.toIndexedSeq.map(fd =>
+          org.apache.spark.sql.functions
+            .col(s"`${fd.name.replace("`", "``")}`")
+            .cast(fd.dataType).as(fd.name)): _*)
+        .collect().toSeq
+    } finally {
+      Files.deleteIfExists(f)
+      Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** HFILE data block (hudi tech-specs block type 4): the content is an
+    * HBase HFile (v2/v3 block layout) whose cells map record key → one
+    * avro-binary record under the block header's SCHEMA — decoded by
+    * [[HFileScan]], a from-spec reader for exactly the subset Hudi
+    * writes (DATA blocks, NONE or GZ compression).
+    */
+  private[interop] def hfileBlockRows(b: LogBlock, schema: StructType)
+      : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val schemaJson = b.header.getOrElse(SchemaKey,
+      throw new IllegalArgumentException(
+        "hfile data block without a schema header"))
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val reader = new GenericDatumReader[GenericRecord](avroSchema)
+    HFileScan.cells(b.content).map { case (_, value) =>
+      val rec = reader.read(null,
+        org.apache.avro.io.DecoderFactory.get().binaryDecoder(value, null))
+      avroRecordToRow(rec, schema)
+    }
+  }
+
   /** DELETE block content (v3 layout): i32 version, i32 length, then an
     * avro-binary HoodieDeleteRecordList (recordKey/partitionPath/
     * orderingVal per entry — the published hudi-common schema).
@@ -474,5 +541,134 @@ object HudiImport {
       case x => x
     }
     org.apache.spark.sql.Row(schema.fields.map(f => conv(r.get(f.name))): _*)
+  }
+}
+
+/** From-spec reader for the HFile subset Hudi's log blocks carry — the
+  * published HBase "HFile format, versions 2 and 3" layout (HBase book,
+  * appendix "HFile format"), no HBase dependency.
+  *
+  * Per on-disk block: an 8-byte magic (`DATABLK*` data, `LEAFIDX*` /
+  * `BLMFBLK*` / `METABLKc` interleavable non-data, `IDXROOT2` /
+  * `IDXINTE2` / `FILEINF2` / `TRABLK"$` load-on-open section), then the
+  * 33-byte v2 header: i32 onDiskSizeWithoutHeader (checksums included),
+  * i32 uncompressedSizeWithoutHeader, i64 prevBlockOffset, u8
+  * checksumType, i32 bytesPerChecksum, i32 onDiskDataSizeWithHeader
+  * (header + data, checksums EXCLUDED — so the payload is bytes
+  * [33, onDiskDataSizeWithHeader) and checksums trail it). The scan
+  * walks blocks from offset 0 by size, folds every DATA block, skips
+  * interleaved index/bloom/meta blocks, and STOPS at the load-on-open
+  * section — no trailer parse needed (v3's trailer is protobuf; nothing
+  * in it matters to a sequential whole-file scan).
+  *
+  * DATA block payload: repeated cells of i32 keyLen, i32 valueLen, key,
+  * value. The key is the HBase KeyValue key: i16 rowLen, row bytes
+  * (Hudi's record key), family/qualifier/timestamp/type (opaque here).
+  * Files written with MVCC carry a trailing varint per cell (Hudi
+  * writes sequence id 0); whether it is present is recorded in the file
+  * info block this scan skips, so the parse tries strict no-MVCC first
+  * and re-parses with the varint on misalignment — one of the two is
+  * structurally consistent for the whole block. Compression: NONE, or
+  * GZ (HBase's GZ algorithm is a plain gzip stream — recognized by its
+  * 1f 8b magic, inflated to the declared uncompressed size).
+  */
+private[interop] object HFileScan {
+
+  private val DataMagic = "DATABLK*".getBytes("UTF-8")
+  private val SkipMagics =
+    Seq("LEAFIDX*", "BLMFBLK*", "METABLKc").map(_.getBytes("UTF-8"))
+  private val StopMagics =
+    Seq("IDXROOT2", "IDXINTE2", "FILEINF2", "TRABLK\"$")
+      .map(_.getBytes("UTF-8"))
+
+  private def i32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+
+  /** (rowKey, value) of every cell in every DATA block, file order. */
+  def cells(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    var done = false
+    while (!done && off + 33 <= bytes.length) {
+      val magic = java.util.Arrays.copyOfRange(bytes, off, off + 8)
+      def is(m: Array[Byte]) = java.util.Arrays.equals(magic, m)
+      if (StopMagics.exists(is)) done = true
+      else if (is(DataMagic) || SkipMagics.exists(is)) {
+        val onDiskSizeWithoutHeader = i32(bytes, off + 8)
+        val uncompressedSize = i32(bytes, off + 12)
+        val onDiskDataSizeWithHeader = i32(bytes, off + 29)
+        require(onDiskSizeWithoutHeader >= 0 &&
+          off + 33 + onDiskSizeWithoutHeader.toLong <= bytes.length &&
+          onDiskDataSizeWithHeader >= 33 &&
+          onDiskDataSizeWithHeader <= 33 + onDiskSizeWithoutHeader,
+          s"corrupt HFile block at offset $off")
+        if (is(DataMagic)) {
+          val raw = java.util.Arrays.copyOfRange(bytes, off + 33,
+            off + onDiskDataSizeWithHeader)
+          val data =
+            if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+              (raw(1) & 0xff) == 0x8b) gunzip(raw, uncompressedSize)
+            else raw
+          out ++= parseCells(data)
+        }
+        off += 33 + onDiskSizeWithoutHeader
+      } else throw new IllegalArgumentException(
+        s"unsupported HFile block magic '${new String(magic, "UTF-8")}' " +
+          s"at offset $off")
+    }
+    out.result()
+  }
+
+  private def gunzip(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    try {
+      val buf = new java.io.ByteArrayOutputStream(math.max(64, expected))
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  private def parseCells(data: Array[Byte]): Seq[(String, Array[Byte])] =
+    try parseCellsWith(data, mvcc = false)
+    catch {
+      case _: IllegalArgumentException => parseCellsWith(data, mvcc = true)
+    }
+
+  private def parseCellsWith(data: Array[Byte], mvcc: Boolean)
+      : Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var p = 0
+    while (p < data.length) {
+      require(p + 8 <= data.length, s"truncated HFile cell at $p")
+      val keyLen = i32(data, p); val valLen = i32(data, p + 4)
+      // smallest legal key: rowLen(2) + row(1) + famLen(1) + ts(8) + type(1)
+      require(keyLen >= 13 && valLen >= 0 &&
+        p + 8 + keyLen.toLong + valLen <= data.length,
+        s"corrupt HFile cell at $p (keyLen=$keyLen valLen=$valLen)")
+      val rowLen = ((data(p + 8) & 0xff) << 8) | (data(p + 9) & 0xff)
+      require(rowLen >= 0 && rowLen <= keyLen - 12,
+        s"corrupt HFile cell row length $rowLen at $p")
+      val row = new String(data, p + 10, rowLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val value = java.util.Arrays.copyOfRange(data,
+        p + 8 + keyLen, p + 8 + keyLen + valLen)
+      out += row -> value
+      p += 8 + keyLen + valLen
+      if (mvcc) {
+        // varint64 (HBase WritableUtils.readVLong) — Hudi writes seq 0,
+        // a single byte; decode generally anyway
+        require(p < data.length, s"truncated MVCC varint at $p")
+        val first = data(p).toInt
+        p += 1 + (if (first >= -112) 0
+                  else if (first >= -120) -112 - first
+                  else -120 - first)
+        require(p <= data.length, "truncated MVCC varint tail")
+      }
+    }
+    out.result()
   }
 }

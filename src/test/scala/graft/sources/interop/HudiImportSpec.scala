@@ -306,6 +306,136 @@ class HudiImportSpec extends SparkTestBase {
     assert(got2 == want2, s"got $got2")
   }
 
+  // --------------------------- parquet + HFile data block fixtures (r13)
+
+  private def avroRecBytes(id: Long, v: Option[Double]): Array[Byte] = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new org.apache.avro.Schema.Parser().parse(avroSchema)
+    val r = new GenericData.Record(schema)
+    r.put("id", java.lang.Long.valueOf(id))
+    r.put("v", v.map(java.lang.Double.valueOf).orNull)
+    val ro = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(ro, null)
+    new GenericDatumWriter[GenericRecord](schema).write(r, enc); enc.flush()
+    ro.toByteArray
+  }
+
+  /** PARQUET data block (type 5): content is a REAL parquet file byte
+    * stream — produced by Spark's own writer, so the reader is tested
+    * against genuine parquet bytes, not a hand copy.
+    */
+  private def parquetDataBlock(instant: String,
+      recs: Seq[(Long, Option[Double])]): Array[Byte] = {
+    import spark.implicits._
+    val w = Files.createTempDirectory("graft-hudi-pqblk")
+    recs.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(w.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(w).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    blockBytes(5, Seq(0 -> instant, 2 -> avroSchema), Files.readAllBytes(part))
+  }
+
+  /** HFILE data block (type 4): a hand-written HBase HFile per the
+    * published v2 block layout — 8-byte `DATABLK*` magic, the 33-byte
+    * header (onDiskSizeWithoutHeader INCLUDING trailing checksum bytes,
+    * uncompressedSize, prevOffset, checksumType, bytesPerChecksum,
+    * onDiskDataSizeWithHeader EXCLUDING checksums), cells of
+    * (i32 keyLen, i32 valLen, [i16 rowLen, row, famLen=0, ts, type],
+    * value[, MVCC varint]), optionally gzip-compressed (HBase's GZ), a
+    * root-index + trailer stub after the data proving the scan stops.
+    */
+  private def hfileBytes(recs: Seq[(Long, Option[Double])],
+      gz: Boolean, mvcc: Boolean): Array[Byte] = {
+    val cells = new java.io.ByteArrayOutputStream()
+    val cd = new java.io.DataOutputStream(cells)
+    recs.sortBy(r => String.valueOf(r._1)).foreach { case (id, v) =>
+      val row = String.valueOf(id).getBytes("UTF-8")
+      val value = avroRecBytes(id, v)
+      val keyLen = 2 + row.length + 1 + 8 + 1 // row, famLen=0, ts, type
+      cd.writeInt(keyLen); cd.writeInt(value.length)
+      cd.writeShort(row.length); cd.write(row)
+      cd.writeByte(0) // family length 0 (no family/qualifier bytes)
+      cd.writeLong(0L) // timestamp
+      cd.writeByte(4) // KeyValue.Type.Put
+      cd.write(value)
+      if (mvcc) cd.writeByte(0) // WritableUtils.writeVLong(0) — seq id 0
+    }
+    val payload = cells.toByteArray
+    val onDisk =
+      if (!gz) payload
+      else {
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(payload); g.close(); bo.toByteArray
+      }
+    val checksum = Array[Byte](1, 2, 3, 4) // excluded by the data size
+    val f = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(f)
+    d.write("DATABLK*".getBytes("UTF-8"))
+    d.writeInt(onDisk.length + checksum.length) // onDiskSizeWithoutHeader
+    d.writeInt(payload.length) // uncompressedSizeWithoutHeader
+    d.writeLong(-1L) // prevBlockOffset
+    d.writeByte(1) // checksumType CRC32
+    d.writeInt(16384) // bytesPerChecksum
+    d.writeInt(33 + onDisk.length) // onDiskDataSizeWithHeader
+    d.write(onDisk); d.write(checksum)
+    // load-on-open section: the scan must STOP here, not parse it
+    d.write("IDXROOT2".getBytes("UTF-8"))
+    d.write(new Array[Byte](40)) // root-index stub
+    d.write("TRABLK\"$".getBytes("UTF-8"))
+    d.write(new Array[Byte](12)) // trailer stub
+    f.toByteArray
+  }
+
+  private def hfileDataBlock(instant: String,
+      recs: Seq[(Long, Option[Double])], gz: Boolean,
+      mvcc: Boolean): Array[Byte] =
+    blockBytes(4, Seq(0 -> instant, 2 -> avroSchema),
+      hfileBytes(recs, gz = gz, mvcc = mvcc))
+
+  test("MOR log fold: PARQUET and HFILE data blocks fold like avro ones " +
+      "— real parquet bytes, hand-written HFile (gz + mvcc variants)") {
+    // unit face first: the HFile scan reads back exactly what the spec
+    // wrote, in all four layout variants
+    for (gz <- Seq(false, true); mvcc <- Seq(false, true)) {
+      val cells = HFileScan.cells(
+        hfileBytes(Seq(11L -> Some(1.5), 7L -> None), gz = gz, mvcc = mvcc))
+      assert(cells.map(_._1) == Seq("11", "7"), s"gz=$gz mvcc=$mvcc")
+      assert(java.util.Arrays.equals(cells.head._2,
+        avroRecBytes(11L, Some(1.5))), s"gz=$gz mvcc=$mvcc value bytes")
+    }
+
+    val t = freshMor()
+    val hoodie = t.resolve(".hoodie")
+    writeParquet(t, "fg1_0-0-0_001.parquet", 0L until 10L) // v = id/4
+    Files.write(hoodie.resolve("001.deltacommit"), commitJson(Seq(
+      ("fg1", "fg1_0-0-0_001.parquet", 10L))).getBytes("UTF-8"))
+    // 002: a PARQUET block upserts id 2 and inserts id 200
+    Files.write(t.resolve(".fg1_001.log.1_0-1-0"),
+      parquetDataBlock("002", Seq(2L -> Some(50.0), 200L -> Some(2.0))))
+    Files.write(hoodie.resolve("002.deltacommit"), commitJson(Seq(
+      ("fg1", ".fg1_001.log.1_0-1-0", 2L))).getBytes("UTF-8"))
+    // 003: an HFILE block (gzip + MVCC, HBase's defaults) upserts id 7,
+    // inserts id 300; a delete block in the same file kills id 200 AFTER
+    // its parquet-block insert
+    Files.write(t.resolve(".fg1_001.log.2_0-1-0"),
+      hfileDataBlock("003", Seq(7L -> Some(70.0), 300L -> Some(3.0)),
+        gz = true, mvcc = true) ++
+        deleteBlock("003", Seq("200")))
+    Files.write(hoodie.resolve("003.deltacommit"), commitJson(Seq(
+      ("fg1", ".fg1_001.log.2_0-1-0", 3L))).getBytes("UTF-8"))
+    val root = Files.createTempDirectory("graft-hudi-pqhf").toString
+    HudiImport.importTable(spark, t.toString, root, allowLogs = true)
+    val got = CommitLog.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = ((0L until 10L).map {
+      case 2L => (2L, 50.0)
+      case 7L => (7L, 70.0)
+      case i => (i, i.toDouble / 4)
+    } :+ (300L, 3.0)).sortBy(_._1)
+    assert(got == want, s"got $got")
+  }
+
   test("MOR log fold: COMPOSITE record keys (ComplexKeyGenerator " +
       "`f1:v1,f2:v2` encoding) — upserts, deletes, and the base-file " +
       "anti-join all agree on the encoded key") {
