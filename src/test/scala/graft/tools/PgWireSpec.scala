@@ -1213,6 +1213,44 @@ class PgWireSpec extends SparkTestBase {
       assert(sub.error.exists(_.contains("0A000")), s"${sub.error}")
       assert(c.query("ROLLBACK").tag == "ROLLBACK")
       c.close()
+
+      // ---- the pgjdbc autocommit=off shape: DML + savepoint verbs via
+      // Parse/Bind/Execute (extended protocol)
+      val c2 = new PgClient(server.port)
+      c2.startup(user); assert(c2.authenticate(user, pass))
+      assert(c2.query("USE pgdmldb").error.isEmpty)
+      def extTag(sql: String): String = {
+        c2.msg('P', c2.cstrBytes("") ++ c2.cstrBytes(sql) ++ Array[Byte](0, 0))
+        c2.msg('B', c2.cstrBytes("") ++ c2.cstrBytes("") ++
+          Array[Byte](0, 0) ++ Array[Byte](0, 0) ++ Array[Byte](0, 0))
+        c2.msg('E', c2.cstrBytes("") ++ Array[Byte](0, 0, 0, 0))
+        c2.msg('S', Array.emptyByteArray)
+        var tag = ""; var done = false
+        while (!done) {
+          val (t, b) = c2.readMsg()
+          t match {
+            case 'C' => tag = new String(b, 0, b.indexOf(0.toByte), UTF_8)
+            case 'E' => tag = "ERROR " + new String(b, UTF_8)
+            case 'Z' => done = true
+            case _ =>
+          }
+        }
+        tag
+      }
+      val vE0 = CommitLog.currentVersion(root).get
+      assert(extTag("BEGIN") == "BEGIN")
+      assert(extTag("UPDATE t SET v = v + 0.5 WHERE k = 6") == "UPDATE 1")
+      assert(extTag("SAVEPOINT PGJDBC_AUTOSAVE") == "SAVEPOINT")
+      assert(extTag("DELETE FROM t WHERE k = 1") == "DELETE 1")
+      assert(extTag("ROLLBACK TO SAVEPOINT PGJDBC_AUTOSAVE") == "ROLLBACK")
+      assert(extTag("RELEASE SAVEPOINT PGJDBC_AUTOSAVE") == "RELEASE")
+      assert(extTag("COMMIT") == "COMMIT")
+      assert(CommitLog.currentVersion(root).get == vE0 + 1)
+      val afterExt = CommitLog.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toMap
+      assert(afterExt(6L) == 60.5, afterExt) // the UPDATE landed
+      assert(afterExt.contains(1L)) // the rolled-back DELETE did not
+      c2.close()
     } finally server.stop()
   }
 
