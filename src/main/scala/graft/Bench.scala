@@ -93,11 +93,12 @@ object Bench {
     // DEFAULTS to the newest committed round snapshot (dev/
     // bench_local_r{N}.json), so the driver's run self-adjudicates with
     // no env cooperation; the env var remains an explicit override.
-    val priorPath = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
-      .orElse(defaultPriorPath())
-    priorPath.foreach(p => System.err.println(s"Bench: adjudication prior = $p"))
-    val prior = priorPath
-      .map(parsePriorQueries).getOrElse(Map.empty[String, Double])
+    val prior = sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
+      case Some(p) =>
+        System.err.println(s"Bench: adjudication prior = $p")
+        parsePriorQueries(p)
+      case None => defaultPrior()
+    }
     val flags = results
       .filter { case (name, t, n) =>
         n >= 0 && prior.get(name).exists(p => p > 0 && t > 1.5 * p) }
@@ -138,26 +139,39 @@ object Bench {
     spark.stop()
   }
 
-  /** The newest committed per-round sf0.1 snapshot (`dev/
-    * bench_local_r{N}{suffix}.json`, highest round then latest suffix) —
-    * the default self-adjudication prior. Looks beside the CWD first
-    * (the driver runs from the repo root), then the canonical repo path.
+  /** The committed previous-round sf0.1 levels (`dev/
+    * bench_local_r{N}{suffix}.json`): all snapshots of the HIGHEST round
+    * number merge as per-query minima — a round may keep several
+    * snapshots (re-takes, degraded-phase evidence), and the least-
+    * contended level per query is the honest adjudication prior (a
+    * degraded snapshot as prior would mute real flags). Looks beside the
+    * CWD first (the driver runs from the repo root), then the canonical
+    * repo path.
     */
-  private def defaultPriorPath(): Option[String] = {
+  private def defaultPrior(): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     val Re = """bench_local_r(\d+)([a-z]?)\.json""".r
-    Seq("dev", "/root/repo/dev")
+    val files = Seq("dev", "/root/repo/dev")
       .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.isDirectory(_))
-      .flatMap { dir =>
+      .map { dir =>
         java.nio.file.Files.list(dir).iterator().asScala
           .flatMap { p =>
             p.getFileName.toString match {
-              case Re(n, s) => Some((n.toInt, s, p.toString))
+              case Re(n, _) => Some((n.toInt, p.toString))
               case _ => None
             }
-          }.toSeq.sortBy { case (n, s, _) => (n, s) }
-          .lastOption.map(_._3)
+          }.toSeq
+      }.getOrElse(Nil)
+    if (files.isEmpty) return Map.empty
+    val maxRound = files.map(_._1).max
+    val picked = files.filter(_._1 == maxRound).map(_._2).sorted
+    System.err.println(
+      s"Bench: adjudication prior = per-query min of ${picked.mkString(", ")}")
+    picked.map(parsePriorQueries).foldLeft(Map.empty[String, Double]) {
+      (acc, m) => m.foldLeft(acc) { case (a, (k, v)) =>
+        a.updated(k, a.get(k).fold(v)(math.min(_, v)))
       }
+    }
   }
 
   /** The prior round's per-query seconds, parsed from its bench JSON

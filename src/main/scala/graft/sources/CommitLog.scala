@@ -2629,7 +2629,13 @@ object CommitLog {
                   enforceConstraints(spark, root, Some(m), add, schema)
                   enforceRelational(spark, root, Some(m), add, schema)
                 }
-                Right(PreparedDml(root, base,
+                if (add.isEmpty && fullGone.isEmpty && dvEntries.isEmpty)
+                  // the fold nets to nothing on this table (predicates
+                  // matched no rows, no surviving inserts) — skip the
+                  // prepare entirely; skipping cannot break atomicity
+                  // because there is nothing to publish
+                  Right(PreparedDml(root, base, null))
+                else Right(PreparedDml(root, base,
                   Commit(base + 1, "txn-dml", m.schemaJson, add, fullGone,
                     m.partitionByOrNil, m.txnOrEmpty, dvs = dvEntries,
                     multiTxn = markerPath)))
@@ -2644,6 +2650,8 @@ object CommitLog {
         prepared.map {
           case Left(pb) =>
             pb.root -> withRetry() { publishPrepared(pb, markerPath, identity) }
+          case Right(pd) if pd.commit == null =>
+            pd.root -> pd.base // net no-op on this table
           case Right(pd) =>
             // first-committer-wins: the version we computed against must
             // still be current; the link-create races the last inch

@@ -1207,6 +1207,14 @@ class PgWireSpec extends SparkTestBase {
       assert(content() == Set((1L, "a", 11.0), (2L, "b", 21.0),
         (6L, "f", 60.0), (7L, "g", 70.0))) // only the concurrent append landed
 
+      // ---- a DML block whose fold nets to NOTHING publishes no commit
+      val vN0 = CommitLog.currentVersion(root).get
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("DELETE FROM t WHERE k = 9999").tag == "DELETE 0")
+      assert(c.query("UPDATE t SET v = 1 WHERE k = 9999").tag == "UPDATE 0")
+      assert(c.query("COMMIT").tag == "COMMIT")
+      assert(CommitLog.currentVersion(root).get == vN0)
+
       // ---- boundaries: subqueries and MERGE refuse loudly
       assert(c.query("BEGIN").tag == "BEGIN")
       val sub = c.query("DELETE FROM t WHERE k IN (SELECT k FROM tb)")
