@@ -137,6 +137,9 @@ object Bench {
       s""""n_flags":${flags.size},""" +
       s""""ingest":$ingest,"sf":"$sfDir"}""")
     spark.stop()
+    // pooled federation sessions pin non-daemon server threads — a
+    // returned main would otherwise wait out the pool reaper
+    sys.exit(0)
   }
 
   /** The committed previous-round sf0.1 levels (`dev/

@@ -60,5 +60,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // pooled federation sessions pin non-daemon server threads — a
+    // returned main would otherwise wait out the pool reaper
+    sys.exit(0)
   }
 }

@@ -102,6 +102,10 @@ object JdbcFederation {
       .option("driver", driver)
       .option("user", user)
       .option("password", password)
+      // pooled sessions ([[Hive2Pool]]): HiveServer2 session open/close
+      // against an embedded metastore costs seconds PER CONNECTION, and
+      // Spark opens one per probe and per task — reuse them instead
+      .option("connectionProvider", "hive2-pooled")
     val withParts = partitionColumn match {
       case Some(c) => base
         .option("partitionColumn", c)
@@ -141,20 +145,25 @@ object JdbcFederation {
     val ddl = fields.map(f =>
       s"${Hive2Dialect.quoteIdentifier(f.name)} ${ddlType(f.dataType)}")
       .mkString(", ")
-    Class.forName(driver)
-    val c0 = java.sql.DriverManager.getConnection(url, user, password)
+    def pooled(): java.sql.Connection = {
+      Class.forName(driver)
+      Hive2Pool.borrow(url, user, password,
+        () => java.sql.DriverManager.getConnection(url, user, password))
+    }
+    val c0 = pooled()
     try {
       val st = c0.createStatement()
       try {
         if (overwrite) st.execute(s"DROP TABLE IF EXISTS $table")
         st.execute(s"CREATE TABLE IF NOT EXISTS $table ($ddl)")
       } finally st.close()
-    } finally c0.close()
+    } finally c0.close() // returns the session to the pool
     df.coalesce(math.max(1, writePartitions)).foreachPartition {
       (rows: Iterator[Row]) =>
         if (rows.hasNext) {
           Class.forName(driver)
-          val c = java.sql.DriverManager.getConnection(url, user, password)
+          val c = Hive2Pool.borrow(url, user, password,
+            () => java.sql.DriverManager.getConnection(url, user, password))
           try {
             val st = c.createStatement()
             try rows.grouped(batchRows).foreach { batch =>
@@ -228,5 +237,8 @@ object JdbcFederation {
     spark.conf.set(s"$p.password", password)
     spark.conf.set(s"$p.pushDownAggregate", "true")
     spark.conf.set(s"$p.pushDownLimit", "true")
+    // catalog metadata probes (listNamespaces/tableExists/schema) each
+    // ride their own connection — pool them like the reads
+    spark.conf.set(s"$p.connectionProvider", "hive2-pooled")
   }
 }

@@ -68,5 +68,6 @@ object BenchOne {
       }
     }
     spark.stop()
+    sys.exit(0) // see graft.Verify — pooled sessions pin server threads
   }
 }

@@ -4,43 +4,91 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 
 /** Dev scratchpad — contents change per investigation, never library
-  * surface. Current probe: footer stats for >4KB strings + MICROS override.
+  * surface. Current probe: per-phase cost of a federated JDBC read
+  * against the in-process thrift endpoint (q186/q188/q189 bench floor).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
+      .master("local[8]")
       .appName("scratch")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("scratch-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val big = "x" * 5000
-    val df = Seq((1, big + "a"), (2, big + "b")).toDF("i", "t")
-      .withColumn("ts", to_timestamp(lit("2024-03-01 10:11:12.123456")))
-      .withColumn("mixnan", when(col("i") === 1, lit(Float.NaN)).otherwise(lit(2.5f)))
-    df.coalesce(1).write.mode("overwrite").parquet("/tmp/footerprobe2")
-    val f = Files.list(java.nio.file.Paths.get("/tmp/footerprobe2")).toArray
-      .map(_.toString).filter(_.endsWith(".parquet")).head
-    val conf = spark.sessionState.newHadoopConf()
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(f), conf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    r.getFooter.getBlocks.forEach { b =>
-      b.getColumns.forEach { c =>
-        val st = c.getStatistics
-        println(s"col=${c.getPath} prim=${c.getPrimitiveType.getPrimitiveTypeName} " +
-          s"empty=${st.isEmpty} hasNonNull=${st.hasNonNullValue} nullsSet=${st.isNumNullsSet} " +
-          s"min=${if (st.hasNonNullValue) String.valueOf(st.genericGetMin).take(20) else "-"} " +
-          s"max=${if (st.hasNonNullValue) String.valueOf(st.genericGetMax).take(20) else "-"}")
-      }
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
-    r.close()
+
+    import graft.sources.{CatalogOps, CommitLog}
+    val root = Files.createTempDirectory("scratch-fed").toString
+    CommitLog.append(spark.range(25).selectExpr("id AS k", "id % 5 AS g"), root)
+    CatalogOps.createCommitLogTable(spark, "scrdb", "t", root)
+    val (port, server) = t("endpoint-start") { SqlEndpoint.start(spark) }
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    val url = s"jdbc:hive2://localhost:$port/default"
+    t("first-conn-poll") {
+      var conn: java.sql.Connection = null
+      while (conn == null) {
+        try conn = java.sql.DriverManager.getConnection(url, "anonymous", "")
+        catch { case _: Exception => Thread.sleep(200) }
+      }
+      conn.close()
+    }
+    for (i <- 1 to 3) {
+      val c = t(s"conn$i-open") {
+        java.sql.DriverManager.getConnection(url, "anonymous", "")
+      }
+      t(s"conn$i-stmt") {
+        val st = c.createStatement()
+        val rs = st.executeQuery("SELECT count(*) FROM scrdb.t")
+        rs.next(); rs.close(); st.close()
+      }
+      c.close()
+    }
+    // the exact shapes Spark's JDBC relation generates, issued directly
+    val c2 = java.sql.DriverManager.getConnection(url, "anonymous", "")
+    t("direct-probe-prepared") {
+      val ps = c2.prepareStatement(
+        "SELECT * FROM scrdb.t WHERE 1=0")
+      ps.executeQuery().close(); ps.close()
+    }
+    t("direct-scan-prepared") {
+      val ps = c2.prepareStatement(
+        "SELECT `k`,`g` FROM scrdb.t")
+      val rs = ps.executeQuery()
+      while (rs.next()) ()
+      rs.close(); ps.close()
+    }
+    c2.close()
+    for (i <- 1 to 2) {
+      val df = t(s"read$i-load") {
+        graft.sources.interop.JdbcFederation.readTable(spark, url, "scrdb.t")
+      }
+      if (i == 2) {
+        val dumper = new Thread(() => {
+          Thread.sleep(2500)
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (th, st) =>
+            val s = st.map(_.toString)
+            if (s.exists(x => x.contains("CloseSession") ||
+                x.contains("closeSession") || x.contains("SessionState")))
+              println(s"THREAD ${th.getName}:\n  " + s.take(35).mkString("\n  "))
+          }
+        })
+        dumper.setDaemon(true); dumper.start()
+      }
+      t(s"read$i-count") { df.count() }
+    }
+    server.stop()
     spark.stop()
+    sys.exit(0)
   }
 }

@@ -35,5 +35,6 @@ object VerifyOne {
     Files.write(Paths.get(outDir, "oracle_sql.json"), oracle.getBytes("UTF-8"))
     println(s"wrote $outDir/$name (oracle: ${SparkEntry.oracleSql.contains(name)})")
     spark.stop()
+    sys.exit(0) // see graft.Verify — pooled sessions pin server threads
   }
 }
