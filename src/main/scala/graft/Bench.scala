@@ -97,7 +97,7 @@ object Bench {
       case Some(p) =>
         System.err.println(s"Bench: adjudication prior = $p")
         parsePriorQueries(p)
-      case None => defaultPrior()
+      case None => defaultPrior(sfDir)
     }
     val flags = results
       .filter { case (name, t, n) =>
@@ -151,23 +151,47 @@ object Bench {
     * CWD first (the driver runs from the repo root), then the canonical
     * repo path.
     */
-  private def defaultPrior(): Map[String, Double] = {
+  private def defaultPrior(sfDir: String): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
-    val Re = """bench_local_r(\d+)([a-z]?)\.json""".r
+    // prior snapshots are SCALE-specific: comparing an sf1 sweep against
+    // sf0.1 priors would flag (and best-of-3 re-run) essentially every
+    // query — arm only when a committed snapshot series matches the
+    // sweep's scale, else disarm loudly
+    val prefix = String.valueOf(
+      java.nio.file.Paths.get(sfDir).getFileName) match {
+      case "sf0.1" => Some("bench_local_r")
+      case "sf1" => Some("bench_sf1_r")
+      case _ => None
+    }
+    if (prefix.isEmpty) {
+      System.err.println(s"Bench: no committed prior series matches " +
+        s"$sfDir — adjudication disarmed (set SPARK_GRAFT_BENCH_PRIOR)")
+      return Map.empty
+    }
+    val Re = (java.util.regex.Pattern.quote(prefix.get) +
+      """(\d+)[a-z]?\.json""").r
+    // scan BOTH locations (a CWD dev/ without snapshots must not shadow
+    // the canonical one); the min-merge makes duplicates harmless
     val files = Seq("dev", "/root/repo/dev")
-      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.isDirectory(_))
-      .map { dir =>
-        java.nio.file.Files.list(dir).iterator().asScala
-          .flatMap { p =>
-            p.getFileName.toString match {
-              case Re(n, _) => Some((n.toInt, p.toString))
-              case _ => None
-            }
-          }.toSeq
-      }.getOrElse(Nil)
-    if (files.isEmpty) return Map.empty
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.isDirectory(_))
+      .flatMap { dir =>
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case Re(n) => Some((n.toInt, p.toString))
+            case _ => None
+          }
+        }.toList
+        finally s.close()
+      }
+    if (files.isEmpty) {
+      System.err.println("Bench: no committed prior snapshots found — " +
+        "adjudication disarmed (set SPARK_GRAFT_BENCH_PRIOR)")
+      return Map.empty
+    }
     val maxRound = files.map(_._1).max
-    val picked = files.filter(_._1 == maxRound).map(_._2).sorted
+    val picked = files.filter(_._1 == maxRound).map(_._2).distinct.sorted
     System.err.println(
       s"Bench: adjudication prior = per-query min of ${picked.mkString(", ")}")
     picked.map(parsePriorQueries).foldLeft(Map.empty[String, Double]) {

@@ -326,10 +326,14 @@ class EmptyCommitLogRelation(
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     CommitLog.currentVersion(root) match {
       case Some(_) =>
+        // cast to the DECLARED schema: a concurrent first commit may
+        // have landed wider types than the CREATE declared, and this
+        // relation's consumers trust `schema`
         val aligned = CommitLog.read(spark, root).select(
-          schema.fieldNames.toIndexedSeq
-            .map(n => org.apache.spark.sql.functions
-              .col(s"`${n.replace("`", "``")}`")): _*)
+          schema.fields.toIndexedSeq
+            .map(f => org.apache.spark.sql.functions
+              .col(s"`${f.name.replace("`", "``")}`")
+              .cast(f.dataType).as(f.name)): _*)
         aligned.rdd
       case None => spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
     }

@@ -52,11 +52,17 @@ object Hive2Pool {
 
   private final case class Idle(conn: Connection, since: Long)
 
+  /** Pool key: url + user + password — the password MUST key the pool
+    * too, or a caller presenting wrong credentials would be handed a
+    * session someone else authenticated (review finding r13).
+    */
+  private type Key = (String, String, String)
+
   private val pools =
-    new ConcurrentHashMap[(String, String),
+    new ConcurrentHashMap[Key,
       java.util.concurrent.ConcurrentLinkedQueue[Idle]]()
 
-  private def queue(key: (String, String)) =
+  private def queue(key: Key) =
     pools.computeIfAbsent(key,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[Idle]())
 
@@ -92,7 +98,7 @@ object Hive2Pool {
   def borrow(url: String, user: String, password: String,
       open: () => Connection): Connection = {
     val _ = reaper // force init
-    val key = (url, user)
+    val key = (url, user, password)
     val q = queue(key)
     var conn: Connection = null
     var candidate = q.poll()
@@ -106,29 +112,42 @@ object Hive2Pool {
     proxy(conn, key)
   }
 
-  private def proxy(underlying: Connection, key: (String, String)): Connection =
+  private def proxy(underlying: Connection, key: Key): Connection = {
+    // close() must be IDEMPOTENT (the JDBC contract — wrappers and
+    // defensive finally blocks double-close): after the first close the
+    // proxy is dead, reports isClosed, and refuses delegation — a second
+    // close must never re-enqueue the same session for two borrowers
+    val returned = new java.util.concurrent.atomic.AtomicBoolean(false)
     java.lang.reflect.Proxy.newProxyInstance(
       getClass.getClassLoader, Array(classOf[Connection]),
       (_, method, args) =>
-        if (method.getName == "close") {
-          val q = queue(key)
-          val closed =
-            try underlying.isClosed catch { case _: Exception => true }
-          if (!closed) {
-            if (q.size < MaxIdlePerKey)
-              q.add(Idle(underlying, System.nanoTime()))
-            else underlying.close() // pool full — tear the session down
-          }
-          null
-        } else {
-          try method.invoke(underlying,
-            (if (args == null) Array.empty[AnyRef] else args): _*)
-          catch {
-            case e: java.lang.reflect.InvocationTargetException =>
-              throw e.getCause
-          }
+        method.getName match {
+          case "close" =>
+            if (returned.compareAndSet(false, true)) {
+              val q = queue(key)
+              val closed =
+                try underlying.isClosed catch { case _: Exception => true }
+              if (!closed) {
+                if (q.size < MaxIdlePerKey)
+                  q.add(Idle(underlying, System.nanoTime()))
+                else underlying.close() // pool full — tear the session down
+              }
+            }
+            null
+          case "isClosed" if returned.get() => java.lang.Boolean.TRUE
+          case _ if returned.get() =>
+            throw new java.sql.SQLException(
+              "connection already returned to the hive2 pool")
+          case _ =>
+            try method.invoke(underlying,
+              (if (args == null) Array.empty[AnyRef] else args): _*)
+            catch {
+              case e: java.lang.reflect.InvocationTargetException =>
+                throw e.getCause
+            }
         }
     ).asInstanceOf[Connection]
+  }
 
   /** Close every pooled session for real (tests / shutdown hygiene). */
   def drain(): Unit = {

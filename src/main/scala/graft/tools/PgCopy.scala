@@ -406,8 +406,14 @@ object PgCopy {
         val all = parseCsv(data, o.delim, o.nullToken)
         if (o.header) all.drop(1) else all
       } else {
-        data.split("\n").toSeq.map(_.stripSuffix("\r"))
-          .filter(_.nonEmpty).takeWhile(_ != "\\.")
+        // keep interior empty lines — a single-text-column row holding
+        // '' emits one (review finding r13: filtering them lost rows on
+        // a COPY TO → FROM round trip); only the artifact after the
+        // final newline drops
+        val lines0 = data.split("\n", -1).toSeq.map(_.stripSuffix("\r"))
+        val lines =
+          if (lines0.nonEmpty && lines0.last.isEmpty) lines0.init else lines0
+        lines.takeWhile(_ != "\\.")
           .map(splitText(_, o.delim).map {
             case t if t == o.nullToken => None
             case t => Some(unescapeText(t))

@@ -452,13 +452,24 @@ final class PgTxn(session: SparkSession) {
     val set = assignments.map {
       case Assignment(k: UnresolvedAttribute, v) =>
         guardDmlExpr(v)
-        val name = schema.fieldNames.find(resolver(_, k.nameParts.last))
+        // top-level columns only: resolving a multi-part target by its
+        // last segment would silently rewrite an unrelated column
+        // (`SET addr.city = …` hitting a top-level `city`)
+        if (k.nameParts.size != 1) throw new UnsupportedOperationException(
+          s"UPDATE of a nested/qualified target (${k.name}) is not " +
+            "supported inside a transaction block")
+        val name = schema.fieldNames.find(resolver(_, k.nameParts.head))
           .getOrElse(throw new IllegalArgumentException(
             s"UPDATE of unknown column ${k.name}"))
         name -> GraftBridge.column(v)
       case a => throw new UnsupportedOperationException(
         s"UPDATE of a non-column target is not supported: ${a.sql}")
     }
+    // pg 42601: multiple assignments to the same column are an error,
+    // never silent last-wins
+    set.groupBy(_._1).collect { case (n, as) if as.size > 1 => n }
+      .headOption.foreach(n => throw new IllegalArgumentException(
+        s"multiple assignments to the same column $n"))
     cond.foreach(guardDmlExpr)
     val condCol = cond.map(GraftBridge.column).getOrElse(lit(true))
     val n = stagedState(root).filter(coalesce(condCol, lit(false))).count()
@@ -499,16 +510,36 @@ final class PgTxn(session: SparkSession) {
       case _ => None
     }
 
-  /** Predicates/assignments must be self-contained row expressions: a
-    * subquery would evaluate against MOVING state at COMMIT time, which
-    * breaks the statement-time contract — refuse loudly.
+  /** Predicates/assignments must be self-contained DETERMINISTIC row
+    * expressions: a subquery would evaluate against MOVING state at
+    * COMMIT time, and a nondeterministic/now-dependent function would
+    * evaluate differently at every shadow read and once more at COMMIT —
+    * both break the statement-time contract. Refuse loudly.
     */
-  private def guardDmlExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+  private def guardDmlExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       throw new UnsupportedOperationException(
         "subqueries in transactional DELETE/UPDATE are not supported — " +
           "evaluate the subquery into a literal list first, or run it in " +
           "autocommit")
+    val offending = e.collectFirst {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if {
+            val n = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+            // unix_timestamp(arg) parses a GIVEN time — deterministic;
+            // only the nullary now-reading form is refused
+            NondeterministicFns(n) &&
+              (n != "unix_timestamp" || f.arguments.isEmpty)
+          } =>
+        f.nameParts.mkString(".")
+      case x if x.resolved && !x.deterministic => x.prettyName
+    }
+    offending.foreach(n => throw new UnsupportedOperationException(
+      s"$n in transactional DELETE/UPDATE is not supported — the " +
+        "predicate/assignment is re-evaluated at COMMIT, so only " +
+        "deterministic expressions preserve statement-time semantics; " +
+        "compute the value first and pass it as a literal"))
+  }
 
   /** The schema the block sees for a shadowed root (pin-time authority). */
   private def tableSchemaOf(root: String): StructType =
@@ -595,4 +626,14 @@ object PgTxn {
     * row-query prefixes [[PgWire.isRowQuery]] already recognizes).
     */
   private val ReadVerbs = Set("SHOW", "DESCRIBE", "DESC", "EXPLAIN")
+
+  /** Functions whose value depends on WHEN they run — refused in
+    * deferred DML expressions (their parsed form is an
+    * UnresolvedFunction, whose `deterministic` is not meaningful yet).
+    */
+  private val NondeterministicFns = Set(
+    "rand", "randn", "random", "uuid", "shuffle",
+    "monotonically_increasing_id", "current_timestamp", "now",
+    "current_date", "localtimestamp", "current_timezone",
+    "unix_timestamp", "input_file_name")
 }

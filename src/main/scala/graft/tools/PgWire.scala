@@ -1081,11 +1081,17 @@ object PgWire {
     */
   private val SavepointStmtRe =
     "(?is)^SAVEPOINT\\s+(\"[^\"]*\"|[\\w$]+)\\s*$".r
+  // the name group refuses a bare SAVEPOINT keyword so the optional
+  // `SAVEPOINT` marker cannot BACKTRACK into being the name: a malformed
+  // `RELEASE SAVEPOINT` (no identifier) must fall through to a syntax
+  // error, not release a savepoint called "savepoint" (review r13);
+  // a savepoint genuinely named that stays reachable via quoting
   private val RollbackToRe =
     ("(?is)^ROLLBACK\\s+(?:WORK\\s+|TRANSACTION\\s+)?TO\\s+" +
-      "(?:SAVEPOINT\\s+)?(\"[^\"]*\"|[\\w$]+)\\s*$").r
+      "(?:SAVEPOINT\\s+)?(\"[^\"]*\"|(?!SAVEPOINT\\s*$)[\\w$]+)\\s*$").r
   private val ReleaseRe =
-    "(?is)^RELEASE\\s+(?:SAVEPOINT\\s+)?(\"[^\"]*\"|[\\w$]+)\\s*$".r
+    ("(?is)^RELEASE\\s+(?:SAVEPOINT\\s+)?" +
+      "(\"[^\"]*\"|(?!SAVEPOINT\\s*$)[\\w$]+)\\s*$").r
   private val SetTxnRe =
     "(?is)^SET\\s+(SESSION\\s+CHARACTERISTICS\\s+AS\\s+)?TRANSACTION\\b.*".r
 

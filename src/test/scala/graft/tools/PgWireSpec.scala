@@ -1215,10 +1215,32 @@ class PgWireSpec extends SparkTestBase {
       assert(c.query("COMMIT").tag == "COMMIT")
       assert(CommitLog.currentVersion(root).get == vN0)
 
-      // ---- boundaries: subqueries and MERGE refuse loudly
+      // ---- boundaries: subqueries, nondeterminism, nested/duplicate
+      // SET targets, and MERGE all refuse loudly
       assert(c.query("BEGIN").tag == "BEGIN")
       val sub = c.query("DELETE FROM t WHERE k IN (SELECT k FROM tb)")
       assert(sub.error.exists(_.contains("0A000")), s"${sub.error}")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      assert(c.query("BEGIN").tag == "BEGIN")
+      val nd = c.query("UPDATE t SET v = rand() WHERE k = 1")
+      assert(nd.error.exists(e => e.contains("0A000") &&
+        e.contains("rand")), s"${nd.error}")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      assert(c.query("BEGIN").tag == "BEGIN")
+      val nested = c.query("UPDATE t SET bogus.v = 1 WHERE k = 1")
+      assert(nested.error.exists(_.contains("0A000")), s"${nested.error}")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      assert(c.query("BEGIN").tag == "BEGIN")
+      val dup = c.query("UPDATE t SET v = 1, v = 2 WHERE k = 1")
+      assert(dup.error.exists(_.contains("multiple assignments")),
+        s"${dup.error}")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      // malformed savepoint verbs are syntax errors, never a savepoint
+      // literally named "savepoint"
+      assert(c.query("BEGIN").tag == "BEGIN")
+      val mal = c.query("RELEASE SAVEPOINT")
+      assert(mal.error.isDefined &&
+        !mal.error.exists(_.contains("3B001")), s"${mal.error}")
       assert(c.query("ROLLBACK").tag == "ROLLBACK")
       c.close()
 
@@ -1259,6 +1281,34 @@ class PgWireSpec extends SparkTestBase {
       assert(afterExt(6L) == 60.5, afterExt) // the UPDATE landed
       assert(afterExt.contains(1L)) // the rolled-back DELETE did not
       c2.close()
+    } finally server.stop()
+  }
+
+  test("TEXT COPY round-trips a single-text-column table holding the " +
+      "EMPTY STRING (interior empty lines are rows, not noise)") {
+    import graft.sources.{CatalogOps, CommitLog}
+    import spark.implicits._
+    val rootS = java.nio.file.Files.createTempDirectory("graft-cpes").toString
+    val rootD = java.nio.file.Files.createTempDirectory("graft-cped").toString
+    CommitLog.append(Seq("", "x", null.asInstanceOf[String]).toDF("s"), rootS)
+    CommitLog.append(Seq.empty[String].toDF("s"), rootD)
+    CatalogOps.createCommitLogTable(spark, "cpesdb", "src1", rootS)
+    CatalogOps.createCommitLogTable(spark, "cpesdb", "dst1", rootD)
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user); assert(c.authenticate(user, pass))
+      val (pay, tag, err) = c.copyOut("COPY cpesdb.src1 TO STDOUT")
+      assert(err.isEmpty && tag == "COPY 3", s"$err")
+      assert(pay.split("\n", -1).count(_ == "") >= 2, pay) // ''-row + tail
+      val (inTag, inErr) = c.copyIn("COPY cpesdb.dst1 FROM STDIN", pay)
+      assert(inErr.isEmpty, s"$inErr")
+      assert(inTag == "COPY 3") // the '' row survived (r13 review fix)
+      val got = CommitLog.read(spark, rootD).collect()
+        .map(r => Option(r.getString(0))).toSeq
+      assert(got.size == 3 && got.toSet == Set(None, Some(""), Some("x")),
+        got)
+      c.close()
     } finally server.stop()
   }
 
