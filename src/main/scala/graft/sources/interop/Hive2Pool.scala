@@ -1,7 +1,8 @@
 package graft.sources.interop
 
-import java.sql.{Connection, Driver}
+import java.sql.{Connection, Driver, SQLException}
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.jdbc.JdbcConnectionProvider
 
@@ -26,10 +27,22 @@ import org.apache.spark.sql.jdbc.JdbcConnectionProvider
   * underlying connection to the pool instead of closing the server
   * session; concurrent borrowers always get distinct connections, so
   * parallel partitioned fetches still fan out over parallel sessions.
-  * The idle pool is capped per (url, user) — extras close for real —
-  * and a borrowed connection is liveness-checked (`isClosed`) before
-  * reuse. Session-scoped SQL state (USE, SET) does not leak risk onto
+  * Session-scoped SQL state (USE, SET) does not leak risk onto
   * Spark's generated queries: they are fully qualified by construction.
+  *
+  * Liveness discipline (r14): `isClosed` is only a CLIENT-side flag on
+  * HiveConnection — a session killed server-side (endpoint restart,
+  * HS2 idle-session timeout) still reports open. So (a) borrow
+  * validates with `Connection.isValid(timeout)` when the driver
+  * implements it, falling back to `isClosed` when it throws
+  * "Method not supported"; (b) a borrower that observed a
+  * connection-level `SQLException` (createStatement / prepareStatement
+  * / getMetaData failing means the session is gone or poisoned) marks
+  * the proxy, and close() then tears the session down instead of
+  * re-pooling it; (c) when every idle candidate for a key proved stale
+  * and a fresh open succeeds, the key's remaining idle queue is purged
+  * — stale entries for one key near-always mean the endpoint bounced,
+  * so recycling the rest would burn one task retry per corpse.
   *
   * Scale: the pool is per JVM — on a cluster that means per executor,
   * which is precisely the fan-out a federated scan wants (N executors ×
@@ -39,6 +52,9 @@ import org.apache.spark.sql.jdbc.JdbcConnectionProvider
 object Hive2Pool {
 
   private val MaxIdlePerKey = 8
+
+  /** isValid() probe budget, seconds. */
+  private val ValidTimeoutSec = 2
 
   /** Idle sessions close for real after this long (`graft.hive2.pool
     * .idleMs`). A live HiveServer2 connection pins a NON-DAEMON handler
@@ -58,39 +74,93 @@ object Hive2Pool {
     */
   private type Key = (String, String, String)
 
-  private val pools =
-    new ConcurrentHashMap[Key,
-      java.util.concurrent.ConcurrentLinkedQueue[Idle]]()
+  /** Idle queue + its exact size. The counter, not `queue.size`, is the
+    * cap authority: increment-then-add / poll-then-decrement keeps the
+    * accounting atomic under concurrent returns (r13 verdict: the old
+    * `q.size < Max` check-then-add could transiently overfill).
+    */
+  private final class Pool {
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[Idle]()
+    val idle = new AtomicInteger(0)
 
-  private def queue(key: Key) =
-    pools.computeIfAbsent(key,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[Idle]())
+    /** Take one idle entry, keeping the counter in step. */
+    def take(): Idle = {
+      val e = queue.poll()
+      if (e != null) idle.decrementAndGet()
+      e
+    }
+
+    /** Offer a connection back; false = cap reached, caller closes. */
+    def offer(conn: Connection): Boolean = {
+      if (idle.incrementAndGet() <= MaxIdlePerKey) {
+        queue.add(Idle(conn, System.nanoTime()))
+        true
+      } else { idle.decrementAndGet(); false }
+    }
+
+    /** Close every idle session for real. */
+    def purge(): Unit = {
+      var e = take()
+      while (e != null) {
+        try e.conn.close() catch { case _: Exception => () }
+        e = take()
+      }
+    }
+  }
+
+  private val pools = new ConcurrentHashMap[Key, Pool]()
+
+  private def pool(key: Key): Pool =
+    pools.computeIfAbsent(key, _ => new Pool)
 
   private val reaper = {
     val t = new Thread(() => {
       while (true) {
-        Thread.sleep(5000)
-        import scala.jdk.CollectionConverters._
-        val cutoff = System.nanoTime() - idleMs * 1000000L
-        pools.values().asScala.foreach { q =>
-          // drain-and-refill keeps it simple and race-safe: an entry
-          // polled here is owned here
-          var e = q.poll()
-          val keep = Seq.newBuilder[Idle]
-          while (e != null) {
-            if (e.since < cutoff)
-              try e.conn.close() catch { case _: Exception => () }
-            else keep += e
-            e = q.poll()
+        // the WHOLE iteration is guarded: one surprise throwable (spurious
+        // interrupt, a driver close() error type outside Exception) must
+        // never kill the daemon — a dead reaper means idle sessions pin
+        // non-daemon HS2 handler threads forever (ADVICE r13)
+        try {
+          Thread.sleep(5000)
+          import scala.jdk.CollectionConverters._
+          val cutoff = System.nanoTime() - idleMs * 1000000L
+          pools.values().asScala.foreach { p =>
+            // drain-and-refill keeps it simple and race-safe: an entry
+            // taken here is owned here
+            var e = p.take()
+            val keep = Seq.newBuilder[Idle]
+            while (e != null) {
+              if (e.since < cutoff)
+                try e.conn.close() catch { case _: Exception => () }
+              else keep += e
+              e = p.take()
+            }
+            keep.result().foreach { k =>
+              if (!p.offer(k.conn))
+                try k.conn.close() catch { case _: Exception => () }
+            }
           }
-          keep.result().foreach(q.add)
-        }
+        } catch { case _: Throwable => () }
       }
     }, "hive2-pool-reaper")
     t.setDaemon(true)
     t.start()
     t
   }
+
+  /** Server-side liveness: isValid(t) where implemented (HiveConnection
+    * runs a real round trip), isClosed where the driver throws the
+    * JDBC-optional "Method not supported" (older Hive drivers) — the
+    * client-side flag is then the best signal available.
+    */
+  private def live(conn: Connection): Boolean =
+    try conn.isValid(ValidTimeoutSec)
+    catch {
+      case _: SQLException | _: AbstractMethodError |
+           _: UnsupportedOperationException =>
+        try !conn.isClosed catch { case _: Exception => false }
+      case _: Exception => false
+    }
 
   /** Borrow a live connection (reuse an idle one or open fresh), wrapped
     * so close() returns it to the pool.
@@ -99,16 +169,25 @@ object Hive2Pool {
       open: () => Connection): Connection = {
     val _ = reaper // force init
     val key = (url, user, password)
-    val q = queue(key)
+    val p = pool(key)
     var conn: Connection = null
-    var candidate = q.poll()
+    var sawStale = false
+    var candidate = p.take()
     while (conn == null && candidate != null) {
-      val live =
-        try !candidate.conn.isClosed catch { case _: Exception => false }
-      if (live) conn = candidate.conn
-      else candidate = q.poll()
+      if (live(candidate.conn)) conn = candidate.conn
+      else {
+        sawStale = true
+        try candidate.conn.close() catch { case _: Exception => () }
+        candidate = p.take()
+      }
     }
-    if (conn == null) conn = open()
+    if (conn == null) {
+      conn = open()
+      // a fresh open succeeding right after stale hits means the
+      // endpoint bounced — everything pooled under this key predates
+      // the bounce; purge instead of feeding corpses to later borrowers
+      if (sawStale) p.purge()
+    }
     proxy(conn, key)
   }
 
@@ -118,19 +197,23 @@ object Hive2Pool {
     // proxy is dead, reports isClosed, and refuses delegation — a second
     // close must never re-enqueue the same session for two borrowers
     val returned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // set when a delegated CONNECTION-level call threw SQLException —
+    // on HS2 that means the session is dead or poisoned, so close()
+    // tears it down instead of re-pooling (ADVICE r13)
+    val poisoned = new java.util.concurrent.atomic.AtomicBoolean(false)
     java.lang.reflect.Proxy.newProxyInstance(
       getClass.getClassLoader, Array(classOf[Connection]),
       (_, method, args) =>
         method.getName match {
           case "close" =>
             if (returned.compareAndSet(false, true)) {
-              val q = queue(key)
               val closed =
                 try underlying.isClosed catch { case _: Exception => true }
-              if (!closed) {
-                if (q.size < MaxIdlePerKey)
-                  q.add(Idle(underlying, System.nanoTime()))
-                else underlying.close() // pool full — tear the session down
+              if (closed || poisoned.get()) {
+                if (!closed)
+                  try underlying.close() catch { case _: Exception => () }
+              } else if (!pool(key).offer(underlying)) {
+                underlying.close() // pool full — tear the session down
               }
             }
             null
@@ -143,7 +226,11 @@ object Hive2Pool {
               (if (args == null) Array.empty[AnyRef] else args): _*)
             catch {
               case e: java.lang.reflect.InvocationTargetException =>
-                throw e.getCause
+                e.getCause match {
+                  case sql: SQLException =>
+                    poisoned.set(true); throw sql
+                  case other => throw other
+                }
             }
         }
     ).asInstanceOf[Connection]
@@ -152,14 +239,13 @@ object Hive2Pool {
   /** Close every pooled session for real (tests / shutdown hygiene). */
   def drain(): Unit = {
     import scala.jdk.CollectionConverters._
-    pools.values().asScala.foreach { q =>
-      var e = q.poll()
-      while (e != null) {
-        try e.conn.close() catch { case _: Exception => () }
-        e = q.poll()
-      }
-    }
+    pools.values().asScala.foreach(_.purge())
   }
+
+  /** Test hook: exact idle count for a key (the cap authority). */
+  private[interop] def idleCount(url: String, user: String,
+      password: String): Int =
+    pool((url, user, password)).idle.get()
 }
 
 /** The SPI face (META-INF/services/org.apache.spark.sql.jdbc
