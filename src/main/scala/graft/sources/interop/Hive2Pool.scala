@@ -82,6 +82,13 @@ object Hive2Pool {
   private final class Pool {
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[Idle]()
     val idle = new AtomicInteger(0)
+    // bumped by invalidate(): sessions borrowed under an older generation
+    // close for real instead of re-pooling. A HiveServer2 session caches
+    // resolved relations (per-session Spark catalog), so DDL or writes
+    // through ONE session leave every OTHER live session's cache stale —
+    // a recycled stale session then serves FILE_NOT_EXIST (post-rename)
+    // or silently misses fresh files. Writers bump the generation.
+    val gen = new AtomicInteger(0)
 
     /** Take one idle entry, keeping the counter in step. */
     def take(): Idle = {
@@ -188,10 +195,22 @@ object Hive2Pool {
       // the bounce; purge instead of feeding corpses to later borrowers
       if (sawStale) p.purge()
     }
-    proxy(conn, key)
+    proxy(conn, key, p.gen.get())
   }
 
-  private def proxy(underlying: Connection, key: Key): Connection = {
+  /** Invalidate every session for a key: idles close now, borrowed ones
+    * close for real on return instead of re-pooling. Call after DDL or
+    * table writes through the key's endpoint — live sessions' relation
+    * caches are stale past that point (see [[Pool.gen]]).
+    */
+  def invalidate(url: String, user: String, password: String): Unit = {
+    val p = pool((url, user, password))
+    p.gen.incrementAndGet()
+    p.purge()
+  }
+
+  private def proxy(underlying: Connection, key: Key,
+      genAtBorrow: Int): Connection = {
     // close() must be IDEMPOTENT (the JDBC contract — wrappers and
     // defensive finally blocks double-close): after the first close the
     // proxy is dead, reports isClosed, and refuses delegation — a second
@@ -209,7 +228,8 @@ object Hive2Pool {
             if (returned.compareAndSet(false, true)) {
               val closed =
                 try underlying.isClosed catch { case _: Exception => true }
-              if (closed || poisoned.get()) {
+              if (closed || poisoned.get() ||
+                  pool(key).gen.get() != genAtBorrow) {
                 if (!closed)
                   try underlying.close() catch { case _: Exception => () }
               } else if (!pool(key).offer(underlying)) {

@@ -127,9 +127,17 @@ object JdbcFederation {
     * server-side prepared statements, so `df.write.jdbc`'s
     * PreparedStatement path cannot serve this wire.
     *
-    * Semantics match the Trino connector's: per-statement atomicity only
-    * (a mid-write failure can leave a prefix — re-run with
-    * `overwrite = true`); `overwrite` drops and recreates. Scale:
+    * Semantics: the default (`atomic = false`) matches the Trino
+    * connector's per-statement atomicity — a mid-write failure can leave
+    * a prefix; re-run with `overwrite = true`. `atomic = true` closes
+    * that window with the staging-table pattern: rows land in a
+    * uniquely-named stage table first, and only a complete stage
+    * publishes — overwrite swaps it in via DROP + RENAME (the target is
+    * never partial; the swap itself is two metadata statements), append
+    * ships ONE remote `INSERT INTO target SELECT * FROM stage` (on a
+    * Spark SQL remote that statement commits through the file-commit
+    * protocol, so partial task output is never visible). Any failure
+    * drops the stage and leaves the target untouched. Scale:
     * `writePartitions` controls fan-in — the default 1 writes serially
     * (an interactive fixture push); raise it for parallel inserts when
     * the remote end handles concurrent appends.
@@ -138,43 +146,77 @@ object JdbcFederation {
       user: String = "anonymous", password: String = "",
       driver: String = "org.apache.hive.jdbc.HiveDriver",
       overwrite: Boolean = false, batchRows: Int = 500,
-      writePartitions: Int = 1): Unit = {
+      writePartitions: Int = 1, atomic: Boolean = false): Unit = {
     registerDialect()
     val fields = df.schema.fields
     fields.foreach(f => ddlType(f.dataType)) // unsupported types fail NOW
     val ddl = fields.map(f =>
       s"${Hive2Dialect.quoteIdentifier(f.name)} ${ddlType(f.dataType)}")
       .mkString(", ")
-    def pooled(): java.sql.Connection = {
+    def exec(statements: String*): Unit = {
       Class.forName(driver)
-      Hive2Pool.borrow(url, user, password,
+      val c = Hive2Pool.borrow(url, user, password,
         () => java.sql.DriverManager.getConnection(url, user, password))
-    }
-    val c0 = pooled()
-    try {
-      val st = c0.createStatement()
       try {
-        if (overwrite) st.execute(s"DROP TABLE IF EXISTS $table")
-        st.execute(s"CREATE TABLE IF NOT EXISTS $table ($ddl)")
-      } finally st.close()
-    } finally c0.close() // returns the session to the pool
-    df.coalesce(math.max(1, writePartitions)).foreachPartition {
-      (rows: Iterator[Row]) =>
-        if (rows.hasNext) {
-          Class.forName(driver)
-          val c = Hive2Pool.borrow(url, user, password,
-            () => java.sql.DriverManager.getConnection(url, user, password))
-          try {
-            val st = c.createStatement()
-            try rows.grouped(batchRows).foreach { batch =>
-              val values = batch.map(r => fields.indices.map(i =>
-                sqlLiteral(r, i, fields(i).dataType))
-                .mkString("(", ", ", ")")).mkString(", ")
-              st.execute(s"INSERT INTO $table VALUES $values")
-            } finally st.close()
-          } finally c.close()
-        }
+        val st = c.createStatement()
+        try statements.foreach(st.execute) finally st.close()
+      } finally c.close() // returns the session to the pool
     }
+    def insertInto(target: String): Unit =
+      df.coalesce(math.max(1, writePartitions)).foreachPartition {
+        (rows: Iterator[Row]) =>
+          if (rows.hasNext) {
+            Class.forName(driver)
+            val c = Hive2Pool.borrow(url, user, password,
+              () => java.sql.DriverManager.getConnection(url, user, password))
+            try {
+              val st = c.createStatement()
+              try rows.grouped(batchRows).foreach { batch =>
+                val values = batch.map(r => fields.indices.map(i =>
+                  sqlLiteral(r, i, fields(i).dataType))
+                  .mkString("(", ", ", ")")).mkString(", ")
+                st.execute(s"INSERT INTO $target VALUES $values")
+              } finally st.close()
+            } finally c.close()
+          }
+      }
+    def writeBody(): Unit = if (!atomic) {
+      exec((if (overwrite) Seq(s"DROP TABLE IF EXISTS $table") else Nil) :+
+        s"CREATE TABLE IF NOT EXISTS $table ($ddl)": _*)
+      insertInto(table)
+    } else {
+      // stage in the SAME namespace so RENAME stays a same-db move
+      val (ns, leaf) = table.lastIndexOf('.') match {
+        case -1 => ("", table)
+        case i => (table.substring(0, i + 1), table.substring(i + 1))
+      }
+      val stage =
+        s"$ns${leaf}__graft_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      exec(s"CREATE TABLE $stage ($ddl)")
+      try {
+        insertInto(stage)
+        if (overwrite)
+          exec(s"DROP TABLE IF EXISTS $table",
+            s"ALTER TABLE $stage RENAME TO $table")
+        else
+          exec(s"CREATE TABLE IF NOT EXISTS $table ($ddl)",
+            s"INSERT INTO $table SELECT * FROM $stage",
+            s"DROP TABLE $stage")
+      } catch {
+        case t: Throwable =>
+          try exec(s"DROP TABLE IF EXISTS $stage")
+          catch { case cleanup: Exception => t.addSuppressed(cleanup) }
+          throw t
+      }
+    }
+    try writeBody()
+    finally
+      // sessions that served other work while this write ran hold stale
+      // relation caches (per-session catalogs in HiveServer2): a swap
+      // rename serves FILE_NOT_EXIST through them, an append silently
+      // misses the new files. Invalidate the key so stale sessions never
+      // recycle and the next borrow opens fresh.
+      Hive2Pool.invalidate(url, user, password)
   }
 
   private def ddlType(dt: DataType): String = dt match {
@@ -196,7 +238,14 @@ object JdbcFederation {
   /** One value as a remote-parseable SQL literal. Floating point rides a
     * string cast (`toString` round-trips doubles exactly, including
     * Infinity/NaN); strings escape backslash-style (Spark SQL's default
-    * literal rules).
+    * literal rules). Timestamps ship as `timestamp_micros(<epoch>)` —
+    * zone-FREE by construction: a `TIMESTAMP'…'` string literal would
+    * render in the writer JVM's default zone and re-parse in the remote
+    * SESSION's zone, silently shifting instants whenever the two differ
+    * (ADVICE r13). Epoch micros name the instant itself; the remote
+    * (a Spark SQL engine — this dialect's declared target) reconstructs
+    * it exactly. Dates stay literal: `DATE'yyyy-MM-dd'` is zone-free in
+    * both rendering and parsing.
     */
   private def sqlLiteral(r: Row, i: Int, dt: DataType): String =
     if (r.isNullAt(i)) "NULL" else dt match {
@@ -209,7 +258,11 @@ object JdbcFederation {
       case d: DecimalType =>
         s"CAST('${r.getDecimal(i)}' AS DECIMAL(${d.precision},${d.scale}))"
       case DateType => s"DATE'${r.getDate(i)}'"
-      case TimestampType => s"TIMESTAMP'${r.getTimestamp(i)}'"
+      case TimestampType =>
+        val ts = r.getTimestamp(i)
+        val micros =
+          Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        s"timestamp_micros(${micros}L)"
       case other => throw new UnsupportedOperationException(
         s"federated JDBC write of type $other is not supported")
     }

@@ -24,6 +24,20 @@ object FederationRoundTrip {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // a failure must still EXIT: pooled HiveServer2 sessions pin
+    // non-daemon handler threads, so an exception that escapes main would
+    // otherwise leave the JVM alive forever (DestroyJavaVM waits) and the
+    // parent spec blocked on our stdout
+    try runBattery(spark)
+    catch {
+      case t: Throwable =>
+        t.printStackTrace()
+        sys.exit(1)
+    }
+    sys.exit(0) // HiveServer2 leaves non-daemon threads behind
+  }
+
+  private def runBattery(spark: SparkSession): Unit = {
     import graft.sources.{CatalogOps, CommitLog}
     val root = java.nio.file.Files.createTempDirectory("graft-fed").toString
     val local = spark.range(100).selectExpr("id AS k",
@@ -99,6 +113,63 @@ object FederationRoundTrip {
         .readTable(spark, url, "feddb.w").count() == 55)
       println("FED_WRITE=OK")
 
+      // ---- ATOMIC write: a mid-stream failure must leave the target
+      // either untouched or complete (staging-table pattern); the stage
+      // itself must not leak
+      def stageCount(): Int = {
+        val c = java.sql.DriverManager.getConnection(url, "anonymous", "")
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SHOW TABLES IN feddb LIKE '*graft_stage*'")
+          var n = 0
+          while (rs.next()) n += 1
+          n
+        } finally c.close()
+      }
+      val poison = udf((id: Long) =>
+        if (id == 49L) throw new RuntimeException("mid-stream failure")
+        else id)
+      val failing = wsrc.withColumn("k", poison(col("k")))
+      val beforeRows = graft.sources.interop.JdbcFederation
+        .readTable(spark, url, "feddb.w").orderBy("k").collect().toSeq
+      val failed =
+        try {
+          graft.sources.interop.JdbcFederation.writeTable(failing, url,
+            "feddb.w", overwrite = true, batchRows = 16, atomic = true)
+          false
+        } catch { case _: Exception => true }
+      require(failed, "poisoned atomic write was expected to fail")
+      val afterFail = graft.sources.interop.JdbcFederation
+        .readTable(spark, url, "feddb.w").orderBy("k").collect().toSeq
+      require(afterFail == beforeRows,
+        "failed atomic overwrite must leave the target byte-identical")
+      require(stageCount() == 0, "failed atomic write leaked a stage table")
+      // successful atomic overwrite swaps the complete stage in
+      graft.sources.interop.JdbcFederation.writeTable(wsrc, url, "feddb.w",
+        overwrite = true, batchRows = 16, atomic = true)
+      require(graft.sources.interop.JdbcFederation
+        .readTable(spark, url, "feddb.w").orderBy("k").collect().toSeq ==
+        wsrc.orderBy("k").collect().toSeq,
+        "atomic overwrite round trip diverged")
+      // atomic append: one remote INSERT…SELECT from the complete stage
+      graft.sources.interop.JdbcFederation.writeTable(wsrc.limit(5), url,
+        "feddb.w", atomic = true)
+      require(graft.sources.interop.JdbcFederation
+        .readTable(spark, url, "feddb.w").count() == 55)
+      // failed atomic append: target keeps exactly its pre-write rows
+      val failedAppend =
+        try {
+          graft.sources.interop.JdbcFederation.writeTable(failing, url,
+            "feddb.w", batchRows = 16, atomic = true)
+          false
+        } catch { case _: Exception => true }
+      require(failedAppend)
+      require(graft.sources.interop.JdbcFederation
+        .readTable(spark, url, "feddb.w").count() == 55,
+        "failed atomic append must not leave a prefix")
+      require(stageCount() == 0, "failed atomic append leaked a stage table")
+      println("FED_ATOMIC=OK")
+
       // ---- DSv2 JDBC catalog: aggregates PUSH DOWN to the remote side
       graft.sources.interop.JdbcFederation.registerCatalog(
         spark, "fedcat", url)
@@ -118,6 +189,5 @@ object FederationRoundTrip {
       println("FED_AGG_PUSHDOWN=OK")
     } finally server.stop()
     spark.stop()
-    sys.exit(0) // HiveServer2 leaves non-daemon threads behind
   }
 }

@@ -117,6 +117,25 @@ class Hive2PoolSpec extends AnyFunSuite {
     Hive2Pool.drain()
   }
 
+  test("invalidate retires idle AND borrowed sessions (stale relation caches)") {
+    val url = key("gen")
+    val idleF = new Fake
+    val outF = new Fake
+    // hold both so two distinct sessions exist, then pool one
+    val first = Hive2Pool.borrow(url, "u", "p", () => idleF.conn)
+    val out = Hive2Pool.borrow(url, "u", "p", () => outF.conn)
+    first.close()
+    assert(Hive2Pool.idleCount(url, "u", "p") == 1)
+    // a writer bumps the generation mid-borrow
+    Hive2Pool.invalidate(url, "u", "p")
+    assert(idleF.closed, "idle sessions close at invalidate")
+    assert(Hive2Pool.idleCount(url, "u", "p") == 0)
+    out.close()
+    assert(outF.closed,
+      "a session borrowed before invalidate must not re-pool its stale cache")
+    assert(Hive2Pool.idleCount(url, "u", "p") == 0)
+  }
+
   test("healthy sessions are reused across borrows") {
     val url = key("reuse")
     val opened = new AtomicInteger(0)

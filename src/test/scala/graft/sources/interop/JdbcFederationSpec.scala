@@ -28,6 +28,7 @@ class JdbcFederationSpec extends AnyFunSuite {
     assert(out.contains("FED_PARTITIONED=OK"), out.takeRight(2000))
     assert(out.contains("FED_JOIN=OK"), out.takeRight(2000))
     assert(out.contains("FED_WRITE=OK"), out.takeRight(2000))
+    assert(out.contains("FED_ATOMIC=OK"), out.takeRight(2000))
     assert(out.contains("FED_AGG_PUSHDOWN=OK"), out.takeRight(2000))
   }
 }
