@@ -565,10 +565,18 @@ object HudiImport {
   * value. The key is the HBase KeyValue key: i16 rowLen, row bytes
   * (Hudi's record key), family/qualifier/timestamp/type (opaque here).
   * Files written with MVCC carry a trailing varint per cell (Hudi
-  * writes sequence id 0); whether it is present is recorded in the file
-  * info block this scan skips, so the parse tries strict no-MVCC first
-  * and re-parses with the varint on misalignment — one of the two is
-  * structurally consistent for the whole block. Compression: NONE, or
+  * writes sequence id 0); whether it is present is recorded in the
+  * FILE INFO block (HBase writes `MAX_MEMSTORE_TS` + `KEY_VALUE_VERSION`
+  * into file info exactly when the file includes mvcc —
+  * HFileWriterImpl.finishFileInfo, published layout). Detection is
+  * therefore DETERMINISTIC when a `FILEINF2` block is present: locate it
+  * in the load-on-open section and test for the `MAX_MEMSTORE_TS` key
+  * bytes (verbatim in both the protobuf and the writable-map info
+  * encodings). Only a file carrying NO file info block (minimal
+  * fixtures) falls back to parse-retry — strict no-MVCC first,
+  * re-parse with the varint on misalignment — which a crafted payload
+  * could in principle satisfy under the wrong mode (r13 verdict #7);
+  * real HBase/Hudi writers always emit file info. Compression: NONE, or
   * GZ (HBase's GZ algorithm is a plain gzip stream — recognized by its
   * 1f 8b magic, inflated to the declared uncompressed size).
   */
@@ -581,12 +589,58 @@ private[interop] object HFileScan {
     Seq("IDXROOT2", "IDXINTE2", "FILEINF2", "TRABLK\"$")
       .map(_.getBytes("UTF-8"))
 
+  private val FileInfoMagic = "FILEINF2".getBytes("UTF-8")
+  private val MaxMemstoreKey = "MAX_MEMSTORE_TS".getBytes("UTF-8")
+
   private def i32(b: Array[Byte], p: Int): Int =
     ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
       ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
 
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte],
+      from: Int): Int = {
+    var i = math.max(0, from)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Deterministic MVCC answer from the file info block: Some(true/false)
+    * when a structurally valid `FILEINF2` block exists (mvcc ⇔ its
+    * payload names `MAX_MEMSTORE_TS`), None when the file carries no
+    * file info at all. The LAST magic occurrence is used — file info
+    * lives in the load-on-open section at the file's end, and earlier
+    * hits could be payload coincidence; a hit whose header does not
+    * bound-check is likewise payload noise and skipped.
+    */
+  private def fileInfoMvcc(bytes: Array[Byte]): Option[Boolean] = {
+    var found = -1
+    var at = indexOfSlice(bytes, FileInfoMagic, 0)
+    while (at >= 0) {
+      found = at
+      at = indexOfSlice(bytes, FileInfoMagic, at + 1)
+    }
+    if (found < 0 || found + 33 > bytes.length) return None
+    val onDiskDataSizeWithHeader = i32(bytes, found + 29)
+    if (onDiskDataSizeWithHeader < 33 ||
+      found + onDiskDataSizeWithHeader.toLong > bytes.length) return None
+    val raw = java.util.Arrays.copyOfRange(bytes, found + 33,
+      found + onDiskDataSizeWithHeader)
+    val payload =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+        (raw(1) & 0xff) == 0x8b)
+        try gunzip(raw, raw.length * 4) catch { case _: Exception => raw }
+      else raw
+    Some(indexOfSlice(payload, MaxMemstoreKey, 0) >= 0)
+  }
+
   /** (rowKey, value) of every cell in every DATA block, file order. */
   def cells(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val mvccKnown = fileInfoMvcc(bytes)
     val out = Seq.newBuilder[(String, Array[Byte])]
     var off = 0
     var done = false
@@ -610,7 +664,7 @@ private[interop] object HFileScan {
             if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
               (raw(1) & 0xff) == 0x8b) gunzip(raw, uncompressedSize)
             else raw
-          out ++= parseCells(data)
+          out ++= parseCells(data, mvccKnown)
         }
         off += 33 + onDiskSizeWithoutHeader
       } else throw new IllegalArgumentException(
@@ -632,11 +686,15 @@ private[interop] object HFileScan {
     } finally in.close()
   }
 
-  private def parseCells(data: Array[Byte]): Seq[(String, Array[Byte])] =
-    try parseCellsWith(data, mvcc = false)
-    catch {
-      case _: IllegalArgumentException => parseCellsWith(data, mvcc = true)
-    }
+  private def parseCells(data: Array[Byte], mvccKnown: Option[Boolean])
+      : Seq[(String, Array[Byte])] = mvccKnown match {
+    case Some(m) => parseCellsWith(data, mvcc = m) // file-info authority
+    case None =>
+      try parseCellsWith(data, mvcc = false)
+      catch {
+        case _: IllegalArgumentException => parseCellsWith(data, mvcc = true)
+      }
+  }
 
   private def parseCellsWith(data: Array[Byte], mvcc: Boolean)
       : Seq[(String, Array[Byte])] = {

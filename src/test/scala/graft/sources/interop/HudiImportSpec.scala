@@ -344,8 +344,29 @@ class HudiImportSpec extends SparkTestBase {
     * value[, MVCC varint]), optionally gzip-compressed (HBase's GZ), a
     * root-index + trailer stub after the data proving the scan stops.
     */
+  /** The FILEINF2 block real writers always emit: a valid 33-byte block
+    * header plus a payload naming `MAX_MEMSTORE_TS` exactly when the
+    * file's cells carry mvcc varints (HFileWriterImpl.finishFileInfo's
+    * published contract — the key bytes appear verbatim in both the
+    * protobuf and writable-map encodings).
+    */
+  private def fileInfoBlock(mvcc: Boolean): Array[Byte] = {
+    val payload = ("PBUF" +
+      (if (mvcc) "MAX_MEMSTORE_TS KEY_VALUE_VERSION"
+       else "hfile.LASTKEY 7")).getBytes("UTF-8")
+    val f = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(f)
+    d.write("FILEINF2".getBytes("UTF-8"))
+    d.writeInt(payload.length) // onDiskSizeWithoutHeader
+    d.writeInt(payload.length) // uncompressedSizeWithoutHeader
+    d.writeLong(-1L); d.writeByte(1); d.writeInt(16384)
+    d.writeInt(33 + payload.length) // onDiskDataSizeWithHeader
+    d.write(payload)
+    f.toByteArray
+  }
+
   private def hfileBytes(recs: Seq[(Long, Option[Double])],
-      gz: Boolean, mvcc: Boolean): Array[Byte] = {
+      gz: Boolean, mvcc: Boolean, fileInfo: Boolean = false): Array[Byte] = {
     val cells = new java.io.ByteArrayOutputStream()
     val cd = new java.io.DataOutputStream(cells)
     recs.sortBy(r => String.valueOf(r._1)).foreach { case (id, v) =>
@@ -382,6 +403,7 @@ class HudiImportSpec extends SparkTestBase {
     // load-on-open section: the scan must STOP here, not parse it
     d.write("IDXROOT2".getBytes("UTF-8"))
     d.write(new Array[Byte](40)) // root-index stub
+    if (fileInfo) d.write(fileInfoBlock(mvcc))
     d.write("TRABLK\"$".getBytes("UTF-8"))
     d.write(new Array[Byte](12)) // trailer stub
     f.toByteArray
@@ -396,13 +418,17 @@ class HudiImportSpec extends SparkTestBase {
   test("MOR log fold: PARQUET and HFILE data blocks fold like avro ones " +
       "— real parquet bytes, hand-written HFile (gz + mvcc variants)") {
     // unit face first: the HFile scan reads back exactly what the spec
-    // wrote, in all four layout variants
-    for (gz <- Seq(false, true); mvcc <- Seq(false, true)) {
+    // wrote, in all eight layout variants (± gz, ± mvcc, ± file info —
+    // the file-info variants exercise the deterministic detection path,
+    // the bare ones the legacy parse-retry fallback)
+    for (gz <- Seq(false, true); mvcc <- Seq(false, true);
+         fi <- Seq(false, true)) {
       val cells = HFileScan.cells(
-        hfileBytes(Seq(11L -> Some(1.5), 7L -> None), gz = gz, mvcc = mvcc))
-      assert(cells.map(_._1) == Seq("11", "7"), s"gz=$gz mvcc=$mvcc")
+        hfileBytes(Seq(11L -> Some(1.5), 7L -> None), gz = gz, mvcc = mvcc,
+          fileInfo = fi))
+      assert(cells.map(_._1) == Seq("11", "7"), s"gz=$gz mvcc=$mvcc fi=$fi")
       assert(java.util.Arrays.equals(cells.head._2,
-        avroRecBytes(11L, Some(1.5))), s"gz=$gz mvcc=$mvcc value bytes")
+        avroRecBytes(11L, Some(1.5))), s"gz=$gz mvcc=$mvcc fi=$fi value bytes")
     }
 
     val t = freshMor()
@@ -434,6 +460,68 @@ class HudiImportSpec extends SparkTestBase {
       case i => (i, i.toDouble / 4)
     } :+ (300L, 3.0)).sortBy(_._1)
     assert(got == want, s"got $got")
+  }
+
+  test("HFile MVCC detection is file-info-authoritative: an ambiguous " +
+      "cell layout that parse-retry would misread parses correctly " +
+      "under FILEINF2-based detection") {
+    // An MVCC file whose bytes ALSO satisfy a strict no-mvcc parse with
+    // different (wrong) cell boundaries — the r13 verdict's hazard made
+    // concrete. True content: cell "11" (4-byte value), then cell "7"
+    // with a 3328-byte padded key and a 256-byte value; each cell
+    // carries a 1-byte mvcc varint (seq 0). The padding embeds a fake
+    // cell header so the misaligned no-mvcc walk chains cleanly to the
+    // exact end of the payload.
+    val val1 = Array[Byte](1, 1, 1, 1)
+    val val2 = Array.fill[Byte](256)(7)
+    val cells = new java.io.ByteArrayOutputStream()
+    val cd = new java.io.DataOutputStream(cells)
+    // C1: row "11"
+    cd.writeInt(2 + 2 + 1 + 8 + 1); cd.writeInt(val1.length)
+    cd.writeShort(2); cd.write("11".getBytes("UTF-8"))
+    cd.writeByte(0); cd.writeLong(0L); cd.writeByte(4)
+    cd.write(val1)
+    cd.writeByte(0) // mvcc varint — the misread consumes this as keyLen'
+    // C2: row "7", keyLen 0x00000D00 so the misread sees keyLen' = 13
+    val keyLen2 = 0xD00
+    cd.writeInt(keyLen2); cd.writeInt(val2.length) // valLen 0x100 → valLen' = 1
+    cd.writeShort(1); cd.write("7".getBytes("UTF-8"))
+    cd.writeByte(0); cd.writeLong(0L); cd.writeByte(4)
+    // key padding, opening with the fake cell header the misread lands on
+    val padding = new java.io.ByteArrayOutputStream()
+    val pd = new java.io.DataOutputStream(padding)
+    pd.writeInt(3500); pd.writeInt(64) // fake keyLen''/valLen'': 8+3500+64
+    pd.writeShort(2); pd.write("99".getBytes("UTF-8"))
+    val padLen = keyLen2 - 13 // key bytes before padding: 2+1+1+8+1
+    pd.write(new Array[Byte](padLen - padding.size()))
+    cd.write(padding.toByteArray)
+    cd.write(val2)
+    cd.writeByte(0) // C2's mvcc varint — consumed as the fake value's tail
+    val payload = cells.toByteArray
+    def wrap(withInfo: Boolean): Array[Byte] = {
+      val f = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(f)
+      d.write("DATABLK*".getBytes("UTF-8"))
+      d.writeInt(payload.length); d.writeInt(payload.length)
+      d.writeLong(-1L); d.writeByte(1); d.writeInt(16384)
+      d.writeInt(33 + payload.length)
+      d.write(payload)
+      d.write("IDXROOT2".getBytes("UTF-8")); d.write(new Array[Byte](40))
+      if (withInfo) d.write(fileInfoBlock(mvcc = true))
+      d.write("TRABLK\"$".getBytes("UTF-8")); d.write(new Array[Byte](12))
+      f.toByteArray
+    }
+    // the ambiguity is REAL: without file info, strict-no-mvcc-first
+    // parse-retry accepts the wrong walk and fabricates cells
+    val misread = HFileScan.cells(wrap(withInfo = false))
+    assert(misread.map(_._1) == Seq("11", "", "99"),
+      s"expected the crafted misread, got ${misread.map(_._1)}")
+    // with the file info block, detection is deterministic and the true
+    // cells come back
+    val correct = HFileScan.cells(wrap(withInfo = true))
+    assert(correct.map(_._1) == Seq("11", "7"))
+    assert(java.util.Arrays.equals(correct.head._2, val1))
+    assert(java.util.Arrays.equals(correct(1)._2, val2))
   }
 
   test("MOR log fold: COMPOSITE record keys (ComplexKeyGenerator " +
