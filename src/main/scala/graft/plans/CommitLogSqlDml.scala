@@ -80,7 +80,7 @@ object CommitLogSqlDml {
     * bind — swap each for an unresolved attribute that re-resolves by name
     * against whatever DataFrame the condition is applied to.
     */
-  private[plans] def byName(e: Expression): Expression = e.transform {
+  private[graft] def byName(e: Expression): Expression = e.transform {
     case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
   }
 
@@ -148,9 +148,36 @@ object CommitLogSqlDml {
         matched: Seq[MergeAction],
         notMatched: Seq[MergeAction],
         notMatchedBySource: Seq[MergeAction]): LogicalPlan = {
+      val spec = translateMergeSpec(spark.sessionState.conf.resolver,
+        target, source, cond, matched, notMatched, notMatchedBySource)
+      GraftMergeCommand(root, source, spec.keys, spec.deleteWhen,
+        spec.insertUnmatched, replaceMatched = spec.replaceMatched,
+        spec.bySource)
+    }
+  }
+
+  /** The clause structure [[GraftMergeCommand]] executes, extracted from
+    * a RESOLVED MergeIntoTable — shared by the analyzer rule (autocommit
+    * SQL MERGE) and [[graft.tools.PgTxn]] (MERGE staged inside a
+    * transaction block, folded at COMMIT).
+    */
+  private[graft] case class MergeSpec(
+      keys: Seq[String],
+      deleteWhen: Option[Expression],
+      insertUnmatched: Boolean,
+      replaceMatched: Boolean,
+      bySource: Option[MergeBySource])
+
+  private[graft] def translateMergeSpec(
+      resolver: (String, String) => Boolean,
+      target: LogicalPlan,
+      source: LogicalPlan,
+      cond: Expression,
+      matched: Seq[MergeAction],
+      notMatched: Seq[MergeAction],
+      notMatchedBySource: Seq[MergeAction]): MergeSpec = {
       val tOut = target.outputSet
       val sOut = source.outputSet
-      val resolver = spark.sessionState.conf.resolver
 
       // ON must be a conjunction of target.k = source.k equalities over
       // SAME-NAMED columns — the key-join contract CommitLog.merge executes.
@@ -261,10 +288,9 @@ object CommitLogSqlDml {
       if (matched.isEmpty && !insertUnmatched && bySource.isEmpty)
         unsupported("no actions")
 
-      GraftMergeCommand(root, source, keys, deleteWhen,
-        insertUnmatched, replaceMatched = sawUpdate, bySource)
+      MergeSpec(keys, deleteWhen, insertUnmatched,
+        replaceMatched = sawUpdate, bySource)
     }
-  }
 
   /** Resolved `WHEN NOT MATCHED BY SOURCE` clause carried to the command:
     * `delete = true` drops qualifying target rows, otherwise `set` rewrites

@@ -445,48 +445,49 @@ object ReferenceCubes {
       fn = { (s: SparkSession, dir: String) =>
         import org.apache.spark.sql.functions._
         import graft.sources.{CatalogOps, CommitLog}
-        val ord = Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        // r13 verdict #4: the base table, catalog db, insert-source view
+        // and the PgWire server all stage ONCE per (JVM, sf-dir); each
+        // measure gets a fresh mutable table via zero-copy SHALLOW CLONE
+        // (a KB-scale metadata commit) — the timed body is the txn
+        // scripts + read-back, not fixture construction
+        val (db, baseRoot, srcView) = pgDmlFixture(s, dir)
+        val port = pgDmlPort(s)
         val root = java.nio.file.Files
-          .createTempDirectory("graft-q187-dml").toString
-        CommitLog.append(ord.filter(col("o_orderkey") % 4 === 0), root)
-        val db = "pgdml_" + java.util.UUID.randomUUID().toString
+          .createTempDirectory("graft-q187-clone").toString
+        CommitLog.shallowClone(baseRoot, root)
+        val tbl = "ord_" + java.util.UUID.randomUUID().toString
           .replace("-", "").take(10)
-        CatalogOps.createCommitLogTable(s, db, "ord", root)
-        ord.filter(col("o_orderkey") % 4 === 1)
-          .createOrReplaceGlobalTempView("pgdml_src_o")
-        val server = graft.tools.PgWire.start(s,
-          user = "cube", password = "wire-check")
+        CatalogOps.createCommitLogTable(s, db, tbl, root)
         val rows =
           try {
-            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+            graft.tools.PgWire.queryOnce("127.0.0.1", port,
               "cube", "wire-check",
               s"""USE $db;
                  |BEGIN;
-                 |UPDATE ord SET o_totalprice = o_totalprice * 2
+                 |UPDATE $tbl SET o_totalprice = o_totalprice * 2
                  |  WHERE o_orderkey % 3 = 0;
-                 |DELETE FROM ord WHERE o_orderkey % 5 = 0;
-                 |INSERT INTO ord SELECT * FROM global_temp.pgdml_src_o;
+                 |DELETE FROM $tbl WHERE o_orderkey % 5 = 0;
+                 |INSERT INTO $tbl SELECT * FROM global_temp.$srcView;
                  |COMMIT""".stripMargin)
             require(CommitLog.currentVersion(root).contains(2L),
               "the whole DML block must land as exactly ONE commit")
-            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+            graft.tools.PgWire.queryOnce("127.0.0.1", port,
               "cube", "wire-check",
               s"""USE $db;
                  |BEGIN;
-                 |UPDATE ord SET o_totalprice = 0 WHERE o_orderkey > 0;
-                 |DELETE FROM ord WHERE o_custkey % 2 = 0;
+                 |UPDATE $tbl SET o_totalprice = 0 WHERE o_orderkey > 0;
+                 |DELETE FROM $tbl WHERE o_custkey % 2 = 0;
                  |ROLLBACK""".stripMargin)
             require(CommitLog.currentVersion(root).contains(2L),
               "ROLLBACK must leave the table untouched")
-            graft.tools.PgWire.queryOnce("127.0.0.1", server.port,
+            graft.tools.PgWire.queryOnce("127.0.0.1", port,
               "cube", "wire-check",
               s"""SELECT o_custkey % 10 AS bucket, count(*) AS n,
                  |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
-                 |FROM $db.ord
+                 |FROM $db.$tbl
                  |GROUP BY o_custkey % 10
                  |ORDER BY bucket""".stripMargin)._2
-          } finally server.stop()
+          } finally s.sql(s"DROP TABLE IF EXISTS $db.`$tbl`")
         import s.implicits._
         rows.map(r => (r(0).get, r(1).get, r(2).get))
           .toDF("bucket", "n", "cents")
@@ -577,7 +578,145 @@ object ReferenceCubes {
         """SELECT n_regionkey, count(*) AS n,
           |  CAST(sum(n_nationkey) AS BIGINT) AS sk,
           |  min(n_nationkey) AS mn
-          |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)))
+          |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // STATEMENT-TIME SUBQUERY DML through the wire (r14, verdict #2):
+    // `DELETE … WHERE k IN (SELECT …)` and a scalar-subquery UPDATE run
+    // between BEGIN and COMMIT — the subqueries evaluate AT STATEMENT
+    // TIME against the block's pinned cut and collapse into literal key
+    // sets / values (pg's contract; the ORM idiom the r13 refusal
+    // blocked), then the ordered ops fold into ONE commit. DuckDB
+    // recomputes the post-txn state with plain set algebra. Scale: the
+    // evaluated key set is wire-interactive-sized by contract; the fold
+    // keeps multiDml's O(matched rows) merge-on-read cost.
+    "q190_pgwire_txn_subquery" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.{CatalogOps, CommitLog}
+        val (db, baseRoot, _) = pgDmlFixture(s, dir)
+        val port = pgDmlPort(s)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q190-clone").toString
+        CommitLog.shallowClone(baseRoot, root)
+        val tbl = "ordq_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(10)
+        CatalogOps.createCommitLogTable(s, db, tbl, root)
+        val rows =
+          try {
+            graft.tools.PgWire.queryOnce("127.0.0.1", port,
+              "cube", "wire-check",
+              s"""USE $db;
+                 |BEGIN;
+                 |DELETE FROM $tbl WHERE o_custkey IN
+                 |  (SELECT c_custkey FROM vip);
+                 |UPDATE $tbl SET o_totalprice = o_totalprice +
+                 |  (SELECT count(*) FROM vip)
+                 |  WHERE o_orderkey % 7 = 0;
+                 |COMMIT""".stripMargin)
+            require(CommitLog.currentVersion(root).contains(2L),
+              "the subquery-DML block must land as exactly ONE commit")
+            graft.tools.PgWire.queryOnce("127.0.0.1", port,
+              "cube", "wire-check",
+              s"""SELECT o_custkey % 10 AS bucket, count(*) AS n,
+                 |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+                 |FROM $db.$tbl
+                 |GROUP BY o_custkey % 10
+                 |ORDER BY bucket""".stripMargin)._2
+          } finally s.sql(s"DROP TABLE IF EXISTS $db.`$tbl`")
+        import s.implicits._
+        rows.map(r => (r(0).get, r(1).get, r(2).get))
+          .toDF("bucket", "n", "cents")
+          .select(col("bucket").cast("long").as("bucket"),
+            col("n").cast("long").as("n"),
+            col("cents").cast("long").as("cents"))
+          .orderBy("bucket")
+      },
+      oracle = Some(
+        """SELECT o_custkey % 10 AS bucket, count(*) AS n,
+          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM (
+          |  SELECT o_custkey,
+          |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice +
+          |      (SELECT count(*) FROM customer WHERE c_acctbal > 9000)
+          |    ELSE o_totalprice END AS o_totalprice
+          |  FROM orders
+          |  WHERE o_orderkey % 4 = 0 AND o_custkey NOT IN
+          |    (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+          |) u
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TRANSACTIONAL MERGE through the wire (r14, verdict #3): MERGE INTO
+    // between BEGIN and COMMIT stages its SOURCE at statement time and
+    // folds the clause structure (update-matched / insert-unmatched) at
+    // COMMIT alongside a later DELETE — ordered ops, one marker commit,
+    // version asserted in-query. DuckDB recomputes the merge as
+    // source ∪ (base ∖ matched-keys) followed by the delete. Scale: the
+    // fold's touch probe semi-joins the source keys, so commit cost is
+    // O(files holding a matched key), never O(table).
+    "q191_pgwire_txn_merge" -> QueryDef(
+      fn = { (s: SparkSession, dir: String) =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.{CatalogOps, CommitLog}
+        val (db, baseRoot, _) = pgDmlFixture(s, dir)
+        val port = pgDmlPort(s)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q191-clone").toString
+        CommitLog.shallowClone(baseRoot, root)
+        val tbl = "ordm_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(10)
+        CatalogOps.createCommitLogTable(s, db, tbl, root)
+        val rows =
+          try {
+            graft.tools.PgWire.queryOnce("127.0.0.1", port,
+              "cube", "wire-check",
+              s"""USE $db;
+                 |BEGIN;
+                 |MERGE INTO $tbl t USING msrc src
+                 |  ON t.o_orderkey = src.o_orderkey
+                 |  WHEN MATCHED THEN UPDATE SET *
+                 |  WHEN NOT MATCHED THEN INSERT *;
+                 |DELETE FROM $tbl WHERE o_custkey % 11 = 0;
+                 |COMMIT""".stripMargin)
+            require(CommitLog.currentVersion(root).contains(2L),
+              "the MERGE block must land as exactly ONE commit")
+            graft.tools.PgWire.queryOnce("127.0.0.1", port,
+              "cube", "wire-check",
+              s"""USE $db;
+                 |BEGIN;
+                 |MERGE INTO $tbl t USING msrc src
+                 |  ON t.o_orderkey = src.o_orderkey
+                 |  WHEN MATCHED THEN UPDATE SET *;
+                 |ROLLBACK""".stripMargin)
+            require(CommitLog.currentVersion(root).contains(2L),
+              "ROLLBACK must leave the merged table untouched")
+            graft.tools.PgWire.queryOnce("127.0.0.1", port,
+              "cube", "wire-check",
+              s"""SELECT o_custkey % 10 AS bucket, count(*) AS n,
+                 |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+                 |FROM $db.$tbl
+                 |GROUP BY o_custkey % 10
+                 |ORDER BY bucket""".stripMargin)._2
+          } finally s.sql(s"DROP TABLE IF EXISTS $db.`$tbl`")
+        import s.implicits._
+        rows.map(r => (r(0).get, r(1).get, r(2).get))
+          .toDF("bucket", "n", "cents")
+          .select(col("bucket").cast("long").as("bucket"),
+            col("n").cast("long").as("n"),
+            col("cents").cast("long").as("cents"))
+          .orderBy("bucket")
+      },
+      oracle = Some(
+        """SELECT o_custkey % 10 AS bucket, count(*) AS n,
+          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM (
+          |  SELECT o_orderkey, o_custkey, o_totalprice * 3 AS o_totalprice
+          |  FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1
+          |  UNION ALL
+          |  SELECT o_orderkey, o_custkey, o_totalprice
+          |  FROM orders WHERE o_orderkey % 4 = 0 AND NOT (o_orderkey % 8 = 0)
+          |) m
+          |WHERE o_custkey % 11 <> 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** The federation endpoint, started ONCE per JVM and never stopped
     * (HiveThriftServer2 does not rebind after stop — SqlEndpointSpec's
@@ -632,6 +771,63 @@ object ReferenceCubes {
           .replace("-", "").take(10)
         CatalogOps.createCommitLogTable(s, db, "nation", nationRoot)
         s"$db.nation"
+      })
+    }
+
+  /** One PgWire server per JVM for the transactional-DML oracle queries
+    * (q187/q190/q191) — starting/stopping a server per measure put ~1 s
+    * of socket/accept setup inside the timed body (r13 verdict #4).
+    */
+  private val pgPortHolder = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def pgDmlPort(s: SparkSession): Int = pgPortHolder.synchronized {
+    if (pgPortHolder.get == 0) {
+      val server = graft.tools.PgWire.start(s,
+        user = "cube", password = "wire-check")
+      pgPortHolder.set(server.port)
+    }
+    pgPortHolder.get
+  }
+
+  /** The txn-DML base fixture, staged ONCE per (JVM, sf-dir): an orders/4
+    * commitlog root (each measure SHALLOW-CLONEs it — zero-copy), a
+    * catalog db holding the read-only companions (`vip` for q190's
+    * subqueries, `msrc` for q191's merge source), and the per-dir
+    * insert-source global temp view (dir-scoped name: the Bench warmup
+    * runs a DIFFERENT sf-dir first, and a fixed view name would leak its
+    * rows into the timed run). Returns (db, baseRoot, srcView).
+    */
+  private val pgDmlBases =
+    scala.collection.mutable.Map[String, (String, String, String)]()
+
+  private def pgDmlFixture(s: SparkSession, dir: String)
+      : (String, String, String) =
+    pgDmlBases.synchronized {
+      pgDmlBases.getOrElseUpdate(dir, {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{CatalogOps, CommitLog}
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val baseRoot = java.nio.file.Files
+          .createTempDirectory("graft-pgdml-base").toString
+        CommitLog.append(ord.filter(col("o_orderkey") % 4 === 0), baseRoot)
+        val db = "pgdml_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(10)
+        val vipRoot = java.nio.file.Files
+          .createTempDirectory("graft-pgdml-vip").toString
+        CommitLog.append(Tables.load(s, dir, "customer")
+          .filter(col("c_acctbal") > 9000).select(col("c_custkey")), vipRoot)
+        CatalogOps.createCommitLogTable(s, db, "vip", vipRoot)
+        val msrcRoot = java.nio.file.Files
+          .createTempDirectory("graft-pgdml-msrc").toString
+        CommitLog.append(ord
+          .filter(col("o_orderkey") % 8 === 0 || col("o_orderkey") % 4 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 3), msrcRoot)
+        CatalogOps.createCommitLogTable(s, db, "msrc", msrcRoot)
+        val srcView = "pgdml_src_o_" + db.stripPrefix("pgdml_")
+        ord.filter(col("o_orderkey") % 4 === 1)
+          .createOrReplaceGlobalTempView(srcView)
+        (db, baseRoot, srcView)
       })
     }
 

@@ -2474,6 +2474,23 @@ object CommitLog {
   final case class TxnUpd(set: Seq[(String, Column)], cond: Column)
     extends TxnOp
 
+  /** One staged `MERGE INTO` inside a transaction block (r13 verdict
+    * #3): the SOURCE frame is evaluated at statement time (localCheck-
+    * pointed by the stager — pg's contract; a moving source at COMMIT
+    * would be a different merge), carrying the table-schema columns
+    * plus `deleteFlag` (the WHEN MATCHED DELETE condition, pre-computed
+    * against the full source row). The clause structure mirrors
+    * [[mergeRows]]: `replaceMatched` = a WHEN MATCHED UPDATE SET *
+    * clause exists, `insertUnmatched` = WHEN NOT MATCHED INSERT *,
+    * `bySource` = the one WHEN NOT MATCHED BY SOURCE clause (target-row
+    * expressions only — evaluated at fold time, so the stager must
+    * guard them deterministic).
+    */
+  final case class TxnMerge(source: DataFrame, keys: Seq[String],
+      deleteFlag: Option[String], insertUnmatched: Boolean,
+      replaceMatched: Boolean, bySource: Option[BySourceClause])
+    extends TxnOp
+
   /** The block is stale: a concurrent commit moved a table between the
     * snapshot its DML was computed against and COMMIT. pg SQLSTATE 40001
     * (serialization_failure) — the client retries the transaction.
@@ -2508,6 +2525,64 @@ object CommitLog {
         } ++ extra.map(e =>
           when(hit, lit(null)).otherwise(col(e)).as(e))
         df.select(cols: _*)
+      case (df, tm: TxnMerge) =>
+        // MERGE as a pure frame fold — [[mergeRows]]' clause semantics
+        // re-expressed over the block's current state. "Matched" is
+        // decided against THIS df: in shadow mode it is the whole folded
+        // table; in multiDml's tagged mode it is the touched-file rows,
+        // which is sound because the touch probe semi-joins the source
+        // keys (a source key present anywhere makes its file touched).
+        val q = (n: String) => col(s"`${n.replace("`", "``")}`")
+        val srcKeys = tm.source
+          .select(tm.keys.map(q).toIndexedSeq: _*).distinct()
+        val stateKeys = df.select(tm.keys.map(q).toIndexedSeq: _*).distinct()
+        // surviving SOURCE rows: matched replacements (minus delete-flag
+        // hits) and/or unmatched inserts, per the clause set
+        val keep1 =
+          if (!tm.replaceMatched) {
+            if (tm.insertUnmatched)
+              tm.source.join(stateKeys, tm.keys, "left_anti")
+            else tm.source.limit(0)
+          } else {
+            val k0 = tm.deleteFlag match {
+              case None => tm.source
+              case Some(fl) =>
+                tm.source.join(stateKeys, tm.keys, "left_semi")
+                  .filter(!coalesce(q(fl), lit(false)))
+                  .unionByName(tm.source.join(stateKeys, tm.keys, "left_anti"))
+            }
+            if (tm.insertUnmatched) k0
+            else k0.join(stateKeys, tm.keys, "left_semi")
+          }
+        val keepCast = keep1.select(schema.fields.toIndexedSeq.map(f =>
+          q(f.name).cast(f.dataType).as(f.name)): _*)
+        // source-born rows carry no base position — their extra tags are
+        // null, exactly like a staged insert (old matched positions die)
+        val keepTagged = extra.foldLeft(keepCast)((d, e) =>
+          d.withColumn(e, lit(null).cast(df.schema(e).dataType)))
+        val unmatchedT = df.join(srcKeys, tm.keys, "left_anti")
+        val unmatchedKept = tm.bySource match {
+          case None => unmatchedT
+          case Some(bs) =>
+            val c = coalesce(bs.cond.getOrElse(lit(true)), lit(false))
+            if (bs.delete) unmatchedT.filter(!c)
+            else {
+              val setMap = bs.set.toMap
+              unmatchedT.select((schema.fields.toIndexedSeq.map { f =>
+                setMap.get(f.name) match {
+                  case Some(v) =>
+                    when(c, v.cast(f.dataType)).otherwise(q(f.name)).as(f.name)
+                  case None => q(f.name)
+                }
+              } ++ extra.map(e =>
+                when(c, lit(null).cast(df.schema(e).dataType))
+                  .otherwise(col(e)).as(e))): _*)
+            }
+        }
+        val matchedKept =
+          if (tm.replaceMatched) df.limit(0)
+          else df.join(srcKeys, tm.keys, "left_semi")
+        unmatchedKept.unionByName(matchedKept).unionByName(keepTagged)
     }
 
   /** A fully-staged single-table DML payload, awaiting its phase-1
@@ -2578,12 +2653,29 @@ object CommitLog {
                   "retry the transaction (serialization failure)")
             val m = readManifest(root, base)
             val schema = schemaOf(m)
-            val orCond = ops.collect {
-              case TxnDel(c) => c
-              case TxnUpd(_, c) => c
-            }.reduceLeft(_ || _)
-            val touched = touchedFiles(spark, root, m)(
-              _.filter(coalesce(orCond, lit(false))))
+            // touch probe on ORIGINAL images — sound because the first op
+            // touching a row sees its original (a row only matches a later
+            // op after rewrite if an earlier op touched it, and that op's
+            // own mark already claims the file). Merges mark files via the
+            // source-key semi-join plus the by-source clause condition.
+            val touched = touchedFiles(spark, root, m) { df0 =>
+              val marks = ops.flatMap {
+                case TxnDel(c) => Seq(df0.filter(coalesce(c, lit(false))))
+                case TxnUpd(_, c) => Seq(df0.filter(coalesce(c, lit(false))))
+                case tm: TxnMerge =>
+                  val q = (n: String) => col(s"`${n.replace("`", "``")}`")
+                  val srcKeys = tm.source
+                    .select(tm.keys.map(q).toIndexedSeq: _*).distinct()
+                  val matched = df0.join(srcKeys, tm.keys, "left_semi")
+                  tm.bySource match {
+                    case Some(bs) => Seq(matched, df0.filter(
+                      coalesce(bs.cond.getOrElse(lit(true)), lit(false))))
+                    case None => Seq(matched)
+                  }
+                case _: TxnIns => Nil
+              }
+              marks.reduceLeft(_ unionByName _)
+            }
             val tagged = readTaggedLive(spark, root, m, touched)
             val state = applyTxnOps(tagged, schema, ops,
               extra = Seq(TagFile, TagPos)).persist()

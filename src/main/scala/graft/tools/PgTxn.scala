@@ -6,12 +6,13 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTime, CurrentTimestampLike, CurrentTimeZone, Exists, Expression, InSubquery, ListQuery, Literal, LocalTimestamp, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.StructType
 
+import graft.plans.CommitLogSqlDml
 import graft.sources.CommitLog
 import graft.sources.commitlog.{CommitLogFileIndex, MergeOnReadRelation}
 
@@ -67,13 +68,21 @@ import graft.sources.commitlog.{CommitLogFileIndex, MergeOnReadRelation}
   *     truncates each table's op list back to the mark (and un-fails the
   *     block — pg's error-recovery contract); RELEASE just forgets marks.
   *
+  *   - **MERGE stages too** (r13 verdict #3): the source frame
+  *     evaluates at statement time against the shadowed cut, the clause
+  *     structure folds at COMMIT (TxnMerge in [[CommitLog.applyTxnOps]])
+  *     under the same marker and 40001 isolation.
+  *   - **Subqueries in DML evaluate at statement time** (r13 verdict
+  *     #2): `IN (SELECT …)` / `EXISTS` / scalar subqueries against the
+  *     shadowed cut collapse into literal key sets / values when the
+  *     statement runs, so their result can never move between the
+  *     statement and COMMIT — pg's contract exactly.
+  *
   * Documented boundaries (each refused loudly, never half honored):
-  * MERGE and DDL inside a block refuse with 0A000 (MERGE's source-join
-  * semantics against moving staged state are not worth the ambiguity —
-  * run it in autocommit); DELETE/UPDATE with subqueries refuse (a
-  * subquery re-evaluated at COMMIT would break statement-time
-  * semantics); DML targets outside the block's snapshot cut (other
-  * databases) refuse; qualified (`db.table`) references bypass temp-view
+  * DDL inside a block refuses with 0A000; correlated and multi-column-IN
+  * subqueries in DML refuse (no standalone statement-time value); DML
+  * targets outside the block's snapshot cut (other databases) refuse;
+  * qualified (`db.table`) references bypass temp-view
   * shadowing, so in-block reads of OTHER databases see latest-committed
   * rather than the pin; non-commitlog relations cannot stage.
   *
@@ -242,11 +251,12 @@ final class PgTxn(session: SparkSession) {
     if (head == "INSERT") Some(stageInsert(sql))
     else if (head == "DELETE") Some(stageDelete(sql))
     else if (head == "UPDATE") Some(stageUpdate(sql))
+    else if (head == "MERGE") Some(stageMerge(sql))
     else if (PgWire.isRowQuery(sql) || ReadVerbs(head)) None
     else throw new UnsupportedOperationException(
       s"$head is not supported inside a transaction block — INSERT, " +
-        "DELETE, UPDATE, and read statements are transactional here " +
-        "(MERGE and DDL are not); run it in autocommit")
+        "DELETE, UPDATE, MERGE, and read statements are transactional " +
+        "here (DDL is not); run it in autocommit")
   }
 
   /** Reads at Describe/plan time also need the pins (a portal described
@@ -428,8 +438,9 @@ final class PgTxn(session: SparkSession) {
         "only plain DELETE FROM is transactional; run it in autocommit")
     }
     val root = dmlTarget(table, "DELETE")
-    guardDmlExpr(cond)
-    val condCol = GraftBridge.column(cond)
+    val evaluated = evalSubqueries(cond)
+    guardDmlExpr(evaluated, root)
+    val condCol = GraftBridge.column(evaluated)
     val n = stagedState(root).filter(coalesce(condCol, lit(false))).count()
     stageOp(root, CommitLog.TxnDel(condCol))
     s"DELETE $n"
@@ -451,7 +462,8 @@ final class PgTxn(session: SparkSession) {
     val resolver = session.sessionState.conf.resolver
     val set = assignments.map {
       case Assignment(k: UnresolvedAttribute, v) =>
-        guardDmlExpr(v)
+        val ve = evalSubqueries(v)
+        guardDmlExpr(ve, root)
         // top-level columns only: resolving a multi-part target by its
         // last segment would silently rewrite an unrelated column
         // (`SET addr.city = …` hitting a top-level `city`)
@@ -461,7 +473,7 @@ final class PgTxn(session: SparkSession) {
         val name = schema.fieldNames.find(resolver(_, k.nameParts.head))
           .getOrElse(throw new IllegalArgumentException(
             s"UPDATE of unknown column ${k.name}"))
-        name -> GraftBridge.column(v)
+        name -> GraftBridge.column(ve)
       case a => throw new UnsupportedOperationException(
         s"UPDATE of a non-column target is not supported: ${a.sql}")
     }
@@ -470,11 +482,108 @@ final class PgTxn(session: SparkSession) {
     set.groupBy(_._1).collect { case (n, as) if as.size > 1 => n }
       .headOption.foreach(n => throw new IllegalArgumentException(
         s"multiple assignments to the same column $n"))
-    cond.foreach(guardDmlExpr)
-    val condCol = cond.map(GraftBridge.column).getOrElse(lit(true))
+    val condEval = cond.map(evalSubqueries)
+    condEval.foreach(guardDmlExpr(_, root))
+    val condCol = condEval.map(GraftBridge.column).getOrElse(lit(true))
     val n = stagedState(root).filter(coalesce(condCol, lit(false))).count()
     stageOp(root, CommitLog.TxnUpd(set, condCol))
     s"UPDATE $n"
+  }
+
+  /** Stage one `MERGE INTO t USING s ON … WHEN …` (r13 verdict #3).
+    * Resolution runs against the BLOCK's state: the target relation is
+    * substituted with the shadow fold before the analyzer runs (wrapped
+    * in a bare Project so no DML-interception rule can claim it), and
+    * the source resolves against the session, where unqualified names
+    * hit the shadow temp views — both sides see the pinned snapshot +
+    * the block's own staged writes. The SOURCE evaluates NOW
+    * (statement-time, localCheckpointed); the clause structure folds at
+    * COMMIT through [[CommitLog.applyTxnOps]]'s TxnMerge case under the
+    * same one-marker protocol and 40001 isolation as every other staged
+    * op. By-source clause expressions evaluate at fold time and are
+    * guarded deterministic.
+    */
+  private def stageMerge(sql: String): String = {
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    val mi = parsed match {
+      case m: MergeIntoTable => m
+      case _ => throw new UnsupportedOperationException(
+        "only plain MERGE INTO is transactional; run it in autocommit")
+    }
+    if (mi.withSchemaEvolution) throw new UnsupportedOperationException(
+      "MERGE … WITH SCHEMA EVOLUTION inside a transaction block is not " +
+        "supported; run it in autocommit")
+    val root = dmlTarget(mi.targetTable, "MERGE")
+    val shadow = stagedState(root).queryExecution.analyzed
+    val wrapped = Project(shadow.output, shadow)
+    def substitute(p: LogicalPlan): LogicalPlan = p match {
+      case u: UnresolvedRelation =>
+        SubqueryAlias(u.multipartIdentifier.last, wrapped)
+      case SubqueryAlias(id, child) => SubqueryAlias(id, substitute(child))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported MERGE target inside a transaction: $other")
+    }
+    val resolved = session.sessionState.analyzer
+      .execute(mi.copy(targetTable = substitute(mi.targetTable))) match {
+      case m: MergeIntoTable if m.resolved => m
+      case other => throw new UnsupportedOperationException(
+        "MERGE did not resolve against the transaction's snapshot: " +
+          other.treeString.linesIterator.take(4).mkString(" | "))
+    }
+    val spec = CommitLogSqlDml.translateMergeSpec(
+      session.sessionState.conf.resolver, resolved.targetTable,
+      resolved.sourceTable, resolved.mergeCondition,
+      resolved.matchedActions, resolved.notMatchedActions,
+      resolved.notMatchedBySourceActions)
+    // by-source expressions run at fold/COMMIT time — deterministic only;
+    // rebind by name so they resolve against whatever frame the fold sees
+    val bsRebound = spec.bySource.map { b =>
+      val cond = b.cond.map(CommitLogSqlDml.byName)
+      val set = b.set.map { case (n, v) => n -> CommitLogSqlDml.byName(v) }
+      cond.foreach(guardDmlExpr(_, root))
+      set.foreach { case (_, v) => guardDmlExpr(v, root) }
+      CommitLog.BySourceClause(b.delete,
+        set.map { case (n, v) => n -> GraftBridge.column(v) },
+        cond.map(GraftBridge.column))
+    }
+    val schema = tableSchemaOf(root)
+    // statement-time source evaluation; the delete flag computes FIRST so
+    // it can reference source columns the star projection drops
+    val flag = "__graft_txn_merge_delete"
+    val src0 = GraftBridge.ofRows(session, resolved.sourceTable)
+      .withColumn(flag,
+        spec.deleteWhen.map(GraftBridge.column).getOrElse(lit(false)))
+    val projected = src0.select((schema.fields.toIndexedSeq.map(f =>
+      col(s"`${f.name.replace("`", "``")}`")
+        .cast(f.dataType).as(f.name)) :+ col(flag)): _*)
+    val mat = projected.localCheckpoint(true)
+    val keyCols = spec.keys.map(k => col(s"`${k.replace("`", "``")}`"))
+    require(mat.groupBy(keyCols: _*).count()
+      .filter(col("count") > 1).isEmpty,
+      "merge source has duplicate keys — ambiguous MATCHED action")
+    // pg's MERGE tag counts affected rows: replaced/deleted matched
+    // target rows + inserts + by-source hits, measured against the
+    // block's current state (statement-time, interactive-sized)
+    val state = stagedState(root)
+    val srcKeys = mat.select(keyCols: _*).distinct()
+    val stateKeys = state.select(keyCols: _*).distinct()
+    val matchedCnt =
+      if (spec.replaceMatched) state.join(srcKeys, spec.keys, "left_semi").count()
+      else 0L
+    val insertCnt =
+      if (spec.insertUnmatched)
+        mat.join(stateKeys, spec.keys, "left_anti").count()
+      else 0L
+    val bsCnt = bsRebound match {
+      case Some(b) => state.join(srcKeys, spec.keys, "left_anti")
+        .filter(coalesce(b.cond.getOrElse(lit(true)), lit(false))).count()
+      case None => 0L
+    }
+    stageOp(root, CommitLog.TxnMerge(mat, spec.keys,
+      deleteFlag = spec.deleteWhen.map(_ => flag),
+      insertUnmatched = spec.insertUnmatched,
+      replaceMatched = spec.replaceMatched, bySource = bsRebound))
+    s"MERGE ${matchedCnt + insertCnt + bsCnt}"
   }
 
   /** Resolve a DML statement's target to a SHADOWED root — row-level
@@ -510,18 +619,87 @@ final class PgTxn(session: SparkSession) {
       case _ => None
     }
 
-  /** Predicates/assignments must be self-contained DETERMINISTIC row
-    * expressions: a subquery would evaluate against MOVING state at
-    * COMMIT time, and a nondeterministic/now-dependent function would
-    * evaluate differently at every shadow read and once more at COMMIT —
-    * both break the statement-time contract. Refuse loudly.
+  /** Replace every UNCORRELATED subquery in a DML expression with its
+    * statement-time value (r13 verdict #2): the subquery plan analyzes
+    * against the session, where the block's shadow temp views resolve
+    * first — so it sees EXACTLY the pinned snapshot + the block's own
+    * staged writes, and a row landing in the subquery's source
+    * mid-block can never change the delete/update set (pg's
+    * statement-time contract, which is precisely why deferring the
+    * subquery to COMMIT was refused before).
+    *
+    *   - `IN (SELECT …)` → a literal key-set `In` (an empty result is
+    *     literal FALSE — SQL's IN-over-empty-set — so `NOT IN` stays
+    *     TRUE); NULL semantics carry through the literal list unchanged.
+    *   - `EXISTS (…)` → a boolean literal.
+    *   - scalar `(SELECT …)` → a literal (pg 21000 when >1 row).
+    *
+    * Correlated subqueries (outer references fail the standalone
+    * analysis) and multi-column IN refuse with 0A000.
     */
-  private def guardDmlExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+  private def evalSubqueries(e: Expression): Expression = {
+    def frame(plan: LogicalPlan): DataFrame =
+      try GraftBridge.ofRows(session, plan)
+      catch {
+        case ae: org.apache.spark.sql.AnalysisException =>
+          throw new UnsupportedOperationException(
+            "this subquery is not supported in transactional DML — it " +
+              "must evaluate standalone against the block's snapshot " +
+              "(correlated subqueries are not; so is a reference to an " +
+              s"unknown column): ${ae.getMessage}")
+      }
+    e.transformUp {
+      case s: ScalarSubquery =>
+        val df = frame(s.plan)
+        require(df.schema.length == 1,
+          "a scalar subquery must return exactly one column")
+        val rows = df.limit(2).collect()
+        if (rows.length > 1) throw new IllegalArgumentException(
+          "more than one row returned by a subquery used as an expression")
+        Literal.create(if (rows.isEmpty) null else rows(0).get(0),
+          df.schema.head.dataType)
+      case ex: Exists =>
+        Literal(frame(ex.plan).limit(1).count() > 0)
+      case InSubquery(values, lq: ListQuery) =>
+        if (values.size != 1) throw new UnsupportedOperationException(
+          "multi-column IN (SELECT …) is not supported in transactional " +
+            "DML; run it in autocommit")
+        val df = frame(lq.plan)
+        require(df.schema.length == 1,
+          s"IN subquery returns ${df.schema.length} columns, expected 1")
+        val dt = df.schema.head.dataType
+        val rows = df.limit(SubqueryMaxRows + 1).collect()
+        if (rows.length > SubqueryMaxRows)
+          throw new UnsupportedOperationException(
+            s"IN (SELECT …) in transactional DML evaluates to a literal " +
+              s"key set capped at $SubqueryMaxRows rows — this subquery " +
+              "exceeds it; run the statement in autocommit")
+        if (rows.isEmpty) Literal(false)
+        else org.apache.spark.sql.catalyst.expressions.In(values.head,
+          rows.toIndexedSeq.map(r => Literal.create(r.get(0), dt)))
+    }
+  }
+
+  /** Predicates/assignments must be self-contained DETERMINISTIC row
+    * expressions: a nondeterministic or now-reading function would
+    * evaluate differently at every shadow read and once more at COMMIT,
+    * breaking the statement-time contract. The name blocklist is only a
+    * fast path (parsed functions are unresolved, so `deterministic` is
+    * meaningless there); the AUTHORITY is the expression RESOLVED
+    * against the block's schema — `deterministic` on the resolved tree
+    * plus the current-time family, which Spark folds per-query (so it
+    * reports deterministic) but which reads the clock per evaluation
+    * across statements (ADVICE r13: aliases like `curdate`/`localtime`
+    * slipped the blocklist).
+    */
+  private def guardDmlExpr(e: Expression, root: String): Unit = {
+    // DELETE/UPDATE predicates pass through evalSubqueries first, so a
+    // SubqueryExpression reaching here is a context evaluated at FOLD
+    // time (merge by-source clauses) where it would read moving state
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       throw new UnsupportedOperationException(
-        "subqueries in transactional DELETE/UPDATE are not supported — " +
-          "evaluate the subquery into a literal list first, or run it in " +
-          "autocommit")
+        "a subquery is not supported in this transactional DML clause — " +
+          "evaluate it into a literal first, or run it in autocommit")
     val offending = e.collectFirst {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if {
@@ -532,9 +710,25 @@ final class PgTxn(session: SparkSession) {
               (n != "unix_timestamp" || f.arguments.isEmpty)
           } =>
         f.nameParts.mkString(".")
-      case x if x.resolved && !x.deterministic => x.prettyName
     }
-    offending.foreach(n => throw new UnsupportedOperationException(
+    val resolvedOffender = offending.orElse {
+      // resolve against the block's schema (an empty frame — analysis
+      // only) and walk the RESOLVED tree
+      val schema = tableSchemaOf(root)
+      val empty = session.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      val analyzed = empty.select(GraftBridge.column(e).as("__guard"))
+        .queryExecution.analyzed
+      analyzed.expressions.flatMap(_.collectFirst {
+        case x if x.resolved && !x.deterministic => x.prettyName
+        case _: CurrentTimestampLike => "current_timestamp"
+        case _: CurrentDate => "current_date"
+        case _: LocalTimestamp => "localtimestamp"
+        case _: CurrentTime => "current_time"
+        case _: CurrentTimeZone => "current_timezone"
+      }).headOption
+    }
+    resolvedOffender.foreach(n => throw new UnsupportedOperationException(
       s"$n in transactional DELETE/UPDATE is not supported — the " +
         "predicate/assignment is re-evaluated at COMMIT, so only " +
         "deterministic expressions preserve statement-time semantics; " +
@@ -626,6 +820,13 @@ object PgTxn {
     * row-query prefixes [[PgWire.isRowQuery]] already recognizes).
     */
   private val ReadVerbs = Set("SHOW", "DESCRIBE", "DESC", "EXPLAIN")
+
+  /** Cap on an `IN (SELECT …)` literal key set in transactional DML —
+    * transaction payloads are wire-interactive-sized by contract; a
+    * larger key set belongs in autocommit where the subquery joins
+    * at cluster width.
+    */
+  private val SubqueryMaxRows = 100000
 
   /** Functions whose value depends on WHEN they run — refused in
     * deferred DML expressions (their parsed form is an

@@ -1215,10 +1215,13 @@ class PgWireSpec extends SparkTestBase {
       assert(c.query("COMMIT").tag == "COMMIT")
       assert(CommitLog.currentVersion(root).get == vN0)
 
-      // ---- boundaries: subqueries, nondeterminism, nested/duplicate
-      // SET targets, and MERGE all refuse loudly
+      // ---- boundaries: correlated subqueries, nondeterminism,
+      // nested/duplicate SET targets all refuse loudly (uncorrelated
+      // subqueries are statement-time-evaluated since r14 — see the
+      // dedicated subquery-DML test)
       assert(c.query("BEGIN").tag == "BEGIN")
-      val sub = c.query("DELETE FROM t WHERE k IN (SELECT k FROM tb)")
+      val sub = c.query(
+        "DELETE FROM t WHERE EXISTS (SELECT 1 FROM tb WHERE tb.k = t.k)")
       assert(sub.error.exists(_.contains("0A000")), s"${sub.error}")
       assert(c.query("ROLLBACK").tag == "ROLLBACK")
       assert(c.query("BEGIN").tag == "BEGIN")
@@ -1281,6 +1284,182 @@ class PgWireSpec extends SparkTestBase {
       assert(afterExt(6L) == 60.5, afterExt) // the UPDATE landed
       assert(afterExt.contains(1L)) // the rolled-back DELETE did not
       c2.close()
+    } finally server.stop()
+  }
+
+  test("transactional subquery DML is STATEMENT-TIME: a row landing in " +
+      "the subquery's source mid-block never changes the delete set; " +
+      "scalar/EXISTS evaluate against the pin; correlated refuses") {
+    import graft.sources.{CatalogOps, CommitLog}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pgsubq").toString
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-pgsubqs").toString
+    CommitLog.append((1L to 6L).map(k => (k, s"s$k", k.toDouble))
+      .toDF("k", "s", "v"), root)
+    CommitLog.append(Seq((1L, "x"), (2L, "y")).toDF("k", "tag"), srcRoot)
+    CatalogOps.createCommitLogTable(spark, "pgsubqdb", "t", root)
+    CatalogOps.createCommitLogTable(spark, "pgsubqdb", "src", srcRoot)
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user); assert(c.authenticate(user, pass))
+      assert(c.query("USE pgsubqdb").error.isEmpty)
+      val v0 = CommitLog.currentVersion(root).get
+
+      assert(c.query("BEGIN").tag == "BEGIN")
+      // the IN-set evaluates NOW against the pinned cut: {1, 2}
+      assert(c.query(
+        "DELETE FROM t WHERE k IN (SELECT k FROM src)").tag == "DELETE 2")
+      // a row lands in the subquery's source MID-BLOCK (external writer)
+      CommitLog.append(Seq((3L, "z")).toDF("k", "tag"), srcRoot)
+      // scalar subquery also reads the PIN: count is 2, not 3
+      assert(c.query(
+        "UPDATE t SET v = (SELECT count(*) FROM src) + 0.0 WHERE k = 4")
+        .tag == "UPDATE 1")
+      // EXISTS against the pin
+      assert(c.query(
+        "DELETE FROM t WHERE EXISTS (SELECT 1 FROM src WHERE k = 999)")
+        .tag == "DELETE 0")
+      assert(c.query("COMMIT").tag == "COMMIT")
+      assert(CommitLog.currentVersion(root).get == v0 + 1)
+      val after = CommitLog.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toMap
+      // k=3 SURVIVED: the mid-block insert into src did not grow the
+      // delete set (pg statement-time semantics)
+      assert(after.keySet == Set(3L, 4L, 5L, 6L), after)
+      assert(after(4L) == 2.0, s"scalar subquery must see the pin: $after")
+
+      // ROLLBACK leaves no trace
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query(
+        "DELETE FROM t WHERE k IN (SELECT k FROM src)").tag == "DELETE 1")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      assert(CommitLog.read(spark, root).count() == 4)
+
+      // NOT IN over an EMPTY subquery result is TRUE (IN → literal FALSE)
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query(
+        "DELETE FROM t WHERE k NOT IN (SELECT k FROM src WHERE k > 500)")
+        .tag == "DELETE 4")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+
+      // read-your-writes: the block's OWN staged insert into the source
+      // table IS visible to a later subquery (shadow views serve it)
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("INSERT INTO src SELECT 5, 'w'").tag == "INSERT 0 1")
+      assert(c.query(
+        "DELETE FROM t WHERE k IN (SELECT k FROM src)").tag == "DELETE 2")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+
+      // a scalar subquery returning >1 row is an error (pg 21000 shape)
+      assert(c.query("BEGIN").tag == "BEGIN")
+      val multi = c.query("UPDATE t SET v = (SELECT k FROM src) WHERE k = 4")
+      assert(multi.error.exists(_.contains("more than one row")),
+        s"${multi.error}")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+    } finally server.stop()
+  }
+
+  test("transactional MERGE: statement-time source, ordered fold at " +
+      "COMMIT, read-your-writes, rollback/savepoint, 40001") {
+    import graft.sources.{CatalogOps, CommitLog}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pgmerge").toString
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-pgmergesrc").toString
+    CommitLog.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v"), root)
+    CommitLog.append(Seq((2L, "b2", 200.0), (4L, "d4", 400.0))
+      .toDF("k", "s", "v"), srcRoot)
+    CatalogOps.createCommitLogTable(spark, "pgmergedb", "t", root)
+    CatalogOps.createCommitLogTable(spark, "pgmergedb", "msrc", srcRoot)
+    val server = PgWire.start(spark, user = user, password = pass)
+    try {
+      val c = new PgClient(server.port)
+      c.startup(user); assert(c.authenticate(user, pass))
+      assert(c.query("USE pgmergedb").error.isEmpty)
+      val v0 = CommitLog.currentVersion(root).get
+      val merge =
+        "MERGE INTO t USING msrc src ON t.k = src.k " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+
+      // ---- upsert merge inside a block: staged, read-your-writes, ONE commit
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query(merge).tag == "MERGE 2") // 1 update + 1 insert
+      val mid = c.query("SELECT k, s, v FROM t ORDER BY k")
+      assert(mid.rows.map(r => (r(0).get, r(1).get, r(2).get)) == Seq(
+        ("1", "a", "10.0"), ("2", "b2", "200.0"), ("3", "c", "30.0"),
+        ("4", "d4", "400.0")), mid.rows)
+      // the source frame was evaluated at STATEMENT time: a mid-block
+      // external append to msrc must not change what COMMIT folds
+      CommitLog.append(Seq((9L, "late", 900.0)).toDF("k", "s", "v"), srcRoot)
+      // nothing visible outside yet
+      assert(CommitLog.read(spark, root).count() == 3)
+      // ordered fold: DML after the merge acts on the merged state
+      assert(c.query("DELETE FROM t WHERE k = 1").tag == "DELETE 1")
+      assert(c.query("COMMIT").tag == "COMMIT")
+      assert(CommitLog.currentVersion(root).get == v0 + 1)
+      def content() = CommitLog.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(content() == Set((2L, "b2", 200.0), (3L, "c", 30.0),
+        (4L, "d4", 400.0)), content())
+
+      // ---- ROLLBACK leaves no trace of a staged merge
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query(
+        "MERGE INTO t USING (SELECT CAST(3 AS BIGINT) AS k, 'zz' AS s, " +
+          "CAST(0 AS DOUBLE) AS v) src ON t.k = src.k " +
+          "WHEN MATCHED THEN UPDATE SET *").tag == "MERGE 1")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      assert(content() == Set((2L, "b2", 200.0), (3L, "c", 30.0),
+        (4L, "d4", 400.0)))
+
+      // ---- savepoint truncates a staged merge
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query("UPDATE t SET v = v + 1 WHERE k = 3").tag == "UPDATE 1")
+      assert(c.query("SAVEPOINT s1").tag == "SAVEPOINT")
+      assert(c.query(
+        "MERGE INTO t USING (SELECT CAST(8 AS BIGINT) AS k, 'h' AS s, " +
+          "CAST(80 AS DOUBLE) AS v) src ON t.k = src.k " +
+          "WHEN NOT MATCHED THEN INSERT *").tag == "MERGE 1")
+      assert(c.query("ROLLBACK TO SAVEPOINT s1").tag == "ROLLBACK")
+      assert(c.query("COMMIT").tag == "COMMIT")
+      val afterSp = content()
+      assert(afterSp == Set((2L, "b2", 200.0), (3L, "c", 31.0),
+        (4L, "d4", 400.0)), afterSp) // update kept, merge rolled back
+
+      // ---- WHEN MATCHED DELETE + BY SOURCE in one statement
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query(
+        "MERGE INTO t USING (SELECT CAST(2 AS BIGINT) AS k, 'ignored' AS s, " +
+          "CAST(0 AS DOUBLE) AS v, true AS del) src ON t.k = src.k " +
+          "WHEN MATCHED AND src.del THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET k = src.k, s = src.s, v = src.v " +
+          "WHEN NOT MATCHED BY SOURCE AND t.k > 3 THEN DELETE")
+        .tag == "MERGE 2") // k=2 deleted (flag), k=4 deleted (by source)
+      val midD = c.query("SELECT k FROM t ORDER BY k")
+      assert(midD.rows.map(_(0).get) == Seq("3"), midD.rows)
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+
+      // ---- snapshot isolation: concurrent commit on the TARGET → 40001
+      assert(c.query("BEGIN").tag == "BEGIN")
+      assert(c.query(
+        "MERGE INTO t USING (SELECT CAST(7 AS BIGINT) AS k, 'g' AS s, " +
+          "CAST(70 AS DOUBLE) AS v) src ON t.k = src.k " +
+          "WHEN NOT MATCHED THEN INSERT *").tag == "MERGE 1")
+      CommitLog.append(Seq((50L, "x", 5.0)).toDF("k", "s", "v"), root)
+      val conflicted = c.query("COMMIT")
+      assert(conflicted.error.exists(_.contains("40001")),
+        s"${conflicted.error}")
+      assert(content() == afterSp + ((50L, "x", 5.0)))
+
+      // ---- refusals stay loud: schema evolution inside a block
+      assert(c.query("BEGIN").tag == "BEGIN")
+      val se = c.query(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING msrc src ON t.k = src.k " +
+          "WHEN MATCHED THEN UPDATE SET *")
+      assert(se.error.exists(_.contains("0A000")), s"${se.error}")
+      assert(c.query("ROLLBACK").tag == "ROLLBACK")
+      c.close()
     } finally server.stop()
   }
 
