@@ -237,8 +237,18 @@ object CommitLog {
       // Appends re-validate relationally on the append path, so they bump
       // neither.
       mutationV: Long = 0L,
-      modifyV: Long = 0L) {
+      modifyV: Long = 0L,
+      // SLIM checkpoint marker (r14): when set, this checkpoint's file
+      // stats live in a PARQUET sidecar (logDir-relative directory) and
+      // `fileStats` is empty — the Delta parquet-checkpoint pattern. A
+      // slim checkpoint keeps the JSON KB-scale at any file count;
+      // readers either hydrate (collect the sidecar — columnar, no GB
+      // JSON parse) or, on the pruning/scan paths, run a Spark job over
+      // the sidecar relation and collect only survivors. Null on full
+      // checkpoints and on every folded in-memory manifest.
+      statsRef: String = null) {
     def statsOrNil: Seq[FileStat] = Option(fileStats).getOrElse(Nil)
+    def statsRefOpt: Option[String] = Option(statsRef)
     def files: Seq[String] = statsOrNil.map(_.path)
     def partitionByOrNil: Seq[String] = Option(partitionBy).getOrElse(Nil)
     def txnOrEmpty: Map[String, Long] = widenTxn(txn)
@@ -308,15 +318,165 @@ object CommitLog {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def writeCheckpoint(root: String, m: Manifest): Unit = {
-    val target = checkpointPath(root, m.version)
+  private def writeCheckpoint(root: String, m0: Manifest): Unit = {
+    val target = checkpointPath(root, m0.version)
     if (Files.exists(target)) return // idempotent — same fold, same content
+    // SLIM mode (r14): past the file-count threshold, the stats move to a
+    // parquet sidecar and the JSON stays KB-scale — the one component the
+    // r13 verdict would not sign off at 100x file counts was exactly this
+    // JSON growing GB-scale and its driver fold becoming the bottleneck.
+    val stats = m0.statsOrNil
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val m =
+      if (stats.size >= slimThreshold(session) && session.isDefined) {
+        val ref = f"v${m0.version}%020d.checkpoint.stats.parquet"
+        writeStatsParquet(session.get, root, ref, stats)
+        m0.copy(fileStats = Nil, statsRef = ref)
+      } else m0.copy(statsRef = null)
     val tmp = logDir(root).resolve(s".tmp-ckpt-${UUID.randomUUID()}.json")
     Files.write(tmp, mapper.writeValueAsBytes(m))
     try Files.createLink(target, tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won; identical content
     finally Files.deleteIfExists(tmp)
   }
+
+  /** Live-file count at which checkpoints go slim (stats → parquet) and
+    * pruning/scan listing route through a Spark job over the sidecar.
+    * `spark.graft.manifest.slimThreshold`; the default keeps every
+    * ordinary table on the (faster at small counts) driver fold.
+    */
+  private def slimThreshold(
+      session: Option[org.apache.spark.sql.SparkSession]): Int =
+    session.flatMap(s =>
+      s.conf.getOption("spark.graft.manifest.slimThreshold"))
+      .orElse(sys.props.get("graft.manifest.slimThreshold"))
+      .flatMap(_.toIntOption).getOrElse(50000)
+
+  /** The sidecar's row schema ≡ [[FileStat]] (maps stay maps — columnar,
+    * so a prune job reads only the entries it dereferences).
+    */
+  private val statsParquetSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("rows", LongType),
+    StructField("bytes", LongType),
+    StructField("mins", MapType(StringType, StringType)),
+    StructField("maxs", MapType(StringType, StringType)),
+    StructField("nullCounts", MapType(StringType, LongType)),
+    StructField("partitions", MapType(StringType, StringType)),
+    StructField("bloom", StringType),
+    StructField("ndv", StringType),
+    StructField("sums", MapType(StringType, StringType))))
+
+  private def statRow(s: FileStat): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(s.path, s.rows, s.bytes, s.minsOrEmpty,
+      s.maxsOrEmpty,
+      Option(s.nullCounts).getOrElse(Map.empty[String, Long])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Number].longValue },
+      s.partitionsOrEmpty, s.bloom, s.ndv, s.sumsOrEmpty)
+
+  private def rowStat(r: org.apache.spark.sql.Row): FileStat = {
+    def m[V](i: Int): Map[String, V] =
+      if (r.isNullAt(i)) Map.empty
+      else r.getMap[String, V](i).toMap
+    FileStat(r.getString(0), r.getLong(1), r.getLong(2),
+      m[String](3), m[String](4), m[Long](5), m[String](6),
+      if (r.isNullAt(7)) null else r.getString(7),
+      if (r.isNullAt(8)) null else r.getString(8), m[String](9))
+  }
+
+  private def writeStatsParquet(spark: org.apache.spark.sql.SparkSession,
+      root: String, ref: String, stats: Seq[FileStat]): Unit = {
+    val target = logDir(root).resolve(ref)
+    if (Files.exists(target)) return // racer wrote the identical fold
+    val tmp = logDir(root).resolve(s".tmp-pq-${UUID.randomUUID()}")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(stats.map(statRow).asJava, statsParquetSchema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        // racer won with the same content
+        deleteRecursively(tmp)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      withWalk(p)(_.toSeq).sortBy(-_.getNameCount)
+        .foreach(q => try Files.deleteIfExists(q) catch { case _: Exception => () })
+    }
+
+  private def statsParquetDF(spark: org.apache.spark.sql.SparkSession,
+      root: String, ref: String): DataFrame =
+    spark.read.schema(statsParquetSchema)
+      .parquet(logDir(root).resolve(ref).toString)
+
+  /** A resolved snapshot that has NOT hydrated a slim checkpoint:
+    * `meta` carries every metadata field plus the DELTA adds folded since
+    * the checkpoint; parquet-side rows live behind `statsRef`, with
+    * `refRemoves` the paths later deltas removed from them. For a full
+    * (non-slim) resolution, `statsRef` is None and `meta` IS the complete
+    * manifest.
+    */
+  private[sources] final case class SlimSnapshot(
+      meta: Manifest,
+      statsRef: Option[String],
+      refRemoves: Seq[String]) {
+    def isSlim: Boolean = statsRef.isDefined
+  }
+
+  /** Snapshot resolution that defers a slim checkpoint's parquet stats:
+    * the shape of [[readManifest]] minus hydration — the pruning and scan
+    * paths consume this directly so a million-file table's resolution
+    * stays KB-scale on the driver.
+    */
+  private[sources] def readSnapshotSlim(root: String, v: Long): SlimSnapshot = {
+    require(v >= 1, s"versions start at 1, got $v")
+    val lo = math.max(1L, v - CheckpointInterval)
+    val ckpt = (v to lo by -1).find(cv => Files.exists(checkpointPath(root, cv)))
+    ckpt match {
+      case Some(cv) =>
+        val base = mapper.readValue(
+          Files.readAllBytes(checkpointPath(root, cv)), classOf[Manifest])
+        val slim = base.statsRefOpt.filter(_ => base.statsOrNil.isEmpty)
+        var removes = Vector.empty[String]
+        val folded = ((cv + 1) to v).foldLeft(base) { (m, i) =>
+          val c = readCommit(root, i)
+          if (slim.isDefined) removes ++= c.removeOrNil
+          foldCommit(Some(m), c)
+        }
+        SlimSnapshot(folded.copy(statsRef = null), slim, removes)
+      case None =>
+        require(Files.exists(commitPath(root, v)),
+          s"no manifest for version $v under $root")
+        val m = (1L to v).foldLeft(Option.empty[Manifest])(
+          (m, i) => Some(foldCommit(m, readCommit(root, i)))).get
+        SlimSnapshot(m, None, Nil)
+    }
+  }
+
+  /** Hydrate a slim snapshot into a FULL manifest (parquet collect —
+    * columnar and mins/maxs-typed, never a GB JSON parse). The writer/DML
+    * paths that genuinely need every file's stats in memory go through
+    * this; read/prune paths do not.
+    */
+  private def hydrate(root: String, s: SlimSnapshot): Manifest =
+    s.statsRef match {
+      case None => s.meta
+      case Some(ref) =>
+        val spark = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .getOrElse(throw new IllegalStateException(
+            s"resolving slim checkpoint $ref at $root needs an active " +
+              "SparkSession"))
+        val removed = s.refRemoves.toSet
+        val refStats = statsParquetDF(spark, root, ref).collect()
+          .iterator.map(rowStat).filterNot(f => removed(f.path)).toVector
+        s.meta.copy(fileStats = refStats ++ s.meta.statsOrNil)
+    }
 
   /** Largest committed version, if any — O(commits since last checkpoint):
     * probe forward from the `_last_checkpoint` hint instead of listing the
@@ -455,22 +615,8 @@ object CommitLog {
     * boundary), so the probe window of K+1 versions always finds one once
     * the table is older than K commits; younger tables fold from v1.
     */
-  def readManifest(root: String, v: Long): Manifest = {
-    require(v >= 1, s"versions start at 1, got $v")
-    val lo = math.max(1L, v - CheckpointInterval)
-    val ckpt = (v to lo by -1).find(cv => Files.exists(checkpointPath(root, cv)))
-    ckpt match {
-      case Some(cv) =>
-        val base = mapper.readValue(
-          Files.readAllBytes(checkpointPath(root, cv)), classOf[Manifest])
-        ((cv + 1) to v).foldLeft(base)((m, i) => foldCommit(Some(m), readCommit(root, i)))
-      case None =>
-        require(Files.exists(commitPath(root, v)),
-          s"no manifest for version $v under $root")
-        (1L to v).foldLeft(Option.empty[Manifest])(
-          (m, i) => Some(foldCommit(m, readCommit(root, i)))).get
-    }
-  }
+  def readManifest(root: String, v: Long): Manifest =
+    hydrate(root, readSnapshotSlim(root, v))
 
   /** Atomically publish commit `c` as version `c.version`. The record is
     * staged to a temp file and hard-linked into place — link creation is the
@@ -4075,9 +4221,112 @@ object CommitLog {
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(root))
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
-    val m = readManifest(root, v)
-    val surviving = prunedFiles(spark, root, m, predicate)
-    readFiles(spark, root, m, surviving).filter(predicate)
+    val snap = readSnapshotSlim(root, v)
+    if (snap.isSlim) {
+      // r14: past the slim threshold the survive test runs as a Spark job
+      // over the checkpoint's parquet sidecar — the driver never holds the
+      // full file list, only the survivors it is about to open
+      val (m2, surviving) =
+        prunedSlim(spark, root, snap, GraftBridge.pred(predicate))
+      readFiles(spark, root, m2, surviving).filter(predicate)
+    } else {
+      val m = snap.meta
+      val surviving = prunedFiles(spark, root, m, predicate)
+      readFiles(spark, root, m, surviving).filter(predicate)
+    }
+  }
+
+  /** Distributed min/max pruning over a SLIM snapshot (r13 verdict #1):
+    * semantically identical to [[prunedByPred]], but the typed survive
+    * test evaluates as a Spark job over the parquet sidecar (+ the delta
+    * adds as a local frame, minus the delta removes by anti-join) and the
+    * driver collects only the SURVIVING files' stats. Transform and bloom
+    * pruning then run on the survivor set exactly as on the driver path.
+    * Returns (meta manifest restricted to survivors, final pruned paths).
+    */
+  private[sources] def prunedSlim(spark: SparkSession, root: String,
+      snap: SlimSnapshot, pred0: GraftBridge.Pred): (Manifest, Seq[String]) = {
+    val m = snap.meta
+    val schema = schemaOf(m)
+    def tr(p: GraftBridge.Pred): GraftBridge.Pred = p match {
+      case GraftBridge.Attr(a) => GraftBridge.Attr(m.physOf(a))
+      case GraftBridge.Fn(n, args) => GraftBridge.Fn(n, args.map(tr))
+      case other => other
+    }
+    val pred = if (m.colMapOrEmpty.isEmpty) pred0 else tr(pred0)
+    val tracked = schema.fields.filter(f => statTracked(f.dataType))
+      .map(f => m.physOf(f.name) -> f.dataType)
+    import scala.jdk.CollectionConverters._
+    val refDF = statsParquetDF(spark, root, snap.statsRef.get)
+    val live =
+      if (snap.refRemoves.isEmpty) refDF
+      else refDF.join(
+        broadcast(spark.createDataFrame(
+          snap.refRemoves.map(org.apache.spark.sql.Row(_)).asJava,
+          StructType(Seq(StructField("path", StringType))))),
+        Seq("path"), "left_anti")
+    val adds = spark.createDataFrame(
+      m.statsOrNil.map(statRow).asJava, statsParquetSchema)
+    val all = live.unionByName(adds)
+    val enriched = tracked.foldLeft(all.withColumn("rows__", col("rows"))) {
+      case (df, (c, dt)) =>
+        df.withColumn(s"min__$c",
+            statParse(element_at(col("mins"), lit(c)), dt))
+          .withColumn(s"max__$c",
+            statParse(element_at(col("maxs"), lit(c)), dt))
+          .withColumn(s"nulls__$c", element_at(col("nullCounts"), lit(c)))
+    }
+    val survive = surviveCond(pred, tracked.map(_._1).toSet)
+    val survivors = enriched.filter(survive)
+      .select(statsParquetSchema.fieldNames.toIndexedSeq.map(col): _*)
+      .collect().iterator.map(rowStat).toVector
+    val m2 = m.copy(fileStats = survivors)
+    val byTransform =
+      transformPrune(m2, pred, tracked.toMap, survivors.map(_.path))
+    (m2, bloomPrune(root, m2, pred, tracked.toMap, byTransform))
+  }
+
+  /** Scan-planning listing for the `graft-commitlog` FileIndex: resolves
+    * the snapshot, prunes with the pushed V1 filters, and returns the
+    * surviving (path, bytes) pairs plus the META manifest (schema / DV /
+    * column-mapping authority). On a slim snapshot both the prune AND the
+    * unfiltered listing run over the parquet sidecar — the driver holds
+    * (path, bytes) pairs, never the stats maps of a million files.
+    */
+  private[graft] def scanListing(spark: SparkSession, root: String,
+      version: Option[Long],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : (Manifest, Seq[(String, Long)]) = {
+    val v = version.orElse(currentVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+    val snap = readSnapshotSlim(root, v)
+    if (!snap.isSlim) {
+      val m = snap.meta
+      val surviving =
+        if (filters.isEmpty) m.files
+        else pruneForSourceFilters(spark, m, filters, Some(root))
+      val byPath = m.statsOrNil.map(s => s.path -> s.bytes).toMap
+      (m, surviving.map(p => p -> byPath.getOrElse(p, 0L)))
+    } else if (filters.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      val refDF = statsParquetDF(spark, root, snap.statsRef.get)
+      val live =
+        if (snap.refRemoves.isEmpty) refDF
+        else refDF.join(
+          broadcast(spark.createDataFrame(
+            snap.refRemoves.map(org.apache.spark.sql.Row(_)).asJava,
+            StructType(Seq(StructField("path", StringType))))),
+          Seq("path"), "left_anti")
+      val pairs = live.select(col("path"), col("bytes")).collect()
+        .iterator.map(r => r.getString(0) -> r.getLong(1)).toVector ++
+        snap.meta.statsOrNil.map(s => s.path -> s.bytes)
+      (snap.meta, pairs)
+    } else {
+      val pred = sourceFilterPred(filters)
+      val (m2, surviving) = prunedSlim(spark, root, snap, pred)
+      val byPath = m2.statsOrNil.map(s => s.path -> s.bytes).toMap
+      (snap.meta, surviving.map(p => p -> byPath.getOrElse(p, 0L)))
+    }
   }
 
   /** The file subset [[readPruned]] would open (exposed for tests/EXPLAIN). */
@@ -4096,6 +4345,14 @@ object CommitLog {
     */
   def manifestSchema(m: Manifest): StructType = schemaOf(m)
 
+  /** Metadata-only snapshot resolution (schema / DVs / column mapping /
+    * properties — everything except a slim checkpoint's parquet-side file
+    * stats): what scan planning needs before it decides which files to
+    * list. KB-scale at any file count.
+    */
+  private[graft] def metaManifest(root: String, v: Long): Manifest =
+    readSnapshotSlim(root, v).meta
+
   def readManifestFiles(spark: SparkSession, root: String, m: Manifest,
       files: Seq[String]): DataFrame = readFiles(spark, root, m, files)
 
@@ -4106,7 +4363,11 @@ object CommitLog {
     */
   def pruneForSourceFilters(spark: SparkSession, m: Manifest,
       filters: Array[org.apache.spark.sql.sources.Filter],
-      root: Option[String] = None): Seq[String] = {
+      root: Option[String] = None): Seq[String] =
+    prunedByPred(spark, m, sourceFilterPred(filters), root)
+
+  private def sourceFilterPred(
+      filters: Array[org.apache.spark.sql.sources.Filter]): GraftBridge.Pred = {
     import org.apache.spark.sql.{sources => sf}
     import GraftBridge.{Attr, Fn, Lit, Opaque, Pred}
     def l(v: Any): Pred = Lit(lit(v))
@@ -4123,9 +4384,8 @@ object CommitLog {
       case sf.Or(x, y) => Fn("or", Seq(conv(x), conv(y)))
       case _ => Opaque
     }
-    val pred = filters.map(conv)
+    filters.map(conv)
       .reduceOption((a, b) => Fn("and", Seq(a, b))).getOrElse(Opaque)
-    prunedByPred(spark, m, pred, root)
   }
 
   private def prunedByPred(spark: SparkSession, m: Manifest,

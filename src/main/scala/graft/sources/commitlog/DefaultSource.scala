@@ -239,17 +239,18 @@ class CommitLogFileIndex(
     val root: String,
     val pinned: Option[Long]) extends FileIndex {
 
-  private def manifest(): CommitLog.Manifest = {
-    val v = pinned.orElse(CommitLog.currentVersion(root))
+  private def versionAt(): Long =
+    pinned.orElse(CommitLog.currentVersion(root))
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
-    CommitLog.readManifest(root, v)
-  }
 
   /** Schema at relation-creation time (schema is fixed per plan; files
     * added later with extra columns still read — extra columns in a
-    * parquet file are simply not requested).
+    * parquet file are simply not requested). Metadata-only resolution —
+    * a slim (parquet-checkpoint) table never materializes its file
+    * stats for schema probing.
     */
-  val initialSchema: StructType = CommitLog.manifestSchema(manifest())
+  val initialSchema: StructType =
+    CommitLog.manifestSchema(CommitLog.metaManifest(root, versionAt()))
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(Paths.get(root).toUri))
 
@@ -257,49 +258,51 @@ class CommitLogFileIndex(
 
   override def refresh(): Unit = () // resolution is per-listFiles already
 
-  override def sizeInBytes: Long = {
-    // bytes=0 means a record without sizes (hand-built/external commit):
-    // fall back to a stat rather than report ~0, which would make Spark
-    // auto-broadcast a table of unknown — possibly huge — size.
-    val m = manifest()
-    m.statsOrNil.map { s =>
-      if (s.bytes > 0L) s.bytes
-      else try Files.size(Paths.get(CommitLog.dataPath(root, s.path)))
-      catch { case _: Exception => 0L }
+  override def sizeInBytes: Long =
+    CommitLog.scanListing(spark, root, pinned, Array.empty)._2.map {
+      case (p, bytes) =>
+        // bytes=0 means a record without sizes (hand-built/external
+        // commit): fall back to a stat rather than report ~0, which would
+        // make Spark auto-broadcast a table of unknown — possibly huge —
+        // size.
+        if (bytes > 0L) bytes
+        else try Files.size(Paths.get(CommitLog.dataPath(root, p)))
+        catch { case _: Exception => 0L }
     }.sum
-  }
 
   override def inputFiles: Array[String] =
-    manifest().files
-      .map(f => Paths.get(CommitLog.dataPath(root, f)).toUri.toString).toArray
+    CommitLog.scanListing(spark, root, pinned, Array.empty)._2
+      .map { case (f, _) =>
+        Paths.get(CommitLog.dataPath(root, f)).toUri.toString
+      }.toArray
 
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val m = manifest()
+    // Catalyst expressions → V1 filters → the manifest pruner. A filter
+    // that doesn't translate simply doesn't prune (it still runs above
+    // the scan), the standard conservative data-skipping contract. On a
+    // slim table the prune runs as a Spark job over the checkpoint's
+    // parquet sidecar and only survivors reach this driver (r13 verdict
+    // #1) — on ordinary tables the driver fold stays (faster there).
+    val v1Filters = dataFilters.flatMap(GraftBridge.toSourceFilter)
+    val (meta, pairs) =
+      CommitLog.scanListing(spark, root, pinned, v1Filters.toArray)
     // This relation was created against a DV-free snapshot (createRelation
     // routes DV snapshots to the merge-on-read relation). An unpinned
     // index re-resolves per scan, so a deletion-vector commit landing
     // AFTER relation creation would make this file-level listing serve
     // dead rows — fail loudly instead; a fresh read/query plans correctly.
-    if (m.dvsOrEmpty.nonEmpty || m.colMapOrEmpty.nonEmpty)
+    if (meta.dvsOrEmpty.nonEmpty || meta.colMapOrEmpty.nonEmpty)
       throw new IllegalStateException(
-        s"snapshot v${m.version} at $root now carries deletion vectors or " +
-          "a column mapping; re-create the read (each new query resolves " +
-          "the right scan)")
-    // Catalyst expressions → V1 filters → the manifest pruner. A filter
-    // that doesn't translate simply doesn't prune (it still runs above
-    // the scan), the standard conservative data-skipping contract.
-    val v1Filters = dataFilters.flatMap(GraftBridge.toSourceFilter)
-    val surviving =
-      if (v1Filters.isEmpty) m.files
-      else CommitLog.pruneForSourceFilters(spark, m, v1Filters.toArray,
-        Some(root))
-    val byPath = m.statsOrNil.map(s => s.path -> s).toMap
-    val statuses = surviving.map { rel =>
+        s"snapshot v${meta.version} at $root now carries deletion vectors " +
+          "or a column mapping; re-create the read (each new query " +
+          "resolves the right scan)")
+    val statuses = pairs.map { case (rel, bytes) =>
       val p = Paths.get(CommitLog.dataPath(root, rel))
-      val len = byPath.get(rel).map(_.bytes).filter(_ > 0L)
-        .getOrElse(Files.size(p)) // pre-bytes manifests only
+      val len =
+        if (bytes > 0L) bytes
+        else Files.size(p) // pre-bytes manifests only
       new FileStatus(len, false, 1, len.max(1L), 0L, new HPath(p.toUri))
     }
     Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
