@@ -2173,6 +2173,150 @@ object TableOps {
            |  AND l_orderkey <= (SELECT max(l_orderkey) // 4
            |                       + max(l_orderkey) // 20 FROM lineitem)
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Iceberg v2 equality deletes on a PARTITIONED table (r14, closing
+    // the r13 refusal): the fixture partitions orders by o_orderstatus
+    // ('O' and 'F' files, both at data sequence 1); one equality delete
+    // (sequence 2) is SCOPED to partition 'O' and lists every key ≡ 0
+    // (mod 7) — keys that exist in BOTH partitions. Per the spec's scan
+    // planning the delete materializes only the 'O' file: its mod-7 keys
+    // die, the 'F' file keeps ALL rows and imports by reference
+    // (asserted in-query). DuckDB recomputes the partition-scoped
+    // survivor set relationally.
+    "q193_iceberg_partitioned_eqdelete" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = tmp("graft-q193i"); val root = tmp("graft-q193t")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+          val w = Files.createTempDirectory("graft-q193w")
+          df.coalesce(1).write.mode("overwrite").parquet(w.toString)
+          val it = Files.list(w).iterator()
+          var f: java.nio.file.Path = null
+          while (it.hasNext) { val p = it.next()
+            if (p.toString.endsWith(".parquet")) f = p }
+          val target = java.nio.file.Paths.get(t, "data", name)
+          Files.createDirectories(target.getParent)
+          Files.move(f, target)
+          df.count()
+        }
+        val nO = writeOne(ord.filter(col("o_orderstatus") === "O")
+          .coalesce(1).sortWithinPartitions("o_orderkey"), "fo.parquet")
+        val nF = writeOne(ord.filter(col("o_orderstatus") === "F")
+          .coalesce(1).sortWithinPartitions("o_orderkey"), "ff.parquet")
+        val nEq = writeOne(ord.filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey").coalesce(1), "eqo.parquet")
+        val mfSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |  {"name":"status","type":"int"},
+            |  {"name":"sequence_number","type":["null","long"],"default":null},
+            |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |    {"name":"file_path","type":"string"},
+            |    {"name":"file_format","type":"string"},
+            |    {"name":"record_count","type":"long"},
+            |    {"name":"file_size_in_bytes","type":"long"},
+            |    {"name":"content","type":"int","default":0},
+            |    {"name":"equality_ids",
+            |     "type":["null",{"type":"array","items":"int"}],"default":null},
+            |    {"name":"partition",
+            |     "type":["null",{"type":"record","name":"ptup","fields":[
+            |       {"name":"o_orderstatus","type":["null","string"],
+            |        "default":null}]}],"default":null}
+            |  ]}}]}""".stripMargin)
+        val mlSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |  {"name":"manifest_path","type":"string"},
+            |  {"name":"manifest_length","type":"long"},
+            |  {"name":"partition_spec_id","type":"int"},
+            |  {"name":"content","type":"int","default":0},
+            |  {"name":"sequence_number","type":["null","long"],"default":null}
+            |]}""".stripMargin)
+        def entry(path: String, rows: Long, content: Int, seq: Long,
+            part: Option[String], eqIds: Seq[Int] = Nil) = {
+          val r = new org.apache.avro.generic.GenericData.Record(mfSchema)
+          r.put("status", 1); r.put("sequence_number", seq)
+          val d = new org.apache.avro.generic.GenericData.Record(
+            mfSchema.getField("data_file").schema())
+          d.put("file_path", path); d.put("file_format", "PARQUET")
+          d.put("record_count", rows); d.put("file_size_in_bytes", 1L)
+          d.put("content", content)
+          if (eqIds.nonEmpty) {
+            import scala.jdk.CollectionConverters._
+            d.put("equality_ids", eqIds.map(Int.box).asJava)
+          }
+          part.foreach { v =>
+            val pts = mfSchema.getField("data_file").schema()
+              .getField("partition").schema().getTypes.get(1)
+            val p = new org.apache.avro.generic.GenericData.Record(pts)
+            p.put("o_orderstatus", v); d.put("partition", p)
+          }
+          r.put("data_file", d); r
+        }
+        def writeAvro(target: java.nio.file.Path,
+            sch: org.apache.avro.Schema,
+            rs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+          Files.createDirectories(target.getParent)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](sch))
+          w.create(sch, target.toFile)
+          try rs.foreach(w.append) finally w.close()
+        }
+        def ml(path: String, content: Int, seq: Long, specId: Int) = {
+          val r = new org.apache.avro.generic.GenericData.Record(mlSchema)
+          r.put("manifest_path", path); r.put("manifest_length", 1L)
+          r.put("partition_spec_id", specId); r.put("content", content)
+          r.put("sequence_number", seq); r
+        }
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "m1.avro"), mfSchema,
+          Seq(entry(s"$t/data/fo.parquet", nO, 0, 1L, Some("O")),
+            entry(s"$t/data/ff.parquet", nF, 0, 1L, Some("F"))))
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "md.avro"), mfSchema,
+          Seq(entry(s"$t/data/eqo.parquet", nEq, 2, 2L, Some("O"),
+            eqIds = Seq(1))))
+        writeAvro(java.nio.file.Paths.get(t, "metadata", "ml1.avro"),
+          mlSchema, Seq(ml(s"$t/metadata/m1.avro", 0, 1L, 0),
+            ml(s"$t/metadata/md.avro", 1, 2L, 0)))
+        val schemaJson =
+          """{"type":"struct","schema-id":0,"fields":[
+            |  {"id":1,"name":"o_orderkey","required":true,"type":"long"},
+            |  {"id":2,"name":"o_totalprice","required":false,"type":"double"},
+            |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"}
+            |]}""".stripMargin
+        Files.write(java.nio.file.Paths.get(t, "metadata", "v1.metadata.json"),
+          s"""{"format-version":2,"table-uuid":"0-0-0-0-3","location":"$t",
+             |"schema":$schemaJson,"schemas":[$schemaJson],
+             |"current-schema-id":0,"default-spec-id":0,
+             |"partition-specs":[{"spec-id":0,"fields":[
+             |  {"name":"o_orderstatus","transform":"identity",
+             |   "source-id":3,"field-id":1000}]}],
+             |"current-snapshot-id":1,
+             |"snapshots":[{"snapshot-id":1,
+             |  "manifest-list":"$t/metadata/ml1.avro"}]}""".stripMargin
+            .getBytes("UTF-8"))
+        Files.write(java.nio.file.Paths.get(t, "metadata", "version-hint.text"),
+          "1".getBytes("UTF-8"))
+        graft.sources.interop.IcebergImport.importTable(s, t, root)
+        // partition scoping held structurally: only the 'O' file
+        // materialized; 'F' imported by reference
+        val m = CommitLog.readManifest(root,
+          CommitLog.currentVersion(root).get)
+        require(m.files.contains(s"$t/data/ff.parquet"),
+          "the out-of-scope partition must import by reference")
+        require(!m.files.contains(s"$t/data/fo.parquet"),
+          "the in-scope partition must have materialized")
+        CommitLog.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_price
+           |FROM orders
+           |WHERE o_orderstatus IN ('O', 'F')
+           |  AND NOT (o_orderstatus = 'O' AND o_orderkey % 7 = 0)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** q192's many-file table, staged ONCE per (JVM, sf-dir): 10 commits of

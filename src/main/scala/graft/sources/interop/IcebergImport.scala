@@ -47,11 +47,35 @@ import graft.sources.CommitLog
   * the `equality_ids` columns, position deletes for those files applied
   * in the same rewrite. THE IMPORT STOPS BEING ZERO-COPY FOR EXACTLY
   * THOSE FILES (stated here loudly; unaffected files still import by
-  * reference). Two honest refusals remain: equality deletes on a
-  * PARTITIONED table (they are partition-scoped; applying them globally
-  * could over-delete) and equality ids naming nested fields.
+  * reference).
+  *
+  * Equality deletes are PARTITION-SCOPED (r14, spec "Scan Planning"): a
+  * delete written under a partitioned spec applies only to data files of
+  * the SAME spec and partition tuple; a delete under an unpartitioned
+  * spec applies globally. Both the outranking decision and the anti-join
+  * carry the (spec-id, partition-tuple) scope, so partitioned CDC tables
+  * import exactly. The one honest refusal left: equality ids naming
+  * NESTED fields (no top-level column to match on).
   */
 object IcebergImport {
+
+  /** Row-level delete scope of one manifest entry: the manifest's
+    * partition-spec id plus the entry's rendered partition tuple (fields
+    * sorted by name — both sides of a match render identically). A
+    * `None` tuple = the entry's spec is unpartitioned: for a DELETE that
+    * means global scope, for a data file it means only unpartitioned-
+    * spec deletes (or same-spec empty tuples) can hit it.
+    */
+  private final case class EntryScope(specId: Int, tuple: Option[String]) {
+    def key: Option[String] = tuple.map(t => s"$specId|$t")
+  }
+
+  private def renderPartition(v: Option[AnyRef]): Option[String] = v match {
+    case Some(rec: GenericRecord) if !rec.getSchema.getFields.isEmpty =>
+      Some(rec.getSchema.getFields.asScala.map(_.name()).toSeq.sorted
+        .map(n => s"$n=${String.valueOf(rec.get(n))}").mkString("|"))
+    case _ => None
+  }
 
   private val mapper = new ObjectMapper()
     .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
@@ -171,19 +195,22 @@ object IcebergImport {
         val entries = avroRecords(localPath(ml.asText())).map { r =>
           (localPath(r.get("manifest_path").toString),
             fieldOpt(r, "content").map(_.toString.toInt).getOrElse(0),
-            fieldOpt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L))
+            fieldOpt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L),
+            fieldOpt(r, "partition_spec_id").map(_.toString.toInt).getOrElse(0))
         }
-        (entries.collect { case (p, 0, s) => (p, s) },
-          entries.collect { case (p, 1, s) => (p, s) })
+        (entries.collect { case (p, 0, s, sid) => (p, s, sid) },
+          entries.collect { case (p, 1, s, sid) => (p, s, sid) })
       case None => // v1 inline manifest array (data only by definition)
         (snap.get("manifests").elements().asScala
-          .map(m => (localPath(m.asText()), 0L)).toSeq, Nil)
+          .map(m => (localPath(m.asText()), 0L, 0)).toSeq, Nil)
     }
     def entrySeq(e: GenericRecord, manifestSeq: Long): Long =
       fieldOpt(e, "sequence_number").map(_.toString.toLong)
         .getOrElse(manifestSeq)
-    val dataEntries: Seq[(String, Long)] = dataManifests.flatMap {
-      case (mPath, mSeq) =>
+    def entryScope(df: GenericRecord, specId: Int): EntryScope =
+      EntryScope(specId, renderPartition(fieldOpt(df, "partition")))
+    val dataEntries: Seq[(String, Long, EntryScope)] = dataManifests.flatMap {
+      case (mPath, mSeq, specId) =>
         avroRecords(mPath).flatMap { e =>
           val status = e.get("status").toString.toInt
           if (status == 2) None // deleted entry
@@ -196,7 +223,7 @@ object IcebergImport {
             val path = localPath(df.get("file_path").toString)
             require(Files.isRegularFile(Paths.get(path)),
               s"manifest references missing data file $path")
-            Some((path, entrySeq(e, mSeq)))
+            Some((path, entrySeq(e, mSeq), entryScope(df, specId)))
           }
         }
     }
@@ -211,11 +238,11 @@ object IcebergImport {
     // v2 row-level deletes: position-delete parquet → commitlog DVs;
     // equality deletes MATERIALIZE the data files they cover (r9)
     val posDeleteFiles = Seq.newBuilder[(String, Long)]
-    val eqDeleteFiles = Seq.newBuilder[(String, Long, Seq[String])]
+    val eqDeleteFiles = Seq.newBuilder[(String, Long, Seq[String], EntryScope)]
     val fieldNameById: Map[Int, String] =
       schemaNode.get("fields").elements().asScala
         .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-    deleteManifests.foreach { case (mPath, mSeq) =>
+    deleteManifests.foreach { case (mPath, mSeq, specId) =>
       avroRecords(mPath).foreach { e =>
         if (e.get("status").toString.toInt != 2) { // 2 = removed delete file
           val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -236,44 +263,77 @@ object IcebergImport {
               sys.error(s"equality delete field id $id is not a top-level " +
                 "schema column — nested equality deletes have no " +
                 "translation here; rewrite with an Iceberg-native engine")))
-            eqDeleteFiles += ((path, entrySeq(e, mSeq), cols))
+            eqDeleteFiles += ((path, entrySeq(e, mSeq), cols,
+              entryScope(df, specId)))
           } else sys.error(s"unknown delete-file content $c")
         }
       }
     }
     val posDeletes = posDeleteFiles.result()
     val eqDeletes = eqDeleteFiles.result()
-    if (eqDeletes.nonEmpty) {
-      // equality deletes are PARTITION-SCOPED in Iceberg; applying them
-      // globally is only correct when the table is unpartitioned — refuse
-      // otherwise rather than over-delete rows in unscoped partitions
-      val specFields = (for {
-        specs <- Option(meta.get("partition-specs")).toSeq
-        dflt = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-        spec <- specs.elements().asScala
-        if spec.get("spec-id").asInt() == dflt
-        f <- Option(spec.get("fields")).toSeq.flatMap(_.elements().asScala)
-      } yield f) ++
-        Option(meta.get("partition-spec")).toSeq
-          .flatMap(_.elements().asScala)
-      require(specFields.isEmpty,
-        "snapshot carries EQUALITY delete files on a PARTITIONED table — " +
-          "they are partition-scoped and this importer applies them " +
-          "globally; rewrite them with an Iceberg-native engine first")
+    // which partition specs are PARTITIONED — globality is a property of
+    // the DELETE's spec (an unpartitioned-spec delete applies globally),
+    // decided from the table metadata, never inferred from a missing
+    // tuple: a partitioned-spec delete whose entry carries no tuple is
+    // malformed and must refuse, not silently over-delete globally
+    val specPartitioned: Map[Int, Boolean] = {
+      val v2 = Option(meta.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala).map(s =>
+          s.get("spec-id").asInt() ->
+            Option(s.get("fields")).exists(_.elements().asScala.nonEmpty))
+        .toMap
+      if (v2.nonEmpty) v2
+      else Option(meta.get("partition-spec"))
+        .map(f => Map(0 -> f.elements().asScala.nonEmpty))
+        .getOrElse(Map.empty)
     }
-    val seqOf = dataEntries.toMap
+    def partitionedSpec(id: Int): Boolean =
+      specPartitioned.getOrElse(id, false)
+    eqDeletes.foreach { case (p, _, _, sc) =>
+      require(!partitionedSpec(sc.specId) || sc.tuple.isDefined,
+        s"equality delete file $p was written under PARTITIONED spec " +
+          s"${sc.specId} but its manifest entry carries no partition " +
+          "tuple — malformed metadata; rewrite with an Iceberg-native " +
+          "engine first")
+    }
+    // a data file under a partitioned spec a scoped delete targets must
+    // carry its tuple too, or scoping would be guesswork
+    val scopedSpecs = eqDeletes.collect {
+      case (_, _, _, sc) if partitionedSpec(sc.specId) => sc.specId
+    }.toSet
+    if (scopedSpecs.nonEmpty)
+      dataEntries.foreach { case (p, _, sc) =>
+        require(!scopedSpecs(sc.specId) || sc.tuple.isDefined,
+          s"data file $p sits under PARTITIONED spec ${sc.specId} that " +
+            "equality deletes scope to, but its manifest entry carries " +
+            "no partition tuple — malformed metadata; rewrite with an " +
+            "Iceberg-native engine first")
+      }
+    val seqOf = dataEntries.map(e => e._1 -> e._2).toMap
+    val scopeOf = dataEntries.map(e => e._1 -> e._3).toMap
+    def eqGlobal(sc: EntryScope): Boolean = !partitionedSpec(sc.specId)
+    // spec "Scan Planning": an equality delete hits a data file when the
+    // file's data sequence number is STRICTLY smaller AND the delete is
+    // global (unpartitioned spec) or carries the file's exact
+    // (spec-id, partition-tuple)
+    def eqApplies(dSeq: Long, dScope: EntryScope, path: String): Boolean =
+      dSeq > seqOf(path) &&
+        (eqGlobal(dScope) || scopeOf(path).key == dScope.key)
     // balanced union — a left-deep fold over many files would blow
     // Catalyst's recursive plan walks
     def unionAll(dfs: IndexedSeq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
       if (dfs.size == 1) dfs.head
       else unionAll(dfs.take(dfs.size / 2))
         .unionByName(unionAll(dfs.drop(dfs.size / 2)))
-    // a data file is AFFECTED when any equality delete outranks it; those
-    // files MATERIALIZE (import stops being zero-copy for exactly them —
-    // rows re-stage minus their deletes), everything else imports by
-    // reference as always
+    // a data file is AFFECTED when any equality delete outranks it IN ITS
+    // SCOPE; those files MATERIALIZE (import stops being zero-copy for
+    // exactly them — rows re-stage minus their deletes), everything else
+    // imports by reference as always — a partition-scoped CDC delete
+    // materializes only its own partition's files
     val affected = stats.map(_.path)
-      .filter(p => eqDeletes.exists(_._2 > seqOf(p))).toSet
+      .filter(p => eqDeletes.exists { case (_, q, _, sc) =>
+        eqApplies(q, sc, p)
+      }).toSet
     val unaffected = stats.filterNot(s => affected(s.path))
     import org.apache.spark.sql.functions._
     val posSchema = StructType(Seq(
@@ -319,6 +379,10 @@ object IcebergImport {
       val perFile = posTargets.toIndexedSeq.map { p =>
         val base = spark.read.schema(schema).parquet(p)
           .withColumn("__seq", lit(seqOf(p)))
+          // the file's delete scope rides each row so the anti-join can
+          // honor partition scoping (null = unpartitioned-spec file)
+          .withColumn("__scope",
+            lit(scopeOf(p).key.orNull).cast(StringType))
         marksForAffected match {
           case None => base
           case Some(mk) =>
@@ -329,18 +393,22 @@ object IcebergImport {
         }
       }
       // one anti-join per distinct equality-column set: delete rows read
-      // with their sequence number attached, matched null-safely (the
-      // spec: NULL in a delete row matches NULL in the data), applied
-      // only to rows from files the delete outranks
+      // with their sequence number + scope attached, matched null-safely
+      // (the spec: NULL in a delete row matches NULL in the data),
+      // applied only to rows from files the delete outranks IN SCOPE
       val survivors = eqDeletes.groupBy(_._3).foldLeft(unionAll(perFile)) {
         case (data, (cols, files)) =>
-          val delRows = unionAll(files.toIndexedSeq.map { case (p, q, _) =>
-            spark.read.parquet(p)
-              .select(cols.map(c => col(c).as(s"__eq_$c")) :+
-                lit(q).as("__dseq"): _*)
+          val delRows = unionAll(files.toIndexedSeq.map {
+            case (p, q, _, sc) =>
+              spark.read.parquet(p)
+                .select(cols.map(c => col(c).as(s"__eq_$c")) ++ Seq(
+                  lit(q).as("__dseq"),
+                  lit(eqGlobal(sc)).as("__dglobal"),
+                  lit(sc.key.orNull).cast(StringType).as("__dscope")): _*)
           })
           val cond = cols.map(c => col(c) <=> col(s"__eq_$c"))
-            .reduce(_ && _) && col("__seq") < col("__dseq")
+            .reduce(_ && _) && col("__seq") < col("__dseq") &&
+            (col("__dglobal") || col("__scope") <=> col("__dscope"))
           data.join(delRows, cond, "left_anti")
       }
       CommitLog.append(

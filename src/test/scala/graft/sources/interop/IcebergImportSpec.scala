@@ -242,6 +242,137 @@ class IcebergImportSpec extends SparkTestBase {
     assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
   }
 
+  test("v2 PARTITION-SCOPED equality deletes: a delete under a " +
+      "partitioned spec hits only its own partition's files; an " +
+      "unpartitioned-spec delete stays global") {
+    import spark.implicits._
+    // manifest schema WITH the partition tuple record (field `name`)
+    val pManifestSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"sequence_number","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"},
+        |    {"name":"content","type":"int","default":0},
+        |    {"name":"equality_ids",
+        |     "type":["null",{"type":"array","items":"int"}],"default":null},
+        |    {"name":"partition",
+        |     "type":["null",{"type":"record","name":"ptup","fields":[
+        |       {"name":"name","type":["null","string"],"default":null}
+        |     ]}],"default":null}
+        |  ]}}]}""".stripMargin)
+    def pEntry(path: String, rows: Long, content: Int, seq: Long,
+        part: Option[String], eqIds: Seq[Int] = Nil): GenericRecord = {
+      val r = new GenericData.Record(pManifestSchema)
+      r.put("status", 1); r.put("sequence_number", seq)
+      val d = new GenericData.Record(
+        pManifestSchema.getField("data_file").schema())
+      d.put("file_path", path); d.put("file_format", "PARQUET")
+      d.put("record_count", rows); d.put("file_size_in_bytes", 1L)
+      d.put("content", content)
+      if (eqIds.nonEmpty) d.put("equality_ids", eqIds.map(Int.box).asJava)
+      part.foreach { v =>
+        val ptupSchema = pManifestSchema.getField("data_file").schema()
+          .getField("partition").schema().getTypes.get(1)
+        val p = new GenericData.Record(ptupSchema)
+        p.put("name", v); d.put("partition", p)
+      }
+      r.put("data_file", d); r
+    }
+    val pListSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"content","type":"int","default":0},
+        |  {"name":"sequence_number","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    def pList(path: String, content: Int, seq: Long,
+        specId: Int): GenericRecord = {
+      val r = new GenericData.Record(pListSchema)
+      r.put("manifest_path", path); r.put("manifest_length", 1L)
+      r.put("partition_spec_id", specId); r.put("content", content)
+      r.put("sequence_number", seq); r
+    }
+    def pMeta(t: String): String =
+      s"""{"format-version":2,
+         |"table-uuid":"11111111-2222-3333-4444-666666666666",
+         |"location":"$t",
+         |"schema":$schemaJson,
+         |"schemas":[$schemaJson],
+         |"current-schema-id":0,
+         |"default-spec-id":0,
+         |"partition-specs":[
+         |  {"spec-id":0,"fields":[{"name":"name","transform":"identity",
+         |    "source-id":3,"field-id":1000}]},
+         |  {"spec-id":1,"fields":[]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,
+         |  "manifest-list":"$t/metadata/ml.avro"}]}""".stripMargin
+
+    // --- table 1: ONLY a partition-scoped delete -------------------------
+    // partition 'a': ids 0..4; partition 'b': ids 10..14. The delete
+    // (seq 2, scoped to partition 'a') kills keys 1 AND 12 — but 12 lives
+    // in partition 'b', so it must SURVIVE, and fb must stay by reference.
+    val t = tmp(); val root = tmp()
+    def partDf(lo: Int, n: Int, name: String) =
+      spark.range(lo, lo + n).selectExpr("id",
+        "CAST(id AS DOUBLE) / 2 AS v", s"'$name' AS name")
+    writeOne(partDf(0, 5, "a").coalesce(1).sortWithinPartitions("id"),
+      Paths.get(t, "data", "fa.parquet"))
+    writeOne(partDf(10, 5, "b").coalesce(1).sortWithinPartitions("id"),
+      Paths.get(t, "data", "fb.parquet"))
+    writeOne(Seq(1L, 12L).toDF("id"), Paths.get(t, "data", "eqa.parquet"))
+    writeAvro(Paths.get(t, "metadata", "ma.avro"), pManifestSchema, Seq(
+      pEntry(s"$t/data/fa.parquet", 5L, 0, 1L, Some("a")),
+      pEntry(s"$t/data/fb.parquet", 5L, 0, 1L, Some("b"))))
+    writeAvro(Paths.get(t, "metadata", "md.avro"), pManifestSchema, Seq(
+      pEntry(s"$t/data/eqa.parquet", 2L, 2, 2L, Some("a"),
+        eqIds = Seq(1))))
+    writeAvro(Paths.get(t, "metadata", "ml.avro"), pListSchema, Seq(
+      pList(s"$t/metadata/ma.avro", 0, 1L, 0),
+      pList(s"$t/metadata/md.avro", 1, 2L, 0)))
+    Files.write(Paths.get(t, "metadata", "v1.metadata.json"),
+      pMeta(t).getBytes("UTF-8"))
+    Files.write(Paths.get(t, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+    IcebergImport.importTable(spark, t, root)
+    val got = CommitLog.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(0L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 14L),
+      s"id 1 dies (partition a), id 12 survives (partition b): $got")
+    val m = CommitLog.readManifest(root, CommitLog.currentVersion(root).get)
+    assert(m.files.contains(s"$t/data/fb.parquet"),
+      "the out-of-scope partition must stay by reference")
+    assert(!m.files.contains(s"$t/data/fa.parquet"))
+
+    // --- table 2: an UNPARTITIONED-spec delete stays global --------------
+    val t2 = tmp(); val root2 = tmp()
+    writeOne(partDf(0, 5, "a").coalesce(1), Paths.get(t2, "data", "fa.parquet"))
+    writeOne(partDf(10, 5, "b").coalesce(1), Paths.get(t2, "data", "fb.parquet"))
+    writeOne(Seq(2L, 13L).toDF("id"), Paths.get(t2, "data", "eqg.parquet"))
+    writeAvro(Paths.get(t2, "metadata", "ma.avro"), pManifestSchema, Seq(
+      pEntry(s"$t2/data/fa.parquet", 5L, 0, 1L, Some("a")),
+      pEntry(s"$t2/data/fb.parquet", 5L, 0, 1L, Some("b"))))
+    writeAvro(Paths.get(t2, "metadata", "md.avro"), pManifestSchema, Seq(
+      pEntry(s"$t2/data/eqg.parquet", 2L, 2, 2L, None, eqIds = Seq(1))))
+    writeAvro(Paths.get(t2, "metadata", "ml.avro"), pListSchema, Seq(
+      pList(s"$t2/metadata/ma.avro", 0, 1L, 0),
+      pList(s"$t2/metadata/md.avro", 1, 2L, 1))) // spec 1 = unpartitioned
+    Files.write(Paths.get(t2, "metadata", "v1.metadata.json"),
+      pMeta(t2).getBytes("UTF-8"))
+    Files.write(Paths.get(t2, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+    IcebergImport.importTable(spark, t2, root2)
+    assert(CommitLog.read(spark, root2).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 3L, 4L, 10L, 11L, 12L, 14L),
+      "a global delete kills 2 (partition a) AND 13 (partition b)")
+  }
+
   test("v2 POSITION deletes translate to commitlog DVs (dedup + dangling " +
       "drop); an equality delete outranking nothing is a no-op") {
     val t = tmp(); val root = tmp()
