@@ -279,6 +279,8 @@ object CommitLog {
     logDir(root).resolve(f"v$v%020d.json")
   private def checkpointPath(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%020d.checkpoint.json")
+  private def statsSidecarPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"v$v%020d.checkpoint.stats.parquet")
   private def lastCheckpointPath(root: String): Path =
     logDir(root).resolve("_last_checkpoint")
 
@@ -458,6 +460,20 @@ object CommitLog {
     }
   }
 
+  /** A slim sidecar's collected stats, cached per (root, ref): the
+    * sidecar is immutable once linked (content = the fold at its
+    * version), so repeated hydrations on write/DML paths pay one collect
+    * per checkpoint instead of one per readManifest call. Small LRU —
+    * a driver touches a handful of slim tables at a time.
+    */
+  private val hydrateCache =
+    new java.util.LinkedHashMap[(String, String), Vector[FileStat]](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Vector[FileStat]])
+          : Boolean = size() > 4
+    }
+
   /** Hydrate a slim snapshot into a FULL manifest (parquet collect —
     * columnar and mins/maxs-typed, never a GB JSON parse). The writer/DML
     * paths that genuinely need every file's stats in memory go through
@@ -467,15 +483,24 @@ object CommitLog {
     s.statsRef match {
       case None => s.meta
       case Some(ref) =>
-        val spark = org.apache.spark.sql.SparkSession.getActiveSession
-          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-          .getOrElse(throw new IllegalStateException(
-            s"resolving slim checkpoint $ref at $root needs an active " +
-              "SparkSession"))
+        val base = hydrateCache.synchronized {
+          Option(hydrateCache.get((root, ref)))
+        }.getOrElse {
+          val spark = org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+            .getOrElse(throw new IllegalStateException(
+              s"resolving slim checkpoint $ref at $root needs an active " +
+                "SparkSession"))
+          val collected = statsParquetDF(spark, root, ref).collect()
+            .iterator.map(rowStat).toVector
+          hydrateCache.synchronized {
+            hydrateCache.put((root, ref), collected)
+          }
+          collected
+        }
         val removed = s.refRemoves.toSet
-        val refStats = statsParquetDF(spark, root, ref).collect()
-          .iterator.map(rowStat).filterNot(f => removed(f.path)).toVector
-        s.meta.copy(fileStats = refStats ++ s.meta.statsOrNil)
+        s.meta.copy(fileStats =
+          base.filterNot(f => removed(f.path)) ++ s.meta.statsOrNil)
     }
 
   /** Largest committed version, if any — O(commits since last checkpoint):
@@ -5460,7 +5485,11 @@ object CommitLog {
       advanceLastCheckpoint(root, st.keepFrom)
       (1L until st.keepFrom).foreach { v =>
         Files.deleteIfExists(commitPath(root, v))
-        if (!st.pinned.contains(v)) Files.deleteIfExists(checkpointPath(root, v))
+        if (!st.pinned.contains(v)) {
+          Files.deleteIfExists(checkpointPath(root, v))
+          // a slim checkpoint's parquet sidecar goes with its JSON
+          deleteRecursively(statsSidecarPath(root, v))
+        }
       }
       // remove unreferenced, out-of-retention data files (then empty dirs)
       val doomed = reclaimCandidates(root, st.live, retentionMs).toSet
@@ -5516,17 +5545,26 @@ object CommitLog {
       advanceLastCheckpoint(root, boundary)
       // One listing sweeps commit records AND superseded checkpoints below
       // the boundary (including interior checkpoints a prior partial trim
-      // left behind); pinned checkpoints survive.
+      // left behind); pinned checkpoints survive. Slim checkpoints' parquet
+      // sidecar DIRECTORIES follow their JSON under the same pinning rule.
       val doomed = withList(logDir(root))(_.filter { p =>
         val n = p.getFileName.toString
         val isCkpt = n.endsWith(".checkpoint.json")
+        val isSidecar = n.endsWith(".checkpoint.stats.parquet")
         val v =
-          if (!n.startsWith("v") || !n.endsWith(".json")) None
+          if (!n.startsWith("v")) None
+          else if (isSidecar) n.stripPrefix("v")
+            .stripSuffix(".checkpoint.stats.parquet").toLongOption
+          else if (!n.endsWith(".json")) None
           else n.stripPrefix("v")
             .stripSuffix(if (isCkpt) ".checkpoint.json" else ".json").toLongOption
-        v.exists(ver => ver < boundary && !(isCkpt && pinned.contains(ver)))
+        v.exists(ver => ver < boundary &&
+          !((isCkpt || isSidecar) && pinned.contains(ver)))
       }.toList)
-      doomed.foreach(Files.deleteIfExists(_))
+      doomed.foreach { p =>
+        if (Files.isDirectory(p)) deleteRecursively(p)
+        else Files.deleteIfExists(p)
+      }
     }
   }
 }

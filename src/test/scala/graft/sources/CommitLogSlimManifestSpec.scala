@@ -147,6 +147,39 @@ class CommitLogSlimManifestSpec extends SparkTestBase {
     }
   }
 
+  test("log retention follows slim sidecars: vacuumLog re-checkpoints " +
+      "the boundary slim and deletes superseded sidecar directories") {
+    import spark.implicits._
+    withThreshold(20) {
+      val root = Files.createTempDirectory("graft-slimvac").toString
+      (0 until 10).foreach { c =>
+        CommitLog.append(((c * 500) until ((c + 1) * 500))
+          .map(i => (i.toLong, s"v$i")).toDF("k", "s").repartition(5), root)
+      }
+      assert(Files.isDirectory(Paths.get(root, "_graft_log",
+        "v00000000000000000010.checkpoint.stats.parquet")))
+      // advance past the checkpoint, then trim the log unconditionally
+      CommitLog.append(Seq((9000L, "x")).toDF("k", "s"), root)
+      CommitLog.append(Seq((9001L, "y")).toDF("k", "s"), root)
+      CommitLog.vacuumLog(root, -1L)
+      // the superseded v10 sidecar is gone WITH its JSON; the boundary
+      // checkpoint re-wrote slim (52 files >= threshold) with its own
+      assert(!Files.exists(Paths.get(root, "_graft_log",
+        "v00000000000000000010.checkpoint.stats.parquet")),
+        "superseded slim sidecar must be reclaimed")
+      assert(!Files.exists(Paths.get(root, "_graft_log",
+        "v00000000000000000010.checkpoint.json")))
+      assert(Files.isDirectory(Paths.get(root, "_graft_log",
+        "v00000000000000000012.checkpoint.stats.parquet")),
+        "the boundary checkpoint must be slim with its own sidecar")
+      assert(CommitLog.readSnapshotSlim(root, 12L).isSlim)
+      assert(CommitLog.read(spark, root).count() == 5002)
+      val got = CommitLog.readPruned(spark, root, col("k") >= 9000L)
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(9000L, 9001L))
+    }
+  }
+
   test("end-to-end on a REAL many-file table: reads, pruned reads and " +
       "the catalog scan route through the slim snapshot and stay exact") {
     import spark.implicits._
