@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRe
 import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTime, CurrentTimestampLike, CurrentTimeZone, Exists, Expression, InSubquery, ListQuery, Literal, LocalTimestamp, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types.StructType
 
 import graft.plans.CommitLogSqlDml
@@ -563,27 +563,34 @@ final class PgTxn(session: SparkSession) {
       "merge source has duplicate keys — ambiguous MATCHED action")
     // pg's MERGE tag counts affected rows: replaced/deleted matched
     // target rows + inserts + by-source hits, measured against the
-    // block's current state (statement-time, interactive-sized)
-    val state = stagedState(root)
-    val srcKeys = mat.select(keyCols: _*).distinct()
-    val stateKeys = state.select(keyCols: _*).distinct()
-    val matchedCnt =
-      if (spec.replaceMatched) state.join(srcKeys, spec.keys, "left_semi").count()
-      else 0L
-    val insertCnt =
-      if (spec.insertUnmatched)
-        mat.join(stateKeys, spec.keys, "left_anti").count()
-      else 0L
-    val bsCnt = bsRebound match {
-      case Some(b) => state.join(srcKeys, spec.keys, "left_anti")
-        .filter(coalesce(b.cond.getOrElse(lit(true)), lit(false))).count()
-      case None => 0L
-    }
+    // block's current state — ONE full-outer aggregation job (three
+    // separate counts would each re-derive the shadow fold)
+    val bsCond = bsRebound
+      .map(b => coalesce(b.cond.getOrElse(lit(true)), lit(false)))
+      .getOrElse(lit(false))
+    val stateSide = stagedState(root)
+      .select(keyCols :+ bsCond.as("__bs_hit"): _*)
+    val srcSide = mat.select(keyCols: _*).distinct()
+      .withColumn("__src", lit(1))
+    val counts = stateSide.join(srcSide, spec.keys, "full_outer")
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          when(col("__src").isNotNull && col("__bs_hit").isNotNull,
+            if (spec.replaceMatched) 1 else 0)).as("m"),
+        org.apache.spark.sql.functions.sum(
+          when(col("__bs_hit").isNull,
+            if (spec.insertUnmatched) 1 else 0)).as("i"),
+        org.apache.spark.sql.functions.sum(
+          when(col("__src").isNull && coalesce(col("__bs_hit"), lit(false)),
+            if (bsRebound.isDefined) 1 else 0)).as("b"))
+      .first()
+    def n(i: Int): Long =
+      if (counts.isNullAt(i)) 0L else counts.getLong(i)
     stageOp(root, CommitLog.TxnMerge(mat, spec.keys,
       deleteFlag = spec.deleteWhen.map(_ => flag),
       insertUnmatched = spec.insertUnmatched,
       replaceMatched = spec.replaceMatched, bySource = bsRebound))
-    s"MERGE ${matchedCnt + insertCnt + bsCnt}"
+    s"MERGE ${n(0) + n(1) + n(2)}"
   }
 
   /** Resolve a DML statement's target to a SHADOWED root — row-level
