@@ -1718,12 +1718,23 @@ object Similarity {
     // with cell tightness — which is why it's the production index.
     "q94_ann_ivfadc" -> QueryDef(
       fn = { (s, dir) =>
+        // r14 OPT (guide §3.3/§7.2): the lazily-composed pipeline planned
+        // to 857 physical operators with 144 scans of the embeddings
+        // parquet and 332 Exchanges — every stage (coarse train, assign,
+        // residuals, PQ train, encode, ADC) re-derived `vq`/`cc1`/`rvq`
+        // from the source. Each multiply-used SMALL intermediate is now
+        // localCheckpoint'ed (KB–MB scale: 320k quantized rows, 10×64
+        // centroids, 8×16×8 codebooks), so each trains/encodes exactly
+        // once and the final plan is linear. Values are bit-identical:
+        // every frame is deterministic BIGINT arithmetic; checkpointing
+        // changes evaluation count, not results (oracle q94 re-proven).
         val e = emb(s, dir)
         val vq = e
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
           .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
           .repartition(col("vec_id")) // parallelize the single-split scan
+          .localCheckpoint()
         // coarse quantizer: 10 seeds, one exact Lloyd update (q88's cells)
         val cseeds = vq.filter(col("vec_id") < 10)
           .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
@@ -1738,8 +1749,9 @@ object Similarity {
         val cc1 = vq.join(cargmin(cdist(cseeds)), Seq("vec_id"))
           .groupBy(col("cid"), col("pos"))
           .agg(expr("sum(vq) div count(1)").as("cq"))
-        val cd2 = cdist(cc1)
-        val cassign = cargmin(cd2) // each vector's inverted list
+          .localCheckpoint()
+        val cd2 = cdist(cc1).localCheckpoint()
+        val cassign = cargmin(cd2).localCheckpoint() // each vector's inverted list
         val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
         val probes = cd2.filter(col("vec_id") < 10)
           .withColumn("rn", row_number().over(wProbe))
@@ -1750,6 +1762,7 @@ object Similarity {
           .join(broadcast(cc1), Seq("cid", "pos"))
           .select(col("vec_id"), expr("pos div 8").as("sub"), col("pos"),
             (col("vq") - col("cq")).as("rq"))
+          .localCheckpoint()
         // residual PQ codebooks: 16 seeds, one exact Lloyd update per sub
         val pseeds = rvq.filter(col("vec_id") < 16)
           .select(col("sub"), col("vec_id").as("pcid"), col("pos"), col("rq").as("pcq"))
@@ -1765,6 +1778,7 @@ object Similarity {
         val pc1 = rvq.join(pargmin(pdist(pseeds)), Seq("vec_id", "sub"))
           .groupBy(col("sub"), col("pcid"), col("pos"))
           .agg(expr("sum(rq) div count(1)").as("pcq"))
+          .localCheckpoint()
         val codes = pargmin(pdist(pc1)) // the inverted-list PQ index
         // per-probed-cell query residuals → ADC distance tables
         val qrv = vq.filter(col("vec_id") < 10)

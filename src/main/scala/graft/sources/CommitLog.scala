@@ -2854,8 +2854,12 @@ object CommitLog {
               val survivors = state.where(col(TagFile).isNotNull)
                 .select(col(TagFile), col(TagPos))
               val absToRel = touched.map(f => (absPath(root, f), f))
+              // r14 OPT: (file, pos) is unique on both sides (one physical
+              // row each), so EXCEPT's dedup-both-sides set machinery is
+              // pure overhead — a left-anti join is the same answer with
+              // one hash join instead of two aggregate exchanges
               val deadRel = tagged.select(col(TagFile), col(TagPos))
-                .except(survivors)
+                .join(survivors, Seq(TagFile, TagPos), "left_anti")
                 .join(broadcast(spark.createDataFrame(absToRel)
                   .toDF(TagFile, "__dv_rel")), TagFile)
                 .select(col("__dv_rel"), col(TagPos).as("__dv_pos"))
@@ -3985,32 +3989,50 @@ object CommitLog {
     */
   private def stageDvDelete(spark: SparkSession, root: String, m: Manifest,
       cond: Column): Option[(Seq[String], Map[String, String])] = {
-    val touched = touchedFiles(spark, root, m)(_.filter(cond))
-    if (touched.isEmpty) return None
-    // Newly dead coordinates — from the LIVE read, so previously-DV'd
-    // positions cannot reappear here (the union below stays disjoint).
-    // Scan paths map back to MANIFEST path strings via a driver lookup
-    // (correct for relative and clone-absolute references alike).
-    val absToRel = touched.map(f => (absPath(root, f), f))
-    val newDead = readTaggedLive(spark, root, m, touched)
+    // r14 OPT (guide §2.4 — remove shuffles/passes outright): this staged
+    // in TWO live scans — a touchedFiles probe over the full snapshot,
+    // then a second readTaggedLive over the touched files for the dead
+    // coordinates. The coordinates determine the touch set, so ONE scan
+    // now yields both: matched (file, pos) rows persist (O(matched rows),
+    // the DV size itself), their per-file counts give `touched`, and
+    // previously-DV'd positions cannot reappear because the scan is the
+    // LIVE read (anti-joined against prior DVs) — the union below stays
+    // disjoint, so new+prior counts add exactly as the old unioned count
+    // did. Scan paths map back to MANIFEST path strings via a driver
+    // lookup (correct for relative and clone-absolute references alike).
+    val absToRel = m.files.map(f => (absPath(root, f), f))
+    val newDead = readTaggedLive(spark, root, m, m.files)
       .filter(coalesce(cond, lit(false)))
       .join(broadcast(spark.createDataFrame(absToRel).toDF(TagFile, "__dv_rel")),
         TagFile)
       .select(col("__dv_rel"), col(TagPos).as("__dv_pos"))
-    val priorDv = m.dvsOrEmpty.filter { case (f, _) => touched.contains(f) }
-    val dead = (if (priorDv.isEmpty) newDead
-      else newDead.unionByName(dvPositionsRel(spark, root, priorDv))).persist()
+      .persist()
     try {
-      val counts = dead.groupBy("__dv_rel").agg(count(lit(1)).as("n"))
+      val newCounts = newDead.groupBy("__dv_rel").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (newCounts.isEmpty) return None
+      val touched = m.files.filter(newCounts.contains)
+      val priorDv = m.dvsOrEmpty.filter { case (f, _) => touched.contains(f) }
+      val priorCounts: Map[String, Long] =
+        if (priorDv.isEmpty) Map.empty
+        else dvPositionsRel(spark, root, priorDv)
+          .groupBy("__dv_rel").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = (newCounts.keySet ++ priorCounts.keySet).iterator
+        .map(f => f -> (newCounts.getOrElse(f, 0L) + priorCounts.getOrElse(f, 0L)))
+        .toMap
       val rowsOf = m.statsOrNil.map(s => s.path -> s.rows).toMap
       val (fullGone, partial) = touched.partition(f =>
         rowsOf.get(f).contains(counts.getOrElse(f, 0L)))
       val dvEntries =
         if (partial.isEmpty) Map.empty[String, String]
-        else stageDV(dead.filter(col("__dv_rel").isin(partial: _*)), root, partial)
+        else {
+          val dead = if (priorDv.isEmpty) newDead
+            else newDead.unionByName(dvPositionsRel(spark, root, priorDv))
+          stageDV(dead.filter(col("__dv_rel").isin(partial: _*)), root, partial)
+        }
       Some((fullGone, dvEntries))
-    } finally dead.unpersist()
+    } finally newDead.unpersist()
   }
 
   /** Right-to-erasure ("forget me") across a table FAMILY in one atomic
@@ -4086,11 +4108,16 @@ object CommitLog {
     val schema = schemaOf(m)
     val bad = set.map(_._1).filterNot(n => schema.fieldNames.contains(n))
     require(bad.isEmpty, s"UPDATE of unknown column(s): ${bad.mkString(",")}")
-    val touched = touchedFiles(spark, root, m)(_.filter(cond))
-    if (touched.isEmpty) return base // nothing matches: no-op, no commit
-    val absToRel = touched.map(f => (absPath(root, f), f))
-    val matched = readTaggedLive(spark, root, m, touched)
+    // r14 OPT (guide §2.4): one live scan yields the matched rows AND the
+    // touch set (same single-pass rework as stageDvDelete — the former
+    // touchedFiles probe re-scanned the full snapshot first).
+    val matched = readTaggedLive(spark, root, m, m.files)
       .filter(coalesce(cond, lit(false))).persist()
+    val touchedAbs = matched.select(TagFile).distinct()
+      .collect().map(_.getString(0))
+    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f)))
+    if (touched.isEmpty) { matched.unpersist(); return base } // no-op
+    val absToRel = touched.map(f => (absPath(root, f), f))
     try {
       val newDead = matched
         .join(broadcast(spark.createDataFrame(absToRel).toDF(TagFile, "__dv_rel")),

@@ -17,6 +17,9 @@ object Explain {
     }
     val spark = SparkSession.builder()
       .master("local[8]")
+      // same extension surface as Bench/Verify — queries that issue
+      // commitlog SQL DML (q106 et al.) need the rewrite rules to plan
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

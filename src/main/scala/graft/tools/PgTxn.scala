@@ -558,20 +558,21 @@ final class PgTxn(session: SparkSession) {
         .cast(f.dataType).as(f.name)) :+ col(flag)): _*)
     val mat = projected.localCheckpoint(true)
     val keyCols = spec.keys.map(k => col(s"`${k.replace("`", "``")}`"))
-    require(mat.groupBy(keyCols: _*).count()
-      .filter(col("count") > 1).isEmpty,
-      "merge source has duplicate keys — ambiguous MATCHED action")
     // pg's MERGE tag counts affected rows: replaced/deleted matched
     // target rows + inserts + by-source hits, measured against the
     // block's current state — ONE full-outer aggregation job (three
-    // separate counts would each re-derive the shadow fold)
+    // separate counts would each re-derive the shadow fold). r14 OPT
+    // (guide §1.2 fewer passes): the duplicate-source-key guard rides the
+    // SAME job — the source side aggregates per-key counts instead of
+    // distinct-with-literal, and max(count) > 1 rejects, saving the
+    // separate groupBy/filter/isEmpty pass over the checkpointed source.
     val bsCond = bsRebound
       .map(b => coalesce(b.cond.getOrElse(lit(true)), lit(false)))
       .getOrElse(lit(false))
     val stateSide = stagedState(root)
       .select(keyCols :+ bsCond.as("__bs_hit"): _*)
-    val srcSide = mat.select(keyCols: _*).distinct()
-      .withColumn("__src", lit(1))
+    val srcSide = mat.groupBy(keyCols: _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__src"))
     val counts = stateSide.join(srcSide, spec.keys, "full_outer")
       .agg(
         org.apache.spark.sql.functions.sum(
@@ -582,8 +583,11 @@ final class PgTxn(session: SparkSession) {
             if (spec.insertUnmatched) 1 else 0)).as("i"),
         org.apache.spark.sql.functions.sum(
           when(col("__src").isNull && coalesce(col("__bs_hit"), lit(false)),
-            if (bsRebound.isDefined) 1 else 0)).as("b"))
+            if (bsRebound.isDefined) 1 else 0)).as("b"),
+        org.apache.spark.sql.functions.max(col("__src")).as("dup"))
       .first()
+    require(counts.isNullAt(3) || counts.getLong(3) <= 1L,
+      "merge source has duplicate keys — ambiguous MATCHED action")
     def n(i: Int): Long =
       if (counts.isNullAt(i)) 0L else counts.getLong(i)
     stageOp(root, CommitLog.TxnMerge(mat, spec.keys,
