@@ -154,14 +154,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbl"))
+      // r14 OPT (guide §1.2 fewer passes): the changed-flag rides the
+      // update row itself, so convergence is a filter over the freshly
+      // checkpointed blocks instead of a second labels⋈next join job
+      // per round (label strictly decreases, so "changed" ≡ nbl < label).
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"),
+          (coalesce(col("nbl"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
+      converged = next.filter(col("chg")).isEmpty
       dropCheckpoint(labels) // superseded round — release its blocks now
+      // keep the RAW checkpointed frame (dropCheckpoint pattern-matches
+      // LogicalRDD); the stray chg column is ignored by the next round's
+      // joins and dropped by the final select
       labels = next
       iter += 1
     }
@@ -338,7 +344,10 @@ object Dedup {
   }
 
   private def simhashPairs(d: DataFrame): DataFrame = {
-    val fp = simhashFps(d)
+    // r14 OPT (guide §3.3): fp feeds three branches (bands + both join
+    // sides); without pinning, the shingle-hash-vote aggregation runs
+    // three times per action. One doc_id-sized checkpoint runs it once.
+    val fp = simhashFps(d).localCheckpoint()
     val bands = simhashBands(fp)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
@@ -920,10 +929,14 @@ object Dedup {
         // all-pairs self-join on sh was 14.5s at sf0.1.
         graft.functions.GraftFunctions.register(s)
         val sh = shingles(docs(s, dir))
+        // r14 OPT (guide §3.3): the capped-postings aggregation feeds both
+        // the pair expansion and the per-doc size re-derivation — pin it
+        // so the shingle shuffle runs once per action instead of twice
         val postings = sh
           .groupBy(col("sh"))
           .agg(expr("capped_long_set(doc_id, 100)").as("ds"))
           .filter(col("ds").isNotNull)
+          .localCheckpoint()
         val pairs = postings
           .filter(size(col("ds")) >= 2)
           .select(explode(expr(

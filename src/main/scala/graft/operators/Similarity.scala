@@ -347,23 +347,29 @@ object Similarity {
     */
   private def semDropFlags(s: SparkSession, assigned: DataFrame,
       prior: Option[DataFrame], n: DataFrame): DataFrame = {
-    val mates = prior.map(p => assigned.select("vec_id", "cid", "embedding")
+    // r14 OPT (guide §3.3): `assigned` (the crossjoin+window cell
+    // assignment) feeds the pair join twice plus the final left join, and
+    // the norm frame joins both pair sides — without pinning, each branch
+    // re-derives the full assignment. Both are vector-count-sized.
+    val assigned0 = assigned.localCheckpoint()
+    val n0 = n.localCheckpoint()
+    val mates = prior.map(p => assigned0.select("vec_id", "cid", "embedding")
         .unionByName(p))
-      .getOrElse(assigned.select("vec_id", "cid", "embedding"))
-    val bSide = assigned
+      .getOrElse(assigned0.select("vec_id", "cid", "embedding"))
+    val bSide = assigned0
       .select(col("vec_id").as("b_id"), col("cid"), col("embedding").as("ce"))
       .repartition(col("cid")) // cell-keyed: the quadratic stays per-cell
     val aSide = mates
       .select(col("vec_id").as("a_id"), col("cid"), col("embedding").as("qe"))
     val pairs = aSide.join(bSide, Seq("cid")).filter(col("a_id") < col("b_id"))
       .withColumn("dot", dotDec("qe", "ce"))
-      .join(n.toDF("a_id", "n2a"), Seq("a_id"))
-      .join(n.toDF("b_id", "n2b"), Seq("b_id"))
+      .join(n0.toDF("a_id", "n2a"), Seq("a_id"))
+      .join(n0.toDF("b_id", "n2b"), Seq("b_id"))
       .withColumn("cosim", cosim(col("dot"), col("n2a"), col("n2b")))
       .filter(col("cosim") >= 0.95)
     val dropped = pairs.select(col("b_id").as("vec_id")).distinct()
       .withColumn("hit", lit(1L))
-    assigned.join(dropped, Seq("vec_id"), "left")
+    assigned0.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("hit"), lit(0L)).as("dropped"), col("embedding"))
   }
@@ -1204,6 +1210,8 @@ object Similarity {
           .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
           .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
           .repartition(col("vec_id")) // parallelize the single-split scan
+          // r14 OPT (guide §3.3): shared by seeds/distances/Lloyd — one pass
+          .localCheckpoint()
         val seeds = vq.filter(col("vec_id") < 10)
           .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
         def distances(cents: DataFrame): DataFrame =
@@ -1219,7 +1227,9 @@ object Similarity {
         val c1 = vq.join(argmin(distances(seeds)), Seq("vec_id"))
           .groupBy(col("cid"), col("pos"))
           .agg(expr("sum(vq) div count(1)").as("cq"))
-        val d2 = distances(c1)
+          .localCheckpoint()
+        // d2 feeds the member assignment AND the probe ranking — one pass
+        val d2 = distances(c1).localCheckpoint()
         val assign = argmin(d2).select(
           col("vec_id").as("member_id"), col("cid"))
         val wProbe = Window.partitionBy(col("vec_id"))
@@ -1288,6 +1298,9 @@ object Similarity {
           .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
           .withColumn("sub", expr("pos div 8"))
           .repartition(col("vec_id")) // parallelize the single-split scan
+          // r14 OPT (guide §3.3): vq feeds seed selection, both distance
+          // passes and the Lloyd update — checkpoint once (q94's fix)
+          .localCheckpoint()
         val seeds = vq.filter(col("vec_id") < 16)
           .select(col("sub"), col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
         def distances(cents: DataFrame): DataFrame =
@@ -1303,7 +1316,9 @@ object Similarity {
         val c1 = vq.join(argmin(distances(seeds)), Seq("vec_id", "sub"))
           .groupBy(col("sub"), col("cid"), col("pos"))
           .agg(expr("sum(vq) div count(1)").as("cq"))
-        val d2 = distances(c1)
+          .localCheckpoint()
+        // d2 feeds both the code assignment and the ADC tables — one pass
+        val d2 = distances(c1).localCheckpoint()
         // the PQ index: 8 codes per vector
         val codes = argmin(d2)
         // ADC distance tables for the query set = d2 restricted to queries
@@ -1390,7 +1405,10 @@ object Similarity {
       fn = { (s, dir) =>
         val e = emb(s, dir)
         val n = norms(e)
-        val (_, assign) = ivfBuild(e, n)
+        val (_, assign0) = ivfBuild(e, n)
+        // r14 OPT: the assignment feeds both the anchor set and the
+        // candidate pool — pin it so the crossjoin+window runs once
+        val assign = assign0.localCheckpoint()
         val anchors = assign.filter(col("member_id") < 10)
           .select(col("member_id").as("q_id"), col("cent_id"))
         val cand = anchors.join(assign, Seq("cent_id"))
@@ -1822,31 +1840,35 @@ object Similarity {
         import s.implicits._
         // exact3 feeds BOTH `hits` and `universe`, so without pinning, the
         // q16 brute-force pipeline would execute twice per action. An eager
-        // localCheckpoint of its ≤ 50×3-row output runs it once. The five
-        // approximate pipelines each appear once in the plan and stay LAZY
-        // deliberately: as branches of one union they run as a single job
-        // whose independent stages overlap across cores — checkpointing
-        // each would serialize them (measured 10.7 s vs 1.6 s at sf0.1).
-        val exact3 = queries("q16_ann_topk").fn(s, dir)
+        // localCheckpoint of its ≤ 50×3-row output runs it once.
+        //
+        // r14 OPT (guide §2.6 overlap independent jobs): q88/q92/q94 now
+        // stage their trainings through eager internal checkpoints, so
+        // composing the seven pipelines inline would run those jobs
+        // SERIALLY at construction time (measured 2.4 s → 6.0 s when the
+        // checkpoints landed). Constructing each pipeline on its own
+        // driver thread overlaps their independent jobs across the
+        // executor cores again — same frames, same union, same result.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        def built(q: String): scala.concurrent.Future[DataFrame] =
+          scala.concurrent.Future(queries(q).fn(s, dir))
+        val fExact = built("q16_ann_topk")
+        val fApprox = Seq(
+          "q18_ann_ivf" -> "ivf", "q35_ann_lsh" -> "lsh",
+          "q88_ann_ivf_learned" -> "ivf_kmeans", "q92_ann_pq" -> "pq",
+          "q94_ann_ivfadc" -> "ivfadc", "q159_ann_sq8" -> "sq8")
+          .map { case (q, m) => built(q).map(df =>
+            df.select("q_id", "c_id").withColumn("method", lit(m))) }
+        import scala.concurrent.duration._
+        val exact3 = scala.concurrent.Await
+          .result(fExact, 600.seconds)
           .filter(col("rnk") <= 3).select("q_id", "c_id").localCheckpoint()
-        val approx =
-          queries("q18_ann_ivf").fn(s, dir).select("q_id", "c_id")
-            .withColumn("method", lit("ivf"))
-            .unionByName(
-              queries("q35_ann_lsh").fn(s, dir).select("q_id", "c_id")
-                .withColumn("method", lit("lsh")))
-            .unionByName(
-              queries("q88_ann_ivf_learned").fn(s, dir).select("q_id", "c_id")
-                .withColumn("method", lit("ivf_kmeans")))
-            .unionByName(
-              queries("q92_ann_pq").fn(s, dir).select("q_id", "c_id")
-                .withColumn("method", lit("pq")))
-            .unionByName(
-              queries("q94_ann_ivfadc").fn(s, dir).select("q_id", "c_id")
-                .withColumn("method", lit("ivfadc")))
-            .unionByName(
-              queries("q159_ann_sq8").fn(s, dir).select("q_id", "c_id")
-                .withColumn("method", lit("sq8")))
+        val approx = scala.concurrent.Await
+          .result(scala.concurrent.Future.sequence(fApprox), 600.seconds)
+          .reduce(_ unionByName _)
+        pool.shutdown()
         val hits = approx.join(exact3, Seq("q_id", "c_id"))
           .groupBy("method", "q_id").agg(count(lit(1)).as("n_hit"))
         // left join from the full (method × query) grid so a 0-hit query

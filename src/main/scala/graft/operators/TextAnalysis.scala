@@ -194,7 +194,12 @@ object TextAnalysis {
     * report (q121) and the active-learning sample (q122).
     */
   private def trainedFrame(s: SparkSession, dir: String): (DataFrame, Column) = {
-    val raw = perceptronRaw(docs(s, dir))
+    // r14 OPT (guide §3.3): the three unrolled training steps nest
+    // `feats` (and through it `raw`, whose lambda token features are the
+    // expensive part) ~2× per level — the w3 tree re-derived the feature
+    // scan eight times. Pin raw (one feature pass) and feats (doc-count
+    // rows); each Lloyd-style step is then one small aggregation job.
+    val raw = perceptronRaw(docs(s, dir)).localCheckpoint()
     val g = raw.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("schars"),
       sum(col("r2")).as("s2"), sum(col("r3")).as("s3"),
       sum(col("r4")).as("s4"), sum(col("r5")).as("s5"))
@@ -207,6 +212,7 @@ object TextAnalysis {
         (col("n") * col("r3") - col("s3")).as("x3"),
         (col("n") * col("r4") - col("s4")).as("x4"),
         (col("n") * col("r5") - col("s5")).as("x5"))
+      .localCheckpoint()
     val xs = Seq("x2", "x3", "x4", "x5")
     val ws = Seq("w2", "w3", "w4", "w5")
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -1633,20 +1639,25 @@ object TextAnalysis {
               |              element_at(toks, i + 1)))""".stripMargin)).as("f"))
           .withColumn("h",
             conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % b)
-        val raw = fx.groupBy(col("h")).agg(count(lit(1)).as("r"))
-        val tgt = fx.filter(col("lang") === "en")
-          .groupBy(col("h")).agg(count(lit(1)).as("t"))
-        val tot = fx.agg(count(lit(1)).as("rt"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
-        val model = raw.join(tgt, Seq("h"), "left")
-          .na.fill(0L, Seq("t"))
+        // r14 OPT (guide §1.2/§3.3): raw, target and total counts were
+        // three separate corpus passes over the md5-bigram stream, plus a
+        // fourth for the scoring join. One per-bucket aggregate carries
+        // both counts (t sums conditionally — identical values: tgt ⊆ raw
+        // bucket-wise, so the old LEFT JOIN + fill(0) equals the
+        // conditional sum), totals fold from the 4096-row bucket frame,
+        // and the stream itself is pinned so it generates once per action.
+        val fxP = fx.localCheckpoint()
+        val byH = fxP.groupBy(col("h")).agg(count(lit(1)).as("r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+        val tot = byH.agg(sum(col("r")).as("rt"), sum(col("t")).as("tt"))
+        val model = byH
           .crossJoin(broadcast(tot))
           .select(col("h"), floor(lit(1e9) *
             ((col("t") + lit(1)).cast("double") /
               (col("tt") + lit(b)).cast("double")) /
             ((col("r") + lit(1)).cast("double") /
               (col("rt") + lit(b)).cast("double"))).cast("long").as("w_q"))
-        fx.join(broadcast(model), Seq("h"))
+        fxP.join(broadcast(model), Seq("h"))
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("n_feats"), sum(col("w_q")).as("w_sum_q"))
           .withColumn("avg_w_q", expr("w_sum_q div n_feats"))

@@ -46,7 +46,10 @@ object TextIndex {
     * two tables can never disagree.
     */
   def shingleIndex(d: DataFrame): (DataFrame, DataFrame) = {
-    val postings = Dedup.shingles(d)
+    // r14 OPT (guide §3.3): both returned frames are consumed by separate
+    // append commits — pin the postings so the shingle explode runs once
+    // per release instead of once per table
+    val postings = Dedup.shingles(d).localCheckpoint()
     val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     (postings, sizes)
   }
@@ -57,9 +60,11 @@ object TextIndex {
     * postings stay consistent by construction.
     */
   def tokenIndex(d: DataFrame): (DataFrame, DataFrame) = {
+    // same pinning rationale as [[shingleIndex]]
     val toks = d.select(col("doc_id"), explode(Text.toksCol).as("term"))
     val postings = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val doclen = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     (postings, doclen)

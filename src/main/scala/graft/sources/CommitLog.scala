@@ -3241,9 +3241,12 @@ object CommitLog {
     // NET semantics: a rewrite (compact/merge/optimize) re-stages existing
     // rows into new files — identical rows on both sides cancel, multiset
     // style (exceptAll), so pure rewrites diff EMPTY. The cancellation
-    // join is churn-sized, never table-sized.
-    ins.exceptAll(del).withColumn("_change", lit("insert"))
-      .unionAll(del.exceptAll(ins).withColumn("_change", lit("delete")))
+    // join is churn-sized, never table-sized. r14 OPT (guide §3.3): each
+    // side feeds BOTH exceptAll branches — pin them so the added/removed
+    // file reads run once, not twice (both frames are churn-sized).
+    val insP = ins.localCheckpoint(); val delP = del.localCheckpoint()
+    insP.exceptAll(delP).withColumn("_change", lit("insert"))
+      .unionAll(delP.exceptAll(insP).withColumn("_change", lit("delete")))
   }
 
   /** Last committed batchId for a streaming appId, if any — the replay

@@ -38,8 +38,7 @@ object Scratch {
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val t0 = starts.remove(je.jobId)
-          if (t0 != 0L)
-            println(f"    job ${je.jobId}%4d: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          val _ = t0
         }
       })
 
@@ -51,61 +50,48 @@ object Scratch {
     }
 
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // warmup staging + one full q191 at sf0.001 then at dir
-    graft.SparkEntry.queries("q191_pgwire_txn_merge")(spark, "/root/testdata/sf0.001").count()
-    graft.SparkEntry.queries("q191_pgwire_txn_merge")(spark, dir).count()
-    // hand-unrolled q191 with phase timers (mirrors ReferenceCubes)
-    val m = classOf[graft.semantic.ReferenceCubes.type]
+    for (q <- Seq("q47_dedup_components")) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
     for (round <- 1 to 2) {
       println(s"--- round $round ---")
-      import graft.sources.{CatalogOps, CommitLog}
-      // fixture already staged by the warmup call
-      val fx = {
-        val f = graft.semantic.ReferenceCubes.getClass.getDeclaredMethod(
-          "pgDmlFixture", classOf[SparkSession], classOf[String])
-        f.setAccessible(true)
-        f.invoke(graft.semantic.ReferenceCubes, spark, dir)
-          .asInstanceOf[(String, String, String)]
+      t("full q47") { graft.SparkEntry.queries("q47_dedup_components")(spark, dir).count() }
+      val d = graft.Tables.load(spark, dir, "documents")
+      val fp = t("fps checkpoint") { graft.operators.Dedup.fingerprints(d).localCheckpoint() }
+      val bands = graft.operators.Dedup.bandIndex(fp)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val fa = fp.toDF("doc_id", "fp_a")
+      val fb = fp.toDF("doc_id", "fp_b")
+      val pairs = cand
+        .join(fa, cand("doc_a") === fa("doc_id")).drop("doc_id")
+        .join(fb, cand("doc_b") === fb("doc_id")).drop("doc_id")
+        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b")
+      val edges = t("edges checkpoint") {
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint() }
+      var labels = t("labels0") { d.select(col("doc_id").as("id"), col("doc_id").as("label")).localCheckpoint() }
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 25) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("label")).as("nbl"))
+        val next = t(s"round-$iter ckpt") { labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbl"), col("label"))).as("label"),
+            (coalesce(col("nbl"), col("label")) < col("label")).as("chg"))
+          .localCheckpoint() }
+        converged = t(s"round-$iter conv") { next.filter(col("chg")).isEmpty }
+        labels = next
+        iter += 1
       }
-      val port = {
-        val f = graft.semantic.ReferenceCubes.getClass.getDeclaredMethod(
-          "pgDmlPort", classOf[SparkSession])
-        f.setAccessible(true)
-        f.invoke(graft.semantic.ReferenceCubes, spark).asInstanceOf[Int]
-      }
-      val (db, baseRoot, _) = fx
-      val root = t("clone") {
-        val r = Files.createTempDirectory("scratch-q191").toString
-        CommitLog.shallowClone(baseRoot, r); r }
-      val tbl = "ordm_" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
-      t("catalog DDL") { CatalogOps.createCommitLogTable(spark, db, tbl, root) }
-      try {
-        t("block1 MERGE+DELETE+COMMIT") {
-          graft.tools.PgWire.queryOnce("127.0.0.1", port, "cube", "wire-check",
-            s"""USE $db;
-               |BEGIN;
-               |MERGE INTO $tbl t USING msrc src
-               |  ON t.o_orderkey = src.o_orderkey
-               |  WHEN MATCHED THEN UPDATE SET *
-               |  WHEN NOT MATCHED THEN INSERT *;
-               |DELETE FROM $tbl WHERE o_custkey % 11 = 0;
-               |COMMIT""".stripMargin) }
-        t("block2 MERGE+ROLLBACK") {
-          graft.tools.PgWire.queryOnce("127.0.0.1", port, "cube", "wire-check",
-            s"""USE $db;
-               |BEGIN;
-               |MERGE INTO $tbl t USING msrc src
-               |  ON t.o_orderkey = src.o_orderkey
-               |  WHEN MATCHED THEN UPDATE SET *;
-               |ROLLBACK""".stripMargin) }
-        t("final SELECT") {
-          graft.tools.PgWire.queryOnce("127.0.0.1", port, "cube", "wire-check",
-            s"""SELECT o_custkey % 10 AS bucket, count(*) AS n,
-               |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
-               |FROM $db.$tbl
-               |GROUP BY o_custkey % 10
-               |ORDER BY bucket""".stripMargin) }
-      } finally spark.sql(s"DROP TABLE IF EXISTS $db.`$tbl`")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
     sys.exit(0)
