@@ -1210,7 +1210,8 @@ object Similarity {
           .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
           .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
           .repartition(col("vec_id")) // parallelize the single-split scan
-          // r14 OPT (guide §3.3): shared by seeds/distances/Lloyd — one pass
+          // r14 OPT (guide §3.3): shared by seeds/distances/Lloyd — one
+          // pass; downstream shared frames persist LAZILY (q94's hybrid)
           .localCheckpoint()
         val seeds = vq.filter(col("vec_id") < 10)
           .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
@@ -1227,9 +1228,9 @@ object Similarity {
         val c1 = vq.join(argmin(distances(seeds)), Seq("vec_id"))
           .groupBy(col("cid"), col("pos"))
           .agg(expr("sum(vq) div count(1)").as("cq"))
-          .localCheckpoint()
+          .persist()
         // d2 feeds the member assignment AND the probe ranking — one pass
-        val d2 = distances(c1).localCheckpoint()
+        val d2 = distances(c1).persist()
         val assign = argmin(d2).select(
           col("vec_id").as("member_id"), col("cid"))
         val wProbe = Window.partitionBy(col("vec_id"))
@@ -1299,7 +1300,8 @@ object Similarity {
           .withColumn("sub", expr("pos div 8"))
           .repartition(col("vec_id")) // parallelize the single-split scan
           // r14 OPT (guide §3.3): vq feeds seed selection, both distance
-          // passes and the Lloyd update — checkpoint once (q94's fix)
+          // passes and the Lloyd update — checkpoint once; downstream
+          // shared frames persist LAZILY (q94's hybrid — overlap intact)
           .localCheckpoint()
         val seeds = vq.filter(col("vec_id") < 16)
           .select(col("sub"), col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
@@ -1316,9 +1318,9 @@ object Similarity {
         val c1 = vq.join(argmin(distances(seeds)), Seq("vec_id", "sub"))
           .groupBy(col("sub"), col("cid"), col("pos"))
           .agg(expr("sum(vq) div count(1)").as("cq"))
-          .localCheckpoint()
+          .persist()
         // d2 feeds both the code assignment and the ADC tables — one pass
-        val d2 = distances(c1).localCheckpoint()
+        val d2 = distances(c1).persist()
         // the PQ index: 8 codes per vector
         val codes = argmin(d2)
         // ADC distance tables for the query set = d2 restricted to queries
@@ -1740,12 +1742,17 @@ object Similarity {
         // to 857 physical operators with 144 scans of the embeddings
         // parquet and 332 Exchanges — every stage (coarse train, assign,
         // residuals, PQ train, encode, ADC) re-derived `vq`/`cc1`/`rvq`
-        // from the source. Each multiply-used SMALL intermediate is now
-        // localCheckpoint'ed (KB–MB scale: 320k quantized rows, 10×64
-        // centroids, 8×16×8 codebooks), so each trains/encodes exactly
-        // once and the final plan is linear. Values are bit-identical:
-        // every frame is deterministic BIGINT arithmetic; checkpointing
-        // changes evaluation count, not results (oracle q94 re-proven).
+        // from the source. HYBRID pinning, picked by measurement at BOTH
+        // scales: `vq` (the root every branch shares) localCheckpoints —
+        // truncating the plan — while the downstream shared frames
+        // persist() LAZILY, so the query still runs as ONE action whose
+        // independent stages overlap across cores and each shared subtree
+        // computes once via the cache. All-eager checkpoints measured
+        // 3.5 s at sf0.1 but 14.5 s at sf1 (serialized stages, no
+        // overlap); all-lazy (r13) 4.6/8.6; this hybrid 4.9/8.2 — the
+        // scale-sane point. Values are bit-identical: every frame is
+        // deterministic BIGINT arithmetic; pinning changes evaluation
+        // count, not results (oracle q94 re-proven).
         val e = emb(s, dir)
         val vq = e
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -1767,9 +1774,9 @@ object Similarity {
         val cc1 = vq.join(cargmin(cdist(cseeds)), Seq("vec_id"))
           .groupBy(col("cid"), col("pos"))
           .agg(expr("sum(vq) div count(1)").as("cq"))
-          .localCheckpoint()
-        val cd2 = cdist(cc1).localCheckpoint()
-        val cassign = cargmin(cd2).localCheckpoint() // each vector's inverted list
+          .persist()
+        val cd2 = cdist(cc1).persist()
+        val cassign = cargmin(cd2).persist() // each vector's inverted list
         val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
         val probes = cd2.filter(col("vec_id") < 10)
           .withColumn("rn", row_number().over(wProbe))
@@ -1780,7 +1787,7 @@ object Similarity {
           .join(broadcast(cc1), Seq("cid", "pos"))
           .select(col("vec_id"), expr("pos div 8").as("sub"), col("pos"),
             (col("vq") - col("cq")).as("rq"))
-          .localCheckpoint()
+          .persist()
         // residual PQ codebooks: 16 seeds, one exact Lloyd update per sub
         val pseeds = rvq.filter(col("vec_id") < 16)
           .select(col("sub"), col("vec_id").as("pcid"), col("pos"), col("rq").as("pcq"))
@@ -1796,7 +1803,7 @@ object Similarity {
         val pc1 = rvq.join(pargmin(pdist(pseeds)), Seq("vec_id", "sub"))
           .groupBy(col("sub"), col("pcid"), col("pos"))
           .agg(expr("sum(rq) div count(1)").as("pcq"))
-          .localCheckpoint()
+          .persist()
         val codes = pargmin(pdist(pc1)) // the inverted-list PQ index
         // per-probed-cell query residuals → ADC distance tables
         val qrv = vq.filter(col("vec_id") < 10)

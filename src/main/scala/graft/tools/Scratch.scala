@@ -50,48 +50,246 @@ object Scratch {
     }
 
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    for (q <- Seq("q47_dedup_components")) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-    for (round <- 1 to 2) {
+    import org.apache.spark.sql.DataFrame
+    // q94 variant: persist() (lazy) on shared frames instead of eager localCheckpoint
+    def q94persist(e: DataFrame): DataFrame = {
+      val vq = e
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+        .repartition(col("vec_id"))
+        .persist()
+      val cseeds = vq.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
+      def cdist(cents: DataFrame): DataFrame =
+        vq.join(broadcast(cents), Seq("pos"))
+          .withColumn("d2", (col("vq") - col("cq")) * (col("vq") - col("cq")))
+          .groupBy(col("vec_id"), col("cid")).agg(sum(col("d2")).as("dist"))
+      def cargmin(d: DataFrame): DataFrame = d
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val cc1 = vq.join(cargmin(cdist(cseeds)), Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(vq) div count(1)").as("cq"))
+        .persist()
+      val cd2 = cdist(cc1).persist()
+      val cassign = cargmin(cd2).persist()
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      val probes = cd2.filter(col("vec_id") < 10)
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cid"))
+      val rvq = vq.join(cassign, Seq("vec_id"))
+        .join(broadcast(cc1), Seq("cid", "pos"))
+        .select(col("vec_id"), expr("pos div 8").as("sub"), col("pos"),
+          (col("vq") - col("cq")).as("rq"))
+        .persist()
+      val pseeds = rvq.filter(col("vec_id") < 16)
+        .select(col("sub"), col("vec_id").as("pcid"), col("pos"), col("rq").as("pcq"))
+      def pdist(cents: DataFrame): DataFrame =
+        rvq.join(broadcast(cents), Seq("sub", "pos"))
+          .withColumn("d2", (col("rq") - col("pcq")) * (col("rq") - col("pcq")))
+          .groupBy(col("vec_id"), col("sub"), col("pcid"))
+          .agg(sum(col("d2")).as("dist"))
+      def pargmin(d: DataFrame): DataFrame = d
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("pcid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.pcid").as("pcid"))
+      val pc1 = rvq.join(pargmin(pdist(pseeds)), Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("pcid"), col("pos"))
+        .agg(expr("sum(rq) div count(1)").as("pcq"))
+        .persist()
+      val codes = pargmin(pdist(pc1))
+      val qrv = vq.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(probes, Seq("q_id"))
+        .join(broadcast(cc1), Seq("cid", "pos"))
+        .select(col("q_id"), col("cid"), expr("pos div 8").as("sub"), col("pos"),
+          (col("vq") - col("cq")).as("qr"))
+      val dtab = qrv.join(broadcast(pc1), Seq("sub", "pos"))
+        .withColumn("d2", (col("qr") - col("pcq")) * (col("qr") - col("pcq")))
+        .groupBy(col("q_id"), col("cid"), col("sub"), col("pcid"))
+        .agg(sum(col("d2")).as("dist"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("adist_q"), col("c_id"))
+      codes.join(cassign, Seq("vec_id"))
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(dtab), Seq("q_id", "cid", "sub", "pcid"))
+        .groupBy(col("q_id"), col("vec_id"), col("cid"))
+        .agg(sum(col("dist")).as("adist_q"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("cid"), col("adist_q"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }
+    def q94hybrid(e: DataFrame): DataFrame = {
+      val vq = e
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+        .repartition(col("vec_id"))
+        .localCheckpoint()
+      val cseeds = vq.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
+      def cdist(cents: DataFrame): DataFrame =
+        vq.join(broadcast(cents), Seq("pos"))
+          .withColumn("d2", (col("vq") - col("cq")) * (col("vq") - col("cq")))
+          .groupBy(col("vec_id"), col("cid")).agg(sum(col("d2")).as("dist"))
+      def cargmin(d: DataFrame): DataFrame = d
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val cc1 = vq.join(cargmin(cdist(cseeds)), Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(vq) div count(1)").as("cq"))
+        .persist()
+      val cd2 = cdist(cc1).persist()
+      val cassign = cargmin(cd2).persist()
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      val probes = cd2.filter(col("vec_id") < 10)
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cid"))
+      val rvq = vq.join(cassign, Seq("vec_id"))
+        .join(broadcast(cc1), Seq("cid", "pos"))
+        .select(col("vec_id"), expr("pos div 8").as("sub"), col("pos"),
+          (col("vq") - col("cq")).as("rq"))
+        .persist()
+      val pseeds = rvq.filter(col("vec_id") < 16)
+        .select(col("sub"), col("vec_id").as("pcid"), col("pos"), col("rq").as("pcq"))
+      def pdist(cents: DataFrame): DataFrame =
+        rvq.join(broadcast(cents), Seq("sub", "pos"))
+          .withColumn("d2", (col("rq") - col("pcq")) * (col("rq") - col("pcq")))
+          .groupBy(col("vec_id"), col("sub"), col("pcid"))
+          .agg(sum(col("d2")).as("dist"))
+      def pargmin(d: DataFrame): DataFrame = d
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("pcid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.pcid").as("pcid"))
+      val pc1 = rvq.join(pargmin(pdist(pseeds)), Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("pcid"), col("pos"))
+        .agg(expr("sum(rq) div count(1)").as("pcq"))
+        .persist()
+      val codes = pargmin(pdist(pc1))
+      val qrv = vq.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(probes, Seq("q_id"))
+        .join(broadcast(cc1), Seq("cid", "pos"))
+        .select(col("q_id"), col("cid"), expr("pos div 8").as("sub"), col("pos"),
+          (col("vq") - col("cq")).as("qr"))
+      val dtab = qrv.join(broadcast(pc1), Seq("sub", "pos"))
+        .withColumn("d2", (col("qr") - col("pcq")) * (col("qr") - col("pcq")))
+        .groupBy(col("q_id"), col("cid"), col("sub"), col("pcid"))
+        .agg(sum(col("d2")).as("dist"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("adist_q"), col("c_id"))
+      codes.join(cassign, Seq("vec_id"))
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(dtab), Seq("q_id", "cid", "sub", "pcid"))
+        .groupBy(col("q_id"), col("vec_id"), col("cid"))
+        .agg(sum(col("dist")).as("adist_q"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("cid"), col("adist_q"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }
+    def q94lazy(e: DataFrame): DataFrame = {
+      val vq = e
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+        .repartition(col("vec_id"))
+        
+      val cseeds = vq.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
+      def cdist(cents: DataFrame): DataFrame =
+        vq.join(broadcast(cents), Seq("pos"))
+          .withColumn("d2", (col("vq") - col("cq")) * (col("vq") - col("cq")))
+          .groupBy(col("vec_id"), col("cid")).agg(sum(col("d2")).as("dist"))
+      def cargmin(d: DataFrame): DataFrame = d
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val cc1 = vq.join(cargmin(cdist(cseeds)), Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(vq) div count(1)").as("cq"))
+        
+      val cd2 = cdist(cc1)
+      val cassign = cargmin(cd2)
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      val probes = cd2.filter(col("vec_id") < 10)
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cid"))
+      val rvq = vq.join(cassign, Seq("vec_id"))
+        .join(broadcast(cc1), Seq("cid", "pos"))
+        .select(col("vec_id"), expr("pos div 8").as("sub"), col("pos"),
+          (col("vq") - col("cq")).as("rq"))
+        
+      val pseeds = rvq.filter(col("vec_id") < 16)
+        .select(col("sub"), col("vec_id").as("pcid"), col("pos"), col("rq").as("pcq"))
+      def pdist(cents: DataFrame): DataFrame =
+        rvq.join(broadcast(cents), Seq("sub", "pos"))
+          .withColumn("d2", (col("rq") - col("pcq")) * (col("rq") - col("pcq")))
+          .groupBy(col("vec_id"), col("sub"), col("pcid"))
+          .agg(sum(col("d2")).as("dist"))
+      def pargmin(d: DataFrame): DataFrame = d
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("pcid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.pcid").as("pcid"))
+      val pc1 = rvq.join(pargmin(pdist(pseeds)), Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("pcid"), col("pos"))
+        .agg(expr("sum(rq) div count(1)").as("pcq"))
+        
+      val codes = pargmin(pdist(pc1))
+      val qrv = vq.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(probes, Seq("q_id"))
+        .join(broadcast(cc1), Seq("cid", "pos"))
+        .select(col("q_id"), col("cid"), expr("pos div 8").as("sub"), col("pos"),
+          (col("vq") - col("cq")).as("qr"))
+      val dtab = qrv.join(broadcast(pc1), Seq("sub", "pos"))
+        .withColumn("d2", (col("qr") - col("pcq")) * (col("qr") - col("pcq")))
+        .groupBy(col("q_id"), col("cid"), col("sub"), col("pcid"))
+        .agg(sum(col("d2")).as("dist"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("adist_q"), col("c_id"))
+      codes.join(cassign, Seq("vec_id"))
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(dtab), Seq("q_id", "cid", "sub", "pcid"))
+        .groupBy(col("q_id"), col("vec_id"), col("cid"))
+        .agg(sum(col("dist")).as("adist_q"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("cid"), col("adist_q"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }
+    // warmup both
+    q94persist(graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")).count()
+    spark.catalog.clearCache()
+    q94lazy(graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")).count()
+    q94hybrid(graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")).count()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    graft.SparkEntry.queries("q94_ann_ivfadc")(spark, "/root/testdata/sf0.001").count()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    for (round <- 1 to 3) {
       println(s"--- round $round ---")
-      t("full q47") { graft.SparkEntry.queries("q47_dedup_components")(spark, dir).count() }
-      val d = graft.Tables.load(spark, dir, "documents")
-      val fp = t("fps checkpoint") { graft.operators.Dedup.fingerprints(d).localCheckpoint() }
-      val bands = graft.operators.Dedup.bandIndex(fp)
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val fa = fp.toDF("doc_id", "fp_a")
-      val fb = fp.toDF("doc_id", "fp_b")
-      val pairs = cand
-        .join(fa, cand("doc_a") === fa("doc_id")).drop("doc_id")
-        .join(fb, cand("doc_b") === fb("doc_id")).drop("doc_id")
-        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b")
-      val edges = t("edges checkpoint") {
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint() }
-      var labels = t("labels0") { d.select(col("doc_id").as("id"), col("doc_id").as("label")).localCheckpoint() }
-      var iter = 0
-      var converged = false
-      while (!converged && iter < 25) {
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("label")).as("nbl"))
-        val next = t(s"round-$iter ckpt") { labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbl"), col("label"))).as("label"),
-            (coalesce(col("nbl"), col("label")) < col("label")).as("chg"))
-          .localCheckpoint() }
-        converged = t(s"round-$iter conv") { next.filter(col("chg")).isEmpty }
-        labels = next
-        iter += 1
-      }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      t("q94 persist-variant") { q94persist(e).count(); spark.catalog.clearCache() }
+      t("q94 lazy-variant") { q94lazy(e).count() }
+      t("q94 hybrid-variant") { q94hybrid(e).count(); spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false)) }
+      t("q94 checkpoint-variant") {
+        graft.SparkEntry.queries("q94_ann_ivfadc")(spark, dir).count()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false)) }
     }
     spark.stop()
     sys.exit(0)
