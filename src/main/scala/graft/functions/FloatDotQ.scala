@@ -151,6 +151,24 @@ object GraftFunctions {
         FloatDotQ(args.head, args(1))
       },
       "built-in")
+    reg.createOrReplaceTempFunction("quantize_vec",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "quantize_vec takes exactly 1 argument")
+        QuantizeVec(args.head)
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction("sqdist_q",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sqdist_q takes exactly 2 arguments")
+        SqDistQ(args.head, args(1))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction("vec_sum_q",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_sum_q takes exactly 1 argument")
+        VecSumL(args.head).toAggregateExpression()
+      },
+      "built-in")
     reg.createOrReplaceTempFunction("simhash60",
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60 takes exactly 1 argument")

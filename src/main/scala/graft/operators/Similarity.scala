@@ -1205,29 +1205,36 @@ object Similarity {
       fn = { (s, dir) =>
         val e = emb(s, dir)
         val n = norms(e)
+        // r15 OPT (guide §2.3/§1.2): ARRAY formulation — the historical
+        // (vec_id, pos, vq) explode carried 64× the rows through every
+        // distance pass (join-on-pos + groupBy-sum per pass). Vectors stay
+        // array<long> (quantize_vec, bit-identical to the exploded
+        // per-element expression); each distance is ONE codegen'd sqdist_q
+        // loop (order-independent BIGINT sum ⇒ identical values); the
+        // Lloyd update is ONE vec_sum_q elementwise aggregate instead of a
+        // 64-row-per-member groupBy. Oracle q88 re-proven bit-exact.
         val vq = e
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
-          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+          .select(col("vec_id"), expr("quantize_vec(embedding)").as("v"))
           .repartition(col("vec_id")) // parallelize the single-split scan
-          // r14 OPT (guide §3.3): shared by seeds/distances/Lloyd — one
-          // pass; downstream shared frames persist LAZILY (q94's hybrid)
-          .localCheckpoint()
+          // shared by seeds/distances/Lloyd — pin once (lazy persist)
+          .persist()
         val seeds = vq.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
         def distances(cents: DataFrame): DataFrame =
-          vq.join(broadcast(cents), Seq("pos"))
-            .withColumn("d2", (col("vq") - col("cq")) * (col("vq") - col("cq")))
-            .groupBy(col("vec_id"), col("cid"))
-            .agg(sum(col("d2")).as("dist"))
+          vq.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("cid"),
+              expr("sqdist_q(v, cv)").as("dist"))
         def argmin(d: DataFrame): DataFrame = d
           .groupBy(col("vec_id"))
           .agg(min(struct(col("dist"), col("cid"))).as("m"))
           .select(col("vec_id"), col("m.cid").as("cid"))
-        // one exact Lloyd update (q79's quantizer-builder discipline)
+        // one exact Lloyd update (q79's quantizer-builder discipline):
+        // per-dim sums div member count ≡ the per-(cid,pos) sum div count
         val c1 = vq.join(argmin(distances(seeds)), Seq("vec_id"))
-          .groupBy(col("cid"), col("pos"))
-          .agg(expr("sum(vq) div count(1)").as("cq"))
+          .groupBy(col("cid"))
+          .agg(expr("vec_sum_q(v)").as("sv"), count(lit(1)).as("cnt"))
+          .select(col("cid"),
+            expr("transform(sv, x -> x div cnt)").as("cv"))
           .persist()
         // d2 feeds the member assignment AND the probe ranking — one pass
         val d2 = distances(c1).persist()
@@ -1293,31 +1300,37 @@ object Similarity {
     "q92_ann_pq" -> QueryDef(
       fn = { (s, dir) =>
         val e = emb(s, dir)
+        // r15 OPT (guide §2.3/§1.2): ARRAY formulation — see q88. Each
+        // vector becomes 8 (vec_id, sub, 8-dim array) rows instead of 64
+        // position rows; per-(vector, sub, centroid) distance is one
+        // codegen'd sqdist_q instead of a join-on-pos + groupBy-sum.
+        val subSlices = (0 until 8).map(sb => struct(
+          lit(sb.toLong).as("sub"),
+          expr(s"slice(v, ${sb * 8 + 1}, 8)").as("sv")))
         val vq = e
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
-          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
-          .withColumn("sub", expr("pos div 8"))
+          .select(col("vec_id"), expr("quantize_vec(embedding)").as("v"))
+          .select(col("vec_id"), explode(array(subSlices: _*)).as("t"))
+          .select(col("vec_id"), col("t.sub").as("sub"), col("t.sv").as("sv"))
           .repartition(col("vec_id")) // parallelize the single-split scan
-          // r14 OPT (guide §3.3): vq feeds seed selection, both distance
-          // passes and the Lloyd update — checkpoint once; downstream
-          // shared frames persist LAZILY (q94's hybrid — overlap intact)
-          .localCheckpoint()
+          // vq feeds seed selection, both distance passes and the Lloyd
+          // update — pin once (lazy persist: bounded plan, lineage kept)
+          .persist()
         val seeds = vq.filter(col("vec_id") < 16)
-          .select(col("sub"), col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
+          .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
         def distances(cents: DataFrame): DataFrame =
-          vq.join(broadcast(cents), Seq("sub", "pos"))
-            .withColumn("d2", (col("vq") - col("cq")) * (col("vq") - col("cq")))
-            .groupBy(col("vec_id"), col("sub"), col("cid"))
-            .agg(sum(col("d2")).as("dist"))
+          vq.join(broadcast(cents), Seq("sub"))
+            .select(col("vec_id"), col("sub"), col("cid"),
+              expr("sqdist_q(sv, cv)").as("dist"))
         def argmin(d: DataFrame): DataFrame = d
           .groupBy(col("vec_id"), col("sub"))
           .agg(min(struct(col("dist"), col("cid"))).as("m"))
           .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
         // one exact Lloyd update per subspace → the 8×16 codebook
         val c1 = vq.join(argmin(distances(seeds)), Seq("vec_id", "sub"))
-          .groupBy(col("sub"), col("cid"), col("pos"))
-          .agg(expr("sum(vq) div count(1)").as("cq"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(expr("vec_sum_q(sv)").as("ssum"), count(lit(1)).as("cnt"))
+          .select(col("sub"), col("cid"),
+            expr("transform(ssum, x -> x div cnt)").as("cv"))
           .persist()
         // d2 feeds both the code assignment and the ADC tables — one pass
         val d2 = distances(c1).persist()
@@ -1738,42 +1751,41 @@ object Similarity {
     // with cell tightness — which is why it's the production index.
     "q94_ann_ivfadc" -> QueryDef(
       fn = { (s, dir) =>
-        // r14 OPT (guide §3.3/§7.2): the lazily-composed pipeline planned
-        // to 857 physical operators with 144 scans of the embeddings
-        // parquet and 332 Exchanges — every stage (coarse train, assign,
-        // residuals, PQ train, encode, ADC) re-derived `vq`/`cc1`/`rvq`
-        // from the source. HYBRID pinning, picked by measurement at BOTH
-        // scales: `vq` (the root every branch shares) localCheckpoints —
-        // truncating the plan — while the downstream shared frames
-        // persist() LAZILY, so the query still runs as ONE action whose
-        // independent stages overlap across cores and each shared subtree
-        // computes once via the cache. All-eager checkpoints measured
-        // 3.5 s at sf0.1 but 14.5 s at sf1 (serialized stages, no
-        // overlap); all-lazy (r13) 4.6/8.6; this hybrid 4.9/8.2 — the
-        // scale-sane point. Values are bit-identical: every frame is
+        // r14 OPT (guide §3.3/§7.2): pin every multiply-consumed frame —
+        // the lazily-composed pipeline planned to 857 physical operators
+        // with 144 scans of the embeddings parquet. All pins are LAZY
+        // persist()s (r15: vq's eager localCheckpoint dropped with the
+        // array rewrite — the plan is bounded without truncation, lineage
+        // survives executor loss, and the sf1 A/B measured 6.6 s persist
+        // vs 8.2 s checkpoint). Values are bit-identical: every frame is
         // deterministic BIGINT arithmetic; pinning changes evaluation
         // count, not results (oracle q94 re-proven).
         val e = emb(s, dir)
+        // r15 OPT (guide §2.3/§1.2): ARRAY formulation — see q88/q92. The
+        // corpus stays (vec_id, array<long>) end to end: coarse distances
+        // are full-vector sqdist_q; residuals are one zip_with per vector;
+        // the PQ stages work on 8 (vec_id, sub, 8-dim array) rows per
+        // vector. Every distance/Lloyd value is the same order-independent
+        // BIGINT sum the exploded form computed — oracle q94 re-proven.
         val vq = e
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
-          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+          .select(col("vec_id"), expr("quantize_vec(embedding)").as("v"))
           .repartition(col("vec_id")) // parallelize the single-split scan
-          .localCheckpoint()
+          .persist()
         // coarse quantizer: 10 seeds, one exact Lloyd update (q88's cells)
         val cseeds = vq.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("cid"), col("pos"), col("vq").as("cq"))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
         def cdist(cents: DataFrame): DataFrame =
-          vq.join(broadcast(cents), Seq("pos"))
-            .withColumn("d2", (col("vq") - col("cq")) * (col("vq") - col("cq")))
-            .groupBy(col("vec_id"), col("cid")).agg(sum(col("d2")).as("dist"))
+          vq.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("cid"),
+              expr("sqdist_q(v, cv)").as("dist"))
         def cargmin(d: DataFrame): DataFrame = d
           .groupBy(col("vec_id"))
           .agg(min(struct(col("dist"), col("cid"))).as("m"))
           .select(col("vec_id"), col("m.cid").as("cid"))
         val cc1 = vq.join(cargmin(cdist(cseeds)), Seq("vec_id"))
-          .groupBy(col("cid"), col("pos"))
-          .agg(expr("sum(vq) div count(1)").as("cq"))
+          .groupBy(col("cid"))
+          .agg(expr("vec_sum_q(v)").as("sv"), count(lit(1)).as("cnt"))
+          .select(col("cid"), expr("transform(sv, x -> x div cnt)").as("cv"))
           .persist()
         val cd2 = cdist(cc1).persist()
         val cassign = cargmin(cd2).persist() // each vector's inverted list
@@ -1782,40 +1794,53 @@ object Similarity {
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= 2)
           .select(col("vec_id").as("q_id"), col("cid"))
-        // residuals w.r.t. each vector's own cell centroid
+        // residuals w.r.t. each vector's own cell centroid, split into the
+        // 8 PQ subspaces (8 dims each)
+        val subSlices = (0 until 8).map(sb => struct(
+          lit(sb.toLong).as("sub"),
+          expr(s"slice(r, ${sb * 8 + 1}, 8)").as("rv")))
         val rvq = vq.join(cassign, Seq("vec_id"))
-          .join(broadcast(cc1), Seq("cid", "pos"))
-          .select(col("vec_id"), expr("pos div 8").as("sub"), col("pos"),
-            (col("vq") - col("cq")).as("rq"))
+          .join(broadcast(cc1), Seq("cid"))
+          .select(col("vec_id"),
+            expr("zip_with(v, cv, (a, b) -> a - b)").as("r"))
+          .select(col("vec_id"), explode(array(subSlices: _*)).as("t"))
+          .select(col("vec_id"), col("t.sub").as("sub"), col("t.rv").as("rv"))
           .persist()
         // residual PQ codebooks: 16 seeds, one exact Lloyd update per sub
         val pseeds = rvq.filter(col("vec_id") < 16)
-          .select(col("sub"), col("vec_id").as("pcid"), col("pos"), col("rq").as("pcq"))
+          .select(col("sub"), col("vec_id").as("pcid"), col("rv").as("pcv"))
         def pdist(cents: DataFrame): DataFrame =
-          rvq.join(broadcast(cents), Seq("sub", "pos"))
-            .withColumn("d2", (col("rq") - col("pcq")) * (col("rq") - col("pcq")))
-            .groupBy(col("vec_id"), col("sub"), col("pcid"))
-            .agg(sum(col("d2")).as("dist"))
+          rvq.join(broadcast(cents), Seq("sub"))
+            .select(col("vec_id"), col("sub"), col("pcid"),
+              expr("sqdist_q(rv, pcv)").as("dist"))
         def pargmin(d: DataFrame): DataFrame = d
           .groupBy(col("vec_id"), col("sub"))
           .agg(min(struct(col("dist"), col("pcid"))).as("m"))
           .select(col("vec_id"), col("sub"), col("m.pcid").as("pcid"))
         val pc1 = rvq.join(pargmin(pdist(pseeds)), Seq("vec_id", "sub"))
-          .groupBy(col("sub"), col("pcid"), col("pos"))
-          .agg(expr("sum(rq) div count(1)").as("pcq"))
+          .groupBy(col("sub"), col("pcid"))
+          .agg(expr("vec_sum_q(rv)").as("rsum"), count(lit(1)).as("cnt"))
+          .select(col("sub"), col("pcid"),
+            expr("transform(rsum, x -> x div cnt)").as("pcv"))
           .persist()
         val codes = pargmin(pdist(pc1)) // the inverted-list PQ index
-        // per-probed-cell query residuals → ADC distance tables
+        // per-probed-cell query residuals → ADC distance tables (the
+        // query's residual against each probed cell, per subspace)
+        val qrSlices = (0 until 8).map(sb => struct(
+          lit(sb.toLong).as("sub"),
+          expr(s"slice(qr, ${sb * 8 + 1}, 8)").as("qrv")))
         val qrv = vq.filter(col("vec_id") < 10)
           .withColumnRenamed("vec_id", "q_id")
           .join(probes, Seq("q_id"))
-          .join(broadcast(cc1), Seq("cid", "pos"))
-          .select(col("q_id"), col("cid"), expr("pos div 8").as("sub"), col("pos"),
-            (col("vq") - col("cq")).as("qr"))
-        val dtab = qrv.join(broadcast(pc1), Seq("sub", "pos"))
-          .withColumn("d2", (col("qr") - col("pcq")) * (col("qr") - col("pcq")))
-          .groupBy(col("q_id"), col("cid"), col("sub"), col("pcid"))
-          .agg(sum(col("d2")).as("dist"))
+          .join(broadcast(cc1), Seq("cid"))
+          .select(col("q_id"), col("cid"),
+            expr("zip_with(v, cv, (a, b) -> a - b)").as("qr"))
+          .select(col("q_id"), col("cid"), explode(array(qrSlices: _*)).as("t"))
+          .select(col("q_id"), col("cid"), col("t.sub").as("sub"),
+            col("t.qrv").as("qrv"))
+        val dtab = qrv.join(broadcast(pc1), Seq("sub"))
+          .select(col("q_id"), col("cid"), col("sub"), col("pcid"),
+            expr("sqdist_q(qrv, pcv)").as("dist"))
         // ADC over probed-cell members only
         val wTop = Window.partitionBy(col("q_id")).orderBy(col("adist_q"), col("c_id"))
         codes.join(cassign, Seq("vec_id"))
@@ -1857,25 +1882,29 @@ object Similarity {
         // driver thread overlaps their independent jobs across the
         // executor cores again — same frames, same union, same result.
         val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        def built(q: String): scala.concurrent.Future[DataFrame] =
-          scala.concurrent.Future(queries(q).fn(s, dir))
-        val fExact = built("q16_ann_topk")
-        val fApprox = Seq(
-          "q18_ann_ivf" -> "ivf", "q35_ann_lsh" -> "lsh",
-          "q88_ann_ivf_learned" -> "ivf_kmeans", "q92_ann_pq" -> "pq",
-          "q94_ann_ivfadc" -> "ivfadc", "q159_ann_sq8" -> "sq8")
-          .map { case (q, m) => built(q).map(df =>
-            df.select("q_id", "c_id").withColumn("method", lit(m))) }
-        import scala.concurrent.duration._
-        val exact3 = scala.concurrent.Await
-          .result(fExact, 600.seconds)
-          .filter(col("rnk") <= 3).select("q_id", "c_id").localCheckpoint()
-        val approx = scala.concurrent.Await
-          .result(scala.concurrent.Future.sequence(fApprox), 600.seconds)
-          .reduce(_ unionByName _)
-        pool.shutdown()
+        // shutdown in finally: a timed-out Await would otherwise leak 7
+        // non-daemon threads per invocation
+        val (exact3, approx) = try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          def built(q: String): scala.concurrent.Future[DataFrame] =
+            scala.concurrent.Future(queries(q).fn(s, dir))
+          val fExact = built("q16_ann_topk")
+          val fApprox = Seq(
+            "q18_ann_ivf" -> "ivf", "q35_ann_lsh" -> "lsh",
+            "q88_ann_ivf_learned" -> "ivf_kmeans", "q92_ann_pq" -> "pq",
+            "q94_ann_ivfadc" -> "ivfadc", "q159_ann_sq8" -> "sq8")
+            .map { case (q, m) => built(q).map(df =>
+              df.select("q_id", "c_id").withColumn("method", lit(m))) }
+          import scala.concurrent.duration._
+          val e3 = scala.concurrent.Await
+            .result(fExact, 600.seconds)
+            .filter(col("rnk") <= 3).select("q_id", "c_id").localCheckpoint()
+          val ap = scala.concurrent.Await
+            .result(scala.concurrent.Future.sequence(fApprox), 600.seconds)
+            .reduce(_ unionByName _)
+          (e3, ap)
+        } finally pool.shutdown()
         val hits = approx.join(exact3, Seq("q_id", "c_id"))
           .groupBy("method", "q_id").agg(count(lit(1)).as("n_hit"))
         // left join from the full (method × query) grid so a 0-hit query

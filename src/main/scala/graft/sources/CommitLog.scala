@@ -3613,8 +3613,11 @@ object CommitLog {
       mark: DataFrame => DataFrame): Seq[String] = {
     val withFile = readTaggedLive(spark, root, m, m.files)
     val abs = mark(withFile).select(TagFile).distinct()
-      .collect().map(_.getString(0))
-    m.files.filter(f => abs.exists(_.endsWith(f)))
+      .collect().map(_.getString(0)).toSet
+    // exact-path equality (TagFile is the canonical absolute path, byte-
+    // equal to absPath) — endsWith could mis-map a relative path that is
+    // a suffix of a different file's absolute path
+    m.files.filter(f => abs.contains(absPath(root, f)))
   }
 
   /** Delta-style MERGE, file-granular copy-on-write:
@@ -4117,8 +4120,11 @@ object CommitLog {
     val matched = readTaggedLive(spark, root, m, m.files)
       .filter(coalesce(cond, lit(false))).persist()
     val touchedAbs = matched.select(TagFile).distinct()
-      .collect().map(_.getString(0))
-    val touched = m.files.filter(f => touchedAbs.exists(_.endsWith(f)))
+      .collect().map(_.getString(0)).toSet
+    // exact-path equality, not endsWith: a manifest-relative path that is
+    // a suffix of a DIFFERENT file's absolute path (a/b.parquet vs
+    // x/a/b.parquet, both in the manifest) would otherwise mis-map
+    val touched = m.files.filter(f => touchedAbs.contains(absPath(root, f)))
     if (touched.isEmpty) { matched.unpersist(); return base } // no-op
     val absToRel = touched.map(f => (absPath(root, f), f))
     try {
