@@ -311,17 +311,33 @@ final class PgTxn(session: SparkSession) {
     }
   }
 
+  // Pinned-base frame cache, one entry per root per block (r15 OPT,
+  // guide §2.4 "remove shuffles/passes outright"): the base is IMMUTABLE
+  // for the block's whole life (that is what the pin means), yet every
+  // stagedState call — MERGE resolution, tag counts, shadow refresh after
+  // each stageOp — used to rebuild it from the manifest and re-scan its
+  // parquet. One lazy persist serves every statement of the block;
+  // cleanup() releases it. Values are unchanged (same snapshot read).
+  private var baseCache: Map[String, DataFrame] = Map.empty
+
+  private def pinnedBase(root: String): DataFrame =
+    baseCache.getOrElse(root, {
+      val df = (emptySchemas.get(root) match {
+        case Some(schema) => session.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        case None => CommitLog.read(session, root, pins.get(root))
+      }).persist()
+      baseCache += root -> df
+      df
+    })
+
   /** The block's current view of one table: the pinned snapshot (an
     * empty frame for a table with no commits at pin time) with the
     * block's ordered ops folded over it — [[CommitLog.applyTxnOps]], the
     * same fold COMMIT materializes.
     */
   private def stagedState(root: String): DataFrame = {
-    val base = emptySchemas.get(root) match {
-      case Some(schema) => session.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      case None => CommitLog.read(session, root, pins.get(root))
-    }
+    val base = pinnedBase(root)
     CommitLog.applyTxnOps(base, StructType(base.schema.fields),
       staged.getOrElse(root, mutable.Buffer.empty).toSeq)
   }
@@ -334,6 +350,9 @@ final class PgTxn(session: SparkSession) {
     shadows.keys.foreach { n =>
       try session.catalog.dropTempView(n) catch { case NonFatal(_) => }
     }
+    baseCache.values.foreach(df =>
+      try df.unpersist(blocking = false) catch { case NonFatal(_) => })
+    baseCache = Map.empty
     shadows = Map.empty; pins = Map.empty; pinned = false
     emptySchemas = Map.empty; savepoints = Nil
     staged.clear(); open = false; failedFlag = false

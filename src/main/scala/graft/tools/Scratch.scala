@@ -87,6 +87,42 @@ object Scratch {
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(args.head)))
       args.drop(1) else args).toSeq
     require(names.nonEmpty, "usage: Scratch [sfDir] <query...>")
+    if (names == Seq("microtag")) {
+      // per-row cost of the tagged-read machinery over a 150k-row parquet
+      import org.apache.spark.sql.functions._
+      val src = s"$dir/orders.parquet"
+      def canon = url_decode(regexp_replace(
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"), "\\+", "%2B"))
+      def run(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        // noop sink: count() would prune the tag columns away (§1.4)
+        def once(): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        once() // warm
+        val t0 = System.nanoTime()
+        (1 to 5).foreach(_ => once())
+        println(f"MICRO $label: ${(System.nanoTime() - t0) / 5e9}%.3f s/run")
+      }
+      run("plain scan")(spark.read.parquet(src))
+      run("with row_index")(spark.read.parquet(src)
+        .withColumn("p", col("_metadata.row_index")))
+      run("with file_path raw")(spark.read.parquet(src)
+        .withColumn("f", col("_metadata.file_path"))
+        .withColumn("p", col("_metadata.row_index")))
+      run("with canonical decode")(spark.read.parquet(src)
+        .withColumn("f", canon)
+        .withColumn("p", col("_metadata.row_index")))
+      run("canonical + filter")(spark.read.parquet(src)
+        .withColumn("f", canon)
+        .withColumn("p", col("_metadata.row_index"))
+        .filter(col("o_totalprice") > 100000.0))
+      run("native canonical")(spark.read.parquet(src)
+        .withColumn("f", org.apache.spark.sql.GraftBridge.column(
+          graft.functions.CanonicalPath(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              Seq("_metadata", "file_path")))))
+        .withColumn("p", col("_metadata.row_index")))
+      spark.stop(); sys.exit(0)
+    }
     for (q <- names) {
       val fn = graft.SparkEntry.queries(q)
       fn(spark, "/root/testdata/sf0.001").count() // warmup
