@@ -230,9 +230,18 @@ object Dedup {
   def bloomScreen(s: SparkSession, d: DataFrame, evalSh: DataFrame,
       bloom: Array[Byte]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // r15 OPT (guide §3.2's broadcast pattern): the sketch ships as a
+    // BROADCAST instead of a plan literal — a 128 KiB literal was
+    // rendered into every plan string (explain, SQL-event descriptions)
+    // and serialized into every stage's task binary. Same engine sketch
+    // class, same mightContainLong probe — identical survivors, and the
+    // exact semi-join still removes false positives either way.
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom))
+    val bc = s.sparkContext.broadcast(bf)
+    val probe = udf((h: Long) => bc.value.mightContainLong(h))
     shingles(d)
-      .filter(call_function("bloom_might_contain", lit(bloom),
-        expr("xxhash64(sh)")))
+      .filter(probe(expr("xxhash64(sh)")))
       .join(evalSh, Seq("sh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

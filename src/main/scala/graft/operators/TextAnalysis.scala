@@ -718,22 +718,20 @@ object TextAnalysis {
     // zero shuffle before the final rollup, same 100 TB shape as q19.
     "q34_langid_ngram" -> QueryDef(
       fn = { (s, dir) =>
-        // guard: Spark's sequence(1, n) DESCENDS for n < 1, so short texts
-        // need the explicit empty-array branch. `lt` is hoisted into its own
-        // projection — referencing lower(trim(text)) inside the transform
-        // lambda re-evaluates it PER GRAM (O(len²) per doc; 2.9s → sub-1s
-        // at sf0.1).
-        val grams: Column = array_distinct(expr(
-          "CASE WHEN length(lt) >= 3 THEN " +
-            "transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3)) " +
-            "ELSE array() END"))
+        // r15 OPT (guide §4.1 prefer built-ins over interpreted lambdas):
+        // |distinct-trigrams(doc) ∩ profile| ≡ the number of PROFILE grams
+        // occurring anywhere in the text — every occurrence of a 3-char
+        // string IS a trigram window — so the per-doc gram-array
+        // materialization (one interpreted substring lambda per character,
+        // then array_distinct + one interpreted filter per language)
+        // collapses to 6 codegen'd `contains` probes per language.
+        // Identical values (oracle q34 re-proven), zero interpreted nodes.
         val scored = docs(s, dir)
           .withColumn("lt", lower(trim(col("text"))))
-          .withColumn("gs", grams)
         val withScores = trigramProfiles.foldLeft(scored) { case (d, (lang, gs)) =>
-          val set = gs.map(g => s"'$g'").mkString(", ")
           d.withColumn(s"sc_$lang",
-            expr(s"size(filter(gs, g -> g IN ($set)))").cast("long"))
+            gs.map(g => when(col("lt").contains(g), 1L).otherwise(0L))
+              .reduce(_ + _))
         }
         val langs = trigramProfiles.map(_._1)
         val best = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), els) =>

@@ -123,6 +123,61 @@ object Scratch {
         .withColumn("p", col("_metadata.row_index")))
       spark.stop(); sys.exit(0)
     }
+    if (names == Seq("microappend")) {
+      // per-commit cost split: full append vs sums-off append
+      import graft.sources.CommitLog
+      val ev = graft.Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      def t[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      for (round <- 1 to 3) {
+        println(s"--- round $round ---")
+        val r1 = Files.createTempDirectory("scr-append-on").toString
+        t("append sums-on")(CommitLog.append(ev, r1))
+        spark.conf.set("spark.graft.sums.columns", "")
+        val r2 = Files.createTempDirectory("scr-append-off").toString
+        t("append sums-off")(CommitLog.append(ev, r2))
+        spark.conf.unset("spark.graft.sums.columns")
+      }
+      spark.stop(); sys.exit(0)
+    }
+    if (names == Seq("microxlsx")) {
+      // where does the xlsx ingest second go? synthesize the bench fixture
+      // and time each phase
+      import graft.sources.{IngestPipeline, Xlsx, SchemaInference, CatalogOps}
+      val work = Files.createTempDirectory("scratch-xlsx")
+      val partRows = graft.Tables.load(spark, dir, "part")
+        .selectExpr("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .limit(10000).collect()
+        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+      val f = s"$work/parts_bench.xlsx"
+      Xlsx.write(f, Seq(Xlsx.Sheet("parts",
+        Seq("p_partkey", "p_name", "p_brand", "p_retailprice"),
+        partRows.toIndexedSeq)))
+      def t[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      for (round <- 1 to 3) {
+        println(s"--- round $round ---")
+        val land = Files.createDirectories(
+          java.nio.file.Paths.get(s"$work/land$round/sales")).getParent.toString
+        java.nio.file.Files.copy(java.nio.file.Paths.get(f),
+          java.nio.file.Paths.get(s"$land/sales/parts_bench.xlsx"))
+        val conf = Files.createDirectories(
+          java.nio.file.Paths.get(s"$work/conf$round")).toString
+        val rows = t("ingest-e2e")(IngestPipeline
+          .ingest(spark, land, conf, consume = "keep").map(_.rows).sum)
+        println(s"rows=$rows")
+      }
+      spark.stop(); sys.exit(0)
+    }
     for (q <- names) {
       val fn = graft.SparkEntry.queries(q)
       fn(spark, "/root/testdata/sf0.001").count() // warmup
