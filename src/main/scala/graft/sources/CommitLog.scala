@@ -1093,6 +1093,30 @@ object CommitLog {
       FileStat(f.rel, f.rows, f.bytes, f.mins, f.maxs, f.nulls))
     if (under.isEmpty && summed.isEmpty && bloomSpec.isEmpty && ndvSpec.isEmpty)
       return base
+    // r15 OPT (guide §1.2 — the residual pass measured as ~0.4 s of every
+    // ~0.7 s append, ALL of it fixed job overhead at small commit sizes):
+    // when the ONLY residual work is the exact integral sums, read them
+    // DRIVER-SIDE with the parquet column reader instead of a Spark job —
+    // the same ≤threshold discipline as [[readFooterStats]], gated on
+    // STAGED BYTES so a 100 TB load still scales out. Values identical:
+    // an order-independent exact integer sum either way (spec'd in
+    // CommitLogFooterStatsSpec; the distributed pass remains the
+    // bloom/ndv/underivable path and the big-commit path).
+    if (under.isEmpty && bloomSpec.isEmpty && ndvSpec.isEmpty) {
+      val cap = spark.conf.getOption(DriverSumBytesConf)
+        .flatMap(_.toLongOption).getOrElse(DefaultDriverSumBytes)
+      if (foot.map(_.bytes).sum <= cap) {
+        val conf = spark.sessionState.newHadoopConf()
+        import scala.jdk.CollectionConverters._
+        val sums = java.util.List.copyOf(foot.map(_.rel).asJava).parallelStream()
+          .map[(String, Map[String, String])](rel =>
+            rel -> driverFileSums(conf, dataPath(root, rel), summed))
+          .collect(java.util.stream.Collectors
+            .toList[(String, Map[String, String])])
+          .asScala.toMap
+        return base.map(st => st.copy(sums = sums.getOrElse(st.path, Map.empty)))
+      }
+    }
     // residual pass: only the owed columns, only the live files
     val passFields = (under ++ summed ++
       bloomSpec.toSeq.flatMap(_._1).flatMap(c => schema.fields.find(_.name == c)) ++
@@ -1159,6 +1183,96 @@ object CommitLog {
         bloom = bloomRel.orNull, ndv = ndvRel.orNull,
         sums = summed.flatMap(f =>
           Option(r.getAs[String](s"sum__${f.name}")).map(f.name -> _)).toMap)
+    }
+  }
+
+  /** Staged-bytes ceiling for the driver-side sums read (the residual
+    * pass's small-commit fast path); above it the distributed pass runs.
+    */
+  private[sources] val DriverSumBytesConf = "spark.graft.stats.driverSumBytes"
+  private val DefaultDriverSumBytes = 256L << 20
+
+  /** Exact integral sums of `cols` over one parquet file, read with the
+    * parquet column reader on the DRIVER (the parquet-cli dump iteration
+    * pattern: no-op converters, definition-level null checks, getLong/
+    * getInteger per value). Accumulates in long with an overflow
+    * escape to BigInteger — value-equal to the distributed pass's
+    * `sum(CAST(col AS DECIMAL(38,0)))`. All-null and absent columns are
+    * OMITTED, matching SQL `sum`'s null-on-empty contract.
+    */
+  private def driverFileSums(conf: org.apache.hadoop.conf.Configuration,
+      abs: String, cols: Seq[StructField]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(abs), conf)
+    Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
+      val md = r.getFooter
+      val schema = md.getFileMetaData.getSchema
+      val createdBy = md.getFileMetaData.getCreatedBy
+      val noopGroup: GroupConverter = new GroupConverter {
+        override def getConverter(i: Int): Converter = new PrimitiveConverter {}
+        override def start(): Unit = ()
+        override def end(): Unit = ()
+      }
+      val wanted = cols.flatMap { f =>
+        schema.getColumns.asScala.find(cd =>
+          cd.getPath.length == 1 && cd.getPath()(0) == f.name)
+          .map(f.name -> _)
+      }
+      val acc = scala.collection.mutable.Map[String, java.math.BigInteger]()
+      if (wanted.nonEmpty) {
+        var pages = r.readNextRowGroup()
+        while (pages != null) {
+          val store = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
+            pages, noopGroup, schema, createdBy)
+          wanted.foreach { case (name, cd) =>
+            val cr = store.getColumnReader(cd)
+            val maxDef = cd.getMaxDefinitionLevel
+            val isLong = cd.getPrimitiveType.getPrimitiveTypeName ==
+              PrimitiveTypeName.INT64
+            // foreign files may annotate INT32 as UNSIGNED — widen the
+            // raw bits instead of sign-extending (Spark's read semantics)
+            val unsigned32 = !isLong &&
+              (cd.getPrimitiveType.getLogicalTypeAnnotation match {
+                case a: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .IntLogicalTypeAnnotation => !a.isSigned
+                case _ => false
+              })
+            val n = cr.getTotalValueCount
+            var i = 0L
+            var s = 0L
+            var big: java.math.BigInteger = null
+            var nonNull = false
+            while (i < n) {
+              if (cr.getCurrentDefinitionLevel == maxDef) {
+                val v =
+                  if (isLong) cr.getLong
+                  else if (unsigned32) cr.getInteger.toLong & 0xFFFFFFFFL
+                  else cr.getInteger.toLong
+                nonNull = true
+                if (big == null) {
+                  val t = s + v
+                  if (((s ^ t) & (v ^ t)) < 0L) // i64 overflow: escape
+                    big = java.math.BigInteger.valueOf(s)
+                      .add(java.math.BigInteger.valueOf(v))
+                  else s = t
+                } else big = big.add(java.math.BigInteger.valueOf(v))
+              }
+              cr.consume()
+              i += 1
+            }
+            if (nonNull) {
+              val part =
+                if (big == null) java.math.BigInteger.valueOf(s) else big
+              acc(name) = acc.get(name).map(_.add(part)).getOrElse(part)
+            }
+          }
+          pages = r.readNextRowGroup()
+        }
+      }
+      acc.iterator.map { case (k, v) => k -> v.toString }.toMap
     }
   }
 

@@ -126,6 +126,7 @@ object Scratch {
     if (names == Seq("microappend")) {
       // per-commit cost split: full append vs sums-off append
       import graft.sources.CommitLog
+      import org.apache.spark.sql.functions.col
       val ev = graft.Tables.load(spark, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
       def t[A](label: String)(body: => A): A = {

