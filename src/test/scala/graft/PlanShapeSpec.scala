@@ -148,22 +148,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "q108 went all-pairs")
   }
 
-  test("q95 bloom prescreen probes below the exchange, as a plan literal") {
-    // the might_contain filter must sit on the scan side — BEFORE any
-    // shuffle — with the sketch embedded as a literal (the runtime-filter
-    // broadcast contract); if it drifts above the exchange the ~100×
-    // exchange-bytes cut is silently lost
+  test("q95 bloom prescreen probes below the exchange, via broadcast") {
+    // the sketch probe must sit on the scan side — BEFORE any shuffle —
+    // or the ~100× exchange-bytes cut is silently lost. r15: the sketch
+    // ships as a sparkContext BROADCAST probed by a UDF over xxhash64
+    // (guide §3.2's manual pattern) instead of a 128 KiB plan literal
+    // that was rendered into every plan string and task binary — so the
+    // probe now shows as a UDF filter over xxhash64(sh).
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val sp = SparkEntry.queries("q95_bloom_screen")(spark, sf0001)
       .queryExecution.sparkPlan
     val probes = sp.collect {
-      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+      case f: FilterExec if f.condition.toString.contains("xxhash64") => f
     }
     assert(probes.nonEmpty, s"q95 lost its bloom probe:\n$sp")
     for (f <- probes) {
-      assert(f.condition.toString.contains("0x"),
-        s"q95 sketch is not a plan literal: ${f.condition}")
+      assert(!f.condition.toString.contains("0x"),
+        s"q95 sketch regressed to a plan literal: " +
+          f.condition.toString.take(200))
       assert(f.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
         s"q95 bloom probe sits above a shuffle:\n$sp")
     }
