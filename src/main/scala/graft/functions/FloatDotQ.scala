@@ -169,6 +169,24 @@ object GraftFunctions {
         VecSumL(args.head).toAggregateExpression()
       },
       "built-in")
+    reg.createOrReplaceTempFunction("vec_min_q",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_min_q takes exactly 1 argument")
+        VecExtremeL(args.head, isMin = true).toAggregateExpression()
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction("vec_max_q",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_max_q takes exactly 1 argument")
+        VecExtremeL(args.head, isMin = false).toAggregateExpression()
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction("sq8_dec",
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "sq8_dec takes (vq, mn, mx)")
+        Sq8Dec(args.head, args(1), args(2))
+      },
+      "built-in")
     reg.createOrReplaceTempFunction("simhash60",
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60 takes exactly 1 argument")

@@ -4,10 +4,10 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{TernaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
@@ -203,4 +203,154 @@ case class VecSumL(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): VecSumL =
     copy(child = newChild)
+}
+
+/** Elementwise min/max of `array<long>` rows — the SQ8 trainer's 64
+  * per-dimension ranges (q159/q164) in one aggregation buffer instead of a
+  * 64-row-per-vector explode + per-pos min/max groupBy. `isMin` selects
+  * the reduction; [[VecSumL]]'s buffer discipline (adopt first width, fail
+  * loudly on a mismatch, NULL on an empty group) carries over unchanged.
+  */
+case class VecExtremeL(
+    child: Expression,
+    isMin: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def prettyName: String = if (isMin) "vec_min_q" else "vec_max_q"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${other.simpleString}")
+  }
+
+  @inline private def pick(a: Long, b: Long): Long =
+    if (isMin) math.min(a, b) else math.max(a, b)
+
+  // empty sentinel = "no input yet" (adopts the first row's values)
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (buf.length == 0) {
+      val b = new Array[Long](n)
+      var i = 0
+      while (i < n) { b(i) = arr.getLong(i); i += 1 }
+      return b
+    }
+    require(buf.length == n,
+      s"$prettyName: mixed array widths in one group (${buf.length} vs $n)")
+    var i = 0
+    while (i < n) { buf(i) = pick(buf(i), arr.getLong(i)); i += 1 }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.length == 0) return buf
+    if (buf.length == 0) return other
+    require(buf.length == other.length,
+      s"$prettyName: mixed array widths across partials")
+    var i = 0
+    while (i < buf.length) { buf(i) = pick(buf(i), other(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.length == 0) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecExtremeL =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecExtremeL =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecExtremeL =
+    copy(child = newChild)
+}
+
+/** SQ8 encode+dequantize in one elementwise pass (q159/q164):
+  * `dec[i] = mn[i] + (code[i]·span) div 255` with
+  * `code[i] = ((vq[i]−mn[i])·255) div span` (0 when `span = 0`),
+  * `span = mx[i]−mn[i]`. Bit-identical to the exploded per-pos SQL
+  * (`CASE WHEN span = 0 …` + `div`): every operand is nonnegative
+  * (mn/mx are the corpus per-dimension extremes, so vq−mn ≥ 0 and
+  * span ≥ 0), hence Java's truncating `/` ≡ SQL's `div` ≡ DuckDB's `//`.
+  */
+case class Sq8Dec(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with TernaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sq8_dec"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArray(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (Seq(first, second, third).forall(e => isLongArray(e.dataType)))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires three array<bigint> arguments (vq, mn, mx), got " +
+          s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val vq = a.asInstanceOf[ArrayData]
+    val mn = b.asInstanceOf[ArrayData]
+    val mx = c.asInstanceOf[ArrayData]
+    val n = vq.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val m = mn.getLong(i)
+      val span = mx.getLong(i) - m
+      val code = if (span == 0L) 0L else (vq.getLong(i) - m) * 255L / span
+      out(i) = m + code * span / 255L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val m = ctx.freshName("m")
+      val span = ctx.freshName("span")
+      val code = ctx.freshName("code")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $m = $b.getLong($i);
+         |  long $span = $c.getLong($i) - $m;
+         |  long $code = ($span == 0L) ? 0L : ($a.getLong($i) - $m) * 255L / $span;
+         |  $out[$i] = $m + $code * $span / 255L;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -1374,28 +1374,32 @@ object Similarity {
     "q159_ann_sq8" -> QueryDef(
       fn = { (s, dir) =>
         val e = emb(s, dir)
+        // r15 OPT (guide §2.3/§1.2): ARRAY formulation — see q88. The
+        // trainer's per-dimension ranges are ONE vec_min_q/vec_max_q
+        // aggregate (64-long buffers) instead of a 64-row-per-vector
+        // explode + per-pos groupBy; encode+dequant is one codegen'd
+        // sq8_dec pass (bit-equal to the per-pos CASE/div chain — all
+        // operands nonnegative); each asymmetric distance is one sqdist_q
+        // loop replacing the join-on-pos + groupBy-sum (order-independent
+        // BIGINT sum ⇒ identical values). Oracle re-proven bit-exact.
         val vq = e
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
-          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+          .select(col("vec_id"), expr("quantize_vec(embedding)").as("v"))
           .repartition(col("vec_id")) // parallelize the single-split scan
-        val rng = vq.groupBy(col("pos"))
-          .agg(min(col("vq")).as("mn"), max(col("vq")).as("mx"))
-          .withColumn("span", col("mx") - col("mn"))
-        val codes = vq.join(broadcast(rng), Seq("pos"))
-          .withColumn("code", expr(
-            "CASE WHEN span = 0 THEN 0 ELSE ((vq - mn) * 255) div span END"))
-          .withColumn("dec", expr("mn + (code * span) div 255"))
-          .select(col("vec_id").as("c_id"), col("pos"), col("dec"))
+          // feeds the range trainer, the code scan and the query set —
+          // pin once (lazy persist: O(vectors) array rows)
+          .persist()
+        val rng = vq.agg(
+          expr("vec_min_q(v)").as("mn"), expr("vec_max_q(v)").as("mx"))
+        val codes = vq.crossJoin(broadcast(rng))
+          .select(col("vec_id").as("c_id"), expr("sq8_dec(v, mn, mx)").as("dec"))
         val qs = vq.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("adist_q"), col("c_id"))
-        codes.join(broadcast(qs), Seq("pos"))
+        codes.crossJoin(broadcast(qs))
           .filter(col("c_id") =!= col("q_id"))
-          .withColumn("d2", (col("qv") - col("dec")) * (col("qv") - col("dec")))
-          .groupBy(col("q_id"), col("c_id"))
-          .agg(sum(col("d2")).as("adist_q"))
+          .select(col("q_id"), col("c_id"),
+            expr("sqdist_q(qv, dec)").as("adist_q"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select("q_id", "c_id", "adist_q", "rnk")
@@ -1625,28 +1629,23 @@ object Similarity {
           .filter(col("er") <= 10)
           .select(col("q_id"), col("c_id"), (lit(11L) - col("er")).as("gain"))
         // the system under eval: q159's SQ8 pipeline, top-10
+        // r15 OPT (guide §2.3/§1.2): ARRAY formulation — see q159.
         val vq = e
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .withColumn("vq", floor(col("x").cast("double") * 1000000.0).cast("long"))
-          .select(col("vec_id"), col("pos").cast("long").as("pos"), col("vq"))
+          .select(col("vec_id"), expr("quantize_vec(embedding)").as("v"))
           .repartition(col("vec_id"))
-        val rng = vq.groupBy(col("pos"))
-          .agg(min(col("vq")).as("mn"), max(col("vq")).as("mx"))
-          .withColumn("span", col("mx") - col("mn"))
-        val codes = vq.join(broadcast(rng), Seq("pos"))
-          .withColumn("code", expr(
-            "CASE WHEN span = 0 THEN 0 ELSE ((vq - mn) * 255) div span END"))
-          .withColumn("dec", expr("mn + (code * span) div 255"))
-          .select(col("vec_id").as("c_id"), col("pos"), col("dec"))
+          .persist()
+        val rng = vq.agg(
+          expr("vec_min_q(v)").as("mn"), expr("vec_max_q(v)").as("mx"))
+        val codes = vq.crossJoin(broadcast(rng))
+          .select(col("vec_id").as("c_id"), expr("sq8_dec(v, mn, mx)").as("dec"))
         val qsS = vq.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val wSys = Window.partitionBy(col("q_id"))
           .orderBy(col("adist_q"), col("c_id"))
-        val sys = codes.join(broadcast(qsS), Seq("pos"))
+        val sys = codes.crossJoin(broadcast(qsS))
           .filter(col("c_id") =!= col("q_id"))
-          .withColumn("d2", (col("qv") - col("dec")) * (col("qv") - col("dec")))
-          .groupBy(col("q_id"), col("c_id"))
-          .agg(sum(col("d2")).as("adist_q"))
+          .select(col("q_id"), col("c_id"),
+            expr("sqdist_q(qv, dec)").as("adist_q"))
           .withColumn("rnk", row_number().over(wSys).cast("long"))
           .filter(col("rnk") <= 10)
           .select("q_id", "c_id", "rnk")
