@@ -92,4 +92,23 @@ object Tables {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Scale-gated fan-out for compute-heavy derivations (r15, guide §2.5):
+    * a small corpus arrives as ONE parquet split (and an AQE-coalescible
+    * keyed repartition folds back to one partition — AQE sizes by BYTES
+    * and is blind to per-row compute like shingling or O(n·k) distance
+    * loops), so the heavy stage runs on a single task. Repartition to an
+    * EXPLICIT core-count partition count — which AQE respects — but only
+    * when the frame has fewer partitions than that: at cluster scale a
+    * big scan already carries more splits than cores and this is a no-op,
+    * so the shuffle is only ever paid on KB/MB-scale inputs. Values are
+    * partitioning-independent everywhere this is used (deterministic
+    * aggregates / explicitly ordered output), so results are unchanged.
+    */
+  def fanOut(spark: SparkSession, df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df
+    else df.repartition(want, key)
+  }
 }

@@ -937,22 +937,31 @@ object Dedup {
         // CAPPED postings (≤ 100 longs/row), not the raw stream. An
         // all-pairs self-join on sh was 14.5s at sf0.1.
         graft.functions.GraftFunctions.register(s)
-        val sh = shingles(docs(s, dir))
+        // r15 OPT (guide §2.5): fan out the single-split corpus scan —
+        // profiled: the shingle explode + partial aggregation ran as ONE
+        // 2.6 s task (documents.parquet is one split at bench SFs; no-op
+        // at scale where the scan carries many splits)
+        val sh = shingles(Tables.fanOut(s, docs(s, dir), col("doc_id")))
         // r14 OPT (guide §3.3): the capped-postings aggregation feeds both
         // the pair expansion and the per-doc size re-derivation — pin it
         // so the shingle shuffle runs once per action instead of twice
-        val postings = sh
+        // r15: the checkpoint materializes with AQE's byte-sized (tiny)
+        // partitioning; fan the C(100,2)-per-row pair expansion back out
+        val postings = Tables.fanOut(s, sh
           .groupBy(col("sh"))
           .agg(expr("capped_long_set(doc_id, 100)").as("ds"))
           .filter(col("ds").isNotNull)
-          .localCheckpoint()
+          .localCheckpoint(), col("sh"))
+        // r15 OPT (guide §4.1): the pair expansion was ONE nested
+        // interpreted HOF (transform-in-transform with per-element slice
+        // + struct boxing). Two chained Generates with a codegen'd slice
+        // enumerate exactly the same (ds[i], ds[j]) i<j pairs — whole
+        // stage stays in codegen, no lambda interpretation.
         val pairs = postings
           .filter(size(col("ds")) >= 2)
-          .select(explode(expr(
-            """flatten(transform(ds, (x, i) ->
-              |  transform(slice(ds, i + 2, size(ds) - i - 1),
-              |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"))
+          .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+          .select(col("doc_a"),
+            explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
         val sizes = postings
           .select(explode(col("ds")).as("doc_id"))

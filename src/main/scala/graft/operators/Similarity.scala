@@ -959,8 +959,14 @@ object Similarity {
         // partition — all O(n²) dot products would land on ONE task. After
         // repartition every core gets a slice (same fix a 1000-executor
         // cluster needs).
+        // r15 OPT (guide §2.5): EXPLICIT partition count. A keyed
+        // repartition with no count is an AQE-coalescible exchange, and
+        // the slice is ~0.5 MB — AQE folded it back to ONE partition
+        // (bytes-blind to the O(n²) compute that follows), re-serializing
+        // the join (profiled: one 2.5 s task). The slice is CAPPED at
+        // ~2500 vectors, so core-count partitions is right at any scale.
         val a = e.select(col("vec_id").as("a_id"), col("embedding").as("qe"))
-          .repartition(col("a_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("a_id"))
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("ce"))
         a.join(b, col("a_id") < col("b_id"))
           .withColumn("dot", dotDec("qe", "ce"))
