@@ -240,7 +240,7 @@ object Dedup {
       new java.io.ByteArrayInputStream(bloom))
     val bc = s.sparkContext.broadcast(bf)
     val probe = udf((h: Long) => bc.value.mightContainLong(h))
-    shingles(d)
+    shingles(Tables.fanOut(s, d, col("doc_id")))
       .filter(probe(expr("xxhash64(sh)")))
       .join(evalSh, Seq("sh"), "left_semi")
       .groupBy(col("doc_id"))
@@ -299,7 +299,11 @@ object Dedup {
     */
   private def simhashFps(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
-    shingles(d)
+    // r15 OPT (guide §2.5): fan out the single-split corpus scan — the
+    // shingle+md5+vote pass is the simhash family's dominant compute and
+    // ran as one task at bench SFs (no-op at scale; the downstream
+    // groupBy re-shuffles, so consumers' write layouts are unchanged)
+    shingles(Tables.fanOut(d.sparkSession, d, col("doc_id")))
       .select(col("doc_id"), md5(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(call_function("simhash60", col("h")).as("fp"))
@@ -423,7 +427,7 @@ object Dedup {
     // ratio is integer arithmetic (no float drift between engines).
     "q108_novelty" -> QueryDef(
       fn = { (s, dir) =>
-        val sh = shingles(docs(s, dir))
+        val sh = shingles(Tables.fanOut(s, docs(s, dir), col("doc_id")))
         val dfRel = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         sh.join(dfRel, Seq("sh"))
           .groupBy(col("doc_id"))
@@ -465,7 +469,7 @@ object Dedup {
         val d = docs(s, dir).withColumn("split",
           when(u % 100 < 80, "train").when(u % 100 < 90, "val")
             .otherwise("test"))
-        val sh = shingles(d)
+        val sh = shingles(Tables.fanOut(s, d, col("doc_id")))
         val trainSh = sh
           .join(d.filter(col("split") === "train").select("doc_id"),
             Seq("doc_id"), "left_semi")
@@ -652,7 +656,7 @@ object Dedup {
     // minhash fraction (the unbiased Jaccard estimator).
     "q13_minhash_lsh" -> QueryDef(
       fn = { (s, dir) =>
-        val sig = withShingleHash(shingles(docs(s, dir))).groupBy(col("doc_id"))
+        val sig = withShingleHash(shingles(Tables.fanOut(s, docs(s, dir), col("doc_id")))).groupBy(col("doc_id"))
           .agg(minhashAggs.head, minhashAggs.tail: _*)
         val bandStructs = (0 until BANDS).map { b =>
           struct(lit(b).as("band"),
@@ -736,7 +740,7 @@ object Dedup {
         // shingle explode + minhash aggregation (the actual cost VERDICT
         // r9 measured; the band join itself was never the bottleneck).
         // shs is corpus-linear (distinct 3-shingles), sig is doc-sized.
-        val shs = shingles(docs(s, dir)).localCheckpoint()
+        val shs = shingles(Tables.fanOut(s, docs(s, dir), col("doc_id"))).localCheckpoint()
         val sig = withShingleHash(shs).groupBy(col("doc_id"))
           .agg(minhashAggs.head, minhashAggs.tail: _*)
           .localCheckpoint()
@@ -1003,7 +1007,7 @@ object Dedup {
     // The decontamination step every training pipeline runs before eval.
     "q67_contamination" -> QueryDef(
       fn = { (s, dir) =>
-        val sh = shingles(docs(s, dir))
+        val sh = shingles(Tables.fanOut(s, docs(s, dir), col("doc_id")))
         val evalSh = sh.filter(col("doc_id") % 11 === 0)
           .select(col("sh")).distinct()
         val train = sh.filter(col("doc_id") % 11 =!= 0)
