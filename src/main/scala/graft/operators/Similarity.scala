@@ -80,8 +80,9 @@ object Similarity {
     // nearest cell per vector (broadcast the centroid set)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosim").desc, col("cent_id"))
-    e.select(col("vec_id"), col("embedding").as("qe"))
-      .repartition(col("vec_id")) // parallelize the single-split scan
+    Tables.fanOut(e.sparkSession,
+        e.select(col("vec_id"), col("embedding").as("qe")),
+        col("vec_id")) // parallelize the single-split scan (no-op at scale)
       .crossJoin(broadcast(cents))
       .withColumn("dot", dotDec("qe", "ce"))
       .join(n.toDF("vec_id", "n2v"), Seq("vec_id"))
@@ -356,9 +357,9 @@ object Similarity {
     val mates = prior.map(p => assigned0.select("vec_id", "cid", "embedding")
         .unionByName(p))
       .getOrElse(assigned0.select("vec_id", "cid", "embedding"))
-    val bSide = assigned0
-      .select(col("vec_id").as("b_id"), col("cid"), col("embedding").as("ce"))
-      .repartition(col("cid")) // cell-keyed: the quadratic stays per-cell
+    val bSide = Tables.fanOut(s, assigned0
+      .select(col("vec_id").as("b_id"), col("cid"), col("embedding").as("ce")),
+      col("cid")) // cell-keyed: the quadratic stays per-cell
     val aSide = mates
       .select(col("vec_id").as("a_id"), col("cid"), col("embedding").as("qe"))
     val pairs = aSide.join(bSide, Seq("cid")).filter(col("a_id") < col("b_id"))
@@ -1011,8 +1012,9 @@ object Similarity {
         // computed by ONE native expression per row (a composed
         // float_dot_q-per-plane form blows janino's method limit at
         // adaptive geometry — see LshBandKeys)
-        val keyed = aug.select(col("vec_id"), col("embedding"))
-          .repartition(col("vec_id")) // parallelize the single-split scan
+        val keyed = Tables.fanOut(s,
+          aug.select(col("vec_id"), col("embedding")),
+          col("vec_id")) // parallelize the single-split scan (no-op at scale)
         val bands = keyed.select(col("vec_id"),
           posexplode(GraftBridge.column(graft.functions.LshBandKeys(
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(

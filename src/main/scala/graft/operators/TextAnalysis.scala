@@ -16,8 +16,14 @@ import graft.Tables
   */
 object TextAnalysis {
 
+  // r15 OPT (guide §2.5): fan out the single-split corpus scan — the text
+  // analytics' tokenize/score passes otherwise run as ONE task at bench
+  // SFs (no-op at scale where the scan carries many splits; column
+  // pruning pushes below the exchange, so narrow consumers shuffle only
+  // the columns they read). This file writes no tables, so layouts are
+  // unaffected; every query orders its output explicitly.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.fanOut(s, Tables.load(s, dir, "documents"), col("doc_id"))
 
   /** Tiny per-language stopword profiles — a deterministic n-gram-free
     * language-ID heuristic (count profile hits over the token bag, pick the
@@ -374,7 +380,7 @@ object TextAnalysis {
     // size.
     "q140_gopher_rules" -> QueryDef(
       fn = { (s, dir) =>
-        val flags = docs(s, dir)
+        val flags = Tables.load(s, dir, "documents")
           .withColumn("toks", toksCol)
           .withColumn("lines", expr(pageLinesExpr))
           .withColumn("wc", size(col("toks")).cast("long"))
@@ -471,7 +477,7 @@ object TextAnalysis {
     // the presentation sort; at 100 TB cleaning is one map pass.
     "q141_c4_clean" -> QueryDef(
       fn = { (s, dir) =>
-        docs(s, dir)
+        Tables.load(s, dir, "documents")
           .withColumn("toks", toksCol)
           .withColumn("lines", expr(pageLinesExpr))
           .withColumn("kept", expr(
@@ -542,7 +548,7 @@ object TextAnalysis {
             |  '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
             |  '&quot;', '"'), '&#39;', '''')""".stripMargin
             .replace("__str", "__stripped"))
-        val d = docs(s, dir)
+        val d = Tables.load(s, dir, "documents")
           .withColumn("__stripped", stripped)
           .withColumn("extracted",
             trim(regexp_replace(unescaped, "\\s+", " ")))
@@ -641,7 +647,7 @@ object TextAnalysis {
     // int/int divisions (exact operands → deterministic doubles).
     "q20_quality_score" -> QueryDef(
       fn = { (s, dir) =>
-        docs(s, dir)
+        Tables.load(s, dir, "documents")
           .withColumn("toks", toksCol)
           .withColumn("n_chars_c", length(col("text")).cast("long"))
           .withColumn("n_toks", size(col("toks")).cast("long"))
@@ -904,7 +910,7 @@ object TextAnalysis {
         val w = Window.partitionBy(col("lang"), col("source"))
           .orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        docs(s, dir)
+        Tables.load(s, dir, "documents")
           .withColumn("toks", size(toksCol).cast("long"))
           .withColumn("cum", coalesce(sum(col("toks")).over(w), lit(0L)))
           .withColumn("shard", expr("cum div 2000"))
@@ -939,7 +945,7 @@ object TextAnalysis {
           when(col("doc_id") % 3 === 0, lit("10.0.256"))
             .otherwise(concat(lit("10.0."),
               (col("doc_id") % 256).cast("string"), lit(".7"))))
-        docs(s, dir)
+        Tables.load(s, dir, "documents")
           .withColumn("aug", aug)
           .withColumn("n_emails",
             size(regexp_extract_all(col("aug"), lit(email), lit(0))).cast("long"))
