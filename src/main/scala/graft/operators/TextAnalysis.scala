@@ -779,7 +779,7 @@ object TextAnalysis {
     // integers, exact BIGINT arithmetic in both engines.
     "q22_fingerprint" -> QueryDef(
       fn = { (s, dir) =>
-        docs(s, dir)
+        Tables.load(s, dir, "documents")
           .withColumn("toks", toksCol)
           .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
           .withColumn("h",
@@ -881,7 +881,9 @@ object TextAnalysis {
           .when(col("lang") === "de", 2147483648L) // 0.50·2^32
           .when(col("lang") === "fr", 1288490188L) // 0.30·2^32
           .otherwise(644245094L) // zh 0.15·2^32
-        docs(s, dir)
+        // map-only pipeline: plain load (the fanned loader's exchange
+        // would be pure tax — PlanShapeSpec asserts the no-shuffle shape)
+        Tables.load(s, dir, "documents")
           .filter(u < threshold)
           .select("doc_id", "lang")
           .orderBy("doc_id")

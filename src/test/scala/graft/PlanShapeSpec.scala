@@ -34,9 +34,18 @@ class PlanShapeSpec extends SparkTestBase {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
     }
-    for (q <- Seq("q158_ccnet_buckets", "q159_ann_sq8"))
-      assert(plan(q).contains("BroadcastHashJoin"),
-        s"$q lost its broadcast small side")
+    assert(plan("q158_ccnet_buckets").contains("BroadcastHashJoin"),
+      "q158_ccnet_buckets lost its broadcast small side")
+    // r15: q159's array rewrite has no pos key left to hash-join on — its
+    // small sides (the 1-row range frame, the ≤10-query set) ride
+    // BroadcastNestedLoopJoin cross joins; the corpus must never shuffle
+    // for them and nothing may sort-merge.
+    locally {
+      val p = plan("q159_ann_sq8")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"q159 lost its broadcast small sides:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"q159 sort-merges:\n$p")
+    }
     // q162's series collapses to buckets BEFORE any window: the plan must
     // hash-aggregate below its windows and keep the final top-20 pushed
     assert(plan("q162_seasonal_decompose").contains("TakeOrderedAndProject"),
@@ -167,8 +176,16 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!f.condition.toString.contains("0x"),
         s"q95 sketch regressed to a plan literal: " +
           f.condition.toString.take(200))
-      assert(f.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
-        s"q95 bloom probe sits above a shuffle:\n$sp")
+      // r15: the scale-gated fan-out may put one REPARTITION_BY_NUM
+      // exchange below the probe (parallelizing the single-split scan;
+      // a no-op at cluster scale) — what must never sit below the probe
+      // is an ENSURE_REQUIREMENTS (aggregation/join) shuffle, which
+      // would mean the probe stopped cutting the aggregation's bytes.
+      assert(f.collectFirst {
+        case e: ShuffleExchangeLike
+            if e.shuffleOrigin.toString != "REPARTITION_BY_NUM" => e
+      }.isEmpty,
+        s"q95 bloom probe sits above an aggregation shuffle:\n$sp")
     }
   }
 
