@@ -1609,7 +1609,12 @@ object Dedup {
     "q98_lexical_topk" -> QueryDef(
       fn = { (s, dir) =>
         import org.apache.spark.sql.expressions.Window
-        val sh = shingles(docs(s, dir))
+        // r15 OPT (guide §3.3 + §2.5): the shingle stream feeds the size
+        // aggregate, the query side and the candidate side — pin it so the
+        // tokenize/shingle pass runs once, and fan out the single-split
+        // scan feeding it (profiled: two serial 0.8 s single-task scans)
+        val sh = shingles(Tables.fanOut(s, docs(s, dir), col("doc_id")))
+          .localCheckpoint()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val inter = sh.filter(col("doc_id") % 97 === 0).toDF("q_id", "sh")
           .join(sh.toDF("c_id", "sh"), Seq("sh"))

@@ -771,7 +771,10 @@ object Similarity {
       fn = { (s, dir) =>
         val d = Tables.load(s, dir, "documents")
         // lexical top-10: shared-shingle Jaccard, deterministic tie rule
-        val sh = Dedup.shingles(d)
+        // r15 OPT (guide §3.3 + §2.5): pin the 3×-consumed shingle stream
+        // and fan out the single-split scan feeding it (q98's fix)
+        val sh = Dedup.shingles(Tables.fanOut(s, d, col("doc_id")))
+          .localCheckpoint()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val inter = sh.filter(col("doc_id") % 97 === 0).toDF("q_id", "sh")
           .join(sh.toDF("c_id", "sh"), Seq("sh"))
